@@ -1,0 +1,212 @@
+"""Driver-facing queries exercising the spec engine (reference parity).
+
+Each entry runs a real AggregationSpec through
+``operators.aggregate.build_aggregation`` on the ``events`` table
+(adapted to the envelope relation) and projects the map-typed output
+dimensions to plain columns so the DuckDB oracle can reproduce it in
+plain SQL.
+
+Window size is 3600 s (hourly, epoch-aligned), the reference's
+windowSize knob (reference: config.yaml `windowSize`).
+
+Float policy: sums/avgs are rounded to 4 decimals on BOTH sides (double
+summation is order-dependent under parallel partial aggregation);
+min/max/delta/rate involve no reordered accumulation, so they compare
+exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.models import AggregationSpec, Rollup
+from monasca_aggregator_spark.operators.aggregate import build_aggregation
+from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+from monasca_aggregator_spark.sources.tables import load_table
+
+WINDOW_SEC = 3600
+_W_MS = WINDOW_SEC * 1000
+
+# DuckDB SQL fragment for the same epoch-aligned window start (ms).
+_W_SQL = f"(epoch_ms(ts) // {_W_MS}) * {_W_MS}"
+
+
+def _run(
+    spark: SparkSession,
+    sf_dir: str,
+    spec: AggregationSpec,
+    *,
+    round_value: int | None,
+    dim_keys: tuple[str, ...],
+) -> DataFrame:
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    out = build_aggregation(env, spec, WINDOW_SEC)
+    cols = [F.col("window_ts_ms")]
+    for k in dim_keys:
+        cols.append(F.col("dimensions").getItem(k).alias(k))
+    value = F.col("value")
+    if round_value is not None:
+        value = F.round(value, round_value)
+    cols.append(value.alias("value"))
+    return out.select(*cols)
+
+
+def _spec(function: str, metric: str, **kw) -> AggregationSpec:
+    return AggregationSpec(
+        name=f"{function}_{metric}",
+        aggregated_metric_name=f"agg.{metric}.{function}",
+        filtered_metric_name=metric,
+        function=function,
+        **kw,
+    )
+
+
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("count", "purchase", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=None, dim_keys=("user_id",))
+
+
+def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("sum", "click", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=4, dim_keys=("user_id",))
+
+
+def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("avg", "view", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=4, dim_keys=("user_id",))
+
+
+def q_agg_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("min", "error", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=None, dim_keys=("user_id",))
+
+
+def q_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("max", "error", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=None, dim_keys=("user_id",))
+
+
+def q_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("delta", "signup", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=4, dim_keys=("user_id",))
+
+
+def q_agg_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _spec("rate", "signup", grouped_dimensions=("user_id",))
+    return _run(spark, sf_dir, spec, round_value=8, dim_keys=("user_id",))
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filteredDimensions: keep only metrics with dim k=7."""
+    spec = _spec(
+        "count",
+        "click",
+        filtered_dimensions={"k": "7"},
+        grouped_dimensions=("user_id",),
+    )
+    return _run(spark, sf_dir, spec, round_value=None, dim_keys=("user_id",))
+
+
+def q_agg_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rejectedDimensions: drop metrics from user_id=13."""
+    spec = _spec(
+        "count",
+        "purchase",
+        rejected_dimensions={"user_id": "13"},
+        grouped_dimensions=("user_id",),
+    )
+    return _run(spark, sf_dir, spec, round_value=None, dim_keys=("user_id",))
+
+
+def q_agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension grouping (user_id x k)."""
+    spec = _spec("avg", "view", grouped_dimensions=("user_id", "k"))
+    return _run(spark, sf_dir, spec, round_value=4, dim_keys=("user_id", "k"))
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage: avg per (window,user) then sum of the avgs per window
+    (the reference's rollup concept, aggregation-specifications.yaml
+    Aggregation3)."""
+    spec = _spec(
+        "avg",
+        "purchase",
+        grouped_dimensions=("user_id",),
+        rollup=Rollup(function="sum", grouped_dimensions=()),
+    )
+    return _run(spark, sf_dir, spec, round_value=4, dim_keys=())
+
+
+def _oracle(
+    inner_fn: str,
+    metric: str,
+    *,
+    where: str = "",
+    group_dims: tuple[str, ...] = ("user_id",),
+    round_value: int | None = None,
+) -> str:
+    dim_select = {
+        "user_id": "CAST(user_id AS VARCHAR) AS user_id",
+        "k": "json_extract_string(props, '$.k') AS k",
+    }
+    dims_sql = "".join(f", {dim_select[d]}" for d in group_dims)
+    dims_names = "".join(f", {d}" for d in group_dims)
+    val = inner_fn
+    if round_value is not None:
+        val = f"round({val}, {round_value})"
+    return f"""
+SELECT {_W_SQL} AS window_ts_ms{dims_sql}, {val} AS value
+FROM events
+WHERE event_type = '{metric}'{where}
+GROUP BY 1{dims_names and ', ' + ', '.join(str(i + 2) for i in range(len(group_dims)))}
+""".strip()
+
+
+ORACLES: dict[str, str] = {
+    "agg_count": _oracle("CAST(count(*) AS DOUBLE)", "purchase"),
+    "agg_sum": _oracle("sum(value)", "click", round_value=4),
+    "agg_avg": _oracle("avg(value)", "view", round_value=4),
+    "agg_min": _oracle("min(value)", "error"),
+    "agg_max": _oracle("max(value)", "error"),
+    "agg_delta": _oracle(
+        "round(arg_max(value, ts) - arg_min(value, ts), 4)", "signup"
+    ),
+    "agg_rate": _oracle(
+        "round((arg_max(value, ts) - arg_min(value, ts)) / "
+        "nullif((max(epoch_ms(ts)) - min(epoch_ms(ts))) / 1000.0, 0.0), 8)",
+        "signup",
+    ),
+    "agg_filtered": _oracle(
+        "CAST(count(*) AS DOUBLE)",
+        "click",
+        where=" AND json_extract_string(props, '$.k') = '7'",
+    ),
+    "agg_rejected": _oracle(
+        "CAST(count(*) AS DOUBLE)", "purchase", where=" AND user_id != 13"
+    ),
+    "agg_grouped": _oracle("avg(value)", "view", group_dims=("user_id", "k"), round_value=4),
+    "agg_rollup": f"""
+WITH g AS (
+  SELECT {_W_SQL} AS window_ts_ms, user_id, avg(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT window_ts_ms, round(sum(v), 4) AS value FROM g GROUP BY 1
+""".strip(),
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_count": q_agg_count,
+    "agg_sum": q_agg_sum,
+    "agg_avg": q_agg_avg,
+    "agg_min": q_agg_min,
+    "agg_max": q_agg_max,
+    "agg_delta": q_agg_delta,
+    "agg_rate": q_agg_rate,
+    "agg_filtered": q_agg_filtered,
+    "agg_rejected": q_agg_rejected,
+    "agg_grouped": q_agg_grouped,
+    "agg_rollup": q_agg_rollup,
+}

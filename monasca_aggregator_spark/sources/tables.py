@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros((F.col(col) / 1000).cast("bigint"))
             )
+    # Some SFs store µs TIMESTAMP_NTZ instead of nanos; normalize to
+    # session-TZ TIMESTAMP (session is UTC, so values are unchanged) so
+    # unix_millis & friends apply uniformly.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
