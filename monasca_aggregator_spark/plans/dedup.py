@@ -1,0 +1,89 @@
+"""Driver-facing dedup queries + oracles (documents table).
+
+dedup_exact / dedup_ngram_jaccard are exact algorithms with full SQL
+oracles. dedup_minhash / dedup_simhash are approximate-candidate
+algorithms (LSH recall < 1 by construction) → rows-only entries; their
+false-positive-freedom is still exact because both verify candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monasca_aggregator_spark.operators import dedup as D
+from monasca_aggregator_spark.sources.tables import load_table
+
+THRESHOLD = 0.5
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_EXACT = r"""
+SELECT min(doc_id) AS keeper_id, count(*) AS group_size
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+) t
+GROUP BY norm_text
+""".strip()
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=THRESHOLD
+    )
+
+
+ORACLE_NGRAM = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)-1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {THRESHOLD}
+""".strip()
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
+    "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
+}
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": ORACLE_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM,
+}

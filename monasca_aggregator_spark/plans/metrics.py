@@ -22,6 +22,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.models import AggregationSpec, Rollup
 from monasca_aggregator_spark.operators.aggregate import build_aggregation
 from monasca_aggregator_spark.sources.envelope import events_to_envelopes
@@ -49,7 +53,7 @@ def _run(
         cols.append(F.col("dimensions").getItem(k).alias(k))
     value = F.col("value")
     if round_value is not None:
-        value = F.round(value, round_value)
+        value = stable_round(value, round_value)
     cols.append(value.alias("value"))
     return out.select(*cols)
 
@@ -156,7 +160,7 @@ def _oracle(
     dims_names = "".join(f", {d}" for d in group_dims)
     val = inner_fn
     if round_value is not None:
-        val = f"round({val}, {round_value})"
+        val = sql_stable_round(val, round_value)
     return f"""
 SELECT {_W_SQL} AS window_ts_ms{dims_sql}, {val} AS value
 FROM events
@@ -172,11 +176,14 @@ ORACLES: dict[str, str] = {
     "agg_min": _oracle("min(value)", "error"),
     "agg_max": _oracle("max(value)", "error"),
     "agg_delta": _oracle(
-        "round(arg_max(value, ts) - arg_min(value, ts), 4)", "signup"
+        sql_stable_round("arg_max(value, ts) - arg_min(value, ts)", 4), "signup"
     ),
     "agg_rate": _oracle(
-        "round((arg_max(value, ts) - arg_min(value, ts)) / "
-        "nullif((max(epoch_ms(ts)) - min(epoch_ms(ts))) / 1000.0, 0.0), 8)",
+        sql_stable_round(
+            "(arg_max(value, ts) - arg_min(value, ts)) / "
+            "nullif((max(epoch_ms(ts)) - min(epoch_ms(ts))) / 1000.0, 0.0)",
+            8,
+        ),
         "signup",
     ),
     "agg_filtered": _oracle(
@@ -193,7 +200,7 @@ WITH g AS (
   SELECT {_W_SQL} AS window_ts_ms, user_id, avg(value) AS v
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 )
-SELECT window_ts_ms, round(sum(v), 4) AS value FROM g GROUP BY 1
+SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
 """.strip(),
 }
 

@@ -1,0 +1,69 @@
+"""Driver-facing similarity-search queries + oracles (embeddings table).
+
+ann_cosine_topk is exact brute force with a SQL oracle (similarities
+rounded to 6 dp before ranking on both sides, ties broken by neighbor
+id, so rank order is deterministic). ann_lsh is the approximate scale
+path → rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.similarity import cosine_topk, lsh_ann
+from monasca_aggregator_spark.sources.tables import load_table
+
+K = 10
+N_QUERIES = 10
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < N_QUERIES)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return cosine_topk(corpus, queries, k=K)
+
+
+ORACLE_ANN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM c CROSS JOIN q
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, rank, neighbor_id, sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {K}
+""".strip()
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return lsh_ann(corpus, queries, k=K)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
+}
+
+ORACLES: dict[str, str] = {
+    "ann_cosine_topk": ORACLE_ANN,
+}

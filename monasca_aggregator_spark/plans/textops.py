@@ -1,0 +1,132 @@
+"""Driver-facing text-analysis queries + oracles (documents table)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monasca_aggregator_spark.functions.text import (
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS,
+)
+from monasca_aggregator_spark.operators import textops as T
+from monasca_aggregator_spark.sources.tables import load_table
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _score_sql(lang: str) -> str:
+    return " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))"
+        for w in LANG_MARKERS[lang]
+    )
+
+
+_BEST = "greatest(s_en, s_de, s_fr, s_es)"
+
+ORACLE_LANGID = rf"""
+WITH s AS (
+  SELECT doc_id,
+         {_score_sql('en')} AS s_en,
+         {_score_sql('de')} AS s_de,
+         {_score_sql('fr')} AS s_fr,
+         {_score_sql('es')} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {_BEST} = 0 THEN 'und'
+            WHEN s_en = {_BEST} THEN 'en'
+            WHEN s_de = {_BEST} THEN 'de'
+            WHEN s_fr = {_BEST} THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM s
+""".strip()
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKENS = rf"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""".strip()
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+ORACLE_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOPLIST_SQL})) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       floor((n_stop / n_tokens) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS stop_ratio,
+       floor((n_punct / n_chars) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS punct_ratio,
+       -- literals cast to DOUBLE: DuckDB otherwise computes in DECIMAL,
+       -- which rounds differently at half-ULP boundaries than Spark
+       floor((0.4::DOUBLE * (n_stop / n_tokens)
+             + 0.3::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+             + 0.3::DOUBLE * (1.0::DOUBLE - n_punct / n_chars))
+             * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS quality
+FROM m
+""".strip()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# Rolling hash mirrored in SQL: inner fold over each token's code points
+# (init 7), outer fold over tokens (init 0), both mod 2^31-1.
+ORACLE_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, tok ->
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647))),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+FROM t
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES: dict[str, str] = {
+    "text_langid": ORACLE_LANGID,
+    "text_tokens": ORACLE_TOKENS,
+    "text_quality": ORACLE_QUALITY,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

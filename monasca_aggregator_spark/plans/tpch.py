@@ -7,15 +7,23 @@ against dimension tables rely on Spark auto-broadcasting the small side
 are the fact tables) — at 100 TB the same plans hold because the dim
 tables stay broadcast-able and the fact-fact join (orders⋈lineitem)
 shuffles on the join key with AQE handling skew.
+
+Float aggregates are normalized with functions.rounding.stable_round on
+both sides (see that module for why plain round() is not
+oracle-stable).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.sources.tables import load_table
 
 
@@ -23,40 +31,34 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape, adapted to the columns
     present in the test schema)."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
+            stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            stable_round(
+                F.sum(disc_price * (1 + F.col("l_tax"))), 4
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-ORACLE_Q1 = """
+ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {sql_stable_round("sum(l_quantity)", 4)} AS sum_qty,
+       {sql_stable_round("sum(l_extendedprice)", 4)} AS sum_base_price,
+       {sql_stable_round("sum(l_extendedprice * (1 - l_discount))", 4)} AS sum_disc_price,
+       {sql_stable_round("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 4)} AS sum_charge,
+       {sql_stable_round("avg(l_quantity)", 4)} AS avg_qty,
+       {sql_stable_round("avg(l_extendedprice)", 4)} AS avg_price,
+       {sql_stable_round("avg(l_discount)", 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -84,16 +86,16 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         )
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
 
 
-ORACLE_Q3 = """
+ORACLE_Q3 = f"""
 SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       {sql_stable_round("sum(l_extendedprice * (1 - l_discount))", 4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -122,16 +124,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
 
 
-ORACLE_Q5 = """
+ORACLE_Q5 = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       {sql_stable_round("sum(l_extendedprice * (1 - l_discount))", 4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -154,16 +156,16 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
+            stable_round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-ORACLE_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+ORACLE_Q6 = f"""
+SELECT {sql_stable_round("sum(l_extendedprice * l_discount)", 4)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -174,11 +176,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per priority — window-function top-k,
     ties broken deterministically by key."""
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
         orders.withColumn("rk", F.row_number().over(w))
@@ -212,16 +211,16 @@ def q_events_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
             F.count_distinct(F.col("event_type")).alias("n_types"),
         )
     )
 
 
-ORACLE_EVENTS_DAILY = """
+ORACLE_EVENTS_DAILY = f"""
 SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, user_id,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       {sql_stable_round("sum(value)", 4)} AS sum_value,
        count(DISTINCT event_type) AS n_types
 FROM events
 GROUP BY 1, 2

@@ -1,0 +1,137 @@
+"""Continuous aggregation as Structured Streaming.
+
+Maps the reference's runtime concepts onto Spark's:
+
+- reference windowSize (tumbling, epoch-aligned; server.go:213-233,
+  aggregation_rule.go:52) → ``F.window(ts, "<size> seconds")`` (Spark
+  tumbling windows are epoch-aligned by construction);
+- reference windowLag (publish at lag past window close; server.go:215)
+  → ``withWatermark(ts, "<lag> seconds")``: a window is finalized and
+  emitted once the watermark (max event time − lag) passes its end —
+  the same trigger condition, driven by event time instead of wall
+  clock;
+- the in-memory window cache + manual Kafka offset commits
+  (caching.go, server.go:258-282) → the state store + checkpointing,
+  which give the same no-data-loss / at-least-once replay semantics.
+
+The logical aggregation is compiled by the same predicate/aggregate
+factories the batch path uses (operators/aggregate.py), so batch ≡
+streaming by construction; tests/test_streaming.py asserts it
+empirically.
+
+Rollup note: a rollup is a second stateful aggregation; in continuous
+mode run it in ``foreachBatch`` on the finalized first-stage output
+(the reference likewise rolls up only at publish time,
+aggregation_rule.go:88).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.models import AggregationSpec
+from monasca_aggregator_spark.operators.aggregate import _AGG_EXPRS, matches_metric
+
+
+def build_streaming_aggregation(
+    df: DataFrame,
+    spec: AggregationSpec,
+    window_size_sec: int,
+    lag_sec: int,
+    *,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    name_col: str = "name",
+    dims_col: str = "dimensions",
+    tenant_col: str = "tenant_id",
+) -> DataFrame:
+    """Streaming-safe single-stage aggregation plan.
+
+    Same output schema as the batch ``build_aggregation`` (minus
+    rollup): window_ts_ms, tenant_id, name, dimensions, value.
+    """
+    if spec.rollup is not None:
+        raise ValueError(
+            "rollup is a second stateful aggregation: run it in "
+            "foreachBatch on this plan's output"
+        )
+    dims = F.col(dims_col)
+    matched = df.filter(matches_metric(spec, F.col(name_col), dims)).withWatermark(
+        ts_col, f"{lag_sec} seconds"
+    )
+    group_cols = [
+        F.window(F.col(ts_col), f"{window_size_sec} seconds").alias("w"),
+        F.col(tenant_col),
+    ]
+    for k in spec.grouped_dimensions:
+        group_cols.append(dims.getItem(k).alias(f"__dim_{k}"))
+    agg_value = _AGG_EXPRS[spec.function](
+        F.col(value_col), F.unix_millis(F.col(ts_col))
+    )
+    out = matched.groupBy(*group_cols).agg(agg_value.alias("value"))
+
+    dim_entries = []
+    for k, v in spec.filtered_dimensions.items():
+        dim_entries += [F.lit(k), F.lit(v)]
+    for k in spec.grouped_dimensions:
+        dim_entries += [F.lit(k), F.col(f"__dim_{k}")]
+    out_dims = F.create_map(*dim_entries) if dim_entries else F.create_map()
+
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_ts_ms"),
+        F.col(tenant_col),
+        F.lit(spec.aggregated_metric_name).alias("name"),
+        out_dims.alias("dimensions"),
+        F.col("value"),
+    )
+
+
+def run_events_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    spec: AggregationSpec,
+    *,
+    window_size_sec: int = 3600,
+    lag_sec: int = 120,
+    query_name: str = "agg_stream",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive the events table through the streaming plan with an
+    availableNow trigger into a memory sink; returns the final result
+    as a batch DataFrame.
+
+    File-source streaming replays the parquet as if it were the Kafka
+    topic; ``complete`` mode emits every window (like replaying the
+    whole topic from offset 0), which makes the result directly
+    comparable to the batch plan / SQL oracle.
+    """
+    from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+
+    # raw (pre-normalization) schema: ts may be bigint ns or TIMESTAMP_NTZ
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    # file source preserves the raw parquet types; apply the same
+    # ns→ts normalization load_table does for batch
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    env = events_to_envelopes(raw)
+    plan = build_streaming_aggregation(env, spec, window_size_sec, lag_sec)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
