@@ -55,11 +55,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     array<bigint> of length ``num_hashes``; empty shingle set → nulls
     (callers filter those out).
     """
+    # NB: seed binding must be a closure, not a lambda default arg — a
+    # 2-arg lambda makes PySpark bind (element, index) lambda variables,
+    # silently shadowing the default.
+    def _hashed(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles, _hashed(i)))
             for i in range(num_hashes)
         ]
     )
@@ -97,15 +101,17 @@ def simhash64(shingles: Column) -> Column:
     transform+aggregate, reassembled with shiftleft/bitwise-or.
     """
     hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    # closure (not default-arg) binding: see _hashed note above
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     result = F.lit(0).cast("bigint")
     for b in range(64):
         # vote_b = Σ ±1 over shingles
-        vote = F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashed, F.lit(0), _vote(b))
         bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         result = result.bitwiseOR(F.shiftleft(bit, b))
     return result

@@ -1,0 +1,84 @@
+"""Dedup operators on a hand-built corpus with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from monasca_aggregator_spark.operators import dedup as D
+
+DOCS = [
+    # 0 and 1: identical after normalization (case/punct differences)
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the QUICK brown fox, jumps over the lazy dog!!"),
+    # 2: near-dup of 0 (one word changed)
+    (2, "The quick brown fox jumps over the sleepy dog"),
+    # 3: unrelated
+    (3, "Completely different content about distributed query engines"),
+    # 4: too short to shingle (n=3)
+    (4, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups_normalized_duplicates(docs):
+    rows = {r.keeper_id: r.group_size for r in D.exact_dedup(docs).collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse, keeper = min id
+    assert rows[2] == 1
+    assert rows[3] == 1
+    assert 1 not in rows
+
+
+def test_ngram_jaccard_finds_near_dup_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # 0-1 are not identical strings pre-normalization (shingling is on raw
+    # lowercase tokens) but share most shingles; 0-2 share all but the
+    # 2 shingles covering the changed word (7 shingles each, 5 shared)
+    assert (0, 2) in pairs
+    assert pairs[(0, 2)] == pytest.approx(5 / 9, abs=1e-4)
+    assert all(a < b for a, b in pairs)  # canonical pair order
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_no_false_positives_and_finds_exact_dups(docs):
+    """Verification step makes every emitted pair's jaccard exact — so
+    minhash output ⊆ the exact-jaccard pair set, and identical docs
+    (jaccard 1.0) are always found (every band collides)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    for pair, j in mh.items():
+        assert pair in exact
+        assert j == pytest.approx(exact[pair], abs=1e-4)
+    identical = [p for p, j in exact.items() if j == 1.0]
+    for p in identical:
+        assert p in mh
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "alpha beta gamma delta epsilon"), (12, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df).collect()}
+    assert rows.get((10, 11)) == 0
+    assert (10, 12) not in rows and (11, 12) not in rows
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("  Hello,   WORLD!! 42  ",)], "t string")
+    out = df.select(D.normalize_text(F.col("t")).alias("n")).collect()[0].n
+    assert out == "hello world 42"

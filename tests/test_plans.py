@@ -1,0 +1,92 @@
+"""Plan-shape assertions: the physical plans Catalyst produces must be
+the ones the 100 TB design assumes — filters pushed to the parquet scan,
+small dimension tables broadcast, partial (map-side) aggregation, and no
+Python row UDFs in any hot path."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import explain_str
+
+
+def test_registry_every_oracle_has_query():
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), "oracle without a query"
+    # SURVEY §2 core inventory all registered
+    for key in [
+        "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
+        "agg_delta", "agg_rate", "agg_filtered", "agg_rejected",
+        "agg_grouped", "agg_rollup", "agg_streaming",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+        "topk_per_group", "events_daily_user",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_simhash", "ann_cosine_topk", "ann_lsh",
+        "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    ]:
+        assert key in q, f"missing queries() entry {key}"
+
+
+def test_bench_queries_all_registered():
+    import bench
+
+    from monasca_aggregator_spark.registry import all_queries
+
+    assert set(bench.BENCH_QUERIES) <= set(all_queries())
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_small):
+    from monasca_aggregator_spark.plans.tpch import q_tpch_q6
+
+    plan = explain_str(q_tpch_q6(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    # the selective numeric predicates reach the parquet reader
+    assert "l_discount" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_q5_broadcasts_dimension_tables(spark, sf_small):
+    from monasca_aggregator_spark.plans.tpch import q_tpch_q5
+
+    plan = explain_str(q_tpch_q5(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_plan_has_partial_aggregation(spark, sf_small):
+    from monasca_aggregator_spark.plans.metrics import q_agg_sum
+
+    plan = explain_str(q_agg_sum(spark, sf_small))
+    # two HashAggregate nodes (partial map-side + final) around ONE exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+@pytest.mark.parametrize(
+    "builder_mod,builder_name",
+    [
+        ("monasca_aggregator_spark.plans.metrics", "q_agg_rollup"),
+        ("monasca_aggregator_spark.plans.tpch", "q_tpch_q1"),
+        ("monasca_aggregator_spark.plans.dedup", "q_dedup_minhash"),
+        ("monasca_aggregator_spark.plans.textops", "q_text_quality"),
+        ("monasca_aggregator_spark.plans.similarity", "q_ann_cosine_topk"),
+    ],
+)
+def test_no_python_row_udfs_in_hot_paths(spark, sf_small, builder_mod, builder_name):
+    import importlib
+
+    fn = getattr(importlib.import_module(builder_mod), builder_name)
+    plan = explain_str(fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # no Pandas UDF needed either
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    """A 2-column projection must not read all 16 lineitem columns."""
+    from monasca_aggregator_spark.plans.tpch import q_tpch_q6
+
+    plan = explain_str(q_tpch_q6(spark, sf_small))
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_comment" not in scan and "l_orderkey" not in scan

@@ -1,0 +1,69 @@
+"""Similarity-search operators on hand-built vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from monasca_aggregator_spark.operators import similarity as S
+
+# 2 orthogonal directions + combinations; cosine structure is known.
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [0.7, 0.7, 0.0, 0.0]),   # between
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact_ranking(vecs):
+    out = S.cosine_topk(vecs, vecs.filter("vec_id = 0"), k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 3, 2, 4]
+    sims = {r.neighbor_id: r.sim for r in rows}
+    assert sims[1] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert sims[2] == pytest.approx(0.0, abs=1e-6)
+    assert sims[4] == pytest.approx(-1.0, abs=1e-6)
+    assert all(r.query_id == 0 for r in rows)
+
+
+def test_cosine_topk_excludes_self_and_caps_k(vecs):
+    out = S.cosine_topk(vecs, vecs, k=2).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_lsh_ann_subset_of_exact_with_same_scores(vecs):
+    """Every LSH result must appear in the brute-force scoring with the
+    same similarity (LSH loses recall, never correctness)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.cosine_topk(vecs, vecs, k=4).collect()
+    }
+    ann = S.lsh_ann(vecs, vecs, k=4, dim=4, num_planes=2).collect()
+    assert len(ann) > 0  # identical-direction vectors share a bucket
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact
+        assert r.sim == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_lsh_same_vector_always_colliding(spark):
+    # identical vectors have identical bucket bits → always candidates
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.2, 0.1, 0.9]), (1, [0.5, -0.2, 0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.lsh_ann(df, df, k=1, dim=4, num_planes=4).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(0, 1), (1, 0)}
+    assert all(r.sim == pytest.approx(1.0, abs=1e-9) for r in out)

@@ -1,0 +1,82 @@
+"""Spec DSL validation — mirrors the reference's rule-construction tests
+(reference: aggregation/aggregation_rule_test.go, utils_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from monasca_aggregator_spark.models import AggregationSpec, Rollup, SpecError
+from monasca_aggregator_spark.specs import load_specs
+
+
+def _mk(**kw) -> AggregationSpec:
+    base = dict(
+        name="r1",
+        aggregated_metric_name="agg.m",
+        filtered_metric_name="m",
+        function="sum",
+    )
+    base.update(kw)
+    return AggregationSpec(**base)
+
+
+def test_valid_spec_roundtrips():
+    s = _mk(
+        filtered_dimensions={"host": "h1"},
+        grouped_dimensions=("region", "az"),
+        rollup=Rollup(function="max", grouped_dimensions=("region",)),
+    )
+    assert s.function == "sum"
+    assert s.rollup.function == "max"
+
+
+@pytest.mark.parametrize("missing", ["name", "aggregated_metric_name", "filtered_metric_name"])
+def test_required_fields(missing):
+    with pytest.raises(SpecError):
+        _mk(**{missing: ""})
+
+
+def test_unknown_function_rejected():
+    with pytest.raises(SpecError):
+        _mk(function="median")
+    with pytest.raises(SpecError):
+        Rollup(function="p99")
+
+
+def test_rollup_dims_must_be_subset():
+    # reference: NewAggregationRule rejects rollup dims outside the
+    # outer groupedDimensions (aggregation_rule.go:38-46)
+    with pytest.raises(SpecError):
+        _mk(
+            grouped_dimensions=("a",),
+            rollup=Rollup(function="sum", grouped_dimensions=("a", "b")),
+        )
+
+
+def test_load_specs_reference_yaml_shape():
+    # the reference's aggregation-specifications.yaml document format
+    doc = {
+        "aggregationSpecifications": [
+            {
+                "name": "Aggregation1",
+                "aggregatedMetricName": "agg.cpu",
+                "filteredMetricName": "cpu.utilization",
+                "filteredDimensions": {"hostgroup": "compute"},
+                "rejectedDimensions": {"deleted": ""},
+                "groupedDimensions": ["host"],
+                "function": "avg",
+                "rollup": {"function": "max", "groupedDimensions": []},
+            }
+        ]
+    }
+    [s] = load_specs(doc)
+    assert s.filtered_metric_name == "cpu.utilization"
+    assert s.filtered_dimensions == {"hostgroup": "compute"}
+    assert s.rejected_dimensions == {"deleted": ""}
+    assert s.grouped_dimensions == ("host",)
+    assert s.rollup == Rollup(function="max", grouped_dimensions=())
+
+
+def test_load_specs_missing_key():
+    with pytest.raises(SpecError):
+        load_specs({"wrongKey": []})

@@ -1,0 +1,91 @@
+"""Text-analysis column functions and operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions import text as X
+from monasca_aggregator_spark.operators import textops
+
+
+def _vals(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0].v
+
+
+def test_word_shingles(spark):
+    v = _vals(spark, "a b c d", X.word_shingles(F.col("text"), 3))
+    assert v == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_text_empty(spark):
+    assert _vals(spark, "a b", X.word_shingles(F.col("text"), 3)) == []
+
+
+def test_word_shingles_distinct(spark):
+    v = _vals(spark, "x y x y x y", X.word_shingles(F.col("text"), 2))
+    assert sorted(v) == ["x y", "y x"]
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    sh = X.word_shingles(F.col("text"), 2)
+    a = _vals(spark, "one two three four", X.simhash64(sh))
+    a2 = _vals(spark, "one two three four", X.simhash64(sh))
+    b = _vals(spark, "five six seven eight", X.simhash64(sh))
+    assert a == a2
+    assert a != b
+
+
+def test_minhash_signature_containment(spark):
+    """Superset's per-seed min ≤ is not guaranteed, but identical sets ⇒
+    identical signatures, and signature length is num_hashes."""
+    sh = X.word_shingles(F.col("text"), 2)
+    s1 = _vals(spark, "p q r s", X.minhash_signature(sh, 8))
+    s2 = _vals(spark, "p q r s", X.minhash_signature(sh, 8))
+    assert s1 == s2 and len(s1) == 8
+
+
+@pytest.mark.parametrize(
+    "text,lang",
+    [
+        ("the cat and the dog of the house", "en"),
+        ("der Hund und die Katze und der Vogel", "de"),
+        ("le chat et la maison et le chien", "fr"),
+        ("el perro que los gatos que el", "es"),
+        ("xyzzy plugh 12345", "und"),
+    ],
+)
+def test_lang_id(spark, text, lang):
+    assert _vals(spark, text, X.lang_id(F.col("text"))) == lang
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    fp = X.rolling_fingerprint(F.col("text"))
+    a = _vals(spark, "alpha beta gamma", fp)
+    b = _vals(spark, "gamma beta alpha", fp)
+    a2 = _vals(spark, "alpha beta gamma", fp)
+    assert a == a2
+    assert a != b  # order matters (unlike a bag-of-words hash)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, it is 2024!")], "doc_id long, text string")
+    r = textops.token_counts(df).collect()[0]
+    assert r.n_ws_tokens == 5
+    # BPE-ish: hello|world|,|it|is|2|0|2|4|! = 10
+    assert r.n_bpe_tokens == 10
+    assert r.n_chars == 24
+
+
+def test_quality_scores_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is fine"), (2, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.quality_scores(df).collect()}
+    for r in rows.values():
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+    assert rows[1].quality > rows[2].quality

@@ -1,0 +1,59 @@
+"""Epoch-aligned tumbling window math
+(reference semantics: aggregation/aggregation_rule.go:52,76)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.windows import (
+    window_id,
+    window_start_ms,
+)
+
+
+def _one(spark, ts: datetime, size: int, expr_fn):
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    return df.select(expr_fn(F.col("ts"), size).alias("v")).collect()[0].v
+
+
+def test_window_start_alignment(spark):
+    ts = datetime(2024, 1, 2, 10, 59, 59, tzinfo=timezone.utc)
+    start = _one(spark, ts, 3600, window_start_ms)
+    expected = datetime(2024, 1, 2, 10, 0, 0, tzinfo=timezone.utc)
+    assert start == int(expected.timestamp() * 1000)
+
+
+def test_window_boundary_is_inclusive_start(spark):
+    # an event exactly on the boundary belongs to the window it starts
+    ts = datetime(2024, 1, 2, 11, 0, 0, tzinfo=timezone.utc)
+    start = _one(spark, ts, 3600, window_start_ms)
+    assert start == int(ts.timestamp() * 1000)
+
+
+def test_window_id_matches_reference_formula(spark):
+    # reference: floor(timestamp_ms / (1000 * windowSize))
+    ts = datetime(2024, 6, 15, 13, 37, 21, tzinfo=timezone.utc)
+    for size in (60, 300, 3600):
+        wid = _one(spark, ts, size, window_id)
+        assert wid == int(ts.timestamp() * 1000) // (1000 * size)
+
+
+def test_spark_tumbling_window_agrees(spark):
+    """F.window (used on the streaming path) and window_start_ms (batch
+    path) must bucket identically — the streaming ≡ batch invariant."""
+    rows = [
+        (datetime(2024, 3, 1, h, m, s, tzinfo=timezone.utc),)
+        for h in (0, 7, 23)
+        for m in (0, 30, 59)
+        for s in (0, 1, 59)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    both = df.select(
+        window_start_ms(F.col("ts"), 3600).alias("batch_ms"),
+        F.unix_millis(F.window(F.col("ts"), "3600 seconds").start).alias(
+            "stream_ms"
+        ),
+    )
+    assert both.filter(F.col("batch_ms") != F.col("stream_ms")).count() == 0
