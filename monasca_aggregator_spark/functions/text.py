@@ -97,24 +97,44 @@ def simhash64(shingles: Column) -> Column:
     """64-bit SimHash over the shingle set.
 
     bit b of the result = 1 iff sum over shingles of sign(bit b of
-    xxhash64(shingle)) is positive. Pure column math: per-bit vote via
-    transform+aggregate, reassembled with shiftleft/bitwise-or.
+    xxhash64(shingle)) is positive. Single pass: hash each shingle once,
+    fold into a 64-lane vote accumulator with ``aggregate`` + ``zip_with``
+    (one array walk total — a per-bit ``aggregate`` would walk the array
+    64×), then pack the sign bits into one bigint.
     """
     hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    zeros = F.array(*[F.lit(0).cast("bigint")] * 64)
+    # literal single-bit masks (bit 63 is the sign bit in signed int64);
+    # shiftleft/shiftright take Python-int shift amounts only, so bit
+    # tests use masks, which also lets the bit index be a lambda input
+    masks = F.array(
+        *[
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint")
+            for b in range(64)
+        ]
+    )
 
-    # closure (not default-arg) binding: see _hashed note above
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def _fold(acc: Column, h: Column) -> Column:
+        bits = F.transform(
+            masks,
+            lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1).cast(
+                "bigint"
+            ),
+        )
+        return F.zip_with(acc, bits, lambda a, v: a + v)
 
-    result = F.lit(0).cast("bigint")
-    for b in range(64):
-        # vote_b = Σ ±1 over shingles
-        vote = F.aggregate(hashed, F.lit(0), _vote(b))
-        bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-        result = result.bitwiseOR(F.shiftleft(bit, b))
-    return result
+    votes = F.aggregate(hashed, zeros, _fold)
+    # Pack sign bits: votes appears ONCE as a zip_with input (referencing
+    # it per-bit via element_at would re-evaluate the whole fold per bit
+    # in the interpreted higher-order-function path — no CSE there).
+    lanes = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        lanes, F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

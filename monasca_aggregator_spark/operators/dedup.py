@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import stable_round
-from monasca_aggregator_spark.functions.text import word_shingles
+from monasca_aggregator_spark.functions.text import (
+    minhash_bands,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
 
 
 def normalize_text(text: F.Column) -> F.Column:
@@ -57,10 +62,34 @@ def exact_dedup(
 def _shingled(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    """(doc_id, shingles) — docs with < n tokens carry an empty array.
+
+    Deliberately NOT filtered on ``size(shingles) > 0``: a pushed-down
+    predicate over the derived column inlines the whole shingle
+    expression below any repartition exchange, re-serializing the
+    compute into the scan task. Downstream operators drop empty docs
+    for free (explode emits nothing; candidate joins only see exploded
+    ids).
+    """
     return docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
+
+
+def _exploded(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) one row per shingle; empty-shingle docs drop out.
+
+    Uses ``explode_outer`` + an explicit null filter instead of plain
+    ``explode``: Catalyst's InferFiltersFromGenerate would synthesize
+    ``size(shingles) > 0 AND isnotnull(shingles)`` from a non-outer
+    explode and push it to the scan, inlining the full shingle
+    expression below the fan-out exchange — re-serializing (and
+    double-evaluating) the compute into the single scan task.
+    """
+    return sh.select(
+        "doc_id", F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
 
 
 def ngram_jaccard_pairs(
@@ -79,7 +108,7 @@ def ngram_jaccard_pairs(
     """
     sh = _shingled(docs, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    exploded = _exploded(sh).withColumnRenamed("s", "sh")
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -123,40 +152,30 @@ def minhash_lsh_pairs(
     verification step (no false positives).
     """
     rows_per_band = num_hashes // bands
-    # The shingled relation feeds the signature AND both sides of the
-    # verification join; cache it so shingling (regex splits) runs once.
-    # At cluster scale this would be a persisted/checkpointed stage.
-    sh = _shingled(docs, id_col, text_col, n).cache()
-    # Signature via explode-once + num_hashes min-aggregates: each
-    # (shingle, seed) hashed exactly once inside whole-stage codegen,
-    # one shuffle keyed by doc_id. (The array-expression form
-    # functions.text.minhash_signature re-walks the shingle array per
-    # seed — fine for a handful of seeds, ~30x slower at 32.)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
+    # Signature + bands are PURE PROJECTIONS over the shingle array — no
+    # explode, no shuffle. (An explode + num_hashes min-aggregates
+    # formulation emits a 32-aggregate-function plan whose generated code
+    # is too large to JIT — ~10× slower even warm, ~30 s cold.)
+    # One cached relation feeds the banding branch AND both sides of the
+    # verification join, so shingling+hashing runs once; at cluster scale
+    # this is the stage you'd persist/checkpoint.
+    sh = _shingled(docs, id_col, text_col, n).select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    ).cache()
+    # Empty-shingle docs have all-null signatures (array_min of empty);
+    # cheap filter — sig is materialized in the cache, not recomputed.
+    buckets = (
+        sh.filter(F.element_at("sig", 1).isNotNull())
+        .select(
+            "doc_id",
+            F.explode_outer(
+                minhash_bands(F.col("sig"), bands, rows_per_band)
+            ).alias("b"),
         )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "b.band", "b.bucket")
+        .select("doc_id", "b.band", "b.bucket")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -205,23 +224,19 @@ def simhash_pairs(
     16-bit chunks, then popcount(xor) verifies exactly.
     """
     assert max_hamming <= 3, "4-chunk banding only covers hamming <= 3"
-    sh = _shingled(docs, id_col, text_col, n)
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).withColumn("h", F.xxhash64("s"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
-    )
-    simhash = F.lit(0).cast("bigint")
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-        simhash = simhash.bitwiseOR(F.shiftleft(bit, b))
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    # Pure projection (functions.text.simhash64 single-pass fold) — no
+    # explode/shuffle; a 64-sum-aggregate formulation has the same
+    # giant-codegen pathology as the minhash one (see minhash_lsh_pairs).
+    sigs = _shingled(docs, id_col, text_col, n).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        simhash64(F.col("shingles")).alias("simhash"),
+    ).cache()
+    # Empty-shingle docs all hash to simhash 0 and would cross-collide in
+    # every chunk; drop them ABOVE the cache boundary (a pushed-down
+    # filter over the derived column would inline the whole expression
+    # below the fan-out exchange — see _exploded).
+    sigs = sigs.filter(F.col("n_sh") > 0).select("doc_id", "simhash")
 
     chunks = sigs.select(
         "doc_id",

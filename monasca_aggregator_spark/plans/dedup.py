@@ -19,7 +19,7 @@ THRESHOLD = 0.5
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 ORACLE_EXACT = r"""
@@ -36,7 +36,7 @@ GROUP BY norm_text
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=THRESHOLD
+        load_table(spark, sf_dir, "documents", fan_out=True), threshold=THRESHOLD
     )
 
 
@@ -68,12 +68,12 @@ WHERE floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) /
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=THRESHOLD
+        load_table(spark, sf_dir, "documents", fan_out=True), threshold=THRESHOLD
     )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -21,7 +21,7 @@ N_QUERIES = 10
 
 
 def _corpus_queries(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return emb, emb.filter(F.col("vec_id") < N_QUERIES)
 
 

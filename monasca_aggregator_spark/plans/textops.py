@@ -16,7 +16,7 @@ from monasca_aggregator_spark.sources.tables import load_table
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.language_id(load_table(spark, sf_dir, "documents"))
+    return T.language_id(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 def _score_sql(lang: str) -> str:
@@ -48,7 +48,7 @@ FROM s
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.token_counts(load_table(spark, sf_dir, "documents"))
+    return T.token_counts(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 ORACLE_TOKENS = rf"""
@@ -89,11 +89,11 @@ FROM m
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.quality_scores(load_table(spark, sf_dir, "documents"))
+    return T.quality_scores(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprints(load_table(spark, sf_dir, "documents"))
+    return T.fingerprints(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 # Rolling hash mirrored in SQL: inner fold over each token's code points

@@ -37,8 +37,43 @@ _NANO_TS_COLS = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _estimated_scan_tasks(spark: SparkSession, path: str) -> int:
+    """Scan parallelism estimate from file bytes ÷ maxPartitionBytes.
+
+    Cheap (no plan analysis). An upper bound: parquet row groups below
+    the split size collapse into fewer tasks, never more.
+    """
+    max_bytes = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    return max(1, -(-os.path.getsize(path) // max_bytes))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False
+) -> DataFrame:
+    """Catalog scan. ``fan_out=True`` guarantees cluster-wide parallelism
+    for compute-dense consumers (shingling, hashing, vector math):
+
+    A parquet file is splittable only at row-group boundaries, so a
+    small/single-row-group file scans as ONE task no matter how many
+    cores exist, serializing everything pipelined with the scan. When the
+    estimated scan task count is below the session's parallelism,
+    round-robin repartition to fan the work out. At real scale (many
+    files / row groups) the condition is false and this is a no-op — no
+    extra shuffle. Catalyst still pushes filters and column pruning
+    through Repartition to the scan, so express cheap row filters BEFORE
+    expensive derived columns: a pushed-down predicate over a derived
+    column inlines its whole expression below the exchange and
+    re-serializes the compute (see operators/dedup.py).
+
+    Scan-cheap consumers (vectorized columnar agg/join) should keep the
+    default: partial aggregation below the first shuffle already
+    parallelizes them at scale, and an unconditional repartition would
+    pay a full-table shuffle for nothing.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(
@@ -50,6 +85,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if fan_out:
+        target = spark.sparkContext.defaultParallelism
+        if _estimated_scan_tasks(spark, path) < target:
+            df = df.repartition(target)
     return df
 
 
