@@ -61,6 +61,90 @@ def cosine_topk(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup: all pairs (id_a < id_b) with
+    cosine ≥ threshold. Output: (id_a, id_b, sim), sim rounded to 6 dp.
+
+    Block-matrix shape — the exact-all-pairs design that survives scale:
+    vectors are hashed into ``num_blocks`` blocks; every block pair
+    (i ≤ j) becomes one group whose similarity matrix is ONE numpy
+    matmul inside applyInPandas (Arrow batches, no per-row Python).
+    Work is the irreducible O(n²·d) flops split into n²/B² tiles;
+    memory per task is two blocks of vectors + one tile of sims;
+    replication factor is B (each block ships to B groups). Raise
+    ``num_blocks`` ∝ corpus size so a tile fits executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pairs = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
+    block_pairs = spark.createDataFrame(pairs, "ba int, bb int")
+
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
+        .cast("int")
+        .alias("block"),
+    )
+    # tagged union: group (ba, bb) holds block ba tagged 'a' + block bb
+    # tagged 'b'; block_pairs is tiny → broadcast, so building the
+    # replicated relation is a map-only stage over the corpus
+    tagged = v.join(
+        F.broadcast(block_pairs),
+        (F.col("block") == F.col("ba")) | (F.col("block") == F.col("bb")),
+    ).select(
+        "ba",
+        "bb",
+        "vid",
+        "vec",
+        (F.col("block") == F.col("ba")).alias("is_a"),
+        (F.col("block") == F.col("bb")).alias("is_b"),
+    )
+
+    out_schema = "id_a bigint, id_b bigint, sim double"
+
+    def _tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a = pdf[pdf["is_a"]]
+        b = pdf[pdf["is_b"]]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        A = np.vstack(a["vec"].to_numpy())
+        B = np.vstack(b["vec"].to_numpy())
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        # half-up at 6 dp — same convention as functions.rounding
+        # .stable_round / the DuckDB oracles (np.round is half-to-even)
+        sims = np.floor((A @ B.T) * 1e6 + 0.5) / 1e6
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a = a["vid"].to_numpy()[ia]
+        id_b = b["vid"].to_numpy()[ib]
+        s = sims[ia, ib]
+        if ba == bb:
+            # diagonal tile: each unordered pair appears twice (+ self
+            # pairs); keep the strictly ordered copy
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+        else:
+            # off-diagonal tile: each unordered pair appears exactly
+            # once, in hash-block order — reorder by id, never drop
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "sim": s})
+
+    return tagged.groupBy("ba", "bb").applyInPandas(_tile, out_schema)
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     rng = random.Random(42)
     return [

@@ -66,6 +66,33 @@ WHERE floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) /
 """.strip()
 
 
+EMB_THRESHOLD = 0.35
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings", fan_out=True),
+        threshold=EMB_THRESHOLD,
+    )
+
+
+ORACLE_EMBEDDING = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.e, b.e) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+         / 1000000.0::DOUBLE AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.e, b.e) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+        / 1000000.0::DOUBLE >= {EMB_THRESHOLD}
+""".strip()
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents", fan_out=True), threshold=THRESHOLD
@@ -81,9 +108,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_embedding": ORACLE_EMBEDDING,
 }

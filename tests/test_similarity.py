@@ -67,3 +67,49 @@ def test_lsh_same_vector_always_colliding(spark):
     out = S.lsh_ann(df, df, k=1, dim=4, num_planes=4).collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {(0, 1), (1, 0)}
     assert all(r.sim == pytest.approx(1.0, abs=1e-9) for r in out)
+
+
+def test_embedding_cosine_pairs_matches_bruteforce(spark, sf_small):
+    """Block-matmul all-pairs ≡ naive driver-side computation."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.35, num_blocks=4
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.floor((V @ V.T) * 1e6 + 0.5) / 1e6
+    ia, ib = np.nonzero(sims >= 0.35)
+    want = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i, j in zip(ia, ib)
+        if ids[i] < ids[j]
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_embedding_cosine_pairs_plan_broadcasts_blocks(spark, sf_small):
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        embedding_cosine_pairs(load_table(spark, sf_small, "embeddings"))
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan  # the matmul tile stage
