@@ -145,6 +145,90 @@ def embedding_cosine_pairs(
     return tagged.groupBy("ba", "bb").applyInPandas(_tile, out_schema)
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, search only the query's ``n_probe`` nearest cells.
+    Output: (query_id, rank, neighbor_id, sim); recall < 1 by design.
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (k-means iterations would sharpen cells but don't change the plan
+    shape; at real scale you'd train offline and broadcast). Cell
+    assignment is one broadcast-probe pass over the corpus — the
+    inverted file is just a ``cell`` column, so it partitions/prunes
+    like any other key. Queries join only their probed cells: the scan
+    cost drops by ~n_probe/n_centroids vs brute force.
+    """
+    # deterministic "training" sample: the n_centroids corpus vectors
+    # with the smallest id-hash (stable across partitioning)
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            as_double(F.col(vec_col)).alias("cent_vec"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+
+    def nearest_cells(side: DataFrame, id_out: str, vec_out: str, n: int):
+        """Attach the n nearest centroid ids as ``cell`` rows."""
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            F.col(id_out),
+            F.col(vec_out),
+            "cent_id",
+            cosine(F.col(vec_out), F.col("cent_vec")).alias("__csim"),
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(id_out, vec_out, F.col("cent_id").alias("cell"))
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("c_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    inverted = nearest_cells(c, "neighbor_id", "c_vec", 1)
+    probes = nearest_cells(q, "query_id", "q_vec", n_probe)
+
+    scored = (
+        inverted.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+        # no dedup needed: each corpus vector lives in exactly ONE cell,
+        # so a (query, neighbor) pair arises from at most one probed cell
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     rng = random.Random(42)
     return [

@@ -13,7 +13,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from monasca_aggregator_spark.operators.similarity import cosine_topk, lsh_ann
+from monasca_aggregator_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann,
+    lsh_ann,
+)
 from monasca_aggregator_spark.sources.tables import load_table
 
 K = 10
@@ -59,9 +63,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(corpus, queries, k=K)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return ivf_ann(corpus, queries, k=K)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
+    "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)
 }
 
 ORACLES: dict[str, str] = {

@@ -87,6 +87,28 @@ def build_streaming_aggregation(
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "timestamp",
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key.
+
+    With ``within`` (e.g. "1 hour"), uses dropDuplicatesWithinWatermark
+    so the dedup state is GC'd once the watermark passes — the only
+    form that survives an unbounded stream. Without it, state grows
+    forever (batch/testing only). This is the streaming face of
+    operators.dedup.exact_dedup for continuous ingestion pipelines.
+    """
+    if within is not None:
+        return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)
+
+
 def run_events_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,

@@ -113,3 +113,41 @@ def test_embedding_cosine_pairs_plan_broadcasts_blocks(spark, sf_small):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "FlatMapGroupsInPandas" in plan  # the matmul tile stage
+
+
+def test_ivf_ann_recall_against_bruteforce(spark, sf_small):
+    """IVF with all cells probed == brute force; fewer probes trade
+    recall. Sanity: results are valid neighbors with correct sims."""
+    from monasca_aggregator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # probing every cell makes IVF exhaustive -> identical to brute force
+    full = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in ivf_ann(
+            emb, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+    # realistic probe count: every returned sim must match the exact sim
+    # for that pair (no wrong scores), recall reported not asserted
+    part = ivf_ann(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    all_sims = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in cosine_topk(emb, queries, k=10**9).collect()
+    }
+    assert all(
+        abs(all_sims[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9 for r in part
+    )
+    recall = len({(r.query_id, r.neighbor_id) for r in part} & exact.keys()) / len(exact)
+    assert recall > 0  # some overlap even at 2/8 probes

