@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join and session windows.
+
+Operators Spark lacks as built-ins but a metrics/training pipeline
+needs constantly: "join each fact to the latest dimension state as of
+its event time" and "group events into activity sessions".
+
+``asof_join`` uses the union + running-carry formulation, NOT a range
+join: tag both sides, union them, sort within each key partition by
+(ts, side), and carry the last-seen right-side row forward with a
+running ``last(ignorenulls)`` window. Cost is ONE shuffle of
+|left|+|right| rows keyed by the join keys — no key×key quadratic
+blowup, no range-join candidate explosion; this is the shape that
+survives 100 TB. (A hot key still serializes its window sort; salt it
+with operators.skew first if one key dominates.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys (backward,
+    inclusive — DuckDB/pandas ``ASOF JOIN`` semantics). Left rows with
+    no prior right row keep NULLs (left join).
+
+    Output: all left columns + each right non-key column as
+    ``{right_prefix}{col}`` (including ``{right_prefix}{right_ts}``).
+    """
+    on = list(on)
+    right_cols = [c for c in right.columns if c not in on]
+    # Pack the right row into ONE struct so last(ignorenulls) carries
+    # the whole row atomically — per-column carries would mix rows when
+    # a right column is legitimately NULL.
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*right_cols).alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    return carried.filter(F.col("__is_left") == 1).select(
+        *left.columns,
+        *[
+            F.col(f"__last_r.{c}").alias(f"{right_prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    aggs: Sequence[F.Column] = (),
+) -> DataFrame:
+    """Session windows: consecutive events per key belong to one session
+    while inter-event gaps stay < ``gap`` (Spark's built-in
+    ``session_window`` — state-store backed in streaming, merge-based in
+    batch; the window CLOSES ``gap`` after the last event).
+
+    Output: keys + session_start/session_end (epoch ms; end = last
+    event + gap) + n_events + any extra ``aggs``.
+    """
+    grouped = events.groupBy(
+        *keys, F.session_window(F.col(ts_col), gap).alias("__w")
+    ).agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+    return grouped.select(
+        *keys,
+        F.unix_millis(F.col("__w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("__w.end")).alias("session_end_ms"),
+        "n_events",
+        *[c for c in grouped.columns if c not in (*keys, "__w", "n_events")],
+    )

@@ -1,0 +1,115 @@
+"""Driver-facing temporal-operator queries + oracles (events table).
+
+asof_purchase_click: point-in-time join — each purchase picks up the
+same user's most recent prior click (DuckDB ``ASOF LEFT JOIN`` is the
+oracle, so these are exactly its semantics: backward, inclusive).
+
+sessions_user: session windows per user with a 12 h inactivity gap
+(Spark ``session_window``; oracle is the classic gaps-and-islands SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.operators.asof import asof_join, sessionize
+from monasca_aggregator_spark.sources.tables import load_table
+
+SESSION_GAP = "12 hours"
+_GAP_SQL = "INTERVAL 12 HOUR"
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], right_prefix="last_click_"
+    )
+    return joined.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        stable_round(F.col("purchase_value"), 4).alias("purchase_value"),
+        F.unix_millis("last_click_ts").alias("click_ts_ms"),
+        stable_round(F.col("last_click_click_value"), 4).alias("click_value"),
+    )
+
+
+ORACLE_ASOF = f"""
+WITH p AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value AS click_value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.user_id, epoch_ms(p.ts) AS ts_ms,
+       {sql_stable_round("p.purchase_value", 4)} AS purchase_value,
+       epoch_ms(c.ts) AS click_ts_ms,
+       {sql_stable_round("c.click_value", 4)} AS click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+
+def q_sessions_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(
+        ev,
+        ["user_id"],
+        gap=SESSION_GAP,
+        aggs=[F.sum("value").alias("value_sum")],
+    )
+    return out.select(
+        "user_id",
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
+        stable_round(F.col("value_sum"), 4).alias("value_sum"),
+    )
+
+
+ORACLE_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= {_GAP_SQL}
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts) + {_GAP_SQL}) AS session_end_ms,
+       count(*) AS n_events,
+       {sql_stable_round("sum(value)", 4)} AS value_sum
+FROM numbered
+GROUP BY user_id, session_id
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_purchase_click": q_asof_purchase_click,
+    "sessions_user": q_sessions_user,
+}
+
+ORACLES: dict[str, str] = {
+    "asof_purchase_click": ORACLE_ASOF,
+    "sessions_user": ORACLE_SESSIONS,
+}

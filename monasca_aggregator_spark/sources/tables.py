@@ -76,8 +76,10 @@ def load_table(
     df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer `div`, not `/1000`: double division rounds to
+            # nearest (±1 µs at 2024-epoch magnitudes); DuckDB floors
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("bigint"))
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
     # Some SFs store µs TIMESTAMP_NTZ instead of nanos; normalize to
     # session-TZ TIMESTAMP (session is UTC, so values are unchanged) so

@@ -141,9 +141,8 @@ def run_events_stream_to_memory(
     # file source preserves the raw parquet types; apply the same
     # ns→ts normalization load_table does for batch
     if dict(raw.dtypes)["ts"] == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-        )
+        # integer `div` (see sources.tables): double /1000 rounds ±1 µs
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     env = events_to_envelopes(raw)

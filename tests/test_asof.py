@@ -1,0 +1,101 @@
+"""asof_join / sessionize semantics on hand-built cases: backward
+inclusive matching, no-prior-row nulls, atomic row carry with null
+fields, session merge/split around the gap."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.asof import asof_join, sessionize
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "L1"),
+            (1, _ts("2024-01-01 12:00:00"), "L2"),
+            (2, _ts("2024-01-01 09:00:00"), "L3"),  # no prior right row
+        ],
+        "k int, ts timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), "old"),
+            (1, _ts("2024-01-01 12:00:00"), "tie"),  # equal ts → matches (inclusive)
+            (1, _ts("2024-01-01 13:00:00"), "future"),  # never matches
+            (2, _ts("2024-01-01 11:00:00"), "late"),
+        ],
+        "k int, ts timestamp, r string",
+    )
+    got = {
+        (r.k, r.l): (r.right_r, r.right_ts)
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert got[(1, "L1")] == ("old", _ts("2024-01-01 09:30:00"))
+    assert got[(1, "L2")] == ("tie", _ts("2024-01-01 12:00:00"))
+    assert got[(2, "L3")] == (None, None)
+
+
+def test_asof_carries_row_atomically_with_null_fields(spark):
+    """A newer right row with a NULL field must not fall back to an
+    older row's value for that field."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "x", 1.0),
+            (1, _ts("2024-01-01 11:00:00"), None, 2.0),  # newest, null field
+        ],
+        "k int, ts timestamp, a string, b double",
+    )
+    row = asof_join(left, right, ["k"]).first()
+    assert row.right_b == 2.0
+    assert row.right_a is None  # NOT "x"
+
+
+def test_sessionize_merges_within_gap_and_splits_beyond(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:20:00"), 2.0),  # same session (< 30 min)
+            (1, _ts("2024-01-01 11:30:00"), 4.0),  # new session (> 30 min)
+            (2, _ts("2024-01-01 10:00:00"), 8.0),  # other key, own session
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = sessionize(
+        ev, ["user_id"], gap="30 minutes", aggs=[F.sum("value").alias("v")]
+    )
+    rows = {
+        (r.user_id, r.session_start_ms): (r.n_events, r.v, r.session_end_ms)
+        for r in out.collect()
+    }
+    base = int(_ts("2024-01-01 10:00:00").timestamp() * 1000)
+    gap_ms = 30 * 60 * 1000
+    assert rows[(1, base)] == (2, 3.0, base + 20 * 60 * 1000 + gap_ms)
+    assert rows[(1, base + 90 * 60 * 1000)][0] == 1
+    assert rows[(2, base)] == (1, 8.0, base + gap_ms)
+    assert len(rows) == 3
+
+
+def test_asof_join_is_single_shuffle(spark, sf_small):
+    """The union+carry formulation must shuffle once (hash by join keys
+    for the window sort) — no range-join candidate explosion, no second
+    exchange. At 100 TB this is the difference between a join and an
+    outage."""
+    from monasca_aggregator_spark.plans.temporal import q_asof_purchase_click
+    from tests.conftest import explain_str
+
+    plan = explain_str(q_asof_purchase_click(spark, sf_small))
+    # formatted explain lists each Exchange's partitioning in Arguments
+    n_exchanges = plan.count("hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

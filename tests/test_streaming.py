@@ -73,7 +73,7 @@ def test_watermark_set_on_streaming_plan(spark, sf_small):
 
     if dict(raw.dtypes)["ts"] == "bigint":
         raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -117,7 +117,7 @@ def test_streaming_exact_dedup_watermarked_plan(spark, sf_small):
 
     if dict(raw.dtypes)["ts"] == "bigint":
         raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
