@@ -144,6 +144,51 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, spec, round_value=4, dim_keys=())
 
 
+def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rule fan-out (reference: server.go:306-310 iterates every
+    rule per message): ONE cached envelope scan feeds N rule plans whose
+    outputs union. Spark analog of the reference's rule loop — the scan
+    and JSON-ish adaptation run once, each rule is its own groupBy over
+    the shared cached relation."""
+    specs = [
+        _spec("sum", "click", grouped_dimensions=("user_id",)),
+        _spec("count", "purchase", grouped_dimensions=("user_id",)),
+        _spec("max", "error", grouped_dimensions=("user_id",)),
+    ]
+    env = events_to_envelopes(load_table(spark, sf_dir, "events")).cache()
+    outs = []
+    for spec in specs:
+        out = build_aggregation(env, spec, WINDOW_SEC)
+        outs.append(
+            out.select(
+                F.lit(spec.name).alias("rule"),
+                "window_ts_ms",
+                F.col("dimensions").getItem("user_id").alias("user_id"),
+                stable_round(F.col("value"), 4).alias("value"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+ORACLE_MULTI_RULE = f"""
+SELECT 'sum_click' AS rule, {_W_SQL} AS window_ts_ms,
+       CAST(user_id AS VARCHAR) AS user_id,
+       {sql_stable_round("sum(value)", 4)} AS value
+FROM events WHERE event_type = 'click' GROUP BY 2, 3
+UNION ALL
+SELECT 'count_purchase', {_W_SQL}, CAST(user_id AS VARCHAR),
+       {sql_stable_round("CAST(count(*) AS DOUBLE)", 4)}
+FROM events WHERE event_type = 'purchase' GROUP BY 2, 3
+UNION ALL
+SELECT 'max_error', {_W_SQL}, CAST(user_id AS VARCHAR),
+       {sql_stable_round("max(value)", 4)}
+FROM events WHERE event_type = 'error' GROUP BY 2, 3
+""".strip()
+
+
 def _oracle(
     inner_fn: str,
     metric: str,
@@ -202,6 +247,7 @@ WITH g AS (
 )
 SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
 """.strip(),
+    "agg_multi_rule": ORACLE_MULTI_RULE,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -216,4 +262,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rejected": q_agg_rejected,
     "agg_grouped": q_agg_grouped,
     "agg_rollup": q_agg_rollup,
+    "agg_multi_rule": q_agg_multi_rule,
 }

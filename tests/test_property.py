@@ -1,0 +1,181 @@
+"""Property tests. Hypothesis drives the pure-Python layers (spec
+validation — many examples are cheap there); Spark-side properties use
+one seeded-random batch per test so the whole property costs a single
+job, not max_examples jobs."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from monasca_aggregator_spark.models import AggregationSpec, Rollup, SpecError
+
+_FUNCTIONS = ("sum", "count", "avg", "min", "max", "delta", "rate")
+
+_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(fn=_names)
+@settings(max_examples=200, deadline=None)
+def test_only_reference_functions_accepted(fn):
+    """Any function name outside the reference's set must be rejected
+    (reference: models/aggregation_specification.go validation)."""
+    kwargs = dict(
+        name="n",
+        aggregated_metric_name="a",
+        filtered_metric_name="f",
+        function=fn,
+    )
+    if fn in _FUNCTIONS:
+        AggregationSpec(**kwargs)
+    else:
+        with pytest.raises(SpecError):
+            AggregationSpec(**kwargs)
+
+
+@given(
+    grouped=st.lists(_names, max_size=4, unique=True),
+    rollup_extra=st.lists(_names, max_size=3, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_rollup_dims_subset_invariant(grouped, rollup_extra):
+    """Rollup grouped dims valid iff ⊆ outer grouped dims
+    (reference: aggregation_specification.go rollup validation)."""
+    rollup_dims = tuple(rollup_extra)
+    kwargs = dict(
+        name="n",
+        aggregated_metric_name="a",
+        filtered_metric_name="f",
+        function="sum",
+        grouped_dimensions=tuple(grouped),
+        rollup=Rollup(function="max", grouped_dimensions=rollup_dims),
+    )
+    if set(rollup_dims) <= set(grouped):
+        AggregationSpec(**kwargs)
+    else:
+        with pytest.raises(SpecError):
+            AggregationSpec(**kwargs)
+
+
+def test_window_id_matches_reference_formula(spark):
+    """Spark's tumbling window start == floor(ts_ms / W)*W for random
+    timestamps (reference: aggregation_rule.go:52 epoch alignment) —
+    one job over a 500-row seeded batch."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    w_ms = 3600 * 1000
+    ts_ms = [rng.randrange(0, 2_000_000_000_000) for _ in range(500)]
+    df = spark.createDataFrame([(t,) for t in ts_ms], "ts_ms long")
+    got = (
+        df.select(
+            "ts_ms",
+            F.unix_millis(
+                F.window(F.timestamp_millis("ts_ms"), "3600 seconds").start
+            ).alias("w"),
+        )
+        .orderBy("ts_ms")
+        .collect()
+    )
+    for r in got:
+        assert r.w == (r.ts_ms // w_ms) * w_ms
+
+
+def test_envelope_json_roundtrip_random_batch(spark):
+    """parse_envelopes inverts the wire format for arbitrary
+    names/dims/values — one job over a 200-row seeded batch."""
+    from monasca_aggregator_spark.sources.envelope import parse_envelopes
+
+    rng = random.Random(11)
+
+    def rand_str():
+        return "".join(
+            rng.choice("abcXYZ012 _.-é世") for _ in range(rng.randrange(1, 10))
+        )
+
+    envs = []
+    for i in range(200):
+        envs.append(
+            {
+                "metric": {
+                    "name": rand_str(),
+                    "dimensions": {
+                        rand_str(): rand_str() for _ in range(rng.randrange(0, 4))
+                    },
+                    "timestamp": float(rng.randrange(0, 2_000_000_000_000)),
+                    "value": rng.uniform(-1e6, 1e6),
+                    "value_meta": {},
+                },
+                "meta": {"tenantId": rand_str(), "extra": rand_str()},
+                "creation_time": i,
+            }
+        )
+    raw = spark.createDataFrame(
+        [(json.dumps(e),) for e in envs], "value string"
+    )
+    rows = parse_envelopes(raw).collect()
+    assert len(rows) == len(envs)
+    for row, env in zip(rows, envs):
+        assert row.name == env["metric"]["name"]
+        assert dict(row.dimensions or {}) == env["metric"]["dimensions"]
+        assert row.value == pytest.approx(env["metric"]["value"])
+        assert row.tenant_id == env["meta"]["tenantId"]
+        assert int(row.timestamp.timestamp() * 1000) == int(
+            env["metric"]["timestamp"]
+        )
+
+
+def test_minhash_estimates_jaccard_random_batch(spark):
+    """Fraction of agreeing signature positions ≈ true Jaccard (the
+    MinHash property) over seeded random shingle sets — one job."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.functions.text import minhash_signature
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+    pairs = []
+    for _ in range(40):
+        base = rng.sample(vocab, 60)
+        overlap = rng.randrange(0, 61)
+        other = base[:overlap] + rng.sample(
+            [w for w in vocab if w not in base], 60 - overlap
+        )
+        pairs.append((base, other))
+    df = spark.createDataFrame(
+        pairs, "a array<string>, b array<string>"
+    )
+    out = df.select(
+        minhash_signature(F.col("a"), 64).alias("sa"),
+        minhash_signature(F.col("b"), 64).alias("sb"),
+        (
+            F.size(F.array_intersect("a", "b"))
+            / F.size(F.array_union("a", "b"))
+        ).alias("true_j"),
+    ).select(
+        "true_j",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sa", "sb", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(64.0)
+        ).alias("est_j"),
+    )
+    rows = out.collect()
+    # per-pair: 64 hashes → se ≈ sqrt(j(1-j)/64) ≤ 0.0625; allow 4 se
+    for r in rows:
+        assert abs(r.est_j - r.true_j) < 0.25
+    # aggregate bias: mean error should be near zero
+    mean_err = sum(r.est_j - r.true_j for r in rows) / len(rows)
+    assert abs(mean_err) < 0.03
