@@ -24,15 +24,21 @@ BENCH_QUERIES = [
     "agg_rollup",
     "agg_rate",
     "agg_grouped",
+    "agg_multi_rule",
     # analytics surface
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q14",
+    "tpch_q18",
     "events_daily_user",
+    "asof_purchase_click",
+    "sessions_user",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "text_quality",
     "ann_cosine_topk",
 ]

@@ -227,11 +227,83 @@ GROUP BY 1, 2
 """.strip()
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue share (TPC-H Q14 shape): conditional aggregate
+    over a fact⋈dim join — part broadcasts, lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            stable_round(
+                F.lit(100.0) * F.sum(promo) / F.sum(revenue), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT {sql_stable_round(
+    "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount))", 6)} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+""".strip()
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): aggregate-then-filter
+    (HAVING) with a semi-join back onto orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            stable_round(F.col("total_qty"), 4).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200
+)
+SELECT c_name, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       {sql_stable_round("o_totalprice", 4)} AS o_totalprice,
+       {sql_stable_round("total_qty", 4)} AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     "topk_per_group": q_topk_per_group,
     "events_daily_user": q_events_daily_user,
 }
@@ -241,6 +313,8 @@ ORACLES: dict[str, str] = {
     "tpch_q3": ORACLE_Q3,
     "tpch_q5": ORACLE_Q5,
     "tpch_q6": ORACLE_Q6,
+    "tpch_q14": ORACLE_Q14,
+    "tpch_q18": ORACLE_Q18,
     "topk_per_group": ORACLE_TOPK,
     "events_daily_user": ORACLE_EVENTS_DAILY,
 }

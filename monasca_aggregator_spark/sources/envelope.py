@@ -64,6 +64,16 @@ def parse_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def read_envelope_json(spark, path: str, *, streaming: bool = False) -> DataFrame:
+    """Envelope relation from JSON-lines files (one MetricEnvelope per
+    line — the Kafka wire format at rest). The streaming variant is the
+    broker-less way to run the continuous pipeline: drop files into the
+    directory and the watermarked plan consumes them incrementally."""
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path)
+    return parse_envelopes(raw, value_col="value")
+
+
 def events_to_envelopes(events: DataFrame, tenant_id: str = "t0") -> DataFrame:
     """Adapt the test `events` table to the envelope relation.
 
