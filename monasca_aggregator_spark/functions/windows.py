@@ -20,16 +20,25 @@ def _ts_ms(ts: Column) -> Column:
     return F.unix_millis(ts)
 
 
+def window_start_ms(ts: Column, window_size_sec: int) -> Column:
+    """Window start in epoch ms — the reference's output timestamp unit.
+
+    ms − pmod(ms, W): pure bigint arithmetic. (A `/` division would be
+    DOUBLE division — exact at 2024-epoch magnitudes but an avoidable
+    precision hazard; `Column./` has no integer form.)
+    """
+    ms = _ts_ms(ts)
+    return ms - F.pmod(ms, F.lit(1000 * window_size_sec))
+
+
 def window_id(ts: Column, window_size_sec: int) -> Column:
-    """Window bucket id: floor(ms / (1000*size)). Bigint division is exact."""
-    return (_ts_ms(ts) / F.lit(1000 * window_size_sec)).cast("bigint")
+    """Window bucket id: floor(ms / (1000*size)) as bigint."""
+    # numerator is an exact multiple of the divisor → division exact
+    return (
+        window_start_ms(ts, window_size_sec) / F.lit(1000 * window_size_sec)
+    ).cast("bigint")
 
 
 def window_start_sec(ts: Column, window_size_sec: int) -> Column:
     """Epoch-aligned window start in epoch seconds (bigint)."""
     return window_id(ts, window_size_sec) * F.lit(window_size_sec)
-
-
-def window_start_ms(ts: Column, window_size_sec: int) -> Column:
-    """Window start in epoch ms — the reference's output timestamp unit."""
-    return window_start_sec(ts, window_size_sec) * F.lit(1000)

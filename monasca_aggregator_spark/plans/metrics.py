@@ -26,6 +26,7 @@ from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
 )
+from monasca_aggregator_spark.functions.windows import window_start_ms
 from monasca_aggregator_spark.models import AggregationSpec, Rollup
 from monasca_aggregator_spark.operators.aggregate import build_aggregation
 from monasca_aggregator_spark.sources.envelope import events_to_envelopes
@@ -144,6 +145,52 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, spec, round_value=4, dim_keys=())
 
 
+def q_agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-window distinct cardinality (beyond the reference's 7
+    functions; the metric every monitoring pipeline adds first). Exact
+    count_distinct = two-phase shuffle; at extreme cardinality swap in
+    approx_count_distinct (HLL++, one pass) — same plan shape."""
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    return (
+        env.filter(F.col("name") == "click")
+        .groupBy(w.alias("window_ts_ms"))
+        .agg(
+            F.count_distinct(
+                F.col("dimensions").getItem("user_id")
+            ).alias("distinct_users")
+        )
+    )
+
+
+ORACLE_DISTINCT = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       count(DISTINCT user_id) AS distinct_users
+FROM events WHERE event_type = 'click' GROUP BY 1
+""".strip()
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-window median (linear-interpolated, matching DuckDB's
+    quantile_cont). Exact percentiles need the full value multiset per
+    group (one shuffle); at 100 TB use approx_percentile (t-digest
+    sketch, map-side combinable) — same query shape, bounded state."""
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    return (
+        env.filter(F.col("name") == "view")
+        .groupBy(w.alias("window_ts_ms"))
+        .agg(stable_round(F.median("value"), 4).alias("median_value"))
+    )
+
+
+ORACLE_MEDIAN = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       {sql_stable_round("median(value)", 4)} AS median_value
+FROM events WHERE event_type = 'view' GROUP BY 1
+""".strip()
+
+
 def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule fan-out (reference: server.go:306-310 iterates every
     rule per message): ONE cached envelope scan feeds N rule plans whose
@@ -248,6 +295,8 @@ WITH g AS (
 SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
 """.strip(),
     "agg_multi_rule": ORACLE_MULTI_RULE,
+    "agg_distinct_users": ORACLE_DISTINCT,
+    "agg_median": ORACLE_MEDIAN,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -263,4 +312,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_grouped": q_agg_grouped,
     "agg_rollup": q_agg_rollup,
     "agg_multi_rule": q_agg_multi_rule,
+    "agg_distinct_users": q_agg_distinct_users,
+    "agg_median": q_agg_median,
 }

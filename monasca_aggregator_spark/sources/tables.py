@@ -95,8 +95,9 @@ def load_table(
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql() use."""
+    """Register every table as a temp view for spark.sql() use — through
+    load_table so views carry the same normalized timestamp types the
+    DataFrame API sees."""
     for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
