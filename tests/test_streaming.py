@@ -139,3 +139,97 @@ def test_streaming_exact_dedup_watermarked_plan(spark, sf_small):
     got = spark.table("dedup_stream_test")
     # 5 event types x 1 tenant
     assert got.count() == 5
+
+
+def test_watermark_drops_late_data_and_finalizes_windows(spark, tmp_path):
+    """The reference publishes a window at windowLag past close and GCs
+    it; late metrics for published windows are lost (server.go:213-296).
+    Spark equivalent: append mode + watermark — a window is emitted once
+    the watermark (max event time − lag) passes its end, and later
+    events for it are dropped. Drive two micro-batches through a file
+    stream sharing one checkpoint and assert both halves."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.envelope import read_envelope_json
+
+    def envelope(name, ts_ms, value):
+        return _json.dumps(
+            {
+                "metric": {
+                    "name": name,
+                    "dimensions": {"host": "h"},
+                    "timestamp": float(ts_ms),
+                    "value": value,
+                    "value_meta": {},
+                },
+                "meta": {"tenantId": "t0"},
+                "creation_time": 0,
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    window = 60  # 1-minute windows
+    lag = 30  # 30 s watermark
+
+    # batch 1: two events in window [0,60), one at 10:00 min that pushes
+    # the watermark to 10:00-0:30, far past window 0's end
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                envelope("m", 5_000, 1.0),
+                envelope("m", 20_000, 2.0),
+                envelope("m", 600_000, 100.0),
+            ]
+        )
+    )
+    env = read_envelope_json(spark, str(src), streaming=True)
+    plan = build_streaming_aggregation(env, SPEC_LATE, window, lag)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.window_ts_ms: r.value for r in spark.table("late_test").collect()
+        }
+        # window 0 closed (watermark 570 s >> 60 s) and must be emitted
+        # exactly once with only the on-time events
+        assert first.get(0) == 3.0
+
+        # batch 2: a LATE event for window 0 → dropped, not re-emitted;
+        # an on-time event in a new window plus a watermark pusher
+        (src / "b2.jsonl").write_text(
+            "\n".join(
+                [
+                    envelope("m", 30_000, 999.0),  # late: window 0 done
+                    envelope("m", 660_000, 7.0),  # window [660,720)
+                    envelope("m", 1_200_000, 50.0),  # pushes watermark
+                ]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.table("late_test").collect()
+        by_window = {}
+        for r in rows:
+            by_window.setdefault(r.window_ts_ms, []).append(r.value)
+    finally:
+        q.stop()
+
+    assert by_window[0] == [3.0], "late event must not reopen window 0"
+    assert by_window[660_000] == [7.0]
+
+
+SPEC_LATE = AggregationSpec(
+    name="late_test_rule",
+    aggregated_metric_name="agg.m.sum",
+    filtered_metric_name="m",
+    function="sum",
+    grouped_dimensions=(),
+)
