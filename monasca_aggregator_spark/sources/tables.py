@@ -8,6 +8,7 @@ reader (asserted in tests/test_plans.py).
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +93,27 @@ def load_table(
         if _estimated_scan_tasks(spark, path) < target:
             df = df.repartition(target)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    *,
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a fact table bucketed (and optionally sorted) by its join
+    key. Two tables bucketed the same way join with ZERO exchanges —
+    at 100 TB this turns every repeated fact⋈fact join on that key from
+    a full-cluster shuffle into a local merge per bucket; the shuffle is
+    paid once at write time. (Bucketing requires saveAsTable — the
+    bucket layout lives in the metastore.)
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

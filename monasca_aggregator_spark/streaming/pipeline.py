@@ -87,6 +87,85 @@ def build_streaming_aggregation(
     )
 
 
+def run_stream_with_rollup(
+    spark: SparkSession,
+    env_stream: DataFrame,
+    spec: AggregationSpec,
+    window_size_sec: int,
+    lag_sec: int,
+    *,
+    query_name: str = "rollup_stream",
+) -> DataFrame:
+    """Rollup rule on a stream: stage 1 is the watermarked windowed
+    aggregation; stage 2 (the rollup re-aggregation) runs per
+    micro-batch in ``foreachBatch`` over stage 1's FINALIZED windows —
+    exactly when the reference rolls up (at publish time,
+    aggregation_rule.go:88-136). Append mode guarantees each window
+    reaches foreachBatch once, so re-aggregating the batch is correct
+    without cross-batch state. Results accumulate in a memory-backed
+    view named ``query_name``; returns that relation after the stream
+    drains (availableNow).
+    """
+    import dataclasses
+
+    if spec.rollup is None:
+        raise ValueError("spec has no rollup stage")
+    rollup = spec.rollup
+    first = build_streaming_aggregation(
+        env_stream,
+        dataclasses.replace(spec, rollup=None),
+        window_size_sec,
+        lag_sec,
+    )
+
+    def _rollup_of(batch_df: DataFrame) -> DataFrame:
+        groups = [F.col("window_ts_ms"), F.col("tenant_id")]
+        out_dim_entries: list = []
+        for k in rollup.grouped_dimensions:
+            groups.append(
+                F.col("dimensions").getItem(k).alias(f"__dim_{k}")
+            )
+            out_dim_entries += [F.lit(k), F.col(f"__dim_{k}")]
+        value = _AGG_EXPRS[rollup.function](
+            F.col("value"), F.col("window_ts_ms")
+        )
+        out_dims = (
+            F.create_map(*out_dim_entries)
+            if out_dim_entries
+            else F.create_map()
+        )
+        return (
+            batch_df.groupBy(*groups)
+            .agg(value.alias("value"))
+            .select(
+                "window_ts_ms",
+                "tenant_id",
+                F.lit(spec.aggregated_metric_name).alias("name"),
+                out_dims.alias("dimensions"),
+                "value",
+            )
+        )
+
+    batches: list = []
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batches.append(_rollup_of(batch_df).collect())
+
+    q = (
+        first.writeStream.foreachBatch(_roll)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in batches for r in b]
+    schema = _rollup_of(
+        spark.createDataFrame([], first.schema)
+    ).schema
+    return spark.createDataFrame(rows, schema)
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     key_cols: list[str],

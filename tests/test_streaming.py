@@ -233,3 +233,54 @@ SPEC_LATE = AggregationSpec(
     function="sum",
     grouped_dimensions=(),
 )
+
+
+def test_streaming_rollup_foreachbatch_matches_batch(spark, sf_small):
+    """Rollup on a stream (stage 2 in foreachBatch over finalized
+    windows) ≡ the batch rollup plan, restricted to windows the
+    watermark finalized (trailing windows stay unpublished — the
+    reference likewise withholds windows until lag passes)."""
+    from monasca_aggregator_spark.models import Rollup
+    from monasca_aggregator_spark.streaming.pipeline import (
+        run_stream_with_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    spec = AggregationSpec(
+        name="stream_rollup",
+        aggregated_metric_name="agg.purchase.rollup",
+        filtered_metric_name="purchase",
+        function="avg",
+        grouped_dimensions=("user_id",),
+        rollup=Rollup(function="sum", grouped_dimensions=()),
+    )
+    window, lag = 3600, 120
+
+    schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    env_stream = events_to_envelopes(raw)
+
+    got = run_stream_with_rollup(spark, env_stream, spec, window, lag)
+    got_map = {r.window_ts_ms: r.value for r in got.collect()}
+
+    env = events_to_envelopes(load_table(spark, sf_small, "events"))
+    batch = build_aggregation(env, spec, window)
+    max_ts_ms = env.select(F.max(F.unix_millis("timestamp"))).first()[0]
+    watermark_ms = max_ts_ms - lag * 1000
+    finalized = batch.filter(
+        F.col("window_ts_ms") + window * 1000 <= watermark_ms
+    )
+    want_map = {r.window_ts_ms: r.value for r in finalized.collect()}
+
+    assert got_map.keys() == want_map.keys()
+    assert all(abs(got_map[k] - want_map[k]) < 1e-9 for k in want_map)
+    assert len(got_map) > 0
