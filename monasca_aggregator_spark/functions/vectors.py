@@ -25,7 +25,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) for
+    zero-magnitude vectors — one bad embedding must not kill the job."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def as_double(a: Column) -> Column:

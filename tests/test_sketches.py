@@ -1,0 +1,58 @@
+"""Sketch aggregates — the bounded-state swaps SURVEY notes for the
+exact window aggregations (approx_percentile/t-digest for median,
+approx_count_distinct/HLL++ for cardinality) must land within their
+documented error bounds of the exact answers on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+from monasca_aggregator_spark.sources.tables import load_table
+
+
+def test_approx_percentile_within_accuracy(spark, sf_small):
+    env = events_to_envelopes(load_table(spark, sf_small, "events"))
+    vals = env.filter(F.col("name") == "view")
+    row = vals.agg(
+        F.expr("percentile(value, 0.95)").alias("exact"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    # accuracy parameter 10000 → rank error ≤ n/10000
+    assert row.n > 100
+    rank_tolerance = row.n / 10000 + 1
+    # convert rank tolerance to a value bound via the empirical quantiles
+    lo, hi = vals.approxQuantile(
+        "value", [max(0.0, 0.95 - rank_tolerance / row.n) - 0.01,
+                  min(1.0, 0.95 + rank_tolerance / row.n) + 0.01], 0.0
+    )
+    assert lo <= row.approx <= hi
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_small):
+    env = events_to_envelopes(load_table(spark, sf_small, "events"))
+    users = env.select(F.col("dimensions").getItem("user_id").alias("u"))
+    row = users.agg(
+        F.count_distinct("u").alias("exact"),
+        F.approx_count_distinct("u", rsd=0.02).alias("approx"),
+    ).first()
+    # HLL++ rsd 2% → allow 4 standard deviations
+    assert abs(row.approx - row.exact) <= max(4, 0.08 * row.exact)
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """Zero-magnitude embeddings must not poison ANN results (the
+    division guard yields NULL, which sorts last under DESC)."""
+    from monasca_aggregator_spark.functions.vectors import as_double, cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0],), ([1.0, 0.0],)], "v array<double>"
+    )
+    a = df.select(
+        cosine(as_double(F.col("v")), F.array(F.lit(1.0), F.lit(0.0))).alias(
+            "c"
+        )
+    ).collect()
+    assert a[1].c == 1.0
+    assert a[0].c is None or a[0].c != a[0].c  # null or NaN, never a crash
