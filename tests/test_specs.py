@@ -43,6 +43,14 @@ def test_unknown_function_rejected():
         Rollup(function="p99")
 
 
+def test_empty_function_rejected():
+    # reference: TestAggregationRuleWithNoFunction ("must have a function")
+    with pytest.raises(SpecError):
+        _mk(function="")
+    with pytest.raises(SpecError):
+        _mk(rollup=Rollup(function="", grouped_dimensions=()))
+
+
 def test_rollup_dims_must_be_subset():
     # reference: NewAggregationRule rejects rollup dims outside the
     # outer groupedDimensions (aggregation_rule.go:38-46)
