@@ -208,6 +208,61 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → clusters: (doc_id, cluster_id = min reachable id).
+
+    Iterative min-label propagation — each iteration is one distributed
+    join+min-aggregate (label ← min(label, neighbors' labels)) and the
+    loop stops at fixpoint, detected with a cheap count of changed
+    labels. Iterations needed = graph diameter (near-dup clusters are
+    shallow; 25 covers pathological chains). ``localCheckpoint`` cuts
+    lineage each round so the plan doesn't grow exponentially. This is
+    the piece that turns pair output (minhash/simhash/embedding) into
+    keeper assignments: keep min(cluster) and drop the rest.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     *,

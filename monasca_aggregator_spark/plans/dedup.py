@@ -40,8 +40,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM = rf"""
-WITH toks AS (
+# Shared CTE chain: documents → bigram shingles → qualifying pairs
+# (used by the pair oracle AND, with RECURSIVE closure on top, the
+# cluster oracle).
+_NGRAM_CTES = rf"""toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -56,13 +58,45 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
+  FROM shared
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {THRESHOLD}
+)"""
+
+ORACLE_NGRAM = f"""
+WITH {_NGRAM_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
+""".strip()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the exact n-gram pair graph: iterative
+    min-label propagation (operators.dedup.connected_components); the
+    oracle computes the same components with a recursive-CTE transitive
+    closure."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        threshold=THRESHOLD,
+    )
+    return D.connected_components(pairs)
+
+
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_CTES}, und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
 )
-SELECT id_a, id_b,
-       floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard
-FROM shared
-JOIN sizes na ON na.doc_id = id_a
-JOIN sizes nb ON nb.doc_id = id_b
-WHERE floor((shared / (na.n + nb.n - shared)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE >= {THRESHOLD}
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
 """.strip()
 
 
@@ -109,10 +143,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,
+    "dedup_clusters": ORACLE_CLUSTERS,
 }

@@ -82,3 +82,18 @@ def test_normalize_text(spark):
     df = spark.createDataFrame([("  Hello,   WORLD!! 42  ",)], "t string")
     out = df.select(D.normalize_text(F.col("t")).alias("n")).collect()[0].n
     assert out == "hello world 42"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain a-b-c-d collapses to one cluster labeled min(id); separate
+    pair stays its own cluster; multi-hop propagation converges."""
+    from monasca_aggregator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(30, 20), (20, 10), (10, 5), (100, 200), (7, 7)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {5: 5, 10: 5, 20: 5, 30: 5, 100: 100, 200: 100, 7: 7}
