@@ -99,3 +99,52 @@ def test_asof_join_is_single_shuffle(spark, sf_small):
     assert n_exchanges == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Random seeded batch ≡ pandas.merge_asof (backward, inclusive) —
+    an independent reference implementation of the same semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(17)
+    left = [
+        (rng.randrange(5), rng.randrange(0, 10_000) * 1000, float(i))
+        for i in range(300)
+    ]
+    # unique right timestamps: with (k, ts) duplicates the pick among
+    # ties is defined by input order in pandas but unordered in a
+    # distributed sort — not a semantics difference worth pinning
+    right = [
+        (rng.randrange(5), (i * 7919 % 10_000) * 1000, float(1000 + i))
+        for i in range(300)
+    ]
+    ldf = spark.createDataFrame(left, "k int, ts_ms long, lv double").select(
+        "k", F.timestamp_millis("ts_ms").alias("ts"), "lv"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts_ms long, rv double").select(
+        "k", F.timestamp_millis("ts_ms").alias("ts"), "rv"
+    )
+    got = (
+        asof_join(ldf, rdf, ["k"])
+        .select("k", F.unix_millis("ts").alias("ts_ms"), "lv", "right_rv")
+        .toPandas()
+        .sort_values(["k", "ts_ms", "lv"])
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(left, columns=["k", "ts_ms", "lv"]).sort_values("ts_ms")
+    rp = pd.DataFrame(right, columns=["k", "ts_ms", "rv"]).sort_values("ts_ms")
+    want = (
+        pd.merge_asof(lp, rp, on="ts_ms", by="k", direction="backward")
+        .sort_values(["k", "ts_ms", "lv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        assert (g.k, g.ts_ms, g.lv) == (w.k, w.ts_ms, w.lv)
+        if pd.isna(w.rv):
+            assert g.right_rv is None or pd.isna(g.right_rv)
+        else:
+            assert g.right_rv == w.rv
