@@ -243,47 +243,67 @@ def lsh_ann(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    planes_per_table: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: sign-random-projection buckets, exact re-rank
-    within the query's bucket. 2^num_planes buckets; recall grows as
-    num_planes shrinks. Output: (query_id, rank, neighbor_id, sim).
-    """
-    planes = _hyperplanes(num_planes, dim)
+    """Approximate top-k: multi-table sign-random-projection LSH with
+    exact cosine re-rank. Output: (query_id, rank, neighbor_id, sim).
 
-    def bucket(vec_col_name: str) -> F.Column:
+    Amplification shape matters: ONE m-plane table is pure AND
+    (collision prob (1−θ/π)^m — with m=8 recall collapses to ~2% on
+    near-orthogonal data). L tables of m planes OR the tables together:
+    P = 1−(1−p^m)^L, so m controls candidate selectivity and L buys
+    recall. Candidate volume ∝ L·n²/2^m per table; tune (m, L) to the
+    corpus's similarity profile.
+    """
+    planes = _hyperplanes(planes_per_table * num_tables, dim)
+
+    def table_buckets(vec_col_name: str) -> F.Column:
+        """array<struct<table:int, bucket:bigint>> — one entry per table."""
         vec = F.col(vec_col_name)
-        acc = F.lit(0).cast("bigint")
-        for p, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(vec, lit_plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
+        entries = []
+        for t in range(num_tables):
+            acc = F.lit(0).cast("bigint")
+            for p in range(planes_per_table):
+                plane = planes[t * planes_per_table + p]
+                lit_plane = F.array(*[F.lit(x) for x in plane])
+                d = F.aggregate(
+                    F.zip_with(vec, lit_plane, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                acc = acc.bitwiseOR(
+                    F.shiftleft(
+                        F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+                        p,
+                    )
+                )
+            entries.append(
+                F.struct(F.lit(t).alias("table"), acc.alias("bucket"))
             )
-            acc = acc.bitwiseOR(
-                F.shiftleft(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"), p)
-            )
-        return acc
+        return F.array(*entries)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", bucket("q_vec"))
+        F.explode_outer(table_buckets(vec_col)).alias("tb"),
+    ).select("query_id", "q_vec", "tb.table", "tb.bucket")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", bucket("c_vec"))
+        F.explode_outer(table_buckets(vec_col)).alias("tb"),
+    ).select("neighbor_id", "c_vec", "tb.table", "tb.bucket")
 
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
         )
+        .distinct()  # a pair can collide in several tables
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

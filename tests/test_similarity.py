@@ -50,7 +50,7 @@ def test_lsh_ann_subset_of_exact_with_same_scores(vecs):
         (r.query_id, r.neighbor_id): r.sim
         for r in S.cosine_topk(vecs, vecs, k=4).collect()
     }
-    ann = S.lsh_ann(vecs, vecs, k=4, dim=4, num_planes=2).collect()
+    ann = S.lsh_ann(vecs, vecs, k=4, dim=4, planes_per_table=2, num_tables=2).collect()
     assert len(ann) > 0  # identical-direction vectors share a bucket
     for r in ann:
         key = (r.query_id, r.neighbor_id)
@@ -64,7 +64,7 @@ def test_lsh_same_vector_always_colliding(spark):
         [(0, [0.5, -0.2, 0.1, 0.9]), (1, [0.5, -0.2, 0.1, 0.9])],
         "vec_id long, embedding array<double>",
     )
-    out = S.lsh_ann(df, df, k=1, dim=4, num_planes=4).collect()
+    out = S.lsh_ann(df, df, k=1, dim=4, planes_per_table=4, num_tables=2).collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {(0, 1), (1, 0)}
     assert all(r.sim == pytest.approx(1.0, abs=1e-9) for r in out)
 
