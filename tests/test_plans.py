@@ -90,3 +90,37 @@ def test_column_pruning_reaches_scan(spark, sf_small):
     scan = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_extendedprice" in scan and "l_discount" in scan
     assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_fanout_present_in_compute_dense_plans_only(spark, sf_small):
+    """The scan fan-out repartition belongs to compute-dense document/
+    embedding plans ONLY: on vectorized-scan aggregation paths the
+    round-robin exchange costs more than it saves (measured 2x on
+    warm TPC-H q3). Guards the load_table(fan_out=...) architecture."""
+    from monasca_aggregator_spark.plans.dedup import q_dedup_minhash
+    from monasca_aggregator_spark.plans.textops import q_text_quality
+    from monasca_aggregator_spark.plans.tpch import q_tpch_q1, q_tpch_q3
+    from monasca_aggregator_spark.plans.metrics import q_agg_sum
+
+    for fn, expect in [
+        (q_dedup_minhash, True),
+        (q_text_quality, True),
+        (q_tpch_q1, False),
+        (q_tpch_q3, False),
+        (q_agg_sum, False),
+    ]:
+        plan = explain_str(fn(spark, sf_small))
+        has = "RoundRobinPartitioning" in plan
+        assert has == expect, f"{fn.__name__}: fan_out={has}, want {expect}"
+
+
+def test_estimated_scan_tasks_estimate(spark, sf_small, tmp_path):
+    from monasca_aggregator_spark.sources.tables import _estimated_scan_tasks
+
+    small = tmp_path / "tiny.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert _estimated_scan_tasks(spark, str(small)) == 1
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (300 << 20))
+    # 300 MB at default 128 MB split size -> 3 tasks
+    assert _estimated_scan_tasks(spark, str(big)) == 3
