@@ -95,6 +95,7 @@ def run_stream_with_rollup(
     lag_sec: int,
     *,
     query_name: str = "rollup_stream",
+    sink=None,
 ) -> DataFrame:
     """Rollup rule on a stream: stage 1 is the watermarked windowed
     aggregation; stage 2 (the rollup re-aggregation) runs per
@@ -102,9 +103,15 @@ def run_stream_with_rollup(
     exactly when the reference rolls up (at publish time,
     aggregation_rule.go:88-136). Append mode guarantees each window
     reaches foreachBatch once, so re-aggregating the batch is correct
-    without cross-batch state. Results accumulate in a memory-backed
-    view named ``query_name``; returns that relation after the stream
-    drains (availableNow).
+    without cross-batch state.
+
+    ``sink(rolled_df, batch_id)`` receives each batch's rollup output;
+    in production point it at a distributed write (Kafka/parquet) —
+    rollup output never needs to touch the driver. The default sink
+    collects into the returned DataFrame (test/driver-verification
+    convenience; rollup outputs are per-window aggregates, small by
+    construction). Runs with availableNow and returns after the stream
+    drains.
     """
     import dataclasses
 
@@ -148,9 +155,14 @@ def run_stream_with_rollup(
 
     batches: list = []
 
+    def _collect_sink(rolled: DataFrame, batch_id: int) -> None:
+        batches.append(rolled.collect())
+
+    sink = sink or _collect_sink
+
     def _roll(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            batches.append(_rollup_of(batch_df).collect())
+            sink(_rollup_of(batch_df), batch_id)
 
     q = (
         first.writeStream.foreachBatch(_roll)
