@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale document corpora.
 
-Four strategies, trading exactness for scale:
+Pair finders, trading exactness for scale:
 
 - ``exact_dedup``: hash-groupBy on normalized text. One shuffle keyed by
   the normalized text (or its xxhash64 at very large scale).
@@ -13,6 +13,12 @@ Four strategies, trading exactness for scale:
   shuffle + verification only on collisions.
 - ``simhash_pairs``: 64-bit SimHash, pigeonhole banding on 16-bit
   chunks (Hamming ≤ 3 ⇒ ≥ 1 equal chunk), verified by popcount(xor).
+  (Embedding-cosine near-dup lives in operators.similarity.)
+
+And the closure step every pipeline needs on top of pair output:
+
+- ``connected_components``: pair graph → (doc_id, cluster_id) keeper
+  assignments by iterative min-label propagation.
 """
 
 from __future__ import annotations
