@@ -1,0 +1,242 @@
+"""Extended analytical query shapes beyond the core TPC-H set.
+
+Each adds a distinct relational capability to the §2 inventory:
+semi-join (EXISTS), anti-join + scalar subquery (NOT EXISTS), a
+disjunctive join predicate, argmax-per-group via join-back (the
+correlated-max-subquery shape of TPC-H Q2), ROLLUP grouping sets, and
+pivot (wide conditional aggregation).
+
+Scale posture mirrors plans/tpch.py: dimension sides broadcast; the
+fact side shuffles at most once on its join/group key; scalar
+subqueries become broadcast cross-joins of a 1-row aggregate (never a
+whole-table window, which would serialize on a single partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+
+def q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): orders that have at
+    least one returned line item, counted per priority. EXISTS compiles
+    to LEFT SEMI — one shuffle pair on the order key, no row
+    duplication, AQE free to pick the build side."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""".strip()
+
+
+def q_tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): above-average-balance
+    customers with NO orders, per market segment. The scalar subquery
+    (global avg) is a 1-row aggregate broadcast-cross-joined onto the
+    scan — not a whole-table window, which would funnel every row
+    through one partition. NOT EXISTS compiles to LEFT ANTI. Scoped to
+    "no orders since 2000-07-01" (churn shape) because the synthetic
+    FK coverage is dense — an unscoped anti-join is empty."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01")
+    )
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            stable_round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+SELECT c_mktsegment, count(*) AS n_cust,
+       {sql_stable_round("sum(c_acctbal)", 4)} AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c_mktsegment
+""".strip()
+
+
+_Q19_ARMS = (
+    ("Brand#11", 1, 11),
+    ("Brand#22", 10, 20),
+    ("Brand#33", 20, 30),
+)
+
+
+def q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue (TPC-H Q19 shape): disjunctive predicate
+    coupling part and lineitem attributes. part is pre-filtered to the
+    union of brands (prunable at the scan) and broadcast; the OR of
+    brand×quantity arms evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([b for b, _, _ in _Q19_ARMS])
+    )
+    arm = None
+    for brand, lo, hi in _Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT {sql_stable_round("sum(l_extendedprice * (1 - l_discount))", 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30)
+""".strip()
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-balance supplier(s) per nation (TPC-H Q2's correlated-max
+    shape): aggregate the max per group, broadcast it back onto the
+    scan, keep the rows that attain it. Ties all survive — identical to
+    the correlated-subquery semantics, and one small broadcast instead
+    of a whole-table sort."""
+    supp = load_table(spark, sf_dir, "supplier")
+    mx = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("max_bal"))
+    return (
+        supp.join(F.broadcast(mx), on="s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            stable_round(F.col("s_acctbal"), 4).alias("s_acctbal"),
+        )
+    )
+
+
+ORACLE_ARGMAX = f"""
+SELECT s_nationkey, s_suppkey, s_name,
+       {sql_stable_round("s_acctbal", 4)} AS s_acctbal
+FROM supplier s
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+""".strip()
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets pricing summary: ROLLUP(returnflag, linestatus)
+    yields per-pair, per-flag, and grand-total rows in ONE pass — Spark
+    expands the sets before the exchange so it still shuffles once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        stable_round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_stable_round("sum(l_quantity)", 4)} AS sum_qty,
+       {sql_stable_round("sum(l_extendedprice)", 4)} AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type matrix as ONE-shuffle conditional
+    aggregation. Deliberately NOT DataFrame.pivot(): with an implicit
+    value list pivot runs a distinct-collect job first, and even with an
+    explicit list its pivotfirst plan aggregates by (user, type) then
+    re-shuffles by user — two exchanges where count(when(...)) needs
+    one. Missing combinations are 0 by count semantics (matches COUNT
+    FILTER)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in _EVENT_TYPES
+        ]
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q4_semijoin": q_tpch_q4_semijoin,
+    "tpch_q22_antijoin": q_tpch_q22_antijoin,
+    "tpch_q19_disjunct": q_tpch_q19_disjunct,
+    "argmax_per_group": q_argmax_per_group,
+    "rollup_pricing": q_rollup_pricing,
+    "pivot_events_user": q_pivot_events_user,
+}
+
+ORACLES: dict[str, str] = {
+    "tpch_q4_semijoin": ORACLE_Q4,
+    "tpch_q22_antijoin": ORACLE_Q22,
+    "tpch_q19_disjunct": ORACLE_Q19,
+    "argmax_per_group": ORACLE_ARGMAX,
+    "rollup_pricing": ORACLE_ROLLUP,
+    "pivot_events_user": ORACLE_PIVOT,
+}

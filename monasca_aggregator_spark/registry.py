@@ -30,7 +30,14 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     mods = [metrics, tpch]
-    for name in ("dedup", "textops", "similarity", "streaming_q", "temporal"):
+    for name in (
+        "analytic",
+        "dedup",
+        "textops",
+        "similarity",
+        "streaming_q",
+        "temporal",
+    ):
         try:
             mod = __import__(
                 f"monasca_aggregator_spark.plans.{name}", fromlist=[name]
