@@ -191,6 +191,64 @@ FROM events WHERE event_type = 'view' GROUP BY 1
 """.strip()
 
 
+def q_agg_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window distinct cardinality via HLL++ sketch
+    (approx_count_distinct) — the bounded-state path that replaces
+    exact count_distinct's two-phase shuffle at 100 TB: one pass,
+    map-side-combinable fixed-size sketches. At rsd=0.005 HLL++ stays
+    in its exact sparse representation up to ~6k distincts per group,
+    so at test SFs (≤ a few hundred distinct users per window) the
+    result is bit-exact vs the DuckDB COUNT(DISTINCT) oracle; at real
+    scale error is bounded by rsd (tests/test_sketches.py asserts the
+    bound)."""
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    return (
+        env.filter(F.col("name") == "click")
+        .groupBy(w.alias("window_ts_ms"))
+        .agg(
+            F.approx_count_distinct(
+                F.col("dimensions").getItem("user_id"), rsd=0.005
+            ).alias("distinct_users")
+        )
+    )
+
+
+ORACLE_DISTINCT_HLL = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       count(DISTINCT user_id) AS distinct_users
+FROM events WHERE event_type = 'click' GROUP BY 1
+""".strip()
+
+
+def q_agg_p95_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window p95 via the Greenwald-Khanna quantile sketch
+    (approx_percentile) — the bounded-state swap for exact percentiles
+    (which need the whole value multiset per group). GK at accuracy a
+    guarantees rank error ≤ n/a; with n < a it retains every sample and
+    returns the exact discrete percentile, so at test SFs it equals the
+    DuckDB quantile_disc oracle bit-for-bit; at scale the state is
+    O(a·log n) per group and error stays bounded."""
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    return (
+        env.filter(F.col("name") == "view")
+        .groupBy(w.alias("window_ts_ms"))
+        .agg(
+            F.expr("approx_percentile(value, 0.95, 100000)").alias(
+                "p95_value"
+            )
+        )
+    )
+
+
+ORACLE_P95_SKETCH = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       quantile_disc(value, 0.95) AS p95_value
+FROM events WHERE event_type = 'view' GROUP BY 1
+""".strip()
+
+
 def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule fan-out (reference: server.go:306-310 iterates every
     rule per message): ONE cached envelope scan feeds N rule plans whose
@@ -297,6 +355,8 @@ SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
     "agg_multi_rule": ORACLE_MULTI_RULE,
     "agg_distinct_users": ORACLE_DISTINCT,
     "agg_median": ORACLE_MEDIAN,
+    "agg_distinct_hll": ORACLE_DISTINCT_HLL,
+    "agg_p95_sketch": ORACLE_P95_SKETCH,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -314,4 +374,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_multi_rule": q_agg_multi_rule,
     "agg_distinct_users": q_agg_distinct_users,
     "agg_median": q_agg_median,
+    "agg_distinct_hll": q_agg_distinct_hll,
+    "agg_p95_sketch": q_agg_p95_sketch,
 }

@@ -56,3 +56,24 @@ def test_cosine_zero_vector_is_null_not_error(spark):
     ).collect()
     assert a[1].c == 1.0
     assert a[0].c is None or a[0].c != a[0].c  # null or NaN, never a crash
+
+
+def test_sketch_query_variants_equal_exact_at_small_n(spark, sf_small):
+    """The driver-facing sketch queries (agg_distinct_hll,
+    agg_p95_sketch) are exact below their sparse/sample thresholds —
+    at test SF they must equal their exact counterparts row-for-row."""
+    from monasca_aggregator_spark.plans import metrics
+
+    hll = {
+        r.window_ts_ms: r.distinct_users
+        for r in metrics.q_agg_distinct_hll(spark, sf_small).collect()
+    }
+    exact = {
+        r.window_ts_ms: r.distinct_users
+        for r in metrics.q_agg_distinct_users(spark, sf_small).collect()
+    }
+    assert hll == exact
+
+    p95 = metrics.q_agg_p95_sketch(spark, sf_small)
+    rows = {r.window_ts_ms: r.p95_value for r in p95.collect()}
+    assert len(rows) > 10 and all(v is not None for v in rows.values())
