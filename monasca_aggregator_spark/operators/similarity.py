@@ -145,6 +145,108 @@ def embedding_cosine_pairs(
     return tagged.groupBy("ba", "bb").applyInPandas(_tile, out_schema)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training for IVF cells.
+
+    Each iteration is two distributed passes, no driver-side data loops:
+    1. assign: broadcast the (tiny) centroid table, argmax-cosine per
+       vector — one codegen'd pass over the (sampled) corpus;
+    2. update: posexplode vectors to (cell, dim, value), groupBy
+       (cell, dim) avg — ONE shuffle of n_rows×dim scalars, then the
+       n_centroids×dim result collapses back to arrays.
+    Only the centroid table (n_centroids × dim doubles) ever reaches the
+    driver, once per iteration — that's the broadcast for the next pass.
+    At 100 TB you train on a hash-sample (``sample_fraction``): IVF
+    cell quality needs a representative sample, not the full corpus,
+    so training cost is independent of corpus size. Empty cells keep
+    their previous centroid. Init = deterministic id-hash sample
+    (reproducible, partitioning-independent).
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__vec")
+    )
+    if sample_fraction is not None:
+        # deterministic hash-sample, same trick as the init below
+        n_total = vecs.count()
+        keep = max(n_centroids, int(n_total * sample_fraction))
+        vecs = (
+            vecs.withColumn("__h", F.xxhash64(F.col("__id")))
+            .orderBy("__h")
+            .limit(keep)
+            .drop("__h")
+        )
+    vecs = vecs.cache()
+
+    cents = (
+        vecs.select(
+            F.col("__id").alias("cent_id"),
+            F.col("__vec").alias("cent_vec"),
+            F.xxhash64(F.col("__id")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    # re-key cells 0..n-1 so cell ids are stable across iterations
+    cents = [
+        (i, list(r.cent_vec))
+        for i, r in enumerate(cents.collect())
+    ]
+    spark = corpus.sparkSession
+
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            cents, "cent_id int, cent_vec array<double>"
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__csim").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .select(
+                "__id",
+                "__vec",
+                "cent_id",
+                cosine(F.col("__vec"), F.col("cent_vec")).alias("__csim"),
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+        )
+        means = (
+            assigned.select(
+                F.col("cent_id").alias("cell"),
+                F.posexplode(F.col("__vec")).alias("dim", "val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "cell", F.col("dm.m").alias("cent_vec")
+            )
+            .collect()
+        )
+        updated = {r.cell: list(r.cent_vec) for r in means}
+        cents = [
+            (cid, updated.get(cid, vec)) for cid, vec in cents
+        ]
+
+    vecs.unpersist()
+    return spark.createDataFrame(cents, "cent_id int, cent_vec array<double>")
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,31 +256,36 @@ def ivf_ann(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, search only the query's ``n_probe`` nearest cells.
     Output: (query_id, rank, neighbor_id, sim); recall < 1 by design.
 
-    Centroids are a deterministic hash-sample of the corpus itself
-    (k-means iterations would sharpen cells but don't change the plan
-    shape; at real scale you'd train offline and broadcast). Cell
-    assignment is one broadcast-probe pass over the corpus — the
-    inverted file is just a ``cell`` column, so it partitions/prunes
-    like any other key. Queries join only their probed cells: the scan
-    cost drops by ~n_probe/n_centroids vs brute force.
+    Pass ``centroids`` (from ``train_ivf_centroids``) for k-means-
+    sharpened cells; default centroids are a deterministic hash-sample
+    of the corpus (same plan shape, lower recall — at real scale you
+    train once offline on a sample and broadcast). Cell assignment is
+    one broadcast-probe pass over the corpus — the inverted file is
+    just a ``cell`` column, so it partitions/prunes like any other key.
+    Queries join only their probed cells: the scan cost drops by
+    ~n_probe/n_centroids vs brute force.
     """
-    # deterministic "training" sample: the n_centroids corpus vectors
-    # with the smallest id-hash (stable across partitioning)
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("cent_id"),
-            as_double(F.col(vec_col)).alias("cent_vec"),
-            F.xxhash64(F.col(id_col)).alias("__h"),
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_vec")
+    else:
+        # deterministic "training" sample: the n_centroids corpus
+        # vectors with the smallest id-hash (stable across partitioning)
+        cents = (
+            corpus.select(
+                F.col(id_col).alias("cent_id"),
+                as_double(F.col(vec_col)).alias("cent_vec"),
+                F.xxhash64(F.col(id_col)).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(n_centroids)
+            .drop("__h")
         )
-        .orderBy("__h")
-        .limit(n_centroids)
-        .drop("__h")
-    )
 
     def nearest_cells(side: DataFrame, id_out: str, vec_out: str, n: int):
         """Attach the n nearest centroid ids as ``cell`` rows."""

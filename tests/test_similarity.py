@@ -151,3 +151,42 @@ def test_ivf_ann_recall_against_bruteforce(spark, sf_small):
     )
     recall = len({(r.query_id, r.neighbor_id) for r in part} & exact.keys()) / len(exact)
     assert recall > 0  # some overlap even at 2/8 probes
+
+
+def test_kmeans_centroids_deterministic_and_improve_recall(spark, sf_small):
+    """train_ivf_centroids is reproducible (hash-sample init, no RNG)
+    and its cells beat the hash-sample baseline's recall at the same
+    probe budget."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+        train_ivf_centroids,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    c1 = train_ivf_centroids(emb, n_centroids=16, n_iter=2)
+    c2 = train_ivf_centroids(emb, n_centroids=16, n_iter=2)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann(
+            emb, queries, k=10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann(
+            emb, queries, k=10, n_centroids=16, n_probe=4, centroids=c1
+        ).collect()
+    }
+    assert len(trained & exact) >= len(base & exact)
