@@ -1,0 +1,88 @@
+"""Dataset-assembly operators for training-data pipelines: quota
+sampling, deterministic splits, and sequence packing.
+
+These are the steps between "filtered corpus" and "training shards":
+pick a per-source mix, carve out train/val/test, and pack documents
+into fixed-size sequences. All three are pure DataFrame plans — one
+shuffle each, no Python in the row path — so they compose with the
+dedup/quality operators upstream at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: Sequence[Column],
+    n: int,
+) -> DataFrame:
+    """Keep the top-``n`` rows per group (training-mix quota, e.g. "best
+    5k docs per source by quality"). One shuffle on the group key; the
+    rank is a window row_number, so ``order_by`` must be a total order
+    (include a unique id as the last key) for deterministic output.
+    Skewed groups are bounded by the quota itself — every partition
+    emits ≤ n rows per group after the sort."""
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    bucket: Column,
+    splits: Sequence[tuple[str, int]],
+) -> DataFrame:
+    """Deterministic split assignment from a 0-99 ``bucket`` column
+    expression. ``splits`` are (label, upper_bound_exclusive) pairs in
+    ascending order, e.g. [("train", 80), ("val", 90), ("test", 100)].
+
+    The bucket expression owns the randomness policy: pass
+    ``pmod(xxhash64(id), 100)`` for a well-mixed production split, or a
+    plain ``pmod(id, 100)`` when cross-engine reproducibility matters
+    (hash functions don't match across engines). Stateless and
+    rerun-stable either way — membership depends only on the row, never
+    on partitioning or sampling order (unlike ``df.randomSplit``)."""
+    expr = None
+    for label, ub in reversed(list(splits)):
+        expr = (
+            F.lit(label)
+            if expr is None
+            else F.when(bucket < ub, F.lit(label)).otherwise(expr)
+        )
+    return df.withColumn("split", expr)
+
+
+def pack_concat_chunk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each group, documents
+    are laid head-to-tail in ``order_col`` order and cut into
+    ``budget``-sized chunks; a document's chunk is where its first
+    unit lands (chunk = floor(start_offset / budget) — the standard
+    "concatenate then chop" LLM batching scheme, where sequences may
+    straddle a boundary and get truncated/continued by the tokenizer
+    stage).
+
+    One shuffle on the group key; the running offset is a window
+    cumulative sum. At scale the group is a shard key (source, date,
+    ...) so groups are bounded; the window sort is the same order the
+    shard writer needs anyway."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("chunk_id", F.floor(start / F.lit(budget)))

@@ -1,0 +1,114 @@
+"""Driver-facing dataset-assembly queries (operators/sampling.py) over
+the documents table: per-source quota by quality, deterministic
+train/val/test split, and concat-and-chunk packing. All oracle-checked
+— the split query uses a plain mod bucket precisely so DuckDB can
+reproduce it (hash functions don't match across engines; the operator
+takes the bucket expression, so production code passes xxhash64)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.sampling import (
+    pack_concat_chunk,
+    quota_per_group,
+    split_assign,
+)
+from monasca_aggregator_spark.operators.textops import quality_scores
+from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
+from monasca_aggregator_spark.sources.tables import load_table
+
+QUOTA_N = 5
+PACK_BUDGET = 4000  # chars per packed chunk
+
+
+def q_sample_quota_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix quota: the QUOTA_N highest-quality docs per source
+    (quality from operators.textops, ties broken by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return quota_per_group(
+        scored,
+        "source",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        QUOTA_N,
+    ).select("source", "rk", "doc_id", "quality")
+
+
+ORACLE_QUOTA = f"""
+WITH q AS ({ORACLE_QUALITY})
+SELECT source, rk, doc_id, quality FROM (
+  SELECT d.source, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+  FROM q JOIN documents d USING (doc_id)
+) WHERE rk <= {QUOTA_N}
+""".strip()
+
+
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split summary: docs and chars per split.
+    Membership is a pure function of doc_id — rerun-stable, no
+    sampling state, unlike randomSplit."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs,
+        F.pmod(F.col("doc_id"), F.lit(100)),
+        [("train", 80), ("val", 90), ("test", 100)],
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_SPLIT = """
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+""".strip()
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing summary: per (source, chunk) document
+    count and char payload at PACK_BUDGET chars per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_concat_chunk(docs, "source", "doc_id", "n_chars", PACK_BUDGET)
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chunk_chars"),
+    )
+
+
+ORACLE_PACK = f"""
+WITH o AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM documents
+)
+SELECT source, CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, sum(n_chars) AS chunk_chars
+FROM o GROUP BY 1, 2
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_quota_source": q_sample_quota_source,
+    "split_train_val": q_split_train_val,
+    "pack_chunks": q_pack_chunks,
+}
+
+ORACLES: dict[str, str] = {
+    "sample_quota_source": ORACLE_QUOTA,
+    "split_train_val": ORACLE_SPLIT,
+    "pack_chunks": ORACLE_PACK,
+}

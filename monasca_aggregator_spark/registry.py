@@ -32,6 +32,7 @@ def _modules():
     mods = [metrics, tpch]
     for name in (
         "analytic",
+        "pipeline_ops",
         "dedup",
         "textops",
         "similarity",

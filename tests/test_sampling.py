@@ -1,0 +1,77 @@
+"""Dataset-assembly operators (operators/sampling.py): quota, split,
+packing — semantic unit tests on hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.sampling import (
+    pack_concat_chunk,
+    quota_per_group,
+    split_assign,
+)
+
+
+def test_quota_keeps_top_n_deterministically(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 1.0), ("b", 4, 2.0)],
+        "g string, id long, score double",
+    )
+    out = quota_per_group(
+        df, "g", [F.col("score").desc(), F.col("id").asc()], 2
+    ).collect()
+    kept = {(r.g, r.id, r.rk) for r in out}
+    # tie on score 5.0 broken by id: id=1 gets rank 1, id=2 rank 2
+    assert kept == {("a", 1, 1), ("a", 2, 2), ("b", 4, 1)}
+
+
+def test_split_boundaries_and_totality(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = split_assign(
+        df,
+        F.pmod(F.col("doc_id"), F.lit(100)),
+        [("train", 80), ("val", 90), ("test", 100)],
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"train": 160, "val": 20, "test": 20}
+    # boundary rows land on the lower split (upper bound exclusive)
+    rows = {r.doc_id: r.split for r in out.filter(F.col("doc_id").isin(79, 80, 89, 90, 99)).collect()}
+    assert rows == {79: "train", 80: "val", 89: "val", 90: "test", 99: "test"}
+
+
+def test_split_is_rerun_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    b = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+    splits = [("train", 90), ("val", 100)]
+    a = sorted(map(tuple, split_assign(df, b, splits).collect()))
+    # repartition between runs: membership must not move
+    c = sorted(
+        map(tuple, split_assign(df.repartition(7), b, splits).collect())
+    )
+    assert a == c
+
+
+def test_pack_chunk_assignment_is_start_offset(spark):
+    # sizes 3,3,3 with budget 4: starts 0,3,6 -> chunks 0,0,1
+    df = spark.createDataFrame(
+        [("s", 1, 3), ("s", 2, 3), ("s", 3, 3)],
+        "src string, doc_id long, sz long",
+    )
+    out = {
+        r.doc_id: r.chunk_id
+        for r in pack_concat_chunk(df, "src", "doc_id", "sz", 4).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_pack_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 10), ("a", 3, 10), ("b", 4, 10)],
+        "src string, doc_id long, sz long",
+    )
+    out = pack_concat_chunk(df, "src", "doc_id", "sz", 15).collect()
+    chunks = {(r.src, r.doc_id): r.chunk_id for r in out}
+    # each group restarts at offset 0
+    assert chunks == {("a", 1): 0, ("a", 3): 0, ("b", 2): 0, ("b", 4): 0}
