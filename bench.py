@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q4_semijoin",
+    "rollup_pricing",
+    "pivot_events_user",
+    "agg_p95_sketch",
     "events_daily_user",
     "asof_purchase_click",
     "sessions_user",
@@ -41,6 +45,8 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "text_quality",
     "ann_cosine_topk",
+    "sample_quota_source",
+    "pack_chunks",
 ]
 
 
