@@ -14,19 +14,30 @@ task regardless of corpus size, and partition-level parallelism is
 preserved (no shuffle is introduced — .explain shows scan → project →
 ArrowEvalPython only).
 
-The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this environment.
-Each operator routes through ``_decode_stub`` — a clearly-marked
-deterministic fake deriving pixel/sample statistics from the payload
-bytes — and ``decode_real`` raises NotImplementedError until a codec is
-installed. The Spark-side contract (schemas, batching, UDF signatures,
-null handling) is the real, tested surface.
+Codec status: compressed codecs (JPEG/PNG/MP3/H.264 — PIL/libsndfile/
+ffmpeg) are NOT in this environment and stay behind
+``NotImplementedError``. Two uncompressed formats are decoded FOR REAL
+with stdlib+numpy so the whole pipeline (bytes → pixels/samples →
+features) runs end-to-end and is tested:
+
+- PPM (P6) images: header parse + ``np.frombuffer`` + nearest-neighbor
+  resize (``decode_ppm`` / ``encode_ppm`` / ``resize_ppm``);
+- WAV (PCM) audio: stdlib ``wave`` + numpy RMS/peak/duration
+  (``decode_wav``).
+
+``_decode_stub`` — a clearly-marked deterministic fake deriving
+pseudo-features from payload bytes — remains the default for payloads
+that aren't PPM/WAV, so plumbing tests run on any bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -61,11 +72,90 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of a binary PPM (P6) image → (h, w, 3) uint8 array.
+
+    Pure header-parse + frombuffer; no external codec needed. Raises
+    ValueError on malformed input (surfaced per-row as nulls by the
+    feature UDFs, never a task failure)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace/comment layout
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a PPM payload (index-gather on
+    the pixel array — the numpy idiom of a GPU resize kernel)."""
+    img = decode_ppm(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_ppm(img[ys][:, xs])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a PCM WAV payload via stdlib ``wave`` →
+    {sample_rate, n_channels, n_samples, duration_sec, rms, peak}
+    with samples normalized to [-1, 1]."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        n = f.getnframes()
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_samples": n,
+        "duration_sec": n / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+    }
+
+
 def decode_real(payload: bytes, media_type: str):
-    """Real codec entry point — requires PIL / soundfile / ffmpeg."""
+    """Real codec dispatch. PPM images and PCM WAV audio decode for
+    real (stdlib+numpy); compressed codecs need PIL/soundfile/ffmpeg,
+    absent here."""
+    if payload is None:
+        return None
+    if media_type == "image" and payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if media_type == "audio" and payload.startswith(b"RIFF"):
+        return decode_wav(payload)
     raise NotImplementedError(
-        "no media codecs in this environment; wire PIL/soundfile here "
-        "and flip use_stub=False"
+        "only PPM images and PCM WAV audio decode in this environment; "
+        "wire PIL/soundfile/ffmpeg here for compressed codecs"
     )
 
 
@@ -113,25 +203,39 @@ def decode_image_features(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_stub(p, n_features)
-                if use_stub
-                else decode_real(p, "image")
-                for p in pdf["payload"]
-            ]
-            metas = pdf["meta"]
+            widths, heights, channels, feats = [], [], [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                if use_stub:
+                    widths.append(
+                        int(m.get("width", 0)) if m is not None else None
+                    )
+                    heights.append(
+                        int(m.get("height", 0)) if m is not None else None
+                    )
+                    channels.append(3)
+                    feats.append(_decode_stub(p, n_features))
+                    continue
+                try:
+                    img = decode_real(p, "image")
+                except (ValueError, NotImplementedError):
+                    img = None
+                if img is None:  # malformed row → nulls, not task failure
+                    widths.append(None)
+                    heights.append(None)
+                    channels.append(None)
+                    feats.append(None)
+                else:
+                    h, w, c = img.shape
+                    widths.append(w)
+                    heights.append(h)
+                    channels.append(c)
+                    feats.append(_image_features(img, n_features))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [
-                        int(m.get("width", 0)) if m is not None else None
-                        for m in metas
-                    ],
-                    "height": [
-                        int(m.get("height", 0)) if m is not None else None
-                        for m in metas
-                    ],
-                    "channels": [3] * len(pdf),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(channels, dtype="Int32"),
                     "features": feats,
                 }
             )
@@ -141,12 +245,103 @@ def decode_image_features(
     )
 
 
-def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+def _image_features(img, n_features: int) -> list[float]:
+    """Real pixel features: per-channel means + a luminance histogram,
+    padded/truncated to n_features (the decode→embed stand-in, but
+    computed from actual pixels)."""
+    means = img.reshape(-1, img.shape[2]).mean(axis=0) / 255.0
+    lum = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+    n_bins = max(1, n_features - len(means))
+    hist, _ = np.histogram(lum, bins=n_bins, range=(0.0, 1.0))
+    out = list(means) + list(hist / max(1, lum.size))
+    return [float(v) for v in out[:n_features]]
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """payload → (sample_rate, channels, duration, rms, peak) — REAL
+    WAV decode (stdlib wave + numpy) in mapInPandas; malformed rows
+    yield nulls. Same batch-bounded memory contract as the image path."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "sample_rate": [],
+                "n_channels": [],
+                "duration_sec": [],
+                "rms": [],
+                "peak": [],
+            }
+            for p in pdf["payload"]:
+                try:
+                    d = decode_wav(p) if p is not None else None
+                except (ValueError, EOFError, wave.Error):
+                    d = None
+                cols["sample_rate"].append(d["sample_rate"] if d else None)
+                cols["n_channels"].append(d["n_channels"] if d else None)
+                cols["duration_sec"].append(d["duration_sec"] if d else None)
+                cols["rms"].append(d["rms"] if d else None)
+                cols["peak"].append(d["peak"] if d else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(
+                        cols["sample_rate"], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(cols["n_channels"], dtype="Int32"),
+                    "duration_sec": cols["duration_sec"],
+                    "rms": cols["rms"],
+                    "peak": cols["peak"],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _decode, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int, resample: bool = False
+) -> DataFrame:
     """Resize = payload transform + metadata update.
 
-    The pixel resample is stubbed as identity on bytes; the metadata
-    (the part queries filter on) is updated for real, JVM-side.
+    ``resample=True`` runs a REAL nearest-neighbor resample for PPM
+    payloads in mapInPandas (non-PPM payloads pass through unchanged);
+    the default keeps the payload identity and only updates metadata
+    JVM-side (the part queries filter on).
     """
+    if resample:
+        out_schema = media.schema
+
+        def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                def one(p):
+                    if p is None:
+                        return None
+                    b = bytes(p)
+                    if not b.startswith(b"P6"):
+                        return b
+                    try:
+                        return resize_ppm(b, width, height)
+                    except ValueError:
+                        return b
+
+                pdf = pdf.copy()
+                pdf["payload"] = [one(p) for p in pdf["payload"]]
+                yield pdf
+
+        media = media.mapInPandas(_resize, out_schema)
     new_meta = F.map_concat(
         F.map_filter(
             F.coalesce(F.col("meta"), F.create_map()),

@@ -83,3 +83,93 @@ def test_sample_frames_explodes_by_metadata(spark):
     out = M.sample_frames(vids, every_n=10)
     got = {(r.media_id, r.frame_index) for r in out.collect()}
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+
+def _ppm(w, h, rgb):
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :] = rgb
+    return M.encode_ppm(arr)
+
+
+def _wav(freq=440.0, amp=0.5, rate=8000, sec=0.5):
+    import io
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    t = np.arange(int(rate * sec)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_real_ppm_decode_through_spark(spark):
+    """End-to-end REAL image decode: PPM bytes → mapInPandas →
+    dimensions and per-channel means from actual pixels."""
+    rows = [
+        (1, "image", _ppm(8, 4, (255, 0, 0)), None),
+        (2, "image", _ppm(3, 5, (0, 0, 255)), None),
+        (3, "image", b"\x89PNG....", None),  # unsupported codec → nulls
+        (4, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in M.decode_image_features(
+            media, n_features=7, use_stub=False
+        ).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].channels) == (8, 4, 3)
+    assert (out[2].width, out[2].height) == (3, 5)
+    # red image: channel means (1, 0, 0)
+    assert out[1].features[:3] == pytest.approx([1.0, 0.0, 0.0])
+    assert out[2].features[:3] == pytest.approx([0.0, 0.0, 1.0])
+    assert out[3].width is None and out[3].features is None
+    assert out[4].features is None
+
+
+def test_real_ppm_resize_through_spark(spark):
+    media = spark.createDataFrame(
+        [(1, "image", _ppm(16, 16, (10, 20, 30)), None)], M.MEDIA_SCHEMA
+    )
+    out = M.resize_images(media, width=4, height=6, resample=True).first()
+    img = M.decode_ppm(bytes(out.payload))
+    assert img.shape == (6, 4, 3)
+    assert (img == (10, 20, 30)).all()
+    assert out.meta["width"] == "4" and out.meta["height"] == "6"
+
+
+def test_real_wav_decode_through_spark(spark):
+    """End-to-end REAL audio decode: sine WAV → duration/rate exact,
+    rms ≈ amp/sqrt(2), peak ≈ amp."""
+    media = spark.createDataFrame(
+        [
+            (1, "audio", _wav(amp=0.5, rate=8000, sec=0.5), None),
+            (2, "audio", b"not a wav", None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in M.decode_audio_features(media).collect()}
+    a = out[1]
+    assert a.sample_rate == 8000 and a.n_channels == 1
+    assert a.duration_sec == pytest.approx(0.5)
+    assert a.rms == pytest.approx(0.5 / 2**0.5, rel=0.01)
+    assert a.peak == pytest.approx(0.5, rel=0.01)
+    assert out[2].sample_rate is None and out[2].rms is None
+
+
+def test_ppm_header_with_comments_and_roundtrip():
+    import numpy as np
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (M.decode_ppm(M.encode_ppm(arr)) == arr).all()
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
+    assert (M.decode_ppm(with_comment) == arr).all()
