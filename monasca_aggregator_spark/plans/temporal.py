@@ -104,12 +104,85 @@ GROUP BY user_id, session_id
 """.strip()
 
 
+def q_moving_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event trailing moving average over purchase values —
+    the event-sequence smoothing every metrics/feature pipeline has.
+    ONE shuffle on user_id, then a bounded ROWS frame (constant state
+    per row at any scale; a RANGE frame would be time-based — same
+    plan shape)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(F.avg("value").over(w), 4).alias("ma5"),
+    )
+
+
+ORACLE_MOVING_AVG = f"""
+SELECT user_id, event_id,
+       {sql_stable_round(
+           "avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+           "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 4)} AS ma5
+FROM events WHERE event_type = 'purchase'
+""".strip()
+
+
+def q_lag_delta_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-over-event delta and inter-arrival gap per user (lag) —
+    the row-level counterpart of the spec engine's windowed delta
+    (delta_metric.go computes last-first per window; this exposes every
+    consecutive step). First event per user yields nulls."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(F.col("value") - F.lag("value").over(w), 4).alias(
+            "delta_value"
+        ),
+        (
+            (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+            / F.lit(1000.0)
+        ).alias("gap_sec"),
+    )
+
+
+ORACLE_LAG_DELTA = f"""
+SELECT user_id, event_id,
+       {sql_stable_round(
+           "value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)",
+           4)} AS delta_value,
+       (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC)) / 1000.0 AS gap_sec
+FROM events WHERE event_type = 'signup'
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "sessions_user": q_sessions_user,
+    "moving_avg_user": q_moving_avg_user,
+    "lag_delta_user": q_lag_delta_user,
 }
 
 ORACLES: dict[str, str] = {
     "asof_purchase_click": ORACLE_ASOF,
     "sessions_user": ORACLE_SESSIONS,
+    "moving_avg_user": ORACLE_MOVING_AVG,
+    "lag_delta_user": ORACLE_LAG_DELTA,
 }

@@ -92,6 +92,64 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_scores(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
+VOCAB_K = 50
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global top-K tokens by document frequency and
+    total count — the frequency analysis behind tokenizer training and
+    stopword mining. explode -> two-level aggregate; the first groupBy
+    (token, doc) and second (token) both partial-aggregate map-side, so
+    the shuffle carries counts, not token instances. Top-K via
+    orderBy().limit() — TakeOrderedAndProject keeps a K-row heap per
+    partition and merges on the driver, so no single-partition shuffle
+    of the full vocabulary (a global row_number window would do exactly
+    that); only the K survivors get ranked."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("n").alias("total_count"),
+    )
+    top = vocab.orderBy(
+        F.col("total_count").desc(), F.col("token").asc()
+    ).limit(VOCAB_K)
+    # rank the K survivors (window input is ≤ K rows, not the vocab)
+    w = Window.orderBy(F.col("total_count").desc(), F.col("token").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "token", "doc_freq", "total_count"
+    )
+
+
+ORACLE_VOCAB = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), per_doc AS (
+  SELECT token, doc_id, count(*) AS n FROM tok WHERE token != ''
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT token, count(*) AS doc_freq, sum(n) AS total_count
+  FROM per_doc GROUP BY 1
+)
+SELECT rk, token, doc_freq, total_count FROM (
+  SELECT token, doc_freq, total_count,
+         row_number() OVER (ORDER BY total_count DESC, token ASC) AS rk
+  FROM vocab
+) WHERE rk <= {VOCAB_K}
+""".strip()
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load_table(spark, sf_dir, "documents", fan_out=True))
 
@@ -122,6 +180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_vocab_topk": q_text_vocab_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -129,4 +188,5 @@ ORACLES: dict[str, str] = {
     "text_tokens": ORACLE_TOKENS,
     "text_quality": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_vocab_topk": ORACLE_VOCAB,
 }
