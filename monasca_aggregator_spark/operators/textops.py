@@ -73,3 +73,45 @@ def fingerprints(
         F.col(id_col),
         rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    classic repetitiveness signal: boilerplate and template spam
+    compress far below ~0.4 while natural prose sits near 0.5-0.8.
+
+    No deflate exists JVM-side, so this is the one text op that runs in
+    Python — as an Arrow-batched pandas UDF (a narrow projection, still
+    no shuffle; at 100 TB it scans at Arrow transfer speed, not
+    per-row-pickle speed). Empty/null texts yield null."""
+    return docs.select(
+        F.col(id_col),
+        stable_round(_make_zlib_ratio()(F.col(text_col)), 4).alias(
+            "compress_ratio"
+        ),
+    )
+
+
+def _make_zlib_ratio():
+    # built lazily: pandas_udf needs an active SparkSession. Real
+    # (non-string) hints are attached so pandas_udf's type-hint
+    # inference works under `from __future__ import annotations`
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_ratio)

@@ -150,6 +150,14 @@ SELECT rk, token, doc_freq, total_count FROM (
 """.strip()
 
 
+def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: DuckDB exposes no deflate, so there is no SQL oracle;
+    tests/test_text.py pins the semantics (repetitive ≪ varied)."""
+    return T.compression_ratio(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load_table(spark, sf_dir, "documents", fan_out=True))
 
@@ -181,6 +189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
 }
 
 ORACLES: dict[str, str] = {

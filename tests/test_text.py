@@ -89,3 +89,33 @@ def test_quality_scores_bounds(spark):
         assert 0.0 <= r.punct_ratio <= 1.0
         assert 0.0 <= r.quality <= 1.0
     assert rows[1].quality > rows[2].quality
+
+
+def test_compression_ratio_separates_repetitive_from_varied(spark):
+    from monasca_aggregator_spark.operators.textops import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 200),
+            (2, " ".join(f"w{i*7919%6133}x{i}" for i in range(600))),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.compress_ratio for r in compression_ratio(docs).collect()}
+    assert out[1] < 0.05          # pure repetition collapses
+    assert out[2] > 0.3           # varied text stays high
+    assert out[3] is None and out[4] is None
+
+
+def test_compression_ratio_plan_is_arrow(spark, sf_small):
+    from monasca_aggregator_spark.operators.textops import compression_ratio
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        compression_ratio(load_table(spark, sf_small, "documents"))
+    )
+    assert "ArrowEvalPython" in plan    # vectorized, not BatchEvalPython
+    assert "Exchange" not in plan       # narrow projection, no shuffle
