@@ -1,0 +1,71 @@
+"""Sharded dataset writers — the output side of a training pipeline.
+
+The failure modes at 100 TB are file-count pathologies, not
+correctness: an unpartitioned write emits one file per shuffle
+partition per directory (tiny-file explosion when partitionBy columns
+are present), and a naive coalesce serializes the whole write through
+a few tasks. ``write_sharded`` pins both down:
+
+- rows are shuffled BY the partition columns first, so each output
+  directory is produced by as few tasks as own its data (no
+  n_partitions × n_dirs tiny files);
+- inside a directory, ``maxRecordsPerFile`` rolls files at a target
+  row count, so shard size is bounded no matter how skewed a
+  partition is;
+- with no partition columns, an explicit hash ``repartition(n)``
+  spreads rows into ~equal shards (id-hashed → rerun-stable layout).
+
+Kafka output (the reference's sink, server.go:150-185) lives in
+sources/kafka.py; this module is the file-dataset counterpart.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    target_rows_per_file: int | None = None,
+    shard_key: str | None = None,
+    n_shards: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as a sharded dataset with bounded file sizes.
+
+    partition_by: hive-style directory partitioning (read-side
+        partition pruning — the scan-cost lever for downstream jobs).
+    target_rows_per_file: roll files at this row count
+        (spark.sql.files ``maxRecordsPerFile``).
+    shard_key/n_shards: without partition columns, hash-repartition on
+        ``shard_key`` into ``n_shards`` writer tasks for even shards.
+    """
+    if partition_by:
+        # one shuffle keyed by the partition cols: each directory's rows
+        # land in the writer tasks that own them
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    elif n_shards is not None:
+        if shard_key is not None:
+            df = df.repartition(n_shards, F.col(shard_key))
+        else:
+            df = df.repartition(n_shards)
+
+    writer = df.write.mode(mode).format(fmt)
+    if target_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", target_rows_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def plan_shards(n_rows: int, target_rows_per_file: int) -> int:
+    """Shard count for an even layout at a target file size."""
+    return max(1, math.ceil(n_rows / target_rows_per_file))
