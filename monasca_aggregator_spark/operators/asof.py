@@ -99,3 +99,57 @@ def sessionize(
         "n_events",
         *[c for c in grouped.columns if c not in (*keys, "__w", "n_events")],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Interval join: every (point, interval) pair with
+    ``start_ts <= point_ts <= end_ts`` — no equi-key required.
+
+    A naive theta-join compiles to BroadcastNestedLoopJoin (every point
+    against every interval: |P|×|I| comparisons). This instead
+    bucketizes time at ``bucket`` granularity: each point maps to ONE
+    bucket, each interval explodes to the buckets it overlaps
+    (ceil(len/bucket)+1 rows — choose ``bucket`` ≳ the typical interval
+    length so the fan-out stays ~2×), and candidates meet in an
+    EQUI-join on the bucket id before the exact range filter. That is
+    a hash shuffle both sides on a uniform key — the plan that
+    survives 100 TB. Every true pair shares a bucket by construction,
+    so the result is exact, and each pair meets in exactly one bucket
+    (the point's), so no dedup is needed.
+    """
+    bucket_sec = F.lit(_interval_seconds(bucket))
+    p_b = (F.unix_timestamp(F.col(point_ts)) / bucket_sec).cast("bigint")
+    s_b = (F.unix_timestamp(F.col(start_ts)) / bucket_sec).cast("bigint")
+    e_b = (F.unix_timestamp(F.col(end_ts)) / bucket_sec).cast("bigint")
+
+    p = points.withColumn("__bucket", p_b)
+    i = intervals.withColumn("__bucket", F.explode(F.sequence(s_b, e_b)))
+    out = p.join(i, "__bucket").filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return out.drop("__bucket")
+
+
+def _interval_seconds(spec: str) -> int:
+    """'7 days' / '12 hours' / '90 seconds' → seconds."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+        "day": 86400,
+        "days": 86400,
+    }[unit]
+    return int(n) * mult

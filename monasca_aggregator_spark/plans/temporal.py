@@ -173,14 +173,67 @@ FROM events WHERE event_type = 'signup'
 """.strip()
 
 
+def q_range_join_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True range join (no equi-key): returned high-discount line items
+    shipped within 7 days of any urgent order's date, aggregated per
+    order. Runs through operators.asof.range_join — time-bucketized
+    equi-join + exact filter, not the BroadcastNestedLoopJoin a naive
+    theta-join compiles to."""
+    from monasca_aggregator_spark.operators.asof import range_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_discount") >= 0.09))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias(
+                "win_end"
+            ),
+        )
+    )
+    joined = range_join(
+        li,
+        orders,
+        point_ts="l_shipdate",
+        start_ts="win_start",
+        end_ts="win_end",
+        bucket="7 days",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        stable_round(F.sum("l_extendedprice"), 4).alias("shipped_value"),
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT o.o_orderkey,
+       count(*) AS n_shipments,
+       {sql_stable_round("sum(l.l_extendedprice)", 4)} AS shipped_value
+FROM lineitem l
+JOIN orders o
+  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
+WHERE l.l_returnflag = 'R' AND l.l_discount >= 0.09
+  AND o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "sessions_user": q_sessions_user,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
+    "range_join_ship": q_range_join_ship,
 }
 
 ORACLES: dict[str, str] = {
+    "range_join_ship": ORACLE_RANGE_JOIN,
     "asof_purchase_click": ORACLE_ASOF,
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,

@@ -148,3 +148,54 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert g.right_rv is None or pd.isna(g.right_rv)
         else:
             assert g.right_rv == w.rv
+
+
+def test_range_join_boundaries_and_long_intervals(spark):
+    """Inclusive on both ends; intervals spanning many buckets still
+    match exactly once per true pair."""
+    import datetime as dt
+
+    from monasca_aggregator_spark.operators.asof import range_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:00")),
+         (2, t("2024-01-08 00:00:00")),
+         (3, t("2024-02-15 12:00:00")),
+         (4, t("2024-03-01 00:00:01"))],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, t("2024-01-01 00:00:00"), t("2024-01-08 00:00:00")),  # 1-week
+         (20, t("2024-01-15 00:00:00"), t("2024-03-01 00:00:00"))],  # 6-week
+        "iid long, s timestamp, e timestamp",
+    )
+    out = range_join(
+        pts, iv, point_ts="ts", start_ts="s", end_ts="e", bucket="7 days"
+    )
+    pairs = sorted((r.pid, r.iid) for r in out.collect())
+    # pid1: start boundary inclusive; pid2: end boundary inclusive;
+    # pid3: inside the long interval (bucket-spanning); pid4: 1s late
+    assert pairs == [(1, 10), (2, 10), (3, 20)]
+    # exactly-once: no dedup artifacts even for multi-bucket intervals
+    assert len(pairs) == len(set(pairs))
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    import datetime as dt
+
+    from monasca_aggregator_spark.operators.asof import range_join
+    from tests.conftest import explain_str
+
+    t = dt.datetime.fromisoformat
+    pts = spark.createDataFrame(
+        [(1, t("2024-01-01"))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, t("2024-01-01"), t("2024-01-02"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    plan = explain_str(
+        range_join(pts, iv, point_ts="ts", start_ts="s", end_ts="e")
+    )
+    assert "NestedLoop" not in plan  # bucketized equi-join, hash-able
