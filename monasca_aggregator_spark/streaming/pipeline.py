@@ -247,3 +247,72 @@ def run_events_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_ewma(
+    env: DataFrame,
+    *,
+    alpha: float = 0.2,
+    key_cols: tuple[str, ...] = ("tenant_id", "name"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key exponentially
+    weighted moving average (the smoothed-metric line every monitoring
+    system draws; reference has no analog — this is where Spark's
+    state store exceeds the reference's in-memory window cache).
+
+    EWMA is an order-dependent fold, which no built-in streaming
+    aggregate expresses — so this uses ``applyInPandasWithState``:
+    state per key is a single (ewma, last_ts_ms) pair (O(1), GC-free),
+    each micro-batch sorts its rows by event time and folds
+    ``ewma = α·v + (1−α)·ewma`` forward, emitting one smoothed row per
+    input row. Cross-batch order is the arrival order of micro-batches
+    (exactly the reference's arrival-order semantics for delta/rate —
+    the documented batch-side divergence, closed here on the streaming
+    side).
+
+    Emits (key..., ts_ms, value, ewma) in update mode.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, ts_ms bigint, value double, ewma double"
+    )
+    state_schema = "ewma double, last_ts_ms bigint"
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, last_ts = state.get
+        else:
+            ewma, last_ts = None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts_ms", kind="mergesort")
+            for ts_ms, v in zip(pdf["__ts_ms"], pdf["__value"]):
+                ewma = (
+                    float(v)
+                    if ewma is None
+                    else alpha * float(v) + (1.0 - alpha) * ewma
+                )
+                last_ts = int(ts_ms)
+                rows.append((*key, last_ts, float(v), ewma))
+        state.update((ewma, last_ts))
+        cols = [*key_cols, "ts_ms", "value", "ewma"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    prepared = env.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        F.col(value_col).cast("double").alias("__value"),
+    )
+    return prepared.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from monasca_aggregator_spark.models import AggregationSpec
 from monasca_aggregator_spark.operators.aggregate import build_aggregation
 from monasca_aggregator_spark.sources.envelope import events_to_envelopes
@@ -284,3 +286,80 @@ def test_streaming_rollup_foreachbatch_matches_batch(spark, sf_small):
     assert got_map.keys() == want_map.keys()
     assert all(abs(got_map[k] - want_map[k]) < 1e-9 for k in want_map)
     assert len(got_map) > 0
+
+
+def test_streaming_ewma_matches_pandas_fold(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streamed
+    per-key EWMA must equal the straight pandas fold over the same
+    events in event-time order, and state must carry ACROSS
+    micro-batches (two files replayed in order)."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.streaming.pipeline import streaming_ewma
+
+    alpha = 0.25
+    batches = [
+        [("t0", "cpu", 1_000, 10.0), ("t0", "cpu", 2_000, 20.0),
+         ("t0", "mem", 1_500, 1.0)],
+        [("t0", "cpu", 3_000, 30.0), ("t0", "mem", 2_500, 5.0)],
+    ]
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    schema = "tenant_id string, name string, ts_ms long, value double"
+    # write each micro-batch as its own file; maxFilesPerTrigger=1
+    # forces one file per micro-batch IN ORDER (file source sorts by
+    # modification time), so cross-batch state carry is exercised
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("timestamp", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = streaming_ewma(
+        raw, alpha=alpha, key_cols=("tenant_id", "name")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.name, r.ts_ms): r.ewma
+        for r in spark.table("ewma_out").collect()
+    }
+
+    # expected: plain pandas fold in event-time order per key
+    all_rows = pd.DataFrame(
+        [r for b in batches for r in b],
+        columns=["tenant_id", "name", "ts_ms", "value"],
+    ).sort_values("ts_ms")
+    exp = {}
+    state: dict = {}
+    for _, r in all_rows.iterrows():
+        # NB: r["name"], not r.name — .name is the pandas index label
+        k = (r["tenant_id"], r["name"])
+        prev = state.get(k)
+        e = (
+            r["value"]
+            if prev is None
+            else alpha * r["value"] + (1 - alpha) * prev
+        )
+        state[k] = e
+        exp[(r["name"], int(r["ts_ms"]))] = e
+
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k]), k
