@@ -14,7 +14,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 SUPPORTED_FUNCTIONS = frozenset(
-    {"sum", "count", "avg", "min", "max", "delta", "rate"}
+    {"sum", "count", "avg", "min", "max", "delta", "rate",
+     # beyond the reference's seven: sketch-backed, bounded-state
+     # functions that stay map-side-combinable in streaming
+     "distinct", "p95"}
 )
 
 

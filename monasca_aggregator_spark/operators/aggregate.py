@@ -48,6 +48,17 @@ _AGG_EXPRS = {
     # delta / elapsed seconds; NULL when the window holds a single sample
     "rate": lambda value, ts: (F.max_by(value, ts) - F.min_by(value, ts))
     / F.nullif((F.max(ts) - F.min(ts)) / F.lit(1000.0), F.lit(0.0)),
+    # beyond the reference's seven: sketch aggregates with bounded,
+    # map-side-combinable state — the forms that work unchanged as
+    # streaming aggregations (exact distinct/percentile state is
+    # unbounded per group). Exact in HLL++ sparse mode / below the GK
+    # sample threshold (see plans.metrics sketch queries).
+    "distinct": lambda value, ts: F.approx_count_distinct(
+        value, rsd=0.005
+    ).cast("double"),
+    "p95": lambda value, ts: F.percentile_approx(
+        value, F.lit(0.95), F.lit(100000)
+    ),
 }
 
 # Rollup input is the first stage's (value, window_ts_ms) output, so

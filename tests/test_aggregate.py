@@ -266,3 +266,35 @@ def test_multi_rule_fanout_shares_one_scan(spark):
     outs = {s.name: _result(df, s) for s in specs}
     assert outs["r1"][(T0_MS, "t0", ())] == 40.0
     assert outs["r2"][(T0_MS, "t0", ())] == 20.0
+
+
+def test_sketch_functions_distinct_and_p95(spark):
+    """DSL extensions beyond the reference's seven: 'distinct' (HLL++)
+    and 'p95' (GK) — exact at small cardinality, so pinnable here."""
+    rows = []
+    for i in range(100):
+        # 25 distinct values, each appearing 4 times, all in one window
+        rows.append(("cpu", {"u": str(i % 5)}, float(i % 60), float(i % 25), "t0"))
+    df = _env_df(spark, rows)
+
+    res = _result(df, _spec(function="distinct"))
+    ((_, _, _),) = [k for k in res]  # one window, no grouped dims
+    assert list(res.values()) == [25.0]
+
+    res95 = _result(df, _spec(function="p95"))
+    # values 0..24: discrete p95 of the multiset is 23 (rank ceil(.95*100)=95 → 23)
+    assert list(res95.values()) == [23.0]
+
+
+def test_sketch_functions_valid_in_spec_and_rollup(spark):
+    from monasca_aggregator_spark.models import Rollup
+
+    spec = _spec(
+        function="distinct",
+        grouped_dimensions=("u",),
+        rollup=Rollup(function="p95", grouped_dimensions=()),
+    )
+    rows = [("cpu", {"u": str(i % 4)}, 1.0, float(i), "t0") for i in range(40)]
+    out = build_aggregation(_env_df(spark, rows), spec, W)
+    vals = [r.value for r in out.collect()]
+    assert len(vals) == 1  # rolled up to one row per window

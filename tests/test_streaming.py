@@ -363,3 +363,24 @@ def test_streaming_ewma_matches_pandas_fold(spark, tmp_path):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == pytest.approx(exp[k]), k
+
+
+def test_streaming_sketch_distinct_equals_batch(spark, sf_small):
+    """'distinct' (HLL++) is a bounded-state streaming aggregate: the
+    streamed result must equal the batch plan's (both exact at test
+    cardinalities — sparse mode)."""
+    spec = AggregationSpec(
+        name="d",
+        aggregated_metric_name="agg.user.distinct",
+        filtered_metric_name="click",
+        function="distinct",
+    )
+    batch = build_aggregation(
+        events_to_envelopes(load_table(spark, sf_small, "events")), spec, 3600
+    )
+    batch_res = {r.window_ts_ms: r.value for r in batch.collect()}
+    stream = run_events_stream_to_memory(
+        spark, sf_small, spec, query_name="t_stream_distinct"
+    )
+    stream_res = {r.window_ts_ms: r.value for r in stream.collect()}
+    assert stream_res == batch_res and len(batch_res) > 10
