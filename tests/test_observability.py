@@ -1,0 +1,65 @@
+"""in/out counters (observability.py): batch Observation values and
+streaming observedMetrics, with no extra pass over the data."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.models import AggregationSpec
+from monasca_aggregator_spark.observability import (
+    IN_METRIC,
+    OUT_METRIC,
+    count_edge,
+)
+from monasca_aggregator_spark.operators.aggregate import build_aggregation
+from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+from monasca_aggregator_spark.sources.tables import load_table
+
+
+def test_batch_io_counters_ride_the_job(spark, sf_small):
+    env = events_to_envelopes(load_table(spark, sf_small, "events"))
+    src, in_o = count_edge(env, IN_METRIC)
+    spec = AggregationSpec(
+        name="t",
+        aggregated_metric_name="agg.click.sum",
+        filtered_metric_name="click",
+        function="sum",
+    )
+    out = build_aggregation(src, spec, 3600)
+    out, out_o = count_edge(out, OUT_METRIC)
+    n_out_rows = out.count()
+
+    assert in_o.get["n"] == env.count()  # every consumed message
+    assert out_o.get["n"] == n_out_rows  # every produced aggregate
+
+
+def test_streaming_io_counters_in_progress(spark, tmp_path):
+    src_dir = tmp_path / "obs_src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    ).write.mode("overwrite").parquet(str(src_dir / "data.parquet"))
+
+    raw = spark.readStream.schema("k long, v double").parquet(
+        str(src_dir / "data.parquet")
+    )
+    instrumented, _ = count_edge(raw, IN_METRIC, streaming=True)
+    agg = instrumented.groupBy((F.col("k") % 10).alias("b")).agg(
+        F.sum("v").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("obs_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # observed metrics appear in the progress events
+    seen = {}
+    for p in q.recentProgress:
+        seen.update(p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics)
+    assert IN_METRIC in seen
+    assert seen[IN_METRIC]["n"] == 100
