@@ -77,6 +77,8 @@ def build_continuous_pipeline(
     specs: list[AggregationSpec],
     *,
     checkpoint_dir: str,
+    source=None,
+    sink=None,
 ):
     """The reference's whole runtime as one call: Kafka envelopes in →
     every (non-rollup) rule's watermarked windowed aggregation →
@@ -85,10 +87,17 @@ def build_continuous_pipeline(
     hot rule from stalling the rest; reference runs them in one loop,
     server.go:306-310).
 
-    Requires a Kafka broker + the kafka connector on the classpath; in
-    broker-less environments use streaming.pipeline
-    .run_events_stream_to_memory for the same plan against files.
+    ``source``/``sink`` default to the Kafka edges (needs a broker +
+    connector); inject alternatives to run the SAME composition
+    against files/memory — ``source: () -> streaming DataFrame`` of
+    envelopes, ``sink: (plan, spec) -> StreamingQuery``. (This is also
+    how the broker-less tests cover the full runtime.)
     """
+    from monasca_aggregator_spark.observability import (
+        IN_METRIC,
+        OUT_METRIC,
+        count_edge,
+    )
     from monasca_aggregator_spark.sources.kafka import (
         read_envelope_stream,
         write_envelope_stream,
@@ -97,20 +106,32 @@ def build_continuous_pipeline(
         build_streaming_aggregation,
     )
 
-    env = read_envelope_stream(
-        spark, config.bootstrap_servers, config.consumer_topic
+    env = (
+        source()
+        if source is not None
+        else read_envelope_stream(
+            spark, config.bootstrap_servers, config.consumer_topic
+        )
     )
+    # reference parity: in_messages/out_messages counters
+    # (server.go:42-48) — observe() metrics per micro-batch in each
+    # query's StreamingQueryProgress.observedMetrics
+    env, _ = count_edge(env, IN_METRIC, streaming=True)
     queries = []
     for spec in specs:
         plan = build_streaming_aggregation(
             env, spec, config.window_size_sec, config.window_lag_sec
         )
-        queries.append(
-            write_envelope_stream(
-                plan,
-                config.bootstrap_servers,
-                config.producer_topic,
-                checkpoint_dir=f"{checkpoint_dir}/{spec.name}",
+        plan, _ = count_edge(plan, OUT_METRIC, streaming=True)
+        if sink is not None:
+            queries.append(sink(plan, spec))
+        else:
+            queries.append(
+                write_envelope_stream(
+                    plan,
+                    config.bootstrap_servers,
+                    config.producer_topic,
+                    checkpoint_dir=f"{checkpoint_dir}/{spec.name}",
+                )
             )
-        )
     return queries

@@ -79,3 +79,70 @@ def test_envelope_jsonl_file_source(spark, tmp_path):
     stream = read_envelope_json(spark, str(tmp_path), streaming=True)
     assert stream.isStreaming
     assert stream.columns == env.columns
+
+
+def test_continuous_pipeline_composition_brokerless(spark, sf_small, tmp_path):
+    """The whole-runtime composition (build_continuous_pipeline) run
+    broker-less via injected file source + memory sink: two rules, each
+    its own StreamingQuery, in/out counters in the progress events."""
+    from monasca_aggregator_spark.config import (
+        EngineConfig,
+        build_continuous_pipeline,
+    )
+    from monasca_aggregator_spark.models import AggregationSpec
+    from monasca_aggregator_spark.observability import IN_METRIC, OUT_METRIC
+    from monasca_aggregator_spark.sources.envelope import events_to_envelopes
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig.from_dict({"windowSize": 3600, "windowLag": 2})
+    specs = [
+        AggregationSpec(
+            name=f"r{i}",
+            aggregated_metric_name=f"agg.{m}.sum",
+            filtered_metric_name=m,
+            function="sum",
+        )
+        for i, m in enumerate(["click", "view"])
+    ]
+
+    def source():
+        raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_small)
+        )
+        if dict(raw.dtypes)["ts"] == "bigint":
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return events_to_envelopes(raw)
+
+    def sink(plan, spec):
+        return (
+            plan.writeStream.format("memory")
+            .queryName(f"cp_{spec.name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / spec.name))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    queries = build_continuous_pipeline(
+        spark, cfg, specs, checkpoint_dir=str(tmp_path), source=source,
+        sink=sink,
+    )
+    assert len(queries) == 2
+    observed = {}
+    for q in queries:
+        q.awaitTermination()
+        for p in q.recentProgress:
+            om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+            for k, v in om.items():
+                observed[k] = observed.get(k, 0) + v["n"]
+    # both rules produced windows; counters rode the micro-batches
+    assert spark.table("cp_r0").count() > 0
+    assert spark.table("cp_r1").count() > 0
+    assert observed.get(IN_METRIC, 0) > 0
+    assert observed.get(OUT_METRIC, 0) > 0
