@@ -14,7 +14,11 @@ from hypothesis import strategies as st
 
 from monasca_aggregator_spark.models import AggregationSpec, Rollup, SpecError
 
-_FUNCTIONS = ("sum", "count", "avg", "min", "max", "delta", "rate")
+# the reference's seven + this engine's sketch-backed DSL extensions
+_FUNCTIONS = (
+    "sum", "count", "avg", "min", "max", "delta", "rate",
+    "distinct", "p95",
+)
 
 _names = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
@@ -26,7 +30,7 @@ _names = st.text(
 @given(fn=_names)
 @settings(max_examples=200, deadline=None)
 def test_only_reference_functions_accepted(fn):
-    """Any function name outside the reference's set must be rejected
+    """Any function name outside the supported set must be rejected
     (reference: models/aggregation_specification.go validation)."""
     kwargs = dict(
         name="n",
@@ -179,3 +183,71 @@ def test_minhash_estimates_jaccard_random_batch(spark):
     # aggregate bias: mean error should be near zero
     mean_err = sum(r.est_j - r.true_j for r in rows) / len(rows)
     assert abs(mean_err) < 0.03
+
+
+def test_split_total_and_stable_random_batch(spark):
+    """split_assign: every row gets exactly one split; membership is a
+    pure function of the bucket (stable under repartition); fractions
+    track the bucket ranges."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.sampling import split_assign
+
+    rng = random.Random(7)
+    ids = [(rng.randrange(0, 10**12),) for _ in range(5000)]
+    df = spark.createDataFrame(ids, "doc_id long")
+    b = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+    splits = [("train", 80), ("val", 90), ("test", 100)]
+
+    out = split_assign(df, b, splits)
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == len(ids)  # total: nothing dropped
+    assert set(counts) <= {"train", "val", "test"}
+    # xxhash spreads ~uniformly: train fraction within ±5pp of 80%
+    assert abs(counts["train"] / len(ids) - 0.80) < 0.05
+
+    again = {
+        r.doc_id: r.split
+        for r in split_assign(df.repartition(13), b, splits).collect()
+    }
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again  # stability under re-partitioning
+
+
+def test_pack_conserves_docs_and_bounds_chunks_random_batch(spark):
+    """pack_concat_chunk: every doc lands in exactly one chunk; chunk
+    payloads are bounded by budget + the max doc size (a doc may
+    straddle one boundary, never two ... as long as no single doc
+    exceeds the budget, each chunk holds < budget + max_doc chars)."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.sampling import pack_concat_chunk
+
+    rng = random.Random(11)
+    budget = 1000
+    rows = [
+        (f"s{rng.randrange(3)}", i, rng.randrange(1, 400))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, sz long")
+    packed = pack_concat_chunk(df, "src", "doc_id", "sz", budget)
+    assert packed.count() == len(rows)  # conservation
+
+    per_chunk = (
+        packed.groupBy("src", "chunk_id")
+        .agg(F.sum("sz").alias("chars"))
+        .collect()
+    )
+    max_doc = max(r[2] for r in rows)
+    for r in per_chunk:
+        assert r.chars < budget + max_doc
+    # chunk ids are dense from 0 per group (no gaps: offsets are a
+    # contiguous cumsum)
+    by_src: dict = {}
+    for r in per_chunk:
+        by_src.setdefault(r.src, []).append(r.chunk_id)
+    for src, chunks in by_src.items():
+        assert sorted(chunks) == list(range(len(chunks)))
