@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "events_daily_user",
     "asof_purchase_click",
     "sessions_user",
+    "range_join_ship",
+    "text_vocab_topk",
+    "split_train_val",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash",

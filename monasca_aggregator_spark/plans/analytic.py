@@ -191,6 +191,28 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """.strip()
 
 
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, shipmode-proxy): all 2^2 grouping sets in one
+    pass — like ROLLUP, Catalyst expands the sets below a single
+    exchange. Uses orders-status × priority (both low-cardinality; a
+    cube over high-cardinality keys multiplies rows by 2^k and should
+    be grouping-set-pruned instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {sql_stable_round("sum(o_totalprice)", 4)} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".strip()
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -229,6 +251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
     "argmax_per_group": q_argmax_per_group,
     "rollup_pricing": q_rollup_pricing,
+    "cube_volume": q_cube_volume,
     "pivot_events_user": q_pivot_events_user,
 }
 
@@ -238,5 +261,6 @@ ORACLES: dict[str, str] = {
     "tpch_q19_disjunct": ORACLE_Q19,
     "argmax_per_group": ORACLE_ARGMAX,
     "rollup_pricing": ORACLE_ROLLUP,
+    "cube_volume": ORACLE_CUBE,
     "pivot_events_user": ORACLE_PIVOT,
 }
