@@ -153,29 +153,73 @@ def run_stream_with_rollup(
             )
         )
 
+    return run_stream_with_publish(
+        spark, first, _rollup_of, sink=sink, query_name=query_name
+    )
+
+
+def run_stream_with_publish(
+    spark: SparkSession,
+    finalized: DataFrame,
+    transform,
+    *,
+    sink=None,
+    query_name: str = "publish_stream",
+) -> DataFrame:
+    """Generic publish-time stage: run ``transform(batch_df)`` over
+    each append-mode micro-batch of FINALIZED windows in foreachBatch.
+
+    Append mode guarantees each window reaches the transform exactly
+    once (after the watermark passes), so any batch-correct transform
+    — rollup, per-window top-k, alerting joins — is streaming-correct
+    here with no cross-batch state. ``sink(df, batch_id)`` defaults to
+    collecting into the returned DataFrame (tests); in production
+    point it at a distributed write.
+    """
     batches: list = []
 
-    def _collect_sink(rolled: DataFrame, batch_id: int) -> None:
-        batches.append(rolled.collect())
+    def _collect_sink(out: DataFrame, batch_id: int) -> None:
+        batches.append(out.collect())
 
     sink = sink or _collect_sink
 
-    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            sink(_rollup_of(batch_df), batch_id)
+            sink(transform(batch_df), batch_id)
 
     q = (
-        first.writeStream.foreachBatch(_roll)
+        finalized.writeStream.foreachBatch(_publish)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     rows = [r for b in batches for r in b]
-    schema = _rollup_of(
-        spark.createDataFrame([], first.schema)
+    schema = transform(
+        spark.createDataFrame([], finalized.schema)
     ).schema
     return spark.createDataFrame(rows, schema)
+
+
+def topk_per_window(k: int, *, by: str = "value"):
+    """Publish-time transform: the top-``k`` groups per finalized
+    window by ``by`` (continuous top-k — the streaming counterpart of
+    the batch window-function top-k; ties broken by dimension string
+    for determinism). Use with ``run_stream_with_publish`` over a
+    windowed aggregation's output."""
+
+    def _transform(batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_ts_ms", "tenant_id").orderBy(
+            F.col(by).desc(), F.col("dimensions").cast("string").asc()
+        )
+        return (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return _transform
 
 
 def streaming_exact_dedup(

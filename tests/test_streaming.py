@@ -384,3 +384,72 @@ def test_streaming_sketch_distinct_equals_batch(spark, sf_small):
     )
     stream_res = {r.window_ts_ms: r.value for r in stream.collect()}
     assert stream_res == batch_res and len(batch_res) > 10
+
+
+def test_continuous_topk_per_window_equals_batch(spark, sf_small):
+    """Continuous top-k at publish time: streamed top-3 users per
+    finalized window (by summed click value) must equal the batch
+    computation."""
+    from pyspark.sql import Window as W
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        run_stream_with_publish,
+        topk_per_window,
+    )
+
+    spec = AggregationSpec(
+        name="k",
+        aggregated_metric_name="agg.click.sum",
+        filtered_metric_name="click",
+        function="sum",
+        grouped_dimensions=("user_id",),
+    )
+    # batch expectation over watermark-finalized windows only: append
+    # mode never emits the trailing window(s) whose end the watermark
+    # hasn't passed. The watermark is applied post-filter (per-rule
+    # event-time progress), so it's max CLICK event time − lag.
+    env = events_to_envelopes(load_table(spark, sf_small, "events"))
+    lag = 120
+    max_ts_ms = (
+        env.filter(F.col("name") == "click")
+        .select(F.max(F.unix_millis("timestamp")))
+        .first()[0]
+    )
+    batch = build_aggregation(env, spec, 3600).filter(
+        F.col("window_ts_ms") + 3600 * 1000 <= max_ts_ms - lag * 1000
+    )
+    bw = W.partitionBy("window_ts_ms", "tenant_id").orderBy(
+        F.col("value").desc(), F.col("dimensions").cast("string").asc()
+    )
+    expected = {
+        (r.window_ts_ms, r.rank): (r.dimensions["user_id"], r.value)
+        for r in batch.withColumn("rank", F.row_number().over(bw))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+
+    # streamed: same stage-1 plan, top-k in foreachBatch at publish
+    from monasca_aggregator_spark.streaming.pipeline import (
+        build_streaming_aggregation,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finalized = build_streaming_aggregation(
+        events_to_envelopes(raw), spec, 3600, lag
+    )
+    streamed = run_stream_with_publish(
+        spark, finalized, topk_per_window(3), query_name="t_topk_stream"
+    )
+    got = {
+        (r.window_ts_ms, r.rank): (r.dimensions["user_id"], r.value)
+        for r in streamed.collect()
+    }
+    assert got == expected and len(expected) > 20
