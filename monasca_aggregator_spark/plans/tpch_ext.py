@@ -1,0 +1,428 @@
+"""Extended TPC-H-shaped analytic plans (Q7-Q13, Q16, Q17, Q21 shapes).
+
+The test schema has no ``partsupp`` table and no commit/receipt dates,
+so shapes that depend on them are adapted to the available columns —
+the *query shape* (what the optimizer must handle) is preserved:
+
+- Q7  two simultaneous joins against the same dimension (nation²)
+- Q8  conditional market-share over a 7-way join, per-year ratio
+- Q9  profit expression across fact⋈fact⋈dims (cost proxied by
+  ``p_retailprice`` since there is no ``ps_supplycost``)
+- Q10 returned-item revenue per customer
+- Q11 fraction-of-total HAVING via broadcast scalar subquery
+- Q13 outer-join distribution histogram (two-level aggregation)
+- Q16 distinct-count + NOT IN (anti-join) supplier stats
+- Q17 join against per-group average (broadcast agg join-back)
+- Q21 multi-correlated EXISTS / NOT EXISTS on the same fact table
+
+Scale posture: every dimension side is explicitly broadcast; the only
+shuffles are fact⋈fact joins keyed on orderkey and the final groupBys.
+The Q21 self-joins shuffle lineitem on l_orderkey once per side — at
+100 TB those co-partition (same key), so AQE folds them into one
+exchange reuse.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+def _rev():
+    # lazy: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (Q7 shape): the same nation dimension joins
+    twice under different roles (supplier nation, customer nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(stable_round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_stable_round(f"sum({_SQL_REV})", 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (Q8 shape): per-year share of one supplier nation
+    in a region's volume of one part type — conditional sum ratio over
+    a 7-way join; both aggregates come out of ONE shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(stable_round(F.sum(target) / F.sum(_rev()), 6).alias("mkt_share"))
+    )
+
+
+ORACLE_Q8 = f"""
+SELECT year(o_orderdate) AS o_year,
+       {sql_stable_round(
+           f"sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_SQL_REV} "
+           f"ELSE 0.0 END) / sum({_SQL_REV})", 6)} AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1
+""".strip()
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 shape): profit expression across
+    fact⋈fact⋈dims, grouped by supplier nation and order year. Cost is
+    proxied by ``p_retailprice`` (no partsupp table in the schema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _rev() - F.col("p_retailprice") * F.lit(0.01) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(stable_round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {sql_stable_round(
+           f"sum({_SQL_REV} - p_retailprice * 0.01 * l_quantity)", 4)}
+           AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""".strip()
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (Q10 shape): revenue lost to returns per
+    customer over a quarter-year of orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            stable_round(F.col("c_acctbal"), 4).alias("c_acctbal"),
+            F.col("n_name"),
+        )
+        .agg(stable_round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name,
+       {sql_stable_round("c_acctbal", 4)} AS c_acctbal, n_name,
+       {sql_stable_round(f"sum({_SQL_REV})", 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+""".strip()
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock (Q11 shape): per-part value kept only when it
+    exceeds a fraction of TOTAL value — the total is a 1-row aggregate
+    broadcast into the HAVING predicate (no second scan-shuffle;
+    partials reuse the same exchange under AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
+    total = li.agg((F.sum(_rev()) * F.lit(0.0005)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", stable_round(F.col("val"), 4).alias("part_value"))
+    )
+
+
+ORACLE_Q11 = f"""
+SELECT l_partkey, {sql_stable_round("sum(" + _SQL_REV + ")", 4)} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum({_SQL_REV}) >
+       (SELECT sum({_SQL_REV}) * 0.0005 FROM lineitem)
+""".strip()
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13 shape): LEFT OUTER join
+    (the filter lives in the join condition, so customers with no
+    matching orders survive with count 0) then a histogram over the
+    counts — two chained aggregations."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderstatus != F.lit("P")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+""".strip()
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count stats (Q16 shape): DISTINCT supplier count per
+    part group, excluding a NOT IN supplier set (left anti join against
+    a broadcast exclusion list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select(F.col("s_suppkey").alias("excl_key"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excl), li.l_suppkey == F.col("excl_key"), "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_size
+""".strip()
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17 shape): the correlated
+    "l_quantity < fraction·avg(l_quantity) for this part" subquery
+    becomes a join back against the per-part aggregate (broadcast: one
+    row per part, bounded by |part|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * F.lit(0.5)).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            stable_round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+ORACLE_Q17 = f"""
+SELECT {sql_stable_round("sum(l_extendedprice) / 7.0", 4)} AS avg_yearly
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+""".strip()
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-supplier count (Q21 shape): per-supplier rows that need
+    BOTH a correlated EXISTS (another supplier contributed to the same
+    order) and a correlated NOT EXISTS (no OTHER supplier's lines were
+    returned) against the same fact table — a left-semi plus a
+    left-anti self-join, both keyed on l_orderkey so they share one
+    co-partitioning. Adapted: "kept orders waiting" is proxied by
+    return flags (the schema has no commit/receipt dates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .alias("l1")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    survived = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        survived.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q7_two_nation": q_tpch_q7,
+    "tpch_q8_mkt_share": q_tpch_q8,
+    "tpch_q9_profit": q_tpch_q9,
+    "tpch_q10_returns": q_tpch_q10,
+    "tpch_q11_fraction": q_tpch_q11,
+    "tpch_q13_histogram": q_tpch_q13,
+    "tpch_q16_suppcnt": q_tpch_q16,
+    "tpch_q17_avg_qty": q_tpch_q17,
+    "tpch_q21_waiting": q_tpch_q21,
+}
+
+ORACLES: dict[str, str] = {
+    "tpch_q7_two_nation": ORACLE_Q7,
+    "tpch_q8_mkt_share": ORACLE_Q8,
+    "tpch_q9_profit": ORACLE_Q9,
+    "tpch_q10_returns": ORACLE_Q10,
+    "tpch_q11_fraction": ORACLE_Q11,
+    "tpch_q13_histogram": ORACLE_Q13,
+    "tpch_q16_suppcnt": ORACLE_Q16,
+    "tpch_q17_avg_qty": ORACLE_Q17,
+    "tpch_q21_waiting": ORACLE_Q21,
+}

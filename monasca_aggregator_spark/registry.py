@@ -32,6 +32,7 @@ def _modules():
     mods = [metrics, tpch]
     for name in (
         "analytic",
+        "tpch_ext",
         "pipeline_ops",
         "dedup",
         "textops",
