@@ -1,4 +1,4 @@
-"""Extended TPC-H-shaped analytic plans (Q7-Q13, Q16, Q17, Q21 shapes).
+"""Extended TPC-H-shaped analytic plans (Q7-Q13, Q15-Q17, Q20, Q21).
 
 The test schema has no ``partsupp`` table and no commit/receipt dates,
 so shapes that depend on them are adapted to the available columns —
@@ -10,9 +10,13 @@ the *query shape* (what the optimizer must handle) is preserved:
   ``p_retailprice`` since there is no ``ps_supplycost``)
 - Q10 returned-item revenue per customer
 - Q11 fraction-of-total HAVING via broadcast scalar subquery
+- Q12 conditional CASE-counts over a fact⋈fact join (``l_linestatus``
+  stands in for ``l_shipmode``; lateness from ship-vs-order date)
 - Q13 outer-join distribution histogram (two-level aggregation)
+- Q15 revenue view consumed twice (rows + broadcast 1-row MAX)
 - Q16 distinct-count + NOT IN (anti-join) supplier stats
 - Q17 join against per-group average (broadcast agg join-back)
+- Q20 semi-join chain over an aggregate-with-HAVING subquery
 - Q21 multi-correlated EXISTS / NOT EXISTS on the same fact table
 
 Scale posture: every dimension side is explicitly broadcast; the only
@@ -403,13 +407,143 @@ GROUP BY s_name
 """.strip()
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority counts (Q12 shape): fact⋈fact join plus
+    two conditional counts (CASE inside SUM) grouped by a line
+    attribute. Adapted: ``l_linestatus`` stands in for ``l_shipmode``
+    and "late" means shipped >60 days after the order date (the schema
+    has no commit/receipt dates). One shuffle join on orderkey, one
+    groupBy over a 2-value key — the partial aggregation collapses
+    everything map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+""".strip()
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15 shape): a revenue "view" (per-supplier agg
+    over a 3-month slice) consumed twice — once for the rows, once
+    reduced to a 1-row MAX that is broadcast back as the filter.
+    Revenue is rounded before the max/equality so the tie-break is
+    identical in Spark and the oracle. The per-supplier aggregate is
+    tiny (bounded by |supplier|), so the self-consumption costs one
+    broadcast, not a rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        stable_round(F.sum(_rev()), 4).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(top), F.col("total_revenue") == F.col("max_revenue")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_stable_round("sum(" + _SQL_REV + ")", 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""".strip()
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-inventory suppliers (Q20 shape): a LEFT SEMI join whose
+    right side is itself an aggregate-with-HAVING over a filtered
+    part⋈lineitem join — the nested-subquery chain of the original,
+    flattened into semi-joins Catalyst can reorder. Adapted: with no
+    partsupp table, "excess availability" is proxied by per-(supplier,
+    part) shipped quantity exceeding a threshold for 'widget' parts.
+    The part filter is broadcast into the lineitem scan, so the only
+    shuffle is the (partkey, suppkey) groupBy; supplier then
+    semi-joins the small survivor set (broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 10
+    )
+    widget = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").endswith("widget"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(widget), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey < 10
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%widget')
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > 50
+  )
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7_two_nation": q_tpch_q7,
     "tpch_q8_mkt_share": q_tpch_q8,
     "tpch_q9_profit": q_tpch_q9,
     "tpch_q10_returns": q_tpch_q10,
     "tpch_q11_fraction": q_tpch_q11,
+    "tpch_q12_latecount": q_tpch_q12,
     "tpch_q13_histogram": q_tpch_q13,
+    "tpch_q15_topsupp": q_tpch_q15,
+    "tpch_q20_excess": q_tpch_q20,
     "tpch_q16_suppcnt": q_tpch_q16,
     "tpch_q17_avg_qty": q_tpch_q17,
     "tpch_q21_waiting": q_tpch_q21,
@@ -421,7 +555,10 @@ ORACLES: dict[str, str] = {
     "tpch_q9_profit": ORACLE_Q9,
     "tpch_q10_returns": ORACLE_Q10,
     "tpch_q11_fraction": ORACLE_Q11,
+    "tpch_q12_latecount": ORACLE_Q12,
     "tpch_q13_histogram": ORACLE_Q13,
+    "tpch_q15_topsupp": ORACLE_Q15,
+    "tpch_q20_excess": ORACLE_Q20,
     "tpch_q16_suppcnt": ORACLE_Q16,
     "tpch_q17_avg_qty": ORACLE_Q17,
     "tpch_q21_waiting": ORACLE_Q21,
