@@ -94,6 +94,94 @@ def compression_ratio(
     )
 
 
+def _bigrams(ws: str) -> str:
+    # SQL fragment: array of "w[i] w[i+1]" bigrams (0-based [] indexing)
+    return (
+        f"transform(sequence(0, size({ws}) - 2),"
+        f" i -> concat({ws}[i], ' ', {ws}[i + 1]))"
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    §A1.1): duplicate-word fraction and the fraction of bigrams taken
+    by the single most-frequent bigram.
+
+    Both are pure column expressions — the bigram mode is the longest
+    run in the *sorted* bigram array, computed with a higher-order
+    ``aggregate`` fold, so the whole operator is a narrow projection
+    with zero shuffle: at 100 TB it runs at parquet scan speed instead
+    of exploding ~n_words rows per document through an exchange."""
+    split = F.split(F.col(text_col), " ")
+    # longest equal-run in the sorted bigram list == mode count
+    mode_run = F.expr(
+        f"""aggregate(
+          array_sort({_bigrams(f"split({text_col}, ' ')")}),
+          struct(cast(null as string) as prev, 0L as run, 0L as best),
+          (acc, x) -> struct(
+            x as prev,
+            if(x <=> acc.prev, acc.run + 1, 1L) as run,
+            greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1L)) as best),
+          acc -> acc.best)"""
+    )
+    n_words = F.size(split)
+    n_grams = F.greatest(n_words - 1, F.lit(0))
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(split)) / n_words
+    top_frac = F.when(
+        n_grams > 0, mode_run.cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        stable_round(dup_word_frac, 4).alias("dup_word_frac"),
+        stable_round(top_frac, 4).alias("top_bigram_frac"),
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df_frac: float = 0.05,
+) -> DataFrame:
+    """Per-document fraction of bigrams that are corpus-wide
+    boilerplate (document frequency ≥ ``min_df_frac`` of the corpus) —
+    the cross-document repetition signal CCNet/Dolma-style cleaners
+    cut on.
+
+    Plan shape: one explode → two aggregations. The document-frequency
+    table is keyed by bigram (bounded by vocabulary², independent of
+    corpus size), so the common-gram set broadcasts back to the
+    exploded grams — the per-document fraction then needs only the
+    groupBy(doc) shuffle, never a gram⋈gram join."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_bigrams(f"split({text_col}, ' ')"))).alias("gram"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row, broadcast
+    common = (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(total))
+        .filter(F.col("df") >= F.lit(float(min_df_frac)) * F.col("n_docs"))
+        .select("gram", F.lit(1).alias("is_common"))
+    )
+    return (
+        grams.join(F.broadcast(common), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            stable_round(
+                F.sum(F.coalesce(F.col("is_common"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("boilerplate_frac")
+        )
+    )
+
+
 def _make_zlib_ratio():
     # built lazily: pandas_udf needs an active SparkSession. Real
     # (non-string) hints are attached so pandas_udf's type-hint

@@ -11,6 +11,7 @@ from monasca_aggregator_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
 )
+from monasca_aggregator_spark.functions.rounding import sql_stable_round
 from monasca_aggregator_spark.operators import textops as T
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -183,6 +184,72 @@ FROM t
 """.strip()
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_scores(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+
+
+_SQL_ROUND4 = sql_stable_round
+
+ORACLE_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+),
+counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+),
+modes AS (
+  SELECT doc_id, max(c) AS mode_c, sum(c) AS n_grams
+  FROM counts GROUP BY doc_id
+),
+dw AS (
+  SELECT doc_id,
+         1.0 - count(DISTINCT word)::DOUBLE / count(*) AS dupf
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w) u
+  GROUP BY doc_id
+)
+SELECT dw.doc_id,
+       {_SQL_ROUND4("dupf")} AS dup_word_frac,
+       {_SQL_ROUND4("coalesce(mode_c::DOUBLE / n_grams, 0.0)")}
+         AS top_bigram_frac
+FROM dw LEFT JOIN modes ON dw.doc_id = modes.doc_id
+""".strip()
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.boilerplate_fraction(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+),
+common AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >=
+         0.05 * (SELECT count(*) FROM documents)
+)
+SELECT doc_id,
+       {_SQL_ROUND4(
+         "sum(CASE WHEN gram IN (SELECT gram FROM common)"
+         " THEN 1 ELSE 0 END)::DOUBLE / count(*)"
+       )} AS boilerplate_frac
+FROM g
+GROUP BY doc_id
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -190,6 +257,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
     "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
+    "text_repetition": q_text_repetition,
+    "text_boilerplate": q_text_boilerplate,
 }
 
 ORACLES: dict[str, str] = {
@@ -198,4 +267,6 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
+    "text_repetition": ORACLE_REPETITION,
+    "text_boilerplate": ORACLE_BOILERPLATE,
 }

@@ -119,3 +119,55 @@ def test_compression_ratio_plan_is_arrow(spark, sf_small):
     )
     assert "ArrowEvalPython" in plan    # vectorized, not BatchEvalPython
     assert "Exchange" not in plan       # narrow projection, no shuffle
+
+
+def test_repetition_scores_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "a a a a"),          # dup 3/4; bigrams: "a a"×3 → 1.0
+            ("d2", "a b c d"),          # all distinct; 3 distinct bigrams
+            ("d3", "x y x y x"),        # dup 3/5; "x y"×2 of 4 → 0.5
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.dup_word_frac, r.top_bigram_frac)
+        for r in textops.repetition_scores(df).collect()
+    }
+    assert out["d1"] == (0.75, 1.0)
+    assert out["d2"] == (0.0, pytest.approx(1 / 3, abs=1e-4))
+    assert out["d3"] == (0.6, 0.5)
+
+
+def test_repetition_scores_no_shuffle(spark, sf_small):
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        textops.repetition_scores(load_table(spark, sf_small, "documents"))
+    )
+    assert "Exchange" not in plan       # pure narrow projection
+
+
+def test_boilerplate_fraction_hand_computed(spark):
+    # "a b" appears in every doc (df=3 ≥ 0.5·3); the other bigrams are
+    # singletons, so each doc's fraction = common_grams / total_grams.
+    df = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a b d"), ("d3", "z a b")],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r.boilerplate_frac
+        for r in textops.boilerplate_fraction(df, min_df_frac=0.5).collect()
+    }
+    assert out == {"d1": 0.5, "d2": 0.5, "d3": 0.5}
+
+
+def test_boilerplate_common_set_broadcasts(spark, sf_small):
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        textops.boilerplate_fraction(load_table(spark, sf_small, "documents"))
+    )
+    assert "BroadcastHashJoin" in plan  # common-gram set joins broadcast
