@@ -453,3 +453,65 @@ def test_continuous_topk_per_window_equals_batch(spark, sf_small):
         for r in streamed.collect()
     }
     assert got == expected and len(expected) > 20
+
+
+def test_streaming_sessionize_finalizes_and_drops_late(spark, tmp_path):
+    """Native session_window in append-mode streaming: a session is
+    emitted once the watermark passes its close (last event + gap), and
+    a later event behind the watermark can't reopen it — the streaming
+    counterpart of the batch `sessions_user` query (SURVEY §2 24b)."""
+    import json as _json
+
+    from monasca_aggregator_spark.operators.asof import sessionize
+
+    def ev(user, ts_s):
+        return _json.dumps({"user_id": user, "ts_s": ts_s})
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: u1 has two events 30 s apart (gap 60 s → one session
+    # [0, 90)); u2's lone event at 600 s pushes the watermark to 570 s,
+    # far past u1's session end → u1's session finalizes
+    (src / "b1.jsonl").write_text(
+        "\n".join([ev("u1", 0.0), ev("u1", 30.0), ev("u2", 600.0)])
+    )
+    raw = (
+        spark.readStream.schema("user_id string, ts_s double")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+        .withWatermark("ts", "30 seconds")
+    )
+    out = sessionize(raw, ["user_id"], ts_col="ts", gap="60 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.user_id, r.session_start_ms, r.session_end_ms): r.n_events
+            for r in spark.table("sess_stream").collect()
+        }
+        assert first == {("u1", 0, 90_000): 2}
+
+        # batch 2: a late u1 event at 40 s (behind the 570 s watermark)
+        # must NOT reopen the emitted session; a 1200 s pusher advances
+        # the watermark past u2's session end → u2 finalizes
+        (src / "b2.jsonl").write_text(
+            "\n".join([ev("u1", 40.0), ev("u3", 1200.0)])
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, r.session_start_ms, r.session_end_ms): r.n_events
+            for r in spark.table("sess_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    assert rows == {
+        ("u1", 0, 90_000): 2,          # unchanged: late event dropped
+        ("u2", 600_000, 660_000): 1,   # finalized by the new watermark
+    }
