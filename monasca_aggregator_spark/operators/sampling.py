@@ -60,6 +60,33 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    bucket: Column,
+    *,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (the rebalancing
+    step of a training mix: e.g. keep 100% of low-resource languages,
+    25% of English). A row survives iff ``bucket < 100·fraction`` for
+    its stratum, so membership is a pure row-local predicate — a
+    narrow filter with zero shuffle that pushes down to the scan,
+    unlike ``df.sampleBy`` whose RNG draw depends on partitioning and
+    is not rerun-stable.
+
+    ``bucket`` must be a 0-99 integer expression (same contract as
+    ``split_assign``; pass an xxhash64-based one in production, an
+    arithmetic one when cross-engine reproducibility matters)."""
+    expr = F.lit(float(default_fraction) * 100.0)
+    for label, frac in fractions.items():
+        expr = F.when(
+            F.col(stratum_col) == label, F.lit(float(frac) * 100.0)
+        ).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
 def pack_concat_chunk(
     df: DataFrame,
     group_col: str,

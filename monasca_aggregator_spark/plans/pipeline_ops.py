@@ -16,6 +16,7 @@ from monasca_aggregator_spark.operators.sampling import (
     pack_concat_chunk,
     quota_per_group,
     split_assign,
+    stratified_sample,
 )
 from monasca_aggregator_spark.operators.textops import quality_scores
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
@@ -101,14 +102,52 @@ FROM o GROUP BY 1, 2
 """.strip()
 
 
+# language-rebalancing mix: drop most English, keep low-resource langs
+STRATA = {"en": 0.25, "de": 1.0, "fr": 0.75, "es": 0.5, "zh": 1.0}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified language rebalance summary: surviving docs/chars per
+    language under per-stratum keep fractions. The keep decision is a
+    row-local arithmetic predicate (deterministic bucket), so the
+    filter pushes to the scan — zero extra shuffle beyond the summary
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "lang",
+        STRATA,
+        F.pmod(F.col("doc_id") * F.lit(37) + F.lit(11), F.lit(100)),
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_STRATA_SQL = " ".join(
+    f"WHEN lang = '{k}' THEN {v * 100.0}" for k, v in STRATA.items()
+)
+
+ORACLE_STRATIFIED = f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE (doc_id * 37 + 11) % 100 <
+      CASE {_STRATA_SQL} ELSE 0.0 END
+GROUP BY lang
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
+    "sample_stratified": q_sample_stratified,
     "split_train_val": q_split_train_val,
     "pack_chunks": q_pack_chunks,
 }
 
 ORACLES: dict[str, str] = {
     "sample_quota_source": ORACLE_QUOTA,
+    "sample_stratified": ORACLE_STRATIFIED,
     "split_train_val": ORACLE_SPLIT,
     "pack_chunks": ORACLE_PACK,
 }

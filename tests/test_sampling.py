@@ -9,6 +9,7 @@ from monasca_aggregator_spark.operators.sampling import (
     pack_concat_chunk,
     quota_per_group,
     split_assign,
+    stratified_sample,
 )
 
 
@@ -75,3 +76,29 @@ def test_pack_groups_are_independent(spark):
     chunks = {(r.src, r.doc_id): r.chunk_id for r in out}
     # each group restarts at offset 0
     assert chunks == {("a", 1): 0, ("a", 3): 0, ("b", 2): 0, ("b", 4): 0}
+
+
+def test_stratified_sample_row_local_predicate(spark):
+    # bucket = id % 100; en keeps bucket < 50, de keeps all, fr none
+    df = spark.createDataFrame(
+        [(10, "en"), (60, "en"), (99, "de"), (5, "fr"), (7, "xx")],
+        "id long, lang string",
+    )
+    kept = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 1.0, "fr": 0.0},
+        F.pmod(F.col("id"), F.lit(100)),
+    )
+    assert sorted(r.id for r in kept.collect()) == [10, 99]
+
+
+def test_stratified_sample_filter_pushes_to_scan(spark, sf_small):
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    kept = stratified_sample(
+        load_table(spark, sf_small, "documents"),
+        "lang", {"en": 0.25},
+        F.pmod(F.col("doc_id") * F.lit(37) + F.lit(11), F.lit(100)),
+    )
+    plan = explain_str(kept.select("doc_id", "lang"))
+    assert "Exchange" not in plan      # pure row-local filter
