@@ -1,0 +1,171 @@
+"""Distributed t-digest quantile sketch (Dunning & Ertl, "Computing
+extremely accurate quantiles using t-digests", 2019 — public paper;
+implementation from scratch, no library).
+
+Completes the quantile-sketch path SURVEY §2 18d opened with GK
+(`approx_percentile`): unlike GK, t-digest centroids are *mergeable*
+with no accuracy cliff, which is what a 1000-executor topology needs —
+each task sketches its partition locally, and only O(δ) centroids per
+group ever cross the wire.
+
+Plan shape (the whole point at 100 TB):
+
+  stage 1  mapInPandas       — per-partition partial digests, built
+                               incrementally with a bounded buffer
+                               (≈32δ values) so executor memory is
+                               O(δ) per live group, NO shuffle;
+  stage 2  groupBy(keys)     — shuffles ONLY centroid arrays
+           .applyInPandas      (≤δ rows of (mean, weight) per partial,
+                               vs the raw multiset for exact
+                               percentiles), merge + interpolate.
+
+The k₁ scale function k(q) = δ/2π·asin(2q−1) concentrates centroid
+resolution at the tails, so extreme quantiles (p95/p99) carry the
+smallest error — the reverse of equi-width histograms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUFFER_FACTOR = 32  # values buffered per group before an incremental compress
+
+
+def _k(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    return delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def _k_inv(k: np.ndarray | float, delta: float) -> np.ndarray | float:
+    return (np.sin(np.clip(k * 2.0 * np.pi / delta, -np.pi / 2, np.pi / 2)) + 1.0) / 2.0
+
+
+def compress(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Merge (mean, weight) points into ≤ ~δ centroids honoring the k₁
+    size bound. Input need not be sorted; output is sorted by mean."""
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="mergesort")
+    m, w = means[order], weights[order]
+    total = float(w.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0  # total weight of emitted clusters
+    cm, cw = float(m[0]), float(w[0])
+    q_limit = _k_inv(_k(0.0, delta) + 1.0, delta) * total
+    for i in range(1, m.size):
+        if cum + cw + float(w[i]) <= q_limit:
+            cw += float(w[i])
+            cm += (float(m[i]) - cm) * float(w[i]) / cw
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            cum += cw
+            q_limit = _k_inv(_k(cum / total, delta) + 1.0, delta) * total
+            cm, cw = float(m[i]), float(w[i])
+    out_m.append(cm)
+    out_w.append(cw)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Interpolated quantile from a sorted-by-mean centroid list (the
+    standard midpoint-rank interpolation)."""
+    if means.size == 0:
+        return float("nan")
+    if means.size == 1:
+        return float(means[0])
+    total = float(weights.sum())
+    target = q * total
+    mid = np.cumsum(weights) - weights / 2.0
+    if target <= mid[0]:
+        return float(means[0])
+    if target >= mid[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(mid, target))
+    t = (target - mid[i - 1]) / (mid[i] - mid[i - 1])
+    return float(means[i - 1] + t * (means[i] - means[i - 1]))
+
+
+def _key_ddl(df: DataFrame, keys: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{k} {by_name[k]}" for k in keys)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    delta: float = 100.0,
+) -> DataFrame:
+    """Per-group quantiles via two-stage t-digest: map-side partial
+    digests (no shuffle of raw values), then a merge keyed by ``keys``
+    where only centroid arrays move. ``qs`` maps output column name →
+    quantile in (0, 1)."""
+    keys = list(keys)
+    key_ddl = _key_ddl(df, keys)
+    partial_schema = f"{key_ddl}, means array<double>, weights array<double>"
+    out_schema = key_ddl + ", " + ", ".join(f"{c} double" for c in qs)
+    buf_cap = int(_BUFFER_FACTOR * delta)
+    q_items = list(qs.items())
+
+    def _partials(batches):
+        import pandas as pd
+
+        # key → (centroid means, centroid weights, raw-value buffer)
+        state: dict[tuple, list] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = grp[value_col].dropna().to_numpy(dtype=float)
+                if vals.size == 0:
+                    continue
+                ent = state.setdefault(key, [np.empty(0), np.empty(0), []])
+                ent[2].extend(vals)
+                if len(ent[2]) >= buf_cap:
+                    bm = np.asarray(ent[2])
+                    ent[0], ent[1] = compress(
+                        np.concatenate([ent[0], bm]),
+                        np.concatenate([ent[1], np.ones(bm.size)]),
+                        delta,
+                    )
+                    ent[2] = []
+        rows = []
+        for key, (m, w, buf) in state.items():
+            if buf:
+                bm = np.asarray(buf)
+                m, w = compress(
+                    np.concatenate([m, bm]),
+                    np.concatenate([w, np.ones(bm.size)]),
+                    delta,
+                )
+            rows.append((*key, list(m), list(w)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*keys, "means", "weights"])
+
+    def _merge(pdf):
+        import pandas as pd
+
+        m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+        m, w = compress(m, w, delta)
+        row = [pdf[k].iloc[0] for k in keys]
+        row += [quantile(m, w, q) for _, q in q_items]
+        return pd.DataFrame([row], columns=[*keys, *[c for c, _ in q_items]])
+
+    partials = df.select(*keys, value_col).mapInPandas(
+        _partials, schema=partial_schema
+    )
+    return partials.groupBy(*keys).applyInPandas(_merge, schema=out_schema)
+
+
+def exact_error_bound_note() -> str:
+    """Rank-error expectation used by the accuracy tests: with the k₁
+    scale at compression δ, observed rank error is well under 1/δ at
+    mid quantiles and tighter at the tails."""
+    return "rank_error << 1/delta"

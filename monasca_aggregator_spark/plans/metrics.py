@@ -249,6 +249,25 @@ FROM events WHERE event_type = 'view' GROUP BY 1
 """.strip()
 
 
+def q_agg_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: per-window p95 via the from-scratch mergeable
+    t-digest (operators/tdigest.py) — map-side partial digests, then a
+    merge that shuffles only centroid arrays. Interpolated (not
+    discrete) quantiles, so no bit-exact SQL oracle; accuracy vs the
+    exact percentile is pinned in tests/test_tdigest.py (rank error
+    ≪ 1/δ)."""
+    from monasca_aggregator_spark.operators.tdigest import tdigest_quantiles
+
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    views = env.filter(F.col("name") == "view").select(
+        w.alias("window_ts_ms"), "value"
+    )
+    return tdigest_quantiles(
+        views, ["window_ts_ms"], "value", {"p95_value": 0.95}
+    )
+
+
 def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule fan-out (reference: server.go:306-310 iterates every
     rule per message): ONE cached envelope scan feeds N rule plans whose
@@ -376,4 +395,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_median": q_agg_median,
     "agg_distinct_hll": q_agg_distinct_hll,
     "agg_p95_sketch": q_agg_p95_sketch,
+    "agg_p95_tdigest": q_agg_p95_tdigest,  # rows-only (interpolated sketch)
 }
