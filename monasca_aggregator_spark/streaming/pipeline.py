@@ -360,3 +360,48 @@ def streaming_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (attribution shape: every right-side
+    event matched to the left-side events it followed within
+    ``within``). Both sides get a watermark and the join carries the
+    time-range predicate, so Spark can bound each side's state to the
+    interval + watermark slack and GC matched rows — without the range
+    condition a stream-stream join would buffer both streams forever.
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename
+    upstream); output carries both plus each side's columns.
+
+    Gotcha pinned by the tests: the initial watermark is epoch 0, and
+    the state-store admission filter classes a row AT the watermark as
+    late — so an event timestamped exactly 1970-01-01T00:00:00 is
+    silently dropped. Irrelevant for real event times; surprising in
+    synthetic fixtures.
+    """
+    from functools import reduce
+    from operator import and_
+
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = reduce(
+        and_, [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    )
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond)
