@@ -69,3 +69,75 @@ def write_sharded(
 def plan_shards(n_rows: int, target_rows_per_file: int) -> int:
     """Shard count for an even layout at a target file size."""
     return max(1, math.ceil(n_rows / target_rows_per_file))
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_by: Sequence[str],
+    *,
+    n_shards: int,
+    target_rows_per_file: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Globally range-sorted shard layout: rows are range-partitioned
+    on ``order_by`` (one skew-aware sampled shuffle) and sorted within
+    each shard, so shard k's key range precedes shard k+1's and every
+    parquet row group carries tight, disjoint min/max stats — the
+    layout that turns a key-range predicate into file- and
+    row-group-level data skipping for every downstream scan."""
+    cols = [F.col(c) for c in order_by]
+    out = df.repartitionByRange(n_shards, *cols).sortWithinPartitions(*cols)
+    writer = out.write.mode(mode).format(fmt)
+    if target_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", target_rows_per_file)
+    writer.save(path)
+
+
+def zorder_value(cols: Sequence[str], *, bits: int = 16) -> F.Column:
+    """Z-order (Morton) key from non-negative integer columns: bit i of
+    column j lands at interleaved position ``i·n_cols + j``. Pure
+    bitwise column expressions (shift/and/or), so the key computes
+    JVM-side inside whole-stage codegen. Callers pre-scale values into
+    [0, 2^bits); total bits must fit a long (n_cols·bits ≤ 63)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError("n_cols * bits must be <= 63")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        col = F.col(c).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 16,
+    n_shards: int,
+    target_rows_per_file: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Multi-dimensional clustering: range-partition + sort on the
+    Z-order key so a predicate on ANY prefix/subset of ``cols`` hits a
+    small band of shards (each file covers a compact hyper-rectangle
+    of the key space, and its per-column parquet min/max stay tight —
+    unlike a lexicographic sort, which only skips on the leading
+    column)."""
+    z = zorder_value(cols, bits=bits).alias("__z")
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_shards, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode(mode).format(fmt)
+    if target_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", target_rows_per_file)
+    writer.save(path)

@@ -71,3 +71,79 @@ def test_plan_shards():
     assert plan_shards(0, 100) == 1
     assert plan_shards(100, 100) == 1
     assert plan_shards(101, 100) == 2
+
+
+def test_range_sorted_write_yields_disjoint_file_ranges(
+    spark, sf_small, tmp_path
+):
+    from monasca_aggregator_spark.sources.sinks import write_range_sorted
+
+    docs = load_table(spark, sf_small, "documents").repartition(8)
+    out = tmp_path / "range_sorted"
+    write_range_sorted(docs, str(out), ["doc_id"], n_shards=4)
+
+    ranges = []
+    for f in _parquet_files(out):
+        stats = (
+            spark.read.parquet(str(f))
+            .agg(F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1)))
+            .collect()[0]
+        )
+        if stats[2]:
+            ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint and ordered"
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == docs.count()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from monasca_aggregator_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (2, 1)], "x long, y long"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value(["x", "y"], bits=2).alias("z")
+        ).collect()
+    }
+    # bit i of x → position 2i; bit i of y → position 2i+1
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(2, 1)] == 0b0110
+
+
+def test_zordered_write_keeps_both_columns_tight(spark, tmp_path):
+    """Each z-ordered file covers a compact square of the 2-D key
+    space, so per-file min/max spans stay small on BOTH columns — a
+    lexicographic sort would leave the second column's span at full
+    width in every file."""
+    import itertools
+
+    from monasca_aggregator_spark.sources.sinks import write_zordered
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(16)
+    out = tmp_path / "zordered"
+    write_zordered(df, str(out), ["x", "y"], bits=6, n_shards=16)
+
+    spans = []
+    for f in _parquet_files(out):
+        s = (
+            spark.read.parquet(str(f))
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+                 F.count(F.lit(1)))
+            .collect()[0]
+        )
+        if s[4]:
+            spans.append((s[1] - s[0], s[3] - s[2]))
+    assert len(spans) >= 8
+    # average span per file ≪ full width (63) on BOTH dimensions
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x <= 32 and avg_y <= 32
