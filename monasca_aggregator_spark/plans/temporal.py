@@ -224,8 +224,76 @@ GROUP BY 1
 """.strip()
 
 
+_HOUR_MS = 3_600_000
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection: each hourly window's mean value scored
+    against the trailing 24 windows' mean/stddev (the self-baselining
+    alert rule monitoring systems run on aggregated series — a natural
+    consumer of the reference's aggregate output stream). Two
+    aggregation levels, ONE shuffle: the windowed groupBy keys by
+    (metric, window) and the trailing frame re-sorts within metric —
+    per-metric series state is 24 rows regardless of scale. Z is
+    computed from the ROUNDED window means so the engine and oracle
+    agree bit-for-bit after division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS))
+        .cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    hourly = ev.groupBy(
+        F.col("event_type"), wcol.alias("window_ts_ms")
+    ).agg(stable_round(F.avg("value"), 4).alias("wv"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_ts_ms")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("wv").over(frame)
+    sd = F.stddev_samp("wv").over(frame)
+    z = stable_round(
+        F.when(sd > 0, (F.col("wv") - mu) / sd), 4
+    )
+    return hourly.select(
+        "event_type",
+        "window_ts_ms",
+        "wv",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(3.0), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+_Z_SQL = sql_stable_round("CASE WHEN sd > 0 THEN (wv - mu) / sd END", 4)
+
+ORACLE_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+         {sql_stable_round("avg(value)", 4)} AS wv
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, window_ts_ms, wv,
+         avg(wv) OVER f AS mu,
+         stddev_samp(wv) OVER f AS sd
+  FROM hourly
+  WINDOW f AS (PARTITION BY event_type ORDER BY window_ts_ms
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_ts_ms, wv,
+       {_Z_SQL} AS z,
+       coalesce(abs({_Z_SQL}) > 3, false) AS is_anomaly
+FROM scored
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
+    "anomaly_zscore": q_anomaly_zscore,
     "sessions_user": q_sessions_user,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
@@ -234,6 +302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "range_join_ship": ORACLE_RANGE_JOIN,
+    "anomaly_zscore": ORACLE_ANOMALY,
     "asof_purchase_click": ORACLE_ASOF,
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,
