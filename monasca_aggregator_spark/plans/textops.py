@@ -184,6 +184,21 @@ FROM t
 """.strip()
 
 
+def q_text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: bounded-state vocabulary top-20 via parallel
+    Space-Saving (operators/heavyhitters.py) — the sketch counterpart
+    of the exact `text_vocab_topk` for vocabularies too wide to
+    groupBy. Upper/lower bound guarantees pinned in
+    tests/test_heavyhitters.py."""
+    from monasca_aggregator_spark.operators.heavyhitters import (
+        explode_tokens,
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return heavy_hitters(explode_tokens(docs), "token", k=20, capacity=2048)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_scores(
         load_table(spark, sf_dir, "documents", fan_out=True)
@@ -259,6 +274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
+    "text_topk_sketch": q_text_topk_sketch,  # rows-only (bounded-state sketch)
 }
 
 ORACLES: dict[str, str] = {
