@@ -251,3 +251,53 @@ def test_pack_conserves_docs_and_bounds_chunks_random_batch(spark):
         by_src.setdefault(r.src, []).append(r.chunk_id)
     for src, chunks in by_src.items():
         assert sorted(chunks) == list(range(len(chunks)))
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    q=st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(max_examples=40, deadline=None)
+def test_tdigest_quantile_within_range_and_weight_conserved(data, q):
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.tdigest import (
+        compress,
+        quantile,
+    )
+
+    x = np.asarray(data, dtype=float)
+    m, w = compress(x, np.ones(x.size), 50.0)
+    assert w.sum() == pytest.approx(x.size)
+    est = quantile(m, w, q)
+    assert min(data) <= est <= max(data)
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"t{i}" for i in range(30)]),
+        min_size=1,
+        max_size=600,
+    ),
+    cap=st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_space_saving_bounds_hold_for_any_stream(tokens, cap):
+    from collections import Counter
+
+    from monasca_aggregator_spark.operators.heavyhitters import (
+        _space_saving,
+    )
+
+    summary = _space_saving(tokens, cap)
+    truth = Counter(tokens)
+    assert len(summary) <= cap
+    for t, (cnt, err) in summary.items():
+        assert cnt >= truth[t] >= cnt - err
+    for t, c in truth.items():
+        if c > len(tokens) / cap:
+            assert t in summary
