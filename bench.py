@@ -47,9 +47,14 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_embedding",
     "text_quality",
+    "text_repetition",
     "ann_cosine_topk",
     "sample_quota_source",
     "pack_chunks",
+    # sketch + series additions
+    "agg_p95_tdigest",
+    "text_topk_sketch",
+    "anomaly_zscore",
 ]
 
 

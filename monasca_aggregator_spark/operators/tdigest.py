@@ -135,15 +135,24 @@ def tdigest_quantiles(
                         delta,
                     )
                     ent[2] = []
+        lazy_cap = int(4 * delta)
         rows = []
         for key, (m, w, buf) in state.items():
             if buf:
                 bm = np.asarray(buf)
-                m, w = compress(
-                    np.concatenate([m, bm]),
-                    np.concatenate([w, np.ones(bm.size)]),
-                    delta,
-                )
+                if m.size == 0 and bm.size <= lazy_cap:
+                    # lazy compression: a small buffer IS a valid digest
+                    # (unit-weight centroids); skip the per-group
+                    # compress here — the merge stage compresses once
+                    # per group instead of once per (group, partition),
+                    # which dominates wall time when groups are tiny
+                    m, w = np.sort(bm), np.ones(bm.size)
+                else:
+                    m, w = compress(
+                        np.concatenate([m, bm]),
+                        np.concatenate([w, np.ones(bm.size)]),
+                        delta,
+                    )
             rows.append((*key, list(m), list(w)))
         if rows:
             yield pd.DataFrame(rows, columns=[*keys, "means", "weights"])
