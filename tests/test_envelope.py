@@ -57,3 +57,52 @@ def test_missing_tenant_is_null(spark):
     del payload["meta"]["tenantId"]
     df = parse_envelopes(_raw(spark, [json.dumps(payload)]))
     assert df.collect()[0].tenant_id is None
+
+
+def test_publisher_batches_drive_the_streaming_pipeline(spark, tmp_path):
+    """The load-generator parity tool (tools/publisher.py ≙ reference
+    tools/publisher.go): its JSONL batches must flow through the real
+    envelope source into the streaming aggregation and produce one
+    aggregate per (window, group) of the 3×2 dimension grid."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from publisher import make_envelopes
+
+    from monasca_aggregator_spark.models import AggregationSpec
+    from monasca_aggregator_spark.sources.envelope import read_envelope_json
+    from monasca_aggregator_spark.streaming.pipeline import (
+        build_streaming_aggregation,
+    )
+
+    src = tmp_path / "pub"
+    src.mkdir()
+    now_ms = 1_700_000_000_000  # fixed so the window id is stable
+    (src / "b0.jsonl").write_text(
+        "\n".join(make_envelopes(now_ms=now_ms))
+    )
+
+    spec = AggregationSpec(
+        name="pub",
+        aggregated_metric_name="agg.metric2.sum",
+        filtered_metric_name="metric2",
+        function="sum",
+        grouped_dimensions=("service",),
+    )
+    env = read_envelope_json(spark, str(src), streaming=True)
+    plan = build_streaming_aggregation(env, spec, 60, 0)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("pub_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pub_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("pub_agg").collect()
+    # 3 services × 1 window; each sums value 2.0 over 2 hosts
+    assert len(rows) == 3
+    assert all(r.value == 4.0 for r in rows)
+    assert {r.dimensions["service"] for r in rows} == {"0", "1", "2"}
