@@ -267,6 +267,51 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 320.0, 16
+
+
+def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(metric, hourly window) value histogram — the
+    Prometheus-style export shape for aggregated series. The bucket id
+    is plain clamped arithmetic (identical expression in the oracle,
+    sidestepping width_bucket dialect differences), so the whole query
+    is one groupBy whose key adds a 0-16 bucket — same shuffle
+    cardinality class as the plain windowed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    step = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(step)),
+            F.lit(0),
+        ),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return ev.groupBy(
+        F.col("event_type"),
+        wcol.alias("window_ts_ms"),
+        bucket.alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_B_SQL = (
+    f"least(greatest(floor((value - {_HIST_LO}) / "
+    f"{(_HIST_HI - _HIST_LO) / _HIST_BUCKETS}), 0), {_HIST_BUCKETS - 1})"
+)
+
+ORACLE_HISTOGRAM = f"""
+SELECT event_type,
+       (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+       CAST({_B_SQL} AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""".strip()
+
+
 _Z_SQL = sql_stable_round("CASE WHEN sd > 0 THEN (wv - mu) / sd END", 4)
 
 ORACLE_ANOMALY = f"""
@@ -294,6 +339,7 @@ FROM scored
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "anomaly_zscore": q_anomaly_zscore,
+    "metric_histogram": q_metric_histogram,
     "sessions_user": q_sessions_user,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
@@ -303,6 +349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "range_join_ship": ORACLE_RANGE_JOIN,
     "anomaly_zscore": ORACLE_ANOMALY,
+    "metric_histogram": ORACLE_HISTOGRAM,
     "asof_purchase_click": ORACLE_ASOF,
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,
