@@ -78,8 +78,19 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(corpus, queries, k=K, centroids=cents)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 32×-compressed ADC
+    scan (m=16 subspaces × 16 codes) + exact top-50 re-rank —
+    recall@10 ≈ 0.86 vs 0.49 scan-only on sf0.001."""
+    from monasca_aggregator_spark.operators.pq import pq_ann
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return pq_ann(corpus, queries, k_out=K)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)
     "ann_ivf_kmeans": q_ann_ivf_kmeans,  # rows-only (approximate)
