@@ -60,6 +60,39 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Data-profiling summary — the validation gate a training pipeline
+    runs before consuming a drop: per column, row count, null count,
+    and exact distinct count, in ONE aggregation pass (Spark plans the
+    multiple count-distincts via a single expand + aggregate, not one
+    job per column). Output is long-format (column, n_rows, n_null,
+    n_distinct) so downstream checks are data, not schema.
+
+    At 100 TB swap count_distinct for approx_count_distinct — same
+    plan minus the expand; kept exact here so the oracle can match
+    bit-for-bit."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_rows, n_null, n_distinct)"
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.operators.sampling import (
     pack_concat_chunk,
+    profile_columns,
     quota_per_group,
     split_assign,
     stratified_sample,
@@ -138,9 +139,28 @@ GROUP BY lang
 """.strip()
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profiling gate over the documents drop: per-column
+    row/null/exact-distinct counts in one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, _PROFILE_COLS)
+
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, count(*) AS n_rows,"
+    f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,"
+    f" count(DISTINCT {c}) AS n_distinct FROM documents"
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_stratified": q_sample_stratified,
+    "profile_documents": q_profile_documents,
     "split_train_val": q_split_train_val,
     "pack_chunks": q_pack_chunks,
 }
@@ -148,6 +168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "sample_quota_source": ORACLE_QUOTA,
     "sample_stratified": ORACLE_STRATIFIED,
+    "profile_documents": ORACLE_PROFILE,
     "split_train_val": ORACLE_SPLIT,
     "pack_chunks": ORACLE_PACK,
 }

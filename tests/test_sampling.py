@@ -102,3 +102,32 @@ def test_stratified_sample_filter_pushes_to_scan(spark, sf_small):
     )
     plan = explain_str(kept.select("doc_id", "lang"))
     assert "Exchange" not in plan      # pure row-local filter
+
+
+def test_profile_columns_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id long, s string",
+    )
+    from monasca_aggregator_spark.operators.sampling import profile_columns
+
+    out = {
+        r.column: (r.n_rows, r.n_null, r.n_distinct)
+        for r in profile_columns(df, ["id", "s"]).collect()
+    }
+    assert out == {"id": (4, 1, 3), "s": (4, 1, 2)}
+
+
+def test_profile_columns_single_pass(spark, sf_small):
+    from monasca_aggregator_spark.operators.sampling import profile_columns
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        profile_columns(
+            load_table(spark, sf_small, "documents"), ["doc_id", "lang"]
+        )
+    )
+    # one expand-based aggregation over ONE scan, not a scan per column
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
