@@ -405,3 +405,25 @@ def stream_stream_interval_join(
         )
     )
     return lw.join(rw, cond)
+
+
+def idempotent_parquet_sink(base_path: str):
+    """Exactly-once file output for foreachBatch: each micro-batch
+    OVERWRITES its own ``batch_id=N`` directory, so a batch replayed
+    after a failure (same epoch re-delivered from the checkpoint's
+    offset log) rewrites identical files instead of appending
+    duplicates — at-least-once delivery + idempotent write = effective
+    exactly-once. The reference gets the same guarantee by committing
+    offsets only after publishing a window (server.go:222-258); here
+    the checkpoint plays the offset log and the batch-keyed overwrite
+    plays the dedup.
+
+    The directory is hive-partitioned by batch_id, so readers prune on
+    it and a janitor can GC replaced batches atomically."""
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{base_path}/batch_id={batch_id}"
+        )
+
+    return _sink

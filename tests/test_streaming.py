@@ -586,3 +586,28 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     # batch equivalent: u1's 1000s purchase attributes to BOTH clicks
     # (0s and 900s are within 1800s); u2/u3 produce no pairs
     assert got == {("u1", 0, 1000), ("u1", 900, 1000)}
+
+
+def test_idempotent_sink_replay_writes_no_duplicates(spark, sf_small, tmp_path):
+    """Replaying a micro-batch into the idempotent sink (as Spark does
+    after a failure between write and checkpoint commit) must leave the
+    output unchanged — at-least-once delivery + batch-keyed overwrite =
+    exactly-once files."""
+    from monasca_aggregator_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+
+    out = tmp_path / "sink_out"
+    sink = idempotent_parquet_sink(str(out))
+    df = load_table(spark, sf_small, "events").limit(100).select("event_id")
+
+    sink(df, 0)
+    first = spark.read.parquet(str(out)).count()
+    sink(df, 0)  # replay of the SAME batch
+    assert spark.read.parquet(str(out)).count() == first == 100
+
+    sink(df, 1)  # a NEW batch appends its own directory
+    assert spark.read.parquet(str(out)).count() == 200
+    assert {r.batch_id for r in
+            spark.read.parquet(str(out)).select("batch_id").distinct().collect()
+            } == {0, 1}
