@@ -182,6 +182,37 @@ def boilerplate_fraction(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-fit unigram log-probability per document — the cheap
+    stand-in for the LM-perplexity quality filter (CCNet-style): fit
+    p(token) on the corpus itself (one groupBy), then score each doc
+    by the mean log-probability of its tokens. Low scores flag docs
+    full of tokens the corpus rarely uses (noise, other languages,
+    encodings).
+
+    Plan: explode → vocab groupBy (bounded by vocabulary, not corpus)
+    → broadcast the (token, logp) table back onto the exploded tokens
+    → per-doc avg. At 100 TB cap the broadcast at the top-V vocabulary
+    and give out-of-vocabulary tokens a floor logp; kept exact here so
+    the DuckDB oracle matches."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    logp = vocab.join(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("n_total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy("doc_id")
+        .agg(stable_round(F.avg("logp"), 4).alias("avg_logprob"))
+    )
+
+
 def _make_zlib_ratio():
     # built lazily: pandas_udf needs an active SparkSession. Real
     # (non-string) hints are attached so pandas_udf's type-hint

@@ -265,8 +265,33 @@ GROUP BY doc_id
 """.strip()
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_logprob(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+
+
+ORACLE_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+),
+logp AS (
+  SELECT token, ln(c::DOUBLE / (SELECT sum(c) FROM vocab)) AS lp
+  FROM vocab
+)
+SELECT doc_id, {sql_stable_round("avg(lp)", 4)} AS avg_logprob
+FROM toks JOIN logp USING (token)
+GROUP BY doc_id
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
+    "text_unigram_logprob": q_text_unigram_logprob,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -285,4 +310,5 @@ ORACLES: dict[str, str] = {
     "text_vocab_topk": ORACLE_VOCAB,
     "text_repetition": ORACLE_REPETITION,
     "text_boilerplate": ORACLE_BOILERPLATE,
+    "text_unigram_logprob": ORACLE_UNIGRAM,
 }

@@ -171,3 +171,30 @@ def test_boilerplate_common_set_broadcasts(spark, sf_small):
         textops.boilerplate_fraction(load_table(spark, sf_small, "documents"))
     )
     assert "BroadcastHashJoin" in plan  # common-gram set joins broadcast
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 4 tokens total — "a"×2 (p=0.5), "b"×1, "c"×1 (p=0.25)
+    df = spark.createDataFrame(
+        [("d1", "a a"), ("d2", "b c")], "doc_id string, text string"
+    )
+    import math
+
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in textops.unigram_logprob(df).collect()
+    }
+    assert out["d1"] == pytest.approx(math.log(0.5), abs=1e-4)
+    assert out["d2"] == pytest.approx(math.log(0.25), abs=1e-4)
+    # rare-token docs score strictly lower: the filter signal
+    assert out["d2"] < out["d1"]
+
+
+def test_unigram_logprob_vocab_broadcasts(spark, sf_small):
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    plan = explain_str(
+        textops.unigram_logprob(load_table(spark, sf_small, "documents"))
+    )
+    assert "BroadcastHashJoin" in plan
