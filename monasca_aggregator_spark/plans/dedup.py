@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.operators import dedup as D
 from monasca_aggregator_spark.sources.tables import load_table
@@ -100,6 +101,48 @@ FROM reach GROUP BY src
 """.strip()
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: pairs → clusters → keep only each
+    cluster's canonical member (min doc_id = the component label) and
+    report the surviving corpus per source. The removed set is bounded
+    by the duplicate count, so it anti-joins broadcast-side against
+    the full corpus — the corpus itself is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    comp = D.connected_components(pairs)
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(removed), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_CANONICAL = f"""
+WITH RECURSIVE {_NGRAM_CTES}, und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+GROUP BY source
+""".strip()
+
+
 EMB_THRESHOLD = 0.35
 
 
@@ -144,6 +187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 ORACLES: dict[str, str] = {
@@ -151,4 +195,5 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,
     "dedup_clusters": ORACLE_CLUSTERS,
+    "dedup_canonical": ORACLE_CANONICAL,
 }
