@@ -225,6 +225,65 @@ GROUP BY 1
 
 
 _HOUR_MS = 3_600_000
+_ATTR_WINDOW_H = 24
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion per purchase-hour: fraction of purchases with
+    an attributable click (same user, within the trailing 24 h) — the
+    as-of join re-used as an analysis step instead of an enrichment.
+    Attribution is the backward as-of match plus a window bound, then
+    one small groupBy over (hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, ["user_id"], right_prefix="c_")
+    attributed = (
+        F.col("c_ts").isNotNull()
+        & (
+            F.unix_millis("ts") - F.unix_millis("c_ts")
+            <= F.lit(_ATTR_WINDOW_H * _HOUR_MS)
+        )
+    ).cast("long")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    return joined.groupBy(wcol.alias("window_ts_ms")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(attributed).alias("n_attributed"),
+        stable_round(
+            F.sum(attributed) / F.count(F.lit(1)), 4
+        ).alias("conversion"),
+    )
+
+
+ORACLE_FUNNEL = f"""
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.user_id, p.ts,
+         CASE WHEN c.ts IS NOT NULL
+                   AND epoch_ms(p.ts) - epoch_ms(c.ts)
+                       <= {_ATTR_WINDOW_H * _HOUR_MS}
+              THEN 1 ELSE 0 END AS attributed
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+       count(*) AS n_purchases,
+       sum(attributed) AS n_attributed,
+       {sql_stable_round("sum(attributed)::DOUBLE / count(*)", 4)}
+         AS conversion
+FROM j
+GROUP BY 1
+""".strip()
 
 
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
+    "funnel_conversion": q_funnel_conversion,
     "sessions_user": q_sessions_user,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
@@ -350,6 +410,7 @@ ORACLES: dict[str, str] = {
     "range_join_ship": ORACLE_RANGE_JOIN,
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,
+    "funnel_conversion": ORACLE_FUNNEL,
     "asof_purchase_click": ORACLE_ASOF,
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,
