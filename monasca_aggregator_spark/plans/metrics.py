@@ -249,6 +249,39 @@ FROM events WHERE event_type = 'view' GROUP BY 1
 """.strip()
 
 
+def q_agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 latency-style bands per window in ONE aggregation —
+    approx_percentile takes the quantile array, so all three come from
+    a single GK sketch per group (one shuffle, one state), not three
+    passes. Exact below the sketch's sample threshold at test SFs, so
+    the discrete-quantile oracle matches bit-for-bit."""
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    w = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    bands = F.expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 100000)"
+    )
+    return (
+        env.filter(F.col("name") == "view")
+        .groupBy(w.alias("window_ts_ms"))
+        .agg(bands.alias("b"))
+        .select(
+            "window_ts_ms",
+            F.col("b")[0].alias("p50"),
+            F.col("b")[1].alias("p90"),
+            F.col("b")[2].alias("p99"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_BANDS = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events WHERE event_type = 'view' GROUP BY 1
+""".strip()
+
+
 def q_agg_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: per-window p95 via the from-scratch mergeable
     t-digest (operators/tdigest.py) — map-side partial digests, then a
@@ -376,6 +409,7 @@ SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
     "agg_median": ORACLE_MEDIAN,
     "agg_distinct_hll": ORACLE_DISTINCT_HLL,
     "agg_p95_sketch": ORACLE_P95_SKETCH,
+    "agg_percentile_bands": ORACLE_PERCENTILE_BANDS,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -396,4 +430,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_hll": q_agg_distinct_hll,
     "agg_p95_sketch": q_agg_p95_sketch,
     "agg_p95_tdigest": q_agg_p95_tdigest,  # rows-only (interpolated sketch)
+    "agg_percentile_bands": q_agg_percentile_bands,
 }
