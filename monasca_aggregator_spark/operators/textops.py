@@ -213,6 +213,60 @@ def unigram_logprob(
     )
 
 
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's word
+    n-gram shingles that also occur anywhere in the benchmark corpus
+    (n-gram containment, the Gopher/GPT-3 decontamination test).
+    Returns (doc_id, n_shingles, n_contaminated, contamination,
+    is_contaminated).
+
+    Scale shape: the benchmark's distinct shingle set is tiny relative
+    to the training corpus (eval sets are ~10^4 docs), so it is
+    BROADCAST and the per-doc match count is a map-side join + partial
+    agg over the exploded shingles — the training side is never
+    shuffled by shingle. Docs with zero shingles (< n tokens) are
+    excluded (containment is undefined).
+    """
+    from monasca_aggregator_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    bench_set = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("s")
+        )
+        .distinct()
+    )
+    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    matches = (
+        ex.join(F.broadcast(bench_set), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        sh.select(id_col, F.size("shingles").alias("n_shingles"))
+        .join(matches, id_col, "left")
+        .fillna({"n_contaminated": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            stable_round(frac, 4).alias("contamination"),
+            (frac >= F.lit(threshold)).alias("is_contaminated"),
+        )
+    )
+
+
 def _make_zlib_ratio():
     # built lazily: pandas_udf needs an active SparkSession. Real
     # (non-string) hints are attached so pandas_udf's type-hint

@@ -395,6 +395,178 @@ FROM scored
 """.strip()
 
 
+_WEEK_MS = 7 * 24 * 3_600_000
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, then
+    the distinct-user count per (cohort, weeks-since-cohort) with the
+    retained fraction vs week 0 — the classic product-analytics readout
+    over the events stream. Three exchanges, all map-side-combinable:
+    distinct (user, week) pairs, the per-user min-week cohort agg
+    (co-partitioned with the join that follows, so the join itself adds
+    no exchange), and the final small groupBy. The window for the
+    retention denominator runs over the already-aggregated matrix
+    (rows = cohorts × weeks, data-size-independent)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        (F.unix_millis(F.col("ts")) / F.lit(_WEEK_MS)).cast("long")
+        * F.lit(_WEEK_MS)
+    )
+    pairs = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = pairs.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = pairs.join(cohort, "user_id")
+    g = j.groupBy(
+        F.col("cohort_wk").alias("cohort_week_ms"),
+        ((F.col("wk") - F.col("cohort_wk")) / F.lit(_WEEK_MS))
+        .cast("long")
+        .alias("week_index"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    denom = F.first("n_active").over(
+        Window.partitionBy("cohort_week_ms")
+        .orderBy("week_index")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "cohort_week_ms",
+        "week_index",
+        "n_active",
+        stable_round(F.col("n_active") / denom, 4).alias("retention"),
+    )
+
+
+ORACLE_RETENTION = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(ts) // {_WEEK_MS}) * {_WEEK_MS} AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM pairs GROUP BY 1
+), g AS (
+  SELECT c.cohort_wk AS cohort_week_ms,
+         (p.wk - c.cohort_wk) // {_WEEK_MS} AS week_index,
+         count(*) AS n_active
+  FROM pairs p JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week_ms, week_index, n_active,
+       {sql_stable_round(
+           "n_active::DOUBLE / first_value(n_active) OVER "
+           "(PARTITION BY cohort_week_ms ORDER BY week_index "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)}
+         AS retention
+FROM g
+""".strip()
+
+
+_GAP_STEP_MS = 900_000  # 15-minute windows → ~50% occupancy at test SF
+
+
+def q_metric_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation of the aggregated metric series:
+    densify each metric's 15-min window grid between its first and last
+    observation, and linearly interpolate the missing windows from the
+    bracketing observed values (the resample step every downstream
+    consumer of the reference's aggregate stream needs). The grid is
+    generated per metric with ``sequence`` — its size is bounded by the
+    TIME SPAN, not the corpus, so everything after the first windowed
+    groupBy is data-size-independent. Interpolation is two
+    ignore-nulls window passes (last-before / first-after), no
+    self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_GAP_STEP_MS)).cast("long")
+        * F.lit(_GAP_STEP_MS)
+    )
+    observed = ev.groupBy(
+        F.col("event_type"), wcol.alias("w")
+    ).agg(stable_round(F.avg("value"), 4).alias("wv"))
+    grid = (
+        observed.groupBy("event_type")
+        .agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_GAP_STEP_MS).cast("long"))
+            ).alias("w"),
+        )
+    )
+    filled = grid.join(observed, ["event_type", "w"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("wv", ignorenulls=True).over(back)
+    prev_w = F.last(
+        F.when(F.col("wv").isNotNull(), F.col("w")), ignorenulls=True
+    ).over(back)
+    next_v = F.first("wv", ignorenulls=True).over(fwd)
+    next_w = F.first(
+        F.when(F.col("wv").isNotNull(), F.col("w")), ignorenulls=True
+    ).over(fwd)
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull() & (next_w != prev_w),
+        prev_v
+        + (next_v - prev_v)
+        * ((F.col("w") - prev_w) / (next_w - prev_w)),
+    ).otherwise(F.coalesce(prev_v, next_v))
+    return filled.select(
+        "event_type",
+        F.col("w").alias("window_ts_ms"),
+        stable_round(F.coalesce(F.col("wv"), interp), 4).alias("value"),
+        F.col("wv").isNull().alias("is_interpolated"),
+    )
+
+
+ORACLE_GAPFILL = f"""
+WITH observed AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_GAP_STEP_MS}) * {_GAP_STEP_MS} AS w,
+         {sql_stable_round("avg(value)", 4)} AS wv
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, {_GAP_STEP_MS})) AS w
+  FROM (SELECT event_type, min(w) AS lo, max(w) AS hi
+        FROM observed GROUP BY 1)
+), filled AS (
+  SELECT g.event_type, g.w, o.wv
+  FROM grid g LEFT JOIN observed o
+    ON g.event_type = o.event_type AND g.w = o.w
+), ctx AS (
+  SELECT event_type, w, wv,
+         last_value(wv IGNORE NULLS) OVER b AS prev_v,
+         last_value(CASE WHEN wv IS NOT NULL THEN w END IGNORE NULLS)
+           OVER b AS prev_w,
+         first_value(wv IGNORE NULLS) OVER f AS next_v,
+         first_value(CASE WHEN wv IS NOT NULL THEN w END IGNORE NULLS)
+           OVER f AS next_w
+  FROM filled
+  WINDOW b AS (PARTITION BY event_type ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         f AS (PARTITION BY event_type ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, w AS window_ts_ms,
+       {sql_stable_round(
+           "coalesce(wv, CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL "
+           "AND next_w <> prev_w THEN prev_v + (next_v - prev_v) * "
+           "((w - prev_w)::DOUBLE / (next_w - prev_w)) "
+           "ELSE coalesce(prev_v, next_v) END)", 4)} AS value,
+       wv IS NULL AS is_interpolated
+FROM ctx
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "anomaly_zscore": q_anomaly_zscore,
@@ -404,10 +576,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
     "range_join_ship": q_range_join_ship,
+    "events_retention": q_events_retention,
+    "metric_gapfill": q_metric_gapfill,
 }
 
 ORACLES: dict[str, str] = {
     "range_join_ship": ORACLE_RANGE_JOIN,
+    "events_retention": ORACLE_RETENTION,
+    "metric_gapfill": ORACLE_GAPFILL,
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,
     "funnel_conversion": ORACLE_FUNNEL,

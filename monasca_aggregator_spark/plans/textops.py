@@ -289,8 +289,63 @@ GROUP BY doc_id
 """.strip()
 
 
+_BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark corpus
+_CONTAM_THRESHOLD = 0.8
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: trigram containment of every training
+    doc against a deterministic 5% 'benchmark' slice of the corpus
+    (doc_id % 20 == 0) — flags training docs whose shingles are ≥80%
+    covered by benchmark shingles. The benchmark shingle set is
+    broadcast; the training side never shuffles by shingle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from pyspark.sql import functions as F
+
+    return T.contamination_scores(
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        threshold=_CONTAM_THRESHOLD,
+    )
+
+
+ORACLE_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)-1),
+                                      i -> array_to_string(t[i:i+2], ' ')))
+           AS shingles
+  FROM toks WHERE len(t) >= 3
+), b AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh
+  WHERE doc_id % {_BENCH_MOD} = 0
+), scored AS (
+  SELECT doc_id, len(shingles) AS n_shingles FROM sh
+  WHERE doc_id % {_BENCH_MOD} <> 0
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE doc_id % {_BENCH_MOD} <> 0
+), m AS (
+  SELECT ex.doc_id, count(*) AS n_contaminated
+  FROM ex JOIN b USING (s) GROUP BY 1
+)
+SELECT scored.doc_id, scored.n_shingles,
+       coalesce(m.n_contaminated, 0) AS n_contaminated,
+       {sql_stable_round(
+           "coalesce(m.n_contaminated, 0)::DOUBLE / scored.n_shingles", 4)}
+         AS contamination,
+       coalesce(m.n_contaminated, 0)::DOUBLE / scored.n_shingles
+         >= {_CONTAM_THRESHOLD} AS is_contaminated
+FROM scored LEFT JOIN m USING (doc_id)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
+    "text_decontaminate": q_text_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
@@ -304,6 +359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "text_langid": ORACLE_LANGID,
+    "text_decontaminate": ORACLE_DECONTAMINATE,
     "text_tokens": ORACLE_TOKENS,
     "text_quality": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,

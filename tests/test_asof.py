@@ -199,3 +199,63 @@ def test_range_join_plan_is_equi_not_nested_loop(spark):
         range_join(pts, iv, point_ts="ts", start_ts="s", end_ts="e")
     )
     assert "NestedLoop" not in plan  # bucketized equi-join, hash-able
+
+
+def test_events_retention_invariants(spark, sf_small):
+    """Week-0 retention is exactly 1.0, cohorts only shrink-or-hold vs
+    their own week 0, and cohort sizes sum to the distinct user count."""
+    from monasca_aggregator_spark.plans.temporal import q_events_retention
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_events_retention(spark, sf_small).collect()
+    assert rows, "empty retention matrix"
+    week0 = {r.cohort_week_ms: r.n_active for r in rows if r.week_index == 0}
+    for r in rows:
+        assert r.week_index >= 0
+        assert r.cohort_week_ms in week0, "cohort missing its week 0"
+        assert r.n_active <= week0[r.cohort_week_ms]
+        if r.week_index == 0:
+            assert r.retention == 1.0
+        assert 0.0 < r.retention <= 1.0
+    n_users = (
+        load_table(spark, sf_small, "events").select("user_id").distinct().count()
+    )
+    assert sum(week0.values()) == n_users
+
+
+def test_metric_gapfill_dense_and_bracketed(spark, sf_small):
+    """The filled series is a contiguous 15-min grid per metric, never
+    null, and every interpolated value lies between its bracketing
+    observed values."""
+    from monasca_aggregator_spark.plans.temporal import (
+        _GAP_STEP_MS,
+        q_metric_gapfill,
+    )
+
+    rows = q_metric_gapfill(spark, sf_small).collect()
+    by_metric: dict[str, list] = {}
+    for r in rows:
+        assert r.value is not None
+        by_metric.setdefault(r.event_type, []).append(r)
+    n_interp = 0
+    for series in by_metric.values():
+        series.sort(key=lambda r: r.window_ts_ms)
+        steps = {
+            b.window_ts_ms - a.window_ts_ms
+            for a, b in zip(series, series[1:])
+        }
+        assert steps == {_GAP_STEP_MS}, "grid has holes or duplicates"
+        # endpoints are observed by construction (grid = [min, max])
+        assert not series[0].is_interpolated
+        assert not series[-1].is_interpolated
+        for i, r in enumerate(series):
+            if not r.is_interpolated:
+                continue
+            n_interp += 1
+            prev = next(
+                s for s in reversed(series[:i]) if not s.is_interpolated
+            )
+            nxt = next(s for s in series[i + 1 :] if not s.is_interpolated)
+            lo, hi = sorted((prev.value, nxt.value))
+            assert lo - 1e-4 <= r.value <= hi + 1e-4
+    assert n_interp > 0, "test data produced no gaps to interpolate"

@@ -198,3 +198,45 @@ def test_unigram_logprob_vocab_broadcasts(spark, sf_small):
         textops.unigram_logprob(load_table(spark, sf_small, "documents"))
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_scores_hand_computed(spark):
+    """Identical doc → containment 1.0 (flagged); disjoint doc → 0.0;
+    half-overlapping doc → exact trigram fraction."""
+    from monasca_aggregator_spark.operators.textops import (
+        contamination_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    # trigram shingles of bench: {a b c, b c d, c d e}
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # 3/3 shingles contaminated
+            (2, "x y z w"),        # 0/2
+            (3, "a b c q r"),      # 1/3: only "a b c"
+            (4, "ab"),             # < 3 tokens → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_scores(docs, bench, threshold=0.8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].contamination == 1.0 and out[1].is_contaminated
+    assert out[2].contamination == 0.0 and not out[2].is_contaminated
+    assert out[3].n_shingles == 3 and out[3].n_contaminated == 1
+    assert abs(out[3].contamination - round(1 / 3, 4)) < 1e-9
+    assert not out[3].is_contaminated
+
+
+def test_contamination_benchmark_set_broadcasts(spark, sf_small):
+    """The benchmark shingle set must be broadcast — the training side
+    is never shuffled by shingle."""
+    from monasca_aggregator_spark.plans.textops import q_text_decontaminate
+    from tests.conftest import explain_str
+
+    plan = explain_str(q_text_decontaminate(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
