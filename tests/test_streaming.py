@@ -611,3 +611,70 @@ def test_idempotent_sink_replay_writes_no_duplicates(spark, sf_small, tmp_path):
     assert {r.batch_id for r in
             spark.read.parquet(str(out)).select("batch_id").distinct().collect()
             } == {0, 1}
+
+
+def test_stream_static_enrichment_join_equals_batch(spark, sf_small):
+    """Stream-static enrichment: the event stream joined against a
+    static (broadcast) dimension mid-stream, then windowed-aggregated
+    by the joined attribute. The static side is planned per micro-batch
+    as an ordinary broadcast hash join — no stream-side shuffle, no
+    state — so enrichment is free at any stream rate."""
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    batch_ev = load_table(spark, sf_small, "events")
+    # static user dim derived deterministically from the same table
+    segments = (
+        batch_ev.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    segments.cache().count()
+
+    def enrich_and_window(ev):
+        return (
+            ev.join(F.broadcast(segments), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("value_sum"),
+            )
+            .select(
+                F.unix_millis("w.start").alias("window_ts_ms"),
+                "segment",
+                "n",
+                "value_sum",
+            )
+        )
+
+    batch_res = {
+        (r.window_ts_ms, r.segment): (r.n, r.value_sum)
+        for r in enrich_and_window(batch_ev).collect()
+    }
+
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        enrich_and_window(raw)
+        .writeStream.format("memory")
+        .queryName("t_stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_res = {
+        (r.window_ts_ms, r.segment): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM t_stream_static").collect()
+    }
+    segments.unpersist()
+    assert set(stream_res) == set(batch_res)
+    for k, (n, s) in batch_res.items():
+        assert stream_res[k][0] == n
+        assert stream_res[k][1] == pytest.approx(s, rel=1e-12)
