@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "agg_p95_tdigest",
     "text_topk_sketch",
     "anomaly_zscore",
+    "metric_gapfill",
+    "events_retention",
+    "text_decontaminate",
 ]
 
 

@@ -120,6 +120,63 @@ def stratified_sample(
     return df.filter(bucket < expr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    bucket: Column,
+    *,
+    target_rows: float,
+    temperature: float = 0.5,
+    bucket_mod: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multinomial rebalance LLM
+    training mixes use (target share of source s ∝ n_s^T; T < 1
+    flattens the mix toward rare sources). Each source's keep-rate is
+    ``min(1, target_rows·share_s / n_s)`` and a row survives iff its
+    deterministic ``bucket`` (0..bucket_mod-1, same contract as
+    ``split_assign``) falls under the rate — rerun-stable, row-local
+    membership.
+
+    Plan shape: one small groupBy(source) count, the per-source rate
+    computed on that tiny aggregate and BROADCAST back, so the corpus
+    itself sees only a scan + map-side join + filter — no shuffle of
+    data rows at any scale. T=0.5 is computed via ``sqrt`` (IEEE
+    correctly-rounded in every engine) so the rate threshold is
+    bit-reproducible cross-engine; other temperatures go through
+    ``pow`` (may differ by 1 ulp across engines — fine in production,
+    not for a hash-matching oracle).
+    """
+    src = F.col(source_col)
+    counts = df.groupBy(src.alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wgt = (
+        F.sqrt(F.col("__n").cast("double"))
+        if temperature == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+    )
+    weighted = counts.select("__src", "__n", wgt.alias("__w"))
+    total = weighted.agg(F.sum("__w").alias("__tw"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_rows)) * F.col("__w") / F.col("__tw"))
+        / F.col("__n"),
+    )
+    # integer threshold = floor(rate·mod + 0.5): the survival test is an
+    # exact integer compare, immune to float-boundary drift
+    rates = weighted.crossJoin(F.broadcast(total)).select(
+        "__src",
+        F.floor(rate * F.lit(float(bucket_mod)) + F.lit(0.5))
+        .cast("long")
+        .alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), src == F.col("__src"))
+        .filter(bucket < F.col("__thresh"))
+        .drop("__src", "__thresh")
+    )
+
+
 def pack_concat_chunk(
     df: DataFrame,
     group_col: str,

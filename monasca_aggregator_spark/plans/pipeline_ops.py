@@ -18,6 +18,7 @@ from monasca_aggregator_spark.operators.sampling import (
     quota_per_group,
     split_assign,
     stratified_sample,
+    temperature_mix,
 )
 from monasca_aggregator_spark.operators.textops import quality_scores
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
@@ -157,8 +158,58 @@ ORACLE_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+_MIX_MOD = 1_000_000
+_MIX_BUCKET_SQL = f"(doc_id * 9973 + 12345) % {_MIX_MOD}"
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=0.5 temperature mix targeting half the corpus: rare sources
+    keep (up to) everything, dominant sources are downsampled toward
+    sqrt-proportional shares. Summary per source so the result is a
+    small stable aggregate. The corpus sees scan + broadcast join +
+    row-local filter; only the tiny per-source count aggregate
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = 0.5 * docs.count()
+    kept = temperature_mix(
+        docs,
+        "source",
+        F.pmod(
+            F.col("doc_id") * F.lit(9973) + F.lit(12345), F.lit(_MIX_MOD)
+        ),
+        target_rows=target,
+        temperature=0.5,
+        bucket_mod=_MIX_MOD,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_TEMPERATURE = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n, sqrt(n::DOUBLE) AS wgt FROM c
+), r AS (
+  SELECT source,
+         CAST(floor(least(1.0,
+             ((0.5 * (SELECT count(*) FROM documents)) * wgt
+              / (SELECT sum(wgt) FROM w)) / n)
+           * {float(_MIX_MOD)} + 0.5) AS BIGINT) AS thresh
+  FROM w
+)
+SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+FROM documents d JOIN r USING (source)
+WHERE {_MIX_BUCKET_SQL} < r.thresh
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
+    "sample_temperature": q_sample_temperature,
     "sample_stratified": q_sample_stratified,
     "profile_documents": q_profile_documents,
     "split_train_val": q_split_train_val,
@@ -167,6 +218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sample_quota_source": ORACLE_QUOTA,
+    "sample_temperature": ORACLE_TEMPERATURE,
     "sample_stratified": ORACLE_STRATIFIED,
     "profile_documents": ORACLE_PROFILE,
     "split_train_val": ORACLE_SPLIT,

@@ -131,3 +131,58 @@ def test_profile_columns_single_pass(spark, sf_small):
     # one expand-based aggregation over ONE scan, not a scan per column
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_temperature_mix_matches_python_model(spark):
+    """Kept set equals an independent Python evaluation of the same
+    rate formula, and T=0.5 keeps a higher fraction of the rare source
+    than of the dominant one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mod = 1_000_000
+    target = 200.0
+    kept = temperature_mix(
+        df,
+        "source",
+        F.pmod(F.col("doc_id") * F.lit(131071), F.lit(mod)),
+        target_rows=target,
+        temperature=0.5,
+        bucket_mod=mod,
+    )
+    got = {r.doc_id for r in kept.collect()}
+
+    n = {"big": 400, "small": 25}
+    w = {s: math.sqrt(c) for s, c in n.items()}
+    tw = sum(w.values())
+    thresh = {
+        s: math.floor(min(1.0, (target * w[s] / tw) / n[s]) * mod + 0.5)
+        for s in n
+    }
+    want = {
+        i for i, s in rows if (i * 131071) % mod < thresh[s]
+    }
+    assert got == want
+    frac = {
+        s: sum(1 for i, t in rows if t == s and i in got) / n[s] for s in n
+    }
+    assert frac["small"] > frac["big"]
+
+
+def test_temperature_mix_corpus_side_has_no_shuffle(spark, sf_small):
+    """Only the tiny per-source count aggregate exchanges; the corpus
+    rows flow scan → broadcast join → filter."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_temperature,
+    )
+    from tests.conftest import explain_str
+
+    plan = explain_str(q_sample_temperature(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
