@@ -357,12 +357,36 @@ def resize_images(
     return media.withColumn("meta", new_meta)
 
 
+def encode_ppm_video(frames: list[np.ndarray]) -> tuple[bytes, dict]:
+    """REAL (toy) video container: equal-sized P6 frames laid
+    head-to-tail, with the frame geometry in typed metadata
+    (n_frames / frame_bytes) — the layout that lets the engine slice
+    frames JVM-side without decoding. Returns (payload, meta)."""
+    if not frames:
+        return b"", {"n_frames": "0", "frame_bytes": "0"}
+    encoded = [encode_ppm(f) for f in frames]
+    sizes = {len(e) for e in encoded}
+    if len(sizes) != 1:
+        raise ValueError("all frames must share dimensions")
+    return b"".join(encoded), {
+        "n_frames": str(len(encoded)),
+        "frame_bytes": str(sizes.pop()),
+    }
+
+
 def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     """video payload → one row per sampled frame index.
 
-    Frame COUNT comes from typed metadata (n_frames); the per-frame
-    payload slice is stubbed as the whole payload. The explode stays
-    JVM-side — only real decode would need mapInPandas.
+    Frame COUNT comes from typed metadata (n_frames). When the
+    container is frame-addressable (``frame_bytes`` in meta — e.g. the
+    concatenated-PPM container from ``encode_ppm_video``), the
+    per-frame payload is sliced FOR REAL with a JVM-side binary
+    ``substring`` — no Python, no decode, and the output frames are
+    themselves valid single-image payloads for the decode/feature
+    operators. Payloads without frame_bytes (compressed containers —
+    would need ffmpeg) fall back to carrying the whole payload per
+    sampled index. Explode + slice stay inside codegen; memory per row
+    is one frame, not the whole video.
     """
     n_frames = F.coalesce(
         F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
@@ -370,12 +394,22 @@ def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     idx = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
     )
-    return (
+    exploded = (
         media.filter(F.col("media_type") == "video")
         .filter(n_frames > 0)
         .select(
             "media_id",
+            "payload",
+            F.element_at(F.col("meta"), "frame_bytes")
+            .cast("int")
+            .alias("__fb"),
             F.explode(idx).alias("frame_index"),
-            F.col("payload").alias("frame_payload"),
         )
+    )
+    sliced = F.when(
+        F.col("__fb").isNotNull() & (F.col("__fb") > 0),
+        F.expr("substring(payload, frame_index * __fb + 1, __fb)"),
+    ).otherwise(F.col("payload"))
+    return exploded.select(
+        "media_id", "frame_index", sliced.alias("frame_payload")
     )

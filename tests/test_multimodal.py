@@ -173,3 +173,43 @@ def test_ppm_header_with_comments_and_roundtrip():
     assert (M.decode_ppm(M.encode_ppm(arr)) == arr).all()
     with_comment = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
     assert (M.decode_ppm(with_comment) == arr).all()
+
+
+def test_video_frame_sampling_real_slices(spark):
+    """Concatenated-PPM video container: sampled frames are sliced
+    JVM-side by (frame_index, frame_bytes) and each slice decodes back
+    to the exact original frame's pixels."""
+    import numpy as np
+
+    frames = []
+    for i in range(5):
+        arr = np.zeros((4, 6, 3), dtype=np.uint8)
+        arr[:, :] = (50 * i, 10 + i, 200 - 20 * i)
+        frames.append(arr)
+    payload, meta = M.encode_ppm_video(frames)
+    vids = spark.createDataFrame(
+        [(7, "video", payload, meta)], M.MEDIA_SCHEMA
+    )
+    out = {
+        r.frame_index: bytes(r.frame_payload)
+        for r in M.sample_frames(vids, every_n=2).collect()
+    }
+    assert set(out) == {0, 2, 4}
+    for i, fp in out.items():
+        img = M.decode_ppm(fp)
+        assert img.shape == (4, 6, 3)
+        assert tuple(img[0, 0]) == (50 * i, 10 + i, 200 - 20 * i)
+
+
+def test_video_frame_slices_stay_jvm_side(spark):
+    """The slice plan is pure codegen — no Arrow/Python eval nodes."""
+    import numpy as np
+
+    from tests.conftest import explain_str
+
+    payload, meta = M.encode_ppm_video(
+        [np.zeros((2, 2, 3), dtype=np.uint8)]
+    )
+    vids = spark.createDataFrame([(1, "video", payload, meta)], M.MEDIA_SCHEMA)
+    plan = explain_str(M.sample_frames(vids, every_n=1))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
