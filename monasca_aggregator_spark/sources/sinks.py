@@ -22,9 +22,12 @@ sources/kafka.py; this module is the file-dataset counterpart.
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -141,3 +144,93 @@ def write_zordered(
     if target_rows_per_file is not None:
         writer = writer.option("maxRecordsPerFile", target_rows_per_file)
     writer.save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+) -> None:
+    """Copy-on-write MERGE (upsert by key) into a hive-partitioned
+    parquet dataset — the backfill/correction primitive a metrics store
+    needs (late re-aggregations replacing published windows) and the
+    Delta/Iceberg MERGE shape without a table format.
+
+    Cost model is partition-local: only partitions PRESENT in
+    ``updates`` are read, merged (base rows losing to same-key update
+    rows via left-anti), staged, and swapped in with dynamic partition
+    overwrite — untouched partitions are never read or rewritten, so
+    the cost scales with the update footprint, not the dataset. The
+    staging round-trip exists because Spark cannot overwrite a path it
+    is reading (and it doubles as the commit point: the final write is
+    all-or-nothing per partition directory).
+
+    On an object store, swap the directory swap for a manifest-commit
+    table format; the plan shape stays identical.
+    """
+    key_cols = list(key_cols)
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    base = spark.read.parquet(path)
+    affected = base.filter(F.col(partition_col).isin(parts))
+    merged = affected.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates.select(*base.columns))
+    staging = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet dataset into right-sized shards (the
+    maintenance pass that undoes streaming/incremental tiny-file
+    accumulation). Reads, re-shards via ``write_sharded`` into a
+    staging dir, then swaps directories. Returns the new file count.
+
+    At warehouse scale run this per partition directory on a schedule;
+    here the whole dataset fits one pass. Directory swap is a
+    same-filesystem rename — object stores want a manifest commit
+    instead."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    try:
+        write_sharded(
+            df,
+            staging,
+            partition_by=partition_by,
+            target_rows_per_file=target_rows_per_file,
+            n_shards=(
+                None if partition_by else plan_shards(n_rows, target_rows_per_file)
+            ),
+        )
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

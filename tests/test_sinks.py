@@ -147,3 +147,59 @@ def test_zordered_write_keeps_both_columns_tight(spark, tmp_path):
     avg_x = sum(s[0] for s in spans) / len(spans)
     avg_y = sum(s[1] for s in spans) / len(spans)
     assert avg_x <= 32 and avg_y <= 32
+
+
+def test_merge_upsert_updates_inserts_and_leaves_other_partitions(
+    spark, tmp_path
+):
+    from monasca_aggregator_spark.sources.sinks import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, p string, v double",
+    )
+    path = str(tmp_path / "ds")
+    base.write.partitionBy("p").parquet(path)
+    untouched_before = {
+        f.name: f.stat().st_mtime_ns
+        for f in (tmp_path / "ds" / "p=c").rglob("*.parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 21.0), (9, "a", 90.0), (3, "b", 31.0)],
+        "k long, p string, v double",
+    )
+    merge_upsert(spark, path, updates, ["k"], "p")
+
+    got = {
+        (r.k, r.p): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a"): 10.0,   # untouched row in a touched partition
+        (2, "a"): 21.0,   # updated
+        (9, "a"): 90.0,   # inserted
+        (3, "b"): 31.0,   # updated
+        (4, "c"): 40.0,   # untouched partition
+    }
+    untouched_after = {
+        f.name: f.stat().st_mtime_ns
+        for f in (tmp_path / "ds" / "p=c").rglob("*.parquet")
+    }
+    assert untouched_after == untouched_before  # p=c never rewritten
+
+
+def test_compact_dataset_reduces_files_and_preserves_rows(
+    spark, tmp_path
+):
+    from monasca_aggregator_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "tiny")
+    df = spark.range(0, 500).withColumn("v", F.col("id") * 2)
+    df.repartition(25).write.parquet(path)
+    assert len(_parquet_files(tmp_path / "tiny")) >= 25
+
+    n_files = compact_dataset(spark, path, target_rows_per_file=1000)
+    assert n_files == 1
+    assert len(_parquet_files(tmp_path / "tiny")) == 1
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(i, 2 * i) for i in range(500)]
