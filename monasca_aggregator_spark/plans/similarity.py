@@ -88,7 +88,23 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(corpus, queries, k_out=K)
 
 
+_PCA_K = 8
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit (one-pass partial moments, no shuffle) +
+    projection of every embedding to 8 components. Rows-only: the
+    eigen-solve is not SQL-expressible; tests/test_pca.py pins the
+    math against local numpy instead."""
+    from monasca_aggregator_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    model = pca_fit(emb, "embedding", k=_PCA_K)
+    return pca_project(emb, model, "embedding", keep_cols=("vec_id",))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
