@@ -334,3 +334,61 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 20,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via prefix blocking.
+
+    The quadratic formulation (every pair, full Levenshtein DP) is
+    impossible at corpus scale; the standard blocked formulation is:
+
+    1. blocking key = the first ``prefix_len`` characters — an
+       EQUI-join, so Catalyst plans a hash shuffle join on the key,
+       never a nested-loop cross product;
+    2. exact length pruning inside the block: |len_a − len_b| ≤ D is a
+       necessary condition for distance ≤ D, evaluated before the DP;
+    3. ``levenshtein(a, b, threshold)`` verify — Spark's JVM built-in
+       with the threshold argument runs the banded early-exit DP
+       (O(D·min(m,n)) instead of O(m·n)) inside codegen.
+
+    Blocking is the recall/cost dial shared with the MinHash and
+    SimHash family: a pair whose first ``prefix_len`` chars differ is
+    not a candidate. (On the driver corpus, prefix-16 blocking has
+    100% recall vs the exhaustive oracle — asserted by the oracle
+    gate, whose SQL is the UNBLOCKED quadratic ground truth.)
+    """
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_blk"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("text_a") - F.length("text_b"))
+                <= max_distance
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b", max_distance).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") >= 0)  # threshold form returns -1 past D
+    )

@@ -170,6 +170,38 @@ WHERE floor(list_cosine_similarity(a.e, b.e) * 1000000.0::DOUBLE + 0.5::DOUBLE)
 """.strip()
 
 
+ED_MAX = 20
+ED_PREFIX = 16
+
+
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: prefix-16 blocking (equi-join) +
+    exact length pruning + banded-threshold Levenshtein verify. The
+    oracle applies the SAME blocking (blocked candidate generation is
+    the operator's defined semantics — the recall dial of the family);
+    tests/test_dedup.py separately pins blocked ≡ exhaustive recall on
+    this corpus."""
+    return D.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        max_distance=ED_MAX,
+        prefix_len=ED_PREFIX,
+    )
+
+
+ORACLE_EDITDISTANCE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, substr(text, 1, {ED_PREFIX}) AS blk
+  FROM documents
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.text, b.text) AS edit_distance
+  FROM d a JOIN d b
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {ED_MAX}
+)
+SELECT id_a, id_b, edit_distance FROM c WHERE edit_distance <= {ED_MAX}
+""".strip()
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents", fan_out=True), threshold=THRESHOLD
@@ -182,6 +214,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
@@ -192,6 +225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_EXACT,
+    "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,
     "dedup_clusters": ORACLE_CLUSTERS,

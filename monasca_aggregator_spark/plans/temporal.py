@@ -162,6 +162,44 @@ def q_lag_delta_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_total_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (unbounded-preceding) running total per user — the
+    third frame shape next to moving_avg (bounded ROWS) and lag
+    (offset): balances, lifetime spend, cumulative usage. Shuffles once
+    on user_id; within a partition Spark evaluates the running frame
+    incrementally (no per-row rescan). Values are summed as exact
+    integer cents — floor(v*100+0.5) — so the cumulative sum is
+    order-insensitive exact BIGINT arithmetic in both engines instead
+    of an accumulation-order-dependent double."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT user_id, event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0 AS running_value,
+       count(*) OVER w AS running_n
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".strip()
+
+
 ORACLE_LAG_DELTA = f"""
 SELECT user_id, event_id,
        {sql_stable_round(
@@ -575,6 +613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_user": q_sessions_user,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
+    "running_total_user": q_running_total_user,
     "range_join_ship": q_range_join_ship,
     "events_retention": q_events_retention,
     "metric_gapfill": q_metric_gapfill,
@@ -591,4 +630,5 @@ ORACLES: dict[str, str] = {
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,
     "lag_delta_user": ORACLE_LAG_DELTA,
+    "running_total_user": ORACLE_RUNNING_TOTAL,
 }

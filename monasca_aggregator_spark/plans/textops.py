@@ -343,8 +343,95 @@ FROM scored LEFT JOIN m USING (doc_id)
 """.strip()
 
 
+N_DECILES = 10
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality deciles: exact NTILE(10) over the heuristic
+    quality score, then per-decile stats — the distribution view behind
+    'keep the top 30%' curation cuts. A naive global NTILE window is a
+    single-partition sort of the whole corpus; this uses
+    operators/rank.py instead — range-bucketed local rank + broadcast
+    prefix offsets (the only single-task step is a prefix sum over the
+    ~50-row bucket histogram). Per-decile averages sum exact integer
+    ten-thousandths, so no accumulation-order epsilon."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    scores = T.quality_scores(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    ).select("doc_id", "quality")
+    # quality ∈ [0,1] rounded to 4 decimals → floor(q*50) gives ≤ 51
+    # buckets, monotone in (quality, doc_id) order
+    ranked = global_rank(
+        scores,
+        F.floor(F.col("quality") * 50).cast("int"),
+        [F.col("quality").asc(), F.col("doc_id").asc()],
+        rank_col="rk",
+        total_col="n_total",
+    )
+    decile = ntile_from_rank(
+        F.col("rk"), F.col("n_total"), N_DECILES
+    ).alias("decile")
+    q_e4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        ranked.select(decile, F.col("quality"), q_e4.alias("q_e4"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            (
+                F.sum("q_e4").cast("double")
+                / (F.count(F.lit(1)) * F.lit(10000.0))
+            ).alias("avg_quality"),
+        )
+    )
+
+
+_QUALITY_EXPR = """
+  floor((0.4::DOUBLE * (n_stop / n_tokens)
+        + 0.3::DOUBLE * least(n_tokens / 100.0::DOUBLE, 1.0::DOUBLE)
+        + 0.3::DOUBLE * (1.0::DOUBLE - n_punct / n_chars))
+        * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+""".strip()
+
+ORACLE_QUALITY_DECILES = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOPLIST_SQL})) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars
+  FROM t
+), q AS (
+  SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m
+), r AS (
+  SELECT doc_id, quality,
+         ntile({N_DECILES}) OVER (ORDER BY quality ASC, doc_id ASC) AS decile
+  FROM q
+)
+SELECT decile,
+       count(*) AS n_docs,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality,
+       CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 10000.0::DOUBLE) AS avg_quality
+FROM r GROUP BY decile
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
+    "quality_deciles": q_quality_deciles,
     "text_decontaminate": q_text_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_tokens": q_text_tokens,
@@ -359,6 +446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "text_langid": ORACLE_LANGID,
+    "quality_deciles": ORACLE_QUALITY_DECILES,
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "text_tokens": ORACLE_TOKENS,
     "text_quality": ORACLE_QUALITY,

@@ -37,6 +37,7 @@ def _modules():
         "dedup",
         "textops",
         "similarity",
+        "semistruct",
         "streaming_q",
         "temporal",
     ):

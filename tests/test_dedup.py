@@ -97,3 +97,48 @@ def test_connected_components_chain_and_islands(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {5: 5, 10: 5, 20: 5, 30: 5, 100: 100, 200: 100, 7: 7}
+
+
+def test_edit_distance_pairs_basic(docs):
+    # docs 0 and 2 differ by one word ("lazy" -> "sleepy": distance 4);
+    # doc 1 differs from 0 in its PREFIX (case), so blocking excludes it
+    pairs = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in D.edit_distance_pairs(docs, max_distance=10).collect()
+    }
+    assert pairs == {(0, 2): 4}
+
+
+def test_edit_distance_blocking_full_recall_on_corpus(spark):
+    """Prefix-16 blocking must lose NOTHING vs the exhaustive quadratic
+    formulation on the driver corpus (the oracle gate relies on this).
+    Exhaustive side runs JVM-side on a 200-doc slice."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 200
+    )
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in D.edit_distance_pairs(docs, max_distance=20).collect()
+    }
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    exhaustive = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("text_a", "text_b", 20).alias("ed"),
+        )
+        .filter(F.col("ed") >= 0)
+        .collect()
+    }
+    assert blocked == exhaustive
+    assert len(exhaustive) > 0  # the corpus does contain near-dups
