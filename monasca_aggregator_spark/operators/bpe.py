@@ -1,0 +1,118 @@
+"""Distributed BPE (byte-pair-encoding) merge-rule training.
+
+Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY
+dictionary, not the raw corpus: after one exploded word count, every
+iteration touches only (distinct word, freq) rows — for web-scale text
+that dictionary is orders of magnitude smaller than the corpus and is
+the only thing that ever shuffles again.
+
+Per merge iteration, entirely in DataFrame ops:
+- adjacent symbol pairs via a zip_with over the symbol array with its
+  own tail (no posexplode self-join);
+- pair counts = explode + groupBy (map-side partials; weighting by
+  word freq);
+- the argmax pair via orderBy().limit(1) — TakeOrdered, a per-partition
+  1-row heap, not a global sort;
+- the merge applied to every dictionary entry as a left fold
+  (``F.aggregate``) in whole-stage codegen — greedy leftmost,
+  non-overlapping, exactly the reference semantics of merging a pair
+  list-wise ("aaa" + (a,a) → "aa","a").
+
+The driver loop holds only the winning pair per round (the iterative
+structure shared with IVF k-means training, similarity.py). Output is
+the ranked merge table — the artifact a tokenizer ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.text import tokens
+
+END_MARK = "</w>"
+
+
+def _word_dict(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) dictionary — the one corpus-sized aggregation."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms):
+    """Array of 'a b' strings for each adjacent symbol pair."""
+    tail = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.zip_with(
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+        tail,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy leftmost merge of adjacent (a, b) into a+b. The merged
+    token a+b is strictly longer than a, so a freshly merged tail can
+    never be re-consumed — no flag needed in the fold state."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` merge rules; returns (rank, left, right,
+    merged, freq) ordered by rank. Stops early when no pair reaches
+    ``min_freq``."""
+    seqs = _word_dict(docs, text_col).select(
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
+        ).alias("syms"),
+    )
+    # localCheckpoint (eager) truncates lineage each round: without it
+    # the logical plan accretes one nested fold per iteration and
+    # analyzer/optimizer time — not execution — comes to dominate
+    # (measured ~10× the whole job by merge 16 at sf0.01).
+    seqs = seqs.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        top = (
+            seqs.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_freq:
+            break
+        a, b = top[0].pair.split(" ", 1)
+        merges.append((rank, a, b, a + b, int(top[0].n)))
+        seqs = seqs.select(
+            "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq long"
+    )

@@ -103,8 +103,52 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, model, "embedding", keep_cols=("vec_id",))
 
 
+_DIM = 64
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization fidelity report: per-vector exact code
+    checksum + max reconstruction error. The scale fit is one aggregate
+    pass producing a 2·d summary row (broadcast back); quantization is
+    codegen zip_with. Deterministically oracle-able because the
+    checksum is exact integer arithmetic and max-abs-err is a max over
+    identical IEEE expressions."""
+    from monasca_aggregator_spark.operators.quantize import (
+        quantization_report,
+    )
+
+    return quantization_report(
+        load_table(spark, sf_dir, "embeddings", fan_out=True), _DIM
+    )
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), u AS (
+  SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM v
+), sc AS (
+  SELECT pos, min(x) AS m, (max(x) - min(x)) / 255.0::DOUBLE AS s
+  FROM u GROUP BY pos
+), qe AS (
+  SELECT vec_id, pos, x, m, s,
+         CASE WHEN s = 0 THEN 0
+              ELSE CAST(greatest(0.0::DOUBLE, least(255.0::DOUBLE,
+                        floor((x - m) / s + 0.5::DOUBLE))) AS INTEGER)
+         END AS code
+  FROM u JOIN sc USING (pos)
+)
+SELECT vec_id,
+       sum(CAST(code AS BIGINT) * pos) AS code_checksum,
+       floor(max(abs(x - (code * s + m))) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+         / 1000000.0::DOUBLE AS max_abs_err
+FROM qe GROUP BY vec_id
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
+    "embedding_quantize": q_embedding_quantize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
@@ -114,4 +158,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN,
+    "embedding_quantize": ORACLE_QUANTIZE,
 }

@@ -343,6 +343,24 @@ FROM scored LEFT JOIN m USING (doc_id)
 """.strip()
 
 
+_BPE_MERGES = 16
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule training over the corpus word
+    dictionary (operators/bpe.py). Rows-only: iterative argmax — the
+    greedy dependency between rounds isn't single-statement SQL;
+    tests/test_bpe.py pins the merge table against a local reference
+    implementation."""
+    from monasca_aggregator_spark.operators.bpe import train_bpe_merges
+
+    return train_bpe_merges(
+        spark,
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        n_merges=_BPE_MERGES,
+    )
+
+
 N_DECILES = 10
 
 
@@ -442,6 +460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
     "text_topk_sketch": q_text_topk_sketch,  # rows-only (bounded-state sketch)
+    "bpe_train": q_bpe_train,  # rows-only (iterative greedy argmax)
 }
 
 ORACLES: dict[str, str] = {
