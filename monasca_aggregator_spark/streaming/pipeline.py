@@ -56,6 +56,12 @@ def build_streaming_aggregation(
             "rollup is a second stateful aggregation: run it in "
             "foreachBatch on this plan's output"
         )
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with timezone); parquet file
+        # sources may surface event time as TIMESTAMP_NTZ depending on
+        # writer metadata. Session timezone is UTC, so the cast is a
+        # pure type relabel, not a wall-clock shift.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     dims = F.col(dims_col)
     matched = df.filter(matches_metric(spec, F.col(name_col), dims)).withWatermark(
         ts_col, f"{lag_sec} seconds"
