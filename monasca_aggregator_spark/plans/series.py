@@ -1,0 +1,263 @@
+"""Metric-series statistics queries + oracles (events table).
+
+Extends the reference's 7 aggregation functions (sum/count/avg/min/max/
+delta/rate — aggregation/*.go) with the dispersion + distribution-shape
+statistics a monitoring pipeline needs next: variance bands per window,
+percentile-clipped (winsorized) aggregates, and cross-metric
+correlation. All three stay fully declarative: the raw event scan is
+touched once per query, and everything after the first groupBy operates
+on aggregated series that are orders of magnitude smaller than the
+input — the shape that survives a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+_HOUR_MS = 3600 * 1000
+_W_SQL = f"(epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS}"
+
+
+def _hourly_window() -> F.Column:
+    return (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    ).alias("window_ts_ms")
+
+
+# ---------------------------------------------------------------- stddev
+
+
+def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion per (metric, hourly window): sample stddev + variance
+    alongside the mean — the error-band columns next to the reference's
+    avg output. Single shuffle keyed by (metric, window) with map-side
+    partial aggregation; the exchange carries one summary row per
+    group, never raw events.
+
+    Numerics: Spark's stddev_samp (streaming M2 merge) and DuckDB's
+    differ in final-ulp accumulation, which flips stable_round at
+    half-ULP boundaries across thousands of groups. Values are exact
+    integer cents, so the moments are summed as exact bigints
+    (Σe2, Σe2²) and variance derived as
+    (n·Σx² − (Σx)²) / (n(n−1)·100²): identical integers → identical
+    doubles → identical output on both engines, no epsilon at all.
+    (Per-group Σe2² stays far below bigint range for any realistic
+    per-window row count; the groups are time-bounded.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    g = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e2").alias("s1"),
+        F.sum(F.col("e2") * F.col("e2")).alias("s2"),
+    )
+    n = F.col("n")
+    var = F.when(
+        n > 1,
+        (F.col("s2") * n - F.col("s1") * F.col("s1")).cast("double")
+        / (n * (n - 1) * F.lit(10000.0)),
+    )
+    return g.select(
+        "event_type",
+        "window_ts_ms",
+        "n",
+        (F.col("s1").cast("double") / (n * F.lit(100.0))).alias("avg_value"),
+        F.sqrt(var).alias("stddev_value"),
+        var.alias("var_value"),
+    )
+
+
+ORACLE_STDDEV = f"""
+WITH e AS (
+  SELECT event_type, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+), g AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         count(*) AS n, sum(e2) AS s1, sum(e2 * e2) AS s2
+  FROM e GROUP BY 1, 2
+)
+SELECT event_type, window_ts_ms, n,
+       CAST(s1 AS DOUBLE) / (n * 100.0::DOUBLE) AS avg_value,
+       sqrt(CASE WHEN n > 1 THEN CAST(s2 * n - s1 * s1 AS DOUBLE)
+                 / (n * (n - 1) * 10000.0::DOUBLE) END) AS stddev_value,
+       CASE WHEN n > 1 THEN CAST(s2 * n - s1 * s1 AS DOUBLE)
+            / (n * (n - 1) * 10000.0::DOUBLE) END AS var_value
+FROM g
+""".strip()
+
+
+# ------------------------------------------------------------- winsorize
+
+_WINS_LO_PCT = 5  # clamp below the 5th percentile
+_WINS_HI_PCT = 95  # and above the 95th
+
+
+def q_metric_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) hourly aggregates: per metric,
+    clamp values below p05 / above p95, then aggregate — the
+    outlier-robust variant of the reference's avg rule.
+
+    The percentiles are EXACT DISCRETE order statistics computed from a
+    value histogram, not an interpolating percentile() call: values are
+    integer cents, so groupBy (metric, value_cents) collapses the corpus
+    to ≤ a few thousand histogram cells per metric (map-side partial
+    agg; the shuffle carries distinct values, not rows), a cumulative
+    sum over that tiny histogram finds the ranks, and the thresholds
+    broadcast back to the scan. Everything stays in integer arithmetic
+    until the final division, so engine and oracle agree bit-for-bit
+    with no rounding epsilon — and the histogram path is exactly how
+    you'd compute an exact percentile over 100 TB (the raw data is
+    never sorted, only its value histogram is)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hist = ev.groupBy("event_type", "e2").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "e2",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    k_lo = F.floor((F.lit(_WINS_LO_PCT) * F.col("n") + 99) / 100)
+    k_hi = F.floor((F.lit(_WINS_HI_PCT) * F.col("n") + 99) / 100)
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("e2"))).alias("lo_e2"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("e2"))).alias("hi_e2"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        _hourly_window(),
+        F.greatest(F.least(F.col("e2"), F.col("hi_e2")), F.col("lo_e2")).alias(
+            "ce2"
+        ),
+        (F.col("e2") < F.col("lo_e2")).cast("long").alias("is_lo"),
+        (F.col("e2") > F.col("hi_e2")).cast("long").alias("is_hi"),
+    )
+    return clamped.groupBy("event_type", "window_ts_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("ce2").cast("double") / (F.count(F.lit(1)) * F.lit(100.0))
+        ).alias("avg_winsorized"),
+        F.sum("is_lo").alias("n_clamped_lo"),
+        F.sum("is_hi").alias("n_clamped_hi"),
+    )
+
+
+ORACLE_WINSORIZE = f"""
+WITH e AS (
+  SELECT event_type, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+), hist AS (
+  SELECT event_type, e2, count(*) AS c FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, e2,
+         sum(c) OVER (PARTITION BY event_type ORDER BY e2
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), bounds AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= ({_WINS_LO_PCT} * n + 99) // 100
+                  THEN e2 END) AS lo_e2,
+         min(CASE WHEN cum >= ({_WINS_HI_PCT} * n + 99) // 100
+                  THEN e2 END) AS hi_e2
+  FROM cum GROUP BY 1
+), clamped AS (
+  SELECT e.event_type, {_W_SQL} AS window_ts_ms,
+         greatest(least(e2, hi_e2), lo_e2) AS ce2,
+         CASE WHEN e2 < lo_e2 THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN e2 > hi_e2 THEN 1 ELSE 0 END AS is_hi
+  FROM e JOIN bounds ON e.event_type = bounds.event_type
+)
+SELECT event_type, window_ts_ms,
+       count(*) AS n,
+       CAST(sum(ce2) AS DOUBLE) / (count(*) * 100.0::DOUBLE)
+         AS avg_winsorized,
+       sum(is_lo) AS n_clamped_lo,
+       sum(is_hi) AS n_clamped_hi
+FROM clamped
+GROUP BY 1, 2
+""".strip()
+
+
+# ----------------------------------------------------------- correlation
+
+
+def q_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the hourly mean series of
+    every metric pair — 'which metrics move together' is the first
+    question asked of an aggregated metric store. Aggregate-then-
+    correlate: the event scan collapses to one row per (metric, window)
+    FIRST (single shuffle over raw data), and the pair join + corr run
+    on that tiny series table (#metrics × #windows rows), so the
+    pair-join cost is independent of corpus size. Window means are
+    rounded to 4 decimals on both sides before corr so both engines
+    correlate identical inputs; corr's own accumulation is then rounded
+    too."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        stable_round(F.avg("value"), 4).alias("wv")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.window_ts_ms") == F.col("b.window_ts_ms"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("metric_a"),
+        F.col("b.event_type").alias("metric_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        stable_round(F.corr(F.col("a.wv"), F.col("b.wv")), 4).alias("corr"),
+    )
+
+
+ORACLE_CORRELATION = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS w,
+         {sql_stable_round("avg(value)")} AS wv
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS metric_a, b.event_type AS metric_b,
+       count(*) AS n_windows,
+       {sql_stable_round("corr(a.wv, b.wv)")} AS corr
+FROM hourly a JOIN hourly b
+  ON a.w = b.w AND a.event_type < b.event_type
+GROUP BY 1, 2
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_stddev": q_agg_stddev,
+    "metric_winsorize": q_metric_winsorize,
+    "metric_correlation": q_metric_correlation,
+}
+
+ORACLES: dict[str, str] = {
+    "agg_stddev": ORACLE_STDDEV,
+    "metric_winsorize": ORACLE_WINSORIZE,
+    "metric_correlation": ORACLE_CORRELATION,
+}

@@ -40,6 +40,7 @@ def _modules():
         "semistruct",
         "streaming_q",
         "temporal",
+        "series",
     ):
         try:
             mod = __import__(

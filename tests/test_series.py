@@ -1,0 +1,100 @@
+"""Metric-series statistics (plans/series.py): semantics vs numpy on
+sf0.001 plus plan-shape guards (broadcast threshold join, partial
+aggregation)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from monasca_aggregator_spark.plans import series
+from monasca_aggregator_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL, explain_str
+
+
+def _window_ms(ts):
+    ms = ts.astype("datetime64[ms]").astype("int64")
+    return ms // 3600000 * 3600000
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    return (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+
+
+def test_stddev_matches_numpy(spark, events_pdf):
+    out = series.q_agg_stddev(spark, SF_SMALL).toPandas()
+    pdf = events_pdf.copy()
+    pdf["e2"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+    pdf["w"] = _window_ms(pdf["ts"])
+    exp = (
+        pdf.groupby(["event_type", "w"])["e2"]
+        .agg(
+            xn="count",
+            xsd=lambda s: (s.astype(float) / 100).std(ddof=1),
+        )
+        .reset_index()
+        .rename(columns={"w": "window_ts_ms"})
+    )
+    merged = out.merge(exp, on=["event_type", "window_ts_ms"], how="outer")
+    assert merged["n"].notna().all() and merged["xn"].notna().all()
+    assert (merged["n"] == merged["xn"]).all()
+    multi = merged[merged["n"] > 1]
+    assert np.allclose(multi["stddev_value"], multi["xsd"], rtol=1e-9)
+    # single-observation windows have undefined sample stddev
+    single = merged[merged["n"] == 1]
+    assert single["stddev_value"].isna().all()
+
+
+def test_winsorize_thresholds_and_clamping(spark, events_pdf):
+    out = series.q_metric_winsorize(spark, SF_SMALL).toPandas()
+    pdf = events_pdf.copy()
+    pdf["e2"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+    for et, sub in pdf.groupby("event_type"):
+        vals = np.sort(sub["e2"].to_numpy())
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1]
+        hi = vals[math.ceil(0.95 * n) - 1]
+        clamped = np.clip(sub["e2"], lo, hi)
+        got = out[out["event_type"] == et]
+        # total clamp counts match the exact discrete order statistics
+        assert got["n_clamped_lo"].sum() == int((sub["e2"] < lo).sum())
+        assert got["n_clamped_hi"].sum() == int((sub["e2"] > hi).sum())
+        # corpus-wide winsorized mean matches numpy's
+        w_avg = (got["avg_winsorized"] * got["n"]).sum() / got["n"].sum()
+        assert abs(w_avg - clamped.mean() / 100.0) < 1e-9
+
+
+def test_winsorize_broadcasts_thresholds(spark):
+    plan = explain_str(series.q_metric_winsorize(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan  # bounds join-back never shuffles events
+    assert "HashAggregate" in plan
+
+
+def test_correlation_bounds_and_pairs(spark, events_pdf):
+    out = series.q_metric_correlation(spark, SF_SMALL).toPandas()
+    types = sorted(events_pdf["event_type"].unique())
+    n_pairs = len(types) * (len(types) - 1) // 2
+    assert len(out) == n_pairs
+    assert (out["metric_a"] < out["metric_b"]).all()
+    ok = out["corr"].dropna()
+    assert ((ok >= -1.0000001) & (ok <= 1.0000001)).all()
+    # self-correlation sanity: correlate a series with itself via the
+    # same rounded hourly means → exactly 1
+    pdf = events_pdf.copy()
+    pdf["w"] = _window_ms(pdf["ts"])
+    hourly = pdf.groupby(["event_type", "w"])["value"].mean()
+    hourly = np.floor(hourly * 10000 + 0.5) / 10000
+    a = hourly.xs(types[0], level=0)
+    b = hourly.xs(types[1], level=0)
+    j = np.corrcoef(*a.to_frame("a").join(b.to_frame("b"), how="inner").T.values)
+    got = out[(out["metric_a"] == types[0]) & (out["metric_b"] == types[1])][
+        "corr"
+    ].iloc[0]
+    assert abs(got - j[0, 1]) < 1e-3
