@@ -7,6 +7,8 @@ scan speed with full column pruning.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -288,3 +290,102 @@ def _make_zlib_ratio():
 
     _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf("double")(_ratio)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln(N / doc_freq)) — the keyword-extraction primitive behind
+    topic tagging and per-domain curation cuts.
+
+    Plan: explode → tf groupBy (doc_id, token) (map-side partial agg;
+    the shuffle carries per-doc term counts, not token instances) →
+    doc_freq groupBy over the already-collapsed tf table → join tf with
+    the (token, idf) vocabulary — an aggregated relation orders of
+    magnitude smaller than the corpus; Catalyst/AQE pick broadcast vs
+    shuffle join by its actual size, and stopword-ish skew is absorbed
+    because hot tokens are single vocabulary rows, not row groups.
+    Ranking windows partition by doc_id (bounded groups). Scores are
+    rounded to 4 decimals BEFORE ranking so the ordering both engines
+    see is identical (ln() can differ in the final ulp between libm
+    and Math.log); token asc breaks rounded-score ties.
+    """
+    from pyspark.sql import Window
+
+    from monasca_aggregator_spark.functions.text import tokens as _tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.log(F.col("n_docs").cast("double") / F.col("doc_freq")).alias(
+                "idf"
+            ),
+        )
+    )
+    scored = tf.join(vocab, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "doc_freq",
+        stable_round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "token", "tf", "doc_freq", "tfidf")
+    )
+
+
+def conjunctive_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """AND-of-terms document search via the inverted-index pattern:
+    explode to (doc_id, token), filter to the query terms (the filter
+    sits directly on the generator output, so only matching postings
+    survive the scan stage), collapse to distinct postings, and keep
+    docs whose distinct-term count equals the query width. The
+    surviving id set is tiny, so it broadcasts back onto the documents
+    scan — the big side never shuffles. At scale the posting lists
+    would be a pre-materialized bucketed table (sources/sinks writer
+    family); the query-side plan is identical from the postings on.
+    """
+    from monasca_aggregator_spark.functions.text import tokens as _tokens
+
+    uniq = sorted(set(terms))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isin(uniq))
+    hits = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.lit(1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(uniq))
+        .select("doc_id")
+    )
+    return docs.join(
+        F.broadcast(hits), docs[id_col] == hits["doc_id"], "left_semi"
+    ).select(F.col(id_col).alias("doc_id"), "lang", "source", "n_chars")

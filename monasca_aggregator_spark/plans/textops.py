@@ -447,7 +447,62 @@ FROM r GROUP BY decile
 """.strip()
 
 
+TFIDF_K = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents", fan_out=True), k=TFIDF_K
+    )
+
+
+ORACLE_TFIDF = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token != ''
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT token, count(*) AS doc_freq,
+         ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+  FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, token, tf, doc_freq,
+         {sql_stable_round("tf * idf")} AS tfidf
+  FROM tf JOIN vocab USING (token)
+)
+SELECT doc_id, rk, token, tf, doc_freq, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_K}
+""".strip()
+
+
+SEARCH_TERMS = ("spark", "merge", "window")
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.conjunctive_search(
+        load_table(spark, sf_dir, "documents", fan_out=True), SEARCH_TERMS
+    )
+
+
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in sorted(set(SEARCH_TERMS))) + "]"
+
+ORACLE_SEARCH = rf"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_has_all(
+        list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        {_TERMS_SQL})
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_tfidf": q_text_tfidf,
+    "text_search_conjunctive": q_text_search,
     "text_langid": q_text_langid,
     "quality_deciles": q_quality_deciles,
     "text_decontaminate": q_text_decontaminate,
@@ -464,6 +519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_tfidf": ORACLE_TFIDF,
+    "text_search_conjunctive": ORACLE_SEARCH,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,
     "text_decontaminate": ORACLE_DECONTAMINATE,

@@ -240,3 +240,53 @@ def test_contamination_benchmark_set_broadcasts(spark, sf_small):
 
     plan = explain_str(q_text_decontaminate(spark, sf_small))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_ranks_rare_heavy_terms_first(spark):
+    from monasca_aggregator_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common common apple"),
+            (3, "common banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rk): r for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # 'common' appears in every doc → idf = ln(3/3) = 0 → never beats
+    # a doc-unique term
+    assert out[(1, 1)].token == "zebra" and out[(1, 1)].tf == 3
+    assert out[(2, 1)].token == "apple"
+    assert out[(3, 1)].token == "banana" and out[(3, 1)].tf == 2
+    assert out[(1, 1)].doc_freq == 1
+    assert out[(1, 2)].token == "common" and out[(1, 2)].tfidf == 0.0
+
+
+def test_conjunctive_search_requires_all_terms(spark):
+    from monasca_aggregator_spark.operators.textops import conjunctive_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge join", "en", "s", 23),
+            (2, "spark window", "en", "s", 12),
+            (3, "merge window spark spark", "en", "s", 24),
+            (4, "nothing relevant", "en", "s", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = sorted(
+        r.doc_id
+        for r in conjunctive_search(docs, ("spark", "merge", "window")).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_conjunctive_search_broadcasts_survivors(spark, sf_small):
+    from monasca_aggregator_spark.plans.textops import q_text_search
+    from tests.conftest import explain_str
+
+    plan = explain_str(q_text_search(spark, sf_small))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
