@@ -199,6 +199,37 @@ def q_text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(explode_tokens(docs), "token", k=20, capacity=2048)
 
 
+def q_text_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Count-Min-sketch frequency estimates (operators/
+    cms.py) probed with the exact top-20 tokens, exact count alongside —
+    est_count ≥ count always, and ≈ equal at this width. The bounded
+    d×w cell table is what crosses the shuffle, never the token
+    multiset; overestimate/merge guarantees pinned in
+    tests/test_cms.py."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.functions.text import tokens
+    from monasca_aggregator_spark.operators.cms import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sketch = count_min_table(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "token").join(top, "token").select(
+        "token", "count", "est_count"
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_scores(
         load_table(spark, sf_dir, "documents", fan_out=True)
@@ -515,6 +546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
     "text_topk_sketch": q_text_topk_sketch,  # rows-only (bounded-state sketch)
+    "text_freq_cms": q_text_freq_cms,  # rows-only (hash-dependent sketch)
     "bpe_train": q_bpe_train,  # rows-only (iterative greedy argmax)
 }
 
