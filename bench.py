@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "metric_gapfill",
     "events_retention",
     "text_decontaminate",
+    "metric_winsorize",
+    "text_tfidf",
+    "text_freq_cms",
 ]
 
 

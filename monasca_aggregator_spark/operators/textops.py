@@ -237,11 +237,16 @@ def contamination_scores(
     shuffled by shingle. Docs with zero shingles (< n tokens) are
     excluded (containment is undefined).
     """
-    from monasca_aggregator_spark.functions.text import word_shingles
+    from monasca_aggregator_spark.functions.text import tokens, word_shingles
 
-    sh = docs.select(
+    # Filter on token count, NOT size(shingles) > 0: the two are
+    # equivalent (shingles empty iff < n tokens), but a predicate over
+    # the shingles column inlines the whole shingling HOF below the
+    # fan-out exchange (pushdown), serializing the expensive transform
+    # into the single-task scan stage — see load_table's fan_out note.
+    sh = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    )
     bench_set = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("s")

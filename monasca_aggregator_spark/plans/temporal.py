@@ -605,7 +605,62 @@ FROM ctx
 """.strip()
 
 
+def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event sequences — the sequence-assembly
+    step for behavioral/recommendation training data (each user's
+    history becomes one training example). ONE shuffle keyed by
+    user_id; collect_list partial-aggregates map-side and sort_array
+    orders the bounded per-user list AFTER aggregation, so there is no
+    global sort anywhere. Ties on timestamp break by event_type via
+    struct ordering, making the sequence string deterministic. At
+    100 TB per-user histories are bounded by retention; pathological
+    hot keys would be chunked per (user, day) first — the same plan
+    with a composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts"))
+    seq = F.sort_array(
+        F.collect_list(F.struct(t_ms.alias("t"), F.col("event_type")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(t_ms).alias("first_ms"),
+            F.max(t_ms).alias("last_ms"),
+            seq.alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "first_ms",
+            "last_ms",
+            F.array_join(
+                F.transform(
+                    F.col("seq"),
+                    lambda x: F.concat_ws(
+                        ":", x["t"].cast("string"), x["event_type"]
+                    ),
+                ),
+                "|",
+            ).alias("seq_str"),
+        )
+    )
+
+
+ORACLE_USER_SEQ = """
+SELECT user_id,
+       count(*) AS n_events,
+       min(epoch_ms(ts)) AS first_ms,
+       max(epoch_ms(ts)) AS last_ms,
+       string_agg(epoch_ms(ts) || ':' || event_type, '|'
+                  ORDER BY epoch_ms(ts), event_type) AS seq_str
+FROM events
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "user_event_seq": q_user_event_seq,
     "asof_purchase_click": q_asof_purchase_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
@@ -620,6 +675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "user_event_seq": ORACLE_USER_SEQ,
     "range_join_ship": ORACLE_RANGE_JOIN,
     "events_retention": ORACLE_RETENTION,
     "metric_gapfill": ORACLE_GAPFILL,

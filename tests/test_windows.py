@@ -57,3 +57,16 @@ def test_spark_tumbling_window_agrees(spark):
         ),
     )
     assert both.filter(F.col("batch_ms") != F.col("stream_ms")).count() == 0
+
+
+def test_user_event_seq_ordering_and_counts(spark, sf_small):
+    from monasca_aggregator_spark.plans.temporal import q_user_event_seq
+
+    out = {r.user_id: r for r in q_user_event_seq(spark, sf_small).collect()}
+    assert out  # one row per user
+    for r in out.values():
+        parts = r.seq_str.split("|")
+        assert len(parts) == r.n_events
+        ts = [int(p.split(":")[0]) for p in parts]
+        assert ts == sorted(ts)  # event-time order
+        assert ts[0] == r.first_ms and ts[-1] == r.last_ms
