@@ -298,16 +298,38 @@ def simhash_pairs(
     # filter over the derived column would inline the whole expression
     # below the fan-out exchange — see _exploded).
     sigs = sigs.filter(F.col("n_sh") > 0).select("doc_id", "simhash")
+    return hamming64_band_pairs(
+        sigs, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming
+    )
 
+
+def hamming64_band_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All id pairs whose 64-bit hashes differ in ≤ max_hamming bits.
+
+    Pigeonhole banding: split each hash into 4 16-bit chunks — any two
+    hashes within Hamming distance 3 agree on at least one chunk — so
+    candidate generation is an equi-join on (chunk, value) and only
+    candidates pay the popcount(xor) exact verify. The join is keyed by
+    chunk values (high cardinality, shuffle-partitionable); nothing
+    ever compares all-pairs. Shared by SimHash text dedup and
+    perceptual image-hash dedup (operators/multimodal.py).
+    """
+    assert max_hamming <= 3, "4-chunk banding only covers hamming <= 3"
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
+        id_col,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
+                        F.shiftright(hash_col, c * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("val"),
                     )
@@ -315,20 +337,20 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    ).select(id_col, hash_col, "c.chunk", "c.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .distinct()

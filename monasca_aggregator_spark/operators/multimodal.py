@@ -413,3 +413,106 @@ def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     return exploded.select(
         "media_id", "frame_index", sliced.alias("frame_payload")
     )
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit perceptual average-hash of an HxWxC pixel array: gray →
+    8x8 nearest-neighbor downsample → bit = cell > mean. Classic aHash;
+    robust to resizing/re-encoding, so it catches the near-dups an
+    exact byte hash misses."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = gray[np.ix_(ys, xs)]
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into signed 64-bit so it lands in a Spark long
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) via REAL PPM decode in mapInPandas — Arrow
+    batches of binary payloads in, one long per image out; non-PPM /
+    malformed payloads yield null rather than failing the task. No
+    shuffle: scan → ArrowEvalPython projection."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(ahash64(decode_ppm(bytes(p))))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _hash, "media_id bigint, ahash bigint"
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, *, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash + the same 16-bit
+    pigeonhole banding the SimHash text path uses
+    (operators/dedup.py:hamming64_band_pairs) — candidate generation is
+    an equi-join on chunk values, never all-pairs."""
+    from monasca_aggregator_spark.operators.dedup import hamming64_band_pairs
+
+    # Eagerly materialize the signature table (a few bytes per image)
+    # before the banded self-join: both join sides read it, and a lazy
+    # cache races its own first fill there — the Python decode+hash
+    # stage would run twice.
+    sigs = (
+        image_ahash(media)
+        .filter(F.col("ahash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    return hamming64_band_pairs(
+        sigs, id_col="media_id", hash_col="ahash", max_hamming=max_hamming
+    )
+
+
+def documents_as_ppm_media(docs: DataFrame, *, side: int = 32) -> DataFrame:
+    """Deterministic REAL PPM payloads derived from document text (the
+    utf-8 bytes tiled into a side×side×3 pixel grid) — gives the image
+    operators true end-to-end decodable inputs from driver testdata.
+    Duplicate texts produce identical images; near-dup texts produce
+    perceptually-close ones."""
+    n = side * side * 3
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                reps = -(-n // max(1, len(raw)))
+                arr = np.frombuffer((raw * reps)[:n], dtype=np.uint8)
+                payloads.append(encode_ppm(arr.reshape(side, side, 3)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    made = docs.select("doc_id", "text").mapInPandas(
+        _make, "media_id bigint, payload binary"
+    )
+    return made.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.create_map(
+            F.lit("width"), F.lit(str(side)), F.lit("height"), F.lit(str(side))
+        ).alias("meta"),
+    )

@@ -212,8 +212,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: perceptual near-dup image pairs over REAL PPM
+    payloads synthesized deterministically from document text
+    (operators/multimodal.py), plus a REAL-resized twin of every 10th
+    image (id + 10^7) — bytes → pixels → nearest-neighbor resample →
+    aHash → banded Hamming join, the image counterpart of
+    dedup_simhash. aHash is resize-robust, so each twin pairs with its
+    original (the dup structure an exact byte hash cannot see).
+    Hash-specific output, so no SQL oracle; invariants pinned in
+    tests/test_multimodal.py."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        documents_as_ppm_media,
+        image_near_dup_pairs,
+        resize_images,
+    )
+
+    media = documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+    twins = resize_images(
+        media.filter(F.col("media_id") % 10 == 0),
+        width=24,
+        height=24,
+        resample=True,
+    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    return image_near_dup_pairs(media.unionByName(twins), max_hamming=2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)

@@ -213,3 +213,95 @@ def test_video_frame_slices_stay_jvm_side(spark):
     vids = spark.createDataFrame([(1, "video", payload, meta)], M.MEDIA_SCHEMA)
     plan = explain_str(M.sample_frames(vids, every_n=1))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ahash_identical_and_perturbed_images(spark):
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.multimodal import (
+        ahash64,
+        encode_ppm,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # one-pixel change
+    far = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(base)), None),
+        (2, "image", bytearray(encode_ppm(base)), None),
+        (3, "image", bytearray(encode_ppm(near)), None),
+        (4, "image", bytearray(encode_ppm(far)), None),
+        (5, "image", bytearray(b"not a ppm"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    got = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert got[1] == got[2] == ahash64(base)  # spark path == local path
+    assert got[5] is None  # malformed → null, not task failure
+    ham = bin((got[1] ^ got[3]) & (2**64 - 1)).count("1")
+    assert ham <= 2  # one-pixel perturbation barely moves the hash
+    ham_far = bin((got[1] ^ got[4]) & (2**64 - 1)).count("1")
+    assert ham_far > 10
+
+
+def test_image_near_dup_pairs_banding_equals_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.multimodal import (
+        encode_ppm,
+        image_ahash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = []
+    for i in range(20):
+        base = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        imgs.append(base)
+        twin = base.copy()
+        twin[i % 24, (3 * i) % 24] ^= 7
+        imgs.append(twin)
+    rows = [
+        (i, "image", bytearray(encode_ppm(img)), None)
+        for i, img in enumerate(imgs)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    hashes = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == brute and brute  # banding is exhaustive for d<=3
+
+
+def test_documents_as_ppm_media_roundtrip(spark, sf_small):
+    from monasca_aggregator_spark.operators.multimodal import (
+        decode_ppm,
+        documents_as_ppm_media,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(5)
+    media = documents_as_ppm_media(docs)
+    rows = media.collect()
+    assert len(rows) == 5
+    for r in rows:
+        img = decode_ppm(bytes(r.payload))
+        assert img.shape == (32, 32, 3)
