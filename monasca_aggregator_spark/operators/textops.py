@@ -394,3 +394,59 @@ def conjunctive_search(
     return docs.join(
         F.broadcast(hits), docs[id_col] == hits["doc_id"], "left_semi"
     ).select(F.col(id_col).alias("doc_id"), "lang", "source", "n_chars")
+
+
+def span_dup_coverage(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-internal duplicated-span coverage: for every document,
+    the fraction of its n-token spans (every position, NOT distinct)
+    that also occur in at least one OTHER document — the span-level
+    reading of Lee et al.'s 'Deduplicating Training Data' substring
+    duplication measure, and the score curation uses to drop
+    template-heavy docs that exact/near dedup both miss.
+
+    Plan: positional spans via posexplode (cheap token filter first —
+    see contamination_scores for why the filter must not be a predicate
+    over the derived array) → span stats from a distinct (span, doc)
+    collapse — BOTH aggregations partial-aggregate map-side, so the
+    only corpus-sized shuffle is keyed by span (high cardinality,
+    uniform; hot template spans are single aggregated rows) → join the
+    positional spans back to the stats on span → per-doc fold.
+    """
+    from monasca_aggregator_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+    )
+    ex = (
+        docs.filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    )
+    stats = (
+        ex.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    frac = F.col("n_dup_spans") / F.col("n_spans")
+    return (
+        ex.join(stats, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            stable_round(frac, 4).alias("dup_frac"),
+        )
+    )

@@ -240,8 +240,42 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media.unionByName(twins), max_hamming=2)
 
 
+SPAN_N = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from monasca_aggregator_spark.operators.textops import span_dup_coverage
+
+    return span_dup_coverage(
+        load_table(spark, sf_dir, "documents", fan_out=True), n=SPAN_N
+    )
+
+
+ORACLE_SPANS = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, array_to_string(toks[i:i+{SPAN_N - 1}], ' ') AS span
+  FROM t, unnest(range(1, len(toks) - {SPAN_N - 2})) AS u(i)
+  WHERE len(toks) >= {SPAN_N}
+), stats AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       floor((sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+         AS dup_frac
+FROM s JOIN stats USING (span)
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_spans": q_dedup_spans,
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
@@ -254,6 +288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_EXACT,
+    "dedup_spans": ORACLE_SPANS,
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,

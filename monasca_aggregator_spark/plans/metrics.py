@@ -221,6 +221,38 @@ FROM events WHERE event_type = 'click' GROUP BY 1
 """.strip()
 
 
+def q_agg_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION: hourly DataSketches-HLL sketches of
+    distinct users, merged to daily via hll_union_agg — the
+    pre-aggregated rollup a 100 TB metric store serves 'daily uniques'
+    from WITHOUT rescanning raw events (distinct counts don't sum; the
+    sketches union losslessly). Two aggregation levels but the second
+    one only touches #hours sketch rows. At lgConfigK=14 the sketch
+    stays in its exact coupon representation for the test-SF
+    cardinalities (≤ ~600/day, verified exact vs COUNT DISTINCT at
+    sf0.1); at real scale error is the sketch's ±rsd. The reference has
+    no distinct support at all — rollup here exercises its two-stage
+    rollup concept (aggregation_rule.go:88) on a non-additive metric."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    hour = (F.unix_millis(F.col("ts")) / F.lit(_W_MS)).cast("long")
+    hourly = ev.groupBy(hour.alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id"), 14).alias("sk")
+    )
+    day = F.floor(F.col("h") / 24).cast("long") * F.lit(86400000)
+    return hourly.groupBy(day.alias("day_ts_ms")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
+    )
+
+
+ORACLE_DISTINCT_ROLLUP_HLL = f"""
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ts_ms,
+       count(DISTINCT user_id) AS distinct_users
+FROM events WHERE event_type = 'click' GROUP BY 1
+""".strip()
+
+
 def q_agg_p95_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window p95 via the Greenwald-Khanna quantile sketch
     (approx_percentile) — the bounded-state swap for exact percentiles
@@ -408,6 +440,7 @@ SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
     "agg_distinct_users": ORACLE_DISTINCT,
     "agg_median": ORACLE_MEDIAN,
     "agg_distinct_hll": ORACLE_DISTINCT_HLL,
+    "agg_distinct_rollup_hll": ORACLE_DISTINCT_ROLLUP_HLL,
     "agg_p95_sketch": ORACLE_P95_SKETCH,
     "agg_percentile_bands": ORACLE_PERCENTILE_BANDS,
 }
@@ -428,6 +461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_users": q_agg_distinct_users,
     "agg_median": q_agg_median,
     "agg_distinct_hll": q_agg_distinct_hll,
+    "agg_distinct_rollup_hll": q_agg_distinct_rollup_hll,
     "agg_p95_sketch": q_agg_p95_sketch,
     "agg_p95_tdigest": q_agg_p95_tdigest,  # rows-only (interpolated sketch)
     "agg_percentile_bands": q_agg_percentile_bands,

@@ -207,8 +207,43 @@ GROUP BY 1
 """.strip()
 
 
+SAMPLE_K = 100
+_PRIORITY_MULT = 2654435761  # Knuth multiplicative-hash constant
+_PRIORITY_MOD = 2147483647
+
+
+def q_sample_consistent_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent (min-wise) exact-k sample: every row gets a
+    deterministic pseudo-random priority and the k smallest win — the
+    sample is identical across reruns, partitionings, and cluster
+    sizes, and adding new docs only ever displaces, never reshuffles,
+    the survivors (the property that makes eval sets stable as the
+    corpus grows). orderBy().limit(k) compiles to
+    TakeOrderedAndProject: a k-row heap per partition merged on the
+    driver — there is NO global sort and no single-partition shuffle.
+    Priority is a multiplicative hash kept SQL-reproducible (same
+    rationale as split_train_val); production would use xxhash64."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.pmod(F.col("doc_id") * F.lit(_PRIORITY_MULT), F.lit(_PRIORITY_MOD))
+    return (
+        docs.select("doc_id", "source", "lang", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+ORACLE_CONSISTENT_K = f"""
+SELECT doc_id, source, lang,
+       (doc_id * {_PRIORITY_MULT}) % {_PRIORITY_MOD} AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {SAMPLE_K}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
+    "sample_consistent_k": q_sample_consistent_k,
     "sample_temperature": q_sample_temperature,
     "sample_stratified": q_sample_stratified,
     "profile_documents": q_profile_documents,
@@ -218,6 +253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sample_quota_source": ORACLE_QUOTA,
+    "sample_consistent_k": ORACLE_CONSISTENT_K,
     "sample_temperature": ORACLE_TEMPERATURE,
     "sample_stratified": ORACLE_STRATIFIED,
     "profile_documents": ORACLE_PROFILE,

@@ -659,8 +659,65 @@ GROUP BY 1
 """.strip()
 
 
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users, NEW users (first event
+    that day), and the cumulative user count — the canonical
+    'users over time' chart. first-seen is one groupBy(user) over raw
+    events; everything after (daily counts, running sum) operates on
+    the per-user/per-day aggregates, and the cumulative window orders a
+    ~#days-row series, so no stage's state scales with event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+        * F.lit(86400000)
+    ).alias("day_ts_ms")
+    active = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(
+            (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+            * F.lit(86400000)
+        ).alias("day_ts_ms")
+    )
+    new_users = first_seen.groupBy("day_ts_ms").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day_ts_ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(new_users, "day_ts_ms", "left")
+        .fillna({"n_new": 0})
+        .withColumn("cumulative_users", F.sum("n_new").over(w))
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH active AS (
+  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ts_ms,
+         count(DISTINCT user_id) AS n_active
+  FROM events GROUP BY 1
+), fs AS (
+  SELECT user_id, min((epoch_ms(ts) // 86400000) * 86400000) AS day_ts_ms
+  FROM events GROUP BY 1
+), nu AS (
+  SELECT day_ts_ms, count(*) AS n_new FROM fs GROUP BY 1
+)
+SELECT active.day_ts_ms, n_active,
+       coalesce(n_new, 0) AS n_new,
+       sum(coalesce(n_new, 0)) OVER (ORDER BY active.day_ts_ms
+                                     ROWS UNBOUNDED PRECEDING)
+         AS cumulative_users
+FROM active LEFT JOIN nu ON active.day_ts_ms = nu.day_ts_ms
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_seq": q_user_event_seq,
+    "events_cumulative_users": q_events_cumulative_users,
     "asof_purchase_click": q_asof_purchase_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
@@ -676,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "user_event_seq": ORACLE_USER_SEQ,
+    "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "range_join_ship": ORACLE_RANGE_JOIN,
     "events_retention": ORACLE_RETENTION,
     "metric_gapfill": ORACLE_GAPFILL,

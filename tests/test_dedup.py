@@ -142,3 +142,25 @@ def test_edit_distance_blocking_full_recall_on_corpus(spark):
     }
     assert blocked == exhaustive
     assert len(exhaustive) > 0  # the corpus does contain near-dups
+
+
+def test_span_dup_coverage_counts(spark):
+    from monasca_aggregator_spark.operators.textops import span_dup_coverage
+
+    shared = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} e f"),     # spans: abcd bcde cdef
+            (2, f"x {shared} y"),     # spans: xabc abcd bcdy... wait n=4
+            (3, "p q r s t"),         # no overlap
+            (4, "p q"),               # too short -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dup_coverage(docs, n=4).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1 spans: 'a b c d','b c d e','c d e f'; doc2: 'x a b c','a b c d','b c d y'
+    assert out[1].n_spans == 3 and out[2].n_spans == 3
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - round(1 / 3, 4)) < 1e-9

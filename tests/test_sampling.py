@@ -186,3 +186,43 @@ def test_temperature_mix_corpus_side_has_no_shuffle(spark, sf_small):
 
     plan = explain_str(q_sample_temperature(spark, sf_small))
     assert "BroadcastHashJoin" in plan
+
+
+def test_consistent_sample_is_stable_under_growth(spark, sf_small):
+    """Min-wise property: growing the corpus only displaces survivors —
+    the new sample is the k best of (old sample ∪ added docs), so it
+    never depends on how the data is partitioned or ordered."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        SAMPLE_K,
+        q_sample_consistent_k,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+    from tests.conftest import explain_str
+
+    full = q_sample_consistent_k(spark, sf_small)
+    ids_full = [r.doc_id for r in full.collect()]
+    assert len(ids_full) == SAMPLE_K
+    # restrict to half the corpus: survivors from that half must be a
+    # superset-prefix of the full sample's members from the same half
+    docs = load_table(spark, sf_small, "documents")
+    half_ids = {r.doc_id for r in docs.filter("doc_id % 2 = 0").collect()}
+    full_half_members = [i for i in ids_full if i in half_ids]
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        _PRIORITY_MOD,
+        _PRIORITY_MULT,
+    )
+
+    pri = F.pmod(F.col("doc_id") * F.lit(_PRIORITY_MULT), F.lit(_PRIORITY_MOD))
+    half_sample_ids = [
+        r.doc_id
+        for r in docs.filter("doc_id % 2 = 0")
+        .select("doc_id", pri.alias("p"))
+        .orderBy("p", "doc_id")
+        .limit(SAMPLE_K)
+        .collect()
+    ]
+    assert full_half_members == half_sample_ids[: len(full_half_members)]
+    plan = explain_str(full)
+    assert "TakeOrderedAndProject" in plan  # no global sort

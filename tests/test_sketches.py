@@ -77,3 +77,31 @@ def test_sketch_query_variants_equal_exact_at_small_n(spark, sf_small):
     p95 = metrics.q_agg_p95_sketch(spark, sf_small)
     rows = {r.window_ts_ms: r.p95_value for r in p95.collect()}
     assert len(rows) > 10 and all(v is not None for v in rows.values())
+
+
+def test_hll_rollup_merge_equals_direct_daily(spark, sf_small):
+    """Sketch mergeability: daily estimate from unioned hourly sketches
+    must equal the estimate of a sketch built directly over the day."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").filter(
+        F.col("event_type") == "click"
+    )
+    hour = (F.unix_millis("ts") / F.lit(3600000)).cast("long")
+    day = F.floor(hour / 24)
+    merged = (
+        ev.groupBy(hour.alias("h"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), 14).alias("sk"))
+        .groupBy(F.floor(F.col("h") / 24).alias("d"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy(day.alias("d")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), 14)).alias(
+            "est"
+        )
+    )
+    m = {r.d: r.est for r in merged.collect()}
+    d = {r.d: r.est for r in direct.collect()}
+    assert m == d and m

@@ -70,3 +70,29 @@ def test_user_event_seq_ordering_and_counts(spark, sf_small):
         ts = [int(p.split(":")[0]) for p in parts]
         assert ts == sorted(ts)  # event-time order
         assert ts[0] == r.first_ms and ts[-1] == r.last_ms
+
+
+def test_cumulative_users_invariants(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.temporal import (
+        q_events_cumulative_users,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = sorted(
+        q_events_cumulative_users(spark, sf_small).collect(),
+        key=lambda r: r.day_ts_ms,
+    )
+    total_users = (
+        load_table(spark, sf_small, "events")
+        .agg(F.count_distinct("user_id"))
+        .collect()[0][0]
+    )
+    assert rows[-1].cumulative_users == total_users
+    assert sum(r.n_new for r in rows) == total_users
+    cum = 0
+    for r in rows:
+        cum += r.n_new
+        assert r.cumulative_users == cum
+        assert r.n_new <= r.n_active <= cum
