@@ -250,14 +250,60 @@ GROUP BY 1, 2
 """.strip()
 
 
+_M4_BUCKET_MS = 6 * 3600 * 1000  # 6-hour pixel buckets
+
+
+def q_metric_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 series downsampling (Jugel et al., VLDB 2014): per
+    (metric, time bucket) keep exactly min/max/first/last — the four
+    points that make a line chart pixel-identical to the full series,
+    and the standard way a dashboard reads a 100 TB metric store
+    without scanning it into the browser. Pure single-shuffle
+    aggregation: min/max are plain aggregates, first/last are
+    min_by/max_by selections ordered by event time (microsecond event
+    times are collision-free here, so selection is deterministic); no
+    accumulation arithmetic at all, so engine and oracle compare
+    exactly with no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    bucket = (
+        (F.unix_millis(F.col("ts")) / F.lit(_M4_BUCKET_MS)).cast("long")
+        * F.lit(_M4_BUCKET_MS)
+    )
+    return ev.groupBy(
+        F.col("event_type"), bucket.alias("bucket_ts_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", t_us).alias("v_first"),
+        F.max_by("value", t_us).alias("v_last"),
+    )
+
+
+ORACLE_M4 = f"""
+SELECT event_type,
+       (epoch_ms(ts) // {_M4_BUCKET_MS}) * {_M4_BUCKET_MS} AS bucket_ts_ms,
+       count(*) AS n,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       arg_min(value, epoch_us(ts)) AS v_first,
+       arg_max(value, epoch_us(ts)) AS v_last
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stddev": q_agg_stddev,
+    "metric_downsample_m4": q_metric_downsample_m4,
     "metric_winsorize": q_metric_winsorize,
     "metric_correlation": q_metric_correlation,
 }
 
 ORACLES: dict[str, str] = {
     "agg_stddev": ORACLE_STDDEV,
+    "metric_downsample_m4": ORACLE_M4,
     "metric_winsorize": ORACLE_WINSORIZE,
     "metric_correlation": ORACLE_CORRELATION,
 }

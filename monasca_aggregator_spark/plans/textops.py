@@ -11,7 +11,10 @@ from monasca_aggregator_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
 )
-from monasca_aggregator_spark.functions.rounding import sql_stable_round
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.operators import textops as T
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -478,6 +481,104 @@ FROM r GROUP BY decile
 """.strip()
 
 
+PMI_K = 20
+PMI_MIN_COUNT = 5
+
+
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K collocations by pointwise mutual information — the
+    corpus-statistics pass behind multiword-token mining and phrase
+    detection (word2vec-style phrase building). Bigram and unigram
+    tables are both aggregates bounded by vocabulary (map-side partial
+    agg; the corpus-sized explode shuffles once per table), and the two
+    unigram joins attach to the already-collapsed bigram table. PMI is
+    rounded BEFORE ranking (ln ulp differences across engines), token
+    pair breaks ties; TakeOrdered keeps a K-row heap per partition —
+    no global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total_w = uni.agg(F.sum("c").alias("t_w"))
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> struct(split(text, ' ')[i] as w1,"
+                "             split(text, ' ')[i + 1] as w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    total_b = big.agg(F.sum("c_ab").alias("t_b"))
+    scored = (
+        big.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(uni.withColumnRenamed("c", "c_a"), F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(uni.withColumnRenamed("c", "c_b"), F.col("w2") == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(total_w))
+        .join(F.broadcast(total_b))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            stable_round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_b"))
+                    / (
+                        (F.col("c_a") / F.col("t_w"))
+                        * (F.col("c_b") / F.col("t_w"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_K)
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "w1", "w2", "c_ab", "pmi"
+    )
+
+
+ORACLE_PMI = rf"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), uni AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1
+), tw AS (SELECT sum(c) AS t_w FROM uni),
+g AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+), big AS (
+  SELECT w1, w2, count(*) AS c_ab FROM g GROUP BY 1, 2
+), tb AS (SELECT sum(c_ab) AS t_b FROM big),
+scored AS (
+  SELECT w1, w2, c_ab,
+         {sql_stable_round(
+             "ln((c_ab / t_b) / ((a.c / t_w) * (b.c / t_w)))", 4)} AS pmi
+  FROM big, tw, tb
+  JOIN uni a ON big.w1 = a.word
+  JOIN uni b ON big.w2 = b.word
+  WHERE c_ab >= {PMI_MIN_COUNT}
+)
+SELECT rk, w1, w2, c_ab, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+  FROM scored
+) WHERE rk <= {PMI_K}
+""".strip()
+
+
 TFIDF_K = 3
 
 
@@ -533,6 +634,7 @@ WHERE list_has_all(
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf": q_text_tfidf,
+    "text_bigram_pmi": q_text_bigram_pmi,
     "text_search_conjunctive": q_text_search,
     "text_langid": q_text_langid,
     "quality_deciles": q_quality_deciles,
@@ -552,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "text_tfidf": ORACLE_TFIDF,
+    "text_bigram_pmi": ORACLE_PMI,
     "text_search_conjunctive": ORACLE_SEARCH,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,

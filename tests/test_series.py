@@ -98,3 +98,35 @@ def test_correlation_bounds_and_pairs(spark, events_pdf):
         "corr"
     ].iloc[0]
     assert abs(got - j[0, 1]) < 1e-3
+
+
+def test_m4_envelope_contains_series(spark, events_pdf):
+    out = series.q_metric_downsample_m4(spark, SF_SMALL).toPandas()
+    pdf = events_pdf.copy()
+    pdf["b"] = (
+        pdf["ts"].astype("datetime64[ms]").astype("int64")
+        // series._M4_BUCKET_MS
+        * series._M4_BUCKET_MS
+    )
+    g = pdf.groupby(["event_type", "b"])["value"]
+    exp = g.agg(["count", "min", "max"]).reset_index()
+    merged = out.merge(
+        exp,
+        left_on=["event_type", "bucket_ts_ms"],
+        right_on=["event_type", "b"],
+        how="outer",
+    )
+    assert merged["n"].notna().all() and merged["count"].notna().all()
+    assert (merged["n"] == merged["count"]).all()
+    assert (merged["v_min"] == merged["min"]).all()
+    assert (merged["v_max"] == merged["max"]).all()
+    # first/last are real series points inside the envelope
+    assert ((out["v_first"] >= out["v_min"]) & (out["v_first"] <= out["v_max"])).all()
+    assert ((out["v_last"] >= out["v_min"]) & (out["v_last"] <= out["v_max"])).all()
+    # and match the time-ordered endpoints
+    srt = pdf.sort_values("ts").groupby(["event_type", "b"])["value"]
+    firsts = srt.first().reset_index().rename(columns={"value": "xf"})
+    merged2 = out.merge(
+        firsts, left_on=["event_type", "bucket_ts_ms"], right_on=["event_type", "b"]
+    )
+    assert (merged2["v_first"] == merged2["xf"]).all()
