@@ -203,3 +203,52 @@ def pack_concat_chunk(
     )
     start = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     return df.withColumn("chunk_id", F.floor(start / F.lit(budget)))
+
+
+def pack_sliding_chunks(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window packing: documents are laid head-to-tail per
+    group (same running-offset window as ``pack_concat_chunk``), but
+    chunks of ``budget`` units start every ``stride`` units, so with
+    stride < budget consecutive training windows OVERLAP — the standard
+    long-context curriculum trick (every token is seen with both its
+    left and right context). A document joins every chunk whose window
+    [k·stride, k·stride+budget) intersects its span — computed as a
+    closed-form integer k-range and exploded with ``sequence``, so
+    there is no range join, no UDF, and the fan-out per row is exactly
+    its overlap count (≤ budget/stride)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # materialize the running offset BEFORE the generator: Spark cannot
+    # resolve a window expression nested inside explode()
+    staged = df.withColumn(
+        "start_offset", F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    )
+    start = F.col("start_offset")
+    end = start + F.col(size_col)
+    k_min = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((start - F.lit(budget)) / F.lit(stride)) + F.lit(1),
+    )
+    k_max = F.ceil(end / F.lit(stride)) - F.lit(1)
+    return (
+        staged.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(k_min, F.greatest(k_max, k_min))),
+        )
+        # degenerate guard: greatest() above only fires when a zero-size
+        # doc sits exactly on a stride boundary; drop non-overlapping
+        .filter(
+            (F.col("chunk_id") * stride < end)
+            & (F.col("chunk_id") * stride + budget > start)
+        )
+    )

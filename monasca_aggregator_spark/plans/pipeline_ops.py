@@ -104,6 +104,56 @@ FROM o GROUP BY 1, 2
 """.strip()
 
 
+PACK_STRIDE = 2000  # budget 4000 / stride 2000 → 2× overlapped windows
+
+
+def q_pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window packing summary: per (source, chunk) membership
+    at PACK_BUDGET-char windows starting every PACK_STRIDE chars —
+    overlapping training windows (each char lands in ~budget/stride
+    chunks). Closed-form integer chunk ranges exploded JVM-side; no
+    range join."""
+    from monasca_aggregator_spark.operators.sampling import (
+        pack_sliding_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sliding_chunks(
+        docs, "source", "doc_id", "n_chars", PACK_BUDGET, PACK_STRIDE
+    )
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("member_chars"),
+    )
+
+
+ORACLE_PACK_OVERLAP = f"""
+WITH o AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s
+  FROM documents
+), x AS (
+  SELECT source, doc_id, n_chars, s,
+         -- floor division spelled out: DuckDB's // truncates toward 0
+         -- on negatives, Spark's floor() does not
+         unnest(range(CAST(greatest(0,
+                        floor((s - {PACK_BUDGET})::DOUBLE / {PACK_STRIDE})
+                        + 1) AS BIGINT),
+                      CAST(ceil((s + n_chars)::DOUBLE / {PACK_STRIDE})
+                           AS BIGINT)))
+           AS chunk_id
+  FROM o
+)
+SELECT source, chunk_id, count(*) AS n_docs, sum(n_chars) AS member_chars
+FROM x
+WHERE chunk_id * {PACK_STRIDE} < s + n_chars
+  AND chunk_id * {PACK_STRIDE} + {PACK_BUDGET} > s
+GROUP BY 1, 2
+""".strip()
+
+
 # language-rebalancing mix: drop most English, keep low-resource langs
 STRATA = {"en": 0.25, "de": 1.0, "fr": 0.75, "es": 0.5, "zh": 1.0}
 
@@ -249,6 +299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": q_profile_documents,
     "split_train_val": q_split_train_val,
     "pack_chunks": q_pack_chunks,
+    "pack_chunks_overlap": q_pack_chunks_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -259,4 +310,5 @@ ORACLES: dict[str, str] = {
     "profile_documents": ORACLE_PROFILE,
     "split_train_val": ORACLE_SPLIT,
     "pack_chunks": ORACLE_PACK,
+    "pack_chunks_overlap": ORACLE_PACK_OVERLAP,
 }

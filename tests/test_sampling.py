@@ -226,3 +226,29 @@ def test_consistent_sample_is_stable_under_growth(spark, sf_small):
     assert full_half_members == half_sample_ids[: len(full_half_members)]
     plan = explain_str(full)
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    from monasca_aggregator_spark.operators.sampling import (
+        pack_sliding_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [("s", i, 100) for i in range(10)],  # 1000 units head-to-tail
+        "source string, doc_id long, n_chars long",
+    )
+    out = pack_sliding_chunks(
+        docs, "source", "doc_id", "n_chars", budget=400, stride=200
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_id)
+        # membership really overlaps the chunk window
+        s = r.start_offset
+        assert r.chunk_id * 200 < s + 100 and r.chunk_id * 200 + 400 > s
+    # doc 0 spans [0,100): chunks starting at 0 only → {0}
+    assert by_doc[0] == {0}
+    # doc 3 spans [300,400): windows starting 0,200 cover it → {0,1}
+    assert by_doc[3] == {0, 1}
+    # interior docs belong to exactly budget/stride = 2 windows
+    assert all(len(v) == 2 for d, v in by_doc.items() if d >= 2)
