@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "metric_winsorize",
     "text_tfidf",
     "text_freq_cms",
+    "metric_downsample_m4",
+    "text_bigram_pmi",
+    "dedup_spans",
+    "user_event_seq",
+    "agg_distinct_rollup_hll",
+    "pack_chunks_overlap",
 ]
 
 

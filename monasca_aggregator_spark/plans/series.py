@@ -294,8 +294,69 @@ GROUP BY 1, 2
 """.strip()
 
 
+_ALERT_HI_E4 = 150_0000  # fire when hourly mean > 150 (e4 fixed-point)
+_ALERT_LO_E4 = 100_0000  # clear when it falls back below 100
+
+
+def q_metric_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting with hysteresis over the aggregated series —
+    the alert rule a monitoring pipeline runs on the reference's output
+    stream: FIRE after two consecutive windows above HI, stay active
+    until a window at/below LO (so flapping around one threshold never
+    pages twice). The fired/cleared state machine is the classic
+    gaps-and-islands rewrite: mark definite transition points, then
+    carry the latest transition forward with last_value(ignorenulls)
+    over the per-metric window — no recursion, no UDF, state carried by
+    a bounded per-metric sort. Signal compared in e4 fixed-point so the
+    threshold test is an exact integer compare on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.floor(F.avg(F.col("value") * 10000) + F.lit(0.5))
+        .cast("long")
+        .alias("wv_e4")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    prev = F.lag("wv_e4").over(w_ord)
+    fire = (F.col("wv_e4") > _ALERT_HI_E4) & (prev > _ALERT_HI_E4)
+    clear = F.col("wv_e4") <= _ALERT_LO_E4
+    transition = F.when(fire, F.lit(1)).when(clear, F.lit(0))
+    carried = F.last(transition, ignorenulls=True).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "window_ts_ms",
+        "wv_e4",
+        F.coalesce(carried == 1, F.lit(False)).alias("alert_active"),
+    )
+
+
+ORACLE_ALERT = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         CAST(floor(avg(value * 10000) + 0.5) AS BIGINT) AS wv_e4
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT *,
+         CASE WHEN wv_e4 > {_ALERT_HI_E4}
+               AND lag(wv_e4) OVER (PARTITION BY event_type
+                                    ORDER BY window_ts_ms) > {_ALERT_HI_E4}
+              THEN 1
+              WHEN wv_e4 <= {_ALERT_LO_E4} THEN 0 END AS transition
+  FROM hourly
+)
+SELECT event_type, window_ts_ms, wv_e4,
+       coalesce(last_value(transition IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY window_ts_ms
+                      ROWS UNBOUNDED PRECEDING) = 1,
+                FALSE) AS alert_active
+FROM t
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stddev": q_agg_stddev,
+    "metric_alert_hysteresis": q_metric_alert_hysteresis,
     "metric_downsample_m4": q_metric_downsample_m4,
     "metric_winsorize": q_metric_winsorize,
     "metric_correlation": q_metric_correlation,
@@ -303,6 +364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "agg_stddev": ORACLE_STDDEV,
+    "metric_alert_hysteresis": ORACLE_ALERT,
     "metric_downsample_m4": ORACLE_M4,
     "metric_winsorize": ORACLE_WINSORIZE,
     "metric_correlation": ORACLE_CORRELATION,

@@ -146,7 +146,51 @@ FROM qe GROUP BY vec_id
 """.strip()
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (long format) — the class-profile
+    pass behind cluster QA, label-drift checks, and nearest-centroid
+    classifiers. posexplode flattens vectors to (label, dim, value)
+    and ONE groupBy keyed by (label, dim) partial-aggregates map-side,
+    so the exchange carries #labels × d summary rows regardless of
+    corpus size — the same moment-partial shape as the distributed PCA
+    operator (operators/pca.py). Long output avoids cross-engine float
+    array comparison; components are integer-summed in e6 fixed point
+    scaled from float32 inputs, so sums are exact and the oracle
+    matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    v_e6 = F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        flat.select("label", "dim", v_e6.alias("v_e6"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("v_e6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0))
+            ).alias("centroid_v"),
+        )
+    )
+
+
+ORACLE_CENTROIDS = """
+WITH flat AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS v_e6
+  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+       unnest(range(1, len(e) + 1)) AS t(i)
+)
+SELECT label, dim, count(*) AS n,
+       CAST(sum(v_e6) AS DOUBLE) / (count(*) * 1000000.0::DOUBLE)
+         AS centroid_v
+FROM flat GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -157,6 +201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_centroids": ORACLE_CENTROIDS,
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_quantize": ORACLE_QUANTIZE,
 }

@@ -504,15 +504,20 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total_w = uni.agg(F.sum("c").alias("t_w"))
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> struct(split(text, ' ')[i] as w1,"
-                "             split(text, ' ')[i + 1] as w2))"
-            )
-        ).alias("g")
-    ).select("g.w1", "g.w2")
+    # materialize the token array once per row — referencing
+    # split(text) inside the lambda would re-split per element
+    grams = (
+        docs.select(F.split(F.col("text"), " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] as w1, ws[i + 1] as w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
     big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     total_b = big.agg(F.sum("c_ab").alias("t_b"))
     scored = (

@@ -130,3 +130,36 @@ def test_m4_envelope_contains_series(spark, events_pdf):
         firsts, left_on=["event_type", "bucket_ts_ms"], right_on=["event_type", "b"]
     )
     assert (merged2["v_first"] == merged2["xf"]).all()
+
+
+def test_alert_hysteresis_state_machine(spark, monkeypatch):
+    """Hand-built series: needs 2 consecutive windows over HI to fire,
+    stays fired through the deadband, clears at/below LO."""
+    import monasca_aggregator_spark.plans.series as S
+
+    rows = []
+    #                 signal:  50  160  170  120  110  90  160  170
+    # (HI=150, LO=100) state:  off  off  ON   ON   ON  off  off  ON
+    for i, v in enumerate([50, 160, 170, 120, 110, 90, 160, 170]):
+        rows.append((i, "m", float(v)))
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=i), et, v)
+            for i, et, v in rows
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    monkeypatch.setattr(
+        S, "load_table", lambda spark, sf, name, **kw: df
+    )
+    out = [
+        r.alert_active
+        for r in sorted(
+            S.q_metric_alert_hysteresis(spark, "x").collect(),
+            key=lambda r: r.window_ts_ms,
+        )
+    ]
+    assert out == [False, False, True, True, True, False, False, True]

@@ -678,3 +678,61 @@ def test_stream_static_enrichment_join_equals_batch(spark, sf_small):
     for k, (n, s) in batch_res.items():
         assert stream_res[k][0] == n
         assert stream_res[k][1] == pytest.approx(s, rel=1e-12)
+
+
+def test_streaming_m4_downsample_equals_batch(spark, sf_small):
+    """The M4 aggregate family (min/max + min_by/max_by selections) is
+    algebraic, so the same plan runs under Structured Streaming with a
+    watermark: streamed buckets must equal the batch query's."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.series import (
+        _M4_BUCKET_MS,
+        q_metric_downsample_m4,
+    )
+
+    batch = {
+        (r.event_type, r.bucket_ts_ms): (r.n, r.v_min, r.v_max, r.v_first, r.v_last)
+        for r in q_metric_downsample_m4(spark, sf_small).collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    t_us = F.unix_micros(F.col("ts"))
+    bucket = (
+        (F.unix_millis(F.col("ts")) / F.lit(_M4_BUCKET_MS)).cast("long")
+        * F.lit(_M4_BUCKET_MS)
+    )
+    plan = (
+        raw.withWatermark("ts", "120 seconds")
+        .groupBy(F.col("event_type"), bucket.alias("bucket_ts_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", t_us).alias("v_first"),
+            F.max_by("value", t_us).alias("v_last"),
+        )
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("t_m4_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.bucket_ts_ms): (r.n, r.v_min, r.v_max, r.v_first, r.v_last)
+        for r in spark.sql("select * from t_m4_stream").collect()
+    }
+    assert got == batch and len(batch) > 100
