@@ -736,3 +736,49 @@ def test_streaming_m4_downsample_equals_batch(spark, sf_small):
         for r in spark.sql("select * from t_m4_stream").collect()
     }
     assert got == batch and len(batch) > 100
+
+
+def test_streaming_checkpoint_resume_processes_only_new_files(
+    spark, tmp_path, sf_small
+):
+    """Restart semantics (the reference's manual offset commits,
+    server.go:222-258): a stopped query restarted on the same
+    checkpoint must pick up exactly the files added while it was down —
+    nothing reprocessed, nothing lost."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    h1 = events.filter("event_id % 2 = 0")
+    h2 = events.filter("event_id % 2 = 1")
+    n1, n2 = h1.count(), h2.count()
+    h1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert run() == n1
+    h2.coalesce(1).write.mode("append").parquet(str(src))
+    assert run() == n2  # ONLY the new file — offsets survived the stop
+    final = spark.read.parquet(str(out))
+    assert final.count() == n1 + n2
+    assert final.select(F.count_distinct("event_id")).collect()[0][0] == n1 + n2
