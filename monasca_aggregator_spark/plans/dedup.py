@@ -136,7 +136,8 @@ WITH RECURSIVE {_NGRAM_CTES}, und AS (
   SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
   FROM reach GROUP BY src
 )
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
 GROUP BY source
@@ -264,7 +265,8 @@ WITH t AS (
 )
 SELECT doc_id,
        count(*) AS n_spans,
-       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
        floor((sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
               / count(*)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
          AS dup_frac

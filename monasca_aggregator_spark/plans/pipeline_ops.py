@@ -74,7 +74,7 @@ ORACLE_SPLIT = """
 SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
             WHEN doc_id % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """.strip()
 
@@ -99,7 +99,7 @@ WITH o AS (
   FROM documents
 )
 SELECT source, CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
-       count(*) AS n_docs, sum(n_chars) AS chunk_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chunk_chars
 FROM o GROUP BY 1, 2
 """.strip()
 
@@ -146,7 +146,8 @@ WITH o AS (
            AS chunk_id
   FROM o
 )
-SELECT source, chunk_id, count(*) AS n_docs, sum(n_chars) AS member_chars
+SELECT source, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS member_chars
 FROM x
 WHERE chunk_id * {PACK_STRIDE} < s + n_chars
   AND chunk_id * {PACK_STRIDE} + {PACK_BUDGET} > s
@@ -178,14 +179,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRATA_SQL = " ".join(
-    f"WHEN lang = '{k}' THEN {v * 100.0}" for k, v in STRATA.items()
+    f"WHEN lang = '{k}' THEN {int(round(v * 100))}" for k, v in STRATA.items()
 )
 
 ORACLE_STRATIFIED = f"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE (doc_id * 37 + 11) % 100 <
-      CASE {_STRATA_SQL} ELSE 0.0 END
+      CASE {_STRATA_SQL} ELSE 0 END
 GROUP BY lang
 """.strip()
 
@@ -202,7 +204,8 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROFILE = "\nUNION ALL\n".join(
     f"SELECT '{c}' AS column, count(*) AS n_rows,"
-    f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,"
+    f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_null,"
     f" count(DISTINCT {c}) AS n_distinct FROM documents"
     for c in _PROFILE_COLS
 )
@@ -250,7 +253,8 @@ WITH c AS (
            * {float(_MIX_MOD)} + 0.5) AS BIGINT) AS thresh
   FROM w
 )
-SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
 FROM documents d JOIN r USING (source)
 WHERE {_MIX_BUCKET_SQL} < r.thresh
 GROUP BY 1

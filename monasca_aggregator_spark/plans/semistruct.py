@@ -59,7 +59,8 @@ WITH p AS (
 SELECT event_type,
        count(*) AS n_events,
        count(k) AS n_with_k,
-       coalesce(sum(CASE WHEN k >= {K_HIGH} THEN 1 ELSE 0 END), 0) AS n_k_high,
+       CAST(coalesce(sum(CASE WHEN k >= {K_HIGH} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_k_high,
        min(k) AS min_k,
        max(k) AS max_k,
        CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k

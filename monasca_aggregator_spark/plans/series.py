@@ -195,8 +195,8 @@ SELECT event_type, window_ts_ms,
        count(*) AS n,
        CAST(sum(ce2) AS DOUBLE) / (count(*) * 100.0::DOUBLE)
          AS avg_winsorized,
-       sum(is_lo) AS n_clamped_lo,
-       sum(is_hi) AS n_clamped_hi
+       CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi
 FROM clamped
 GROUP BY 1, 2
 """.strip()

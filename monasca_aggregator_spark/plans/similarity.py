@@ -139,7 +139,7 @@ WITH v AS (
   FROM u JOIN sc USING (pos)
 )
 SELECT vec_id,
-       sum(CAST(code AS BIGINT) * pos) AS code_checksum,
+       CAST(sum(CAST(code AS BIGINT) * pos) AS BIGINT) AS code_checksum,
        floor(max(abs(x - (code * s + m))) * 1000000.0::DOUBLE + 0.5::DOUBLE)
          / 1000000.0::DOUBLE AS max_abs_err
 FROM qe GROUP BY vec_id

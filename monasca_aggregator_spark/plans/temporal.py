@@ -316,7 +316,7 @@ WITH p AS (
 )
 SELECT (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
        count(*) AS n_purchases,
-       sum(attributed) AS n_attributed,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
        {sql_stable_round("sum(attributed)::DOUBLE / count(*)", 4)}
          AS conversion
 FROM j
@@ -708,9 +708,9 @@ WITH active AS (
 )
 SELECT active.day_ts_ms, n_active,
        coalesce(n_new, 0) AS n_new,
-       sum(coalesce(n_new, 0)) OVER (ORDER BY active.day_ts_ms
-                                     ROWS UNBOUNDED PRECEDING)
-         AS cumulative_users
+       CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY active.day_ts_ms
+                                          ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
 FROM active LEFT JOIN nu ON active.day_ts_ms = nu.day_ts_ms
 """.strip()
 

@@ -143,7 +143,8 @@ WITH tok AS (
   SELECT token, doc_id, count(*) AS n FROM tok WHERE token != ''
   GROUP BY 1, 2
 ), vocab AS (
-  SELECT token, count(*) AS doc_freq, sum(n) AS total_count
+  SELECT token, count(*) AS doc_freq,
+         CAST(sum(n) AS BIGINT) AS total_count
   FROM per_doc GROUP BY 1
 )
 SELECT rk, token, doc_freq, total_count FROM (

@@ -39,7 +39,15 @@ ENVELOPE_JSON_SCHEMA = T.StructType(
 )
 
 # Flat relation consumed by operators.aggregate / streaming.pipeline:
-ENVELOPE_COLUMNS = ("name", "dimensions", "timestamp", "value", "tenant_id", "meta")
+ENVELOPE_COLUMNS = (
+    "name",
+    "dimensions",
+    "timestamp",
+    "value",
+    "value_meta",
+    "tenant_id",
+    "meta",
+)
 
 
 def parse_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -59,6 +67,7 @@ def parse_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
             "timestamp"
         ),
         F.col("e.metric.value").alias("value"),
+        F.col("e.metric.value_meta").alias("value_meta"),
         F.col("e.meta").getItem("tenantId").alias("tenant_id"),
         F.col("e.meta").alias("meta"),
     )
@@ -90,6 +99,7 @@ def events_to_envelopes(events: DataFrame, tenant_id: str = "t0") -> DataFrame:
         ).alias("dimensions"),
         F.col("ts").alias("timestamp"),
         F.col("value"),
+        F.expr("map()").cast("map<string,string>").alias("value_meta"),
         F.lit(tenant_id).alias("tenant_id"),
         F.create_map(F.lit("tenantId"), F.lit(tenant_id)).alias("meta"),
     )

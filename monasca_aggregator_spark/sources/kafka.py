@@ -93,12 +93,22 @@ def envelopes_to_json(aggregated: DataFrame) -> DataFrame:
     land in one partition (ordered per tenant, like the reference's
     single-writer publish loop).
     """
+    # aggregated outputs normally have no value_meta (the reference's
+    # aggregated Metric leaves ValueMeta at its zero value); pass one
+    # through when the relation carries it so enrichment stages can tag
+    # published metrics (models/metric.go:22)
+    value_meta = (
+        F.col("value_meta")
+        if "value_meta" in aggregated.columns
+        else F.lit(None).cast("map<string,string>")
+    )
     envelope = F.struct(
         F.struct(
             F.col("name"),
             F.col("dimensions"),
             F.col("window_ts_ms").cast("double").alias("timestamp"),
             F.col("value"),
+            value_meta.alias("value_meta"),
         ).alias("metric"),
         F.create_map(F.lit("tenantId"), F.col("tenant_id")).alias("meta"),
         F.unix_millis(F.current_timestamp()).alias("creation_time"),

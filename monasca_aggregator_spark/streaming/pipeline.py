@@ -33,6 +33,65 @@ from pyspark.sql import functions as F
 from monasca_aggregator_spark.models import AggregationSpec
 from monasca_aggregator_spark.operators.aggregate import _AGG_EXPRS, matches_metric
 
+# Reserved metric name for watermark-advancing heartbeat rows; never
+# matches a spec filter and is dropped before aggregation.
+HEARTBEAT_NAME = "__heartbeat__"
+
+
+def with_wallclock_heartbeat(
+    env: DataFrame,
+    spark: SparkSession,
+    *,
+    rows_per_second: int = 1,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Union the envelope relation with a rate-source heartbeat so the
+    watermark keeps advancing when the topic goes QUIET.
+
+    Spark's watermark moves only on new data; the reference instead
+    publishes a window at ``windowLag`` past its close on a wall-clock
+    ticker (server.go:213-296), so its quiet-stream windows still
+    finalize. The heartbeat closes that gap the Spark-native way: a
+    ``rate`` source emits one row/sec whose event time IS wall clock,
+    tagged ``__heartbeat__`` so every spec filter drops it — it
+    contributes nothing to any aggregate, but the event-time watermark
+    (applied upstream of the filters in
+    ``build_streaming_aggregation``) tracks wall clock, and idle
+    windows publish within lag + trigger interval, exactly the
+    reference's publication schedule.
+
+    The rate source is per-partition-0 trivial (1 row/sec) — no
+    measurable load at any scale.
+
+    Optimizer subtlety this design routes around: Catalyst pushes any
+    filter conjunct that does not reference the event-time column BELOW
+    the EventTimeWatermark node (PushPredicateThroughNonJoin), so a
+    plain "drop heartbeats" pre-aggregation filter would discard them
+    before they ever update the watermark. Heartbeat rows therefore
+    PASS the spec filter (build_streaming_aggregation ORs them in),
+    flow through the watermark into their own (reserved-tenant) groups,
+    and are dropped after aggregation via a predicate on an aggregated
+    column — which Catalyst cannot push down.
+    """
+    cols = env.columns
+    hb = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    ).load()
+    exprs = []
+    for c in cols:
+        if c == ts_col:
+            exprs.append(F.col("timestamp").alias(ts_col))
+        elif c == "name":
+            exprs.append(F.lit(HEARTBEAT_NAME).alias("name"))
+        elif c == "tenant_id":
+            # reserved tenant: heartbeat rows can never share a group
+            # with real data, so dropping their groups post-agg is exact
+            exprs.append(F.lit(HEARTBEAT_NAME).alias("tenant_id"))
+        else:
+            typ = dict(env.dtypes)[c]
+            exprs.append(F.lit(None).cast(typ).alias(c))
+    return env.unionByName(hb.select(*exprs))
+
 
 def build_streaming_aggregation(
     df: DataFrame,
@@ -63,8 +122,14 @@ def build_streaming_aggregation(
         # pure type relabel, not a wall-clock shift.
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     dims = F.col(dims_col)
-    matched = df.filter(matches_metric(spec, F.col(name_col), dims)).withWatermark(
-        ts_col, f"{lag_sec} seconds"
+    # heartbeat rows PASS the filter (one OR'd conjunct, so Catalyst's
+    # push-below-watermark still keeps them) and advance the watermark;
+    # they aggregate into their own reserved-tenant groups and are
+    # dropped below via the aggregated __hb flag — the only filter
+    # position the optimizer cannot push underneath the watermark
+    is_hb = F.col(name_col) == HEARTBEAT_NAME
+    matched = df.withWatermark(ts_col, f"{lag_sec} seconds").filter(
+        matches_metric(spec, F.col(name_col), dims) | is_hb
     )
     group_cols = [
         F.window(F.col(ts_col), f"{window_size_sec} seconds").alias("w"),
@@ -75,7 +140,11 @@ def build_streaming_aggregation(
     agg_value = _AGG_EXPRS[spec.function](
         F.col(value_col), F.unix_millis(F.col(ts_col))
     )
-    out = matched.groupBy(*group_cols).agg(agg_value.alias("value"))
+    out = (
+        matched.groupBy(*group_cols)
+        .agg(agg_value.alias("value"), F.max(is_hb).alias("__hb"))
+        .filter(F.col("__hb") == F.lit(False))
+    )
 
     dim_entries = []
     for k, v in spec.filtered_dimensions.items():

@@ -43,6 +43,37 @@ def test_parse_well_formed(spark):
     assert int(r.timestamp.timestamp() * 1000) == 1_700_000_000_000
 
 
+def test_value_meta_round_trip(spark):
+    """value_meta survives parse → flat relation → output envelope JSON
+    (reference models/metric.go:22 carries it through the envelope)."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.kafka import envelopes_to_json
+
+    df = parse_envelopes(_raw(spark, [_envelope()]))
+    r = df.collect()[0]
+    assert r.value_meta == {"unit": "pct"}
+
+    # publish side: a relation carrying value_meta emits it on the wire
+    agg = df.select(
+        "name",
+        "dimensions",
+        F.lit(1_700_000_000_000).alias("window_ts_ms"),
+        "value",
+        "value_meta",
+        "tenant_id",
+    )
+    wire = json.loads(envelopes_to_json(agg).collect()[0].value)
+    assert wire["metric"]["value_meta"] == {"unit": "pct"}
+
+    # and a relation without one still serializes the key (null value —
+    # the reference's Go zero-value map)
+    wire2 = json.loads(
+        envelopes_to_json(agg.drop("value_meta")).collect()[0].value
+    )
+    assert "value_meta" not in wire2["metric"] or not wire2["metric"]["value_meta"]
+
+
 def test_invalid_json_dropped(spark):
     # reference drops messages that fail to unmarshal (server.go:300-304)
     df = parse_envelopes(

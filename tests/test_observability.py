@@ -63,3 +63,62 @@ def test_streaming_io_counters_in_progress(spark, tmp_path):
         seen.update(p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics)
     assert IN_METRIC in seen
     assert seen[IN_METRIC]["n"] == 100
+
+
+def test_prometheus_exposition_via_listener_and_http(spark, tmp_path):
+    """End-to-end reference-parity metrics path: streaming observe →
+    StreamingQueryListener → CounterRegistry → HTTP /metrics text
+    (reference server.go:42-48 + docs/local_install.md exposes
+    in_messages/out_messages the same way)."""
+    import urllib.request
+
+    from monasca_aggregator_spark.observability import (
+        CounterRegistry,
+        make_progress_listener,
+        start_http_exporter,
+    )
+
+    registry = CounterRegistry()
+    listener = make_progress_listener(registry)
+    spark.streams.addListener(listener)
+    server = None
+    try:
+        src_dir = tmp_path / "prom_src"
+        src_dir.mkdir()
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k long, v double"
+        ).write.mode("overwrite").parquet(str(src_dir / "d.parquet"))
+        raw = spark.readStream.schema("k long, v double").parquet(
+            str(src_dir / "d.parquet")
+        )
+        instrumented, _ = count_edge(raw, IN_METRIC, streaming=True)
+        agg = instrumented.groupBy((F.col("k") % 5).alias("b")).agg(
+            F.sum("v").alias("s")
+        )
+        out, _ = count_edge(agg, OUT_METRIC, streaming=True)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("prom_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener callbacks are async; poll until forwarded
+        deadline = time.time() + 30
+        while time.time() < deadline and registry.get(IN_METRIC) < 50:
+            time.sleep(0.5)
+        assert registry.get(IN_METRIC) == 50
+        assert registry.get(OUT_METRIC) == 5
+
+        server, port = start_http_exporter(registry)
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ).read().decode()
+        assert "# TYPE in_messages counter" in body
+        assert "in_messages 50" in body
+        assert "out_messages 5" in body
+    finally:
+        if server is not None:
+            server.shutdown()
+        spark.streams.removeListener(listener)

@@ -1,0 +1,52 @@
+"""Registry contract tests: driver-window ordering + loud import failures."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import pytest
+
+from monasca_aggregator_spark import registry
+
+
+def test_driver_window_is_first_50_and_oracle_backed():
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    keys = list(queries)
+    assert keys[: len(registry._DRIVER_WINDOW)] == list(registry._DRIVER_WINDOW)
+    # the checked window is exactly 50 keys, every one oracle-backed so
+    # the driver records a full rows+schema+hash verdict for each
+    assert len(registry._DRIVER_WINDOW) == 50
+    for k in registry._DRIVER_WINDOW:
+        assert k in oracles, f"window key {k} has no oracle"
+
+
+def test_every_key_registered_once():
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert set(oracles) <= set(queries)
+    # window pinning must not drop or duplicate anything
+    merged = {}
+    for mod in registry._modules():
+        merged.update(mod.QUERIES)
+    assert set(queries) == set(merged)
+    assert len(queries) == len(merged)
+
+
+def test_broken_plan_module_raises():
+    """A plan module that fails to import must fail the whole registry
+    load — silently swallowing it would invisibly shrink the
+    correctness surface (VERDICT r1 'What's wrong' #4)."""
+    victim = "monasca_aggregator_spark.plans.analytic"
+    saved = sys.modules.pop(victim, None)
+    sys.modules[victim] = None  # forces ImportError on next import
+    try:
+        with pytest.raises(ImportError):
+            registry._modules()
+    finally:
+        del sys.modules[victim]
+        if saved is not None:
+            sys.modules[victim] = saved
+        else:
+            importlib.import_module(victim)

@@ -782,3 +782,85 @@ def test_streaming_checkpoint_resume_processes_only_new_files(
     final = spark.read.parquet(str(out))
     assert final.count() == n1 + n2
     assert final.select(F.count_distinct("event_id")).collect()[0][0] == n1 + n2
+
+
+def test_wallclock_heartbeat_finalizes_idle_stream(spark, tmp_path):
+    """A QUIET topic must still publish its last windows: the reference
+    fires on a wall-clock ticker at windowLag past close
+    (server.go:213-296), but a bare watermark only advances on new
+    data, so without help the final windows hang forever. The
+    rate-source heartbeat (with_wallclock_heartbeat) carries wall-clock
+    event time past them. Events here sit minutes in the past; ONE
+    file, then silence — only the heartbeat can finalize them."""
+    import json as _json
+    import time as _time
+
+    from monasca_aggregator_spark.sources.envelope import read_envelope_json
+    from monasca_aggregator_spark.streaming.pipeline import (
+        with_wallclock_heartbeat,
+    )
+
+    def envelope(name, ts_ms, value):
+        return _json.dumps(
+            {
+                "metric": {
+                    "name": name,
+                    "dimensions": {"host": "h"},
+                    "timestamp": float(ts_ms),
+                    "value": value,
+                    "value_meta": {},
+                },
+                "meta": {"tenantId": "t0"},
+                "creation_time": 0,
+            }
+        )
+
+    src = tmp_path / "hb_src"
+    src.mkdir()
+    now_ms = int(_time.time() * 1000)
+    # two windows, both already closed in wall-clock terms (3+ minutes
+    # old), no future event will ever arrive to push the watermark
+    base = now_ms - 200_000
+    (src / "only.jsonl").write_text(
+        "\n".join(
+            [
+                envelope("click", base, 1.0),
+                envelope("click", base + 1_000, 2.0),
+                envelope("click", base + 61_000, 5.0),
+            ]
+        )
+    )
+    env = read_envelope_json(spark, str(src), streaming=True)
+    plan = build_streaming_aggregation(
+        with_wallclock_heartbeat(env, spark), SPEC_HB, 60, 30
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("hb_test")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "hb_ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.table("hb_test").collect()
+            if len(rows) >= 2:
+                break
+            _time.sleep(2)
+        # both windows published despite the stream being idle; values
+        # prove heartbeat rows contributed nothing to the aggregates
+        assert sorted(r.value for r in rows) == [3.0, 5.0]
+    finally:
+        q.stop()
+
+
+SPEC_HB = AggregationSpec(
+    name="hb",
+    aggregated_metric_name="agg.click.sum.hb",
+    filtered_metric_name="click",
+    function="sum",
+    grouped_dimensions=(),
+)
