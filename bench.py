@@ -106,17 +106,62 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scale soak: replicate the base SF ×N with shifted keys (each
+    # replica a disjoint consistent universe — tools/soak_scale.py) and
+    # record per-query time ratios vs the headline numbers above. ~8×
+    # rows for ≤4× time is the "plan survives scale-up" bar; a ratio
+    # near N² means a join/window went quadratic. Exception by design:
+    # dedup_minhash — replicas carry IDENTICAL texts, so near-dup
+    # cluster sizes grow ×N and verified pair OUTPUT grows ~×N²; its
+    # ratio tracks that true pair work (Σ cluster²), not corpus size —
+    # the correct LSH cost model. SPARK_GRAFT_SOAK=0 disables; default
+    # ×8 on a representative subset.
+    soak_factor = int(os.environ.get("SPARK_GRAFT_SOAK", "8"))
+    if soak_factor > 1:
+        sys.path.insert(0, str(_REPO / "tools"))
+        import soak_scale
+
+        soak_dir = f"/tmp/soak_x{soak_factor}"
+        soak_scale.BASE = sf_dir
+        soak_scale.build_replica(spark, soak_dir, soak_factor)
+        soak_queries = [
+            "tpch_q1", "tpch_q3", "tpch_q18", "agg_rollup",
+            "agg_multi_rule", "events_daily_user", "dedup_exact",
+            "dedup_minhash", "text_tfidf", "dedup_spans",
+            "metric_winsorize", "ann_cosine_topk", "pack_chunks_overlap",
+            "sample_quota_source",
+        ]
+        soak: dict[str, dict[str, float]] = {}
+        for name in soak_queries:
+            spark.catalog.clearCache()
+            try:
+                t0 = time.time()
+                queries[name](spark, soak_dir).count()
+                xn = time.time() - t0
+            except Exception as exc:  # pragma: no cover
+                print(f"# soak {name} failed: {exc}", file=sys.stderr)
+                continue
+            base = timings.get(name)
+            entry = {"xN_sec": round(xn, 3)}
+            if base:
+                entry["ratio"] = round(xn / base, 2)
+            soak[name] = entry
+            print(
+                f"# soak x{soak_factor} {name}: {xn:.2f}s"
+                f" (ratio {entry.get('ratio', '-')})",
+                file=sys.stderr,
+            )
+        out["soak"] = {"factor": soak_factor, "queries": soak}
+
+    print(json.dumps(out))
     spark.stop()
 
 

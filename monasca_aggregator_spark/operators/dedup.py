@@ -18,7 +18,8 @@ Pair finders, trading exactness for scale:
 And the closure step every pipeline needs on top of pair output:
 
 - ``connected_components``: pair graph → (doc_id, cluster_id) keeper
-  assignments by iterative min-label propagation.
+  assignments by alternating large-star/small-star contraction
+  (O(log² n) rounds, diameter-independent).
 """
 
 from __future__ import annotations
@@ -149,6 +150,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    persist: str = "memory",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates (any shared band bucket) verified by exact Jaccard.
 
@@ -156,20 +159,42 @@ def minhash_lsh_pairs(
     jaccard s is 1-(1-s^4)^8 (≈0.96 at s=0.6) — recall is high but not
     1, hence a rows-only driver entry; exactness is covered by the
     verification step (no false positives).
+
+    Scale knobs (the two 100 TB failure modes):
+
+    - ``persist``: the shingle+signature relation feeds the banding
+      branch and BOTH sides of the verification join. "memory"
+      (default) caches it; "disk" uses StorageLevel.DISK_ONLY — at
+      corpus scale the full shingle arrays do not fit in executor
+      memory and must spill to local disk, costing one serialized
+      read-back instead of recompute-per-branch; "none" recomputes
+      (cheapest when the corpus scan is the cheap part).
+    - ``max_bucket_size``: a degenerate band bucket (boilerplate
+      header shared by millions of docs) makes the candidate
+      self-join quadratic in that bucket. Buckets holding more than
+      this many docs are DROPPED before the join (standard LSH
+      practice: a bucket that hot has no dedup signal — its members
+      pair via their other, selective bands). The cap bounds
+      worst-case join fan-out at cap²·n_buckets regardless of skew.
     """
     rows_per_band = num_hashes // bands
     # Signature + bands are PURE PROJECTIONS over the shingle array — no
     # explode, no shuffle. (An explode + num_hashes min-aggregates
     # formulation emits a 32-aggregate-function plan whose generated code
     # is too large to JIT — ~10× slower even warm, ~30 s cold.)
-    # One cached relation feeds the banding branch AND both sides of the
-    # verification join, so shingling+hashing runs once; at cluster scale
-    # this is the stage you'd persist/checkpoint.
     sh = _shingled(docs, id_col, text_col, n).select(
         "doc_id",
         "shingles",
         minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    ).cache()
+    )
+    if persist == "disk":
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.DISK_ONLY)
+    elif persist == "memory":
+        sh = sh.cache()
+    elif persist != "none":
+        raise ValueError(f"persist must be memory|disk|none, got {persist!r}")
     # Empty-shingle docs have all-null signatures (array_min of empty);
     # cheap filter — sig is materialized in the cache, not recomputed.
     buckets = (
@@ -182,6 +207,18 @@ def minhash_lsh_pairs(
         )
         .select("doc_id", "b.band", "b.bucket")
     )
+    if max_bucket_size is not None:
+        # per-(band,bucket) size via one partial-agg shuffle keyed the
+        # same as the candidate join below (co-partitioned, no extra
+        # exchange after AQE reuse); hot buckets are cut before they
+        # can go quadratic
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"])
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -223,49 +260,86 @@ def connected_components(
 ) -> DataFrame:
     """Near-dup pairs → clusters: (doc_id, cluster_id = min reachable id).
 
-    Iterative min-label propagation — each iteration is one distributed
-    join+min-aggregate (label ← min(label, neighbors' labels)) and the
-    loop stops at fixpoint, detected with a cheap count of changed
-    labels. Iterations needed = graph diameter (near-dup clusters are
-    shallow; 25 covers pathological chains). ``localCheckpoint`` cuts
-    lineage each round so the plan doesn't grow exponentially. This is
-    the piece that turns pair output (minhash/simhash/embedding) into
-    keeper assignments: keep min(cluster) and drop the rest.
+    Alternating large-star/small-star contraction (the MapReduce
+    connected-components algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy/join stages that re-point edges at the minimum of their
+    neighborhood, converging in O(log² n) rounds on ANY graph shape —
+    a 1000-long chain takes ~10 rounds where plain min-label
+    propagation needs 1000 (one per hop of diameter). One driver-side
+    fixpoint probe per round — a (count, hash) aggregate, not a full
+    materialization — and ``localCheckpoint`` cuts lineage so plans
+    stay flat. This is the piece that turns pair output
+    (minhash/simhash/embedding) into keeper assignments: keep
+    min(cluster) and drop the rest.
     """
+    # every node mentioned by any pair (self-pairs → singleton clusters)
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # parent-pointer edge list (u > v invariant after small-star)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    ).localCheckpoint()
-
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: symmetrize; every node points its LARGER
+        # neighbors at the min of its closed neighborhood
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
             )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
+            .distinct()
+        )
+        # small-star: group parent pointers by child; re-point the
+        # child and all its smaller neighbors at the overall min
+        mn2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(mn2, "u")
+            .select(
+                F.when(F.col("v") == F.col("mn"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("mn").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint probe: one tiny aggregate (order-insensitive edge
+        # signature), not a per-round full compare
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        edges = small
+        if sig == prev_sig or sig[0] == 0:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        prev_sig = sig
+    # star state: every non-root appears exactly once as u pointing at
+    # its component root; roots (and isolated/self-pair nodes) fall
+    # back to themselves via the left join
+    child = edges.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    return nodes.join(child, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "node").alias("cluster_id"),
     )
 
 

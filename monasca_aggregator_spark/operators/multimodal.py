@@ -14,12 +14,15 @@ task regardless of corpus size, and partition-level parallelism is
 preserved (no shuffle is introduced — .explain shows scan → project →
 ArrowEvalPython only).
 
-Codec status: compressed codecs (JPEG/PNG/MP3/H.264 — PIL/libsndfile/
-ffmpeg) are NOT in this environment and stay behind
-``NotImplementedError``. Two uncompressed formats are decoded FOR REAL
-with stdlib+numpy so the whole pipeline (bytes → pixels/samples →
-features) runs end-to-end and is tested:
+Codec status: JPEG/MP3/H.264 (PIL/libsndfile/ffmpeg) are NOT in this
+environment and stay behind ``NotImplementedError``. Three formats —
+including one genuinely COMPRESSED one — decode FOR REAL with
+stdlib+numpy so the whole pipeline (bytes → pixels/samples → features)
+runs end-to-end and is tested:
 
+- PNG images (8-bit gray/RGB/RGBA): full chunk parse, zlib inflate,
+  and all five scanline filters inverted (``decode_png`` /
+  ``encode_png``) — a real compressed codec, no PIL;
 - PPM (P6) images: header parse + ``np.frombuffer`` + nearest-neighbor
   resize (``decode_ppm`` / ``encode_ppm`` / ``resize_ppm``);
 - WAV (PCM) audio: stdlib ``wave`` + numpy RMS/peak/duration
@@ -117,6 +120,172 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(img[ys][:, xs])
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of an 8-bit PNG (gray/RGB/RGBA, non-interlaced) →
+    (h, w, c) uint8 array, pure stdlib zlib + numpy.
+
+    PNG is "compressed codec" territory the module previously stubbed —
+    but the format is just length-tagged chunks, a zlib stream, and
+    five per-scanline difference filters (spec: RFC 2083), all
+    implementable without PIL: parse IHDR, concatenate IDAT, inflate,
+    then invert the filter per scanline (Sub/Up vectorized; Average/
+    Paeth are sequential in the left neighbor, looped per pixel).
+    Raises ValueError on non-PNG/unsupported variants (palette,
+    16-bit, interlaced) — surfaced per-row as nulls by the feature
+    UDFs, never a task failure.
+    """
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not payload.startswith(sig):
+        raise ValueError("not a PNG payload")
+    pos, w = len(sig), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _be32(payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            (w,) = _be32(data, 0)
+            (h,) = _be32(data, 4)
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            rec = np.mod(
+                np.cumsum(line.reshape(w, bpp), axis=0), 256
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential in left recon
+            rec = np.zeros(stride, dtype=np.int64)
+            lx = line.reshape(w, bpp)
+            px = prev.reshape(w, bpp)
+            rx = rec.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                b = px[x]
+                if ft == 3:
+                    pred = (left + b) // 2
+                else:
+                    p = left + b - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - b),
+                        np.abs(p - upleft),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, b, upleft),
+                    )
+                rx[x] = (lx[x] + pred) % 256
+                left, upleft = rx[x], b
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def _be32(buf: bytes, off: int) -> tuple[int]:
+    return (int.from_bytes(buf[off : off + 4], "big"),)
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w[, c]) uint8 array → PNG bytes (stdlib zlib; one filter type
+    for every scanline — decode inverts all five, so tests exercise
+    each)."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    a = arr.astype(np.int64)
+    bpp = c
+    lines = []
+    for y in range(h):
+        cur = a[y].reshape(-1)
+        prev = a[y - 1].reshape(-1) if y else np.zeros(w * c, np.int64)
+        if filter_type == 0:
+            flt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            flt = (cur - left) % 256
+        elif filter_type == 2:
+            flt = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            flt = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            flt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + flt.astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + crc.to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """REAL decode of a PCM WAV payload via stdlib ``wave`` →
     {sample_rate, n_channels, n_samples, duration_sec, rms, peak}
@@ -144,18 +313,21 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes, media_type: str):
-    """Real codec dispatch. PPM images and PCM WAV audio decode for
-    real (stdlib+numpy); compressed codecs need PIL/soundfile/ffmpeg,
-    absent here."""
+    """Real codec dispatch. PPM and PNG images and PCM WAV audio decode
+    for real (stdlib+numpy — PNG via the zlib+filter implementation
+    above); JPEG/MP3/H.264 still need PIL/soundfile/ffmpeg, absent
+    here."""
     if payload is None:
         return None
     if media_type == "image" and payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if media_type == "image" and payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
     if media_type == "audio" and payload.startswith(b"RIFF"):
         return decode_wav(payload)
     raise NotImplementedError(
-        "only PPM images and PCM WAV audio decode in this environment; "
-        "wire PIL/soundfile/ffmpeg here for compressed codecs"
+        "PPM/PNG images and PCM WAV audio decode in this environment; "
+        "wire PIL/soundfile/ffmpeg here for JPEG/MP3/video codecs"
     )
 
 

@@ -164,3 +164,58 @@ def test_span_dup_coverage_counts(spark):
     assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
     assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
     assert abs(out[1].dup_frac - round(1 / 3, 4)) < 1e-9
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 1000-long chain (diameter 1000) must converge in the star
+    contraction's O(log² n) rounds, not one round per hop — plain
+    min-label propagation would need 1000 sequential barriers here."""
+    import time
+
+    from monasca_aggregator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a bigint, id_b bigint"
+    )
+    t0 = time.time()
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iterations=15).collect()
+    }
+    elapsed = time.time() - t0
+    assert got == {i: 0 for i in range(1001)}
+    # 15 iterations is far below the 1000 propagation would need; the
+    # wall-clock bound guards against quiet non-convergence fallbacks
+    assert elapsed < 120
+
+
+def test_minhash_hot_bucket_cap_bounds_join_and_keeps_signal(spark):
+    """max_bucket_size drops degenerate LSH buckets (shared boilerplate
+    colliding a whole corpus into one bucket) without losing pairs
+    that collide in other, selective bands: identical docs still pair
+    (every band matches, including non-hot ones)."""
+    # 40 docs sharing one boilerplate sentence (hot shingles) + two
+    # true duplicates with distinctive bodies
+    rows = [
+        (i, f"common header boilerplate sentence repeated everywhere w{i} x{i} y{i} z{i}")
+        for i in range(40)
+    ]
+    rows += [
+        (100, "entirely distinctive duplicate body alpha beta gamma delta epsilon zeta"),
+        (101, "entirely distinctive duplicate body alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.9, max_bucket_size=10, persist="disk"
+        ).collect()
+    }
+    assert (100, 101) in capped
+    # uncapped finds the same exact-dup pair — the cap changed cost,
+    # not the verified-signal contract
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert (100, 101) in uncapped

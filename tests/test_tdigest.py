@@ -77,8 +77,10 @@ def test_spark_plan_shuffles_only_centroids(spark):
     )
     plan = tdigest_quantiles(df, ["g"], "value", {"p95": 0.95})
     s = plan._jdf.queryExecution().executedPlan().toString()
-    # partial digests run BEFORE the exchange (mapInPandas upstream of
-    # the groupBy shuffle), merge after
-    assert s.index("MapInPandas") > s.index("Exchange") or (
-        "FlatMapGroupsInPandas" in s and "MapInPandas" in s
-    )
+    # two MapInPandas stages split by exactly one key-hash exchange:
+    # partial digests below it (raw values never shuffle), streaming
+    # merge above it — only centroid arrays cross the wire
+    assert s.count("MapInPandas") == 2
+    first_map = s.rindex("MapInPandas")  # plan prints top-down
+    assert "Exchange" in s
+    assert s.index("Exchange") < first_map  # partials below the shuffle
