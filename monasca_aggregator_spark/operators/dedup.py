@@ -251,6 +251,55 @@ def minhash_lsh_pairs(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs where the SMALLER shingle set is ≥ threshold contained in
+    the larger: containment C = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses partial copies — a paragraph lifted verbatim into a
+    10× longer document has tiny Jaccard but containment ≈ 1 — and
+    partial-copy detection is the standard complement to near-dup in
+    corpus curation (quote mining, boilerplate embedding, stitched
+    documents). Same shingle self-join shape as ngram_jaccard_pairs
+    (exact, hot-shingle skew caveat shared); only the score differs.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = _exploded(sh).withColumnRenamed("s", "sh")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            stable_round(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

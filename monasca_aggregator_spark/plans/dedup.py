@@ -275,7 +275,36 @@ GROUP BY 1
 """.strip()
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy pairs: smaller shingle set ≥ 80% contained in the
+    larger (C = |A∩B|/min(|A|,|B|)) — the complement of Jaccard for
+    lifted-paragraph / stitched-document detection. Same exact shingle
+    self-join as dedup_ngram_jaccard; only the score changes."""
+    return D.shingle_containment_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        n=3,
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_NGRAM_CTES.split(', pairs AS')[0]}
+SELECT id_a, id_b,
+       floor((shared / least(na.n, nb.n)) * 10000.0::DOUBLE
+             + 0.5::DOUBLE) / 10000.0::DOUBLE AS containment
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE floor((shared / least(na.n, nb.n)) * 10000.0::DOUBLE
+            + 0.5::DOUBLE) / 10000.0::DOUBLE >= {CONTAINMENT_THRESHOLD}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
@@ -289,6 +318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_EXACT,
     "dedup_spans": ORACLE_SPANS,
     "dedup_editdistance": ORACLE_EDITDISTANCE,

@@ -20,6 +20,7 @@ from monasca_aggregator_spark.operators.sampling import (
     stratified_sample,
     temperature_mix,
 )
+from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.operators.textops import quality_scores
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
 from monasca_aggregator_spark.sources.tables import load_table
@@ -295,6 +296,97 @@ LIMIT {SAMPLE_K}
 """.strip()
 
 
+_LB_WIDTH = 16  # tokens per length bucket
+_LB_CAP = 4096  # everything longer pools in the top bucket
+
+
+def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing — the batch-shape planning step of a
+    training pipeline: bucket documents by token count (16-token-wide
+    buckets, capped), and per bucket report doc count, token mass, max
+    length, and the padding waste dynamic batching would pay
+    (n_docs·max_tokens − total_tokens). All-integer arithmetic; one
+    partial-agg shuffle over ≤ cap/width+1 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.col("text"), " "))
+    staged = docs.select(
+        F.least(
+            F.lit(_LB_CAP // _LB_WIDTH),
+            F.floor((tokens - 1) / F.lit(_LB_WIDTH)),
+        ).alias("bucket_id"),
+        tokens.alias("n_tokens"),
+    )
+    return (
+        staged.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .withColumn(
+            "pad_waste",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("total_tokens")),
+        )
+    )
+
+
+ORACLE_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT least({_LB_CAP // _LB_WIDTH},
+               floor((len(string_split(text, ' ')) - 1) / {_LB_WIDTH}))
+           AS bucket_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT bucket_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM t
+GROUP BY 1
+""".strip()
+
+
+_WK_K = 100
+_WK_MULT = 2654435761  # Knuth multiplicative constant (shared w/ consistent_k)
+_WK_MOD = 1_000_003
+
+
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact-k sample via deterministic exponential clocks
+    (the distributed form of weighted sampling without replacement,
+    Efraimidis-Spirakis): each doc draws a reproducible uniform from a
+    multiplicative hash and gets key = −ln(u)/weight; the k smallest
+    keys win, so inclusion probability tracks weight (n_chars here —
+    "sample proportional to content mass"). orderBy().limit(k) compiles
+    to TakeOrderedAndProject — per-partition k-row heaps, no global
+    sort — and the draw is row-local, so reruns/repartitioning/growth
+    leave survivors stable exactly like sample_consistent_k. Key is
+    rounded to 9 decimals pre-rank for cross-engine ordering parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(_WK_MULT), F.lit(_WK_MOD)) + F.lit(1)
+    ).cast("double") / F.lit(float(_WK_MOD + 1))
+    key = stable_round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("clock"))
+        .orderBy(F.col("clock").asc(), F.col("doc_id").asc())
+        .limit(_WK_K)
+    )
+
+
+ORACLE_WEIGHTED_K = f"""
+SELECT doc_id, source, n_chars,
+       floor((-ln(((doc_id * {_WK_MULT}) % {_WK_MOD} + 1)
+                  / {float(_WK_MOD + 1)}) / n_chars)
+             * 1000000000.0::DOUBLE + 0.5::DOUBLE) / 1000000000.0::DOUBLE
+         AS clock
+FROM documents
+ORDER BY clock ASC, doc_id ASC
+LIMIT {_WK_K}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
@@ -304,6 +396,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_val": q_split_train_val,
     "pack_chunks": q_pack_chunks,
     "pack_chunks_overlap": q_pack_chunks_overlap,
+    "pack_length_buckets": q_pack_length_buckets,
+    "sample_weighted_k": q_sample_weighted_k,
 }
 
 ORACLES: dict[str, str] = {
@@ -315,4 +409,6 @@ ORACLES: dict[str, str] = {
     "split_train_val": ORACLE_SPLIT,
     "pack_chunks": ORACLE_PACK,
     "pack_chunks_overlap": ORACLE_PACK_OVERLAP,
+    "pack_length_buckets": ORACLE_LENGTH_BUCKETS,
+    "sample_weighted_k": ORACLE_WEIGHTED_K,
 }

@@ -638,7 +638,57 @@ WHERE list_has_all(
 """.strip()
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc — the classic gibberish/
+    binary-spill detector (natural language sits ~4 bits/char; base64
+    blobs and key-mash noise run higher, repeated-char junk lower).
+
+    Plan shape: explode chars → partial-agg count by (doc, char) — the
+    map-side combine collapses each task's chars to ≤|alphabet| rows
+    per doc, so the exchange carries character HISTOGRAMS, not
+    characters — then one more tiny agg computes
+    H = log2(n) − Σc·log2(c)/n exactly from integer counts. Rounded to
+    6 decimals pre-emit for cross-engine float parity."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    hist = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chars_counted"),
+            F.sum(F.col("cnt") * F.log2("cnt")).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            stable_round(
+                F.log2("n_chars_counted") - F.col("__s") / F.col("n_chars_counted"),
+                6,
+            ).alias("char_entropy_bits"),
+        )
+    )
+
+
+ORACLE_ENTROPY = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), h AS (
+  SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+       {sql_stable_round("log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)", 6)}
+         AS char_entropy_bits
+FROM h
+GROUP BY doc_id
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_entropy": q_text_entropy,
     "text_tfidf": q_text_tfidf,
     "text_bigram_pmi": q_text_bigram_pmi,
     "text_search_conjunctive": q_text_search,
@@ -659,6 +709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_entropy": ORACLE_ENTROPY,
     "text_tfidf": ORACLE_TFIDF,
     "text_bigram_pmi": ORACLE_PMI,
     "text_search_conjunctive": ORACLE_SEARCH,

@@ -219,3 +219,25 @@ def test_minhash_hot_bucket_cap_bounds_join_and_keeps_signal(spark):
         for r in D.minhash_lsh_pairs(docs, threshold=0.9).collect()
     }
     assert (100, 101) in uncapped
+
+
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    """A short doc lifted verbatim into a much longer one: containment
+    ≈ 1 while Jaccard is small — the pair must appear in containment
+    output and not in the jaccard output at matching thresholds."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content words here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.shingle_containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0
+    jac = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac

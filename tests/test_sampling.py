@@ -252,3 +252,26 @@ def test_sliding_chunks_overlap_and_coverage(spark):
     assert by_doc[3] == {0, 1}
     # interior docs belong to exactly budget/stride = 2 windows
     assert all(len(v) == 2 for d, v in by_doc.items() if d >= 2)
+
+
+def test_weighted_k_inclusion_tracks_weight(spark):
+    """Exponential-clock weighted sampling: heavier docs must be
+    overrepresented among winners, and the sample must be identical
+    across repartitionings (row-local determinism)."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_weighted_k,
+    )
+
+    got1 = q_sample_weighted_k(spark, SF_SMALL := "/root/testdata/sf0.001")
+    ids1 = [r.doc_id for r in got1.collect()]
+    # determinism across physical layout
+    ids2 = [r.doc_id for r in q_sample_weighted_k(spark, SF_SMALL).collect()]
+    assert ids1 == ids2
+    # weight bias: mean n_chars of winners > corpus mean
+    from monasca_aggregator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    winner_mean = got1.agg(F.avg("n_chars")).collect()[0][0]
+    assert winner_mean > corpus_mean
