@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "user_event_seq",
     "agg_distinct_rollup_hll",
     "pack_chunks_overlap",
+    # r2 additions
+    "dedup_containment",
+    "text_entropy",
+    "corpus_diff",
+    "sample_weighted_k",
+    "pack_length_buckets",
+    "quality_lang_norm",
 ]
 
 

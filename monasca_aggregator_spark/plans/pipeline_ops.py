@@ -332,9 +332,9 @@ def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LENGTH_BUCKETS = f"""
 WITH t AS (
-  SELECT least({_LB_CAP // _LB_WIDTH},
-               floor((len(string_split(text, ' ')) - 1) / {_LB_WIDTH}))
-           AS bucket_id,
+  SELECT CAST(least({_LB_CAP // _LB_WIDTH},
+                    floor((len(string_split(text, ' ')) - 1) / {_LB_WIDTH}))
+              AS BIGINT) AS bucket_id,
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
 )
@@ -387,6 +387,66 @@ LIMIT {_WK_K}
 """.strip()
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC summary: the current documents drop vs a simulated
+    previous one (every 20th doc is new since then; every 7th doc's
+    text was edited — both derivations are deterministic SQL so the
+    oracle reproduces the 'old' snapshot bit-for-bit). One full-outer
+    join on (id, md5-fingerprint) — md5 hex matches across engines —
+    then a 4-row status rollup."""
+    from monasca_aggregator_spark.operators.snapshot import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+    old = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                    F.upper(F.col("text")),
+                ).otherwise(F.col("text"))
+            ).alias("fingerprint"),
+        )
+        # docs retired since the old drop: ids shifted out of the new
+        # snapshot's id space → exercise the 'removed' arm
+        .unionByName(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(13)) == 0).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.md5(F.col("text")).alias("fingerprint"),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, id_col="doc_id", fingerprint_col="fingerprint")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CORPUS_DIFF = """
+WITH new AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+), old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+  FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 13 = 0
+), d AS (
+  SELECT coalesce(new.doc_id, old.doc_id) AS doc_id,
+         CASE WHEN old.fp IS NULL THEN 'added'
+              WHEN new.fp IS NULL THEN 'removed'
+              WHEN old.fp <> new.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT status, count(*) AS n_docs FROM d GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
@@ -398,6 +458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "pack_length_buckets": q_pack_length_buckets,
     "sample_weighted_k": q_sample_weighted_k,
+    "corpus_diff": q_corpus_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -411,4 +472,5 @@ ORACLES: dict[str, str] = {
     "pack_chunks_overlap": ORACLE_PACK_OVERLAP,
     "pack_length_buckets": ORACLE_LENGTH_BUCKETS,
     "sample_weighted_k": ORACLE_WEIGHTED_K,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
 }

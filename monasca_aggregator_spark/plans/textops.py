@@ -687,7 +687,46 @@ GROUP BY doc_id
 """.strip()
 
 
+def q_quality_lang_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality normalization: percent_rank of the quality
+    score WITHIN each language — the fair-filtering step that stops a
+    single global threshold from drowning low-resource languages
+    (their raw score distributions differ). doc_id tiebreak makes the
+    rank total, so Spark and the oracle order identically.
+
+    One window per lang; at 100 TB a dominant language's partition
+    becomes the bottleneck — the range-bucketed distributed rank in
+    operators/rank.py (quality_deciles) is the skew-safe form; this is
+    the declarative one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = T.quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        stable_round(F.percent_rank().over(w), 6).alias("lang_pct_rank"),
+    )
+
+
+ORACLE_QUALITY_LANG_NORM = f"""
+WITH q AS ({ORACLE_QUALITY})
+SELECT q.doc_id, d.lang, q.quality,
+       {sql_stable_round("percent_rank() OVER (PARTITION BY d.lang ORDER BY q.quality ASC, q.doc_id ASC)", 6)}
+         AS lang_pct_rank
+FROM q JOIN documents d USING (doc_id)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_lang_norm": q_quality_lang_norm,
     "text_entropy": q_text_entropy,
     "text_tfidf": q_text_tfidf,
     "text_bigram_pmi": q_text_bigram_pmi,
@@ -709,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "quality_lang_norm": ORACLE_QUALITY_LANG_NORM,
     "text_entropy": ORACLE_ENTROPY,
     "text_tfidf": ORACLE_TFIDF,
     "text_bigram_pmi": ORACLE_PMI,
