@@ -70,6 +70,8 @@ def read_envelope_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
+    *,
+    heartbeat: bool = False,
     **kwargs,
 ) -> DataFrame:
     """readStream from Kafka → parsed flat envelope relation.
@@ -78,11 +80,24 @@ def read_envelope_stream(
     streaming.pipeline.build_streaming_aggregation unchanged — the
     file-source test path and the Kafka path share every operator
     downstream of the parse.
+
+    ``heartbeat=True`` unions in the wall-clock rate-source heartbeat
+    (streaming.pipeline.with_wallclock_heartbeat) so windows finalize
+    at lag past close even when the topic goes quiet — the reference's
+    processing-time publication schedule (server.go:213-296). Leave it
+    off for availableNow/batch-replay runs.
     """
     reader = spark.readStream.format("kafka")
     for k, v in source_options(bootstrap_servers, topic, **kwargs).items():
         reader = reader.option(k, v)
-    return parse_envelopes(reader.load(), value_col="value")
+    env = parse_envelopes(reader.load(), value_col="value")
+    if heartbeat:
+        from monasca_aggregator_spark.streaming.pipeline import (
+            with_wallclock_heartbeat,
+        )
+
+        env = with_wallclock_heartbeat(env, spark)
+    return env
 
 
 def envelopes_to_json(aggregated: DataFrame) -> DataFrame:
