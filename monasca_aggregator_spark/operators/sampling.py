@@ -177,6 +177,90 @@ def temperature_mix(
     )
 
 
+def waterfill_allocation(
+    counts: DataFrame,
+    *,
+    budget: float,
+    n_col: str = "n",
+    weight_col: str = "wgt",
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Exact water-filling budget allocation: give each source
+    ``a_s = min(n_s, t·w_s)`` with the water level t chosen so
+    Σ a_s = budget — the solver behind "sample B documents across
+    sources proportional to weight, capped by what each source has".
+    temperature_mix's independent min(1, rate) keep-rates overshoot
+    when sources saturate; water-filling redistributes the slack from
+    capped sources exactly.
+
+    Closed form via the standard sort: order sources by ratio
+    r_s = n_s/w_s ascending; the first index i where
+    t_i = (B − Σ_{j<i} n_j)/(Σ_{j≥i} w_j) < r_i gives the level
+    (everything before i is capped; if no such i, budget ≥ total and
+    every source is capped). One window over the per-source aggregate
+    — |sources| rows, a driver-scale relation by construction; the
+    corpus itself is touched only by the upstream groupBy that built
+    ``counts``.
+
+    Output: key_cols + n, wgt, alloc (floor(t·w+0.5), capped at n),
+    capped flag.
+    """
+    w_order = Window.orderBy(F.col("__r").asc(), *[F.col(c) for c in key_cols])
+    prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        counts.select(
+            *key_cols,
+            F.col(n_col).cast("double").alias("__n"),
+            F.col(weight_col).cast("double").alias("__w"),
+        )
+        .withColumn("__r", F.col("__n") / F.col("__w"))
+        .withColumn("__pn", F.coalesce(F.sum("__n").over(prev), F.lit(0.0)))
+        .withColumn("__pw", F.coalesce(F.sum("__w").over(prev), F.lit(0.0)))
+        .withColumn(
+            "__tw",
+            F.sum("__w").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "__ti",
+            (F.lit(float(budget)) - F.col("__pn"))
+            / (F.col("__tw") - F.col("__pw")),
+        )
+        .withColumn("__i", F.row_number().over(w_order))
+    )
+    # the water level: t at the FIRST sort-order index where t_i < r_i
+    # (t_i is not monotone, so min_by index — NULL → all capped)
+    level = staged.filter(F.col("__ti") < F.col("__r")).agg(
+        F.min_by("__ti", "__i").alias("__t")
+    )
+    alloc = (
+        F.when(
+            F.col("__t").isNull() | (F.col("__r") <= F.col("__t")),
+            F.col("__n"),
+        )
+        .otherwise(
+            F.least(
+                F.col("__n"), F.floor(F.col("__t") * F.col("__w") + F.lit(0.5))
+            )
+        )
+        .cast("long")
+    )
+    return (
+        staged.crossJoin(F.broadcast(level))
+        .select(
+            *key_cols,
+            F.col("__n").cast("long").alias("n_docs"),
+            alloc.alias("alloc_docs"),
+            (
+                F.col("__t").isNull() | (F.col("__r") <= F.col("__t"))
+            ).alias("capped"),
+        )
+    )
+
+
 def pack_concat_chunk(
     df: DataFrame,
     group_col: str,

@@ -447,6 +447,60 @@ SELECT status, count(*) AS n_docs FROM d GROUP BY 1
 """.strip()
 
 
+_WF_BUDGET_FRAC = 0.5  # allocate half the corpus across sources
+
+
+def q_sample_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation across sources: B = 50% of the
+    corpus, weight = sqrt(n) (T=0.5 flattening). Unlike
+    sample_temperature's independent min(1, rate) keep-rates — which
+    under-spend the budget whenever a rare source saturates — the
+    water level t redistributes capped sources' slack exactly, so
+    Σ alloc ≈ B to rounding. The solve runs on the per-source count
+    aggregate (|sources| rows); the corpus sees only the groupBy."""
+    from monasca_aggregator_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = _WF_BUDGET_FRAC * docs.count()
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn("wgt", F.sqrt(F.col("n").cast("double")))
+    return waterfill_allocation(
+        counts, budget=budget, key_cols=("source",)
+    )
+
+
+ORACLE_BUDGET_MIX = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), b AS (
+  SELECT {_WF_BUDGET_FRAC} * (SELECT count(*) FROM documents) AS budget
+), o AS (
+  SELECT source, n::DOUBLE AS n, sqrt(n::DOUBLE) AS w,
+         n::DOUBLE / sqrt(n::DOUBLE) AS r,
+         coalesce(sum(n::DOUBLE) OVER (ORDER BY n::DOUBLE / sqrt(n::DOUBLE), source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pn,
+         coalesce(sum(sqrt(n::DOUBLE)) OVER (ORDER BY n::DOUBLE / sqrt(n::DOUBLE), source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pw,
+         sum(sqrt(n::DOUBLE)) OVER () AS tw,
+         row_number() OVER (ORDER BY n::DOUBLE / sqrt(n::DOUBLE), source) AS i
+  FROM c
+), t AS (
+  SELECT o.*, ((SELECT budget FROM b) - pn) / (tw - pw) AS ti FROM o
+), lvl AS (
+  SELECT min_by(ti, i) AS t FROM t WHERE ti < r
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN (SELECT t FROM lvl) IS NULL
+                   OR r <= (SELECT t FROM lvl) THEN n
+            ELSE least(n, floor((SELECT t FROM lvl) * w + 0.5)) END
+            AS BIGINT) AS alloc_docs,
+       ((SELECT t FROM lvl) IS NULL OR r <= (SELECT t FROM lvl)) AS capped
+FROM t
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
@@ -458,6 +512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "pack_length_buckets": q_pack_length_buckets,
     "sample_weighted_k": q_sample_weighted_k,
+    "sample_budget_mix": q_sample_budget_mix,
     "corpus_diff": q_corpus_diff,
 }
 
@@ -472,5 +527,6 @@ ORACLES: dict[str, str] = {
     "pack_chunks_overlap": ORACLE_PACK_OVERLAP,
     "pack_length_buckets": ORACLE_LENGTH_BUCKETS,
     "sample_weighted_k": ORACLE_WEIGHTED_K,
+    "sample_budget_mix": ORACLE_BUDGET_MIX,
     "corpus_diff": ORACLE_CORPUS_DIFF,
 }

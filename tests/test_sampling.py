@@ -275,3 +275,34 @@ def test_weighted_k_inclusion_tracks_weight(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     winner_mean = got1.agg(F.avg("n_chars")).collect()[0][0]
     assert winner_mean > corpus_mean
+
+
+def test_waterfill_spends_budget_and_caps_exactly(spark):
+    """Water-filling invariants: sum(alloc) hits the budget to
+    rounding, capped sources give everything, uncapped allocations are
+    weight-proportional at one shared level; budget >= total caps all."""
+    from monasca_aggregator_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+    from pyspark.sql import functions as F
+
+    counts = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 10), ("d", 5000)],
+        "source string, n long",
+    ).withColumn("wgt", F.sqrt(F.col("n").cast("double")))
+    out = {
+        r.source: r
+        for r in waterfill_allocation(counts, budget=2000).collect()
+    }
+    total_alloc = sum(r.alloc_docs for r in out.values())
+    assert abs(total_alloc - 2000) <= 2  # rounding only
+    # rare sources saturate, dominant ones split the rest by weight
+    assert out["c"].capped and out["c"].alloc_docs == 10
+    assert not out["d"].capped
+    ratio = out["d"].alloc_docs / out["a"].alloc_docs
+    import math
+
+    assert abs(ratio - math.sqrt(5000 / 1000)) < 0.1
+    # budget covers everything → all capped
+    full = waterfill_allocation(counts, budget=10_000).collect()
+    assert all(r.capped and r.alloc_docs == r.n_docs for r in full)
