@@ -354,12 +354,163 @@ FROM t
 """.strip()
 
 
+# ------------------------------------------- counter rate with resets
+
+
+def q_metric_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase per (metric, series, hour) — the
+    Prometheus ``increase()`` semantics the reference's naive
+    delta (last−first) gets WRONG whenever a counter restarts: on a
+    reset the new sample is smaller than its predecessor, so the true
+    increase is the sum of POSITIVE inter-sample deltas only, with the
+    post-reset sample contributing its full value implicitly at the
+    next delta. Series key = (event_type, user_id), deltas from lag()
+    over event time; boundary deltas belong to the window of the later
+    sample (the standard attribution). One window function + one
+    groupBy — both keyed by the series, shuffle-partitionable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # e6 fixed-point per SAMPLE, then integer lag deltas: the per-window
+    # sum is an integer sum — immune to cross-engine float add order
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    with_delta = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        (v_e6 - F.lag(v_e6).over(w)).alias("delta"),
+    )
+    return (
+        with_delta.filter(F.col("delta").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            (
+                (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+                * F.lit(_HOUR_MS)
+            ).alias("window_ts_ms"),
+        )
+        .agg(
+            stable_round(
+                F.sum(F.greatest(F.lit(0).cast("long"), F.col("delta")))
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("increase"),
+            F.sum(
+                F.when(F.col("delta") < 0, 1).otherwise(0)
+            ).cast("long").alias("n_resets"),
+        )
+    )
+
+
+ORACLE_COUNTER_RATE = f"""
+WITH v AS (
+  SELECT event_type, user_id, ts, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+  FROM events
+), d AS (
+  SELECT event_type, user_id, ts,
+         v_e6 - lag(v_e6) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS delta
+  FROM v
+)
+SELECT event_type, {_W_SQL} AS window_ts_ms,
+       {sql_stable_round("CAST(sum(greatest(0, delta)) AS BIGINT) / 1000000.0", 4)} AS increase,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM d
+WHERE delta IS NOT NULL
+GROUP BY 1, 2
+""".strip()
+
+
+# ----------------------------------------------------- retention tiers
+
+_TIERS = ((60_000, "1m"), (300_000, "5m"), (3_600_000, "1h"))
+
+
+def q_metric_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampled retention tiers (monitoring storage policy: 1-minute
+    resolution kept hot, 5-minute and 1-hour tiers kept long) computed
+    ALGEBRAICALLY: the raw scan happens once for the 1m tier; 5m and 1h
+    re-aggregate the 1m (sum, count) partials — avg stays exact because
+    sums and counts re-roll, never averages of averages (the same
+    algebra the HLL rollup, 18k, applies to distincts). Output value =
+    per-tier avg plus the re-rolled count."""
+    ev = load_table(spark, sf_dir, "events")
+    # e6 fixed-point BEFORE summing: integer sums are associativity-
+    # independent, so re-rolled tiers hash identically cross-engine
+    # (float sums differ in the last ulp by add order)
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = (
+        ev.groupBy(
+            F.col("event_type"),
+            (
+                (F.unix_millis(F.col("ts")) / F.lit(60_000)).cast("long")
+                * F.lit(60_000)
+            ).alias("w1m"),
+        )
+        .agg(F.sum(v_e6).alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    tiers = []
+    for ms, label in _TIERS:
+        t = (
+            base.groupBy(
+                "event_type",
+                ((F.col("w1m") / F.lit(ms)).cast("long") * F.lit(ms)).alias(
+                    "window_ts_ms"
+                ),
+            )
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .select(
+                F.lit(label).alias("tier"),
+                "event_type",
+                "window_ts_ms",
+                stable_round(
+                    F.col("s") / F.lit(1_000_000.0) / F.col("c"), 4
+                ).alias("avg_value"),
+                F.col("c").cast("long").alias("n_samples"),
+            )
+        )
+        tiers.append(t)
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+_TIER_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS tier, event_type,
+       (w1m // {ms}) * {ms} AS window_ts_ms,
+       {sql_stable_round("sum(s) / 1000000.0 / sum(c)", 4)} AS avg_value,
+       CAST(sum(c) AS BIGINT) AS n_samples
+FROM base GROUP BY 1, 2, 3"""
+    for ms, label in _TIERS
+)
+
+ORACLE_RETENTION_TIERS = f"""
+WITH base AS (
+  SELECT event_type, (epoch_ms(ts) // 60000) * 60000 AS w1m,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+{_TIER_SQL}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stddev": q_agg_stddev,
     "metric_alert_hysteresis": q_metric_alert_hysteresis,
     "metric_downsample_m4": q_metric_downsample_m4,
     "metric_winsorize": q_metric_winsorize,
     "metric_correlation": q_metric_correlation,
+    "metric_counter_rate": q_metric_counter_rate,
+    "metric_retention_tiers": q_metric_retention_tiers,
 }
 
 ORACLES: dict[str, str] = {
@@ -368,4 +519,6 @@ ORACLES: dict[str, str] = {
     "metric_downsample_m4": ORACLE_M4,
     "metric_winsorize": ORACLE_WINSORIZE,
     "metric_correlation": ORACLE_CORRELATION,
+    "metric_counter_rate": ORACLE_COUNTER_RATE,
+    "metric_retention_tiers": ORACLE_RETENTION_TIERS,
 }
