@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "sample_weighted_k",
     "pack_length_buckets",
     "quality_lang_norm",
+    "metric_counter_rate",
+    "metric_retention_tiers",
+    "sample_budget_mix",
 ]
 
 
