@@ -501,6 +501,70 @@ FROM t
 """.strip()
 
 
+_TOP_P = 0.5  # keep the best docs until half each source's char mass
+
+
+def q_sample_top_p_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p (nucleus) filtering by MASS: walk each source's
+    docs best-quality-first and keep them until the kept char mass
+    reaches p of the source total — "keep the best half of every
+    source by volume". Complements quota (top-n by COUNT) and
+    water-filling (global budget): here the budget is per-source and
+    denominated in chars, so verbose-but-mediocre docs can't crowd out
+    short good ones. A doc is admitted iff the mass BEFORE it is under
+    budget (the first crossing doc is included, nucleus-style). One
+    window per source ordered by (quality desc, doc_id); summary
+    output. Char masses are integers; the only float is the p·total
+    threshold, identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("n_chars").over(
+        Window.partitionBy("source").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    kept = scored.withColumn("__keep", before < F.lit(_TOP_P) * total).filter(
+        F.col("__keep")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+ORACLE_TOP_P = f"""
+WITH q AS ({ORACLE_QUALITY}),
+j AS (
+  SELECT q.doc_id, q.quality, d.source, d.n_chars FROM q
+  JOIN documents d USING (doc_id)
+), m AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_mass,
+         sum(n_chars) OVER (PARTITION BY source) AS total_mass
+  FROM j
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM m
+WHERE before_mass < {_TOP_P} * total_mass
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
@@ -513,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_length_buckets": q_pack_length_buckets,
     "sample_weighted_k": q_sample_weighted_k,
     "sample_budget_mix": q_sample_budget_mix,
+    "sample_top_p_source": q_sample_top_p_source,
     "corpus_diff": q_corpus_diff,
 }
 
@@ -528,5 +593,6 @@ ORACLES: dict[str, str] = {
     "pack_length_buckets": ORACLE_LENGTH_BUCKETS,
     "sample_weighted_k": ORACLE_WEIGHTED_K,
     "sample_budget_mix": ORACLE_BUDGET_MIX,
+    "sample_top_p_source": ORACLE_TOP_P,
     "corpus_diff": ORACLE_CORPUS_DIFF,
 }
