@@ -251,6 +251,101 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable MinHash index relation for INCREMENTAL dedup:
+    (doc_id, shingles, band, bucket) — one row per (doc, band).
+
+    At rolling-ingestion scale you never re-dedup the whole corpus per
+    drop: write this index once (bucket-partitioned parquet via
+    sources/sinks.py), and each new drop joins against it. Schema is
+    stable so drops can append their own rows after clearing.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingled(docs, id_col, text_col, n).select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+    return (
+        sh.filter(F.element_at("sig", 1).isNotNull())
+        .select(
+            "doc_id",
+            "shingles",
+            F.explode(
+                minhash_bands(F.col("sig"), bands, rows_per_band)
+            ).alias("b"),
+        )
+        .select("doc_id", "shingles", "b.band", "b.bucket")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs between a NEW drop and an EXISTING corpus index
+    (minhash_index output) — the incremental form of
+    ``minhash_lsh_pairs``: cost is O(new_docs × bands) probe rows
+    joined against the stored buckets, independent of corpus size.
+    Same banding parameters MUST match the index's. Emits
+    (id_new, id_indexed, jaccard) with exact verification; pairs among
+    the new docs themselves are the ordinary self-join
+    (``minhash_lsh_pairs`` on the drop), kept separate so each side's
+    cost is visible.
+    """
+    probe = minhash_index(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    a, b = probe.alias("a"), index.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_new"),
+            F.col("b.doc_id").alias("id_indexed"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "jaccard",
+            stable_round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_indexed", "jaccard")
+    )
+
+
 def shingle_containment_pairs(
     docs: DataFrame,
     *,

@@ -241,3 +241,40 @@ def test_containment_catches_partial_copy_jaccard_misses(spark):
         for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_incremental_minhash_equals_full_selfjoin_restriction(spark, sf_small):
+    """Index the 'existing corpus' (90% of docs), probe with the 'new
+    drop' (10%): the incremental pairs must equal the full self-join's
+    pairs restricted to (new, indexed) — same banding, no recall loss
+    from indexing, and the probe never rescans the corpus."""
+    from monasca_aggregator_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    existing = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+
+    idx = minhash_index(existing)
+    inc = {
+        (r.id_new, r.id_indexed): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, threshold=0.3
+        ).collect()
+    }
+    full = {}
+    for r in minhash_lsh_pairs(docs, threshold=0.3).collect():
+        full[(r.id_a, r.id_b)] = r.jaccard
+        full[(r.id_b, r.id_a)] = r.jaccard
+    expected = {
+        (a, b): j
+        for (a, b), j in full.items()
+        if a % 10 == 0 and b % 10 != 0
+    }
+    assert inc == expected
+    assert expected, "fixture must contain cross-drop near-dups"
