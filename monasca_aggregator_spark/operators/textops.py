@@ -410,38 +410,40 @@ def span_dup_coverage(
     duplication measure, and the score curation uses to drop
     template-heavy docs that exact/near dedup both miss.
 
-    Plan: positional spans via posexplode (cheap token filter first —
-    see contamination_scores for why the filter must not be a predicate
-    over the derived array) → span stats from a distinct (span, doc)
-    collapse — BOTH aggregations partial-aggregate map-side, so the
-    only corpus-sized shuffle is keyed by span (high cardinality,
-    uniform; hot template spans are single aggregated rows) → join the
-    positional spans back to the stats on span → per-doc fold.
+    Plan: positional spans via explode (cheap token filter first — see
+    contamination_scores for why the filter must not be a predicate
+    over the derived array) → spans immediately collapse to their
+    xxhash64 (8-byte exchange keys instead of ~50-byte strings; a
+    64-bit collision merges two spans' stats — probability ~(#spans)²
+    /2⁶⁵, irrelevant for a statistical score) → per-(doc, hash)
+    positional counts (map-side partial agg) → per-hash doc counts
+    (tiny) → join back on the hash → per-doc fold. Every corpus-sized
+    exchange carries (id, hash, count) rows only.
     """
     from monasca_aggregator_spark.functions.text import tokens
 
     toks = tokens(F.col(text_col))
-    spans = F.transform(
+    # hash the token-array SLICE directly (xxhash64 hashes arrays) —
+    # no per-span string concat at all
+    span_hashes = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        lambda i: F.xxhash64(F.slice(toks, i + F.lit(1), n)),
     )
     ex = (
         docs.filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+        .select(F.col(id_col), F.explode(span_hashes).alias("__h"))
     )
-    stats = (
-        ex.select(id_col, "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    per = ex.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__c"))
+    stats = per.groupBy("__h").agg(F.count(F.lit(1)).alias("n_docs"))
     frac = F.col("n_dup_spans") / F.col("n_spans")
     return (
-        ex.join(stats, "span")
+        per.join(stats, "__h")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_spans"),
+            F.sum("__c").cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("__c")).otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
         )
         .select(
             id_col,
