@@ -115,7 +115,12 @@ def ngram_jaccard_pairs(
     """
     sh = _shingled(docs, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = _exploded(sh).withColumnRenamed("s", "sh")
+    # join on xxhash64 of the shingle, not the string: 8-byte exchange
+    # keys (shingle strings average ~30 bytes); a collision overcounts
+    # one shared shingle with probability ~(#shingles)²/2⁶⁵
+    exploded = _exploded(sh).select(
+        "doc_id", F.xxhash64("s").alias("sh")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -366,7 +371,10 @@ def shingle_containment_pairs(
     """
     sh = _shingled(docs, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = _exploded(sh).withColumnRenamed("s", "sh")
+    # hash-keyed shingle join — see ngram_jaccard_pairs
+    exploded = _exploded(sh).select(
+        "doc_id", F.xxhash64("s").alias("sh")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(
