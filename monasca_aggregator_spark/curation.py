@@ -1,0 +1,132 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+team actually runs, built from this package's operators —
+
+    raw documents
+      → exact dedup (hash groupBy keepers)
+      → near-dup removal (MinHash/LSH pairs → star-contraction
+        components → canonical survivor per cluster)
+      → per-source top-p quality filter (best docs until p of each
+        source's char mass)
+      → stratified language rebalance (deterministic row-local buckets)
+      → train/val/test split (stateless bucket expression)
+      → concat-and-chunk packing (per-split running offsets)
+      → sharded parquet write, hive-partitioned by split
+
+Every stage is the library operator, not a reimplementation, so the
+pipeline inherits each operator's 100 TB posture (see docs/SCALING.md);
+the composition adds NO extra corpus-wide shuffles beyond the
+operators' own. Returns a per-stage manifest (stage, rows, chars) —
+the lineage record a curation run ships with its output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from monasca_aggregator_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    normalize_text,
+)
+from monasca_aggregator_spark.operators.sampling import (
+    split_assign,
+    stratified_sample,
+)
+from monasca_aggregator_spark.operators.textops import quality_scores
+from monasca_aggregator_spark.operators.sampling import pack_concat_chunk
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | None = None,
+    *,
+    near_dup_threshold: float = 0.6,
+    top_p: float = 0.8,
+    strata: dict[str, float] | None = None,
+    default_keep: float = 1.0,
+    splits: tuple = (("train", 80), ("val", 90), ("test", 100)),
+    pack_budget: int = 4000,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation pipeline over a ``documents``-shaped
+    relation (doc_id, text, lang, source, n_chars). Returns
+    (curated_df, manifest_df); when ``out_dir`` is given the curated
+    corpus is also written as parquet partitioned by split."""
+    stages: list[tuple[str, int, int]] = []
+
+    def record(stage: str, df: DataFrame) -> None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+        ).collect()[0]
+        stages.append((stage, int(row["n"]), int(row["c"])))
+
+    record("raw", docs)
+
+    # 1. exact dedup: keep each normalized-text group's min-id doc
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id", "left_semi")
+    record("exact_dedup", docs)
+
+    # 2. near-dup removal: LSH pairs → components → keep cluster min
+    pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold)
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = docs.join(drop, "doc_id", "left_anti")
+    record("near_dedup", docs)
+
+    # 3. per-source top-p quality by char mass (nucleus selection)
+    scored = quality_scores(docs).join(
+        docs, "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("n_chars").over(
+        Window.partitionBy("source").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    docs = (
+        scored.withColumn("__keep", before < F.lit(top_p) * total)
+        .filter(F.col("__keep"))
+        .select(*[c for c in docs.columns])
+    )
+    record("quality_top_p", docs)
+
+    # 4. stratified language rebalance (row-local deterministic bucket)
+    if strata:
+        docs = stratified_sample(
+            docs,
+            "lang",
+            strata,
+            F.pmod(F.col("doc_id") * F.lit(37) + F.lit(11), F.lit(100)),
+            default_fraction=default_keep,
+        )
+    record("lang_rebalance", docs)
+
+    # 5. deterministic split + 6. packing (chunk ids per source)
+    docs = split_assign(
+        docs, F.pmod(F.col("doc_id"), F.lit(100)), list(splits)
+    )
+    docs = pack_concat_chunk(docs, "source", "doc_id", "n_chars", pack_budget)
+    record("packed", docs)
+
+    if out_dir is not None:
+        docs.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    manifest = spark.createDataFrame(
+        stages, "stage string, n_docs long, total_chars long"
+    )
+    return docs, manifest
