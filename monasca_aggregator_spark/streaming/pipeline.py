@@ -437,6 +437,85 @@ def streaming_ewma(
     )
 
 
+def streaming_anomaly_zscore(
+    env: DataFrame,
+    *,
+    alpha: float = 0.1,
+    min_samples: int = 10,
+    z_threshold: float = 3.0,
+    key_cols: tuple[str, ...] = ("tenant_id", "name"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming anomaly detection: per-key exponentially-weighted
+    mean/variance state (the streaming counterpart of the batch
+    trailing-baseline ``anomaly_zscore`` plan) with a z-score per
+    sample and an ``is_anomaly`` flag once the baseline has seen
+    ``min_samples`` points.
+
+    State per key is THREE numbers (ewma, ewvar, n) — O(1), GC-free,
+    exactly the state-shape argument from streaming_ewma; the EW
+    variance update is the standard West/EWMA recurrence
+    ``diff = v − mean; incr = α·diff; mean += incr;
+    var = (1−α)·(var + diff·incr)``. Anomalies are scored against the
+    baseline BEFORE the sample updates it, so a spike can't mask
+    itself. Emits (key..., ts_ms, value, zscore, is_anomaly) in
+    update mode.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, ts_ms bigint, value double, zscore double,"
+        " is_anomaly boolean"
+    )
+    state_schema = "ewma double, ewvar double, n bigint"
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            mean, var, n = state.get
+        else:
+            mean, var, n = None, 0.0, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts_ms", kind="mergesort")
+            for ts_ms, v in zip(pdf["__ts_ms"], pdf["__value"]):
+                v = float(v)
+                if mean is None:
+                    z, flag = 0.0, False
+                    mean = v
+                else:
+                    sd = math.sqrt(var) if var > 0 else 0.0
+                    z = (v - mean) / sd if sd > 0 else 0.0
+                    flag = bool(n >= min_samples and abs(z) >= z_threshold)
+                    diff = v - mean
+                    incr = alpha * diff
+                    mean += incr
+                    var = (1.0 - alpha) * (var + diff * incr)
+                n += 1
+                rows.append((*key, int(ts_ms), v, float(z), flag))
+        state.update((mean, var, n))
+        cols = [*key_cols, "ts_ms", "value", "zscore", "is_anomaly"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    prepared = env.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        F.col(value_col).cast("double").alias("__value"),
+    )
+    return prepared.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

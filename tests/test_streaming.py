@@ -864,3 +864,54 @@ SPEC_HB = AggregationSpec(
     function="sum",
     grouped_dimensions=(),
 )
+
+
+def test_streaming_anomaly_zscore_flags_spike_not_baseline(spark, tmp_path):
+    """Streaming z-score state op: a flat-ish series followed by a
+    10x spike — the spike (scored against the baseline BEFORE it
+    updates it) must flag, the baseline samples must not, and state
+    must carry across micro-batches."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_anomaly_zscore,
+    )
+
+    # 20 gently-noised baseline points, then the spike in a LATER batch
+    base = [("t0", "cpu", 1_000 * (i + 1), 10.0 + (i % 3) * 0.5)
+            for i in range(20)]
+    batches = [base, [("t0", "cpu", 30_000, 100.0), ("t0", "cpu", 31_000, 10.5)]]
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    schema = "tenant_id string, name string, ts_ms long, value double"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("timestamp", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = streaming_anomaly_zscore(
+        raw, alpha=0.2, min_samples=10, z_threshold=3.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.ts_ms: r for r in spark.table("anom_out").collect()}
+    assert len(rows) == 22
+    # spike flagged with a large positive z (state carried from batch 1)
+    assert rows[30_000].is_anomaly and rows[30_000].zscore > 3.0
+    # baseline points and the post-spike normal sample do not flag
+    assert not any(
+        rows[ts].is_anomaly for ts in rows if ts != 30_000
+    )
