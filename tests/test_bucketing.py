@@ -61,3 +61,42 @@ def test_bucketed_join_result_matches_plain_join(spark, bucketed, sf_small):
     b = {(r.o_custkey, r.n): r.rev for r in plain.collect()}
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
+
+
+def test_snapshot_diff_zero_exchange_on_bucketed_snapshots(spark, sf_small):
+    """The CDC join (operators/snapshot.py) over two snapshots
+    bucket-written on the id plans with NO Exchange: the full-outer
+    join runs as a per-bucket local merge — at 100 TB the shuffle is
+    paid once at write time, then every drop diff is exchange-free."""
+    from monasca_aggregator_spark.operators.snapshot import snapshot_diff
+    from monasca_aggregator_spark.sources.tables import (
+        load_table,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    old = docs.filter(F.pmod("doc_id", F.lit(20)) != 0).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    new = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    write_bucketed(old, "snap_old", ["doc_id"], num_buckets=8)
+    write_bucketed(new, "snap_new", ["doc_id"], num_buckets=8)
+    try:
+        diff = snapshot_diff(
+            spark.table("snap_old"),
+            spark.table("snap_new"),
+            id_col="doc_id",
+            fingerprint_col="fingerprint",
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        counts = {
+            r.status: r.n
+            for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts.get("added", 0) > 0
+        assert counts.get("unchanged", 0) > 0
+        assert "removed" not in counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_old")
+        spark.sql("DROP TABLE IF EXISTS snap_new")
