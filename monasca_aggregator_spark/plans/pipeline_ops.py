@@ -565,6 +565,22 @@ GROUP BY 1
 """.strip()
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: the composed end-to-end curation pipeline
+    (curation.curate_corpus — exact dedup → MinHash near-dedup →
+    top-p quality → stratified rebalance → split → pack) over the
+    documents drop, returning the per-stage lineage manifest. Not
+    SQL-expressible as one statement (MinHash + iterative components
+    inside); stage-count invariants are pinned in test_curation.py."""
+    from monasca_aggregator_spark.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, manifest = curate_corpus(
+        spark, docs, None, strata={"en": 0.5}, top_p=0.8
+    )
+    return manifest
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
@@ -579,6 +595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_budget_mix": q_sample_budget_mix,
     "sample_top_p_source": q_sample_top_p_source,
     "corpus_diff": q_corpus_diff,
+    "pipeline_curate": q_pipeline_curate,  # rows-only (composed pipeline)
 }
 
 ORACLES: dict[str, str] = {

@@ -25,6 +25,14 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # type-parity fix lands), then every oracle-backed query the r1 window
 # never reached.  agg_streaming_rate is deferred to r3 (its sibling
 # agg_streaming exercises the same streaming-memory-sink oracle path).
+#
+# Round-3 rotation TODO: swap this window for the keys still without a
+# driver check after r2 — agg_streaming_rate, the r2 additions
+# (dedup_containment, pack_length_buckets, sample_weighted_k,
+# sample_budget_mix, sample_top_p_source, corpus_diff, text_entropy,
+# quality_lang_norm, metric_counter_rate, metric_retention_tiers),
+# the 13 rows-only keys, and as many r1-green keys as remain for
+# re-confirmation.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",
