@@ -72,6 +72,82 @@ def _merge_fold(syms, a: str, b: str):
     )
 
 
+def _merge_pass(syms: list, a: str, b: str, merged: str) -> list:
+    """Python mirror of ``_merge_fold``'s single greedy-leftmost pass —
+    the encode side must replicate training's fold EXACTLY (including
+    its re-check of the freshly merged tail against the next symbol)
+    so encoded words equal the dictionary state training left behind."""
+    acc: list = []
+    for x in syms:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = merged
+        else:
+            acc.append(x)
+    return acc
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merge rules to documents → (doc_id, n_tokens,
+    n_words). ``merges`` is the rank-ordered [(left, right, merged)]
+    list from ``train_bpe_merges`` (a few hundred rows — rides the
+    task closure).
+
+    Tokenization is the one pipeline stage where per-word Python is
+    the honest choice (production tokenizers are native code; there is
+    no built-in column fold over a rule LIST), so this is an Arrow
+    mapInPandas with a WORD-LEVEL MEMO: Zipf's law means a batch's
+    distinct-word count is a small fraction of its token count, and
+    each distinct word is encoded once per task, not once per
+    occurrence. No shuffle — the output is a per-doc projection.
+    """
+    import pandas as pd
+
+    rules = [(a, b, m) for a, b, m in merges]
+
+    def _encode(batches):
+        memo: dict[str, int] = {}
+
+        def word_len(w: str) -> int:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [END_MARK]
+            for a, b, m in rules:
+                if len(syms) < 2:
+                    break
+                syms = _merge_pass(syms, a, b, m)
+            memo[w] = len(syms)
+            return memo[w]
+
+        for pdf in batches:
+            n_tokens, n_words = [], []
+            for text in pdf["__text"]:
+                ws = [w for w in (text or "").lower().split() if w]
+                n_words.append(len(ws))
+                n_tokens.append(sum(word_len(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                }
+            )
+
+    prepared = docs.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.col(text_col)).alias("__text"),
+    )
+    return prepared.mapInPandas(
+        _encode, "doc_id long, n_words long, n_tokens long"
+    )
+
+
 def train_bpe_merges(
     spark: SparkSession,
     docs: DataFrame,
