@@ -124,3 +124,55 @@ def test_estimated_scan_tasks_estimate(spark, sf_small, tmp_path):
     big.write_bytes(b"x" * (300 << 20))
     # 300 MB at default 128 MB split size -> 3 tasks
     assert _estimated_scan_tasks(spark, str(big)) == 3
+
+
+def test_entropy_exchange_carries_histograms_not_chars(spark, sf_small):
+    """text_entropy's corpus-sized exchange must sit above a partial
+    aggregate on (doc, char) — char HISTOGRAM rows cross the wire, the
+    exploded characters never do."""
+    from monasca_aggregator_spark.plans.textops import q_text_entropy
+
+    plan = explain_str(q_text_entropy(spark, sf_small))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    # the char explode (Generate) exists and the partial aggregate sits
+    # between it and the exchange ("formatted" prints operators
+    # bottom-up within each WholeStageCodegen block)
+    assert "Generate" in plan
+    assert "HashAggregate" in plan
+
+
+def test_counter_rate_single_series_shuffle(spark, sf_small):
+    """metric_counter_rate: one window sort keyed by the series + the
+    final windowed groupBy — no Python stages, no extra exchanges."""
+    from monasca_aggregator_spark.plans.series import q_metric_counter_rate
+
+    plan = explain_str(q_metric_counter_rate(spark, sf_small))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 1
+    assert "partial_" in plan  # map-side combine on the final agg
+
+
+def test_corpus_diff_projects_before_join(spark, sf_small):
+    """corpus_diff's full-outer join input schema is (id, fingerprint)
+    only — text never reaches the exchange."""
+    from monasca_aggregator_spark.plans.pipeline_ops import q_corpus_diff
+
+    plan = explain_str(q_corpus_diff(spark, sf_small))
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    # no raw text column in any exchange input projection
+    join_section = plan[plan.index("FullOuter"):]
+    assert "text#" not in plan.split("Exchange")[1][:400]
+
+
+def test_retention_tiers_reuses_base_aggregate(spark, sf_small):
+    """metric_retention_tiers: the 1m base aggregate feeds three tier
+    re-aggregations — partial aggregation everywhere, no Python."""
+    from monasca_aggregator_spark.plans.series import (
+        q_metric_retention_tiers,
+    )
+
+    plan = explain_str(q_metric_retention_tiers(spark, sf_small))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Union") >= 1
+    assert "partial_" in plan
