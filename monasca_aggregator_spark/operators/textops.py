@@ -42,6 +42,23 @@ def token_counts(
     )
 
 
+def quality_expr(text: F.Column) -> F.Column:
+    """The quality score as a bare column expression — pure row-local
+    math, so it drops unchanged into batch plans AND streaming filters
+    (streaming/pipeline.curate_document_stream)."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = F.regexp_count(text, F.lit(r"[.,!?;:]")) / F.length(text)
+    return (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+
+
 def quality_scores(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -54,11 +71,7 @@ def quality_scores(
     n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-hit count
     stop_ratio = n_stop / n_tokens
     punct_ratio = F.regexp_count(text, F.lit(r"[.,!?;:]")) / F.length(text)
-    quality = (
-        F.lit(0.4) * stop_ratio
-        + F.lit(0.3) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-    )
+    quality = quality_expr(text)
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

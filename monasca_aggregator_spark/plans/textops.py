@@ -725,7 +725,82 @@ FROM q JOIN documents d USING (doc_id)
 """.strip()
 
 
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every curation pipeline runs
+    before training: URL then email replacement with typed placeholder
+    tokens, plus per-doc match counts. The synthetic corpus carries no
+    PII, so deterministic emails/URLs are injected first (every 5th /
+    7th doc, same construction in the oracle) — the regexes are
+    genuinely exercised, and both engines' regex engines (Java vs RE2)
+    agree on these character-class patterns. Pure column ops: counts
+    via regexp_count, scrub via chained regexp_replace; zero shuffle
+    beyond the scan."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.concat(
+                    F.lit(" see https://example.com/d/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    no_url = F.regexp_replace(F.col("t"), _URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(no_url, _EMAIL_RE, "<EMAIL>")
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(no_url, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.length(scrubbed).cast("long").alias("n_chars_scrubbed"),
+    )
+
+
+ORACLE_SCRUB = rf"""
+WITH staged AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' see https://example.com/d/' || doc_id
+                 ELSE '' END AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_URL_RE}', '<URL>', 'g') AS no_url
+  FROM staged
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(no_url, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_replace(no_url, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+            AS BIGINT) AS n_chars_scrubbed
+FROM s
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_scrub": q_text_scrub,
     "quality_lang_norm": q_quality_lang_norm,
     "text_entropy": q_text_entropy,
     "text_tfidf": q_text_tfidf,
@@ -748,6 +823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_scrub": ORACLE_SCRUB,
     "quality_lang_norm": ORACLE_QUALITY_LANG_NORM,
     "text_entropy": ORACLE_ENTROPY,
     "text_tfidf": ORACLE_TFIDF,

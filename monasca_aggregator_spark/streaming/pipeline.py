@@ -437,6 +437,48 @@ def streaming_ewma(
     )
 
 
+def curate_document_stream(
+    docs_stream: DataFrame,
+    *,
+    ts_col: str = "ingest_ts",
+    dedup_within: str = "1 hour",
+    quality_min: float = 0.35,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous document-ingestion curation: the streaming face of
+    curation.curate_corpus's first two gates —
+
+    - exact dedup on the normalized-content fingerprint with
+      watermark-bounded state (``dropDuplicatesWithinWatermark``: a
+      re-crawl of the same page within the window is dropped, state is
+      GC'd past it — the only dedup form that survives an unbounded
+      feed);
+    - quality gate as a row-local column filter (the same
+      ``quality_expr`` the batch plans use — streaming-safe because it
+      touches one row at a time).
+
+    Near-dedup/top-p need corpus-wide state and stay batch-side (run
+    them per snapshot on the sink output; the incremental MinHash
+    index covers cross-snapshot pairs). Returns the curated stream —
+    point it at idempotent_parquet_sink for exactly-once files.
+    """
+    from monasca_aggregator_spark.functions.rounding import stable_round
+    from monasca_aggregator_spark.operators.dedup import normalize_text
+    from monasca_aggregator_spark.operators.textops import quality_expr
+
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        docs_stream.withColumn("__fp", fp)
+        .withWatermark(ts_col, dedup_within)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .withColumn(
+            "quality", stable_round(quality_expr(F.col(text_col)), 4)
+        )
+        .filter(F.col("quality") >= quality_min)
+        .drop("__fp")
+    )
+
+
 def streaming_anomaly_zscore(
     env: DataFrame,
     *,

@@ -915,3 +915,53 @@ def test_streaming_anomaly_zscore_flags_spike_not_baseline(spark, tmp_path):
     assert not any(
         rows[ts].is_anomaly for ts in rows if ts != 30_000
     )
+
+
+def test_curate_document_stream_dedups_and_gates_quality(spark, tmp_path):
+    """Continuous ingestion curation: a cross-batch re-crawl (same
+    normalized content, new id) is dropped by the watermarked
+    fingerprint dedup, and low-quality docs never reach the sink."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        curate_document_stream,
+    )
+
+    good = ("the quick brown fox and the lazy dog run over the hill "
+            "with a friend of the family on a bright morning walk")
+    junk = "zz zz zz"
+    batches = [
+        [(1, good, 1_000), (2, junk, 2_000)],
+        # 3 = re-crawl of doc 1 (case/spacing differs, same normalized
+        # content); 4 = genuinely new good doc
+        [(3, good.upper() + "  ", 60_000),
+         (4, good + " plus fresh words here", 61_000)],
+    ]
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ts_ms long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ingest_ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = curate_document_stream(raw, dedup_within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("curate_stream_out").collect()}
+    # 1 good kept; 2 junk gated; 3 re-crawl deduped ACROSS batches; 4 kept
+    assert got == {1, 4}
