@@ -189,7 +189,31 @@ FROM flat GROUP BY 1, 2
 """.strip()
 
 
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: the multimodal plumbing end-to-end through the
+    driver harness — documents adapted to the binary media relation
+    (payload = utf-8 bytes + typed width/height metadata), decoded to
+    feature vectors in mapInPandas (deterministic stub decoder — the
+    real PPM/PNG/WAV codecs are exercised in test_multimodal.py), then
+    a per-channel-count summary. Proves schema, Arrow batching, and
+    the no-shuffle scan→project→ArrowEvalPython plan shape on real
+    testdata."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        decode_image_features,
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(documents_as_media(docs), n_features=8)
+    return feats.groupBy("channels").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
