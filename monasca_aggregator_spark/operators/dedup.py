@@ -265,8 +265,11 @@ def minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Persistable MinHash index relation for INCREMENTAL dedup:
-    (doc_id, shingles, band, bucket) — one row per (doc, band).
+    """Persistable MinHash bucket index for INCREMENTAL dedup: THIN
+    (doc_id, band, bucket) rows — 3 longs per (doc, band), never the
+    shingle arrays (a fat index would drag every doc's shingles
+    through the candidate join 8×; verification re-shingles only the
+    few candidate docs instead).
 
     At rolling-ingestion scale you never re-dedup the whole corpus per
     drop: write this index once (bucket-partitioned parquet via
@@ -274,27 +277,30 @@ def minhash_index(
     stable so drops can append their own rows after clearing.
     """
     rows_per_band = num_hashes // bands
+    # materialize the signature before the filter + banding explode:
+    # uncached, the Generate inlines (and the pushed-down filter
+    # duplicates) the whole tokenize+hash tree — 20× build cost
+    # (measured 106 s → 5 s on 35k docs)
     sh = _shingled(docs, id_col, text_col, n).select(
         "doc_id",
-        "shingles",
         minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    )
+    ).cache()
     return (
         sh.filter(F.element_at("sig", 1).isNotNull())
         .select(
             "doc_id",
-            "shingles",
             F.explode(
                 minhash_bands(F.col("sig"), bands, rows_per_band)
             ).alias("b"),
         )
-        .select("doc_id", "shingles", "b.band", "b.bucket")
+        .select("doc_id", "b.band", "b.bucket")
     )
 
 
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     index: DataFrame,
+    index_docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -303,23 +309,35 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs between a NEW drop and an EXISTING corpus index
-    (minhash_index output) — the incremental form of
-    ``minhash_lsh_pairs``: cost is O(new_docs × bands) probe rows
-    joined against the stored buckets, independent of corpus size.
-    Same banding parameters MUST match the index's. Emits
-    (id_new, id_indexed, jaccard) with exact verification; pairs among
-    the new docs themselves are the ordinary self-join
-    (``minhash_lsh_pairs`` on the drop), kept separate so each side's
-    cost is visible.
+    """Near-dup pairs between a NEW drop and an EXISTING corpus —
+    the incremental form of ``minhash_lsh_pairs``: the drop's band
+    buckets probe the stored THIN index (O(new_docs × bands) probe
+    rows, corpus never rescanned for candidates), then exact Jaccard
+    verification re-shingles ONLY the candidate docs (semi-join into
+    ``index_docs``). Banding parameters MUST match the index's. Emits
+    (id_new, id_indexed, jaccard); pairs among the new docs themselves
+    are the ordinary self-join on the drop, kept separate so each
+    side's cost is visible.
     """
-    probe = minhash_index(
-        new_docs,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
+    # cache the (shingles, sig) projection BEFORE the banding explode
+    # and the verification branch: uncached, the Generate node inlines
+    # the whole tokenize+32-hash expression tree (outside codegen CSE)
+    # and recomputes it per consumer — the trap minhash_lsh_pairs's
+    # cache exists for (measured 18 s → 3 s on a 5k-doc probe)
+    probe_sh = _shingled(new_docs, id_col, text_col, n).select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    ).cache()
+    probe = (
+        probe_sh.filter(F.element_at("sig", 1).isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                minhash_bands(F.col("sig"), bands, num_hashes // bands)
+            ).alias("b"),
+        )
+        .select("doc_id", "b.band", "b.bucket")
     )
     a, b = probe.alias("a"), index.alias("b")
     candidates = (
@@ -332,13 +350,30 @@ def minhash_lsh_pairs_incremental(
         .select(
             F.col("a.doc_id").alias("id_new"),
             F.col("b.doc_id").alias("id_indexed"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .distinct()
+        # consumed by TWO branches (the semi-filter below and the
+        # verification join) — checkpoint so the probe⋈index join runs
+        # once, not per consumer
+        .localCheckpoint(eager=False)
+    )
+    # verification touches only candidate docs: semi-filter the corpus
+    # to them, then shingle just those rows
+    cand_index_docs = index_docs.join(
+        candidates.select(F.col("id_indexed").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_b = _shingled(cand_index_docs, id_col, text_col, n).select(
+        F.col("doc_id").alias("id_indexed"), F.col("shingles").alias("sh_b")
+    )
+    sh_a = probe_sh.select(
+        F.col("doc_id").alias("id_new"), F.col("shingles").alias("sh_a")
     )
     return (
-        candidates.withColumn(
+        candidates.join(sh_a, "id_new")
+        .join(sh_b, "id_indexed")
+        .withColumn(
             "jaccard",
             stable_round(
                 F.size(F.array_intersect("sh_a", "sh_b"))

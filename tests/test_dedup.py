@@ -264,7 +264,7 @@ def test_incremental_minhash_equals_full_selfjoin_restriction(spark, sf_small):
     inc = {
         (r.id_new, r.id_indexed): r.jaccard
         for r in minhash_lsh_pairs_incremental(
-            new, idx, threshold=0.3
+            new, idx, existing, threshold=0.3
         ).collect()
     }
     full = {}
