@@ -799,7 +799,109 @@ FROM s
 """.strip()
 
 
+_NG_PROFILE_K = 50  # trigrams per language profile
+
+
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID — the classic n-gram-profile
+    heuristic (Cavnar-Trenkle), trained and evaluated on the corpus
+    itself: 80% of docs (doc_id%5≠0) build top-50 trigram profiles per
+    language by document frequency; the 20% holdout is classified by
+    profile-overlap argmax (ties → lang asc) and reported as a
+    confusion matrix. Everything is integer counts and deterministic
+    ranks, so the oracle matches exactly. Plan: one trigram explode →
+    distinct (doc, tri) partial-agg; profiles are ≤ |langs|·K rows and
+    BROADCAST into the scoring join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.length(F.lower("text")) - F.lit(2), F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.substring(F.lower("text"), i, F.lit(3)),
+                )
+            )
+        ).alias("tri"),
+    )
+    train = tris.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("df").desc(), F.col("tri").asc()
+    )
+    profile = (
+        train.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NG_PROFILE_K)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    test = tris.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    scored = (
+        test.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("p_lang").asc()
+    )
+    predicted = (
+        scored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted"))
+    )
+    return (
+        predicted.groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("predicted").alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_LANGID_NGRAM = f"""
+WITH tris AS (
+  SELECT doc_id, lang, tri FROM (
+    SELECT doc_id, lang,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(lower(text)) - 2, 0) + 1),
+             i -> lower(text)[i:i+2]))) AS tri
+    FROM documents
+  )
+), profile AS (
+  SELECT lang AS p_lang, tri FROM (
+    SELECT lang, tri, row_number() OVER (
+             PARTITION BY lang ORDER BY count(*) DESC, tri ASC) AS rk
+    FROM tris WHERE doc_id % 5 <> 0 GROUP BY lang, tri
+  ) WHERE rk <= {_NG_PROFILE_K}
+), scored AS (
+  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS overlap
+  FROM tris t JOIN profile p USING (tri)
+  WHERE t.doc_id % 5 = 0
+  GROUP BY 1, 2, 3
+), predicted AS (
+  SELECT doc_id, lang, p_lang AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY overlap DESC, p_lang ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT lang AS true_lang, predicted AS predicted_lang,
+       count(*) AS n_docs
+FROM predicted GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_langid_ngram": q_text_langid_ngram,
     "text_scrub": q_text_scrub,
     "quality_lang_norm": q_quality_lang_norm,
     "text_entropy": q_text_entropy,
@@ -823,6 +925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_langid_ngram": ORACLE_LANGID_NGRAM,
     "text_scrub": ORACLE_SCRUB,
     "quality_lang_norm": ORACLE_QUALITY_LANG_NORM,
     "text_entropy": ORACLE_ENTROPY,
