@@ -40,6 +40,12 @@ class EngineConfig:
     producer_topic: str = "metrics"
     bootstrap_servers: str = "localhost:9092"
     group_id: str = "monasca-aggregation"
+    # wall-clock publication for quiet topics (the reference's ticker,
+    # server.go:213-296): unions the rate-source heartbeat so windows
+    # finalize at lag past close with no new data. On by default —
+    # matching the reference's behavior; turn off for availableNow /
+    # bounded-replay runs where the source drains and stops.
+    heartbeat: bool = True
     extras: dict = field(default_factory=dict)
 
     @classmethod
@@ -52,6 +58,7 @@ class EngineConfig:
             "consumerTopic",
             "producerTopic",
             "kafka",
+            "heartbeat",
         }
         return cls(
             window_size_sec=int(merged["windowSize"]),
@@ -60,6 +67,7 @@ class EngineConfig:
             producer_topic=str(merged["producerTopic"]),
             bootstrap_servers=str(kafka["bootstrap.servers"]),
             group_id=str(kafka["group.id"]),
+            heartbeat=bool(merged.get("heartbeat", True)),
             extras={k: v for k, v in merged.items() if k not in known},
         )
 
@@ -92,6 +100,13 @@ def build_continuous_pipeline(
     against files/memory — ``source: () -> streaming DataFrame`` of
     envelopes, ``sink: (plan, spec) -> StreamingQuery``. (This is also
     how the broker-less tests cover the full runtime.)
+
+    ``config.heartbeat`` (default ON — the reference's wall-clock
+    ticker) unions the rate-source heartbeat so quiet topics still
+    publish at lag past close. Set it false for BOUNDED replays
+    (availableNow sinks): with a rate source in the union, availableNow
+    terminates after the data batch without the watermark-flushing
+    no-data batch and emits nothing.
     """
     from monasca_aggregator_spark.observability import (
         IN_METRIC,
@@ -117,6 +132,14 @@ def build_continuous_pipeline(
     # (server.go:42-48) — observe() metrics per micro-batch in each
     # query's StreamingQueryProgress.observedMetrics
     env, _ = count_edge(env, IN_METRIC, streaming=True)
+    if config.heartbeat:
+        from monasca_aggregator_spark.streaming.pipeline import (
+            with_wallclock_heartbeat,
+        )
+
+        # counted ABOVE the heartbeat union so in_messages stays a
+        # true consumed-envelope count (ticks are not messages)
+        env = with_wallclock_heartbeat(env, spark)
     queries = []
     for spec in specs:
         plan = build_streaming_aggregation(

@@ -94,7 +94,14 @@ def test_continuous_pipeline_composition_brokerless(spark, sf_small, tmp_path):
     from monasca_aggregator_spark.sources.envelope import events_to_envelopes
     from pyspark.sql import functions as F
 
-    cfg = EngineConfig.from_dict({"windowSize": 3600, "windowLag": 2})
+    # heartbeat off: this is a BOUNDED availableNow replay — the
+    # wall-clock heartbeat is for unbounded production topics (with a
+    # rate source in the union, availableNow terminates after the data
+    # batch without the watermark-flushing no-data batch)
+    cfg = EngineConfig.from_dict(
+        {"windowSize": 3600, "windowLag": 2, "heartbeat": False}
+    )
+    assert EngineConfig.from_dict({}).heartbeat  # production default ON
     specs = [
         AggregationSpec(
             name=f"r{i}",
