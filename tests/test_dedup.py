@@ -278,3 +278,51 @@ def test_incremental_minhash_equals_full_selfjoin_restriction(spark, sf_small):
     }
     assert inc == expected
     assert expected, "fixture must contain cross-drop near-dups"
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Star contraction vs a plain union-find reference over 20 random
+    graphs (seeded; id-offset so they share one Spark job): component
+    labeling must match exactly, min-id as the cluster label."""
+    import random
+
+    rng = random.Random(42)
+    edges = []
+    expected = {}
+    for g in range(20):
+        base = g * 10_000
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 120)
+        g_edges = [
+            (base + rng.randrange(n), base + rng.randrange(n))
+            for _ in range(m)
+        ]
+        edges.extend(g_edges)
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in g_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in g_edges for x in e}
+        for x in nodes:
+            expected[x] = find(x)
+        # path-compress to true minimum root
+        for x in nodes:
+            expected[x] = find(x)
+
+    from monasca_aggregator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == expected
