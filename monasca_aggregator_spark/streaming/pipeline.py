@@ -437,6 +437,78 @@ def streaming_ewma(
     )
 
 
+def streaming_tdigest_quantile(
+    env: DataFrame,
+    *,
+    q: float = 0.95,
+    delta: float = 100.0,
+    key_cols: tuple[str, ...] = ("tenant_id", "name"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key RUNNING quantile over an unbounded stream via t-digest
+    state — the sketch family's streaming face (batch twin:
+    operators/tdigest.py). State per key is one centroid list (≤ ~δ
+    (mean, weight) pairs — bounded regardless of stream length, the
+    property that makes a quantile trackable forever where an exact
+    multiset cannot be). Each micro-batch folds its values in, holds
+    the compressed digest in ``applyInPandasWithState`` array-typed
+    state, and emits the key's current quantile estimate + total
+    sample count in update mode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from monasca_aggregator_spark.operators.tdigest import (
+        compress,
+        quantile as td_quantile,
+    )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = f"{key_schema}, n bigint, quantile double"
+    state_schema = "means array<double>, weights array<double>, n bigint"
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            means, weights, n = state.get
+            m = np.asarray(means, dtype=float)
+            w = np.asarray(weights, dtype=float)
+        else:
+            m = np.empty(0)
+            w = np.empty(0)
+            n = 0
+        for pdf in pdfs:
+            vals = pdf["__value"].dropna().to_numpy(dtype=float)
+            if vals.size:
+                m = np.concatenate([m, vals])
+                w = np.concatenate([w, np.ones(vals.size)])
+                n += int(vals.size)
+        m, w = compress(m, w, delta)
+        # plain-Python floats: numpy scalars don't survive the state
+        # serializer's pickler
+        state.update(([float(x) for x in m], [float(x) for x in w], int(n)))
+        yield pd.DataFrame(
+            [(*key, int(n), float(td_quantile(m, w, q)))],
+            columns=[*key_cols, "n", "quantile"],
+        )
+
+    prepared = env.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.col(value_col).cast("double").alias("__value"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_document_stream(
     docs_stream: DataFrame,
     *,

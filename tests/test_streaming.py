@@ -965,3 +965,54 @@ def test_curate_document_stream_dedups_and_gates_quality(spark, tmp_path):
     got = {r.doc_id for r in spark.table("curate_stream_out").collect()}
     # 1 good kept; 2 junk gated; 3 re-crawl deduped ACROSS batches; 4 kept
     assert got == {1, 4}
+
+
+def test_streaming_tdigest_tracks_quantile_across_batches(spark, tmp_path):
+    """Per-key t-digest state: two micro-batches of 1000 uniform
+    samples each — after the second batch the running p95 must sit
+    within t-digest rank error of the exact p95 over BOTH batches
+    (state carried, not reset), with bounded centroid state."""
+    import time as _time
+
+    import numpy as np
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(3)
+    all_vals = []
+    src = tmp_path / "td_src"
+    src.mkdir()
+    for b in range(2):
+        vals = rng.uniform(0, 1000, 1000)
+        all_vals.extend(vals.tolist())
+        rows = [("t0", "lat", float(v)) for v in vals]
+        spark.createDataFrame(
+            rows, "tenant_id string, name string, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_tdigest_quantile(raw, q=0.95)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("td_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "td_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.table("td_stream_out").collect(), key=lambda r: r.n
+    )
+    # one emission per micro-batch; the last covers all 2000 samples
+    assert rows[-1].n == 2000
+    exact = float(np.quantile(np.asarray(all_vals), 0.95))
+    # rank error << 1/delta=1%: allow 1.5% of the value range
+    assert abs(rows[-1].quantile - exact) < 15.0
