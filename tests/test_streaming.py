@@ -1016,3 +1016,74 @@ def test_streaming_tdigest_tracks_quantile_across_batches(spark, tmp_path):
     exact = float(np.quantile(np.asarray(all_vals), 0.95))
     # rank error << 1/delta=1%: allow 1.5% of the value range
     assert abs(rows[-1].quantile - exact) < 15.0
+
+
+def test_stateful_tdigest_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: run the streaming t-digest,
+    STOP the query, append more data, start a NEW query on the same
+    checkpoint — the digest must resume from the state store (final
+    count covers both batches; quantile reflects the union), the
+    custom-state analog of the offset-resume test."""
+    import numpy as np
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(9)
+    src = tmp_path / "tdr_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "tdr_ckpt")
+
+    out_dir = tmp_path / "tdr_out"
+
+    def run_once(qname):
+        # memory sink can't recover from a checkpoint; foreachBatch +
+        # batch-keyed parquet is the restartable form
+        raw = (
+            spark.readStream.schema("tenant_id string, name string, value double")
+            .parquet(str(src))
+        )
+        out = streaming_tdigest_quantile(raw, q=0.5)
+
+        def sink(df, batch_id):
+            df.write.mode("overwrite").parquet(
+                str(out_dir / f"b{batch_id}")
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        import glob
+
+        rows = []
+        for d in glob.glob(str(out_dir / "b*")):
+            rows.extend(spark.read.parquet(d).collect())
+        return rows
+
+    # batch 1: values around 100
+    v1 = rng.normal(100, 5, 800)
+    spark.createDataFrame(
+        [("t0", "m", float(v)) for v in v1],
+        "tenant_id string, name string, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    first = run_once("tdr_a")
+    assert max(r.n for r in first) == 800
+
+    # batch 2 AFTER the stop: values around 300 — a resumed digest
+    # lands between the modes; a reset one would sit near 300
+    v2 = rng.normal(300, 5, 800)
+    spark.createDataFrame(
+        [("t0", "m", float(v)) for v in v2],
+        "tenant_id string, name string, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    second = run_once("tdr_b")
+    final = max(second, key=lambda r: r.n)
+    assert final.n == 1600  # old 800 restored + new 800
+    exact = float(np.quantile(np.concatenate([v1, v2]), 0.5))
+    assert abs(final.quantile - exact) < 25.0
