@@ -301,3 +301,57 @@ def test_space_saving_bounds_hold_for_any_stream(tokens, cap):
     for t, c in truth.items():
         if c > len(tokens) / cap:
             assert t in summary
+
+
+def test_merge_pass_eliminates_target_pair_property():
+    """Property: after one greedy-leftmost merge pass for rule (a, b),
+    no adjacent (a, b) pair survives (merged symbol differs from a) —
+    over random symbol sequences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monasca_aggregator_spark.operators.bpe import _merge_pass
+
+    syms = st.lists(st.sampled_from(["a", "b", "c", "ab"]), max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(syms)
+    def check(s):
+        out = _merge_pass(list(s), "a", "b", "ab")
+        assert all(
+            not (x == "a" and y == "b") for x, y in zip(out, out[1:])
+        )
+        # token mass is conserved: concatenation round-trips
+        assert "".join(out) == "".join(s)
+
+    check()
+
+
+def test_png_round_trip_property():
+    """Property: encode→decode is the identity for random 8-bit images
+    across shapes, channel counts, and filter types."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monasca_aggregator_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        c=st.sampled_from([1, 3, 4]),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, ft, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=ft))
+        assert out.shape == (h, w, c)
+        assert (out == img).all()
+
+    check()
