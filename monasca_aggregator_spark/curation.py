@@ -23,20 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from monasca_aggregator_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
-    normalize_text,
 )
 from monasca_aggregator_spark.operators.sampling import (
+    pack_concat_chunk,
     split_assign,
     stratified_sample,
+    top_p_by_mass,
 )
 from monasca_aggregator_spark.operators.textops import quality_scores
-from monasca_aggregator_spark.operators.sampling import pack_concat_chunk
 
 
 def curate_corpus(
@@ -80,47 +79,51 @@ def curate_corpus(
         "doc_id"
     )
     docs = docs.join(drop, "doc_id", "left_anti")
+    # checkpoint the expensive upstream (LSH + iterative components):
+    # each record() action and every later stage would otherwise
+    # recompute the whole dedup lineage from scratch
+    docs = docs.localCheckpoint(eager=False)
     record("near_dedup", docs)
 
-    # 3. per-source top-p quality by char mass (nucleus selection)
-    scored = quality_scores(docs).join(
-        docs, "doc_id"
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    before = F.coalesce(
-        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    total = F.sum("n_chars").over(
-        Window.partitionBy("source").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    docs = (
-        scored.withColumn("__keep", before < F.lit(top_p) * total)
-        .filter(F.col("__keep"))
-        .select(*[c for c in docs.columns])
-    )
+    # 3. per-source top-p quality by char mass (nucleus selection) —
+    # the same operator sample_top_p_source uses (one implementation)
+    scored = quality_scores(docs).join(docs, "doc_id")
+    docs = top_p_by_mass(
+        scored,
+        "source",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_chars",
+        top_p,
+    ).select(*[c for c in docs.columns])
+    docs = docs.localCheckpoint(eager=False)
     record("quality_top_p", docs)
 
-    # 4. stratified language rebalance (row-local deterministic bucket)
+    # 4. stratified language rebalance. The bucket uses an xxhash64
+    # SEED distinct from the split bucket's: two arithmetic functions
+    # of the same doc_id are bijections of each other, so filtering on
+    # one skews the other's distribution over survivors (a strata cut
+    # keeping 10 residues of (37x+11)%100 leaves a 70/20/10 split).
+    # Independent hash seeds decouple them; the oracle-checked plan
+    # queries keep arithmetic buckets for cross-engine reproducibility.
     if strata:
         docs = stratified_sample(
             docs,
             "lang",
             strata,
-            F.pmod(F.col("doc_id") * F.lit(37) + F.lit(11), F.lit(100)),
+            F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(100)),
             default_fraction=default_keep,
         )
     record("lang_rebalance", docs)
 
-    # 5. deterministic split + 6. packing (chunk ids per source)
+    # 5. deterministic split + 6. packing. Packing groups by
+    # (split, source): a chunk must never straddle train/val/test —
+    # the partitioned write below would tear it across directories
     docs = split_assign(
-        docs, F.pmod(F.col("doc_id"), F.lit(100)), list(splits)
+        docs, F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(100)), list(splits)
     )
-    docs = pack_concat_chunk(docs, "source", "doc_id", "n_chars", pack_budget)
+    docs = pack_concat_chunk(
+        docs, ["split", "source"], "doc_id", "n_chars", pack_budget
+    )
     record("packed", docs)
 
     if out_dir is not None:

@@ -522,8 +522,12 @@ def connected_components(
         prev_sig = sig
     # star state: every non-root appears exactly once as u pointing at
     # its component root; roots (and isolated/self-pair nodes) fall
-    # back to themselves via the left join
-    child = edges.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    # back to themselves via the left join. The groupBy-min guards the
+    # max_iterations escape hatch: an unconverged node with two parent
+    # edges must not fan the left join out into conflicting rows
+    child = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("root")
+    )
     return nodes.join(child, "node", "left").select(
         F.col("node").alias("doc_id"),
         F.coalesce("root", "node").alias("cluster_id"),

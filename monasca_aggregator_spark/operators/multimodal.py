@@ -163,7 +163,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt/truncated IDAT → per-row null,
+        raise ValueError(f"bad IDAT stream: {exc}") from exc  # not task death
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")

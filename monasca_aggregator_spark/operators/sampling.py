@@ -177,6 +177,36 @@ def temperature_mix(
     )
 
 
+def top_p_by_mass(
+    df: DataFrame,
+    group_col: str,
+    order_by: Sequence[Column],
+    mass_col: str,
+    p: float,
+) -> DataFrame:
+    """Nucleus (top-p) selection by MASS within each group: walk rows
+    in ``order_by`` order and keep them while the mass accumulated
+    BEFORE each row is under ``p`` of the group total (the first
+    crossing row is included, nucleus-style). ``order_by`` must be a
+    total order for deterministic membership. One window per group;
+    masses should be integers so the only float is the p·total
+    threshold. Shared by the batch curation pipeline and the
+    sample_top_p_source query — one implementation, one semantics."""
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    before = F.coalesce(
+        F.sum(mass_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum(mass_col).over(
+        Window.partitionBy(group_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return df.withColumn("__keep", before < F.lit(p) * total).filter(
+        F.col("__keep")
+    ).drop("__keep")
+
+
 def waterfill_allocation(
     counts: DataFrame,
     *,
@@ -263,7 +293,7 @@ def waterfill_allocation(
 
 def pack_concat_chunk(
     df: DataFrame,
-    group_col: str,
+    group_col: str | Sequence[str],
     order_col: str,
     size_col: str,
     budget: int,

@@ -30,17 +30,27 @@ def snapshot_diff(
     """(id, status) for every id in either snapshot: added (new only),
     removed (old only), changed (both, fingerprint differs),
     unchanged."""
+    # explicit presence markers: inferring presence from fingerprint
+    # nullness would misclassify present rows whose fingerprint is
+    # NULL (e.g. md5 of a NULL text)
     o = old.select(
-        F.col(id_col).alias(id_col), F.col(fingerprint_col).alias("__fp_old")
+        F.col(id_col).alias(id_col),
+        F.col(fingerprint_col).alias("__fp_old"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias(id_col), F.col(fingerprint_col).alias("__fp_new")
+        F.col(id_col).alias(id_col),
+        F.col(fingerprint_col).alias("__fp_new"),
+        F.lit(True).alias("__in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__fp_old").eqNullSafe(F.col("__fp_new")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(F.col(id_col), status.alias("status"))

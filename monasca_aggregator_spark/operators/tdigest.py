@@ -159,16 +159,28 @@ def tdigest_quantiles(
         # one Python call per PARTITION (repartition(keys) below
         # co-locates each group), streaming per-key centroid state
         # across Arrow batches — ~720 per-group applyInPandas calls
-        # collapsed into 32 partition calls, which halved the stage
-        state: dict[tuple, tuple[list, list]] = {}
+        # collapsed into 32 partition calls, which halved the stage.
+        # Per-key state is re-compressed whenever its accumulated
+        # partials exceed ~8δ points, so partition memory stays
+        # O(#keys·δ) — not the sum of all uncompressed partials.
+        merge_cap = int(8 * delta)
+        state: dict[tuple, tuple[list, list, int]] = {}
         for pdf in batches:
             for key, grp in pdf.groupby(keys, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
-                ms, ws = state.setdefault(key, ([], []))
-                ms.extend(np.asarray(x) for x in grp["means"])
-                ws.extend(np.asarray(x) for x in grp["weights"])
+                ms, ws, n_pts = state.get(key, ([], [], 0))
+                for x, y in zip(grp["means"], grp["weights"]):
+                    ms.append(np.asarray(x))
+                    ws.append(np.asarray(y))
+                    n_pts += ms[-1].size
+                if n_pts > merge_cap:
+                    m, w = compress(
+                        np.concatenate(ms), np.concatenate(ws), delta
+                    )
+                    ms, ws, n_pts = [m], [w], m.size
+                state[key] = (ms, ws, n_pts)
         rows = []
-        for key, (ms, ws) in state.items():
+        for key, (ms, ws, _) in state.items():
             m, w = compress(np.concatenate(ms), np.concatenate(ws), delta)
             rows.append((*key, *[quantile(m, w, q) for _, q in q_items]))
         if rows:

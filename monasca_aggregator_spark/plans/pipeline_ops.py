@@ -516,26 +516,18 @@ def q_sample_top_p_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per source ordered by (quality desc, doc_id); summary
     output. Char masses are integers; the only float is the p·total
     threshold, identical in both engines."""
+    from monasca_aggregator_spark.operators.sampling import top_p_by_mass
+
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     scored = quality_scores(docs).join(
         docs.select("doc_id", "source", "n_chars"), "doc_id"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    before = F.coalesce(
-        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    total = F.sum("n_chars").over(
-        Window.partitionBy("source").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    kept = scored.withColumn("__keep", before < F.lit(_TOP_P) * total).filter(
-        F.col("__keep")
+    kept = top_p_by_mass(
+        scored,
+        "source",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_chars",
+        _TOP_P,
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

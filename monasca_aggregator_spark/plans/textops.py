@@ -816,22 +816,20 @@ def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    tris = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(
-                            F.length(F.lower("text")) - F.lit(2), F.lit(0)
-                        ),
-                    ),
-                    lambda i: F.substring(F.lower("text"), i, F.lit(3)),
-                )
+    # guard short texts: F.sequence(1, 0) would run DESCENDING ([1, 0])
+    # and fabricate phantom trigrams the oracle's range(1, 1)=∅ never
+    # produces — emit an empty array below 3 chars instead
+    tri_arr = F.when(
+        F.length(F.lower("text")) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.lower("text")) - F.lit(2)),
+                lambda i: F.substring(F.lower("text"), i, F.lit(3)),
             )
-        ).alias("tri"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tris = docs.select(
+        "doc_id", "lang", F.explode(tri_arr).alias("tri")
     )
     train = tris.filter(F.pmod("doc_id", F.lit(5)) != 0)
     w = Window.partitionBy("lang").orderBy(

@@ -111,8 +111,16 @@ def all_oracles() -> dict[str, str]:
 
 def _window_order(merged: dict) -> dict:
     """Pinned driver-window keys first (in window order), then every
-    other key in module order."""
-    out = {k: merged[k] for k in _DRIVER_WINDOW if k in merged}
+    other key in module order. A window key missing from the registry
+    is the same silent-coverage-loss class as a swallowed module
+    ImportError — fail loudly."""
+    missing = [k for k in _DRIVER_WINDOW if k not in merged]
+    if missing:
+        raise KeyError(
+            f"_DRIVER_WINDOW keys not in registry: {missing} "
+            "(renamed or removed query? fix the window list)"
+        )
+    out = {k: merged[k] for k in _DRIVER_WINDOW}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 
