@@ -306,3 +306,27 @@ def test_waterfill_spends_budget_and_caps_exactly(spark):
     # budget covers everything → all capped
     full = waterfill_allocation(counts, budget=10_000).collect()
     assert all(r.capped and r.alloc_docs == r.n_docs for r in full)
+
+
+def test_snapshot_diff_null_fingerprints_classified_by_presence(spark):
+    """Presence is tracked with explicit markers: a row present in both
+    snapshots with NULL fingerprint(s) is changed/unchanged — never
+    added/removed."""
+    from monasca_aggregator_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "aa"), (3, None), (4, "dd")],
+        "doc_id long, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [(1, "xx"), (2, "aa"), (3, None), (5, "ee")],
+        "doc_id long, fingerprint string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "changed",    # NULL -> value: present both sides, differs
+        2: "unchanged",
+        3: "unchanged",  # NULL == NULL (null-safe compare)
+        4: "removed",
+        5: "added",
+    }

@@ -320,3 +320,26 @@ def test_bigram_pmi_prefers_exclusive_collocations(spark):
     assert (top.w1, top.w2) == ("hong", "kong")
     ab = [r for r in out if (r.w1, r.w2) == ("a", "b")]
     assert not ab or ab[0].pmi < top.pmi
+
+
+def test_langid_ngram_short_texts_produce_no_phantom_trigrams(spark):
+    """Sub-3-char texts must contribute zero trigrams (Spark's
+    sequence(1, 0) runs DESCENDING — the guard prevents phantom
+    substrings) and classification still runs on the rest."""
+    from monasca_aggregator_spark.plans.textops import q_text_langid_ngram
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp())
+    rows = [(i, "the quick brown fox jumps over it all day long", "en", "s", 46)
+            for i in range(1, 20)]
+    rows += [(20, "ab", "en", "s", 2), (25, "", "en", "s", 0)]  # holdout ids %5==0
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = q_text_langid_ngram(spark, str(tmp)).collect()
+    # the short/empty holdout docs produce no trigrams → never predicted;
+    # remaining holdout docs classify as en
+    total = sum(r.n_docs for r in out)
+    assert total == len([r for r in rows if r[0] % 5 == 0 and len(r[1]) >= 3])
+    assert all(r.true_lang == "en" and r.predicted_lang == "en" for r in out)
