@@ -503,6 +503,53 @@ WITH base AS (
 """.strip()
 
 
+# ------------------------------------------- equi-depth histogram
+
+_ED_BUCKETS = 10
+
+
+def q_metric_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH value histogram per metric (decile buckets holding
+    equal counts, with data-driven edges) — the complement of the
+    fixed-edge Prometheus-style buckets in metric_histogram: equal-
+    width buckets waste resolution on sparse tails, equi-depth puts
+    the resolution where the mass is (the summary a query optimizer
+    or an SLO dashboard wants). ntile over (value, event_id) — the id
+    tiebreak makes bucket membership total and cross-engine exact;
+    per-metric window + one tiny groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(_ED_BUCKETS).over(w).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            stable_round(F.min("value"), 4).alias("lo"),
+            stable_round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM_EQUIDEPTH = f"""
+WITH t AS (
+  SELECT event_type, value,
+         ntile({_ED_BUCKETS}) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, count(*) AS n_samples,
+       {sql_stable_round("min(value)", 4)} AS lo,
+       {sql_stable_round("max(value)", 4)} AS hi
+FROM t GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stddev": q_agg_stddev,
     "metric_alert_hysteresis": q_metric_alert_hysteresis,
@@ -511,6 +558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_correlation": q_metric_correlation,
     "metric_counter_rate": q_metric_counter_rate,
     "metric_retention_tiers": q_metric_retention_tiers,
+    "metric_histogram_equidepth": q_metric_histogram_equidepth,
 }
 
 ORACLES: dict[str, str] = {
@@ -521,4 +569,5 @@ ORACLES: dict[str, str] = {
     "metric_correlation": ORACLE_CORRELATION,
     "metric_counter_rate": ORACLE_COUNTER_RATE,
     "metric_retention_tiers": ORACLE_RETENTION_TIERS,
+    "metric_histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
 }
