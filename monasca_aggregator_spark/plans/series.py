@@ -550,6 +550,41 @@ FROM t GROUP BY 1, 2
 """.strip()
 
 
+# ------------------------------------------------- staleness report
+
+
+def q_metric_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric ingestion freshness: last sample time, sample count,
+    and staleness versus the stream's frontier (the newest event
+    anywhere) — the operational complement of the reference's
+    stale-window GC (server.go:213-296): before trusting a dashboard,
+    you ask which series have silently stopped reporting. One groupBy
+    + a broadcast 1-row frontier; integer-ms arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+    )
+    frontier = ev.agg(
+        F.unix_millis(F.max("ts")).alias("__frontier_ms")
+    )
+    return per.crossJoin(F.broadcast(frontier)).select(
+        "event_type",
+        "n_samples",
+        "last_ts_ms",
+        (F.col("__frontier_ms") - F.col("last_ts_ms")).alias("staleness_ms"),
+    )
+
+
+ORACLE_STALENESS = """
+SELECT event_type, count(*) AS n_samples,
+       epoch_ms(max(ts)) AS last_ts_ms,
+       (SELECT epoch_ms(max(ts)) FROM events) - epoch_ms(max(ts))
+         AS staleness_ms
+FROM events GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stddev": q_agg_stddev,
     "metric_alert_hysteresis": q_metric_alert_hysteresis,
@@ -559,6 +594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_counter_rate": q_metric_counter_rate,
     "metric_retention_tiers": q_metric_retention_tiers,
     "metric_histogram_equidepth": q_metric_histogram_equidepth,
+    "metric_staleness": q_metric_staleness,
 }
 
 ORACLES: dict[str, str] = {
@@ -570,4 +606,5 @@ ORACLES: dict[str, str] = {
     "metric_counter_rate": ORACLE_COUNTER_RATE,
     "metric_retention_tiers": ORACLE_RETENTION_TIERS,
     "metric_histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
+    "metric_staleness": ORACLE_STALENESS,
 }
