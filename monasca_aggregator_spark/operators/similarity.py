@@ -336,6 +336,122 @@ def ivf_ann(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (argmax cosine) cell assignment.
+
+    Output: (<id_col>, cell, <vec_col> as double array). One
+    broadcast-probe codegen pass over the corpus — the same inverted-
+    file step ivf_ann uses, exposed so other operators (semantic
+    dedup, cluster QA) can share it. Ties break on the lower cent_id,
+    so assignment is deterministic."""
+    c = corpus.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__vec")
+    )
+    scored = c.crossJoin(
+        F.broadcast(centroids.select("cent_id", "cent_vec"))
+    ).select(
+        "__id",
+        "__vec",
+        "cent_id",
+        cosine(F.col("__vec"), F.col("cent_vec")).alias("__csim"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cent_id").alias("cell"),
+            F.col("__vec").alias(vec_col),
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.92,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pruning (Abbas et al. 2023):
+    cluster embeddings with spherical k-means, then compare pairs only
+    WITHIN each cluster — cross-cluster pairs are below threshold by
+    construction of the clustering, so the O(n²) pair work drops to
+    Σ|cell|², at the cost of missing pairs the clustering splits.
+
+    Output: (cell, id_a, id_b, sim) with id_a < id_b, sim ≥ threshold,
+    half-up-rounded to 6 dp (the embedding_cosine_pairs convention).
+
+    Scale shape: training sees a sample (train_ivf_centroids), the
+    assignment is one broadcast-probe pass, and each cell's similarity
+    matrix is ONE numpy matmul inside applyInPandas. At 100 TB raise
+    n_centroids ∝ corpus so a cell fits a task (cells are the unit of
+    memory); a degenerate giant cell should be sub-tiled with
+    embedding_cosine_pairs' block scheme rather than densified here."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            n_centroids=n_centroids,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    assigned = assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("cell"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+
+    out_schema = "cell int, id_a bigint, id_b bigint, sim double"
+
+    def _cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "sim": []}
+            ).astype(
+                {
+                    "cell": "int32",
+                    "id_a": "int64",
+                    "id_b": "int64",
+                    "sim": "float64",
+                }
+            )
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        m = np.vstack(pdf["__vec"].to_numpy())
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = np.floor((m @ m.T) * 1e6 + 0.5) / 1e6
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ia), cell, dtype="int32"),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "sim": sims[ia, ib],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     rng = random.Random(42)
     return [

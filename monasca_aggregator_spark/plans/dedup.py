@@ -303,7 +303,26 @@ WHERE floor((shared / least(na.n, nb.n)) * 10000.0::DOUBLE
 """.strip()
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: SemDeDup-shaped semantic near-dedup
+    (operators/similarity.semantic_dedup_pairs) — spherical-k-means
+    cells, then pairwise cosine only WITHIN each cell (Σ|cell|² work,
+    not n²). Approximate by design: pairs the clustering splits across
+    cells are unreachable, so no SQL oracle; test_similarity.py pins
+    semantic pairs ≡ brute-force pairs restricted to same-cell, and
+    ⊆ the full brute-force pair set, at the same threshold."""
+    from monasca_aggregator_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings", fan_out=True),
+        threshold=EMB_THRESHOLD,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,

@@ -11,7 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from monasca_aggregator_spark.operators.rank import global_rank
 from monasca_aggregator_spark.operators.sampling import (
     pack_concat_chunk,
     profile_columns,
@@ -557,6 +559,143 @@ GROUP BY 1
 """.strip()
 
 
+def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality-descending, round-robin
+    interleaved across sources (position 1..S are every source's best
+    doc, then every source's 2nd best, …) so no training stretch is
+    dominated by one source — the ordering step between mixing and
+    packing in a training-data pipeline.
+
+    Scale shape: the per-source rank is an ordinary partitioned window
+    (parallel across sources); the GLOBAL position comes from
+    operators/rank.global_rank — range-bucketed local rank + broadcast
+    prefix offsets — not `row_number() OVER (ORDER BY …)`, which would
+    funnel the corpus through one task. Bucket key = the per-source
+    rank itself (monotone leading sort key, ≤ max-docs-per-source
+    buckets, uniformly sized by construction)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    rked = scored.select("doc_id", "source", "quality").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    out = global_rank(
+        rked,
+        F.col("rk"),
+        [F.col("rk").asc(), F.col("quality").desc(), F.col("doc_id").asc()],
+        rank_col="position",
+    )
+    return out.select("position", "doc_id", "source", "rk", "quality")
+
+
+ORACLE_CURRICULUM = f"""
+WITH q AS ({ORACLE_QUALITY}), j AS (
+  SELECT q.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY rk ASC, quality DESC, doc_id ASC)
+         AS position,
+       doc_id, source, rk, quality
+FROM j
+""".strip()
+
+
+_EPOCH_CAP_E6 = 4_000_000  # repeat a low-resource group ≤ 4 epochs
+
+
+def q_sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repeat upsampling of low-resource languages:
+    group g trains for sqrt(max_n / n_g) epochs (capped at 4) — the
+    standard smoothed rebalance that repeats scarce data instead of
+    discarding abundant data. Fractional final epochs take a
+    deterministic row-local subset (same mod-bucket as the
+    stratified/temperature samplers), so reruns pick identical rows.
+
+    Scale shape: per-group epoch rates come from a tiny groupBy
+    aggregate (|langs| rows, broadcast back); each corpus row then
+    explodes into its integer copy count JVM-side — scan + broadcast
+    join + explode, no corpus-keyed shuffle except the final summary.
+    Cross-engine determinism: epochs_e6 is floor(sqrt-of-exact-double
+    ratio × 1e6) — sqrt and division are IEEE correctly-rounded, so
+    both engines compute the identical bit pattern; everything after
+    is integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    max_n = counts.agg(F.max("n").alias("mx"))
+    rates = (
+        counts.crossJoin(F.broadcast(max_n))
+        .select(
+            "lang",
+            F.least(
+                F.lit(_EPOCH_CAP_E6).cast("long"),
+                F.floor(
+                    F.sqrt(
+                        F.col("mx").cast("double") / F.col("n").cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ),
+            ).alias("epochs_e6"),
+        )
+        .withColumn("n_full", F.expr("epochs_e6 div 1000000"))
+        .withColumn("frac_e6", F.col("epochs_e6") % F.lit(1000000))
+    )
+    bucket = F.pmod(
+        F.col("doc_id") * F.lit(9973) + F.lit(12345), F.lit(_MIX_MOD)
+    )
+    exploded = (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn(
+            "n_copies",
+            F.col("n_full")
+            + F.when(bucket < F.col("frac_e6"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+    )
+    return exploded.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_virtual"),
+        F.max("epochs_e6").alias("epochs_e6"),
+        F.sum("n_chars").alias("virtual_chars"),
+    )
+
+
+ORACLE_EPOCH_REPEAT = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), m AS (
+  SELECT max(n) AS mx FROM c
+), r AS (
+  SELECT lang,
+         least({_EPOCH_CAP_E6},
+               CAST(floor(sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000.0::DOUBLE) AS BIGINT)) AS epochs_e6
+  FROM c, m
+), x AS (
+  SELECT d.doc_id, d.lang, d.n_chars, r.epochs_e6,
+         (r.epochs_e6 // 1000000)
+         + CASE WHEN {_MIX_BUCKET_SQL} < r.epochs_e6 % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN r USING (lang)
+), e AS (
+  SELECT doc_id, lang, n_chars, epochs_e6,
+         unnest(range(0, n_copies)) AS epoch
+  FROM x
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_virtual,
+       max(epochs_e6) AS epochs_e6,
+       CAST(sum(n_chars) AS BIGINT) AS virtual_chars
+FROM e GROUP BY 1
+""".strip()
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the composed end-to-end curation pipeline
     (curation.curate_corpus — exact dedup → MinHash near-dedup →
@@ -587,6 +726,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_budget_mix": q_sample_budget_mix,
     "sample_top_p_source": q_sample_top_p_source,
     "corpus_diff": q_corpus_diff,
+    "order_curriculum": q_order_curriculum,
+    "sample_epoch_repeat": q_sample_epoch_repeat,
     "pipeline_curate": q_pipeline_curate,  # rows-only (composed pipeline)
 }
 
@@ -604,4 +745,6 @@ ORACLES: dict[str, str] = {
     "sample_budget_mix": ORACLE_BUDGET_MIX,
     "sample_top_p_source": ORACLE_TOP_P,
     "corpus_diff": ORACLE_CORPUS_DIFF,
+    "order_curriculum": ORACLE_CURRICULUM,
+    "sample_epoch_repeat": ORACLE_EPOCH_REPEAT,
 }

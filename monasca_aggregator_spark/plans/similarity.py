@@ -59,6 +59,55 @@ WHERE rank <= {K}
 """.strip()
 
 
+FILTER_LANG = "en"
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: exact top-k cosine restricted
+    to corpus vectors whose document is English — the pre-filtered
+    search every production vector store offers (filter + ANN in one
+    query). The predicate lives on the documents dim table and reaches
+    the corpus as a LEFT SEMI join on vec_id (broadcast — the filter
+    survivors' ids are small relative to the corpus), so the expensive
+    similarity math runs only on qualifying vectors; at 100 TB the
+    same shape holds with the semi-join feeding IVF/PQ cells instead
+    of the brute-force scan."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(keep), "vec_id", "left_semi")
+    _, queries = _corpus_queries(spark, sf_dir)
+    return cosine_topk(corpus, queries, k=K)
+
+
+ORACLE_ANN_FILTERED = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = '{FILTER_LANG}'
+), scored AS (
+  SELECT query_id, neighbor_id,
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM c CROSS JOIN q
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, rank, neighbor_id, sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {K}
+""".strip()
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_queries(spark, sf_dir)
     return lsh_ann(corpus, queries, k=K)
@@ -218,6 +267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_filtered": q_ann_filtered,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)
@@ -227,5 +277,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "embedding_centroids": ORACLE_CENTROIDS,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_filtered": ORACLE_ANN_FILTERED,
     "embedding_quantize": ORACLE_QUANTIZE,
 }

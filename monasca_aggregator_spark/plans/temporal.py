@@ -715,7 +715,67 @@ FROM active LEFT JOIN nu ON active.day_ts_ms = nu.day_ts_ms
 """.strip()
 
 
+SEQ_PATTERN_K = 20
+
+
+def q_events_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K behavioral 3-event sequence patterns: per user, events in
+    (ts, event_id) order yield sliding event_type trigrams via lead();
+    global counts pick the K most common — the sequence-mining pass
+    behind funnel discovery and next-event models.
+
+    Scale shape: the lead() windows partition by user_id (parallel,
+    bounded per-user state); the pattern groupBy partial-aggregates
+    map-side into at most |event_type|³ groups, so the ranking window
+    runs over a corpus-size-INDEPENDENT aggregate (≤125 rows here) —
+    the one place an unpartitioned window is safe."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("pattern")
+        )
+    )
+    counts = tri.groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.orderBy(F.col("n").desc(), F.col("pattern").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= SEQ_PATTERN_K)
+        .select("rank", "pattern", "n")
+    )
+
+
+ORACLE_SEQ_PATTERNS = f"""
+WITH o AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+), p AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS pattern
+  FROM o WHERE e3 IS NOT NULL
+), c AS (
+  SELECT pattern, count(*) AS n FROM p GROUP BY 1
+)
+SELECT rank, pattern, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, pattern ASC) AS rank
+  FROM c
+) t WHERE rank <= {SEQ_PATTERN_K}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_seq_patterns": q_events_seq_patterns,
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
     "asof_purchase_click": q_asof_purchase_click,
@@ -732,6 +792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "user_event_seq": ORACLE_USER_SEQ,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "range_join_ship": ORACLE_RANGE_JOIN,

@@ -5,6 +5,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.text import (
     BPE_REGEX,
@@ -898,7 +899,79 @@ FROM predicted GROUP BY 1, 2
 """.strip()
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY: the fraction of a doc's distinct token
+    trigrams whose first corpus occurrence (min doc_id, standing in
+    for ingestion order) is this doc. Low novelty = the doc is mostly
+    re-treading earlier corpus text — the streaming-order complement of
+    the symmetric dup measures (`dedup_spans` scores overlap with ANY
+    doc; novelty scores only against PRIOR docs, which is what an
+    incremental crawl wants to know before keeping a page).
+
+    Scale shape: shingles shuffle as 8-byte xxhash64 keys, never
+    strings (the exchange-thinning pattern from the span/jaccard ops);
+    first-seen is one groupBy(min), and the join back to per-doc pairs
+    reuses the same hash partitioning, so AQE plans it shuffle-free on
+    the probe side. Per-doc output, corpus-bounded state nowhere."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tri = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        docs.withColumn("toks", toks)
+        .select("doc_id", F.explode(tri).alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    first = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        pairs.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_frac",
+            stable_round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ),
+        )
+    )
+
+
+ORACLE_NOVELTY = rf"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+), f AS (
+  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       {sql_stable_round(
+           "CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / count(*)", 4)} AS novelty_frac
+FROM sh JOIN f USING (s) GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_novelty": q_text_novelty,
     "text_langid_ngram": q_text_langid_ngram,
     "text_scrub": q_text_scrub,
     "quality_lang_norm": q_quality_lang_norm,
@@ -923,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_novelty": ORACLE_NOVELTY,
     "text_langid_ngram": ORACLE_LANGID_NGRAM,
     "text_scrub": ORACLE_SCRUB,
     "quality_lang_norm": ORACLE_QUALITY_LANG_NORM,

@@ -30,9 +30,11 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # driver check after r2 — agg_streaming_rate, the r2 additions
 # (dedup_containment, pack_length_buckets, sample_weighted_k,
 # sample_budget_mix, sample_top_p_source, corpus_diff, text_entropy,
-# quality_lang_norm, metric_counter_rate, metric_retention_tiers),
-# the 13 rows-only keys, and as many r1-green keys as remain for
-# re-confirmation.
+# quality_lang_norm, metric_counter_rate, metric_retention_tiers,
+# metric_histogram_equidepth, metric_staleness, text_langid_ngram,
+# text_scrub, text_novelty, ann_filtered, order_curriculum,
+# sample_epoch_repeat, events_seq_patterns), the rows-only keys, and
+# as many r1-green keys as remain for re-confirmation.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",

@@ -330,3 +330,51 @@ def test_snapshot_diff_null_fingerprints_classified_by_presence(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_curriculum_order_interleaves_sources(spark, sf_small):
+    """Positions are a contiguous 1..N permutation, and the first
+    |sources| positions are every source's best doc (rk=1) — the
+    round-robin interleave property."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_order_curriculum,
+    )
+
+    rows = q_order_curriculum(spark, sf_small).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    n_sources = len({r.source for r in rows})
+    head = [r for r in rows if r.position <= n_sources]
+    assert all(r.rk == 1 for r in head)
+    assert len({r.source for r in head}) == n_sources
+    # within a source, position strictly follows the per-source rank
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r.rk)
+        assert all(a.position < b.position for a, b in zip(rs, rs[1:]))
+
+
+def test_epoch_repeat_upsamples_low_resource_langs(spark, sf_small):
+    """The dominant language trains exactly 1 epoch (no repeat); rarer
+    languages repeat by sqrt ratio, capped at 4 epochs; virtual counts
+    are consistent with the epoch rate to within the fractional-epoch
+    bucket granularity."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_epoch_repeat,
+    )
+
+    rows = q_sample_epoch_repeat(spark, sf_small).collect()
+    by_lang = {r.lang: r for r in rows}
+    top = max(rows, key=lambda r: r.n_docs)
+    assert top.epochs_e6 == 1_000_000
+    assert top.n_virtual == top.n_docs
+    for r in rows:
+        assert 1_000_000 <= r.epochs_e6 <= 4_000_000
+        assert r.n_docs <= r.n_virtual <= 4 * r.n_docs
+        # virtual/docs tracks the epoch rate (fractional epochs are a
+        # deterministic subset, so only bucket noise separates them)
+        expect = r.n_docs * r.epochs_e6 / 1_000_000
+        assert abs(r.n_virtual - expect) <= max(10, 0.25 * r.n_docs)
+    assert len(by_lang) == len(rows)

@@ -190,3 +190,48 @@ def test_kmeans_centroids_deterministic_and_improve_recall(spark, sf_small):
         ).collect()
     }
     assert len(trained & exact) >= len(base & exact)
+
+
+def test_assign_cells_deterministic_and_total(spark, sf_small):
+    """Every vector gets exactly one cell; assignment is stable across
+    runs (tie-break on cent_id) and cells match the centroid table."""
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_centroids=8, n_iter=2)
+    a1 = {r.vec_id: r.cell for r in S.assign_cells(emb, cents).collect()}
+    a2 = {r.vec_id: r.cell for r in S.assign_cells(emb, cents).collect()}
+    assert a1 == a2
+    assert len(a1) == emb.count()
+    valid = {r.cent_id for r in cents.collect()}
+    assert set(a1.values()) <= valid
+
+
+def test_semantic_dedup_equals_cell_restricted_bruteforce(spark, sf_small):
+    """SemDeDup pairs ≡ the full brute-force pair set restricted to
+    same-cell pairs (nothing invented, nothing dropped within a cell),
+    and therefore ⊆ the full pair set — the precise statement of the
+    approximation: only pairs split across cells are missed."""
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_centroids=8, n_iter=2)
+    got = {
+        (r.id_a, r.id_b): (r.cell, r.sim)
+        for r in S.semantic_dedup_pairs(
+            emb, threshold=0.35, centroids=cents
+        ).collect()
+    }
+    cells = {r.vec_id: r.cell for r in S.assign_cells(emb, cents).collect()}
+    brute = {
+        (r.id_a, r.id_b): r.sim
+        for r in S.embedding_cosine_pairs(
+            emb, threshold=0.35, num_blocks=4
+        ).collect()
+    }
+    want = {k: v for k, v in brute.items() if cells[k[0]] == cells[k[1]]}
+    assert set(got) == set(want)
+    assert len(got) > 0
+    assert all(abs(got[k][1] - want[k]) < 1e-9 for k in want)
+    assert all(got[k][0] == cells[k[0]] for k in got)
+    assert set(got) <= set(brute)

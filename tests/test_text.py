@@ -343,3 +343,19 @@ def test_langid_ngram_short_texts_produce_no_phantom_trigrams(spark):
     total = sum(r.n_docs for r in out)
     assert total == len([r for r in rows if r[0] % 5 == 0 and len(r[1]) >= 3])
     assert all(r.true_lang == "en" and r.predicted_lang == "en" for r in out)
+
+
+def test_text_novelty_first_doc_fully_novel(spark, sf_small):
+    """The smallest doc_id that has any trigram is by definition the
+    first occurrence of all its shingles → novelty 1.0; fractions lie
+    in (0, 1]; shingle counts bound novel counts."""
+    from monasca_aggregator_spark.plans.textops import q_text_novelty
+
+    rows = q_text_novelty(spark, sf_small).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles
+    assert first.novelty_frac == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty_frac <= 1.0

@@ -96,3 +96,19 @@ def test_cumulative_users_invariants(spark, sf_small):
         cum += r.n_new
         assert r.cumulative_users == cum
         assert r.n_new <= r.n_active <= cum
+
+
+def test_events_seq_patterns_ranked_and_bounded(spark, sf_small):
+    """Top-K sequence patterns: ranks contiguous from 1, counts
+    non-increasing, patterns are 3-part event_type chains."""
+    from monasca_aggregator_spark.plans.temporal import (
+        q_events_seq_patterns,
+    )
+
+    rows = sorted(
+        q_events_seq_patterns(spark, sf_small).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    assert all(len(r.pattern.split(">")) == 3 for r in rows)
