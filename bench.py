@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     "metric_counter_rate",
     "metric_retention_tiers",
     "sample_budget_mix",
+    # late-r2 additions
+    "order_curriculum",
+    "sample_epoch_repeat",
+    "text_novelty",
+    "ann_filtered",
+    "events_seq_patterns",
+    "dedup_semantic",
 ]
 
 

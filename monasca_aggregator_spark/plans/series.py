@@ -585,7 +585,77 @@ FROM events GROUP BY 1
 """.strip()
 
 
+def q_metric_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (metric, hour) — the gauge semantics
+    a plain avg() gets wrong under irregular sampling (a value held
+    for 50 minutes must weigh 50× one held for a minute; Monasca's
+    Ceilometer lineage and billing meters integrate, not average).
+    Piecewise-constant-left integration: each sample's value is held
+    until the next sample of its (event_type, user_id) series; a
+    segment belongs to the window its STARTING sample falls in, and
+    segments from all series of a metric pool into one window
+    integral (Σ v·dt / Σ dt).
+
+    Cross-engine determinism: values quantize to e3 fixed point per
+    sample, so the integral numerator Σ v_e3·dt_ms and denominator
+    Σ dt_ms are exact BIGINT sums (≈10¹⁵ max — no overflow) and the
+    single final division is reproducible. Scale shape: one lead()
+    per series partition + one partial-aggregated groupBy, both keyed
+    by series/metric — the same two-exchange shape as counter_rate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    v_e3 = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    t_ms = F.unix_millis(F.col("ts"))
+    seg = ev.select(
+        "event_type",
+        "ts",
+        v_e3.alias("v_e3"),
+        (F.lead(t_ms).over(w) - t_ms).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return seg.groupBy(
+        "event_type",
+        (
+            (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+            * F.lit(_HOUR_MS)
+        ).alias("window_ts_ms"),
+    ).agg(
+        stable_round(
+            F.sum(F.col("v_e3") * F.col("dt_ms")).cast("double")
+            / F.nullif(
+                F.lit(1000.0) * F.sum("dt_ms").cast("double"), F.lit(0.0)
+            ),
+            4,
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt_ms").alias("covered_ms"),
+    )
+
+
+ORACLE_TWA = f"""
+WITH s AS (
+  SELECT event_type, ts,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_e3,
+         lead(epoch_ms(ts)) OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id)
+           - epoch_ms(ts) AS dt_ms
+  FROM events
+)
+SELECT event_type, {_W_SQL} AS window_ts_ms,
+       {sql_stable_round(
+           "CAST(sum(v_e3 * dt_ms) AS DOUBLE)"
+           " / nullif(1000.0 * CAST(sum(dt_ms) AS DOUBLE), 0.0)", 4)}
+         AS twa,
+       count(*) AS n_segments,
+       CAST(sum(dt_ms) AS BIGINT) AS covered_ms
+FROM s WHERE dt_ms IS NOT NULL
+GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_twa": q_metric_twa,
     "agg_stddev": q_agg_stddev,
     "metric_alert_hysteresis": q_metric_alert_hysteresis,
     "metric_downsample_m4": q_metric_downsample_m4,
@@ -598,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_twa": ORACLE_TWA,
     "agg_stddev": ORACLE_STDDEV,
     "metric_alert_hysteresis": ORACLE_ALERT,
     "metric_downsample_m4": ORACLE_M4,
