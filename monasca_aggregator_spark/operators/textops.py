@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.functions.text import (
     BPE_REGEX,
+    LANG_MARKERS,
     STOPWORDS,
     lang_id,
     rolling_fingerprint,
@@ -28,6 +29,28 @@ def language_id(
     return docs.select(
         F.col(id_col), lang_id(F.col(text_col)).alias("pred_lang")
     )
+
+
+def langid_features(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-language marker-token hit rates (one m_<lang> column per
+    LANG_MARKERS language) — the feature vector for the logistic
+    quality/language classifier (operators/logreg.py). Pure row-local
+    codegen expressions: token filter + size, no shuffle, no UDF."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def is_marker(words):
+        # closure factory: a default-arg lambda would make F.filter see
+        # a 2-arg (element, index) signature
+        return lambda t: t.isin(*words)
+
+    cols = [F.col(id_col)]
+    for lang, words in LANG_MARKERS.items():
+        hit = F.size(F.filter(toks, is_marker(words)))
+        cols.append((hit / n).alias(f"m_{lang}"))
+    return docs.select(*cols)
 
 
 def token_counts(

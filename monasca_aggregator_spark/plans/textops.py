@@ -970,7 +970,56 @@ FROM sh JOIN f USING (s) GROUP BY 1
 """.strip()
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: distributed logistic-regression classifier
+    DISTILLATION (operators/logreg.py) — the composite quality score
+    is thresholded at its corpus median into a binary label, and a
+    logistic model is trained on the raw row-local signals to mimic
+    it (the FineWeb-Edu-style pattern: distill an expensive labeling
+    pipeline into a cheap linear scorer you can run at ingest). Each
+    training iteration is one aggregate-only pass (d+1-number
+    exchange, zero corpus shuffle); scoring inlines the weights as
+    codegen literals. Not SQL-expressible as a single statement
+    (iterative fit) → rows-only; tests/test_logreg.py pins the weight
+    trajectory bit-for-bit against a local reference with identical
+    e9-quantized gradient sums, and pins distillation accuracy over
+    the majority-class baseline. Output: label × prediction confusion
+    counts with mean scores."""
+    from monasca_aggregator_spark.operators.logreg import logreg_fit
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    q = T.quality_scores(docs)
+    median = q.agg(
+        F.expr("percentile(quality, 0.5)").alias("m")
+    ).collect()[0].m
+    feats = q.select(
+        "doc_id",
+        "stop_ratio",
+        "punct_ratio",
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)).alias(
+            "len_score"
+        ),
+        (F.col("quality") >= F.lit(median)).cast("double").alias("is_hq"),
+    )
+    model = logreg_fit(
+        feats,
+        ["stop_ratio", "punct_ratio", "len_score"],
+        "is_hq",
+        n_iter=20,
+        lr=8.0,
+    )
+    scored = feats.select("doc_id", "is_hq", model.score().alias("p"))
+    return scored.groupBy(
+        F.col("is_hq").cast("int").alias("label_hq"),
+        (F.col("p") >= 0.5).cast("int").alias("predicted_hq"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        stable_round(F.avg("p"), 4).alias("avg_p"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
     "text_novelty": q_text_novelty,
     "text_langid_ngram": q_text_langid_ngram,
     "text_scrub": q_text_scrub,
