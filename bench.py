@@ -154,7 +154,8 @@ def main() -> None:
             "agg_multi_rule", "events_daily_user", "dedup_exact",
             "dedup_minhash", "text_tfidf", "dedup_spans",
             "metric_winsorize", "ann_cosine_topk", "pack_chunks_overlap",
-            "sample_quota_source",
+            "sample_quota_source", "dedup_span_rewrite", "text_novelty",
+            "metric_twa", "order_curriculum",
         ]
         soak: dict[str, dict[str, float]] = {}
         for name in soak_queries:

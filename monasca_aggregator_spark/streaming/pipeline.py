@@ -509,6 +509,157 @@ def streaming_tdigest_quantile(
     )
 
 
+def streaming_consistent_k(
+    events: DataFrame,
+    *,
+    k: int = 20,
+    key_cols: tuple[str, ...] = ("event_type",),
+    id_col: str = "event_id",
+    mult: int = 2654435761,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Streaming consistent (min-wise) exact-k sample per key — the
+    streaming face of ``sample_consistent_k`` (plans/pipeline_ops.py,
+    same multiplicative-hash priority). Min-wise sampling is a
+    MERGEABLE summary: 'keep the k smallest priorities' is
+    associative, commutative, and idempotent, so the micro-batch fold
+    produces EXACTLY the sample the batch query computes over the
+    union of everything ingested — independent of how the stream was
+    batched, and replay-safe (a duplicate insert changes nothing).
+    tests/test_streaming.py pins streaming ≡ batch equality.
+
+    State per key is ≤ k (priority, id) pairs — O(k), GC-free, stream-
+    length-independent. Each micro-batch emits the key's CURRENT
+    sample in update mode (k rows per key), so a downstream sink
+    always holds a valid consistent sample of the stream so far."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = f"{key_schema}, {id_col} bigint, priority bigint"
+    state_schema = "ids array<bigint>, pris array<bigint>"
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, pris = state.get
+            pairs = set(zip(pris, ids))
+        else:
+            pairs = set()
+        for pdf in pdfs:
+            for i in pdf["__id"]:
+                i = int(i)
+                pairs.add(((i * mult) % mod, i))
+        # ties on priority break by id — same (priority, id) order as
+        # the batch query's ORDER BY priority, doc_id
+        best = sorted(pairs)[:k]
+        state.update(
+            ([int(i) for _, i in best], [int(p) for p, _ in best])
+        )
+        yield pd.DataFrame(
+            [(*key, i, p) for p, i in best],
+            columns=[*key_cols, id_col, "priority"],
+        )
+
+    prepared = events.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_heavy_hitters(
+    tokens_df: DataFrame,
+    *,
+    capacity: int = 256,
+    k: int = 20,
+    key_cols: tuple[str, ...] = ("stream",),
+    token_col: str = "token",
+) -> DataFrame:
+    """Streaming Space-Saving heavy hitters per key — the streaming
+    face of operators/heavyhitters.heavy_hitters: ≤ ``capacity``
+    (token, count, err) counters per key live in the state store
+    FOREVER (stream-length-independent), each micro-batch folds its
+    tokens through the same eviction rule the batch operator uses,
+    and the key's current top-``k`` (with upper/lower count bounds)
+    is emitted in update mode.
+
+    Guarantees carried over from the sketch: count_hi ≥ true ≥
+    count_lo, and any token whose true frequency exceeds N/capacity
+    is guaranteed present — pinned in tests/test_streaming.py against
+    exact counts over a replayed stream."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, token string, count_hi bigint, count_lo bigint"
+    )
+    state_schema = (
+        "toks array<string>, cnts array<bigint>, errs array<bigint>"
+    )
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            toks, cnts, errs = state.get
+            counters = {
+                t: [int(c), int(e)] for t, c, e in zip(toks, cnts, errs)
+            }
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for t in pdf["__tok"].dropna():
+                t = str(t)
+                if t in counters:
+                    counters[t][0] += 1
+                elif len(counters) < capacity:
+                    counters[t] = [1, 0]
+                else:
+                    victim = min(
+                        counters, key=lambda s: (counters[s][0], s)
+                    )
+                    cnt = counters.pop(victim)[0]
+                    counters[t] = [cnt + 1, cnt]
+        items = sorted(counters.items())
+        state.update(
+            (
+                [t for t, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+            )
+        )
+        top = sorted(
+            counters.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:k]
+        yield pd.DataFrame(
+            [(*key, t, c, c - e) for t, (c, e) in top],
+            columns=[*key_cols, "token", "count_hi", "count_lo"],
+        )
+
+    prepared = tokens_df.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.col(token_col).cast("string").alias("__tok"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_document_stream(
     docs_stream: DataFrame,
     *,

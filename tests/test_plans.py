@@ -191,3 +191,47 @@ def test_every_registered_query_documented_in_survey():
     ).read_text()
     missing = [k for k in all_queries() if f"`{k}`" not in text]
     assert not missing, f"undocumented queries: {missing}"
+
+
+def test_late_r2_plan_shapes(spark, sf_small):
+    """Plan posture of the late-r2 additions: hashed (8-byte) span /
+    shingle exchange keys, broadcast semi-join ahead of the filtered
+    ANN math, generator-based epoch explode, partial aggregation on
+    the TWA — and no row-at-a-time Python anywhere."""
+    from monasca_aggregator_spark.plans.dedup import q_dedup_span_rewrite
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_epoch_repeat,
+    )
+    from monasca_aggregator_spark.plans.series import q_metric_twa
+    from monasca_aggregator_spark.plans.similarity import q_ann_filtered
+    from monasca_aggregator_spark.plans.temporal import (
+        q_events_seq_patterns,
+    )
+    from monasca_aggregator_spark.plans.textops import q_text_novelty
+
+    plans = {
+        name: explain_str(fn(spark, sf_small))
+        for name, fn in [
+            ("span_rewrite", q_dedup_span_rewrite),
+            ("novelty", q_text_novelty),
+            ("epoch", q_sample_epoch_repeat),
+            ("twa", q_metric_twa),
+            ("seq_patterns", q_events_seq_patterns),
+            ("ann_filtered", q_ann_filtered),
+        ]
+    }
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, name
+
+    # span/shingle exchanges carry xxhash64 keys, not strings
+    assert "xxhash64" in plans["span_rewrite"]
+    assert "xxhash64" in plans["novelty"]
+    # the metadata filter reaches the corpus as a broadcast semi-join
+    assert "BroadcastHashJoin" in plans["ann_filtered"]
+    assert "LeftSemi" in plans["ann_filtered"]
+    # epoch replication is a JVM-side generator over broadcast rates
+    assert "Generate" in plans["epoch"]
+    assert "BroadcastHashJoin" in plans["epoch"]
+    # TWA and sequence-pattern aggregates partial-aggregate map-side
+    assert "partial_" in plans["twa"]
+    assert "partial_" in plans["seq_patterns"]

@@ -1087,3 +1087,131 @@ def test_stateful_tdigest_state_survives_query_restart(spark, tmp_path):
     assert final.n == 1600  # old 800 restored + new 800
     exact = float(np.quantile(np.concatenate([v1, v2]), 0.5))
     assert abs(final.quantile - exact) < 25.0
+
+
+def test_streaming_consistent_k_equals_batch(spark, tmp_path):
+    """Min-wise sampling is mergeable, so the streaming fold must
+    EQUAL the batch sample over the union — not approximately, row for
+    row — however ingestion was micro-batched. Also replay-safe: batch
+    2 re-contains some batch-1 rows and changes nothing beyond what
+    the union implies."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_consistent_k,
+    )
+
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    rows1 = [(i, "click" if i % 2 else "view") for i in range(0, 400)]
+    # overlap 300-399 replays batch-1 rows; 400-799 is new
+    rows2 = [(i, "click" if i % 2 else "view") for i in range(300, 800)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(
+            rows, "event_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_consistent_k(raw, k=15)
+        .writeStream.format("memory")
+        .queryName("ck_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emission per key = the streaming sample after both batches
+    from pyspark.sql import functions as SF
+
+    all_ids = {i for i, _ in rows1} | {i for i, _ in rows2}
+    mult, mod = 2654435761, 2147483647
+    for etype in ("click", "view"):
+        want = sorted(
+            ((i * mult) % mod, i)
+            for i in all_ids
+            if (("click" if i % 2 else "view") == etype)
+        )[:15]
+        got_rows = (
+            spark.table("ck_stream_out")
+            .filter(SF.col("event_type") == etype)
+            .collect()
+        )
+        # update mode appended one sample per micro-batch; the final
+        # sample is the k smallest priorities seen in the table
+        got = sorted({(r.priority, r.event_id) for r in got_rows})[:15]
+        assert got == want
+
+
+def test_streaming_heavy_hitters_bounds_and_guarantee(spark, tmp_path):
+    """Space-Saving state across micro-batches: after a Zipf-ish
+    replay in 2 batches, every emitted count must bound the exact
+    count (count_lo ≤ true ≤ count_hi), and every token with true
+    frequency > N/capacity must appear — state carried across batches
+    (a per-batch sketch of batch 2 alone could not cover batch 1's
+    mass)."""
+    import time as _time
+    from collections import Counter
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_heavy_hitters,
+    )
+
+    # skewed universe: token t_i has frequency ~ 600/i
+    batches, truth = [], Counter()
+    rows_all = []
+    for b in range(2):
+        rows = []
+        for i in range(1, 60):
+            for rep in range(600 // i if b == 0 else 300 // i):
+                rows.append(("s", f"t{i:02d}"))
+        batches.append(rows)
+        truth.update(t for _, t in rows)
+        rows_all.extend(rows)
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "stream string, token string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_heavy_hitters(raw, capacity=40, k=10)
+        .writeStream.format("memory")
+        .queryName("hh_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    n_total = len(rows_all)
+    out = spark.table("hh_stream_out").collect()
+    assert out
+    # the final emission = rows whose count_hi reflects both batches:
+    # take the max count_hi per token (update mode appends per batch)
+    best: dict[str, tuple[int, int]] = {}
+    for r in out:
+        if r.token not in best or r.count_hi > best[r.token][0]:
+            best[r.token] = (r.count_hi, r.count_lo)
+    for tok, (hi, lo) in best.items():
+        assert lo <= truth[tok] <= hi, (tok, lo, truth[tok], hi)
+    # guarantee: the heaviest tokens (true freq > N/capacity) surfaced
+    for tok, c in truth.items():
+        if c > n_total / 40:
+            assert tok in best, (tok, c)
