@@ -289,10 +289,9 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL decode of a PCM WAV payload via stdlib ``wave`` →
-    {sample_rate, n_channels, n_samples, duration_sec, rms, peak}
-    with samples normalized to [-1, 1]."""
+def wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """PCM WAV → (sample_rate, n_channels, normalized [-1,1] samples,
+    channels still interleaved)."""
     with wave.open(io.BytesIO(payload), "rb") as f:
         rate = f.getframerate()
         nch = f.getnchannels()
@@ -305,6 +304,15 @@ def decode_wav(payload: bytes) -> dict:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported sample width {width}")
+    return rate, nch, x
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a PCM WAV payload via stdlib ``wave`` →
+    {sample_rate, n_channels, n_samples, duration_sec, rms, peak}
+    with samples normalized to [-1, 1]."""
+    rate, nch, x = wav_samples(payload)
+    n = len(x) // max(1, nch)
     return {
         "sample_rate": rate,
         "n_channels": nch,
@@ -442,6 +450,102 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("peak", T.DoubleType(), True),
     ]
 )
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+        T.StructField("centroid_hz", T.DoubleType(), True),
+        T.StructField("rolloff_hz", T.DoubleType(), True),
+    ]
+)
+
+
+def spectral_features(payload: bytes) -> dict:
+    """REAL spectral analysis of a PCM WAV: mono-mix → rFFT →
+    dominant frequency (peak magnitude bin, DC excluded), spectral
+    centroid (magnitude-weighted mean frequency) and 85% energy
+    rolloff. Pure numpy — the audio analog of the PNG/PPM pixel
+    features, proving the decode→DSP→features path without any
+    external audio library."""
+    rate, nch, x = wav_samples(payload)
+    if nch > 1 and len(x):
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if len(x) < 2 or rate <= 0:
+        return {
+            "sample_rate": rate,
+            "dominant_hz": None,
+            "centroid_hz": None,
+            "rolloff_hz": None,
+        }
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    mag0 = mag.copy()
+    mag0[0] = 0.0  # exclude DC from the peak
+    dominant = float(freqs[int(np.argmax(mag0))])
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0 else None
+    energy = mag * mag
+    cum = np.cumsum(energy)
+    if cum[-1] > 0:
+        roll_idx = int(np.searchsorted(cum, 0.85 * cum[-1]))
+        rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+    else:
+        rolloff = None
+    return {
+        "sample_rate": rate,
+        "dominant_hz": dominant,
+        "centroid_hz": centroid,
+        "rolloff_hz": rolloff,
+    }
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """payload → (sample_rate, dominant_hz, centroid_hz, rolloff_hz)
+    via mapInPandas — one rFFT per clip inside the Arrow batch loop,
+    malformed rows yield nulls. Batch-bounded memory like the other
+    decode paths: only one batch of decoded samples is ever resident
+    per task."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = (
+                        spectral_features(p)
+                        if p is not None
+                        else None
+                    )
+                except (ValueError, EOFError, wave.Error):
+                    d = None
+                rows.append(
+                    (
+                        int(mid),
+                        d["sample_rate"] if d else None,
+                        d["dominant_hz"] if d else None,
+                        d["centroid_hz"] if d else None,
+                        d["rolloff_hz"] if d else None,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "dominant_hz",
+                    "centroid_hz",
+                    "rolloff_hz",
+                ],
+            )
+            out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            yield out
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _decode, SPECTRAL_SCHEMA
+    )
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:

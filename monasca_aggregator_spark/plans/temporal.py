@@ -774,8 +774,127 @@ SELECT rank, pattern, n FROM (
 """.strip()
 
 
+def q_funnel_strict_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDER funnel: a user converts stage 2 only with a click
+    strictly after their first view, and stage 3 only with a purchase
+    strictly after that click — the sequence-sensitive counterpart of
+    `funnel_conversion`'s windowed as-of attribution (which ignores
+    later-stage ordering). Three per-user min-aggregates chained by
+    conditional joins; every join keys on user_id, so the three hash
+    joins reuse one partitioning and the corpus never re-shuffles on
+    a new key. Output is the 3-row stage table (corpus-size-
+    independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("event"), "user_id"),
+        c.select(F.lit(2).alias("stage"), F.lit("view>click").alias("event"), "user_id"),
+        p.select(
+            F.lit(3).alias("stage"),
+            F.lit("view>click>purchase").alias("event"),
+            "user_id",
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("stage", "event").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+ORACLE_FUNNEL_STRICT = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT stage, event, count(*) AS n_users FROM (
+  SELECT 1 AS stage, 'view' AS event, user_id FROM v
+  UNION ALL
+  SELECT 2, 'view>click', user_id FROM c
+  UNION ALL
+  SELECT 3, 'view>click>purchase', user_id FROM p
+) GROUP BY 1, 2
+""".strip()
+
+
+_KANON_K = 8
+
+
+def q_events_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the quasi-identifier
+    (event_type, day): groups with ≥ k rows are released with their
+    counts; smaller groups are SUPPRESSED and only reported as a
+    per-event_type residual (day NULL) so the release leaks no group
+    below the threshold — the minimum governance pass before
+    publishing per-cell usage tables. One partial-aggregated groupBy
+    builds the cells; the release/residual split is a second aggregate
+    over the (already tiny) cell table."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    released = cells.filter(F.col("n") >= _KANON_K).select(
+        "event_type", "day", "n", F.lit(False).alias("suppressed")
+    )
+    residual = (
+        cells.filter(F.col("n") < _KANON_K)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "event_type",
+            F.lit(None).cast("string").alias("day"),
+            "n",
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return released.unionByName(residual)
+
+
+ORACLE_KANON = f"""
+WITH cells AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n, FALSE AS suppressed
+FROM cells WHERE n >= {_KANON_K}
+UNION ALL
+SELECT event_type, NULL, CAST(sum(n) AS BIGINT), TRUE
+FROM cells WHERE n < {_KANON_K} GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seq_patterns": q_events_seq_patterns,
+    "funnel_strict_ordered": q_funnel_strict_ordered,
+    "events_kanon": q_events_kanon,
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
     "asof_purchase_click": q_asof_purchase_click,
@@ -793,6 +912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
+    "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
+    "events_kanon": ORACLE_KANON,
     "user_event_seq": ORACLE_USER_SEQ,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "range_join_ship": ORACLE_RANGE_JOIN,

@@ -34,8 +34,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # metric_histogram_equidepth, metric_staleness, text_langid_ngram,
 # text_scrub, text_novelty, ann_filtered, order_curriculum,
 # sample_epoch_repeat, events_seq_patterns, metric_twa,
-# dedup_span_rewrite, quality_classifier), the rows-only keys, and as
-# many r1-green keys as remain for re-confirmation.
+# dedup_span_rewrite, quality_classifier, funnel_strict_ordered,
+# events_kanon), the rows-only keys, and as many r1-green keys as
+# remain for re-confirmation.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",

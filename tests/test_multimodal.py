@@ -353,3 +353,56 @@ def test_png_decodes_through_spark_feature_path(spark):
     exp_mean = float(img.reshape(-1, 3).mean(axis=0)[0] / 255.0)
     assert abs(got[1].features[0] - exp_mean) < 1e-6
     assert got[2].width is None and got[2].features is None
+
+
+def test_spectral_features_find_the_tone():
+    """A pure 440 Hz sine's dominant bin must land on 440 (±1 bin),
+    its centroid near 440, and a 220+880 mix must pick one of its
+    tones as dominant with the centroid strictly between them."""
+    import monasca_aggregator_spark.operators.multimodal as M
+
+    d = M.spectral_features(_wav(freq=440.0, rate=8000, sec=0.5))
+    bin_hz = 8000 / int(8000 * 0.5)
+    assert abs(d["dominant_hz"] - 440.0) <= bin_hz
+    assert abs(d["centroid_hz"] - 440.0) < 25.0
+    assert d["rolloff_hz"] >= d["dominant_hz"] - bin_hz
+
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    t = np.arange(4000) / 8000.0
+    x = (
+        (0.4 * np.sin(2 * np.pi * 220 * t) + 0.4 * np.sin(2 * np.pi * 880 * t))
+        * 32767
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(x.tobytes())
+    d2 = M.spectral_features(buf.getvalue())
+    assert min(abs(d2["dominant_hz"] - 220), abs(d2["dominant_hz"] - 880)) <= bin_hz
+    assert 220 < d2["centroid_hz"] < 880
+
+
+def test_audio_spectral_features_through_spark(spark):
+    """End-to-end Arrow path: WAV payloads → mapInPandas rFFT →
+    spectral rows; malformed payloads yield nulls, images are
+    filtered out."""
+    import monasca_aggregator_spark.operators.multimodal as M
+
+    rows = [
+        (1, "audio", bytearray(_wav(freq=500.0, rate=8000, sec=0.25))),
+        (2, "audio", bytearray(b"not a wav")),
+        (3, "image", bytearray(b"ppm-ish")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = {r.media_id: r for r in M.audio_spectral_features(media).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1].dominant_hz - 500.0) <= 8000 / 2000
+    assert out[2].dominant_hz is None and out[2].sample_rate is None
