@@ -1,0 +1,96 @@
+"""End-to-end daemon smoke test: the `python -m
+monasca_aggregator_spark` entrypoint run in-process against
+reference-format config + specification YAML files and a file-based
+envelope source — the broker-less deployment mode. Covers argument
+validation, YAML loading, pipeline startup, bounded run, and that
+aggregated envelope JSON actually lands in the sink directory."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+
+def _write_yaml_files(tmp_path):
+    (tmp_path / "config.yaml").write_text(
+        "windowSize: 2\n"
+        "windowLag: 1\n"
+        "consumerTopic: metrics\n"
+        "producerTopic: metrics\n"
+        # availableNow-less bounded file run: heartbeat stays ON (the
+        # daemon default) — the rate source keeps advancing processing
+        # time so lagged windows publish during the bounded run
+    )
+    (tmp_path / "specs.yaml").write_text(
+        "aggregationSpecifications:\n"
+        "  - name: sum_metric2\n"
+        "    aggregatedMetricName: metric2.sum\n"
+        "    filteredMetricName: metric2\n"
+        "    function: sum\n"
+        "    groupedDimensions: [service]\n"
+    )
+
+
+def test_cli_requires_paired_source_sink(tmp_path):
+    from monasca_aggregator_spark.__main__ import main
+
+    _write_yaml_files(tmp_path)
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--config", str(tmp_path / "config.yaml"),
+                "--specs", str(tmp_path / "specs.yaml"),
+                "--source-dir", str(tmp_path / "src"),
+            ]
+        )
+
+
+def test_cli_file_mode_end_to_end(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    import publisher
+
+    from monasca_aggregator_spark.__main__ import main
+
+    _write_yaml_files(tmp_path)
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    src.mkdir()
+    # two batches a window apart so at least one window closes + lags out
+    t0 = int(time.time() * 1000) - 20_000
+    for b in range(4):
+        lines = publisher.make_envelopes(
+            name="metric2", value=2.0, now_ms=t0 + b * 2000, tenant="t1"
+        )
+        (src / f"batch{b}.jsonl").write_text("\n".join(lines) + "\n")
+
+    rc = main(
+        [
+            "--config", str(tmp_path / "config.yaml"),
+            "--specs", str(tmp_path / "specs.yaml"),
+            "--source-dir", str(src),
+            "--sink-dir", str(sink),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--duration", "25",
+            "--cpus", "8",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+
+    out_lines = []
+    for p in (sink / "sum_metric2").glob("*.txt"):
+        out_lines += [
+            ln for ln in p.read_text().splitlines() if ln.strip()
+        ]
+    assert out_lines, "no aggregated envelopes published"
+    env = json.loads(out_lines[0])
+    m = env["metric"]
+    assert m["name"] == "metric2.sum"
+    assert "service" in m["dimensions"]
+    # 2 hosts x value 2.0 summed per service per window
+    assert m["value"] == pytest.approx(4.0)
+    assert env["meta"]["tenantId"] == "t1"
