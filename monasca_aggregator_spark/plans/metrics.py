@@ -403,7 +403,57 @@ GROUP BY 1{dims_names and ', ' + ', '.join(str(i + 2) for i in range(len(group_d
 """.strip()
 
 
+_SLIDE_SEC = WINDOW_SEC // 2
+_SLIDE_MS = _SLIDE_SEC * 1000
+
+
+def q_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows — beyond the reference's tumbling-only
+    DSL: 1-hour windows advancing every 30 minutes, so each sample
+    contributes to size/slide = 2 overlapping windows and a dashboard
+    gets a smoothed series without re-scanning raw data. Built on
+    ``F.window(ts, size, slide)``: Catalyst compiles the membership to
+    an Expand (each row replicated JVM-side into its 2 windows) below
+    a partial aggregate — one shuffle of per-(window, group) partials,
+    exactly the tumbling plan's shape ×2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(
+        F.col("ts"), f"{WINDOW_SEC} seconds", f"{_SLIDE_SEC} seconds"
+    )
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.unix_millis(win.start).alias("window_ts_ms"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.avg("value"), 4).alias("value"),
+        )
+    )
+
+
+# each event lands in the 2 hops covering it: starts at
+# floor-to-slide(t) and floor-to-slide(t) − slide, kept when the event
+# is inside [start, start + window)
+ORACLE_SLIDING = f"""
+WITH hops AS (
+  SELECT user_id, value, epoch_ms(ts) AS t,
+         (epoch_ms(ts) // {_SLIDE_MS}) * {_SLIDE_MS}
+           - k * {_SLIDE_MS} AS window_ts_ms
+  FROM events, unnest(range(0, 2)) AS u(k)
+  WHERE event_type = 'view'
+)
+SELECT window_ts_ms, user_id, count(*) AS n,
+       {sql_stable_round("avg(value)", 4)} AS value
+FROM hops
+WHERE t >= window_ts_ms AND t < window_ts_ms + {_W_MS}
+GROUP BY 1, 2
+""".strip()
+
+
 ORACLES: dict[str, str] = {
+    "agg_sliding": ORACLE_SLIDING,
     "agg_count": _oracle("CAST(count(*) AS DOUBLE)", "purchase"),
     "agg_sum": _oracle("sum(value)", "click", round_value=4),
     "agg_avg": _oracle("avg(value)", "view", round_value=4),
@@ -446,6 +496,7 @@ SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_sliding": q_agg_sliding,
     "agg_count": q_agg_count,
     "agg_sum": q_agg_sum,
     "agg_avg": q_agg_avg,

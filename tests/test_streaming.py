@@ -1215,3 +1215,67 @@ def test_streaming_heavy_hitters_bounds_and_guarantee(spark, tmp_path):
     for tok, c in truth.items():
         if c > n_total / 40:
             assert tok in best, (tok, c)
+
+
+def test_streaming_sliding_window_equals_batch(spark, sf_small):
+    """Hopping windows (F.window size+slide) are algebraic, so the
+    identical plan runs under Structured Streaming with a watermark:
+    the streamed overlapping windows must equal the batch
+    `agg_sliding` query's groups exactly."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.metrics import (
+        _SLIDE_SEC,
+        WINDOW_SEC,
+        q_agg_sliding,
+    )
+
+    batch = {
+        (r.window_ts_ms, r.user_id): (r.n, r.value)
+        for r in q_agg_sliding(spark, sf_small).collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = F.window(
+        F.col("ts"), f"{WINDOW_SEC} seconds", f"{_SLIDE_SEC} seconds"
+    )
+    from monasca_aggregator_spark.functions.rounding import stable_round
+
+    plan = (
+        raw.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "120 seconds")
+        .groupBy(win, F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.avg("value"), 4).alias("value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_ts_ms"),
+            "user_id",
+            "n",
+            "value",
+        )
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("t_slide_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_ts_ms, r.user_id): (r.n, r.value)
+        for r in spark.table("t_slide_stream").collect()
+    }
+    assert got == batch
