@@ -204,6 +204,40 @@ def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY grouping sets — the general form ROLLUP/CUBE are
+    sugar for: per-source totals, per-language totals, and the grand
+    total, but NOT the (source × lang) cross — the exact set list a
+    report wants without paying for the 2^k cube. One pass: Spark
+    SQL's GROUPING SETS expands only the requested sets below a
+    single exchange; GROUPING() flags disambiguate real NULLs from
+    set placeholders in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(grouping(source) AS INT) AS g_source,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT source, lang,
+       CAST(grouping(source) AS INT) AS g_source,
+       CAST(grouping(lang) AS INT) AS g_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+""".strip()
+
+
 ORACLE_CUBE = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
@@ -251,6 +285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
     "argmax_per_group": q_argmax_per_group,
     "rollup_pricing": q_rollup_pricing,
+    "grouping_sets_mixed": q_grouping_sets_mixed,
     "cube_volume": q_cube_volume,
     "pivot_events_user": q_pivot_events_user,
 }
@@ -261,6 +296,7 @@ ORACLES: dict[str, str] = {
     "tpch_q19_disjunct": ORACLE_Q19,
     "argmax_per_group": ORACLE_ARGMAX,
     "rollup_pricing": ORACLE_ROLLUP,
+    "grouping_sets_mixed": ORACLE_GROUPING_SETS,
     "cube_volume": ORACLE_CUBE,
     "pivot_events_user": ORACLE_PIVOT,
 }

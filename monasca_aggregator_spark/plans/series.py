@@ -654,7 +654,47 @@ GROUP BY 1, 2
 """.strip()
 
 
+_EWMA_ALPHA = 0.2
+
+
+def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: batch EWMA per (metric, series) — the smoothed line
+    every dashboard draws, as a BATCH backfill of the streaming
+    operator (streaming/pipeline.streaming_ewma): same fold
+    ewma = α·v + (1−α)·ewma seeded with the first sample, so
+    re-running history through this query reproduces EXACTLY what the
+    live stream computed (pinned in test_series.py — the
+    batch ≡ streaming bridge for an order-dependent fold that no SQL
+    window frame expresses; hence no oracle). One series-keyed
+    shuffle into applyInPandas; the fold itself is pandas
+    ewm(adjust=False), vectorized per series."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+        )
+        return pdf[["event_type", "user_id", "ts_ms", "value", "ewma"]]
+
+    prepared = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("event_type", "user_id").applyInPandas(
+        _fold,
+        "event_type string, user_id bigint, ts_ms bigint, "
+        "value double, ewma double",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_ewma": q_metric_ewma,  # rows-only (order-dependent fold)
     "metric_twa": q_metric_twa,
     "agg_stddev": q_agg_stddev,
     "metric_alert_hysteresis": q_metric_alert_hysteresis,

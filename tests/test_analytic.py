@@ -33,7 +33,10 @@ def _norm(rows, columns):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
+    for t in (
+        "customer", "supplier", "part", "orders", "lineitem", "events",
+        "documents",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
         )

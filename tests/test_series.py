@@ -163,3 +163,67 @@ def test_alert_hysteresis_state_machine(spark, monkeypatch):
         )
     ]
     assert out == [False, False, True, True, True, False, False, True]
+
+
+def test_batch_ewma_reproduces_streaming_fold(spark, sf_small, tmp_path):
+    """The batch EWMA backfill must reproduce the live streaming
+    operator EXACTLY: replay the same events through streaming_ewma in
+    two time-ordered micro-batches and compare every (series, ts)
+    smoothed value bit-for-bit — the batch ≡ streaming bridge for an
+    order-dependent fold."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.series import q_metric_ewma
+    from monasca_aggregator_spark.sources.tables import load_table
+    from monasca_aggregator_spark.streaming.pipeline import streaming_ewma
+
+    batch = {
+        (r.event_type, r.user_id, r.ts_ms): r.ewma
+        for r in q_metric_ewma(spark, sf_small).collect()
+    }
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        "ts",
+        "value",
+    )
+    mid = ev.agg(F.expr("percentile(unix_millis(ts), 0.5)")).collect()[0][0]
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    for i, part in enumerate(
+        [
+            ev.filter(F.unix_millis("ts") <= mid),
+            ev.filter(F.unix_millis("ts") > mid),
+        ]
+    ):
+        part.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_ewma(
+        raw, alpha=0.2, key_cols=("event_type", "user_id"),
+        ts_col="ts", value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_bridge_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.event_type, int(r.user_id), r.ts_ms): r.ewma
+        for r in spark.table("ewma_bridge_out").collect()
+    }
+    assert streamed.keys() == batch.keys()
+    assert all(streamed[k] == batch[k] for k in batch)
