@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "ann_filtered",
     "events_seq_patterns",
     "dedup_semantic",
+    "dedup_span_rewrite",
+    "metric_twa",
+    "agg_sliding",
+    "funnel_strict_ordered",
+    "events_kanon",
+    "grouping_sets_mixed",
 ]
 
 

@@ -326,3 +326,33 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_span_rewrite_removes_exact_copy_keeps_original(spark):
+    """An exact later copy loses everything; the first doc keeps all
+    tokens; a doc sharing no 8-token span is untouched; and a partial
+    copy loses exactly the lifted stretch (plus nothing else)."""
+    from monasca_aggregator_spark.operators.textops import (
+        span_dedup_rewrite,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    lifted = " ".join(f"w{i}" for i in range(8)) + " unique tail here now"
+    rows = [
+        (1, base),
+        (2, base),                          # exact copy → fully removed
+        (3, "totally different words " * 5),  # untouched
+        (4, lifted),                        # loses the 8-token prefix
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup_rewrite(docs, n=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == out[2].n_tokens
+    assert out[3].n_removed == 0
+    assert out[4].n_tokens == 12 and out[4].n_removed == 8
+    # survivors of doc 4 are its unique tail
+    import hashlib
+
+    assert out[4].kept_md5 == hashlib.md5(
+        b"unique tail here now"
+    ).hexdigest()
