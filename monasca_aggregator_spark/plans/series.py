@@ -693,7 +693,127 @@ def q_metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BURN_FAST_MS = 5 * 60 * 1000
+_BURN_PCT = 5  # alert threshold: ≥5% error ratio in BOTH windows
+
+
+def q_metric_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alert (the Google-SRE two-window
+    rule): a 5-minute window pages only when BOTH its own error ratio
+    AND its enclosing hour's ratio breach the threshold — the fast
+    window gives response time, the slow window suppresses blips.
+    Two partial-aggregated window counts joined on the hour key (the
+    hourly side is tiny → broadcast). The breach test cross-multiplies
+    integer counts (err·100 ≥ pct·total) so no float ever enters the
+    alert decision — exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    t_ms = F.unix_millis(F.col("ts"))
+    fast = ev.groupBy(
+        ((t_ms / F.lit(_BURN_FAST_MS)).cast("long") * F.lit(_BURN_FAST_MS)
+         ).alias("window_ts_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_fast"),
+        F.sum(is_err).cast("long").alias("err_fast"),
+    )
+    slow = ev.groupBy(
+        ((t_ms / F.lit(_HOUR_MS)).cast("long") * F.lit(_HOUR_MS)
+         ).alias("hour_ts_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_slow"),
+        F.sum(is_err).cast("long").alias("err_slow"),
+    )
+    joined = fast.withColumn(
+        "hour_ts_ms",
+        F.expr(f"(window_ts_ms div {_HOUR_MS}) * {_HOUR_MS}"),
+    ).join(F.broadcast(slow), "hour_ts_ms")
+    burning = (
+        (F.col("err_fast") * 100 >= F.lit(_BURN_PCT) * F.col("n_fast"))
+        & (F.col("err_slow") * 100 >= F.lit(_BURN_PCT) * F.col("n_slow"))
+    )
+    return joined.select(
+        "window_ts_ms",
+        "n_fast",
+        "err_fast",
+        "n_slow",
+        "err_slow",
+        burning.alias("burning"),
+    )
+
+
+ORACLE_BURN_RATE = f"""
+WITH fast AS (
+  SELECT (epoch_ms(ts) // {_BURN_FAST_MS}) * {_BURN_FAST_MS}
+           AS window_ts_ms,
+         count(*) AS n_fast,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err_fast
+  FROM events GROUP BY 1
+), slow AS (
+  SELECT {_W_SQL} AS hour_ts_ms, count(*) AS n_slow,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err_slow
+  FROM events GROUP BY 1
+)
+SELECT window_ts_ms, n_fast, err_fast, n_slow, err_slow,
+       (err_fast * 100 >= {_BURN_PCT} * n_fast
+        AND err_slow * 100 >= {_BURN_PCT} * n_slow) AS burning
+FROM fast JOIN slow
+  ON (window_ts_ms // {_HOUR_MS}) * {_HOUR_MS} = hour_ts_ms
+""".strip()
+
+
+def q_metric_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-cardinality report per metric — the label-explosion
+    audit every metric store needs (a runaway dimension multiplies
+    state and cost): distinct series (user_id plays the dimension),
+    sample volume, samples-per-series density, and each metric's
+    share of total corpus cardinality. One exact distinct aggregate
+    (two-level partial-able groupBy) + a broadcast 1-row total."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_series"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    total = per.agg(F.sum("n_series").alias("total_series"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_series",
+            "n_samples",
+            stable_round(
+                F.col("n_samples").cast("double") / F.col("n_series"), 4
+            ).alias("samples_per_series"),
+            stable_round(
+                F.col("n_series").cast("double") / F.col("total_series"), 4
+            ).alias("cardinality_share"),
+        )
+    )
+
+
+ORACLE_CARDINALITY = f"""
+WITH per AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_series,
+         count(*) AS n_samples
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_series) AS BIGINT) AS total_series FROM per
+)
+SELECT event_type, n_series, n_samples,
+       {sql_stable_round(
+           "CAST(n_samples AS DOUBLE) / CAST(n_series AS DOUBLE)", 4)}
+         AS samples_per_series,
+       {sql_stable_round(
+           "CAST(n_series AS DOUBLE) / CAST(total_series AS DOUBLE)", 4)}
+         AS cardinality_share
+FROM per, tot
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_burn_rate": q_metric_burn_rate,
+    "metric_cardinality_report": q_metric_cardinality_report,
     "metric_ewma": q_metric_ewma,  # rows-only (order-dependent fold)
     "metric_twa": q_metric_twa,
     "agg_stddev": q_agg_stddev,
@@ -708,6 +828,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_burn_rate": ORACLE_BURN_RATE,
+    "metric_cardinality_report": ORACLE_CARDINALITY,
     "metric_twa": ORACLE_TWA,
     "agg_stddev": ORACLE_STDDEV,
     "metric_alert_hysteresis": ORACLE_ALERT,
