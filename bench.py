@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "funnel_strict_ordered",
     "events_kanon",
     "grouping_sets_mixed",
+    "metric_burn_rate",
+    "metric_cardinality_report",
+    "order_shuffle",
 ]
 
 

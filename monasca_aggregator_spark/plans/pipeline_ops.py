@@ -696,6 +696,47 @@ FROM e GROUP BY 1
 """.strip()
 
 
+_SHUF_SALT = 7919  # reshuffle epoch = change the salt
+
+
+def q_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global TRAINING SHUFFLE: every doc gets a
+    pseudo-random priority (multiplicative hash of doc_id ⊕ salt —
+    SQL-reproducible like sample_consistent_k; production swaps in
+    xxhash64) and its global position in that order. Rerun-stable,
+    resumable mid-epoch (position is a pure function of the corpus),
+    and a new epoch is just a new salt — the standard way to shuffle
+    a corpus you cannot materialize twice. The global position uses
+    operators/rank.global_rank (bucketed prefix offsets), so there is
+    NO single-task global sort; the bucket key coarsens the priority
+    itself (monotone, ~uniform by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.pmod(
+        (F.col("doc_id") + F.lit(_SHUF_SALT)) * F.lit(_PRIORITY_MULT),
+        F.lit(_PRIORITY_MOD),
+    )
+    staged = docs.select("doc_id", "source", pri.alias("priority"))
+    out = global_rank(
+        staged,
+        F.expr(f"priority div {_PRIORITY_MOD // 64 + 1}"),
+        [F.col("priority").asc(), F.col("doc_id").asc()],
+        rank_col="position",
+    )
+    return out.select("position", "doc_id", "source", "priority")
+
+
+ORACLE_SHUFFLE = f"""
+SELECT row_number() OVER (ORDER BY priority, doc_id) AS position,
+       doc_id, source, priority
+FROM (
+  SELECT doc_id, source,
+         ((doc_id + {_SHUF_SALT}) * {_PRIORITY_MULT}) % {_PRIORITY_MOD}
+           AS priority
+  FROM documents
+)
+""".strip()
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the composed end-to-end curation pipeline
     (curation.curate_corpus — exact dedup → MinHash near-dedup →
@@ -727,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_top_p_source": q_sample_top_p_source,
     "corpus_diff": q_corpus_diff,
     "order_curriculum": q_order_curriculum,
+    "order_shuffle": q_order_shuffle,
     "sample_epoch_repeat": q_sample_epoch_repeat,
     "pipeline_curate": q_pipeline_curate,  # rows-only (composed pipeline)
 }
@@ -746,5 +788,6 @@ ORACLES: dict[str, str] = {
     "sample_top_p_source": ORACLE_TOP_P,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "order_curriculum": ORACLE_CURRICULUM,
+    "order_shuffle": ORACLE_SHUFFLE,
     "sample_epoch_repeat": ORACLE_EPOCH_REPEAT,
 }
