@@ -338,7 +338,9 @@ def ivf_ann(
     )
 
 
-def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
+def nearest_centroid_udf(
+    cents: list[tuple[int, list[float]]], *, round6: bool = False
+):
     """Arrow-vectorized argmax-cosine cell assignment against a small
     in-closure centroid matrix: each Arrow batch of vectors becomes
     ONE numpy matmul (batch × dim @ dim × n_centroids) — no crossJoin,
@@ -361,7 +363,13 @@ def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
     def cell_of(vs: pd.Series) -> pd.Series:
         m = np.vstack(vs.to_numpy()).astype("float64")
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
+        sims = m @ cmat.T
+        if round6:
+            # half-up to 6 dp BEFORE the argmax so a SQL oracle
+            # computing rounded cosines picks identical cells even
+            # when raw doubles differ in the last ulp
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return cell_of
 
@@ -372,6 +380,7 @@ def assign_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round6: bool = False,
 ) -> DataFrame:
     """Nearest-centroid (argmax cosine) cell assignment.
 
@@ -385,7 +394,7 @@ def assign_cells(
         (r.cent_id, list(r.cent_vec))
         for r in centroids.select("cent_id", "cent_vec").collect()
     ]
-    cell_of = nearest_centroid_udf(cents)
+    cell_of = nearest_centroid_udf(cents, round6=round6)
     return corpus.select(
         F.col(id_col),
         cell_of(as_double(F.col(vec_col))).alias("cell"),
@@ -402,6 +411,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    round_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pruning (Abbas et al. 2023):
     cluster embeddings with spherical k-means, then compare pairs only
@@ -430,7 +440,8 @@ def semantic_dedup_pairs(
             vec_col=vec_col,
         )
     assigned = assign_cells(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        round6=round_assign,
     ).select(
         F.col("cell"),
         F.col(id_col).alias("__id"),

@@ -367,8 +367,86 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SC_MULT = 2654435761  # Knuth multiplicative hash — SQL-reproducible
+_SC_MOD = 2147483647
+_SC_CELLS = 8
+
+
+def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED SemDeDup variant: same within-cell pruning as
+    `dedup_semantic`, but the cells come from DETERMINISTIC hash-
+    sampled centroids (multiplicative-hash priority, SQL-reproducible
+    — the IVF default-init path) instead of k-means, and assignment
+    rounds cosines to 6 dp before the argmax so DuckDB picks
+    bit-identical cells. This puts the entire cluster→restrict→prune
+    pipeline under the driver's exact hash gate; the k-means-trained
+    variant stays rows-only with its pytest equivalence."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.functions.vectors import as_double
+    from monasca_aggregator_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pri = F.pmod(F.col("vec_id") * F.lit(_SC_MULT), F.lit(_SC_MOD))
+    picked = (
+        emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("cent_vec"),
+            pri.alias("pri"),
+        )
+        .orderBy("pri", "vec_id")
+        .limit(_SC_CELLS)
+        .collect()
+    )
+    cents = emb.sparkSession.createDataFrame(
+        [(i, list(r.cent_vec)) for i, r in enumerate(picked)],
+        "cent_id int, cent_vec array<double>",
+    )
+    return semantic_dedup_pairs(
+        emb,
+        threshold=EMB_THRESHOLD,
+        centroids=cents,
+        round_assign=True,
+    )
+
+
+ORACLE_SEMANTIC_CELLS = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY pri, vec_id) - 1 AS cent_id, e
+  FROM (
+    SELECT vec_id, e, (vec_id * {_SC_MULT}) % {_SC_MOD} AS pri FROM v
+  ) ORDER BY pri, vec_id LIMIT {_SC_CELLS}
+), scored AS (
+  SELECT v.vec_id, c.cent_id,
+         floor(list_cosine_similarity(v.e, c.e) * 1000000.0::DOUBLE
+               + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM v CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+    SELECT vec_id, cent_id AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cent_id ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT a.cell, x.vec_id AS id_a, y.vec_id AS id_b,
+       floor(list_cosine_similarity(x.e, y.e) * 1000000.0::DOUBLE
+             + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+FROM assigned a
+JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN v x ON x.vec_id = a.vec_id
+JOIN v y ON y.vec_id = b.vec_id
+WHERE floor(list_cosine_similarity(x.e, y.e) * 1000000.0::DOUBLE
+            + 0.5::DOUBLE) / 1000000.0::DOUBLE >= {EMB_THRESHOLD}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
+    "dedup_semantic_cells": q_dedup_semantic_cells,
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
@@ -384,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_semantic_cells": ORACLE_SEMANTIC_CELLS,
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_EXACT,
     "dedup_spans": ORACLE_SPANS,
