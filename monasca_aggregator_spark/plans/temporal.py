@@ -394,6 +394,76 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+_HQ_Q = 0.95
+_HIST_STEP = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+
+
+def q_metric_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``histogram_quantile``: estimate p95 per (metric,
+    hour) FROM the fixed-bucket histogram (24h's export shape) by
+    linear interpolation inside the bucket where the cumulative count
+    crosses q·total — quantiles served off pre-aggregated buckets
+    without touching raw samples, which is how a metric store answers
+    dashboards at scale. Everything after the histogram groupBy runs
+    over ≤ #buckets rows per series-window; the interpolation divides
+    exact integer counts, so both engines produce identical doubles."""
+    from pyspark.sql import Window
+
+    hist = q_metric_histogram(spark, sf_dir)
+    w = Window.partitionBy("event_type", "window_ts_ms").orderBy("bucket")
+    tot_w = Window.partitionBy("event_type", "window_ts_ms")
+    cum = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot_w))
+        .withColumn("target", F.lit(_HQ_Q) * F.col("total"))
+        .withColumn("cum_before", F.col("cum") - F.col("n"))
+    )
+    crossing = cum.filter(
+        (F.col("cum_before") < F.col("target"))
+        & (F.col("cum") >= F.col("target"))
+    )
+    p95 = (
+        F.lit(_HIST_LO)
+        + F.col("bucket") * F.lit(_HIST_STEP)
+        + F.lit(_HIST_STEP)
+        * (F.col("target") - F.col("cum_before"))
+        / F.col("n")
+    )
+    return crossing.select(
+        "event_type",
+        "window_ts_ms",
+        "total",
+        stable_round(p95, 4).alias("p95_est"),
+    )
+
+
+# the Window import lives at module scope in the builders above; keep
+# the SQL mirror on the identical integer-count arithmetic
+ORACLE_HISTOGRAM_QUANTILE = f"""
+WITH hist AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+         CAST(least(greatest(floor((value - {_HIST_LO}) /
+              {_HIST_STEP}), 0), {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY event_type, window_ts_ms
+                      ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type, window_ts_ms) AS total
+  FROM hist
+)
+SELECT event_type, window_ts_ms, CAST(total AS BIGINT) AS total,
+       {sql_stable_round(
+           f"{_HIST_LO} + bucket * {_HIST_STEP} + {_HIST_STEP}"
+           " * (0.95::DOUBLE * total - (cum - n)) / n", 4)} AS p95_est
+FROM cum
+WHERE (cum - n) < 0.95::DOUBLE * total
+  AND cum >= 0.95::DOUBLE * total
+""".strip()
+
+
 _B_SQL = (
     f"least(greatest(floor((value - {_HIST_LO}) / "
     f"{(_HIST_HI - _HIST_LO) / _HIST_BUCKETS}), 0), {_HIST_BUCKETS - 1})"
@@ -895,6 +965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
+    "metric_histogram_quantile": q_metric_histogram_quantile,
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
     "asof_purchase_click": q_asof_purchase_click,
@@ -914,6 +985,7 @@ ORACLES: dict[str, str] = {
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
+    "metric_histogram_quantile": ORACLE_HISTOGRAM_QUANTILE,
     "user_event_seq": ORACLE_USER_SEQ,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "range_join_ship": ORACLE_RANGE_JOIN,
