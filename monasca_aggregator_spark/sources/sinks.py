@@ -234,3 +234,58 @@ def compact_dataset(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    checks: Sequence,
+    *,
+    partition_by: Sequence[str] = (),
+    target_rows_per_file: int = 250_000,
+) -> dict:
+    """Write-Audit-Publish: stage the dataset, run every audit check
+    against the STAGED files (never the in-memory plan — the audit
+    must see exactly the bytes readers will), and only then swap the
+    staging directory into place. A failing audit leaves the previous
+    published data untouched and removes the staging dir — bad data is
+    never visible to a reader, which is the entire point of WAP over
+    write-then-validate.
+
+    ``checks``: callables ``(DataFrame) -> (bool, str)`` evaluated on
+    a fresh scan of the staged parquet. Returns a manifest dict
+    {published, n_rows, checks: [(name, ok, detail)]}; raises
+    ValueError on audit failure after cleanup. Swap mechanics match
+    compact_dataset (same-filesystem rename; object stores commit a
+    manifest instead)."""
+    staging = f"{path}__wap_{uuid.uuid4().hex[:8]}"
+    results = []
+    try:
+        write_sharded(
+            df,
+            staging,
+            partition_by=partition_by,
+            target_rows_per_file=target_rows_per_file,
+        )
+        staged = spark.read.parquet(staging)
+        n_rows = staged.count()
+        ok_all = True
+        for check in checks:
+            ok, detail = check(staged)
+            results.append(
+                (getattr(check, "__name__", "check"), bool(ok), str(detail))
+            )
+            ok_all = ok_all and bool(ok)
+        if not ok_all:
+            raise ValueError(f"WAP audit failed: {results}")
+        if os.path.exists(path):
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {"published": True, "n_rows": n_rows, "checks": results}

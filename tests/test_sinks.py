@@ -203,3 +203,46 @@ def test_compact_dataset_reduces_files_and_preserves_rows(
     assert len(_parquet_files(tmp_path / "tiny")) == 1
     got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
     assert got == [(i, 2 * i) for i in range(500)]
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: a passing audit publishes atomically; a failing audit on
+    the NEXT write leaves the previously published data untouched and
+    cleans up its staging dir — readers never see the bad drop."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.sinks import write_audit_publish
+
+    good = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    path = str(tmp_path / "wap_ds")
+
+    def no_nulls(df):
+        n = df.filter(F.col("k").isNull()).count()
+        return n == 0, f"{n} null keys"
+
+    def min_rows(df):
+        n = df.count()
+        return n >= 50, f"{n} rows"
+
+    manifest = write_audit_publish(
+        good, spark, path, [no_nulls, min_rows]
+    )
+    assert manifest["published"] and manifest["n_rows"] == 100
+    assert spark.read.parquet(path).count() == 100
+
+    bad = spark.range(10).select(
+        F.col("id"), F.lit(None).cast("long").alias("k")
+    )
+    with pytest.raises(ValueError, match="WAP audit failed"):
+        write_audit_publish(bad, spark, path, [no_nulls, min_rows])
+    # previous publish intact, no stray staging/old dirs
+    assert spark.read.parquet(path).count() == 100
+    leftovers = [
+        d for d in os.listdir(tmp_path) if "__wap_" in d or "__old_" in d
+    ]
+    assert leftovers == []
