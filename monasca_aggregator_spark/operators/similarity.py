@@ -249,6 +249,7 @@ def ivf_ann(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: DataFrame | None = None,
+    cell_map: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, search only the query's ``n_probe`` nearest cells.
@@ -307,14 +308,24 @@ def ivf_ann(
     # corpus side (n=1): Arrow-batch argmax — no crossJoin/window over
     # the big relation; the query side keeps the top-n window (queries
     # are a tiny relation by construction)
-    cents_lit = [
-        (r.cent_id, list(r.cent_vec))
-        for r in cents.select("cent_id", "cent_vec").collect()
-    ]
-    cell_of = nearest_centroid_udf(cents_lit)
-    inverted = c.select(
-        "neighbor_id", "c_vec", cell_of(F.col("c_vec")).alias("cell")
-    )
+    if cell_map is not None:
+        # persisted index: the per-ingest assignment pass is skipped —
+        # the thin (id, cell) map joins back onto the corpus scan
+        inverted = c.join(
+            cell_map.select(
+                F.col(id_col).alias("neighbor_id"), "cell"
+            ),
+            "neighbor_id",
+        )
+    else:
+        cents_lit = [
+            (r.cent_id, list(r.cent_vec))
+            for r in cents.select("cent_id", "cent_vec").collect()
+        ]
+        cell_of = nearest_centroid_udf(cents_lit)
+        inverted = c.select(
+            "neighbor_id", "c_vec", cell_of(F.col("c_vec")).alias("cell")
+        )
     probes = nearest_cells(q, "query_id", "q_vec", n_probe)
 
     scored = (
@@ -564,4 +575,56 @@ def lsh_ann(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the (tiny) centroid table plus the THIN
+    (id, cell) assignment map — vectors are NOT copied into the index
+    (the same thin-index rationale as the incremental MinHash index:
+    a fat index multiplies every probe join). Build cost — the full
+    corpus assignment pass — is paid once at ingest; probes then skip
+    it entirely (ivf_probe)."""
+    assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cell"
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    centroids.select("cent_id", "cent_vec").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED IVF index from a cold start: load the
+    centroid table and thin cell map written by save_ivf_index and
+    run the probe join — identical results to a fresh ivf_ann with
+    the same centroids (pinned in tests), but the corpus-wide
+    assignment pass never reruns. This is the serving-path shape: the
+    index ages with the corpus snapshot it was built from; rebuild on
+    ingest, not per query."""
+    spark = corpus.sparkSession
+    return ivf_ann(
+        corpus,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        cell_map=spark.read.parquet(f"{path}/cells"),
     )

@@ -235,3 +235,31 @@ def test_semantic_dedup_equals_cell_restricted_bruteforce(spark, sf_small):
     assert all(abs(got[k][1] - want[k]) < 1e-9 for k in want)
     assert all(got[k][0] == cells[k[0]] for k in got)
     assert set(got) <= set(brute)
+
+
+def test_persisted_ivf_index_probe_equals_fresh_search(spark, sf_small, tmp_path):
+    """Index lifecycle: save centroids + thin cell map, probe from the
+    persisted index — results must equal a fresh ivf_ann with the same
+    centroids, with no corpus assignment pass at probe time."""
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_centroids=8, n_iter=2)
+    queries = emb.filter("vec_id < 10")
+
+    fresh = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in S.ivf_ann(
+            emb, queries, k=10, n_probe=3, centroids=cents
+        ).collect()
+    }
+    idx = str(tmp_path / "ivf_idx")
+    S.save_ivf_index(emb, cents, idx)
+    probed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in S.ivf_probe(
+            emb, queries, idx, k=10, n_probe=3
+        ).collect()
+    }
+    assert probed == fresh
+    assert len(probed) > 0
