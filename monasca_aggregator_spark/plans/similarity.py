@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.operators.similarity import (
     cosine_topk,
     ivf_ann,
@@ -105,6 +106,131 @@ FROM (
   FROM scored
 ) t
 WHERE rank <= {K}
+""".strip()
+
+
+_IC_MULT = 2654435761
+_IC_MOD = 2147483647
+_IC_CELLS = 8
+_IC_PROBE = 3
+
+
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED IVF search: the full inverted-file pipeline —
+    deterministic hash-sampled centroids (SQL-reproducible priority),
+    6-dp-rounded argmax cell assignment, top-n_probe cell selection
+    per query, candidate join restricted to probed cells, exact
+    rounded re-rank — under the driver's exact hash gate. The
+    k-means-trained `ann_ivf_kmeans` stays rows-only (recall pinned
+    in pytest); this pins the SEARCH machinery itself."""
+    from pyspark.sql import Window
+
+    from monasca_aggregator_spark.functions.vectors import as_double, cosine
+    from monasca_aggregator_spark.operators.similarity import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pri = F.pmod(F.col("vec_id") * F.lit(_IC_MULT), F.lit(_IC_MOD))
+    picked = (
+        emb.select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("cent_vec"),
+            pri.alias("pri"),
+        )
+        .orderBy("pri", "vec_id")
+        .limit(_IC_CELLS)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, list(r.cent_vec)) for i, r in enumerate(picked)],
+        "cent_id int, cent_vec array<double>",
+    )
+    inverted = assign_cells(emb, cents, round6=True).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
+        F.col("embedding").alias("c_vec"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("q_vec"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "cent_id",
+        stable_round(
+            cosine(F.col("q_vec"), F.col("cent_vec")), 6
+        ).alias("csim"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= _IC_PROBE)
+        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                cosine(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+ORACLE_ANN_IVF_CELLS = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY pri, vec_id) - 1 AS cent_id, e
+  FROM (
+    SELECT vec_id, e, (vec_id * {_IC_MULT}) % {_IC_MOD} AS pri FROM v
+  ) ORDER BY pri, vec_id LIMIT {_IC_CELLS}
+), ascored AS (
+  SELECT v.vec_id, c.cent_id,
+         floor(list_cosine_similarity(v.e, c.e) * 1000000.0::DOUBLE
+               + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM v CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cent_id AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cent_id ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT a.vec_id AS query_id, a.cent_id AS cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY a.sim DESC, a.cent_id ASC) AS rk
+    FROM ascored a WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {_IC_PROBE}
+), cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(qv.e, nv.e) * 1000000.0::DOUBLE
+               + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM probes p
+  JOIN assigned n ON n.cell = p.cell AND n.vec_id != p.query_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  JOIN v nv ON nv.vec_id = n.vec_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {K}
 """.strip()
 
 
@@ -268,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
+    "ann_ivf_cells": q_ann_ivf_cells,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)
@@ -278,5 +405,6 @@ ORACLES: dict[str, str] = {
     "embedding_centroids": ORACLE_CENTROIDS,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_filtered": ORACLE_ANN_FILTERED,
+    "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,
     "embedding_quantize": ORACLE_QUANTIZE,
 }
