@@ -811,7 +811,148 @@ FROM per, tot
 """.strip()
 
 
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline anomaly score: each (metric, hour-window)'s
+    value is z-scored against the SAME-HOUR-OF-DAY history — the
+    baseline that catches a quiet 3 a.m. spike which a trailing-window
+    z-score (`anomaly_zscore`) would wash out against busy daytime
+    hours. Hourly aggregate → (metric, hour-of-day) baseline stats
+    (≤ 24·|metrics| rows, broadcast back) → score. Exact integer-e6
+    window sums; the baseline mean/std divide exact integers so both
+    engines agree bit-for-bit. Windows with < 3 same-hour samples or
+    zero variance emit NULL score (insufficient baseline)."""
+    ev = load_table(spark, sf_dir, "events")
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (
+                (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+                * F.lit(_HOUR_MS)
+            ).alias("window_ts_ms"),
+        )
+        .agg(
+            (F.sum(v_e6).cast("double") / (F.count(F.lit(1)) * 1_000_000.0)
+             ).alias("wv")
+        )
+    )
+    hod = F.expr(f"(window_ts_ms div {_HOUR_MS}) % 24")
+    with_hod = hourly.withColumn("hod", hod)
+    base = with_hod.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_hist"),
+        F.avg("wv").alias("mu"),
+        F.stddev_samp("wv").alias("sd"),
+    )
+    score = F.when(
+        (F.col("n_hist") >= 3) & (F.col("sd") > 0),
+        stable_round((F.col("wv") - F.col("mu")) / F.col("sd"), 4),
+    )
+    return (
+        with_hod.join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "window_ts_ms",
+            F.col("hod").cast("long").alias("hod"),
+            stable_round(F.col("wv"), 4).alias("wv"),
+            "n_hist",
+            score.alias("season_z"),
+        )
+    )
+
+
+ORACLE_ANOMALY_SEASONAL = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / (count(*) * 1000000.0::DOUBLE) AS wv
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT *, (window_ts_ms // {_HOUR_MS}) % 24 AS hod FROM hourly
+), base AS (
+  SELECT event_type, hod, count(*) AS n_hist,
+         avg(wv) AS mu, stddev_samp(wv) AS sd
+  FROM h GROUP BY 1, 2
+)
+SELECT h.event_type, h.window_ts_ms, CAST(h.hod AS BIGINT) AS hod,
+       {sql_stable_round("h.wv", 4)} AS wv,
+       base.n_hist,
+       CASE WHEN base.n_hist >= 3 AND base.sd > 0
+            THEN {sql_stable_round("(h.wv - base.mu) / base.sd", 4)}
+       END AS season_z
+FROM h JOIN base USING (event_type, hod)
+""".strip()
+
+
+def q_metric_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per (metric, day): each day's volume and
+    e6-exact value sum against the same weekday one week earlier
+    (lag 7 on the collapsed daily series — a per-series window over a
+    day-count-bounded relation, not the raw corpus). The change ratio
+    divides exact integers; days without a prior week emit NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v_e6).alias("sum_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_n = F.lag("n", 7).over(w)
+    prev_sum = F.lag("sum_e6", 7).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        prev_n.alias("n_prev_week"),
+        F.when(
+            prev_n > 0,
+            stable_round(
+                F.col("n").cast("double") / prev_n.cast("double"), 4
+            ),
+        ).alias("count_wow"),
+        F.when(
+            prev_sum > 0,
+            stable_round(
+                F.col("sum_e6").cast("double") / prev_sum.cast("double"), 4
+            ),
+        ).alias("value_wow"),
+    )
+
+
+ORACLE_WOW = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_e6
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT *,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pn,
+         lag(sum_e6, 7) OVER (PARTITION BY event_type ORDER BY day) AS ps
+  FROM daily
+)
+SELECT event_type, day, n, pn AS n_prev_week,
+       CASE WHEN pn > 0
+            THEN {sql_stable_round(
+                "CAST(n AS DOUBLE) / CAST(pn AS DOUBLE)", 4)}
+       END AS count_wow,
+       CASE WHEN ps > 0
+            THEN {sql_stable_round(
+                "CAST(sum_e6 AS DOUBLE) / CAST(ps AS DOUBLE)", 4)}
+       END AS value_wow
+FROM lagged
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "anomaly_seasonal": q_anomaly_seasonal,
+    "metric_wow_change": q_metric_wow_change,
     "metric_burn_rate": q_metric_burn_rate,
     "metric_cardinality_report": q_metric_cardinality_report,
     "metric_ewma": q_metric_ewma,  # rows-only (order-dependent fold)
@@ -828,6 +969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "anomaly_seasonal": ORACLE_ANOMALY_SEASONAL,
+    "metric_wow_change": ORACLE_WOW,
     "metric_burn_rate": ORACLE_BURN_RATE,
     "metric_cardinality_report": ORACLE_CARDINALITY,
     "metric_twa": ORACLE_TWA,
