@@ -366,3 +366,62 @@ def pack_sliding_chunks(
             & (F.col("chunk_id") * stride + budget > start)
         )
     )
+
+
+def pack_first_fit_decreasing(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """BIN-PACKING sequence packing: within each group, assign whole
+    documents to bins by first-fit-decreasing — unlike
+    ``pack_concat_chunk`` no document straddles a bin boundary, so
+    nothing is truncated, at the cost of padding waste FFD provably
+    keeps within 11/9·OPT + 1 bins. This is the batch-shape packer
+    for training setups that cannot split sequences.
+
+    FFD is an order-dependent sequential fold, so each group's packing
+    runs inside applyInPandas (Arrow; one shuffle on the group key,
+    groups are shard-bounded by construction). Deterministic: sizes
+    descend with id_col as the tie-break, bins scan in creation order.
+    Oversize documents (> budget) get singleton bins. Output adds
+    (bin_id, bin_fill) per row; tests pin the invariants (no bin over
+    budget except singletons, FFD bins ≤ concat-chunk's padded-bin
+    count, rerun/partitioning stability).
+    """
+    import pandas as pd
+
+    out_fields = list(df.schema.fields)
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", bin_id int, bin_fill bigint"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        fills: list[int] = []
+        assign: list[int] = []
+        for sz in pdf[size_col]:
+            sz = int(sz)
+            placed = -1
+            for i, f in enumerate(fills):
+                if f + sz <= budget:
+                    placed = i
+                    break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += sz
+            assign.append(placed)
+        pdf = pdf.assign(
+            bin_id=pd.array(assign, dtype="int32"),
+            bin_fill=pd.array(
+                [fills[b] for b in assign], dtype="int64"
+            ),
+        )
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_pack, schema_ddl)

@@ -737,6 +737,46 @@ FROM (
 """.strip()
 
 
+_FFD_BUDGET = 2000
+
+
+def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: whole-document BIN PACKING via first-fit-decreasing
+    (operators/sampling.pack_first_fit_decreasing) — no document
+    splits across bins (nothing truncated), padding bounded by FFD's
+    11/9·OPT+1 guarantee. Sequential per-group fold → applyInPandas →
+    not SQL-expressible; invariants pinned in test_sampling.py.
+    Output: per-source bin count, fill rate, and padding waste —
+    the numbers a training-batch planner reads."""
+    from monasca_aggregator_spark.operators.sampling import (
+        pack_first_fit_decreasing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = pack_first_fit_decreasing(
+        docs, "source", "doc_id", "n_chars", _FFD_BUDGET
+    )
+    per_bin = packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("fill"),
+    )
+    return per_bin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("fill").alias("total_chars"),
+        stable_round(
+            F.sum("fill").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(_FFD_BUDGET))),
+            4,
+        ).alias("fill_rate"),
+        (F.count(F.lit(1)) * F.lit(_FFD_BUDGET) - F.sum("fill")).alias(
+            "padding_waste"
+        ),
+    )
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the composed end-to-end curation pipeline
     (curation.curate_corpus — exact dedup → MinHash near-dedup →
@@ -763,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "pack_length_buckets": q_pack_length_buckets,
+    "pack_bins_ffd": q_pack_bins_ffd,  # rows-only (sequential FFD fold)
     "sample_weighted_k": q_sample_weighted_k,
     "sample_budget_mix": q_sample_budget_mix,
     "sample_top_p_source": q_sample_top_p_source,

@@ -378,3 +378,65 @@ def test_epoch_repeat_upsamples_low_resource_langs(spark, sf_small):
         expect = r.n_docs * r.epochs_e6 / 1_000_000
         assert abs(r.n_virtual - expect) <= max(10, 0.25 * r.n_docs)
     assert len(by_lang) == len(rows)
+
+
+def test_ffd_packing_invariants(spark, sf_small):
+    """First-fit-decreasing packing: no bin over budget (except
+    oversize singletons), strictly fewer-or-equal bins than the
+    concat-chunk chunk count with whole-document placement, and
+    deterministic across partitionings."""
+    from monasca_aggregator_spark.operators.sampling import (
+        pack_first_fit_decreasing,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    budget = 2000
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = pack_first_fit_decreasing(
+        docs, "source", "doc_id", "n_chars", budget
+    )
+    rows = packed.collect()
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r.source, r.bin_id), []).append(r)
+    for (_, _), members in by_bin.items():
+        total = sum(m.n_chars for m in members)
+        assert total == members[0].bin_fill
+        if len(members) > 1:
+            assert total <= budget
+        else:
+            assert total <= budget or members[0].n_chars > budget
+
+    # vs concat-chunk: FFD may not use MORE bins per source
+    from pyspark.sql import functions as F
+
+    per_source_bins = {
+        r.source: r.nb
+        for r in packed.groupBy("source")
+        .agg(F.countDistinct("bin_id").alias("nb"))
+        .collect()
+    }
+    naive = {
+        r.source: r.nb
+        for r in docs.groupBy("source")
+        .agg(
+            F.ceil(F.sum("n_chars") / F.lit(budget)).alias("lower"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr("source", "greatest(lower, 1) AS nb")
+        .collect()
+    }
+    for src, nb in per_source_bins.items():
+        # FFD within 11/9*OPT + 1 of the volume lower bound
+        assert nb <= (11 * naive[src]) // 9 + 2
+
+    again = {
+        (r.source, r.doc_id): r.bin_id
+        for r in pack_first_fit_decreasing(
+            docs.repartition(16), "source", "doc_id", "n_chars", budget
+        ).collect()
+    }
+    first = {(r.source, r.doc_id): r.bin_id for r in rows}
+    assert again == first
