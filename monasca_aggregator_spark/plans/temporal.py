@@ -961,7 +961,82 @@ FROM cells WHERE n < {_KANON_K} GROUP BY 1
 """.strip()
 
 
+_ATTR_WINDOW_MS = 24 * 3600 * 1000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the preceding 24 h, and
+    credit aggregates by the CLICK's day — the report marketing runs
+    to value touchpoints (the funnel queries only count conversions;
+    this distributes revenue back onto the touches). User-keyed join
+    (per-user event volumes are bounded) + per-purchase touch count
+    from one window; the per-touch credit uses integer floor division
+    of the e6 value so the day-level sums are exact BIGINTs in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis(F.col("ts")).alias("t_p"),
+        v_e6.alias("v_e6"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("t_c"),
+        F.to_date("ts").cast("string").alias("click_day"),
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("t_c") < F.col("t_p"))
+        & (F.col("t_c") >= F.col("t_p") - F.lit(_ATTR_WINDOW_MS))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = j.withColumn("n_touch", F.count(F.lit(1)).over(w)).withColumn(
+        "credit_e6", F.expr("v_e6 div n_touch")
+    )
+    return credited.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        stable_round(
+            F.sum("credit_e6").cast("double") / F.lit(1_000_000.0), 4
+        ).alias("credited_value"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS t_p,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_ms(ts) AS t_c,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS click_day
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.v_e6, c.click_day
+  FROM p JOIN c USING (user_id)
+  WHERE c.t_c < p.t_p AND c.t_c >= p.t_p - {_ATTR_WINDOW_MS}
+), credited AS (
+  SELECT *,
+         v_e6 // count(*) OVER (PARTITION BY purchase_id) AS credit_e6
+  FROM j
+)
+SELECT click_day, count(*) AS n_touches,
+       count(DISTINCT purchase_id) AS n_purchases,
+       {sql_stable_round(
+           "CAST(sum(credit_e6) AS DOUBLE) / 1000000.0", 4)}
+         AS credited_value
+FROM credited GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_attribution": q_events_attribution,
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
@@ -982,6 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_attribution": ORACLE_ATTRIBUTION,
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
