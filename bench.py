@@ -93,6 +93,13 @@ BENCH_QUERIES = [
     "metric_burn_rate",
     "metric_cardinality_report",
     "order_shuffle",
+    "anomaly_seasonal",
+    "metric_wow_change",
+    "events_attribution",
+    "metric_histogram_quantile",
+    "dedup_semantic_cells",
+    "ann_ivf_cells",
+    "pack_bins_ffd",
 ]
 
 
