@@ -1035,7 +1035,54 @@ FROM credited GROUP BY 1
 """.strip()
 
 
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (rolling WAU, with same-day
+    DAU): a user active on day d stays 'active' for days d..d+6, so
+    each DISTINCT (user, day) pair fans out into ≤ 7 rows and one
+    countDistinct per day does the rest — no per-day rescan of
+    history, no self-join over the window. The fanout factor is the
+    window length (constant), the exchange carries (day, user) pairs
+    deduped map-side, and days past the data's end are clipped via a
+    broadcast 1-row max."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    maxd = days.agg(F.max("d").alias("max_d"))
+    fan = days.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6))")
+        ).alias("day"),
+    ).crossJoin(F.broadcast(maxd)).filter(F.col("day") <= F.col("max_d"))
+    return fan.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_wau"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+        ).alias("n_dau"),
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), maxd AS (
+  SELECT max(d) AS max_d FROM days
+), fan AS (
+  SELECT user_id, d, d + CAST(k AS INTEGER) AS day
+  FROM days, unnest(range(0, 7)) AS u(k), maxd
+  WHERE d + CAST(k AS INTEGER) <= max_d
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       count(DISTINCT user_id) AS n_wau,
+       count(DISTINCT CASE WHEN day = d THEN user_id END) AS n_dau
+FROM fan GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_rolling_wau": q_events_rolling_wau,
     "events_attribution": q_events_attribution,
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
@@ -1057,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_attribution": ORACLE_ATTRIBUTION,
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,

@@ -639,6 +639,115 @@ WHERE list_has_all(
 """.strip()
 
 
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED retrieval for the fixed query terms — the scoring
+    layer `text_search_conjunctive`'s boolean match lacks: per-doc
+    term frequencies saturate via k1, long docs normalize via
+    b·dl/avgdl,
+    rare terms weigh more via the robust idf ln((N−df+0.5)/(df+0.5)+1).
+    Corpus stats (N, Σdl, per-term df) collapse to ONE broadcast row;
+    tf/dl are row-local token-filter expressions, so the whole scorer
+    is scan + broadcast + codegen arithmetic, ranked after 4-dp
+    rounding (the pre-rank rounding convention) with doc_id
+    tie-break."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def has(term):
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, has(t))).alias(f"tf_{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(SEARCH_TERMS))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs_total")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+    )
+    score = F.lit(0.0)
+    for i in range(len(SEARCH_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs_total") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + F.when(
+            F.col(f"tf_{i}") > 0,
+            idf * tf * F.lit(BM25_K1 + 1.0) / (tf + norm),
+        ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "doc_id", "dl", stable_round(score, 4).alias("bm25")
+    ).filter(F.col("bm25") > 0)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("rank", "doc_id", "dl", "bm25")
+    )
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" x -> x = '{term}'))"
+    )
+
+
+ORACLE_BM25 = rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+         {", ".join(f"{_bm25_tf_sql(t)} AS tf_{i}"
+                    for i, t in enumerate(SEARCH_TERMS))}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs_total, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {", ".join(f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                    f" AS BIGINT) AS df_{i}"
+                    for i in range(len(SEARCH_TERMS)))}
+  FROM base
+), scored AS (
+  SELECT doc_id, dl,
+         {sql_stable_round(
+             " + ".join(
+                 f"(CASE WHEN tf_{i} > 0 THEN"
+                 f" ln((n_docs_total - CAST(df_{i} AS DOUBLE) + 0.5::DOUBLE)"
+                 f" / (CAST(df_{i} AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)"
+                 f" * CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0}::DOUBLE"
+                 f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1}::DOUBLE *"
+                 f" (1.0::DOUBLE - {BM25_B}::DOUBLE + {BM25_B}::DOUBLE"
+                 f" * dl / (CAST(sum_dl AS DOUBLE) / n_docs_total)))"
+                 f" ELSE 0.0::DOUBLE END)"
+                 for i in range(len(SEARCH_TERMS))
+             ), 4)} AS bm25
+  FROM base, stats
+)
+SELECT rank, doc_id, dl, bm25 FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored WHERE bm25 > 0
+) WHERE rank <= {BM25_TOPK}
+""".strip()
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per doc — the classic gibberish/
     binary-spill detector (natural language sits ~4 bits/char; base64
@@ -1028,6 +1137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf": q_text_tfidf,
     "text_bigram_pmi": q_text_bigram_pmi,
     "text_search_conjunctive": q_text_search,
+    "text_search_bm25": q_text_search_bm25,
     "text_langid": q_text_langid,
     "quality_deciles": q_quality_deciles,
     "text_decontaminate": q_text_decontaminate,
@@ -1053,6 +1163,7 @@ ORACLES: dict[str, str] = {
     "text_tfidf": ORACLE_TFIDF,
     "text_bigram_pmi": ORACLE_PMI,
     "text_search_conjunctive": ORACLE_SEARCH,
+    "text_search_bm25": ORACLE_BM25,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,
     "text_decontaminate": ORACLE_DECONTAMINATE,
