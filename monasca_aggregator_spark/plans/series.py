@@ -585,6 +585,60 @@ FROM events GROUP BY 1
 """.strip()
 
 
+def q_metric_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric AVAILABILITY: the fraction of expected hourly
+    windows (the corpus's global [min, max] hour span — every series
+    is expected every hour) in which the series actually reported —
+    the SLA complement of `metric_staleness` (staleness says how far
+    behind NOW a series is; availability says how gap-free its
+    history was). Distinct present hours per metric is a two-level
+    partial-able aggregate; the expected-hour span is a broadcast
+    1-row aggregate; the ratio divides exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+    )
+    present = ev.groupBy("event_type").agg(
+        F.countDistinct(hour).alias("hours_present")
+    )
+    span = ev.agg(
+        (F.max(hour) - F.min(hour) + F.lit(1)).alias("hours_expected")
+    )
+    return present.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "hours_present",
+        "hours_expected",
+        stable_round(
+            F.col("hours_present").cast("double")
+            / F.col("hours_expected"),
+            4,
+        ).alias("availability"),
+        (F.col("hours_expected") - F.col("hours_present")).alias(
+            "hours_missed"
+        ),
+    )
+
+
+ORACLE_AVAILABILITY = f"""
+WITH present AS (
+  SELECT event_type,
+         count(DISTINCT epoch_ms(ts) // {_HOUR_MS}) AS hours_present
+  FROM events GROUP BY 1
+), span AS (
+  SELECT max(epoch_ms(ts) // {_HOUR_MS})
+         - min(epoch_ms(ts) // {_HOUR_MS}) + 1 AS hours_expected
+  FROM events
+)
+SELECT event_type, hours_present,
+       CAST(hours_expected AS BIGINT) AS hours_expected,
+       {sql_stable_round(
+           "CAST(hours_present AS DOUBLE) / hours_expected", 4)}
+         AS availability,
+       CAST(hours_expected - hours_present AS BIGINT) AS hours_missed
+FROM present, span
+""".strip()
+
+
 def q_metric_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per (metric, hour) — the gauge semantics
     a plain avg() gets wrong under irregular sampling (a value held
@@ -952,6 +1006,7 @@ FROM lagged
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_seasonal": q_anomaly_seasonal,
+    "metric_availability": q_metric_availability,
     "metric_wow_change": q_metric_wow_change,
     "metric_burn_rate": q_metric_burn_rate,
     "metric_cardinality_report": q_metric_cardinality_report,
@@ -970,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "anomaly_seasonal": ORACLE_ANOMALY_SEASONAL,
+    "metric_availability": ORACLE_AVAILABILITY,
     "metric_wow_change": ORACLE_WOW,
     "metric_burn_rate": ORACLE_BURN_RATE,
     "metric_cardinality_report": ORACLE_CARDINALITY,
