@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "dedup_semantic_cells",
     "ann_ivf_cells",
     "pack_bins_ffd",
+    "text_search_bm25",
+    "events_rolling_wau",
+    "metric_availability",
 ]
 
 
