@@ -355,3 +355,120 @@ def test_png_round_trip_property():
         assert (out == img).all()
 
     check()
+
+
+def test_span_rewrite_matches_bruteforce_random_batch(spark):
+    """Random tiny-vocab corpora (heavy span collisions by
+    construction): span_dedup_rewrite must match a brute-force Python
+    reference computing first-seen spans and coverage — one seeded
+    batch, one Spark job."""
+    import hashlib
+
+    from monasca_aggregator_spark.operators.textops import (
+        span_dedup_rewrite,
+    )
+
+    rng = random.Random(77)
+    n_span = 4
+    vocab = [f"w{i}" for i in range(6)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(40)
+    ]
+
+    # brute-force reference
+    first_seen: dict[tuple, int] = {}
+    toks_by_doc = {}
+    for did, text in docs:
+        toks = text.lower().strip().split() if text.strip() else [""]
+        if text == "":
+            toks = [""]
+        toks_by_doc[did] = toks
+        for s in range(len(toks) - n_span + 1):
+            key = tuple(toks[s : s + n_span])
+            first_seen.setdefault(key, did)
+    want = {}
+    for did, toks in toks_by_doc.items():
+        rm = [False] * len(toks)
+        for s in range(len(toks) - n_span + 1):
+            if first_seen[tuple(toks[s : s + n_span])] < did:
+                for p in range(s, s + n_span):
+                    rm[p] = True
+        kept = [t for t, r in zip(toks, rm) if not r]
+        want[did] = (
+            len(toks),
+            sum(rm),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in span_dedup_rewrite(df, n=n_span).collect()
+    }
+    assert got == want
+
+
+def test_twa_matches_bruteforce_random_batch(spark):
+    """Random irregular series incl. same-timestamp ties and
+    singleton series: metric_twa's windowed integral must match a
+    brute Python piecewise-constant integration with the identical e3
+    quantization and window attribution."""
+    from monasca_aggregator_spark.plans.series import _HOUR_MS
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for m in ("a", "b"):
+        for u in range(3):
+            t = 1_700_000_000_000
+            for _ in range(rng.randint(1, 25)):
+                t += rng.choice([0, 1_000, 60_000, 1_800_000, 4_000_000])
+                rows.append((eid, m, u, t, rng.uniform(-5, 50)))
+                eid += 1
+
+    import math
+
+    segs: dict[tuple, list] = {}
+    by_series: dict[tuple, list] = {}
+    for eid_, m, u, t, v in rows:
+        by_series.setdefault((m, u), []).append((t, eid_, v))
+    for (m, u), pts in by_series.items():
+        pts.sort()
+        for (t1, _, v1), (t2, _, _) in zip(pts, pts[1:]):
+            w = (t1 // _HOUR_MS) * _HOUR_MS
+            v_e3 = math.floor(v1 * 1000.0 + 0.5)
+            segs.setdefault((m, w), []).append((v_e3, t2 - t1))
+    want = {}
+    for key, ss in segs.items():
+        num = sum(v * dt for v, dt in ss)
+        den = sum(dt for v, dt in ss)
+        twa = (
+            math.floor((num / (1000.0 * den)) * 10000.0 + 0.5) / 10000.0
+            if den > 0
+            else None
+        )
+        want[key] = (twa, len(ss), den)
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, t long, value double"
+    ).select(
+        "event_id", "event_type", "user_id",
+        SF.timestamp_millis(SF.col("t")).alias("ts"), "value",
+    )
+    import monasca_aggregator_spark.plans.series as series_mod
+    from monasca_aggregator_spark.plans.series import q_metric_twa
+
+    # run the same plan body against the synthetic frame
+    orig = series_mod.load_table
+    series_mod.load_table = lambda *_a, **_k: df
+    try:
+        got = {
+            (r.event_type, r.window_ts_ms): (r.twa, r.n_segments, r.covered_ms)
+            for r in q_metric_twa(spark, "unused").collect()
+        }
+    finally:
+        series_mod.load_table = orig
+    assert got == want
