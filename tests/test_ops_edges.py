@@ -1,0 +1,146 @@
+"""Edge-semantics pins for the late-round operators, on hand-built
+frames (load_table monkeypatched so the exact plan bodies run):
+k-anonymity at the threshold boundary, burn-rate blip suppression,
+attribution credit conservation, and rolling-WAU window mechanics."""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _inject(mod, df):
+    orig = mod.load_table
+    mod.load_table = lambda *_a, **_k: df
+    try:
+        yield
+    finally:
+        mod.load_table = orig
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, t long, value double"
+    ).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.timestamp_millis(F.col("t")).alias("ts"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+
+
+T0 = 1_700_000_000_000  # fixed epoch anchor
+
+
+def test_kanon_releases_exactly_at_k_and_suppresses_below(spark):
+    import monasca_aggregator_spark.plans.temporal as tmod
+    from monasca_aggregator_spark.plans.temporal import (
+        _KANON_K,
+        q_events_kanon,
+    )
+
+    rows = []
+    eid = 0
+    # group A: exactly k rows -> released; group B: k-1 rows -> residual
+    for i in range(_KANON_K):
+        rows.append((eid, "a", i, T0 + i, 1.0)); eid += 1
+    for i in range(_KANON_K - 1):
+        rows.append((eid, "b", i, T0 + i, 1.0)); eid += 1
+    with _inject(tmod, _events(spark, rows)):
+        out = q_events_kanon(spark, "unused").collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    (a,) = by_type["a"]
+    assert not a.suppressed and a.n == _KANON_K and a.day is not None
+    (b,) = by_type["b"]
+    assert b.suppressed and b.n == _KANON_K - 1 and b.day is None
+
+
+def test_burn_rate_requires_both_windows(spark):
+    """A 5-minute error blip inside an otherwise healthy hour must NOT
+    page (fast breaches, slow doesn't); a sustained breach pages."""
+    import monasca_aggregator_spark.plans.series as smod
+    from monasca_aggregator_spark.plans.series import q_metric_burn_rate
+
+    rows = []
+    eid = 0
+    # hour 1: one 5-min window all errors, rest of the hour clean+dense
+    h1 = (T0 // 3_600_000) * 3_600_000
+    for i in range(10):
+        rows.append((eid, "error", 1, h1 + i * 1_000, 1.0)); eid += 1
+    for i in range(990):
+        rows.append((eid, "ok", 1, h1 + 600_000 + i * 3_000, 1.0)); eid += 1
+    # hour 2: sustained 50% errors
+    h2 = h1 + 3_600_000
+    for i in range(100):
+        rows.append((eid, "error", 1, h2 + i * 30_000, 1.0)); eid += 1
+        rows.append((eid + 1000, "ok", 1, h2 + i * 30_000 + 1, 1.0))
+        eid += 1
+    with _inject(smod, _events(spark, rows)):
+        out = q_metric_burn_rate(spark, "unused").collect()
+    blip = [r for r in out if r.window_ts_ms == h1]
+    assert blip and not any(r.burning for r in blip)
+    sustained = [r for r in out if h2 <= r.window_ts_ms < h2 + 3_600_000]
+    assert sustained and all(r.burning for r in sustained)
+
+
+def test_attribution_conserves_value_and_skips_touchless(spark):
+    """Per-purchase credit sums to v_e6 - (v_e6 mod n_touch) (floor
+    division remainder only); purchases with no prior-24h click
+    contribute nothing."""
+    import monasca_aggregator_spark.plans.temporal as tmod
+    from monasca_aggregator_spark.plans.temporal import (
+        q_events_attribution,
+    )
+
+    rows = [
+        # user 1: 3 clicks then a purchase of 10.0 -> 3 credits
+        (1, "click", 1, T0 + 1_000, 0.0),
+        (2, "click", 1, T0 + 2_000, 0.0),
+        (3, "click", 1, T0 + 3_000, 0.0),
+        (4, "purchase", 1, T0 + 10_000, 10.0),
+        # user 2: purchase with NO clicks -> absent entirely
+        (5, "purchase", 2, T0 + 10_000, 99.0),
+        # user 3: click AFTER the purchase -> not attributed
+        (6, "purchase", 3, T0 + 10_000, 7.0),
+        (7, "click", 3, T0 + 20_000, 0.0),
+    ]
+    with _inject(tmod, _events(spark, rows)):
+        out = q_events_attribution(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_touches == 3 and r.n_purchases == 1
+    # 10.0 -> 10_000_000 e6; //3 = 3_333_333 per touch; x3 = 9_999_999
+    # e6 = 9.999999, which the 4-dp display rounding shows as 10.0 —
+    # conservation holds to the floor-division remainder (< n_touch e-6)
+    assert abs(r.credited_value - 10.0) < 1e-9
+
+
+def test_rolling_wau_window_mechanics(spark):
+    """A user active only on day 0 counts toward WAU for days 0-6 and
+    never day 7; DAU only on day 0."""
+    import monasca_aggregator_spark.plans.temporal as tmod
+    from monasca_aggregator_spark.plans.temporal import (
+        q_events_rolling_wau,
+    )
+
+    day_ms = 86_400_000
+    d0 = (T0 // day_ms) * day_ms
+    rows = [(1, "click", 42, d0 + 1_000, 1.0)]
+    # a second always-active user extends the reporting span to day 9
+    rows += [
+        (10 + i, "view", 7, d0 + i * day_ms + 2_000, 1.0) for i in range(10)
+    ]
+    with _inject(tmod, _events(spark, rows)):
+        out = {r.day: r for r in q_events_rolling_wau(spark, "unused").collect()}
+    days = sorted(out)
+    assert len(days) == 10
+    for i, day in enumerate(days):
+        expect_wau = 2 if i <= 6 else 1
+        assert out[day].n_wau == expect_wau, (i, day)
+        assert out[day].n_dau == (2 if i == 0 else 1)
