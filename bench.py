@@ -174,7 +174,8 @@ def main() -> None:
             "dedup_minhash", "text_tfidf", "dedup_spans",
             "metric_winsorize", "ann_cosine_topk", "pack_chunks_overlap",
             "sample_quota_source", "dedup_span_rewrite", "text_novelty",
-            "metric_twa", "order_curriculum",
+            "metric_twa", "order_curriculum", "text_search_bm25",
+            "events_attribution",
         ]
         soak: dict[str, dict[str, float]] = {}
         for name in soak_queries:
