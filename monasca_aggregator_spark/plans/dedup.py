@@ -367,6 +367,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: PageRank over the embedding near-dup pair graph
+    (operators/graph.py) — which documents sit at the CENTER of
+    duplication clusters (high rank = many/central near-dup
+    relations; the canonical-survivor picker keeps one doc per
+    component, this ranks how load-bearing each doc is). Iterative
+    power method, e12 exact-integer trajectory (bit-equal to the
+    local reference and partitioning-invariant in test_graph.py) —
+    not SQL-expressible as one statement."""
+    from monasca_aggregator_spark.operators.graph import pagerank_pairs
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = embedding_cosine_pairs(emb, threshold=EMB_THRESHOLD)
+    return pagerank_pairs(pairs, n_iter=8).select("id", "rank_e12")
+
+
 _SC_MULT = 2654435761  # Knuth multiplicative hash — SQL-reproducible
 _SC_MOD = 2147483647
 _SC_CELLS = 8
@@ -447,6 +466,7 @@ WHERE floor(list_cosine_similarity(x.e, y.e) * 1000000.0::DOUBLE
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_semantic_cells": q_dedup_semantic_cells,
+    "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
