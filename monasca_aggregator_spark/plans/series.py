@@ -585,6 +585,74 @@ FROM events GROUP BY 1
 """.strip()
 
 
+def q_metric_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ARRIVAL analysis per metric — the measurement that
+    justifies the windowLag/watermark setting (reference server.go's
+    lag; our `withWatermark`): using event_id as the arrival proxy, an
+    event is late if its event time precedes the running event-time
+    frontier of everything that arrived before it, and its lateness is
+    the distance behind that frontier. `max observed lateness` IS the
+    empirical watermark bound: set lag above the p-high of this and
+    late drops vanish. One running-max window per series + one
+    aggregate; integer-ms arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_ms = F.unix_millis(F.col("ts"))
+    frontier = F.max(t_ms).over(w)
+    marked = ev.select(
+        "event_type",
+        t_ms.alias("t"),
+        frontier.alias("frontier"),
+    ).withColumn(
+        "lateness_ms",
+        F.when(
+            F.col("frontier").isNotNull() & (F.col("t") < F.col("frontier")),
+            F.col("frontier") - F.col("t"),
+        ).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness_ms") > 0).cast("long")).alias("n_late"),
+        stable_round(
+            F.sum((F.col("lateness_ms") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("late_frac"),
+        F.max("lateness_ms").alias("max_lateness_ms"),
+        F.sum("lateness_ms").alias("total_lateness_ms"),
+    )
+
+
+ORACLE_OUT_OF_ORDER = f"""
+WITH marked AS (
+  SELECT event_type, epoch_ms(ts) AS t,
+         max(epoch_ms(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS frontier
+  FROM events
+), late AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NOT NULL AND t < frontier
+              THEN frontier - t ELSE 0 END AS lateness_ms
+  FROM marked
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       {sql_stable_round(
+           "CAST(sum(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / count(*)", 4)} AS late_frac,
+       CAST(max(lateness_ms) AS BIGINT) AS max_lateness_ms,
+       CAST(sum(lateness_ms) AS BIGINT) AS total_lateness_ms
+FROM late GROUP BY 1
+""".strip()
+
+
 def q_metric_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric AVAILABILITY: the fraction of expected hourly
     windows (the corpus's global [min, max] hour span — every series
@@ -1007,6 +1075,7 @@ FROM lagged
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_seasonal": q_anomaly_seasonal,
     "metric_availability": q_metric_availability,
+    "metric_out_of_order": q_metric_out_of_order,
     "metric_wow_change": q_metric_wow_change,
     "metric_burn_rate": q_metric_burn_rate,
     "metric_cardinality_report": q_metric_cardinality_report,
@@ -1026,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "anomaly_seasonal": ORACLE_ANOMALY_SEASONAL,
     "metric_availability": ORACLE_AVAILABILITY,
+    "metric_out_of_order": ORACLE_OUT_OF_ORDER,
     "metric_wow_change": ORACLE_WOW,
     "metric_burn_rate": ORACLE_BURN_RATE,
     "metric_cardinality_report": ORACLE_CARDINALITY,

@@ -39,8 +39,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # metric_cardinality_report, order_shuffle, dedup_semantic_cells,
 # metric_histogram_quantile, ann_ivf_cells, anomaly_seasonal,
 # metric_wow_change, events_attribution, text_search_bm25,
-# events_rolling_wau, metric_availability), the rows-only keys, and
-# as many r1-green keys as remain for re-confirmation.
+# events_rolling_wau, metric_availability, metric_out_of_order,
+# graph_pagerank), the rows-only keys, and as many r1-green keys as
+# remain for re-confirmation.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",
