@@ -144,3 +144,28 @@ def test_rolling_wau_window_mechanics(spark):
         expect_wau = 2 if i <= 6 else 1
         assert out[day].n_wau == expect_wau, (i, day)
         assert out[day].n_dau == (2 if i == 0 else 1)
+
+
+def test_out_of_order_detects_only_late_arrivals(spark):
+    """A perfectly ordered series reports zero lateness; swapping two
+    arrivals makes exactly the displaced event late by the frontier
+    gap."""
+    import monasca_aggregator_spark.plans.series as smod
+    from monasca_aggregator_spark.plans.series import (
+        q_metric_out_of_order,
+    )
+
+    rows = [(i, "ordered", 1, T0 + i * 1_000, 1.0) for i in range(10)]
+    # "swapped": event_id 105 carries an EARLIER ts than 104 → late by 5s
+    rows += [
+        (100, "swapped", 1, T0 + 0, 1.0),
+        (101, "swapped", 1, T0 + 10_000, 1.0),
+        (102, "swapped", 1, T0 + 5_000, 1.0),
+    ]
+    with _inject(smod, _events(spark, rows)):
+        out = {r.event_type: r for r in q_metric_out_of_order(spark, "x").collect()}
+    assert out["ordered"].n_late == 0
+    assert out["ordered"].max_lateness_ms == 0
+    s = out["swapped"]
+    assert s.n_late == 1 and s.max_lateness_ms == 5_000
+    assert s.total_lateness_ms == 5_000
