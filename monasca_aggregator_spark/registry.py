@@ -26,22 +26,31 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # never reached.  agg_streaming_rate is deferred to r3 (its sibling
 # agg_streaming exercises the same streaming-memory-sink oracle path).
 #
-# Round-3 rotation TODO: swap this window for the keys still without a
-# driver check after r2 — agg_streaming_rate, the r2 additions
-# (dedup_containment, pack_length_buckets, sample_weighted_k,
-# sample_budget_mix, sample_top_p_source, corpus_diff, text_entropy,
-# quality_lang_norm, metric_counter_rate, metric_retention_tiers,
-# metric_histogram_equidepth, metric_staleness, text_langid_ngram,
-# text_scrub, text_novelty, ann_filtered, order_curriculum,
-# sample_epoch_repeat, events_seq_patterns, metric_twa,
-# dedup_span_rewrite, quality_classifier, funnel_strict_ordered,
-# events_kanon, agg_sliding, grouping_sets_mixed, metric_burn_rate,
-# metric_cardinality_report, order_shuffle, dedup_semantic_cells,
-# metric_histogram_quantile, ann_ivf_cells, anomaly_seasonal,
-# metric_wow_change, events_attribution, text_search_bm25,
-# events_rolling_wau, metric_availability, metric_out_of_order,
-# graph_pagerank), the rows-only keys, and as many r1-green keys as
-# remain for re-confirmation.
+# Round-3 rotation — FIRST ACTION OF r3: replace _DRIVER_WINDOW with
+# the pre-computed list below (the 39 oracle-backed keys with no
+# driver check after r1+r2, then 11 r1-green re-confirmations).
+# Staged as a comment so the r2 gate (which reads the active window
+# at round end) is untouched.
+# _DRIVER_WINDOW_R3: tuple[str, ...] = (
+#     "agg_sliding", "grouping_sets_mixed", "pack_length_buckets",
+#     "sample_weighted_k", "sample_budget_mix", "sample_top_p_source",
+#     "corpus_diff", "order_curriculum", "order_shuffle",
+#     "sample_epoch_repeat", "dedup_semantic_cells",
+#     "dedup_containment", "dedup_span_rewrite", "text_novelty",
+#     "text_langid_ngram", "text_scrub", "quality_lang_norm",
+#     "text_entropy", "text_search_bm25", "ann_filtered",
+#     "ann_ivf_cells", "agg_streaming_rate", "events_rolling_wau",
+#     "events_attribution", "events_seq_patterns",
+#     "funnel_strict_ordered", "events_kanon",
+#     "metric_histogram_quantile", "anomaly_seasonal",
+#     "metric_availability", "metric_out_of_order",
+#     "metric_wow_change", "metric_burn_rate",
+#     "metric_cardinality_report", "metric_twa", "metric_counter_rate",
+#     "metric_retention_tiers", "metric_histogram_equidepth",
+#     "metric_staleness", "agg_count", "agg_sum", "agg_avg", "agg_min",
+#     "agg_max", "agg_delta", "agg_rate", "agg_filtered",
+#     "agg_rejected", "agg_grouped", "agg_rollup",
+# )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",
