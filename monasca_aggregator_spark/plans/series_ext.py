@@ -1,0 +1,502 @@
+"""Series set-operations + robust-statistics queries (events table).
+
+Extends plans/series.py with four capabilities a monitoring pipeline
+reaches for next, each one past the edge of what the reference's
+per-window aggregates (/root/reference/aggregation/*.go) can express:
+
+- KMV sketch SET OPERATIONS (operators/kmv.py): distinct-count
+  intersections across segments and across adjacent windows — the
+  question HLL union (plans/metrics.py `agg_distinct_rollup_hll`)
+  structurally cannot answer.
+- MAD robust anomaly: median/median-absolute-deviation outlier flags,
+  immune to the outliers that inflate the mean/σ z-score's own
+  baseline (complements `anomaly_zscore` and `anomaly_seasonal`).
+- CUSUM changepoint: cumulative-sum drift detection expressed as
+  prefix-sum minus running-extremum — pure window functions, no
+  order-dependent UDF fold.
+- Alert cooldown: gaps-and-islands incident grouping so one sustained
+  breach pages once, not once per window (the operational complement
+  of `metric_alert_hysteresis`).
+
+All four share the series family's scale posture: the raw scan is
+aggregated to a per-(metric, hour) series FIRST (one shuffle with
+map-side partials; the collapsed series is |metrics| x |hours| rows,
+orders of magnitude smaller than the input), and everything after
+operates on that collapsed series with broadcast join-backs or
+per-metric window functions.  Numerics are exact-integer or
+whole-number-in-double throughout so the DuckDB oracle hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.kmv import (
+    kmv_agg_if,
+    kmv_estimate,
+    kmv_intersect_estimate,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+_HOUR_MS = 3600 * 1000
+_W_SQL = f"(epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS}"
+_KMV_K = 1024  # exact below 1024 distinct/group; ±~3% beyond
+
+
+def _hourly_window() -> F.Column:
+    return (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    ).alias("window_ts_ms")
+
+
+# ------------------------------------------------- KMV segment overlap
+
+
+def q_agg_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hourly window: distinct clickers, distinct purchasers, and
+    their INTERSECTION / union / Jaccard — "how many of this hour's
+    buyers also clicked" — via KMV sketches (operators/kmv.py).
+
+    One shuffle keyed by window; both sketches build in the same
+    groupBy pass over one scan (conditional collect, NULLs skipped),
+    so adding a segment adds a column, not a pass.  State is <= 2k
+    hashes per window regardless of user count; at k=1024 the sketch
+    is exact below 1024 distinct users/window (always true at test
+    SFs -> DuckDB oracle-exact) and ±~3% beyond (the 100 TB mode).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "event_type")
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    is_click = F.col("event_type") == "click"
+    g = ev.groupBy(_hourly_window()).agg(
+        kmv_agg_if(F.col("user_id"), is_click, _KMV_K).alias("sk_a"),
+        kmv_agg_if(F.col("user_id"), ~is_click, _KMV_K).alias("sk_b"),
+    )
+    n_both = kmv_intersect_estimate(
+        F.col("sk_a"), F.col("sk_b"), _KMV_K
+    ).cast("long")
+    n_a = kmv_estimate(F.col("sk_a"), _KMV_K).cast("long")
+    n_b = kmv_estimate(F.col("sk_b"), _KMV_K).cast("long")
+    return g.select(
+        "window_ts_ms",
+        n_a.alias("n_click"),
+        n_b.alias("n_purchase"),
+        n_both.alias("n_both"),
+        (n_a + n_b - n_both).alias("n_union"),
+        (
+            n_both.cast("double") / (n_a + n_b - n_both).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_DISTINCT_OVERLAP = f"""
+WITH w AS (
+  SELECT {_W_SQL} AS window_ts_ms, user_id,
+         bool_or(event_type = 'click') AS a,
+         bool_or(event_type = 'purchase') AS b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT window_ts_ms,
+       count(*) FILTER (a) AS n_click,
+       count(*) FILTER (b) AS n_purchase,
+       count(*) FILTER (a AND b) AS n_both,
+       count(*) AS n_union,
+       CAST(count(*) FILTER (a AND b) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS jaccard
+FROM w GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------- KMV window stickiness
+
+
+def q_agg_window_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-over-hour user stickiness: |active(W) ∩ active(W-1h)| and
+    the retained fraction of the previous hour's actives — sketch
+    REUSE across windows (build the per-window KMV once, then answer
+    every adjacent-window intersection from the sketch table alone,
+    no second raw scan).
+
+    The sketch table is |hours| rows; the adjacency is a self-join on
+    window_ts_ms - 1h (broadcastable, never a global-order window
+    function).  Windows with no predecessor hour report NULLs — a gap
+    is "unknown", not "0 retained".
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    sk = ev.groupBy(_hourly_window()).agg(
+        kmv_agg_if(F.col("user_id"), F.lit(True), _KMV_K).alias("sk")
+    )
+    prev = sk.select(
+        (F.col("window_ts_ms") + F.lit(_HOUR_MS)).alias("window_ts_ms"),
+        F.col("sk").alias("sk_prev"),
+    )
+    j = sk.join(F.broadcast(prev), "window_ts_ms", "left")
+    n_active = kmv_estimate(F.col("sk"), _KMV_K).cast("long")
+    n_prev = kmv_estimate(F.col("sk_prev"), _KMV_K).cast("long")
+    n_ret = kmv_intersect_estimate(
+        F.col("sk"), F.col("sk_prev"), _KMV_K
+    ).cast("long")
+    return j.select(
+        "window_ts_ms",
+        n_active.alias("n_active"),
+        n_prev.alias("n_prev"),
+        n_ret.alias("n_retained"),
+        (n_ret.cast("double") / n_prev.cast("double")).alias(
+            "retention_ratio"
+        ),
+    )
+
+
+ORACLE_WINDOW_STICKINESS = f"""
+WITH w AS (
+  SELECT DISTINCT {_W_SQL} AS w_ms, user_id FROM events
+), c AS (
+  SELECT w_ms, count(*) AS n FROM w GROUP BY 1
+), i AS (
+  SELECT a.w_ms, count(*) AS nb
+  FROM w a JOIN w b
+    ON b.user_id = a.user_id AND b.w_ms = a.w_ms - {_HOUR_MS}
+  GROUP BY 1
+)
+SELECT c.w_ms AS window_ts_ms,
+       c.n AS n_active,
+       p.n AS n_prev,
+       CASE WHEN p.n IS NULL THEN NULL
+            ELSE COALESCE(i.nb, 0) END AS n_retained,
+       CASE WHEN p.n IS NULL THEN NULL
+            ELSE CAST(COALESCE(i.nb, 0) AS DOUBLE)
+                 / CAST(p.n AS DOUBLE) END AS retention_ratio
+FROM c
+LEFT JOIN c p ON p.w_ms = c.w_ms - {_HOUR_MS}
+LEFT JOIN i ON i.w_ms = c.w_ms
+""".strip()
+
+
+# ------------------------------------------------- MAD robust anomaly
+
+# flag when |v - median| > 3 * 1.4826 * MAD, evaluated in scaled
+# integers: dev = dev2/2 with dev2 = |2v - med2|, mad = mad4/4 with
+# mad4 = 2*median(dev2); dev > 4.4478*mad  <=>
+# dev2/2 > 4.4478*mad4/4  <=>  20000*dev2 > 44478*mad4  (x10000).
+_MAD_NUM = 44478
+_MAD_LHS = 20000
+
+
+def q_metric_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-metric outlier flags: hourly load v (sum of cent
+    values, exact BIGINT) vs the metric's MEDIAN and MAD — the
+    median-based siblings of `anomaly_zscore`'s mean/σ, robust to the
+    very outliers being hunted (one giant spike inflates σ enough to
+    hide the next one; it barely moves the MAD).
+
+    Three aggregations over progressively tiny data: raw -> hourly
+    series (one shuffle, map-side partials), series -> per-metric
+    median (|metrics| rows, broadcast back), deviations -> per-metric
+    MAD (broadcast back).  The decision inequality
+    20000*dev2 > 44478*mad4 is pure BIGINT cross-multiplication —
+    doubled/quadrupled fixed-point medians, no float in the flag.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.select(
+        "event_type",
+        "window_ts_ms",
+        "v",
+        (F.col("med2").cast("double") / F.lit(2.0)).alias("median_v"),
+        (F.col("mad4").cast("double") / F.lit(4.0)).alias("mad_v"),
+        (
+            F.col("dev2") * F.lit(_MAD_LHS)
+            > F.col("mad4") * F.lit(_MAD_NUM)
+        ).alias("is_anomaly"),
+    )
+
+
+ORACLE_MAD_ANOMALY = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(2 * median(v) AS BIGINT) AS med2
+  FROM e GROUP BY 1
+), d AS (
+  SELECT e.*, m.med2, abs(2 * e.v - m.med2) AS dev2
+  FROM e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.window_ts_ms, d.v,
+       CAST(d.med2 AS DOUBLE) / 2.0 AS median_v,
+       CAST(md.mad4 AS DOUBLE) / 4.0 AS mad_v,
+       d.dev2 * {_MAD_LHS} > md.mad4 * {_MAD_NUM} AS is_anomaly
+FROM d JOIN md USING (event_type)
+""".strip()
+
+
+# --------------------------------------------------- CUSUM changepoint
+
+_CUSUM_H = 5.0  # alarm threshold in per-window sigma units
+
+
+def q_metric_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric CUSUM drift detection over the hourly series.
+
+    The textbook recursion S+_t = max(0, S+_{t-1} + x_t - mu) looks
+    order-dependent, but rewrites exactly as prefix-sum minus running
+    minimum: S+_t = P_t - min_{i<=t} P_i with P_t = sum(x_i - mu).
+    Centering by the per-metric mean mu = T/n is kept integral by
+    scaling through n: P'_t = n*C_t - t*T (C_t = cumulative sum), so
+    S+ = (P'_t - runmin P'_t)/n — every comparison input is exact
+    BIGINT window arithmetic, identical on both engines.
+
+    Alarm when S+ or S- exceeds H=5 sigma of the per-metric series
+    (sigma from exact integer moments, same construction as
+    `agg_stddev`).  Plan: one raw shuffle to the hourly series, then
+    per-metric window functions over |hours| rows and one broadcast
+    join of |metrics| stat rows.  (BIGINT headroom: |n*C_t| <=
+    n_windows * sum(e2); at 2^63 that allows ~1e14 windows x values —
+    re-scale to days or decimal(38) long before that.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("t_sum"),
+        F.sum(F.col("v") * F.col("v")).alias("t_sq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_ts_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = hourly.join(F.broadcast(stats), "event_type")
+    d = d.withColumn("c_t", F.sum("v").over(w)).withColumn(
+        "t_idx", F.count(F.lit(1)).over(w)
+    )
+    p = F.col("c_t") * F.col("n") - F.col("t_idx") * F.col("t_sum")
+    d = d.withColumn("p_t", p)
+    d = d.withColumn("p_min", F.min("p_t").over(w)).withColumn(
+        "p_max", F.max("p_t").over(w)
+    )
+    n = F.col("n")
+    var = F.when(
+        n > 1,
+        (F.col("t_sq") * n - F.col("t_sum") * F.col("t_sum")).cast(
+            "double"
+        )
+        / (n * (n - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    sigma = F.sqrt(var)
+    s_plus = (F.col("p_t") - F.col("p_min")).cast("double") / n.cast(
+        "double"
+    )
+    s_minus = (F.col("p_max") - F.col("p_t")).cast("double") / n.cast(
+        "double"
+    )
+    return d.select(
+        "event_type",
+        "window_ts_ms",
+        "v",
+        s_plus.alias("cusum_pos"),
+        s_minus.alias("cusum_neg"),
+        # |P_t|/n — argmax over t is the offline changepoint location
+        # estimator (S+ alone peaks at series end after a recovery)
+        (F.abs(F.col("p_t")).cast("double") / n.cast("double")).alias(
+            "changepoint_stat"
+        ),
+        (
+            (s_plus > sigma * F.lit(_CUSUM_H))
+            | (s_minus > sigma * F.lit(_CUSUM_H))
+        ).alias("is_change"),
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS n, sum(v) AS t_sum,
+         sum(v * v) AS t_sq
+  FROM e GROUP BY 1
+), d AS (
+  SELECT e.event_type, e.window_ts_ms, e.v, s.n, s.t_sum, s.t_sq,
+         sum(e.v) OVER win AS c_t,
+         count(*) OVER win AS t_idx
+  FROM e JOIN s USING (event_type)
+  WINDOW win AS (PARTITION BY e.event_type ORDER BY e.window_ts_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT *, c_t * n - t_idx * t_sum AS p_t FROM d
+), r AS (
+  SELECT *,
+         min(p_t) OVER win AS p_min,
+         max(p_t) OVER win AS p_max,
+         CASE WHEN n > 1 THEN
+           sqrt(CAST(t_sq * n - t_sum * t_sum AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE))
+         ELSE 0.0 END AS sigma
+  FROM p
+  WINDOW win AS (PARTITION BY event_type ORDER BY window_ts_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_ts_ms, v,
+       CAST(p_t - p_min AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_pos,
+       CAST(p_max - p_t AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_neg,
+       CAST(abs(p_t) AS DOUBLE) / CAST(n AS DOUBLE)
+         AS changepoint_stat,
+       (CAST(p_t - p_min AS DOUBLE) / CAST(n AS DOUBLE)
+          > sigma * {_CUSUM_H})
+       OR (CAST(p_max - p_t AS DOUBLE) / CAST(n AS DOUBLE)
+          > sigma * {_CUSUM_H}) AS is_change
+FROM r
+""".strip()
+
+
+# ----------------------------------------------------- alert cooldown
+
+_COOLDOWN_MS = 3 * _HOUR_MS  # new incident only after a 3 h quiet gap
+
+
+def q_metric_alert_cooldown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incident grouping with a cooldown: hourly breach windows
+    (hourly mean above the metric's overall mean, exact cross-
+    multiplied integer test s1*N > T*cnt) collapse into ONE incident
+    row while gaps stay within 3 h — a sustained breach pages once,
+    with its span and window count, not once per hour.
+
+    Gaps-and-islands: lag() the breach windows per metric, mark island
+    starts where the gap exceeds the cooldown, running-sum the marks
+    into an incident id, then aggregate per incident.  All operators
+    after the first shuffle act on the breach subset of the collapsed
+    series — tiny — and every ordering key is unique (metric, window),
+    so the plan is deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("s1"), F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("s1").alias("t_sum"), F.sum("cnt").alias("t_cnt")
+    )
+    j = hourly.join(F.broadcast(tot), "event_type")
+    # mean_hour > mean_overall  <=>  s1 * t_cnt > t_sum * cnt
+    breaches = j.filter(
+        F.col("s1") * F.col("t_cnt") > F.col("t_sum") * F.col("cnt")
+    )
+    ordw = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    runw = (
+        Window.partitionBy("event_type")
+        .orderBy("window_ts_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = breaches.withColumn(
+        "is_new",
+        F.when(
+            F.lag("window_ts_ms").over(ordw).isNull()
+            | (
+                F.col("window_ts_ms") - F.lag("window_ts_ms").over(ordw)
+                > F.lit(_COOLDOWN_MS)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("incident_id", F.sum("is_new").over(runw))
+    return marked.groupBy("event_type", "incident_id").agg(
+        F.min("window_ts_ms").alias("incident_start_ms"),
+        F.max("window_ts_ms").alias("incident_end_ms"),
+        F.count(F.lit(1)).alias("n_breach_windows"),
+    )
+
+
+ORACLE_ALERT_COOLDOWN = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(s1) AS t_sum, sum(cnt) AS t_cnt
+  FROM e GROUP BY 1
+), b AS (
+  SELECT e.event_type, e.window_ts_ms
+  FROM e JOIN t USING (event_type)
+  WHERE e.s1 * t.t_cnt > t.t_sum * e.cnt
+), m AS (
+  SELECT event_type, window_ts_ms,
+         CASE WHEN lag(window_ts_ms) OVER w IS NULL
+                OR window_ts_ms - lag(window_ts_ms) OVER w
+                   > {_COOLDOWN_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_ts_ms)
+), g AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY event_type
+                              ORDER BY window_ts_ms
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS incident_id
+  FROM m
+)
+SELECT event_type, incident_id,
+       min(window_ts_ms) AS incident_start_ms,
+       max(window_ts_ms) AS incident_end_ms,
+       count(*) AS n_breach_windows
+FROM g GROUP BY 1, 2
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_distinct_overlap": q_agg_distinct_overlap,
+    "agg_window_stickiness": q_agg_window_stickiness,
+    "metric_mad_anomaly": q_metric_mad_anomaly,
+    "metric_cusum": q_metric_cusum,
+    "metric_alert_cooldown": q_metric_alert_cooldown,
+}
+
+ORACLES: dict[str, str] = {
+    "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,
+    "agg_window_stickiness": ORACLE_WINDOW_STICKINESS,
+    "metric_mad_anomaly": ORACLE_MAD_ANOMALY,
+    "metric_cusum": ORACLE_CUSUM,
+    "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
+}

@@ -27,8 +27,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # agg_streaming exercises the same streaming-memory-sink oracle path).
 #
 # Round-3 rotation — FIRST ACTION OF r3: replace _DRIVER_WINDOW with
-# the pre-computed list below (the 39 oracle-backed keys with no
-# driver check after r1+r2, then 11 r1-green re-confirmations).
+# the pre-computed list below (the 44 oracle-backed keys with no
+# driver check after r1+r2 — incl. the five series_ext additions —
+# then 6 r1-green re-confirmations).
 # Staged as a comment so the r2 gate (which reads the active window
 # at round end) is untouched.
 # _DRIVER_WINDOW_R3: tuple[str, ...] = (
@@ -47,9 +48,10 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "metric_wow_change", "metric_burn_rate",
 #     "metric_cardinality_report", "metric_twa", "metric_counter_rate",
 #     "metric_retention_tiers", "metric_histogram_equidepth",
-#     "metric_staleness", "agg_count", "agg_sum", "agg_avg", "agg_min",
-#     "agg_max", "agg_delta", "agg_rate", "agg_filtered",
-#     "agg_rejected", "agg_grouped", "agg_rollup",
+#     "metric_staleness", "agg_distinct_overlap",
+#     "agg_window_stickiness", "metric_mad_anomaly", "metric_cusum",
+#     "metric_alert_cooldown", "agg_delta", "agg_rate",
+#     "agg_filtered", "agg_rejected", "agg_grouped", "agg_rollup",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
@@ -156,6 +158,7 @@ def _modules():
         "streaming_q",
         "temporal",
         "series",
+        "series_ext",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the

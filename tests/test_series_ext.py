@@ -1,0 +1,137 @@
+"""Edge semantics for plans/series_ext.py on synthetic events.
+
+Oracle parity at sf0.01 is covered by tools/check_correctness.py /
+the driver; these tests pin the BEHAVIOR on constructed series where
+the right answer is known by design: cooldown island splitting, CUSUM
+step detection, and MAD's robustness to the spike it is hunting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.plans import series_ext
+
+UTC = dt.timezone.utc
+H = 3600 * 1000
+
+
+def _events(spark, rows):
+    """rows: (hour_index, event_type, value) -> events-shaped df."""
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    data = [
+        (
+            i,
+            base + dt.timedelta(hours=h),
+            1000 + i,
+            et,
+            float(v),
+            "{}",
+        )
+        for i, (h, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+@pytest.fixture()
+def patched_loader(monkeypatch):
+    def patch(df):
+        monkeypatch.setattr(
+            series_ext,
+            "load_table",
+            lambda spark, sf_dir, name: df,
+        )
+
+    return patch
+
+
+def test_cooldown_splits_only_after_quiet_gap(spark, patched_loader):
+    # hours 0,1 breach (contiguous) ... gap of 2h (within 3h cooldown)
+    # ... hour 4 breaches -> SAME incident; hour 10 (gap 6h) -> new.
+    rows = [(h, "m", 1.0) for h in range(12)]  # baseline mean=1
+    for h in (0, 1, 4, 10):
+        rows.append((h, "m", 100.0))  # push those hours above mean
+    df = _events(spark, rows)
+    patched_loader(df)
+    out = series_ext.q_metric_alert_cooldown(spark, "ignored").collect()
+    spans = sorted(
+        (r["incident_start_ms"] // H % 100, r["incident_end_ms"] // H % 100,
+         r["n_breach_windows"])
+        for r in out
+    )
+    # epoch-relative hours: recover via modulo against the first start
+    first = min(s for s, _, _ in spans)
+    spans = [(s - first, e - first, n) for s, e, n in spans]
+    assert spans == [(0, 4, 3), (10, 10, 1)]
+
+
+def test_cusum_locates_step_change(spark, patched_loader):
+    # 30 hours at 10, then 30 hours at 14: a sustained +40% level
+    # shift no single-window outlier test sees. Offline CUSUM against
+    # the global mean drifts on BOTH sides of the break; the
+    # changepoint estimate is the argmax of the CUSUM statistic,
+    # which must land on the shift boundary (hour 29, the last
+    # low-level window).
+    rows = [(h, "m", 10.0) for h in range(30)]
+    rows += [(h, "m", 14.0) for h in range(30, 60)]
+    df = _events(spark, rows)
+    patched_loader(df)
+    out = series_ext.q_metric_cusum(spark, "ignored").collect()
+    base = min(r["window_ts_ms"] // H for r in out)
+    assert any(r["is_change"] for r in out), "step never alarmed"
+    peak = max(out, key=lambda r: r["changepoint_stat"])
+    assert peak["window_ts_ms"] // H - base in (28, 29, 30)
+    # a flat series of the same length must never alarm
+    flat = _events(spark, [(h, "m", 10.0) for h in range(60)])
+    patched_loader(flat)
+    quiet = series_ext.q_metric_cusum(spark, "ignored").collect()
+    assert not any(r["is_change"] for r in quiet)
+
+
+def test_mad_flags_spike_zscore_would_mask(spark, patched_loader):
+    # One colossal spike inflates stddev so much that a second,
+    # smaller-but-real spike sits under 3 sigma — but both clear the
+    # MAD fence, because the median/MAD baseline ignores outliers.
+    rows = [(h, "m", 10.0) for h in range(48)]
+    rows.append((10, "m", 100000.0))  # colossal spike at hour 10
+    rows.append((20, "m", 400.0))  # real-but-smaller spike at hour 20
+    df = _events(spark, rows)
+    patched_loader(df)
+    out = series_ext.q_metric_mad_anomaly(spark, "ignored").collect()
+    base = min(r["window_ts_ms"] // H for r in out)
+    flagged = {
+        r["window_ts_ms"] // H - base for r in out if r["is_anomaly"]
+    }
+    assert 10 in flagged and 20 in flagged
+    # sanity: quiet hours are not flagged
+    assert 5 not in flagged and 30 not in flagged
+
+
+def test_overlap_counts_exact_on_constructed_hour(spark, patched_loader):
+    # hour 0: users 1..6 click, users 5..8 purchase -> both={5,6}.
+    rows = []
+    data = [(u, "click") for u in range(1, 7)] + [
+        (u, "purchase") for u in range(5, 9)
+    ]
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (i, base, u, et, 1.0, "{}") for i, (u, et) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    patched_loader(df)
+    out = series_ext.q_agg_distinct_overlap(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_click"], r["n_purchase"], r["n_both"], r["n_union"]) == (
+        6, 4, 2, 8,
+    )
+    assert r["jaccard"] == 0.25
