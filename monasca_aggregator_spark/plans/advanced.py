@@ -1,0 +1,469 @@
+"""Warehouse-pattern queries: incremental view maintenance, sweep-line
+concurrency, association rules, triangle counting, SCD2 intervals.
+
+Five classic relational/ETL shapes a team replacing the reference's
+single-purpose aggregator (/root/reference/server.go) with a general
+engine will ask for next.  Each is expressed so the expensive part is
+a single keyed shuffle over data that has already been collapsed or
+blocked, and each is exact-integer (or whole-number double) so the
+DuckDB oracle hashes match:
+
+- `agg_incremental_rollup`: algebraic partial-aggregate MERGE — update
+  a materialized hourly rollup from a delta batch without rescanning
+  the base (the batch mirror of streaming/pipeline.py's stage-2
+  publish; pairs with sinks.py's dynamic partition overwrite).
+- `sessions_concurrency`: max concurrent user sessions per hour via a
+  +1/−1 boundary sweep (RANGE-framed running sum — deterministic under
+  ties where a ROWS frame is not).
+- `events_assoc_rules`: pairwise event-type association (support /
+  confidence / lift) over (user, day) baskets — the self-join is
+  bounded by the item vocabulary, not the corpus.
+- `graph_triangles`: per-document triangle participation in the exact
+  near-dup pair graph — triangle enumeration joins ORIENTED edges
+  (lower id → higher id) so each triangle is generated exactly once
+  and hub vertices don't explode the join.
+- `scd2_user_tier`: slowly-changing-dimension type-2 intervals from an
+  event stream (change detection + lead() interval close — the
+  point-in-time dimension table an as-of join consumes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators import dedup as D
+from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES, THRESHOLD
+from monasca_aggregator_spark.sources.tables import load_table
+
+_HOUR_MS = 3600 * 1000
+_W_SQL = f"(epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS}"
+
+
+def _hourly_window() -> F.Column:
+    return (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    ).alias("window_ts_ms")
+
+
+# -------------------------------------- incremental rollup maintenance
+
+# base/delta split point: day 24 of the 30-day corpus (2024-01-24T00Z)
+_IVM_CUTOFF_MS = 1_706_054_400_000
+
+
+def q_agg_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for the hourly rollup: the
+    materialized BASE aggregate (events before the cutoff) is updated
+    with a DELTA batch (events at/after it) by merging algebraic
+    partials — (sum, count) re-aggregate exactly; avg is derived at
+    read time, never averaged-of-averages (same discipline as
+    `metric_retention_tiers`).
+
+    The base raw events are NEVER rescanned: each side collapses to
+    per-(metric, hour) partials in its own single shuffle, and the
+    merge aggregates the union of two already-tiny partial tables. In
+    production the delta touches only its own hour-partitions, so the
+    merge is a dynamic-partition-overwrite of just those partitions
+    (sources/sinks.py `merge_upsert`); windows untouched by the delta
+    carry over byte-identical — the property the oracle asserts by
+    recomputing the rollup from the full raw history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    cutoff = F.lit(_IVM_CUTOFF_MS)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("event_type"), _hourly_window()).agg(
+            F.sum("e2").alias("s1"), F.count(F.lit(1)).alias("cnt")
+        )
+
+    base = partials(ev.filter(F.unix_millis(F.col("ts")) < cutoff))
+    delta = partials(ev.filter(F.unix_millis(F.col("ts")) >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "window_ts_ms")
+        .agg(F.sum("s1").alias("s1"), F.sum("cnt").alias("cnt"))
+    )
+    return merged.select(
+        "event_type",
+        "window_ts_ms",
+        F.col("cnt").alias("n"),
+        (F.col("s1").cast("double") / F.lit(100.0)).alias("sum_value"),
+        (
+            F.col("s1").cast("double")
+            / (F.col("cnt") * F.lit(100)).cast("double")
+        ).alias("avg_value"),
+    )
+
+
+ORACLE_INCREMENTAL_ROLLUP = f"""
+SELECT event_type, {_W_SQL} AS window_ts_ms,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) * 100 AS DOUBLE) AS avg_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+# ------------------------------------------- sessions concurrency sweep
+
+_GAP_MS = 30 * 60 * 1000  # session gap, matches plans/temporal.py
+
+
+def q_sessions_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Max CONCURRENT user sessions per hour — capacity planning's
+    question, which per-window counts can't answer (a count of 50
+    sessions/hour may be 50 sequential or 50 simultaneous).
+
+    Sessions are the gap-based islands of `sessions_user` (30 min);
+    each [start, end] emits +1 at start and −1 at end+1ms (inclusive
+    overlap), and concurrency is the running sum over the boundary
+    stream.  The frame is RANGE, not ROWS: all boundaries at the same
+    millisecond are peers, so every row sees the post-tie total and
+    the result is deterministic under ties — a ROWS frame would make
+    per-row values depend on arbitrary intra-tie order.  Reported per
+    hour as the max over that hour's boundary points (hours without
+    boundaries inherit no row — interior hours of long sessions are
+    bounded by the session-gap rule anyway).
+
+    Scale: the sweep is per-boundary window work over 2 rows per
+    session (already collapsed from raw events); a single time-ordered
+    exchange. At extreme scale the sweep is range-partitionable with
+    per-partition offsets (the prefix-sum pattern of
+    operators/rank.py).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts_ms")
+    new_sess = F.when(
+        F.lag("ts_ms").over(uw).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(uw) > F.lit(_GAP_MS)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = ev.withColumn("is_new", new_sess).withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = marked.groupBy("user_id", "sess_id").agg(
+        F.min("ts_ms").alias("start_ms"), F.max("ts_ms").alias("end_ms")
+    )
+    bounds = sessions.select(
+        F.col("start_ms").alias("b_ms"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            (F.col("end_ms") + F.lit(1)).alias("b_ms"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    sweep = bounds.withColumn(
+        "conc",
+        F.sum("delta").over(
+            Window.orderBy("b_ms").rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        sweep.filter(F.col("delta") == 1)  # sample at session starts
+        .groupBy(
+            (
+                (F.col("b_ms") / F.lit(_HOUR_MS)).cast("long")
+                * F.lit(_HOUR_MS)
+            ).alias("window_ts_ms")
+        )
+        .agg(F.max("conc").alias("max_concurrent"))
+    )
+
+
+ORACLE_SESSIONS_CONCURRENCY = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), m AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w > {_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), s AS (
+  SELECT user_id, ts_ms,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sess_id
+  FROM m
+), sess AS (
+  SELECT user_id, sess_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+  FROM s GROUP BY 1, 2
+), b AS (
+  SELECT start_ms AS b_ms, 1 AS delta FROM sess
+  UNION ALL
+  SELECT end_ms + 1, -1 FROM sess
+), sweep AS (
+  SELECT b_ms, delta,
+         sum(delta) OVER (ORDER BY b_ms RANGE BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS conc
+  FROM b
+)
+SELECT (b_ms // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+       max(conc) AS max_concurrent
+FROM sweep WHERE delta = 1 GROUP BY 1
+""".strip()
+
+
+# --------------------------------------------- association rules (lift)
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type association over (user, day) baskets:
+    support, directional confidence, and lift for every type pair —
+    "do users who error on a day also purchase that day?".
+
+    Baskets collapse to distinct (user, day, type) first (one
+    shuffle); the pair join is per-basket and bounded by the item
+    VOCABULARY (|types|² pairs max per basket), not the corpus — the
+    a<b orientation halves it and dedupes mirror pairs.  Single-item
+    and basket totals are broadcast back; every ratio is a division
+    of exact BIGINT counts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        F.col("event_type"),
+    )
+    items = ev.distinct()
+    n_baskets = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )  # 1-row broadcast, not a driver-side count()
+    singles = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = items.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = items.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = singles.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_single").alias("n_a"),
+    )
+    nb = singles.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_single").alias("n_b"),
+    )
+    out = (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (dbl("n_both") / dbl("n_baskets")).alias("support"),
+        (dbl("n_both") / dbl("n_a")).alias("conf_a_to_b"),
+        (dbl("n_both") / dbl("n_b")).alias("conf_b_to_a"),
+        (
+            dbl("n_both") * dbl("n_baskets") / (dbl("n_a") * dbl("n_b"))
+        ).alias("lift"),
+    )
+
+
+ORACLE_ASSOC_RULES = """
+WITH items AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events
+), nb AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM items)
+), singles AS (
+  SELECT event_type, count(*) AS n_single FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM items a
+  JOIN items b ON b.user_id = a.user_id AND b.day = a.day
+              AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       sa.n_single AS n_a, sb.n_single AS n_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+       CAST(p.n_both AS DOUBLE) / CAST(sa.n_single AS DOUBLE)
+         AS conf_a_to_b,
+       CAST(p.n_both AS DOUBLE) / CAST(sb.n_single AS DOUBLE)
+         AS conf_b_to_a,
+       CAST(p.n_both AS DOUBLE) * CAST(nb.n AS DOUBLE)
+         / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE))
+         AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN nb
+""".strip()
+
+
+# ------------------------------------------------- triangle counting
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the exact near-dup pair
+    graph (the `dedup_ngram_jaccard` edges) — triangle density
+    separates a tight duplicate CLIQUE (template spam) from a loose
+    chain of pairwise-similars, which connected components
+    (`dedup_clusters`) cannot distinguish.
+
+    Enumeration joins ORIENTED edges (doc_id low → high): wedges
+    a<b<c from (a,b)⋈(b,c), closed against the oriented edge (a,c),
+    so each triangle is produced exactly once and a hub vertex only
+    fans out to its HIGHER-id neighbors — at scale the orientation is
+    by degree (join the degree table, order (deg, id)), which bounds
+    wedge fan-out by arboricity instead of max-degree; id-order keeps
+    the oracle's enumeration identical here.  Edges are a collapsed
+    pair table, orders of magnitude smaller than the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )  # already oriented a < b
+    e1 = pairs.select(F.col("a"), F.col("b").alias("m"))
+    e2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "m").select("a", "m", "c")
+    tris = wedges.join(
+        pairs.select(
+            F.col("a").alias("a"), F.col("b").alias("c")
+        ).withColumn("closed", F.lit(1)),
+        ["a", "c"],
+    )
+    per_vertex = (
+        tris.select(F.col("a").alias("doc_id"))
+        .unionByName(tris.select(F.col("m").alias("doc_id")))
+        .unionByName(tris.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex
+
+
+ORACLE_TRIANGLES = f"""
+WITH {_NGRAM_CTES}, e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+), tri AS (
+  SELECT e1.a, e1.b AS m, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), v AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT m FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles FROM v GROUP BY 1
+""".strip()
+
+
+# ------------------------------------------------------ SCD2 intervals
+
+_TIER_DIV = 25  # props.k (0..99) → tiers 0..3
+
+
+def q_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event stream:
+    each user's tier (props.k ÷ 25) becomes [valid_from, valid_to)
+    intervals — the point-in-time dimension table that an as-of join
+    (`asof_purchase_click`) or temporal query consumes.
+
+    Change detection per user over (ts, event_id)-ordered events (the
+    event_id tiebreak makes the order TOTAL, so change rows are
+    deterministic under same-ms events); interval close via lead().
+    The open current interval reports NULL valid_to.  One shuffle
+    keyed by user; the dimension output is |changes| rows, not
+    |events|.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        # floor-division on BOTH engines: a bare CAST(double AS INT)
+        # truncates in Spark but ROUNDS in DuckDB
+        F.floor(
+            F.from_json(F.col("props"), "k INT").getField("k")
+            / F.lit(_TIER_DIV)
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = ev.withColumn("prev_tier", F.lag("tier").over(w)).filter(
+        F.col("prev_tier").isNull()
+        | (F.col("tier") != F.col("prev_tier"))
+    )
+    cw = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return changes.select(
+        "user_id",
+        "tier",
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.lead("ts_ms").over(cw).alias("valid_to_ms"),
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+              // {_TIER_DIV} AS INTEGER) AS tier
+  FROM events
+), c AS (
+  SELECT *, lag(tier) OVER w AS prev_tier
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), ch AS (
+  SELECT user_id, tier, ts_ms, event_id FROM c
+  WHERE prev_tier IS NULL OR tier <> prev_tier
+)
+SELECT user_id, tier, ts_ms AS valid_from_ms,
+       lead(ts_ms) OVER (PARTITION BY user_id
+                         ORDER BY ts_ms, event_id) AS valid_to_ms
+FROM ch
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_incremental_rollup": q_agg_incremental_rollup,
+    "sessions_concurrency": q_sessions_concurrency,
+    "events_assoc_rules": q_events_assoc_rules,
+    "graph_triangles": q_graph_triangles,
+    "scd2_user_tier": q_scd2_user_tier,
+}
+
+ORACLES: dict[str, str] = {
+    "agg_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "sessions_concurrency": ORACLE_SESSIONS_CONCURRENCY,
+    "events_assoc_rules": ORACLE_ASSOC_RULES,
+    "graph_triangles": ORACLE_TRIANGLES,
+    "scd2_user_tier": ORACLE_SCD2,
+}

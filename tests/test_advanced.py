@@ -1,0 +1,169 @@
+"""Edge semantics for plans/advanced.py on constructed inputs.
+
+Oracle parity at sf0.01 is covered by tools/check_correctness.py; here
+each shape is pinned on data where the right answer is known by
+construction: IVM merge == direct recompute, overlapping sessions'
+true max concurrency, a hand-built basket's lift, a known triangle,
+and SCD2 interval closure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.plans import advanced
+
+UTC = dt.timezone.utc
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)"""
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+@pytest.fixture()
+def patched_loader(monkeypatch):
+    def patch(df):
+        monkeypatch.setattr(
+            advanced, "load_table",
+            lambda spark, sf_dir, name, **kw: df,
+        )
+
+    return patch
+
+
+def test_incremental_merge_equals_direct(spark, patched_loader):
+    # events straddling the IVM cutoff; merged partials must equal a
+    # direct full-history aggregation bit-for-bit
+    c = advanced._IVM_CUTOFF_MS
+    base = dt.datetime.fromtimestamp(c / 1000, UTC)
+    rows = [
+        (i, base + dt.timedelta(hours=h), 1, "m", float(v), "{}")
+        for i, (h, v) in enumerate(
+            [(-30, 1.25), (-30, 2.5), (-1, 3.0), (0, 4.75), (5, 0.5),
+             (5, 1.0)]
+        )
+    ]
+    df = _events(spark, rows)
+    patched_loader(df)
+    got = advanced.q_agg_incremental_rollup(spark, "x").collect()
+    direct = (
+        df.groupBy(
+            "event_type",
+            ((F.unix_millis("ts") / 3600000).cast("long") * 3600000
+             ).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s1"),
+        )
+        .collect()
+    )
+    want = {
+        (r["event_type"], r["w"]): (r["n"], r["s1"] / 100.0)
+        for r in direct
+    }
+    assert len(got) == len(want)
+    for r in got:
+        n, sv = want[(r["event_type"], r["window_ts_ms"])]
+        assert (r["n"], r["sum_value"]) == (n, sv)
+        assert r["avg_value"] == sv / n
+
+
+def test_concurrency_counts_true_overlap(spark, patched_loader):
+    # three users: A spans 0-10 min, B 5-15 min, C 40-45 min
+    # -> max concurrency 2 (A∩B); C alone later in the same hour.
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    rows = []
+    eid = 0
+    for uid, (m0, m1) in ((1, (0, 10)), (2, (5, 15)), (3, (40, 45))):
+        for m in (m0, m1):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=m), uid, "e", 1.0,
+                 "{}")
+            )
+            eid += 1
+    patched_loader(_events(spark, rows))
+    out = advanced.q_sessions_concurrency(spark, "x").collect()
+    assert len(out) == 1
+    assert out[0]["max_concurrent"] == 2
+
+
+def test_assoc_rules_lift_on_constructed_baskets(spark, patched_loader):
+    # 4 baskets: {a,b} x2, {a} x1, {b} x1 -> n_a=3, n_b=3, n_ab=2,
+    # support=0.5, conf=2/3 both ways, lift = 2*4/(3*3) = 8/9.
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    rows = []
+    eid = 0
+    baskets = [("a", "b"), ("a", "b"), ("a",), ("b",)]
+    for day, items in enumerate(baskets):
+        for it in items:
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 7, it, 1.0, "{}")
+            )
+            eid += 1
+    patched_loader(_events(spark, rows))
+    out = advanced.q_events_assoc_rules(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 3, 2)
+    assert r["support"] == 0.5
+    assert r["conf_a_to_b"] == r["conf_b_to_a"] == 2 / 3
+    assert r["lift"] == 2 * 4 / 9
+
+
+def test_triangles_on_known_graph(spark, patched_loader):
+    # docs 1,2,3 identical -> clique K3 (one triangle, each vertex in
+    # 1); docs 4,5 identical pair -> edge, no triangle; doc 6 alone.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 20),
+            (2, "alpha beta gamma delta", "en", "s", 20),
+            (3, "alpha beta gamma delta", "en", "s", 20),
+            (4, "zeta eta theta iota", "en", "s", 18),
+            (5, "zeta eta theta iota", "en", "s", 18),
+            (6, "unrelated totally different words here", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    patched_loader(docs)
+    out = {
+        r["doc_id"]: r["n_triangles"]
+        for r in advanced.q_graph_triangles(spark, "x").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_scd2_intervals_close_and_stay_open(spark, patched_loader):
+    # user 1: k=10 (tier 0) at t0, k=30 (tier 1) at t1, k=35 (tier 1,
+    # no change) at t2, k=80 (tier 3) at t3 -> 3 intervals, last open.
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    ks = [(0, 10), (1, 30), (2, 35), (3, 80)]
+    rows = [
+        (i, base + dt.timedelta(hours=h), 1, "e", 1.0, '{"k": %d}' % k)
+        for i, (h, k) in enumerate(ks)
+    ]
+    patched_loader(_events(spark, rows))
+    out = sorted(
+        advanced.q_scd2_user_tier(spark, "x").collect(),
+        key=lambda r: r["valid_from_ms"],
+    )
+    t = lambda h: int(  # noqa: E731
+        (base + dt.timedelta(hours=h)).timestamp() * 1000
+    )
+    assert [(r["tier"], r["valid_from_ms"], r["valid_to_ms"])
+            for r in out] == [
+        (0, t(0), t(1)),
+        (1, t(1), t(3)),
+        (3, t(3), None),
+    ]
