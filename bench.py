@@ -103,6 +103,17 @@ BENCH_QUERIES = [
     "text_search_bm25",
     "events_rolling_wau",
     "metric_availability",
+    # series_ext + advanced additions
+    "agg_distinct_overlap",
+    "agg_window_stickiness",
+    "metric_mad_anomaly",
+    "metric_cusum",
+    "metric_alert_cooldown",
+    "agg_incremental_rollup",
+    "sessions_concurrency",
+    "events_assoc_rules",
+    "graph_triangles",
+    "scd2_user_tier",
 ]
 
 
@@ -175,7 +186,8 @@ def main() -> None:
             "metric_winsorize", "ann_cosine_topk", "pack_chunks_overlap",
             "sample_quota_source", "dedup_span_rewrite", "text_novelty",
             "metric_twa", "order_curriculum", "text_search_bm25",
-            "events_attribution",
+            "events_attribution", "agg_distinct_overlap",
+            "sessions_concurrency", "scd2_user_tier",
         ]
         soak: dict[str, dict[str, float]] = {}
         for name in soak_queries:

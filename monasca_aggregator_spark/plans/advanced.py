@@ -351,6 +351,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )  # already oriented a < b
+    # the wedge + closure reference `pairs` three times and Spark does
+    # not dedupe common subplans across self-joins — without a cache
+    # the expensive shingle join runs 3x. The pair table is the
+    # collapsed edge list (tiny vs the corpus), so caching it is the
+    # bounded-state choice at any scale.
+    pairs = pairs.cache()
     e1 = pairs.select(F.col("a"), F.col("b").alias("m"))
     e2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
     wedges = e1.join(e2, "m").select("a", "m", "c")

@@ -660,6 +660,75 @@ def streaming_heavy_hitters(
     )
 
 
+def streaming_kmv_distinct(
+    events: DataFrame,
+    *,
+    k: int = 1024,
+    key_cols: tuple[str, ...] = ("event_type",),
+    member_col: str = "user_id",
+) -> DataFrame:
+    """Per-key RUNNING distinct count over an unbounded stream via KMV
+    sketch state — the streaming face of operators/kmv.py (the sketch
+    whose set operations HLL cannot provide).
+
+    "Keep the k smallest distinct hashes" is associative, commutative
+    and IDEMPOTENT, so the fold's state equals the batch ``kmv_agg``
+    sketch over the union of everything ingested, independent of
+    micro-batching and replay-safe (tests/test_streaming.py pins
+    streaming state ≡ batch sketch, element for element).  Hashing
+    stays JVM-side: the prepared projection computes ``kmv_hash``
+    (sign-flipped xxhash64) BEFORE the Python fold, so Python only
+    merges longs — no Python re-implementation of the hash to drift.
+
+    State per key is ≤ k longs; each micro-batch emits the key's
+    current sketch + estimate in update mode, so a downstream join
+    can intersect two keys' sketches (kmv_intersect_estimate) at any
+    point in the stream's life.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from monasca_aggregator_spark.operators.kmv import kmv_hash
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, n_distinct double, sk array<bigint>"
+    )
+    state_schema = "sk array<bigint>"
+
+    def _fold(key, pdfs, state: GroupState):
+        have = list(state.get[0]) if state.exists else []
+        merged = set(have)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["__h"].dropna())
+        sk = sorted(merged)[:k]
+        state.update(([int(h) for h in sk],))
+        if len(sk) < k:
+            est = float(len(sk))
+        else:
+            theta = (sk[-1] / float(1 << 63) + 1.0) / 2.0
+            est = (k - 1) / theta
+        yield pd.DataFrame(
+            [(*key, est, sk)],
+            columns=[*key_cols, "n_distinct", "sk"],
+        )
+
+    prepared = events.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        kmv_hash(F.col(member_col)).alias("__h"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_document_stream(
     docs_stream: DataFrame,
     *,
