@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "events_assoc_rules",
     "graph_triangles",
     "scd2_user_tier",
+    "metric_trend",
+    "metric_forecast_snaive",
+    "ann_mmr",
 ]
 
 

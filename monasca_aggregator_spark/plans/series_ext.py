@@ -485,12 +485,171 @@ FROM g GROUP BY 1, 2
 """.strip()
 
 
+# ------------------------------------------------------- linear trend
+
+
+def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric linear trend over the hourly series: OLS slope and
+    intercept of v ~ t via the closed-form normal equations on EXACT
+    integer power sums (n, Σx, Σy, Σxy, Σx²; x = epoch-hour index,
+    y = hourly load in cents) — identical BIGINTs on both engines, so
+    the final double divisions agree bit-for-bit.  The drift detector
+    to pair with `metric_cusum`'s changepoints: CUSUM finds the break,
+    the slope says how fast the level is moving.
+
+    One shuffle to the collapsed series, one tiny per-metric aggregate
+    — the same two-exchange plan as `agg_stddev`. Σx² headroom: epoch
+    hours (~5e5) squared times 720 windows ≈ 2e14 ≪ 2^63; re-origin x
+    per metric before the corpus spans ~10⁶ hours.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    x = (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long")
+    g = hourly.select(
+        "event_type", x.alias("x"), F.col("v").alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(n > 1, num / den)
+    intercept = F.when(
+        n > 1,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / n.cast("double"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (slope / F.lit(100.0)).alias("slope_per_hour"),
+        (intercept / F.lit(100.0)).alias("intercept_value"),
+    )
+
+
+ORACLE_TREND = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT event_type, window_ts_ms // {_HOUR_MS} AS x, v AS y FROM e
+), g AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN n > 1 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 END
+         AS slope_per_hour,
+       CASE WHEN n > 1 THEN
+         ((CAST(sy AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE)) / 100.0 END AS intercept_value
+FROM g
+""".strip()
+
+
+# -------------------------------------------- seasonal-naive backtest
+
+_SEASON_MS = 24 * _HOUR_MS  # same-hour-yesterday seasonality
+
+
+def q_metric_forecast_snaive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per metric: forecast(W) =
+    actual(W − 24 h), scored over every window that HAS a same-hour-
+    yesterday predecessor — the baseline any fancier forecaster must
+    beat, and the cheapest way to quantify how seasonal each metric
+    actually is.
+
+    The predecessor lookup is a self-join on (metric, W−24h) over the
+    collapsed series — gap-safe where a ROWS-frame lag(24) silently
+    pairs wrong hours across missing windows.  Errors aggregate as
+    exact integer sums (Σ|a−f|, Σa in cents), divided once at the end:
+    MAE and WAPE carry no float-summation order dependence, which is
+    what keeps the oracle hash stable (a per-row float sMAPE sum would
+    not be).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("window_ts_ms") + F.lit(_SEASON_MS)).alias(
+            "window_ts_ms"
+        ),
+        F.col("v").alias("f"),
+    )
+    scored = hourly.join(prev, ["event_type", "window_ts_ms"])
+    g = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum(F.abs(F.col("v") - F.col("f"))).alias("sae"),
+        F.sum("v").alias("sa"),
+    )
+    return g.select(
+        "event_type",
+        "n_forecasts",
+        (
+            F.col("sae").cast("double")
+            / (F.col("n_forecasts") * F.lit(100)).cast("double")
+        ).alias("mae"),
+        (F.col("sae").cast("double") / F.col("sa").cast("double")).alias(
+            "wape"
+        ),
+    )
+
+
+ORACLE_FORECAST_SNAIVE = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.v, b.v AS f
+  FROM e a JOIN e b
+    ON b.event_type = a.event_type
+   AND b.window_ts_ms = a.window_ts_ms - {_SEASON_MS}
+), g AS (
+  SELECT event_type, count(*) AS n_forecasts,
+         sum(abs(v - f)) AS sae, sum(v) AS sa
+  FROM j GROUP BY 1
+)
+SELECT event_type, n_forecasts,
+       CAST(sae AS DOUBLE) / CAST(n_forecasts * 100 AS DOUBLE) AS mae,
+       CAST(sae AS DOUBLE) / CAST(sa AS DOUBLE) AS wape
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
     "metric_mad_anomaly": q_metric_mad_anomaly,
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
+    "metric_trend": q_metric_trend,
+    "metric_forecast_snaive": q_metric_forecast_snaive,
 }
 
 ORACLES: dict[str, str] = {
@@ -499,4 +658,6 @@ ORACLES: dict[str, str] = {
     "metric_mad_anomaly": ORACLE_MAD_ANOMALY,
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
+    "metric_trend": ORACLE_TREND,
+    "metric_forecast_snaive": ORACLE_FORECAST_SNAIVE,
 }

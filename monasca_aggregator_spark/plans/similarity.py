@@ -387,7 +387,19 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: brute-force candidate pool -> greedy MMR
+    re-rank (operators/mmr.py, lambda=0.7, pool=50). Rows-only: the
+    greedy selection is order-dependent; exactness vs a numpy
+    reference is pinned in tests/test_mmr.py."""
+    from monasca_aggregator_spark.operators.mmr import mmr_rerank
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return mmr_rerank(corpus, queries, k=K, pool=50, lam=0.7)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)

@@ -27,9 +27,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # agg_streaming exercises the same streaming-memory-sink oracle path).
 #
 # Round-3 rotation — FIRST ACTION OF r3: replace _DRIVER_WINDOW with
-# the pre-computed list below (the 49 oracle-backed keys with no
-# driver check after r1+r2 — incl. the series_ext and advanced
-# additions — then 1 r1-green re-confirmation).
+# the pre-computed list below: exactly the 50 oldest of the 51
+# oracle-backed keys with no driver check after r1+r2 (incl. the
+# series_ext and advanced additions; scd2_user_tier rolls to r4).
 # Staged as a comment so the r2 gate (which reads the active window
 # at round end) is untouched.
 # _DRIVER_WINDOW_R3: tuple[str, ...] = (
@@ -50,9 +50,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "metric_retention_tiers", "metric_histogram_equidepth",
 #     "metric_staleness", "agg_distinct_overlap",
 #     "agg_window_stickiness", "metric_mad_anomaly", "metric_cusum",
-#     "metric_alert_cooldown", "agg_incremental_rollup",
+#     "metric_alert_cooldown", "metric_trend",
+#     "metric_forecast_snaive", "agg_incremental_rollup",
 #     "sessions_concurrency", "events_assoc_rules", "graph_triangles",
-#     "scd2_user_tier", "agg_grouped",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
