@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "metric_trend",
     "metric_forecast_snaive",
     "ann_mmr",
+    "metric_top_contributors",
+    "metric_mix_drift",
 ]
 
 

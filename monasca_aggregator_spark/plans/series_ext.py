@@ -642,6 +642,205 @@ FROM g
 """.strip()
 
 
+# -------------------------------------------- anomaly top contributors
+
+
+def q_metric_top_contributors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution for anomalous windows: for every hourly window that
+    breaches the MAD fence (same integer inequality as
+    `metric_mad_anomaly`), the top-3 users by share of that window's
+    load — the "what changed" page a responder opens after the "it
+    changed" alert.
+
+    The contributor aggregation keys by (metric, window, user) — one
+    shuffle with map-side partials; ranking windows partition by
+    (metric, window), so no global ordering exists anywhere. The MAD
+    baseline reuses the per-metric broadcast from the anomaly query;
+    only breaching windows reach the rank, so the rank input is a few
+    rows per anomaly, not the corpus.  Share = user_e2/total_e2 is one
+    exact-integer division; ties rank by user_id (total order).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    per_user = ev.groupBy(
+        F.col("event_type"), _hourly_window(), F.col("user_id")
+    ).agg(F.sum("e2").alias("u_e2"))
+    hourly = per_user.groupBy("event_type", "window_ts_ms").agg(
+        F.sum("u_e2").alias("v")
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
+    )
+    anomalous = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.col("dev2") * F.lit(_MAD_LHS)
+            > F.col("mad4") * F.lit(_MAD_NUM)
+        )
+        .select("event_type", "window_ts_ms", "v")
+    )
+    contrib = per_user.join(
+        anomalous, ["event_type", "window_ts_ms"]
+    )
+    w = Window.partitionBy("event_type", "window_ts_ms").orderBy(
+        F.col("u_e2").desc(), F.col("user_id")
+    )
+    ranked = contrib.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+    return ranked.select(
+        "event_type",
+        "window_ts_ms",
+        "rank",
+        "user_id",
+        (F.col("u_e2").cast("double") / F.lit(100.0)).alias(
+            "user_value"
+        ),
+        (F.col("u_e2").cast("double") / F.col("v").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+ORACLE_TOP_CONTRIBUTORS = f"""
+WITH pu AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms, user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS u_e2
+  FROM events GROUP BY 1, 2, 3
+), h AS (
+  SELECT event_type, window_ts_ms, sum(u_e2) AS v
+  FROM pu GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(2 * median(v) AS BIGINT) AS med2
+  FROM h GROUP BY 1
+), d AS (
+  SELECT h.*, abs(2 * h.v - m.med2) AS dev2
+  FROM h JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM d GROUP BY 1
+), an AS (
+  SELECT d.event_type, d.window_ts_ms, d.v
+  FROM d JOIN md USING (event_type)
+  WHERE d.dev2 * {_MAD_LHS} > md.mad4 * {_MAD_NUM}
+), r AS (
+  SELECT pu.event_type, pu.window_ts_ms, pu.user_id, pu.u_e2, an.v,
+         row_number() OVER (PARTITION BY pu.event_type, pu.window_ts_ms
+                            ORDER BY pu.u_e2 DESC, pu.user_id) AS rank
+  FROM pu JOIN an USING (event_type, window_ts_ms)
+)
+SELECT event_type, window_ts_ms, rank, user_id,
+       CAST(u_e2 AS DOUBLE) / 100.0 AS user_value,
+       CAST(u_e2 AS DOUBLE) / CAST(v AS DOUBLE) AS share
+FROM r WHERE rank <= 3
+""".strip()
+
+
+# -------------------------------------------------- weekly mix drift
+
+_WEEK_MS = 7 * 24 * _HOUR_MS  # epoch-aligned weeks (not calendar)
+
+
+def q_metric_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week drift of the event-type MIX: L1 distance between
+    consecutive weeks' type-share distributions — the corpus-health
+    gauge that catches "errors doubled as a share of traffic" even
+    when absolute volume looks flat.
+
+    Float-sum trap avoided by construction: L1 = Σ_t |a_t/b − c_t/d|
+    would sum doubles in engine-dependent order.  Instead each term
+    cross-multiplies to |a_t·d − c_t·b| (exact BIGINT), the Σ runs
+    over integers (order-free), and ONE division by b·d happens at
+    the end — bit-identical on both engines.  Types absent in a week
+    enter as zero counts via the full-outer type alignment.  Weeks are
+    epoch-aligned 7-day buckets (deterministic; no calendar/locale
+    week-start ambiguity).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.unix_millis(F.col("ts")) / F.lit(_WEEK_MS)).cast("long")
+            * F.lit(_WEEK_MS)
+        ).alias("week_ms"),
+    )
+    weekly = ev.groupBy("week_ms", "event_type").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    totals = weekly.groupBy("week_ms").agg(F.sum("a").alias("b"))
+    prev = weekly.select(
+        (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
+        F.col("event_type"),
+        F.col("a").alias("c"),
+    )
+    aligned = weekly.join(
+        prev, ["week_ms", "event_type"], "full_outer"
+    ).fillna({"a": 0, "c": 0})
+    prev_tot = totals.select(
+        (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
+        F.col("b").alias("d"),
+    )
+    j = (
+        aligned.join(F.broadcast(totals), "week_ms", "left")
+        .join(F.broadcast(prev_tot), "week_ms", "left")
+        .filter(F.col("b").isNotNull() & F.col("d").isNotNull())
+    )
+    g = j.groupBy("week_ms", "b", "d").agg(
+        F.sum(
+            F.abs(F.col("a") * F.col("d") - F.col("c") * F.col("b"))
+        ).alias("num")
+    )
+    return g.select(
+        "week_ms",
+        F.col("b").alias("n_events"),
+        (
+            F.col("num").cast("double")
+            / (F.col("b") * F.col("d")).cast("double")
+        ).alias("l1_drift"),
+    )
+
+
+ORACLE_MIX_DRIFT = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_WEEK_MS}) * {_WEEK_MS} AS week_ms
+  FROM events
+), w AS (
+  SELECT week_ms, event_type, count(*) AS a FROM e GROUP BY 1, 2
+), t AS (
+  SELECT week_ms, sum(a) AS b FROM w GROUP BY 1
+), al AS (
+  SELECT COALESCE(w.week_ms, p.week_ms + {_WEEK_MS}) AS week_ms,
+         COALESCE(w.event_type, p.event_type) AS event_type,
+         COALESCE(w.a, 0) AS a, COALESCE(p.a, 0) AS c
+  FROM w
+  FULL OUTER JOIN w p
+    ON p.event_type = w.event_type
+   AND p.week_ms = w.week_ms - {_WEEK_MS}
+), j AS (
+  SELECT al.week_ms, al.a, al.c, t.b, tp.b AS d
+  FROM al
+  JOIN t ON t.week_ms = al.week_ms
+  JOIN t tp ON tp.week_ms = al.week_ms - {_WEEK_MS}
+)
+SELECT week_ms, b AS n_events,
+       CAST(sum(abs(a * d - c * b)) AS DOUBLE)
+         / CAST(b * d AS DOUBLE) AS l1_drift
+FROM j GROUP BY week_ms, b, d
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -650,6 +849,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_trend": q_metric_trend,
     "metric_forecast_snaive": q_metric_forecast_snaive,
+    "metric_top_contributors": q_metric_top_contributors,
+    "metric_mix_drift": q_metric_mix_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -660,4 +861,6 @@ ORACLES: dict[str, str] = {
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_trend": ORACLE_TREND,
     "metric_forecast_snaive": ORACLE_FORECAST_SNAIVE,
+    "metric_top_contributors": ORACLE_TOP_CONTRIBUTORS,
+    "metric_mix_drift": ORACLE_MIX_DRIFT,
 }

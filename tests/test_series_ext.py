@@ -135,3 +135,58 @@ def test_overlap_counts_exact_on_constructed_hour(spark, patched_loader):
         6, 4, 2, 8,
     )
     assert r["jaccard"] == 0.25
+
+
+def test_top_contributors_only_for_breaching_windows(
+    spark, patched_loader
+):
+    # flat series except one spike hour where user 42 contributes 90%:
+    # contributors reported ONLY for that window, user 42 rank 1.
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = []
+    eid = 0
+    for h in range(48):
+        rows.append((eid, base + dt.timedelta(hours=h), 1, "m", 10.0,
+                     "{}"))
+        eid += 1
+    rows.append((eid, base + dt.timedelta(hours=10), 42, "m", 900.0,
+                 "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    patched_loader(df)
+    out = series_ext.q_metric_top_contributors(spark, "x").collect()
+    assert out, "spike window produced no contributors"
+    windows = {r["window_ts_ms"] // H for r in out}
+    assert windows == {int(base.timestamp() * 1000) // H + 10}
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["user_id"] == 42
+    assert top["share"] == 90000 / 91000
+
+
+def test_mix_drift_zero_when_stable_and_scales_with_swap(
+    spark, patched_loader
+):
+    # week 1 and 2: identical 50/50 mix -> drift 0.
+    # week 3: 75/25 -> L1 = |0.75-0.5| + |0.25-0.5| = 0.5.
+    base = dt.datetime(1970, 1, 1, tzinfo=UTC)  # epoch-aligned weeks
+    rows = []
+    eid = 0
+    mixes = [(2, 2), (2, 2), (3, 1)]
+    for wk, (na, nb) in enumerate(mixes):
+        t = base + dt.timedelta(days=7 * wk)
+        for _ in range(na):
+            rows.append((eid, t, 1, "a", 1.0, "{}")); eid += 1
+        for _ in range(nb):
+            rows.append((eid, t, 1, "b", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    patched_loader(df)
+    out = {
+        r["week_ms"] // (7 * 24 * H): r["l1_drift"]
+        for r in series_ext.q_metric_mix_drift(spark, "x").collect()
+    }
+    assert out == {1: 0.0, 2: 0.5}
