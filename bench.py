@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ann_mmr",
     "metric_top_contributors",
     "metric_mix_drift",
+    "sessions_native",
 ]
 
 

@@ -1081,7 +1081,55 @@ FROM fan GROUP BY 1
 """.strip()
 
 
+# --------------------------------------------- native session windows
+
+
+def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``F.session_window`` — the
+    same gap rule as `sessions_user`'s gaps-and-islands formulation
+    but expressed as a first-class windowed AGGREGATION: one groupBy,
+    no lag/cumsum window chain, and (unlike the islands form) directly
+    legal in Structured Streaming with watermark-bounded state.
+
+    Boundary semantics are IDENTICAL to the islands form — pinned in
+    tests/test_sessions_native.py: a session's window is [ts, ts+gap]
+    INCLUSIVE, so an event exactly 12 h after its predecessor merges
+    (diff <= gap), exactly like the islands rule; only diff > gap
+    splits.  The two formulations therefore share one oracle, and
+    session_end_ms is the window's end = last event + gap, matching
+    the islands query's max(ts)+gap convention.
+
+    Scale: one shuffle keyed by user; session merge happens inside the
+    aggregation operator (map-side partial sessions merge in the
+    reducer) — no second window pass over the sessionized rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", SESSION_GAP)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start")).alias(
+            "session_start_ms"
+        ),
+        F.unix_millis(F.col("session_window.end")).alias(
+            "session_end_ms"
+        ),
+        "n_events",
+        stable_round(F.col("value_sum"), 4).alias("value_sum"),
+    )
+
+
+ORACLE_SESSIONS_NATIVE = ORACLE_SESSIONS  # same gap semantics, same output shape
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessions_native": q_sessions_native,
     "events_rolling_wau": q_events_rolling_wau,
     "events_attribution": q_events_attribution,
     "events_seq_patterns": q_events_seq_patterns,
@@ -1104,6 +1152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sessions_native": ORACLE_SESSIONS_NATIVE,
     "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_attribution": ORACLE_ATTRIBUTION,
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
