@@ -222,7 +222,7 @@ WITH e AS (
   FROM b
 )
 SELECT (b_ms // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
-       max(conc) AS max_concurrent
+       CAST(max(conc) AS BIGINT) AS max_concurrent
 FROM sweep WHERE delta = 1 GROUP BY 1
 """.strip()
 

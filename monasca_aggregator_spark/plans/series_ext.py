@@ -253,7 +253,8 @@ WITH e AS (
   SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
   FROM d GROUP BY 1
 )
-SELECT d.event_type, d.window_ts_ms, d.v,
+SELECT d.event_type, d.window_ts_ms,
+       CAST(d.v AS BIGINT) AS v,
        CAST(d.med2 AS DOUBLE) / 2.0 AS median_v,
        CAST(md.mad4 AS DOUBLE) / 4.0 AS mad_v,
        d.dev2 * {_MAD_LHS} > md.mad4 * {_MAD_NUM} AS is_anomaly
@@ -375,7 +376,7 @@ WITH e AS (
   WINDOW win AS (PARTITION BY event_type ORDER BY window_ts_ms
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT event_type, window_ts_ms, v,
+SELECT event_type, window_ts_ms, CAST(v AS BIGINT) AS v,
        CAST(p_t - p_min AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_pos,
        CAST(p_max - p_t AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_neg,
        CAST(abs(p_t) AS DOUBLE) / CAST(n AS DOUBLE)
@@ -477,7 +478,7 @@ WITH e AS (
                               AND CURRENT ROW) AS incident_id
   FROM m
 )
-SELECT event_type, incident_id,
+SELECT event_type, CAST(incident_id AS BIGINT) AS incident_id,
        min(window_ts_ms) AS incident_start_ms,
        max(window_ts_ms) AS incident_end_ms,
        count(*) AS n_breach_windows
@@ -834,7 +835,7 @@ WITH e AS (
   JOIN t ON t.week_ms = al.week_ms
   JOIN t tp ON tp.week_ms = al.week_ms - {_WEEK_MS}
 )
-SELECT week_ms, b AS n_events,
+SELECT week_ms, CAST(b AS BIGINT) AS n_events,
        CAST(sum(abs(a * d - c * b)) AS DOUBLE)
          / CAST(b * d AS DOUBLE) AS l1_drift
 FROM j GROUP BY week_ms, b, d
