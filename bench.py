@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "metric_top_contributors",
     "metric_mix_drift",
     "sessions_native",
+    "metric_autocorr",
+    "events_markov",
 ]
 
 

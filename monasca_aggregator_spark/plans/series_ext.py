@@ -842,6 +842,86 @@ FROM j GROUP BY week_ms, b, d
 """.strip()
 
 
+# -------------------------------------------- seasonal autocorrelation
+
+
+def q_metric_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24h autocorrelation per metric — the seasonality-STRENGTH
+    score that says whether `metric_forecast_snaive` is the right
+    model before anyone trusts its backtest: r ≈ 1 means same-hour-
+    yesterday explains the series, r ≈ 0 means the "seasonality" is
+    noise.
+
+    Pearson r over the (v_t, v_{t-24h}) pairs aligned by the same
+    gap-safe self-join as the backtest.  Every moment (n, Σx, Σy, Σxy,
+    Σx², Σy²) is an exact BIGINT; r's numerator/denominator assemble
+    from identical integers on both engines, and the one sqrt+divide
+    at the end is deterministic IEEE — the same discipline as
+    `metric_trend`.  NULL when either side is constant (zero
+    variance): "undefined", not 0.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("window_ts_ms") + F.lit(_SEASON_MS)).alias(
+            "window_ts_ms"
+        ),
+        F.col("v").alias("y"),
+    )
+    pairs = hourly.join(prev, ["event_type", "window_ts_ms"]).select(
+        "event_type", F.col("v").alias("x"), "y"
+    )
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    return g.select(
+        "event_type", F.col("n").alias("n_pairs"), r.alias("autocorr_24h")
+    )
+
+
+ORACLE_AUTOCORR = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, a.v AS x, b.v AS y
+  FROM e a JOIN e b
+    ON b.event_type = a.event_type
+   AND b.window_ts_ms = a.window_ts_ms - {_SEASON_MS}
+), g AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS autocorr_24h
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -852,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_forecast_snaive": q_metric_forecast_snaive,
     "metric_top_contributors": q_metric_top_contributors,
     "metric_mix_drift": q_metric_mix_drift,
+    "metric_autocorr": q_metric_autocorr,
 }
 
 ORACLES: dict[str, str] = {
@@ -864,4 +945,5 @@ ORACLES: dict[str, str] = {
     "metric_forecast_snaive": ORACLE_FORECAST_SNAIVE,
     "metric_top_contributors": ORACLE_TOP_CONTRIBUTORS,
     "metric_mix_drift": ORACLE_MIX_DRIFT,
+    "metric_autocorr": ORACLE_AUTOCORR,
 }

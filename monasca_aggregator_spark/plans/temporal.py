@@ -1128,7 +1128,75 @@ def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONS_NATIVE = ORACLE_SESSIONS  # same gap semantics, same output shape
 
 
+# ------------------------------------------- Markov event transitions
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next = b | current = a) with counts — the next-event
+    model `events_seq_patterns`' raw trigram counts don't normalize
+    into, and the input for behavioral simulation / anomaly-of-flow
+    detection.
+
+    lead() per user over the total (ts, event_id) order produces the
+    transition pairs; the matrix groupBy partial-aggregates map-side
+    into ≤ |event_type|² groups, so the normalizing per-source totals
+    are a broadcast join over a corpus-size-independent aggregate.
+    Probability = exact-integer division (n_ab / n_a), one division
+    per output row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.col("n_from").cast("long").alias("n_from"),
+        (
+            F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+        ).alias("p_transition"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*) AS n_trans
+  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(n_trans) AS n_from FROM p GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_trans,
+       CAST(tot.n_from AS BIGINT) AS n_from,
+       CAST(p.n_trans AS DOUBLE) / CAST(tot.n_from AS DOUBLE)
+         AS p_transition
+FROM p JOIN tot USING (from_type)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_markov": q_events_markov,
     "sessions_native": q_sessions_native,
     "events_rolling_wau": q_events_rolling_wau,
     "events_attribution": q_events_attribution,
@@ -1152,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_markov": ORACLE_MARKOV,
     "sessions_native": ORACLE_SESSIONS_NATIVE,
     "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_attribution": ORACLE_ATTRIBUTION,

