@@ -125,3 +125,56 @@ def test_session_window_streaming_equals_batch(spark, tmp_path):
         for r in spark.table("sn_stream_out").collect()
     }
     assert got == want
+
+
+def test_session_window_append_mode_finalizes_past_watermark(
+    spark, tmp_path
+):
+    # append mode only emits a session once the watermark passes its
+    # close — the production output mode (complete mode re-emits the
+    # world). Two files: early sessions, then a much-later event that
+    # advances the watermark far enough to finalize them.
+    src = tmp_path / "sa_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    early = [
+        (i, base + dt.timedelta(minutes=i), 1, float(i))
+        for i in range(5)
+    ]
+    late = [(99, base + dt.timedelta(days=10), 1, 1.0)]
+    for rows in (early, late):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", "12 hours")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("s_ms"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("sa_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sa_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sa_stream_out").collect()
+    # the early 5-event session is finalized by the day-10 watermark;
+    # the day-10 session itself is still open (never emitted)
+    assert [(r["n_events"]) for r in out] == [5]
+    assert out[0]["s_ms"] == int(base.timestamp() * 1000)
