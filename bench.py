@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "sessions_native",
     "metric_autocorr",
     "events_markov",
+    "audit_referential",
 ]
 
 

@@ -458,12 +458,109 @@ FROM ch
 """.strip()
 
 
+# -------------------------------------------- referential integrity
+
+
+def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan-FK counts for
+    every edge of the TPC-H-ish schema (lineitem→orders/part/supplier,
+    orders→customer, customer→nation, supplier→nation) — the
+    ingestion gate a pipeline runs BEFORE joins silently drop rows
+    (an inner join "losing" 2% of revenue is this audit's failure
+    mode surfacing downstream).
+
+    Each edge is one LEFT ANTI join: dimension keys project to a
+    single column (broadcast for nation/customer/supplier-sized
+    sides), facts shuffle at most once on the FK. Output is one row
+    per edge: total rows, orphan rows, orphan fraction (exact-integer
+    division) — a fixed-size report regardless of corpus size.
+    """
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for fact, fk, dim, pk in edges:
+        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("k"))
+        total = f.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = f.join(F.broadcast(d), "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("orphan_frac"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
+ORACLE_AUDIT_REFERENTIAL = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+         (SELECT count(*) FROM lineitem) AS n_rows,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderkey IS NULL) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN part p
+            ON p.p_partkey = l.l_partkey
+          WHERE p.p_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+            ON s.s_suppkey = l.l_suppkey
+          WHERE s.s_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON c.c_custkey = o.o_custkey
+          WHERE c.c_custkey IS NULL)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c LEFT JOIN nation n
+            ON n.n_nationkey = c.c_nationkey
+          WHERE n.n_nationkey IS NULL)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s LEFT JOIN nation n
+            ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_nationkey IS NULL)
+)
+SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS orphan_frac
+FROM e
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
     "events_assoc_rules": q_events_assoc_rules,
     "graph_triangles": q_graph_triangles,
     "scd2_user_tier": q_scd2_user_tier,
+    "audit_referential": q_audit_referential,
 }
 
 ORACLES: dict[str, str] = {
@@ -472,4 +569,5 @@ ORACLES: dict[str, str] = {
     "events_assoc_rules": ORACLE_ASSOC_RULES,
     "graph_triangles": ORACLE_TRIANGLES,
     "scd2_user_tier": ORACLE_SCD2,
+    "audit_referential": ORACLE_AUDIT_REFERENTIAL,
 }

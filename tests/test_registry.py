@@ -50,3 +50,27 @@ def test_broken_plan_module_raises():
             sys.modules[victim] = saved
         else:
             importlib.import_module(victim)
+
+
+def test_staged_r3_window_is_flippable():
+    """The commented _DRIVER_WINDOW_R3 block must stay valid while the
+    registry evolves: every staged key registered + oracle-backed, no
+    duplicates, exactly 50 entries — so the r3 flip is one edit, not
+    an archaeology session."""
+    import re
+    from pathlib import Path
+
+    from monasca_aggregator_spark.registry import all_oracles, all_queries
+
+    src = Path("monasca_aggregator_spark/registry.py").read_text()
+    block = re.search(
+        r"# _DRIVER_WINDOW_R3.*?# \)", src, re.S
+    ).group(0)
+    staged = re.findall(r'"([a-z0-9_]+)"', block)
+    assert len(staged) == 50, f"staged window has {len(staged)} keys"
+    assert len(set(staged)) == 50, "duplicate staged keys"
+    q, o = all_queries(), all_oracles()
+    missing = [k for k in staged if k not in q]
+    assert not missing, f"staged keys not registered: {missing}"
+    no_oracle = [k for k in staged if k not in o]
+    assert not no_oracle, f"staged keys without oracle: {no_oracle}"
