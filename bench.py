@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "metric_autocorr",
     "events_markov",
     "audit_referential",
+    "events_enrich_scd2",
 ]
 
 

@@ -554,6 +554,84 @@ FROM e
 """.strip()
 
 
+# --------------------------------------- SCD2 as-of enrichment
+
+
+def q_events_enrich_scd2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time enrichment: every event tagged with the user tier
+    VALID AT its event time (the `scd2_user_tier` dimension consumed
+    the way a warehouse consumes SCD2 — an as-of join, not a
+    latest-value join, so historical events get historical
+    attributes), then rolled up to events-per-(tier, day).
+
+    The interval match is a per-user range join: events and intervals
+    co-partition on user_id (one shuffle each), and per-user interval
+    counts are bounded by that user's CHANGE count, not their event
+    count — at extreme per-user interval cardinality, switch to the
+    union-and-carry as-of operator (operators/asof.py) which avoids
+    the range predicate entirely.  Events before a user's first
+    interval report tier NULL ("unknown then", never backfilled).
+    Output is ≤ |tiers+1| × |days| rows.
+    """
+    day_ms = 24 * _HOUR_MS
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        # integer epoch-ms day: Spark date_trunc yields TIMESTAMP and
+        # DuckDB DATE — different stringifications; integers agree
+        (
+            (F.unix_millis(F.col("ts")) / F.lit(day_ms)).cast("long")
+            * F.lit(day_ms)
+        ).alias("day_ms"),
+    )
+    dim = q_scd2_user_tier(spark, sf_dir)
+    cond = (
+        (ev["user_id"] == dim["user_id"])
+        & (ev["ts_ms"] >= dim["valid_from_ms"])
+        & (dim["valid_to_ms"].isNull() | (ev["ts_ms"] < dim["valid_to_ms"]))
+    )
+    j = ev.join(dim, cond, "left").select(
+        ev["user_id"], ev["day_ms"], dim["tier"]
+    )
+    return j.groupBy("tier", "day_ms").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+ORACLE_ENRICH_SCD2 = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+              // {_TIER_DIV} AS INTEGER) AS tier
+  FROM events
+), c AS (
+  SELECT *, lag(tier) OVER w AS prev_tier
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), ch AS (
+  SELECT user_id, tier, ts_ms, event_id FROM c
+  WHERE prev_tier IS NULL OR tier <> prev_tier
+), dim AS (
+  SELECT user_id, tier, ts_ms AS valid_from_ms,
+         lead(ts_ms) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, event_id) AS valid_to_ms
+  FROM ch
+), ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+  FROM events
+)
+SELECT d.tier, ev.day_ms, count(*) AS n_events
+FROM ev
+LEFT JOIN dim d
+  ON d.user_id = ev.user_id
+ AND ev.ts_ms >= d.valid_from_ms
+ AND (d.valid_to_ms IS NULL OR ev.ts_ms < d.valid_to_ms)
+GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
@@ -561,6 +639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "scd2_user_tier": q_scd2_user_tier,
     "audit_referential": q_audit_referential,
+    "events_enrich_scd2": q_events_enrich_scd2,
 }
 
 ORACLES: dict[str, str] = {
@@ -570,4 +649,5 @@ ORACLES: dict[str, str] = {
     "graph_triangles": ORACLE_TRIANGLES,
     "scd2_user_tier": ORACLE_SCD2,
     "audit_referential": ORACLE_AUDIT_REFERENTIAL,
+    "events_enrich_scd2": ORACLE_ENRICH_SCD2,
 }

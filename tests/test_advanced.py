@@ -199,3 +199,22 @@ def test_markov_probabilities_on_constructed_chain(spark, monkeypatch):
     assert out[("a", "c")] == (1, 1 / 3)
     assert out[("b", "a")] == (2, 1.0)
     assert ("c", "a") not in out  # chain ends never emit transitions
+
+
+def test_enrich_scd2_uses_historical_tier(spark, patched_loader):
+    # user 1 changes tier mid-history: events BEFORE the change must
+    # carry the OLD tier, not the latest — the as-of property.
+    base = dt.datetime(2024, 3, 4, tzinfo=UTC)  # epoch-aligned day
+    rows = [
+        (0, base + dt.timedelta(hours=1), 1, "e", 1.0, '{"k": 10}'),
+        (1, base + dt.timedelta(hours=2), 1, "e", 1.0, '{"k": 10}'),
+        (2, base + dt.timedelta(days=1), 1, "e", 1.0, '{"k": 80}'),
+    ]
+    patched_loader(_events(spark, rows))
+    out = {
+        (r["tier"], r["day_ms"]): r["n_events"]
+        for r in advanced.q_events_enrich_scd2(spark, "x").collect()
+    }
+    d0 = int(base.timestamp() * 1000)
+    d1 = d0 + 86400000
+    assert out == {(0, d0): 2, (3, d1): 1}
