@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_markov",
     "audit_referential",
     "events_enrich_scd2",
+    "metric_downsample_lttb",
 ]
 
 

@@ -922,6 +922,85 @@ FROM g
 """.strip()
 
 
+# ----------------------------------------------- LTTB downsampling
+
+_LTTB_OUT = 100  # target points per series
+
+
+def q_metric_downsample_lttb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per metric — the PERCEPTUAL companion to `metric_downsample_m4`:
+    M4 is pixel-exact for a known pixel width, LTTB picks the N points
+    that best preserve the line's visual shape at any width (the
+    default downsampler in Grafana/Plotly ecosystems).
+
+    The greedy selection (each bucket keeps the point maximizing the
+    triangle area with the PREVIOUSLY selected point and the next
+    bucket's centroid) is inherently sequential per series, so it runs
+    as one applyInPandas pass over the already-collapsed hourly series
+    — ≤ |hours| points per metric, a few KB; the raw corpus never
+    reaches Python. Rows-only: order-dependent greedy (exactness vs a
+    numpy reference + shape properties pinned in
+    tests/test_lttb.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        (F.sum("e2").cast("double") / F.lit(100.0)).alias("v")
+    )
+
+    def _lttb(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_ts_ms")
+        x = pdf["window_ts_ms"].to_numpy(dtype=float)
+        y = pdf["v"].to_numpy(dtype=float)
+        idx = lttb_indices(x, y, _LTTB_OUT)
+        return pd.DataFrame(
+            {
+                "event_type": key[0],
+                "window_ts_ms": pdf["window_ts_ms"].to_numpy()[idx],
+                "v": pdf["v"].to_numpy()[idx],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _lttb, "event_type string, window_ts_ms long, v double"
+    )
+
+
+def lttb_indices(x, y, n_out: int):
+    """Classic LTTB index selection; shared by the Spark path and the
+    test reference. Keeps first/last points; one point per interior
+    bucket; ties break to the earliest point (argmax first hit)."""
+    import numpy as np
+
+    n = len(x)
+    if n <= n_out:
+        return np.arange(n)
+    idx = [0]
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    prev = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = hi, (n if b == n_out - 3 else edges[b + 2])
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        ax, ay = x[prev], y[prev]
+        area = np.abs(
+            (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+        )
+        prev = lo + int(np.argmax(area))
+        idx.append(prev)
+    idx.append(n - 1)
+    return np.asarray(idx)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -933,6 +1012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_top_contributors": q_metric_top_contributors,
     "metric_mix_drift": q_metric_mix_drift,
     "metric_autocorr": q_metric_autocorr,
+    "metric_downsample_lttb": q_metric_downsample_lttb,  # rows-only
 }
 
 ORACLES: dict[str, str] = {

@@ -56,6 +56,8 @@ ARROW_ALLOWED = {
     "text_topk_sketch",
     # EWMA backfill (order-dependent pandas fold by design)
     "metric_ewma",
+    # LTTB greedy downsampling (sequential per collapsed series)
+    "metric_downsample_lttb",
     # first-fit-decreasing packing (sequential fold per shard)
     "pack_bins_ffd",
 }
