@@ -729,6 +729,87 @@ def streaming_kmv_distinct(
     )
 
 
+def streaming_alert_cooldown(
+    breaches: DataFrame,
+    *,
+    cooldown_ms: int = 3 * 3600 * 1000,
+    key_cols: tuple[str, ...] = ("event_type",),
+    window_col: str = "window_ts_ms",
+) -> DataFrame:
+    """Streaming incident grouping with a cooldown — the live face of
+    plans/series_ext.py `metric_alert_cooldown`: breach windows within
+    the cooldown gap collapse into ONE incident (one page), a quiet
+    gap > cooldown starts the next.
+
+    Input is the BREACH stream (already-collapsed windows that failed
+    their threshold test — the windowed aggregation upstream emits
+    them in watermark order).  State per key is four longs (last
+    breach, incident counter, current incident start, current count) —
+    O(1), stream-length-independent.  Each micro-batch emits the
+    CURRENT row of every incident it touched in update mode, so the
+    final emission per incident equals the batch query's
+    per-incident aggregate exactly (pinned in
+    tests/test_streaming_cooldown.py over a two-file replay).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, incident_id bigint, incident_start_ms bigint, "
+        "incident_end_ms bigint, n_breach_windows bigint"
+    )
+    state_schema = (
+        "last_ms bigint, inc_id bigint, inc_start bigint, inc_n bigint"
+    )
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            last, inc, start, n = state.get
+        else:
+            last, inc, start, n = None, 0, None, 0
+        touched: dict[int, tuple] = {}
+        ws: list[int] = []
+        for pdf in pdfs:
+            ws.extend(int(w) for w in pdf["__w"].dropna())
+        for w in sorted(set(ws)):
+            if last is not None and w <= last:
+                continue  # replayed window — idempotent
+            if last is None or w - last > cooldown_ms:
+                inc += 1
+                start = w
+                n = 0
+            n += 1
+            last = w
+            touched[inc] = (start, last, n)
+        state.update((last, inc, start, n))
+        yield pd.DataFrame(
+            [(*key, i, s, e, c) for i, (s, e, c) in touched.items()],
+            columns=[
+                *key_cols,
+                "incident_id",
+                "incident_start_ms",
+                "incident_end_ms",
+                "n_breach_windows",
+            ],
+        )
+
+    prepared = breaches.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.col(window_col).cast("long").alias("__w"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def curate_document_stream(
     docs_stream: DataFrame,
     *,
