@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "audit_referential",
     "events_enrich_scd2",
     "metric_downsample_lttb",
+    "embedding_outliers",
+    "dedup_rate_by_source",
 ]
 
 

@@ -463,7 +463,59 @@ WHERE floor(list_cosine_similarity(x.e, y.e) * 1000000.0::DOUBLE
 """.strip()
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate report per source: docs, distinct normalized
+    texts, duplicate rows, and the dup fraction — the governance
+    number a corpus owner tracks per crawl/feed (a source whose dup
+    rate jumps is re-crawling itself).  One groupBy on the xxhash64
+    content key (8-byte exchange, the `exact_dedup` discipline) then
+    a per-source rollup of group counts; exact-integer fraction.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from monasca_aggregator_spark.operators.dedup import normalize_text
+
+    groups = (
+        docs.select(
+            "source",
+            F.xxhash64(normalize_text(F.col("text"))).alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dupes"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+# the oracle groups on the normalized TEXT itself (hash-free ground
+# truth): identical results unless xxhash64 collides on this corpus
+ORACLE_DEDUP_RATE = r"""
+WITH g AS (
+  SELECT source,
+         trim(regexp_replace(regexp_replace(lower(text),
+                                            '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS t,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dupes,
+       CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         AS dup_frac
+FROM g GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)
@@ -482,6 +534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_rate_by_source": ORACLE_DEDUP_RATE,
     "dedup_semantic_cells": ORACLE_SEMANTIC_CELLS,
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_EXACT,

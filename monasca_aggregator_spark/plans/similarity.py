@@ -387,6 +387,111 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding OUTLIER report: the 5 vectors farthest from
+    their label centroid by cosine — mislabel/contamination triage for
+    an embedding corpus (the vectors a labeler should look at first).
+
+    Exactness discipline: everything before the final sqrt/divide is
+    BIGINT — v_e6 components (e6 fixed point, as `embedding_centroids`),
+    centroid component sums S_d, dot numerator Σ v_e6·S_d, and both
+    norm sums — so both engines rank identical round-6 similarities
+    (ties by vec_id).  Plan: one posexplode shuffle keyed (label, dim)
+    for the sums, broadcast back (|labels|·d rows), per-vector dot in
+    one more keyed aggregation, rank window per label over ≤ |label|
+    rows.  (BIGINT headroom: Σ_d v_e6·S_d ≤ d·1e6·n·1e6 — re-scale to
+    e4 past ~10⁸ vectors.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_e6"),
+    )
+    csum = flat.groupBy("label", "dim").agg(
+        F.sum("v_e6").alias("s_d")
+    )
+    cnorm = csum.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("c2")
+    )
+    per_vec = (
+        flat.join(F.broadcast(csum), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v_e6") * F.col("s_d")).alias("dot_n"),
+            F.sum(F.col("v_e6") * F.col("v_e6")).alias("v2"),
+        )
+    )
+    j = per_vec.join(F.broadcast(cnorm), "label")
+    sim = F.when(
+        (F.col("v2") > 0) & (F.col("c2") > 0),
+        F.col("dot_n").cast("double")
+        / F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double")),
+    )
+    scored = j.select(
+        "label",
+        "vec_id",
+        stable_round(sim, 6).alias("centroid_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_sim").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("label", "rank", "vec_id", "centroid_sim")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS v_e6
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e
+        FROM embeddings),
+       unnest(range(1, len(e) + 1)) AS t(i)
+), cs AS (
+  SELECT label, dim, CAST(sum(v_e6) AS BIGINT) AS s_d
+  FROM flat GROUP BY 1, 2
+), cn AS (
+  SELECT label, CAST(sum(s_d * s_d) AS BIGINT) AS c2
+  FROM cs GROUP BY 1
+), pv AS (
+  SELECT f.label, f.vec_id,
+         CAST(sum(f.v_e6 * c.s_d) AS BIGINT) AS dot_n,
+         CAST(sum(f.v_e6 * f.v_e6) AS BIGINT) AS v2
+  FROM flat f JOIN cs c ON c.label = f.label AND c.dim = f.dim
+  GROUP BY 1, 2
+), scored AS (
+  SELECT pv.label, pv.vec_id,
+         CASE WHEN pv.v2 > 0 AND cn.c2 > 0 THEN
+           floor((CAST(pv.dot_n AS DOUBLE)
+                  / sqrt(CAST(pv.v2 AS DOUBLE) * CAST(cn.c2 AS DOUBLE)))
+                 * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+         END AS centroid_sim
+  FROM pv JOIN cn USING (label)
+)
+SELECT label, rank, vec_id, centroid_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY centroid_sim ASC, vec_id ASC)
+            AS rank
+  FROM scored
+) t WHERE rank <= 5
+""".strip()
+
+
 def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: brute-force candidate pool -> greedy MMR
     re-rank (operators/mmr.py, lambda=0.7, pool=50). Rows-only: the
@@ -400,6 +505,7 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
+    "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "embedding_centroids": q_embedding_centroids,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
@@ -414,6 +520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_filtered": ORACLE_ANN_FILTERED,
