@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "metric_downsample_lttb",
     "embedding_outliers",
     "dedup_rate_by_source",
+    "events_lifecycle",
+    "metric_seasonal_decompose",
 ]
 
 

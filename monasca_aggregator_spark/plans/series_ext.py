@@ -1001,6 +1001,102 @@ def lttb_indices(x, y, n_out: int):
     return np.asarray(idx)
 
 
+# ------------------------------------------ seasonal decomposition
+
+_DAY_MS = 24 * _HOUR_MS
+
+
+def q_metric_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust additive decomposition per metric: v = trend + seasonal
+    + residual, with trend = per-(metric, day) MEDIAN and seasonal =
+    per-(metric, hour-of-day) median of the detrended series — the
+    STL-lite split that turns "traffic is weird" into WHICH component
+    is weird (trend shift → capacity, seasonal shift → usage pattern,
+    residual spike → incident; feed `anomaly_zscore` the residual and
+    the 3 a.m. spike stops hiding behind the daily cycle).
+
+    Medians keep the doubled/quadrupled fixed-point discipline of
+    `metric_mad_anomaly` (t2 = 2·median(v), s4 = 2·median(2v − t2) —
+    all BIGINT), and every output is ONE division of an exact integer
+    (residual's numerator is 4v − 2·t2 − s4), so both engines emit
+    identical doubles.  Two tiny broadcast join-backs; the collapsed
+    series is touched, never raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    hourly = hourly.withColumn(
+        "day_ms",
+        (F.col("window_ts_ms") / F.lit(_DAY_MS)).cast("long")
+        * F.lit(_DAY_MS),
+    ).withColumn(
+        "hod",
+        ((F.col("window_ts_ms") - F.col("day_ms")) / F.lit(_HOUR_MS))
+        .cast("int"),
+    )
+    trend = hourly.groupBy("event_type", "day_ms").agg(
+        F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("t2")
+    )
+    dt = hourly.join(F.broadcast(trend), ["event_type", "day_ms"])
+    seas = dt.groupBy("event_type", "hod").agg(
+        F.expr(
+            "CAST(2 * percentile(2 * v - t2, 0.5D) AS BIGINT)"
+        ).alias("s4")
+    )
+    out = dt.join(F.broadcast(seas), ["event_type", "hod"])
+    return out.select(
+        "event_type",
+        "window_ts_ms",
+        (F.col("v").cast("double") / F.lit(100.0)).alias("value"),
+        (F.col("t2").cast("double") / F.lit(200.0)).alias("trend"),
+        (F.col("s4").cast("double") / F.lit(400.0)).alias("seasonal"),
+        (
+            (
+                F.lit(4) * F.col("v")
+                - F.lit(2) * F.col("t2")
+                - F.col("s4")
+            ).cast("double")
+            / F.lit(400.0)
+        ).alias("residual"),
+    )
+
+
+ORACLE_SEASONAL_DECOMPOSE = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT *, (window_ts_ms // {_DAY_MS}) * {_DAY_MS} AS day_ms,
+         CAST((window_ts_ms - (window_ts_ms // {_DAY_MS}) * {_DAY_MS})
+              // {_HOUR_MS} AS INTEGER) AS hod
+  FROM e
+), t AS (
+  SELECT event_type, day_ms, CAST(2 * median(v) AS BIGINT) AS t2
+  FROM h GROUP BY 1, 2
+), d AS (
+  SELECT h.*, t.t2 FROM h JOIN t USING (event_type, day_ms)
+), sn AS (
+  SELECT event_type, hod,
+         CAST(2 * median(2 * v - t2) AS BIGINT) AS s4
+  FROM d GROUP BY 1, 2
+)
+SELECT d.event_type, d.window_ts_ms,
+       CAST(d.v AS DOUBLE) / 100.0 AS value,
+       CAST(d.t2 AS DOUBLE) / 200.0 AS trend,
+       CAST(sn.s4 AS DOUBLE) / 400.0 AS seasonal,
+       CAST(4 * d.v - 2 * d.t2 - sn.s4 AS DOUBLE) / 400.0 AS residual
+FROM d JOIN sn USING (event_type, hod)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -1013,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_mix_drift": q_metric_mix_drift,
     "metric_autocorr": q_metric_autocorr,
     "metric_downsample_lttb": q_metric_downsample_lttb,  # rows-only
+    "metric_seasonal_decompose": q_metric_seasonal_decompose,
 }
 
 ORACLES: dict[str, str] = {
@@ -1026,4 +1123,5 @@ ORACLES: dict[str, str] = {
     "metric_top_contributors": ORACLE_TOP_CONTRIBUTORS,
     "metric_mix_drift": ORACLE_MIX_DRIFT,
     "metric_autocorr": ORACLE_AUTOCORR,
+    "metric_seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
 }

@@ -1195,7 +1195,111 @@ FROM p JOIN tot USING (from_type)
 """.strip()
 
 
+# -------------------------------------------- user lifecycle weekly
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting with full lifecycle states: per
+    epoch-week, how many active users are NEW (first week ever),
+    RETAINED (also active the week before), or RESURRECTED (active,
+    but last seen ≥ 2 weeks ago) — plus CHURNED (active last week,
+    silent this week), the count `events_cumulative_users`' running
+    totals can't give.
+
+    One shuffle to distinct (user, week); per-user lag() classifies
+    active weeks; churn is the same classification SHIFTED — a user
+    churns IN the week after their last active week, produced by
+    re-keying each active week to week+1 and anti-aligning with the
+    active set (full outer on the week grid).  All counts are exact
+    integers on a |users|×|weeks|-bounded relation, never raw events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.unix_millis(F.col("ts")) / F.lit(_WEEK_MS)).cast("long")
+            * F.lit(_WEEK_MS)
+        ).alias("week_ms"),
+    )
+    uw = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("week_ms")
+    classified = uw.withColumn(
+        "prev_week", F.lag("week_ms").over(w)
+    ).withColumn(
+        "state",
+        F.when(F.col("prev_week").isNull(), F.lit("new"))
+        .when(
+            F.col("week_ms") - F.col("prev_week") == F.lit(_WEEK_MS),
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected")),
+    )
+    active_counts = classified.groupBy("week_ms").pivot(
+        "state", ["new", "retained", "resurrected"]
+    ).count().na.fill(0)
+    # churned-in-week X = active in X-1 and NOT active in X
+    prev_active = uw.select(
+        (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
+        "user_id",
+    )
+    churned = (
+        prev_active.join(uw, ["week_ms", "user_id"], "left_anti")
+        .groupBy("week_ms")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    out = active_counts.join(churned, "week_ms", "full_outer").na.fill(
+        0, ["new", "retained", "resurrected", "churned"]
+    )
+    return out.select(
+        "week_ms",
+        F.col("new").cast("long").alias("n_new"),
+        F.col("retained").cast("long").alias("n_retained"),
+        F.col("resurrected").cast("long").alias("n_resurrected"),
+        F.col("churned").cast("long").alias("n_churned"),
+    )
+
+
+ORACLE_LIFECYCLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(ts) // {_WEEK_MS}) * {_WEEK_MS} AS week_ms
+  FROM events
+), cl AS (
+  SELECT user_id, week_ms,
+         lag(week_ms) OVER (PARTITION BY user_id ORDER BY week_ms)
+           AS prev_week
+  FROM uw
+), act AS (
+  SELECT week_ms,
+         count(*) FILTER (prev_week IS NULL) AS n_new,
+         count(*) FILTER (week_ms - prev_week = {_WEEK_MS})
+           AS n_retained,
+         count(*) FILTER (prev_week IS NOT NULL
+                          AND week_ms - prev_week > {_WEEK_MS})
+           AS n_resurrected
+  FROM cl GROUP BY 1
+), ch AS (
+  SELECT p.week_ms + {_WEEK_MS} AS week_ms, count(*) AS n_churned
+  FROM uw p
+  LEFT JOIN uw c ON c.user_id = p.user_id
+                AND c.week_ms = p.week_ms + {_WEEK_MS}
+  WHERE c.user_id IS NULL
+  GROUP BY 1
+)
+SELECT COALESCE(act.week_ms, ch.week_ms) AS week_ms,
+       CAST(COALESCE(act.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(act.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(act.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM act FULL OUTER JOIN ch ON ch.week_ms = act.week_ms
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_lifecycle": q_events_lifecycle,
     "events_markov": q_events_markov,
     "sessions_native": q_sessions_native,
     "events_rolling_wau": q_events_rolling_wau,
@@ -1220,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_lifecycle": ORACLE_LIFECYCLE,
     "events_markov": ORACLE_MARKOV,
     "sessions_native": ORACLE_SESSIONS_NATIVE,
     "events_rolling_wau": ORACLE_ROLLING_WAU,

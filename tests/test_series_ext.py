@@ -206,3 +206,29 @@ def test_autocorr_detects_perfect_seasonality(spark, patched_loader):
     patched_loader(_events(spark, [(h, "m", 5.0) for h in range(72)]))
     out = series_ext.q_metric_autocorr(spark, "x").collect()
     assert out[0]["autocorr_24h"] is None
+
+
+def test_seasonal_decompose_splits_cycle_from_trend(
+    spark, patched_loader
+):
+    # constructed series: value = 100*day + 10*hod over 4 full days.
+    # Trend medians recover the daily level; hour-of-day medians
+    # recover the cycle (constant across days -> residual == 0).
+    rows = []
+    for d in range(4):
+        for hod in range(24):
+            rows.append((d * 24 + hod, "m", 100.0 * d + 10.0 * hod))
+    patched_loader(_events(spark, rows))
+    out = series_ext.q_metric_seasonal_decompose(spark, "x").collect()
+    assert len(out) == 96
+    # additivity is exact by construction
+    for r in out:
+        assert r["value"] == r["trend"] + r["seasonal"] + r["residual"]
+    # the same (hod) has the same seasonal in every day
+    by_hod = {}
+    for r in out:
+        hod = (r["window_ts_ms"] // (3600 * 1000)) % 24
+        by_hod.setdefault(hod, set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_hod.values())
+    # a pure-trend shift leaves residuals at zero everywhere
+    assert all(abs(r["residual"]) < 60 for r in out)
