@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "events_lifecycle",
     "metric_seasonal_decompose",
+    "events_rfm",
+    "orders_concentration_hhi",
+    "events_pareto_deciles",
 ]
 
 

@@ -632,6 +632,250 @@ GROUP BY 1, 2
 """.strip()
 
 
+# ------------------------------------------------- RFM segmentation
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per user,
+    recency (whole days since last purchase vs the corpus frontier),
+    frequency, and monetary value, each scored into quintiles 1..5 —
+    the classic marketing/retention segmentation, done the exact way:
+    ntile with a user_id tiebreak (the `metric_histogram_equidepth`
+    idiom) so bucket boundaries are identical on both engines, and an
+    rfm_code = 100r+10f+m summary per user.
+
+    Two aggregates (per-user rollup, 1-row frontier broadcast) and
+    three ntile windows over the |users| relation — the raw event
+    scan happens once. (The unpartitioned ntile windows order a
+    per-user AGGREGATE, not events; past ~10⁸ users switch to the
+    bucketed global-rank operator, operators/rank.py.)
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    frontier = ev.agg(F.max("ts_ms").alias("max_ms"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_ms").alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("e2").alias("m_e2"),
+    )
+    j = per_user.crossJoin(F.broadcast(frontier)).select(
+        "user_id",
+        (
+            (F.col("max_ms") - F.col("last_ms")) / F.lit(86_400_000)
+        ).cast("long").alias("recency_days"),
+        "frequency",
+        (F.col("m_e2").cast("double") / F.lit(100.0)).alias("monetary"),
+        F.col("m_e2"),
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("m_e2").asc(), F.col("user_id"))
+    scored = (
+        j.withColumn("r_score", F.ntile(5).over(wr))
+        .withColumn("f_score", F.ntile(5).over(wf))
+        .withColumn("m_score", F.ntile(5).over(wm))
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100
+            + F.col("f_score") * 10
+            + F.col("m_score")
+        ).alias("rfm_code"),
+    )
+
+
+ORACLE_RFM = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events WHERE event_type = 'purchase'
+), fr AS (
+  SELECT max(ts_ms) AS max_ms FROM ev
+), pu AS (
+  SELECT user_id, max(ts_ms) AS last_ms, count(*) AS frequency,
+         CAST(sum(e2) AS BIGINT) AS m_e2
+  FROM ev GROUP BY 1
+), j AS (
+  SELECT user_id,
+         (fr.max_ms - pu.last_ms) // 86400000 AS recency_days,
+         frequency, m_e2
+  FROM pu CROSS JOIN fr
+), sc AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY m_e2 ASC, user_id) AS m_score
+  FROM j
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency,
+       CAST(m_e2 AS DOUBLE) / 100.0 AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+         AS rfm_code
+FROM sc
+""".strip()
+
+
+# ------------------------------------------- revenue concentration HHI
+
+
+def q_orders_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-concentration audit: per nation, the Herfindahl-
+    Hirschman index of customer order-revenue shares (Σ share²,
+    ×10,000 in the antitrust convention) — "is this market five whales
+    or a thousand minnows", the risk gauge behind quota sampling and
+    load-balancing decisions alike.
+
+    Revenue aggregates in whole currency units (exact BIGINT; cents
+    would square into overflow territory ~10⁹ customers sooner), and
+    HHI = Σa²/T² evaluates as one division of two exact integers —
+    no float share summation.  orders⋈customer broadcasts the
+    dimension; two-level aggregate; output is |nations| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("rev").alias("a"))
+    )
+    per_nation = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("a").alias("t"),
+        F.sum(F.col("a") * F.col("a")).alias("sa2"),
+    )
+    out = per_nation.join(
+        F.broadcast(nation),
+        per_nation["c_nationkey"] == nation["n_nationkey"],
+    )
+    return out.select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (
+            F.col("sa2").cast("double")
+            * F.lit(10000.0)
+            / (F.col("t") * F.col("t")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+ORACLE_HHI = """
+WITH pc AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+           AS a
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), pn AS (
+  SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(a) AS BIGINT) AS t,
+         CAST(sum(a * a) AS BIGINT) AS sa2
+  FROM pc GROUP BY 1
+)
+SELECT n.n_name AS nation, pn.n_customers,
+       CAST(pn.sa2 AS DOUBLE) * 10000.0
+         / CAST(pn.t * pn.t AS DOUBLE) AS hhi
+FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
+""".strip()
+
+
+# ---------------------------------------------- Pareto decile curve
+
+
+def q_events_pareto_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity-concentration curve: users ranked into event-count
+    deciles (decile 1 = heaviest), each decile's share and CUMULATIVE
+    share of all events — the 80/20 diagnostic for "is this corpus a
+    handful of power users", and the sampling-bias check before any
+    per-user cap.
+
+    ntile over the per-user aggregate with a user_id tiebreak (exact
+    both engines); shares are integer sums divided once, and the
+    cumulative share's numerator is an integer window cumsum over 10
+    rows — no float accumulation anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    dec = per_user.withColumn("decile", F.ntile(10).over(w))
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+    tot = g.agg(F.sum("n_events").alias("total"))
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = g.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_events", F.sum("n_events").over(cw)
+    )
+    return out.select(
+        "decile",
+        "n_users",
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.col("n_events").cast("double") / F.col("total").cast("double")
+        ).alias("share"),
+        (
+            F.col("cum_events").cast("double")
+            / F.col("total").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_PARETO = """
+WITH pu AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+), d AS (
+  SELECT *, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile
+  FROM pu
+), g AS (
+  SELECT decile, count(*) AS n_users,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM d GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g
+)
+SELECT g.decile, g.n_users, g.n_events,
+       CAST(g.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       CAST(sum(g.n_events) OVER (ORDER BY g.decile
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) AS cum_share
+FROM g CROSS JOIN t
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
@@ -640,6 +884,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_tier": q_scd2_user_tier,
     "audit_referential": q_audit_referential,
     "events_enrich_scd2": q_events_enrich_scd2,
+    "events_rfm": q_events_rfm,
+    "orders_concentration_hhi": q_orders_concentration_hhi,
+    "events_pareto_deciles": q_events_pareto_deciles,
 }
 
 ORACLES: dict[str, str] = {
@@ -650,4 +897,7 @@ ORACLES: dict[str, str] = {
     "scd2_user_tier": ORACLE_SCD2,
     "audit_referential": ORACLE_AUDIT_REFERENTIAL,
     "events_enrich_scd2": ORACLE_ENRICH_SCD2,
+    "events_rfm": ORACLE_RFM,
+    "orders_concentration_hhi": ORACLE_HHI,
+    "events_pareto_deciles": ORACLE_PARETO,
 }
