@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "events_rfm",
     "orders_concentration_hhi",
     "events_pareto_deciles",
+    "text_readability",
 ]
 
 

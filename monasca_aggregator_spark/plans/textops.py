@@ -1127,7 +1127,72 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- readability
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document — the readability
+    signal quality-filter recipes (C4/Gopher lineage) add next to
+    length/stopword gates: 0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59, with syllables approximated by
+    vowel-cluster count (the standard cheap estimator).
+
+    Pure column arithmetic — three regexp_count expressions and two
+    divisions per row, zero shuffle, fully codegen'd; the only
+    cross-engine care is using regex constructs both engines parse
+    identically (character classes + '+', no lookaround).  Division
+    inputs are exact integers, so the FK arithmetic is deterministic
+    IEEE on both sides.  Docs without a sentence terminator count as
+    one sentence (max(1, …)); empty docs report NULL.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = F.lower(F.col("text"))
+    n_words = F.regexp_count(t, F.lit(r"[a-z0-9]+")).cast("long")
+    n_sent_raw = F.regexp_count(t, F.lit(r"[.!?]+")).cast("long")
+    n_sent = F.greatest(n_sent_raw, F.lit(1))
+    n_syll = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("long")
+    fk = F.when(
+        n_words > 0,
+        F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+        + F.lit(11.8) * (n_syll.cast("double") / n_words.cast("double"))
+        - F.lit(15.59),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        fk.alias("fk_grade"),
+    )
+
+
+ORACLE_READABILITY = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         AS n_words,
+       CAST(greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+         THEN 0.39 * (CAST(len(regexp_extract_all(lower(text),
+                                                  '[a-z0-9]+')) AS DOUBLE)
+                      / CAST(greatest(len(regexp_extract_all(lower(text),
+                                                             '[.!?]+')), 1)
+                             AS DOUBLE))
+            + 11.8 * (CAST(len(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+')) AS DOUBLE)
+                      / CAST(len(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+'))
+                             AS DOUBLE))
+            - 15.59
+       END AS fk_grade
+FROM documents
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_readability": q_text_readability,
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
     "text_novelty": q_text_novelty,
     "text_langid_ngram": q_text_langid_ngram,
@@ -1155,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_readability": ORACLE_READABILITY,
     "text_novelty": ORACLE_NOVELTY,
     "text_langid_ngram": ORACLE_LANGID_NGRAM,
     "text_scrub": ORACLE_SCRUB,
