@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "orders_concentration_hhi",
     "events_pareto_deciles",
     "text_readability",
+    "orders_copurchase",
+    "lineitem_abc_class",
 ]
 
 

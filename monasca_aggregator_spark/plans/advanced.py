@@ -876,6 +876,163 @@ FROM g CROSS JOIN t
 """.strip()
 
 
+# ----------------------------------------------- co-purchase affinity
+
+_COPURCHASE_MIN_SUPPORT = 3  # pairs must co-occur in >= 3 orders
+
+
+def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity on REAL baskets: part pairs co-occurring
+    in at least MIN_SUPPORT orders, with co-count and lift — the
+    `events_assoc_rules` shape at its actual scale challenge: the item
+    vocabulary here is |parts| (thousands), not five event types, so
+    the naive items×items matrix is infeasible and the bound must come
+    from the DATA: the pair fan-out is per-ORDER (≤ (basket size
+    choose 2), baskets are ≤ 7 lineitems), and the min-support HAVING
+    prunes the pair table before the lift join touches it.
+
+    Exactness: counts are BIGINTs; lift = n_ab·N/(n_a·n_b) evaluates
+    as one exact-integer-built double expression, same on both
+    engines.  Ties/order: pairs oriented p_a < p_b.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    singles = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _COPURCHASE_MIN_SUPPORT)
+    )
+    na = singles.select(
+        F.col("l_partkey").alias("p_a"), F.col("n_single").alias("n_a")
+    )
+    nb = singles.select(
+        F.col("l_partkey").alias("p_b"), F.col("n_single").alias("n_b")
+    )
+    out = (
+        pairs.join(na, "p_a")
+        .join(nb, "p_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "p_a",
+        "p_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (
+            F.col("n_both").cast("double")
+            * F.col("n_orders").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+ORACLE_COPURCHASE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), no AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+), s AS (
+  SELECT l_partkey, count(*) AS n_single FROM li GROUP BY 1
+), p AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_both
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+)
+SELECT p.p_a, p.p_b, sa.n_single AS n_a, sb.n_single AS n_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) * CAST(no.n_orders AS DOUBLE)
+         / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE))
+         AS lift
+FROM p
+JOIN s sa ON sa.l_partkey = p.p_a
+JOIN s sb ON sb.l_partkey = p.p_b
+CROSS JOIN no
+""".strip()
+
+
+# ------------------------------------------------- ABC classification
+
+
+def q_lineitem_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed
+    A while cumulative revenue ≤ 80% of total, B to 95%, C beyond —
+    the warehouse-ops label behind stocking policy, and the
+    label-assigning sibling of `events_pareto_deciles`' share curve.
+
+    The class test is cross-multiplied integers (cum·100 ≤ 80·total),
+    never a float share compare; the ranking window orders the
+    per-part AGGREGATE by (revenue DESC, partkey) — a total order, so
+    cumulative sums are identical on both engines.  Output is the
+    3-row class rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice")).cast("long").alias("rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("a"))
+    w = Window.orderBy(F.col("a").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_part.agg(F.sum("a").alias("total"))
+    cum = per_part.withColumn("cum", F.sum("a").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = F.when(
+        F.col("cum") * 100 <= F.col("total") * 80, F.lit("A")
+    ).when(
+        F.col("cum") * 100 <= F.col("total") * 95, F.lit("B")
+    ).otherwise(F.lit("C"))
+    labeled = cum.withColumn("abc_class", cls)
+    return labeled.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum("a").cast("double") / F.lit(1.0)).alias("revenue"),
+        (
+            F.sum("a").cast("double") / F.max("total").cast("double")
+        ).alias("rev_share"),
+    )
+
+
+ORACLE_ABC = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS a
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(sum(a) AS BIGINT) AS total FROM pp
+), c AS (
+  SELECT l_partkey, a,
+         CAST(sum(a) OVER (ORDER BY a DESC, l_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+  FROM pp
+), lab AS (
+  SELECT c.*, t.total,
+         CASE WHEN c.cum * 100 <= t.total * 80 THEN 'A'
+              WHEN c.cum * 100 <= t.total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM c CROSS JOIN t
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(a) AS DOUBLE) / 1.0 AS revenue,
+       CAST(sum(a) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS rev_share
+FROM lab GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
@@ -887,6 +1044,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rfm": q_events_rfm,
     "orders_concentration_hhi": q_orders_concentration_hhi,
     "events_pareto_deciles": q_events_pareto_deciles,
+    "orders_copurchase": q_orders_copurchase,
+    "lineitem_abc_class": q_lineitem_abc_class,
 }
 
 ORACLES: dict[str, str] = {
@@ -900,4 +1059,6 @@ ORACLES: dict[str, str] = {
     "events_rfm": ORACLE_RFM,
     "orders_concentration_hhi": ORACLE_HHI,
     "events_pareto_deciles": ORACLE_PARETO,
+    "orders_copurchase": ORACLE_COPURCHASE,
+    "lineitem_abc_class": ORACLE_ABC,
 }
