@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "text_readability",
     "orders_copurchase",
     "lineitem_abc_class",
+    "agg_rolling_distinct_kmv",
 ]
 
 

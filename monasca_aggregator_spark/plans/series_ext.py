@@ -1097,6 +1097,82 @@ FROM d JOIN sn USING (event_type, hod)
 """.strip()
 
 
+# ------------------------------------- rolling distinct via KMV merge
+
+_ROLL_HOURS = 24
+
+
+def q_agg_rolling_distinct_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 24 h distinct users per hour from HOURLY KMV sketches —
+    sliding-window cardinality by sketch RE-AGGREGATION: build one
+    sketch per hour (one raw shuffle), then each rolling window merges
+    24 sketch rows via flatten → distinct → slice — pure column
+    algebra on ≤ 24·k hashes, the bounded-state path where the exact
+    formulation (`events_rolling_wau`'s distinct (user, day) fan-out)
+    grows with true cardinality.
+
+    The 24-way merge reuses the lossless-union property pinned in
+    test_kmv.py: merging per-hour sketches equals sketching the
+    window's union, so below the cap the estimate is EXACT and the
+    DuckDB oracle (exact rolling distinct) matches bit-for-bit; above
+    the cap this same plan degrades to ±3% instead of degrading to a
+    bigger shuffle.  Windows with no events in some trailing hours
+    merge only the present hours (gap-safe offset join, same idiom as
+    `agg_window_stickiness`).
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    sk = ev.groupBy(_hourly_window()).agg(
+        kmv_agg_if(F.col("user_id"), F.lit(True), _KMV_K).alias("sk")
+    )
+    # offset join: target window w collects hour sketches w-23h..w
+    offsets = spark.range(_ROLL_HOURS).select(
+        (F.col("id") * F.lit(_HOUR_MS)).alias("off")
+    )
+    fan = sk.crossJoin(F.broadcast(offsets)).select(
+        (F.col("window_ts_ms") + F.col("off")).alias("target_ms"),
+        "sk",
+    )
+    # only emit targets that themselves have events (match the
+    # oracle's "per active hour" row set)
+    active = sk.select(F.col("window_ts_ms").alias("target_ms"))
+    merged = (
+        fan.join(F.broadcast(active), "target_ms")
+        .groupBy("target_ms")
+        .agg(F.flatten(F.collect_list("sk")).alias("all_h"))
+        .select(
+            "target_ms",
+            F.slice(
+                F.array_sort(F.array_distinct(F.col("all_h"))),
+                1,
+                _KMV_K,
+            ).alias("sk"),
+        )
+    )
+    return merged.select(
+        F.col("target_ms").alias("window_ts_ms"),
+        kmv_estimate(F.col("sk"), _KMV_K).cast("long").alias(
+            "n_active_24h"
+        ),
+    )
+
+
+ORACLE_ROLLING_DISTINCT = f"""
+WITH w AS (
+  SELECT DISTINCT {_W_SQL} AS w_ms, user_id FROM events
+), hours AS (
+  SELECT DISTINCT w_ms FROM w
+)
+SELECT h.w_ms AS window_ts_ms,
+       count(DISTINCT u.user_id) AS n_active_24h
+FROM hours h
+JOIN w u ON u.w_ms BETWEEN h.w_ms - {(_ROLL_HOURS - 1)} * {_HOUR_MS}
+                       AND h.w_ms
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -1110,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_autocorr": q_metric_autocorr,
     "metric_downsample_lttb": q_metric_downsample_lttb,  # rows-only
     "metric_seasonal_decompose": q_metric_seasonal_decompose,
+    "agg_rolling_distinct_kmv": q_agg_rolling_distinct_kmv,
 }
 
 ORACLES: dict[str, str] = {
@@ -1124,4 +1201,5 @@ ORACLES: dict[str, str] = {
     "metric_mix_drift": ORACLE_MIX_DRIFT,
     "metric_autocorr": ORACLE_AUTOCORR,
     "metric_seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
+    "agg_rolling_distinct_kmv": ORACLE_ROLLING_DISTINCT,
 }
