@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "orders_copurchase",
     "lineitem_abc_class",
     "agg_rolling_distinct_kmv",
+    "sessions_active_time",
+    "anomaly_ensemble",
 ]
 
 

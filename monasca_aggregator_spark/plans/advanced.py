@@ -1033,6 +1033,90 @@ FROM lab GROUP BY 1
 """.strip()
 
 
+# ------------------------------------------------ anomaly ensemble
+
+
+def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus anomaly detection: the trailing-window z-score, the
+    MAD fence, and the seasonal (hour-of-day) z-score VOTE per
+    (metric, window), and two-of-three flags the window — the
+    ensemble that survives each detector's blind spot (σ-inflation
+    masks the z-score, daily cycles fool the trailing baseline, and
+    the seasonal baseline needs history the other two don't).
+
+    Built by COMPOSING the three existing oracle-exact queries —
+    q_anomaly_zscore, q_metric_mad_anomaly, q_anomaly_seasonal — and
+    joining their identical (metric, window) row sets; the oracle
+    nests each detector's full SQL as a CTE subquery.  Detectors that
+    abstain (NULL score, insufficient history) vote false, never
+    block the row.
+    """
+    from monasca_aggregator_spark.plans.series import q_anomaly_seasonal
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_mad_anomaly,
+    )
+    from monasca_aggregator_spark.plans.temporal import q_anomaly_zscore
+
+    keys = ["event_type", "window_ts_ms"]
+    z = q_anomaly_zscore(spark, sf_dir).select(
+        *keys, F.col("is_anomaly").alias("flag_trailing")
+    )
+    m = q_metric_mad_anomaly(spark, sf_dir).select(
+        *keys, F.col("is_anomaly").alias("flag_mad")
+    )
+    sz = q_anomaly_seasonal(spark, sf_dir).select(
+        *keys,
+        F.coalesce(
+            F.abs(F.col("season_z")) > 3, F.lit(False)
+        ).alias("flag_seasonal"),
+    )
+    j = z.join(m, keys).join(sz, keys)
+    votes = (
+        F.col("flag_trailing").cast("int")
+        + F.col("flag_mad").cast("int")
+        + F.col("flag_seasonal").cast("int")
+    )
+    return j.select(
+        *keys,
+        "flag_trailing",
+        "flag_mad",
+        "flag_seasonal",
+        votes.alias("votes"),
+        (votes >= F.lit(2)).alias("consensus"),
+    )
+
+
+def _oracle_ensemble() -> str:
+    from monasca_aggregator_spark.plans.series import (
+        ORACLE_ANOMALY_SEASONAL,
+    )
+    from monasca_aggregator_spark.plans.series_ext import (
+        ORACLE_MAD_ANOMALY,
+    )
+    from monasca_aggregator_spark.plans.temporal import ORACLE_ANOMALY
+
+    return f"""
+WITH z AS ({ORACLE_ANOMALY}),
+m AS ({ORACLE_MAD_ANOMALY}),
+sz AS ({ORACLE_ANOMALY_SEASONAL})
+SELECT z.event_type, z.window_ts_ms,
+       z.is_anomaly AS flag_trailing,
+       m.is_anomaly AS flag_mad,
+       coalesce(abs(sz.season_z) > 3, false) AS flag_seasonal,
+       CAST(CAST(z.is_anomaly AS INTEGER)
+            + CAST(m.is_anomaly AS INTEGER)
+            + CAST(coalesce(abs(sz.season_z) > 3, false) AS INTEGER)
+            AS INTEGER) AS votes,
+       (CAST(z.is_anomaly AS INTEGER)
+        + CAST(m.is_anomaly AS INTEGER)
+        + CAST(coalesce(abs(sz.season_z) > 3, false) AS INTEGER))
+         >= 2 AS consensus
+FROM z
+JOIN m USING (event_type, window_ts_ms)
+JOIN sz USING (event_type, window_ts_ms)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
@@ -1046,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pareto_deciles": q_events_pareto_deciles,
     "orders_copurchase": q_orders_copurchase,
     "lineitem_abc_class": q_lineitem_abc_class,
+    "anomaly_ensemble": q_anomaly_ensemble,
 }
 
 ORACLES: dict[str, str] = {
@@ -1061,4 +1146,5 @@ ORACLES: dict[str, str] = {
     "events_pareto_deciles": ORACLE_PARETO,
     "orders_copurchase": ORACLE_COPURCHASE,
     "lineitem_abc_class": ORACLE_ABC,
+    "anomaly_ensemble": _oracle_ensemble(),
 }

@@ -1298,7 +1298,91 @@ FROM act FULL OUTER JOIN ch ON ch.week_ms = act.week_ms
 """.strip()
 
 
+# --------------------------------------------- active-time accounting
+
+
+def q_sessions_active_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement DURATION accounting: per (user, day) total active
+    milliseconds and session count, where active time is the span of
+    each gap-based session (first→last event; single-event sessions
+    contribute 0 ms) attributed to the session's start day — the
+    time-on-product number per-day event COUNTS always get asked to
+    become.
+
+    Same islands machinery as `sessions_user` (one user-keyed
+    shuffle), then a (user, day) rollup of the session relation —
+    |sessions| rows, not events.  Durations are exact epoch-ms
+    integers end-to-end.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts_ms")
+    gap_ms = 12 * 3600 * 1000
+    new_sess = F.when(
+        F.lag("ts_ms").over(uw).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(uw) > F.lit(gap_ms)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = ev.withColumn("is_new", new_sess).withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = marked.groupBy("user_id", "sess_id").agg(
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
+    day_ms = 24 * 3600 * 1000
+    return (
+        sessions.withColumn(
+            "day_ms",
+            (F.col("start_ms") / F.lit(day_ms)).cast("long")
+            * F.lit(day_ms),
+        )
+        .groupBy("user_id", "day_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("end_ms") - F.col("start_ms"))
+            .cast("long")
+            .alias("active_ms"),
+        )
+    )
+
+
+ORACLE_ACTIVE_TIME = """
+WITH m AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ms(ts))
+                   <= 43200000
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), n AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM m
+), sess AS (
+  SELECT user_id, sess_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+  FROM n GROUP BY 1, 2
+)
+SELECT user_id,
+       (start_ms // 86400000) * 86400000 AS day_ms,
+       count(*) AS n_sessions,
+       CAST(sum(end_ms - start_ms) AS BIGINT) AS active_ms
+FROM sess GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessions_active_time": q_sessions_active_time,
     "events_lifecycle": q_events_lifecycle,
     "events_markov": q_events_markov,
     "sessions_native": q_sessions_native,
@@ -1324,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sessions_active_time": ORACLE_ACTIVE_TIME,
     "events_lifecycle": ORACLE_LIFECYCLE,
     "events_markov": ORACLE_MARKOV,
     "sessions_native": ORACLE_SESSIONS_NATIVE,
