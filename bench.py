@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "agg_rolling_distinct_kmv",
     "sessions_active_time",
     "anomaly_ensemble",
+    "metric_apdex",
+    "orders_cohort_ltv",
 ]
 
 

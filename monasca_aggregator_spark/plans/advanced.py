@@ -1117,6 +1117,102 @@ JOIN sz USING (event_type, window_ts_ms)
 """.strip()
 
 
+# ------------------------------------------------- cohort LTV matrix
+
+_MONTH_DAYS = 30  # epoch-aligned 30-day "months" (no calendar skew)
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value matrix: customers grouped by
+    first-order cohort (epoch-aligned 30-day buckets), revenue per
+    (cohort, periods-since-cohort) with the CUMULATIVE per-customer
+    value — the revenue-weighted sibling of `events_retention`'s
+    user-count matrix, and the payback-period readout acquisition
+    spend is judged against.
+
+    Per-customer first-order agg co-partitions with the join that
+    follows (one shuffle on custkey), the matrix is |cohorts|² cells,
+    and the running cumulative sums integer revenue over ordered
+    periods — exact division only at the final avg-LTV column.
+    """
+    mo_ms = _MONTH_DAYS * 24 * 3600 * 1000
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate")).alias("ts_ms"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    bucket = lambda c: (c / F.lit(mo_ms)).cast("long")  # noqa: E731
+    first = orders.groupBy("o_custkey").agg(
+        F.min("ts_ms").alias("first_ms")
+    )
+    cohorts = first.select(
+        "o_custkey", bucket(F.col("first_ms")).alias("cohort")
+    )
+    sized = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    j = orders.join(cohorts, "o_custkey").select(
+        "cohort",
+        (bucket(F.col("ts_ms")) - F.col("cohort")).alias("period"),
+        "rev",
+    )
+    cell = j.groupBy("cohort", "period").agg(
+        F.sum("rev").alias("revenue")
+    )
+    w = Window.partitionBy("cohort").orderBy("period").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = cell.withColumn("cum_revenue", F.sum("revenue").over(w)).join(
+        F.broadcast(sized), "cohort"
+    )
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("period").cast("long").alias("period"),
+        "n_customers",
+        F.col("revenue").cast("long").alias("revenue"),
+        F.col("cum_revenue").cast("long").alias("cum_revenue"),
+        (
+            F.col("cum_revenue").cast("double")
+            / F.col("n_customers").cast("double")
+        ).alias("avg_ltv"),
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH o AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS ts_ms,
+         CAST(floor(o_totalprice) AS BIGINT) AS rev
+  FROM orders
+), f AS (
+  SELECT o_custkey, min(ts_ms) // {_MONTH_DAYS * 86400000} AS cohort
+  FROM o GROUP BY 1
+), sz AS (
+  SELECT cohort, count(*) AS n_customers FROM f GROUP BY 1
+), cell AS (
+  SELECT f.cohort,
+         o.ts_ms // {_MONTH_DAYS * 86400000} - f.cohort AS period,
+         CAST(sum(o.rev) AS BIGINT) AS revenue
+  FROM o JOIN f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT CAST(cell.cohort AS BIGINT) AS cohort,
+       CAST(cell.period AS BIGINT) AS period,
+       sz.n_customers,
+       cell.revenue,
+       CAST(sum(cell.revenue) OVER (PARTITION BY cell.cohort
+                                    ORDER BY cell.period
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue,
+       CAST(sum(cell.revenue) OVER (PARTITION BY cell.cohort
+                                    ORDER BY cell.period
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+         / CAST(sz.n_customers AS DOUBLE) AS avg_ltv
+FROM cell JOIN sz USING (cohort)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
@@ -1131,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_copurchase": q_orders_copurchase,
     "lineitem_abc_class": q_lineitem_abc_class,
     "anomaly_ensemble": q_anomaly_ensemble,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
 }
 
 ORACLES: dict[str, str] = {
@@ -1147,4 +1244,5 @@ ORACLES: dict[str, str] = {
     "orders_copurchase": ORACLE_COPURCHASE,
     "lineitem_abc_class": ORACLE_ABC,
     "anomaly_ensemble": _oracle_ensemble(),
+    "orders_cohort_ltv": ORACLE_COHORT_LTV,
 }

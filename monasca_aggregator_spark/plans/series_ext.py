@@ -1173,6 +1173,71 @@ GROUP BY 1
 """.strip()
 
 
+# ------------------------------------------------------------- apdex
+
+_APDEX_T_E2 = 5000  # satisfied threshold T = 50.00 value units
+
+
+def q_metric_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per (metric, hour): (satisfied + tolerating/2) /
+    total with satisfied ≤ T and tolerating ≤ 4T — the contractual
+    SLA number distilled from the latency histogram (industry
+    standard; one number a customer signs).
+
+    Counts are conditional integer aggregates in ONE pass (no second
+    scan per class); the half-weight evaluates as (2·sat + tol) /
+    (2·total) — a single division of exact BIGINTs, no 0.5 float
+    anywhere.  Same one-shuffle plan as every series query.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    t = F.lit(_APDEX_T_E2)
+    g = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("e2") <= t).cast("long")).alias("n_sat"),
+        F.sum(
+            ((F.col("e2") > t) & (F.col("e2") <= t * 4)).cast("long")
+        ).alias("n_tol"),
+    )
+    return g.select(
+        "event_type",
+        "window_ts_ms",
+        "n_total",
+        "n_sat",
+        "n_tol",
+        (
+            (F.lit(2) * F.col("n_sat") + F.col("n_tol")).cast("double")
+            / (F.lit(2) * F.col("n_total")).cast("double")
+        ).alias("apdex"),
+    )
+
+
+ORACLE_APDEX = f"""
+SELECT event_type, {_W_SQL} AS window_ts_ms,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          <= {_APDEX_T_E2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sat,
+       CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          > {_APDEX_T_E2}
+                      AND CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          <= {4 * _APDEX_T_E2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tol,
+       CAST(2 * sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              <= {_APDEX_T_E2} THEN 1 ELSE 0 END)
+            + sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            > {_APDEX_T_E2}
+                        AND CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            <= {4 * _APDEX_T_E2} THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(2 * count(*) AS DOUBLE) AS apdex
+FROM events GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
@@ -1187,6 +1252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_downsample_lttb": q_metric_downsample_lttb,  # rows-only
     "metric_seasonal_decompose": q_metric_seasonal_decompose,
     "agg_rolling_distinct_kmv": q_agg_rolling_distinct_kmv,
+    "metric_apdex": q_metric_apdex,
 }
 
 ORACLES: dict[str, str] = {
@@ -1202,4 +1268,5 @@ ORACLES: dict[str, str] = {
     "metric_autocorr": ORACLE_AUTOCORR,
     "metric_seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
     "agg_rolling_distinct_kmv": ORACLE_ROLLING_DISTINCT,
+    "metric_apdex": ORACLE_APDEX,
 }
