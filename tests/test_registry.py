@@ -52,11 +52,15 @@ def test_broken_plan_module_raises():
             importlib.import_module(victim)
 
 
-def test_staged_r3_window_is_flippable():
-    """The commented _DRIVER_WINDOW_R3 block must stay valid while the
-    registry evolves: every staged key registered + oracle-backed, no
-    duplicates, exactly 50 entries — so the r3 flip is one edit, not
-    an archaeology session."""
+import pytest
+
+
+@pytest.mark.parametrize("tag", ["R3", "R4"])
+def test_staged_windows_are_flippable(tag):
+    """The commented _DRIVER_WINDOW_R3/R4 blocks must stay valid while
+    the registry evolves: every staged key registered + oracle-backed,
+    no duplicates, exactly 50 entries — so each round's flip is one
+    edit, not an archaeology session."""
     import re
     from pathlib import Path
 
@@ -64,7 +68,7 @@ def test_staged_r3_window_is_flippable():
 
     src = Path("monasca_aggregator_spark/registry.py").read_text()
     block = re.search(
-        r"# _DRIVER_WINDOW_R3.*?# \)", src, re.S
+        rf"# _DRIVER_WINDOW_{tag}.*?# \)", src, re.S
     ).group(0)
     staged = re.findall(r'"([a-z0-9_]+)"', block)
     assert len(staged) == 50, f"staged window has {len(staged)} keys"
