@@ -154,6 +154,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ τ via prefix filtering (All-Pairs /
+    PPJoin family, Bayardo et al. WWW'07) — same output as
+    ``ngram_jaccard_pairs``, scalable candidate generation.
+
+    Order every doc's shingles rarest-first under one global canonical
+    order (document frequency, then hash). A pair with J ≥ τ must share
+    its globally-smallest intersection token inside BOTH docs' prefixes
+    of length |x| − ⌈τ·|x|⌉ + 1 (if a doc's prefix missed the whole
+    intersection, overlap ≤ ⌈τ|x|⌉ − 1 < τ|x|, contradiction). So
+    joining on prefix tokens only loses nothing — and prefix tokens are
+    by construction the RAREST shingles, so the candidate self-join is
+    skew-resistant where the full shingle join (``ngram_jaccard_pairs``)
+    is quadratic in hot-shingle document frequency. Candidates are then
+    verified exactly on the full hashed shingle sets.
+
+    Reference parity: same pair semantics as the exact n-gram oracle
+    (reference has no near-dup operator; this is the LLM-pipeline
+    extension surface).
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    ex = _exploded(sh).select("doc_id", F.xxhash64("s").alias("sh"))
+    # vocabulary-sized document-frequency table; the join back is an
+    # equi-join on the 8-byte token hash
+    df_tbl = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("toks"))
+    )
+    prefixed = ranked.select(
+        "doc_id",
+        F.col("toks.sh").alias("set_h"),
+        F.size("toks").alias("n_sh"),
+        # prefix length |x| − ⌈τ|x|⌉ + 1, over the rarest-first order
+        F.slice(
+            F.col("toks.sh"),
+            1,
+            (
+                F.size("toks")
+                - F.ceil(F.lit(threshold) * F.size("toks"))
+                + 1
+            ).cast("int"),
+        ).alias("prefix"),
+    )
+    pref_ex = prefixed.select("doc_id", F.explode("prefix").alias("p"))
+    a, b = pref_ex.alias("a"), pref_ex.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = prefixed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("set_h").alias("h_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = prefixed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("set_h").alias("h_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = F.size(F.array_intersect("h_a", "h_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            stable_round(
+                shared / (F.col("n_a") + F.col("n_b") - shared), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,

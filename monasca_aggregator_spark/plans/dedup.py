@@ -74,6 +74,17 @@ SELECT id_a, id_b, jaccard FROM pairs
 """.strip()
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering (All-Pairs) exact Jaccard join — identical
+    output to dedup_ngram_jaccard, but candidates come from rarest-
+    shingle prefixes instead of the full (skew-prone) shingle
+    self-join. Shares ORACLE_NGRAM because the semantics are exact."""
+    return D.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        threshold=THRESHOLD,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the exact n-gram pair graph: iterative
     min-label propagation (operators.dedup.connected_components); the
@@ -526,6 +537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
     "dedup_embedding": q_dedup_embedding,
@@ -542,6 +554,7 @@ ORACLES: dict[str, str] = {
     "dedup_span_rewrite": ORACLE_SPAN_REWRITE,
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_jaccard_prefix": ORACLE_NGRAM,
     "dedup_embedding": ORACLE_EMBEDDING,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_canonical": ORACLE_CANONICAL,

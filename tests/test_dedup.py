@@ -356,3 +356,51 @@ def test_span_rewrite_removes_exact_copy_keeps_original(spark):
     assert out[4].kept_md5 == hashlib.md5(
         b"unique tail here now"
     ).hexdigest()
+
+
+def test_prefix_filter_equals_exact_allpairs(docs):
+    """Prefix-filtering candidate generation is lossless: output is
+    byte-identical to the exhaustive shingle self-join at several
+    thresholds (incl. one where τ·|x| is an exact integer, exercising
+    the ceil boundary of the prefix-length formula)."""
+    for thr in (0.3, 0.5, 5 / 9):
+        exact = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, threshold=thr).collect()
+        )
+        pref = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.jaccard_prefix_pairs(docs, threshold=thr).collect()
+        )
+        assert pref == exact, f"mismatch at threshold {thr}"
+    assert exact  # the 0.5/0.55 runs still see the 0-1 pair
+
+
+def test_prefix_filter_on_wider_corpus(spark):
+    """16 docs: 4 templates × 4 variants with small word edits — the
+    prefix join must reproduce the exhaustive pair set exactly."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "spark shuffles data between stages using hash partitioning",
+        "completely unrelated text about cooking pasta with tomato sauce",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        words = t.split()
+        for v in range(4):
+            w = list(words)
+            if v:
+                w[v] = f"edit{v}"
+            rows.append((i * 10 + v, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    )
+    pref = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_prefix_pairs(docs, threshold=0.4).collect()
+    )
+    assert pref == exact
+    assert len(exact) >= 12  # every within-template pair qualifies
