@@ -1,0 +1,88 @@
+"""Distributed skyline (Pareto frontier) operator.
+
+Classic two-phase MapReduce skyline (Börzsönyi et al. ICDE'01 dominance
+semantics; partition-local skyline → merged global skyline):
+
+1. **Local phase** — ``mapInPandas`` computes each partition's skyline.
+   Dominated rows never leave their partition, so the shuffle carries
+   only the per-partition frontiers.
+2. **Global phase** — the union of local frontiers (tiny for
+   correlated dimensions, bounded by the true skyline's superset) is
+   coalesced into one task and filtered once more. The final frontier
+   is exact: global-dominance of row x is witnessed by some row d that
+   is itself locally non-dominated (dominance is transitive), so the
+   local phase loses nothing.
+
+Worst case (fully anti-correlated dimensions) the frontier IS the
+dataset and phase 2 degenerates to a single-task scan — the caller
+owns dimension choice; this operator is for the frontier-is-small
+regime every practical "best quality for its cost" selection lives in.
+
+Reference parity: the reference has no multi-criteria operator; this
+extends the LLM-pipeline surface (document selection under competing
+quality/cost axes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _pareto_mask(vals) -> "list[int]":
+    """Indices of non-dominated rows. ``vals``: 2-D float ndarray with
+    every dimension already normalized to MAXIMIZE. O(n·|skyline|)
+    block-nested loop over a lexicographically sorted order — the sort
+    guarantees no later row can dominate an earlier survivor, so one
+    pass suffices."""
+    import numpy as np
+
+    n = len(vals)
+    # sort rows lexicographically descending (first dim, then tie-breaks)
+    order = np.lexsort(tuple(-vals[:, d] for d in range(vals.shape[1] - 1, -1, -1)))
+    keep: list[int] = []
+    frontier: list = []  # rows of kept values
+    for i in order:
+        v = vals[i]
+        if frontier:
+            fr = np.asarray(frontier)
+            # d dominates v: all(d >= v) and any(d > v)
+            dominated = bool(
+                ((fr >= v).all(axis=1) & (fr > v).any(axis=1)).any()
+            )
+            if dominated:
+                continue
+        frontier.append(v)
+        keep.append(int(i))
+    return keep
+
+
+def skyline(df: DataFrame, dims: Sequence[tuple[str, str]]) -> DataFrame:
+    """Rows not dominated on ``dims`` — [(column, "max"|"min"), ...].
+
+    d dominates x iff d is ≥-as-good on every dim and strictly better
+    on at least one (ties survive: two identical points are mutually
+    non-dominated and both kept).
+    """
+    for _, sense in dims:
+        if sense not in ("max", "min"):
+            raise ValueError(f"dim sense must be max|min, got {sense!r}")
+    cols = [c for c, _ in dims]
+    signs = [1.0 if s == "max" else -1.0 for _, s in dims]
+    schema = df.schema
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        vals = pdf[cols].to_numpy(dtype="float64") * np.asarray(signs)
+        yield pdf.iloc[_pareto_mask(vals)]
+
+    local = df.mapInPandas(_local, schema=schema)
+    # Phase 2: one task over the (small) union of local frontiers.
+    return local.coalesce(1).mapInPandas(_local, schema=schema)

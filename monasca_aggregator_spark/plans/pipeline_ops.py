@@ -793,7 +793,44 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest
 
 
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier document selection: maximize lexical diversity
+    (distinct tokens) while minimizing token cost — the two-phase
+    distributed skyline (operators/skyline.py). A doc survives iff no
+    other doc is at-least-as-diverse AND at-most-as-long with one
+    strict. All-integer dims keep the oracle hash exact."""
+    from monasca_aggregator_spark.functions.text import tokens
+    from monasca_aggregator_spark.operators.skyline import skyline
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return skyline(stats, [("n_distinct", "max"), ("n_tokens", "min")])
+
+
+ORACLE_SKYLINE = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_distinct
+  FROM documents
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.n_distinct >= a.n_distinct AND b.n_tokens <= a.n_tokens
+    AND (b.n_distinct > a.n_distinct OR b.n_tokens < a.n_tokens)
+)
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "skyline_docs": q_skyline_docs,
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
     "sample_temperature": q_sample_temperature,
@@ -815,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "skyline_docs": ORACLE_SKYLINE,
     "sample_quota_source": ORACLE_QUOTA,
     "sample_consistent_k": ORACLE_CONSISTENT_K,
     "sample_temperature": ORACLE_TEMPERATURE,
