@@ -1213,7 +1213,81 @@ FROM cell JOIN sz USING (cohort)
 """.strip()
 
 
+def q_audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py): 8
+    rules over lineitem compiled into ONE whole-stage-codegen'd
+    aggregate pass — no joins, map-side partials, fixed-size report.
+    TPC-H invariants double as the ruleset (discount ∈ [0,.1],
+    quantity ∈ [1,50], flag/status domains, positive price, PK
+    uniqueness)."""
+    from monasca_aggregator_spark.operators import expectations as E
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        E.not_null("l_orderkey"),
+        E.not_null("l_partkey"),
+        E.in_range("l_discount", 0.0, 0.1),
+        E.in_range("l_quantity", 1, 50),
+        E.in_set("l_returnflag", {"A", "N", "R"}),
+        E.in_set("l_linestatus", {"O", "F"}),
+        E.satisfies("price_positive", F.col("l_extendedprice") > 0),
+        E.unique("l_orderkey", "l_linenumber"),
+    ]
+    return E.check(li, rules)
+
+
+def _exp_rule(name: str, where: str) -> str:
+    return f"""
+SELECT '{name}' AS rule,
+       CAST(count(*) FILTER (WHERE NOT ({where})) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS checked,
+       count(*) FILTER (WHERE NOT ({where})) = 0 AS passed
+FROM lineitem"""
+
+
+ORACLE_EXPECTATIONS = (
+    "\nUNION ALL".join(
+        [
+            _exp_rule("not_null(l_orderkey)", "l_orderkey IS NOT NULL"),
+            _exp_rule("not_null(l_partkey)", "l_partkey IS NOT NULL"),
+            _exp_rule(
+                "range(l_discount)",
+                "coalesce(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)",
+            ),
+            _exp_rule(
+                "range(l_quantity)",
+                "coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)",
+            ),
+            _exp_rule(
+                "in_set(l_returnflag)",
+                "coalesce(l_returnflag IN ('A','N','R'), FALSE)",
+            ),
+            _exp_rule(
+                "in_set(l_linestatus)",
+                "coalesce(l_linestatus IN ('F','O'), FALSE)",
+            ),
+            _exp_rule(
+                "satisfies(price_positive)",
+                "coalesce(l_extendedprice > 0, FALSE)",
+            ),
+        ]
+    )
+    + """
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)' AS rule,
+       CAST(count(*) - (SELECT count(*) FROM (
+           SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS checked,
+       count(*) = (SELECT count(*) FROM (
+           SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS passed
+FROM lineitem"""
+).strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "audit_expectations": q_audit_expectations,
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
     "events_assoc_rules": q_events_assoc_rules,
@@ -1231,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "audit_expectations": ORACLE_EXPECTATIONS,
     "agg_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "sessions_concurrency": ORACLE_SESSIONS_CONCURRENCY,
     "events_assoc_rules": ORACLE_ASSOC_RULES,

@@ -1,0 +1,73 @@
+"""Expectations engine: exact violation counts on a crafted dirty table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators import expectations as E
+
+ROWS = [
+    # (id, grp, qty, status)
+    (1, "a", 10, "ok"),
+    (2, "a", -5, "ok"),      # range violation
+    (None, "b", 20, "ok"),   # not_null violation
+    (3, "b", 30, "bad"),     # in_set violation
+    (3, "b", 40, "ok"),      # duplicate (id,grp) with next row
+    (3, "b", 50, "ok"),
+]
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, grp string, qty long, status string"
+    )
+
+
+def test_check_counts_every_rule(dirty):
+    rules = [
+        E.not_null("id"),
+        E.in_range("qty", 0, 100),
+        E.in_set("status", {"ok", "meh"}),
+        E.satisfies("qty_even", F.col("qty") % 2 == 0),
+        E.unique("id", "grp"),
+    ]
+    rep = {r.rule: r for r in E.check(dirty, rules).collect()}
+    assert all(r.checked == 6 for r in rep.values())
+    assert rep["not_null(id)"].violations == 1
+    assert rep["range(qty)"].violations == 1
+    assert rep["in_set(status)"].violations == 1
+    assert rep["satisfies(qty_even)"].violations == 1  # qty=-5 is odd
+    # 6 rows, 5 distinct non-null (id,grp) tuples... (3,b) appears 3× →
+    # distinct non-null = {(1,a),(2,a),(3,b)} = 3; null row excluded by
+    # countDistinct; violations = 6 - 3 = 3
+    assert rep["unique(id,grp)"].violations == 3
+    assert not any(r.passed for r in rep.values())
+
+
+def test_check_clean_table_passes(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 6)], "id long, qty long"
+    )
+    rep = E.check(
+        df, [E.not_null("id"), E.in_range("qty", 0, 10), E.unique("id")]
+    ).collect()
+    assert all(r.passed and r.violations == 0 for r in rep)
+
+
+def test_check_is_single_pass(dirty):
+    """Predicate + uniqueness rules compile to ONE aggregate (two-stage
+    for the distinct): the physical plan contains no Join and only one
+    scan of the input."""
+    plan = E.check(
+        dirty, [E.not_null("id"), E.in_range("qty", 0, 100), E.unique("id")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_rule_validation():
+    with pytest.raises(ValueError):
+        E.Rule("bad")
+    with pytest.raises(ValueError):
+        E.check(None, [])
