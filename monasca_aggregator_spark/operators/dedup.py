@@ -154,6 +154,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+) -> DataFrame:
+    """Batch rows whose normalized text is NOT already in the indexed
+    corpus — the incremental-ingestion dedup every growing training
+    corpus runs (dedup the delta against the index, never rescan the
+    index against itself).
+
+    Two-tier exact filter:
+
+    1. A Bloom filter over the corpus's content hashes (built once,
+       broadcast as a literal bitset — operators/bloomjoin.py) splits
+       the batch map-side: rows failing the filter are DEFINITELY new
+       (Bloom has no false negatives) and never shuffle.
+    2. Only the might-be-dup fraction (true dups + ~1% false
+       positives) reaches the exact anti-join against corpus hashes.
+
+    At 100 TB the anti-join's shuffle is proportional to the duplicate
+    rate, not the batch size. Content equality is xxhash64 of the
+    normalized text, same trade as exact_dedup.
+    """
+    key = F.xxhash64(normalize_text(F.col(text_col)))
+    corpus_h = corpus.select(key.alias("h")).distinct()
+    from monasca_aggregator_spark.operators.bloomjoin import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    words = build_bloom(corpus_h, "h", num_bits=num_bits)
+    hashed = batch.withColumn("__h", key)
+    maybe = bloom_might_contain(F.col("__h"), words, num_bits=num_bits)
+    definitely_new = hashed.filter(~maybe)
+    survivors = hashed.filter(maybe).join(
+        corpus_h, F.col("__h") == F.col("h"), "left_anti"
+    )
+    return definitely_new.unionByName(survivors).drop("__h")
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     *,

@@ -74,6 +74,49 @@ SELECT id_a, id_b, jaccard FROM pairs
 """.strip()
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: even doc_ids are the indexed
+    corpus, odd doc_ids the incoming batch; report per-source incoming
+    vs kept (not-already-indexed) counts. Bloom-pruned exact
+    anti-join — shuffle scales with the duplicate rate, not the batch
+    (operators/dedup.py incremental_new_docs)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    new = D.incremental_new_docs(batch, corpus)
+    incoming = batch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("incoming")
+    )
+    kept = new.groupBy("source").agg(F.count(F.lit(1)).alias("kept"))
+    return (
+        incoming.join(kept, "source", "left")
+        .select(
+            "source",
+            "incoming",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL = r"""
+WITH n AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nt
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT nt FROM n WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT * FROM n WHERE doc_id % 2 = 1
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS incoming,
+       CAST(count(*) FILTER (WHERE c.nt IS NULL) AS BIGINT) AS kept
+FROM batch b LEFT JOIN corpus c ON b.nt = c.nt
+GROUP BY b.source
+""".strip()
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtering (All-Pairs) exact Jaccard join — identical
     output to dedup_ngram_jaccard, but candidates come from rarest-
@@ -538,6 +581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
     "dedup_embedding": q_dedup_embedding,
@@ -555,6 +599,7 @@ ORACLES: dict[str, str] = {
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_jaccard_prefix": ORACLE_NGRAM,
+    "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_embedding": ORACLE_EMBEDDING,
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_canonical": ORACLE_CANONICAL,

@@ -404,3 +404,42 @@ def test_prefix_filter_on_wider_corpus(spark):
     )
     assert pref == exact
     assert len(exact) >= 12  # every within-template pair qualifies
+
+
+def test_incremental_new_docs_drops_indexed_content(spark):
+    corpus = spark.createDataFrame(
+        [(0, "shared doc one"), (2, "corpus only text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "SHARED doc one!!"),   # normalizes to an indexed doc → dropped
+            (13, "fresh new content"),  # new → kept
+            (15, "corpus only text"),   # exact dup of indexed → dropped
+            (17, "another new doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.incremental_new_docs(batch, corpus).collect()
+    )
+    assert kept == [13, 17]
+
+
+def test_incremental_small_bloom_stays_exact(spark):
+    """A deliberately tiny (high-FP) bloom must not change the result —
+    false positives are removed by the exact anti-join."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(0, 40, 2)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(1, 40, 2)]  # all new (odd)
+        + [(100, "doc number 0")],                          # dup of corpus
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.incremental_new_docs(batch, corpus, num_bits=64).collect()
+    )
+    assert kept == list(range(1, 40, 2))
