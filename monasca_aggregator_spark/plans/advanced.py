@@ -1213,6 +1213,74 @@ FROM cell JOIN sz USING (cohort)
 """.strip()
 
 
+def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle computed FROM per-user activity
+    bitmaps — the roaring-bitmap-index pattern at engine level: one
+    groupBy folds each user's activity into a single 64-bit word
+    (``bit_or(1 << day)``), after which every retention cell is pure
+    bit arithmetic (cohort day = lowest set bit via
+    ``bit_count((b & -b) - 1)``, retained-at-offset = bit test) — no
+    second pass over raw events and no per-(user, day) distinct. At
+    100 TB the event table is touched once; the bitmap relation is
+    |users| rows of 16 bytes.
+
+    Horizon ≤ 63 days fits one BIGINT; longer horizons chunk into an
+    array of words (same algebra per word).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bm = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "shiftleft(1L, datediff(cast(ts as date), date'2024-01-01'))"
+            ).alias("bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("bitmap"))
+        .withColumn(
+            "cohort_day",
+            F.bit_count(
+                (F.col("bitmap").bitwiseAND(-F.col("bitmap"))) - F.lit(1)
+            ),
+        )
+    )
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(29))).alias("day_offset")
+    return (
+        bm.select("bitmap", "cohort_day", offsets)
+        .filter(F.col("cohort_day") + F.col("day_offset") <= 29)
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(shiftright(bitmap, cast(cohort_day + day_offset as int)) & 1 as bigint)"
+                )
+            ).alias("retained")
+        )
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            F.col("retained"),
+        )
+    )
+
+
+ORACLE_RETENTION_BITMAP = r"""
+WITH bm AS (
+  SELECT user_id,
+         bit_or(1::BIGINT << CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)) AS bitmap
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT bitmap, bit_count(((bitmap & -bitmap) - 1)::BIGINT) AS cohort_day FROM bm
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(o.day_offset AS BIGINT) AS day_offset,
+       CAST(sum(((bitmap >> CAST(cohort_day + o.day_offset AS INT)) & 1)::BIGINT) AS BIGINT) AS retained
+FROM c, (SELECT unnest(range(0, 30)) AS day_offset) o
+WHERE cohort_day + o.day_offset <= 29
+GROUP BY 1, 2
+""".strip()
+
+
 def q_audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (operators/expectations.py): 8
     rules over lineitem compiled into ONE whole-stage-codegen'd
@@ -1288,6 +1356,7 @@ FROM lineitem"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_expectations": q_audit_expectations,
+    "events_retention_bitmap": q_events_retention_bitmap,
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
     "events_assoc_rules": q_events_assoc_rules,
@@ -1306,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "audit_expectations": ORACLE_EXPECTATIONS,
+    "events_retention_bitmap": ORACLE_RETENTION_BITMAP,
     "agg_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "sessions_concurrency": ORACLE_SESSIONS_CONCURRENCY,
     "events_assoc_rules": ORACLE_ASSOC_RULES,

@@ -218,3 +218,42 @@ def test_enrich_scd2_uses_historical_tier(spark, patched_loader):
     d0 = int(base.timestamp() * 1000)
     d1 = d0 + 86400000
     assert out == {(0, d0): 2, (3, d1): 1}
+
+
+def test_retention_bitmap_equals_direct_distinct(spark, sf_small):
+    """The bitmap algebra must reproduce the straightforward
+    formulation: cohort = each user's first active day; retained(c, k)
+    = distinct cohort-c users active on day c+k."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.advanced import (
+        q_events_retention_bitmap,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    got = {
+        (r.cohort_day, r.day_offset): r.retained
+        for r in q_events_retention_bitmap(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    direct = {
+        (r.cohort, r.day - r.cohort): r.n
+        for r in ev.join(first, "user_id")
+        .groupBy("cohort", "day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # bitmap result enumerates all offsets (zeros included); the direct
+    # form only has active cells — every nonzero cell must agree and
+    # every direct cell must appear
+    for cell, n in direct.items():
+        assert got[cell] == n, cell
+    for cell, n in got.items():
+        if n:
+            assert direct[cell] == n, cell
