@@ -1213,6 +1213,118 @@ FROM cell JOIN sz USING (cohort)
 """.strip()
 
 
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: the event stream is read as a
+    changelog (signup→INSERT, click/view/purchase→UPDATE,
+    error→DELETE), keyed by user, ordered by (ts, event_id); the query
+    materializes the final table state — one row per surviving key
+    with its last value and change count. This is the log-to-table
+    half of CDC ingestion (Debezium-style apply), expressed as one
+    window rank per key: the shuffle is keyed by user_id only, and at
+    100 TB the per-key state is the changelog's per-key depth, not the
+    table width.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.select(
+            "user_id", "ts", "event_id", "value", op.alias("op")
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    last = ranked.filter(F.col("rn") == 1)
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes")
+    )
+    return (
+        last.filter(F.col("op") != "D")
+        .join(counts, "user_id")
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("op").alias("last_op"),
+            "n_changes",
+        )
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+), counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes FROM log GROUP BY user_id
+)
+SELECT r.user_id, r.value AS last_value, r.op AS last_op, c.n_changes
+FROM ranked r JOIN counts c ON r.user_id = c.user_id
+WHERE r.rn = 1 AND r.op <> 'D'
+""".strip()
+
+
+def q_stats_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from exact key histograms — the statistics
+    a cost-based optimizer needs before picking a join strategy:
+    distinct keys each side, exact output cardinality
+    Σ_k n_left(k)·n_right(k), and the worst single-key fan-out (the
+    skew signal that says 'salt this join'). Two partial-aggregated
+    key histograms joined on the key; the fact table never shuffles
+    its rows, only its histogram."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cl"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    joined = li.join(orders, "k").agg(
+        F.sum(F.col("cl") * F.col("cr")).alias("join_rows"),
+        F.max(F.col("cl") * F.col("cr")).alias("max_key_fanout"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    nl = li.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    nr = orders.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    return joined.crossJoin(nl).crossJoin(nr).select(
+        "n_keys_left",
+        "n_keys_right",
+        "n_matching_keys",
+        "join_rows",
+        "max_key_fanout",
+    )
+
+
+ORACLE_JOIN_ESTIMATE = """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+     r AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+     j AS (
+       SELECT CAST(sum(cl * cr) AS BIGINT) AS join_rows,
+              CAST(max(cl * cr) AS BIGINT) AS max_key_fanout,
+              CAST(count(*) AS BIGINT) AS n_matching_keys
+       FROM l JOIN r USING (k)
+     )
+SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_keys_left,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS n_keys_right,
+       n_matching_keys, join_rows, max_key_fanout
+FROM j
+""".strip()
+
+
 def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily retention triangle computed FROM per-user activity
     bitmaps — the roaring-bitmap-index pattern at engine level: one
@@ -1357,6 +1469,8 @@ FROM lineitem"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_expectations": q_audit_expectations,
     "events_retention_bitmap": q_events_retention_bitmap,
+    "cdc_apply_latest": q_cdc_apply_latest,
+    "stats_join_estimate": q_stats_join_estimate,
     "agg_incremental_rollup": q_agg_incremental_rollup,
     "sessions_concurrency": q_sessions_concurrency,
     "events_assoc_rules": q_events_assoc_rules,
@@ -1376,6 +1490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "audit_expectations": ORACLE_EXPECTATIONS,
     "events_retention_bitmap": ORACLE_RETENTION_BITMAP,
+    "cdc_apply_latest": ORACLE_CDC_APPLY,
+    "stats_join_estimate": ORACLE_JOIN_ESTIMATE,
     "agg_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "sessions_concurrency": ORACLE_SESSIONS_CONCURRENCY,
     "events_assoc_rules": ORACLE_ASSOC_RULES,

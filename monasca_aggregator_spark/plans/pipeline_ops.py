@@ -829,8 +829,67 @@ WHERE NOT EXISTS (
 """.strip()
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attribution: every doc is assigned the FIRST
+    quality gate it fails (or 'kept'), and the report counts docs and
+    char mass per reason — the rejection-accounting readout a curation
+    run ships so 'we dropped 40% of src7' is explainable. One scan,
+    one small groupBy; every gate is integer arithmetic (cross-
+    multiplied ratios) so the oracle hash is exact."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from monasca_aggregator_spark.functions.text import STOPWORDS, tokens
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(
+        F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", "")
+    )
+    reason = (
+        F.when(n_tok < 10, F.lit("too_short"))
+        .when(n_punct * 5 > F.col("n_chars"), F.lit("high_punct"))
+        .when(n_stop * 20 < n_tok, F.lit("low_stopword"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select(reason.alias("reason"), F.col("n_chars"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_CURATION_FUNNEL = r"""
+WITH t AS (
+  SELECT n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT n_chars,
+         CASE
+           WHEN len(toks) < 10 THEN 'too_short'
+           WHEN n_punct * 5 > n_chars THEN 'high_punct'
+           WHEN len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it',
+                 'for','on','with','as','this','that','at','by','from'], x))) * 20
+                < len(toks) THEN 'low_stopword'
+           ELSE 'kept'
+         END AS reason
+  FROM t
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY reason
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
+    "curation_funnel": q_curation_funnel,
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
     "sample_temperature": q_sample_temperature,
@@ -853,6 +912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
+    "curation_funnel": ORACLE_CURATION_FUNNEL,
     "sample_quota_source": ORACLE_QUOTA,
     "sample_consistent_k": ORACLE_CONSISTENT_K,
     "sample_temperature": ORACLE_TEMPERATURE,

@@ -565,6 +565,87 @@ FROM g
 """.strip()
 
 
+def q_metric_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-metric trend: the Theil–Sen estimator (median of all
+    pairwise slopes) over the same integer-cents hourly series as
+    `metric_trend` — outlier-resistant where OLS is not (one corrupted
+    hour moves OLS by its full leverage, Theil–Sen by at most one rank
+    step). Pair enumeration is per-metric O(n²) over the COLLAPSED
+    series (n ≈ hours, not events) in one Arrow applyInPandas batch;
+    the corpus-wide shuffle is the same two-exchange hourly collapse
+    the rest of the series family uses. Slopes are exact rationals of
+    BIGINT (Δcents / Δhours) evaluated in double — bit-identical on
+    both engines; the even-count median averages two such doubles,
+    also deterministic.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("y")
+    ).select(
+        "event_type",
+        (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("x"),
+        "y",
+    )
+
+    def _theilsen(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].iloc[:1],
+                    "n_points": [n],
+                    "slope_per_hour": [None],
+                }
+            )
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        iu = np.triu_indices(n, k=1)
+        slopes = dy[iu] / dx[iu]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_points": [n],
+                "slope_per_hour": [float(np.median(slopes)) / 100.0],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _theilsen,
+        schema="event_type string, n_points long, slope_per_hour double",
+    )
+
+
+ORACLE_THEILSEN = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT event_type, window_ts_ms // {_HOUR_MS} AS x, y FROM e
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM xy a JOIN xy b ON a.event_type = b.event_type AND b.x > a.x
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points FROM xy GROUP BY 1
+)
+SELECT n.event_type, n.n_points,
+       CASE WHEN n.n_points > 1 THEN (SELECT median(s) FROM pairs p
+              WHERE p.event_type = n.event_type) / 100.0 END AS slope_per_hour
+FROM n
+""".strip()
+
+
 # -------------------------------------------- seasonal-naive backtest
 
 _SEASON_MS = 24 * _HOUR_MS  # same-hour-yesterday seasonality
@@ -1245,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_trend": q_metric_trend,
+    "metric_trend_theilsen": q_metric_trend_theilsen,
     "metric_forecast_snaive": q_metric_forecast_snaive,
     "metric_top_contributors": q_metric_top_contributors,
     "metric_mix_drift": q_metric_mix_drift,
@@ -1262,6 +1344,7 @@ ORACLES: dict[str, str] = {
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_trend": ORACLE_TREND,
+    "metric_trend_theilsen": ORACLE_THEILSEN,
     "metric_forecast_snaive": ORACLE_FORECAST_SNAIVE,
     "metric_top_contributors": ORACLE_TOP_CONTRIBUTORS,
     "metric_mix_drift": ORACLE_MIX_DRIFT,

@@ -54,8 +54,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "metric_forecast_snaive", "agg_incremental_rollup",
 #     "sessions_concurrency", "events_assoc_rules", "graph_triangles",
 # )
-# Round-4 rotation (staged): the 23 oracle-backed keys added after
-# the r3 staging, then 27 r1/r2-green re-confirmations.
+# Round-4 rotation (staged): the 32 oracle-backed keys added after
+# the r3 staging (23 from the r2 continuation + 9 from this session's
+# additions), then 18 r1/r2-green re-confirmations.
 # _DRIVER_WINDOW_R4: tuple[str, ...] = (
 #     "dedup_rate_by_source", "text_readability", "embedding_outliers",
 #     "sessions_active_time", "events_lifecycle", "events_markov",
@@ -65,14 +66,16 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "audit_referential", "events_enrich_scd2", "events_rfm",
 #     "orders_concentration_hhi", "events_pareto_deciles",
 #     "orders_copurchase", "lineitem_abc_class", "anomaly_ensemble",
-#     "orders_cohort_ltv", "agg_count", "agg_sum", "agg_avg",
+#     "orders_cohort_ltv",
+#     "skyline_docs", "curation_funnel", "dedup_jaccard_prefix",
+#     "dedup_incremental", "audit_expectations",
+#     "events_retention_bitmap", "cdc_apply_latest",
+#     "stats_join_estimate", "metric_trend_theilsen",
+#     "agg_count", "agg_sum", "agg_avg",
 #     "agg_min", "agg_max", "agg_delta", "agg_rate", "agg_filtered",
 #     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
 #     "agg_distinct_users", "agg_median", "agg_distinct_hll",
-#     "agg_distinct_rollup_hll", "agg_p95_sketch",
-#     "agg_percentile_bands", "tpch_q1", "tpch_q3", "tpch_q5",
-#     "tpch_q6", "tpch_q14", "tpch_q18", "topk_per_group",
-#     "events_daily_user", "tpch_q12_latecount",
+#     "agg_distinct_rollup_hll", "tpch_q1", "tpch_q12_latecount",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes

@@ -257,3 +257,86 @@ def test_retention_bitmap_equals_direct_distinct(spark, sf_small):
     for cell, n in got.items():
         if n:
             assert direct[cell] == n, cell
+
+
+def test_cdc_apply_delete_removes_key(spark, tmp_path):
+    """A user whose LAST changelog entry is a delete must be absent
+    from the applied state; earlier deletes are overridden by later
+    upserts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.advanced import q_cdc_apply_latest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: signup → update → error(delete) ⇒ absent
+        (1, t0, 1, "signup", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "error", 0.0, "{}"),
+        # user 2: error(delete) → purchase ⇒ present, last value 9.5
+        (4, t0, 2, "error", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "purchase", 9.5, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.user_id: r for r in q_cdc_apply_latest(spark, str(tmp_path)).collect()}
+    assert 1 not in out
+    assert out[2].last_value == 9.5 and out[2].last_op == "U"
+    assert out[2].n_changes == 2
+
+
+def test_curation_funnel_first_failing_reason(spark, tmp_path):
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.pipeline_ops import q_curation_funnel
+
+    docs = [
+        # too_short wins even though it would also fail low_stopword
+        (0, "tiny doc", "en", "s", 8),
+        # >=10 tokens, >20% punct chars → high_punct
+        (1, "a b c d e f g h i j !!!! ;;;; ???? %%%% ****", "en", "s", 44),
+        # >=10 tokens, clean, no stopwords → low_stopword
+        (2, "alpha beta gamma delta epsilon zeta eta iota kappa lambda mu", "en", "s", 61),
+        # >=10 tokens with plenty of stopwords → kept
+        (3, "the cat sat on the mat and the dog sat on the log today", "en", "s", 56),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rep = {
+        r.reason: r.n_docs
+        for r in q_curation_funnel(spark, str(tmp_path)).collect()
+    }
+    assert rep == {"too_short": 1, "high_punct": 1, "low_stopword": 1, "kept": 1}
+
+
+def test_theilsen_robust_to_outlier(spark, tmp_path):
+    """One corrupted hour swings OLS hard but barely moves Theil–Sen."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_trend,
+        q_metric_trend_theilsen,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):
+        v = 10.0 + h  # clean slope: +1/hour
+        if h == 23:
+            v = 10000.0  # corrupted final hour
+        rows.append((h, t0 + dt.timedelta(hours=h), 1, "click", v, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    ts = q_metric_trend_theilsen(spark, str(tmp_path)).collect()[0]
+    ols = q_metric_trend(spark, str(tmp_path)).collect()[0]
+    assert abs(ts.slope_per_hour - 1.0) < 1.1  # near the true slope
+    assert ols.slope_per_hour > 100  # OLS dragged by the outlier
