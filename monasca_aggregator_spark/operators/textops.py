@@ -554,3 +554,44 @@ def span_dup_coverage(
             stable_round(frac, 4).alias("dup_frac"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via POSITIONAL postings — the adjacency
+    layer `conjunctive_search`'s bag-of-terms match lacks.
+
+    posexplode → (doc_id, position, token) postings filtered to the
+    phrase's terms only (the filter rides the generator, so postings
+    for other tokens never materialize). Each subsequent term joins as
+    a pure equi-join on (doc_id, anchor) where anchor = position − i:
+    term i matches iff it sits exactly i tokens after the phrase
+    start, so every join key is the phrase's would-be start position —
+    no inequality conditions, no per-doc position cross-products, and
+    skew is bounded by the rarest phrase term's posting list. Output
+    is (doc_id, n_occurrences) over matching docs.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    from monasca_aggregator_spark.functions.text import tokens as _tokens
+
+    posted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(sorted(set(phrase))))
+    chain = posted.filter(F.col("token") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("anchor")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = posted.filter(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("anchor")
+        )
+        chain = chain.join(nxt, ["doc_id", "anchor"])
+    return chain.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

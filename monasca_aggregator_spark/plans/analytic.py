@@ -279,7 +279,65 @@ GROUP BY user_id
 """.strip()
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median extended price per return flag — the
+    weighted quantile no built-in aggregate expresses (percentile
+    treats rows equally; here each row carries l_quantity units).
+    Lower weighted median: the smallest price whose running weight
+    reaches half the group's total. One partitioned sort-window pass
+    over the group (cumulative weight), one broadcast join-back of the
+    3-row totals; weights are exact BIGINTs so the 2·cum ≥ total
+    crossing is integer arithmetic and the picked price is a raw
+    stored double on both engines. Deterministic under price ties: all
+    rows at the crossing price share the value regardless of tie
+    order."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("w").alias("total_weight")
+    )
+    cw = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = li.withColumn("cum_w", F.sum("w").over(cw)).join(
+        F.broadcast(totals), "l_returnflag"
+    )
+    crossing = cum.filter(F.col("cum_w") * 2 >= F.col("total_weight"))
+    return crossing.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price"),
+        F.max("total_weight").alias("total_weight"),
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH t AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS w,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS total_weight
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       CAST(max(total_weight) AS BIGINT) AS total_weight
+FROM t WHERE cum_w * 2 >= total_weight
+GROUP BY l_returnflag
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "weighted_median": q_weighted_median,
     "tpch_q4_semijoin": q_tpch_q4_semijoin,
     "tpch_q22_antijoin": q_tpch_q22_antijoin,
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
@@ -291,6 +349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "tpch_q4_semijoin": ORACLE_Q4,
     "tpch_q22_antijoin": ORACLE_Q22,
     "tpch_q19_disjunct": ORACLE_Q19,

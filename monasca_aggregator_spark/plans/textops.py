@@ -1191,7 +1191,117 @@ FROM documents
 """.strip()
 
 
+PHRASE = ("table", "scan")
+
+
+def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings
+    (operators/textops.py phrase_search): each phrase term is an
+    equi-join on (doc_id, phrase-start anchor), so adjacency costs no
+    inequality joins and no per-doc cross products."""
+    return T.phrase_search(
+        load_table(spark, sf_dir, "documents", fan_out=True), PHRASE
+    )
+
+
+ORACLE_PHRASE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(t)),
+              i -> t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}')) AS BIGINT)
+           AS n_occurrences
+  FROM toks
+)
+SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+""".strip()
+
+
+RRF_K = 60
+RRF_TOPK = 20
+RRF_VEC_LIST = 60
+
+
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine
+    vector top-60 (query = embedding 0, vec_id ≡ doc_id) by Reciprocal
+    Rank Fusion — score(d) = Σ_lists 1/(K + rank_list(d)), the
+    standard zero-tuning fusion rule. Both input rankings are already
+    deterministic (4/6-dp stable rounding + id tie-breaks); RRF terms
+    are exact rationals of integer ranks, so the fused ordering hashes
+    identically on both engines. Full-outer join of two ≤60-row lists
+    → driver-size work after two index-shaped scans."""
+    from pyspark.sql import Window
+
+    from monasca_aggregator_spark.operators.similarity import cosine_topk
+
+    lex = q_text_search_bm25(spark, sf_dir).select(
+        F.col("doc_id"), F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    vec = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=RRF_VEC_LIST
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        stable_round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+    )
+
+
+ORACLE_HYBRID = f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({ORACLE_BM25})
+), vq AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), vscore AS (
+  SELECT c.vec_id AS doc_id,
+         floor((list_dot_product(qv, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM embeddings c, vq WHERE c.vec_id != 0
+), vec AS (
+  SELECT doc_id, rank AS vec_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+    FROM vscore
+  ) WHERE rank <= {RRF_VEC_LIST}
+), fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         floor((coalesce(1.0::DOUBLE / ({RRF_K} + lex.lex_rank), 0.0::DOUBLE)
+                + coalesce(1.0::DOUBLE / ({RRF_K} + vec.vec_rank), 0.0::DOUBLE))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_search_phrase": q_text_search_phrase,
+    "search_hybrid_rrf": q_search_hybrid_rrf,
     "text_readability": q_text_readability,
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
     "text_novelty": q_text_novelty,
@@ -1230,6 +1340,8 @@ ORACLES: dict[str, str] = {
     "text_bigram_pmi": ORACLE_PMI,
     "text_search_conjunctive": ORACLE_SEARCH,
     "text_search_bm25": ORACLE_BM25,
+    "text_search_phrase": ORACLE_PHRASE,
+    "search_hybrid_rrf": ORACLE_HYBRID,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,
     "text_decontaminate": ORACLE_DECONTAMINATE,

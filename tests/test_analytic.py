@@ -100,3 +100,34 @@ def test_pivot_no_distinct_job(spark):
     # explicit value list ⇒ the plan is a plain one-shuffle aggregate
     plan = explain_str(analytic.q_pivot_events_user(spark, SF_SMALL))
     assert _n_shuffles(plan) == 1
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """Weights shift the median away from the unweighted one: prices
+    [1,2,3] with weights [1,1,8] → weighted median 3 (cum 10/2=5
+    first reached at price 3); unweighted median would be 2."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.analytic import q_weighted_median
+
+    rows = [
+        ("A", 1.0, 1.0, 1, 1),
+        ("A", 2.0, 1.0, 1, 2),
+        ("A", 3.0, 8.0, 1, 3),
+        # group B: equal weights → lower median of [5,7] is 5... cum at
+        # price 5 is 1, 2*1 >= 2 ⇒ picks 5
+        ("B", 5.0, 1.0, 2, 1),
+        ("B", 7.0, 1.0, 2, 2),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber",
+        ],
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in q_weighted_median(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (3.0, 10), "B": (5.0, 2)}

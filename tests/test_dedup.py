@@ -443,3 +443,37 @@ def test_incremental_small_bloom_stays_exact(spark):
         for r in D.incremental_new_docs(batch, corpus, num_bits=64).collect()
     )
     assert kept == list(range(1, 40, 2))
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    from monasca_aggregator_spark.operators.textops import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the quick brown dog"),  # 2 hits
+            (1, "quick the brown fox"),                          # terms, wrong order
+            (2, "the quick red brown fox"),                      # gap breaks phrase
+            (3, "prefix words the quick brown"),                 # 1 hit at end
+            (4, "no relevant words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(docs, ("the", "quick", "brown")).collect()
+    }
+    assert got == {0: 2, 3: 1}
+
+
+def test_phrase_search_repeated_term_phrase(spark):
+    from monasca_aggregator_spark.operators.textops import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "batch batch batch stream"), (1, "batch stream batch")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(docs, ("batch", "batch")).collect()
+    }
+    assert got == {0: 2}
