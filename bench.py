@@ -140,6 +140,19 @@ BENCH_QUERIES = [
     "anomaly_ensemble",
     "metric_apdex",
     "orders_cohort_ltv",
+    # r2 second-continuation additions
+    "dedup_jaccard_prefix",
+    "dedup_incremental",
+    "skyline_docs",
+    "audit_expectations",
+    "events_retention_bitmap",
+    "cdc_apply_latest",
+    "stats_join_estimate",
+    "curation_funnel",
+    "metric_trend_theilsen",
+    "text_search_phrase",
+    "search_hybrid_rrf",
+    "weighted_median",
 ]
 
 

@@ -651,6 +651,100 @@ FROM n
 _SEASON_MS = 24 * _HOUR_MS  # same-hour-yesterday seasonality
 
 
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.05, 0.2
+_HW_SEASON = 24
+_HW_HORIZON = 24
+
+
+def holt_winters_fit_forecast(xs, season: int, horizon: int):
+    """Additive Holt–Winters on an evenly spaced series (plain floats).
+
+    Classic triple exponential smoothing: level/trend/seasonal states
+    updated per step with (α, β, γ); init level = first-season mean,
+    trend = mean season-over-season step, seasonals = first-season
+    deviations. Returns the h-step-ahead forecasts (1..horizon).
+    Shared by the Spark plan and the pytest reference so the pinning
+    test exercises the DISTRIBUTION plumbing, not a re-derivation.
+    """
+    n = len(xs)
+    if n < 2 * season:
+        raise ValueError("need >= 2 seasons to initialize")
+    s0 = sum(xs[:season]) / season
+    s1 = sum(xs[season : 2 * season]) / season
+    level = s0
+    trend = (s1 - s0) / season
+    # detrended seasonal init: subtracting the in-season trend ramp
+    # (centered on the season mean) keeps the trend out of the
+    # seasonal components, which γ would otherwise unlearn only slowly
+    mid = (season - 1) / 2.0
+    seas = [xs[i] - (s0 + (i - mid) * trend) for i in range(season)]
+    for t, x in enumerate(xs):
+        si = t % season
+        prev_level = level
+        level = _HW_ALPHA * (x - seas[si]) + (1 - _HW_ALPHA) * (
+            level + trend
+        )
+        trend = _HW_BETA * (level - prev_level) + (1 - _HW_BETA) * trend
+        seas[si] = _HW_GAMMA * (x - level) + (1 - _HW_GAMMA) * seas[si]
+    last = n - 1
+    return [
+        level + h * trend + seas[(last + h) % season]
+        for h in range(1, horizon + 1)
+    ]
+
+
+def q_metric_forecast_holtwinters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triple-exponential (additive Holt–Winters) 24-hour forecast per
+    metric — the stateful forecaster `metric_forecast_snaive` is the
+    baseline for: level + trend + 24-hour seasonal components fitted
+    by one sequential pass over each metric's COLLAPSED hourly series
+    (≤ |hours| points) inside one Arrow applyInPandas batch. The
+    recursion is inherently order-dependent → rows-only entry; the
+    fit is pinned exactly in pytest against the shared reference
+    implementation, and gaps are filled with the series' running
+    absence marker (0 load) so state updates stay hourly-spaced.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    ).select(
+        "event_type",
+        (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("x"),
+        "v",
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        lo, hi = int(pdf["x"].iloc[0]), int(pdf["x"].iloc[-1])
+        dense = {int(x): float(v) for x, v in zip(pdf["x"], pdf["v"])}
+        xs = [dense.get(x, 0.0) for x in range(lo, hi + 1)]
+        try:
+            fc = holt_winters_fit_forecast(xs, _HW_SEASON, _HW_HORIZON)
+        except ValueError:
+            return pd.DataFrame(
+                columns=["event_type", "h", "forecast_value"]
+            ).astype({"event_type": str, "h": "int64", "forecast_value": float})
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "h": range(1, _HW_HORIZON + 1),
+                "forecast_value": [f / 100.0 for f in fc],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _hw, schema="event_type string, h long, forecast_value double"
+    )
+
+
 def q_metric_forecast_snaive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1328,6 +1422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_trend": q_metric_trend,
     "metric_trend_theilsen": q_metric_trend_theilsen,
     "metric_forecast_snaive": q_metric_forecast_snaive,
+    "metric_forecast_holtwinters": q_metric_forecast_holtwinters,  # rows-only (recursive state)
     "metric_top_contributors": q_metric_top_contributors,
     "metric_mix_drift": q_metric_mix_drift,
     "metric_autocorr": q_metric_autocorr,

@@ -232,3 +232,62 @@ def test_seasonal_decompose_splits_cycle_from_trend(
     assert all(len(v) == 1 for v in by_hod.values())
     # a pure-trend shift leaves residuals at zero everywhere
     assert all(abs(r["residual"]) < 60 for r in out)
+
+
+def test_holtwinters_distribution_matches_reference(spark, sf_small):
+    """The applyInPandas plumbing must reproduce the shared reference
+    fit exactly: rebuild each metric's dense hourly series driver-side
+    and compare every forecast horizon bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.series_ext import (
+        _HOUR_MS,
+        _HW_HORIZON,
+        _HW_SEASON,
+        _hourly_window,
+        holt_winters_fit_forecast,
+        q_metric_forecast_holtwinters,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    got = {
+        (r.event_type, r.h): r.forecast_value
+        for r in q_metric_forecast_holtwinters(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = (
+        ev.groupBy(F.col("event_type"), _hourly_window())
+        .agg(F.sum("e2").alias("v"))
+        .collect()
+    )
+    series: dict[str, dict[int, float]] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, {})[r.window_ts_ms // _HOUR_MS] = float(r.v)
+    assert got
+    for et, dense in series.items():
+        lo, hi = min(dense), max(dense)
+        xs = [dense.get(x, 0.0) for x in range(lo, hi + 1)]
+        fc = holt_winters_fit_forecast(xs, _HW_SEASON, _HW_HORIZON)
+        for h in range(1, _HW_HORIZON + 1):
+            assert got[(et, h)] == fc[h - 1] / 100.0, (et, h)
+
+
+def test_holtwinters_tracks_trend_and_season():
+    """On a clean synthetic series (level+trend+sinusoid-ish season),
+    the 1..m-step forecast error is small relative to the signal."""
+    from monasca_aggregator_spark.plans.series_ext import (
+        holt_winters_fit_forecast,
+    )
+
+    m = 24
+    season = [10.0 if i % m < 12 else -10.0 for i in range(m)]
+    xs = [100.0 + 0.5 * t + season[t % m] for t in range(m * 6)]
+    fc = holt_winters_fit_forecast(xs, m, m)
+    truth = [100.0 + 0.5 * (len(xs) - 1 + h) + season[(len(xs) - 1 + h) % m]
+             for h in range(1, m + 1)]
+    mae = sum(abs(a - b) for a, b in zip(fc, truth)) / m
+    assert mae < 2.0, mae
