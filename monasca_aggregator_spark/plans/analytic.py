@@ -336,8 +336,90 @@ GROUP BY l_returnflag
 """.strip()
 
 
+def q_revenue_share_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: nation revenue with its
+    share of the region AND of the grand total in one result — the
+    drill-down readout every BI layer derives from a two-level
+    hierarchy. One fact aggregate to |nations| rows (orders shuffle
+    once on custkey for the customer→nation map, dims broadcast), then
+    region/total shares come from window sums over the TINY rollup —
+    no second fact pass. Revenue sums are exact cents; shares are one
+    double division each, 6-dp stable-rounded."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation_name"),
+        "n_regionkey",
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region_name"),
+    )
+    per_nation = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+        .groupBy("region_name", "nation_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_r = Window.partitionBy("region_name")
+    w_t = Window.partitionBy()
+    return per_nation.select(
+        "region_name",
+        "nation_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        stable_round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_r).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        stable_round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_t).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region_name, nation_name,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       floor((CAST(cents AS DOUBLE)
+              / CAST(sum(cents) OVER (PARTITION BY region_name) AS DOUBLE))
+             * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+         AS share_of_region,
+       floor((CAST(cents AS DOUBLE)
+              / CAST(sum(cents) OVER () AS DOUBLE))
+             * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+         AS share_of_total
+FROM per_nation
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median": q_weighted_median,
+    "revenue_share_hierarchy": q_revenue_share_hierarchy,
     "tpch_q4_semijoin": q_tpch_q4_semijoin,
     "tpch_q22_antijoin": q_tpch_q22_antijoin,
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
@@ -350,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "revenue_share_hierarchy": ORACLE_REVENUE_SHARE,
     "tpch_q4_semijoin": ORACLE_Q4,
     "tpch_q22_antijoin": ORACLE_Q22,
     "tpch_q19_disjunct": ORACLE_Q19,

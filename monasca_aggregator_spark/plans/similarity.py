@@ -350,6 +350,101 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroid_affinity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-to-label affinity matrix: pairwise cosine between class
+    centroids — the confusion-risk readout (two labels whose centroids
+    cosine ≈ 1 are the ones a classifier will blur). Rides the exact
+    e6 fixed-point centroid sums of `embedding_centroids`, re-quantizes
+    each mean component to an e6 integer (floor(s/n + 0.5) on exact
+    inputs — deterministic both engines, overflow-safe at any corpus
+    size since magnitudes are bounded by the unit-ish vectors, not the
+    row count), then cosines are exact-integer dot products divided
+    once in double. The joined relation is #labels × d rows — driver
+    math, corpus-size-independent after the one centroid shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    v_e6 = F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    cent = (
+        flat.select("label", "dim", v_e6.alias("v_e6"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(
+                F.col("s").cast("double") / F.col("n") + F.lit(0.5)
+            ).cast("long").alias("m"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            stable_round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+ORACLE_CENTROID_AFFINITY = """
+WITH flat AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS v_e6
+  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+       unnest(range(1, len(e) + 1)) AS t(i)
+), cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+  FROM flat GROUP BY 1, 2
+), norms AS (
+  SELECT label, sum(m * m) AS nn FROM cent GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       floor((CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))))
+             * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS cosine
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+""".strip()
+
+
 ORACLE_CENTROIDS = """
 WITH flat AS (
   SELECT label, i - 1 AS dim,
@@ -508,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "embedding_centroids": q_embedding_centroids,
+    "embedding_centroid_affinity": q_embedding_centroid_affinity,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -522,6 +618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
+    "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_filtered": ORACLE_ANN_FILTERED,
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,

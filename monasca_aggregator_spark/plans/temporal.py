@@ -1381,7 +1381,92 @@ FROM sess GROUP BY 1, 2
 """.strip()
 
 
+_GAP_US = 12 * 3600 * 1_000_000
+
+
+def q_sessions_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit behavior matrix: which event type OPENS a
+    session vs which CLOSES it, with session and user counts per
+    (entry, exit) cell — the landing/abandonment readout product
+    analytics runs on sessionized streams. Same island semantics as
+    `sessions_user` (gap ≤ 12 h), first/last picked by row_number on
+    the deterministic (ts, event_id) order; every window shares the
+    ONE user-keyed sort, and the output is ≤ |event_types|² rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("us") - F.lag("us").over(w_ord) <= F.lit(_GAP_US), F.lit(0)
+    ).otherwise(F.lit(1))
+    marked = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_s = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    w_sd = Window.partitionBy("user_id", "sess_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_sess = (
+        marked.withColumn("rn_a", F.row_number().over(w_s))
+        .withColumn("rn_d", F.row_number().over(w_sd))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+        )
+    )
+    return per_sess.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SESSIONS_ENTRY_EXIT = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   <= {_GAP_SQL}
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM marked
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM numbered
+), per_sess AS (
+  SELECT user_id, sess_id,
+         max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM per_sess GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessions_entry_exit": q_sessions_entry_exit,
     "sessions_active_time": q_sessions_active_time,
     "events_lifecycle": q_events_lifecycle,
     "events_markov": q_events_markov,
@@ -1408,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sessions_entry_exit": ORACLE_SESSIONS_ENTRY_EXIT,
     "sessions_active_time": ORACLE_ACTIVE_TIME,
     "events_lifecycle": ORACLE_LIFECYCLE,
     "events_markov": ORACLE_MARKOV,
