@@ -160,7 +160,7 @@ def incremental_new_docs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
 ) -> DataFrame:
     """Batch rows whose normalized text is NOT already in the indexed
     corpus — the incremental-ingestion dedup every growing training
@@ -179,6 +179,16 @@ def incremental_new_docs(
     At 100 TB the anti-join's shuffle is proportional to the duplicate
     rate, not the batch size. Content equality is xxhash64 of the
     normalized text, same trade as exact_dedup.
+
+    Sizing: ``num_bits`` defaults to the smallest power of two ≥ 10×
+    the corpus key count, CAPPED at 2^16. The cap matters: the bitset
+    rides into the probe plan as an array LITERAL (num_bits/64 longs),
+    and a 2^20-bit filter is a 16k-element Catalyst expression that
+    costs ~70 s just to carry (measured at sf0.1) vs ~6 s at 2^16.
+    Past ~6.5k corpus keys the fp rate rises and the exact anti-join
+    absorbs the overflow — correctness never depends on the filter;
+    at index scale the right form is a partitioned bloom or Spark's
+    runtime bloom join, not a bigger literal.
     """
     key = F.xxhash64(normalize_text(F.col(text_col)))
     corpus_h = corpus.select(key.alias("h")).distinct()
@@ -187,6 +197,11 @@ def incremental_new_docs(
         build_bloom,
     )
 
+    if num_bits is None:
+        n_keys = corpus_h.count()
+        num_bits = 1 << 12
+        while num_bits < 10 * n_keys and num_bits < (1 << 16):
+            num_bits <<= 1
     words = build_bloom(corpus_h, "h", num_bits=num_bits)
     hashed = batch.withColumn("__h", key)
     maybe = bloom_might_contain(F.col("__h"), words, num_bits=num_bits)
@@ -204,10 +219,16 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    persist: str = "memory",
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ τ via prefix filtering (All-Pairs /
     PPJoin family, Bayardo et al. WWW'07) — same output as
     ``ngram_jaccard_pairs``, scalable candidate generation.
+
+    ``persist`` ("memory"|"disk"|"none") caches the ranked/prefixed
+    relation, which feeds candidate generation AND both verification
+    sides — same three-consumer shape (and same knob semantics) as
+    ``minhash_lsh_pairs``' shingle cache.
 
     Order every doc's shingles rarest-first under one global canonical
     order (document frequency, then hash). A pair with J ≥ τ must share
@@ -249,6 +270,14 @@ def jaccard_prefix_pairs(
             ).cast("int"),
         ).alias("prefix"),
     )
+    if persist == "disk":
+        from pyspark import StorageLevel
+
+        prefixed = prefixed.persist(StorageLevel.DISK_ONLY)
+    elif persist == "memory":
+        prefixed = prefixed.cache()
+    elif persist != "none":
+        raise ValueError(f"persist must be memory|disk|none, got {persist!r}")
     pref_ex = prefixed.select("doc_id", F.explode("prefix").alias("p"))
     a, b = pref_ex.alias("a"), pref_ex.alias("b")
     candidates = (
