@@ -996,3 +996,76 @@ def idempotent_parquet_sink(base_path: str):
         )
 
     return _sink
+
+
+def streaming_cdc_latest(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply — the stateful twin of the batch
+    `cdc_apply_latest` plan (plans/advanced.py): the event stream is a
+    changelog (signup→I, error→D, else U) keyed by user; state per key
+    is the latest (ts, event_id)-ordered entry plus a change counter
+    (O(1), GC-free), and every micro-batch emits each touched key's
+    CURRENT materialized row in update mode — deletes emit a tombstone
+    row (last_op 'D') so a downstream sink can drop the key. Late rows
+    are handled by the total (ts, event_id) order, not arrival order:
+    a stale update arriving after a newer one only bumps the change
+    counter, exactly as the batch row_number semantics dictate, so
+    stream and batch agree on any replay/chunking of the same log.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, last_value double, last_op string,"
+        " n_changes bigint"
+    )
+    state_schema = (
+        "last_us bigint, last_eid bigint, last_value double,"
+        " last_op string, n_changes bigint"
+    )
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, last_eid, last_value, last_op, n = state.get
+        else:
+            last_us, last_eid, last_value, last_op, n = (
+                None, None, None, None, 0,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["__us", "__eid"], kind="mergesort"
+            )
+            for us, eid, v, op in zip(
+                pdf["__us"], pdf["__eid"], pdf["__value"], pdf["__op"]
+            ):
+                n += 1
+                if last_us is None or (int(us), int(eid)) > (
+                    last_us, last_eid,
+                ):
+                    last_us, last_eid = int(us), int(eid)
+                    last_value, last_op = float(v), str(op)
+        state.update((last_us, last_eid, last_value, last_op, n))
+        yield pd.DataFrame(
+            [(key[0], last_value, last_op, n)],
+            columns=["user_id", "last_value", "last_op", "n_changes"],
+        )
+
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    prepared = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("__us"),
+        F.col("event_id").cast("long").alias("__eid"),
+        F.col("value").cast("double").alias("__value"),
+        op.alias("__op"),
+    )
+    return prepared.groupBy(F.col("user_id")).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

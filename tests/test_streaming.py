@@ -1279,3 +1279,88 @@ def test_streaming_sliding_window_equals_batch(spark, sf_small):
         for r in spark.table("t_slide_stream").collect()
     }
     assert got == batch
+
+
+def test_streaming_cdc_latest_equals_batch(spark, tmp_path):
+    """Any micro-batching of the same changelog must materialize the
+    same final table as the batch CDC apply — including a late
+    (out-of-order) update that must NOT displace a newer one, and a
+    delete that tombstones its key."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from monasca_aggregator_spark.plans.advanced import q_cdc_apply_latest
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_cdc_latest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minute, uid, etype, val):
+        return (eid, t0 + dt.timedelta(minutes=minute), uid, etype, val, "{}")
+
+    batch1 = [
+        ev(1, 0, 1, "signup", 1.0),
+        ev(2, 5, 1, "purchase", 7.0),
+        ev(3, 0, 2, "signup", 2.0),
+        ev(4, 9, 2, "click", 4.0),
+        ev(5, 0, 3, "signup", 3.0),
+    ]
+    batch2 = [
+        ev(6, 3, 1, "view", 9.9),     # LATE: older than event 2 → no displace
+        ev(7, 12, 2, "error", 0.0),   # delete user 2
+        ev(8, 15, 3, "purchase", 8.0),
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_cdc_latest(raw)
+        .writeStream.format("memory")
+        .queryName("cdc_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    # final streamed state = last emission per key (max n_changes)
+    emitted = spark.table("cdc_stream_out").collect()
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_changes > final[r.user_id].n_changes:
+            final[r.user_id] = r
+    stream_live = {
+        u: (r.last_value, r.last_op, r.n_changes)
+        for u, r in final.items()
+        if r.last_op != "D"
+    }
+
+    # batch reference over the full log written as one table
+    full = tmp_path / "cdc_full"
+    full.mkdir()
+    spark.createDataFrame(batch1 + batch2, schema).write.mode(
+        "overwrite"
+    ).parquet(str(full / "events.parquet"))
+    batch = {
+        r.user_id: (r.last_value, r.last_op, r.n_changes)
+        for r in q_cdc_apply_latest(spark, str(full)).collect()
+    }
+    assert stream_live == batch
+    assert batch[1] == (7.0, "U", 3)  # late view did not displace purchase
+    assert 2 not in batch              # deleted
+    assert batch[3] == (8.0, "U", 2)
