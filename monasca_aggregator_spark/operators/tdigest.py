@@ -199,3 +199,145 @@ def exact_error_bound_note() -> str:
     scale at compression δ, observed rank error is well under 1/δ at
     mid quantiles and tighter at the tails."""
     return "rank_error << 1/delta"
+
+
+def tdigest_digests(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    delta: float = 100.0,
+) -> DataFrame:
+    """Materialized per-key digests: (keys..., means, weights) — the
+    persistable sketch table re-aggregation reads INSTEAD of raw data
+    (same partial/merge pipeline as ``tdigest_quantiles``, stopping at
+    the compressed digest instead of extracting quantiles)."""
+    keys = list(keys)
+    key_ddl = _key_ddl(df, keys)
+    digest_schema = f"{key_ddl}, means array<double>, weights array<double>"
+    # Same partial shape as tdigest_quantiles, built on the same
+    # compress() primitives so digests are interchangeable between
+    # the direct and rollup paths.
+    partial = df.select(*keys, value_col)
+
+    def _partials(batches):
+        import pandas as pd
+
+        state: dict[tuple, list] = {}
+        buf_cap = int(_BUFFER_FACTOR * delta)
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = grp[value_col].dropna().to_numpy(dtype=float)
+                if vals.size == 0:
+                    continue
+                ent = state.setdefault(key, [np.empty(0), np.empty(0), []])
+                ent[2].extend(vals)
+                if len(ent[2]) >= buf_cap:
+                    bm = np.asarray(ent[2])
+                    ent[0], ent[1] = compress(
+                        np.concatenate([ent[0], bm]),
+                        np.concatenate([ent[1], np.ones(bm.size)]),
+                        delta,
+                    )
+                    ent[2] = []
+        rows = []
+        for key, (m, w, buf) in state.items():
+            if buf:
+                bm = np.asarray(buf)
+                m, w = compress(
+                    np.concatenate([m, bm]),
+                    np.concatenate([w, np.ones(bm.size)]),
+                    delta,
+                )
+            rows.append((*key, list(m), list(w)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*keys, "means", "weights"])
+
+    partials = partial.mapInPandas(_partials, schema=digest_schema)
+    return (
+        partials.repartition(*keys)
+        .mapInPandas(
+            _merge_digests_factory(keys, delta), schema=digest_schema
+        )
+    )
+
+
+def _merge_digests_factory(keys: list, delta: float):
+    def _merge(batches):
+        import pandas as pd
+
+        merge_cap = int(8 * delta)
+        state: dict[tuple, tuple[list, list, int]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ms, ws, n_pts = state.get(key, ([], [], 0))
+                for x, y in zip(grp["means"], grp["weights"]):
+                    ms.append(np.asarray(x))
+                    ws.append(np.asarray(y))
+                    n_pts += ms[-1].size
+                if n_pts > merge_cap:
+                    m, w = compress(
+                        np.concatenate(ms), np.concatenate(ws), delta
+                    )
+                    ms, ws, n_pts = [m], [w], m.size
+                state[key] = (ms, ws, n_pts)
+        rows = []
+        for key, (ms, ws, _) in state.items():
+            m, w = compress(np.concatenate(ms), np.concatenate(ws), delta)
+            rows.append((*key, list(m), list(w)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*keys, "means", "weights"])
+
+    return _merge
+
+
+def tdigest_merge_quantiles(
+    digests: DataFrame,
+    keys: Sequence[str],
+    qs: dict[str, float],
+    *,
+    delta: float = 100.0,
+) -> DataFrame:
+    """Quantiles from a DIGEST table under (usually coarser) keys —
+    the t-digest twin of `agg_distinct_rollup_hll`'s sketch
+    re-aggregation: hourly digests roll up to daily quantiles by
+    centroid merging alone; raw values are never revisited. Input
+    must carry ``means``/``weights`` arrays plus ``keys``."""
+    keys = list(keys)
+    key_ddl = _key_ddl(digests, keys)
+    out_schema = key_ddl + ", " + ", ".join(f"{c} double" for c in qs)
+    q_items = list(qs.items())
+
+    def _merge_q(batches):
+        import pandas as pd
+
+        merge_cap = int(8 * delta)
+        state: dict[tuple, tuple[list, list, int]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ms, ws, n_pts = state.get(key, ([], [], 0))
+                for x, y in zip(grp["means"], grp["weights"]):
+                    ms.append(np.asarray(x))
+                    ws.append(np.asarray(y))
+                    n_pts += ms[-1].size
+                if n_pts > merge_cap:
+                    m, w = compress(
+                        np.concatenate(ms), np.concatenate(ws), delta
+                    )
+                    ms, ws, n_pts = [m], [w], m.size
+                state[key] = (ms, ws, n_pts)
+        rows = []
+        for key, (ms, ws, _) in state.items():
+            m, w = compress(np.concatenate(ms), np.concatenate(ws), delta)
+            rows.append((*key, *[quantile(m, w, q) for _, q in q_items]))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[*keys, *[c for c, _ in q_items]]
+            )
+
+    return digests.repartition(*keys).mapInPandas(
+        _merge_q, schema=out_schema
+    )

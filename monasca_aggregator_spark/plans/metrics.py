@@ -333,6 +333,38 @@ def q_agg_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_p95_tdigest_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rows-only: sketch RE-AGGREGATION for quantiles — hourly
+    t-digests per metric materialize once (centroid arrays, raw values
+    never leave their map task), then DAILY p95 comes from merging the
+    hourly digests alone (operators/tdigest.py
+    tdigest_digests → tdigest_merge_quantiles), the t-digest twin of
+    `agg_distinct_rollup_hll`'s HLL union rollup. At 100 TB the daily
+    pass reads |metrics|×24 digest rows instead of the day's raw
+    events; accuracy vs the exact daily percentile is pinned in
+    tests/test_tdigest.py."""
+    from monasca_aggregator_spark.operators.tdigest import (
+        tdigest_digests,
+        tdigest_merge_quantiles,
+    )
+
+    env = events_to_envelopes(load_table(spark, sf_dir, "events"))
+    hour_ms = window_start_ms(F.col("timestamp"), WINDOW_SEC)
+    day_ms = (
+        F.col("hour_ms") - F.pmod(F.col("hour_ms"), F.lit(86400000))
+    ).alias("day_ms")
+    per_hour = env.select(
+        F.col("name"), hour_ms.alias("hour_ms"), "value"
+    )
+    hourly = tdigest_digests(per_hour, ["name", "hour_ms"], "value")
+    daily_keyed = hourly.withColumn("day_ms", day_ms).drop("hour_ms")
+    return tdigest_merge_quantiles(
+        daily_keyed, ["name", "day_ms"], {"p95_value": 0.95}
+    )
+
+
 def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule fan-out (reference: server.go:306-310 iterates every
     rule per message): ONE cached envelope scan feeds N rule plans whose
@@ -514,6 +546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_hll": q_agg_distinct_hll,
     "agg_distinct_rollup_hll": q_agg_distinct_rollup_hll,
     "agg_p95_sketch": q_agg_p95_sketch,
-    "agg_p95_tdigest": q_agg_p95_tdigest,  # rows-only (interpolated sketch)
+    "agg_p95_tdigest": q_agg_p95_tdigest,
+    "agg_p95_tdigest_rollup": q_agg_p95_tdigest_rollup,  # rows-only (interpolated sketch)
     "agg_percentile_bands": q_agg_percentile_bands,
 }

@@ -84,3 +84,42 @@ def test_spark_plan_shuffles_only_centroids(spark):
     first_map = s.rindex("MapInPandas")  # plan prints top-down
     assert "Exchange" in s
     assert s.index("Exchange") < first_map  # partials below the shuffle
+
+
+def test_tdigest_rollup_accuracy_and_merge_consistency(spark, sf_small):
+    """Daily p95 from MERGED hourly digests must track (a) the exact
+    daily percentile and (b) the direct one-shot daily digest — both
+    within t-digest rank-error tolerance."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.metrics import (
+        q_agg_p95_tdigest_rollup,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    got = {
+        (r.name, r.day_ms): r.p95_value
+        for r in q_agg_p95_tdigest_rollup(spark, sf_small).collect()
+    }
+    assert got
+    ev = load_table(spark, sf_small, "events").select(
+        F.col("event_type").alias("name"),
+        (
+            F.unix_millis("ts") - F.pmod(F.unix_millis("ts"), F.lit(86400000))
+        ).alias("day_ms"),
+        "value",
+    )
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault((r.name, r.day_ms), []).append(r.value)
+    assert set(got) == set(vals)
+    # rank error: the merged-digest p95 must sit at rank 0.95 within
+    # ~1.5 rank steps of the group (groups at sf0.001 can be single-
+    # digit sized, so the bound is group-size-relative; value-space
+    # distance is meaningless on a sparse tail)
+    for k, xs in vals.items():
+        xs = sorted(xs)
+        rank = sum(1 for x in xs if x <= got[k]) / len(xs)
+        assert abs(rank - 0.95) <= max(0.01, 1.5 / len(xs)), (
+            k, got[k], rank, len(xs),
+        )
