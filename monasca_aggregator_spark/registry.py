@@ -54,9 +54,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "metric_forecast_snaive", "agg_incremental_rollup",
 #     "sessions_concurrency", "events_assoc_rules", "graph_triangles",
 # )
-# Round-4 rotation (staged): the 32 oracle-backed keys added after
-# the r3 staging (23 from the r2 continuation + 9 from this session's
-# additions), then 18 r1/r2-green re-confirmations.
+# Round-4 rotation (staged): the 38 oracle-backed keys added after
+# the r3 staging (23 from the r2 continuation + 15 from this
+# session's additions), then 12 r1/r2-green re-confirmations.
 # _DRIVER_WINDOW_R4: tuple[str, ...] = (
 #     "dedup_rate_by_source", "text_readability", "embedding_outliers",
 #     "sessions_active_time", "events_lifecycle", "events_markov",
@@ -71,11 +71,13 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "dedup_incremental", "audit_expectations",
 #     "events_retention_bitmap", "cdc_apply_latest",
 #     "stats_join_estimate", "metric_trend_theilsen",
+#     "text_search_phrase", "search_hybrid_rrf", "weighted_median",
+#     "embedding_centroid_affinity", "sessions_entry_exit",
+#     "revenue_share_hierarchy",
 #     "agg_count", "agg_sum", "agg_avg",
 #     "agg_min", "agg_max", "agg_delta", "agg_rate", "agg_filtered",
-#     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
-#     "agg_distinct_users", "agg_median", "agg_distinct_hll",
-#     "agg_distinct_rollup_hll", "tpch_q1", "tpch_q12_latecount",
+#     "agg_rejected", "agg_grouped", "agg_rollup",
+#     "tpch_q1", "tpch_q12_latecount",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes

@@ -35,7 +35,7 @@ def duck():
     con = duckdb.connect()
     for t in (
         "customer", "supplier", "part", "orders", "lineitem", "events",
-        "documents",
+        "documents", "nation", "region",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"

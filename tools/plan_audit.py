@@ -35,6 +35,14 @@ sys.path.insert(0, str(_REPO))
 ARROW_ALLOWED = {
     # t-digest / sketch folds (numpy centroid merges)
     "agg_p95_tdigest",
+    "agg_p95_tdigest_rollup",
+    # partition-local numpy passes by design: skyline's two-phase
+    # dominance filter, and the per-series sequential folds
+    # (Theil–Sen pair median, Holt–Winters recursion) over COLLAPSED
+    # hourly series — Arrow batches, no row-at-a-time Python
+    "skyline_docs",
+    "metric_trend_theilsen",
+    "metric_forecast_holtwinters",
     # block-matmul similarity / ANN / clustering families
     # (iterative operators like connected components, pagerank, BPE
     # and k-means TRAINING materialize their Python stages through
