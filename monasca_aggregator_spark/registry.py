@@ -56,7 +56,8 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # )
 # Round-4 rotation (staged): the 38 oracle-backed keys added after
 # the r3 staging (23 from the r2 continuation + 15 from this
-# session's additions), then 12 r1/r2-green re-confirmations.
+# session's additions), then 12 r1/r2-green re-confirmations (50
+# total — the guard test pins the flippable-window invariant).
 # _DRIVER_WINDOW_R4: tuple[str, ...] = (
 #     "dedup_rate_by_source", "text_readability", "embedding_outliers",
 #     "sessions_active_time", "events_lifecycle", "events_markov",
@@ -76,7 +77,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "revenue_share_hierarchy",
 #     "agg_count", "agg_sum", "agg_avg",
 #     "agg_min", "agg_max", "agg_delta", "agg_rate", "agg_filtered",
-#     "agg_rejected", "agg_grouped", "agg_rollup",
+#     "agg_rejected", "agg_grouped",
 #     "tpch_q1", "tpch_q12_latecount",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
