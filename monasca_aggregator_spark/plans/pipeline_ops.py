@@ -887,9 +887,85 @@ FROM r GROUP BY reason
 """.strip()
 
 
+CHUNK_BUDGET = 40  # tokens per retrieval chunk
+
+
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned retrieval chunking (the RAG ingestion shape):
+    docs split into sentence-ish units (period boundaries), each unit
+    assigned to chunk ⌊cumulative-tokens-before / budget⌋ — so chunks
+    respect unit boundaries, fill to ~budget tokens, and the
+    assignment is a pure prefix-sum window per doc (posexplode +
+    cumulative sum), NOT a sequential fold: one doc-keyed window pass,
+    no UDF, and the whole corpus chunks in a single shuffle. Output is
+    the per-chunk manifest (doc, chunk, units, tokens)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    units = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"\."),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("unit_idx", "unit"),
+    ).withColumn(
+        "n_tokens", F.size(F.split(F.col("unit"), r"\s+"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("unit_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = units.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(CHUNK_BUDGET)
+        ).cast("long"),
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+ORACLE_CHUNK_SENTENCES = rf"""
+WITH units AS (
+  SELECT doc_id, i - 1 AS unit_idx, u[i] AS unit
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, '.'),
+                                      s -> trim(s)), s -> s != '') AS u
+    FROM documents
+  ), unnest(range(1, len(u) + 1)) AS t(i)
+), toks AS (
+  SELECT doc_id, unit_idx,
+         len(string_split_regex(unit, '\s+')) AS n_tokens
+  FROM units
+), assigned AS (
+  SELECT doc_id, unit_idx, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY doc_id ORDER BY unit_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {CHUNK_BUDGET}) AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+FROM assigned GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
+    "chunk_sentences": q_chunk_sentences,
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
     "sample_temperature": q_sample_temperature,
@@ -913,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
+    "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "sample_quota_source": ORACLE_QUOTA,
     "sample_consistent_k": ORACLE_CONSISTENT_K,
     "sample_temperature": ORACLE_TEMPERATURE,

@@ -440,3 +440,26 @@ def test_ffd_packing_invariants(spark, sf_small):
     }
     first = {(r.source, r.doc_id): r.bin_id for r in rows}
     assert again == first
+
+
+def test_chunk_sentences_budget_and_boundaries(spark, tmp_path):
+    """Units never split; chunk breaks at the first unit whose
+    PRECEDING cumulative tokens crosses a budget multiple."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_chunk_sentences,
+    )
+
+    # 6 sentences × 10 tokens; budget 40 → chunks 0:(s0..s3) 1:(s4,s5)
+    sent = " ".join(f"w{i}" for i in range(10))
+    text = ". ".join([sent] * 6) + "."
+    pd.DataFrame(
+        [(0, text, "en", "s", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.chunk_id: (r.n_units, r.chunk_tokens)
+        for r in q_chunk_sentences(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (4, 40), 1: (2, 20)}
