@@ -109,3 +109,32 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
     )
     return wide.select(report)
+
+
+def observe_rules(df: DataFrame, rules: list[Rule], *, name: str = "expectations"):
+    """Streaming-safe expectations: attach the same compiled rule
+    aggregates as ``check`` to the plan via ``DataFrame.observe`` —
+    per-micro-batch violation counts arrive in
+    ``StreamingQueryProgress.observedMetrics[name]`` with zero extra
+    passes (one codegen'd aggregate riding the batch's own job). The
+    in-flight ingestion gate: alert when a batch's violation counts
+    jump, without a second scan of the stream.
+
+    Predicate rules only — uniqueness needs cross-batch state (that's
+    the streaming dedup operator's business, not an observation's).
+    """
+    if not rules:
+        raise ValueError("no rules")
+    aggs = [F.count(F.lit(1)).alias("checked")]
+    for r in rules:
+        if r.predicate is None:
+            raise ValueError(
+                f"rule {r.name!r}: unique rules are not observable "
+                "per-batch (need cross-batch state)"
+            )
+        aggs.append(
+            F.sum(F.when(r.predicate, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias(r.name)
+        )
+    return df.observe(name, *aggs)

@@ -71,3 +71,51 @@ def test_rule_validation():
         E.Rule("bad")
     with pytest.raises(ValueError):
         E.check(None, [])
+
+
+def test_observe_rules_streaming_gate(spark, tmp_path):
+    """Per-micro-batch violation counts surface in observedMetrics —
+    batch 1 is clean, batch 2 carries one range and one null
+    violation."""
+    import time as _time
+
+    src = tmp_path / "exp_src"
+    src.mkdir()
+    clean = [(1, 5), (2, 7)]
+    dirty = [(3, -1), (None, 5), (4, 9)]
+    for rows in (clean, dirty):
+        spark.createDataFrame(rows, "id long, qty long").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gated = E.observe_rules(
+        raw, [E.not_null("id"), E.in_range("qty", 0, 10)]
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("exp_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "exp_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    batches = [
+        p.observedMetrics["expectations"]
+        for p in q.recentProgress
+        if "expectations" in (p.observedMetrics or {})
+    ]
+    totals = {"checked": 0, "not_null(id)": 0, "range(qty)": 0}
+    for m in batches:
+        totals["checked"] += m["checked"]
+        totals["not_null(id)"] += m["not_null(id)"]
+        totals["range(qty)"] += m["range(qty)"]
+    assert totals == {"checked": 5, "not_null(id)": 1, "range(qty)": 1}
+    # per-batch granularity: some batch saw zero violations
+    assert any(m["not_null(id)"] == 0 and m["range(qty)"] == 0 for m in batches)
