@@ -472,3 +472,74 @@ def test_twa_matches_bruteforce_random_batch(spark):
     finally:
         series_mod.load_table = orig
     assert got == want
+
+
+def test_prefix_jaccard_lossless_on_random_corpora(spark):
+    """One seeded-random corpus sweep: across word-pool sizes (which
+    control how much docs overlap) and thresholds, the prefix-filtered
+    join must equal the exhaustive self-join exactly."""
+    from monasca_aggregator_spark.operators import dedup as D
+
+    rng = random.Random(99)
+    rows = []
+    did = 0
+    for pool in (6, 12, 30):
+        words = [f"p{pool}w{i}" for i in range(pool)]
+        for _ in range(12):
+            n = rng.randint(3, 14)
+            rows.append((did, " ".join(rng.choice(words) for _ in range(n))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    for thr in (0.25, 0.5, 0.75):
+        exact = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, threshold=thr).collect()
+        )
+        pref = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.jaccard_prefix_pairs(docs, threshold=thr).collect()
+        )
+        assert pref == exact, f"threshold {thr}"
+    assert exact or thr  # low-threshold rounds produce pairs
+
+
+def test_weighted_median_matches_numpy_definition(spark, tmp_path):
+    """Random weighted multisets: the windowed crossing pick equals the
+    direct definition (smallest value with cumweight*2 >= total)."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.analytic import q_weighted_median
+
+    rng = random.Random(5)
+    rows = []
+    for g in ("A", "B", "C"):
+        for i in range(rng.randint(5, 40)):
+            rows.append(
+                (g, float(rng.randint(1, 20)), float(rng.randint(1, 9)), 1, i)
+            )
+    pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber",
+        ],
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.l_returnflag: r.weighted_median_price
+        for r in q_weighted_median(spark, str(tmp_path)).collect()
+    }
+
+    def direct(grp):
+        items = sorted((p, w) for _, p, w, _, _ in grp)
+        total = sum(w for _, w in items)
+        cum = 0
+        for p, w in items:
+            cum += w
+            if cum * 2 >= total:
+                return p
+
+    by_g = {}
+    for row in rows:
+        by_g.setdefault(row[0], []).append(row)
+    for g, grp in by_g.items():
+        assert got[g] == direct(grp), g
