@@ -153,3 +153,71 @@ def _interval_seconds(spec: str) -> int:
         "days": 86400,
     }[unit]
     return int(n) * mult
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "right_",
+    order_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row whose ``right_ts`` is
+    NEAREST to ``left_ts`` in EITHER direction (pandas
+    ``merge_asof(direction='nearest')``), ties to the backward side.
+
+    Same union-carry shape as ``asof_join`` — still exactly ONE
+    shuffle of |left|+|right| rows — but BOTH directions resolve in
+    the same window sort: a backward ``last(ignorenulls)`` over
+    (unbounded, current) and a forward ``first(ignorenulls)`` over
+    (current, unbounded) share one partitioned ordering, so the
+    nearest pick is a row-local comparison of the two carried
+    structs. ``order_col`` (a right-side column) breaks equal-ts
+    right-row ties deterministically.
+    """
+    on = list(on)
+    right_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*right_cols).alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    if order_col is not None:
+        order.append(F.col(f"__r.{order_col}").asc_nulls_first())
+    base = Window.partitionBy(*on).orderBy(*order)
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = u.withColumn(
+        "__prev", F.last("__r", ignorenulls=True).over(w_back)
+    ).withColumn("__next", F.first("__r", ignorenulls=True).over(w_fwd))
+    d_prev = F.col("__ts") - F.col(f"__prev.{right_ts}")
+    d_next = F.col(f"__next.{right_ts}") - F.col("__ts")
+    nearest = (
+        F.when(F.col("__prev").isNull(), F.col("__next"))
+        .when(F.col("__next").isNull(), F.col("__prev"))
+        .when(d_prev <= d_next, F.col("__prev"))  # tie → backward
+        .otherwise(F.col("__next"))
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .withColumn("__pick", nearest)
+        .select(
+            *left.columns,
+            *[
+                F.col(f"__pick.{c}").alias(f"{right_prefix}{c}")
+                for c in right_cols
+            ],
+        )
+    )

@@ -19,7 +19,11 @@ from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
 )
-from monasca_aggregator_spark.operators.asof import asof_join, sessionize
+from monasca_aggregator_spark.operators.asof import (
+    asof_join,
+    asof_join_nearest,
+    sessionize,
+)
 from monasca_aggregator_spark.sources.tables import load_table
 
 SESSION_GAP = "12 hours"
@@ -60,6 +64,69 @@ SELECT p.user_id, epoch_ms(p.ts) AS ts_ms,
        {sql_stable_round("c.click_value", 4)} AS click_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of: each purchase pairs with the click
+    closest in time either way (ties backward) — attribution when the
+    influencing interaction may come just after the conversion event
+    lands (clock skew between client streams). Both directions resolve
+    in ONE user-keyed window sort (operators/asof.py
+    asof_join_nearest); event_id breaks equal-ts click ties so the
+    pick is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        ["user_id"],
+        right_prefix="near_",
+        order_col="event_id",
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("near_ts"))
+    return joined.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        stable_round(F.col("purchase_value"), 4).alias("purchase_value"),
+        F.unix_millis("near_ts").alias("click_ts_ms"),
+        F.col("near_event_id").alias("click_event_id"),
+        F.when(F.col("near_ts").isNull(), F.lit(None).cast("string"))
+        .when(gap >= 0, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+ORACLE_ASOF_NEAREST = f"""
+WITH p AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.user_id, p.ts AS pts, p.purchase_value,
+         c.ts AS cts, c.event_id,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.ts, p.purchase_value
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                    c.event_id
+         ) AS rk
+  FROM p LEFT JOIN c ON p.user_id = c.user_id
+)
+SELECT user_id, epoch_ms(pts) AS ts_ms,
+       {sql_stable_round("purchase_value", 4)} AS purchase_value,
+       epoch_ms(cts) AS click_ts_ms,
+       event_id AS click_event_id,
+       CASE WHEN cts IS NULL THEN NULL
+            WHEN cts <= pts THEN 'backward' ELSE 'forward' END AS direction
+FROM ranked WHERE rk = 1
 """.strip()
 
 
@@ -1480,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
     "asof_purchase_click": q_asof_purchase_click,
+    "asof_nearest_click": q_asof_nearest_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
     "funnel_conversion": q_funnel_conversion,
@@ -1513,6 +1581,7 @@ ORACLES: dict[str, str] = {
     "metric_histogram": ORACLE_HISTOGRAM,
     "funnel_conversion": ORACLE_FUNNEL,
     "asof_purchase_click": ORACLE_ASOF,
+    "asof_nearest_click": ORACLE_ASOF_NEAREST,
     "sessions_user": ORACLE_SESSIONS,
     "moving_avg_user": ORACLE_MOVING_AVG,
     "lag_delta_user": ORACLE_LAG_DELTA,

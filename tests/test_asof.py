@@ -259,3 +259,34 @@ def test_metric_gapfill_dense_and_bracketed(spark, sf_small):
             lo, hi = sorted((prev.value, nxt.value))
             assert lo - 1e-4 <= r.value <= hi + 1e-4
     assert n_interp > 0, "test data produced no gaps to interpolate"
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    from monasca_aggregator_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "b90"), (1, 205, "a205"), (2, 40, "b40"), (2, 60, "a60")],
+        "k long, ts long, tag string",
+    )
+    out = {
+        (r.k, r.ts): r.near_tag
+        for r in asof_join_nearest(
+            left, right, ["k"], right_prefix="near_", order_col="tag"
+        ).collect()
+    }
+    assert out[(1, 100)] == "b90"   # backward nearer (10 < 105)
+    assert out[(1, 200)] == "a205"  # forward nearer (5 < 110)
+    # k=2 ts=50: |50-40|=10 == |60-50|=10 → tie goes backward
+    assert out[(2, 50)] == "b40"
+
+
+def test_asof_nearest_no_match_keeps_nulls(spark):
+    from monasca_aggregator_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(9, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, "x")], "k long, ts long, tag string")
+    row = asof_join_nearest(left, right, ["k"], right_prefix="n_").collect()[0]
+    assert row.n_tag is None and row.n_ts is None
