@@ -284,35 +284,73 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted quantile no built-in aggregate expresses (percentile
     treats rows equally; here each row carries l_quantity units).
     Lower weighted median: the smallest price whose running weight
-    reaches half the group's total. One partitioned sort-window pass
-    over the group (cumulative weight), one broadcast join-back of the
-    3-row totals; weights are exact BIGINTs so the 2·cum ≥ total
-    crossing is integer arithmetic and the picked price is a raw
-    stored double on both engines. Deterministic under price ties: all
-    rows at the crossing price share the value regardless of tie
-    order."""
+    reaches half the group's total — computed as a DISTRIBUTED
+    SELECTION, not a per-group sort. A naive cumulative window over
+    each group serializes the whole group through one task (measured:
+    54.8× at the ×64 soak — the classic low-cardinality-window
+    scale-killer); instead:
+
+    1. histogram: Σw per (group, ⌊price⌋ bucket) — one map-side-
+       combined shuffle, histogram-sized output;
+    2. the cumulative walk runs over the HISTOGRAM (≤ #buckets rows
+       per group) to find each group's crossing bucket;
+    3. only the crossing bucket's raw rows (a ~1/#buckets sliver)
+       are re-scanned and orderd for the exact crossing price.
+
+    Weights are exact BIGINTs so the 2·cum ≥ total crossing is
+    integer arithmetic and the picked price is a raw stored double on
+    both engines; the picked value is tie-order invariant."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
         F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    totals = li.groupBy("l_returnflag").agg(
-        F.sum("w").alias("total_weight")
+    bucketed = li.withColumn(
+        "b", F.floor(F.col("l_extendedprice")).cast("long")
     )
-    cw = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    hist = bucketed.groupBy("l_returnflag", "b").agg(
+        F.sum("w").alias("bw")
+    )
+    hw = Window.partitionBy("l_returnflag").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_hist = hist.withColumn("cum", F.sum("bw").over(hw))
+    totals = hist.groupBy("l_returnflag").agg(
+        F.sum("bw").alias("total_weight")
+    )
+    crossing_bucket = (
+        cum_hist.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.col("cum") * 2 >= F.col("total_weight"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(F.struct("b", "cum", "bw"), "b").alias("x"),
+            F.max("total_weight").alias("total_weight"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("x.b").alias("b"),
+            (F.col("x.cum") - F.col("x.bw")).alias("cum_before"),
+            "total_weight",
+        )
+    )
+    sliver = bucketed.join(
+        F.broadcast(crossing_bucket), ["l_returnflag", "b"]
+    )
+    sw = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = li.withColumn("cum_w", F.sum("w").over(cw)).join(
-        F.broadcast(totals), "l_returnflag"
+    in_bucket = sliver.withColumn(
+        "cum_w", F.col("cum_before") + F.sum("w").over(sw)
     )
-    crossing = cum.filter(F.col("cum_w") * 2 >= F.col("total_weight"))
-    return crossing.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("weighted_median_price"),
-        F.max("total_weight").alias("total_weight"),
+    return (
+        in_bucket.filter(F.col("cum_w") * 2 >= F.col("total_weight"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.max("total_weight").alias("total_weight"),
+        )
     )
 
 
