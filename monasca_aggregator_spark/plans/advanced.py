@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.operators import dedup as D
 from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES, THRESHOLD
 from monasca_aggregator_spark.sources.tables import load_table
@@ -881,6 +882,93 @@ FROM g CROSS JOIN t
 _COPURCHASE_MIN_SUPPORT = 3  # pairs must co-occur in >= 3 orders
 
 
+_ITEMSIM_TOPK = 5
+
+
+def q_copurchase_cosine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative similarity: each part's top-5 neighbors
+    by basket-cooccurrence COSINE, cos(i,j) = n_ij/√(n_i·n_j) — the
+    scoring layer `orders_copurchase`'s support/lift counts feed (the
+    classic item-based recommender built from nothing but the pair
+    table). Candidate pairs come only from shared baskets (per-order
+    fan-out bounded by basket size, never items²); all counts are
+    exact BIGINTs so the cosine is one deterministic double per pair,
+    6-dp-rounded before the per-item rank with id tie-break."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    singles = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") != F.col("p_b"))  # both directions: per-item lists
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = singles.select(F.col("l_partkey").alias("p_a"), F.col("n_single").alias("n_a"))
+    nb = singles.select(F.col("l_partkey").alias("p_b"), F.col("n_single").alias("n_b"))
+    scored = (
+        pairs.join(na, "p_a")
+        .join(nb, "p_b")
+        .select(
+            F.col("p_a").alias("item"),
+            F.col("p_b").alias("neighbor"),
+            "n_both",
+            stable_round(
+                F.col("n_both").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ITEMSIM_TOPK)
+        .select("item", "rank", "neighbor", "n_both", "cosine")
+    )
+
+
+ORACLE_COPURCHASE_COSINE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), singles AS (
+  SELECT l_partkey, count(*) AS n_single FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS neighbor,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT item, neighbor, n_both,
+         floor((CAST(n_both AS DOUBLE)
+                / sqrt(CAST(na.n_single * nb.n_single AS DOUBLE)))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+           AS cosine
+  FROM pairs
+  JOIN singles na ON na.l_partkey = pairs.item
+  JOIN singles nb ON nb.l_partkey = pairs.neighbor
+)
+SELECT item, rank, neighbor, n_both, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY item
+                               ORDER BY cosine DESC, neighbor ASC) AS rank
+  FROM scored
+) WHERE rank <= {_ITEMSIM_TOPK}
+""".strip()
+
+
 def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity on REAL baskets: part pairs co-occurring
     in at least MIN_SUPPORT orders, with co-count and lift — the
@@ -1482,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_concentration_hhi": q_orders_concentration_hhi,
     "events_pareto_deciles": q_events_pareto_deciles,
     "orders_copurchase": q_orders_copurchase,
+    "copurchase_cosine_topk": q_copurchase_cosine_topk,
     "lineitem_abc_class": q_lineitem_abc_class,
     "anomaly_ensemble": q_anomaly_ensemble,
     "orders_cohort_ltv": q_orders_cohort_ltv,
@@ -1503,6 +1592,7 @@ ORACLES: dict[str, str] = {
     "orders_concentration_hhi": ORACLE_HHI,
     "events_pareto_deciles": ORACLE_PARETO,
     "orders_copurchase": ORACLE_COPURCHASE,
+    "copurchase_cosine_topk": ORACLE_COPURCHASE_COSINE,
     "lineitem_abc_class": ORACLE_ABC,
     "anomaly_ensemble": _oracle_ensemble(),
     "orders_cohort_ltv": ORACLE_COHORT_LTV,
