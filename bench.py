@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "text_search_phrase",
     "search_hybrid_rrf",
     "weighted_median",
+    "asof_nearest_click",
+    "copurchase_cosine_topk",
+    "chunk_sentences",
 ]
 
 

@@ -54,9 +54,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "metric_forecast_snaive", "agg_incremental_rollup",
 #     "sessions_concurrency", "events_assoc_rules", "graph_triangles",
 # )
-# Round-4 rotation (staged): the 39 oracle-backed keys added after
-# the r3 staging (23 from the r2 continuation + 16 from this
-# session's additions), then 11 r1/r2-green re-confirmations (50
+# Round-4 rotation (staged): the 41 oracle-backed keys added after
+# the r3 staging (23 from the r2 continuation + 18 from this
+# session's additions), then 9 r1/r2-green re-confirmations (50
 # total — the guard test pins the flippable-window invariant).
 # _DRIVER_WINDOW_R4: tuple[str, ...] = (
 #     "dedup_rate_by_source", "text_readability", "embedding_outliers",
@@ -75,9 +75,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "text_search_phrase", "search_hybrid_rrf", "weighted_median",
 #     "embedding_centroid_affinity", "sessions_entry_exit",
 #     "revenue_share_hierarchy", "chunk_sentences",
+#     "asof_nearest_click", "copurchase_cosine_topk",
 #     "agg_count", "agg_sum", "agg_avg",
-#     "agg_min", "agg_max", "agg_delta", "agg_rate", "agg_filtered",
-#     "agg_rejected",
+#     "agg_min", "agg_max", "agg_delta", "agg_rate",
 #     "tpch_q1", "tpch_q12_latecount",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
