@@ -126,3 +126,58 @@ def pagerank_local(
             for v, s in incoming.items()
         }
     return ranks
+
+
+def kcore_pairs(
+    pairs: DataFrame,
+    *,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core of an undirected pair graph: the maximal subgraph where
+    every node keeps degree ≥ k — iterative peeling (remove the
+    under-degree nodes, recompute degrees, repeat to fixpoint). The
+    standard cluster-quality gate on near-dup graphs: a 2-core member
+    sits in a dense duplicate cluster; a degree-1 appendage is a
+    borderline pair the curator can re-verify.
+
+    Each round is one degree aggregation + one semi-join on the node
+    id (same key both ways → AQE reuses the partitioning); edges are
+    re-filtered against the surviving node set, and only the scalar
+    survivor count reaches the driver for the convergence check.
+    Rounds are bounded by the degeneracy peeling depth (≤ max_iter
+    backstop), with localCheckpoint per round keeping lineage flat —
+    the connected-components convention.
+
+    Output: (node, degree) for the k-core's members (degree WITHIN
+    the core).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        n_keep = keep.count()
+        pruned = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+        if n_keep == 0:
+            break
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -440,6 +440,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_pairs(pairs, n_iter=8).select("id", "rank_e12")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: 2-core of the embedding near-dup graph
+    (operators/graph.py kcore_pairs) — dense duplicate clusters keep
+    their members, degree-1 appendages peel off. Iterative peeling
+    to fixpoint (exact set semantics, pinned vs brute force in
+    test_graph.py) — not SQL-expressible as one statement."""
+    from monasca_aggregator_spark.operators.graph import kcore_pairs
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = embedding_cosine_pairs(emb, threshold=EMB_THRESHOLD)
+    return kcore_pairs(pairs, k=2)
+
+
 _SC_MULT = 2654435761  # Knuth multiplicative hash — SQL-reproducible
 _SC_MOD = 2147483647
 _SC_CELLS = 8
@@ -573,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)
+    "graph_kcore": q_graph_kcore,  # rows-only (iterative peeling)
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,

@@ -59,3 +59,48 @@ def test_pagerank_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_kcore_peels_appendages(spark):
+    """Triangle + tail: the 2-core is exactly the triangle — the tail
+    chain peels off transitively (removing 4 drops 3's degree to 2...
+    removing 5 first exposes 4, etc.)."""
+    from monasca_aggregator_spark.operators.graph import kcore_pairs
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.degree for r in kcore_pairs(pairs, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_brute_force_random(spark):
+    import random
+
+    from monasca_aggregator_spark.operators.graph import kcore_pairs
+
+    rng = random.Random(3)
+    edges = {
+        tuple(sorted((rng.randrange(30), rng.randrange(30))))
+        for _ in range(60)
+    }
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def brute(k):
+        es = set(edges)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3):
+        want = brute(k)
+        got = {r.node: r.degree for r in kcore_pairs(pairs, k=k).collect()}
+        assert got == want, k
