@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.operators import dedup as D
+from monasca_aggregator_spark.operators.asof import asof_join
 from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES, THRESHOLD
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -1413,6 +1414,100 @@ FROM j
 """.strip()
 
 
+_TOKEN_SALT = "r2salt"
+
+
+def q_privacy_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving release: user ids replaced by salted-MD5
+    pseudonyms BEFORE aggregation — the de-identification step that
+    precedes sharing usage tables (stable across runs for joinability,
+    non-invertible without the salt, and the released table carries
+    only tokens + aggregates). Per-token activity profile with the
+    distinct-day count that drives k-anonymity review downstream;
+    grouping happens on the token itself, proving the pipeline never
+    needs the raw id after the projection."""
+    ev = load_table(spark, sf_dir, "events")
+    token = F.md5(
+        F.concat(F.lit(_TOKEN_SALT), F.col("user_id").cast("string"))
+    )
+    return (
+        ev.select(
+            token.alias("user_token"),
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("day").alias("active_days"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+ORACLE_PRIVACY_TOKENIZE = f"""
+SELECT md5('{_TOKEN_SALT}' || CAST(user_id AS VARCHAR)) AS user_token,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1
+""".strip()
+
+
+def q_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-latency distribution: for every purchase with a
+    prior click (backward as-of within the user), the click→purchase
+    gap in seconds, summarized per purchase day as median / p90 /
+    conversion count. The as-of attach is the one-shuffle union-carry
+    join; gaps are exact BIGINT seconds so the interpolated
+    percentiles are deterministic doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, ["user_id"], right_prefix="c_")
+    gap_s = (
+        (F.unix_micros("ts") - F.unix_micros("c_ts")) / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        joined.filter(F.col("c_ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), gap_s.alias("gap_s"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            stable_round(F.median("gap_s"), 4).alias("median_gap_s"),
+            stable_round(
+                F.percentile(F.col("gap_s"), F.lit(0.9)), 4
+            ).alias("p90_gap_s"),
+        )
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.user_id, p.ts,
+         (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       floor(median(gap_s) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+         AS median_gap_s,
+       floor(quantile_cont(gap_s, 0.9) * 10000.0::DOUBLE + 0.5::DOUBLE)
+         / 10000.0::DOUBLE AS p90_gap_s
+FROM j GROUP BY 1
+""".strip()
+
+
 def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily retention triangle computed FROM per-user activity
     bitmaps — the roaring-bitmap-index pattern at engine level: one
@@ -1557,6 +1652,8 @@ FROM lineitem"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_expectations": q_audit_expectations,
     "events_retention_bitmap": q_events_retention_bitmap,
+    "privacy_tokenize": q_privacy_tokenize,
+    "funnel_time_to_convert": q_funnel_time_to_convert,
     "cdc_apply_latest": q_cdc_apply_latest,
     "stats_join_estimate": q_stats_join_estimate,
     "agg_incremental_rollup": q_agg_incremental_rollup,
@@ -1579,6 +1676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "audit_expectations": ORACLE_EXPECTATIONS,
     "events_retention_bitmap": ORACLE_RETENTION_BITMAP,
+    "privacy_tokenize": ORACLE_PRIVACY_TOKENIZE,
+    "funnel_time_to_convert": ORACLE_TIME_TO_CONVERT,
     "cdc_apply_latest": ORACLE_CDC_APPLY,
     "stats_join_estimate": ORACLE_JOIN_ESTIMATE,
     "agg_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
