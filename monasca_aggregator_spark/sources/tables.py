@@ -123,3 +123,27 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_evolving(
+    spark: SparkSession,
+    path: str,
+    *,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Read a parquet dataset whose schema EVOLVED across batches
+    (older files missing newer columns) — the long-lived-dataset read
+    path plain ``spark.read.parquet`` gets wrong (it samples one
+    file's footer and silently drops newer columns, or errors).
+
+    ``mergeSchema=true`` unions all footers (newer columns surface as
+    NULL in older files); ``defaults`` then back-fills chosen columns
+    so downstream plans never special-case the old batches. At
+    warehouse scale footer-merge cost is per-FILE metadata, not data —
+    and belongs in a table format's manifest; the read shape here is
+    identical.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, val in (defaults or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return df

@@ -246,3 +246,28 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
         d for d in os.listdir(tmp_path) if "__wap_" in d or "__old_" in d
     ]
     assert leftovers == []
+
+
+def test_load_evolving_merges_schemas_and_backfills(spark, tmp_path):
+    """Batch 1 lacks the `lang` column added in batch 2: the merged
+    read surfaces it everywhere, defaults back-fill the old rows, and
+    plain aggregation over the union just works."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.tables import load_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, text string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+
+    df = load_evolving(spark, p, defaults={"lang": "unknown"})
+    assert set(df.columns) == {"id", "text", "lang"}
+    got = {
+        r.lang: r.n
+        for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"unknown": 2, "en": 1, "de": 1}
