@@ -365,6 +365,36 @@ def q_agg_p95_tdigest_rollup(
     )
 
 
+def q_agg_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant isolation through the REAL spec engine: the test
+    stream is sharded into 3 synthetic tenants (user_id mod 3) and one
+    rule runs over all of them — tenants ride the groupBy key
+    (reference keys its window cache by tenant+dims the same way,
+    aggregation.go), so isolation costs zero extra passes and the
+    output carries per-tenant windows."""
+    ev = load_table(spark, sf_dir, "events")
+    env = events_to_envelopes(ev).withColumn(
+        "tenant_id",
+        F.concat(F.lit("t"), F.pmod(F.col("dimensions")["user_id"].cast("long"), F.lit(3)).cast("string")),
+    )
+    spec = _spec("count", "click")
+    out = build_aggregation(env, spec, WINDOW_SEC)
+    return out.select(
+        "window_ts_ms",
+        "tenant_id",
+        F.col("value").cast("long").alias("value"),
+    )
+
+
+ORACLE_MULTI_TENANT = f"""
+SELECT {_W_SQL} AS window_ts_ms,
+       't' || CAST(user_id % 3 AS VARCHAR) AS tenant_id,
+       CAST(count(*) AS BIGINT) AS value
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2
+""".strip()
+
+
 def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule fan-out (reference: server.go:306-310 iterates every
     rule per message): ONE cached envelope scan feeds N rule plans whose
@@ -519,6 +549,7 @@ WITH g AS (
 SELECT window_ts_ms, {sql_stable_round("sum(v)", 4)} AS value FROM g GROUP BY 1
 """.strip(),
     "agg_multi_rule": ORACLE_MULTI_RULE,
+    "agg_multi_tenant": ORACLE_MULTI_TENANT,
     "agg_distinct_users": ORACLE_DISTINCT,
     "agg_median": ORACLE_MEDIAN,
     "agg_distinct_hll": ORACLE_DISTINCT_HLL,
@@ -541,6 +572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_grouped": q_agg_grouped,
     "agg_rollup": q_agg_rollup,
     "agg_multi_rule": q_agg_multi_rule,
+    "agg_multi_tenant": q_agg_multi_tenant,
     "agg_distinct_users": q_agg_distinct_users,
     "agg_median": q_agg_median,
     "agg_distinct_hll": q_agg_distinct_hll,

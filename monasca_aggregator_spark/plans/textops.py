@@ -1191,6 +1191,31 @@ FROM documents
 """.strip()
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-QA confusion matrix: the corpus's DECLARED lang column
+    vs the detector's prediction, with cell counts — the audit that
+    catches both mislabeled metadata and detector drift before either
+    poisons a per-language sampling stage. One scan; the matrix is
+    |langs|² rows."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pred = T.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(pred, "doc_id")
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH pred AS ({ORACLE_LANGID})
+SELECT d.lang AS declared_lang, pred.pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+GROUP BY 1, 2
+""".strip()
+
+
 PHRASE = ("table", "scan")
 
 
@@ -1301,6 +1326,7 @@ SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_phrase": q_text_search_phrase,
+    "lang_confusion": q_lang_confusion,
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "text_readability": q_text_readability,
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
@@ -1341,6 +1367,7 @@ ORACLES: dict[str, str] = {
     "text_search_conjunctive": ORACLE_SEARCH,
     "text_search_bm25": ORACLE_BM25,
     "text_search_phrase": ORACLE_PHRASE,
+    "lang_confusion": ORACLE_LANG_CONFUSION,
     "search_hybrid_rrf": ORACLE_HYBRID,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,
