@@ -80,6 +80,27 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "agg_min", "agg_max", "agg_delta", "agg_rate",
 #     "tpch_q1", "tpch_q12_latecount",
 # )
+# Round-5 rotation (staged): the 4 oracle keys added after the r4
+# staging, then 46 r2-green re-confirmations (the active r2 window's
+# keys, minus the 4 to stay at exactly 50).
+# _DRIVER_WINDOW_R5: tuple[str, ...] = (
+#     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
+#     "lang_confusion", "tpch_q12_latecount", "sample_stratified",
+#     "sample_temperature", "profile_documents", "split_train_val",
+#     "pack_chunks", "pack_chunks_overlap", "dedup_exact", "dedup_spans",
+#     "dedup_editdistance", "dedup_ngram_jaccard", "dedup_embedding",
+#     "dedup_clusters", "dedup_canonical", "text_tfidf", "text_bigram_pmi",
+#     "text_search_conjunctive", "text_langid", "quality_deciles",
+#     "text_decontaminate", "text_unigram_logprob", "text_tokens",
+#     "text_quality", "text_fingerprint", "text_vocab_topk",
+#     "text_repetition", "text_boilerplate", "embedding_centroids",
+#     "embedding_quantize", "ann_cosine_topk", "events_json_props",
+#     "agg_streaming", "user_event_seq", "events_cumulative_users",
+#     "asof_purchase_click", "anomaly_zscore", "metric_histogram",
+#     "funnel_conversion", "sessions_user", "moving_avg_user",
+#     "lag_delta_user", "running_total_user", "range_join_ship",
+#     "events_retention", "metric_gapfill", "agg_stddev",
+# )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
     "tpch_q12_latecount",
