@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "asof_nearest_click",
     "copurchase_cosine_topk",
     "chunk_sentences",
+    "privacy_tokenize",
+    "funnel_time_to_convert",
+    "agg_multi_tenant",
+    "lang_confusion",
+    "graph_kcore",
 ]
 
 
