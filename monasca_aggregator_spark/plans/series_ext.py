@@ -693,6 +693,96 @@ def holt_winters_fit_forecast(xs, season: int, horizon: int):
     ]
 
 
+def holt_winters_one_step(xs, season: int):
+    """In-sample one-step-ahead forecasts: f_t = (level+trend+seas)
+    BEFORE the state update at t. Same init as
+    holt_winters_fit_forecast; forecasts start after the 2-season
+    init window (earlier points trained the init)."""
+    n = len(xs)
+    if n < 2 * season:
+        raise ValueError("need >= 2 seasons to initialize")
+    s0 = sum(xs[:season]) / season
+    s1 = sum(xs[season : 2 * season]) / season
+    level = s0
+    trend = (s1 - s0) / season
+    mid = (season - 1) / 2.0
+    seas = [xs[i] - (s0 + (i - mid) * trend) for i in range(season)]
+    out = []
+    for t, x in enumerate(xs):
+        si = t % season
+        if t >= 2 * season:
+            out.append((t, level + trend + seas[si]))
+        prev_level = level
+        level = _HW_ALPHA * (x - seas[si]) + (1 - _HW_ALPHA) * (
+            level + trend
+        )
+        trend = _HW_BETA * (level - prev_level) + (1 - _HW_BETA) * trend
+        seas[si] = _HW_GAMMA * (x - level) + (1 - _HW_GAMMA) * seas[si]
+    return out
+
+
+def q_metric_backtest_hw_vs_snaive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rows-only: forecaster bake-off per metric — one-step-ahead
+    in-sample MAE of Holt–Winters vs the seasonal-naive baseline
+    (f_t = x_{t−24}), both scored over the same post-init points of
+    the collapsed hourly series. The go/no-go gate before promoting a
+    stateful forecaster: if HW does not beat same-hour-yesterday,
+    ship the baseline. One Arrow applyInPandas per metric; the fold
+    is the shared pinned reference implementation."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    ).select(
+        "event_type",
+        (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("x"),
+        "v",
+    )
+
+    def _bt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        lo, hi = int(pdf["x"].iloc[0]), int(pdf["x"].iloc[-1])
+        dense = {int(x): float(v) for x, v in zip(pdf["x"], pdf["v"])}
+        xs = [dense.get(x, 0.0) for x in range(lo, hi + 1)]
+        cols = ["event_type", "n_scored", "mae_hw", "mae_snaive", "hw_wins"]
+        try:
+            fc = holt_winters_one_step(xs, _HW_SEASON)
+        except ValueError:
+            return pd.DataFrame(columns=cols)
+        err_hw = err_sn = 0.0
+        for t, f in fc:
+            err_hw += abs(xs[t] - f)
+            err_sn += abs(xs[t] - xs[t - _HW_SEASON])
+        n = len(fc)
+        return pd.DataFrame(
+            [
+                (
+                    pdf["event_type"].iloc[0],
+                    n,
+                    err_hw / n / 100.0,
+                    err_sn / n / 100.0,
+                    err_hw < err_sn,
+                )
+            ],
+            columns=cols,
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _bt,
+        schema=(
+            "event_type string, n_scored long, mae_hw double,"
+            " mae_snaive double, hw_wins boolean"
+        ),
+    )
+
+
 def q_metric_forecast_holtwinters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1423,6 +1513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_trend_theilsen": q_metric_trend_theilsen,
     "metric_forecast_snaive": q_metric_forecast_snaive,
     "metric_forecast_holtwinters": q_metric_forecast_holtwinters,  # rows-only (recursive state)
+    "metric_backtest_hw_vs_snaive": q_metric_backtest_hw_vs_snaive,  # rows-only (recursive state)
     "metric_top_contributors": q_metric_top_contributors,
     "metric_mix_drift": q_metric_mix_drift,
     "metric_autocorr": q_metric_autocorr,

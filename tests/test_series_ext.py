@@ -291,3 +291,27 @@ def test_holtwinters_tracks_trend_and_season():
              for h in range(1, m + 1)]
     mae = sum(abs(a - b) for a, b in zip(fc, truth)) / m
     assert mae < 2.0, mae
+
+
+def test_hw_backtest_scores_and_wins_on_seasonal_series(spark, sf_small):
+    """The bake-off query runs on real data and reproduces the shared
+    one-step reference; on a clean seasonal+trend synthetic, HW must
+    beat seasonal-naive."""
+    from monasca_aggregator_spark.plans.series_ext import (
+        _HW_SEASON,
+        holt_winters_one_step,
+        q_metric_backtest_hw_vs_snaive,
+    )
+
+    rows = q_metric_backtest_hw_vs_snaive(spark, sf_small).collect()
+    assert rows and all(r.n_scored > 0 for r in rows)
+    for r in rows:
+        assert r.hw_wins == (r.mae_hw < r.mae_snaive)
+
+    m = _HW_SEASON
+    season = [5.0 if i % m < 12 else -5.0 for i in range(m)]
+    xs = [50.0 + 0.3 * t + season[t % m] for t in range(m * 5)]
+    fc = holt_winters_one_step(xs, m)
+    mae_hw = sum(abs(xs[t] - f) for t, f in fc) / len(fc)
+    mae_sn = sum(abs(xs[t] - xs[t - m]) for t, _ in fc) / len(fc)
+    assert mae_hw < mae_sn  # trend makes snaive lag by 0.3*24/step
