@@ -849,3 +849,77 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") >= 0)  # threshold form returns -1 past D
     )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """NEAR-dup counterpart of ``incremental_new_docs``: LSH candidates
+    between the incoming batch and the indexed corpus only — never
+    corpus×corpus (the index is already deduped) and never
+    batch×batch (that's the intra-batch operator's job). The daily
+    crawl-vs-index workflow: band buckets for both sides meet in an
+    equi-join keyed (band, bucket), so the work is
+    |batch buckets| ⋈ |corpus buckets| — at a steady-state index the
+    per-day cost is proportional to the batch, not the index.
+    Candidates verify exactly (no false positives); recall is the LSH
+    collision probability, same trade as ``minhash_lsh_pairs``.
+
+    Output: (batch_id, corpus_id, jaccard) for verified pairs ≥ τ.
+    At index scale the corpus's bucket table is the thing you
+    PERSIST (sources/sinks writers) instead of recomputing per batch.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _prep(docs: DataFrame, alias: str) -> tuple[DataFrame, DataFrame]:
+        sh = _shingled(docs, id_col, text_col, n).select(
+            F.col("doc_id").alias(f"{alias}_id"),
+            F.col("shingles").alias(f"{alias}_sh"),
+            minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+        )
+        sh = sh.cache()
+        buckets = (
+            sh.filter(F.element_at("sig", 1).isNotNull())
+            .select(
+                f"{alias}_id",
+                F.explode(
+                    minhash_bands(F.col("sig"), bands, rows_per_band)
+                ).alias("b"),
+            )
+            .select(f"{alias}_id", "b.band", "b.bucket")
+        )
+        return sh.drop("sig"), buckets
+
+    b_sh, b_buckets = _prep(batch, "batch")
+    c_sh, c_buckets = _prep(corpus, "corpus")
+    if max_bucket_size is not None:
+        ok = (
+            c_buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        c_buckets = c_buckets.join(ok, ["band", "bucket"])
+    candidates = (
+        b_buckets.join(c_buckets, ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("batch_sh", "corpus_sh"))
+    union = F.size(F.array_union("batch_sh", "corpus_sh"))
+    return (
+        candidates.join(b_sh, "batch_id")
+        .join(c_sh, "corpus_id")
+        .withColumn("jaccard", stable_round(shared / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

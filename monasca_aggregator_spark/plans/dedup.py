@@ -117,6 +117,21 @@ GROUP BY b.source
 """.strip()
 
 
+def q_dedup_incremental_near(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rows-only: NEAR-dup incremental ingestion — LSH candidates
+    between the odd-id batch and the even-id indexed corpus only
+    (operators/dedup.py incremental_minhash_pairs; never corpus², never
+    batch², verified exactly). LSH recall < 1 by construction → no SQL
+    oracle; cross-side-only and verified-exactness semantics pinned in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_minhash_pairs(batch, corpus, threshold=THRESHOLD)
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtering (All-Pairs) exact Jaccard join — identical
     output to dedup_ngram_jaccard, but candidates come from rarest-
@@ -599,6 +614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_near": q_dedup_incremental_near,  # rows-only (LSH recall < 1)
     "dedup_minhash": q_dedup_minhash,  # rows-only (LSH recall < 1)
     "dedup_simhash": q_dedup_simhash,  # rows-only (hash-sketch specific)
     "dedup_embedding": q_dedup_embedding,

@@ -477,3 +477,36 @@ def test_phrase_search_repeated_term_phrase(spark):
         for r in phrase_search(docs, ("batch", "batch")).collect()
     }
     assert got == {0: 2}
+
+
+def test_incremental_minhash_finds_cross_side_near_dups_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus text about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (one word changed)
+            (11, "the quick brown fox jumps over the sleepy dog tonight"),
+            # exact dup of corpus doc 2
+            (13, "completely unrelated corpus text about query engines"),
+            # near-dup of 11 (batch-internal — must NOT pair)
+            (15, "the quick brown fox leaps over the sleepy dog tonight"),
+            (17, "fresh novel content with no twin anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in D.incremental_minhash_pairs(
+            batch, corpus, threshold=0.3
+        ).collect()
+    }
+    assert (13, 2) in pairs and pairs[(13, 2)] == 1.0
+    assert (11, 0) in pairs
+    # no batch×batch or corpus×corpus pairs by construction
+    assert all(b in (11, 13, 15, 17) and c in (0, 2) for b, c in pairs)
+    assert not any(b == 17 for b, _ in pairs)
