@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "agg_multi_tenant",
     "lang_confusion",
     "graph_kcore",
+    "series_shape_search",
+    "metric_backtest_hw_vs_snaive",
+    "dedup_incremental_near",
 ]
 
 

@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import stable_round
 from monasca_aggregator_spark.operators.kmv import (
     kmv_agg_if,
     kmv_estimate,
@@ -644,6 +645,172 @@ SELECT n.event_type, n.n_points,
               WHERE p.event_type = n.event_type) / 100.0 END AS slope_per_hour
 FROM n
 """.strip()
+
+
+_SHAPE_W = 24
+_SHAPE_TOPK = 10
+
+
+def q_series_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SHAPE search (per the retrieved EDBT'19 distributed
+    time-series-similarity line): find the top-10 sliding 24-hour
+    windows — across ALL metrics and offsets — most similar to a query
+    pattern (the 'click' metric's first complete day), under
+    z-normalized Euclidean distance (scale/level-invariant, the
+    standard similarity for "which metric moved like this one").
+
+    Plan shape: the corpus collapses to the hourly series once; each
+    metric's sliding windows come from ONE ordered window frame
+    (collect_list over ROWS 0..23 — per-metric sort, no self-join);
+    z-stats use exact BIGINT Σy and Σy² folds so μ/σ are identical
+    doubles on both engines, and the distance is an explicitly
+    sequential fold (F.aggregate ≡ DuckDB list_reduce) against the
+    broadcast query pattern — no summation-order ambiguity anywhere.
+    Incomplete (gapped) and flat (σ=0) windows are excluded on both
+    sides. The query window itself is excluded from candidates.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type").alias("name"), _hourly_window()).agg(
+        F.sum("e2").alias("y")
+    ).select(
+        "name",
+        (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("h"),
+        "y",
+    )
+    frame = (
+        Window.partitionBy("name")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, _SHAPE_W - 1)
+    )
+    wins = hourly.select(
+        "name",
+        F.col("h").alias("start_h"),
+        F.collect_list("y").over(frame).alias("arr"),
+        F.collect_list("h").over(frame).alias("hs"),
+    ).filter(
+        (F.size("arr") == _SHAPE_W)
+        & (
+            F.element_at("hs", _SHAPE_W) - F.element_at("hs", 1)
+            == _SHAPE_W - 1
+        )
+    )
+
+    def _znorm(arr):
+        s1 = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+        s2 = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x * x
+        )
+        mu = s1.cast("double") / F.lit(float(_SHAPE_W))
+        var = s2.cast("double") / F.lit(float(_SHAPE_W)) - mu * mu
+        return mu, var
+
+    mu, var = _znorm(F.col("arr"))
+    wins = wins.withColumn("mu", mu).withColumn("var", var).filter(
+        F.col("var") > 0
+    )
+
+    # query pattern: first complete window of 'click' (tiny collect)
+    qrow = (
+        wins.filter(F.col("name") == "click")
+        .orderBy("start_h")
+        .select("start_h", "arr", "mu", "var")
+        .limit(1)
+        .collect()[0]
+    )
+    import math
+
+    q_mu, q_sd = qrow.mu, math.sqrt(qrow.var)
+    qz = [(y - q_mu) / q_sd for y in qrow.arr]
+    qz_lit = F.array(*[F.lit(float(v)) for v in qz])
+    sd = F.sqrt(F.col("var"))
+    dist2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_SHAPE_W)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(
+            (F.element_at(F.col("arr"), i).cast("double") - F.col("mu"))
+            / sd
+            - F.element_at(qz_lit, i),
+            F.lit(2),
+        ),
+    )
+    scored = (
+        wins.filter(
+            ~((F.col("name") == "click") & (F.col("start_h") == qrow.start_h))
+        )
+        .select(
+            "name",
+            "start_h",
+            stable_round(F.sqrt(dist2), 6).alias("z_dist"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("z_dist").asc(), F.col("name").asc(), F.col("start_h").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SHAPE_TOPK)
+        .select("rank", "name", "start_h", "z_dist")
+    )
+
+
+def _shape_oracle() -> str:
+    w, k = _SHAPE_W, _SHAPE_TOPK
+    stats = f"""
+  SELECT name, start_h, arr,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+                          (a, x) -> a + x) AS DOUBLE) / {w}.0 AS mu,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(arr, x -> x * x)), (a, x) -> a + x) AS DOUBLE)
+           / {w}.0 AS s2m
+  FROM ok"""
+    return f"""
+WITH e AS (
+  SELECT event_type AS name, {_W_SQL} AS wms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), hh AS (
+  SELECT name, wms // {_HOUR_MS} AS h, y FROM e
+), win AS (
+  SELECT name, h AS start_h,
+         list(y) OVER fr AS arr, list(h) OVER fr AS hs
+  FROM hh
+  WINDOW fr AS (PARTITION BY name ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+), ok AS (
+  SELECT name, start_h, arr FROM win
+  WHERE len(arr) = {w} AND hs[{w}] - hs[1] = {w - 1}
+), st AS ({stats}
+), zs AS (
+  SELECT name, start_h, arr, mu, s2m - mu * mu AS var FROM st
+  WHERE s2m - mu * mu > 0
+), q AS (
+  SELECT arr AS qarr, mu AS qmu, sqrt(var) AS qsd, start_h AS qstart
+  FROM zs WHERE name = 'click' ORDER BY start_h LIMIT 1
+), scored AS (
+  SELECT z.name, z.start_h,
+         floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, {w + 1}), i ->
+               ((CAST(z.arr[i] AS DOUBLE) - z.mu) / sqrt(z.var)
+                - (CAST(q.qarr[i] AS DOUBLE) - q.qmu) / q.qsd) ^ 2)),
+             (a, x) -> a + x)) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+           / 1000000.0::DOUBLE AS z_dist
+  FROM zs z, q
+  WHERE NOT (z.name = 'click' AND z.start_h = q.qstart)
+)
+SELECT rank, name, start_h, z_dist FROM (
+  SELECT *, row_number() OVER (ORDER BY z_dist ASC, name ASC,
+                               start_h ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
+ORACLE_SHAPE_SEARCH = _shape_oracle()
 
 
 # -------------------------------------------- seasonal-naive backtest
@@ -1511,6 +1678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_trend": q_metric_trend,
     "metric_trend_theilsen": q_metric_trend_theilsen,
+    "series_shape_search": q_series_shape_search,
     "metric_forecast_snaive": q_metric_forecast_snaive,
     "metric_forecast_holtwinters": q_metric_forecast_holtwinters,  # rows-only (recursive state)
     "metric_backtest_hw_vs_snaive": q_metric_backtest_hw_vs_snaive,  # rows-only (recursive state)
@@ -1531,6 +1699,7 @@ ORACLES: dict[str, str] = {
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_trend": ORACLE_TREND,
     "metric_trend_theilsen": ORACLE_THEILSEN,
+    "series_shape_search": ORACLE_SHAPE_SEARCH,
     "metric_forecast_snaive": ORACLE_FORECAST_SNAIVE,
     "metric_top_contributors": ORACLE_TOP_CONTRIBUTORS,
     "metric_mix_drift": ORACLE_MIX_DRIFT,

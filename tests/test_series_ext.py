@@ -315,3 +315,37 @@ def test_hw_backtest_scores_and_wins_on_seasonal_series(spark, sf_small):
     mae_hw = sum(abs(xs[t] - f) for t, f in fc) / len(fc)
     mae_sn = sum(abs(xs[t] - xs[t - m]) for t, _ in fc) / len(fc)
     assert mae_hw < mae_sn  # trend makes snaive lag by 0.3*24/step
+
+
+def test_shape_search_is_scale_and_level_invariant(spark, tmp_path):
+    """A metric that is an affine transform (3x + 1000) of the query
+    pattern must rank first with distance ≈ 0 — that's the point of
+    z-normalization; a reversed pattern must rank behind it."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_series_shape_search,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    base = [10.0 + (i % 7) * 3.0 for i in range(48)]  # query source
+    for h, v in enumerate(base):
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click", v, "{}")); eid += 1
+        # affine twin: same shape, different scale+level
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view", 3.0 * v + 1000.0, "{}")); eid += 1
+        # reversed shape: different
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "error", base[len(base) - 1 - h], "{}")); eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = q_series_shape_search(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert top.name == "view"       # affine twin wins
+    assert top.z_dist < 1e-4        # ...with a perfect z-match
+    error_dists = [r.z_dist for r in out if r.name == "error"]
+    if error_dists:
+        assert min(error_dists) > top.z_dist
