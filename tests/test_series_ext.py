@@ -343,9 +343,13 @@ def test_shape_search_is_scale_and_level_invariant(spark, tmp_path):
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     ).to_parquet(tmp_path / "events.parquet")
     out = q_series_shape_search(spark, str(tmp_path)).collect()
-    top = out[0]
-    assert top.name == "view"       # affine twin wins
-    assert top.z_dist < 1e-4        # ...with a perfect z-match
+    # the period-7 base makes several click offsets exact repeats of
+    # the query — also perfect matches; the affine 'view' twin must be
+    # among the ~0-distance hits (scale/level invariance), and every
+    # top hit must beat the best reversed-shape window
+    view_dists = [r.z_dist for r in out if r.name == "view"]
+    assert view_dists and min(view_dists) < 1e-4
+    assert out[0].z_dist < 1e-4
     error_dists = [r.z_dist for r in out if r.name == "error"]
     if error_dists:
-        assert min(error_dists) > top.z_dist
+        assert min(error_dists) > 1e-4
