@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "series_shape_search",
     "metric_backtest_hw_vs_snaive",
     "dedup_incremental_near",
+    "text_search_fuzzy",
 ]
 
 

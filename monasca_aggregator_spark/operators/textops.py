@@ -595,3 +595,69 @@ def phrase_search(
     return chain.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def fuzzy_token_search(
+    docs: DataFrame,
+    term: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spell-tolerant token search (edit distance ≤ 1) via the
+    deletion-neighborhood index (FastSS family; cf. the retrieved
+    ICDE'22 string-similarity-join line): every token and the query
+    expand to their ≤1-deletion variants, candidates meet in an
+    equi-join on the variant string, and ``levenshtein`` verifies
+    exactly. Lossless for d ≤ 1 (a substitution shares the
+    both-sides-deleted string; an insertion's longer side deletes down
+    to the shorter) — so the scan never evaluates edit distance
+    against the whole vocabulary, only against hash-join collisions;
+    the index side is what a persisted fuzzy index would store.
+
+    Output: (doc_id, token, dist) for distinct matching tokens/doc.
+    """
+    from monasca_aggregator_spark.functions.text import tokens as _tokens
+
+    def _variants(col: F.Column) -> F.Column:
+        # the string itself + every single-character deletion
+        return F.array_distinct(
+            F.concat(
+                F.array(col),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(col)),
+                    lambda i: F.concat(
+                        col.substr(F.lit(1), i - 1),
+                        col.substr(i + 1, F.length(col) - i + 1),
+                    ),
+                ),
+            )
+        )
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    cand = toks.select(
+        "doc_id",
+        "token",
+        F.explode(_variants(F.col("token"))).alias("v"),
+    )
+    q_variants = [term] + [
+        term[:i] + term[i + 1 :] for i in range(len(term))
+    ]
+    qv = F.array(*[F.lit(v) for v in sorted(set(q_variants))])
+    matched = (
+        cand.filter(F.array_contains(qv, F.col("v")))
+        .select("doc_id", "token")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("token"), F.lit(term)))
+        .filter(F.col("dist") <= 1)
+    )
+    return matched

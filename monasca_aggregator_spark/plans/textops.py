@@ -1244,6 +1244,33 @@ SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
 """.strip()
 
 
+FUZZY_TERM = "querry"  # user misspelling of the corpus token 'query'
+
+
+def q_text_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-tolerant search via the deletion-neighborhood index
+    (operators/textops.py fuzzy_token_search): candidates meet on
+    ≤1-deletion variants (lossless for edit distance ≤ 1), verified by
+    exact levenshtein — the vocabulary is never scanned with the edit-
+    distance function, only hash-join collisions are."""
+    return T.fuzzy_token_search(
+        load_table(spark, sf_dir, "documents", fan_out=True), FUZZY_TERM
+    )
+
+
+ORACLE_FUZZY = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+  FROM documents
+)
+SELECT doc_id, token,
+       CAST(levenshtein(token, '{FUZZY_TERM}') AS INT) AS dist
+FROM toks
+WHERE token != '' AND levenshtein(token, '{FUZZY_TERM}') <= 1
+""".strip()
+
+
 RRF_K = 60
 RRF_TOPK = 20
 RRF_VEC_LIST = 60
@@ -1327,6 +1354,7 @@ SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
+    "text_search_fuzzy": q_text_search_fuzzy,
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "text_readability": q_text_readability,
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
@@ -1368,6 +1396,7 @@ ORACLES: dict[str, str] = {
     "text_search_bm25": ORACLE_BM25,
     "text_search_phrase": ORACLE_PHRASE,
     "lang_confusion": ORACLE_LANG_CONFUSION,
+    "text_search_fuzzy": ORACLE_FUZZY,
     "search_hybrid_rrf": ORACLE_HYBRID,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,

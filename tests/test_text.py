@@ -359,3 +359,31 @@ def test_text_novelty_first_doc_fully_novel(spark, sf_small):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
         assert 0.0 <= r.novelty_frac <= 1.0
+
+
+def test_fuzzy_token_search_finds_ed1_matches_only(spark):
+    from monasca_aggregator_spark.operators.textops import (
+        fuzzy_token_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "run a query against the table"),   # exact 'query'
+            (1, "the querry was misspelled here"),  # insertion (ED 1)
+            (2, "a quer about something"),          # deletion (ED 1)
+            (3, "qwery is a substitution case"),    # substitution (ED 1)
+            (4, "quarry stones are unrelated"),     # ED 2 → excluded
+            (5, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.token): r.dist
+        for r in fuzzy_token_search(docs, "query").collect()
+    }
+    assert got == {
+        (0, "query"): 0,
+        (1, "querry"): 1,
+        (2, "quer"): 1,
+        (3, "qwery"): 1,
+    }
