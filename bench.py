@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "metric_backtest_hw_vs_snaive",
     "dedup_incremental_near",
     "text_search_fuzzy",
+    "text_stem_vocab",
+    "corpus_zipf_alpha",
 ]
 
 

@@ -1244,6 +1244,159 @@ SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
 """.strip()
 
 
+STEM_K = 30
+
+
+def _stem(col: F.Column) -> F.Column:
+    """Suffix-stripping stem (longest rule first, one rule per token,
+    min stem length 3) — the deterministic normalization layer under a
+    stemmed index; deliberately simpler than Porter so the SQL oracle
+    states the identical rules."""
+    n = F.length(col)
+    return (
+        F.when(
+            (n >= 6) & col.endswith("ing"), col.substr(F.lit(1), n - 3)
+        )
+        .when((n >= 5) & col.endswith("ed"), col.substr(F.lit(1), n - 2))
+        .when((n >= 5) & col.endswith("es"), col.substr(F.lit(1), n - 2))
+        .when(
+            (n >= 4) & col.endswith("s") & ~col.endswith("ss"),
+            col.substr(F.lit(1), n - 1),
+        )
+        .otherwise(col)
+    )
+
+
+def q_text_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed vocabulary top-K: inflected forms collapse onto one
+    stem before the frequency aggregate — the normalization step that
+    makes 'merge/merges/merged/merging' one index entry. Same
+    heap-based TakeOrdered top-K as `text_vocab_topk` (no global
+    window), with per-stem distinct surface-form counts."""
+    from monasca_aggregator_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    stems = tok.select(_stem(F.col("token")).alias("stem"), "token")
+    vocab = stems.groupBy("stem").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("token").alias("n_forms"),
+    )
+    return (
+        vocab.orderBy(F.col("total_count").desc(), F.col("stem").asc())
+        .limit(STEM_K)
+        .select("stem", "total_count", "n_forms")
+    )
+
+
+_STEM_SQL = """
+CASE WHEN length(token) >= 6 AND token LIKE '%ing'
+       THEN substring(token, 1, length(token) - 3)
+     WHEN length(token) >= 5 AND token LIKE '%ed'
+       THEN substring(token, 1, length(token) - 2)
+     WHEN length(token) >= 5 AND token LIKE '%es'
+       THEN substring(token, 1, length(token) - 2)
+     WHEN length(token) >= 4 AND token LIKE '%s' AND token NOT LIKE '%ss'
+       THEN substring(token, 1, length(token) - 1)
+     ELSE token END
+""".strip()
+
+ORACLE_STEM_VOCAB = rf"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT {_STEM_SQL} AS stem, token FROM tok WHERE token != ''
+), vocab AS (
+  SELECT stem, CAST(count(*) AS BIGINT) AS total_count,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_forms
+  FROM st GROUP BY 1
+)
+SELECT stem, total_count, n_forms FROM vocab
+ORDER BY total_count DESC, stem ASC LIMIT {STEM_K}
+""".strip()
+
+
+ZIPF_TOP = 100
+
+
+def q_corpus_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf exponent: OLS slope of ln(count) ~ ln(rank) over
+    the top-100 tokens — the one-number lexical-diversity fingerprint
+    (natural corpora sit near −1; templated/boilerplate corpora run
+    flatter). Determinism: ln values are e6-fixed-point quantized
+    BEFORE the moment sums (the logreg gradient convention), so the
+    OLS arithmetic is exact integers → identical doubles on both
+    engines. The regression input is the top-K vocab relation — a
+    driver-size set after the same heap top-K as `text_vocab_topk`."""
+    from pyspark.sql import Window
+
+    from monasca_aggregator_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        ZIPF_TOP
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lx = F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5).cast(
+        "long"
+    )
+    ly = F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + 0.5).cast(
+        "long"
+    )
+    g = ranked.select(lx.alias("x"), ly.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return g.select(
+        n.alias("n_tokens_fit"),
+        stable_round(num / den, 6).alias("zipf_alpha"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  WHERE token != '' GROUP BY 1
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM vocab ORDER BY cnt DESC, token ASC LIMIT {ZIPF_TOP}
+), q AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0::DOUBLE
+              + 0.5::DOUBLE) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0::DOUBLE
+              + 0.5::DOUBLE) AS BIGINT) AS y
+  FROM ranked
+), g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+         AS zipf_alpha
+FROM g
+""".strip()
+
+
 FUZZY_TERM = "querry"  # user misspelling of the corpus token 'query'
 
 
@@ -1355,6 +1508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
     "text_search_fuzzy": q_text_search_fuzzy,
+    "text_stem_vocab": q_text_stem_vocab,
+    "corpus_zipf_alpha": q_corpus_zipf_alpha,
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "text_readability": q_text_readability,
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
@@ -1397,6 +1552,8 @@ ORACLES: dict[str, str] = {
     "text_search_phrase": ORACLE_PHRASE,
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "text_search_fuzzy": ORACLE_FUZZY,
+    "text_stem_vocab": ORACLE_STEM_VOCAB,
+    "corpus_zipf_alpha": ORACLE_ZIPF,
     "search_hybrid_rrf": ORACLE_HYBRID,
     "text_langid": ORACLE_LANGID,
     "quality_deciles": ORACLE_QUALITY_DECILES,

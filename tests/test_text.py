@@ -387,3 +387,23 @@ def test_fuzzy_token_search_finds_ed1_matches_only(spark):
         (2, "quer"): 1,
         (3, "qwery"): 1,
     }
+
+
+def test_stem_rules_collapse_inflections(spark):
+    from monasca_aggregator_spark.plans.textops import _stem
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("merging",), ("merged",), ("merges",), ("merge",), ("tables",),
+         ("class",), ("is",), ("runs",)],
+        "token string",
+    )
+    got = {r.token: r.stem for r in df.select("token", _stem(F.col("token")).alias("stem")).collect()}
+    assert got["merging"] == "merg"
+    assert got["merged"] == "merg"
+    assert got["merges"] == "merg"
+    assert got["merge"] == "merge"   # no rule fires
+    assert got["tables"] == "tabl"
+    assert got["class"] == "class"   # 'ss' guard
+    assert got["is"] == "is"         # min-length guard
+    assert got["runs"] == "run"
