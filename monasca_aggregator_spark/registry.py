@@ -80,12 +80,14 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "agg_min", "agg_max", "agg_delta", "agg_rate",
 #     "tpch_q1", "tpch_q12_latecount",
 # )
-# Round-5 rotation (staged): the 4 oracle keys added after the r4
-# staging, then 46 r2-green re-confirmations (the active r2 window's
-# keys, minus the 4 to stay at exactly 50).
+# Round-5 rotation (staged): the 8 oracle keys added after the r4
+# staging, then 42 r2-green re-confirmations (the active r2 window's
+# keys, minus enough to stay at exactly 50).
 # _DRIVER_WINDOW_R5: tuple[str, ...] = (
 #     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
-#     "lang_confusion", "tpch_q12_latecount", "sample_stratified",
+#     "lang_confusion", "series_shape_search", "text_search_fuzzy",
+#     "text_stem_vocab", "corpus_zipf_alpha",
+#     "tpch_q12_latecount", "sample_stratified",
 #     "sample_temperature", "profile_documents", "split_train_val",
 #     "pack_chunks", "pack_chunks_overlap", "dedup_exact", "dedup_spans",
 #     "dedup_editdistance", "dedup_ngram_jaccard", "dedup_embedding",
@@ -98,8 +100,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "agg_streaming", "user_event_seq", "events_cumulative_users",
 #     "asof_purchase_click", "anomaly_zscore", "metric_histogram",
 #     "funnel_conversion", "sessions_user", "moving_avg_user",
-#     "lag_delta_user", "running_total_user", "range_join_ship",
-#     "events_retention", "metric_gapfill", "agg_stddev",
+#     "lag_delta_user", "running_total_user",
 # )
 _DRIVER_WINDOW: tuple[str, ...] = (
     # r1 hash-mismatch fixes
