@@ -713,14 +713,22 @@ def q_series_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var") > 0
     )
 
-    # query pattern: first complete window of 'click' (tiny collect)
-    qrow = (
+    # query pattern: first complete window of 'click' (tiny collect).
+    # A sparse corpus (sf0.001 leaves most hours empty) may have NO
+    # complete gap-free day — degrade to an empty, correctly-typed
+    # result instead of failing the plan build.
+    qrows = (
         wins.filter(F.col("name") == "click")
         .orderBy("start_h")
         .select("start_h", "arr", "mu", "var")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "rank int, name string, start_h long, z_dist double"
+        )
+    qrow = qrows[0]
     import math
 
     q_mu, q_sd = qrow.mu, math.sqrt(qrow.var)
