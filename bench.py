@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "text_search_fuzzy",
     "text_stem_vocab",
     "corpus_zipf_alpha",
+    "split_group_aware",
 ]
 
 

@@ -962,10 +962,69 @@ FROM assigned GROUP BY 1, 2
 """.strip()
 
 
+def q_split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the SOURCE
+    (all of a source's docs land in one split), not the row — the
+    grouping discipline that keeps near-duplicate documents from the
+    same crawl on both sides of an eval boundary. Same stateless
+    deterministic bucket expression as `split_train_val`
+    (a cross-engine rolling hash mod 100 on the GROUP key — the same
+    polynomial fold as `text_fingerprint`, reproducible in the SQL
+    oracle), so the assignment is row-local and rerun-stable; the
+    report proves the invariant (each source in exactly one split)."""
+    from monasca_aggregator_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    bucket = F.pmod(rolling_fingerprint(F.col("source")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SPLIT_GROUP = r"""
+WITH fp AS (
+  SELECT source, n_chars,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split_regex(lower(trim(source)), '\s+'),
+               tok -> list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split(tok, ''),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 2147483647))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) % 100 AS b
+  FROM documents
+), s AS (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         source, n_chars
+  FROM fp
+)
+SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
     "chunk_sentences": q_chunk_sentences,
+    "split_group_aware": q_split_group_aware,
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
     "sample_temperature": q_sample_temperature,
@@ -990,6 +1049,7 @@ ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
+    "split_group_aware": ORACLE_SPLIT_GROUP,
     "sample_quota_source": ORACLE_QUOTA,
     "sample_consistent_k": ORACLE_CONSISTENT_K,
     "sample_temperature": ORACLE_TEMPERATURE,
