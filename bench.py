@@ -1,7 +1,11 @@
 """Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line LAST on stdout:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {worst-5 only}, "n_queries": N, "sf": ...}.
+The complete per-query map (plus soak detail) is written to
+BENCH_FULL.json and echoed to stderr — the driver's tail capture
+truncated the full 136-query stdout line in round 2.
 
 Each query is executed via the same builders the driver's correctness
 harness uses; timing covers plan build + execution to a count/collect
@@ -207,13 +211,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # compact on purpose: BENCH_r02 showed the driver's tail capture
+        # truncates a full 136-query map — only the worst-5 ride the
+        # stdout line; the complete map goes to BENCH_FULL.json + stderr
+        "queries": worst5,
+        "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    full = dict(out)
+    full["queries"] = timings
 
     # Scale soak: replicate the base SF ×N with shifted keys (each
     # replica a disjoint consistent universe — tools/soak_scale.py) and
@@ -263,8 +276,17 @@ def main() -> None:
                 f" (ratio {entry.get('ratio', '-')})",
                 file=sys.stderr,
             )
-        out["soak"] = {"factor": soak_factor, "queries": soak}
+        full["soak"] = {"factor": soak_factor, "queries": soak}
+        out["soak_factor"] = soak_factor
+        out["soak_worst_ratio"] = max(
+            (q.get("ratio", 0.0) for q in soak.values()), default=None
+        )
 
+    # full payload (every timing + soak detail) to a file and stderr —
+    # never on stdout, whose final line must stay small enough for the
+    # driver's tail capture to parse (BENCH_r02 lesson)
+    (_REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    print(json.dumps(full), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -101,13 +101,30 @@ def backfill_windows(
     staging = f"{target_path}__backfill_{uuid.uuid4().hex[:8]}"
     try:
         rebuilt.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
         (
-            spark.read.parquet(staging)
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day_ms")
             .parquet(target_path)
         )
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # rebuilt set — a touched day whose recompute came back empty
+        # (every surviving row was in-range for this metric and the
+        # new input produced none) would otherwise keep its stale
+        # files, violating the "windows with no recomputed
+        # counterpart DISAPPEAR" contract. Drop those partitions
+        # explicitly; the day list is a tiny distinct over the staged
+        # (already materialized) rebuild.
+        present = {
+            r.day_ms for r in staged.select("day_ms").distinct().collect()
+        }
+        for d in touched_days:
+            if d not in present:
+                shutil.rmtree(
+                    os.path.join(target_path, f"day_ms={d}"),
+                    ignore_errors=True,
+                )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return flat.drop("day_ms")

@@ -176,10 +176,27 @@ def asof_join_nearest(
     (current, unbounded) share one partitioned ordering, so the
     nearest pick is a row-local comparison of the two carried
     structs. ``order_col`` (a right-side column) breaks equal-ts
-    right-row ties deterministically.
+    right-row ties deterministically: the SMALLEST ``order_col``
+    within an (``on``, ``right_ts``) tie group wins in either
+    direction.  One sort can't serve both carries here (ascending
+    makes backward-``last`` pick the largest, forward-``first`` the
+    smallest), so tie groups are collapsed to their min-``order_col``
+    row BEFORE the union — only that row can ever win, because equal
+    distance + equal direction implies equal ``right_ts``.  The dedup
+    window shuffles on the same keys as the carry, so it co-partitions
+    with (and under AQE reuses) the main exchange.
     """
     on = list(on)
     right_cols = [c for c in right.columns if c not in on]
+    if order_col is not None:
+        w_tie = Window.partitionBy(*on, F.col(right_ts)).orderBy(
+            F.col(order_col).asc_nulls_first()
+        )
+        right = (
+            right.withColumn("__tie_rn", F.row_number().over(w_tie))
+            .filter(F.col("__tie_rn") == 1)
+            .drop("__tie_rn")
+        )
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -193,10 +210,9 @@ def asof_join_nearest(
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
-    if order_col is not None:
-        order.append(F.col(f"__r.{order_col}").asc_nulls_first())
-    base = Window.partitionBy(*on).orderBy(*order)
+    base = Window.partitionBy(*on).orderBy(
+        F.col("__ts").asc(), F.col("__is_left").asc()
+    )
     w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     carried = u.withColumn(

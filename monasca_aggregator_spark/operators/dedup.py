@@ -107,6 +107,45 @@ def _exploded(sh: DataFrame) -> DataFrame:
     ).filter(F.col("s").isNotNull())
 
 
+def _guard_all_pairs(
+    docs: DataFrame, max_docs: int | None, op_name: str
+) -> DataFrame:
+    """Runtime guard for the exact all-pairs GROUND-TRUTH operators:
+    their shingle self-join is quadratic in shingle document frequency,
+    so pointing one at a production corpus is a silent scale-killer
+    (VERDICT r2 'What's wrong' #3). The cap rides the PLAN — a
+    broadcast 1-row count + ``assert_true`` — so plan build stays
+    job-free and the query fails loudly at execution, naming the
+    scale-safe siblings. ``max_docs=None`` disables (explicit opt-in
+    for a deliberately large exact run)."""
+    if max_docs is None:
+        return docs
+    gate = docs.select(
+        F.assert_true(
+            F.count(F.lit(1)) <= F.lit(max_docs),
+            F.concat(
+                F.lit(
+                    f"{op_name}: exact all-pairs ground-truth operator "
+                    "refused on "
+                ),
+                F.count(F.lit(1)).cast("string"),
+                F.lit(
+                    f" docs (max_docs={max_docs}). Use minhash_lsh_pairs"
+                    " / jaccard_prefix_pairs at corpus scale, or pass"
+                    " max_docs=None to force."
+                ),
+            ),
+        ).alias("__guard")
+    )
+    # assert_true yields NULL on success; routing it through a filter
+    # (not a plain drop) keeps column pruning from eliding the check
+    return (
+        docs.crossJoin(F.broadcast(gate))
+        .filter(F.col("__guard").isNull())
+        .drop("__guard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -114,13 +153,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
     Exact: any qualifying pair shares ≥ 1 shingle, so the shingle
     self-join loses nothing. Hot shingles create join skew at scale —
-    that is what minhash_lsh_pairs is for; this operator is the oracle.
+    that is what minhash_lsh_pairs is for; this operator is the oracle,
+    and refuses (at runtime, via ``_guard_all_pairs``) corpora beyond
+    ``max_docs``.
     """
+    docs = _guard_all_pairs(docs, max_docs, "ngram_jaccard_pairs")
     sh = _shingled(docs, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # join on xxhash64 of the shingle, not the string: 8-byte exchange
@@ -189,9 +232,21 @@ def incremental_new_docs(
     absorbs the overflow — correctness never depends on the filter;
     at index scale the right form is a partitioned bloom or Spark's
     runtime bloom join, not a bigger literal.
+
+    NULL semantics (ADVICE r2): ``xxhash64(NULL)`` is the SEED
+    constant, not NULL — hashing a null-text batch row would collide
+    it with any null-text corpus row and silently drop it. Null-text
+    content equality is undefined, so such batch rows are DEFINITELY
+    NEW (matching the oracle's never-matching-NULL equality join) and
+    null-text corpus rows never enter the index.
+
+    Note: ``num_bits=None`` runs one tiny count job at build time to
+    size the filter; pass ``num_bits`` explicitly when composing this
+    into a plan that must build without launching jobs.
     """
-    key = F.xxhash64(normalize_text(F.col(text_col)))
-    corpus_h = corpus.select(key.alias("h")).distinct()
+    nt = normalize_text(F.col(text_col))
+    key = F.xxhash64(nt)
+    corpus_h = corpus.filter(nt.isNotNull()).select(key.alias("h")).distinct()
     from monasca_aggregator_spark.operators.bloomjoin import (
         bloom_might_contain,
         build_bloom,
@@ -203,13 +258,15 @@ def incremental_new_docs(
         while num_bits < 10 * n_keys and num_bits < (1 << 16):
             num_bits <<= 1
     words = build_bloom(corpus_h, "h", num_bits=num_bits)
-    hashed = batch.withColumn("__h", key)
+    hashed = batch.withColumn("__h", key).withColumn(
+        "__nt_null", nt.isNull()
+    )
     maybe = bloom_might_contain(F.col("__h"), words, num_bits=num_bits)
-    definitely_new = hashed.filter(~maybe)
-    survivors = hashed.filter(maybe).join(
+    definitely_new = hashed.filter(F.col("__nt_null") | ~maybe)
+    survivors = hashed.filter(~F.col("__nt_null") & maybe).join(
         corpus_h, F.col("__h") == F.col("h"), "left_anti"
     )
-    return definitely_new.unionByName(survivors).drop("__h")
+    return definitely_new.unionByName(survivors).drop("__h", "__nt_null")
 
 
 def jaccard_prefix_pairs(
@@ -563,6 +620,7 @@ def shingle_containment_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.8,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Pairs where the SMALLER shingle set is ≥ threshold contained in
     the larger: containment C = |A∩B| / min(|A|,|B|).
@@ -572,8 +630,10 @@ def shingle_containment_pairs(
     partial-copy detection is the standard complement to near-dup in
     corpus curation (quote mining, boilerplate embedding, stitched
     documents). Same shingle self-join shape as ngram_jaccard_pairs
-    (exact, hot-shingle skew caveat shared); only the score differs.
+    (exact, hot-shingle skew caveat AND the ``max_docs`` runtime guard
+    shared); only the score differs.
     """
+    docs = _guard_all_pairs(docs, max_docs, "shingle_containment_pairs")
     sh = _shingled(docs, id_col, text_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # hash-keyed shingle join — see ngram_jaccard_pairs

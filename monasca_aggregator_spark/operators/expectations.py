@@ -10,9 +10,11 @@ re-expressed as a Catalyst plan: every predicate rule is a
 aggregate, and the wide 1-row result is unpivoted JVM-side (inline of
 a struct array, no Python).
 
-Uniqueness rules ride the same pass as ``count(*) − count(DISTINCT
-key...)`` (duplicate non-null key tuples; rows with a null key
-component are the not-null rules' business, not uniqueness's).
+Uniqueness rules ride the same pass as ``count(key tuple fully
+non-null) − count(DISTINCT key...)`` (duplicate non-null key tuples
+only — ``checked`` for a unique rule is the non-null-tuple count, so
+rows with a null key component are the not-null rules' business and
+never count as uniqueness violations).
 
 Referential-integrity edges are deliberately NOT rules here — they
 need per-edge anti-joins and live in plans/advanced.py's
@@ -73,24 +75,36 @@ def unique(*cols: str) -> Rule:
 def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """(rule, violations, checked, passed) — one row per rule, one scan.
 
-    ``checked`` is the table row count for every rule (predicates are
-    evaluated on all rows; NULL outcomes violate — a not-null rule is
-    the explicit way to track nullness).
+    ``checked`` is the table row count for predicate rules (evaluated
+    on all rows; NULL outcomes violate — a not-null rule is the
+    explicit way to track nullness) and the fully-non-null key-tuple
+    count for unique rules (countDistinct skips null-component tuples,
+    so counting them in would misreport every null-key row as a
+    duplicate).
     """
     if not rules:
         raise ValueError("no rules")
     aggs = [F.count(F.lit(1)).alias("__checked")]
+    checked_col: dict[int, str] = {}
     for i, r in enumerate(rules):
         if r.predicate is not None:
+            checked_col[i] = "__checked"
             aggs.append(
                 F.sum(
                     F.when(r.predicate, F.lit(0)).otherwise(F.lit(1))
                 ).alias(f"__v{i}")
             )
         else:
+            checked_col[i] = f"__c{i}"
+            keys_not_null = F.lit(True)
+            for c in r.unique_on:
+                keys_not_null = keys_not_null & F.col(c).isNotNull()
+            aggs.append(
+                F.count(F.when(keys_not_null, F.lit(1))).alias(f"__c{i}")
+            )
             aggs.append(
                 (
-                    F.count(F.lit(1))
+                    F.count(F.when(keys_not_null, F.lit(1)))
                     - F.countDistinct(*[F.col(c) for c in r.unique_on])
                 ).alias(f"__v{i}")
             )
@@ -101,7 +115,7 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 F.struct(
                     F.lit(r.name).alias("rule"),
                     F.col(f"__v{i}").cast("long").alias("violations"),
-                    F.col("__checked").cast("long").alias("checked"),
+                    F.col(checked_col[i]).cast("long").alias("checked"),
                     (F.col(f"__v{i}") == 0).alias("passed"),
                 )
                 for i, r in enumerate(rules)

@@ -1521,15 +1521,27 @@ def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Horizon ≤ 63 days fits one BIGINT; longer horizons chunk into an
     array of words (same algebra per word).
+
+    Dataset coupling (ADVICE r2): the epoch is the test corpus' fixed
+    day-0 (2024-01-01) and the single-word form only represents days
+    0..63 — Spark's shiftleft masks the shift amount mod 64 (Java
+    semantics), so an out-of-horizon event would silently set a WRONG
+    bit while DuckDB's ``<<`` yields 0.  Both engines therefore filter
+    to the representable horizon explicitly: events outside [0, 63]
+    days from the epoch are out of scope by contract, never wrapped.
     """
     ev = load_table(spark, sf_dir, "events")
+    dd = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
     bm = (
         ev.select(
             "user_id",
+            dd.alias("dd"),
             F.expr(
                 "shiftleft(1L, datediff(cast(ts as date), date'2024-01-01'))"
             ).alias("bit"),
         )
+        .filter(F.col("dd").between(0, 63))
+        .drop("dd")
         .groupBy("user_id")
         .agg(F.bit_or("bit").alias("bitmap"))
         .withColumn(
@@ -1563,7 +1575,9 @@ ORACLE_RETENTION_BITMAP = r"""
 WITH bm AS (
   SELECT user_id,
          bit_or(1::BIGINT << CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)) AS bitmap
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 63
+  GROUP BY user_id
 ), c AS (
   SELECT bitmap, bit_count(((bitmap & -bitmap) - 1)::BIGINT) AS cohort_day FROM bm
 )
@@ -1645,7 +1659,8 @@ SELECT 'unique(l_orderkey,l_linenumber)' AS rule,
        count(*) = (SELECT count(*) FROM (
            SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS passed
-FROM lineitem"""
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL"""
 ).strip()
 
 

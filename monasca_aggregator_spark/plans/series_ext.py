@@ -651,23 +651,36 @@ _SHAPE_W = 24
 _SHAPE_TOPK = 10
 
 
-def q_series_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_series_shape_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_window: DataFrame | None = None,
+) -> DataFrame:
     """Time-series SHAPE search (per the retrieved EDBT'19 distributed
     time-series-similarity line): find the top-10 sliding 24-hour
     windows — across ALL metrics and offsets — most similar to a query
-    pattern (the 'click' metric's first complete day), under
+    pattern (default: the 'click' metric's first complete day), under
     z-normalized Euclidean distance (scale/level-invariant, the
     standard similarity for "which metric moved like this one").
 
     Plan shape: the corpus collapses to the hourly series once; each
-    metric's sliding windows come from ONE ordered window frame
-    (collect_list over ROWS 0..23 — per-metric sort, no self-join);
-    z-stats use exact BIGINT Σy and Σy² folds so μ/σ are identical
-    doubles on both engines, and the distance is an explicitly
-    sequential fold (F.aggregate ≡ DuckDB list_reduce) against the
-    broadcast query pattern — no summation-order ambiguity anywhere.
-    Incomplete (gapped) and flat (σ=0) windows are excluded on both
-    sides. The query window itself is excluded from candidates.
+    metric's sliding windows, the exact BIGINT Σy / Σy² z-stats, and
+    the raw value array all come from ONE ordered window frame
+    (per-metric sort, no self-join, no interpreted fold for the norm).
+    The query pattern is a broadcast 1-row RELATION — pass your own
+    via ``query_window`` (columns qstart, qarr, qmu, qsd) or let it
+    default to a subquery over the same corpus; either way the plan
+    builds without launching a job, so the operator composes into
+    multi-query and streaming plans.  For z-normalized series the
+    distance collapses algebraically:
+        ‖a−b‖² = 2W − 2·(Σyq − W·μ·μq)/(σ·σq)
+    where Σyq is an exact BIGINT dot product (order-independent
+    integer fold), so both engines evaluate the identical scalar
+    double expression from identical integers — no summation-order
+    ambiguity.  Incomplete (gapped) and flat (σ=0) windows are
+    excluded on both sides; the query window excludes itself via its
+    qstart key.  An empty corpus yields an empty typed result through
+    the same plan (empty broadcast side), no special-casing.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -686,74 +699,74 @@ def q_series_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.currentRow, _SHAPE_W - 1)
     )
-    wins = hourly.select(
-        "name",
-        F.col("h").alias("start_h"),
-        F.collect_list("y").over(frame).alias("arr"),
-        F.collect_list("h").over(frame).alias("hs"),
-    ).filter(
-        (F.size("arr") == _SHAPE_W)
-        & (
-            F.element_at("hs", _SHAPE_W) - F.element_at("hs", 1)
-            == _SHAPE_W - 1
+    mu = F.col("s1").cast("double") / F.lit(float(_SHAPE_W))
+    wins = (
+        hourly.select(
+            "name",
+            F.col("h").alias("start_h"),
+            F.collect_list("y").over(frame).alias("arr"),
+            F.collect_list("h").over(frame).alias("hs"),
+            F.sum("y").over(frame).alias("s1"),
+            F.sum(F.col("y") * F.col("y")).over(frame).alias("s2"),
         )
-    )
-
-    def _znorm(arr):
-        s1 = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
-        s2 = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + x * x
-        )
-        mu = s1.cast("double") / F.lit(float(_SHAPE_W))
-        var = s2.cast("double") / F.lit(float(_SHAPE_W)) - mu * mu
-        return mu, var
-
-    mu, var = _znorm(F.col("arr"))
-    wins = wins.withColumn("mu", mu).withColumn("var", var).filter(
-        F.col("var") > 0
-    )
-
-    # query pattern: first complete window of 'click' (tiny collect).
-    # A sparse corpus (sf0.001 leaves most hours empty) may have NO
-    # complete gap-free day — degrade to an empty, correctly-typed
-    # result instead of failing the plan build.
-    qrows = (
-        wins.filter(F.col("name") == "click")
-        .orderBy("start_h")
-        .select("start_h", "arr", "mu", "var")
-        .limit(1)
-        .collect()
-    )
-    if not qrows:
-        return spark.createDataFrame(
-            [], "rank int, name string, start_h long, z_dist double"
-        )
-    qrow = qrows[0]
-    import math
-
-    q_mu, q_sd = qrow.mu, math.sqrt(qrow.var)
-    qz = [(y - q_mu) / q_sd for y in qrow.arr]
-    qz_lit = F.array(*[F.lit(float(v)) for v in qz])
-    sd = F.sqrt(F.col("var"))
-    dist2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_SHAPE_W)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.pow(
-            (F.element_at(F.col("arr"), i).cast("double") - F.col("mu"))
-            / sd
-            - F.element_at(qz_lit, i),
-            F.lit(2),
-        ),
-    )
-    scored = (
-        wins.filter(
-            ~((F.col("name") == "click") & (F.col("start_h") == qrow.start_h))
+        .filter(
+            (F.size("arr") == _SHAPE_W)
+            & (
+                F.element_at("hs", _SHAPE_W) - F.element_at("hs", 1)
+                == _SHAPE_W - 1
+            )
         )
         .select(
             "name",
             "start_h",
-            stable_round(F.sqrt(dist2), 6).alias("z_dist"),
+            "arr",
+            mu.alias("mu"),
+            (
+                F.col("s2").cast("double") / F.lit(float(_SHAPE_W))
+                - mu * mu
+            ).alias("var"),
+        )
+        .filter(F.col("var") > 0)
+    )
+
+    if query_window is None:
+        query_window = (
+            wins.filter(F.col("name") == "click")
+            .orderBy("start_h")
+            .limit(1)
+            .select(
+                F.col("start_h").alias("qstart"),
+                F.col("arr").alias("qarr"),
+                F.col("mu").alias("qmu"),
+                F.sqrt("var").alias("qsd"),
+            )
+        )
+
+    s_yq = F.aggregate(
+        F.zip_with("arr", "qarr", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    num = s_yq.cast("double") - F.lit(float(_SHAPE_W)) * F.col("mu") * F.col(
+        "qmu"
+    )
+    dist2 = F.lit(2.0 * _SHAPE_W) - F.lit(2.0) * (
+        num / (F.sqrt(F.col("var")) * F.col("qsd"))
+    )
+    scored = (
+        wins.crossJoin(F.broadcast(query_window))
+        .filter(
+            ~(
+                (F.col("name") == "click")
+                & (F.col("start_h") == F.col("qstart"))
+            )
+        )
+        .select(
+            "name",
+            "start_h",
+            stable_round(
+                F.sqrt(F.greatest(dist2, F.lit(0.0))), 6
+            ).alias("z_dist"),
         )
     )
     w = Window.orderBy(
@@ -800,12 +813,18 @@ WITH e AS (
   SELECT arr AS qarr, mu AS qmu, sqrt(var) AS qsd, start_h AS qstart
   FROM zs WHERE name = 'click' ORDER BY start_h LIMIT 1
 ), scored AS (
+  -- identical algebra to the Spark plan: exact BIGINT dot product,
+  -- then ||a-b||^2 = 2W - 2*(Syq - W*mu*qmu)/(sd*qsd) in doubles
   SELECT z.name, z.start_h,
-         floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(range(1, {w + 1}), i ->
-               ((CAST(z.arr[i] AS DOUBLE) - z.mu) / sqrt(z.var)
-                - (CAST(q.qarr[i] AS DOUBLE) - q.qmu) / q.qsd) ^ 2)),
-             (a, x) -> a + x)) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+         floor(sqrt(greatest(
+             {2.0 * w} - 2.0 * (
+               (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, {w + 1}),
+                                   i -> z.arr[i] * q.qarr[i])),
+                  (a, x) -> a + x) AS DOUBLE)
+                - {float(w)} * z.mu * q.qmu)
+               / (sqrt(z.var) * q.qsd)),
+             0.0::DOUBLE)) * 1000000.0::DOUBLE + 0.5::DOUBLE)
            / 1000000.0::DOUBLE AS z_dist
   FROM zs z, q
   WHERE NOT (z.name = 'click' AND z.start_h = q.qstart)

@@ -32,28 +32,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # series_ext and advanced additions; scd2_user_tier rolls to r4).
 # Staged as a comment so the r2 gate (which reads the active window
 # at round end) is untouched.
-# _DRIVER_WINDOW_R3: tuple[str, ...] = (
-#     "agg_sliding", "grouping_sets_mixed", "pack_length_buckets",
-#     "sample_weighted_k", "sample_budget_mix", "sample_top_p_source",
-#     "corpus_diff", "order_curriculum", "order_shuffle",
-#     "sample_epoch_repeat", "dedup_semantic_cells",
-#     "dedup_containment", "dedup_span_rewrite", "text_novelty",
-#     "text_langid_ngram", "text_scrub", "quality_lang_norm",
-#     "text_entropy", "text_search_bm25", "ann_filtered",
-#     "ann_ivf_cells", "agg_streaming_rate", "events_rolling_wau",
-#     "events_attribution", "events_seq_patterns",
-#     "funnel_strict_ordered", "events_kanon",
-#     "metric_histogram_quantile", "anomaly_seasonal",
-#     "metric_availability", "metric_out_of_order",
-#     "metric_wow_change", "metric_burn_rate",
-#     "metric_cardinality_report", "metric_twa", "metric_counter_rate",
-#     "metric_retention_tiers", "metric_histogram_equidepth",
-#     "metric_staleness", "agg_distinct_overlap",
-#     "agg_window_stickiness", "metric_mad_anomaly", "metric_cusum",
-#     "metric_alert_cooldown", "metric_trend",
-#     "metric_forecast_snaive", "agg_incremental_rollup",
-#     "sessions_concurrency", "events_assoc_rules", "graph_triangles",
-# )
+# (R3 list is now ACTIVE below — flipped at the start of round 3.)
 # Round-4 rotation (staged): the 41 oracle-backed keys added after
 # the r3 staging (23 from the r2 continuation + 18 from this
 # session's additions), then 9 r1/r2-green re-confirmations (50
@@ -102,65 +81,29 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "funnel_conversion", "sessions_user", "moving_avg_user",
 #     "lag_delta_user", "running_total_user",
 # )
+# Round-3 ACTIVE window: the 50 oldest of the 51 oracle-backed keys
+# with no driver check after r1+r2 (scd2_user_tier rolls to r4).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # r1 hash-mismatch fixes
-    "tpch_q12_latecount",
-    "sample_stratified",
-    "sample_temperature",
-    # pipeline ops never checked in r1
-    "profile_documents",
-    "split_train_val",
-    "pack_chunks",
-    "pack_chunks_overlap",
-    # dedup family
-    "dedup_exact",
-    "dedup_spans",
-    "dedup_editdistance",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_canonical",
-    # text ops
-    "text_tfidf",
-    "text_bigram_pmi",
-    "text_search_conjunctive",
-    "text_langid",
-    "quality_deciles",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_tokens",
-    "text_quality",
-    "text_fingerprint",
-    "text_vocab_topk",
-    "text_repetition",
-    "text_boilerplate",
-    # embeddings / ANN
-    "embedding_centroids",
-    "embedding_quantize",
-    "ann_cosine_topk",
-    # semi-structured + streaming oracles
-    "events_json_props",
-    "agg_streaming",
-    # temporal family
-    "user_event_seq",
-    "events_cumulative_users",
-    "asof_purchase_click",
-    "anomaly_zscore",
-    "metric_histogram",
-    "funnel_conversion",
-    "sessions_user",
-    "moving_avg_user",
-    "lag_delta_user",
-    "running_total_user",
-    "range_join_ship",
-    "events_retention",
-    "metric_gapfill",
-    # series family
-    "agg_stddev",
-    "metric_alert_hysteresis",
-    "metric_downsample_m4",
-    "metric_winsorize",
-    "metric_correlation",
+    "agg_sliding", "grouping_sets_mixed", "pack_length_buckets",
+    "sample_weighted_k", "sample_budget_mix", "sample_top_p_source",
+    "corpus_diff", "order_curriculum", "order_shuffle",
+    "sample_epoch_repeat", "dedup_semantic_cells",
+    "dedup_containment", "dedup_span_rewrite", "text_novelty",
+    "text_langid_ngram", "text_scrub", "quality_lang_norm",
+    "text_entropy", "text_search_bm25", "ann_filtered",
+    "ann_ivf_cells", "agg_streaming_rate", "events_rolling_wau",
+    "events_attribution", "events_seq_patterns",
+    "funnel_strict_ordered", "events_kanon",
+    "metric_histogram_quantile", "anomaly_seasonal",
+    "metric_availability", "metric_out_of_order",
+    "metric_wow_change", "metric_burn_rate",
+    "metric_cardinality_report", "metric_twa", "metric_counter_rate",
+    "metric_retention_tiers", "metric_histogram_equidepth",
+    "metric_staleness", "agg_distinct_overlap",
+    "agg_window_stickiness", "metric_mad_anomaly", "metric_cusum",
+    "metric_alert_cooldown", "metric_trend",
+    "metric_forecast_snaive", "agg_incremental_rollup",
+    "sessions_concurrency", "events_assoc_rules", "graph_triangles",
 )
 
 

@@ -33,5 +33,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars write \r frames to stdout — they polluted the
+        # driver's bench tail capture in r1/r2; keep stdout JSON-clean
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

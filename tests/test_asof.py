@@ -283,6 +283,34 @@ def test_asof_nearest_directions_and_ties(spark):
     assert out[(2, 50)] == "b40"
 
 
+def test_asof_nearest_equal_ts_tie_breaks_to_min_order_col(spark):
+    """ADVICE r2: duplicate right rows at the SAME (key, ts) must
+    resolve to the smallest ``order_col`` in BOTH directions — the
+    oracle ranks equal-distance candidates by event_id ASC, and a
+    naive ascending sort made the backward ``last`` carry pick the
+    largest instead."""
+    from monasca_aggregator_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 10)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        # backward tie group at ts=90 and forward tie group at ts=20
+        [(1, 90, "id2"), (1, 90, "id1"), (1, 20, "id9"), (1, 20, "id3")],
+        "k long, ts long, tag string",
+    )
+    out = {
+        (r.k, r.ts): (r.near_tag, r.near_ts)
+        for r in asof_join_nearest(
+            left, right, ["k"], right_prefix="near_", order_col="tag"
+        ).collect()
+    }
+    # left ts=100 → backward pick ts=90, min tag within the tie group
+    assert out[(1, 100)] == ("id1", 90)
+    # left ts=10 → forward pick ts=20, min tag within the tie group
+    assert out[(1, 10)] == ("id3", 20)
+
+
 def test_asof_nearest_no_match_keeps_nulls(spark):
     from monasca_aggregator_spark.operators.asof import asof_join_nearest
 

@@ -95,6 +95,37 @@ def test_backfill_replaces_range_and_drops_vanished_windows(
     assert pub[(T0_MS + 1 * HOUR_MS, "agg.view.sum")] == 100.0  # other metric
 
 
+def test_backfill_drops_partition_when_whole_day_vanishes(spark, tmp_path):
+    """ADVICE r2: dynamic partition overwrite only rewrites partitions
+    present in the rebuilt set — if EVERY published row of a touched
+    day was this metric inside the range and the recompute produced
+    nothing, the day partition must be deleted, not left stale."""
+    target = str(tmp_path / "published")
+    DAY_MS = 86_400_000
+
+    def ev(eid, hour, val):
+        return (eid, T0 + dt.timedelta(hours=hour), 1, "click", val, "{}")
+
+    # day 0 holds only in-range rows of this metric; day 1 is untouched
+    first = _events(spark, [ev(1, 0, 1.0), ev(2, 1, 2.0), ev(3, 25, 4.0)])
+    backfill_windows(
+        spark, events_to_envelopes(first), _spec(), 3600,
+        T0_MS, T0_MS + 2 * DAY_MS, target,
+    )
+    assert len(_published(spark, target)) == 3
+
+    # recompute day 0 from an EMPTY corrected source → whole day gone
+    backfill_windows(
+        spark, events_to_envelopes(_events(spark, [])), _spec(), 3600,
+        T0_MS, T0_MS + DAY_MS, target,
+    )
+    pub = _published(spark, target)
+    assert pub == {(T0_MS + 25 * HOUR_MS, "agg.click.sum"): 4.0}
+    import os
+
+    assert not os.path.exists(os.path.join(target, f"day_ms={T0_MS}"))
+
+
 def test_backfill_rejects_unaligned_range(spark, tmp_path):
     env = events_to_envelopes(_events(spark, []))
     with pytest.raises(ValueError):

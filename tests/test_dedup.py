@@ -426,6 +426,47 @@ def test_incremental_new_docs_drops_indexed_content(spark):
     assert kept == [13, 17]
 
 
+def test_exact_all_pairs_guard_trips_above_cap(spark):
+    """VERDICT r2: the exact quadratic ground-truth ops must refuse a
+    corpus beyond max_docs at RUNTIME (guard rides the plan; build
+    stays job-free), pointing at the scale-safe siblings."""
+    import pyspark.sql.utils  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # plan BUILD must not raise (no job launched)
+    plan = D.ngram_jaccard_pairs(docs, max_docs=10)
+    with pytest.raises(Exception, match="ground-truth operator refused"):
+        plan.collect()
+    with pytest.raises(Exception, match="ground-truth operator refused"):
+        D.shingle_containment_pairs(docs, max_docs=10).collect()
+    # under the cap (or opted out) both still work
+    assert D.ngram_jaccard_pairs(docs, max_docs=20).count() >= 0
+    assert D.shingle_containment_pairs(docs, max_docs=None).count() >= 0
+
+
+def test_incremental_null_text_rows_are_definitely_new(spark):
+    """ADVICE r2: xxhash64(normalize_text(NULL)) is the seed constant,
+    so null-text batch rows used to collide with null-text corpus rows
+    and vanish. Null content equality is undefined → keep them."""
+    corpus = spark.createDataFrame(
+        [(0, None), (1, "indexed text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "indexed text"), (12, "new text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.incremental_new_docs(batch, corpus).collect()
+    )
+    assert kept == [10, 12]
+    # output columns unchanged (internal markers dropped)
+    out = D.incremental_new_docs(batch, corpus, num_bits=64)
+    assert out.columns == ["doc_id", "text"]
+
+
 def test_incremental_small_bloom_stays_exact(spark):
     """A deliberately tiny (high-FP) bloom must not change the result —
     false positives are removed by the exact anti-join."""

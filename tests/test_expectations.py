@@ -34,15 +34,20 @@ def test_check_counts_every_rule(dirty):
         E.unique("id", "grp"),
     ]
     rep = {r.rule: r for r in E.check(dirty, rules).collect()}
-    assert all(r.checked == 6 for r in rep.values())
+    assert all(
+        r.checked == 6
+        for name, r in rep.items()
+        if not name.startswith("unique")
+    )
     assert rep["not_null(id)"].violations == 1
     assert rep["range(qty)"].violations == 1
     assert rep["in_set(status)"].violations == 1
     assert rep["satisfies(qty_even)"].violations == 1  # qty=-5 is odd
-    # 6 rows, 5 distinct non-null (id,grp) tuples... (3,b) appears 3× →
-    # distinct non-null = {(1,a),(2,a),(3,b)} = 3; null row excluded by
-    # countDistinct; violations = 6 - 3 = 3
-    assert rep["unique(id,grp)"].violations == 3
+    # uniqueness checks NON-NULL key tuples only (null-key rows are the
+    # not-null rule's business): 5 non-null (id,grp) tuples, distinct
+    # = {(1,a),(2,a),(3,b)} = 3 → checked 5, violations 5 - 3 = 2
+    assert rep["unique(id,grp)"].checked == 5
+    assert rep["unique(id,grp)"].violations == 2
     assert not any(r.passed for r in rep.values())
 
 
