@@ -14,12 +14,16 @@ task regardless of corpus size, and partition-level parallelism is
 preserved (no shuffle is introduced — .explain shows scan → project →
 ArrowEvalPython only).
 
-Codec status: JPEG/MP3/H.264 (PIL/libsndfile/ffmpeg) are NOT in this
-environment and stay behind ``NotImplementedError``. Three formats —
-including one genuinely COMPRESSED one — decode FOR REAL with
-stdlib+numpy so the whole pipeline (bytes → pixels/samples → features)
-runs end-to-end and is tested:
+Codec status: MP3/H.264 (libsndfile/ffmpeg) and progressive JPEG are
+NOT decodable in this environment and stay behind
+``NotImplementedError``. Four formats — including two genuinely
+COMPRESSED ones — decode FOR REAL with stdlib+numpy so the whole
+pipeline (bytes → pixels/samples → features) runs end-to-end and is
+tested:
 
+- baseline-sequential JPEG (gray + color, any sampling factors,
+  restart intervals): full T.81 Huffman + dequant + IDCT decode, plus
+  a 4:4:4 encoder for roundtrip tests (``operators/jpeg.py``);
 - PNG images (8-bit gray/RGB/RGBA): full chunk parse, zlib inflate,
   and all five scanline filters inverted (``decode_png`` /
   ``encode_png``) — a real compressed codec, no PIL;
@@ -324,21 +328,27 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes, media_type: str):
-    """Real codec dispatch. PPM and PNG images and PCM WAV audio decode
-    for real (stdlib+numpy — PNG via the zlib+filter implementation
-    above); JPEG/MP3/H.264 still need PIL/soundfile/ffmpeg, absent
-    here."""
+    """Real codec dispatch. PPM, PNG and baseline-sequential JPEG
+    images plus PCM WAV audio decode for real (stdlib+numpy — PNG via
+    the zlib+filter implementation above, JPEG via operators/jpeg.py's
+    Huffman+IDCT pipeline); progressive JPEG, MP3 and H.264 still need
+    PIL/soundfile/ffmpeg, absent here."""
     if payload is None:
         return None
     if media_type == "image" and payload.startswith(b"P6"):
         return decode_ppm(payload)
     if media_type == "image" and payload.startswith(b"\x89PNG"):
         return decode_png(payload)
+    if media_type == "image" and payload.startswith(b"\xff\xd8"):
+        from monasca_aggregator_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_type == "audio" and payload.startswith(b"RIFF"):
         return decode_wav(payload)
     raise NotImplementedError(
-        "PPM/PNG images and PCM WAV audio decode in this environment; "
-        "wire PIL/soundfile/ffmpeg here for JPEG/MP3/video codecs"
+        "PPM/PNG/baseline-JPEG images and PCM WAV audio decode in this "
+        "environment; wire PIL/soundfile/ffmpeg here for progressive-"
+        "JPEG/MP3/video codecs"
     )
 
 
@@ -713,8 +723,9 @@ def ahash64(img: np.ndarray) -> int:
 
 
 def image_ahash(media: DataFrame) -> DataFrame:
-    """(media_id, ahash) via REAL PPM decode in mapInPandas — Arrow
-    batches of binary payloads in, one long per image out; non-PPM /
+    """(media_id, ahash) via REAL decode (PPM/PNG/baseline-JPEG — the
+    full ``decode_real`` image dispatch) in mapInPandas — Arrow batches
+    of binary payloads in, one long per image out; unsupported /
     malformed payloads yield null rather than failing the task. No
     shuffle: scan → ArrowEvalPython projection."""
 
@@ -726,7 +737,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
                     out.append(None)
                     continue
                 try:
-                    out.append(ahash64(decode_ppm(bytes(p))))
+                    out.append(ahash64(decode_real(bytes(p), "image")))
                 except (ValueError, NotImplementedError):
                     out.append(None)
             yield pd.DataFrame(

@@ -355,6 +355,155 @@ def test_png_decodes_through_spark_feature_path(spark):
     assert got[2].width is None and got[2].features is None
 
 
+def _smooth_test_image(h=40, w=56):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (128 + 100 * np.sin(xx / 9.0)),
+            (128 + 100 * np.cos(yy / 7.0)),
+            (128 + 80 * np.sin((xx + yy) / 11.0)),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_is_quantization_noise():
+    """encode_jpeg→decode_jpeg on a smooth image: reconstruction error
+    bounded by quantization noise (q=95 → a few gray levels), flat
+    blocks exact; gray + restart-interval variants covered."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_test_image()
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 25
+
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=50)) == 128).all()
+
+    gray = img[..., 0]
+    dg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dg.shape == (40, 56, 1)
+    assert np.abs(dg[..., 0].astype(int) - gray.astype(int)).mean() < 3.0
+
+    # DRI + RSTn markers: decoder resyncs and result matches no-restart
+    with_rst = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=3))
+    assert (with_rst == dec).all()
+
+
+def test_jpeg_decodes_chroma_subsampled_stream():
+    """4:2:0 (2×2 luma sampling, box-averaged chroma): the decoder's
+    generic MCU/upsampling path reconstructs within subsampling error
+    on a smooth image, including at non-multiple-of-16 dimensions."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_test_image(h=37, w=53)  # exercises MCU-edge cropping
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 40  # chroma-subsample noise
+    # 4:2:0 with restart markers decodes identically
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=95, subsample=True, restart_interval=2)
+    )
+    assert (rst == dec).all()
+
+
+def test_jpeg_unsupported_variants_raise_cleanly():
+    """Progressive stays behind NotImplementedError (the documented
+    stub edge); malformed input raises ValueError, never a crash."""
+    import numpy as np
+    import pytest as _pytest
+
+    from monasca_aggregator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # progressive: flip SOF0 marker to SOF2 in a valid stream
+    buf = bytearray(encode_jpeg(_smooth_test_image(), quality=80))
+    idx = buf.find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(buf))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\x00\x00")
+    assert decode_jpeg(encode_jpeg(_smooth_test_image())).dtype == np.uint8
+
+
+def test_jpeg_features_match_png_twin_through_spark(spark):
+    """VERDICT r2 #4 acceptance: the SAME image encoded as baseline
+    JPEG and as PNG flows through the real (non-stub) mapInPandas
+    feature path; dimensions identical and per-channel mean features
+    within JPEG quantization tolerance of the PNG twin's (PNG is
+    lossless, so it is the pixel ground truth)."""
+    from monasca_aggregator_spark.operators.jpeg import encode_jpeg
+    from monasca_aggregator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        encode_png,
+    )
+
+    img = _smooth_test_image()
+    rows = [
+        (1, "image", bytearray(encode_png(img)), {}),
+        (2, "image", bytearray(encode_jpeg(img, quality=95)), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in decode_image_features(media, use_stub=False).collect()
+    }
+    assert (got[2].width, got[2].height, got[2].channels) == (
+        got[1].width,
+        got[1].height,
+        got[1].channels,
+    ) == (56, 40, 3)
+    for a, b in zip(got[1].features, got[2].features):
+        assert abs(a - b) < 0.02  # quantization-level feature drift
+
+
+def test_ahash_is_codec_invariant_across_ppm_png_jpeg(spark):
+    """The perceptual hash must see pixels, not bytes: one image in
+    PPM, PNG and high-quality 4:4:4 JPEG hashes IDENTICALLY; the
+    4:2:0 re-encode lands within the near-dup banding threshold
+    (Hamming ≤ 3); garbage payloads yield null."""
+    from monasca_aggregator_spark.operators.jpeg import encode_jpeg
+    from monasca_aggregator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        encode_ppm,
+        image_ahash,
+    )
+
+    img = _smooth_test_image()
+    rows = [
+        (0, "image", bytearray(encode_ppm(img)), {}),
+        (1, "image", bytearray(encode_png(img)), {}),
+        (2, "image", bytearray(encode_jpeg(img, quality=95)), {}),
+        (3, "image", bytearray(encode_jpeg(img, quality=95, subsample=True)), {}),
+        (4, "image", bytearray(b"garbage"), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert h[0] == h[1] == h[2]
+    assert bin((h[3] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 3
+    assert h[4] is None
+
+
 def test_spectral_features_find_the_tone():
     """A pure 440 Hz sine's dominant bin must land on 440 (±1 bin),
     its centroid near 440, and a 220+880 mix must pick one of its
