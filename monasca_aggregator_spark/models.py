@@ -57,8 +57,18 @@ class AggregationSpec:
     rejected_dimensions: dict[str, str] = field(default_factory=dict)
     grouped_dimensions: tuple[str, ...] = ()
     rollup: Rollup | None = None
+    # delta/rate first/last ordering: "event" (event-time, the
+    # deterministic default) or "arrival" (reference parity with
+    # delta_metric.go / rate_metric.go's Kafka consume order — needs an
+    # arrival column, e.g. the Kafka offset, in the input relation)
+    time_source: str = "event"
 
     def __post_init__(self) -> None:
+        if self.time_source not in ("event", "arrival"):
+            raise SpecError(
+                f"rule {self.name}: timeSource must be 'event' or "
+                f"'arrival', got {self.time_source!r}"
+            )
         if not self.name:
             raise SpecError("rule must have a name")
         if not self.aggregated_metric_name:

@@ -15,10 +15,15 @@ single hash-partitioned shuffle on a high-cardinality uniform key; the
 rollup stage re-shuffles the already-aggregated (small) output.
 
 Semantics notes vs the reference:
-- ``delta``/``rate`` take first/last by **event time** (``min_by``/
-  ``max_by`` built-ins). The reference uses Kafka *arrival* order
-  (delta_metric.go, rate_metric.go), which is nondeterministic under
-  repartitioning; event-time order is the deterministic fix.
+- ``delta``/``rate`` take first/last by **event time** by default
+  (``min_by``/``max_by`` built-ins). The reference uses Kafka *arrival*
+  order (delta_metric.go, rate_metric.go), which is nondeterministic
+  under repartitioning; event-time order is the deterministic fix.
+  Exact reference parity is opt-in: ``spec.time_source = "arrival"``
+  (YAML ``timeSource: arrival``) orders first/last by an explicit
+  arrival column (``arrival_col`` — e.g. the Kafka offset), making the
+  arrival semantics reproducible because the order key is data, not
+  executor scheduling.
 - ``rate`` over a single sample yields NULL (Δt=0) instead of the
   reference's accidental ``-value/-elapsed`` on its zero-initialized
   struct (rate_metric.go:36-42).
@@ -36,27 +41,37 @@ from pyspark.sql import functions as F
 from monasca_aggregator_spark.functions.windows import window_start_ms
 from monasca_aggregator_spark.models import AggregationSpec
 
-# Aggregate expression factories: value column, event-time column → Column.
+# Aggregate expression factories: (value, event-time ms, order key) →
+# Column. ``order`` is the first/last ordering for delta/rate — the
+# event time itself in the default mode (max_by(ts, ts) ≡ max(ts)), an
+# arrival column under time_source="arrival".
 _AGG_EXPRS = {
-    "count": lambda value, ts: F.count(F.lit(1)).cast("double"),
-    "sum": lambda value, ts: F.sum(value),
-    "avg": lambda value, ts: F.avg(value),
-    "min": lambda value, ts: F.min(value),
-    "max": lambda value, ts: F.max(value),
-    # last-by-event-time minus first-by-event-time
-    "delta": lambda value, ts: F.max_by(value, ts) - F.min_by(value, ts),
-    # delta / elapsed seconds; NULL when the window holds a single sample
-    "rate": lambda value, ts: (F.max_by(value, ts) - F.min_by(value, ts))
-    / F.nullif((F.max(ts) - F.min(ts)) / F.lit(1000.0), F.lit(0.0)),
+    "count": lambda value, ts, order: F.count(F.lit(1)).cast("double"),
+    "sum": lambda value, ts, order: F.sum(value),
+    "avg": lambda value, ts, order: F.avg(value),
+    "min": lambda value, ts, order: F.min(value),
+    "max": lambda value, ts, order: F.max(value),
+    # last-by-order minus first-by-order
+    "delta": lambda value, ts, order: F.max_by(value, order)
+    - F.min_by(value, order),
+    # delta / elapsed seconds between the SAME first/last picks; NULL
+    # when they coincide (single sample, or equal timestamps)
+    "rate": lambda value, ts, order: (
+        F.max_by(value, order) - F.min_by(value, order)
+    )
+    / F.nullif(
+        (F.max_by(ts, order) - F.min_by(ts, order)) / F.lit(1000.0),
+        F.lit(0.0),
+    ),
     # beyond the reference's seven: sketch aggregates with bounded,
     # map-side-combinable state — the forms that work unchanged as
     # streaming aggregations (exact distinct/percentile state is
     # unbounded per group). Exact in HLL++ sparse mode / below the GK
     # sample threshold (see plans.metrics sketch queries).
-    "distinct": lambda value, ts: F.approx_count_distinct(
+    "distinct": lambda value, ts, order: F.approx_count_distinct(
         value, rsd=0.005
     ).cast("double"),
-    "p95": lambda value, ts: F.percentile_approx(
+    "p95": lambda value, ts, order: F.percentile_approx(
         value, F.lit(0.95), F.lit(100000)
     ),
 }
@@ -97,6 +112,7 @@ def build_aggregation(
     name_col: str = "name",
     dims_col: str = "dimensions",
     tenant_col: str = "tenant_id",
+    arrival_col: str | None = None,
 ) -> DataFrame:
     """Return the aggregated-metric DataFrame for one rule.
 
@@ -115,7 +131,17 @@ def build_aggregation(
     for k in spec.grouped_dimensions:
         group_cols.append(dims.getItem(k).alias(f"__dim_{k}"))
 
-    agg_value = _AGG_EXPRS[spec.function](F.col(value_col), F.unix_millis(ts))
+    ts_ms = F.unix_millis(ts)
+    if spec.time_source == "arrival":
+        if arrival_col is None:
+            raise ValueError(
+                f"rule {spec.name}: time_source='arrival' needs "
+                "arrival_col (e.g. the Kafka offset column)"
+            )
+        order = F.col(arrival_col)
+    else:
+        order = ts_ms
+    agg_value = _AGG_EXPRS[spec.function](F.col(value_col), ts_ms, order)
     out = matched.groupBy(*group_cols).agg(agg_value.alias("value"))
 
     if spec.rollup is not None:
@@ -125,7 +151,9 @@ def build_aggregation(
         roll_groups = [F.col("window_ts_ms"), F.col(tenant_col)]
         for k in spec.rollup.grouped_dimensions:
             roll_groups.append(F.col(f"__dim_{k}"))
-        roll_value = _AGG_EXPRS[spec.rollup.function](F.col("value"), roll_ts)
+        roll_value = _AGG_EXPRS[spec.rollup.function](
+            F.col("value"), roll_ts, roll_ts
+        )
         out = out.groupBy(*roll_groups).agg(roll_value.alias("value"))
         out_dim_keys = spec.rollup.grouped_dimensions
     else:

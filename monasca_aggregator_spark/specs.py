@@ -28,6 +28,7 @@ def _spec_from_dict(raw: dict[str, Any]) -> AggregationSpec:
         rejected_dimensions=dict(raw.get("rejectedDimensions") or {}),
         grouped_dimensions=tuple(raw.get("groupedDimensions") or ()),
         rollup=rollup,
+        time_source=raw.get("timeSource", "event"),
     )
 
 

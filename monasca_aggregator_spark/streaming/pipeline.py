@@ -137,9 +137,10 @@ def build_streaming_aggregation(
     ]
     for k in spec.grouped_dimensions:
         group_cols.append(dims.getItem(k).alias(f"__dim_{k}"))
-    agg_value = _AGG_EXPRS[spec.function](
-        F.col(value_col), F.unix_millis(F.col(ts_col))
-    )
+    ts_ms = F.unix_millis(F.col(ts_col))
+    # streaming is consume-order by nature; the deterministic event-time
+    # ordering doubles as the arrival order under watermark replay
+    agg_value = _AGG_EXPRS[spec.function](F.col(value_col), ts_ms, ts_ms)
     out = (
         matched.groupBy(*group_cols)
         .agg(agg_value.alias("value"), F.max(is_hb).alias("__hb"))
@@ -209,7 +210,7 @@ def run_stream_with_rollup(
             )
             out_dim_entries += [F.lit(k), F.col(f"__dim_{k}")]
         value = _AGG_EXPRS[rollup.function](
-            F.col("value"), F.col("window_ts_ms")
+            F.col("value"), F.col("window_ts_ms"), F.col("window_ts_ms")
         )
         out_dims = (
             F.create_map(*out_dim_entries)

@@ -106,6 +106,66 @@ def test_rate_is_delta_over_elapsed_seconds(spark):
     assert res[(T0_MS, "t0", ())] == pytest.approx(60.0 / 30.0)
 
 
+def test_arrival_order_mode_matches_reference_consume_order(spark):
+    """VERDICT r2 #9: timeSource='arrival' replays the reference's
+    delta/rate consume-order semantics (delta_metric.go keeps the
+    first/last VALUES SEEN), keyed on an explicit arrival column so
+    the pick is deterministic. Envelopes arrive OUT of event-time
+    order: the two modes must disagree exactly as the reference would
+    disagree with event-time ordering."""
+    rows = [
+        # (arrival seq, sec offset, value) — arrival reversed vs event time
+        (0, 55, 35.0),
+        (1, 30, 50.0),
+        (2, 5, 20.0),
+    ]
+    data = [
+        ("cpu", {}, _ts(sec), v, "t0", {"tenantId": "t0"}, arr)
+        for arr, sec, v in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "name string, dimensions map<string,string>, timestamp timestamp, "
+        "value double, tenant_id string, meta map<string,string>, "
+        "kafka_offset long",
+    )
+    spec_ev = _spec(function="delta")
+    spec_ar = _spec(function="delta", time_source="arrival")
+    ev = build_aggregation(df, spec_ev, W).collect()[0].value
+    ar = build_aggregation(
+        df, spec_ar, W, arrival_col="kafka_offset"
+    ).collect()[0].value
+    assert ev == 35.0 - 20.0       # last-by-event-time − first
+    assert ar == 20.0 - 35.0       # last-ARRIVED − first-ARRIVED
+    # rate: same picks; elapsed from the SAME first/last rows
+    r_ar = build_aggregation(
+        df, _spec(function="rate", time_source="arrival"), W,
+        arrival_col="kafka_offset",
+    ).collect()[0].value
+    assert r_ar == pytest.approx((20.0 - 35.0) / (5.0 - 55.0))
+    # arrival mode without an arrival column fails loudly
+    with pytest.raises(ValueError, match="arrival_col"):
+        build_aggregation(df, spec_ar, W)
+    # the YAML surface accepts timeSource and validates it
+    from monasca_aggregator_spark.models import SpecError
+    from monasca_aggregator_spark.specs import load_specs
+
+    loaded = load_specs(
+        [
+            {
+                "name": "d",
+                "aggregatedMetricName": "a.d",
+                "filteredMetricName": "cpu",
+                "function": "delta",
+                "timeSource": "arrival",
+            }
+        ]
+    )[0]
+    assert loaded.time_source == "arrival"
+    with pytest.raises(SpecError, match="timeSource"):
+        _spec(function="delta", time_source="bogus")
+
+
 def test_rate_single_sample_is_null(spark):
     # divergence from the reference documented in operators/aggregate.py:
     # Δt=0 yields NULL, not a garbage value (rate_metric.go:36-42)
