@@ -172,6 +172,16 @@ BENCH_QUERIES = [
     "text_stem_vocab",
     "corpus_zipf_alpha",
     "split_group_aware",
+    # r3 additions (plans/insights.py)
+    "events_ab_test",
+    "events_dau_mau",
+    "metric_hod_dow_heatmap",
+    "quality_iqr_outliers",
+    "orders_open_aging",
+    "embedding_norm_stats",
+    "events_interarrival_cv",
+    "text_hapax_ratio",
+    "text_bigram_logprob",
 ]
 
 

@@ -1,0 +1,803 @@
+"""Round-3 operator additions: experiment analysis, engagement and
+behavioral statistics (events), corpus-health signals (documents,
+embeddings) and an open-order aging report (orders).
+
+Every query is oracle-backed with cross-engine-exact numerics: counts
+and sums ride as BIGINTs, order-sensitive double folds are avoided by
+fixed-point integer accumulation (the ``agg_stddev`` moment pattern),
+and every emitted double goes through ``stable_round`` with the
+identical ``floor(x·10^d + 0.5)/10^d`` algebra on both engines.
+
+Scale posture: each query touches its fact table once, aggregates with
+map-side partials on bounded keys (day, source, label, user), and joins
+only broadcast-sized summaries back — no self-joins, no windows over
+unpartitioned data, no driver collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+_DAY_MS = 86_400_000
+
+
+# ---------------------------------------------------------- A/B z-test
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per day between deterministic variants
+    (user_id mod 2 — the stateless bucket assignment split_train_val
+    uses): conversion = user had ≥1 'purchase' among their events that
+    day. The classic experiment-analysis readout.
+
+    Plan: events collapse to distinct (day, variant, user, converted)
+    in one aggregation (map-side partial), then one tiny per-day
+    aggregate; the z statistic is pure scalar algebra over exact
+    BIGINT counts, so both engines compute identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long")
+    per_user = (
+        ev.groupBy(
+            day.alias("day"),
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted")
+        )
+    )
+    daily = per_user.groupBy("day").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n1"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("converted") == 1)).cast("long")
+        ).alias("c0"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("converted") == 1)).cast("long")
+        ).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    z = (p1 - p0) / se
+    return (
+        daily.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "day",
+            "n0",
+            "n1",
+            "c0",
+            "c1",
+            stable_round(p0, 6).alias("p0"),
+            stable_round(p1, 6).alias("p1"),
+            stable_round(z, 4).alias("z_score"),
+            (F.abs(z) > F.lit(1.959964)).alias("significant"),
+        )
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH pu AS (
+  SELECT epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(user_id % 2 AS INT) AS variant, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2, 3
+), d AS (
+  SELECT day,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1
+  FROM pu GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n0, n1, c0, c1,
+       {sql_stable_round("c0::DOUBLE / n0::DOUBLE", 6)} AS p0,
+       {sql_stable_round("c1::DOUBLE / n1::DOUBLE", 6)} AS p1,
+       {sql_stable_round(
+           "(c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)"
+           " / sqrt((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE"
+           " * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)"
+           " * (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE))", 4)}
+         AS z_score,
+       abs((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+           / sqrt((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE
+             * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+             * (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE)))
+         > 1.959964 AS significant
+FROM d WHERE n0 > 0 AND n1 > 0
+""".strip()
+
+
+# ------------------------------------------------------- DAU/MAU ratio
+
+
+_MAU_DAYS = 28
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per day: DAU, trailing-28-day MAU and the
+    DAU/MAU ratio — the growth metric next to rolling WAU
+    (events_rolling_wau) but over the monthly horizon.
+
+    Plan: events collapse to distinct (user, day) once; each pair then
+    fans into the ≤28 future days it keeps the user 'monthly-active'
+    for (bounded ×28 generator, the events_rolling_wau shape — never a
+    per-day window over raw events), and one countDistinct per target
+    day finishes it. Only days observed in the data are reported.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long")
+    pairs = ev.select("user_id", day.alias("day")).distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    fan = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(_MAU_DAYS - 1))
+        ).alias("day"),
+    ).join(days, "day")
+    mau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            stable_round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_DAU_MAU = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // {_DAY_MS} AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM pairs
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM pairs GROUP BY 1
+), fan AS (
+  SELECT p.user_id, p.day + o.off AS day
+  FROM pairs p, (SELECT unnest(range(0, {_MAU_DAYS})) AS off) o
+), mau AS (
+  SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS mau
+  FROM fan f JOIN days USING (day) GROUP BY 1
+)
+SELECT CAST(dau.day AS BIGINT) AS day, dau, mau,
+       {sql_stable_round("dau::DOUBLE / mau::DOUBLE", 6)} AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+""".strip()
+
+
+# ------------------------------------------- hour×weekday usage heatmap
+
+
+def q_metric_hod_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage heatmap per metric: event count and mean value for every
+    (hour-of-day × day-of-week) cell — the seasonality fingerprint
+    behind the seasonal-baseline anomaly detector (anomaly_seasonal).
+
+    Weekday is derived ARITHMETICALLY ((epoch_days + 4) mod 7,
+    0 = Sunday; 1970-01-01 was a Thursday) so both engines agree by
+    integer construction instead of calendar-function conventions
+    (Spark's dayofweek is 1-based Sunday, DuckDB's 0-based). Mean
+    values come from exact integer-cent sums. One aggregation over
+    the scan; output is a fixed ≤ |metrics|·168 cells.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long").alias("d"),
+        F.pmod(
+            (F.unix_millis("ts") / F.lit(3_600_000)).cast("long"), F.lit(24)
+        ).alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    cells = (
+        ev.select(
+            "event_type",
+            F.pmod(F.col("d") + F.lit(4), F.lit(7)).alias("dow"),
+            "hod",
+            "e2",
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("e2").alias("s2"))
+    )
+    totals = cells.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            "n",
+            stable_round(
+                F.col("s2").cast("double")
+                / (F.col("n").cast("double") * F.lit(100.0)),
+                4,
+            ).alias("avg_value"),
+            stable_round(
+                F.col("n").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+ORACLE_HOD_DOW = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_DAY_MS} + 4) % 7 AS dow,
+         (epoch_ms(ts) // 3600000) % 24 AS hod,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+), cells AS (
+  SELECT event_type, dow, hod, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e2) AS BIGINT) AS s2
+  FROM e GROUP BY 1, 2, 3
+), t AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+  FROM cells GROUP BY 1
+)
+SELECT cells.event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(hod AS BIGINT) AS hod, n,
+       {sql_stable_round("s2::DOUBLE / (n::DOUBLE * 100.0::DOUBLE)", 4)}
+         AS avg_value,
+       {sql_stable_round("n::DOUBLE / n_total::DOUBLE", 6)} AS share
+FROM cells JOIN t USING (event_type)
+""".strip()
+
+
+# --------------------------------------------------- IQR outlier audit
+
+
+def q_quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Tukey-fence audit of document length: Q1/Q3/IQR on
+    n_chars, 1.5·IQR fences, and the count/fraction of docs outside
+    them — the distribution-drift gate before a corpus refresh lands.
+
+    Plan: one small per-source quantile aggregate (exact interpolated
+    percentiles over BIGINT inputs — identical doubles on both
+    engines, the funnel_time_to_convert precedent), broadcast back
+    onto the scan for the outlier count. Two passes over documents,
+    zero wide shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    fences = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("n_chars"), F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    out = (
+        docs.join(F.broadcast(fences), "source")
+        .groupBy("source")
+        .agg(
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            F.first("n_docs").alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("n_chars").cast("double") < lo)
+                    | (F.col("n_chars").cast("double") > hi)
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        stable_round(F.col("q1"), 4).alias("q1"),
+        stable_round(F.col("q3"), 4).alias("q3"),
+        stable_round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+        F.col("n_outliers"),
+        stable_round(
+            F.col("n_outliers").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("outlier_frac"),
+    )
+
+
+ORACLE_IQR_OUTLIERS = f"""
+WITH f AS (
+  SELECT source, quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), o AS (
+  SELECT d.source, CAST(count(*) FILTER (WHERE
+           d.n_chars::DOUBLE < f.q1 - 1.5 * (f.q3 - f.q1)
+           OR d.n_chars::DOUBLE > f.q3 + 1.5 * (f.q3 - f.q1))
+         AS BIGINT) AS n_outliers
+  FROM documents d JOIN f USING (source) GROUP BY 1
+)
+SELECT f.source, n_docs,
+       {sql_stable_round("q1", 4)} AS q1,
+       {sql_stable_round("q3", 4)} AS q3,
+       {sql_stable_round("q3 - q1", 4)} AS iqr,
+       n_outliers,
+       {sql_stable_round("n_outliers::DOUBLE / n_docs::DOUBLE", 6)}
+         AS outlier_frac
+FROM f JOIN o USING (source)
+""".strip()
+
+
+# ----------------------------------------------------- open-order aging
+
+
+def q_orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders not yet finished ('F') bucketed
+    by age as of the dataset frontier (max order date), per priority —
+    the operational backlog view every order pipeline runs.
+
+    Plan: the as-of frontier is a broadcast 1-row aggregate riding the
+    plan (no driver collect); buckets are pure integer arithmetic;
+    money sums are exact BIGINT cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    frontier = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("as_of")
+    )
+    age = F.datediff(F.col("as_of"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, F.lit("0-30"))
+        .when(age <= 90, F.lit("31-90"))
+        .when(age <= 365, F.lit("91-365"))
+        .otherwise(F.lit("365+"))
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(frontier))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            bucket.alias("age_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            "priority",
+            "age_bucket",
+            "n_orders",
+            stable_round(F.col("cents").cast("double") / F.lit(100.0), 2)
+            .alias("open_value"),
+        )
+    )
+
+
+ORACLE_OPEN_AGING = f"""
+WITH f AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders
+), b AS (
+  SELECT o_orderpriority AS priority,
+         CASE
+           WHEN date_diff('day', CAST(o_orderdate AS DATE), f.as_of) <= 30
+             THEN '0-30'
+           WHEN date_diff('day', CAST(o_orderdate AS DATE), f.as_of) <= 90
+             THEN '31-90'
+           WHEN date_diff('day', CAST(o_orderdate AS DATE), f.as_of) <= 365
+             THEN '91-365'
+           ELSE '365+'
+         END AS age_bucket,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders, f WHERE o_orderstatus <> 'F'
+)
+SELECT priority, age_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_stable_round("sum(cents)::DOUBLE / 100.0::DOUBLE", 2)}
+         AS open_value
+FROM b GROUP BY 1, 2
+""".strip()
+
+
+# -------------------------------------------------- embedding norm audit
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit per label: L2-norm distribution (mean,
+    sample stddev, min, max) — collapsed/exploded vectors are the
+    classic silent failure of an embedding job, and the norm histogram
+    catches both before similarity math consumes them.
+
+    Numerics: the per-vector norm is a sequential fold over the
+    float32 dims (identical doubles both engines, the explicit
+    list_reduce ≡ F.aggregate shape), then fixed-pointed to BIGINT
+    micro-units so the per-label moment sums are exact integers — the
+    agg_stddev determinism pattern; no order-sensitive double sums.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    nf = F.floor(norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    stats = (
+        emb.select("label", nf.alias("nf"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nf").alias("s1"),
+            F.sum(F.col("nf") * F.col("nf")).alias("s2"),
+            F.min("nf").alias("mn"),
+            F.max("nf").alias("mx"),
+        )
+    )
+    mean = F.col("s1").cast("double") / (
+        F.col("n").cast("double") * F.lit(1e6)
+    )
+    var = (
+        (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (
+            F.col("n").cast("double")
+            * (F.col("n") - F.lit(1)).cast("double")
+            * F.lit(1e12)
+        )
+    )
+    return stats.filter(F.col("n") > 1).select(
+        "label",
+        "n",
+        stable_round(mean, 6).alias("mean_norm"),
+        stable_round(F.sqrt(var), 6).alias("std_norm"),
+        stable_round(F.col("mn").cast("double") / F.lit(1e6), 6).alias(
+            "min_norm"
+        ),
+        stable_round(F.col("mx").cast("double") / F.lit(1e6), 6).alias(
+            "max_norm"
+        ),
+    )
+
+
+ORACLE_NORM_STATS = f"""
+WITH n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(embedding,
+                               x -> x::DOUBLE * x::DOUBLE)),
+              (a, v) -> a + v)) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+           AS BIGINT) AS nf
+  FROM embeddings
+), s AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(nf) AS BIGINT) AS s1,
+         CAST(sum(nf * nf) AS BIGINT) AS s2,
+         CAST(min(nf) AS BIGINT) AS mn, CAST(max(nf) AS BIGINT) AS mx
+  FROM n GROUP BY 1
+)
+SELECT CAST(label AS INT) AS label, n,
+       {sql_stable_round("s1::DOUBLE / (n::DOUBLE * 1000000.0::DOUBLE)", 6)}
+         AS mean_norm,
+       {sql_stable_round(
+           "sqrt((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)"
+           " / (n::DOUBLE * (n - 1)::DOUBLE * 1000000000000.0::DOUBLE))", 6)}
+         AS std_norm,
+       {sql_stable_round("mn::DOUBLE / 1000000.0::DOUBLE", 6)} AS min_norm,
+       {sql_stable_round("mx::DOUBLE / 1000000.0::DOUBLE", 6)} AS max_norm
+FROM s WHERE n > 1
+""".strip()
+
+
+# --------------------------------------------- inter-arrival regularity
+
+
+_MIN_EVENTS_CV = 5
+
+
+def q_events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event regularity: mean gap and coefficient of
+    variation over consecutive-event gaps — CV near 0 means metronomic
+    (bot-like) traffic, CV ≈ 1 is Poisson-random human arrivals. The
+    behavioral-abuse signal next to events_markov.
+
+    Plan: one per-user ordered window (lag) produces integer gap
+    seconds; ties broken by event_id so both engines pick the same
+    neighbor; moments are exact BIGINT sums (gaps are ≤ ~1e6 s, so
+    Σgap² stays far under int64). Users below {_MIN_EVENTS_CV} events
+    are excluded — CV over 2-3 gaps is noise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            F.floor((F.col("us") - F.col("prev_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    var = (
+        F.col("n_gaps").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (
+        F.col("n_gaps").cast("double")
+        * (F.col("n_gaps") - F.lit(1)).cast("double")
+    )
+    cv = F.sqrt(var) / mean
+    return stats.filter(
+        (F.col("n_gaps") >= F.lit(_MIN_EVENTS_CV)) & (F.col("s1") > 0)
+    ).select(
+        "user_id",
+        "n_gaps",
+        stable_round(mean, 4).alias("mean_gap_s"),
+        stable_round(cv, 4).alias("cv"),
+        (cv < F.lit(0.1)).alias("is_metronomic"),
+    )
+
+
+ORACLE_INTERARRIVAL = f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id))
+           / 1000000) AS BIGINT) AS gap_s
+  FROM events
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS s1,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       {sql_stable_round("s1::DOUBLE / n_gaps::DOUBLE", 4)} AS mean_gap_s,
+       {sql_stable_round(
+           "sqrt((n_gaps::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)"
+           " / (n_gaps::DOUBLE * (n_gaps - 1)::DOUBLE))"
+           " / (s1::DOUBLE / n_gaps::DOUBLE)", 4)} AS cv,
+       sqrt((n_gaps::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+            / (n_gaps::DOUBLE * (n_gaps - 1)::DOUBLE))
+         / (s1::DOUBLE / n_gaps::DOUBLE) < 0.1 AS is_metronomic
+FROM s WHERE n_gaps >= {_MIN_EVENTS_CV} AND s1 > 0
+""".strip()
+
+
+# ------------------------------------------------- hapax / vocab health
+
+
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health: vocabulary size, hapax-legomenon
+    count (tokens occurring exactly once within the source), hapax
+    ratio and type-token ratio — a flat hapax tail flags template spam
+    or deduplication failures; an inflated one flags OCR noise.
+
+    Plan: explode → per-(source, token) counts (the exchange carries
+    8-byte xxhash64 token keys, never strings) → per-source summary.
+    Bounded by per-source vocabulary, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).select("source", F.xxhash64("token").alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return out.select(
+        "source",
+        "vocab",
+        "hapax",
+        "n_tokens",
+        stable_round(
+            F.col("hapax").cast("double") / F.col("vocab").cast("double"), 6
+        ).alias("hapax_ratio"),
+        stable_round(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
+ORACLE_HAPAX = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM c GROUP BY 1
+)
+SELECT source, vocab, hapax, n_tokens,
+       {sql_stable_round("hapax::DOUBLE / vocab::DOUBLE", 6)}
+         AS hapax_ratio,
+       {sql_stable_round("vocab::DOUBLE / n_tokens::DOUBLE", 6)}
+         AS type_token_ratio
+FROM s
+""".strip()
+
+
+# ------------------------------------------------ bigram LM doc scoring
+
+
+_BIGRAM_K = 0.5
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit BIGRAM log-probability per document with add-k
+    smoothing — the next step up from text_unigram_logprob toward the
+    CCNet LM-perplexity filter: word-salad docs that pass the unigram
+    gate (right words, wrong order) score low here.
+
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), k = {_BIGRAM_K},
+    V = corpus vocabulary. Plan: one exploded-bigram aggregation fits
+    the model (vocabulary-bounded); scoring joins each doc's bigrams
+    against the broadcast-scale count tables. Determinism: each
+    bigram's log-prob is fixed-pointed to BIGINT micro-nats BEFORE the
+    per-doc sum, so document scores are exact integer sums — no
+    order-sensitive double accumulation (the lesson series_ext's shape
+    search relearned this round).
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] as w1, concat(t[i], ' ', t[i+1]) as bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab_n = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    lp = (
+        bg_counts.join(
+            w1_counts,
+            F.split(F.col("bg"), " ").getItem(0) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c_bg").cast("double") + F.lit(_BIGRAM_K))
+                    / (
+                        F.col("c_w1").cast("double")
+                        + F.lit(_BIGRAM_K) * F.col("v").cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bigrams.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(
+                F.col("s").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), cb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1
+), cw AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+), lp AS (
+  SELECT cb.b,
+         CAST(floor(ln((c_bg::DOUBLE + {_BIGRAM_K})
+                       / (c_w1::DOUBLE + {_BIGRAM_K} * v.v::DOUBLE))
+                    * 1000000.0::DOUBLE) AS BIGINT) AS lp_micro
+  FROM cb JOIN cw ON string_split(cb.b, ' ')[1] = cw.w1, v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_stable_round(
+           "sum(lp_micro)::DOUBLE / (count(*)::DOUBLE * 1000000.0::DOUBLE)",
+           4)} AS avg_logprob
+FROM bg JOIN lp ON bg.b = lp.b
+GROUP BY doc_id
+""".strip()
+
+
+# -------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_ab_test": q_events_ab_test,
+    "events_dau_mau": q_events_dau_mau,
+    "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
+    "quality_iqr_outliers": q_quality_iqr_outliers,
+    "orders_open_aging": q_orders_open_aging,
+    "embedding_norm_stats": q_embedding_norm_stats,
+    "events_interarrival_cv": q_events_interarrival_cv,
+    "text_hapax_ratio": q_text_hapax_ratio,
+    "text_bigram_logprob": q_text_bigram_logprob,
+}
+
+ORACLES: dict[str, str] = {
+    "events_ab_test": ORACLE_AB_TEST,
+    "events_dau_mau": ORACLE_DAU_MAU,
+    "metric_hod_dow_heatmap": ORACLE_HOD_DOW,
+    "quality_iqr_outliers": ORACLE_IQR_OUTLIERS,
+    "orders_open_aging": ORACLE_OPEN_AGING,
+    "embedding_norm_stats": ORACLE_NORM_STATS,
+    "events_interarrival_cv": ORACLE_INTERARRIVAL,
+    "text_hapax_ratio": ORACLE_HAPAX,
+    "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+}

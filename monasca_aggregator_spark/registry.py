@@ -81,6 +81,29 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "funnel_conversion", "sessions_user", "moving_avg_user",
 #     "lag_delta_user", "running_total_user",
 # )
+# Round-6 rotation (staged): the 9 oracle-backed keys added in r3
+# (plans/insights.py), then 41 r1-green re-confirmations — exactly the
+# oracle-backed keys no other staged window re-checks, so after r6
+# every key has a driver row at most 5 rounds old.
+# _DRIVER_WINDOW_R6: tuple[str, ...] = (
+#     "events_ab_test", "events_dau_mau", "metric_hod_dow_heatmap",
+#     "quality_iqr_outliers", "orders_open_aging",
+#     "embedding_norm_stats", "events_interarrival_cv",
+#     "text_hapax_ratio", "text_bigram_logprob", "agg_filtered",
+#     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
+#     "agg_distinct_users", "agg_median", "agg_distinct_hll",
+#     "agg_distinct_rollup_hll", "agg_p95_sketch",
+#     "agg_percentile_bands", "tpch_q3", "tpch_q5", "tpch_q6",
+#     "tpch_q14", "tpch_q18", "topk_per_group", "events_daily_user",
+#     "tpch_q4_semijoin", "tpch_q22_antijoin", "tpch_q19_disjunct",
+#     "argmax_per_group", "rollup_pricing", "cube_volume",
+#     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
+#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
+#     "tpch_q13_histogram", "tpch_q15_topsupp", "tpch_q20_excess",
+#     "tpch_q16_suppcnt", "tpch_q17_avg_qty", "tpch_q21_waiting",
+#     "split_group_aware", "sample_quota_source", "sample_consistent_k",
+#     "range_join_ship", "events_retention",
+# )
 # Round-3 ACTIVE window: the 50 oldest of the 51 oracle-backed keys
 # with no driver check after r1+r2 (scd2_user_tier rolls to r4).
 _DRIVER_WINDOW: tuple[str, ...] = (
@@ -152,6 +175,7 @@ def _modules():
         "series",
         "series_ext",
         "advanced",
+        "insights",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the

@@ -1,0 +1,136 @@
+"""Round-3 insights queries: semantics pins on hand-built data plus
+plan-shape assertions (no row-Python, broadcast joins where promised).
+The DuckDB oracle gate (tools/check_correctness.py + the staged R6
+driver window) covers full-output parity; these tests pin the
+behaviors a hash can't explain."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import explain_str
+
+DAY_MS = 86_400_000
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, day, sec_in_day, user_id, event_type, value)"""
+    data = [
+        (
+            eid,
+            datetime.fromtimestamp(
+                day * 86_400 + sec, tz=timezone.utc
+            ),
+            uid,
+            et,
+            float(v),
+            "{}",
+        )
+        for eid, day, sec, uid, et, v in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ab_test_flags_a_real_difference(spark, tmp_path):
+    """Variant 1 (odd users) converts 4/4, variant 0 (even) 0/4 on one
+    day → z must be large and flagged significant; counts exact."""
+    from monasca_aggregator_spark.plans.insights import q_events_ab_test
+
+    rows = []
+    eid = 0
+    for uid in range(8):
+        rows.append((eid, 0, 10 + uid, uid, "view", 1.0))
+        eid += 1
+        if uid % 2 == 1:
+            rows.append((eid, 0, 100 + uid, uid, "purchase", 5.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_events_ab_test(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n0, r.n1, r.c0, r.c1) == (4, 4, 0, 4)
+    assert r.p0 == 0.0 and r.p1 == 1.0
+    assert r.significant and r.z_score > 2.0
+
+
+def test_dau_mau_trailing_window_and_clip(spark, tmp_path):
+    """User A active day 0 only, user B active days 0 and 29. Day 29's
+    MAU must NOT include A (window is 28 days) but day 27's must."""
+    from monasca_aggregator_spark.plans.insights import q_events_dau_mau
+
+    rows = [
+        (0, 0, 10, 1, "view", 1.0),   # A on day 0
+        (1, 0, 20, 2, "view", 1.0),   # B on day 0
+        (2, 27, 10, 2, "view", 1.0),  # B on day 27
+        (3, 29, 10, 2, "view", 1.0),  # B on day 29
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.day: (r.dau, r.mau) for r in q_events_dau_mau(spark, sf).collect()}
+    assert got[0] == (2, 2)
+    assert got[27] == (1, 2)   # A's day-0 activity still inside 28d
+    assert got[29] == (1, 1)   # A aged out; only B
+    # only observed days reported
+    assert set(got) == {0, 27, 29}
+
+
+def test_interarrival_cv_separates_bot_from_bursty(spark, tmp_path):
+    """A metronomic user (constant 60 s gaps) gets cv≈0/is_metronomic;
+    a bursty user with the same mean gap does not."""
+    from monasca_aggregator_spark.plans.insights import (
+        q_events_interarrival_cv,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(6):  # bot: every 60s
+        rows.append((eid, 0, 60 * i, 1, "view", 1.0))
+        eid += 1
+    for sec in (0, 5, 10, 15, 20, 300):  # bursty human
+        rows.append((eid, 0, sec, 2, "view", 1.0))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in q_events_interarrival_cv(spark, sf).collect()}
+    assert got[1].cv == 0.0 and got[1].is_metronomic
+    assert got[1].mean_gap_s == 60.0
+    assert got[2].cv > 1.0 and not got[2].is_metronomic
+
+
+def test_hod_dow_weekday_is_arithmetic_utc(spark, tmp_path):
+    """Day 0 (1970-01-01) is a Thursday → dow=(0+4)%7=4; day 3 is a
+    Sunday → dow=0. Pure integer derivation, no calendar API."""
+    from monasca_aggregator_spark.plans.insights import (
+        q_metric_hod_dow_heatmap,
+    )
+
+    rows = [
+        (0, 0, 3 * 3600 + 5, 1, "view", 2.0),   # Thu 03h
+        (1, 3, 23 * 3600 + 5, 1, "view", 4.0),  # Sun 23h
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.dow, r.hod): r for r in q_metric_hod_dow_heatmap(spark, sf).collect()
+    }
+    assert set(got) == {(4, 3), (0, 23)}
+    assert got[(4, 3)].avg_value == 2.0 and got[(4, 3)].share == 0.5
+
+
+def test_insights_plan_shapes(spark, sf_small):
+    """No row-at-a-time Python anywhere; the fence/frontier/vocab
+    summaries ride as broadcast joins as documented."""
+    from monasca_aggregator_spark.plans import insights as I
+
+    for name, fn in I.QUERIES.items():
+        plan = explain_str(fn(spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+    for name in ("quality_iqr_outliers", "orders_open_aging"):
+        plan = explain_str(I.QUERIES[name](spark, sf_small))
+        assert "Broadcast" in plan, name

@@ -55,7 +55,7 @@ def test_broken_plan_module_raises():
 import pytest
 
 
-@pytest.mark.parametrize("tag", ["R4", "R5"])
+@pytest.mark.parametrize("tag", ["R4", "R5", "R6"])
 def test_staged_windows_are_flippable(tag):
     """The commented _DRIVER_WINDOW_R3/R4/R5 blocks must stay valid while
     the registry evolves: every staged key registered + oracle-backed,

@@ -43,6 +43,9 @@ ARROW_ALLOWED = {
     "skyline_docs",
     "metric_trend_theilsen",
     "metric_forecast_holtwinters",
+    # same Holt–Winters per-series recursion, run twice for the MAE
+    # bake-off against the gap-safe seasonal-naive baseline
+    "metric_backtest_hw_vs_snaive",
     # block-matmul similarity / ANN / clustering families
     # (iterative operators like connected components, pagerank, BPE
     # and k-means TRAINING materialize their Python stages through
