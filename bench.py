@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "events_interarrival_cv",
     "text_hapax_ratio",
     "text_bigram_logprob",
+    "metric_slo_error_budget",
+    "sessions_bounce",
+    "orders_repeat_rate",
+    "events_markov_accuracy",
 ]
 
 

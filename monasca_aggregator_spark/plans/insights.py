@@ -776,6 +776,356 @@ GROUP BY doc_id
 """.strip()
 
 
+# ------------------------------------------------- SLO error budget
+
+
+_SLO_TARGET_GOOD = 0.99
+
+
+def q_metric_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget accounting per metric over the dataset span:
+    hourly windows are 'good' when their mean value stays within 1.2×
+    the metric's overall mean; with a {_SLO_TARGET_GOOD:.0%} objective
+    the budget is 1% of windows, and the report shows consumed vs
+    remaining — the monthly-review view the two-window burn-rate alert
+    (metric_burn_rate) escalates into.
+
+    Determinism: 'good' is decided by exact integer cross-
+    multiplication (window_sum·overall_n·10 ≤ 12·window_n·overall_sum)
+    — no double thresholds anywhere near the branch; only the final
+    report fractions are doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        (F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy("name", "h").agg(
+        F.sum("e2").alias("ws"), F.count(F.lit(1)).alias("wn")
+    )
+    overall = hourly.groupBy("name").agg(
+        F.sum("ws").alias("os"), F.sum("wn").alias("on")
+    )
+    j = hourly.join(F.broadcast(overall), "name")
+    bad = (
+        F.col("ws") * F.col("on") * F.lit(10)
+        > F.lit(12) * F.col("wn") * F.col("os")
+    ).cast("long")
+    rep = j.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(bad).alias("n_bad"),
+    )
+    budget = F.col("n_windows").cast("double") * F.lit(
+        1.0 - _SLO_TARGET_GOOD
+    )
+    return rep.select(
+        "name",
+        "n_windows",
+        "n_bad",
+        stable_round(budget, 4).alias("budget_windows"),
+        stable_round(
+            F.col("n_bad").cast("double") / budget, 4
+        ).alias("budget_consumed"),
+        (F.col("n_bad").cast("double") > budget).alias("exhausted"),
+    )
+
+
+ORACLE_SLO_BUDGET = f"""
+WITH h AS (
+  SELECT event_type AS name, epoch_ms(ts) // 3600000 AS h,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ws,
+         CAST(count(*) AS BIGINT) AS wn
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT name, CAST(sum(ws) AS BIGINT) AS os, CAST(sum(wn) AS BIGINT) AS onn
+  FROM h GROUP BY 1
+), r AS (
+  SELECT h.name, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN ws * onn * 10 > 12 * wn * os
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM h JOIN o USING (name) GROUP BY 1
+)
+SELECT name, n_windows, n_bad,
+       {sql_stable_round(
+           f"n_windows::DOUBLE * {1.0 - _SLO_TARGET_GOOD}", 4)}
+         AS budget_windows,
+       {sql_stable_round(
+           f"n_bad::DOUBLE / (n_windows::DOUBLE * {1.0 - _SLO_TARGET_GOOD})",
+           4)} AS budget_consumed,
+       n_bad::DOUBLE > n_windows::DOUBLE * {1.0 - _SLO_TARGET_GOOD}
+         AS exhausted
+FROM r
+""".strip()
+
+
+# -------------------------------------------- dedup cluster histogram
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup QA readout: the cluster-SIZE histogram of the exact
+    pair graph's connected components — how much of the duplication is
+    pairs vs. giant template families decides whether canonical-keep
+    or cluster-cap is the right removal policy. Runs the same
+    large-star/small-star components as dedup_clusters, then one tiny
+    aggregate; the oracle extends the recursive-CTE closure."""
+    from monasca_aggregator_spark.operators import dedup as D
+    from monasca_aggregator_spark.plans.dedup import THRESHOLD
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        threshold=THRESHOLD,
+    )
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES
+
+    return f"""
+WITH RECURSIVE {_NGRAM_CTES}, und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), csz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+  FROM labels GROUP BY 1
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_docs
+FROM csz GROUP BY size
+""".strip()
+
+
+# ------------------------------------------------- session bounce rate
+
+
+def q_sessions_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics staple per session-start day: session count,
+    bounce rate (single-event sessions) and mean session depth — the
+    daily rollup on top of the gap sessionizer. Counts are exact
+    BIGINTs; only the two report ratios are doubles."""
+    from monasca_aggregator_spark.operators.asof import sessionize
+    from monasca_aggregator_spark.plans.temporal import SESSION_GAP
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], gap=SESSION_GAP)
+    day = (F.col("session_start_ms") / F.lit(_DAY_MS)).cast("long")
+    rep = sess.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        F.sum("n_events").alias("total_events"),
+    )
+    return rep.select(
+        "day",
+        "n_sessions",
+        "n_bounce",
+        stable_round(
+            F.col("n_bounce").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        stable_round(
+            F.col("total_events").cast("double")
+            / F.col("n_sessions").cast("double"),
+            4,
+        ).alias("avg_depth"),
+    )
+
+
+def _bounce_oracle() -> str:
+    from monasca_aggregator_spark.plans.temporal import _GAP_SQL
+
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= {_GAP_SQL}
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id, epoch_ms(min(ts)) AS start_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2
+), rep AS (
+  SELECT start_ms // {_DAY_MS} AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+         CAST(sum(n_events) AS BIGINT) AS total_events
+  FROM sess GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n_sessions, n_bounce,
+       {sql_stable_round("n_bounce::DOUBLE / n_sessions::DOUBLE", 6)}
+         AS bounce_rate,
+       {sql_stable_round("total_events::DOUBLE / n_sessions::DOUBLE", 4)}
+         AS avg_depth
+FROM rep
+""".strip()
+
+
+# -------------------------------------------- repeat-purchase rate
+
+
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer repeat-purchase accounting per order month: how many
+    orders come from customers with an earlier order, and how many new
+    customers arrive — the acquisition-vs-retention revenue split.
+    One per-customer ordered window (row_number, (date, orderkey)
+    tie-break identical on both engines); month is integer
+    year·100+month arithmetic on the date."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("d").asc(), F.col("o_orderkey").asc()
+    )
+    seq = orders.withColumn("rn", F.row_number().over(w))
+    month = (F.year("d") * F.lit(100) + F.month("d")).cast("long")
+    rep = seq.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_repeat"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_new_customers"),
+    )
+    return rep.select(
+        "month",
+        "n_orders",
+        "n_repeat",
+        "n_new_customers",
+        stable_round(
+            F.col("n_repeat").cast("double")
+            / F.col("n_orders").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )
+
+
+ORACLE_REPEAT_RATE = f"""
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+), rep AS (
+  SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_customers
+  FROM seq GROUP BY 1
+)
+SELECT month, n_orders, n_repeat, n_new_customers,
+       {sql_stable_round("n_repeat::DOUBLE / n_orders::DOUBLE", 6)}
+         AS repeat_rate
+FROM rep
+""".strip()
+
+
+# ----------------------------------------- Markov top-1 accuracy eval
+
+
+def q_events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model evaluation: top-1 accuracy of the first-order
+    Markov next-event model (events_markov) measured in-sample — per
+    source state, the fraction of transitions the argmax prediction
+    gets right. The eval-inside-the-pipeline pattern: no data leaves
+    the engine to score a model the engine fitted.
+
+    Argmax tie-break is (count desc, to_type asc) on both engines;
+    accuracy = exact-integer n_correct / n_from.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pick = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    ranked = trans.withColumn("rk", F.row_number().over(pick))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    best = ranked.filter(F.col("rk") == 1).select(
+        "from_type",
+        F.col("to_type").alias("predicted_next"),
+        F.col("n").alias("n_correct"),
+    )
+    return (
+        best.join(totals, "from_type")
+        .select(
+            "from_type",
+            "predicted_next",
+            F.col("n_from").cast("long").alias("n_from"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            stable_round(
+                F.col("n_correct").cast("double")
+                / F.col("n_from").cast("double"),
+                6,
+            ).alias("top1_accuracy"),
+        )
+    )
+
+
+ORACLE_MARKOV_ACCURACY = f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_type
+                               ORDER BY n DESC, to_type ASC) AS rk
+  FROM p
+), tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1
+)
+SELECT r.from_type, r.to_type AS predicted_next, tot.n_from,
+       r.n AS n_correct,
+       {sql_stable_round("r.n::DOUBLE / tot.n_from::DOUBLE", 6)}
+         AS top1_accuracy
+FROM ranked r JOIN tot USING (from_type) WHERE r.rk = 1
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -788,6 +1138,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interarrival_cv": q_events_interarrival_cv,
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "metric_slo_error_budget": q_metric_slo_error_budget,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "sessions_bounce": q_sessions_bounce,
+    "orders_repeat_rate": q_orders_repeat_rate,
+    "events_markov_accuracy": q_events_markov_accuracy,
 }
 
 ORACLES: dict[str, str] = {
@@ -800,4 +1155,9 @@ ORACLES: dict[str, str] = {
     "events_interarrival_cv": ORACLE_INTERARRIVAL,
     "text_hapax_ratio": ORACLE_HAPAX,
     "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+    "metric_slo_error_budget": ORACLE_SLO_BUDGET,
+    "dedup_cluster_sizes": _cluster_sizes_oracle(),
+    "sessions_bounce": _bounce_oracle(),
+    "orders_repeat_rate": ORACLE_REPEAT_RATE,
+    "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
 }

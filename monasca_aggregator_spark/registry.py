@@ -81,15 +81,19 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "funnel_conversion", "sessions_user", "moving_avg_user",
 #     "lag_delta_user", "running_total_user",
 # )
-# Round-6 rotation (staged): the 9 oracle-backed keys added in r3
-# (plans/insights.py), then 41 r1-green re-confirmations — exactly the
-# oracle-backed keys no other staged window re-checks, so after r6
-# every key has a driver row at most 5 rounds old.
+# Round-6 rotation (staged): the 14 oracle-backed keys added in r3
+# (plans/insights.py) plus split_group_aware (the one key still
+# without any driver row after r3-r5), then 35 r1-green
+# re-confirmations — after r6 every key has a driver row at most
+# 5 rounds old.
 # _DRIVER_WINDOW_R6: tuple[str, ...] = (
 #     "events_ab_test", "events_dau_mau", "metric_hod_dow_heatmap",
 #     "quality_iqr_outliers", "orders_open_aging",
 #     "embedding_norm_stats", "events_interarrival_cv",
-#     "text_hapax_ratio", "text_bigram_logprob", "agg_filtered",
+#     "text_hapax_ratio", "text_bigram_logprob",
+#     "metric_slo_error_budget", "dedup_cluster_sizes",
+#     "sessions_bounce", "orders_repeat_rate", "events_markov_accuracy",
+#     "split_group_aware", "agg_filtered",
 #     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
 #     "agg_distinct_users", "agg_median", "agg_distinct_hll",
 #     "agg_distinct_rollup_hll", "agg_p95_sketch",
@@ -100,9 +104,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
 #     "tpch_q13_histogram", "tpch_q15_topsupp", "tpch_q20_excess",
-#     "tpch_q16_suppcnt", "tpch_q17_avg_qty", "tpch_q21_waiting",
-#     "split_group_aware", "sample_quota_source", "sample_consistent_k",
-#     "range_join_ship", "events_retention",
+#     "tpch_q16_suppcnt", "tpch_q17_avg_qty",
 # )
 # Round-3 ACTIVE window: the 50 oldest of the 51 oracle-backed keys
 # with no driver check after r1+r2 (scd2_user_tier rolls to r4).

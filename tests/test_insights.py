@@ -123,6 +123,67 @@ def test_hod_dow_weekday_is_arithmetic_utc(spark, tmp_path):
     assert got[(4, 3)].avg_value == 2.0 and got[(4, 3)].share == 0.5
 
 
+def test_slo_budget_integer_threshold(spark, tmp_path):
+    """3 good hours + 1 bad (mean > 1.2x overall) out of 4 → budget
+    (1% of 4 windows = 0.04) blown 25x over, flagged exhausted."""
+    from monasca_aggregator_spark.plans.insights import (
+        q_metric_slo_error_budget,
+    )
+
+    rows = [
+        (0, 0, 0 * 3600 + 1, 1, "api", 10.0),
+        (1, 0, 1 * 3600 + 1, 1, "api", 10.0),
+        (2, 0, 2 * 3600 + 1, 1, "api", 10.0),
+        (3, 0, 3 * 3600 + 1, 1, "api", 100.0),  # spike hour
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = q_metric_slo_error_budget(spark, sf).collect()[0]
+    # overall mean 32.5; 1.2x = 39 → only the 100 hour is bad
+    assert (r.n_windows, r.n_bad) == (4, 1)
+    assert r.exhausted and r.budget_consumed == 25.0
+
+
+def test_markov_accuracy_argmax_and_tiebreak(spark, tmp_path):
+    """From 'a' the stream goes a→b twice and a→c once → predict b,
+    accuracy 2/3; a 1-1 tie picks the lexicographically first type."""
+    from monasca_aggregator_spark.plans.insights import (
+        q_events_markov_accuracy,
+    )
+
+    seq1 = ["a", "b", "a", "b", "a", "c"]           # a→b, b→a, a→b, b→a, a→c
+    rows = [(i, 0, 10 * i, 1, t, 1.0) for i, t in enumerate(seq1)]
+    # user 2: tie d→x once, d→y once
+    rows += [
+        (10, 0, 5, 2, "d", 1.0),
+        (11, 0, 15, 2, "y", 1.0),
+        (12, 0, 25, 2, "d", 1.0),
+        (13, 0, 35, 2, "x", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.from_type: r for r in q_events_markov_accuracy(spark, sf).collect()}
+    assert got["a"].predicted_next == "b"
+    assert got["a"].n_from == 3 and got["a"].n_correct == 2
+    assert got["a"].top1_accuracy == pytest.approx(2 / 3, abs=1e-6)
+    assert got["d"].predicted_next == "x"  # tie → lexicographic
+
+
+def test_repeat_rate_first_order_is_new(spark, sf_small):
+    """Every customer's first order is 'new'; sum of n_new_customers
+    across months equals the distinct customer count."""
+    from monasca_aggregator_spark.plans.insights import q_orders_repeat_rate
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_orders_repeat_rate(spark, sf_small).collect()
+    n_cust = (
+        load_table(spark, sf_small, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new_customers for r in rows) == n_cust
+    assert all(r.n_repeat + r.n_new_customers == r.n_orders for r in rows)
+
+
 def test_insights_plan_shapes(spark, sf_small):
     """No row-at-a-time Python anywhere; the fence/frontier/vocab
     summaries ride as broadcast joins as documented."""
