@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "sessions_bounce",
     "orders_repeat_rate",
     "events_markov_accuracy",
+    "embedding_pair_cosine_hist",
+    "lineitem_ship_delay",
 ]
 
 

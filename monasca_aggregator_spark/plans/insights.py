@@ -1126,6 +1126,295 @@ FROM ranked r JOIN tot USING (from_type) WHERE r.rk = 1
 """.strip()
 
 
+# ---------------------------------------- dedup token-impact report
+
+
+def q_corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation impact statement per source: documents and whitespace
+    tokens before vs after canonical near-dup removal — the number a
+    training-mix owner actually asks for ('how many tokens does this
+    policy cost me?'). Composition of the existing pair→component→
+    anti-join pipeline with a per-source token account; the removed
+    set stays broadcast-sized (bounded by duplicates)."""
+    from monasca_aggregator_spark.operators import dedup as D
+    from monasca_aggregator_spark.plans.dedup import THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        "text",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    comp = D.connected_components(pairs)
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    flagged = docs.join(
+        F.broadcast(removed.withColumn("rm", F.lit(1))), "doc_id", "left"
+    )
+    rep = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum((F.col("rm").isNull()).cast("long")).alias("docs_after"),
+        F.sum("n_tok").alias("tokens_before"),
+        F.sum(
+            F.when(F.col("rm").isNull(), F.col("n_tok")).otherwise(F.lit(0))
+        ).alias("tokens_after"),
+    )
+    return rep.select(
+        "source",
+        "docs_before",
+        "docs_after",
+        "tokens_before",
+        "tokens_after",
+        stable_round(
+            (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+            / F.col("tokens_before").cast("double"),
+            6,
+        ).alias("token_removal_frac"),
+    )
+
+
+def _dedup_impact_oracle() -> str:
+    from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES
+
+    return f"""
+WITH RECURSIVE {_NGRAM_CTES}, und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), removed AS (
+  SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+), d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         doc_id IN (SELECT doc_id FROM removed) AS rm
+  FROM documents
+), rep AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_after,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+         CAST(sum(CASE WHEN NOT rm THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_after
+  FROM d GROUP BY 1
+)
+SELECT source, docs_before, docs_after, tokens_before, tokens_after,
+       {sql_stable_round(
+           "(tokens_before - tokens_after)::DOUBLE / tokens_before::DOUBLE",
+           6)} AS token_removal_frac
+FROM rep
+""".strip()
+
+
+# ------------------------------------- embedding anisotropy histogram
+
+
+_COS_BINS = 10
+
+
+def q_embedding_pair_cosine_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space anisotropy check: the cosine-similarity
+    histogram over DETERMINISTIC adjacent-id pairs (vec_id ↔
+    vec_id+1) — a healthy embedding space puts random-pair cosine
+    near 0; mass piled near 1 flags collapsed representations
+    (the Ethayarajh anisotropy probe, engine-level).
+
+    Deterministic pairing keeps it oracle-exact AND O(n): one
+    self-join on an arithmetic key, sequential-fold dot products
+    (identical doubles both engines), fixed [-1,1] decile bins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        (F.col("vec_id") - F.lit(1)).alias("ida"),
+        F.col("embedding").alias("eb"),
+    )
+
+    def _fold(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j = a.join(b, "ida")
+    cos = _fold(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_fold(F.col("ea"), F.col("ea")))
+        * F.sqrt(_fold(F.col("eb"), F.col("eb")))
+    )
+    binned = j.select(
+        F.least(
+            F.lit(_COS_BINS - 1),
+            F.floor((cos + F.lit(1.0)) / F.lit(2.0 / _COS_BINS)).cast("int"),
+        ).alias("bin")
+    )
+    total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            stable_round(
+                F.col("n").cast("double") / F.col("n_pairs").cast("double"), 6
+            ).alias("frac"),
+        )
+    )
+
+
+ORACLE_COSINE_HIST = f"""
+WITH j AS (
+  SELECT a.vec_id AS ida, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), c AS (
+  SELECT LEAST({_COS_BINS - 1}, CAST(floor(
+    ((list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, len(ea) + 1),
+                       i -> ea[i]::DOUBLE * eb[i]::DOUBLE)),
+        (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, len(ea) + 1),
+                          i -> ea[i]::DOUBLE * ea[i]::DOUBLE)),
+           (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(eb) + 1),
+                            i -> eb[i]::DOUBLE * eb[i]::DOUBLE)),
+             (acc, x) -> acc + x))))
+     + 1.0::DOUBLE) / {2.0 / _COS_BINS}) AS INT)) AS bin
+  FROM j
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM c)
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       {sql_stable_round("count(*)::DOUBLE / max(t.n_pairs)::DOUBLE", 6)}
+         AS frac
+FROM c, t GROUP BY bin
+""".strip()
+
+
+# --------------------------------------- shipping delay distribution
+
+
+def q_lineitem_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA view per order priority: distribution of the
+    order-to-ship latency (days between order date and each line's
+    ship date) — median, p90, and the fraction slower than 90 days.
+    Exact integer day arithmetic feeding the interpolated-percentile
+    built-in (identical doubles both engines); fact⋈fact equi-join on
+    the order key, then one bounded aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("order_d"),
+    )
+    d = li.join(orders, "l_orderkey").select(
+        "priority",
+        F.datediff(F.col("ship_d"), F.col("order_d"))
+        .cast("long")
+        .alias("delay_d"),
+    )
+    return (
+        d.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("delay_d") > 90).cast("long")).alias("n_slow"),
+            stable_round(F.median("delay_d"), 4).alias("median_delay_d"),
+            stable_round(
+                F.percentile(F.col("delay_d"), F.lit(0.9)), 4
+            ).alias("p90_delay_d"),
+        )
+        .select(
+            "priority",
+            "n_items",
+            "n_slow",
+            "median_delay_d",
+            "p90_delay_d",
+            stable_round(
+                F.col("n_slow").cast("double") / F.col("n_items").cast("double"),
+                6,
+            ).alias("slow_frac"),
+        )
+    )
+
+
+ORACLE_SHIP_DELAY = f"""
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_slow,
+       {sql_stable_round("median(delay_d)", 4)} AS median_delay_d,
+       {sql_stable_round("quantile_cont(delay_d, 0.9)", 4)} AS p90_delay_d,
+       {sql_stable_round(
+           "sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END)::DOUBLE"
+           " / count(*)::DOUBLE", 6)} AS slow_frac
+FROM d GROUP BY 1
+""".strip()
+
+
+# ------------------------------------------- near-dup graph degrees
+
+
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the exact near-dup pair graph: how many
+    docs have 1, 2, … near-duplicate partners — the connectivity
+    fingerprint that says whether the graph is pair-dominated or
+    hub-dominated BEFORE running components/PageRank on it. Degrees
+    from one union+groupBy over the pair list; no closure needed, so
+    the oracle is recursion-free."""
+    from monasca_aggregator_spark.operators import dedup as D
+    from monasca_aggregator_spark.plans.dedup import THRESHOLD
+
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", fan_out=True),
+        threshold=THRESHOLD,
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+    )
+
+
+def _degree_hist_oracle() -> str:
+    from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES
+
+    return f"""
+WITH {_NGRAM_CTES}, ends AS (
+  SELECT id_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT id_b FROM pairs
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM ends GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1143,6 +1432,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_bounce": q_sessions_bounce,
     "orders_repeat_rate": q_orders_repeat_rate,
     "events_markov_accuracy": q_events_markov_accuracy,
+    "corpus_dedup_impact": q_corpus_dedup_impact,
+    "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
+    "lineitem_ship_delay": q_lineitem_ship_delay,
+    "graph_degree_hist": q_graph_degree_hist,
 }
 
 ORACLES: dict[str, str] = {
@@ -1160,4 +1453,8 @@ ORACLES: dict[str, str] = {
     "sessions_bounce": _bounce_oracle(),
     "orders_repeat_rate": ORACLE_REPEAT_RATE,
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
+    "corpus_dedup_impact": _dedup_impact_oracle(),
+    "embedding_pair_cosine_hist": ORACLE_COSINE_HIST,
+    "lineitem_ship_delay": ORACLE_SHIP_DELAY,
+    "graph_degree_hist": _degree_hist_oracle(),
 }

@@ -504,6 +504,46 @@ def test_ahash_is_codec_invariant_across_ppm_png_jpeg(spark):
     assert h[4] is None
 
 
+def test_media_thumbnails_cross_codec(spark):
+    """PPM/PNG/JPEG payloads all thumbnail through the same pipeline,
+    re-encoded in their source codec; thumbnails of the SAME image
+    decode to near-identical 8x8 pixels; garbage yields nulls."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.jpeg import encode_jpeg
+    from monasca_aggregator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_real,
+        encode_png,
+        encode_ppm,
+        media_thumbnails,
+    )
+
+    img = _smooth_test_image()
+    rows = [
+        (0, "image", bytearray(encode_ppm(img)), {}),
+        (1, "image", bytearray(encode_png(img)), {}),
+        (2, "image", bytearray(encode_jpeg(img, quality=95)), {}),
+        (3, "image", bytearray(b"junk"), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in media_thumbnails(media, side=8).collect()}
+    assert got[0].thumb_format == "ppm"
+    assert got[1].thumb_format == "png"
+    assert got[2].thumb_format == "jpeg"
+    assert got[3].thumb_payload is None and got[3].thumb_format is None
+    assert (got[0].width, got[0].height) == (56, 40)
+    thumbs = {
+        k: decode_real(bytes(got[k].thumb_payload), "image") for k in (0, 1, 2)
+    }
+    assert all(t.shape == (8, 8, 3) for t in thumbs.values())
+    # PPM and PNG thumbs are byte-identical pixels; JPEG within quant noise
+    assert (thumbs[0] == thumbs[1]).all()
+    assert (
+        np.abs(thumbs[2].astype(int) - thumbs[0].astype(int)).mean() < 8.0
+    )
+
+
 def test_spectral_features_find_the_tone():
     """A pure 440 Hz sine's dominant bin must land on 440 (±1 bin),
     its centroid near 440, and a 220+880 mix must pick one of its
