@@ -30,14 +30,18 @@ def _brute(points, senses):
 
 
 @pytest.mark.parametrize("senses", [("max", "max"), ("max", "min")])
-def test_skyline_matches_brute_force(spark, senses):
+@pytest.mark.parametrize("prefilter", [False, True])
+def test_skyline_matches_brute_force(spark, senses, prefilter):
     rng = random.Random(42)
     pts = [(rng.randrange(100), rng.randrange(100)) for _ in range(300)]
     df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(pts)], "id long, x long, y long"
     ).repartition(8)
     got = sorted(
-        r.id for r in skyline(df, [("x", senses[0]), ("y", senses[1])]).collect()
+        r.id
+        for r in skyline(
+            df, [("x", senses[0]), ("y", senses[1])], prefilter=prefilter
+        ).collect()
     )
     assert got == _brute(pts, senses)
 
