@@ -1,0 +1,157 @@
+"""JSONL / CSV ingestion with corrupt-record quarantine.
+
+Real training corpora arrive as line-delimited JSON and CSV long
+before they are parquet; this module wires Spark's native readers
+(JVM-side parsing, splittable inputs, pushdown-aware once the schema
+is explicit) into the same table model the parquet catalog serves,
+with the failure-handling posture an ingestion pipeline needs:
+
+- **PERMISSIVE + quarantine**: malformed lines land in a
+  ``_corrupt_record`` column instead of failing the job; the
+  ``ingest_report`` aggregate turns that into the accept/reject gate
+  (good/corrupt counts + a bounded sample of offending lines).
+- **Explicit schemas**: schema inference reads the data twice and
+  types by guesswork — both wrong at 100 TB. Callers pass the schema
+  (or take the documents-table default) so the scan is single-pass
+  and the reader can drop non-projected fields at parse time.
+- **Splittability**: one JSON object per line (``multiLine=False``)
+  keeps inputs splittable so a 1 GB shard fans across tasks. Gzip
+  shards are NOT splittable (one task per file — size shards
+  accordingly, or use zstd/bzip2); this is a property of the codec,
+  not the reader, and is documented here because it is the #1
+  ingestion-throughput foot-gun.
+
+Reference parity: the reference consumes only Kafka JSON envelopes
+(server.go); file-based JSONL/CSV ingestion is pipeline-extension
+scope, and the envelope JSON parser in sources/envelope.py stays the
+wire-format authority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """Schema + the quarantine column (PERMISSIVE mode only populates
+    it when it exists in the declared schema)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    *,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Line-delimited JSON → DataFrame with malformed-line quarantine.
+
+    ``mode``: PERMISSIVE (default — bad lines become rows with every
+    data field NULL and the raw line in ``_corrupt_record``),
+    DROPMALFORMED, or FAILFAST.
+    """
+    reader = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", mode)
+        .option("multiLine", "false")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    *,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    sep: str = ",",
+) -> DataFrame:
+    """CSV → DataFrame, same quarantine contract as ``read_jsonl``.
+    Quoted fields with embedded separators/newlines are handled by the
+    JVM parser (``quote``/``escape`` defaults); ``multiLine`` stays
+    off so inputs split — quote-embedded newlines need
+    ``multiLine=true`` at the cost of one-task-per-file."""
+    reader = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("sep", sep)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return reader.csv(path)
+
+
+def ingest_report(df: DataFrame, *, sample: int = 5) -> dict:
+    """Accept/reject gate over a quarantined read: one aggregate pass
+    for (rows, corrupt, good) plus a bounded sample of corrupt lines
+    (a second tiny job over the corrupt subset only). Returns a plain
+    dict so callers can raise/alert on thresholds."""
+    if CORRUPT_COL not in df.columns:
+        raise ValueError(f"input has no {CORRUPT_COL} column")
+    # Spark disallows querying ONLY the corrupt column straight off a
+    # raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parsed
+    # relation must be materialized first. Cache covers the report +
+    # sample pair; at corpus scale land the parsed read in parquet and
+    # report off that instead of caching raw text.
+    df = df.cache()
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("corrupt"),
+    ).collect()[0]
+    corrupt = row.corrupt or 0
+    examples = []
+    if corrupt:
+        examples = [
+            r[0]
+            for r in df.filter(F.col(CORRUPT_COL).isNotNull())
+            .select(CORRUPT_COL)
+            .limit(sample)
+            .collect()
+        ]
+    return {
+        "rows": row.rows,
+        "corrupt": int(corrupt),
+        "good": row.rows - int(corrupt),
+        "corrupt_examples": examples,
+    }
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined): good rows lose the corrupt column;
+    quarantined rows keep only the raw line — the write-audit-publish
+    input shape (good → staging, quarantined → the reject store).
+    Cached for the same corrupt-column-projection restriction as
+    ``ingest_report``."""
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def write_jsonl(df: DataFrame, path: str, *, shards: int | None = None) -> None:
+    """Export as line-delimited JSON shards (the interchange format
+    downstream tokenizer/training jobs read). ``shards`` repartitions
+    for a target file count; omitted keeps the upstream layout."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").json(path)
