@@ -102,6 +102,28 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    *,
+    row_tag: str = "doc",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """XML → DataFrame via Spark 4's built-in XML source (one record
+    per ``row_tag`` element), same quarantine contract as the other
+    readers. XML records span lines, so inputs are NOT line-splittable
+    like JSONL — shard the files instead (the reader parallelizes
+    across files)."""
+    reader = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return reader.format("xml").load(path)
+
+
 def ingest_report(df: DataFrame, *, sample: int = 5) -> dict:
     """Accept/reject gate over a quarantined read: one aggregate pass
     for (rows, corrupt, good) plus a bounded sample of corrupt lines

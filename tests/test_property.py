@@ -543,3 +543,46 @@ def test_weighted_median_matches_numpy_definition(spark, tmp_path):
         by_g.setdefault(row[0], []).append(row)
     for g, grp in by_g.items():
         assert got[g] == direct(grp), g
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    subsample=st.booleans(),
+    quality=st.integers(min_value=30, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_never_crashes_and_bounds_error(
+    h, w, gray, subsample, quality, seed
+):
+    """Pure-numpy property: encode_jpeg→decode_jpeg succeeds on ANY
+    image shape (including 1×1 and non-multiple-of-8/16 edges), output
+    shape matches, and reconstruction error is bounded by quantization
+    noise that shrinks as quality rises."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    # gentle gradient around a random level: JPEG's error bound is
+    # only meaningful on low-frequency content — random pixels at
+    # tiny sizes are all high frequency and legitimately lossy
+    level = rng.integers(40, 216, size=(1 if gray else 3,))
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx + yy) % 32 - 16)[..., None]
+    img = np.clip(level[None, None, :] + grad, 0, 255).astype(np.uint8)
+    if gray:
+        img = img[..., 0]
+    dec = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsample=subsample)
+    )
+    exp_c = 1 if gray else 3
+    assert dec.shape == (h, w, exp_c)
+    ref = img if not gray else img[..., None]
+    err = np.abs(dec.astype(int) - ref.astype(int))
+    assert err.max() <= 48

@@ -91,6 +91,33 @@ def test_csv_malformed_rows_quarantined(spark, tmp_path):
     }
 
 
+def test_xml_roundtrip_and_quarantine(spark, sf_small, tmp_path):
+    """Spark 4's built-in XML source under the same quarantine
+    contract: documents roundtrip losslessly via XML shards; a
+    type-mismatched record quarantines instead of failing."""
+    from monasca_aggregator_spark.sources.text_formats import read_xml
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_xml")
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
+        path
+    )
+    back = read_xml(spark, path)
+    assert ingest_report(back)["corrupt"] == 0
+    assert _docs_fingerprint(back) == _docs_fingerprint(docs)
+
+    p = tmp_path / "bad.xml"
+    p.write_text(
+        "<rows>"
+        "<doc><doc_id>1</doc_id><text>ok</text><lang>en</lang>"
+        "<source>s</source><n_chars>2</n_chars></doc>"
+        "<doc><doc_id>not-a-number</doc_id><text>bad</text></doc>"
+        "</rows>"
+    )
+    rep = ingest_report(read_xml(spark, str(p)))
+    assert rep["rows"] == 2 and rep["corrupt"] == 1 and rep["good"] == 1
+
+
 def test_failfast_mode_raises(spark, tmp_path):
     p = tmp_path / "bad.jsonl"
     p.write_text('{"doc_id": 1}\nnot json\n')
