@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "events_markov_accuracy",
     "embedding_pair_cosine_hist",
     "lineitem_ship_delay",
+    "funnel_window_depth",
 ]
 
 

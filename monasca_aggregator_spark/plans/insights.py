@@ -1415,6 +1415,132 @@ FROM deg GROUP BY degree
 """.strip()
 
 
+# ---------------------------------------------- windowFunnel depth
+
+
+_FUNNEL_W_MS = 6 * 3600 * 1000  # chain must complete within 6 h
+
+
+def q_funnel_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-``windowFunnel`` semantics: per user, the maximum
+    ordered-chain depth view → click → purchase completable within a
+    6-hour window STARTING AT ANY view (funnel_strict_ordered chains
+    only from the first view and has no window bound — this is the
+    sliding variant real funnel analytics uses). Output: per depth,
+    how many users top out there, plus the ≥depth conversion share.
+
+    Greedy-earliest chaining is optimal for a fixed sequence (taking
+    the earliest qualifying next step maximizes the remaining window),
+    so each step collapses to ONE per-(user, start) min-aggregation
+    instead of an exists-join — three user-keyed equi-joins with range
+    filters, no unbounded fan-out, exact BIGINT micro timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_us = _FUNNEL_W_MS * 1000
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pts")
+    )
+    step2 = (
+        v.join(c, "user_id")
+        .filter(
+            (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.lit(w_us))
+        )
+        .groupBy("user_id", "vts")
+        .agg(F.min("cts").alias("c1"))
+    )
+    step3 = (
+        step2.join(p, "user_id")
+        .filter(
+            (F.col("pts") > F.col("c1"))
+            & (F.col("pts") <= F.col("vts") + F.lit(w_us))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("d3", F.lit(1))
+    )
+    d2 = step2.select("user_id").distinct().withColumn("d2", F.lit(1))
+    d1 = v.select("user_id").distinct()
+    depth = (
+        d1.join(d2, "user_id", "left")
+        .join(step3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("d2"), F.lit(0))
+                + F.coalesce(F.col("d3"), F.lit(0))
+            ).alias("depth"),
+        )
+    )
+    total = depth.agg(F.count(F.lit(1)).alias("n_total"))
+    by_depth = depth.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w_cum = Window.orderBy(F.col("depth").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_depth.crossJoin(F.broadcast(total))
+        .withColumn("n_reaching", F.sum("n_users").over(w_cum))
+        .select(
+            F.col("depth").cast("long").alias("depth"),
+            "n_users",
+            F.col("n_reaching").cast("long").alias("n_reaching"),
+            stable_round(
+                F.col("n_reaching").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("reach_share"),
+        )
+    )
+
+
+ORACLE_FUNNEL_WINDOW = f"""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS vts FROM events
+  WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS cts FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS pts FROM events
+  WHERE event_type = 'purchase'
+), s2 AS (
+  SELECT v.user_id, v.vts, min(c.cts) AS c1
+  FROM v JOIN c ON v.user_id = c.user_id
+  WHERE c.cts > v.vts AND c.cts <= v.vts + {_FUNNEL_W_MS * 1000}
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT DISTINCT s2.user_id
+  FROM s2 JOIN p ON s2.user_id = p.user_id
+  WHERE p.pts > s2.c1 AND p.pts <= s2.vts + {_FUNNEL_W_MS * 1000}
+), depth AS (
+  SELECT d1.user_id,
+         1 + (CASE WHEN d2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS depth
+  FROM (SELECT DISTINCT user_id FROM v) d1
+  LEFT JOIN (SELECT DISTINCT user_id FROM s2) d2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+), bd AS (
+  SELECT depth, CAST(count(*) AS BIGINT) AS n_users FROM depth GROUP BY 1
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM depth)
+SELECT CAST(bd.depth AS BIGINT) AS depth, bd.n_users,
+       CAST(sum(bd2.n_users) AS BIGINT) AS n_reaching,
+       {sql_stable_round(
+           "sum(bd2.n_users)::DOUBLE / max(t.n_total)::DOUBLE", 6)}
+         AS reach_share
+FROM bd JOIN bd bd2 ON bd2.depth >= bd.depth, t
+GROUP BY bd.depth, bd.n_users
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1432,6 +1558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_bounce": q_sessions_bounce,
     "orders_repeat_rate": q_orders_repeat_rate,
     "events_markov_accuracy": q_events_markov_accuracy,
+    "funnel_window_depth": q_funnel_window_depth,
     "corpus_dedup_impact": q_corpus_dedup_impact,
     "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
     "lineitem_ship_delay": q_lineitem_ship_delay,
@@ -1453,6 +1580,7 @@ ORACLES: dict[str, str] = {
     "sessions_bounce": _bounce_oracle(),
     "orders_repeat_rate": ORACLE_REPEAT_RATE,
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
+    "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
     "corpus_dedup_impact": _dedup_impact_oracle(),
     "embedding_pair_cosine_hist": ORACLE_COSINE_HIST,
     "lineitem_ship_delay": ORACLE_SHIP_DELAY,

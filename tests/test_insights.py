@@ -184,6 +184,40 @@ def test_repeat_rate_first_order_is_new(spark, sf_small):
     assert all(r.n_repeat + r.n_new_customers == r.n_orders for r in rows)
 
 
+def test_funnel_window_depth_sliding_start_and_bound(spark, tmp_path):
+    """The chain may start at ANY view (not just the first), and must
+    complete inside the 6 h window:
+    - user 1: view@0h, click@7h, purchase@8h; view@6.5h → the SECOND
+      view chains (click/purchase inside ITS window) → depth 3
+    - user 2: view@0h, click@1h, purchase@7h → purchase misses the
+      6 h bound from the only view → depth 2
+    - user 3: click before view only → depth 1
+    """
+    from monasca_aggregator_spark.plans.insights import (
+        q_funnel_window_depth,
+    )
+
+    H = 3600
+    rows = [
+        (0, 0, 0 * H, 1, "view", 1.0),
+        (1, 0, 7 * H, 1, "click", 1.0),
+        (2, 0, 8 * H, 1, "purchase", 1.0),
+        (3, 0, 6 * H + 1800, 1, "view", 1.0),
+        (4, 0, 0 * H, 2, "view", 1.0),
+        (5, 0, 1 * H, 2, "click", 1.0),
+        (6, 0, 7 * H, 2, "purchase", 1.0),
+        (7, 0, 1 * H, 3, "click", 1.0),
+        (8, 0, 2 * H, 3, "view", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.depth: r for r in q_funnel_window_depth(spark, sf).collect()}
+    assert got[3].n_users == 1            # user 1 via the second view
+    assert got[2].n_users == 1            # user 2 stops at click
+    assert got[1].n_users == 1            # user 3 never chains
+    assert got[1].n_reaching == 3 and got[3].n_reaching == 1
+    assert got[3].reach_share == pytest.approx(1 / 3, abs=1e-6)
+
+
 def test_insights_plan_shapes(spark, sf_small):
     """No row-at-a-time Python anywhere; the fence/frontier/vocab
     summaries ride as broadcast joins as documented."""
