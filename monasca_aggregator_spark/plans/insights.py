@@ -1541,6 +1541,122 @@ GROUP BY bd.depth, bd.n_users
 """.strip()
 
 
+# -------------------------------- wide (multi-word) retention bitmap
+
+
+_RB_BUCKET_MS = 6 * 3600 * 1000   # 6-hour cohort buckets
+_RB_HORIZON = 120                 # 30 days of 6h buckets → 2 words
+_RB_OFFSETS = 120                 # full-horizon triangle: probes word 1
+
+
+def q_events_retention_bitmap_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention triangle at 6-HOUR granularity from per-user activity
+    bitmaps spanning MORE than one machine word — the chunked-word
+    algebra events_retention_bitmap's docstring promises (horizon
+    {_RB_HORIZON} buckets = 2×63-bit words — 63 usable bits per BIGINT,
+    the sign bit stays clear; same per-word bit_or / bit-test algebra,
+    word index = bucket div 63). Exercises real
+    multi-word state on the 30-day test corpus, which a daily-bucket
+    bitmap never leaves word 0 for.
+
+    Out-of-horizon events are filtered explicitly on both engines
+    (Spark's shiftleft wraps mod 64 — the r2 ADVICE class).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch0 = 1_704_067_200_000  # 2024-01-01 UTC, the corpus day-0
+    b = (
+        (F.unix_millis("ts") - F.lit(epoch0)) / F.lit(_RB_BUCKET_MS)
+    ).cast("long")
+    base = (
+        ev.select("user_id", b.alias("b"))
+        .filter(F.col("b").between(0, _RB_HORIZON - 1))
+        .groupBy("user_id", (F.col("b") / F.lit(63)).cast("long").alias("w"))
+        .agg(
+            # 63 bits per word: bit 63 is the sign bit, and DuckDB
+            # (correctly) refuses 1::BIGINT << 63 — same split both sides
+            F.expr(
+                "bit_or(shiftleft(1L, cast(pmod(b, 63) as int)))"
+            ).alias("word")
+        )
+    )
+    words = base.groupBy("user_id").agg(
+        F.max(F.when(F.col("w") == 0, F.col("word"))).alias("w0"),
+        F.max(F.when(F.col("w") == 1, F.col("word"))).alias("w1"),
+    ).select(
+        "user_id",
+        F.coalesce("w0", F.lit(0)).alias("w0"),
+        F.coalesce("w1", F.lit(0)).alias("w1"),
+    )
+    tz0 = F.bit_count((F.col("w0").bitwiseAND(-F.col("w0"))) - F.lit(1))
+    tz1 = F.bit_count((F.col("w1").bitwiseAND(-F.col("w1"))) - F.lit(1))
+    cohort = F.when(F.col("w0") != 0, tz0).otherwise(F.lit(63) + tz1)
+    cohorts = words.withColumn("cohort_b", cohort)
+    offs = F.explode(
+        F.sequence(F.lit(0), F.lit(_RB_OFFSETS - 1))
+    ).alias("offset")
+    cells = (
+        cohorts.select("w0", "w1", "cohort_b", offs)
+        .withColumn("t", F.col("cohort_b") + F.col("offset"))
+        .filter(F.col("t") <= _RB_HORIZON - 1)
+        .withColumn(
+            "bit",
+            F.expr(
+                "(case when t < 63 then shiftright(w0, cast(t as int))"
+                " else shiftright(w1, cast(t - 63 as int)) end) & 1L"
+            ),
+        )
+    )
+    return (
+        cells.groupBy("cohort_b", "offset")
+        .agg(F.sum("bit").alias("retained"))
+        .select(
+            F.col("cohort_b").cast("long").alias("cohort_b"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("retained").cast("long").alias("retained"),
+        )
+    )
+
+
+ORACLE_RETENTION_WIDE = f"""
+WITH e AS (
+  SELECT user_id,
+         (epoch_ms(ts) - 1704067200000) // {_RB_BUCKET_MS} AS b
+  FROM events
+  WHERE (epoch_ms(ts) - 1704067200000) // {_RB_BUCKET_MS}
+        BETWEEN 0 AND {_RB_HORIZON - 1}
+), pw AS (
+  SELECT user_id, b // 63 AS w,
+         bit_or(1::BIGINT << CAST(b % 63 AS INT)) AS word
+  FROM e GROUP BY 1, 2
+), words AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN w = 0 THEN word END), 0) AS w0,
+         coalesce(max(CASE WHEN w = 1 THEN word END), 0) AS w1
+  FROM pw GROUP BY 1
+), c AS (
+  SELECT user_id, w0, w1,
+         CASE WHEN w0 <> 0
+              THEN bit_count(((w0 & -w0) - 1)::BIGINT)
+              ELSE 63 + bit_count(((w1 & -w1) - 1)::BIGINT) END AS cohort_b
+  FROM words
+), cells AS (
+  SELECT cohort_b, o.off AS "offset",
+         CASE WHEN cohort_b + o.off < 63
+              THEN (w0 >> CAST(cohort_b + o.off AS INT)) & 1
+              ELSE (w1 >> CAST(cohort_b + o.off - 63 AS INT)) & 1
+         END AS bit
+  FROM c, (SELECT unnest(range(0, {_RB_OFFSETS})) AS off) o
+  WHERE cohort_b + o.off <= {_RB_HORIZON - 1}
+)
+SELECT CAST(cohort_b AS BIGINT) AS cohort_b,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(sum(bit) AS BIGINT) AS retained
+FROM cells GROUP BY 1, 2
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1559,6 +1675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_repeat_rate": q_orders_repeat_rate,
     "events_markov_accuracy": q_events_markov_accuracy,
     "funnel_window_depth": q_funnel_window_depth,
+    "events_retention_bitmap_wide": q_events_retention_bitmap_wide,
     "corpus_dedup_impact": q_corpus_dedup_impact,
     "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
     "lineitem_ship_delay": q_lineitem_ship_delay,
@@ -1581,6 +1698,7 @@ ORACLES: dict[str, str] = {
     "orders_repeat_rate": ORACLE_REPEAT_RATE,
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
     "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
+    "events_retention_bitmap_wide": ORACLE_RETENTION_WIDE,
     "corpus_dedup_impact": _dedup_impact_oracle(),
     "embedding_pair_cosine_hist": ORACLE_COSINE_HIST,
     "lineitem_ship_delay": ORACLE_SHIP_DELAY,

@@ -218,6 +218,34 @@ def test_funnel_window_depth_sliding_start_and_bound(spark, tmp_path):
     assert got[3].reach_share == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_retention_bitmap_wide_crosses_word_boundary(spark, tmp_path):
+    """A user active in bucket 0 and bucket 70 (6 h buckets) exercises
+    BOTH 63-bit words: cohort 0, retained at offset 70 via word 1."""
+    from monasca_aggregator_spark.plans.insights import (
+        q_events_retention_bitmap_wide,
+    )
+
+    BUCKET_S = 6 * 3600
+    T0_DAY = 19723  # 2024-01-01 in epoch days
+    base = T0_DAY * 86_400
+    rows = [
+        (0, 0, 0, 1, "view", 1.0),
+        (1, 0, 70 * BUCKET_S, 1, "view", 1.0),
+        (2, 0, 65 * BUCKET_S, 2, "view", 1.0),  # cohort IN word 1
+    ]
+    # _write_events uses day*86400+sec; shift into the 2024 epoch
+    rows = [(e, base // 86_400, s, u, t, v) for e, _, s, u, t, v in rows]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort_b, r.offset): r.retained
+        for r in q_events_retention_bitmap_wide(spark, sf).collect()
+    }
+    assert got[(0, 0)] == 1      # user 1 at cohort
+    assert got[(0, 70)] == 1     # ...retained via word 1
+    assert got[(65, 0)] == 1     # user 2's cohort derived FROM word 1
+    assert got.get((0, 1), 0) == 0
+
+
 def test_insights_plan_shapes(spark, sf_small):
     """No row-at-a-time Python anywhere; the fence/frontier/vocab
     summaries ride as broadcast joins as documented."""
