@@ -529,7 +529,7 @@ def q_events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one per-user ordered window (lag) produces integer gap
     seconds; ties broken by event_id so both engines pick the same
     neighbor; moments are exact BIGINT sums (gaps are ≤ ~1e6 s, so
-    Σgap² stays far under int64). Users below {_MIN_EVENTS_CV} events
+    Σgap² stays far under int64). Users below 5 events
     are excluded — CV over 2-3 gaps is noise.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -677,7 +677,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet LM-perplexity filter: word-salad docs that pass the unigram
     gate (right words, wrong order) score low here.
 
-    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), k = {_BIGRAM_K},
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), k = 0.5,
     V = corpus vocabulary. Plan: one exploded-bigram aggregation fits
     the model (vocabulary-bounded); scoring joins each doc's bigrams
     against the broadcast-scale count tables. Determinism: each
@@ -785,7 +785,7 @@ _SLO_TARGET_GOOD = 0.99
 def q_metric_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO error-budget accounting per metric over the dataset span:
     hourly windows are 'good' when their mean value stays within 1.2×
-    the metric's overall mean; with a {_SLO_TARGET_GOOD:.0%} objective
+    the metric's overall mean; with a 99% objective
     the budget is 1% of windows, and the report shows consumed vs
     remaining — the monthly-review view the two-window burn-rate alert
     (metric_burn_rate) escalates into.
@@ -1555,7 +1555,7 @@ def q_events_retention_bitmap_wide(
     """Retention triangle at 6-HOUR granularity from per-user activity
     bitmaps spanning MORE than one machine word — the chunked-word
     algebra events_retention_bitmap's docstring promises (horizon
-    {_RB_HORIZON} buckets = 2×63-bit words — 63 usable bits per BIGINT,
+    120 buckets = 2×63-bit words — 63 usable bits per BIGINT,
     the sign bit stays clear; same per-word bit_or / bit-test algebra,
     word index = bucket div 63). Exercises real
     multi-word state on the 30-day test corpus, which a daily-bucket
