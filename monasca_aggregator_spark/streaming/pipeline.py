@@ -438,6 +438,97 @@ def streaming_ewma(
     )
 
 
+def streaming_window_funnel(
+    events: DataFrame,
+    *,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_ms: int = 6 * 3600 * 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming windowFunnel: per key, the running MAX ordered-chain
+    depth over ``steps`` completable within ``window_ms`` — the live
+    counterpart of plans.insights.q_funnel_window_depth, with O(k)
+    state per key.
+
+    State compression: for each reachable depth d < k the state keeps
+    ONLY the chain with the LATEST start t0 (and its last-event time).
+    That is lossless for in-order streams: a new event extends a
+    depth-d chain iff ``last < ts ≤ t0 + W``; arriving events satisfy
+    ``ts ≥ last`` for every stored chain (event-time order within the
+    watermark, batch rows sorted, descending-depth application), so
+    feasibility depends only on ``t0`` — and the max-``t0`` chain
+    dominates. Expired chains (``t0 + W < ts``) are pruned; expiry of
+    the max-``t0`` chain implies expiry of every chain at that depth.
+    Same in-order caveat as the other stateful ops (state carries in
+    micro-batch arrival order; sort-within-batch handles intra-batch
+    disorder).
+
+    Emits one ``(key, best_depth)`` row per key per micro-batch in
+    update mode.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = f"{key_col} bigint, best_depth int"
+    # t0s/lasts index i ↔ an in-progress chain of depth i+1 (−1 = none)
+    state_schema = "best int, t0s array<bigint>, lasts array<bigint>"
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            best, t0s, lasts = state.get
+            t0s, lasts = list(t0s), list(lasts)
+        else:
+            best, t0s, lasts = 0, [-1] * (k - 1), [-1] * (k - 1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["__ts_us", "__tie"], kind="mergesort"
+            )
+            for ts, et in zip(pdf["__ts_us"], pdf["__etype"]):
+                ts = int(ts)
+                d = step_idx.get(et)
+                if d is None:
+                    continue
+                # prune expired chains
+                for i in range(k - 1):
+                    if t0s[i] >= 0 and t0s[i] + window_ms * 1000 < ts:
+                        t0s[i], lasts[i] = -1, -1
+                # descending depth: one event advances each chain once
+                if d > 0:
+                    i = d - 1
+                    if (
+                        t0s[i] >= 0
+                        and lasts[i] < ts
+                        and ts <= t0s[i] + window_ms * 1000
+                    ):
+                        best = max(best, d + 1)
+                        if d < k - 1 and t0s[i] > t0s[d]:
+                            t0s[d], lasts[d] = t0s[i], ts
+                if d == 0:
+                    best = max(best, 1)
+                    t0s[0], lasts[0] = ts, ts  # newest start = max t0
+        state.update((best, t0s, lasts))
+        yield pd.DataFrame([(key[0], best)], columns=[key_col, "best_depth"])
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(type_col).alias("__etype"),
+        F.col("event_id").cast("long").alias("__tie"),
+    )
+    return prepared.groupBy(F.col(key_col)).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_tdigest_quantile(
     env: DataFrame,
     *,

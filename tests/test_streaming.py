@@ -1364,3 +1364,58 @@ def test_streaming_cdc_latest_equals_batch(spark, tmp_path):
     assert batch[1] == (7.0, "U", 3)  # late view did not displace purchase
     assert 2 not in batch              # deleted
     assert batch[3] == (8.0, "U", 2)
+
+
+def test_streaming_window_funnel_matches_batch(spark, tmp_path):
+    """Streaming windowFunnel (O(k)-state applyInPandasWithState) must
+    reach the SAME final depths as the batch operator on the same
+    events, with chains crossing micro-batch boundaries and the
+    window bound enforced (purchase beyond 6 h does NOT count)."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_window_funnel,
+    )
+
+    H_US = 3_600 * 1_000_000
+    # user 1: full chain, click+purchase in a LATER batch (state carry)
+    # user 2: purchase outside the 6 h window from its only view → 2
+    # user 3: only a click → depth 0 (no chain start)
+    batches = [
+        [(0, 0 * H_US, 1, "view"), (10, 0 * H_US, 2, "view"),
+         (11, 1 * H_US, 2, "click"), (20, 1 * H_US, 3, "click")],
+        [(1, 2 * H_US, 1, "click"), (2, 3 * H_US, 1, "purchase"),
+         (12, 8 * H_US, 2, "purchase")],
+    ]
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    schema = "event_id long, ts_us long, user_id long, event_type string"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = streaming_window_funnel(raw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wf_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("wf_out").collect()
+    # last update per user wins
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.best_depth)
+    assert final[1] == 3   # chain completed across batches
+    assert final[2] == 2   # purchase missed the window
+    assert final[3] == 0   # click without a view never starts a chain
