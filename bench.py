@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "embedding_pair_cosine_hist",
     "lineitem_ship_delay",
     "funnel_window_depth",
+    "corpus_heaps_law",
 ]
 
 

@@ -1657,6 +1657,144 @@ FROM cells GROUP BY 1, 2
 """.strip()
 
 
+# ------------------------------------------- Heaps'-law growth curve
+
+
+_HEAPS_K = 10
+
+
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth fingerprint (Heaps/Herdan law, the companion
+    to corpus_zipf_alpha): cumulative distinct-token count V(N) at 10
+    corpus prefixes (deciles of docs in doc_id order) plus the fitted
+    exponent β of V ≈ K·N^β — natural corpora sit near β ≈ 0.5–0.7;
+    a flat curve flags template spam, a near-linear one OCR noise.
+
+    Scale posture: prefixes come from the distributed NTILE
+    (operators/rank.py — no single-task global sort); each token
+    contributes ONE (first-seen doc) row to the prefix accounting; the
+    OLS runs over ten e6-fixed-point-quantized points, so the fit is
+    exact-integer arithmetic → identical doubles on both engines (the
+    corpus_zipf_alpha convention).
+    """
+    from monasca_aggregator_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ranked = global_rank(
+        per_doc,
+        (F.col("doc_id") / F.lit(1024)).cast("long"),
+        [F.col("doc_id").asc()],
+        rank_col="rk",
+        total_col="n_docs",
+    )
+    deciled = ranked.withColumn(
+        "k", ntile_from_rank(F.col("rk"), F.col("n_docs"), _HEAPS_K)
+    )
+    bounds = deciled.groupBy("k").agg(
+        F.max("doc_id").alias("boundary_doc")
+    )
+    # cumulative tokens per decile boundary (running sum over 10 rows)
+    per_decile_tok = deciled.groupBy("k").agg(F.sum("nt").alias("dt"))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum_tok = per_decile_tok.withColumn("n_tokens_cum", F.sum("dt").over(wk))
+    # vocab at each boundary: tokens whose FIRST doc is ≤ boundary
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    vocab_cum = (
+        first_seen.join(F.broadcast(bounds))
+        .filter(F.col("fd") <= F.col("boundary_doc"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab_cum"))
+    )
+    pts = (
+        cum_tok.join(vocab_cum, "k")
+        .join(bounds, "k")
+        .select("k", "boundary_doc", "n_tokens_cum", "vocab_cum")
+    )
+    lx = F.floor(
+        F.log(F.col("n_tokens_cum").cast("double")) * 1e6 + 0.5
+    ).cast("long")
+    ly = F.floor(
+        F.log(F.col("vocab_cum").cast("double")) * 1e6 + 0.5
+    ).cast("long")
+    g = pts.select(lx.alias("x"), ly.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    fit = g.select(stable_round(beta, 6).alias("heaps_beta"))
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("boundary_doc").cast("long").alias("boundary_doc"),
+            F.col("n_tokens_cum").cast("long").alias("n_tokens_cum"),
+            "vocab_cum",
+            "heaps_beta",
+        )
+    )
+
+
+ORACLE_HEAPS = f"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+), deciled AS (
+  SELECT doc_id, nt, ntile({_HEAPS_K}) OVER (ORDER BY doc_id) AS k
+  FROM per_doc
+), bounds AS (
+  SELECT k, CAST(max(doc_id) AS BIGINT) AS boundary_doc
+  FROM deciled GROUP BY 1
+), cum AS (
+  SELECT k, CAST(sum(sum(nt)) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_tokens_cum
+  FROM deciled GROUP BY k
+), fs AS (
+  SELECT token, min(doc_id) AS fd FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+), vc AS (
+  SELECT b.k, CAST(count(*) AS BIGINT) AS vocab_cum
+  FROM fs, bounds b WHERE fs.fd <= b.boundary_doc GROUP BY 1
+), pts AS (
+  SELECT cum.k, bounds.boundary_doc, cum.n_tokens_cum, vc.vocab_cum
+  FROM cum JOIN vc USING (k) JOIN bounds USING (k)
+), q AS (
+  SELECT CAST(floor(ln(n_tokens_cum::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS x,
+         CAST(floor(ln(vocab_cum::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS y
+  FROM pts
+), fit AS (
+  SELECT {sql_stable_round(
+      "(count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE"
+      " / (count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE", 6)}
+           AS heaps_beta
+  FROM q
+)
+SELECT CAST(k AS BIGINT) AS k, boundary_doc, n_tokens_cum, vocab_cum,
+       heaps_beta
+FROM pts, fit
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1676,6 +1814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_accuracy": q_events_markov_accuracy,
     "funnel_window_depth": q_funnel_window_depth,
     "events_retention_bitmap_wide": q_events_retention_bitmap_wide,
+    "corpus_heaps_law": q_corpus_heaps_law,
     "corpus_dedup_impact": q_corpus_dedup_impact,
     "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
     "lineitem_ship_delay": q_lineitem_ship_delay,
@@ -1699,6 +1838,7 @@ ORACLES: dict[str, str] = {
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
     "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
     "events_retention_bitmap_wide": ORACLE_RETENTION_WIDE,
+    "corpus_heaps_law": ORACLE_HEAPS,
     "corpus_dedup_impact": _dedup_impact_oracle(),
     "embedding_pair_cosine_hist": ORACLE_COSINE_HIST,
     "lineitem_ship_delay": ORACLE_SHIP_DELAY,
