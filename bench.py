@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "lineitem_ship_delay",
     "funnel_window_depth",
     "corpus_heaps_law",
+    "events_ab_test_cuped",
 ]
 
 

@@ -1795,6 +1795,164 @@ FROM pts, fit
 """.strip()
 
 
+# ------------------------------------------------ CUPED A/B analysis
+
+
+_CUPED_SPLIT_DAY = 15  # pre-period = days < 15, post = days ≥ 15
+
+
+def q_events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. WSDM'13,
+    the standard trick on every experimentation platform): per-user
+    pre-period value is the covariate, θ = cov(pre, post)/var(pre),
+    and the adjusted post metric Y − θ(X − μ_X) shrinks variance by
+    the pre/post correlation² without biasing the treatment effect.
+
+    Everything is algebra over ONE exact integer-cent aggregate per
+    user: θ comes from the pooled BIGINT moment sums, per-variant
+    adjusted means expand to Σ_v Y − θ(Σ_v X − n_v·μ_X) — no
+    per-row double accumulation anywhere, so both engines compute
+    identical doubles (the moment-expansion convention of agg_stddev).
+    Output: one row with raw and CUPED-adjusted lift plus the variance
+    reduction factor 1 − ρ².
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # corpus-relative day (epoch 2024-01-01) — absolute epoch days
+    # would put the 15-day split before every event
+    day = (
+        (F.unix_millis("ts") - F.lit(1_704_067_200_000)) / F.lit(_DAY_MS)
+    ).cast("long")
+    e2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            day.alias("day"),
+            e2.alias("e2"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < _CUPED_SPLIT_DAY, F.col("e2")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("day") >= _CUPED_SPLIT_DAY, F.col("e2")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.when(F.col("variant") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(F.lit(0)))
+        .alias("sx0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(F.lit(0)))
+        .alias("sy0"),
+        F.sum(F.when(F.col("variant") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(F.lit(0)))
+        .alias("sx1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(F.lit(0)))
+        .alias("sy1"),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    varx = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vary = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    theta = cov / varx
+    mu_x = F.col("sx").cast("double") / n
+    raw0 = F.col("sy0").cast("double") / F.col("n0").cast("double")
+    raw1 = F.col("sy1").cast("double") / F.col("n1").cast("double")
+    adj0 = raw0 - theta * (
+        F.col("sx0").cast("double") / F.col("n0").cast("double") - mu_x
+    )
+    adj1 = raw1 - theta * (
+        F.col("sx1").cast("double") / F.col("n1").cast("double") - mu_x
+    )
+    rho2 = (cov * cov) / (varx * vary)
+    cents = F.lit(100.0)
+    return m.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        stable_round(theta, 6).alias("theta"),
+        stable_round((raw1 - raw0) / cents, 4).alias("raw_lift"),
+        stable_round((adj1 - adj0) / cents, 4).alias("cuped_lift"),
+        stable_round(F.lit(1.0) - rho2, 6).alias("var_ratio"),
+    )
+
+
+ORACLE_CUPED = f"""
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         CAST(sum(CASE WHEN (epoch_ms(ts) - 1704067200000) // {_DAY_MS}
+                            < {_CUPED_SPLIT_DAY}
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN (epoch_ms(ts) - 1704067200000) // {_DAY_MS}
+                            >= {_CUPED_SPLIT_DAY}
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+  FROM pu
+)
+SELECT n0, n1,
+       {sql_stable_round(
+           "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+           " / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)", 6)}
+         AS theta,
+       {sql_stable_round(
+           "(sy1::DOUBLE / n1::DOUBLE - sy0::DOUBLE / n0::DOUBLE)"
+           " / 100.0::DOUBLE", 4)} AS raw_lift,
+       {sql_stable_round(
+           "((sy1::DOUBLE / n1::DOUBLE"
+           "   - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+           "      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))"
+           "     * (sx1::DOUBLE / n1::DOUBLE - sx::DOUBLE / n::DOUBLE))"
+           "  - (sy0::DOUBLE / n0::DOUBLE"
+           "   - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+           "      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))"
+           "     * (sx0::DOUBLE / n0::DOUBLE - sx::DOUBLE / n::DOUBLE)))"
+           " / 100.0::DOUBLE", 4)} AS cuped_lift,
+       {sql_stable_round(
+           "1.0::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+           " * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))"
+           " / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+           "  * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))", 6)}
+         AS var_ratio
+FROM m
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1815,6 +1973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_window_depth": q_funnel_window_depth,
     "events_retention_bitmap_wide": q_events_retention_bitmap_wide,
     "corpus_heaps_law": q_corpus_heaps_law,
+    "events_ab_test_cuped": q_events_ab_test_cuped,
     "corpus_dedup_impact": q_corpus_dedup_impact,
     "embedding_pair_cosine_hist": q_embedding_pair_cosine_hist,
     "lineitem_ship_delay": q_lineitem_ship_delay,
@@ -1839,6 +1998,7 @@ ORACLES: dict[str, str] = {
     "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
     "events_retention_bitmap_wide": ORACLE_RETENTION_WIDE,
     "corpus_heaps_law": ORACLE_HEAPS,
+    "events_ab_test_cuped": ORACLE_CUPED,
     "corpus_dedup_impact": _dedup_impact_oracle(),
     "embedding_pair_cosine_hist": ORACLE_COSINE_HIST,
     "lineitem_ship_delay": ORACLE_SHIP_DELAY,

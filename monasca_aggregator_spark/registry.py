@@ -81,9 +81,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "funnel_conversion", "sessions_user", "moving_avg_user",
 #     "lag_delta_user", "running_total_user",
 # )
-# Round-6 rotation (staged): the 21 oracle-backed keys added in r3
+# Round-6 rotation (staged): the 22 oracle-backed keys added in r3
 # (plans/insights.py) plus split_group_aware (the one key still
-# without any driver row after r3-r5), then 28 r1-green
+# without any driver row after r3-r5), then 27 r1-green
 # re-confirmations — after r6 every key has a driver row at most
 # 5 rounds old.
 # _DRIVER_WINDOW_R6: tuple[str, ...] = (
@@ -96,7 +96,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "corpus_dedup_impact", "embedding_pair_cosine_hist",
 #     "lineitem_ship_delay", "graph_degree_hist",
 #     "funnel_window_depth", "events_retention_bitmap_wide",
-#     "corpus_heaps_law",
+#     "corpus_heaps_law", "events_ab_test_cuped",
 #     "split_group_aware", "agg_filtered",
 #     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
 #     "agg_distinct_users", "agg_median", "agg_distinct_hll",
@@ -106,7 +106,6 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "tpch_q4_semijoin", "tpch_q22_antijoin", "tpch_q19_disjunct",
 #     "argmax_per_group", "rollup_pricing", "cube_volume",
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
-#     "tpch_q9_profit",
 # )
 # Round-3 ACTIVE window: the 50 oldest of the 51 oracle-backed keys
 # with no driver check after r1+r2 (scd2_user_tier rolls to r4).
