@@ -271,3 +271,50 @@ def test_load_evolving_merges_schemas_and_backfills(spark, tmp_path):
         for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {"unknown": 2, "en": 1, "de": 1}
+
+
+def test_range_sorted_layout_enables_rowgroup_skipping(
+    spark, sf_small, tmp_path
+):
+    """The read-side payoff of the range-sorted layout: the predicate
+    reaches the parquet scan (PushedFilters) AND every row group
+    carries tight doc_id min/max statistics, so the reader can skip
+    whole row groups by stats — the mechanism that turns a selective
+    point/range query on 100 TB into a handful of row-group reads."""
+    import pyarrow.parquet as pq
+
+    from monasca_aggregator_spark.sources.sinks import write_range_sorted
+    from tests.conftest import explain_str
+
+    docs = load_table(spark, sf_small, "documents").repartition(8)
+    out = tmp_path / "rs"
+    write_range_sorted(docs, str(out), ["doc_id"], n_shards=4)
+
+    lo, hi = 10, 20
+    back = spark.read.parquet(str(out)).filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    )
+    plan = explain_str(back)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(doc_id" in plan
+
+    # every row group must carry doc_id stats; globally they must be
+    # selective: only a minority of row groups intersect [lo, hi]
+    n_rg, n_hit = 0, 0
+    for f in _parquet_files(out):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        ci = idx["doc_id"]
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(ci).statistics
+            assert st is not None and st.has_min_max
+            n_rg += 1
+            if not (st.max < lo or st.min > hi):
+                n_hit += 1
+    assert n_rg >= 4
+    assert n_hit < n_rg, "a sorted layout must let most row groups skip"
+    assert back.count() == docs.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    ).count()
