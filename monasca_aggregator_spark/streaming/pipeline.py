@@ -438,6 +438,38 @@ def streaming_ewma(
     )
 
 
+def streaming_daily_active_users(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming EXACT DAU: distinct users per event-time day on a
+    live stream. ``count(DISTINCT ...)`` is unsupported in streaming
+    aggregations, so this uses the canonical two-stage rewrite:
+    watermark-bounded ``dropDuplicates`` on (user, day) — state holds
+    one row per distinct pair inside the watermark horizon, GC'd as
+    the watermark advances — then an ordinary windowed count, which is
+    algebraic and restart-safe. Exact, unlike the
+    ``approx_count_distinct`` shortcut; the same rewrite is the 100 TB
+    batch plan's shape too (pairs-then-count), so batch and stream
+    share semantics by construction. Emits (day_ms, dau) in update
+    mode.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    pairs = (
+        events.select(F.col(key_col), day.alias("__day"))
+        .withWatermark("__day", watermark)
+        .dropDuplicates([key_col, "__day"])
+    )
+    return (
+        pairs.groupBy("__day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.unix_millis("__day").alias("day_ms"), "dau")
+    )
+
+
 def streaming_window_funnel(
     events: DataFrame,
     *,

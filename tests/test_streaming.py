@@ -1419,3 +1419,53 @@ def test_streaming_window_funnel_matches_batch(spark, tmp_path):
     assert final[1] == 3   # chain completed across batches
     assert final[2] == 2   # purchase missed the window
     assert final[3] == 0   # click without a view never starts a chain
+
+
+def test_streaming_exact_dau_matches_batch(spark, tmp_path):
+    """Streaming DAU (dropDuplicates → windowed count) equals the
+    batch distinct count per day, including a duplicate user arriving
+    again in a LATER micro-batch (dedup state must carry)."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_daily_active_users,
+    )
+
+    DAY_US = 86_400 * 1_000_000
+    # Base day well past epoch: ts == watermark-init (0) is treated as
+    # late by the dedup state store, so epoch-day-0 data is degenerate.
+    B = 19_723  # 2024-01-01
+    batches = [
+        [(0, B * DAY_US + 1, 1), (1, B * DAY_US + 2, 2),
+         (2, (B + 1) * DAY_US + 5, 1)],
+        # user 1 day 0 again (cross-batch dup) + new user day 1
+        [(3, B * DAY_US + 9, 1), (4, (B + 1) * DAY_US + 9, 3)],
+    ]
+    src = tmp_path / "dau_src"
+    src.mkdir()
+    schema = "event_id long, ts_us long, user_id long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        streaming_daily_active_users(raw)
+        .writeStream.format("memory")
+        .queryName("dau_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.table("dau_out").collect():
+        final[r.day_ms] = max(final.get(r.day_ms, 0), r.dau)
+    assert final[B * 86_400_000] == 2         # users 1,2 — dup NOT recounted
+    assert final[(B + 1) * 86_400_000] == 2   # users 1,3
