@@ -1,0 +1,518 @@
+"""Distribution-statistics additions (late round 3): inequality,
+conformance, survival, rank-correlation and backlog accounting.
+
+Reference parity: the reference engine (Go, ~/reference) exposes only
+windowed sum/count/avg/min/max/delta/rate; these queries extend the
+same relational surface to the distribution-shape questions an
+operator of that system asks next ("is revenue concentrated?", "does
+the value stream look fabricated?", "how long until the second
+conversion?"). All are expressed Spark-first and oracle-backed.
+
+Cross-engine exactness: every count/sum rides as BIGINT (DECIMAL(38,0)
+where products of ranks can pass 2^63 at corpus scale — DuckDB's
+HUGEINT mirrors it); each emitted double is ONE division of exact
+integers passed through ``stable_round``'s shared
+floor(x·10^d + 0.5)/10^d algebra.
+
+Scale posture: no global single-task windows — global/grouped ranks go
+through the bucket-histogram offset scheme (operators/rank.py); the
+only unpartitioned windows here run over bounded summaries (9 Benford
+digits, ~36 duration days, ~90 months).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.functions.text import tokens
+from monasca_aggregator_spark.operators.rank import global_rank
+from monasca_aggregator_spark.sources.tables import load_table
+
+_DAY_MS = 86_400_000
+_DEC = "decimal(38,0)"
+
+
+# ------------------------------------------- Gini coefficient per nation
+
+
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-inequality audit: per nation, the Gini coefficient of
+    customer order-revenue — the Lorenz-curve summary beside
+    ``orders_concentration_hhi``'s Σshare² (HHI weights whales, Gini
+    weights the whole curve).
+
+    With per-customer revenue a₁≤…≤aₙ (ties broken by custkey) and
+    rank i, G = (2·Σi·aᵢ − (n+1)·T) / (n·T) — every term an exact
+    integer, one final division.
+
+    Scale: ranking inside a nation NEVER funnels the nation through one
+    task (the naive ``row_number() OVER (PARTITION BY nation)`` would —
+    25 tasks for the whole corpus). Rows bucket by revenue (monotone
+    coarsening, a div 1024), rank locally per (nation, bucket), and a
+    per-nation prefix sum over the tiny (nation, bucket) histogram
+    broadcasts start offsets back: i = offset + local rank. Σi·aᵢ
+    accumulates in DECIMAL(38,0) (i·a reaches ~n²·max_a ≈ 10²² at
+    100 TB, past BIGINT).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("rev").alias("a"))
+        .withColumn("_b", (F.col("a") / F.lit(1024)).cast("long"))
+    )
+    local_w = Window.partitionBy("c_nationkey", "_b").orderBy(
+        "a", "c_custkey"
+    )
+    ranked = per_cust.withColumn("_lr", F.row_number().over(local_w))
+    hist = per_cust.groupBy("c_nationkey", "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # tiny relation (|nations| × |revenue buckets| rows): the prefix
+    # window scans the histogram, never the customer table
+    off_w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = hist.select(
+        "c_nationkey",
+        "_b",
+        (F.sum("_n").over(off_w) - F.col("_n")).alias("_off"),
+    )
+    with_rank = ranked.join(
+        F.broadcast(offsets), ["c_nationkey", "_b"]
+    ).withColumn("i", (F.col("_off") + F.col("_lr")).cast("long"))
+    per_nation = with_rank.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("t"),
+        F.sum(F.col("i").cast(_DEC) * F.col("a").cast(_DEC)).alias("s"),
+    )
+    num = (
+        F.lit(2).cast(_DEC) * F.col("s")
+        - (F.col("n") + F.lit(1)).cast(_DEC) * F.col("t").cast(_DEC)
+    ).cast("double")
+    den = (F.col("n").cast(_DEC) * F.col("t").cast(_DEC)).cast("double")
+    out = per_nation.join(
+        F.broadcast(nation),
+        per_nation["c_nationkey"] == nation["n_nationkey"],
+    )
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("revenue"),
+        stable_round(num / den, 6).alias("gini"),
+    )
+
+
+ORACLE_GINI = f"""
+WITH pc AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS a
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_nationkey, a,
+         row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY a, o_custkey
+         ) AS i
+  FROM pc
+), pn AS (
+  SELECT c_nationkey,
+         count(*) AS n,
+         CAST(sum(a) AS BIGINT) AS t,
+         sum(CAST(i AS HUGEINT) * a) AS s
+  FROM r GROUP BY 1
+)
+SELECT nn.n_name AS nation,
+       CAST(pn.n AS BIGINT) AS n_customers,
+       pn.t AS revenue,
+       {sql_stable_round(
+           "CAST(2 * pn.s - (pn.n + 1) * CAST(pn.t AS HUGEINT) AS DOUBLE)"
+           " / CAST(CAST(pn.n AS HUGEINT) * pn.t AS DOUBLE)", 6)} AS gini
+FROM pn JOIN nation nn ON nn.n_nationkey = pn.c_nationkey
+""".strip()
+
+
+# ------------------------------------------------ Benford's-law audit
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit over order totals — the
+    classic fabricated-data screen (naturally-grown monetary amounts
+    lead with '1' ~30.1% of the time; uniform or invented values
+    don't). Emits, per leading digit 1–9, the observed count/share and
+    the deviation from log₁₀(1 + 1/d).
+
+    Plan: one scan → 9-group aggregate (map-side partials); the total
+    rides a window over those 9 rows. Shares are one exact-integer
+    division; the Benford expectation is scalar double math identical
+    in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice")).cast("long").alias("v")
+    )
+    digits = (
+        orders.filter(F.col("v") >= 1)
+        .select(
+            F.substring(F.col("v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = digits.withColumn("_t", F.sum("observed").over(tot_w))
+    share = F.col("observed").cast("double") / F.col("_t").cast("double")
+    expected = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    return with_tot.select(
+        "digit",
+        "observed",
+        stable_round(share, 6).alias("share"),
+        stable_round(expected, 6).alias("expected"),
+        stable_round(share - expected, 6).alias("deviation"),
+    )
+
+
+ORACLE_BENFORD = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE floor(o_totalprice) >= 1
+), g AS (
+  SELECT digit, count(*) AS observed FROM d GROUP BY 1
+), t AS (
+  SELECT digit, observed, sum(observed) OVER () AS tot FROM g
+)
+SELECT digit, observed,
+       {sql_stable_round(
+           "CAST(observed AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share,
+       {sql_stable_round(
+           "log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(digit AS DOUBLE))",
+           6)} AS expected,
+       {sql_stable_round(
+           "CAST(observed AS DOUBLE) / CAST(tot AS DOUBLE)"
+           " - log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(digit AS DOUBLE))",
+           6)} AS deviation
+FROM t
+""".strip()
+
+
+# --------------------------------------- discrete survival hazard table
+
+
+def q_events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-purchase survival table (the Kaplan-Meier
+    ingredient): for each whole day d since a user's FIRST purchase,
+    how many users were still at risk, how many had their second
+    purchase that day (deaths), and how many ran out of observation
+    window (censored at the stream frontier). hazard(d) =
+    deaths/at_risk — the exact discrete-time hazard; S(t) is its
+    running product downstream.
+
+    Plan: purchases rank per user (high-cardinality key — full
+    parallelism), collapse to one (first_ts, second_ts) row per user,
+    censor against the broadcast 1-row stream frontier, then aggregate
+    to a ≤|days| table; the at-risk prefix runs over THAT table, never
+    the events. Every emitted number except hazard is an exact BIGINT;
+    hazard is one division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    per_user = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("ms"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("ms"))).alias("t2"),
+        )
+    )
+    frontier = ev.agg(F.max(F.unix_millis("ts")).alias("fr"))
+    per_user = per_user.crossJoin(F.broadcast(frontier))
+    dur = F.floor(
+        (F.coalesce(F.col("t2"), F.col("fr")) - F.col("t1"))
+        / F.lit(_DAY_MS)
+    ).cast("long")
+    event = F.col("t2").isNotNull()
+    day_tbl = (
+        per_user.select(dur.alias("day"), event.alias("e"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("e").cast("long")).alias("deaths"),
+            F.sum((~F.col("e")).cast("long")).alias("censored"),
+        )
+    )
+    # bounded summary: one row per whole day of follow-up
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    leaving = F.col("deaths") + F.col("censored")
+    out = day_tbl.select(
+        "day",
+        "deaths",
+        "censored",
+        (
+            F.sum(leaving).over(tot_w)
+            - (F.sum(leaving).over(cum_w) - leaving)
+        ).alias("at_risk"),
+    )
+    return out.select(
+        "day",
+        "at_risk",
+        "deaths",
+        "censored",
+        stable_round(
+            F.col("deaths").cast("double") / F.col("at_risk").cast("double"),
+            6,
+        ).alias("hazard"),
+    )
+
+
+ORACLE_SURVIVAL = f"""
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS rn
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN ms END) AS t1,
+         max(CASE WHEN rn = 2 THEN ms END) AS t2
+  FROM p WHERE rn <= 2 GROUP BY 1
+), f AS (
+  SELECT max(epoch_ms(ts)) AS fr FROM events
+), d AS (
+  SELECT CAST(floor((coalesce(t2, f.fr) - t1) / {_DAY_MS})
+              AS BIGINT) AS day,
+         (t2 IS NOT NULL) AS e
+  FROM u CROSS JOIN f
+), g AS (
+  SELECT day,
+         CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+         CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS censored
+  FROM d GROUP BY 1
+), a AS (
+  SELECT day, deaths, censored,
+         CAST(sum(deaths + censored) OVER ()
+              - (sum(deaths + censored) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - (deaths + censored)) AS BIGINT) AS at_risk
+  FROM g
+)
+SELECT day, at_risk, deaths, censored,
+       {sql_stable_round(
+           "CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)", 6)} AS hazard
+FROM a
+""".strip()
+
+
+# ------------------------------------- exact Spearman rank correlation
+
+
+def q_corpus_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between document length
+    (n_chars) and whitespace-token count — the monotone-association
+    readout a curation pipeline runs before trusting one signal as a
+    proxy for the other (Pearson exists as metric_correlation; Spearman
+    is outlier-robust).
+
+    Ranks are tie-broken by doc_id, so both engines produce the
+    IDENTICAL integer rank permutation and ρ = 1 − 6Σd²/(n(n²−1)) is
+    exact integer math into one division.
+
+    Scale: both rankings use operators/rank.py's bucket-histogram
+    global rank (no single-task global sort); Σd² accumulates in
+    DECIMAL(38,0) — d² reaches n² ≈ 10¹⁸ and the sum 10²⁷ at 10⁹ docs,
+    past BIGINT (DuckDB mirrors with HUGEINT).
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    rx = global_rank(
+        docs,
+        (F.col("x") / F.lit(64)).cast("long"),
+        [F.col("x"), F.col("doc_id")],
+        rank_col="rx",
+    )
+    rxy = global_rank(
+        rx,
+        (F.col("y") / F.lit(16)).cast("long"),
+        [F.col("y"), F.col("doc_id")],
+        rank_col="ry",
+        total_col="n_total",
+    )
+    d = (F.col("rx") - F.col("ry")).cast(_DEC)
+    s = rxy.agg(
+        F.max("n_total").alias("n"),
+        F.sum(d * d).alias("d2"),
+    )
+    nd = F.col("n").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("d2").cast("double") / (
+        nd * (nd * nd - F.lit(1.0))
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("d2").cast("long").alias("sum_d2"),
+        stable_round(rho, 6).alias("spearman"),
+    )
+
+
+ORACLE_SPEARMAN = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS y
+  FROM documents
+), r AS (
+  SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+         row_number() OVER (ORDER BY y, doc_id) AS ry
+  FROM t
+), s AS (
+  SELECT count(*) AS n,
+         sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS d2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(d2 AS BIGINT) AS sum_d2,
+       {sql_stable_round(
+           "1.0::DOUBLE - 6.0::DOUBLE * CAST(d2 AS DOUBLE)"
+           " / (CAST(n AS DOUBLE)"
+           "    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0::DOUBLE))",
+           6)} AS spearman
+FROM s
+""".strip()
+
+
+# --------------------------------------------- open-order backlog series
+
+
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: per calendar month, how many
+    orders opened, how many finished shipping (an order closes the
+    month AFTER its last lineitem ships), and how many were open at
+    month end — the operational WIP gauge (Little's law numerator)
+    that the reference's windowed counters can't see because it needs
+    interval, not point, semantics.
+
+    Sweep-line rewrite of the interval overlap (the
+    sessions_concurrency pattern on a fact⋈fact lifecycle): +1 at the
+    open month, −1 after the close month, prefix-summed over the tiny
+    month table — never a per-month interval join. Orders without
+    lineitems (none at any tested SF) would drop from the inner join;
+    exact BIGINT throughout.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship"))
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "om"
+        ),
+        (F.year("ship") * 12 + F.month("ship")).alias("cm"),
+    )
+    opened = j.groupBy(F.col("om").alias("m")).agg(
+        F.count(F.lit(1)).alias("opened")
+    )
+    closed = j.groupBy(F.col("cm").alias("m")).agg(
+        F.count(F.lit(1)).alias("closed")
+    )
+    months = opened.join(closed, "m", "full_outer").select(
+        "m",
+        F.coalesce("opened", F.lit(0)).alias("opened"),
+        F.coalesce("closed", F.lit(0)).alias("closed"),
+    )
+    # bounded summary: one row per month over the dataset's time span
+    cum_w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return months.select(
+        (F.col("m") / F.lit(12)).cast("long").alias("year"),
+        (F.col("m") % 12 + 1).cast("int").alias("month"),
+        "opened",
+        "closed",
+        (
+            F.sum("opened").over(cum_w) - F.sum("closed").over(cum_w)
+        ).alias("backlog"),
+    )
+
+
+ORACLE_BACKLOG = """
+WITH li AS (
+  SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), j AS (
+  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS om,
+         year(li.ship) * 12 + month(li.ship) AS cm
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+), opened AS (
+  SELECT om AS m, count(*) AS opened FROM j GROUP BY 1
+), closed AS (
+  SELECT cm AS m, count(*) AS closed FROM j GROUP BY 1
+), months AS (
+  SELECT coalesce(opened.m, closed.m) AS m,
+         CAST(coalesce(opened, 0) AS BIGINT) AS opened,
+         CAST(coalesce(closed, 0) AS BIGINT) AS closed
+  FROM opened FULL OUTER JOIN closed ON opened.m = closed.m
+)
+SELECT CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS INT) AS month,
+       opened, closed,
+       CAST(sum(opened) OVER w - sum(closed) OVER w AS BIGINT) AS backlog
+FROM months
+WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "revenue_gini_by_nation": q_revenue_gini_by_nation,
+    "orders_benford": q_orders_benford,
+    "events_survival_hazard": q_events_survival_hazard,
+    "corpus_spearman": q_corpus_spearman,
+    "orders_backlog": q_orders_backlog,
+}
+
+ORACLES: dict[str, str] = {
+    "revenue_gini_by_nation": ORACLE_GINI,
+    "orders_benford": ORACLE_BENFORD,
+    "events_survival_hazard": ORACLE_SURVIVAL,
+    "corpus_spearman": ORACLE_SPEARMAN,
+    "orders_backlog": ORACLE_BACKLOG,
+}

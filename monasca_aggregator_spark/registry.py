@@ -179,6 +179,7 @@ def _modules():
         "series_ext",
         "advanced",
         "insights",
+        "stats",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the

@@ -1,0 +1,215 @@
+"""plans/stats.py semantics pins on hand-built data. The DuckDB oracle
+gate covers full-output parity at sf0.01; these pin the closed-form
+behaviors a hash can't explain (Gini extremes, Benford algebra,
+censoring, rank-correlation extremes, sweep-line backlog)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from tests.conftest import explain_str
+
+DAY = 86_400
+
+
+def _ts(day, sec=0):
+    return datetime.fromtimestamp(day * DAY + sec, tz=timezone.utc)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def _tpch_dims(spark, tmp_path):
+    _write(
+        spark,
+        tmp_path,
+        "nation",
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark,
+        tmp_path,
+        "customer",
+        [(i, f"c{i}", i // 4, 0.0, "SEG") for i in range(8)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal revenues → Gini 0; one whale → the closed-form value
+    (a=[1,1,1,97]: G = (2·394 − 5·100)/(4·100) = 0.72)."""
+    from monasca_aggregator_spark.plans.stats import (
+        q_revenue_gini_by_nation,
+    )
+
+    _tpch_dims(spark, tmp_path)
+    orders, ok = [], 0
+    for cust in range(4):  # nation 0: all equal
+        orders.append((ok, cust, "O", 10.0, _ts(0), "P"))
+        ok += 1
+    for cust, rev in zip(range(4, 8), [1.0, 1.0, 1.0, 97.0]):
+        orders.append((ok, cust, "O", rev, _ts(0), "P"))
+        ok += 1
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = {
+        r.nation: r
+        for r in q_revenue_gini_by_nation(spark, str(tmp_path)).collect()
+    }
+    assert out["ALPHA"].gini == 0.0
+    assert out["ALPHA"].revenue == 40
+    assert math.isclose(out["BETA"].gini, 0.72, abs_tol=1e-9)
+    # scale shape: rank offsets and the nation dim ride broadcast joins
+    plan = explain_str(q_revenue_gini_by_nation(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_benford_algebra(spark, tmp_path):
+    """30 values leading with '1', 10 with '2': shares 0.75/0.25 and
+    deviation = share − log10(1 + 1/d) exactly."""
+    from monasca_aggregator_spark.plans.stats import q_orders_benford
+
+    rows = [(i, 0, "O", 150.0, _ts(0), "P") for i in range(30)]
+    rows += [(30 + i, 0, "O", 25.0, _ts(0), "P") for i in range(10)]
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = {r.digit: r for r in q_orders_benford(spark, str(tmp_path)).collect()}
+    assert out[1].observed == 30 and out[2].observed == 10
+    assert math.isclose(out[1].share, 0.75, abs_tol=1e-9)
+    exp1 = math.log10(2.0)
+    assert math.isclose(out[1].expected, round(exp1, 6), abs_tol=1e-6)
+    assert math.isclose(
+        out[1].deviation, 0.75 - out[1].expected, abs_tol=1e-6
+    )
+    assert math.isclose(sum(r.share for r in out.values()), 1.0, abs_tol=1e-6)
+
+
+def test_survival_hazard_censoring(spark, tmp_path):
+    """User A: purchases day 0 and day 3 → death at duration 3.
+    User B: one purchase day 0, stream frontier day 10 → censored at
+    10. at_risk counts down as users leave; hazard = deaths/at_risk."""
+    from monasca_aggregator_spark.plans.stats import (
+        q_events_survival_hazard,
+    )
+
+    rows = [
+        (0, _ts(0), 1, "purchase", 1.0, "{}"),
+        (1, _ts(3), 1, "purchase", 1.0, "{}"),
+        (2, _ts(0), 2, "purchase", 1.0, "{}"),
+        (3, _ts(10), 9, "view", 1.0, "{}"),  # frontier, not a purchase
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.day: r for r in q_events_survival_hazard(spark, str(tmp_path)).collect()}
+    assert set(out) == {3, 10}
+    assert out[3].at_risk == 2 and out[3].deaths == 1 and out[3].censored == 0
+    assert math.isclose(out[3].hazard, 0.5, abs_tol=1e-9)
+    assert out[10].at_risk == 1 and out[10].deaths == 0 and out[10].censored == 1
+    assert out[10].hazard == 0.0
+
+
+def _docs(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def test_spearman_extremes(spark, tmp_path):
+    """Token count monotone in length → ρ = 1; anti-monotone → ρ = −1
+    (exact, since ranks are tie-broken integers)."""
+    from monasca_aggregator_spark.plans.stats import q_corpus_spearman
+
+    _docs(spark, tmp_path, ["a", "b c", "d e f", "g h i j"])
+    r = q_corpus_spearman(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 4 and r.sum_d2 == 0 and r.spearman == 1.0
+
+    # longer text, FEWER tokens: pad with a single long token
+    _docs(
+        spark,
+        tmp_path,
+        ["a b c d", "bb cc e", "ccccc f", "ddddddddd"],
+    )
+    r = q_corpus_spearman(spark, str(tmp_path)).collect()[0]
+    assert r.spearman == -1.0
+
+
+def test_backlog_sweep_line(spark, tmp_path):
+    """Order 1 opens Jan, last ship Jan (closes into Feb); order 2
+    opens Jan, last ship Mar (closes into Apr). Backlog: Jan 2, Feb 1,
+    Apr 0."""
+    from monasca_aggregator_spark.plans.stats import q_orders_backlog
+
+    jan, feb, mar = (
+        datetime(2024, 1, 10, tzinfo=timezone.utc),
+        datetime(2024, 2, 5, tzinfo=timezone.utc),
+        datetime(2024, 3, 20, tzinfo=timezone.utc),
+    )
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        [(1, 0, "O", 10.0, jan, "P"), (2, 0, "O", 10.0, jan, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        [
+            (1, 0, 0, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", jan),
+            (2, 0, 0, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", jan),
+            (2, 0, 0, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", mar),
+        ],
+        li_schema,
+    )
+    out = {
+        (r.year, r.month): r
+        for r in q_orders_backlog(spark, str(tmp_path)).collect()
+    }
+    assert out[(2024, 1)].opened == 2 and out[(2024, 1)].backlog == 2
+    assert out[(2024, 2)].closed == 1 and out[(2024, 2)].backlog == 1
+    assert out[(2024, 4)].closed == 1 and out[(2024, 4)].backlog == 0
