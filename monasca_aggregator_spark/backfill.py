@@ -27,8 +27,6 @@ range repairable.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +36,31 @@ from monasca_aggregator_spark.models import AggregationSpec
 from monasca_aggregator_spark.operators.aggregate import build_aggregation
 
 DAY_MS = 86_400_000
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API so
+    the vanished-partition contract holds on ANY store the session can
+    write (local, HDFS, S3A, ...) — a local-only shutil.rmtree would
+    silently no-op on remote URIs and leave the stale partition alive
+    (r3 ADVICE). Missing paths are a no-op, matching rmtree's
+    ignore_errors semantics."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    fs.delete(jpath, True)
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """URI-scheme-aware existence check (same rationale as _fs_delete)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return bool(fs.exists(jpath))
 
 
 def backfill_windows(
@@ -77,7 +100,7 @@ def backfill_windows(
             - F.pmod(F.col("window_ts_ms"), F.lit(DAY_MS)),
         )
     )
-    if not os.path.exists(target_path):
+    if not _fs_exists(spark, target_path):
         flat.write.partitionBy("day_ms").parquet(target_path)
         return flat.drop("day_ms")
     base = spark.read.parquet(target_path)
@@ -121,10 +144,7 @@ def backfill_windows(
         }
         for d in touched_days:
             if d not in present:
-                shutil.rmtree(
-                    os.path.join(target_path, f"day_ms={d}"),
-                    ignore_errors=True,
-                )
+                _fs_delete(spark, f"{target_path}/day_ms={d}")
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        _fs_delete(spark, staging)
     return flat.drop("day_ms")

@@ -240,7 +240,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Raises ValueError on malformed input and NotImplementedError on
     progressive/arithmetic/12-bit streams (the documented stub edge —
     callers surface either as per-row nulls, never task failures).
+    Truncated or internally-inconsistent streams surface from the
+    marker loop / entropy decoder as IndexError (slice past EOF) or
+    KeyError (scan referencing an undefined Huffman/quant table id);
+    both are normalized to ValueError here so the call-site contract
+    ("malformed payloads yield null") holds for every corrupt input.
     """
+    try:
+        return _decode_jpeg_checked(payload)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"truncated or malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}

@@ -59,11 +59,65 @@ def _pareto_mask(vals) -> "list[int]":
     return keep
 
 
+def _skyline_2d(
+    df: DataFrame, cols: Sequence[str], signs: Sequence[float]
+) -> DataFrame:
+    """Exact 2-D skyline as pure DataFrame ops (no Arrow stages).
+
+    In signed (maximize-both) space, a point survives iff (a) its
+    ``s1`` equals the max ``s1`` among points sharing its ``s0`` and
+    (b) that group max STRICTLY exceeds the running max of group maxes
+    over all strictly-greater ``s0`` — the classic 2-D sweep, folded
+    to the aggregated domain: groupBy ``s0`` (one shuffle over
+    |distinct s0| groups), one ordered window over the TINY aggregated
+    relation (same aggregate-then-window pattern as the
+    weighted-median rewrite), then a broadcast semi-join back. Rows
+    with NULL/NaN dims are mutually non-dominated (matching
+    ``_pareto_mask``'s NaN comparison semantics) and pass through
+    unfiltered.
+
+    Scale note: the single-task window runs over one row per distinct
+    ``s0`` value — fine for the discrete/integer dims (token counts,
+    cents) this operator selects on; a truly continuous first dim
+    degrades it to n rows, where the generic two-phase path
+    (``algo="generic"``) is the right tool.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s0 = (F.col(cols[0]).cast("double") * F.lit(signs[0])).alias("__s0")
+    s1 = (F.col(cols[1]).cast("double") * F.lit(signs[1])).alias("__s1")
+    tagged = df.select("*", s0, s1)
+    bad = (
+        F.col("__s0").isNull()
+        | F.col("__s1").isNull()
+        | F.isnan("__s0")
+        | F.isnan("__s1")
+    )
+    null_rows = tagged.filter(bad).drop("__s0", "__s1")
+    pts = tagged.filter(~bad)
+    per0 = pts.groupBy("__s0").agg(F.max("__s1").alias("__m1"))
+    higher = (
+        Window.orderBy(F.col("__s0").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per0.withColumn("__hi", F.max("__m1").over(higher))
+        .filter(F.col("__hi").isNull() | (F.col("__m1") > F.col("__hi")))
+        .select("__s0", F.col("__m1").alias("__s1"))
+    )
+    kept = pts.join(
+        F.broadcast(frontier), ["__s0", "__s1"], "left_semi"
+    ).drop("__s0", "__s1")
+    return kept.unionByName(null_rows)
+
+
 def skyline(
     df: DataFrame,
     dims: Sequence[tuple[str, str]],
     *,
     prefilter: bool = False,
+    algo: str = "auto",
 ) -> DataFrame:
     """Rows not dominated on ``dims`` — [(column, "max"|"min"), ...].
 
@@ -72,42 +126,46 @@ def skyline(
     non-dominated and both kept).
 
     ``prefilter=True`` adds an SFS-style (sort-filter-skyline family)
-    reduction ahead of phase 1: the plan computes — as broadcast 1-row
-    aggregates, no driver collect — a REAL reference point maximizing
-    the sum of min-max-normalized dims, and drops every row it
-    strictly dominates with a whole-stage-codegen JVM filter. Rows
-    dominated by any real point are by definition off the frontier, so
-    the result is exact; what it buys is that the O(n·|frontier|)
-    Python dominance loop only ever sees the pre-filter's survivors —
-    at 100 TB the Arrow stages receive a frontier-sized slice instead
-    of the corpus. Rows with NULL dims pass the pre-filter untouched
-    (NaN rows are mutually non-dominated in the exact phases too).
+    reduction ahead of phase 1: ONE extra aggregation pass computes —
+    as a broadcast 1-row aggregate, no driver collect — k REAL corner
+    reference points (for each dim, the row maximizing that signed
+    dim via ``max_by``), and a whole-stage-codegen JVM filter drops
+    every row strictly dominated by ANY of them. Rows dominated by a
+    real point are by definition off the frontier, so the result is
+    exact; what it buys is that the O(n·|frontier|) Python dominance
+    loop only ever sees the pre-filter's survivors — at 100 TB the
+    Arrow stages receive a frontier-sized slice instead of the
+    corpus. Rows with NULL dims pass the pre-filter untouched (NaN
+    rows are mutually non-dominated in the exact phases too).
 
-    The pre-filter reads the input three times (min/max, reference
-    point, filter), so the input is persisted MEMORY_AND_DISK for the
-    duration — pass a SLIM relation (keys + dim columns), not one
-    carrying derived heavyweight columns: re-deriving a tokenization
-    three times costs more than the Python loop it saves.
+    The pre-filter is a single extra read of the input (the corner
+    aggregate; the filter fuses into phase 1's scan) and keeps the
+    whole plan lazy — no persist, no cached-partition lifetime for
+    the caller to manage (the r3-ADVICE leak), and column pruning
+    means the extra read touches only the dim columns.
 
-    Default OFF: measured at sf0.1 (50k docs, local[32]) the three
-    extra job launches cost more than the Python loop they shrink
-    (6.4 s vs 4.3 s end-to-end) — job-launch overhead dominates at
-    small n. Turn it on when n is large enough that the local-phase
-    dominance loop, not stage scheduling, is the bottleneck (the
-    100 TB regime it exists for).
+    Default OFF: measured at sf0.1 (50k docs, local[32]) the extra
+    job launch costs more than the Python loop it shrinks — job
+    launch overhead dominates at small n. Turn it on when n is large
+    enough that the local-phase dominance loop, not stage scheduling,
+    is the bottleneck (the 100 TB regime it exists for).
     """
     for _, sense in dims:
         if sense not in ("max", "min"):
             raise ValueError(f"dim sense must be max|min, got {sense!r}")
+    if algo not in ("auto", "generic"):
+        raise ValueError(f"algo must be auto|generic, got {algo!r}")
     cols = [c for c, _ in dims]
     signs = [1.0 if s == "max" else -1.0 for _, s in dims]
     schema = df.schema
 
+    if algo == "auto" and len(dims) == 2:
+        # 2-D skylines have a fully JVM-side sweep formulation — no
+        # Arrow stages, no Python dominance loop (see _skyline_2d)
+        return _skyline_2d(df, cols, signs)
+
     if prefilter:
         from pyspark.sql import functions as F
-        from pyspark.storagelevel import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
         k = len(cols)
         signed = [
@@ -115,38 +173,32 @@ def skyline(
             for i, (c, sg) in enumerate(zip(cols, signs))
         ]
         s = df.select(*signed)
-        mm = s.agg(
-            *[F.min(f"__s{i}").alias(f"__mn{i}") for i in range(k)],
-            *[F.max(f"__s{i}").alias(f"__mx{i}") for i in range(k)],
-        )
-        score = None
-        for i in range(k):
-            term = F.coalesce(
-                (F.col(f"__s{i}") - F.col(f"__mn{i}"))
-                / F.nullif(
-                    F.col(f"__mx{i}") - F.col(f"__mn{i}"), F.lit(0.0)
-                ),
-                F.lit(0.0),
-            )
-            score = term if score is None else score + term
-        ref = (
-            s.crossJoin(F.broadcast(mm))
-            .agg(
+        # k corner reference points in ONE pass: for every dim j, the
+        # real row maximizing signed dim j (ties broken arbitrarily by
+        # max_by — any real point is a valid dominator)
+        refs = s.agg(
+            *[
                 F.max_by(
-                    F.struct(*[F.col(f"__s{i}") for i in range(k)]), score
-                ).alias("__ref")
-            )
+                    F.struct(*[F.col(f"__s{i}") for i in range(k)]),
+                    F.col(f"__s{j}"),
+                ).alias(f"__ref{j}")
+                for j in range(k)
+            ]
         )
-        with_ref = df.crossJoin(F.broadcast(ref))
-        ge = F.lit(True)
-        gt = F.lit(False)
-        for i, (c, sg) in enumerate(zip(cols, signs)):
-            sv = F.col(c).cast("double") * F.lit(sg)
-            rv = F.col(f"__ref.__s{i}")
-            ge = ge & (rv >= sv)
-            gt = gt | (rv > sv)
-        dominated = F.coalesce(ge & gt, F.lit(False))
-        df = with_ref.filter(~dominated).drop("__ref")
+        with_ref = df.crossJoin(F.broadcast(refs))
+        dominated = F.lit(False)
+        for j in range(k):
+            ge = F.lit(True)
+            gt = F.lit(False)
+            for i, (c, sg) in enumerate(zip(cols, signs)):
+                sv = F.col(c).cast("double") * F.lit(sg)
+                rv = F.col(f"__ref{j}.__s{i}")
+                ge = ge & (rv >= sv)
+                gt = gt | (rv > sv)
+            dominated = dominated | F.coalesce(ge & gt, F.lit(False))
+        df = with_ref.filter(~dominated).drop(
+            *[f"__ref{j}" for j in range(k)]
+        )
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -1566,7 +1566,10 @@ def q_events_retention_bitmap_wide(
     """
     ev = load_table(spark, sf_dir, "events")
     epoch0 = 1_704_067_200_000  # 2024-01-01 UTC, the corpus day-0
-    b = (
+    # floor, not cast-truncate: a pre-epoch ts must map to bucket -1
+    # (excluded) exactly like DuckDB's // — truncation would fold it
+    # into bucket 0 and silently diverge (r3 ADVICE)
+    b = F.floor(
         (F.unix_millis("ts") - F.lit(epoch0)) / F.lit(_RB_BUCKET_MS)
     ).cast("long")
     base = (
@@ -1819,7 +1822,9 @@ def q_events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # corpus-relative day (epoch 2024-01-01) — absolute epoch days
     # would put the 15-day split before every event
-    day = (
+    # floor before the cast so pre-epoch rows land on day -1 exactly
+    # like DuckDB's // (truncation maps them to day 0 — r3 ADVICE)
+    day = F.floor(
         (F.unix_millis("ts") - F.lit(1_704_067_200_000)) / F.lit(_DAY_MS)
     ).cast("long")
     e2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")

@@ -21,44 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from monasca_aggregator_spark.plans import metrics, tpch
 
-# Round-2 driver window: the 3 r1 hash-mismatch fixes first (prove the
-# type-parity fix lands), then every oracle-backed query the r1 window
-# never reached.  agg_streaming_rate is deferred to r3 (its sibling
-# agg_streaming exercises the same streaming-memory-sink oracle path).
+# Window rotation history: r1 checked module order, r2 front-loaded
+# the unchecked half plus the three r1 hash-mismatch fixes (50/50
+# green), r3 covered the next-oldest 50 (50/50 green in
+# CORRECTNESS_r03).  The active r4 list is below; r5/r6 are staged
+# as comments so each round's flip is a single edit, pinned by
+# tests/test_registry.py::test_staged_windows_are_flippable.
 #
-# Round-3 rotation — FIRST ACTION OF r3: replace _DRIVER_WINDOW with
-# the pre-computed list below: exactly the 50 oldest of the 51
-# oracle-backed keys with no driver check after r1+r2 (incl. the
-# series_ext and advanced additions; scd2_user_tier rolls to r4).
-# Staged as a comment so the r2 gate (which reads the active window
-# at round end) is untouched.
-# (R3 list is now ACTIVE below — flipped at the start of round 3.)
-# Round-4 rotation (staged): the 41 oracle-backed keys added after
-# the r3 staging (23 from the r2 continuation + 18 from this
-# session's additions), then 9 r1/r2-green re-confirmations (50
-# total — the guard test pins the flippable-window invariant).
-# _DRIVER_WINDOW_R4: tuple[str, ...] = (
-#     "dedup_rate_by_source", "text_readability", "embedding_outliers",
-#     "sessions_active_time", "events_lifecycle", "events_markov",
-#     "sessions_native", "metric_top_contributors", "metric_mix_drift",
-#     "metric_autocorr", "metric_seasonal_decompose",
-#     "agg_rolling_distinct_kmv", "metric_apdex", "scd2_user_tier",
-#     "audit_referential", "events_enrich_scd2", "events_rfm",
-#     "orders_concentration_hhi", "events_pareto_deciles",
-#     "orders_copurchase", "lineitem_abc_class", "anomaly_ensemble",
-#     "orders_cohort_ltv",
-#     "skyline_docs", "curation_funnel", "dedup_jaccard_prefix",
-#     "dedup_incremental", "audit_expectations",
-#     "events_retention_bitmap", "cdc_apply_latest",
-#     "stats_join_estimate", "metric_trend_theilsen",
-#     "text_search_phrase", "search_hybrid_rrf", "weighted_median",
-#     "embedding_centroid_affinity", "sessions_entry_exit",
-#     "revenue_share_hierarchy", "chunk_sentences",
-#     "asof_nearest_click", "copurchase_cosine_topk",
-#     "agg_count", "agg_sum", "agg_avg",
-#     "agg_min", "agg_max", "agg_delta", "agg_rate",
-#     "tpch_q1", "tpch_q12_latecount",
-# )
 # Round-5 rotation (staged): the 8 oracle keys added after the r4
 # staging, then 42 r2-green re-confirmations (the active r2 window's
 # keys, minus enough to stay at exactly 50).
@@ -107,29 +76,32 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "argmax_per_group", "rollup_pricing", "cube_volume",
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 # )
-# Round-3 ACTIVE window: the 50 oldest of the 51 oracle-backed keys
-# with no driver check after r1+r2 (scd2_user_tier rolls to r4).
+# Round-4 ACTIVE window (flipped at the start of round 4): the 41
+# oracle-backed keys added after the r3 staging (23 from the r2
+# continuation + 18 from the r2-session additions), then 9
+# r1/r2-green re-confirmations.  The r3 window (agg_sliding …
+# graph_triangles) went 50/50 green in CORRECTNESS_r03.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "agg_sliding", "grouping_sets_mixed", "pack_length_buckets",
-    "sample_weighted_k", "sample_budget_mix", "sample_top_p_source",
-    "corpus_diff", "order_curriculum", "order_shuffle",
-    "sample_epoch_repeat", "dedup_semantic_cells",
-    "dedup_containment", "dedup_span_rewrite", "text_novelty",
-    "text_langid_ngram", "text_scrub", "quality_lang_norm",
-    "text_entropy", "text_search_bm25", "ann_filtered",
-    "ann_ivf_cells", "agg_streaming_rate", "events_rolling_wau",
-    "events_attribution", "events_seq_patterns",
-    "funnel_strict_ordered", "events_kanon",
-    "metric_histogram_quantile", "anomaly_seasonal",
-    "metric_availability", "metric_out_of_order",
-    "metric_wow_change", "metric_burn_rate",
-    "metric_cardinality_report", "metric_twa", "metric_counter_rate",
-    "metric_retention_tiers", "metric_histogram_equidepth",
-    "metric_staleness", "agg_distinct_overlap",
-    "agg_window_stickiness", "metric_mad_anomaly", "metric_cusum",
-    "metric_alert_cooldown", "metric_trend",
-    "metric_forecast_snaive", "agg_incremental_rollup",
-    "sessions_concurrency", "events_assoc_rules", "graph_triangles",
+    "dedup_rate_by_source", "text_readability", "embedding_outliers",
+    "sessions_active_time", "events_lifecycle", "events_markov",
+    "sessions_native", "metric_top_contributors", "metric_mix_drift",
+    "metric_autocorr", "metric_seasonal_decompose",
+    "agg_rolling_distinct_kmv", "metric_apdex", "scd2_user_tier",
+    "audit_referential", "events_enrich_scd2", "events_rfm",
+    "orders_concentration_hhi", "events_pareto_deciles",
+    "orders_copurchase", "lineitem_abc_class", "anomaly_ensemble",
+    "orders_cohort_ltv",
+    "skyline_docs", "curation_funnel", "dedup_jaccard_prefix",
+    "dedup_incremental", "audit_expectations",
+    "events_retention_bitmap", "cdc_apply_latest",
+    "stats_join_estimate", "metric_trend_theilsen",
+    "text_search_phrase", "search_hybrid_rrf", "weighted_median",
+    "embedding_centroid_affinity", "sessions_entry_exit",
+    "revenue_share_hierarchy", "chunk_sentences",
+    "asof_nearest_click", "copurchase_cosine_topk",
+    "agg_count", "agg_sum", "agg_avg",
+    "agg_min", "agg_max", "agg_delta", "agg_rate",
+    "tpch_q1", "tpch_q12_latecount",
 )
 
 

@@ -137,20 +137,28 @@ def ingest_report(df: DataFrame, *, sample: int = 5) -> dict:
     # sample pair; at corpus scale land the parsed read in parquet and
     # report off that instead of caching raw text.
     df = df.cache()
-    row = df.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("corrupt"),
-    ).collect()[0]
-    corrupt = row.corrupt or 0
-    examples = []
-    if corrupt:
-        examples = [
-            r[0]
-            for r in df.filter(F.col(CORRUPT_COL).isNotNull())
-            .select(CORRUPT_COL)
-            .limit(sample)
-            .collect()
-        ]
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.col(CORRUPT_COL).isNotNull().cast("long")
+            ).alias("corrupt"),
+        ).collect()[0]
+        corrupt = row.corrupt or 0
+        examples = []
+        if corrupt:
+            examples = [
+                r[0]
+                for r in df.filter(F.col(CORRUPT_COL).isNotNull())
+                .select(CORRUPT_COL)
+                .limit(sample)
+                .collect()
+            ]
+    finally:
+        # both consumers (count + sample) ran above — release the
+        # cached partitions instead of leaking them for the app
+        # lifetime (r3 ADVICE)
+        df.unpersist()
     return {
         "rows": row.rows,
         "corrupt": int(corrupt),
@@ -164,11 +172,26 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     quarantined rows keep only the raw line — the write-audit-publish
     input shape (good → staging, quarantined → the reject store).
     Cached for the same corrupt-column-projection restriction as
-    ``ingest_report``."""
+    ``ingest_report``; the cache's lifetime is CALLER-owned — both
+    returned frames are lazy views over the shared cached parent, so
+    after materializing them (writes/collects) call
+    ``release_quarantine_split(good)`` (or ``bad``) to free the cached
+    partitions rather than leaking them for the application lifetime
+    (r3 ADVICE)."""
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    good._quarantine_parent = df  # shared handle for release below
+    bad._quarantine_parent = df
     return good, bad
+
+
+def release_quarantine_split(part: DataFrame) -> None:
+    """Unpersist the cached parent behind a ``quarantine_split``
+    result once both halves have been materialized."""
+    parent = getattr(part, "_quarantine_parent", None)
+    if parent is not None:
+        parent.unpersist()
 
 
 def write_jsonl(df: DataFrame, path: str, *, shards: int | None = None) -> None:

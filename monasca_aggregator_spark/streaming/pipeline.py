@@ -478,11 +478,15 @@ def streaming_window_funnel(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Streaming windowFunnel: per key, the running MAX ordered-chain
     depth over ``steps`` completable within ``window_ms`` — the live
     counterpart of plans.insights.q_funnel_window_depth, with O(k)
-    state per key.
+    state per key. ``order_col`` is the deterministic intra-batch
+    tie-breaker for equal timestamps (parameterized like the other
+    stateful ops' key/ts/type columns — r3 ADVICE — so streams
+    without an ``event_id`` column can name their own).
 
     State compression: for each reachable depth d < k the state keeps
     ONLY the chain with the LATEST start t0 (and its last-event time).
@@ -550,7 +554,7 @@ def streaming_window_funnel(
         F.col(key_col).cast("long").alias(key_col),
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.col(type_col).alias("__etype"),
-        F.col("event_id").cast("long").alias("__tie"),
+        F.col(order_col).cast("long").alias("__tie"),
     )
     return prepared.groupBy(F.col(key_col)).applyInPandasWithState(
         _fold,

@@ -444,6 +444,47 @@ def test_jpeg_unsupported_variants_raise_cleanly():
     assert decode_jpeg(encode_jpeg(_smooth_test_image())).dtype == np.uint8
 
 
+def test_jpeg_truncated_and_corrupt_streams_raise_valueerror():
+    """ADVICE r3: truncating a valid stream at ANY offset, or pointing
+    the scan at an undefined Huffman/quant table, must raise ValueError
+    (never IndexError/KeyError) so the mapInPandas call sites'
+    `except (ValueError, NotImplementedError)` null-out contract holds
+    and one malformed image can't fail a whole Spark task."""
+    import pytest as _pytest
+
+    from monasca_aggregator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    full = encode_jpeg(_smooth_test_image(), quality=80)
+    # every truncation class: mid-header, mid-tables, mid-scan, near-end
+    for cut in [3, 8, 21, len(full) // 4, len(full) // 2, len(full) - 3]:
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(full[:cut])
+    # scan referencing an undefined quant table id: bump every DQT id
+    buf = bytearray(full)
+    idx = buf.find(b"\xff\xdb")
+    while idx != -1:
+        buf[idx + 4] |= 0x03  # table id 0 -> 3 (never defined)
+        idx = buf.find(b"\xff\xdb", idx + 2)
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
+    # random byte corruption across the stream must never escape the
+    # (ValueError, NotImplementedError) contract
+    import random
+
+    rng = random.Random(7)
+    for _ in range(25):
+        sick = bytearray(full)
+        for _ in range(3):
+            sick[rng.randrange(2, len(sick))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(sick))
+        except (ValueError, NotImplementedError):
+            pass  # the contract: only these two may surface
+
+
 def test_jpeg_features_match_png_twin_through_spark(spark):
     """VERDICT r2 #4 acceptance: the SAME image encoded as baseline
     JPEG and as PNG flows through the real (non-stub) mapInPandas

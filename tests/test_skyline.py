@@ -30,8 +30,15 @@ def _brute(points, senses):
 
 
 @pytest.mark.parametrize("senses", [("max", "max"), ("max", "min")])
-@pytest.mark.parametrize("prefilter", [False, True])
-def test_skyline_matches_brute_force(spark, senses, prefilter):
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},  # auto → 2-D JVM sweep fast path
+        {"algo": "generic"},
+        {"algo": "generic", "prefilter": True},
+    ],
+)
+def test_skyline_matches_brute_force(spark, senses, kwargs):
     rng = random.Random(42)
     pts = [(rng.randrange(100), rng.randrange(100)) for _ in range(300)]
     df = spark.createDataFrame(
@@ -40,10 +47,35 @@ def test_skyline_matches_brute_force(spark, senses, prefilter):
     got = sorted(
         r.id
         for r in skyline(
-            df, [("x", senses[0]), ("y", senses[1])], prefilter=prefilter
+            df, [("x", senses[0]), ("y", senses[1])], **kwargs
         ).collect()
     )
     assert got == _brute(pts, senses)
+
+
+def test_skyline_2d_fast_path_handles_nulls_like_generic(spark):
+    """NULL-dim rows are mutually non-dominated and always kept —
+    identical semantics on the JVM sweep and the Arrow generic path."""
+    rows = [
+        (0, 10, 1),
+        (1, None, 0),
+        (2, 5, None),
+        (3, 1, 10),
+        (4, 5, 5),
+        (5, 10, 1),  # tie of id 0 — both survive
+        (6, 4, 4),  # dominated by (5,5)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    fast = sorted(
+        r.id for r in skyline(df, [("x", "max"), ("y", "max")]).collect()
+    )
+    gen = sorted(
+        r.id
+        for r in skyline(
+            df, [("x", "max"), ("y", "max")], algo="generic"
+        ).collect()
+    )
+    assert fast == gen == [0, 1, 2, 3, 4, 5]
 
 
 def test_skyline_keeps_ties_and_three_dims(spark):
