@@ -16,7 +16,7 @@ ArrowEvalPython only).
 
 Codec status: MP3/H.264 (libsndfile/ffmpeg) and progressive JPEG are
 NOT decodable in this environment and stay behind
-``NotImplementedError``. Four formats — including two genuinely
+``NotImplementedError``. Six formats — including FOUR genuinely
 COMPRESSED ones — decode FOR REAL with stdlib+numpy so the whole
 pipeline (bytes → pixels/samples → features) runs end-to-end and is
 tested:
@@ -27,10 +27,16 @@ tested:
 - PNG images (8-bit gray/RGB/RGBA): full chunk parse, zlib inflate,
   and all five scanline filters inverted (``decode_png`` /
   ``encode_png``) — a real compressed codec, no PIL;
+- GIF images (87a/89a, global/local palette, interlace, LZW): full
+  variable-width LZW decode + a real LZW encoder
+  (``operators/gif.py``);
 - PPM (P6) images: header parse + ``np.frombuffer`` + nearest-neighbor
   resize (``decode_ppm`` / ``encode_ppm`` / ``resize_ppm``);
 - WAV (PCM) audio: stdlib ``wave`` + numpy RMS/peak/duration
-  (``decode_wav``).
+  (``decode_wav``);
+- WAV (IMA-ADPCM, tag 0x11) audio: 4-bit compressed blocks decoded by
+  ``operators/adpcm.py`` and dispatched transparently from
+  ``wav_samples`` — PCM and ADPCM feed identical features.
 
 ``_decode_stub`` — a clearly-marked deterministic fake deriving
 pseudo-features from payload bytes — remains the default for payloads
@@ -294,14 +300,27 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 
 def wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """PCM WAV → (sample_rate, n_channels, normalized [-1,1] samples,
-    channels still interleaved)."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        rate = f.getframerate()
-        nch = f.getnchannels()
-        width = f.getsampwidth()
-        n = f.getnframes()
-        raw = f.readframes(n)
+    """WAV → (sample_rate, n_channels, normalized [-1,1] samples,
+    channels still interleaved). PCM decodes via stdlib ``wave``;
+    IMA-ADPCM (format tag 0x11 — a REAL compressed audio codec)
+    dispatches to operators/adpcm.py, so every downstream feature
+    extractor is codec-agnostic."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            nch = f.getnchannels()
+            width = f.getsampwidth()
+            n = f.getnframes()
+            raw = f.readframes(n)
+    except wave.Error as exc:
+        from monasca_aggregator_spark.operators.adpcm import (
+            decode_ima_adpcm_wav,
+        )
+
+        try:
+            return decode_ima_adpcm_wav(payload)
+        except ValueError:
+            raise ValueError(f"undecodable WAV: {exc}") from exc
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned
@@ -343,12 +362,16 @@ def decode_real(payload: bytes, media_type: str):
         from monasca_aggregator_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if media_type == "image" and payload.startswith(b"GIF8"):
+        from monasca_aggregator_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     if media_type == "audio" and payload.startswith(b"RIFF"):
-        return decode_wav(payload)
+        return decode_wav(payload)  # PCM or IMA-ADPCM via wav_samples
     raise NotImplementedError(
-        "PPM/PNG/baseline-JPEG images and PCM WAV audio decode in this "
-        "environment; wire PIL/soundfile/ffmpeg here for progressive-"
-        "JPEG/MP3/video codecs"
+        "PPM/PNG/baseline-JPEG/GIF images and PCM/IMA-ADPCM WAV audio "
+        "decode in this environment; wire PIL/soundfile/ffmpeg here "
+        "for progressive-JPEG/MP3/video codecs"
     )
 
 
@@ -799,6 +822,16 @@ def media_thumbnails(media: DataFrame, *, side: int = 8) -> DataFrame:
                 elif b.startswith(b"\x89PNG"):
                     payloads.append(encode_png(small))
                     fmts.append("png")
+                elif b.startswith(b"GIF8"):
+                    # a decoded GIF has ≤256 colors, and nearest-
+                    # neighbor sampling introduces none — re-encode
+                    # always palettizable
+                    from monasca_aggregator_spark.operators.gif import (
+                        encode_gif,
+                    )
+
+                    payloads.append(encode_gif(small))
+                    fmts.append("gif")
                 else:
                     payloads.append(encode_jpeg(small, quality=90))
                     fmts.append("jpeg")
