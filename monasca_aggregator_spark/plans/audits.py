@@ -1,0 +1,483 @@
+"""Data-quality audit queries (round 4): cross-fact consistency,
+snapshot drift, duplicate-event accounting, PII exposure, embedding
+health, and purchase-cadence summaries.
+
+Reference parity: the reference engine (Go, ~/reference) ships no
+data-quality surface at all; these extend the audit family
+(audit_referential, audit_expectations, profile_documents) with the
+checks a production ingest runs continuously. All Spark-first,
+oracle-backed, and exact: counts/sums ride as BIGINT (DECIMAL(38,0)
+where products can pass 2^63), money in e2/e6 fixed point, every
+emitted double is one division of exact integers through the shared
+``stable_round`` algebra.
+
+Scale posture: every query is scan → (join on a key) → partial-agg →
+tiny shuffle. No global windows over row-scale relations; the one
+per-customer window (order gaps) partitions by customer key. PII
+regexes run in JVM codegen (``regexp_count``), not Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+_DEC = "decimal(38,0)"
+
+
+def _e2(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def q_orders_consistency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-fact money reconciliation: recompute every order's total
+    from its lineitems — Σ extendedprice·(1−discount)·(1+tax) — and
+    report, per order priority, how many orders disagree with the
+    stored ``o_totalprice`` and by how much. The books-balance check
+    a warehouse runs after every load; TPC-H data generated per spec
+    reconciles exactly, so every mismatch is injected corruption.
+
+    Exactness: prices/rates quantized to integer cents/percent
+    (e2 = floor(x·100+0.5)), so a line's contribution is the exact
+    BIGINT e2·(100−d2)·(100+t2) in e6 fixed point; per-order sums
+    accumulate in DECIMAL(38,0). Orders with no lineitems surface in
+    ``n_no_lines`` via the left join's null side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            _e2(F.col("l_extendedprice"))
+            * (F.lit(100) - _e2(F.col("l_discount")))
+            * (F.lit(100) + _e2(F.col("l_tax")))
+        ).alias("line_e6"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("line_e6").cast(_DEC)).alias("recomputed_e6")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        (_e2(F.col("o_totalprice")) * F.lit(10_000))
+        .cast(_DEC)
+        .alias("stored_e6"),
+    )
+    j = orders.join(per_order, "l_orderkey", "left")
+    diff = F.col("stored_e6") - F.col("recomputed_e6")
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.col("recomputed_e6").isNull().cast("long")
+            ).alias("n_no_lines"),
+            F.sum(
+                (
+                    F.col("recomputed_e6").isNotNull() & (diff != 0)
+                ).cast("long")
+            ).alias("n_mismatched"),
+            F.sum(
+                F.when(
+                    F.col("recomputed_e6").isNotNull(), F.abs(diff)
+                ).otherwise(F.lit(0).cast(_DEC))
+            ).alias("abs_diff_e6"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_no_lines",
+            "n_mismatched",
+            stable_round(
+                F.col("abs_diff_e6").cast("double") / F.lit(1e6), 2
+            ).alias("abs_diff_dollars"),
+        )
+    )
+
+
+ORACLE_ORDERS_CONSISTENCY = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+         * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS line_e6
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, sum(CAST(line_e6 AS HUGEINT)) AS recomputed_e6
+  FROM li GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT) * 10000
+           AS stored_e6,
+         p.recomputed_e6
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT priority,
+       count(*) AS n_orders,
+       CAST(coalesce(sum(CASE WHEN recomputed_e6 IS NULL THEN 1 ELSE 0
+         END), 0) AS BIGINT) AS n_no_lines,
+       CAST(coalesce(sum(CASE WHEN recomputed_e6 IS NOT NULL
+         AND stored_e6 - recomputed_e6 <> 0 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_mismatched,
+       {sql_stable_round(
+           "CAST(coalesce(sum(CASE WHEN recomputed_e6 IS NOT NULL "
+           "THEN abs(stored_e6 - recomputed_e6) ELSE 0 END), 0) "
+           "AS DOUBLE) / 1e6", 2)} AS abs_diff_dollars
+FROM j
+GROUP BY priority
+""".strip()
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot profile drift per source: split the
+    corpus into two deterministic halves (doc_id parity stands in for
+    yesterday/today), profile each half with the SAME one-pass
+    aggregate — docs, null texts, distinct langs, exact mean chars —
+    and emit the side-by-side readout a nightly data-quality diff
+    alerts on. One scan, conditional aggregation (no self-join, no
+    second pass).
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    is_new = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    g = docs.groupBy("source").agg(
+        F.sum((~is_new).cast("long")).alias("n_old"),
+        F.sum(is_new.cast("long")).alias("n_new"),
+        F.count_distinct(
+            F.when(~is_new, F.col("lang"))
+        ).alias("langs_old"),
+        F.count_distinct(
+            F.when(is_new, F.col("lang"))
+        ).alias("langs_new"),
+        F.sum(F.when(~is_new, F.col("n_chars"))).alias("chars_old"),
+        F.sum(F.when(is_new, F.col("n_chars"))).alias("chars_new"),
+    )
+    mean_old = F.col("chars_old").cast("double") / F.col("n_old").cast(
+        "double"
+    )
+    mean_new = F.col("chars_new").cast("double") / F.col("n_new").cast(
+        "double"
+    )
+    return g.select(
+        "source",
+        "n_old",
+        "n_new",
+        "langs_old",
+        "langs_new",
+        stable_round(mean_old, 4).alias("mean_chars_old"),
+        stable_round(mean_new, 4).alias("mean_chars_new"),
+        stable_round(mean_new - mean_old, 4).alias("mean_chars_drift"),
+    )
+
+
+ORACLE_PROFILE_DRIFT = f"""
+WITH g AS (
+  SELECT source,
+         CAST(coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END),
+           0) AS BIGINT) AS n_old,
+         CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END),
+           0) AS BIGINT) AS n_new,
+         CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN lang END)
+           AS BIGINT) AS langs_old,
+         CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+           AS BIGINT) AS langs_new,
+         sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS chars_old,
+         sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS chars_new
+  FROM documents GROUP BY source
+)
+SELECT source, n_old, n_new, langs_old, langs_new,
+       {sql_stable_round(
+           "CAST(chars_old AS DOUBLE) / CAST(n_old AS DOUBLE)", 4
+       )} AS mean_chars_old,
+       {sql_stable_round(
+           "CAST(chars_new AS DOUBLE) / CAST(n_new AS DOUBLE)", 4
+       )} AS mean_chars_new,
+       {sql_stable_round(
+           "CAST(chars_new AS DOUBLE) / CAST(n_new AS DOUBLE) - "
+           "CAST(chars_old AS DOUBLE) / CAST(n_old AS DOUBLE)", 4
+       )} AS mean_chars_drift
+FROM g
+""".strip()
+
+
+def q_events_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion accounting per day: how many event rows
+    share a (user_id, event_type, ts) identity with another row — the
+    redelivery-rate readout that sizes a streaming dedup's state. Two
+    partial aggregations (identity → count, then day rollup), both
+    map-side combinable; no distinct-on-row-scale shuffle beyond the
+    identity key's."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+        "event_type",
+        "ts",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_key.groupBy("day")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_identities"),
+            F.sum(F.col("c") - 1).alias("n_redelivered"),
+        )
+        .select(
+            F.unix_millis("day").alias("day_ms"),
+            "n_events",
+            "n_identities",
+            "n_redelivered",
+            stable_round(
+                F.col("n_redelivered").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+ORACLE_EVENTS_DUP_RATE = f"""
+WITH per_key AS (
+  SELECT date_trunc('day', ts) AS day, user_id, event_type, ts,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(epoch_ms(day) AS BIGINT) AS day_ms,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       count(*) AS n_identities,
+       CAST(sum(c - 1) AS BIGINT) AS n_redelivered,
+       {sql_stable_round(
+           "CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 6
+       )} AS dup_rate
+FROM per_key
+GROUP BY day
+""".strip()
+
+
+# RE2 (DuckDB) ∩ Java (Spark) compatible patterns — no lookaround, no
+# backrefs; \b and bounded classes work identically in both engines.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def q_text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source: match counts and affected-doc
+    counts for email / URL / IPv4 patterns — the measurement pass that
+    precedes ``text_scrub``'s redaction (you scrub what you can count).
+    All three regexes run JVM-side via ``regexp_count`` in one scan;
+    patterns are written in the RE2∩Java dialect so the DuckDB oracle
+    evaluates the identical language."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for kind, pat in _PII_PATTERNS.items():
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        aggs.append(F.sum(c.cast("long")).alias(f"n_{kind}"))
+        aggs.append(
+            F.sum((c > 0).cast("long")).alias(f"docs_with_{kind}")
+        )
+    return docs.groupBy("source").agg(*aggs)
+
+
+ORACLE_PII_AUDIT = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))), 0)
+         AS BIGINT) AS n_email,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_with_email,
+       CAST(coalesce(sum(len(regexp_extract_all(text,
+         'https?://[^\\s]+'))), 0) AS BIGINT) AS n_url,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+         'https?://[^\\s]+') THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS docs_with_url,
+       CAST(coalesce(sum(len(regexp_extract_all(text,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))),
+         0) AS BIGINT) AS n_ipv4,
+       CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_with_ipv4
+FROM documents
+GROUP BY source
+""".strip()
+
+
+def q_embedding_dim_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension embedding health: mean and variance of every
+    coordinate — the dead/degenerate-dimension audit run before
+    trusting cosine geometry (a near-zero-variance dim adds bias to
+    every distance; a huge-variance dim dominates them all). One
+    posexplode + one (dim)-keyed partial agg; components quantized to
+    e6 integers so both engines sum identical BIGINTs (squares ride
+    DECIMAL(38,0) — e6² ≈ 10¹² per row passes 2^63 near 10⁷ rows).
+
+    Output: top-5 highest- and lowest-variance dims (flagged), so the
+    result stays bounded regardless of d.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    v6 = F.floor(F.col("v") * 1_000_000 + F.lit(0.5)).cast("long")
+    per_dim = flat.select("dim", v6.alias("v6")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v6").cast(_DEC)).alias("s1"),
+        F.sum(
+            (F.col("v6").cast(_DEC) * F.col("v6").cast(_DEC))
+        ).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd / F.lit(1e6)
+    var = (
+        F.col("s2").cast("double") / nd
+        - (F.col("s1").cast("double") / nd) ** 2
+    ) / F.lit(1e12)
+    stats = per_dim.select(
+        "dim",
+        "n",
+        stable_round(mean, 8).alias("mean"),
+        stable_round(var, 8).alias("variance"),
+    )
+    top = stats.orderBy(F.col("variance").desc(), "dim").limit(5).select(
+        F.lit("high").alias("flag"), "dim", "n", "mean", "variance"
+    )
+    bottom = stats.orderBy(F.col("variance").asc(), "dim").limit(5).select(
+        F.lit("low").alias("flag"), "dim", "n", "mean", "variance"
+    )
+    return top.unionAll(bottom)
+
+
+ORACLE_EMBEDDING_DIM_VARIANCE = f"""
+WITH flat AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+           AS BIGINT) AS v6
+  FROM embeddings
+), per_dim AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(v6 AS HUGEINT)) AS s1,
+         sum(CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS s2
+  FROM flat GROUP BY dim
+), stats AS (
+  SELECT dim, n,
+         {sql_stable_round(
+             "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6", 8
+         )} AS mean,
+         {sql_stable_round(
+             "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - "
+             "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) ^ 2) / 1e12", 8
+         )} AS variance
+  FROM per_dim
+)
+SELECT * FROM (
+  SELECT 'high' AS flag, dim, n, mean, variance FROM stats
+  ORDER BY variance DESC, dim LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'low' AS flag, dim, n, mean, variance FROM stats
+  ORDER BY variance ASC, dim LIMIT 5
+)
+""".strip()
+
+
+def q_orders_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence summary per market segment: each customer's
+    inter-order gaps (lag over the per-customer date sequence,
+    (date, orderkey) tie-break) roll up to segment-level median/p90 —
+    the replenishment-cycle readout behind inventory and CRM timing.
+    The window partitions by customer key (no global sort); gaps are
+    exact integer days into the interpolated-percentile built-in
+    (identical doubles both engines)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.col("prev_d"))
+            .cast("long")
+            .alias("gap_d"),
+        )
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_d").alias("sum_gap_d"),
+            stable_round(F.median("gap_d"), 4).alias("median_gap_d"),
+            stable_round(
+                F.percentile(F.col("gap_d"), F.lit(0.9)), 4
+            ).alias("p90_gap_d"),
+        )
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+ORACLE_ORDERS_GAP = f"""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         ) AS prev_d
+  FROM orders
+), gaps AS (
+  SELECT s.o_custkey,
+         CAST(date_diff('day', s.prev_d, s.d) AS BIGINT) AS gap_d
+  FROM seq s WHERE s.prev_d IS NOT NULL
+)
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_gaps,
+       CAST(sum(g.gap_d) AS BIGINT) AS sum_gap_d,
+       {sql_stable_round("CAST(median(g.gap_d) AS DOUBLE)", 4)}
+         AS median_gap_d,
+       {sql_stable_round(
+           "CAST(quantile_cont(g.gap_d, 0.9) AS DOUBLE)", 4
+       )} AS p90_gap_d
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orders_consistency_audit": q_orders_consistency_audit,
+    "profile_drift": q_profile_drift,
+    "events_dup_rate": q_events_dup_rate,
+    "text_pii_audit": q_text_pii_audit,
+    "embedding_dim_variance": q_embedding_dim_variance,
+    "orders_gap_summary": q_orders_gap_summary,
+}
+
+ORACLES: dict[str, str] = {
+    "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,
+    "profile_drift": ORACLE_PROFILE_DRIFT,
+    "events_dup_rate": ORACLE_EVENTS_DUP_RATE,
+    "text_pii_audit": ORACLE_PII_AUDIT,
+    "embedding_dim_variance": ORACLE_EMBEDDING_DIM_VARIANCE,
+    "orders_gap_summary": ORACLE_ORDERS_GAP,
+}

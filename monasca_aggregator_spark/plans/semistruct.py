@@ -69,10 +69,60 @@ GROUP BY event_type
 """.strip()
 
 
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the same property bag: ``parse_json``
+    builds the binary variant encoding ONCE per row (open schema — no
+    up-front struct declaration, unlike ``from_json``), then
+    ``variant_get`` extracts typed fields at query time. The right
+    tool when the bag's shape drifts across producers: adding a field
+    tomorrow needs no schema change today, and extraction stays
+    JVM-side (no Python UDF, no string re-parse per field).
+
+    Output: per (event_type, k-decile) histogram — exact BIGINT
+    counts and sums, so the DuckDB oracle (json_extract on the raw
+    string) hashes identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.floor(F.col("k") / F.lit(10)) * 10)
+            .cast("long")
+            .alias("k_decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST((k // 10) * 10 AS BIGINT) AS k_decile,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM p
+WHERE k IS NOT NULL
+GROUP BY event_type, k_decile
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_props": q_events_json_props,
+    "events_variant_props": q_events_variant_props,
 }
 
 ORACLES: dict[str, str] = {
     "events_json_props": ORACLE_JSON_PROPS,
+    "events_variant_props": ORACLE_VARIANT_PROPS,
 }

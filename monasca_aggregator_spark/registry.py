@@ -152,6 +152,7 @@ def _modules():
         "advanced",
         "insights",
         "stats",
+        "audits",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the

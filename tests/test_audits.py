@@ -1,0 +1,111 @@
+"""plans/audits.py semantics the zero-PII synthetic corpus can't
+exercise: nonzero PII counting, injected money mismatches, and
+redelivery accounting on hand-built rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.plans.audits import _PII_PATTERNS
+
+
+def test_pii_patterns_count_real_matches(spark):
+    """The driver corpus contains no PII at all (the oracle run checks
+    plumbing on zeros), so pin the actual counting here: Spark's
+    regexp_count over the shared patterns vs Python re on the same
+    text."""
+    import re
+
+    docs = [
+        (1, "s1", "mail me at a.b+c@ex-ample.co.uk or x@y.io thanks"),
+        (2, "s1", "see https://spark.apache.org/docs and http://a.b/c?q=1"),
+        (3, "s2", "host 10.0.0.1 talks to 192.168.1.254 and 8.8.8.8"),
+        (4, "s2", "no pii here, just words"),
+        (5, "s2", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = df.select(
+        *[
+            F.sum(
+                F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+            ).alias(kind)
+            for kind, pat in _PII_PATTERNS.items()
+        ]
+    ).first()
+    for kind, pat in _PII_PATTERNS.items():
+        expected = sum(
+            len(re.findall(pat, t or "")) for _, _, t in docs
+        )
+        assert got[kind] == expected, (kind, got[kind], expected)
+    assert got["email"] == 2 and got["url"] == 2 and got["ipv4"] == 3
+
+
+def test_orders_consistency_flags_injected_mismatch(spark):
+    """Recompute-vs-stored reconciliation: a tampered order total and
+    a lineitem-less order are both flagged; clean orders are not."""
+    from monasca_aggregator_spark.plans import audits
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", 216.00),   # = recomputed (200 * .9 * 1.2)
+            (2, "1-URGENT", 999.99),   # tampered
+            (3, "2-HIGH", 50.00),      # no lineitems
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 200.00, 0.10, 0.20),
+            (2, 100.00, 0.00, 0.00),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    # drive the same expressions the query builds, on local relations
+    line_e6 = (
+        audits._e2(F.col("l_extendedprice"))
+        * (F.lit(100) - audits._e2(F.col("l_discount")))
+        * (F.lit(100) + audits._e2(F.col("l_tax")))
+    )
+    per_order = li.select("l_orderkey", line_e6.alias("e6")).groupBy(
+        "l_orderkey"
+    ).agg(F.sum("e6").alias("recomputed_e6"))
+    j = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        (audits._e2(F.col("o_totalprice")) * F.lit(10_000)).alias(
+            "stored_e6"
+        ),
+    ).join(per_order, "l_orderkey", "left")
+    rows = {r.l_orderkey: r for r in j.collect()}
+    assert rows[1].stored_e6 == rows[1].recomputed_e6
+    assert rows[2].stored_e6 != rows[2].recomputed_e6
+    assert rows[3].recomputed_e6 is None
+
+
+def test_dup_rate_counts_redeliveries(spark):
+    """(user, type, ts) identity: 3 copies of one event = 2
+    redeliveries; distinct events contribute zero."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "click", t0),
+        (1, "click", t0),
+        (1, "click", t0),
+        (2, "view", t0),
+        (1, "click", t0.replace(hour=13)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    per_key = df.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id",
+        "event_type", "ts",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    day = per_key.groupBy("day").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_identities"),
+        F.sum(F.col("c") - 1).alias("n_redelivered"),
+    ).first()
+    assert (day.n_events, day.n_identities, day.n_redelivered) == (5, 3, 2)

@@ -1,0 +1,179 @@
+"""Python DataSource (`metric_envelopes`): batch/stream determinism and
+end-to-end flow into the real envelope parser + spec aggregation."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.sources.envelope import parse_envelopes
+from monasca_aggregator_spark.sources.loadgen_source import (
+    make_envelope_json,
+    register,
+)
+
+
+def _registered(spark):
+    # registration is idempotent per session; re-register defensively
+    register(spark)
+    return spark
+
+
+def test_batch_read_is_deterministic_and_grid_shaped(spark):
+    _registered(spark)
+    df = (
+        spark.read.format("metric_envelopes")
+        .option("rows_per_partition", "60")
+        .option("partitions", "3")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 180
+    # pure function of (partition, offset): re-read is byte-identical
+    again = {
+        (r.partition, r.offset): r.value
+        for r in spark.read.format("metric_envelopes")
+        .option("rows_per_partition", "60")
+        .option("partitions", "3")
+        .load()
+        .collect()
+    }
+    for r in rows:
+        assert again[(r.partition, r.offset)] == r.value
+        assert r.value == make_envelope_json(
+            r.partition,
+            r.offset,
+            {
+                "names": ["cpu.idle", "mem.used", "net.rx"],
+                "start_ms": 1_704_067_200_000,
+                "step_ms": 1000,
+                "tenant": "t0",
+            },
+        )
+    env = parse_envelopes(df)
+    grid = env.groupBy("name").count().collect()
+    assert {r["name"] for r in grid} == {"cpu.idle", "mem.used", "net.rx"}
+    assert all(r["count"] == 60 for r in grid)
+    # dimensions + value_meta + tenant survive the wire format
+    one = env.first()
+    assert one.dimensions["service"] == "loadgen"
+    assert one.value_meta["src"].startswith("p")
+    assert one.tenant_id == "t0"
+
+
+def test_stream_offsets_advance_and_match_batch_content(spark, tmp_path):
+    """Micro-batches advance by rows_per_batch per partition; the union
+    of all streamed rows over offsets [0, N) is exactly the batch
+    relation over the same range — the replayability contract that
+    makes the source usable for exactly-once tests."""
+    _registered(spark)
+    stream = (
+        spark.readStream.format("metric_envelopes")
+        .option("partitions", "2")
+        .option("rows_per_batch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("loadgen_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("loadgen_stream").count()
+            if n >= 100:  # ≥2 micro-batches × 2 partitions × 25 rows
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = spark.table("loadgen_stream")
+    got = {
+        (r.partition, r.offset): r.value for r in streamed.collect()
+    }
+    assert len(got) >= 100
+    max_off = max(o for _, o in got)
+    # offsets are gap-free per partition up to the high-water mark of
+    # the last COMPLETE micro-batch
+    for p in (0, 1):
+        offs = sorted(o for (pp, o) in got if pp == p)
+        assert offs == list(range(len(offs)))
+    batch = (
+        spark.read.format("metric_envelopes")
+        .option("rows_per_partition", str(max_off + 1))
+        .option("partitions", "2")
+        .load()
+        .collect()
+    )
+    expected = {(r.partition, r.offset): r.value for r in batch}
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_streamed_envelopes_drive_the_spec_aggregation(spark, tmp_path):
+    """The source's JSON flows through parse_envelopes into the REAL
+    windowed spec aggregation in a foreachBatch-free append plan, and
+    the closed windows match the batch plan over the same offsets."""
+    from monasca_aggregator_spark.models import AggregationSpec
+    from monasca_aggregator_spark.operators.aggregate import (
+        build_aggregation,
+    )
+    from monasca_aggregator_spark.streaming.pipeline import (
+        build_streaming_aggregation,
+    )
+
+    _registered(spark)
+    spec = AggregationSpec(
+        name="loadgen_rule",
+        aggregated_metric_name="loadgen.sum",
+        filtered_metric_name="cpu.idle",
+        function="sum",
+        grouped_dimensions=("host",),
+    )
+    batch_env = parse_envelopes(
+        spark.read.format("metric_envelopes")
+        .option("rows_per_partition", "300")
+        .option("partitions", "2")
+        .load()
+    )
+    expect = {
+        (r.window_ts_ms, r.dimensions["host"]): r.value
+        for r in build_aggregation(batch_env, spec, 60).collect()
+    }
+    assert expect  # the grid produces closed windows
+    stream_env = parse_envelopes(
+        spark.readStream.format("metric_envelopes")
+        .option("partitions", "2")
+        .option("rows_per_batch", "150")
+        .load()
+    )
+    agg = build_streaming_aggregation(stream_env, spec, 60, 0)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("loadgen_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("loadgen_agg").count() >= 3:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = spark.table("loadgen_agg").collect()
+    assert len(streamed) >= 3
+    for r in streamed:
+        assert expect.get((r.window_ts_ms, r.dimensions["host"])) == r.value, r
