@@ -1,0 +1,187 @@
+"""Log-structured snapshot table: versioned datasets with time travel.
+
+The missing piece between the writers (sources/sinks.py) and a
+reproducible training run: a dataset that can answer "read me exactly
+as I was when run X trained". Minimal log-structured table format on
+the public Iceberg/Delta design (immutable data files + an ordered
+commit log of file lists — snapshot isolation without a metastore):
+
+    <table>/
+      data/<commit-uuid>/part-*.parquet   (immutable once committed)
+      _log/v00000001.json                 {"version", "op", "files",
+                                           "n_rows", "parent"}
+
+Semantics:
+- ``snapshot_write(mode="append")``   — new commit = parent files + new
+- ``snapshot_write(mode="overwrite")``— new commit = new files only
+- ``snapshot_read(version=N)``        — the file list of commit N,
+  scanned directly (no copy); latest when version is omitted
+- readers NEVER see partial writes: data files land fully before the
+  one-file commit record is atomically renamed into _log/, and a
+  crashed writer leaves only an unreferenced data dir
+- optimistic concurrency: two writers racing to commit version N —
+  the loser's rename finds v N taken and raises (retry = rebase)
+- ``snapshot_expire`` — time-travel retention: drop log entries older
+  than the keep window and delete data files no surviving version
+  references (the vacuum that keeps 100 TB of history affordable)
+
+Scale: a commit is ONE small JSON (file paths only); reads plan from
+the file list so Spark's parquet scan still does row-group pruning and
+partition-size packing; nothing touches the driver beyond the file
+list. On an object store the atomic-rename commit becomes a
+conditional PUT — the documented swap caveat shared with
+compact_dataset/write_audit_publish.
+
+Reference parity: none (the reference has no storage layer); this
+extends the sink family SURVEY §2 rows 41a-41f.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _version_file(path: str, v: int) -> str:
+    return os.path.join(_log_dir(path), f"v{v:08d}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending. Empty list = no table yet."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_commit(path: str, v: int) -> dict:
+    with open(_version_file(path, v)) as f:
+        return json.load(f)
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    shards: int | None = None,
+) -> dict:
+    """Commit ``df`` as a new version. Returns the commit record."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    commit_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(_data_dir(path), commit_id)
+    w = df.repartition(shards) if shards else df
+    w.write.mode("error").parquet(out_dir)
+    new_files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    versions = snapshot_versions(path)
+    parent = versions[-1] if versions else 0
+    files = list(new_files)
+    if mode == "append" and versions:
+        files = _read_commit(path, parent)["files"] + files
+    v = parent + 1
+    record = {
+        "version": v,
+        "op": mode,
+        "parent": parent,
+        "files": files,
+        "n_new_files": len(new_files),
+    }
+    tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    target = _version_file(path, v)
+    if os.path.exists(target):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit: version {v} already exists "
+            "(rebase: re-read latest and retry)"
+        )
+    # atomic on POSIX; conditional PUT on object stores
+    os.rename(tmp, target)
+    if os.path.exists(target) and _read_commit(path, v) != record:
+        raise RuntimeError(f"lost commit race for version {v}")
+    return record
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """The table exactly as of ``version`` (latest if omitted)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"version {v} not in table (have {versions[0]}..{versions[-1]}"
+            f", expired versions are gone)"
+        )
+    files = _read_commit(path, v)["files"]
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*files)
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """Commit records, ascending — the audit trail of the dataset."""
+    return [_read_commit(path, v) for v in snapshot_versions(path)]
+
+
+def snapshot_expire(path: str, *, keep_last: int) -> dict:
+    """Retention vacuum: keep the newest ``keep_last`` versions, drop
+    older log entries, and delete every data file no surviving
+    version references. Returns {removed_versions, removed_files}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(path)
+    drop = versions[:-keep_last]
+    keep = versions[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_commit(path, v)["files"])
+    dead: set[str] = set()
+    for v in drop:
+        dead.update(f for f in _read_commit(path, v)["files"] if f not in live)
+    for f in sorted(dead):
+        if os.path.exists(f):
+            os.remove(f)
+    for v in drop:
+        os.remove(_version_file(path, v))
+    # prune now-empty commit data dirs
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for sub in os.listdir(ddir):
+            p = os.path.join(ddir, sub)
+            if os.path.isdir(p) and not any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ):
+                for leftover in os.listdir(p):
+                    os.remove(os.path.join(p, leftover))
+                os.rmdir(p)
+    return {
+        "removed_versions": drop,
+        "removed_files": len(dead),
+        "kept_versions": keep,
+    }
