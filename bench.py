@@ -191,6 +191,20 @@ BENCH_QUERIES = [
     "funnel_window_depth",
     "corpus_heaps_law",
     "events_ab_test_cuped",
+    # late-r3 stats + r4 additions
+    "revenue_gini_by_nation",
+    "orders_benford",
+    "events_survival_hazard",
+    "corpus_spearman",
+    "orders_backlog",
+    "orders_consistency_audit",
+    "profile_drift",
+    "events_dup_rate",
+    "text_pii_audit",
+    "embedding_dim_variance",
+    "orders_gap_summary",
+    "events_variant_props",
+    "sessions_capped",
 ]
 
 

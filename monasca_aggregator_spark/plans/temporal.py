@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import (
@@ -168,6 +168,125 @@ SELECT user_id,
        {sql_stable_round("sum(value)", 4)} AS value_sum
 FROM numbered
 GROUP BY user_id, session_id
+""".strip()
+
+
+_CAP_MS = 24 * 3600 * 1000  # max session duration before a forced split
+
+
+def q_sessions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap (12 h, the family
+    convention) and a maximum-duration cap (24 h): long chains of
+    sub-gap events can otherwise fuse into one unbounded session (the
+    always-on-device pathology), so production analytics stacks split
+    at a duration ceiling too. Split semantics are fixed-offset from
+    the gap-session's first event (sub-session k covers
+    [start + k·cap, start + (k+1)·cap)) — the closed-form variant
+    (re-anchoring at each split is inherently sequential); documented
+    and mirrored exactly in the oracle.
+
+    Plan: one per-user ordered window (lag → new-session flag →
+    running sum = gap-session id), then pure arithmetic for the cap
+    split — no second window, no iteration. Output: per day-of-start,
+    session counts, how many exist only because of the cap, and exact
+    mean events/duration.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ms = 12 * 3600 * 1000
+    prev = F.lag(F.unix_millis("ts")).over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_millis("ts") - prev) > F.lit(gap_ms))
+    ).cast("long")
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select("user_id", "ts", sid.alias("sid"))
+    sess_w = Window.partitionBy("user_id", "sid")
+    start_ms = F.min(F.unix_millis("ts")).over(sess_w)
+    sub = F.floor(
+        (F.unix_millis("ts") - start_ms) / F.lit(_CAP_MS)
+    ).cast("long")
+    per_sub = (
+        marked.select(
+            "user_id", "sid", "ts", sub.alias("sub")
+        )
+        .groupBy("user_id", "sid", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_millis("ts")).alias("s_ms"),
+            F.max(F.unix_millis("ts")).alias("e_ms"),
+        )
+    )
+    day_ms = (
+        F.col("s_ms") - F.pmod(F.col("s_ms"), F.lit(86_400_000))
+    ).alias("day_ms")
+    return (
+        per_sub.groupBy(day_ms)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("sub") > 0).cast("long")).alias("n_cap_splits"),
+            F.sum("n_events").alias("total_events"),
+            F.sum(F.col("e_ms") - F.col("s_ms")).alias("total_dur_ms"),
+        )
+        .select(
+            "day_ms",
+            "n_sessions",
+            "n_cap_splits",
+            stable_round(
+                F.col("total_events").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("mean_events"),
+            stable_round(
+                F.col("total_dur_ms").cast("double")
+                / F.col("n_sessions").cast("double")
+                / F.lit(1000.0),
+                6,
+            ).alias("mean_dur_sec"),
+        )
+    )
+
+
+ORACLE_SESSIONS_CAPPED = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts)) > {12 * 3600 * 1000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM marked
+), subbed AS (
+  SELECT user_id, sid, ts,
+         (epoch_ms(ts) - min(epoch_ms(ts)) OVER (
+            PARTITION BY user_id, sid)) // {_CAP_MS} AS sub
+  FROM numbered
+), per_sub AS (
+  SELECT user_id, sid, sub, count(*) AS n_events,
+         min(epoch_ms(ts)) AS s_ms, max(epoch_ms(ts)) AS e_ms
+  FROM subbed GROUP BY user_id, sid, sub
+)
+SELECT CAST(s_ms - s_ms % 86400000 AS BIGINT) AS day_ms,
+       count(*) AS n_sessions,
+       CAST(coalesce(sum(CASE WHEN sub > 0 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_cap_splits,
+       {sql_stable_round(
+           "CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6
+       )} AS mean_events,
+       {sql_stable_round(
+           "CAST(sum(e_ms - s_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+           " / 1000.0", 6
+       )} AS mean_dur_sec
+FROM per_sub
+GROUP BY day_ms
 """.strip()
 
 
@@ -1552,6 +1671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_histogram": q_metric_histogram,
     "funnel_conversion": q_funnel_conversion,
     "sessions_user": q_sessions_user,
+    "sessions_capped": q_sessions_capped,
     "moving_avg_user": q_moving_avg_user,
     "lag_delta_user": q_lag_delta_user,
     "running_total_user": q_running_total_user,
@@ -1583,6 +1703,7 @@ ORACLES: dict[str, str] = {
     "asof_purchase_click": ORACLE_ASOF,
     "asof_nearest_click": ORACLE_ASOF_NEAREST,
     "sessions_user": ORACLE_SESSIONS,
+    "sessions_capped": ORACLE_SESSIONS_CAPPED,
     "moving_avg_user": ORACLE_MOVING_AVG,
     "lag_delta_user": ORACLE_LAG_DELTA,
     "running_total_user": ORACLE_RUNNING_TOTAL,
