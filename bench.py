@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "orders_gap_summary",
     "events_variant_props",
     "sessions_capped",
+    "corpus_ks_by_source",
+    "lang_source_chi2",
 ]
 
 

@@ -501,12 +501,208 @@ WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """.strip()
 
 
+def q_corpus_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance of each source's
+    document-length distribution vs the REST of the corpus — the
+    distribution-shift detector behind "did source s7's crawl change":
+    D = max over lengths v of |F_source(v) − F_rest(v)|.
+
+    Exactness: for source-vs-rest both denominators are per-source
+    CONSTANTS (n_s and N−n_s), so the max runs over exact BIGINT
+    cross-multiplied numerators |cum_s·(N−n_s) − cum_rest·n_s| and
+    ONE division converts the winner to a double — no per-step
+    rounding to disagree on the argmax.
+
+    Scale: the sup is attained at a jump point, so it suffices to
+    evaluate at the distinct length values; the grid is
+    |sources| × |distinct n_chars| (a bounded summary, not row count),
+    built by cross-joining two aggregates; the ordered window runs on
+    the aggregated grid partitioned per source — the same
+    aggregate-then-window shape as the weighted-median rewrite.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    sv = docs.groupBy("source", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    srcs = sv.groupBy("source").agg(F.sum("c").alias("n_s"))
+    vals = sv.groupBy("v").agg(F.sum("c").alias("c_tot"))
+    grid = srcs.crossJoin(vals).join(
+        sv, ["source", "v"], "left"
+    ).select(
+        "source",
+        "n_s",
+        "v",
+        "c_tot",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_s = F.sum("c").over(w)
+    cum_tot = F.sum("c_tot").over(w)
+    total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+    stepped = grid.select(
+        "source", "n_s", cum_s.alias("cum_s"), cum_tot.alias("cum_tot")
+    ).crossJoin(total)
+    n_rest = F.col("n_total") - F.col("n_s")
+    num = F.abs(
+        F.col("cum_s").cast(_DEC) * n_rest.cast(_DEC)
+        - (F.col("cum_tot") - F.col("cum_s")).cast(_DEC)
+        * F.col("n_s").cast(_DEC)
+    )
+    return (
+        stepped.groupBy("source", "n_s", "n_total")
+        .agg(F.max(num).alias("max_num"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            stable_round(
+                F.col("max_num").cast("double")
+                / (
+                    F.col("n_s").cast("double")
+                    * (F.col("n_total") - F.col("n_s")).cast("double")
+                ),
+                8,
+            ).alias("ks_distance"),
+        )
+    )
+
+
+ORACLE_KS = f"""
+WITH sv AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY source, n_chars
+), srcs AS (
+  SELECT source, sum(c) AS n_s FROM sv GROUP BY source
+), vals AS (
+  SELECT v, sum(c) AS c_tot FROM sv GROUP BY v
+), grid AS (
+  SELECT s.source, s.n_s, t.v, t.c_tot, coalesce(x.c, 0) AS c
+  FROM srcs s CROSS JOIN vals t
+  LEFT JOIN sv x ON x.source = s.source AND x.v = t.v
+), stepped AS (
+  SELECT source, n_s,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         sum(c_tot) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot
+  FROM grid
+), tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_docs,
+       {sql_stable_round(
+           "CAST(max(abs(CAST(cum_s AS HUGEINT) * (n_total - n_s) - "
+           "CAST(cum_tot - cum_s AS HUGEINT) * n_s)) AS DOUBLE) / "
+           "(CAST(n_s AS DOUBLE) * CAST(n_total - n_s AS DOUBLE))", 8
+       )} AS ks_distance
+FROM stepped CROSS JOIN tot
+GROUP BY source, n_s, n_total
+""".strip()
+
+
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence audit of the lang × source contingency table —
+    "is language mix uniform across sources, or does some crawl skew?"
+    Each cell's contribution is (O·N − r·c)² / (N·r·c): ONE exact
+    division of DECIMAL(38,0) integers (O·N−r·c can pass 2^63 at
+    corpus scale). The total χ² is the sum of the PRE-ROUNDED e6 cell
+    integers — summing exact BIGINTs instead of doubles removes the
+    float-addition-order ambiguity between engines; the bounded cell
+    count (langs × sources) makes the final relation tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    full = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(n)
+    )
+    dev = (
+        F.col("o").cast(_DEC) * F.col("n").cast(_DEC)
+        - F.col("r").cast(_DEC) * F.col("c").cast(_DEC)
+    )
+    term = (dev * dev).cast("double") / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    t6 = F.floor(term * 1_000_000 + F.lit(0.5)).cast("long")
+    agg = full.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_docs"),
+        F.sum(t6).alias("chi2_e6"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    dof = (F.col("n_langs") - 1) * (F.col("n_sources") - 1)
+    chi2 = F.col("chi2_e6").cast("double") / F.lit(1e6)
+    return agg.select(
+        "n_docs",
+        "n_cells",
+        dof.cast("long").alias("dof"),
+        stable_round(chi2, 6).alias("chi2"),
+        stable_round(chi2 / dof.cast("double"), 6).alias("chi2_per_dof"),
+    )
+
+
+ORACLE_CHI2 = f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+), r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o) AS c FROM cells GROUP BY source),
+tot AS (SELECT count(*) AS n FROM documents),
+full_grid AS (
+  SELECT r.lang, c.source, r.r, c.c, coalesce(x.o, 0) AS o, tot.n
+  FROM r CROSS JOIN c CROSS JOIN tot
+  LEFT JOIN cells x ON x.lang = r.lang AND x.source = c.source
+), terms AS (
+  SELECT n, lang, source,
+         CAST(floor(
+           CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+             AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           * 1000000 + 0.5) AS BIGINT) AS t6
+  FROM full_grid
+)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       count(*) AS n_cells,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+         AS BIGINT) AS dof,
+       {sql_stable_round("CAST(sum(t6) AS DOUBLE) / 1e6", 6)} AS chi2,
+       {sql_stable_round(
+           "CAST(sum(t6) AS DOUBLE) / 1e6 / "
+           "CAST((count(DISTINCT lang) - 1) * "
+           "(count(DISTINCT source) - 1) AS DOUBLE)", 6
+       )} AS chi2_per_dof
+FROM terms
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
     "events_survival_hazard": q_events_survival_hazard,
     "corpus_spearman": q_corpus_spearman,
     "orders_backlog": q_orders_backlog,
+    "corpus_ks_by_source": q_corpus_ks_by_source,
+    "lang_source_chi2": q_lang_source_chi2,
 }
 
 ORACLES: dict[str, str] = {
@@ -515,4 +711,6 @@ ORACLES: dict[str, str] = {
     "events_survival_hazard": ORACLE_SURVIVAL,
     "corpus_spearman": ORACLE_SPEARMAN,
     "orders_backlog": ORACLE_BACKLOG,
+    "corpus_ks_by_source": ORACLE_KS,
+    "lang_source_chi2": ORACLE_CHI2,
 }
