@@ -290,6 +290,8 @@ def main() -> None:
             "metric_twa", "order_curriculum", "text_search_bm25",
             "events_attribution", "agg_distinct_overlap",
             "sessions_concurrency", "scd2_user_tier",
+            "orders_consistency_audit", "sessions_capped",
+            "corpus_ks_by_source", "events_dup_rate",
         ]
         soak: dict[str, dict[str, float]] = {}
         for name in soak_queries:
