@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "sessions_capped",
     "corpus_ks_by_source",
     "lang_source_chi2",
+    "embedding_knn_accuracy",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import stable_round
@@ -598,7 +598,118 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(corpus, queries, k=K, pool=50, lam=0.7)
 
 
+KNN_K = 5
+
+
+def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QUALITY eval: leave-one-out k-NN label accuracy
+    — for every vector, do its 5 exact-cosine nearest neighbors
+    majority-vote its own label? The standard representation-quality
+    probe (a space where neighbors share labels embeds semantics; one
+    where they don't is noise) run before trusting embeddings for
+    dedup/search. Per-label accuracy surfaces which classes collapse.
+
+    Exactness: sims reuse the 6-dp-rounded cosine convention
+    (`ann_cosine_topk`); neighbor rank ties break (sim desc,
+    neighbor_id asc), vote ties (votes desc, label asc) — total
+    orders both engines replay identically.
+
+    Scale: exact all-pairs over the EVAL SAMPLE (the embeddings table
+    is the held-out probe set, not the corpus) — ground-truth-class
+    like ann_cosine_topk; at corpus scale the same vote runs over
+    `ann_ivf` candidates instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    nn = cosine_topk(emb, emb, k=KNN_K)
+    votes = (
+        nn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("predicted"))
+    )
+    joined = pred.join(
+        F.broadcast(labels.select(F.col("vec_id").alias("query_id"), "label")),
+        "query_id",
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("predicted") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            stable_round(
+                F.col("n_correct").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_KNN_ACCURACY = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label,
+         floor((list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+), nn AS (
+  SELECT query_id, n_label FROM (
+    SELECT query_id, n_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) t WHERE rank <= {KNN_K}
+), votes AS (
+  SELECT query_id, n_label, count(*) AS cnt FROM nn
+  GROUP BY query_id, n_label
+), pred AS (
+  SELECT query_id, n_label AS predicted FROM (
+    SELECT query_id, n_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cnt DESC, n_label ASC) AS rk
+    FROM votes
+  ) t WHERE rk = 1
+)
+SELECT v.label,
+       count(*) AS n,
+       CAST(coalesce(sum(CASE WHEN p.predicted = v.label THEN 1 ELSE 0
+         END), 0) AS BIGINT) AS n_correct,
+       floor(CAST(coalesce(sum(CASE WHEN p.predicted = v.label THEN 1
+         ELSE 0 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+         AS accuracy
+FROM pred p JOIN v ON v.vec_id = p.query_id
+GROUP BY v.label
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
@@ -616,6 +727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,
