@@ -36,11 +36,11 @@ ARROW_ALLOWED = {
     # t-digest / sketch folds (numpy centroid merges)
     "agg_p95_tdigest",
     "agg_p95_tdigest_rollup",
-    # partition-local numpy passes by design: skyline's two-phase
-    # dominance filter, and the per-series sequential folds
-    # (Theil–Sen pair median, Holt–Winters recursion) over COLLAPSED
-    # hourly series — Arrow batches, no row-at-a-time Python
-    "skyline_docs",
+    # partition-local numpy passes by design: per-series sequential
+    # folds (Theil–Sen pair median, Holt–Winters recursion) over
+    # COLLAPSED hourly series — Arrow batches, no row-at-a-time
+    # Python.  (skyline_docs left this list in r4: its 2-D fast path
+    # is a pure JVM sweep, no Arrow stages.)
     "metric_trend_theilsen",
     "metric_forecast_holtwinters",
     # same Holt–Winters per-series recursion, run twice for the MAE
