@@ -117,6 +117,72 @@ def test_stream_offsets_advance_and_match_batch_content(spark, tmp_path):
         assert expected[k] == v
 
 
+def test_stream_restart_resumes_offsets_without_dup_or_gap(
+    spark, tmp_path
+):
+    """Kill the query, restart from the SAME checkpoint: offsets
+    continue where the last committed batch ended — per partition the
+    union of both runs is gap-free and duplicate-free (the Kafka-source
+    offset contract the reader implements)."""
+    _registered(spark)
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("metric_envelopes")
+            .option("partitions", "2")
+            .option("rows_per_batch", "20")
+            .load()
+        )
+        # file sink: the fault-tolerant sink whose commit log makes
+        # restart-from-checkpoint exactly-once (memory sinks cannot
+        # recover from a checkpoint at all)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    def rows():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(rows()) >= 80:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    first = {(r.partition, r.offset) for r in rows()}
+    assert len(first) >= 80
+    q2 = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(rows()) >= len(first) + 40:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    all_rows = rows()
+    combined = {(r.partition, r.offset) for r in all_rows}
+    # exactly-once across the restart: no duplicate (partition, offset)
+    assert len(all_rows) == len(combined)
+    # and no gap: per partition the union is a contiguous prefix
+    for p in (0, 1):
+        offs = sorted(o for (pp, o) in combined if pp == p)
+        assert offs == list(range(len(offs)))
+        assert len(offs) > len([o for (pp, o) in first if pp == p])
+
+
 def test_streamed_envelopes_drive_the_spec_aggregation(spark, tmp_path):
     """The source's JSON flows through parse_envelopes into the REAL
     windowed spec aggregation in a foreachBatch-free append plan, and
