@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "corpus_ks_by_source",
     "lang_source_chi2",
     "embedding_knn_accuracy",
+    "events_attribution_ushape",
 ]
 
 

@@ -1221,6 +1221,111 @@ FROM credited GROUP BY 1
 """.strip()
 
 
+def q_events_attribution_ushape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution —
+    the industry-standard alternative to `events_attribution`'s equal
+    split: the FIRST touch (discovery) and the LAST touch (closer)
+    each get 40% of the purchase value, the middles share the rest.
+    Exact integer scheme per purchase with n touches: n=1 → all,
+    n=2 → v div 2 each, n≥3 → first = last = 2·v div 5, each middle =
+    (v − first − last) div (n−2) — every credit a BIGINT both engines
+    derive from the same floor divisions, position ranks tie-broken
+    (t_c, click event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis(F.col("ts")).alias("t_p"),
+        v_e6.alias("v_e6"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_millis(F.col("ts")).alias("t_c"),
+        F.to_date("ts").cast("string").alias("click_day"),
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("t_c") < F.col("t_p"))
+        & (F.col("t_c") >= F.col("t_p") - F.lit(_ATTR_WINDOW_MS))
+    )
+    pw = W.partitionBy("purchase_id")
+    ow = pw.orderBy("t_c", "click_id")
+    ranked = j.select(
+        "purchase_id",
+        "v_e6",
+        "click_day",
+        F.row_number().over(ow).alias("rn"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    end_credit = F.expr("v_e6 * 2 div 5")
+    credit = (
+        F.when(F.col("n") == 1, F.col("v_e6"))
+        .when(F.col("n") == 2, F.expr("v_e6 div 2"))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), end_credit)
+        .otherwise(F.expr("(v_e6 - 2 * (v_e6 * 2 div 5)) div (n - 2)"))
+    )
+    return (
+        ranked.withColumn("credit_e6", credit.cast("long"))
+        .groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(
+                ((F.col("rn") == 1) | (F.col("rn") == F.col("n")))
+                .cast("long")
+            ).alias("n_end_touches"),
+            stable_round(
+                F.sum("credit_e6").cast("double") / F.lit(1_000_000.0), 4
+            ).alias("credited_value"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_USHAPE = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS t_p,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_ms(ts) AS t_c,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS click_day
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.v_e6, c.click_day, c.t_c, c.click_id
+  FROM p JOIN c USING (user_id)
+  WHERE c.t_c < p.t_p AND c.t_c >= p.t_p - {_ATTR_WINDOW_MS}
+), ranked AS (
+  SELECT purchase_id, v_e6, click_day,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY t_c, click_id) AS rn,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM j
+), credited AS (
+  SELECT click_day, rn, n,
+         CASE WHEN n = 1 THEN v_e6
+              WHEN n = 2 THEN v_e6 // 2
+              WHEN rn = 1 OR rn = n THEN (v_e6 * 2) // 5
+              ELSE (v_e6 - 2 * ((v_e6 * 2) // 5)) // (n - 2)
+         END AS credit_e6
+  FROM ranked
+)
+SELECT click_day,
+       count(*) AS n_touches,
+       CAST(coalesce(sum(CASE WHEN rn = 1 OR rn = n THEN 1 ELSE 0 END),
+         0) AS BIGINT) AS n_end_touches,
+       {sql_stable_round(
+           "CAST(sum(credit_e6) AS DOUBLE) / 1000000.0", 4)}
+         AS credited_value
+FROM credited GROUP BY 1
+""".strip()
+
+
 def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (rolling WAU, with same-day
     DAU): a user active on day d stays 'active' for days d..d+6, so
@@ -1659,6 +1764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_native": q_sessions_native,
     "events_rolling_wau": q_events_rolling_wau,
     "events_attribution": q_events_attribution,
+    "events_attribution_ushape": q_events_attribution_ushape,
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
@@ -1688,6 +1794,7 @@ ORACLES: dict[str, str] = {
     "sessions_native": ORACLE_SESSIONS_NATIVE,
     "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_attribution": ORACLE_ATTRIBUTION,
+    "events_attribution_ushape": ORACLE_ATTRIBUTION_USHAPE,
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
