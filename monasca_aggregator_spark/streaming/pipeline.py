@@ -1197,3 +1197,106 @@ def streaming_cdc_latest(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessions_capped(
+    events: DataFrame,
+    *,
+    gap_ms: int = 12 * 3600 * 1000,
+    cap_ms: int = 24 * 3600 * 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of plans/temporal.q_sessions_capped: gap-based
+    sessions ALSO split at a max-duration ceiling, finalized live.
+
+    Split semantics match the batch query exactly — fixed-offset
+    sub-sessions at ``start + k·cap`` anchored to the GAP-session's
+    first event (the closed-form variant; the batch docstring explains
+    why re-anchoring is inherently sequential).  State per key is five
+    longs (gap-session start, last event, current sub index, current
+    sub's first/last+count) — O(1), stream-length-independent.
+
+    A sub-session is emitted when it CLOSES: the next event either
+    opens a new gap-session (gap exceeded) or crosses the next cap
+    boundary.  The trailing sub-session of every key stays open until
+    more data arrives (finalize-on-idle is the wall-clock heartbeat's
+    job, exactly like the windowed aggregation path).  Same in-order
+    caveat as the other stateful ops: state carries in micro-batch
+    arrival order, rows are sorted within each batch.
+
+    Output per closed sub-session: key, session_start_ms (first event
+    of the SUB-session), session_end_ms (last event), n_events,
+    from_cap_split (true when the sub-session exists only because of
+    the ceiling).  tests/test_streaming.py pins closed sessions ≡ the
+    batch query's sub-sessions minus each key's trailing open one.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} bigint, session_start_ms bigint, "
+        "session_end_ms bigint, n_events bigint, from_cap_split boolean"
+    )
+    state_schema = (
+        "sess_start bigint, last_ms bigint, sub_idx bigint, "
+        "sub_start bigint, sub_n bigint"
+    )
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            sess_start, last, sub_idx, sub_start, sub_n = state.get
+        else:
+            sess_start = last = sub_start = None
+            sub_idx, sub_n = 0, 0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts_ms", "__tie"], kind="mergesort")
+            for ts in pdf["__ts_ms"]:
+                ts = int(ts)
+                if sess_start is None:
+                    sess_start, last = ts, ts
+                    sub_idx, sub_start, sub_n = 0, ts, 1
+                    continue
+                if ts - last > gap_ms:
+                    closed.append(
+                        (key[0], sub_start, last, sub_n, sub_idx > 0)
+                    )
+                    sess_start, last = ts, ts
+                    sub_idx, sub_start, sub_n = 0, ts, 1
+                    continue
+                new_sub = (ts - sess_start) // cap_ms
+                if new_sub != sub_idx:
+                    closed.append(
+                        (key[0], sub_start, last, sub_n, sub_idx > 0)
+                    )
+                    sub_idx, sub_start, sub_n = new_sub, ts, 1
+                else:
+                    sub_n += 1
+                last = ts
+        state.update((sess_start, last, sub_idx, sub_start, sub_n))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                key_col,
+                "session_start_ms",
+                "session_end_ms",
+                "n_events",
+                "from_cap_split",
+            ],
+        )
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        F.col(order_col).cast("long").alias("__tie"),
+    )
+    return prepared.groupBy(F.col(key_col)).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

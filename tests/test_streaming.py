@@ -1469,3 +1469,73 @@ def test_streaming_exact_dau_matches_batch(spark, tmp_path):
         final[r.day_ms] = max(final.get(r.day_ms, 0), r.dau)
     assert final[B * 86_400_000] == 2         # users 1,2 — dup NOT recounted
     assert final[(B + 1) * 86_400_000] == 2   # users 1,3
+
+
+def test_streaming_sessions_capped_matches_batch(spark, tmp_path):
+    """Streaming capped sessionization finalizes exactly the batch
+    query's sub-sessions (gap split + fixed-offset 24h cap split),
+    minus each user's trailing still-open one, with sessions crossing
+    micro-batch boundaries."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_sessions_capped,
+    )
+
+    H_MS = 3_600 * 1000
+    GAP, CAP = 12 * H_MS, 24 * H_MS
+    base = 1_704_067_200_000  # 2024-01-01
+    # user 1: events 10h apart — one gap-session spanning 40h →
+    #   cap splits at +24h: sub0 = [0,10,20]h, sub1 = [30,40]h
+    # user 2: every gap (20h, 24h) exceeds the 12h threshold → three
+    #   single-event gap-sessions, the first two closed
+    # user 3: single event (stays open, never emitted)
+    rows = [
+        (1, 0), (2, 0), (3, 5 * H_MS),
+        (1, 10 * H_MS), (2, 20 * H_MS),
+        (1, 20 * H_MS),
+    ], [
+        (1, 30 * H_MS), (1, 40 * H_MS),
+        (2, 44 * H_MS),  # 24h after user2's last → new gap-session
+        (1, 60 * H_MS),  # 20h gap > 12h → closes user1's sub1
+    ]
+    src = tmp_path / "sc_src"
+    src.mkdir()
+    schema = "user_id long, off_ms long"
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("off_ms") + base))
+        .withColumn("event_id", F.col("off_ms"))
+    )
+    out = streaming_sessions_capped(raw, gap_ms=GAP, cap_ms=CAP)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sc_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_ms - base, r.session_end_ms - base,
+         r.n_events, r.from_cap_split)
+        for r in spark.table("sc_out").collect()
+    }
+    expected = {
+        # user1 sub0 closed by the cap crossing at 30h
+        (1, 0, 20 * H_MS, 3, False),
+        # user1 sub1 (cap split) closed by the 20h gap before 60h
+        (1, 30 * H_MS, 40 * H_MS, 2, True),
+        # user2: single-event sessions closed by each following gap
+        (2, 0, 0, 1, False),
+        (2, 20 * H_MS, 20 * H_MS, 1, False),
+        # open: user1@60h, user2@44h, user3 — never emitted
+    }
+    assert got == expected
