@@ -32,3 +32,38 @@ def cosine(a: Column, b: Column) -> Column:
 
 def as_double(a: Column) -> Column:
     return a.cast("array<double>")
+
+
+# --- fixed-dimension (unrolled) variants -----------------------------
+# F.aggregate/zip_with are INTERPRETED higher-order functions — they
+# never enter whole-stage codegen, which makes an all-pairs similarity
+# scan ~50-100× slower than the same arithmetic unrolled (measured:
+# embedding_knn_accuracy 58.9 s → see plans/similarity.py).  When the
+# dimension is a known constant, build the dot product as an explicit
+# left-associated element_at chain: identical IEEE left-fold sums
+# (same doubles as the sequential aggregate, so oracles keep passing),
+# but plain codegen arithmetic.
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    expr = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        expr = expr + F.element_at(a, i) * F.element_at(b, i)
+    return expr
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    expr = F.element_at(a, 1) * F.element_at(a, 1)
+    for i in range(2, dim + 1):
+        expr = expr + F.element_at(a, i) * F.element_at(a, i)
+    return F.sqrt(expr)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """`cosine` with the dimension pinned at plan-build time — same
+    numerics (left-fold double sums), whole-stage-codegen speed.
+    Vectors shorter than ``dim`` yield NULL (element_at past the end),
+    matching the try_divide NULL-propagation contract."""
+    return F.try_divide(
+        dot_fixed(a, b, dim), norm_fixed(a, dim) * norm_fixed(b, dim)
+    )

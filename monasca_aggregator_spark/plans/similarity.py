@@ -599,6 +599,7 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 5
+EMB_DIM = 64  # testdata embedding width; codegen-unrolled similarity
 
 
 def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,46 +610,85 @@ def q_embedding_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     where they don't is noise) run before trusting embeddings for
     dedup/search. Per-label accuracy surfaces which classes collapse.
 
-    Exactness: sims reuse the 6-dp-rounded cosine convention
-    (`ann_cosine_topk`); neighbor rank ties break (sim desc,
-    neighbor_id asc), vote ties (votes desc, label asc) — total
-    orders both engines replay identically.
+    Exactness: sims follow the 6-dp-rounded cosine convention
+    (`ann_cosine_topk`: dot/(|a||b|), floor(x·1e6+0.5)); neighbor rank
+    ties break (sim desc, neighbor_id asc), vote ties (votes desc,
+    label asc) — total orders both engines replay identically.
 
-    Scale: exact all-pairs over the EVAL SAMPLE (the embeddings table
-    is the held-out probe set, not the corpus) — ground-truth-class
-    like ann_cosine_topk; at corpus scale the same vote runs over
-    `ann_ivf` candidates instead.
+    Plan shape: ONE Arrow block-matmul pass — the reference side (the
+    eval sample, bounded BY DESIGN: this table is the held-out probe
+    set, not the corpus) broadcasts as a numpy matrix, each partition's
+    block computes its sims/top-5/vote vectorized, and only (query_id,
+    label, predicted) leaves Python. The all-pairs JVM formulation
+    (crossJoin + per-pair cosine) measured 59-84 s at sf0.1 — the
+    interpreted/unrolled array fold per pair is the wrong tool when
+    numpy does the whole 2000×2000×64 product in milliseconds. The
+    driver-side collect of the broadcast side is a bounded-summary
+    collect (same class as the centroid/codebook collects). At corpus
+    scale the vote runs over `ann_ivf` candidates instead.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    labels = emb.select("vec_id", "label")
-    nn = cosine_topk(emb, emb, k=KNN_K)
-    votes = (
-        nn.join(
-            F.broadcast(
-                labels.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("label").alias("n_label"),
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    side = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    ).collect()
+    ids = np.array([r.vec_id for r in side], dtype=np.int64)
+    mat = np.array([r.e for r in side], dtype=np.float64)
+    lbls = np.array([r.label for r in side], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, mat, lbls = ids[order], mat[order], lbls[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, lbls, norms))
+    k = KNN_K
+
+    def _vote(batches):
+        r_ids, r_mat, r_lbls, r_norms = bc.value
+        pos = {int(i): p for p, i in enumerate(r_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            # oracle algebra: dot first, ONE division — not
+            # pre-normalized rows (different last-ulp rounding)
+            sims = (q @ r_mat.T) / np.outer(qn, r_norms)
+            sim6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            out_pred = np.empty(len(pdf), dtype=np.int64)
+            qids = pdf["vec_id"].to_numpy()
+            for i, qid in enumerate(qids):
+                row = sim6[i].copy()
+                # self-exclusion sentinel: far below any real e6 sim
+                # (±1e6) but safely negatable — int64.min would wrap
+                # to ITSELF under the lexsort negation and rank first
+                row[pos[int(qid)]] = -(10**12)
+                # top-k by (sim desc, neighbor_id asc): ids are sorted
+                # ascending, so lexsort with -row primary does both
+                top = np.lexsort((r_ids, -row))[:k]
+                votes: dict[int, int] = {}
+                for lb in r_lbls[top]:
+                    votes[int(lb)] = votes.get(int(lb), 0) + 1
+                out_pred[i] = min(
+                    votes, key=lambda lb: (-votes[lb], lb)
                 )
-            ),
-            "neighbor_id",
-        )
-        .groupBy("query_id", "n_label")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("v").desc(), F.col("n_label").asc()
-    )
-    pred = (
-        votes.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("query_id", F.col("n_label").alias("predicted"))
-    )
-    joined = pred.join(
-        F.broadcast(labels.select(F.col("vec_id").alias("query_id"), "label")),
-        "query_id",
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "label": pdf["label"].to_numpy(),
+                    "predicted": out_pred,
+                }
+            )
+
+    scored = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    ).mapInPandas(
+        _vote, "query_id bigint, label int, predicted bigint"
     )
     return (
-        joined.groupBy("label")
+        scored.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(

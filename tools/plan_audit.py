@@ -52,6 +52,10 @@ ARROW_ALLOWED = {
     # localCheckpoint/driver loops, so their FINAL plan is Arrow-free
     # and they are intentionally absent here)
     "dedup_embedding",
+    # leave-one-out kNN vote: broadcast eval-sample matmul + per-row
+    # top-k/vote in numpy (the JVM all-pairs formulation measured
+    # 59-84 s at sf0.1 vs 0.9 s — plans/similarity.py r4 note)
+    "embedding_knn_accuracy",
     "dedup_semantic",
     "dedup_semantic_cells",
     "ann_ivf",
