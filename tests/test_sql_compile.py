@@ -169,3 +169,23 @@ def test_quote_escaping_in_literals(spark):
     )
     row = spark.sql(spec_to_sql(spec, 60)).first()
     assert row.value == 1.0 and row.dimensions["o'k"] == "v'1"
+
+
+def test_reference_spec_file_compiles_and_runs_via_sql(spark, sf_small):
+    """Every rule in the reference's own aggregation-specifications.yaml
+    compiles through spec_to_sql and executes (no rows required — the
+    test events carry none of the reference's metric names; the
+    contract is the YAML→SQL path, end to end)."""
+    from monasca_aggregator_spark.specs import load_specs_from_yaml
+
+    env = _env(spark, sf_small)
+    specs = load_specs_from_yaml(
+        "/root/reference/aggregation-specifications.yaml"
+    )
+    assert len(specs) == 5
+    for spec in specs:
+        df = spark.sql(spec_to_sql(spec, 10))
+        assert df.columns == [
+            "window_ts_ms", "tenant_id", "name", "dimensions", "value",
+        ]
+        df.collect()  # executes clean on the envelope view
