@@ -189,3 +189,53 @@ def test_reference_spec_file_compiles_and_runs_via_sql(spark, sf_small):
             "window_ts_ms", "tenant_id", "name", "dimensions", "value",
         ]
         df.collect()  # executes clean on the envelope view
+
+
+def test_random_specs_compile_equivalently(spark, sf_small):
+    """Property-style fuzz (deterministic enumeration — one Spark job
+    pair per case, so the space is sampled, not hypothesis-driven):
+    random-ish combinations of function × filters × rejects × groups ×
+    rollup must agree between the two backends."""
+    import itertools
+    import random
+
+    env = _env(spark, sf_small)
+    rng = random.Random(20240814)
+    fns = ["count", "sum", "avg", "min", "max", "delta", "rate"]
+    cases = []
+    for i in range(12):
+        fn = rng.choice(fns)
+        grouped = rng.choice([(), ("user_id",), ("k",), ("user_id", "k")])
+        rejected = rng.choice([{}, {"k": "7"}, {"k": ""}])
+        roll = None
+        if grouped and rng.random() < 0.4:
+            roll = Rollup(
+                function=rng.choice(["sum", "max", "min", "count"]),
+                grouped_dimensions=tuple(
+                    g for g in grouped if rng.random() < 0.5
+                ),
+            )
+        cases.append((fn, grouped, rejected, roll))
+    ran = 0
+    for i, (fn, grouped, rejected, roll) in enumerate(cases):
+        spec = AggregationSpec(
+            name=f"fuzz{i}",
+            aggregated_metric_name=f"agg.fuzz{i}",
+            filtered_metric_name=rng.choice(["click", "view", "purchase"]),
+            function=fn,
+            rejected_dimensions=rejected,
+            grouped_dimensions=grouped,
+            rollup=roll,
+        )
+        df_plan = build_aggregation(env, spec, 7200)
+        df_sql = spark.sql(spec_to_sql(spec, 7200))
+        a = {_key(r): r.value for r in df_plan.collect()}
+        b = {_key(r): r.value for r in df_sql.collect()}
+        assert set(a) == set(b), (spec, set(a) ^ set(b))
+        for kk, v in a.items():
+            if v is None or b[kk] is None:
+                assert v == b[kk], (spec, kk)
+            else:
+                assert math.isclose(v, b[kk], rel_tol=1e-12), (spec, kk)
+        ran += len(a)
+    assert ran > 0
