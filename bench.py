@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "embedding_knn_accuracy",
     "events_attribution_ushape",
+    "supplier_scorecard",
+    "nation_trade_matrix",
 ]
 
 

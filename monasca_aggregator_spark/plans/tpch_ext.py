@@ -39,6 +39,12 @@ from monasca_aggregator_spark.functions.rounding import (
 )
 from monasca_aggregator_spark.sources.tables import load_table
 
+
+def _e2(col):
+    """Exact integer cents: floor(x·100 + 0.5) as BIGINT."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
 def _rev():
     # lazy: Column construction needs an active SparkContext
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -534,7 +540,218 @@ WHERE s_nationkey < 10
 """.strip()
 
 
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfilment scorecard: lineitem volume, revenue
+    (exact e6 cents algebra), average ship delay, and the late
+    fraction (>30 days) — the vendor-review table procurement runs
+    quarterly. fact⋈fact on the order key for dates, then ONE
+    aggregation keyed by supplier with the supplier dim broadcast in
+    at the end; top-20 by revenue with a (revenue desc, suppkey)
+    deterministic tie-break so the result is bounded at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        (
+            _e2(F.col("l_extendedprice"))
+            * (F.lit(100) - _e2(F.col("l_discount")))
+        ).alias("rev_e4"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("order_d"),
+    )
+    j = li.join(orders, "l_orderkey").select(
+        "l_suppkey",
+        "rev_e4",
+        F.datediff(F.col("ship_d"), F.col("order_d"))
+        .cast("long")
+        .alias("delay_d"),
+    )
+    per_supp = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("rev_e4").cast("decimal(38,0)")).alias("rev_e4"),
+        F.sum("delay_d").alias("delay_sum"),
+        F.sum((F.col("delay_d") > 30).cast("long")).alias("n_late"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    scored = per_supp.join(F.broadcast(supp), "l_suppkey").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "s_name",
+        "n_items",
+        stable_round(
+            F.col("rev_e4").cast("double") / F.lit(1e4), 2
+        ).alias("revenue"),
+        stable_round(
+            F.col("delay_sum").cast("double")
+            / F.col("n_items").cast("double"),
+            4,
+        ).alias("avg_delay_d"),
+        stable_round(
+            F.col("n_late").cast("double") / F.col("n_items").cast("double"),
+            6,
+        ).alias("late_frac"),
+    )
+    return (
+        scored.orderBy(F.col("revenue").desc(), "suppkey").limit(20)
+    )
+
+
+ORACLE_SUPPLIER_SCORECARD = f"""
+WITH j AS (
+  SELECT l.l_suppkey,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+           AS rev_e4,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_supp AS (
+  SELECT l_suppkey, count(*) AS n_items,
+         sum(CAST(rev_e4 AS HUGEINT)) AS rev_e4,
+         sum(delay_d) AS delay_sum,
+         CAST(coalesce(sum(CASE WHEN delay_d > 30 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_late
+  FROM j GROUP BY l_suppkey
+)
+SELECT p.l_suppkey AS suppkey, s.s_name, p.n_items,
+       {sql_stable_round("CAST(p.rev_e4 AS DOUBLE) / 1e4", 2)} AS revenue,
+       {sql_stable_round(
+           "CAST(p.delay_sum AS DOUBLE) / CAST(p.n_items AS DOUBLE)", 4
+       )} AS avg_delay_d,
+       {sql_stable_round(
+           "CAST(p.n_late AS DOUBLE) / CAST(p.n_items AS DOUBLE)", 6
+       )} AS late_frac
+FROM per_supp p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+ORDER BY revenue DESC, suppkey
+LIMIT 20
+""".strip()
+
+
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation × customer-nation trade-flow matrix with
+    per-pair balance — Q7's two-nation filter generalized to the whole
+    grid (the 'who sells to whom' readout). Both nation dims broadcast
+    onto the fact⋈fact join; revenue in exact e4 fixed point; the
+    output is bounded by |nations|² regardless of fact size. Balance =
+    flow(a→b) − flow(b→a) via a self-join of the AGGREGATED matrix on
+    the swapped key (tiny relation, no second fact scan)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            _e2(F.col("l_extendedprice"))
+            * (F.lit(100) - _e2(F.col("l_discount")))
+        ).alias("rev_e4"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("cust_nk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("supp_nk"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    flows = (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .groupBy("supp_nk", "cust_nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("rev_e4").cast("decimal(38,0)")).alias("rev_e4"),
+        )
+    )
+    rev = (
+        flows.alias("f")
+        .join(
+            flows.select(
+                F.col("supp_nk").alias("cust_nk"),
+                F.col("cust_nk").alias("supp_nk"),
+                F.col("rev_e4").alias("rev_back_e4"),
+            ).alias("b"),
+            ["supp_nk", "cust_nk"],
+            "left",
+        )
+    )
+    named = (
+        rev.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("supp_nk"),
+                    F.col("n_name").alias("exporter"),
+                )
+            ),
+            "supp_nk",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cust_nk"),
+                    F.col("n_name").alias("importer"),
+                )
+            ),
+            "cust_nk",
+        )
+    )
+    return named.select(
+        "exporter",
+        "importer",
+        "n_items",
+        stable_round(
+            F.col("rev_e4").cast("double") / F.lit(1e4), 2
+        ).alias("export_value"),
+        stable_round(
+            (
+                F.col("rev_e4")
+                - F.coalesce(
+                    F.col("rev_back_e4"), F.lit(0).cast("decimal(38,0)")
+                )
+            ).cast("double")
+            / F.lit(1e4),
+            2,
+        ).alias("balance"),
+    )
+
+
+ORACLE_NATION_TRADE = f"""
+WITH flows AS (
+  SELECT s.s_nationkey AS supp_nk, c.c_nationkey AS cust_nk,
+         count(*) AS n_items,
+         sum(CAST(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+             AS HUGEINT)) AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT ns.n_name AS exporter, nc.n_name AS importer, f.n_items,
+       {sql_stable_round("CAST(f.rev_e4 AS DOUBLE) / 1e4", 2)}
+         AS export_value,
+       {sql_stable_round(
+           "CAST(f.rev_e4 - coalesce(b.rev_e4, 0) AS DOUBLE) / 1e4", 2
+       )} AS balance
+FROM flows f
+LEFT JOIN flows b
+  ON b.supp_nk = f.cust_nk AND b.cust_nk = f.supp_nk
+JOIN nation ns ON ns.n_nationkey = f.supp_nk
+JOIN nation nc ON nc.n_nationkey = f.cust_nk
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "supplier_scorecard": q_supplier_scorecard,
+    "nation_trade_matrix": q_nation_trade_matrix,
     "tpch_q7_two_nation": q_tpch_q7,
     "tpch_q8_mkt_share": q_tpch_q8,
     "tpch_q9_profit": q_tpch_q9,
@@ -550,6 +767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "supplier_scorecard": ORACLE_SUPPLIER_SCORECARD,
+    "nation_trade_matrix": ORACLE_NATION_TRADE,
     "tpch_q7_two_nation": ORACLE_Q7,
     "tpch_q8_mkt_share": ORACLE_Q8,
     "tpch_q9_profit": ORACLE_Q9,

@@ -76,9 +76,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "argmax_per_group", "rollup_pricing", "cube_volume",
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 # )
-# Round-7 rotation (staged): the 17 oracle-backed keys with no driver
-# row after r1-r3 and no slot in r4-r6 (the 12 r4 additions + the 5
-# late-r3 stats queries), then 33 oldest re-confirmations (r1-checked
+# Round-7 rotation (staged): the 19 oracle-backed keys with no driver
+# row after r1-r3 and no slot in r4-r6 (the 14 r4 additions + the 5
+# late-r3 stats queries), then 31 oldest re-confirmations (r1-checked
 # keys not re-staged in R5/R6, then the oldest r3-window keys).
 # _DRIVER_WINDOW_R7: tuple[str, ...] = (
 #     "events_variant_props", "revenue_gini_by_nation", "orders_benford",
@@ -87,6 +87,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "text_pii_audit", "embedding_dim_variance", "orders_gap_summary",
 #     "sessions_capped", "corpus_ks_by_source", "lang_source_chi2",
 #     "embedding_knn_accuracy", "events_attribution_ushape",
+#     "supplier_scorecard", "nation_trade_matrix",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
 #     "tpch_q13_histogram", "tpch_q15_topsupp", "tpch_q20_excess",
 #     "tpch_q16_suppcnt", "tpch_q17_avg_qty", "tpch_q21_waiting",
@@ -97,7 +98,7 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "pack_length_buckets", "sample_weighted_k", "sample_budget_mix",
 #     "sample_top_p_source", "corpus_diff", "order_curriculum",
 #     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
-#     "dedup_containment", "dedup_span_rewrite", "text_novelty",
+#     "dedup_containment",
 # )
 # Round-4 ACTIVE window (flipped at the start of round 4): the 41
 # oracle-backed keys added after the r3 staging (23 from the r2
