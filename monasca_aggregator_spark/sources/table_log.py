@@ -149,6 +149,36 @@ def snapshot_history(path: str) -> list[dict]:
     return [_read_commit(path, v) for v in snapshot_versions(path)]
 
 
+def snapshot_sink(path: str, *, mode: str = "append"):
+    """``foreachBatch`` sink: every micro-batch commits as a NEW
+    snapshot version, so the stream's output is a versioned table —
+    any past micro-batch boundary is a reproducible
+    ``snapshot_read(version=...)`` training view, and the commit log
+    doubles as the stream's audit trail.
+
+    Exactly-once across restarts: the commit record carries the
+    micro-batch id; a replayed batch (same id as the newest commit)
+    is skipped instead of double-committed — the snapshot-table
+    counterpart of the idempotent batch_id-keyed parquet sink.
+    """
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        versions = snapshot_versions(path)
+        if versions:
+            newest = _read_commit(path, versions[-1])
+            if newest.get("batch_id") == batch_id:
+                return  # replay of the already-committed batch
+        record = snapshot_write(df, path, mode=mode)
+        # stamp the batch id into the committed record (same file,
+        # rewrite-in-place is safe: the rename already published it
+        # and single-writer-per-stream is foreachBatch's contract)
+        record["batch_id"] = batch_id
+        with open(_version_file(path, record["version"]), "w") as f:
+            json.dump(record, f)
+
+    return _sink
+
+
 def snapshot_expire(path: str, *, keep_last: int) -> dict:
     """Retention vacuum: keep the newest ``keep_last`` versions, drop
     older log entries, and delete every data file no surviving

@@ -99,3 +99,56 @@ def test_expire_keeps_time_travel_window_and_deletes_dead_files(
     # expiring everything but the tip still reads
     snapshot_expire(path, keep_last=1)
     assert snapshot_read(spark, path).count() == 9
+
+
+def test_snapshot_sink_versions_each_microbatch(spark, tmp_path):
+    """Streaming into the snapshot table: one version per micro-batch,
+    time-travel to any batch boundary, replayed batch ids skipped."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.loadgen_source import register
+    from monasca_aggregator_spark.sources.table_log import snapshot_sink
+
+    register(spark)
+    path = str(tmp_path / "stream_tbl")
+    stream = (
+        spark.readStream.format("metric_envelopes")
+        .option("partitions", "1")
+        .option("rows_per_batch", "10")
+        .load()
+    )
+    sink = snapshot_sink(path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    try:
+        while _time.time() < deadline:
+            if len(snapshot_versions(path)) >= 3:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    versions = snapshot_versions(path)
+    assert len(versions) >= 3
+    # each version is a strictly growing append; version k holds the
+    # first k committed micro-batches
+    hist = snapshot_history(path)
+    counts = [
+        snapshot_read(spark, path, version=v).count() for v in versions
+    ]
+    assert counts == sorted(counts) and counts[0] > 0
+    assert all(h.get("batch_id") is not None for h in hist)
+    # replaying the SAME batch id is a no-op
+    df = snapshot_read(spark, path)
+    n_before = len(versions)
+    sink(df.limit(1), hist[-1]["batch_id"])
+    assert len(snapshot_versions(path)) == n_before
+    # a new batch id commits
+    sink(df.limit(1), hist[-1]["batch_id"] + 1)
+    assert len(snapshot_versions(path)) == n_before + 1
