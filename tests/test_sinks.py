@@ -337,3 +337,45 @@ def test_range_sorted_layout_enables_rowgroup_skipping(
     assert back.count() == docs.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
     ).count()
+
+
+def test_dynamic_partition_pruning_reaches_sharded_fact(
+    spark, sf_small, tmp_path
+):
+    """Dynamic partition pruning: a dim-side filter the planner cannot
+    see statically still prunes the hive-partitioned fact at RUNTIME
+    via an injected subquery filter — on a 100 TB fact this is the
+    difference between scanning the partitions a dim filter selects
+    and scanning everything. Proven on the physical plan, not inferred
+    from row counts."""
+    from monasca_aggregator_spark.sources.sinks import write_sharded
+
+    docs = load_table(spark, sf_small, "documents")
+    out = tmp_path / "fact_by_lang"
+    write_sharded(docs, str(out), partition_by=["lang"])
+    fact = spark.read.parquet(str(out))
+    # dim: (lang, family) — the filter selects a family, not a lang,
+    # so static pruning is impossible; DPP must inject the lang set
+    dim = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "family",
+            F.when(F.col("lang").isin("en", "de"), "germanic").otherwise(
+                "other"
+            ),
+        )
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("family") == "germanic"
+    )
+    j = fact.join(d, "lang").groupBy("family").count()
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the answer is right
+    expect = docs.filter(F.col("lang").isin("en", "de")).count()
+    got = {r.family: r["count"] for r in j.collect()}
+    assert got == {"germanic": expect}
