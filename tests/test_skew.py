@@ -82,3 +82,70 @@ def test_two_stage_agg_equals_plain_agg(spark, skewed):
         ).collect()
     )
     assert plain == staged
+
+
+def test_aqe_skew_join_splits_the_hot_partition(spark):
+    """AQE's runtime skew-join handling — the zero-code-change
+    complement of the salting utilities: a 90%-hot key makes one
+    shuffle partition dwarf the median, and the executed adaptive
+    plan must show SortMergeJoin(skew=true) (the hot partition split
+    into advisory-size chunks, the other side's rows duplicated to
+    match). Post-join aggregations can inhibit the rewrite because
+    the split breaks hash-partitioning guarantees —
+    forceOptimizeSkewedJoin accepts the extra exchange, the right
+    trade at 100 TB where the skewed straggler, not the extra
+    shuffle, is the wall-clock."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.forceOptimizeSkewedJoin", "true"
+        )
+        left = spark.range(1_500_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 1_500_000  # every left row matches once
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
