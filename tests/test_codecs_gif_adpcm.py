@@ -209,3 +209,30 @@ def test_adpcm_spectral_features_match_pcm_twin_through_spark(spark):
     # magnitude-weighted centroid upward — the peak and the energy
     # rolloff stay put, so those are the codec-invariants to pin
     assert abs(out[1].rolloff_hz - out[2].rolloff_hz) <= bin_hz
+
+
+def test_gif_subrect_frames_extensions_and_stereo_adpcm_edges():
+    """Spec corners: a frame smaller than the logical screen lands at
+    its (left, top) offset on a palette[0] background; extension
+    blocks before the image are skipped; stereo ADPCM roundtrips at
+    non-block-multiple lengths."""
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:] = (1, 2, 3)
+    base = bytearray(encode_gif(img))
+    idx = base.index(0x2C, 13)
+    base[6:8] = (12).to_bytes(2, "little")
+    base[8:10] = (12).to_bytes(2, "little")
+    base[idx + 1 : idx + 3] = (2).to_bytes(2, "little")  # left
+    base[idx + 3 : idx + 5] = (1).to_bytes(2, "little")  # top
+    out = decode_gif(bytes(base))
+    assert out.shape == (12, 12, 3)
+    assert (out[1:11, 2:12] == (1, 2, 3)).all()
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    with_ext = bytes(base[:idx]) + gce + bytes(base[idx:])
+    assert (decode_gif(with_ext) == out).all()
+    rng = np.random.default_rng(1)
+    for n in (3, 505, 777):
+        x = rng.uniform(-0.7, 0.7, n * 2)
+        enc = encode_ima_adpcm_wav(x, sample_rate=8000, n_channels=2)
+        _, c, dec = decode_ima_adpcm_wav(enc)
+        assert c == 2 and len(dec) == len(x)
