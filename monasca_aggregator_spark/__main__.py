@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         help="stop after this many seconds (default: run forever)",
     )
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--emit-sql",
+        action="store_true",
+        help="print each rule compiled to ONE portable Spark SQL "
+        "statement (sql_compile) and exit — run the YAML on any SQL "
+        "endpoint with no Python on the path",
+    )
     args = ap.parse_args(argv)
     if bool(args.source_dir) != bool(args.sink_dir):
         ap.error("--source-dir and --sink-dir must be used together")
@@ -64,6 +71,15 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
 
     config = EngineConfig.from_yaml(args.config)
     specs = load_specs_from_yaml(args.specs)
+
+    if args.emit_sql:
+        from monasca_aggregator_spark.sql_compile import spec_to_sql
+
+        for spec in specs:
+            print(f"-- rule: {spec.name}")
+            print(spec_to_sql(spec, config.window_size_sec) + ";\n")
+        return 0
+
     spark = get_spark("monasca-aggregator", cpus=args.cpus)
 
     source = sink = None

@@ -94,3 +94,28 @@ def test_cli_file_mode_end_to_end(spark, tmp_path):
     # 2 hosts x value 2.0 summed per service per window
     assert m["value"] == pytest.approx(4.0)
     assert env["meta"]["tenantId"] == "t1"
+
+
+def test_emit_sql_prints_each_rule_and_exits():
+    """--emit-sql: the reference YAML comes out as one SQL statement
+    per rule with no Spark session started."""
+    import io
+    from contextlib import redirect_stdout
+
+    from monasca_aggregator_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "--config", "/root/reference/config.yaml",
+                "--specs",
+                "/root/reference/aggregation-specifications.yaml",
+                "--emit-sql",
+            ],
+            stop_session=False,
+        )
+    out = buf.getvalue()
+    assert rc == 0
+    assert out.count("-- rule: ") == 5
+    assert out.count("FROM agg;") == 5  # one final SELECT per rule
