@@ -144,11 +144,36 @@ def test_stream_restart_resumes_offsets_without_dup_or_gap(
             .start()
         )
 
-    def rows():
-        try:
-            return spark.read.parquet(out_dir).collect()
-        except Exception:
+    def committed_files():
+        """The file sink's exactly-once contract lives in its
+        _spark_metadata commit log — an interrupted batch can leave
+        ORPHAN parquet files in the directory, which metadata-aware
+        readers never see. Read the committed list explicitly so the
+        assertion tests the contract, not directory-listing luck."""
+        import json
+        import os
+
+        meta = os.path.join(out_dir, "_spark_metadata")
+        if not os.path.isdir(meta):
             return []
+        files = []
+        for name in sorted(os.listdir(meta)):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(meta, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        rec = json.loads(line)
+                        if "path" in rec:
+                            files.append(rec["path"])
+        return files
+
+    def rows():
+        files = committed_files()
+        if not files:
+            return []
+        return spark.read.parquet(*files).collect()
 
     q = start()
     try:
