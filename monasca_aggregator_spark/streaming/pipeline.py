@@ -1207,6 +1207,7 @@ def streaming_sessions_capped(
     key_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    close_on_idle_ms: int | None = None,
 ) -> DataFrame:
     """Streaming twin of plans/temporal.q_sessions_capped: gap-based
     sessions ALSO split at a max-duration ceiling, finalized live.
@@ -1220,9 +1221,16 @@ def streaming_sessions_capped(
 
     A sub-session is emitted when it CLOSES: the next event either
     opens a new gap-session (gap exceeded) or crosses the next cap
-    boundary.  The trailing sub-session of every key stays open until
-    more data arrives (finalize-on-idle is the wall-clock heartbeat's
-    job, exactly like the windowed aggregation path).  Same in-order
+    boundary.  The trailing sub-session of a key stays open until more
+    data arrives — unless ``close_on_idle_ms`` is set, in which case a
+    PROCESSING-TIME state timeout (GroupStateTimeout) finalizes and
+    clears an idle key's trailing sub-session after that much wall
+    clock with no input: the reference's wall-clock-publication
+    behavior for quiet streams, expressed as the state store's own
+    timeout machinery instead of a heartbeat union (timeouts fire when
+    a later micro-batch processes, so an entirely-idle stream still
+    needs any trigger activity — the documented Spark semantics).
+    Same in-order
     caveat as the other stateful ops: state carries in micro-batch
     arrival order, rows are sorted within each batch.
 
@@ -1252,6 +1260,23 @@ def streaming_sessions_capped(
             sess_start = last = sub_start = None
             sub_idx, sub_n = 0, 0
         closed: list[tuple] = []
+        if close_on_idle_ms is not None and state.hasTimedOut:
+            # idle beyond the threshold: the trailing sub-session IS
+            # the final word for this key — emit and drop the state
+            if sub_start is not None:
+                closed.append((key[0], sub_start, last, sub_n, sub_idx > 0))
+            state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    key_col,
+                    "session_start_ms",
+                    "session_end_ms",
+                    "n_events",
+                    "from_cap_split",
+                ],
+            )
+            return
         for pdf in pdfs:
             pdf = pdf.sort_values(["__ts_ms", "__tie"], kind="mergesort")
             for ts in pdf["__ts_ms"]:
@@ -1277,6 +1302,8 @@ def streaming_sessions_capped(
                     sub_n += 1
                 last = ts
         state.update((sess_start, last, sub_idx, sub_start, sub_n))
+        if close_on_idle_ms is not None:
+            state.setTimeoutDuration(close_on_idle_ms)
         yield pd.DataFrame(
             closed,
             columns=[
@@ -1298,5 +1325,9 @@ def streaming_sessions_capped(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if close_on_idle_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

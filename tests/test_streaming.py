@@ -1539,3 +1539,63 @@ def test_streaming_sessions_capped_matches_batch(spark, tmp_path):
         # open: user1@60h, user2@44h, user3 — never emitted
     }
     assert got == expected
+
+
+def test_streaming_sessions_capped_idle_timeout_finalizes(spark, tmp_path):
+    """close_on_idle_ms: a key idle past the threshold has its trailing
+    sub-session finalized by the state timeout when a LATER micro-batch
+    (any key's data) processes — the state-store-native form of the
+    reference's wall-clock publication for quiet streams."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_sessions_capped,
+    )
+
+    H_MS = 3_600 * 1000
+    base = 1_704_067_200_000
+    src = tmp_path / "idle_src"
+    src.mkdir()
+    schema = "user_id long, off_ms long"
+    # batch 1: user 1 has a 2-event open session; nothing closes it
+    spark.createDataFrame(
+        [(1, 0), (1, 1 * H_MS)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("off_ms") + base))
+        .withColumn("event_id", F.col("off_ms"))
+    )
+    out = streaming_sessions_capped(raw, close_on_idle_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sc_idle")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # let batch 1 process, then idle past the 1.5 s threshold
+        _time.sleep(4)
+        assert spark.table("sc_idle").count() == 0  # still open
+        # unrelated key's data arrives → a new micro-batch runs →
+        # user 1's expired timer fires and finalizes the session
+        spark.createDataFrame(
+            [(99, 50 * H_MS)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if spark.table("sc_idle").count() >= 1:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = {
+        (r.user_id, r.session_start_ms - base, r.session_end_ms - base,
+         r.n_events, r.from_cap_split)
+        for r in spark.table("sc_idle").collect()
+    }
+    assert (1, 0, 1 * H_MS, 2, False) in rows
