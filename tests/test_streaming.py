@@ -1577,15 +1577,21 @@ def test_streaming_sessions_capped_idle_timeout_finalizes(spark, tmp_path):
         .start()
     )
     try:
-        # let batch 1 process, then idle past the 1.5 s threshold
-        _time.sleep(4)
+        # wait until batch 1 has actually processed (under suite load
+        # the first trigger can lag), then idle past the threshold
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            _time.sleep(0.5)
         assert spark.table("sc_idle").count() == 0  # still open
+        _time.sleep(2.5)  # idle past close_on_idle_ms=1500
         # unrelated key's data arrives → a new micro-batch runs →
         # user 1's expired timer fires and finalizes the session
         spark.createDataFrame(
             [(99, 50 * H_MS)], schema
         ).coalesce(1).write.mode("append").parquet(str(src))
-        deadline = _time.time() + 30
+        deadline = _time.time() + 60
         while _time.time() < deadline:
             if spark.table("sc_idle").count() >= 1:
                 break
