@@ -24,32 +24,38 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # Window rotation history: r1 checked module order, r2 front-loaded
 # the unchecked half plus the three r1 hash-mismatch fixes (50/50
 # green), r3 covered the next-oldest 50 (50/50 green in
-# CORRECTNESS_r03).  The active r4 list is below; r5/r6 are staged
+# CORRECTNESS_r03), r4 covered the r3/r4 additions (50/50 green in
+# CORRECTNESS_r04).  The active r5 list is below; r6/r7 are staged
 # as comments so each round's flip is a single edit, pinned by
 # tests/test_registry.py::test_staged_windows_are_flippable.
+# New oracle keys added during r5 must enter the NEWEST staged
+# window (R7, replacing tail re-confirmations) so every oracle key
+# has a driver row by the end of R7.
 #
-# Round-5 rotation (staged): the 8 oracle keys added after the r4
-# staging, then 42 r2-green re-confirmations (the active r2 window's
-# keys, minus enough to stay at exactly 50).
-# _DRIVER_WINDOW_R5: tuple[str, ...] = (
-#     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
-#     "lang_confusion", "series_shape_search", "text_search_fuzzy",
-#     "text_stem_vocab", "corpus_zipf_alpha",
-#     "tpch_q12_latecount", "sample_stratified",
-#     "sample_temperature", "profile_documents", "split_train_val",
-#     "pack_chunks", "pack_chunks_overlap", "dedup_exact", "dedup_spans",
-#     "dedup_editdistance", "dedup_ngram_jaccard", "dedup_embedding",
-#     "dedup_clusters", "dedup_canonical", "text_tfidf", "text_bigram_pmi",
-#     "text_search_conjunctive", "text_langid", "quality_deciles",
-#     "text_decontaminate", "text_unigram_logprob", "text_tokens",
-#     "text_quality", "text_fingerprint", "text_vocab_topk",
-#     "text_repetition", "text_boilerplate", "embedding_centroids",
-#     "embedding_quantize", "ann_cosine_topk", "events_json_props",
-#     "agg_streaming", "user_event_seq", "events_cumulative_users",
-#     "asof_purchase_click", "anomaly_zscore", "metric_histogram",
-#     "funnel_conversion", "sessions_user", "moving_avg_user",
-#     "lag_delta_user", "running_total_user",
-# )
+# Round-5 ACTIVE window (flipped at the start of round 5): the 8
+# oracle keys added after the r4 staging, then 42 r2-green
+# re-confirmations (the active r2 window's keys, minus enough to stay
+# at exactly 50).  The r4 window (dedup_rate_by_source …
+# tpch_q12_latecount) went 50/50 green in CORRECTNESS_r04.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
+    "lang_confusion", "series_shape_search", "text_search_fuzzy",
+    "text_stem_vocab", "corpus_zipf_alpha",
+    "tpch_q12_latecount", "sample_stratified",
+    "sample_temperature", "profile_documents", "split_train_val",
+    "pack_chunks", "pack_chunks_overlap", "dedup_exact", "dedup_spans",
+    "dedup_editdistance", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_clusters", "dedup_canonical", "text_tfidf", "text_bigram_pmi",
+    "text_search_conjunctive", "text_langid", "quality_deciles",
+    "text_decontaminate", "text_unigram_logprob", "text_tokens",
+    "text_quality", "text_fingerprint", "text_vocab_topk",
+    "text_repetition", "text_boilerplate", "embedding_centroids",
+    "embedding_quantize", "ann_cosine_topk", "events_json_props",
+    "agg_streaming", "user_event_seq", "events_cumulative_users",
+    "asof_purchase_click", "anomaly_zscore", "metric_histogram",
+    "funnel_conversion", "sessions_user", "moving_avg_user",
+    "lag_delta_user", "running_total_user",
+)
 # Round-6 rotation (staged): the 22 oracle-backed keys added in r3
 # (plans/insights.py) plus split_group_aware (the one key still
 # without any driver row after r3-r5), then 27 r1-green
@@ -100,33 +106,24 @@ from monasca_aggregator_spark.plans import metrics, tpch
 #     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
 #     "dedup_containment",
 # )
-# Round-4 ACTIVE window (flipped at the start of round 4): the 41
-# oracle-backed keys added after the r3 staging (23 from the r2
-# continuation + 18 from the r2-session additions), then 9
-# r1/r2-green re-confirmations.  The r3 window (agg_sliding …
-# graph_triangles) went 50/50 green in CORRECTNESS_r03.
-_DRIVER_WINDOW: tuple[str, ...] = (
-    "dedup_rate_by_source", "text_readability", "embedding_outliers",
-    "sessions_active_time", "events_lifecycle", "events_markov",
-    "sessions_native", "metric_top_contributors", "metric_mix_drift",
-    "metric_autocorr", "metric_seasonal_decompose",
-    "agg_rolling_distinct_kmv", "metric_apdex", "scd2_user_tier",
-    "audit_referential", "events_enrich_scd2", "events_rfm",
-    "orders_concentration_hhi", "events_pareto_deciles",
-    "orders_copurchase", "lineitem_abc_class", "anomaly_ensemble",
-    "orders_cohort_ltv",
-    "skyline_docs", "curation_funnel", "dedup_jaccard_prefix",
-    "dedup_incremental", "audit_expectations",
-    "events_retention_bitmap", "cdc_apply_latest",
-    "stats_join_estimate", "metric_trend_theilsen",
-    "text_search_phrase", "search_hybrid_rrf", "weighted_median",
-    "embedding_centroid_affinity", "sessions_entry_exit",
-    "revenue_share_hierarchy", "chunk_sentences",
-    "asof_nearest_click", "copurchase_cosine_topk",
-    "agg_count", "agg_sum", "agg_avg",
-    "agg_min", "agg_max", "agg_delta", "agg_rate",
-    "tpch_q1", "tpch_q12_latecount",
-)
+# Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
+# the 41 oracle-backed keys added after the r3 staging, then 9
+# r1/r2-green re-confirmations — dedup_rate_by_source,
+# text_readability, embedding_outliers, sessions_active_time,
+# events_lifecycle, events_markov, sessions_native,
+# metric_top_contributors, metric_mix_drift, metric_autocorr,
+# metric_seasonal_decompose, agg_rolling_distinct_kmv, metric_apdex,
+# scd2_user_tier, audit_referential, events_enrich_scd2, events_rfm,
+# orders_concentration_hhi, events_pareto_deciles, orders_copurchase,
+# lineitem_abc_class, anomaly_ensemble, orders_cohort_ltv,
+# skyline_docs, curation_funnel, dedup_jaccard_prefix,
+# dedup_incremental, audit_expectations, events_retention_bitmap,
+# cdc_apply_latest, stats_join_estimate, metric_trend_theilsen,
+# text_search_phrase, search_hybrid_rrf, weighted_median,
+# embedding_centroid_affinity, sessions_entry_exit,
+# revenue_share_hierarchy, chunk_sentences, asof_nearest_click,
+# copurchase_cosine_topk, agg_count, agg_sum, agg_avg, agg_min,
+# agg_max, agg_delta, agg_rate, tpch_q1, tpch_q12_latecount.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
