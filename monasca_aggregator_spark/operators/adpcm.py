@@ -171,6 +171,14 @@ def encode_ima_adpcm_wav(
         raise ValueError("mono or stereo only")
     if (samples_per_block - 1) % 8:
         raise ValueError("samples_per_block must be 8k+1")
+    if len(samples) % n_channels:
+        # an odd interleaved count with stereo would leave chans[1]
+        # one short; the final block would then index an empty segment
+        # (IndexError) instead of honouring the ValueError contract
+        raise ValueError(
+            f"interleaved sample count {len(samples)} is not a "
+            f"multiple of n_channels={n_channels}"
+        )
     x = np.clip(
         np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767
     ).astype(np.int64)

@@ -20,7 +20,11 @@ Semantics:
   one-file commit record is atomically renamed into _log/, and a
   crashed writer leaves only an unreferenced data dir
 - optimistic concurrency: two writers racing to commit version N —
-  the loser's rename finds v N taken and raises (retry = rebase)
+  the commit is published with an EXCLUSIVE-create primitive
+  (``os.link``, which raises ``FileExistsError`` on an existing
+  target — unlike ``os.rename``, which silently replaces), so the
+  loser raises and must rebase; this matches how Delta/Iceberg
+  commit on HDFS (rename-without-overwrite)
 - ``snapshot_expire`` — time-travel retention: drop log entries older
   than the keep window and delete data files no surviving version
   references (the vacuum that keeps 100 TB of history affordable)
@@ -81,8 +85,15 @@ def snapshot_write(
     *,
     mode: str = "append",
     shards: int | None = None,
+    extra_record: dict | None = None,
 ) -> dict:
-    """Commit ``df`` as a new version. Returns the commit record."""
+    """Commit ``df`` as a new version. Returns the commit record.
+
+    ``extra_record`` entries (e.g. a streaming batch_id) are merged
+    into the commit record BEFORE it is atomically published, so they
+    are visible to any reader that can see the commit at all — there
+    is no window where the commit exists without them.
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_dir(path), exist_ok=True)
@@ -108,20 +119,25 @@ def snapshot_write(
         "files": files,
         "n_new_files": len(new_files),
     }
+    if extra_record:
+        record.update(extra_record)
     tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}.json")
     with open(tmp, "w") as f:
         json.dump(record, f)
     target = _version_file(path, v)
-    if os.path.exists(target):
-        os.remove(tmp)
+    # exclusive-create publish: os.link raises FileExistsError if the
+    # target exists, unlike os.rename which silently REPLACES it on
+    # POSIX — so of two racing writers exactly one wins and the other
+    # raises (conditional PUT / If-None-Match on object stores)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
         raise RuntimeError(
             f"concurrent commit: version {v} already exists "
             "(rebase: re-read latest and retry)"
-        )
-    # atomic on POSIX; conditional PUT on object stores
-    os.rename(tmp, target)
-    if os.path.exists(target) and _read_commit(path, v) != record:
-        raise RuntimeError(f"lost commit race for version {v}")
+        ) from None
+    finally:
+        os.unlink(tmp)
     return record
 
 
@@ -157,9 +173,12 @@ def snapshot_sink(path: str, *, mode: str = "append"):
     doubles as the stream's audit trail.
 
     Exactly-once across restarts: the commit record carries the
-    micro-batch id; a replayed batch (same id as the newest commit)
-    is skipped instead of double-committed — the snapshot-table
-    counterpart of the idempotent batch_id-keyed parquet sink.
+    micro-batch id IN the atomically-published commit itself (threaded
+    through ``snapshot_write(extra_record=...)``), so there is no
+    crash window in which a commit exists without its batch_id — a
+    replayed batch (same id as the newest commit) is skipped instead
+    of double-committed, the snapshot-table counterpart of the
+    idempotent batch_id-keyed parquet sink.
     """
 
     def _sink(df: DataFrame, batch_id: int) -> None:
@@ -168,13 +187,9 @@ def snapshot_sink(path: str, *, mode: str = "append"):
             newest = _read_commit(path, versions[-1])
             if newest.get("batch_id") == batch_id:
                 return  # replay of the already-committed batch
-        record = snapshot_write(df, path, mode=mode)
-        # stamp the batch id into the committed record (same file,
-        # rewrite-in-place is safe: the rename already published it
-        # and single-writer-per-stream is foreachBatch's contract)
-        record["batch_id"] = batch_id
-        with open(_version_file(path, record["version"]), "w") as f:
-            json.dump(record, f)
+        snapshot_write(
+            df, path, mode=mode, extra_record={"batch_id": batch_id}
+        )
 
     return _sink
 

@@ -25,11 +25,13 @@ original).
 
 Identifiers: dimension keys and metric names are embedded as SQL
 string literals with single-quote escaping; generated column aliases
-are sanitized to ``[A-Za-z0-9_]``.
+are sanitized to ``[A-Za-z0-9_]`` with a raw-key hash suffix whenever
+sanitizing changed the key, so distinct keys never collide.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from monasca_aggregator_spark.models import AggregationSpec
@@ -41,7 +43,20 @@ def _q(s: str) -> str:
 
 
 def _ident(k: str) -> str:
-    return "__dim_" + re.sub(r"[^A-Za-z0-9_]", "_", k)
+    """Sanitized, COLLISION-FREE alias for a dimension key.
+
+    Plain substitution alone is ambiguous: 'a.b' and 'a_b' would both
+    become __dim_a_b, so a spec grouping on both generates duplicate
+    aliases and silently mis-pairs the output map. Any key that needed
+    sanitizing gets a short hash of the RAW key appended, so distinct
+    keys always map to distinct aliases while clean keys keep their
+    readable form.
+    """
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", k)
+    if safe != k:
+        digest = hashlib.sha1(k.encode()).hexdigest()[:8]
+        safe = f"{safe}_x{digest}"
+    return "__dim_" + safe
 
 
 def _agg_sql(fn: str, value: str, ts_ms: str, order: str) -> str:

@@ -134,6 +134,13 @@ def test_adpcm_length_edges_and_corruption_contract():
     for cut in (2, 10, 30, 45):
         with pytest.raises(ValueError):
             decode_ima_adpcm_wav(full[:cut])
+    # stereo with an ODD interleaved count can't split into equal
+    # channels — must be the module's ValueError contract, not an
+    # IndexError from an empty final-block segment (ADVICE r4)
+    with pytest.raises(ValueError, match="multiple of n_channels"):
+        encode_ima_adpcm_wav(
+            rng.uniform(-0.5, 0.5, 1011), sample_rate=8000, n_channels=2
+        )
 
 
 def test_gif_features_and_thumbnail_match_png_twin_through_spark(spark):

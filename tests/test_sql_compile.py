@@ -171,6 +171,44 @@ def test_quote_escaping_in_literals(spark):
     assert row.value == 1.0 and row.dimensions["o'k"] == "v'1"
 
 
+def test_colliding_dimension_keys_get_distinct_aliases(spark):
+    """'a.b' and 'a_b' sanitize to the same characters; the generated
+    aliases must still differ or a spec grouping on both emits
+    duplicate-alias SQL with a silently mis-paired output map."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sql_compile import _ident
+
+    assert _ident("a.b") != _ident("a_b")
+    assert _ident("a_b") == "__dim_a_b"  # clean keys stay readable
+    assert _ident("a.b") == _ident("a.b")  # deterministic
+
+    env = spark.createDataFrame(
+        [("m", "2024-01-01 00:00:00", 3.0)],
+        "name string, ts string, value double",
+    ).select(
+        "name",
+        F.expr("map('a.b','dot','a_b','underscore')").alias("dimensions"),
+        F.to_timestamp("ts").alias("timestamp"),
+        "value",
+        F.expr("map()").cast("map<string,string>").alias("value_meta"),
+        F.lit("t0").alias("tenant_id"),
+        F.expr("map()").cast("map<string,string>").alias("meta"),
+    )
+    env.createOrReplaceTempView("envelopes")
+    spec = AggregationSpec(
+        name="sql_collide",
+        aggregated_metric_name="agg.m",
+        filtered_metric_name="m",
+        function="sum",
+        grouped_dimensions=("a.b", "a_b"),
+    )
+    row = spark.sql(spec_to_sql(spec, 60)).first()
+    assert row.dimensions["a.b"] == "dot"
+    assert row.dimensions["a_b"] == "underscore"
+    assert row.value == 3.0
+
+
 def test_reference_spec_file_compiles_and_runs_via_sql(spark, sf_small):
     """Every rule in the reference's own aggregation-specifications.yaml
     compiles through spec_to_sql and executes (no rows required — the

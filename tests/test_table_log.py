@@ -76,6 +76,16 @@ def test_commit_conflict_raises(spark, tmp_path, monkeypatch):
     # winner's committed state reads fine
     assert snapshot_read(spark, path).count() == 10
     assert os.path.exists(table_log._version_file(path, 2))
+    # and the WINNER's commit record is byte-identical — os.rename
+    # would have silently replaced it (loser wins, winner's files
+    # dropped); the os.link exclusive-create publish cannot
+    assert table_log._read_commit(path, 2) == fake
+    # the loser's tmp file is cleaned up either way
+    assert not [
+        f
+        for f in os.listdir(table_log._log_dir(path))
+        if f.startswith(".tmp-")
+    ]
 
 
 def test_expire_keeps_time_travel_window_and_deletes_dead_files(
