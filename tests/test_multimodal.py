@@ -61,6 +61,74 @@ def test_decode_real_is_explicitly_stubbed():
         M.decode_real(b"\x00", "image")
 
 
+def _png_fixture() -> tuple[bytes, "object"]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    return M.encode_png(img), img
+
+
+def test_native_seam_dispatches_to_detected_decoder(monkeypatch):
+    """The 100 TB decode path: when a native library is detected the
+    compressed-codec formats (PNG/JPEG/GIF) route through it; PPM
+    (raw frombuffer, already native-speed) and use_native=False stay
+    on the stdlib path. Simulated decoder — PIL isn't installable
+    here; test_native_seam_matches_stdlib_when_pil_present pins real
+    parity when it is."""
+    import numpy as np
+
+    png, truth = _png_fixture()
+    calls = []
+
+    def fake_native(payload: bytes):
+        calls.append(len(payload))
+        return M.decode_png(payload)
+
+    monkeypatch.setattr(M, "_NATIVE_IMAGE_DECODER", fake_native)
+    out = M.decode_real(png, "image")
+    assert np.array_equal(out, truth) and len(calls) == 1
+    # PPM never needs the seam
+    ppm = M.encode_ppm(truth)
+    assert np.array_equal(M.decode_real(ppm, "image"), truth)
+    assert len(calls) == 1
+    # forcing the fallback bypasses the native decoder
+    assert np.array_equal(
+        M.decode_real(png, "image", use_native=False), truth
+    )
+    assert len(calls) == 1
+    # unknown magic goes to the native decoder (progressive JPEG case)
+    with pytest.raises(ValueError, match="undecodable image"):
+        M.decode_real(b"\x00\x11\x22", "image")
+    assert len(calls) == 2
+
+
+def test_native_seam_absent_falls_back_and_caches(monkeypatch):
+    import numpy as np
+
+    monkeypatch.setattr(M, "_NATIVE_IMAGE_DECODER", M._UNPROBED)
+    png, truth = _png_fixture()
+    assert np.array_equal(M.decode_real(png, "image"), truth)
+    # probe ran once and cached its (None, in this container) result
+    assert M._NATIVE_IMAGE_DECODER is None or callable(
+        M._NATIVE_IMAGE_DECODER
+    )
+
+
+def test_native_seam_matches_stdlib_when_pil_present():
+    """Real-parity pin, active only where PIL exists (not this
+    container): native decode must equal the stdlib oracle
+    bit-for-bit on lossless formats."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    png, truth = _png_fixture()
+    native = M._native_image_decoder()
+    assert native is not None
+    assert np.array_equal(native(png), M.decode_png(png))
+    assert np.array_equal(native(png), truth)
+
+
 def test_resize_updates_metadata_jvm_side(spark, media):
     out = M.resize_images(media, width=224, height=224)
     row = out.first()
