@@ -506,6 +506,63 @@ def semantic_dedup_pairs(
     return assigned.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
 
 
+_ANN_PAIRS_MULT = 2654435761  # Knuth multiplicative hash
+_ANN_PAIRS_MOD = 2147483647
+
+
+def ann_candidate_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed near-dup candidate pairs — the 100 TB default input
+    for graph analytics (k-core / PageRank / triangles) over the
+    near-dup graph.
+
+    The exact block-matmul (``embedding_cosine_pairs``) is O(n²·d)
+    flops no matter how it is tiled; at corpus scale the graph queries
+    should consume CANDIDATE pairs from a bucketed generator instead.
+    This one is the IVF same-cell scheme: ``n_cells`` deterministic
+    hash-sampled centroids (multiplicative-hash priority — no training
+    pass, rerun-stable), one broadcast-matmul assignment pass, then
+    pairwise cosine only WITHIN each cell — Σ|cell|² work. Raise
+    ``n_cells`` ∝ corpus so a cell fits a task.
+
+    Output: (id_a, id_b, sim), id_a < id_b, sim ≥ threshold, 6 dp
+    half-up — a SUBSET of embedding_cosine_pairs at the same
+    threshold (pairs the cell split separates are missed; recall is
+    the n_cells dial). The ⊆ relation and every returned sim matching
+    the exact generator are pinned in tests/test_graph.py.
+    """
+    pri = F.pmod(
+        F.col(id_col) * F.lit(_ANN_PAIRS_MULT), F.lit(_ANN_PAIRS_MOD)
+    )
+    picked = (
+        emb.select(
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("cent_vec"),
+            pri.alias("pri"),
+        )
+        .orderBy("pri", id_col)
+        .limit(n_cells)  # TakeOrdered — bounded driver payload
+        .collect()
+    )
+    cents = emb.sparkSession.createDataFrame(
+        [(i, list(r.cent_vec)) for i, r in enumerate(picked)],
+        "cent_id int, cent_vec array<double>",
+    )
+    return semantic_dedup_pairs(
+        emb,
+        threshold=threshold,
+        centroids=cents,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("id_a", "id_b", "sim")
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     rng = random.Random(42)
     return [

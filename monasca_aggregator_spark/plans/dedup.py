@@ -471,6 +471,39 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_pairs(pairs, k=2)
 
 
+def q_graph_kcore_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: 2-core over the BUCKETED candidate pair graph
+    (operators/similarity.ann_candidate_pairs — IVF same-cell pairs,
+    Σ|cell|² work) instead of the exact O(n²) block-matmul. This is
+    the 100 TB default for graph analytics on the near-dup graph; the
+    exact-pairs `graph_kcore` stays as the small-scale ground truth.
+    k-core is monotone under edge addition, so this core's member set
+    is ⊆ the exact graph's core — pinned in tests/test_graph.py."""
+    from monasca_aggregator_spark.operators.graph import kcore_pairs
+    from monasca_aggregator_spark.operators.similarity import (
+        ann_candidate_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = ann_candidate_pairs(emb, threshold=EMB_THRESHOLD, n_cells=8)
+    return kcore_pairs(pairs, k=2)
+
+
+def q_graph_pagerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: PageRank over the bucketed candidate pair graph —
+    the scale-path twin of `graph_pagerank` (same integer power
+    method, input from ann_candidate_pairs instead of the exact
+    O(n²) generator)."""
+    from monasca_aggregator_spark.operators.graph import pagerank_pairs
+    from monasca_aggregator_spark.operators.similarity import (
+        ann_candidate_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = ann_candidate_pairs(emb, threshold=EMB_THRESHOLD, n_cells=8)
+    return pagerank_pairs(pairs, n_iter=8).select("id", "rank_e12")
+
+
 _SC_MULT = 2654435761  # Knuth multiplicative hash — SQL-reproducible
 _SC_MOD = 2147483647
 _SC_CELLS = 8
@@ -605,6 +638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)
     "graph_kcore": q_graph_kcore,  # rows-only (iterative peeling)
+    "graph_kcore_ann": q_graph_kcore_ann,  # rows-only (bucketed candidates)
+    "graph_pagerank_ann": q_graph_pagerank_ann,  # rows-only (bucketed)
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,

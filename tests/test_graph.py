@@ -104,3 +104,60 @@ def test_kcore_brute_force_random(spark):
         want = brute(k)
         got = {r.node: r.degree for r in kcore_pairs(pairs, k=k).collect()}
         assert got == want, k
+
+
+def test_ann_pairs_are_contained_in_exact_pairs(spark, sf_small):
+    """The bucketed candidate generator must be a strict SUBSET of the
+    exact block-matmul at the same threshold, with identical rounded
+    sims on every pair it does return — and the k-core computed on the
+    candidate graph must be ⊆ the exact graph's core (k-core is
+    monotone under edge addition). This pins the 100 TB default
+    (graph_kcore_ann / graph_pagerank_ann) to the small-scale oracle
+    (graph_kcore)."""
+    from monasca_aggregator_spark.operators.graph import kcore_pairs
+    from monasca_aggregator_spark.operators.similarity import (
+        ann_candidate_pairs,
+        embedding_cosine_pairs,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    thr = 0.35
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_cosine_pairs(emb, threshold=thr).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b): r.sim
+        for r in ann_candidate_pairs(emb, threshold=thr, n_cells=4).collect()
+    }
+    assert cand, "candidate generator returned nothing at sf_small"
+    missing = set(cand) - set(exact)
+    assert not missing, f"candidate pairs not in exact set: {missing}"
+    for p, s in cand.items():
+        assert s == exact[p], (p, s, exact[p])
+    # recall is < 1 by construction (and these synthetic embeddings
+    # are only weakly clustered at thr=0.35, so cell splits cost more
+    # than on a real near-dup corpus) — guard against collapse, not
+    # for a recall target: that dial is n_cells
+    assert len(cand) >= 0.25 * len(exact), (len(cand), len(exact))
+
+    core_exact = {
+        r.node
+        for r in kcore_pairs(
+            spark.createDataFrame(
+                [(a, b) for a, b in exact], "id_a long, id_b long"
+            ),
+            k=2,
+        ).collect()
+    }
+    core_cand = {
+        r.node
+        for r in kcore_pairs(
+            spark.createDataFrame(
+                [(a, b) for a, b in cand], "id_a long, id_b long"
+            ),
+            k=2,
+        ).collect()
+    }
+    assert core_cand <= core_exact
