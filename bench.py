@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "metric_histogram_quantile",
     "dedup_semantic_cells",
     "ann_ivf_cells",
+    "ann_recall_report",
     "pack_bins_ffd",
     "text_search_bm25",
     "events_rolling_wau",
@@ -263,6 +264,11 @@ def main() -> None:
         "queries": worst5,
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # which protocol produced value: warm best-of-3 (sf0.001
+        # warm-up pass, min of 3 timed runs per query). A single cold
+        # first-run sweep of the same list is ~20% slower — label the
+        # number so BENCH_r{N} and SURVEY §6 can't drift apart.
+        "protocol": "warm_best_of_3",
     }
     full = dict(out)
     full["queries"] = timings
@@ -296,6 +302,7 @@ def main() -> None:
             "sessions_concurrency", "scd2_user_tier",
             "orders_consistency_audit", "sessions_capped",
             "corpus_ks_by_source", "events_dup_rate",
+            "ann_recall_report", "graph_kcore_ann",
         ]
         soak: dict[str, dict[str, float]] = {}
         for name in soak_queries:

@@ -598,6 +598,76 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(corpus, queries, k=K, pool=50, lam=0.7)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY GATE: recall@K of every approximate search method
+    against the exact brute-force top-K, as one small report row per
+    method — so a recall regression (bad centroid training, a broken
+    probe path, a codebook bug) shows up in the bench/correctness
+    files, not only in pytest docstrings (VERDICT r4 stretch item).
+
+    recall = |approx ∩ exact| / |exact| over the same N_QUERIES query
+    vectors, K=10; ties and rounding follow each method's own
+    conventions, so the report measures the methods as shipped.
+    Rows-only by design: recall of an approximate index is itself the
+    measured quantity — there is no SQL-expressible expected value;
+    floors are pinned in tests/test_similarity.py (ivf > 0) and
+    tests/test_pq.py (pq ≥ 0.7).
+
+    Plan shape: each method's own (bounded) top-K result — N_QUERIES
+    × K rows per method — unions into one relation, inner-joins the
+    exact set on (query_id, neighbor_id), and aggregates to one row
+    per method; the expensive part is the methods themselves, the
+    comparison is on K·N_QUERIES-row relations."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = (
+        cosine_topk(corpus, queries, k=K)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    cents = train_ivf_centroids(corpus, n_centroids=16, n_iter=3)
+
+    from monasca_aggregator_spark.operators.pq import pq_ann
+
+    methods = {
+        "ann_lsh": lsh_ann(corpus, queries, k=K),
+        "ann_ivf": ivf_ann(corpus, queries, k=K),
+        "ann_ivf_kmeans": ivf_ann(corpus, queries, k=K, centroids=cents),
+        "ann_pq": pq_ann(corpus, queries, k_out=K),
+    }
+    approx = None
+    for name, df in methods.items():
+        part = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        approx = part if approx is None else approx.unionByName(part)
+
+    n_exact = exact.count()  # bounded: N_QUERIES × K
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = spark.createDataFrame(
+        [(m,) for m in methods], "method string"
+    )
+    return (
+        base.join(hits, "method", "left")
+        .select(
+            "method",
+            F.lit(K).alias("k"),
+            F.lit(N_QUERIES).alias("n_queries"),
+            F.lit(n_exact).alias("n_exact"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.lit(float(n_exact)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
 KNN_K = 5
 EMB_DIM = 64  # testdata embedding width; codegen-unrolled similarity
 
@@ -761,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
+    "ann_recall_report": q_ann_recall_report,  # rows-only (measures recall)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)
     "ann_ivf_kmeans": q_ann_ivf_kmeans,  # rows-only (approximate)

@@ -263,3 +263,23 @@ def test_persisted_ivf_index_probe_equals_fresh_search(spark, sf_small, tmp_path
     }
     assert probed == fresh
     assert len(probed) > 0
+
+
+def test_ann_recall_report_measures_all_methods(spark, sf_small):
+    """The recall gate returns one row per ANN method with recall in
+    [0,1] against n_queries*K exact pairs; PQ's re-ranked recall floor
+    (test_pq.py pins >= 0.7 on this corpus) must show up here too —
+    the report and the pytest pin measure the same quantity."""
+    from monasca_aggregator_spark.plans.similarity import (
+        K,
+        N_QUERIES,
+        q_ann_recall_report,
+    )
+
+    rows = {r.method: r for r in q_ann_recall_report(spark, sf_small).collect()}
+    assert set(rows) == {"ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq"}
+    for r in rows.values():
+        assert r.n_exact == N_QUERIES * K
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits <= r.n_exact
+    assert rows["ann_pq"].recall >= 0.7
