@@ -13,6 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.text import word_shingles
 from monasca_aggregator_spark.operators import dedup as D
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -471,6 +473,156 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_pairs(pairs, k=2)
 
 
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source CONTENT-OVERLAP matrix: exact Jaccard between each
+    source pair's distinct token-trigram shingle sets — 'how much of
+    src3 is src7 re-crawled' is the corpus-composition question that
+    decides which sources to dedup against each other first (the
+    source-level rollup of the per-doc near-dup family).
+
+    Shape that survives scale: the corpus collapses to a DISTINCT
+    (source, shingle-hash) relation first (8-byte xxhash64 keys, never
+    raw strings on the exchange), sizes are one groupBy over it, and
+    intersections come from the shingle-keyed self-join — fan-out per
+    shingle is bounded by #sources (each shingle contributes ≤
+    #sources²/2 pairs), output is #sources²/2 rows. Only source pairs
+    sharing ≥ 1 shingle appear (inner-join semantics, both engines).
+    Jaccard 6-dp half-up on exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    d = (
+        docs.select(
+            "source",
+            F.explode_outer(word_shingles(F.col("text"), 3)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select("source", F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            stable_round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(range(1, len(t)-1),
+                                             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM toks WHERE len(t) >= 3
+), d AS (
+  SELECT DISTINCT source, s FROM sh
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, n_shared,
+       floor((n_shared / (na.n + nb.n - n_shared)) * 1000000.0::DOUBLE
+             + 0.5::DOUBLE) / 1000000.0::DOUBLE AS jaccard
+FROM inter
+JOIN sizes na ON na.source = source_a
+JOIN sizes nb ON nb.source = source_b
+""".strip()
+
+
+_SWEEP_BASE = 0.30
+_SWEEP_STEP_E6 = 50_000  # 0.05 buckets in e6 fixed point
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD CALIBRATION sweep: histogram of exact
+    embedding-cosine pair similarities above a base threshold, with
+    the cumulative pair count at-or-above each 0.05 bucket — the
+    'how many pairs would each threshold kill' curve read before
+    committing a corpus-wide dedup threshold (run once per corpus,
+    next to dedup_embedding). Pairs come from the exact block-matmul
+    generator at the base threshold; bucketing is exact integer math
+    on the 6-dp e6 sims (floor to 50 000-e6 steps — no float-boundary
+    ambiguity), and the descending cumulative runs on the ≤ ~15-row
+    bucket relation (a single-partition window over a bounded
+    aggregate, not over data)."""
+    from monasca_aggregator_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from pyspark.sql import Window
+
+    pairs = embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings", fan_out=True),
+        threshold=_SWEEP_BASE,
+    )
+    e6 = F.floor(F.col("sim") * 1_000_000 + F.lit(0.5)).cast("long")
+    g = (
+        pairs.select(
+            ((e6 / F.lit(_SWEEP_STEP_E6)).cast("long") * F.lit(_SWEEP_STEP_E6))
+            .alias("bucket_e6")
+        )
+        .groupBy("bucket_e6")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cum = Window.orderBy(F.col("bucket_e6").desc())
+    return g.select(
+        (F.col("bucket_e6") / F.lit(1_000_000.0)).alias("bucket"),
+        "n_pairs",
+        F.sum("n_pairs").over(cum).alias("n_pairs_ge"),
+    )
+
+
+ORACLE_THRESHOLD_SWEEP = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), p AS (
+  SELECT CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000.0::DOUBLE
+              + 0.5::DOUBLE) AS BIGINT) AS sim_e6
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE floor(list_cosine_similarity(a.e, b.e) * 1000000.0::DOUBLE
+              + 0.5::DOUBLE) / 1000000.0::DOUBLE >= {_SWEEP_BASE}
+), g AS (
+  SELECT (sim_e6 // {_SWEEP_STEP_E6}) * {_SWEEP_STEP_E6} AS bucket_e6,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY 1
+)
+SELECT bucket_e6 / 1000000.0::DOUBLE AS bucket, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bucket_e6 DESC) AS BIGINT)
+         AS n_pairs_ge
+FROM g
+""".strip()
+
+
 def q_graph_kcore_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: 2-core over the BUCKETED candidate pair graph
     (operators/similarity.ann_candidate_pairs — IVF same-cell pairs,
@@ -634,6 +786,8 @@ FROM g GROUP BY 1
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "corpus_source_overlap": q_corpus_source_overlap,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)
@@ -659,6 +813,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_rate_by_source": ORACLE_DEDUP_RATE,
+    "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "dedup_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "dedup_semantic_cells": ORACLE_SEMANTIC_CELLS,
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_EXACT,

@@ -250,6 +250,123 @@ GROUP BY 1, 2
 """.strip()
 
 
+def q_metric_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEADING-INDICATOR matrix: Pearson correlation between metric
+    A's hourly mean at window t and metric B's at t+1h, for every
+    ORDERED pair A≠B — 'which metric moves one hour before which'
+    is the next question after metric_correlation's contemporaneous
+    matrix (a strong asymmetric lead-lag correlation is the standard
+    signal for cascade/root-cause ordering). Same aggregate-then-
+    correlate shape: the event scan collapses to one row per (metric,
+    window) first, the lag join + corr run on the tiny series table
+    (#metrics × #windows rows), so pair cost is independent of corpus
+    size. Window means are 4-dp-rounded before corr on both engines
+    (identical inputs → identical accumulations), corr rounded too."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        stable_round(F.avg("value"), 4).alias("wv")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.window_ts_ms") + F.lit(_HOUR_MS) == F.col("b.window_ts_ms"))
+        & (F.col("a.event_type") != F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("metric_lead"),
+        F.col("b.event_type").alias("metric_lag"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        stable_round(F.corr(F.col("a.wv"), F.col("b.wv")), 4).alias(
+            "lead_corr"
+        ),
+    )
+
+
+ORACLE_LEAD_LAG = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS w,
+         {sql_stable_round("avg(value)")} AS wv
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS metric_lead, b.event_type AS metric_lag,
+       count(*) AS n_windows,
+       {sql_stable_round("corr(a.wv, b.wv)")} AS lead_corr
+FROM hourly a JOIN hourly b
+  ON a.w + {_HOUR_MS} = b.w AND a.event_type <> b.event_type
+GROUP BY 1, 2
+""".strip()
+
+
+_MOVERS_K = 3
+
+
+def q_metric_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K hour-over-hour MOVERS per metric: the K windows where a
+    metric's hourly mean jumped most vs its previous reported window
+    (either direction) — the 'what changed' triage view an on-call
+    pulls up first. Lag is over the previous REPORTED window (row
+    lag), so a gap in the series compares across the gap rather than
+    emitting nulls — the same arrival-ordered convention as
+    lag_delta_user. Deterministic: means 4-dp-rounded before the
+    subtraction (identical doubles → identical delta on both
+    engines), rank ties break on window_ts_ms ascending. The window
+    functions run on the collapsed series (#metrics × #windows rows),
+    partitioned by metric — no global sort, no raw-event window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        stable_round(F.avg("value"), 4).alias("wv")
+    )
+    w = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    d = (
+        hourly.select(
+            "event_type",
+            "window_ts_ms",
+            F.lag("wv").over(w).alias("prev_wv"),
+            "wv",
+        )
+        .filter(F.col("prev_wv").isNotNull())
+        .withColumn(
+            "delta", stable_round(F.col("wv") - F.col("prev_wv"), 4)
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("delta")).desc(), F.col("window_ts_ms").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _MOVERS_K)
+        .select(
+            "event_type", "rk", "window_ts_ms", "prev_wv", "wv", "delta"
+        )
+    )
+
+
+ORACLE_TOPK_MOVERS = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS w,
+         {sql_stable_round("avg(value)")} AS wv
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, w AS window_ts_ms,
+         lag(wv) OVER (PARTITION BY event_type ORDER BY w) AS prev_wv,
+         wv
+  FROM hourly
+), d AS (
+  SELECT event_type, window_ts_ms, prev_wv, wv,
+         {sql_stable_round("(wv - prev_wv)")} AS delta
+  FROM lagged WHERE prev_wv IS NOT NULL
+)
+SELECT event_type, rk, window_ts_ms, prev_wv, wv, delta
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(delta) DESC, window_ts_ms ASC) AS INT) AS rk
+  FROM d
+) t WHERE rk <= {_MOVERS_K}
+""".strip()
+
+
 _M4_BUCKET_MS = 6 * 3600 * 1000  # 6-hour pixel buckets
 
 
@@ -1086,6 +1203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_downsample_m4": q_metric_downsample_m4,
     "metric_winsorize": q_metric_winsorize,
     "metric_correlation": q_metric_correlation,
+    "metric_lead_lag": q_metric_lead_lag,
+    "metric_topk_movers": q_metric_topk_movers,
     "metric_counter_rate": q_metric_counter_rate,
     "metric_retention_tiers": q_metric_retention_tiers,
     "metric_histogram_equidepth": q_metric_histogram_equidepth,
@@ -1105,6 +1224,8 @@ ORACLES: dict[str, str] = {
     "metric_downsample_m4": ORACLE_M4,
     "metric_winsorize": ORACLE_WINSORIZE,
     "metric_correlation": ORACLE_CORRELATION,
+    "metric_lead_lag": ORACLE_LEAD_LAG,
+    "metric_topk_movers": ORACLE_TOPK_MOVERS,
     "metric_counter_rate": ORACLE_COUNTER_RATE,
     "metric_retention_tiers": ORACLE_RETENTION_TIERS,
     "metric_histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
