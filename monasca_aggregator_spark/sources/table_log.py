@@ -142,9 +142,21 @@ def snapshot_write(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """The table exactly as of ``version`` (latest if omitted)."""
+    """The table exactly as of ``version`` (latest if omitted).
+
+    ``merge_schema=True`` enables SCHEMA EVOLUTION across commits: an
+    append whose DataFrame carries a column older data files lack
+    reads back as the UNION schema, with the old files' missing
+    column as NULL (parquet name-based resolution — the Iceberg/Delta
+    add-column semantics). Off by default because merging reads every
+    file footer up front; a table known to have one schema skips
+    that."""
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
@@ -157,7 +169,10 @@ def snapshot_read(
     files = _read_commit(path, v)["files"]
     if not files:
         raise ValueError(f"version {v} is empty")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def snapshot_history(path: str) -> list[dict]:

@@ -200,3 +200,54 @@ def write_jsonl(df: DataFrame, path: str, *, shards: int | None = None) -> None:
     for a target file count; omitted keeps the upstream layout."""
     out = df.repartition(shards) if shards else df
     out.write.mode("overwrite").json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | None = None,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """ORC → DataFrame via Spark's built-in columnar ORC source.
+
+    ORC is the second first-class columnar interchange format next to
+    parquet (Hive/Trino-side pipelines commonly hand data over as
+    ORC); the reader keeps the properties the 100 TB posture needs:
+    column pruning and predicate pushdown reach the scan (min/max
+    stripe + row-group statistics — asserted on the executed plan in
+    tests/test_text_formats.py), inputs split per stripe, and the
+    vectorized reader stays JVM-side. There is no quarantine contract
+    here: ORC is self-describing binary — a damaged file fails the
+    scan loudly rather than producing rows of nulls, which is the
+    correct posture for a checksummed format (vs the line-oriented
+    text readers above, where a bad LINE is recoverable). Passing
+    ``schema`` pins column types up front (skips footer inference on
+    huge file lists). ``merge_schema=True`` turns on name-based
+    schema EVOLUTION across mixed-schema file sets: the read resolves
+    to the union schema and files missing a column surface it as NULL
+    (off by default — merging inspects every file's footer; without
+    it the scan types from one footer, which is correct and cheaper
+    for single-schema tables)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    # NB: DataFrameReader.orc's extra positional params are OPTIONS
+    # (mergeSchema, ...), so multiple paths must go as ONE list arg
+    return reader.orc(path if isinstance(path, str) else list(path))
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    shards: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Export as ORC shards (zstd-compressed by default — the
+    best-ratio splittable codec the built-in writer offers). Same
+    sharding contract as ``write_jsonl``."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").option("compression", compression).orc(path)

@@ -162,3 +162,29 @@ def test_snapshot_sink_versions_each_microbatch(spark, tmp_path):
     # a new batch id commits
     sink(df.limit(1), hist[-1]["batch_id"] + 1)
     assert len(snapshot_versions(path)) == n_before + 1
+
+
+def test_snapshot_schema_evolution_across_commits(spark, tmp_path):
+    """An append commit may carry a new column (Iceberg/Delta
+    add-column semantics): merge_schema=True reads the union schema
+    with the old files' missing column as NULL; the default read of a
+    PRE-evolution version is untouched (no merge cost, old schema)."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 10, "a"), path)
+    evolved = _df(spark, 10, 15, "b").withColumn("quality", F.lit(0.9))
+    snapshot_write(evolved, path, mode="append")
+
+    merged = snapshot_read(spark, path, merge_schema=True)
+    assert "quality" in merged.columns
+    assert merged.count() == 15
+    assert merged.filter(F.col("quality").isNull()).count() == 10
+    # time travel to v1 needs no merge and shows the old schema
+    v1 = snapshot_read(spark, path, version=1)
+    assert "quality" not in v1.columns and v1.count() == 10

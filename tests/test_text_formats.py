@@ -129,3 +129,40 @@ def test_ingest_report_requires_quarantine_column(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match=CORRUPT_COL):
         ingest_report(df)
+
+
+def test_orc_roundtrip_pushdown_and_evolution(spark, sf_small, tmp_path):
+    """ORC ingestion: lossless roundtrip, predicate pushdown + column
+    pruning reaching the executed scan, and name-based schema
+    evolution (older files' missing column reads as NULL)."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.text_formats import (
+        read_orc,
+        write_orc,
+    )
+    from tests.conftest import explain_str
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, shards=3)
+    assert len(glob.glob(path + "/part-*.orc")) == 3
+    back = read_orc(spark, path)
+    assert _docs_fingerprint(back) == _docs_fingerprint(docs)
+
+    # pushdown + pruning: the filter and the 2-column projection must
+    # reach the ORC scan, not run post-scan over all columns
+    q = back.filter(F.col("doc_id") < 10).select("doc_id", "n_chars")
+    plan = explain_str(q)
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema and "n_chars" in read_schema
+
+    # schema evolution: a second shard carries an extra column; the
+    # union read resolves by NAME, old files' missing column -> NULL
+    evolved = docs.limit(5).withColumn("quality", F.lit(0.5))
+    write_orc(evolved, path + "/extra", shards=1)
+    merged = read_orc(spark, [path, path + "/extra"], merge_schema=True)
+    assert "quality" in merged.columns
+    n_null = merged.filter(F.col("quality").isNull()).count()
+    assert n_null == docs.count()  # every original row, none of the 5
