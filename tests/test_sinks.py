@@ -379,3 +379,36 @@ def test_dynamic_partition_pruning_reaches_sharded_fact(
     expect = docs.filter(F.col("lang").isin("en", "de")).count()
     got = {r.family: r["count"] for r in j.collect()}
     assert got == {"germanic": expect}
+
+
+def test_bloom_filter_columns_land_in_parquet(spark, tmp_path):
+    """bloom_filter_cols writes a per-row-group parquet bloom filter:
+    pinned via the deterministic size delta (the filter is ~1.2
+    bytes/NDV of extra file payload on otherwise identical data —
+    pyarrow in this container can't surface bloom offsets directly)
+    and via an unchanged read-back. The skip benefit needs a reader
+    with bloom support (Spark's vectorized reader uses it for point
+    lookups); the WRITE side is what this layout controls."""
+    import glob
+    import os
+
+    df = spark.range(0, 20000).selectExpr(
+        "id as k", "cast(id as double) as v"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_sharded(df, plain, n_shards=1)
+    write_sharded(
+        df, bloomed, n_shards=1,
+        bloom_filter_cols=["k"], bloom_filter_ndv=20000,
+    )
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(p + "/part-*.parquet")
+        )
+
+    delta = total(bloomed) - total(plain)
+    assert delta > 10_000, delta  # ~1.2 B/NDV → >10 KB at ndv=20k
+    back = spark.read.parquet(bloomed)
+    assert back.count() == 20000
+    assert back.filter("k = 12345").count() == 1
