@@ -105,3 +105,30 @@ def test_hll_rollup_merge_equals_direct_daily(spark, sf_small):
     m = {r.d: r.est for r in merged.collect()}
     d = {r.d: r.est for r in direct.collect()}
     assert m == d and m
+
+
+def test_sketch_error_report_shows_precision_monotonicity(spark, sf_small):
+    """The accuracy gate must (a) cover every method, (b) show the
+    error curve moving the right way along each precision dial —
+    finer precision never means larger mean error on the same data."""
+    from monasca_aggregator_spark.plans.metrics import q_sketch_error_report
+
+    rows = {
+        (r.method, r.param): r
+        for r in q_sketch_error_report(spark, sf_small).collect()
+    }
+    assert set(rows) == {
+        ("hll++", "rsd=0.05"), ("hll++", "rsd=0.15"),
+        ("ds_hll", "lgK=6"), ("ds_hll", "lgK=10"), ("gk", "acc=20"),
+    }
+    for r in rows.values():
+        assert r.n_windows > 0 and r.mean_rel_err >= 0.0
+        assert r.max_rel_err >= r.mean_rel_err
+    assert (
+        rows[("hll++", "rsd=0.05")].mean_rel_err
+        <= rows[("hll++", "rsd=0.15")].mean_rel_err
+    )
+    assert (
+        rows[("ds_hll", "lgK=10")].mean_rel_err
+        <= rows[("ds_hll", "lgK=6")].mean_rel_err
+    )
