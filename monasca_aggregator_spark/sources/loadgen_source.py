@@ -13,9 +13,10 @@ deterministic stream is available:
 - as a STREAMING source (``spark.readStream.format(...)``) with
   offset-tracked micro-batches — the broker-less way to exercise the
   continuous pipeline end-to-end (watermarks, state, restart/resume)
-  with NO Kafka and NO files: offsets resume from the checkpoint
-  exactly like a Kafka source because ``latestOffset``/``partitions``
-  follow the same contract.
+  with NO Kafka and NO files: with ``state_dir`` set, offsets resume
+  across restarts exactly like a Kafka source (the generator's
+  high-water mark persists where a broker would hold real offsets —
+  see _StreamReader's restart note).
 
 Records are Kafka-shaped — ``(partition int, offset bigint, value
 string)`` with ``value`` the envelope JSON — so everything downstream
@@ -41,6 +42,7 @@ Options (all strings, per the DataSource API):
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -126,23 +128,74 @@ class _StreamReader(DataSourceStreamReader):
     ``{"offset": n}`` meaning every partition has produced rows
     [0, n). ``latestOffset`` advances by ``rows_per_batch`` per
     micro-batch — a rate-style source whose CONTENT is the
-    deterministic envelope grid, so replays after restart produce
-    byte-identical rows (exactly-once end to end with an idempotent
-    sink)."""
+    deterministic envelope grid, so replays produce byte-identical
+    rows (exactly-once end to end with an idempotent sink).
+
+    RESTART: a Kafka-like source has an external broker holding the
+    true latest offset; a generator's only truth is its own counter,
+    and the Python DataSource API gives a restarted reader no look at
+    the checkpoint before its first ``latestOffset()`` call — so a
+    naive in-memory counter REGRESSES below the checkpointed offset
+    after restart, and Spark happily plans the stale range again
+    (observed as duplicated (partition, offset) rows — r5). The fix
+    is the same concept as the Scala rate source persisting its
+    start timestamp in checkpoint metadata: pass ``state_dir`` and
+    the reader durably records its high-water mark there (atomic
+    tmp+rename on every advance, driver-side), seeding the counter on
+    restart — offsets then continue exactly where the stream left
+    off. Without ``state_dir`` a restart that would regress raises in
+    ``partitions()`` instead of silently re-serving data; single
+    fresh runs never hit it.
+    """
 
     def __init__(self, options: dict):
         self.cfg = _opts(options)
-        self._current = 0
+        self._state_path = None
+        state_dir = options.get("state_dir")
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self._state_path = os.path.join(state_dir, "offset_hwm.json")
+        self._current = self._load_hwm()
+
+    def _load_hwm(self) -> int:
+        if self._state_path and os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return int(json.load(f)["offset"])
+        return 0
+
+    def _save_hwm(self) -> None:
+        if self._state_path:
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"offset": self._current}, f)
+            os.replace(tmp, self._state_path)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
         self._current += self.cfg["rows_per_batch"]
+        # persist BEFORE returning: if the planned batch never commits,
+        # a restart replans from the checkpoint and the recorded mark
+        # only skips ahead (gap-free — content is a pure function of
+        # offset; an idle jump is fine, a regression is data served
+        # twice)
+        self._save_hwm()
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["offset"]), int(end["offset"])
+        if e < s:
+            raise ValueError(
+                f"metric_envelopes offset regressed ({s} -> {e}): the "
+                "stream was restarted from a checkpoint without "
+                "state_dir, so the generator's counter restarted from "
+                "zero. Pass .option('state_dir', <dir>) to make "
+                "offsets resume across restarts."
+            )
+        if e > self._current:
+            self._current = e
+            self._save_hwm()
         return [
             _RangePartition(p, s, e)
             for p in range(self.cfg["partitions"])
@@ -154,7 +207,7 @@ class _StreamReader(DataSourceStreamReader):
             yield (part.p, o, make_envelope_json(part.p, o, cfg))
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up: content is a pure function
+        pass  # high-water mark already persisted at plan time
 
 
 class EnvelopeLoadgenDataSource(DataSource):

@@ -132,6 +132,11 @@ def test_stream_restart_resumes_offsets_without_dup_or_gap(
             spark.readStream.format("metric_envelopes")
             .option("partitions", "2")
             .option("rows_per_batch", "20")
+            # the generator's high-water mark must survive the restart
+            # (a broker would hold real offsets; state_dir stands in) —
+            # without it the restarted counter would REGRESS below the
+            # checkpoint and re-serve ranges (r5 flake, fixed)
+            .option("state_dir", str(tmp_path / "src_state"))
             .load()
         )
         # file sink: the fault-tolerant sink whose commit log makes
@@ -149,17 +154,38 @@ def test_stream_restart_resumes_offsets_without_dup_or_gap(
         _spark_metadata commit log — an interrupted batch can leave
         ORPHAN parquet files in the directory, which metadata-aware
         readers never see. Read the committed list explicitly so the
-        assertion tests the contract, not directory-listing luck."""
+        assertion tests the contract, not directory-listing luck.
+
+        Compaction contract: every spark.sql.streaming.fileSink.log
+        .compactInterval-th batch (default 10) writes `N.compact`
+        RE-LISTING every prior entry; the per-batch files it
+        supersedes may still sit beside it, so naively concatenating
+        all log files double-counts every pre-compaction batch
+        (observed as a flaky duplicate-row failure whenever a run
+        happened to cross batch 9). Read the LATEST .compact plus
+        only the batch files after it — exactly what Spark's own
+        metadata-aware reader does."""
         import json
         import os
 
         meta = os.path.join(out_dir, "_spark_metadata")
         if not os.path.isdir(meta):
             return []
-        files = []
-        for name in sorted(os.listdir(meta)):
+        entries = []  # (batch_id, is_compact, filename)
+        for name in os.listdir(meta):
             if name.startswith("."):
                 continue
+            stem, _, suffix = name.partition(".")
+            if not stem.isdigit():
+                continue
+            entries.append((int(stem), suffix == "compact", name))
+        compacts = [e for e in entries if e[1]]
+        floor = max(c[0] for c in compacts) if compacts else -1
+        keep = sorted(
+            e for e in entries if (e[1] and e[0] == floor) or e[0] > floor
+        )
+        files = []
+        for _, _, name in keep:
             with open(os.path.join(meta, name)) as f:
                 for line in f:
                     line = line.strip()
@@ -268,3 +294,33 @@ def test_streamed_envelopes_drive_the_spec_aggregation(spark, tmp_path):
     assert len(streamed) >= 3
     for r in streamed:
         assert expect.get((r.window_ts_ms, r.dimensions["host"])) == r.value, r
+
+
+def test_stream_reader_hwm_persists_and_guards_regression(tmp_path):
+    """Driver-side unit pin of the restart semantics: a reader seeded
+    from state_dir continues past the recorded high-water mark; a
+    reader WITHOUT state_dir that gets handed a checkpointed start
+    beyond its counter raises instead of silently re-serving the
+    stale range."""
+    import pytest
+
+    from monasca_aggregator_spark.sources.loadgen_source import (
+        _StreamReader,
+    )
+
+    sd = str(tmp_path / "state")
+    r1 = _StreamReader({"rows_per_batch": "20", "state_dir": sd})
+    assert r1.initialOffset() == {"offset": 0}
+    assert r1.latestOffset() == {"offset": 20}
+    assert r1.latestOffset() == {"offset": 40}
+    # restart: new instance resumes at the recorded mark, not zero
+    r2 = _StreamReader({"rows_per_batch": "20", "state_dir": sd})
+    assert r2.latestOffset() == {"offset": 60}
+    parts = r2.partitions({"offset": 40}, {"offset": 60})
+    assert [(p.start, p.end) for p in parts] == [(40, 60), (40, 60)]
+
+    # no state_dir: the regressed plan fails loudly
+    r3 = _StreamReader({"rows_per_batch": "20"})
+    r3.latestOffset()
+    with pytest.raises(ValueError, match="state_dir"):
+        r3.partitions({"offset": 40}, {"offset": 20})
