@@ -212,6 +212,17 @@ BENCH_QUERIES = [
     "events_attribution_ushape",
     "supplier_scorecard",
     "nation_trade_matrix",
+    # r5 additions
+    "metric_lead_lag",
+    "metric_topk_movers",
+    "corpus_source_overlap",
+    "dedup_threshold_sweep",
+    "sketch_error_report",
+    "corpus_mannwhitney",
+    "quality_bootstrap_ci",
+    "orders_nrr",
+    "decontaminate_embedding",
+    "sample_importance_dsir",
 ]
 
 

@@ -22,7 +22,11 @@ from monasca_aggregator_spark.operators.sampling import (
     stratified_sample,
     temperature_mix,
 )
-from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.functions.text import tokens
 from monasca_aggregator_spark.operators.textops import quality_scores
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
 from monasca_aggregator_spark.sources.tables import load_table
@@ -1020,6 +1024,153 @@ FROM s GROUP BY split
 """.strip()
 
 
+# -------------------- DSIR-style importance resampling toward a target
+
+
+_DSIR_BUCKETS = 256  # hashed unigram feature space (md5 first byte)
+_DSIR_TARGET_LANG = "en"  # the distribution the mix is steered toward
+_DSIR_K = 100
+
+
+def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): rank raw-corpus docs by how target-like their hashed
+    n-gram distribution is — log p_target(x)/p_raw(x) under unigram
+    bucket models — and keep the top-K. The quality-filter family's
+    distribution-matching member: ``sample_top_p_source`` keeps "best
+    by score", this keeps "most like the data you actually want"
+    (here: the English slice stands in for the curated target).
+
+    Feature hashing is md5-first-byte → 256 buckets (SQL-reproducible
+    in both engines, production swaps xxhash64); both bucket models
+    get add-1 smoothing. Exactness: each bucket's log-ratio is ONE
+    ln of ONE division of exact DECIMAL(38,0) cross-products
+    ((t_b+1)·(R+B)) / ((r_b+1)·(T+B)), e6-fixed immediately, so the
+    per-doc score is an order-free INTEGER sum; one final division
+    normalizes per token.
+
+    Scale: bucket models are 256-row aggregates (broadcast); the doc
+    score is a map-side join + partial sum keyed by doc — no shuffle
+    wider than (doc, bucket); top-K is TakeOrdered, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tb = toks.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        tb.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    tots = raw.join(tgt, "b", "left").agg(
+        F.sum("r").alias("big_r"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("big_t"),
+    )
+    dec = "decimal(38,0)"
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1).cast(dec)
+                        * (F.col("big_r") + _DSIR_BUCKETS).cast(dec)
+                    ).cast("double")
+                    / (
+                        (F.col("r") + 1).cast(dec)
+                        * (F.col("big_t") + _DSIR_BUCKETS).cast(dec)
+                    ).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr6"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr6").alias("s6"),
+        )
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        scored.join(meta, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            stable_round(
+                F.col("s6").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), F.col("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
+ORACLE_DSIR = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(token), 1, 2) AS INTEGER) AS b
+  FROM toks
+),
+raw AS (SELECT b, count(*) AS r FROM tb GROUP BY b),
+tgt AS (
+  SELECT b, count(*) AS t FROM tb
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+tots AS (
+  SELECT (SELECT sum(r) FROM raw) AS big_r,
+         (SELECT coalesce(sum(t), 0) FROM tgt) AS big_t
+),
+model AS (
+  SELECT raw.b,
+         CAST(floor(ln(
+           CAST((coalesce(tgt.t, 0) + 1)::HUGEINT
+                * (tots.big_r + {_DSIR_BUCKETS})::HUGEINT AS DOUBLE)
+           / CAST((raw.r + 1)::HUGEINT
+                  * (tots.big_t + {_DSIR_BUCKETS})::HUGEINT AS DOUBLE)
+         ) * 1e6 + 0.5) AS BIGINT) AS lr6
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+),
+scored AS (
+  SELECT tb.doc_id, count(*) AS n_tokens, sum(model.lr6) AS s6
+  FROM tb JOIN model USING (b) GROUP BY tb.doc_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       {sql_stable_round(
+           "CAST(s.s6 AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) / 1e6", 6
+       )} AS importance
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY importance DESC, d.doc_id
+LIMIT {_DSIR_K}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
@@ -1043,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_shuffle": q_order_shuffle,
     "sample_epoch_repeat": q_sample_epoch_repeat,
     "pipeline_curate": q_pipeline_curate,  # rows-only (composed pipeline)
+    "sample_importance_dsir": q_sample_importance_dsir,
 }
 
 ORACLES: dict[str, str] = {
@@ -1066,4 +1218,5 @@ ORACLES: dict[str, str] = {
     "order_curriculum": ORACLE_CURRICULUM,
     "order_shuffle": ORACLE_SHUFFLE,
     "sample_epoch_repeat": ORACLE_EPOCH_REPEAT,
+    "sample_importance_dsir": ORACLE_DSIR,
 }

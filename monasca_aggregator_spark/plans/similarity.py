@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.vectors import as_double, cosine_fixed
 from monasca_aggregator_spark.operators.similarity import (
     cosine_topk,
     ivf_ann,
@@ -818,8 +819,102 @@ GROUP BY v.label
 """.strip()
 
 
+# ------------------------- embedding-space benchmark decontamination
+
+
+_DC_MULT = 2654435761
+_DC_MOD = 2147483647
+_DC_EVERY = 25  # ~4% of vectors play the held-out benchmark role
+_DC_TAU = 0.8  # cosine at/above this flags train/test overlap
+
+
+def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: every training vector is
+    scored by its max cosine against the held-out benchmark set, and
+    near-matches (sim ≥ τ) are flagged for removal — the
+    embedding-space sibling of ``text_decontaminate``'s trigram
+    containment (lexical overlap misses paraphrases; embedding
+    similarity catches them — the Gopher/GPT-3 decontamination line
+    continued in embedding space).
+
+    The benchmark here is a deterministic hash-sample of the vectors
+    (multiplicative-hash id selection, SQL-reproducible — stand-in
+    for the real eval-set embeddings a lab would broadcast). Exact
+    brute force against the SMALL benchmark side is the right shape
+    at 100 TB too: benchmark sets are thousands of rows — broadcast
+    them, one pass over the corpus, no shuffle; sims e6-rounded, ties
+    to the smallest benchmark id, same determinism contract as
+    ann_cosine_topk.
+
+    Output: every corpus vector with its nearest benchmark neighbor,
+    the rounded max-cosine, and the contamination verdict.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    is_bench = (
+        F.pmod(F.col("vec_id") * F.lit(_DC_MULT), F.lit(_DC_MOD))
+        % F.lit(_DC_EVERY)
+        == 0
+    )
+    bench = emb.filter(is_bench).select(
+        F.col("vec_id").alias("bench_id"),
+        as_double(F.col("embedding")).alias("b_vec"),
+    )
+    corpus = emb.filter(~is_bench).select(
+        "vec_id", as_double(F.col("embedding")).alias("c_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        stable_round(
+            cosine_fixed(F.col("c_vec"), F.col("b_vec"), _DIM), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench_id"),
+            "sim",
+            (F.col("sim") >= _DC_TAU).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE_EMB = f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+  FROM embeddings
+  WHERE (vec_id * {_DC_MULT} % {_DC_MOD}) % {_DC_EVERY} = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings
+  WHERE (vec_id * {_DC_MULT} % {_DC_MOD}) % {_DC_EVERY} != 0
+), scored AS (
+  SELECT vec_id, bench_id,
+         floor((list_dot_product(cv, bv)
+               / (sqrt(list_dot_product(cv, cv))
+                  * sqrt(list_dot_product(bv, bv))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM c CROSS JOIN b
+)
+SELECT vec_id, bench_id AS nearest_bench_id, sim,
+       sim >= {_DC_TAU} AS contaminated
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, bench_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk = 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
+    "decontaminate_embedding": q_decontaminate_embedding,
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
@@ -839,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,
+    "decontaminate_embedding": ORACLE_DECONTAMINATE_EMB,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,

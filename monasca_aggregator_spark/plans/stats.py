@@ -695,6 +695,411 @@ FROM terms
 """.strip()
 
 
+# ------------------------------------- Mann–Whitney U test per source
+
+
+def q_corpus_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test of document length, each source vs
+    the rest of the corpus — the NONPARAMETRIC location-shift screen
+    beside ``corpus_ks_by_source``'s max-gap distance (KS reacts to any
+    distribution difference; U answers the directional question "does
+    this source run systematically longer/shorter?"). Standard
+    large-sample normal approximation with the tie-corrected variance
+    (Mann & Whitney 1947; no continuity correction — documented so the
+    z matches the formula exactly).
+
+    Arithmetic is exact until the final division: average ranks carry
+    as the INTEGER 2·rank (2·cum_before + t + 1 for a tie-run of t),
+    rank sums and U as DECIMAL(38,0) (rank·count reaches ~n² ≈ 10²² at
+    100 TB, past BIGINT), the tie term Σ(t³−t) likewise; z is one
+    float expression over those integers.
+
+    Scale: ranking never touches per-doc rows in a window — per-value
+    counts aggregate first (distinct doc lengths are bounded by the
+    max document size, independent of corpus row count), the
+    unpartitioned prefix window runs over THAT bounded histogram, and
+    double-ranks join back by value (broadcast).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    byval = docs.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # dr = 2·(average rank of a value's tie run): integer by construction
+    ranked = byval.select(
+        "v",
+        "cnt",
+        (
+            F.lit(2) * (F.sum("cnt").over(cum_w) - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("dr"),
+    )
+    totals = byval.agg(
+        F.sum("cnt").alias("n_total"),
+        F.sum(
+            F.col("cnt").cast(_DEC) * F.col("cnt").cast(_DEC) * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie3"),
+    )
+    sv = docs.groupBy("source", "v").agg(F.count(F.lit(1)).alias("n_sv"))
+    per_source = (
+        sv.join(F.broadcast(ranked), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("n_sv").alias("n_s"),
+            F.sum(F.col("n_sv").cast(_DEC) * F.col("dr").cast(_DEC)).alias(
+                "r2"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    n_s = F.col("n_s").cast(_DEC)
+    n_rest = (F.col("n_total") - F.col("n_s")).cast(_DEC)
+    n_tot = F.col("n_total").cast(_DEC)
+    two_u = F.col("r2") - n_s * (n_s + F.lit(1))
+    num = (two_u - n_s * n_rest).cast("double")
+    # var(U) = n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))); z = num / (2·√var)
+    var = (
+        (n_s * n_rest).cast("double")
+        / F.lit(12.0)
+        * (
+            (n_tot + F.lit(1)).cast("double")
+            - F.col("tie3").cast("double")
+            / (n_tot * (n_tot - F.lit(1))).cast("double")
+        )
+    )
+    return per_source.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_docs"),
+        stable_round(two_u.cast("double") / F.lit(2.0), 4).alias("u_stat"),
+        # all-tie degenerate case: variance 0 → z NULL (not NaN/error),
+        # same nullif contract as the oracle
+        stable_round(
+            num / F.nullif(F.lit(2.0) * F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z"),
+        # rank-biserial effect size: 2U/(n1·n2) − 1 == num/(n1·n2)
+        stable_round(num / (n_s * n_rest).cast("double"), 6).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+ORACLE_MANNWHITNEY = f"""
+WITH d AS (SELECT source, n_chars AS v FROM documents),
+byval AS (SELECT v, count(*) AS cnt FROM d GROUP BY v),
+ranked AS (
+  SELECT v, cnt,
+         2 * (sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt + 1 AS dr
+  FROM byval
+),
+tot AS (
+  SELECT sum(cnt) AS n_total,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+  FROM byval
+),
+sv AS (SELECT source, v, count(*) AS n_sv FROM d GROUP BY source, v),
+per_source AS (
+  SELECT s.source, sum(s.n_sv) AS n_s,
+         sum(CAST(s.n_sv AS HUGEINT) * r.dr) AS r2
+  FROM sv s JOIN ranked r ON s.v = r.v
+  GROUP BY s.source
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_docs,
+       {sql_stable_round(
+           "CAST(r2 - CAST(n_s AS HUGEINT) * (n_s + 1) AS DOUBLE) / 2.0", 4
+       )} AS u_stat,
+       {sql_stable_round(
+           "CAST(r2 - CAST(n_s AS HUGEINT) * (n_s + 1)"
+           "     - CAST(n_s AS HUGEINT) * (n_total - n_s) AS DOUBLE)"
+           " / nullif(2.0 * sqrt("
+           "   CAST(CAST(n_s AS HUGEINT) * (n_total - n_s) AS DOUBLE) / 12.0"
+           "   * (CAST(n_total + 1 AS DOUBLE)"
+           "      - CAST(tie3 AS DOUBLE)"
+           "        / CAST(CAST(n_total AS HUGEINT) * (n_total - 1)"
+           "               AS DOUBLE))), 0.0)", 6
+       )} AS z,
+       {sql_stable_round(
+           "CAST(r2 - CAST(n_s AS HUGEINT) * (n_s + 1)"
+           "     - CAST(n_s AS HUGEINT) * (n_total - n_s) AS DOUBLE)"
+           " / CAST(CAST(n_s AS HUGEINT) * (n_total - n_s) AS DOUBLE)", 6
+       )} AS rank_biserial
+FROM per_source CROSS JOIN tot
+""".strip()
+
+
+# --------------------------------- Poisson-bootstrap CI per source
+
+
+_BOOT_B = 32
+_BOOT_MULT = 2654435761
+_BOOT_MOD = 2147483647
+# inverse-CDF cutoffs of Poisson(1) scaled to the hash modulus: a draw
+# h ∈ [0, MOD) maps to weight k where h < cutoff_k first holds — the
+# integer-threshold form keeps both engines comparing the SAME ints
+_BOOT_CUTS = tuple(
+    int(c * _BOOT_MOD)
+    for c in (
+        0.36787944117144233,  # P(X=0)
+        0.7357588823428847,  # P(X<=1)
+        0.9196986029286058,  # P(X<=2)
+        0.9810118431238462,  # P(X<=3)
+        0.9963401531726563,  # P(X<=4)
+        0.9994058151824183,  # P(X<=5)
+    )
+)
+
+
+def _boot_weight(h):
+    """Poisson(1) weight from an integer hash via the cutoff ladder."""
+    expr = F.lit(6)
+    for k in range(len(_BOOT_CUTS) - 1, -1, -1):
+        expr = F.when(h < F.lit(_BOOT_CUTS[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _sql_boot_weight(h: str) -> str:
+    arms = " ".join(
+        f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+def q_quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean document length
+    per source — the single-pass, shuffle-free bootstrap (Chamandy et
+    al., Google 2012): instead of resampling n rows with replacement B
+    times (B corpus shuffles), every row draws B independent
+    Poisson(1) weights and each replicate is one weighted mean. The CI
+    is the order-statistic interval of the B replicate means (2nd
+    smallest / 2nd largest of B=32 ≈ a 94% interval) — rank-based, no
+    quantile interpolation, so both engines pick identical rows.
+
+    Determinism: the per-(doc, replicate) draw is the same
+    multiplicative-hash uniform the sampling family uses
+    (sample_consistent_k), mapped through integer inverse-CDF cutoffs
+    — both engines compare the same BIGINTs, no float RNG anywhere.
+
+    Scale: the fan-out is rows×B before a partial agg collapses it to
+    sources×B groups; replicate means are one exact-integer division
+    each, and the order-stat windows run over B=32 rows per source.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("v")
+    )
+    reps = docs.select(
+        "source",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
+        F.col("doc_id"),
+    )
+    h = F.pmod(
+        (F.col("doc_id") * _BOOT_B + F.col("rep")) * F.lit(_BOOT_MULT),
+        F.lit(_BOOT_MOD),
+    )
+    weighted = reps.select(
+        "source", "rep", "v", _boot_weight(h).alias("w")
+    )
+    per_rep = (
+        weighted.groupBy("source", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "source",
+            "rep",
+            (F.col("num").cast("double") / F.col("den")).alias("m"),
+        )
+    )
+    asc = Window.partitionBy("source").orderBy(
+        F.col("m").asc(), F.col("rep").asc()
+    )
+    desc = Window.partitionBy("source").orderBy(
+        F.col("m").desc(), F.col("rep").desc()
+    )
+    bounds = (
+        per_rep.select(
+            "source",
+            "m",
+            F.row_number().over(asc).alias("ra"),
+            F.row_number().over(desc).alias("rd"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_boot"),
+            F.min(F.when(F.col("ra") == 2, F.col("m"))).alias("lo"),
+            F.min(F.when(F.col("rd") == 2, F.col("m"))).alias("hi"),
+        )
+    )
+    point = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_raw"),
+    )
+    return point.join(bounds, "source").select(
+        "source",
+        "n_docs",
+        "n_boot",
+        stable_round(F.col("mean_raw"), 6).alias("mean_chars"),
+        stable_round(F.col("lo"), 6).alias("ci_lo"),
+        stable_round(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH reps AS (
+  SELECT d.source, d.n_chars AS v, t.rep,
+         (d.doc_id * {_BOOT_B} + t.rep) * {_BOOT_MULT} % {_BOOT_MOD} AS h
+  FROM documents d, (SELECT unnest(range({_BOOT_B})) AS rep) t
+),
+per_rep AS (
+  SELECT source, rep,
+         CAST(sum(CAST({_sql_boot_weight('h')} AS BIGINT) * v) AS DOUBLE)
+           / CAST(sum({_sql_boot_weight('h')}) AS BIGINT) AS m
+  FROM reps GROUP BY source, rep
+  HAVING sum({_sql_boot_weight('h')}) > 0
+),
+ranked AS (
+  SELECT source, m,
+         row_number() OVER (PARTITION BY source ORDER BY m ASC, rep ASC)
+           AS ra,
+         row_number() OVER (PARTITION BY source ORDER BY m DESC, rep DESC)
+           AS rd
+  FROM per_rep
+),
+bounds AS (
+  SELECT source, count(*) AS n_boot,
+         min(CASE WHEN ra = 2 THEN m END) AS lo,
+         min(CASE WHEN rd = 2 THEN m END) AS hi
+  FROM ranked GROUP BY source
+),
+point AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_raw
+  FROM documents GROUP BY source
+)
+SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(b.n_boot AS BIGINT) AS n_boot,
+       {sql_stable_round('p.mean_raw', 6)} AS mean_chars,
+       {sql_stable_round('b.lo', 6)} AS ci_lo,
+       {sql_stable_round('b.hi', 6)} AS ci_hi
+FROM point p JOIN bounds b ON p.source = b.source
+""".strip()
+
+
+# ------------------------------- net revenue retention per month
+
+
+def q_orders_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-revenue-retention accounting per calendar month: of the
+    customers who spent in month m, how much of that revenue shows up
+    in m+1, split into retained / expansion / contraction / churn —
+    the SaaS-finance readout beside ``orders_repeat_rate``'s count
+    view (NRR weights customers by revenue, repeat-rate doesn't).
+
+    NRR(m) = (base-customer revenue in m+1) / (base revenue in m);
+    expansion = Σ max(0, Δ) over retained customers, contraction the
+    mirror, churn = spend of customers with no m+1 order. New-customer
+    revenue in m+1 is excluded by definition (it lands in m+1's own
+    base row). Revenue rides as exact whole-currency BIGINTs (the
+    corpus convention, see ORACLE_GINI); NRR is one final division.
+
+    Scale: one shuffle to (customer, month) partials; the consecutive
+    -month pairing is a self-join on (custkey, month+1) — co-
+    partitioned on custkey, never a window over the order fact. The
+    final agg is |months| rows; the frontier month (no m+1 data)
+    drops via a broadcast 1-row max instead of emitting fake churn.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mo"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    cm = orders.groupBy("o_custkey", "mo").agg(F.sum("rev").alias("rev"))
+    nxt = cm.select(
+        "o_custkey",
+        F.add_months(F.col("mo"), -1).alias("mo"),
+        F.col("rev").alias("rev_next"),
+    )
+    frontier = cm.agg(F.max("mo").alias("max_mo"))
+    paired = (
+        cm.join(nxt, ["o_custkey", "mo"], "left")
+        .crossJoin(F.broadcast(frontier))
+        .filter(F.col("mo") < F.col("max_mo"))
+    )
+    nxt_rev = F.coalesce(F.col("rev_next"), F.lit(0))
+    out = paired.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("base_customers"),
+        F.sum("rev").alias("base_rev"),
+        F.sum(nxt_rev).alias("retained_rev"),
+        F.sum(
+            F.when(F.col("rev_next").isNull(), F.col("rev")).otherwise(0)
+        ).alias("churn_rev"),
+        F.sum(F.greatest(nxt_rev - F.col("rev"), F.lit(0))).alias(
+            "expansion_rev"
+        ),
+        F.sum(
+            F.when(
+                F.col("rev_next").isNotNull(),
+                F.greatest(F.col("rev") - F.col("rev_next"), F.lit(0)),
+            ).otherwise(0)
+        ).alias("contraction_rev"),
+    )
+    return out.select(
+        F.col("mo").alias("month"),
+        "base_customers",
+        "base_rev",
+        "retained_rev",
+        "churn_rev",
+        "expansion_rev",
+        "contraction_rev",
+        stable_round(
+            F.col("retained_rev").cast("double")
+            / F.col("base_rev").cast("double"),
+            6,
+        ).alias("nrr"),
+    )
+
+
+ORACLE_NRR = f"""
+WITH cm AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+frontier AS (SELECT max(mo) AS max_mo FROM cm),
+paired AS (
+  SELECT c.mo, c.rev, n.rev AS rev_next
+  FROM cm c
+  LEFT JOIN cm n ON n.o_custkey = c.o_custkey
+    AND n.mo = CAST(c.mo + INTERVAL 1 MONTH AS DATE)
+  CROSS JOIN frontier f
+  WHERE c.mo < f.max_mo
+)
+SELECT mo AS month,
+       count(*) AS base_customers,
+       CAST(sum(rev) AS BIGINT) AS base_rev,
+       CAST(sum(coalesce(rev_next, 0)) AS BIGINT) AS retained_rev,
+       CAST(sum(CASE WHEN rev_next IS NULL THEN rev ELSE 0 END) AS BIGINT)
+         AS churn_rev,
+       CAST(sum(greatest(coalesce(rev_next, 0) - rev, 0)) AS BIGINT)
+         AS expansion_rev,
+       CAST(sum(CASE WHEN rev_next IS NOT NULL
+                     THEN greatest(rev - rev_next, 0) ELSE 0 END) AS BIGINT)
+         AS contraction_rev,
+       {sql_stable_round(
+           "CAST(sum(coalesce(rev_next, 0)) AS DOUBLE)"
+           " / CAST(sum(rev) AS DOUBLE)", 6)} AS nrr
+FROM paired GROUP BY mo
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
@@ -703,6 +1108,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_backlog": q_orders_backlog,
     "corpus_ks_by_source": q_corpus_ks_by_source,
     "lang_source_chi2": q_lang_source_chi2,
+    "corpus_mannwhitney": q_corpus_mannwhitney,
+    "quality_bootstrap_ci": q_quality_bootstrap_ci,
+    "orders_nrr": q_orders_nrr,
 }
 
 ORACLES: dict[str, str] = {
@@ -713,4 +1121,7 @@ ORACLES: dict[str, str] = {
     "orders_backlog": ORACLE_BACKLOG,
     "corpus_ks_by_source": ORACLE_KS,
     "lang_source_chi2": ORACLE_CHI2,
+    "corpus_mannwhitney": ORACLE_MANNWHITNEY,
+    "quality_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+    "orders_nrr": ORACLE_NRR,
 }

@@ -463,3 +463,38 @@ def test_chunk_sentences_budget_and_boundaries(spark, tmp_path):
         for r in q_chunk_sentences(spark, str(tmp_path)).collect()
     }
     assert got == {0: (4, 40), 1: (2, 20)}
+
+
+def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
+    """DSIR importance: an out-of-target doc written in the TARGET
+    vocabulary outranks out-of-target docs in their own vocabulary —
+    the distribution-matching property that distinguishes DSIR from
+    per-doc quality scores."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_importance_dsir,
+    )
+
+    target_vocab = "alpha beta gamma delta"
+    other_vocab = "zeta eta theta iota"
+    rows = []
+    for i in range(10):  # target slice: en docs in target vocab
+        rows.append((i, target_vocab, "en", "web", len(target_vocab)))
+    for i in range(10, 18):  # raw: xx docs in their own vocab
+        rows.append((i, other_vocab, "xx", "crawl", len(other_vocab)))
+    rows.append((99, target_vocab, "xx", "crawl", len(target_vocab)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_sample_importance_dsir(spark, str(tmp_path)).collect()
+    imp = {r.doc_id: r.importance for r in out}
+    # the target-vocab xx doc scores with the en docs, above every
+    # other-vocab doc
+    assert imp[99] == imp[0]
+    assert imp[99] > imp[10]
+    # ranking is importance-desc: all target-vocab docs first
+    first_block = [r.doc_id for r in out[: len(out) - 8]]
+    assert 99 in first_block and 10 not in first_block

@@ -283,3 +283,48 @@ def test_ann_recall_report_measures_all_methods(spark, sf_small):
         assert 0.0 <= r.recall <= 1.0
         assert r.n_hits <= r.n_exact
     assert rows["ann_pq"].recall >= 0.7
+
+
+def test_decontaminate_embedding_flags_near_benchmark(spark, tmp_path):
+    """A corpus vector identical to a benchmark vector scores sim 1.0
+    and flags contaminated; an orthogonal one scores 0.0 and passes.
+    Benchmark membership is the deterministic hash predicate, so the
+    test derives bench/corpus ids from the same formula."""
+    from monasca_aggregator_spark.plans.similarity import (
+        _DC_EVERY,
+        _DC_MOD,
+        _DC_MULT,
+        _DIM,
+        q_decontaminate_embedding,
+    )
+
+    def is_bench(i):
+        return (i * _DC_MULT % _DC_MOD) % _DC_EVERY == 0
+
+    bench_ids = [i for i in range(500) if is_bench(i)][:2]
+    corpus_ids = [i for i in range(500) if not is_bench(i)][:2]
+
+    def basis(k):
+        v = [0.0] * _DIM
+        v[k] = 1.0
+        return v
+
+    rows = [
+        (bench_ids[0], basis(0), 0),
+        (bench_ids[1], basis(1), 0),
+        (corpus_ids[0], basis(0), 0),  # exact dup of benchmark 0
+        (corpus_ids[1], basis(5), 0),  # orthogonal to both
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: r
+        for r in q_decontaminate_embedding(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(corpus_ids)  # benchmark rows never output
+    dup = out[corpus_ids[0]]
+    assert dup.sim == 1.0 and dup.contaminated
+    assert dup.nearest_bench_id == bench_ids[0]
+    clean = out[corpus_ids[1]]
+    assert clean.sim == 0.0 and not clean.contaminated

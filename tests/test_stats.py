@@ -213,3 +213,166 @@ def test_backlog_sweep_line(spark, tmp_path):
     assert out[(2024, 1)].opened == 2 and out[(2024, 1)].backlog == 2
     assert out[(2024, 2)].closed == 1 and out[(2024, 2)].backlog == 1
     assert out[(2024, 4)].closed == 1 and out[(2024, 4)].backlog == 0
+
+
+def test_mannwhitney_closed_form_no_ties(spark, tmp_path):
+    """Sources A=[1,2,3] vs B=[4,5,6]: U_A = 0, rank-biserial = −1,
+    z = −9/(2·√(9·7/12)) — the textbook normal-approximation value."""
+    from monasca_aggregator_spark.plans.stats import q_corpus_mannwhitney
+
+    rows = [
+        (i, "t", "en", src, v)
+        for i, (src, v) in enumerate(
+            [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)]
+        )
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in q_corpus_mannwhitney(spark, str(tmp_path)).collect()
+    }
+    a = out["A"]
+    assert a.n_docs == 3 and a.u_stat == 0.0
+    assert a.rank_biserial == -1.0
+    expected_z = -9.0 / (2.0 * math.sqrt(9.0 * 7.0 / 12.0))
+    assert abs(a.z - expected_z) < 1e-6
+    b = out["B"]
+    assert b.u_stat == 9.0 and b.rank_biserial == 1.0
+
+
+def test_mannwhitney_tie_correction(spark, tmp_path):
+    """All six docs the same length: U = mean(U) (z numerator 0) and
+    the tie term removes ALL variance — z is NULL by the nullif
+    contract (both engines), read as 'no detectable shift'."""
+    from monasca_aggregator_spark.plans.stats import q_corpus_mannwhitney
+
+    rows = [
+        (i, "t", "en", "A" if i < 3 else "B", 7) for i in range(6)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in q_corpus_mannwhitney(spark, str(tmp_path)).collect()
+    }
+    # identical values → every rank is the average rank → U == n1·n2/2
+    assert out["A"].u_stat == 4.5 and out["A"].rank_biserial == 0.0
+    assert out["A"].z is None  # variance fully tie-cancelled -> NULL
+
+
+def test_bootstrap_ci_deterministic_and_brackets_mean(spark, tmp_path):
+    """The order-stat CI brackets the sample mean on well-behaved
+    data, replicate count is exactly B, and a rerun is bit-identical
+    (the draws are pure hash functions of (doc_id, rep))."""
+    from monasca_aggregator_spark.plans.stats import (
+        _BOOT_B,
+        q_quality_bootstrap_ci,
+    )
+
+    rows = [
+        (i, "t", "en", "web", 100 + (i * 37) % 50) for i in range(200)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out1 = q_quality_bootstrap_ci(spark, str(tmp_path)).collect()
+    out2 = q_quality_bootstrap_ci(spark, str(tmp_path)).collect()
+    assert out1 == out2
+    r = out1[0]
+    assert r.n_boot == _BOOT_B
+    assert r.ci_lo <= r.mean_chars <= r.ci_hi
+    assert r.ci_lo < r.ci_hi
+
+
+def test_bootstrap_weights_match_python_ladder(spark, tmp_path):
+    """One replicate's weighted mean recomputed in pure Python from
+    the same integer hash ladder — pins the draw, not just the shape."""
+    from monasca_aggregator_spark.plans.stats import (
+        _BOOT_B,
+        _BOOT_CUTS,
+        _BOOT_MOD,
+        _BOOT_MULT,
+        q_quality_bootstrap_ci,
+    )
+
+    vals = {i: 100 + 13 * i for i in range(40)}
+    rows = [(i, "t", "en", "web", v) for i, v in vals.items()]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+    def weight(doc_id, rep):
+        h = (doc_id * _BOOT_B + rep) * _BOOT_MULT % _BOOT_MOD
+        for k, c in enumerate(_BOOT_CUTS):
+            if h < c:
+                return k
+        return 6
+
+    means = []
+    for rep in range(_BOOT_B):
+        num = sum(weight(i, rep) * v for i, v in vals.items())
+        den = sum(weight(i, rep) for i in vals)
+        if den:
+            means.append(num / den)
+    means.sort()
+    lo, hi = means[1], means[-2]
+    r = q_quality_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    assert abs(r.ci_lo - lo) < 1e-6 and abs(r.ci_hi - hi) < 1e-6
+
+
+def test_nrr_decomposition_closed_form(spark, tmp_path):
+    """cust1 100→150 (expansion 50), cust2 100→gone (churn), cust3
+    50→20 (contraction 30): Jan base 250, retained 170, NRR 0.68;
+    the frontier month (Feb) emits no row — no fake churn."""
+    from monasca_aggregator_spark.plans.stats import q_orders_nrr
+
+    jan, feb = (
+        datetime(2024, 1, 10, tzinfo=timezone.utc),
+        datetime(2024, 2, 15, tzinfo=timezone.utc),
+    )
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        [
+            (1, 1, "O", 100.0, jan, "P"),
+            (2, 1, "O", 150.0, feb, "P"),
+            (3, 2, "O", 100.0, jan, "P"),
+            (4, 3, "O", 50.0, jan, "P"),
+            (5, 3, "O", 20.0, feb, "P"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = q_orders_nrr(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # Feb is the frontier: no next-month data
+    r = out[0]
+    assert str(r.month) == "2024-01-01"
+    assert r.base_customers == 3 and r.base_rev == 250
+    assert r.retained_rev == 170 and r.churn_rev == 100
+    assert r.expansion_rev == 50 and r.contraction_rev == 30
+    assert abs(r.nrr - 0.68) < 1e-9
