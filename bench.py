@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "orders_nrr",
     "decontaminate_embedding",
     "sample_importance_dsir",
+    "embedding_hard_negatives",
+    "class_balance_weights",
 ]
 
 

@@ -13,7 +13,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.functions.vectors import as_double, cosine_fixed
 from monasca_aggregator_spark.operators.similarity import (
     cosine_topk,
@@ -819,6 +822,156 @@ GROUP BY v.label
 """.strip()
 
 
+# ---------------------- hard-negative mining for contrastive training
+
+
+_HN_K = 5
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor vector, the top-k most
+    similar vectors with a DIFFERENT label — the pairs a contrastive
+    trainer (SimCSE/InfoNCE line) needs most, since random negatives
+    are trivially far and teach nothing. Same exact-brute-force +
+    e6-rounding + id-tie-break determinism contract as
+    ``ann_cosine_topk``; the label-mismatch predicate rides the same
+    scan, and at 100 TB the identical shape runs per IVF cell (the
+    candidate generator already in-repo) instead of corpus-wide.
+
+    Output: (query_id, rank, neighbor_id, neighbor_label, sim)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double(F.col("embedding")).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            stable_round(
+                cosine_fixed(F.col("q_vec"), F.col("c_vec"), _DIM), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_label != q_label
+)
+SELECT query_id, rank, neighbor_id, neighbor_label, sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {_HN_K}
+""".strip()
+
+
+# --------------------- class-balance weights (effective sample number)
+
+
+_CB_BETA = 0.999
+
+
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights per label via the effective number
+    of samples (Cui et al., CVPR 2019): E_n = (1−β^n)/(1−β), weight ∝
+    1/E_n — the re-weighting table a trainer broadcasts when classes
+    are imbalanced (inverse-frequency overweights rare-class near-dups;
+    effective number discounts them).
+
+    Cross-engine exactness: β^n spelled exp(n·ln β) identically on
+    both sides (the corpus-LM queries' established ln/exp parity),
+    raw weights e9-fixed to BIGINTs immediately, so the normalization
+    (mean weight = 1 across labels) is exact-integer arithmetic with
+    ONE final division. The whole computation is one |labels|-row
+    aggregate — broadcast-sized at any corpus scale.
+    """
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    beta = F.lit(_CB_BETA)
+    w_raw = (F.lit(1.0) - beta) / (
+        F.lit(1.0) - F.exp(F.col("n") * F.log(beta))
+    )
+    w9 = F.floor(w_raw * F.lit(1e9) + F.lit(0.5)).cast("long")
+    with_w = counts.select("label", "n", w9.alias("w9"))
+    tot = with_w.agg(
+        F.sum("w9").alias("sum_w9"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return (
+        with_w.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            stable_round(F.col("w9").cast("double") / F.lit(1e9), 9).alias(
+                "weight_raw"
+            ),
+            stable_round(
+                (F.col("w9") * F.col("n_labels")).cast("double")
+                / F.col("sum_w9").cast("double"),
+                6,
+            ).alias("weight_norm"),
+        )
+    )
+
+
+ORACLE_CLASS_WEIGHTS = f"""
+WITH counts AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+),
+w AS (
+  SELECT label, n,
+         CAST(floor((1.0 - {_CB_BETA}) / (1.0 - exp(n * ln({_CB_BETA})))
+                    * 1e9 + 0.5) AS BIGINT) AS w9
+  FROM counts
+),
+tot AS (SELECT sum(w9) AS sum_w9, count(*) AS n_labels FROM w)
+SELECT label, CAST(n AS BIGINT) AS n,
+       {sql_stable_round("CAST(w9 AS DOUBLE) / 1e9", 9)} AS weight_raw,
+       {sql_stable_round(
+           "CAST(w9 * n_labels AS DOUBLE) / CAST(sum_w9 AS DOUBLE)", 6
+       )} AS weight_norm
+FROM w CROSS JOIN tot
+""".strip()
+
+
 # ------------------------- embedding-space benchmark decontamination
 
 
@@ -915,6 +1068,8 @@ WHERE rk = 1
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "decontaminate_embedding": q_decontaminate_embedding,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
+    "class_balance_weights": q_class_balance_weights,
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
@@ -935,6 +1090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,
     "decontaminate_embedding": ORACLE_DECONTAMINATE_EMB,
+    "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
+    "class_balance_weights": ORACLE_CLASS_WEIGHTS,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,

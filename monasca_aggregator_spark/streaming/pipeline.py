@@ -1068,6 +1068,7 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (attribution shape: every right-side
     event matched to the left-side events it followed within
@@ -1075,6 +1076,14 @@ def stream_stream_interval_join(
     time-range predicate, so Spark can bound each side's state to the
     interval + watermark slack and GC matched rows — without the range
     condition a stream-stream join would buffer both streams forever.
+
+    ``how="left_outer"`` additionally emits every UNMATCHED left row
+    with a NULL-padded right side — but only once the watermark has
+    passed the row's match interval (Spark can't know "no purchase
+    followed this click" until no on-time purchase can still arrive),
+    so outer results trail the inner ones by the watermark delay. The
+    funnel's "clicks that never converted" leg as one streaming join
+    instead of a separate batch anti-join.
 
     ``left_ts``/``right_ts`` must be distinct column names (rename
     upstream); output carries both plus each side's columns.
@@ -1101,7 +1110,7 @@ def stream_stream_interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 def idempotent_parquet_sink(base_path: str):

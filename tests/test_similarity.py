@@ -328,3 +328,71 @@ def test_decontaminate_embedding_flags_near_benchmark(spark, tmp_path):
     assert dup.nearest_bench_id == bench_ids[0]
     clean = out[corpus_ids[1]]
     assert clean.sim == 0.0 and not clean.contaminated
+
+
+def test_hard_negatives_exclude_same_label_and_rank_by_sim(spark, tmp_path):
+    """Anchors never see same-label neighbors: a same-label exact dup
+    (sim 1.0) is skipped, and the different-label list ranks by
+    rounded sim with id tie-break."""
+    from monasca_aggregator_spark.plans.similarity import (
+        _DIM,
+        q_embedding_hard_negatives,
+    )
+
+    def vec(*hot):
+        v = [0.0] * _DIM
+        for k, x in hot:
+            v[k] = x
+        return v
+
+    rows = [
+        (0, vec((0, 1.0)), 0),               # anchor, label 0
+        (1, vec((0, 1.0)), 0),               # same-label dup: excluded
+        (2, vec((0, 1.0)), 1),               # diff-label dup: sim 1.0
+        (3, vec((0, 1.0), (1, 1.0)), 1),     # diff-label: sim ~0.7071
+        (4, vec((5, 1.0)), 2),               # diff-label orthogonal
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = [
+        (r.rank, r.neighbor_id, r.neighbor_label, r.sim)
+        for r in q_embedding_hard_negatives(spark, str(tmp_path))
+        .filter("query_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [o[1] for o in out] == [2, 3, 4]  # same-label id 1 absent
+    assert out[0][3] == 1.0 and abs(out[1][3] - 0.707107) < 1e-6
+    assert out[2][3] == 0.0
+
+
+def test_class_balance_weights_closed_form(spark, tmp_path):
+    """Two labels 10:1 — weights follow (1−β)/(1−β^n) and normalize to
+    mean 1 across labels; the rare class weighs more."""
+    import math
+
+    from monasca_aggregator_spark.plans.similarity import (
+        _CB_BETA,
+        _DIM,
+        q_class_balance_weights,
+    )
+
+    rows = [(i, [0.0] * _DIM, 0) for i in range(10)]
+    rows.append((10, [0.0] * _DIM, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.label: r for r in q_class_balance_weights(spark, str(tmp_path)).collect()
+    }
+
+    def w(n):
+        raw = (1 - _CB_BETA) / (1 - _CB_BETA**n)
+        return math.floor(raw * 1e9 + 0.5) / 1e9
+
+    assert abs(out[0].weight_raw - w(10)) < 1e-9
+    assert abs(out[1].weight_raw - w(1)) < 1e-9
+    assert out[1].weight_norm > 1.0 > out[0].weight_norm
+    total = out[0].weight_norm + out[1].weight_norm
+    assert abs(total - 2.0) < 1e-5  # mean weight 1 across labels

@@ -1605,3 +1605,92 @@ def test_streaming_sessions_capped_idle_timeout_finalizes(spark, tmp_path):
         for r in spark.table("sc_idle").collect()
     }
     assert (1, 0, 1 * H_MS, 2, False) in rows
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: matched pairs emit like
+    the inner join; a click with NO purchase in its interval emits
+    once with a NULL-padded right side — after the watermark passes
+    its match window (a far-future right-side event pushes the
+    watermark so the no-data finalization batch can evict and emit)."""
+    import json as _json
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    BASE = 86_400.0
+
+    def ev(user, ts_s):
+        return _json.dumps({"user_id": user, "ts_s": BASE + ts_s})
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    # yy/zz exist only to push BOTH streams' watermarks past u2's
+    # match interval: the join's effective watermark is the MIN across
+    # inputs, so the clicks side must advance too (100 + 1800 <
+    # 10000 - 60); yy never emits (its own interval stays open), zz's
+    # buy has no click to pair with
+    (clicks_dir / "c.jsonl").write_text(
+        "\n".join([ev("u1", 0.0), ev("u2", 100.0), ev("yy", 10000.0)])
+    )
+    (buys_dir / "b.jsonl").write_text(
+        "\n".join([ev("u1", 1000.0), ev("zz", 10000.0)])
+    )
+
+    def _src(path, ts_name):
+        return (
+            spark.readStream.schema("user_id string, ts_s double")
+            .json(str(path))
+            .withColumn(ts_name, F.timestamp_seconds(F.col("ts_s")))
+            .drop("ts_s")
+        )
+
+    joined = stream_stream_interval_join(
+        _src(clicks_dir, "click_ts"),
+        _src(buys_dir, "buy_ts"),
+        keys=("user_id",),
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        within="30 minutes",
+        watermark="1 minute",
+        how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.unix_seconds("click_ts").alias("click_s"),
+        F.unix_seconds("buy_ts").alias("buy_s"),
+    )
+    out_dir = str(tmp_path / "ssj_outer_out")
+
+    def run_once():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ssj_outer_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # outer-join eviction happens in a batch that BEGINS with the
+    # advanced watermark; availableNow stops once data is drained, so
+    # a second run (new file keeps the source non-empty) performs the
+    # eviction batch — the same "outer results trail by one trigger"
+    # delay the Structured Streaming guide documents
+    (buys_dir / "b2.jsonl").write_text(ev("zz", 10001.0))
+    run_once()
+    got = {
+        (
+            r.user_id,
+            r.click_s - BASE,
+            (r.buy_s - BASE) if r.buy_s is not None else None,
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("u1", 0, 1000), ("u2", 100, None)}

@@ -188,3 +188,61 @@ def test_snapshot_schema_evolution_across_commits(spark, tmp_path):
     # time travel to v1 needs no merge and shows the old schema
     v1 = snapshot_read(spark, path, version=1)
     assert "quality" not in v1.columns and v1.count() == 10
+
+
+def test_snapshot_changes_feed_per_commit(spark, tmp_path):
+    """CDF across appends and an overwrite: each commit's inserts and
+    deletes are attributed to its own version, an overwrite deletes
+    the prior live set, and the feed of an empty range is an empty
+    frame with the feed schema."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 2, "a"), path)  # v1: ids 0,1
+    snapshot_write(_df(spark, 2, 3, "a"), path)  # v2: +id 2
+    snapshot_write(_df(spark, 9, 10, "b"), path, mode="overwrite")  # v3
+
+    step = snapshot_changes(spark, path, start_version=1, end_version=2)
+    rows = {(r.id, r._change_type, r._commit_version)
+            for r in step.collect()}
+    assert rows == {(2, "insert", 2)}
+
+    full = snapshot_changes(spark, path, start_version=1)
+    rows = {(r.id, r._change_type, r._commit_version)
+            for r in full.collect()}
+    assert rows == {
+        (2, "insert", 2),
+        (9, "insert", 3),
+        (0, "delete", 3),
+        (1, "delete", 3),
+        (2, "delete", 3),
+    }
+
+    empty = snapshot_changes(spark, path, start_version=3, end_version=3)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+def test_snapshot_changes_sees_schema_evolution(spark, tmp_path):
+    """A CDF range spanning an add-column commit unions by name: rows
+    from pre-evolution files carry NULL in the new column."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 2, "a"), path)  # v1
+    snapshot_write(_df(spark, 2, 4, "a"), path)  # v2 (old schema)
+    evolved = _df(spark, 4, 5, "b").withColumn("quality", F.lit(0.9))
+    snapshot_write(evolved, path, mode="append")  # v3 (new column)
+
+    feed = snapshot_changes(spark, path, start_version=1)
+    assert "quality" in feed.columns
+    got = {(r.id, r.quality) for r in feed.collect()}
+    assert got == {(2, None), (3, None), (4, 0.9)}
