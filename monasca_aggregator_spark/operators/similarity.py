@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from monasca_aggregator_spark.functions.rounding import stable_round
-from monasca_aggregator_spark.functions.vectors import as_double, cosine
+from monasca_aggregator_spark.functions.vectors import (
+    as_double,
+    cosine,
+    cosine_fixed,
+)
 
 
 def cosine_topk(
@@ -264,6 +268,7 @@ def ivf_ann(
     n_probe: int = 4,
     centroids: DataFrame | None = None,
     cell_map: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, search only the query's ``n_probe`` nearest cells.
@@ -277,7 +282,17 @@ def ivf_ann(
     just a ``cell`` column, so it partitions/prunes like any other key.
     Queries join only their probed cells: the scan cost drops by
     ~n_probe/n_centroids vs brute force.
+
+    Pass ``dim`` when the embedding width is a known constant: probe
+    scoring and the exact re-rank then compile as unrolled codegen
+    arithmetic instead of interpreted aggregate folds (identical
+    doubles — functions/vectors.cosine_fixed).
     """
+    from monasca_aggregator_spark.functions.vectors import cosine_fixed
+
+    def _cos(a, b):
+        return cosine_fixed(a, b, dim) if dim else cosine(a, b)
+
     if centroids is not None:
         cents = centroids.select("cent_id", "cent_vec")
     else:
@@ -300,7 +315,7 @@ def ivf_ann(
             F.col(id_out),
             F.col(vec_out),
             "cent_id",
-            cosine(F.col(vec_out), F.col("cent_vec")).alias("__csim"),
+            _cos(F.col(vec_out), F.col("cent_vec")).alias("__csim"),
         )
         w = Window.partitionBy(id_out).orderBy(
             F.col("__csim").desc(), F.col("cent_id").asc()
@@ -348,7 +363,7 @@ def ivf_ann(
         .select(
             "query_id",
             "neighbor_id",
-            stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            stable_round(_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
         )
         # no dedup needed: each corpus vector lives in exactly ONE cell,
         # so a (query, neighbor) pair arises from at most one probed cell
@@ -594,7 +609,13 @@ def lsh_ann(
     planes = _hyperplanes(planes_per_table * num_tables, dim)
 
     def table_buckets(vec_col_name: str) -> F.Column:
-        """array<struct<table:int, bucket:bigint>> — one entry per table."""
+        """array<struct<table:int, bucket:bigint>> — one entry per table.
+
+        The plane dots stay as aggregate() HOFs ON PURPOSE: unrolling
+        all L·m planes × dim terms into one projection (tried r5)
+        overflows whole-stage codegen's method-size budget and the
+        fallback interpreted tree is ~5× SLOWER than the HOF form —
+        the fixed-dim rationale only pays below the codegen ceiling."""
         vec = F.col(vec_col_name)
         entries = []
         for t in range(num_tables):
@@ -635,7 +656,9 @@ def lsh_ann(
         .select(
             "query_id",
             "neighbor_id",
-            stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            stable_round(
+                cosine_fixed(F.col("q_vec"), F.col("c_vec"), dim), 6
+            ).alias("sim"),
         )
         .distinct()  # a pair can collide in several tables
     )
