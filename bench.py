@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "sample_importance_dsir",
     "embedding_hard_negatives",
     "class_balance_weights",
+    "metric_p95_trend",
 ]
 
 

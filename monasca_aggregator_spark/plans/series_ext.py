@@ -1697,7 +1697,112 @@ FROM events GROUP BY 1, 2
 """.strip()
 
 
+# --------------------------------- tail-latency (p95) trend per metric
+
+
+def q_metric_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-latency trend: exact discrete p95 of the value per
+    (metric, day), then the OLS slope of that daily-p95 series — mean
+    trends (``metric_trend``) hide tail regressions, and "p95 is
+    drifting up 2ms/day" is the on-call question the mean never
+    answers. p95 is the smallest value whose cumulative count reaches
+    ceil(0.95·n) (rank-based — both engines pick the identical row);
+    the slope reuses the exact-BIGINT power-sum normal equations of
+    ``metric_trend`` on (epoch-day, p95-cents) points.
+
+    Scale: the percentile never windows over raw rows — (metric, day,
+    value-cents) counts aggregate first (bounded by distinct values
+    per day), the cumulative runs over that histogram, and the OLS
+    input is one row per (metric, day).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_millis(F.col("ts")) / F.lit(_DAY_MS))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hist = ev.groupBy("event_type", "day", "e2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pw = Window.partitionBy("event_type", "day")
+    cum_w = pw.orderBy("e2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = hist.select(
+        "event_type",
+        "day",
+        "e2",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(pw).alias("n"),
+    )
+    # ceil(0.95·n) in integers: (95·n + 99) div 100
+    need = ((F.lit(95) * F.col("n") + F.lit(99)) / F.lit(100)).cast("long")
+    p95 = (
+        with_cum.filter(F.col("cum") >= need)
+        .groupBy("event_type", "day")
+        .agg(F.min("e2").alias("p95_e2"))
+    )
+    g = p95.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day").alias("sx"),
+        F.sum("p95_e2").alias("sy"),
+        F.sum(F.col("day") * F.col("p95_e2")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        F.min_by("p95_e2", "day").alias("first_e2"),
+        F.max_by("p95_e2", "day").alias("last_e2"),
+    )
+    n = F.col("n_days")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(n > 1, num / den)
+    return g.select(
+        "event_type",
+        "n_days",
+        (slope / F.lit(100.0)).alias("p95_slope_per_day"),
+        (F.col("first_e2") / F.lit(100.0)).alias("p95_first"),
+        (F.col("last_e2") / F.lit(100.0)).alias("p95_last"),
+    )
+
+
+ORACLE_P95_TREND = f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+), hist AS (
+  SELECT event_type, day, e2, count(*) AS cnt
+  FROM e GROUP BY 1, 2, 3
+), with_cum AS (
+  SELECT event_type, day, e2,
+         sum(cnt) OVER (PARTITION BY event_type, day ORDER BY e2
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, day) AS n
+  FROM hist
+), p95 AS (
+  SELECT event_type, day, min(e2) AS p95_e2
+  FROM with_cum WHERE cum >= (95 * n + 99) // 100
+  GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS n_days, sum(day) AS sx,
+         sum(p95_e2) AS sy, sum(day * p95_e2) AS sxy,
+         sum(day * day) AS sxx,
+         min_by(p95_e2, day) AS first_e2, max_by(p95_e2, day) AS last_e2
+  FROM p95 GROUP BY 1
+)
+SELECT event_type, n_days,
+       CASE WHEN n_days > 1 THEN
+         (CAST(n_days * sxy - sx * sy AS DOUBLE)
+          / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0 END
+         AS p95_slope_per_day,
+       CAST(first_e2 AS DOUBLE) / 100.0 AS p95_first,
+       CAST(last_e2 AS DOUBLE) / 100.0 AS p95_last
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_p95_trend": q_metric_p95_trend,
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
     "metric_mad_anomaly": q_metric_mad_anomaly,
@@ -1719,6 +1824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_p95_trend": ORACLE_P95_TREND,
     "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,
     "agg_window_stickiness": ORACLE_WINDOW_STICKINESS,
     "metric_mad_anomaly": ORACLE_MAD_ANOMALY,

@@ -260,3 +260,40 @@ def test_late_r2_plan_shapes(spark, sf_small):
     # TWA and sequence-pattern aggregates partial-aggregate map-side
     assert "partial_" in plans["twa"]
     assert "partial_" in plans["seq_patterns"]
+
+
+def test_p95_trend_rank_based_selection(spark, tmp_path):
+    """Two metrics, two days, hand-computable p95s: metric 'a' has
+    values 1..20 on day0 (p95 = 19th of 20 = 19.0) and 21..40 on day1
+    (p95 = 39.0) → slope +20/day; 'b' is flat."""
+    from datetime import datetime, timezone
+
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_p95_trend,
+    )
+
+    rows = []
+    eid = 0
+    for day, lo in ((0, 1), (1, 21)):
+        for v in range(lo, lo + 20):
+            ts = datetime.fromtimestamp(day * 86_400 + 60, tz=timezone.utc)
+            rows.append((eid, ts, 1, "a", float(v), "{}"))
+            eid += 1
+    for day in (0, 1):
+        ts = datetime.fromtimestamp(day * 86_400 + 60, tz=timezone.utc)
+        rows.append((eid, ts, 1, "b", 5.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in q_metric_p95_trend(spark, str(tmp_path)).collect()
+    }
+    # ceil(0.95*20)=19 -> the 19th smallest: 19.0 on day0, 39.0 on day1
+    assert out["a"].p95_first == 19.0 and out["a"].p95_last == 39.0
+    assert abs(out["a"].p95_slope_per_day - 20.0) < 1e-9
+    assert out["b"].p95_slope_per_day == 0.0
+    assert out["b"].n_days == 2

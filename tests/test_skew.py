@@ -149,3 +149,25 @@ def test_aqe_skew_join_splits_the_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """AQE's third runtime re-plan proof beside skew-split and DPP:
+    a groupBy over tiny data plans spark.sql.shuffle.partitions
+    reducers statically, and AQE coalesces them to a handful at
+    runtime (AQEShuffleRead coalesced) — the knob that makes ONE
+    shuffle.partitions setting serve 100 TB facts and kB dims in the
+    same job without hand-tuning every stage."""
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") % 50).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    assert len(df.collect()) == 50  # execute THIS plan so AQE finalizes it
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:2000]
+
+
