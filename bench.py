@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "class_balance_weights",
     "metric_p95_trend",
+    "metric_histogram_native",
 ]
 
 

@@ -580,6 +580,68 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+_NH_SCHEMA = 2  # Prometheus native-histogram schema: base = 2^(1/2^s)
+
+
+def q_metric_histogram_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus NATIVE (exponential-bucket) histogram per (metric,
+    hour): bucket k holds values in (2^((k−1)/4), 2^(k/4)] at schema 2
+    — resolution follows the data's magnitude with no pre-declared
+    bounds, the fixed-bucket histogram's (24h) successor in Prometheus
+    ≥2.40. k = ceil(log2(v)·2^s) exactly as the exposition format
+    defines it; non-positive values land in the zero bucket (k NULL),
+    mirroring the spec's separate zero-bucket count.
+
+    Cross-engine: one log2 per ROW but bucket ids are small ints, and
+    the upper-bound column is pow(2, k/4) e6-rounded — same ln/exp
+    parity class as the corpus-LM scores. Bucket count per group is
+    bounded by the VALUE RANGE (4 buckets per octave), not row count,
+    so the groupBy key fans out like the fixed histogram's 0-16."""
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    scale = F.lit(float(2**_NH_SCHEMA))
+    k = F.when(
+        F.col("value") > 0,
+        F.ceil(F.log2(F.col("value")) * scale).cast("long"),
+    )
+    g = ev.groupBy(
+        F.col("event_type"),
+        wcol.alias("window_ts_ms"),
+        k.alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    le = F.when(
+        F.col("bucket").isNotNull(),
+        stable_round(
+            F.pow(F.lit(2.0), F.col("bucket").cast("double") / scale), 6
+        ),
+    )
+    return g.select(
+        "event_type", "window_ts_ms", "bucket", le.alias("le"), "n"
+    )
+
+
+ORACLE_HISTOGRAM_NATIVE = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+         CASE WHEN value > 0
+              THEN CAST(ceil(log2(value) * {2**_NH_SCHEMA}) AS BIGINT)
+         END AS bucket
+  FROM events
+)
+SELECT event_type, window_ts_ms, bucket,
+       CASE WHEN bucket IS NOT NULL THEN
+         floor(pow(2.0, CAST(bucket AS DOUBLE) / {2**_NH_SCHEMA})
+               * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+       END AS le,
+       count(*) AS n
+FROM e GROUP BY 1, 2, 3
+""".strip()
+
+
 _HQ_Q = 0.95
 _HIST_STEP = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
 
@@ -1775,6 +1837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_nearest_click": q_asof_nearest_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
+    "metric_histogram_native": q_metric_histogram_native,
     "funnel_conversion": q_funnel_conversion,
     "sessions_user": q_sessions_user,
     "sessions_capped": q_sessions_capped,
@@ -1806,6 +1869,7 @@ ORACLES: dict[str, str] = {
     "metric_gapfill": ORACLE_GAPFILL,
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,
+    "metric_histogram_native": ORACLE_HISTOGRAM_NATIVE,
     "funnel_conversion": ORACLE_FUNNEL,
     "asof_purchase_click": ORACLE_ASOF,
     "asof_nearest_click": ORACLE_ASOF_NEAREST,

@@ -82,24 +82,25 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "argmax_per_group", "rollup_pricing", "cube_volume",
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 # )
-# Round-7 rotation (staged): the 12 oracle-backed keys ADDED in r5
+# Round-7 rotation (staged): the 13 oracle-backed keys ADDED in r5
 # (rotation invariant: new oracle keys enter the newest staged
 # window), then the 19 oracle-backed keys with no driver row after
 # r1-r3 and no slot in r4-r6 (the 14 r4 additions + the 5 late-r3
-# stats queries), then 19 oldest re-confirmations (r1-checked keys
-# not re-staged in R5/R6, then the oldest r3-window keys; the 12
+# stats queries), then 18 oldest re-confirmations (r1-checked keys
+# not re-staged in R5/R6, then the oldest r3-window keys; the 13
 # dropped to make room — order_shuffle, sample_epoch_repeat,
 # dedup_semantic_cells, dedup_containment, sample_weighted_k,
 # sample_budget_mix, sample_top_p_source, corpus_diff,
 # order_curriculum, grouping_sets_mixed, pack_length_buckets,
-# agg_sliding — are r3-green re-confirmations, not coverage gaps).
+# agg_sliding, metric_correlation — are r3-green re-confirmations,
+# not coverage gaps).
 # _DRIVER_WINDOW_R7: tuple[str, ...] = (
 #     "metric_lead_lag", "metric_topk_movers",
 #     "corpus_source_overlap", "dedup_threshold_sweep",
 #     "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
 #     "decontaminate_embedding", "sample_importance_dsir",
 #     "embedding_hard_negatives", "class_balance_weights",
-#     "metric_p95_trend",
+#     "metric_p95_trend", "metric_histogram_native",
 #     "events_variant_props", "revenue_gini_by_nation", "orders_benford",
 #     "events_survival_hazard", "corpus_spearman", "orders_backlog",
 #     "orders_consistency_audit", "profile_drift", "events_dup_rate",
@@ -113,7 +114,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "sample_quota_source", "sample_consistent_k", "range_join_ship",
 #     "events_retention", "metric_gapfill", "agg_stddev",
 #     "metric_alert_hysteresis", "metric_downsample_m4", "metric_winsorize",
-#     "metric_correlation",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

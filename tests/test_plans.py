@@ -297,3 +297,36 @@ def test_p95_trend_rank_based_selection(spark, tmp_path):
     assert abs(out["a"].p95_slope_per_day - 20.0) < 1e-9
     assert out["b"].p95_slope_per_day == 0.0
     assert out["b"].n_days == 2
+
+
+def test_native_histogram_bucket_boundaries(spark, tmp_path):
+    """Schema-2 exponential buckets: (2^((k-1)/4), 2^(k/4)] — exact
+    powers land in THEIR OWN bucket (right-closed), non-positive
+    values in the zero bucket, and `le` is the bucket's upper bound."""
+    from datetime import datetime, timezone
+
+    from monasca_aggregator_spark.plans.temporal import (
+        q_metric_histogram_native,
+    )
+
+    ts = datetime.fromtimestamp(3600, tz=timezone.utc)
+    vals = [1.0, 1.1, 2.0, 2.1, 0.0, -3.0]
+    rows = [
+        (i, ts, 1, "m", v, "{}") for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.bucket: r
+        for r in q_metric_histogram_native(spark, str(tmp_path)).collect()
+    }
+    # 1.0 -> ceil(0*4)=0; 1.1 -> ceil(.1375*4)=1; 2.0 -> ceil(1*4)=4;
+    # 2.1 -> ceil(~1.07*4)=5; 0.0/-3.0 -> zero bucket (NULL)
+    assert out[0].n == 1 and out[0].le == 1.0
+    assert out[1].n == 1 and abs(out[1].le - 1.189207) < 1e-6
+    assert out[4].n == 1 and out[4].le == 2.0
+    assert out[5].n == 1 and abs(out[5].le - 2.378414) < 1e-6
+    assert out[None].n == 2 and out[None].le is None

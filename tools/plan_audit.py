@@ -52,6 +52,13 @@ ARROW_ALLOWED = {
     # localCheckpoint/driver loops, so their FINAL plan is Arrow-free
     # and they are intentionally absent here)
     "dedup_embedding",
+    # threshold-calibration sweep consumes the same block-matmul
+    # exact pair generator as dedup_embedding (one histogram pass
+    # over its output)
+    "dedup_threshold_sweep",
+    # recall gate: measures lsh/ivf/kmeans/pq AS SHIPPED, and the
+    # kmeans assignment + PQ codebook paths are Arrow by design
+    "ann_recall_report",
     # leave-one-out kNN vote: broadcast eval-sample matmul + per-row
     # top-k/vote in numpy (the JVM all-pairs formulation measured
     # 59-84 s at sf0.1 vs 0.9 s — plans/similarity.py r4 note)
