@@ -672,6 +672,76 @@ def lsh_ann(
     )
 
 
+def kcenter_coreset(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez 1985 2-approx,
+    the farthest-point-first heuristic behind diversity-driven data
+    pruning / active-learning selection): pick the vector farthest
+    (cosine distance, e6-rounded, id tie-break) from everything chosen
+    so far, k times. Output: (rank, vec_id, radius) where radius is
+    the covering distance when that center was picked — the k-center
+    objective's trace (radius is non-increasing; radius[k] bounds OPT
+    within 2×).
+
+    Distributed shape: per-round state is ONE column (min distance to
+    the chosen set), updated by a codegen `least(d, dist-to-new-
+    center)` pass — the new center rides as a LITERAL array (64
+    terms, far below the codegen ceiling), so each of the k rounds is
+    one corpus scan + a 1-row TakeOrdered; no shuffle at all. Lineage
+    is cut per round (localCheckpoint) so round k doesn't replay
+    rounds 1..k-1 — the k-core/PageRank iteration discipline.
+    """
+    from monasca_aggregator_spark.functions.rounding import stable_round
+    from monasca_aggregator_spark.functions.vectors import norm_fixed
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    vecs = vecs.select(
+        "__id", "__v", norm_fixed(F.col("__v"), dim).alias("__n")
+    ).localCheckpoint()
+
+    first = vecs.orderBy("__id").limit(1).collect()[0]
+    centers = [(1, first["__id"], None)]
+    center_vec = list(first["__v"])
+
+    state = vecs.select("__id", "__v", "__n", F.lit(None).cast("double").alias("__d"))
+    for rank in range(2, k + 1):
+        c_norm = sum(x * x for x in center_vec) ** 0.5
+        dot = F.element_at(F.col("__v"), 1) * F.lit(center_vec[0])
+        for i in range(1, dim):
+            dot = dot + F.element_at(F.col("__v"), i + 1) * F.lit(
+                center_vec[i]
+            )
+        dist = stable_round(
+            F.lit(1.0) - F.try_divide(dot, F.col("__n") * F.lit(c_norm)), 6
+        )
+        state = state.select(
+            "__id",
+            "__v",
+            "__n",
+            F.least(F.coalesce(F.col("__d"), F.lit(2.0)), dist).alias("__d"),
+        ).localCheckpoint()
+        far = (
+            state.orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((rank, far["__id"], float(far["__d"])))
+        center_vec = list(far["__v"])
+
+    return spark.createDataFrame(
+        centers, "rank int, vec_id long, radius double"
+    )
+
+
 def save_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -833,6 +833,32 @@ GROUP BY v.label
 """.strip()
 
 
+# ----------------------------- k-center coreset (diversity selection)
+
+
+_KC_K = 8
+
+
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings — the k most
+    mutually-distant vectors (operators/similarity.kcenter_coreset),
+    the diversity-first counterpart of the quality-first samplers:
+    coverage of embedding space with k exemplars, radius trace
+    included. Rows-only: the greedy pick sequence is inherently
+    order-dependent (each round depends on the previous argmax) — not
+    single-statement SQL; the exact pick order and the non-increasing
+    radius invariant are pinned in tests/test_similarity.py."""
+    from monasca_aggregator_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(
+        load_table(spark, sf_dir, "embeddings", fan_out=True),
+        k=_KC_K,
+        dim=_DIM,
+    )
+
+
 # ---------------------- hard-negative mining for contrastive training
 
 
@@ -1101,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_embedding": q_decontaminate_embedding,
     "embedding_hard_negatives": q_embedding_hard_negatives,
     "class_balance_weights": q_class_balance_weights,
+    "sample_kcenter": q_sample_kcenter,  # rows-only (greedy sequence)
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)

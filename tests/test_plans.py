@@ -330,3 +330,44 @@ def test_native_histogram_bucket_boundaries(spark, tmp_path):
     assert out[4].n == 1 and out[4].le == 2.0
     assert out[5].n == 1 and abs(out[5].le - 2.378414) < 1e-6
     assert out[None].n == 2 and out[None].le is None
+
+
+def test_session_window_dynamic_gap(spark, tmp_path):
+    """F.session_window with a PER-ROW gap expression (Spark 3.2+):
+    purchase events close sessions after 5 min, views after 30 min —
+    the same event spacing sessionizes differently per type. Pins the
+    dynamic-gap capability the fixed-gap sessions_native row uses
+    statically."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    def ts(s):
+        return datetime.fromtimestamp(86_400 + s, tz=timezone.utc)
+
+    rows = [
+        # 10-min spacing: one 'view' session (gap 30m spans it)...
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(600), 1, "view", 0.0, "{}"),
+        # ...but TWO 'purchase' sessions (gap 5m < 10m spacing)
+        (3, ts(0), 2, "purchase", 0.0, "{}"),
+        (4, ts(600), 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert sorted(per_user[1]) == [2]  # one view session of 2 events
+    assert sorted(per_user[2]) == [1, 1]  # two purchase sessions

@@ -396,3 +396,50 @@ def test_class_balance_weights_closed_form(spark, tmp_path):
     assert out[1].weight_norm > 1.0 > out[0].weight_norm
     total = out[0].weight_norm + out[1].weight_norm
     assert abs(total - 2.0) < 1e-5  # mean weight 1 across labels
+
+
+def test_kcenter_greedy_picks_and_radius_trace(spark, tmp_path):
+    """4 basis vectors + a near-dup of the seed: greedy farthest-first
+    takes the orthogonal vectors (cosine distance 1.0) before the
+    near-dup, the radius trace is non-increasing, and the seed is the
+    smallest id."""
+    from monasca_aggregator_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    D = 8
+
+    def basis(k, eps=0.0):
+        v = [0.0] * D
+        v[k] = 1.0
+        if eps:
+            v[(k + 1) % D] = eps
+        return v
+
+    rows = [
+        (0, basis(0), 0),
+        (1, basis(0, eps=0.05), 0),  # near-dup of the seed
+        (2, basis(1), 0),
+        (3, basis(2), 0),
+        (4, basis(3), 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kcenter_coreset(df, k=5, dim=D).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [0, 2, 3, 4, 1]
+    radii = [r.radius for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert radii[:3] == [1.0, 1.0, 1.0]  # orthogonal picks
+    assert radii[3] < 0.01  # the near-dup is all that's left
+
+
+def test_kcenter_query_runs_on_testdata(spark, sf_small):
+    from monasca_aggregator_spark.plans.similarity import (
+        _KC_K,
+        q_sample_kcenter,
+    )
+
+    out = q_sample_kcenter(spark, sf_small).collect()
+    assert len(out) == _KC_K
+    assert len({r.vec_id for r in out}) == _KC_K
