@@ -1694,3 +1694,66 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {("u1", 0, 1000), ("u2", 100, None)}
+
+
+def test_streaming_native_histogram_equals_batch(spark, sf_small):
+    """The exponential-bucket (Prometheus native) histogram is a plain
+    count per (metric, window, bucket) — algebraic, so the identical
+    bucket expression runs under Structured Streaming with a
+    watermark and must reproduce the batch query's buckets exactly."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.temporal import (
+        _HOUR_MS,
+        _NH_SCHEMA,
+        q_metric_histogram_native,
+    )
+
+    batch = {
+        (r.event_type, r.window_ts_ms, r.bucket): (r.n, r.le)
+        for r in q_metric_histogram_native(spark, sf_small).collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_small)
+    )
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    scale = F.lit(float(2**_NH_SCHEMA))
+    k = F.when(
+        F.col("value") > 0,
+        F.ceil(F.log2(F.col("value")) * scale).cast("long"),
+    )
+    plan = (
+        raw.withWatermark("ts", "120 seconds")
+        .groupBy(
+            F.col("event_type"),
+            wcol.alias("window_ts_ms"),
+            k.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("t_nh_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.window_ts_ms, r.bucket): r.n
+        for r in spark.sql("select * from t_nh_stream").collect()
+    }
+    assert len(batch) > 100
+    assert got == {key: v[0] for key, v in batch.items()}
