@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     "class_balance_weights",
     "metric_p95_trend",
     "metric_histogram_native",
+    "lang_entropy_by_source",
+    "metric_longest_gap",
+    "region_revenue_yoy",
 ]
 
 

@@ -464,7 +464,86 @@ GROUP BY c.c_mktsegment
 """.strip()
 
 
+# ----------------------- language-mix entropy per source (crawl audit)
+
+
+def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-DIVERSITY audit per source: Shannon entropy of each
+    crawl's language mix (nats) plus the dominant language and its
+    share — the scalar companion to ``lang_source_chi2``'s full-grid
+    independence test ("is this source monolingual or a grab-bag?"
+    read per row, not per matrix). H = ln(N) − (Σ n_l·ln n_l)/N with
+    every n_l·ln(n_l) term e6-fixed to a BIGINT before the
+    order-insensitive sum — the χ² query's pre-rounded-term trick, so
+    both engines add identical integers. The relation is |sources| ×
+    |langs| aggregates; dominant lang via max_by on the unique
+    (count, lang) key."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    term6 = F.floor(
+        F.col("n_l").cast("double") * F.log(F.col("n_l").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    g = cells.groupBy("source").agg(
+        F.sum("n_l").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(term6).alias("s6"),
+        F.max_by("lang", F.struct(F.col("n_l"), F.col("lang"))).alias(
+            "top_lang"
+        ),
+        F.max("n_l").alias("top_n"),
+    )
+    n = F.col("n_docs").cast("double")
+    entropy = F.log(n) - F.col("s6").cast("double") / F.lit(1e6) / n
+    return g.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        stable_round(F.col("top_n").cast("double") / n, 6).alias(
+            "top_share"
+        ),
+        stable_round(entropy, 6).alias("lang_entropy"),
+    )
+
+
+ORACLE_LANG_ENTROPY = f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS n_l FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY n_l DESC, lang DESC) AS rk
+  FROM cells
+),
+g AS (
+  SELECT source,
+         sum(n_l) AS n_docs,
+         count(*) AS n_langs,
+         sum(CAST(floor(CAST(n_l AS DOUBLE) * ln(CAST(n_l AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT)) AS s6,
+         max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+         max(n_l) AS top_n
+  FROM ranked GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+       {sql_stable_round(
+           "CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6
+       )} AS top_share,
+       {sql_stable_round(
+           "ln(CAST(n_docs AS DOUBLE))"
+           " - CAST(s6 AS DOUBLE) / 1e6 / CAST(n_docs AS DOUBLE)", 6
+       )} AS lang_entropy
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lang_entropy_by_source": q_lang_entropy_by_source,
     "orders_consistency_audit": q_orders_consistency_audit,
     "profile_drift": q_profile_drift,
     "events_dup_rate": q_events_dup_rate,
@@ -474,6 +553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
     "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,
     "profile_drift": ORACLE_PROFILE_DRIFT,
     "events_dup_rate": ORACLE_EVENTS_DUP_RATE,

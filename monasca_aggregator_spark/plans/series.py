@@ -1189,6 +1189,73 @@ FROM lagged
 """.strip()
 
 
+# ---------------------------------------- longest silent gap per metric
+
+
+def q_metric_longest_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest SILENT GAP per metric: the widest stretch of hourly
+    windows with no samples, and when it began — ``metric_staleness``
+    answers "is it silent NOW?", this answers "what's the worst outage
+    this series ever had?" (the coverage question asked before
+    trusting a backfill or an SLA report). Consecutive-window deltas
+    via lag over the COLLAPSED distinct-window series (bounded by
+    corpus-span hours, never raw rows); argmax by (gap, earliest
+    start) through one max_by struct — unique key, engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    wins = ev.select(
+        "event_type", _hourly_window()
+    ).distinct()
+    lagw = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    gaps = wins.select(
+        "event_type",
+        "window_ts_ms",
+        (
+            F.col("window_ts_ms")
+            - F.lag("window_ts_ms").over(lagw)
+            - F.lit(_HOUR_MS)
+        ).alias("gap_ms"),
+        F.lag("window_ts_ms").over(lagw).alias("prev_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    pick = F.struct(F.col("gap_ms"), (-F.col("prev_ms")).alias("np"))
+    return gaps.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 1).alias("n_windows"),
+        F.sum(F.when(F.col("gap_ms") > 0, 1).otherwise(0)).alias("n_gaps"),
+        (F.max("gap_ms") / F.lit(_HOUR_MS)).cast("long").alias(
+            "longest_gap_hours"
+        ),
+        (F.max_by("prev_ms", pick) + F.lit(_HOUR_MS)).alias(
+            "gap_start_ms"
+        ),
+    )
+
+
+ORACLE_LONGEST_GAP = f"""
+WITH wins AS (
+  SELECT DISTINCT event_type, {_W_SQL} AS w FROM events
+),
+gaps AS (
+  SELECT event_type, w,
+         w - lag(w) OVER (PARTITION BY event_type ORDER BY w)
+           - {_HOUR_MS} AS gap_ms,
+         lag(w) OVER (PARTITION BY event_type ORDER BY w) AS prev_ms
+  FROM wins
+)
+SELECT event_type,
+       count(*) + 1 AS n_windows,
+       CAST(sum(CASE WHEN gap_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(max(gap_ms) // {_HOUR_MS} AS BIGINT) AS longest_gap_hours,
+       max(CASE WHEN rk = 1 THEN prev_ms END) + {_HOUR_MS}
+         AS gap_start_ms
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY gap_ms DESC, prev_ms ASC) AS rk
+  FROM gaps WHERE gap_ms IS NOT NULL
+)
+GROUP BY event_type
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_seasonal": q_anomaly_seasonal,
     "metric_availability": q_metric_availability,
@@ -1209,9 +1276,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_retention_tiers": q_metric_retention_tiers,
     "metric_histogram_equidepth": q_metric_histogram_equidepth,
     "metric_staleness": q_metric_staleness,
+    "metric_longest_gap": q_metric_longest_gap,
 }
 
 ORACLES: dict[str, str] = {
+    "metric_longest_gap": ORACLE_LONGEST_GAP,
     "anomaly_seasonal": ORACLE_ANOMALY_SEASONAL,
     "metric_availability": ORACLE_AVAILABILITY,
     "metric_out_of_order": ORACLE_OUT_OF_ORDER,

@@ -749,7 +749,90 @@ JOIN nation nc ON nc.n_nationkey = f.cust_nk
 """.strip()
 
 
+# --------------------------------- region revenue year-over-year growth
+
+
+def q_region_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per region — the board-deck
+    companion to ``orders_nrr``'s month-over-month retention math:
+    same lag-the-aggregate shape, coarser grain, growth as one
+    division of exact BIGINTs. The fact scan aggregates straight to
+    (region, year) partials (customer→nation→region ride as broadcast
+    dims on the fact's custkey); the lag window runs over the
+    |regions|×|years| matrix (~35 rows), never the fact."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    g = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev").alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return g.select(
+        F.col("r_name").alias("region"),
+        F.col("yr").alias("year"),
+        "n_orders",
+        "revenue",
+        stable_round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+ORACLE_REGION_YOY = f"""
+WITH g AS (
+  SELECT r.r_name AS region, year(o.o_orderdate) AS yr,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+           AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, CAST(yr AS INTEGER) AS year, n_orders, revenue,
+       {sql_stable_round(
+           "CAST(revenue - lag(revenue) OVER "
+           "(PARTITION BY region ORDER BY yr) AS DOUBLE)"
+           " / CAST(lag(revenue) OVER "
+           "(PARTITION BY region ORDER BY yr) AS DOUBLE)", 6
+       )} AS yoy_growth
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "region_revenue_yoy": q_region_revenue_yoy,
     "supplier_scorecard": q_supplier_scorecard,
     "nation_trade_matrix": q_nation_trade_matrix,
     "tpch_q7_two_nation": q_tpch_q7,
@@ -767,6 +850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "region_revenue_yoy": ORACLE_REGION_YOY,
     "supplier_scorecard": ORACLE_SUPPLIER_SCORECARD,
     "nation_trade_matrix": ORACLE_NATION_TRADE,
     "tpch_q7_two_nation": ORACLE_Q7,

@@ -371,3 +371,60 @@ def test_session_window_dynamic_gap(spark, tmp_path):
         per_user.setdefault(r.user_id, []).append(r.n)
     assert sorted(per_user[1]) == [2]  # one view session of 2 events
     assert sorted(per_user[2]) == [1, 1]  # two purchase sessions
+
+
+def test_longest_gap_closed_form(spark, tmp_path):
+    """Metric with windows at hours 0,1,5,6 and another gap 6→10:
+    longest gap = 3 h starting at hour 2; both gaps counted."""
+    from datetime import datetime, timezone
+
+    from monasca_aggregator_spark.plans.series import (
+        q_metric_longest_gap,
+    )
+
+    def ts(h):
+        return datetime.fromtimestamp(h * 3600 + 60, tz=timezone.utc)
+
+    rows = [
+        (i, ts(h), 1, "m", 1.0, "{}")
+        for i, h in enumerate([0, 1, 5, 6, 10])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q_metric_longest_gap(spark, str(tmp_path)).collect()[0]
+    assert r.n_windows == 5 and r.n_gaps == 2
+    assert r.longest_gap_hours == 3
+    assert r.gap_start_ms == 2 * 3600 * 1000
+
+
+def test_lang_entropy_extremes(spark, tmp_path):
+    """Monolingual source → entropy 0, top_share 1; a 50/50 source →
+    ln(2); dominant-language tie breaks to the LARGER lang string."""
+    import math
+
+    from monasca_aggregator_spark.plans.audits import (
+        q_lang_entropy_by_source,
+    )
+
+    rows = [(i, "t", "en", "mono", 1) for i in range(4)]
+    rows += [
+        (10, "t", "en", "half", 1),
+        (11, "t", "en", "half", 1),
+        (12, "t", "fr", "half", 1),
+        (13, "t", "fr", "half", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in q_lang_entropy_by_source(spark, str(tmp_path)).collect()
+    }
+    assert out["mono"].lang_entropy == 0.0 and out["mono"].top_share == 1.0
+    assert abs(out["half"].lang_entropy - math.log(2)) < 1e-6
+    assert out["half"].top_lang == "fr" and out["half"].top_share == 0.5
