@@ -5,8 +5,12 @@ team actually runs, built from this package's operators —
       → exact dedup (hash groupBy keepers)
       → near-dup removal (MinHash/LSH pairs → star-contraction
         components → canonical survivor per cluster)
+      → benchmark DECONTAMINATION (optional: trigram containment vs a
+        broadcast benchmark shingle set — Gopher/GPT-3 style)
       → per-source top-p quality filter (best docs until p of each
         source's char mass)
+      → DSIR importance filter (optional: keep the most target-like
+        fraction by hashed-unigram log p_target/p_raw — Xie et al.)
       → stratified language rebalance (deterministic row-local buckets)
       → train/val/test split (stateless bucket expression)
       → concat-and-chunk packing (per-split running offsets)
@@ -30,6 +34,7 @@ from monasca_aggregator_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from monasca_aggregator_spark.operators.sampling import (
+    dsir_importance,
     pack_concat_chunk,
     split_assign,
     stratified_sample,
@@ -44,6 +49,10 @@ def curate_corpus(
     out_dir: str | None = None,
     *,
     near_dup_threshold: float = 0.6,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.8,
+    dsir_target: F.Column | None = None,
+    dsir_keep_frac: float | None = None,
     top_p: float = 0.8,
     strata: dict[str, float] | None = None,
     default_keep: float = 1.0,
@@ -85,6 +94,22 @@ def curate_corpus(
     docs = docs.localCheckpoint(eager=False)
     record("near_dedup", docs)
 
+    # 2b. benchmark decontamination (optional): drop training docs
+    # whose trigram shingles are ≥ threshold covered by the benchmark
+    # corpus — eval answers must not be trainable-on. The benchmark
+    # shingle set broadcasts; the corpus side never shuffles.
+    if benchmark is not None:
+        from monasca_aggregator_spark.operators.textops import (
+            contamination_scores,
+        )
+
+        dirty = contamination_scores(
+            docs, benchmark, threshold=contamination_threshold
+        ).filter(F.col("is_contaminated")).select("doc_id")
+        docs = docs.join(dirty, "doc_id", "left_anti")
+        docs = docs.localCheckpoint(eager=False)
+        record("decontaminate", docs)
+
     # 3. per-source top-p quality by char mass (nucleus selection) —
     # the same operator sample_top_p_source uses (one implementation)
     scored = quality_scores(docs).join(docs, "doc_id")
@@ -97,6 +122,27 @@ def curate_corpus(
     ).select(*[c for c in docs.columns])
     docs = docs.localCheckpoint(eager=False)
     record("quality_top_p", docs)
+
+    # 3b. DSIR distribution-matching filter (optional): keep the
+    # ceil(frac·n) docs most like the target slice by hashed-unigram
+    # importance — quality (3) ranks "good by absolute score", this
+    # ranks "like the data you want"; both are TakeOrdered-style cuts
+    if dsir_target is not None and dsir_keep_frac is not None:
+        import math
+
+        scored = dsir_importance(docs, dsir_target)
+        n_now = docs.count()
+        k = max(1, math.ceil(dsir_keep_frac * n_now))
+        keep = (
+            scored.orderBy(
+                F.col("importance").desc(), F.col("doc_id").asc()
+            )
+            .limit(k)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        docs = docs.localCheckpoint(eager=False)
+        record("dsir_filter", docs)
 
     # 4. stratified language rebalance. The bucket uses an xxhash64
     # SEED distinct from the split bucket's: two arithmetic functions

@@ -425,3 +425,91 @@ def pack_first_fit_decreasing(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_pack, schema_ddl)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    *,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023) — log p_target/p_raw
+    under hashed-unigram bucket models with add-1 smoothing, per-token
+    normalized. ``target`` is a boolean Column marking the rows whose
+    distribution the mix is steered toward. Each bucket's log-ratio is
+    ONE ln of ONE division of exact DECIMAL(38,0) cross-products,
+    e6-fixed immediately, so per-doc scores are order-free INTEGER
+    sums (plans/pipeline_ops.q_sample_importance_dsir's determinism
+    contract, factored here so the curation pipeline composes it).
+    Returns (id_col, n_tokens, importance). Bucket models are
+    ``buckets``-row broadcast aggregates; the doc score is a map-side
+    join + partial sum — nothing wider than (doc, bucket) shuffles."""
+    from monasca_aggregator_spark.functions.rounding import stable_round
+    from monasca_aggregator_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tb = toks.select(
+        id_col,
+        "__tgt",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        tb.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    tots = raw.join(tgt, "b", "left").agg(
+        F.sum("r").alias("big_r"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("big_t"),
+    )
+    dec = "decimal(38,0)"
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1).cast(dec)
+                        * (F.col("big_r") + buckets).cast(dec)
+                    ).cast("double")
+                    / (
+                        (F.col("r") + 1).cast(dec)
+                        * (F.col("big_t") + buckets).cast(dec)
+                    ).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr6"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr6").alias("s6"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        stable_round(
+            F.col("s6").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("importance"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from monasca_aggregator_spark.operators.rank import global_rank
 from monasca_aggregator_spark.operators.sampling import (
+    dsir_importance,
     pack_concat_chunk,
     profile_columns,
     quota_per_group,
@@ -784,15 +785,25 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the composed end-to-end curation pipeline
     (curation.curate_corpus — exact dedup → MinHash near-dedup →
-    top-p quality → stratified rebalance → split → pack) over the
-    documents drop, returning the per-stage lineage manifest. Not
-    SQL-expressible as one statement (MinHash + iterative components
-    inside); stage-count invariants are pinned in test_curation.py."""
+    benchmark decontamination → top-p quality → DSIR target filter →
+    stratified rebalance → split → pack) over the documents drop,
+    returning the per-stage lineage manifest. Not SQL-expressible as
+    one statement (MinHash + iterative components inside);
+    stage-count/monotonicity invariants are pinned in
+    test_curation.py. The benchmark slice is the deterministic
+    doc_id % 20 == 0 stand-in text_decontaminate uses."""
     from monasca_aggregator_spark.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
     _, manifest = curate_corpus(
-        spark, docs, None, strata={"en": 0.5}, top_p=0.8
+        spark,
+        docs.filter(F.col("doc_id") % 20 != 0),
+        None,
+        benchmark=docs.filter(F.col("doc_id") % 20 == 0),
+        dsir_target=F.col("lang") == "en",
+        dsir_keep_frac=0.9,
+        strata={"en": 0.5},
+        top_p=0.8,
     )
     return manifest
 
@@ -1054,73 +1065,15 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than (doc, bucket); top-K is TakeOrdered, no global sort.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    toks = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
-    )
-    tb = toks.select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
-        .cast("int")
-        .alias("b"),
-    )
-    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        tb.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    tots = raw.join(tgt, "b", "left").agg(
-        F.sum("r").alias("big_r"),
-        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("big_t"),
-    )
-    dec = "decimal(38,0)"
-    model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            F.floor(
-                F.log(
-                    (
-                        (F.coalesce(F.col("t"), F.lit(0)) + 1).cast(dec)
-                        * (F.col("big_r") + _DSIR_BUCKETS).cast(dec)
-                    ).cast("double")
-                    / (
-                        (F.col("r") + 1).cast(dec)
-                        * (F.col("big_t") + _DSIR_BUCKETS).cast(dec)
-                    ).cast("double")
-                )
-                * 1e6
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("lr6"),
-        )
-    )
-    scored = (
-        tb.join(F.broadcast(model), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lr6").alias("s6"),
-        )
+    scored = dsir_importance(
+        docs,
+        F.col("lang") == _DSIR_TARGET_LANG,
+        buckets=_DSIR_BUCKETS,
     )
     meta = docs.select("doc_id", "lang", "source")
     return (
         scored.join(meta, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            stable_round(
-                F.col("s6").cast("double")
-                / F.col("n_tokens").cast("double")
-                / F.lit(1e6),
-                6,
-            ).alias("importance"),
-        )
+        .select("doc_id", "lang", "source", "n_tokens", "importance")
         .orderBy(F.col("importance").desc(), F.col("doc_id"))
         .limit(_DSIR_K)
     )

@@ -57,3 +57,38 @@ def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
     # chunk ids pack contiguously from 0 within each (source, split)
     chunks = back.groupBy("source").agg(F.min("chunk_id").alias("lo"))
     assert all(r.lo == 0 for r in chunks.collect())
+
+
+def test_curate_corpus_with_decontamination_and_dsir(spark, sf_small):
+    """The optional r5 stages slot into the manifest in order, each
+    only ever shrinks the corpus, and DSIR's cut size is exactly
+    ceil(frac·n) of the docs entering it."""
+    import math
+
+    docs = load_table(spark, sf_small, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    _, manifest = curate_corpus(
+        spark,
+        train,
+        None,
+        benchmark=bench,
+        contamination_threshold=0.5,
+        dsir_target=F.col("lang") == "en",
+        dsir_keep_frac=0.7,
+        strata={"en": 0.5},
+        top_p=0.8,
+    )
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert list(m) == [
+        "raw",
+        "exact_dedup",
+        "near_dedup",
+        "decontaminate",
+        "quality_top_p",
+        "dsir_filter",
+        "lang_rebalance",
+        "packed",
+    ]
+    assert m["decontaminate"] <= m["near_dedup"]
+    assert m["dsir_filter"] == math.ceil(0.7 * m["quality_top_p"])
