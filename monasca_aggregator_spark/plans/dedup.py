@@ -560,6 +560,52 @@ JOIN sizes nb ON nb.source = source_b
 """.strip()
 
 
+_CAL_FLOOR = 0.20  # ground-truth jaccard floor for the calibration table
+_CAL_STEP = 0.05
+
+
+def q_dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding CALIBRATION: measured band-collision recall per
+    exact-Jaccard bucket vs the closed-form S-curve 1−(1−s^r)^b for
+    the configured (32 hashes, 8 bands × 4 rows) — the table that
+    answers "are the banding parameters delivering the recall the
+    formula promises on MY corpus?" before trusting `dedup_minhash`
+    at scale. Ground truth is the exact shingle-join pairs ≥ 0.2;
+    candidates are the SAME minhash operator run with threshold 0
+    (verification keeps every band collision), so the measured column
+    calibrates the operator as shipped. Rows-only: minhash draws ride
+    xxhash64 (not SQL-reproducible); the theory column and recall
+    monotonicity are pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    exact = D.ngram_jaccard_pairs(docs, threshold=_CAL_FLOOR)
+    cand = (
+        D.minhash_lsh_pairs(docs, threshold=0.0)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+    )
+    joined = exact.join(cand, ["id_a", "id_b"], "left")
+    bucket = (
+        F.floor(F.col("jaccard") / F.lit(_CAL_STEP)) * F.lit(_CAL_STEP)
+    ).cast("double")
+    g = joined.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_collided"),
+    )
+    # theory at the bucket midpoint for r=4 rows/band, b=8 bands
+    mid = F.col("bucket") + F.lit(_CAL_STEP / 2)
+    theory = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(mid, F.lit(4.0)), F.lit(8.0))
+    return g.select(
+        "bucket",
+        "n_pairs",
+        "n_collided",
+        stable_round(
+            F.col("n_collided").cast("double")
+            / F.col("n_pairs").cast("double"),
+            4,
+        ).alias("measured_recall"),
+        stable_round(theory, 4).alias("theoretical_recall"),
+    )
+
+
 _SWEEP_BASE = 0.30
 _SWEEP_STEP_E6 = 50_000  # 0.05 buckets in e6 fixed point
 
@@ -788,6 +834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "corpus_source_overlap": q_corpus_source_overlap,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "dedup_lsh_calibration": q_dedup_lsh_calibration,  # rows-only
     "dedup_semantic": q_dedup_semantic,  # rows-only (cell-restricted ≈)
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "graph_pagerank": q_graph_pagerank,  # rows-only (iterative power method)

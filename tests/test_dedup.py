@@ -551,3 +551,27 @@ def test_incremental_minhash_finds_cross_side_near_dups_only(spark):
     # no batch×batch or corpus×corpus pairs by construction
     assert all(b in (11, 13, 15, 17) and c in (0, 2) for b, c in pairs)
     assert not any(b == 17 for b, _ in pairs)
+
+
+def test_lsh_calibration_theory_and_recall(spark, sf_small):
+    """Calibration table: theory column matches 1-(1-s^4)^8 at bucket
+    midpoints, every bucket's ground-truth pairs >= collided pairs,
+    and high-similarity buckets (>=0.7, theory >0.97) are caught at
+    high measured recall."""
+    from monasca_aggregator_spark.plans.dedup import (
+        _CAL_STEP,
+        q_dedup_lsh_calibration,
+    )
+
+    rows = q_dedup_lsh_calibration(spark, sf_small).collect()
+    assert rows, "no ground-truth pairs at this SF?"
+    for r in rows:
+        mid = r.bucket + _CAL_STEP / 2
+        expect = 1.0 - (1.0 - mid**4) ** 8
+        assert abs(r.theoretical_recall - round(expect, 4)) < 1e-9
+        assert 0 <= r.n_collided <= r.n_pairs
+    hi = [r for r in rows if r.bucket >= 0.7]
+    if hi:
+        tot = sum(r.n_pairs for r in hi)
+        hit = sum(r.n_collided for r in hi)
+        assert hit / tot >= 0.9
