@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "lang_entropy_by_source",
     "metric_longest_gap",
     "region_revenue_yoy",
+    "orders_segment_migration",
 ]
 
 

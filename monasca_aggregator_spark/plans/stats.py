@@ -993,6 +993,94 @@ FROM point p JOIN bounds b ON p.source = b.source
 """.strip()
 
 
+# ------------------------ customer revenue-segment migration matrix
+
+
+_SEG_WHALE = 400_000  # monthly whole-currency spend thresholds
+_SEG_REGULAR = 150_000
+
+
+def _seg(rev):
+    return (
+        F.when(rev >= _SEG_WHALE, "whale")
+        .when(rev >= _SEG_REGULAR, "regular")
+        .otherwise("light")
+    )
+
+
+def q_orders_segment_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer revenue-SEGMENT migration matrix: for every customer
+    active in month m, which spend segment (whale/regular/light by
+    fixed monthly thresholds) they land in at m+1 — or 'churned' —
+    summed over all month pairs. The flow-matrix view of the lifecycle
+    question ``orders_nrr`` answers in aggregate dollars: NRR says the
+    revenue held, this says WHO moved between tiers to make it so.
+
+    Same co-partitioned (customer, month+1) self-join as NRR, exact
+    BIGINT revenue into deterministic CASE tiers, frontier month
+    excluded via the broadcast 1-row max; output is the ≤ 3×4 matrix.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mo"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    cm = orders.groupBy("o_custkey", "mo").agg(F.sum("rev").alias("rev"))
+    nxt = cm.select(
+        "o_custkey",
+        F.add_months(F.col("mo"), -1).alias("mo"),
+        F.col("rev").alias("rev_next"),
+    )
+    frontier = cm.agg(F.max("mo").alias("max_mo"))
+    paired = (
+        cm.join(nxt, ["o_custkey", "mo"], "left")
+        .crossJoin(F.broadcast(frontier))
+        .filter(F.col("mo") < F.col("max_mo"))
+    )
+    seg_to = F.when(
+        F.col("rev_next").isNull(), F.lit("churned")
+    ).otherwise(_seg(F.col("rev_next")))
+    return (
+        paired.select(
+            _seg(F.col("rev")).alias("seg_from"), seg_to.alias("seg_to")
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+ORACLE_SEGMENT_MIGRATION = f"""
+WITH cm AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+frontier AS (SELECT max(mo) AS max_mo FROM cm),
+paired AS (
+  SELECT c.rev, n.rev AS rev_next
+  FROM cm c
+  LEFT JOIN cm n ON n.o_custkey = c.o_custkey
+    AND n.mo = CAST(c.mo + INTERVAL 1 MONTH AS DATE)
+  CROSS JOIN frontier f
+  WHERE c.mo < f.max_mo
+),
+seg AS (
+  SELECT CASE WHEN rev >= {_SEG_WHALE} THEN 'whale'
+              WHEN rev >= {_SEG_REGULAR} THEN 'regular'
+              ELSE 'light' END AS seg_from,
+         CASE WHEN rev_next IS NULL THEN 'churned'
+              WHEN rev_next >= {_SEG_WHALE} THEN 'whale'
+              WHEN rev_next >= {_SEG_REGULAR} THEN 'regular'
+              ELSE 'light' END AS seg_to
+  FROM paired
+)
+SELECT seg_from, seg_to, count(*) AS n_transitions
+FROM seg GROUP BY 1, 2
+""".strip()
+
+
 # ------------------------------- net revenue retention per month
 
 
@@ -1111,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mannwhitney": q_corpus_mannwhitney,
     "quality_bootstrap_ci": q_quality_bootstrap_ci,
     "orders_nrr": q_orders_nrr,
+    "orders_segment_migration": q_orders_segment_migration,
 }
 
 ORACLES: dict[str, str] = {
@@ -1124,4 +1213,5 @@ ORACLES: dict[str, str] = {
     "corpus_mannwhitney": ORACLE_MANNWHITNEY,
     "quality_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "orders_nrr": ORACLE_NRR,
+    "orders_segment_migration": ORACLE_SEGMENT_MIGRATION,
 }
