@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "metric_longest_gap",
     "region_revenue_yoy",
     "orders_segment_migration",
+    "events_trailing_1h",
 ]
 
 

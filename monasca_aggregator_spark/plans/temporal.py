@@ -580,6 +580,75 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+_TRAIL_S = 3600  # trailing time-frame width (seconds)
+
+
+def q_events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based trailing window per event: each purchase annotated
+    with the user's event count and spend over the PRECEDING HOUR —
+    a ``RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`` frame on the
+    epoch-second axis, the irregular-sample sibling of
+    ``moving_avg_user``'s fixed ROWS frame (a row-count frame spans a
+    different wall-clock width per user; velocity rules — fraud
+    checks, rate limits — need the time frame). Frame bounds are
+    integer seconds and the spend sums exact cents, so both engines
+    include the identical row set (inclusive bounds on equal
+    timestamps) and sum the same BIGINTs.
+
+    Scale: the window partitions by user — per-user streams are short
+    and the shuffle is the same user-keyed exchange every per-user
+    window op pays; nothing global."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_seconds(F.col("ts")).alias("t_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-_TRAIL_S, 0)
+    )
+    annotated = ev.select(
+        "event_id",
+        "user_id",
+        "t_s",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum("e2").over(w).alias("spend_e2"),
+    )
+    return annotated.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "n_trailing_1h",
+        stable_round(
+            F.col("spend_e2").cast("double") / F.lit(100.0), 2
+        ).alias("trailing_1h_value"),
+    )
+
+
+ORACLE_TRAILING_1H = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t_s, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+),
+ann AS (
+  SELECT event_id, user_id, event_type,
+         count(*) OVER w AS n_trailing_1h,
+         sum(e2) OVER w AS spend_e2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_s
+               RANGE BETWEEN {_TRAIL_S} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_trailing_1h,
+       {sql_stable_round("CAST(spend_e2 AS DOUBLE) / 100.0", 2)}
+         AS trailing_1h_value
+FROM ann WHERE event_type = 'purchase'
+""".strip()
+
+
 _NH_SCHEMA = 2  # Prometheus native-histogram schema: base = 2^(1/2^s)
 
 
@@ -1838,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
     "metric_histogram_native": q_metric_histogram_native,
+    "events_trailing_1h": q_events_trailing_1h,
     "funnel_conversion": q_funnel_conversion,
     "sessions_user": q_sessions_user,
     "sessions_capped": q_sessions_capped,
@@ -1870,6 +1940,7 @@ ORACLES: dict[str, str] = {
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,
     "metric_histogram_native": ORACLE_HISTOGRAM_NATIVE,
+    "events_trailing_1h": ORACLE_TRAILING_1H,
     "funnel_conversion": ORACLE_FUNNEL,
     "asof_purchase_click": ORACLE_ASOF,
     "asof_nearest_click": ORACLE_ASOF_NEAREST,
