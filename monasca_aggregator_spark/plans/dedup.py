@@ -724,7 +724,10 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    pri = F.pmod(F.col("vec_id") * F.lit(_SC_MULT), F.lit(_SC_MOD))
+    pri = F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(_SC_MOD)) * F.lit(_SC_MULT),
+        F.lit(_SC_MOD),
+    )  # two-step mod: id*MULT overflows BIGINT past ~2^32 ids
     picked = (
         emb.select(
             "vec_id", as_double(F.col("embedding")).alias("cent_vec"),
@@ -752,7 +755,7 @@ WITH v AS (
 ), cents AS (
   SELECT row_number() OVER (ORDER BY pri, vec_id) - 1 AS cent_id, e
   FROM (
-    SELECT vec_id, e, (vec_id * {_SC_MULT}) % {_SC_MOD} AS pri FROM v
+    SELECT vec_id, e, (vec_id % {_SC_MOD}) * {_SC_MULT} % {_SC_MOD} AS pri FROM v
   ) ORDER BY pri, vec_id LIMIT {_SC_CELLS}
 ), scored AS (
   SELECT v.vec_id, c.cent_id,

@@ -286,7 +286,10 @@ def q_sample_consistent_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Priority is a multiplicative hash kept SQL-reproducible (same
     rationale as split_train_val); production would use xxhash64."""
     docs = load_table(spark, sf_dir, "documents")
-    pri = F.pmod(F.col("doc_id") * F.lit(_PRIORITY_MULT), F.lit(_PRIORITY_MOD))
+    pri = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_PRIORITY_MOD)) * F.lit(_PRIORITY_MULT),
+        F.lit(_PRIORITY_MOD),
+    )  # two-step mod: id*MULT overflows BIGINT past ~2^32 ids
     return (
         docs.select("doc_id", "source", "lang", pri.alias("priority"))
         .orderBy("priority", "doc_id")
@@ -296,7 +299,7 @@ def q_sample_consistent_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CONSISTENT_K = f"""
 SELECT doc_id, source, lang,
-       (doc_id * {_PRIORITY_MULT}) % {_PRIORITY_MOD} AS priority
+       (doc_id % {_PRIORITY_MOD}) * {_PRIORITY_MULT} % {_PRIORITY_MOD} AS priority
 FROM documents
 ORDER BY priority, doc_id
 LIMIT {SAMPLE_K}
@@ -372,7 +375,11 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 9 decimals pre-rank for cross-engine ordering parity."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
-        F.pmod(F.col("doc_id") * F.lit(_WK_MULT), F.lit(_WK_MOD)) + F.lit(1)
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(_WK_MOD)) * F.lit(_WK_MULT),
+            F.lit(_WK_MOD),
+        )
+        + F.lit(1)
     ).cast("double") / F.lit(float(_WK_MOD + 1))
     key = stable_round(-F.log(u) / F.col("n_chars"), 9)
     return (
@@ -384,7 +391,7 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WEIGHTED_K = f"""
 SELECT doc_id, source, n_chars,
-       floor((-ln(((doc_id * {_WK_MULT}) % {_WK_MOD} + 1)
+       floor((-ln(((doc_id % {_WK_MOD}) * {_WK_MULT} % {_WK_MOD} + 1)
                   / {float(_WK_MOD + 1)}) / n_chars)
              * 1000000000.0::DOUBLE + 0.5::DOUBLE) / 1000000000.0::DOUBLE
          AS clock
@@ -717,7 +724,8 @@ def q_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself (monotone, ~uniform by construction)."""
     docs = load_table(spark, sf_dir, "documents")
     pri = F.pmod(
-        (F.col("doc_id") + F.lit(_SHUF_SALT)) * F.lit(_PRIORITY_MULT),
+        F.pmod(F.col("doc_id") + F.lit(_SHUF_SALT), F.lit(_PRIORITY_MOD))
+        * F.lit(_PRIORITY_MULT),
         F.lit(_PRIORITY_MOD),
     )
     staged = docs.select("doc_id", "source", pri.alias("priority"))
@@ -735,7 +743,8 @@ SELECT row_number() OVER (ORDER BY priority, doc_id) AS position,
        doc_id, source, priority
 FROM (
   SELECT doc_id, source,
-         ((doc_id + {_SHUF_SALT}) * {_PRIORITY_MULT}) % {_PRIORITY_MOD}
+         ((doc_id + {_SHUF_SALT}) % {_PRIORITY_MOD})
+           * {_PRIORITY_MULT} % {_PRIORITY_MOD}
            AS priority
   FROM documents
 )

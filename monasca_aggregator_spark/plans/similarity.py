@@ -138,7 +138,10 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from monasca_aggregator_spark.operators.similarity import assign_cells
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    pri = F.pmod(F.col("vec_id") * F.lit(_IC_MULT), F.lit(_IC_MOD))
+    pri = F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(_IC_MOD)) * F.lit(_IC_MULT),
+        F.lit(_IC_MOD),
+    )  # two-step mod: id*MULT overflows BIGINT past ~2^32 ids
     picked = (
         emb.select(
             "vec_id",
@@ -205,7 +208,7 @@ WITH v AS (
 ), cents AS (
   SELECT row_number() OVER (ORDER BY pri, vec_id) - 1 AS cent_id, e
   FROM (
-    SELECT vec_id, e, (vec_id * {_IC_MULT}) % {_IC_MOD} AS pri FROM v
+    SELECT vec_id, e, (vec_id % {_IC_MOD}) * {_IC_MULT} % {_IC_MOD} AS pri FROM v
   ) ORDER BY pri, vec_id LIMIT {_IC_CELLS}
 ), ascored AS (
   SELECT v.vec_id, c.cent_id,
@@ -1041,7 +1044,10 @@ def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     is_bench = (
-        F.pmod(F.col("vec_id") * F.lit(_DC_MULT), F.lit(_DC_MOD))
+        F.pmod(
+            F.pmod(F.col("vec_id"), F.lit(_DC_MOD)) * F.lit(_DC_MULT),
+            F.lit(_DC_MOD),
+        )  # two-step mod: id*MULT overflows BIGINT past ~2^32 ids
         % F.lit(_DC_EVERY)
         == 0
     )
@@ -1098,11 +1104,11 @@ ORACLE_DECONTAMINATE_EMB = f"""
 WITH b AS (
   SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
   FROM embeddings
-  WHERE (vec_id * {_DC_MULT} % {_DC_MOD}) % {_DC_EVERY} = 0
+  WHERE (vec_id % {_DC_MOD}) * {_DC_MULT} % {_DC_MOD} % {_DC_EVERY} = 0
 ), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv
   FROM embeddings
-  WHERE (vec_id * {_DC_MULT} % {_DC_MOD}) % {_DC_EVERY} != 0
+  WHERE (vec_id % {_DC_MOD}) * {_DC_MULT} % {_DC_MOD} % {_DC_EVERY} != 0
 ), scored AS (
   SELECT vec_id, bench_id,
          floor((list_dot_product(cv, bv)

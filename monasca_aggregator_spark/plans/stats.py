@@ -898,8 +898,13 @@ def q_quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
         F.col("doc_id"),
     )
+    # reduce mod-MOD BEFORE the multiplicative step: the raw
+    # (doc_id·B + rep)·MULT product overflows BIGINT once ids pass
+    # ~2^32 (caught by the ×64 soak, where replica-shifted ids do) —
+    # the two-step form keeps every intermediate < 2^63 at any id
     h = F.pmod(
-        (F.col("doc_id") * _BOOT_B + F.col("rep")) * F.lit(_BOOT_MULT),
+        F.pmod(F.col("doc_id") * _BOOT_B + F.col("rep"), F.lit(_BOOT_MOD))
+        * F.lit(_BOOT_MULT),
         F.lit(_BOOT_MOD),
     )
     weighted = reps.select(
@@ -955,7 +960,8 @@ def q_quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BOOTSTRAP_CI = f"""
 WITH reps AS (
   SELECT d.source, d.n_chars AS v, t.rep,
-         (d.doc_id * {_BOOT_B} + t.rep) * {_BOOT_MULT} % {_BOOT_MOD} AS h
+         ((d.doc_id * {_BOOT_B} + t.rep) % {_BOOT_MOD})
+           * {_BOOT_MULT} % {_BOOT_MOD} AS h
   FROM documents d, (SELECT unnest(range({_BOOT_B})) AS rep) t
 ),
 per_rep AS (

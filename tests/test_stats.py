@@ -325,7 +325,7 @@ def test_bootstrap_weights_match_python_ladder(spark, tmp_path):
     )
 
     def weight(doc_id, rep):
-        h = (doc_id * _BOOT_B + rep) * _BOOT_MULT % _BOOT_MOD
+        h = (doc_id * _BOOT_B + rep) % _BOOT_MOD * _BOOT_MULT % _BOOT_MOD
         for k, c in enumerate(_BOOT_CUTS):
             if h < c:
                 return k
