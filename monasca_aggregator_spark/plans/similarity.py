@@ -836,6 +836,64 @@ GROUP BY v.label
 """.strip()
 
 
+# ------------------------------------ IVF n_probe recall/cost sweep
+
+
+_NP_SWEEP = (1, 2, 4, 8)
+_NP_CELLS = 16
+
+
+def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE: recall@K vs n_probe for the inverted-file
+    search (hash-sampled 16-cell index) — the scan-fraction/recall
+    trade-off table an operator reads before fixing n_probe at scale
+    (probing p of c cells scans ~p/c of the corpus). Completes the
+    ANN quality tooling: ann_recall_report compares METHODS at fixed
+    settings, this sweeps the one knob IVF deployments actually turn.
+    Rows-only (recall of an approximate index is the measured
+    quantity); recall monotonicity in n_probe is pinned in
+    tests/test_similarity.py — more probed cells is a candidate
+    superset ranked by true cosine, so recall can only grow."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    corpus = corpus.cache()
+    exact = (
+        cosine_topk(corpus, queries, k=K)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_exact = exact.count()
+    out = None
+    for n_probe in _NP_SWEEP:
+        approx = ivf_ann(
+            corpus,
+            queries,
+            k=K,
+            n_centroids=_NP_CELLS,
+            n_probe=n_probe,
+            dim=_DIM,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        row = spark.createDataFrame(
+            [(n_probe, _NP_CELLS, n_exact, hits)],
+            "n_probe int, n_cells int, n_exact long, n_hits long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "n_probe",
+        "n_cells",
+        F.round(
+            F.col("n_probe").cast("double") / F.col("n_cells"), 4
+        ).alias("scan_fraction"),
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact").cast("double"), 4).alias(
+            "recall"
+        ),
+    )
+
+
 # ----------------------------- k-center coreset (diversity selection)
 
 
@@ -1134,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_hard_negatives": q_embedding_hard_negatives,
     "class_balance_weights": q_class_balance_weights,
     "sample_kcenter": q_sample_kcenter,  # rows-only (greedy sequence)
+    "ann_nprobe_sweep": q_ann_nprobe_sweep,  # rows-only (measured recall)
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)

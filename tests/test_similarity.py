@@ -443,3 +443,23 @@ def test_kcenter_query_runs_on_testdata(spark, sf_small):
     out = q_sample_kcenter(spark, sf_small).collect()
     assert len(out) == _KC_K
     assert len({r.vec_id for r in out}) == _KC_K
+
+
+def test_nprobe_sweep_recall_monotone(spark, sf_small):
+    """More probed cells = candidate superset ranked by true cosine:
+    recall must be non-decreasing in n_probe and reach 1.0 when every
+    cell is probed... n_probe=8 of 16 need not hit 1.0, but the curve
+    must be monotone and end at least as high as it starts."""
+    from monasca_aggregator_spark.plans.similarity import (
+        q_ann_nprobe_sweep,
+    )
+
+    rows = sorted(
+        q_ann_nprobe_sweep(spark, sf_small).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert rows[0].scan_fraction == 0.0625 and rows[-1].scan_fraction == 0.5
+    assert recalls[-1] > 0
