@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "region_revenue_yoy",
     "orders_segment_migration",
     "events_trailing_1h",
+    "part_price_spread",
+    "lineitem_discount_uplift",
 ]
 
 

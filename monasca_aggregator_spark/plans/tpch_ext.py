@@ -749,6 +749,152 @@ JOIN nation nc ON nc.n_nationkey = f.cust_nk
 """.strip()
 
 
+# ------------------------------- per-part supplier price dispersion
+
+
+_PS_TOP = 20
+
+
+def q_part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement price-dispersion audit: for each part, the unit
+    price (extendedprice/quantity, exact cents via cross-multiplied
+    integer comparison order) across its suppliers — widest-spread
+    top-20, the "same part, why is supplier B 40% dearer" readout.
+    Unit prices carry as e2 BIGINTs (floor of the one division, which
+    both engines compute from the same integers); the per-part agg is
+    one shuffle on partkey, brand joins back broadcast; top-20 by
+    (spread, partkey) is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            / F.col("l_quantity")
+        )
+        .cast("long")
+        .alias("unit_e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    g = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("unit_e2").alias("min_e2"),
+        F.max("unit_e2").alias("max_e2"),
+    )
+    spread = F.col("max_e2") - F.col("min_e2")
+    return (
+        g.join(F.broadcast(part), g["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_brand",
+            "n_suppliers",
+            "n_lines",
+            stable_round(F.col("min_e2") / F.lit(100.0), 2).alias(
+                "unit_min"
+            ),
+            stable_round(F.col("max_e2") / F.lit(100.0), 2).alias(
+                "unit_max"
+            ),
+            stable_round(spread / F.lit(100.0), 2).alias("unit_spread"),
+        )
+        .orderBy(F.col("unit_spread").desc(), F.col("partkey"))
+        .limit(_PS_TOP)
+    )
+
+
+ORACLE_PART_PRICE_SPREAD = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    / l_quantity) AS BIGINT) AS unit_e2
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(*) AS n_lines,
+         min(unit_e2) AS min_e2, max(unit_e2) AS max_e2
+  FROM li GROUP BY 1
+)
+SELECT g.l_partkey AS partkey, p.p_brand,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers, n_lines,
+       {sql_stable_round("min_e2 / 100.0", 2)} AS unit_min,
+       {sql_stable_round("max_e2 / 100.0", 2)} AS unit_max,
+       {sql_stable_round("(max_e2 - min_e2) / 100.0", 2)} AS unit_spread
+FROM g JOIN part p ON p.p_partkey = g.l_partkey
+ORDER BY unit_spread DESC, partkey
+LIMIT {_PS_TOP}
+""".strip()
+
+
+# ----------------------------------- discount-band volume uplift
+
+
+def q_lineitem_discount_uplift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does discounting move volume? Per integer discount band
+    (percent), line count, avg quantity, and gross-vs-net revenue —
+    the pricing-policy readout behind TPC-H Q6's single-band filter
+    (Q6 asks one band's forgone revenue; this sweeps the whole
+    schedule). All-integer cents until the final divisions; bands are
+    exact e2 percent buckets, one scan → ≤ ~11-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("gross_e2"),
+    )
+    g = li.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("total_qty"),
+        F.sum("gross_e2").alias("gross_e2"),
+        F.sum(
+            F.col("gross_e2") * (F.lit(100) - F.col("disc_pct"))
+        ).alias("net_e4"),
+    )
+    return g.select(
+        "disc_pct",
+        "n_lines",
+        stable_round(
+            F.col("total_qty").cast("double")
+            / F.col("n_lines").cast("double"),
+            4,
+        ).alias("avg_qty"),
+        stable_round(F.col("gross_e2") / F.lit(100.0), 2).alias(
+            "gross_revenue"
+        ),
+        stable_round(F.col("net_e4") / F.lit(1e4), 2).alias(
+            "net_revenue"
+        ),
+    )
+
+
+ORACLE_DISCOUNT_UPLIFT = f"""
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS gross_e2
+  FROM lineitem
+)
+SELECT disc_pct, count(*) AS n_lines,
+       {sql_stable_round(
+           "CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4
+       )} AS avg_qty,
+       {sql_stable_round("CAST(sum(gross_e2) AS DOUBLE) / 100.0", 2)}
+         AS gross_revenue,
+       {sql_stable_round(
+           "CAST(sum(gross_e2 * (100 - disc_pct)) AS DOUBLE) / 1e4", 2
+       )} AS net_revenue
+FROM li GROUP BY disc_pct
+""".strip()
+
+
 # --------------------------------- region revenue year-over-year growth
 
 
@@ -833,6 +979,8 @@ FROM g
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue_yoy": q_region_revenue_yoy,
+    "part_price_spread": q_part_price_spread,
+    "lineitem_discount_uplift": q_lineitem_discount_uplift,
     "supplier_scorecard": q_supplier_scorecard,
     "nation_trade_matrix": q_nation_trade_matrix,
     "tpch_q7_two_nation": q_tpch_q7,
@@ -851,6 +999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "region_revenue_yoy": ORACLE_REGION_YOY,
+    "part_price_spread": ORACLE_PART_PRICE_SPREAD,
+    "lineitem_discount_uplift": ORACLE_DISCOUNT_UPLIFT,
     "supplier_scorecard": ORACLE_SUPPLIER_SCORECARD,
     "nation_trade_matrix": ORACLE_NATION_TRADE,
     "tpch_q7_two_nation": ORACLE_Q7,
