@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "events_trailing_1h",
     "part_price_spread",
     "lineitem_discount_uplift",
+    "metric_psi",
 ]
 
 

@@ -35,7 +35,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.operators.kmv import (
     kmv_agg_if,
     kmv_estimate,
@@ -1801,8 +1804,208 @@ FROM g
 """.strip()
 
 
+# ----------------------- Population Stability Index (PSI) per metric
+
+
+_PSI_BUCKETS = 10
+
+
+def q_metric_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric: the industry-standard
+    distribution-shift score (Σ (p−q)·ln(p/q) over reference-period
+    deciles; <0.1 stable, >0.25 major shift) between the corpus's
+    first and second half by day — the ML-monitoring sibling of
+    ``corpus_ks_by_source``'s KS (KS is a max-gap test statistic; PSI
+    is the banded magnitude score model-risk teams alert on).
+
+    Reference decile EDGES are exact discrete order statistics from
+    the first-half value histogram (the winsorize machinery: per-value
+    counts → cumulative → smallest value at each k/10 rank). Both
+    periods then bucket THEIR HISTOGRAMS against the 9 broadcast
+    edges (bucket = Σ(edge < v) over the bounded (metric, value)
+    relation — never a per-raw-row edge scan), counts get add-1
+    smoothing so empty buckets stay finite, and each bucket's
+    (p−q)·ln(p/q) term is e6-fixed before the order-free sum.
+
+    Scale: two scans collapse to (metric, period, value) histograms;
+    everything after runs on histogram cells and a ≤ 9·|metrics| edge
+    relation.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_millis(F.col("ts")) / F.lit(86_400_000))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # deterministic midpoint: first half = reference period
+    ev = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "e2",
+        (F.col("day") < (F.col("d0") + F.col("d1") + 1) / 2).alias(
+            "is_ref"
+        ),
+    )
+    hist = ev.groupBy("event_type", "is_ref", "e2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ref = hist.filter(F.col("is_ref"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_w = Window.partitionBy("event_type")
+    cum = ref.select(
+        "event_type",
+        "e2",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+    )
+    edges = None
+    for k in range(1, _PSI_BUCKETS):
+        need = ((F.lit(k) * F.col("n") + F.lit(_PSI_BUCKETS - 1)) / F.lit(
+            _PSI_BUCKETS
+        )).cast("long")
+        e_k = (
+            cum.filter(F.col("cum") >= need)
+            .groupBy("event_type")
+            .agg(F.min("e2").alias("edge"))
+            .select("event_type", F.lit(k).alias("k"), "edge")
+        )
+        edges = e_k if edges is None else edges.unionByName(e_k)
+    # bucket of a histogram cell = number of edges strictly below it
+    bucketed = (
+        hist.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "is_ref",
+            "e2",
+            "cnt",
+            (F.col("edge") < F.col("e2")).cast("long").alias("above"),
+        )
+        .groupBy("event_type", "is_ref", "e2", "cnt")
+        .agg(F.sum("above").alias("bucket"))
+    )
+    per_bucket = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(~F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    tot = per_bucket.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = per_bucket.join(F.broadcast(tot), "event_type")
+    # add-1 smoothing keeps empty buckets finite; p/q as ONE double
+    # division of exact cross-products, term e6-fixed pre-sum
+    p_num = (F.col("n_ref") + 1).cast("double")
+    q_num = (F.col("n_cur") + 1).cast("double")
+    p_den = (F.col("t_ref") + _PSI_BUCKETS).cast("double")
+    q_den = (F.col("t_cur") + _PSI_BUCKETS).cast("double")
+    p = p_num / p_den
+    q = q_num / q_den
+    term6 = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    out = j.groupBy("event_type").agg(
+        F.max("t_ref").alias("n_ref"),
+        F.max("t_cur").alias("n_cur"),
+        F.sum(term6).alias("psi6"),
+    )
+    psi = F.col("psi6").cast("double") / F.lit(1e6)
+    return out.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        stable_round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate_shift")
+        .otherwise("major_shift")
+        .alias("verdict"),
+    )
+
+
+_PSI_EDGE_KS = ", ".join(str(k) for k in range(1, _PSI_BUCKETS))
+
+ORACLE_PSI = f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+  FROM events
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+tagged AS (
+  SELECT event_type, e2, day < (d0 + d1 + 1) / 2 AS is_ref
+  FROM e CROSS JOIN span
+),
+hist AS (
+  SELECT event_type, is_ref, e2, count(*) AS cnt
+  FROM tagged GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, e2,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY e2
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist WHERE is_ref
+),
+edges AS (
+  SELECT event_type, k, min(e2) AS edge
+  FROM cum CROSS JOIN (SELECT unnest([{_PSI_EDGE_KS}]) AS k) ks
+  WHERE cum >= (k * n + {_PSI_BUCKETS - 1}) // {_PSI_BUCKETS}
+  GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT h.event_type, h.is_ref, h.e2, h.cnt,
+         sum(CASE WHEN ed.edge < h.e2 THEN 1 ELSE 0 END) AS bucket
+  FROM hist h JOIN edges ed ON ed.event_type = h.event_type
+  GROUP BY 1, 2, 3, 4
+),
+per_bucket AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN is_ref THEN cnt ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN cnt ELSE 0 END) AS n_cur
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM per_bucket GROUP BY 1
+),
+terms AS (
+  SELECT p.event_type, t.t_ref, t.t_cur,
+         CAST(floor(
+           (CAST(p.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + {_PSI_BUCKETS}
+              AS DOUBLE)
+            - CAST(p.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + {_PSI_BUCKETS}
+              AS DOUBLE))
+           * ln((CAST(p.n_ref + 1 AS DOUBLE) / CAST(t.t_ref +
+                {_PSI_BUCKETS} AS DOUBLE))
+              / (CAST(p.n_cur + 1 AS DOUBLE) / CAST(t.t_cur +
+                {_PSI_BUCKETS} AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS term6
+  FROM per_bucket p JOIN tot t ON t.event_type = p.event_type
+)
+SELECT event_type,
+       CAST(max(t_ref) AS BIGINT) AS n_ref,
+       CAST(max(t_cur) AS BIGINT) AS n_cur,
+       {sql_stable_round("CAST(sum(term6) AS DOUBLE) / 1e6", 6)} AS psi,
+       CASE WHEN CAST(sum(term6) AS DOUBLE) / 1e6 < 0.1 THEN 'stable'
+            WHEN CAST(sum(term6) AS DOUBLE) / 1e6 < 0.25
+              THEN 'moderate_shift'
+            ELSE 'major_shift' END AS verdict
+FROM terms GROUP BY event_type
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_p95_trend": q_metric_p95_trend,
+    "metric_psi": q_metric_psi,
     "agg_distinct_overlap": q_agg_distinct_overlap,
     "agg_window_stickiness": q_agg_window_stickiness,
     "metric_mad_anomaly": q_metric_mad_anomaly,
@@ -1825,6 +2028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "metric_p95_trend": ORACLE_P95_TREND,
+    "metric_psi": ORACLE_PSI,
     "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,
     "agg_window_stickiness": ORACLE_WINDOW_STICKINESS,
     "metric_mad_anomaly": ORACLE_MAD_ANOMALY,

@@ -428,3 +428,42 @@ def test_lang_entropy_extremes(spark, tmp_path):
     assert out["mono"].lang_entropy == 0.0 and out["mono"].top_share == 1.0
     assert abs(out["half"].lang_entropy - math.log(2)) < 1e-6
     assert out["half"].top_lang == "fr" and out["half"].top_share == 0.5
+
+
+def test_psi_identical_halves_are_stable(spark, tmp_path):
+    """Identical value distributions in both halves → PSI ~0 (only
+    add-1 smoothing noise) and verdict 'stable'; swapping the second
+    half to a disjoint value range → 'major_shift'."""
+    from datetime import datetime, timezone
+
+    from monasca_aggregator_spark.plans.series_ext import q_metric_psi
+
+    def ts(day):
+        return datetime.fromtimestamp(day * 86_400 + 60, tz=timezone.utc)
+
+    def write(second_half_vals):
+        rows = []
+        eid = 0
+        for day in range(4):
+            vals = (
+                [10.0, 20.0, 30.0, 40.0, 50.0]
+                if day < 2
+                else second_half_vals
+            )
+            for v in vals * 10:
+                rows.append((eid, ts(day), 1, "m", v, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    write([10.0, 20.0, 30.0, 40.0, 50.0])
+    r = q_metric_psi(spark, str(tmp_path)).collect()[0]
+    assert r.verdict == "stable" and abs(r.psi) < 0.01
+    assert r.n_ref == 100 and r.n_cur == 100
+
+    write([910.0, 920.0, 930.0, 940.0, 950.0])
+    r = q_metric_psi(spark, str(tmp_path)).collect()[0]
+    assert r.verdict == "major_shift" and r.psi > 1.0
