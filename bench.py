@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "part_price_spread",
     "lineitem_discount_uplift",
     "metric_psi",
+    "text_jsd_by_source",
+    "embedding_intrinsic_dim",
 ]
 
 

@@ -67,3 +67,14 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
     return F.try_divide(
         dot_fixed(a, b, dim), norm_fixed(a, dim) * norm_fixed(b, dim)
     )
+
+
+def dist2_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled squared euclidean distance (codegen, left-fold order —
+    the cosine_fixed contract applied to distances)."""
+    d = F.element_at(a, 1) - F.element_at(b, 1)
+    expr = d * d
+    for i in range(2, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        expr = expr + d * d
+    return expr

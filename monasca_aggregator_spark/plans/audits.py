@@ -28,6 +28,7 @@ from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
 )
+from monasca_aggregator_spark.functions.text import tokens
 from monasca_aggregator_spark.sources.tables import load_table
 
 _DEC = "decimal(38,0)"
@@ -542,8 +543,152 @@ FROM g
 """.strip()
 
 
+# -------------------- vocabulary Jensen-Shannon divergence per source
+
+
+_JSD_BUCKETS = 256
+
+
+def q_text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary DIVERGENCE per source: Jensen-Shannon divergence
+    (nats, symmetric, bounded by ln 2) between each source's hashed
+    unigram distribution and the rest of the corpus — completes the
+    shift-detection family per signal: PSI on metric values, KS on doc
+    lengths, χ² on language counts, JSD on the VOCABULARY itself (the
+    signal that moves when a crawl's content drifts topically).
+
+    Same md5-first-byte 256-bucket hashing as DSIR (SQL-reproducible),
+    add-1 smoothing, and every m-, p- and q-side ln term is e6-fixed
+    per bucket BEFORE the order-free integer sum:
+    JSD = ln 2 + [Σp·ln p + Σq·ln q − 2·Σm·ln m]/2 with m=(p+q)/2 —
+    expanded so each term is one ln of one exact-integer ratio.
+    Buckets are 256-row broadcast aggregates per side; the doc scan
+    collapses to (source, bucket) counts in one shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tb = docs.select(
+        "source",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    sb = tb.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n_sb"))
+    tot_b = tb.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    grand = tb.agg(F.count(F.lit(1)).alias("n_all"))
+    per_source_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    full = (
+        tot_b.crossJoin(F.broadcast(per_source_tot))
+        .join(sb, ["source", "b"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "b",
+            F.coalesce(F.col("n_sb"), F.lit(0)).alias("n_sb"),
+            (F.col("n_b") - F.coalesce(F.col("n_sb"), F.lit(0))).alias(
+                "n_rb"
+            ),
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_r"),
+        )
+    )
+    bkt = F.lit(_JSD_BUCKETS)
+    p = (F.col("n_sb") + 1).cast("double") / (F.col("n_s") + bkt).cast(
+        "double"
+    )
+    q = (F.col("n_rb") + 1).cast("double") / (F.col("n_r") + bkt).cast(
+        "double"
+    )
+    m = (p + q) / F.lit(2.0)
+
+    def e6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    terms = full.select(
+        "source",
+        "n_s",
+        e6(p * F.log(p)).alias("pl6"),
+        e6(q * F.log(q)).alias("ql6"),
+        e6(m * F.log(m)).alias("ml6"),
+    )
+    g = terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum("pl6").alias("sp6"),
+        F.sum("ql6").alias("sq6"),
+        F.sum("ml6").alias("sm6"),
+    )
+    jsd = (
+        F.log(F.lit(2.0))
+        + (F.col("sp6") + F.col("sq6") - 2 * F.col("sm6")).cast("double")
+        / F.lit(1e6)
+        / F.lit(2.0)
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        stable_round(jsd, 6).alias("jsd"),
+        stable_round(jsd / F.log(F.lit(2.0)), 6).alias("jsd_normalized"),
+    )
+
+
+ORACLE_TEXT_JSD = rf"""
+WITH tb AS (
+  SELECT source,
+         CAST('0x' || substr(md5(unnest(
+           string_split_regex(lower(trim(text)), '\s+'))), 1, 2)
+           AS INTEGER) AS b
+  FROM documents
+),
+sb AS (SELECT source, b, count(*) AS n_sb FROM tb GROUP BY 1, 2),
+tot_b AS (SELECT b, count(*) AS n_b FROM tb GROUP BY 1),
+grand AS (SELECT count(*) AS n_all FROM tb),
+pst AS (SELECT source, sum(n_sb) AS n_s FROM sb GROUP BY 1),
+full_grid AS (
+  SELECT p.source, t.b,
+         coalesce(s.n_sb, 0) AS n_sb,
+         t.n_b - coalesce(s.n_sb, 0) AS n_rb,
+         p.n_s, g.n_all - p.n_s AS n_r
+  FROM tot_b t CROSS JOIN pst p CROSS JOIN grand g
+  LEFT JOIN sb s ON s.source = p.source AND s.b = t.b
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(floor((CAST(n_sb + 1 AS DOUBLE) / (n_s + {_JSD_BUCKETS}))
+           * ln(CAST(n_sb + 1 AS DOUBLE) / (n_s + {_JSD_BUCKETS}))
+           * 1e6 + 0.5) AS BIGINT) AS pl6,
+         CAST(floor((CAST(n_rb + 1 AS DOUBLE) / (n_r + {_JSD_BUCKETS}))
+           * ln(CAST(n_rb + 1 AS DOUBLE) / (n_r + {_JSD_BUCKETS}))
+           * 1e6 + 0.5) AS BIGINT) AS ql6,
+         CAST(floor(
+           ((CAST(n_sb + 1 AS DOUBLE) / (n_s + {_JSD_BUCKETS})
+             + CAST(n_rb + 1 AS DOUBLE) / (n_r + {_JSD_BUCKETS})) / 2.0)
+           * ln((CAST(n_sb + 1 AS DOUBLE) / (n_s + {_JSD_BUCKETS})
+             + CAST(n_rb + 1 AS DOUBLE) / (n_r + {_JSD_BUCKETS})) / 2.0)
+           * 1e6 + 0.5) AS BIGINT) AS ml6
+  FROM full_grid
+),
+g AS (
+  SELECT source, max(n_s) AS n_tokens,
+         sum(pl6) AS sp6, sum(ql6) AS sq6, sum(ml6) AS sm6
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {sql_stable_round(
+           "ln(2.0) + CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0", 6
+       )} AS jsd,
+       {sql_stable_round(
+           "(ln(2.0) + CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0)"
+           " / ln(2.0)", 6
+       )} AS jsd_normalized
+FROM g
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_entropy_by_source": q_lang_entropy_by_source,
+    "text_jsd_by_source": q_text_jsd_by_source,
     "orders_consistency_audit": q_orders_consistency_audit,
     "profile_drift": q_profile_drift,
     "events_dup_rate": q_events_dup_rate,
@@ -554,6 +699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
+    "text_jsd_by_source": ORACLE_TEXT_JSD,
     "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,
     "profile_drift": ORACLE_PROFILE_DRIFT,
     "events_dup_rate": ORACLE_EVENTS_DUP_RATE,

@@ -836,6 +836,126 @@ GROUP BY v.label
 """.strip()
 
 
+# --------------------------- TwoNN intrinsic-dimension estimation
+
+
+def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRINSIC dimension of the embedding space via TwoNN (Facco et
+    al., Scientific Reports 2017): using only each point's two nearest
+    neighbors, ID = n / Σ ln(r₂/r₁) — the representation diagnostic
+    that says how many degrees of freedom the vectors actually use
+    (collapsed or anisotropic embeddings report far below the ambient
+    64; a healthy space sits near the data manifold's dimension).
+
+    Determinism: squared distances are unrolled codegen left-folds
+    e6-fixed BEFORE ranking (the ann_cosine_topk contract applied to
+    distances), neighbor ties break by id, ln(r₂/r₁) = ½ln(d₂/d₁)
+    from the two e6 INTEGERS, each point's term e6-fixed pre-sum.
+    Exact-duplicate points (d₁ = 0, ratio undefined) are dropped and
+    counted — standard TwoNN practice.
+
+    Scale: brute-force all-pairs here (the exact oracle shape); at
+    corpus scale the identical estimator runs on a hash-sample — ID
+    is a distribution property, thousands of points suffice."""
+    from monasca_aggregator_spark.functions.vectors import dist2_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    a = emb.select("vec_id", as_double(F.col("embedding")).alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    d6 = F.floor(
+        dist2_fixed(F.col("va"), F.col("vb"), _DIM) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("nb_id"))
+        .select("vec_id", "nb_id", d6.alias("d6"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d6").asc(), F.col("nb_id").asc()
+    )
+    two = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("d6"))).alias("d1"),
+            F.min(F.when(F.col("rk") == 2, F.col("d6"))).alias("d2"),
+        )
+    )
+    term6 = F.floor(
+        F.lit(0.5)
+        * F.log(F.col("d2").cast("double") / F.col("d1").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    g = two.select(
+        (F.col("d1") > 0).alias("ok"),
+        F.when(F.col("d1") > 0, term6).alias("t6"),
+    ).agg(
+        F.sum(F.col("ok").cast("long")).alias("n_points"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_dropped_dups"),
+        F.sum("t6").alias("s6"),
+    )
+    mean_lr = F.col("s6").cast("double") / F.lit(1e6) / F.col(
+        "n_points"
+    ).cast("double")
+    return g.select(
+        "n_points",
+        "n_dropped_dups",
+        stable_round(mean_lr, 6).alias("mean_log_ratio"),
+        stable_round(F.lit(1.0) / mean_lr, 4).alias("intrinsic_dim"),
+    )
+
+
+ORACLE_INTRINSIC_DIM = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nb_id,
+         CAST(floor(list_sum(list_transform(range(1, {_DIM} + 1),
+                i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))
+              * 1e6 + 0.5) AS BIGINT) AS d6
+  FROM v a CROSS JOIN v b
+  WHERE a.vec_id != b.vec_id
+),
+two AS (
+  SELECT vec_id,
+         min(CASE WHEN rk = 1 THEN d6 END) AS d1,
+         min(CASE WHEN rk = 2 THEN d6 END) AS d2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, nb_id ASC) AS rk
+    FROM pairs
+  ) WHERE rk <= 2
+  GROUP BY vec_id
+),
+terms AS (
+  SELECT d1 > 0 AS ok,
+         CASE WHEN d1 > 0 THEN
+           CAST(floor(0.5 * ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) END AS t6
+  FROM two
+)
+SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped_dups,
+       {sql_stable_round(
+           "CAST(sum(t6) AS DOUBLE) / 1e6"
+           " / sum(CASE WHEN ok THEN 1 ELSE 0 END)", 6)}
+         AS mean_log_ratio,
+       {sql_stable_round(
+           "1.0 / (CAST(sum(t6) AS DOUBLE) / 1e6"
+           " / sum(CASE WHEN ok THEN 1 ELSE 0 END))", 4)}
+         AS intrinsic_dim
+FROM terms
+""".strip()
+
+
 # ------------------------------------ IVF n_probe recall/cost sweep
 
 
@@ -1193,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "class_balance_weights": q_class_balance_weights,
     "sample_kcenter": q_sample_kcenter,  # rows-only (greedy sequence)
     "ann_nprobe_sweep": q_ann_nprobe_sweep,  # rows-only (measured recall)
+    "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
@@ -1215,6 +1336,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_embedding": ORACLE_DECONTAMINATE_EMB,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
     "class_balance_weights": ORACLE_CLASS_WEIGHTS,
+    "embedding_intrinsic_dim": ORACLE_INTRINSIC_DIM,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,
