@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "metric_psi",
     "text_jsd_by_source",
     "embedding_intrinsic_dim",
+    "text_burstiness",
 ]
 
 

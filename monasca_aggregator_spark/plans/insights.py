@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monasca_aggregator_spark.functions.text import tokens
 from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
@@ -1958,9 +1959,94 @@ FROM m
 """.strip()
 
 
+# -------------------------------- token burstiness (Church–Gale VMR)
+
+
+_BURST_MIN_DF = 20  # tokens must appear in ≥ this many docs
+_BURST_TOP = 25
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS: variance-to-mean ratio of per-document counts
+    (Church & Gale 1995) for every token in ≥ 20 docs, top-25 — a
+    Poisson process gives VMR ≈ 1 (function words), topical/content
+    words clump (VMR ≫ 1). The signal behind burstiness-aware
+    retrieval weighting and topic-word extraction, orthogonal to raw
+    frequency (PMI finds pairs, this finds single clumping terms).
+
+    Exactness: per-(token, doc) counts are integers, so mean and
+    variance come from exact (n, Σc, Σc²) moments over the FULL doc
+    universe — docs not containing the token contribute zero counts
+    via the closed form (zeros don't need rows: Σc and Σc² are sums
+    over occurrences only, n is the corpus doc count broadcast in) —
+    VMR = (n·Σc² − (Σc)²) / ((n−1)·Σc) as one division of exact
+    DECIMAL(38,0) products. Vocabulary-bounded aggregates; top-25 by
+    (e6 VMR, token) is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(38,0)"
+    g = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sc2"),
+    )
+    n = F.lit(n_docs).cast(dec)
+    vmr = (
+        (n * F.col("sc2") - F.col("sc").cast(dec) * F.col("sc").cast(dec))
+        .cast("double")
+        / ((F.lit(n_docs - 1)) * F.col("sc")).cast("double")
+    )
+    return (
+        g.filter(F.col("df") >= _BURST_MIN_DF)
+        .select(
+            "token",
+            "df",
+            F.col("sc").alias("n_occurrences"),
+            stable_round(vmr, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("token"))
+        .limit(_BURST_TOP)
+    )
+
+
+ORACLE_BURSTINESS = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+),
+nd AS (SELECT count(*) AS n FROM documents),
+g AS (
+  SELECT token, count(*) AS df,
+         sum(c) AS sc, sum(CAST(c AS HUGEINT) * c) AS sc2
+  FROM per_doc GROUP BY token
+)
+SELECT token, df, CAST(sc AS BIGINT) AS n_occurrences,
+       {sql_stable_round(
+           "CAST(CAST(n AS HUGEINT) * sc2"
+           "     - CAST(sc AS HUGEINT) * sc AS DOUBLE)"
+           " / CAST((n - 1) * CAST(sc AS HUGEINT) AS DOUBLE)", 6)}
+         AS burstiness
+FROM g CROSS JOIN nd
+WHERE df >= {_BURST_MIN_DF}
+ORDER BY burstiness DESC, token
+LIMIT {_BURST_TOP}
+""".strip()
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
     "events_dau_mau": q_events_dau_mau,
     "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
@@ -1986,6 +2072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_burstiness": ORACLE_BURSTINESS,
     "events_ab_test": ORACLE_AB_TEST,
     "events_dau_mau": ORACLE_DAU_MAU,
     "metric_hod_dow_heatmap": ORACLE_HOD_DOW,
