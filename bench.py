@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "text_jsd_by_source",
     "embedding_intrinsic_dim",
     "text_burstiness",
+    "sessions_top_paths",
 ]
 
 

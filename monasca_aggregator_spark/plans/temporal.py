@@ -1853,6 +1853,98 @@ def q_sessions_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_CAP = 8
+_PATH_TOP = 15
+
+
+def q_sessions_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top USER JOURNEYS: the most common full event-type paths
+    through a session (first 8 steps, '>'-joined), with session
+    and user counts — the flow readout between `sessions_entry_exit`'s
+    2-cell matrix and `events_markov`'s memoryless transitions (paths
+    keep the whole ordered journey; the cap bounds both string size
+    and the path-space cardinality the groupBy keys on). Session
+    islands and the (ts, event_id) total order are exactly
+    `sessions_user`'s; paths assemble as sort_array over per-session
+    collected structs (deterministic — the sort key is unique), and
+    top-15 by (sessions, path) is TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("us") - F.lag("us").over(w_ord) <= F.lit(_GAP_US), F.lit(0)
+    ).otherwise(F.lit(1))
+    marked = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = marked.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("us", "event_id", "event_type"))
+        ).alias("seq"),
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.slice(F.col("seq"), 1, _PATH_CAP), lambda s: s.event_type
+        ),
+    )
+    return (
+        per_sess.select(
+            "user_id",
+            path.alias("path"),
+            (F.col("n_events") > _PATH_CAP).alias("truncated"),
+        )
+        .groupBy("path", "truncated")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("n_sessions").desc(), F.col("path"), F.col("truncated")
+        )
+        .limit(_PATH_TOP)
+    )
+
+
+ORACLE_SESSIONS_TOP_PATHS = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   <= {_GAP_SQL}
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{_PATH_CAP}], '>'
+         ) AS path
+  FROM numbered GROUP BY 1, 2
+)
+SELECT path, n_events > {_PATH_CAP} AS truncated,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM per_sess
+GROUP BY 1, 2
+ORDER BY n_sessions DESC, path, truncated
+LIMIT {_PATH_TOP}
+""".strip()
+
+
 ORACLE_SESSIONS_ENTRY_EXIT = f"""
 WITH marked AS (
   SELECT user_id, ts, event_id, event_type,
@@ -1889,6 +1981,7 @@ FROM per_sess GROUP BY 1, 2
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_entry_exit": q_sessions_entry_exit,
+    "sessions_top_paths": q_sessions_top_paths,
     "sessions_active_time": q_sessions_active_time,
     "events_lifecycle": q_events_lifecycle,
     "events_markov": q_events_markov,
@@ -1921,6 +2014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sessions_entry_exit": ORACLE_SESSIONS_ENTRY_EXIT,
+    "sessions_top_paths": ORACLE_SESSIONS_TOP_PATHS,
     "sessions_active_time": ORACLE_ACTIVE_TIME,
     "events_lifecycle": ORACLE_LIFECYCLE,
     "events_markov": ORACLE_MARKOV,
