@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "embedding_intrinsic_dim",
     "text_burstiness",
     "sessions_top_paths",
+    "lineitem_return_rate",
 ]
 
 

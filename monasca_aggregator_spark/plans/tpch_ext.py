@@ -829,6 +829,70 @@ LIMIT {_PS_TOP}
 """.strip()
 
 
+# ------------------------------------- return rate per part brand
+
+
+def q_lineitem_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goods-quality screen: per part brand, the fraction of line
+    items returned (l_returnflag = 'R') with the revenue at stake —
+    the supplier-quality readout behind Q10's per-customer returns
+    view (Q10 asks who returned; this asks WHAT gets returned).
+    Exact-integer counts/cents, one brand-keyed aggregate through the
+    broadcast part dim, rate as one final division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    g = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").alias("n_returned"),
+            F.sum(F.col("ret") * F.col("e2")).alias("ret_e2"),
+        )
+    )
+    return g.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        stable_round(
+            F.col("n_returned").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("return_rate"),
+        stable_round(F.col("ret_e2") / F.lit(100.0), 2).alias(
+            "returned_revenue"
+        ),
+    )
+
+
+ORACLE_RETURN_RATE = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2
+  FROM lineitem
+)
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       CAST(sum(ret) AS BIGINT) AS n_returned,
+       {sql_stable_round(
+           "CAST(sum(ret) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6
+       )} AS return_rate,
+       {sql_stable_round("CAST(sum(ret * e2) AS DOUBLE) / 100.0", 2)}
+         AS returned_revenue
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+GROUP BY p.p_brand
+""".strip()
+
+
 # ----------------------------------- discount-band volume uplift
 
 
@@ -981,6 +1045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue_yoy": q_region_revenue_yoy,
     "part_price_spread": q_part_price_spread,
     "lineitem_discount_uplift": q_lineitem_discount_uplift,
+    "lineitem_return_rate": q_lineitem_return_rate,
     "supplier_scorecard": q_supplier_scorecard,
     "nation_trade_matrix": q_nation_trade_matrix,
     "tpch_q7_two_nation": q_tpch_q7,
@@ -1001,6 +1066,7 @@ ORACLES: dict[str, str] = {
     "region_revenue_yoy": ORACLE_REGION_YOY,
     "part_price_spread": ORACLE_PART_PRICE_SPREAD,
     "lineitem_discount_uplift": ORACLE_DISCOUNT_UPLIFT,
+    "lineitem_return_rate": ORACLE_RETURN_RATE,
     "supplier_scorecard": ORACLE_SUPPLIER_SCORECARD,
     "nation_trade_matrix": ORACLE_NATION_TRADE,
     "tpch_q7_two_nation": ORACLE_Q7,

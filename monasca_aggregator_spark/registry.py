@@ -82,12 +82,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "argmax_per_group", "rollup_pricing", "cube_volume",
 #     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 # )
-# Round-7 rotation (staged): the 25 oracle-backed keys ADDED in r5
+# Round-7 rotation (staged): the 26 oracle-backed keys ADDED in r5
 # (rotation invariant: new oracle keys enter the newest staged
 # window), then the 19 oracle-backed keys with no driver row after
 # r1-r3 and no slot in r4-r6 (the 14 r4 additions + the 5 late-r3
-# stats queries), then 6 oldest re-confirmations (r1-checked keys
-# not re-staged in R5/R6, then the oldest r3-window keys; the 25
+# stats queries), then 5 oldest re-confirmations (r1-checked keys
+# not re-staged in R5/R6, then the oldest r3-window keys; the 26
 # dropped to make room — order_shuffle, sample_epoch_repeat,
 # dedup_semantic_cells, dedup_containment, sample_weighted_k,
 # sample_budget_mix, sample_top_p_source, corpus_diff,
@@ -96,8 +96,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # metric_downsample_m4, metric_alert_hysteresis, agg_stddev,
 # metric_gapfill, events_retention, range_join_ship,
 # sample_consistent_k, tpch_q21_waiting, sample_quota_source,
-# tpch_q17_avg_qty, tpch_q16_suppcnt — are r1/r2/r3-green
-# re-confirmations, not coverage gaps).
+# tpch_q17_avg_qty, tpch_q16_suppcnt, tpch_q20_excess — are
+# r1/r2/r3-green re-confirmations, not coverage gaps).
 # _DRIVER_WINDOW_R7: tuple[str, ...] = (
 #     "metric_lead_lag", "metric_topk_movers",
 #     "corpus_source_overlap", "dedup_threshold_sweep",
@@ -111,6 +111,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "lineitem_discount_uplift", "metric_psi",
 #     "text_jsd_by_source", "embedding_intrinsic_dim",
 #     "text_burstiness", "sessions_top_paths",
+#     "lineitem_return_rate",
 #     "events_variant_props", "revenue_gini_by_nation", "orders_benford",
 #     "events_survival_hazard", "corpus_spearman", "orders_backlog",
 #     "orders_consistency_audit", "profile_drift", "events_dup_rate",
@@ -119,7 +120,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_knn_accuracy", "events_attribution_ushape",
 #     "supplier_scorecard", "nation_trade_matrix",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
-#     "tpch_q13_histogram", "tpch_q15_topsupp", "tpch_q20_excess",
+#     "tpch_q13_histogram", "tpch_q15_topsupp",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
