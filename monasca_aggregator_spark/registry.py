@@ -28,60 +28,54 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # CORRECTNESS_r04).  The active r5 list is below; r6/r7 are staged
 # as comments so each round's flip is a single edit, pinned by
 # tests/test_registry.py::test_staged_windows_are_flippable.
-# New oracle keys added during r5 must enter the NEWEST staged
+# New oracle keys added during r6 must enter the NEWEST staged
 # window (R7, replacing tail re-confirmations) so every oracle key
 # has a driver row by the end of R7.
 #
-# Round-5 ACTIVE window (flipped at the start of round 5): the 8
-# oracle keys added after the r4 staging, then 42 r2-green
-# re-confirmations (the active r2 window's keys, minus enough to stay
-# at exactly 50).  The r4 window (dedup_rate_by_source …
-# tpch_q12_latecount) went 50/50 green in CORRECTNESS_r04.
+# Round-6 ACTIVE window (flipped at the start of round 6): the 22
+# oracle-backed keys added in r3 (plans/insights.py) plus
+# split_group_aware (the one key still without any driver row after
+# r3-r5), then 27 r1-green re-confirmations — after r6 every key has
+# a driver row at most 5 rounds old.  The r5 window (privacy_tokenize
+# … running_total_user) went 50/50 green in CORRECTNESS_r05.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
-    "lang_confusion", "series_shape_search", "text_search_fuzzy",
-    "text_stem_vocab", "corpus_zipf_alpha",
-    "tpch_q12_latecount", "sample_stratified",
-    "sample_temperature", "profile_documents", "split_train_val",
-    "pack_chunks", "pack_chunks_overlap", "dedup_exact", "dedup_spans",
-    "dedup_editdistance", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_clusters", "dedup_canonical", "text_tfidf", "text_bigram_pmi",
-    "text_search_conjunctive", "text_langid", "quality_deciles",
-    "text_decontaminate", "text_unigram_logprob", "text_tokens",
-    "text_quality", "text_fingerprint", "text_vocab_topk",
-    "text_repetition", "text_boilerplate", "embedding_centroids",
-    "embedding_quantize", "ann_cosine_topk", "events_json_props",
-    "agg_streaming", "user_event_seq", "events_cumulative_users",
-    "asof_purchase_click", "anomaly_zscore", "metric_histogram",
-    "funnel_conversion", "sessions_user", "moving_avg_user",
-    "lag_delta_user", "running_total_user",
+    "events_ab_test", "events_dau_mau", "metric_hod_dow_heatmap",
+    "quality_iqr_outliers", "orders_open_aging",
+    "embedding_norm_stats", "events_interarrival_cv",
+    "text_hapax_ratio", "text_bigram_logprob",
+    "metric_slo_error_budget", "dedup_cluster_sizes",
+    "sessions_bounce", "orders_repeat_rate", "events_markov_accuracy",
+    "corpus_dedup_impact", "embedding_pair_cosine_hist",
+    "lineitem_ship_delay", "graph_degree_hist",
+    "funnel_window_depth", "events_retention_bitmap_wide",
+    "corpus_heaps_law", "events_ab_test_cuped",
+    "split_group_aware", "agg_filtered",
+    "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
+    "agg_distinct_users", "agg_median", "agg_distinct_hll",
+    "agg_distinct_rollup_hll", "agg_p95_sketch",
+    "agg_percentile_bands", "tpch_q3", "tpch_q5", "tpch_q6",
+    "tpch_q14", "tpch_q18", "topk_per_group", "events_daily_user",
+    "tpch_q4_semijoin", "tpch_q22_antijoin", "tpch_q19_disjunct",
+    "argmax_per_group", "rollup_pricing", "cube_volume",
+    "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
 )
-# Round-6 rotation (staged): the 22 oracle-backed keys added in r3
-# (plans/insights.py) plus split_group_aware (the one key still
-# without any driver row after r3-r5), then 27 r1-green
-# re-confirmations — after r6 every key has a driver row at most
-# 5 rounds old.
-# _DRIVER_WINDOW_R6: tuple[str, ...] = (
-#     "events_ab_test", "events_dau_mau", "metric_hod_dow_heatmap",
-#     "quality_iqr_outliers", "orders_open_aging",
-#     "embedding_norm_stats", "events_interarrival_cv",
-#     "text_hapax_ratio", "text_bigram_logprob",
-#     "metric_slo_error_budget", "dedup_cluster_sizes",
-#     "sessions_bounce", "orders_repeat_rate", "events_markov_accuracy",
-#     "corpus_dedup_impact", "embedding_pair_cosine_hist",
-#     "lineitem_ship_delay", "graph_degree_hist",
-#     "funnel_window_depth", "events_retention_bitmap_wide",
-#     "corpus_heaps_law", "events_ab_test_cuped",
-#     "split_group_aware", "agg_filtered",
-#     "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
-#     "agg_distinct_users", "agg_median", "agg_distinct_hll",
-#     "agg_distinct_rollup_hll", "agg_p95_sketch",
-#     "agg_percentile_bands", "tpch_q3", "tpch_q5", "tpch_q6",
-#     "tpch_q14", "tpch_q18", "topk_per_group", "events_daily_user",
-#     "tpch_q4_semijoin", "tpch_q22_antijoin", "tpch_q19_disjunct",
-#     "argmax_per_group", "rollup_pricing", "cube_volume",
-#     "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
-# )
+# Round-5 window (retired after CORRECTNESS_r05 went 50/50 green):
+# privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
+# lang_confusion, series_shape_search, text_search_fuzzy,
+# text_stem_vocab, corpus_zipf_alpha, tpch_q12_latecount,
+# sample_stratified, sample_temperature, profile_documents,
+# split_train_val, pack_chunks, pack_chunks_overlap, dedup_exact,
+# dedup_spans, dedup_editdistance, dedup_ngram_jaccard,
+# dedup_embedding, dedup_clusters, dedup_canonical, text_tfidf,
+# text_bigram_pmi, text_search_conjunctive, text_langid,
+# quality_deciles, text_decontaminate, text_unigram_logprob,
+# text_tokens, text_quality, text_fingerprint, text_vocab_topk,
+# text_repetition, text_boilerplate, embedding_centroids,
+# embedding_quantize, ann_cosine_topk, events_json_props,
+# agg_streaming, user_event_seq, events_cumulative_users,
+# asof_purchase_click, anomaly_zscore, metric_histogram,
+# funnel_conversion, sessions_user, moving_avg_user, lag_delta_user,
+# running_total_user.
 # Round-7 rotation (staged): the 26 oracle-backed keys ADDED in r5
 # (rotation invariant: new oracle keys enter the newest staged
 # window), then the 19 oracle-backed keys with no driver row after
