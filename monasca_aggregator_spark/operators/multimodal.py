@@ -402,14 +402,20 @@ def decode_real(payload: bytes, media_type: str, *, use_native: bool = True):
     """Real codec dispatch with a native-library seam.
 
     When PIL/imageio is importable (``use_native=True``, the default)
-    images decode through it — that is the 100 TB path; the
+    PNG/GIF decode through it — pixel-exact vs the stdlib codecs
+    (lossless formats), so the fast path never changes values. JPEG
+    decodes through the stdlib baseline codec FIRST even when PIL is
+    present: IDCT rounding differs across decoders, and feature values
+    must not depend on which libraries a cluster happens to have
+    (determinism contract); the native seam covers only the streams
+    the stdlib cannot (progressive/arithmetic/12-bit). The
     pure-stdlib+numpy codecs (PNG zlib+filters above, baseline JPEG in
     operators/jpeg.py, GIF-LZW in operators/gif.py, PPM frombuffer)
     are the always-available fallback and the correctness oracle the
     native path is pinned against in tests. Audio (PCM / IMA-ADPCM
     WAV) decodes via stdlib ``wave`` + operators/adpcm.py either way.
-    Progressive JPEG, MP3 and H.264 still require PIL/soundfile/ffmpeg
-    and raise NotImplementedError when absent."""
+    MP3 and H.264 still require soundfile/ffmpeg and raise
+    NotImplementedError when absent."""
     if payload is None:
         return None
     if media_type == "image":
@@ -423,11 +429,21 @@ def decode_real(payload: bytes, media_type: str, *, use_native: bool = True):
                 return native(payload)
             return decode_png(payload)
         if payload.startswith(b"\xff\xd8"):
-            if native is not None:
-                return native(payload)
+            # JPEG is the ONE format where decoders legitimately differ
+            # (IDCT rounding): the stdlib baseline codec runs FIRST so
+            # feature values are identical on every cluster regardless
+            # of whether PIL is installed (determinism contract of
+            # media_image_features / image_ahash_dedup); the native
+            # seam handles only what the stdlib cannot (progressive /
+            # arithmetic / 12-bit streams).
             from monasca_aggregator_spark.operators.jpeg import decode_jpeg
 
-            return decode_jpeg(payload)
+            try:
+                return decode_jpeg(payload)
+            except NotImplementedError:
+                if native is not None:
+                    return native(payload)
+                raise
         if payload.startswith(b"GIF8"):
             if native is not None:
                 return native(payload)

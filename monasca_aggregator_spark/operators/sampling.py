@@ -427,11 +427,18 @@ def pack_first_fit_decreasing(
     return df.groupBy(group_col).applyInPandas(_pack, schema_ddl)
 
 
+# The DSIR feature hash is md5-first-byte — EXACTLY 256 cells, fixed
+# by the SQL-reproducibility contract (conv(substring(md5, 1, 2)));
+# the smoothing mass must match the cell count, so it is a module
+# constant, not a parameter (a caller-supplied width would silently
+# mis-specify the model: different smoothing, same 256 cells).
+_DSIR_HASH_BUCKETS = 256
+
+
 def dsir_importance(
     docs: DataFrame,
     target: Column,
     *,
-    buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -444,7 +451,7 @@ def dsir_importance(
     sums (plans/pipeline_ops.q_sample_importance_dsir's determinism
     contract, factored here so the curation pipeline composes it).
     Returns (id_col, n_tokens, importance). Bucket models are
-    ``buckets``-row broadcast aggregates; the doc score is a map-side
+    256-row broadcast aggregates; the doc score is a map-side
     join + partial sum — nothing wider than (doc, bucket) shuffles."""
     from monasca_aggregator_spark.functions.rounding import stable_round
     from monasca_aggregator_spark.functions.text import tokens
@@ -481,11 +488,11 @@ def dsir_importance(
                 F.log(
                     (
                         (F.coalesce(F.col("t"), F.lit(0)) + 1).cast(dec)
-                        * (F.col("big_r") + buckets).cast(dec)
+                        * (F.col("big_r") + _DSIR_HASH_BUCKETS).cast(dec)
                     ).cast("double")
                     / (
                         (F.col("r") + 1).cast(dec)
-                        * (F.col("big_t") + buckets).cast(dec)
+                        * (F.col("big_t") + _DSIR_HASH_BUCKETS).cast(dec)
                     ).cast("double")
                 )
                 * 1e6

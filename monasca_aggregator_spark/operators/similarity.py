@@ -552,8 +552,13 @@ def ann_candidate_pairs(
     the n_cells dial). The ⊆ relation and every returned sim matching
     the exact generator are pinned in tests/test_graph.py.
     """
+    # two-step pmod: id*MULT overflows BIGINT past ~2^32 ids (throws
+    # under ANSI mode, wraps otherwise) — reduce id first, exactly as
+    # q_dedup_semantic_cells / q_ann_ivf_cells / q_sample_consistent_k
     pri = F.pmod(
-        F.col(id_col) * F.lit(_ANN_PAIRS_MULT), F.lit(_ANN_PAIRS_MOD)
+        F.pmod(F.col(id_col), F.lit(_ANN_PAIRS_MOD))
+        * F.lit(_ANN_PAIRS_MULT),
+        F.lit(_ANN_PAIRS_MOD),
     )
     picked = (
         emb.select(

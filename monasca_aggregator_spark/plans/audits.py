@@ -560,8 +560,10 @@ def q_text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same md5-first-byte 256-bucket hashing as DSIR (SQL-reproducible),
     add-1 smoothing, and every m-, p- and q-side ln term is e6-fixed
     per bucket BEFORE the order-free integer sum:
-    JSD = ln 2 + [Σp·ln p + Σq·ln q − 2·Σm·ln m]/2 with m=(p+q)/2 —
-    expanded so each term is one ln of one exact-integer ratio.
+    JSD = [Σp·ln p + Σq·ln q − 2·Σm·ln m]/2 with m=(p+q)/2 (the
+    halved mixture already absorbs the ln 2; identical distributions
+    give 0, disjoint supports give ln 2) — expanded so each term is
+    one ln of one exact-integer ratio.
     Buckets are 256-row broadcast aggregates per side; the doc scan
     collapses to (source, bucket) counts in one shuffle.
     """
@@ -620,8 +622,7 @@ def q_text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ml6").alias("sm6"),
     )
     jsd = (
-        F.log(F.lit(2.0))
-        + (F.col("sp6") + F.col("sq6") - 2 * F.col("sm6")).cast("double")
+        (F.col("sp6") + F.col("sq6") - 2 * F.col("sm6")).cast("double")
         / F.lit(1e6)
         / F.lit(2.0)
     )
@@ -676,10 +677,10 @@ g AS (
 )
 SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
        {sql_stable_round(
-           "ln(2.0) + CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0", 6
+           "CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0", 6
        )} AS jsd,
        {sql_stable_round(
-           "(ln(2.0) + CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0)"
+           "(CAST(sp6 + sq6 - 2 * sm6 AS DOUBLE) / 1e6 / 2.0)"
            " / ln(2.0)", 6
        )} AS jsd_normalized
 FROM g

@@ -1074,11 +1074,7 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than (doc, bucket); top-K is TakeOrdered, no global sort.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    scored = dsir_importance(
-        docs,
-        F.col("lang") == _DSIR_TARGET_LANG,
-        buckets=_DSIR_BUCKETS,
-    )
+    scored = dsir_importance(docs, F.col("lang") == _DSIR_TARGET_LANG)
     meta = docs.select("doc_id", "lang", "source")
     return (
         scored.join(meta, "doc_id")

@@ -659,31 +659,41 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         approx = part if approx is None else approx.unionByName(part)
 
-    n_exact = exact.count()  # bounded: N_QUERIES × K
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = spark.createDataFrame(
-        [(m,) for m in methods], "method string"
-    )
-    return (
-        base.join(hits, "method", "left")
-        .select(
-            "method",
-            F.lit(K).alias("k"),
-            F.lit(N_QUERIES).alias("n_queries"),
-            F.lit(n_exact).alias("n_exact"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                / F.lit(float(n_exact)),
-                4,
-            ).alias("recall"),
+    try:
+        n_exact = exact.count()  # bounded: N_QUERIES × K
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
         )
-        .orderBy("method")
-    )
+        base = spark.createDataFrame(
+            [(m,) for m in methods], "method string"
+        )
+        report = (
+            base.join(hits, "method", "left")
+            .select(
+                "method",
+                F.lit(K).alias("k"),
+                F.lit(N_QUERIES).alias("n_queries"),
+                F.lit(n_exact).alias("n_exact"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(n_exact)),
+                    4,
+                ).alias("recall"),
+            )
+            .orderBy("method")
+        )
+        # materialize the ≤|methods|-row report NOW so the caches can
+        # actually be released (a lazily returned plan would re-pin
+        # them until the caller collects — the bench runs 200+ queries
+        # in one session)
+        rows, schema = report.collect(), report.schema
+    finally:
+        exact.unpersist()
+        corpus.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 KNN_K = 5
@@ -981,25 +991,31 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .cache()
     )
-    n_exact = exact.count()
-    out = None
-    for n_probe in _NP_SWEEP:
-        approx = ivf_ann(
-            corpus,
-            queries,
-            k=K,
-            n_centroids=_NP_CELLS,
-            n_probe=n_probe,
-            dim=_DIM,
-        ).select("query_id", "neighbor_id")
-        hits = approx.join(
-            exact, ["query_id", "neighbor_id"], "left_semi"
-        ).count()
-        row = spark.createDataFrame(
-            [(n_probe, _NP_CELLS, n_exact, hits)],
-            "n_probe int, n_cells int, n_exact long, n_hits long",
-        )
-        out = row if out is None else out.unionByName(row)
+    try:
+        n_exact = exact.count()
+        out = None
+        for n_probe in _NP_SWEEP:
+            approx = ivf_ann(
+                corpus,
+                queries,
+                k=K,
+                n_centroids=_NP_CELLS,
+                n_probe=n_probe,
+                dim=_DIM,
+            ).select("query_id", "neighbor_id")
+            hits = approx.join(
+                exact, ["query_id", "neighbor_id"], "left_semi"
+            ).count()
+            row = spark.createDataFrame(
+                [(n_probe, _NP_CELLS, n_exact, hits)],
+                "n_probe int, n_cells int, n_exact long, n_hits long",
+            )
+            out = row if out is None else out.unionByName(row)
+    finally:
+        # every probe's hits are already counted — the sweep table
+        # below is literals-only, so the caches release safely here
+        exact.unpersist()
+        corpus.unpersist()
     return out.select(
         "n_probe",
         "n_cells",

@@ -109,3 +109,46 @@ def test_dup_rate_counts_redeliveries(spark):
         F.sum(F.col("c") - 1).alias("n_redelivered"),
     ).first()
     assert (day.n_events, day.n_identities, day.n_redelivered) == (5, 3, 2)
+
+
+def test_jsd_bounds_identical_zero_disjoint_ln2(spark, tmp_path):
+    """JSD must live in [0, ln 2]: two sources with IDENTICAL token
+    distributions score ~0, two sources with DISJOINT vocabularies
+    score ~ln 2 (add-1 smoothing keeps it slightly below). Pins the
+    ln-2 inflation fixed in round 6 (every jsd used to carry a +ln 2
+    term, so identical sources reported jsd = ln 2)."""
+    import math
+
+    from monasca_aggregator_spark.plans.audits import q_text_jsd_by_source
+
+    ln2 = math.log(2.0)
+
+    def run(rows):
+        d = tmp_path / "docs"
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        return {
+            r.source: r for r in q_text_jsd_by_source(spark, str(d)).collect()
+        }
+
+    same = ("alpha beta gamma delta " * 125).strip()  # 500 tokens/doc
+    identical = run(
+        [(i, same, "en", "sA" if i % 2 else "sB", len(same))
+         for i in range(1, 41)]
+    )
+    for r in identical.values():
+        assert abs(r.jsd) < 0.01, r
+        assert abs(r.jsd_normalized) < 0.02, r
+
+    a_text = ("aardvark " * 500).strip()
+    b_text = ("zebra " * 500).strip()
+    disjoint = run(
+        [(i, a_text if i % 2 else b_text, "en",
+          "sA" if i % 2 else "sB", 100) for i in range(1, 41)]
+    )
+    for r in disjoint.values():
+        assert 0.9 * ln2 <= r.jsd <= ln2 + 1e-6, r
+        assert 0.9 <= r.jsd_normalized <= 1.0 + 1e-6, r
