@@ -77,6 +77,57 @@ def global_rank(
     return out.drop(_BUCKET, _LOCAL, _OFFSET, _TOTAL)
 
 
+def global_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order_by: list[Column],
+    value: Column,
+    *,
+    cum_col: str = "global_cumsum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact running ``sum(value) OVER (ORDER BY order_by)`` without a
+    single-partition sort — the cumulative-share sibling of
+    ``global_rank`` (same bucket contract: monotone non-decreasing in
+    the sort order, equal sort keys share a bucket).
+
+    Steps mirror global_rank with the count histogram replaced by a
+    per-bucket SUM: local cumsum within each bucket (full
+    parallelism), prefix-sum the ≤ #buckets-row sum histogram into
+    start offsets on one task, broadcast back. ``total_col``
+    optionally exposes the grand total on every row for share /
+    threshold tests (cum·100 ≤ 80·total and friends)."""
+    _VAL = "_gcs_value"
+    b = df.withColumn(_BUCKET, bucket).withColumn(_VAL, value)
+    local_w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cummed = b.withColumn(_LOCAL, F.sum(_VAL).over(local_w))
+
+    hist = b.groupBy(_BUCKET).agg(F.sum(_VAL).alias("_s"))
+    off_w = (
+        Window.orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = hist.select(
+        _BUCKET,
+        (F.sum("_s").over(off_w) - F.col("_s")).alias(_OFFSET),
+        F.sum("_s").over(tot_w).alias(_TOTAL),
+    )
+
+    out = cummed.join(F.broadcast(offsets), _BUCKET).withColumn(
+        cum_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOTAL).cast("long"))
+    return out.drop(_BUCKET, _LOCAL, _OFFSET, _TOTAL, _VAL)
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """Exact SQL NTILE(n) from a precomputed global rank: with
     q = total div n and rem = total mod n, the first ``rem`` tiles get

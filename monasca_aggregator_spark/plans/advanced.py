@@ -133,19 +133,19 @@ def q_sessions_concurrency(
     Sessions are the gap-based islands of `sessions_user` (30 min);
     each [start, end] emits +1 at start and −1 at end+1ms (inclusive
     overlap), and concurrency is the running sum over the boundary
-    stream.  The frame is RANGE, not ROWS: all boundaries at the same
-    millisecond are peers, so every row sees the post-tie total and
-    the result is deterministic under ties — a ROWS frame would make
-    per-row values depend on arbitrary intra-tie order.  Reported per
-    hour as the max over that hour's boundary points (hours without
-    boundaries inherit no row — interior hours of long sessions are
-    bounded by the session-gap rule anyway).
+    stream.  Tie handling matches a RANGE frame: boundaries at the
+    same millisecond are collapsed to ONE net delta first (groupBy
+    b_ms), so every sampled point sees the post-tie total and the
+    result is deterministic under ties.  Reported per hour as the max
+    over that hour's session-start points (hours without boundaries
+    inherit no row — interior hours of long sessions are bounded by
+    the session-gap rule anyway).
 
-    Scale: the sweep is per-boundary window work over 2 rows per
-    session (already collapsed from raw events); a single time-ordered
-    exchange. At extreme scale the sweep is range-partitionable with
-    per-partition offsets (the prefix-sum pattern of
-    operators/rank.py).
+    Scale: the running sum is the DISTRIBUTED prefix-sum operator
+    (operators/rank.global_cumsum, day-bucketed: per-day local cumsum
+    + broadcast offsets from the ≤ #days-row histogram) — the
+    boundary stream never funnels through one task, unlike a bare
+    ``sum() OVER (ORDER BY b_ms)``.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
@@ -175,16 +175,23 @@ def q_sessions_concurrency(
             F.lit(-1).alias("delta"),
         )
     )
-    sweep = bounds.withColumn(
-        "conc",
-        F.sum("delta").over(
-            Window.orderBy("b_ms").rangeBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
+    from monasca_aggregator_spark.operators.rank import global_cumsum
+
+    # collapse same-ms boundaries to one net delta: a ROWS cumsum over
+    # the collapsed stream ≡ the RANGE-frame sweep at every point
+    per_ms = bounds.groupBy("b_ms").agg(
+        F.sum("delta").alias("net"),
+        F.max((F.col("delta") == 1).cast("int")).alias("has_start"),
+    )
+    sweep = global_cumsum(
+        per_ms,
+        F.floor(F.col("b_ms") / F.lit(86_400_000)).cast("long"),
+        [F.col("b_ms").asc()],
+        F.col("net"),
+        cum_col="conc",
     )
     return (
-        sweep.filter(F.col("delta") == 1)  # sample at session starts
+        sweep.filter(F.col("has_start") == 1)  # sample at session starts
         .groupBy(
             (
                 (F.col("b_ms") / F.lit(_HOUR_MS)).cast("long")
@@ -646,11 +653,15 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom) so bucket boundaries are identical on both engines, and an
     rfm_code = 100r+10f+m summary per user.
 
-    Two aggregates (per-user rollup, 1-row frontier broadcast) and
-    three ntile windows over the |users| relation — the raw event
-    scan happens once. (The unpartitioned ntile windows order a
-    per-user AGGREGATE, not events; past ~10⁸ users switch to the
-    bucketed global-rank operator, operators/rank.py.)
+    Two aggregates (per-user rollup, 1-row frontier broadcast), then
+    each quintile comes from the DISTRIBUTED rank operator
+    (operators/rank.py: range-bucketed local rank + broadcast prefix
+    offsets + exact ntile arithmetic) — no |users|-sized relation ever
+    funnels through one task, unlike a bare ``ntile() OVER (ORDER
+    BY …)``. Buckets: recency by day (corpus-span-bounded histogram),
+    frequency/monetary by floor(log2) (≤64 buckets each), all monotone
+    in their quintile's sort order with exact-tie bucket sharing, so
+    the result is bit-identical to the naive window.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -674,14 +685,36 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_e2").cast("double") / F.lit(100.0)).alias("monetary"),
         F.col("m_e2"),
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
-    wf = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
-    wm = Window.orderBy(F.col("m_e2").asc(), F.col("user_id"))
-    scored = (
-        j.withColumn("r_score", F.ntile(5).over(wr))
-        .withColumn("f_score", F.ntile(5).over(wf))
-        .withColumn("m_score", F.ntile(5).over(wm))
+    from monasca_aggregator_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
     )
+
+    scored = j
+    for score, bucket, order in (
+        (
+            "r_score",
+            (-F.col("recency_days")).cast("long"),
+            [F.col("recency_days").desc(), F.col("user_id").asc()],
+        ),
+        (
+            "f_score",
+            F.floor(F.log2(F.col("frequency").cast("double"))).cast("int"),
+            [F.col("frequency").asc(), F.col("user_id").asc()],
+        ),
+        (
+            "m_score",
+            F.floor(
+                F.log2(F.col("m_e2").cast("double") + F.lit(1.0))
+            ).cast("int"),
+            [F.col("m_e2").asc(), F.col("user_id").asc()],
+        ),
+    ):
+        scored = global_rank(
+            scored, bucket, order, rank_col="_rk", total_col="_tot"
+        ).withColumn(
+            score, ntile_from_rank(F.col("_rk"), F.col("_tot"), 5)
+        ).drop("_rk", "_tot")
     return scored.select(
         "user_id",
         "recency_days",
@@ -819,17 +852,35 @@ def q_events_pareto_deciles(
     handful of power users", and the sampling-bias check before any
     per-user cap.
 
-    ntile over the per-user aggregate with a user_id tiebreak (exact
-    both engines); shares are integer sums divided once, and the
-    cumulative share's numerator is an integer window cumsum over 10
-    rows — no float accumulation anywhere.
+    Deciles come from the distributed rank operator (operators/
+    rank.py: floor(log2) range buckets → per-bucket local rank →
+    broadcast prefix offsets → exact ntile arithmetic), bit-identical
+    to ``ntile(10) OVER (ORDER BY n DESC, user_id)`` with no
+    single-task sort of the |users| relation; shares are integer sums
+    divided once, and the cumulative share's numerator is an integer
+    window cumsum over 10 rows — no float accumulation anywhere.
     """
+    from monasca_aggregator_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("user_id")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
-    dec = per_user.withColumn("decile", F.ntile(10).over(w))
+    # sort is (n DESC, user_id): -floor(log2 n) is monotone
+    # non-decreasing along it and exact-ties share a bucket (≤64)
+    ranked = global_rank(
+        per_user,
+        (-F.floor(F.log2(F.col("n").cast("double")))).cast("int"),
+        [F.col("n").desc(), F.col("user_id").asc()],
+        rank_col="_rk",
+        total_col="_tot",
+    )
+    dec = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_rk"), F.col("_tot"), 10)
+    ).drop("_rk", "_tot")
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").alias("n_events"),
@@ -1062,22 +1113,30 @@ def q_lineitem_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-assigning sibling of `events_pareto_deciles`' share curve.
 
     The class test is cross-multiplied integers (cum·100 ≤ 80·total),
-    never a float share compare; the ranking window orders the
-    per-part AGGREGATE by (revenue DESC, partkey) — a total order, so
-    cumulative sums are identical on both engines.  Output is the
+    never a float share compare; the cumulative revenue over
+    (revenue DESC, partkey) — a total order, identical on both
+    engines — comes from the DISTRIBUTED cumsum operator
+    (operators/rank.global_cumsum: floor(log2) range buckets →
+    per-bucket local cumsum → broadcast prefix offsets), so the
+    |parts| relation never funnels through one task. Output is the
     3-row class rollup.
     """
+    from monasca_aggregator_spark.operators.rank import global_cumsum
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.floor(F.col("l_extendedprice")).cast("long").alias("rev"),
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("a"))
-    w = Window.orderBy(F.col("a").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = per_part.agg(F.sum("a").alias("total"))
-    cum = per_part.withColumn("cum", F.sum("a").over(w)).crossJoin(
-        F.broadcast(tot)
+    cum = global_cumsum(
+        per_part,
+        (-F.floor(F.log2(F.col("a").cast("double") + F.lit(1.0)))).cast(
+            "int"
+        ),
+        [F.col("a").desc(), F.col("l_partkey").asc()],
+        F.col("a"),
+        cum_col="cum",
+        total_col="total",
     )
     cls = F.when(
         F.col("cum") * 100 <= F.col("total") * 80, F.lit("A")

@@ -65,3 +65,34 @@ def test_global_rank_single_bucket_degenerates_gracefully(spark):
     rows = got.select("rk", "t").collect()
     assert sorted(r.rk for r in rows) == list(range(1, 24))
     assert all(r.t == 23 for r in rows)
+
+
+def test_global_cumsum_equals_global_window(spark):
+    """global_cumsum must equal sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) exactly, including the grand total, for descending sort
+    with log2 buckets (the lineitem_abc_class shape)."""
+    from monasca_aggregator_spark.operators.rank import global_cumsum
+
+    df = spark.range(1, 120).select(
+        F.col("id"),
+        ((F.col("id") * 53 % 17) * 10 + 1).cast("long").alias("v"),
+    )
+    got = global_cumsum(
+        df,
+        (-F.floor(F.log2(F.col("v").cast("double") + F.lit(1.0)))).cast(
+            "int"
+        ),
+        [F.col("v").desc(), F.col("id").asc()],
+        F.col("v"),
+        cum_col="cum",
+        total_col="total",
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(got.select("id", "cum").collect()) == sorted(
+        want.select("id", "cum").collect()
+    )
+    tot = df.agg(F.sum("v")).first()[0]
+    assert got.select("total").distinct().collect() == [(tot,)]

@@ -11,6 +11,15 @@ Python:
   semantics genuinely need Python (numpy matmuls, sketch folds,
   greedy re-ranks).  A new Arrow stage appearing anywhere else is a
   performance regression to catch in review, not silently ship.
+- UNPARTITIONED ``Window`` nodes (no PARTITION BY → the whole input
+  funnels through ONE task) are allowed only when the windowed
+  relation is bounded by construction: the distributed-rank bucket
+  histograms (auto-detected by their ``_grk_bucket`` marker) and the
+  queries on ``UNPARTITIONED_WINDOW_ALLOWED``, each justified as a
+  histogram / top-K / per-source-row relation.  An unpartitioned
+  window over anything corpus-proportional is the canonical scale
+  cliff (VERDICT r5 "What's wrong" #1) — this rule keeps that bug
+  class from coming back.
 
 Also counts scans whose parquet Scan node carries no ReadSchema
 pruning (reads every column) — reported, not fatal, because a few
@@ -56,9 +65,9 @@ ARROW_ALLOWED = {
     # exact pair generator as dedup_embedding (one histogram pass
     # over its output)
     "dedup_threshold_sweep",
-    # recall gate: measures lsh/ivf/kmeans/pq AS SHIPPED, and the
-    # kmeans assignment + PQ codebook paths are Arrow by design
-    "ann_recall_report",
+    # (ann_recall_report left this list in r6: it now materializes its
+    # ≤4-row report eagerly so its caches release, so the RETURNED
+    # plan is a local relation — the Arrow work runs inside the build)
     # leave-one-out kNN vote: broadcast eval-sample matmul + per-row
     # top-k/vote in numpy (the JVM all-pairs formulation measured
     # 59-84 s at sf0.1 vs 0.9 s — plans/similarity.py r4 note)
@@ -90,6 +99,126 @@ _PY_ARROW_MARKS = (
     "MapInPandas",
     "AggregateInPandas",
 )
+
+# Queries whose plans legitimately contain an UNPARTITIONED Window
+# node: every entry windows a relation that is bounded by construction
+# (never corpus-proportional), per the justification on its line.
+# The distributed-rank histogram windows (operators/rank.py) are
+# auto-allowed by their _grk_bucket marker and do not appear here.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    # ---- histogram / bucket-table cumsums (≤ #buckets rows) ----
+    "events_pareto_deciles",   # 10-row decile rollup cumulative share
+    "dedup_threshold_sweep",   # 20-bin similarity histogram cumsum
+    "orders_benford",          # 9-row first-digit histogram total
+    "corpus_mannwhitney",      # rank-from-histogram over the bounded
+                               # distinct-e0-length CDF per source
+    "corpus_heaps_law",        # growth curve over ≤64 log2 buckets
+    # ---- per-group aggregates of bounded cardinality ----
+    "sample_budget_mix",       # water-filling over |sources| rows
+    "orders_backlog",          # month-grid backlog (≤ #months rows)
+    "events_cumulative_users", # running total over ≤ #days rows
+    "funnel_window_depth",     # reach cumsum over ≤ 4 depth levels
+    "revenue_share_hierarchy", # share-of-total over |nations| rollup
+    "events_survival_hazard",  # at-risk walk over ≤ #duration-day
+                               # rows (span-bounded aggregate)
+    # ---- documented algorithmic sweeps ----
+    "skyline_docs",            # phase-2 dominance sweep over the
+                               # partition-local Pareto survivors
+                               # (frontier-sized by design; see
+                               # plans/pipeline_ops.q_skyline_docs)
+}
+
+
+def _bracket_group_list(s: str) -> list[str]:
+    """Top-level [...] groups in a formatted-plan Arguments line."""
+    depth = 0
+    groups: list[str] = []
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _group_limited(plan: str, node_id: int) -> bool:
+    """True when the Window node's input is bounded by construction:
+    walking the single-child chain beneath it (through pass-through
+    Sort/Exchange/Project/Filter nodes) reaches a WindowGroupLimit
+    (Spark's rank-filter pushdown — every partition pre-limited to k
+    rows) or a TakeOrderedAndProject (distributed top-k), so the
+    single-task window sees ≤ k·#partitions rows — not a scale
+    cliff."""
+    import re
+
+    _PASS = {"Sort", "Exchange", "Project", "Filter"}
+    _BOUNDED = {"WindowGroupLimit", "TakeOrderedAndProject"}
+    lines = plan.splitlines()
+    pat = re.compile(rf"\bWindow \({node_id}\)\s*$")
+    for i, line in enumerate(lines):
+        if not pat.search(line):
+            continue
+        for child in lines[i + 1:]:
+            if not child.strip() or child.startswith("("):
+                return False
+            name = re.sub(r"\s*\(\d+\)\s*$", "", child.lstrip(" +-:"))
+            name = name.strip()
+            if name in _BOUNDED:
+                return True
+            if name not in _PASS:
+                return False
+        return False
+    return False
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments lines of Window nodes whose spec has NO partition
+    columns AND whose input is not already bounded.
+
+    A Window node prints up to three top-level bracket groups:
+    [exprs], [partitionSpec], [orderSpec] — partition-only and
+    order-only specs both print two, so the order group is told apart
+    by its ASC/DESC markers. Excluded as bounded-by-construction:
+    windows carrying the operators/rank.py marker columns (bucket
+    histograms, ≤ #buckets rows) and windows whose subtree has a
+    WindowGroupLimit (rank-filter pushdown caps each partition at k
+    rows before the final merge)."""
+    import re
+
+    out: list[str] = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.fullmatch(r"\((\d+)\) Window", line.strip())
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if not lines[j].startswith("Arguments: "):
+                continue
+            args = lines[j]
+            if "_grk_" in args or "_gcs_" in args:
+                break  # distributed rank/cumsum histogram — bounded
+            groups = _bracket_group_list(args[len("Arguments: "):])
+            if len(groups) >= 3:
+                break  # explicit partition spec
+            if len(groups) == 2 and not re.search(
+                r" (ASC|DESC) ", groups[1]
+            ):
+                break  # partition-only spec (no ORDER BY)
+            if _group_limited(plan, int(m.group(1))):
+                break
+            out.append(args)
+            break
+    return out
 
 
 def audit(sf_dir: str, names=None) -> list[str]:
@@ -124,6 +253,17 @@ def audit(sf_dir: str, names=None) -> list[str]:
             # should be removed so the fence stays tight
             problems.append(
                 f"{name}: on ARROW_ALLOWED but plan has no Arrow stage"
+            )
+        unpart = unpartitioned_windows(plan)
+        if unpart and name not in UNPARTITIONED_WINDOW_ALLOWED:
+            problems.append(
+                f"{name}: unpartitioned Window over a non-histogram "
+                f"relation (single-task sort at scale): {unpart[0][:160]}"
+            )
+        elif not unpart and name in UNPARTITIONED_WINDOW_ALLOWED:
+            problems.append(
+                f"{name}: on UNPARTITIONED_WINDOW_ALLOWED but plan has "
+                "no unpartitioned Window (remove to keep the fence tight)"
             )
         if "ReadSchema" in plan and "ReadSchema: struct<>" in plan:
             unpruned.append(name)
