@@ -1865,18 +1865,32 @@ def q_metric_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(cum_w).alias("cum"),
         F.sum("cnt").over(all_w).alias("n"),
     )
-    edges = None
-    for k in range(1, _PSI_BUCKETS):
-        need = ((F.lit(k) * F.col("n") + F.lit(_PSI_BUCKETS - 1)) / F.lit(
-            _PSI_BUCKETS
-        )).cast("long")
-        e_k = (
-            cum.filter(F.col("cum") >= need)
-            .groupBy("event_type")
-            .agg(F.min("e2").alias("edge"))
-            .select("event_type", F.lit(k).alias("k"), "edge")
-        )
-        edges = e_k if edges is None else edges.unionByName(e_k)
+    # all 9 decile edges in ONE aggregate pass over the cumulative
+    # histogram (9 conditional mins), then a stack() unpivot — the
+    # per-edge filter+groupBy loop this replaces launched 9 sub-jobs
+    def _need(k: int):
+        return (
+            (F.lit(k) * F.col("n") + F.lit(_PSI_BUCKETS - 1))
+            / F.lit(_PSI_BUCKETS)
+        ).cast("long")
+
+    edges_wide = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= _need(k), F.col("e2"))
+            ).alias(f"_e{k}")
+            for k in range(1, _PSI_BUCKETS)
+        ]
+    )
+    stack = ", ".join(
+        f"{k}, _e{k}" for k in range(1, _PSI_BUCKETS)
+    )
+    edges = edges_wide.select(
+        "event_type",
+        F.expr(
+            f"stack({_PSI_BUCKETS - 1}, {stack}) AS (k, edge)"
+        ),
+    )
     # bucket of a histogram cell = number of edges strictly below it
     bucketed = (
         hist.join(F.broadcast(edges), "event_type")

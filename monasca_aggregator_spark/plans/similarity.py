@@ -849,7 +849,9 @@ GROUP BY v.label
 # --------------------------- TwoNN intrinsic-dimension estimation
 
 
-def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_intrinsic_dim(
+    spark: SparkSession, sf_dir: str, *, sample_every: int = 1
+) -> DataFrame:
     """INTRINSIC dimension of the embedding space via TwoNN (Facco et
     al., Scientific Reports 2017): using only each point's two nearest
     neighbors, ID = n / Σ ln(r₂/r₁) — the representation diagnostic
@@ -864,12 +866,26 @@ def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-duplicate points (d₁ = 0, ratio undefined) are dropped and
     counted — standard TwoNN practice.
 
-    Scale: brute-force all-pairs here (the exact oracle shape); at
-    corpus scale the identical estimator runs on a hash-sample — ID
-    is a distribution property, thousands of points suffice."""
+    Scale: ``sample_every`` IS the wired 100 TB path — keep 1-in-N
+    vectors by the deterministic two-step multiplicative id hash (the
+    ``decontaminate_embedding`` selection, SQL-reproducible,
+    rerun-stable), then run the identical estimator on the sample: ID
+    is a distribution property, thousands of points suffice (TwoNN's
+    own experiments use O(10³)). The registered query keeps the
+    default 1 (full corpus = the exact oracle shape at test SF);
+    sample-vs-full agreement is pinned in tests/test_similarity.py."""
     from monasca_aggregator_spark.functions.vectors import dist2_fixed
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    if sample_every > 1:
+        emb = emb.filter(
+            F.pmod(
+                F.pmod(F.col("vec_id"), F.lit(_DC_MOD)) * F.lit(_DC_MULT),
+                F.lit(_DC_MOD),
+            )
+            % F.lit(sample_every)
+            == 0
+        )
     a = emb.select("vec_id", as_double(F.col("embedding")).alias("va"))
     b = emb.select(
         F.col("vec_id").alias("nb_id"),
