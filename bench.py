@@ -240,6 +240,12 @@ BENCH_QUERIES = [
     "text_burstiness",
     "sessions_top_paths",
     "lineitem_return_rate",
+    # r6 additions
+    "sample_consistent_k_group",
+    "corpus_ngram_coverage",
+    "embedding_quantize_error",
+    "dedup_minhash_estimate",
+    "graph_pagerank_exact",
 ]
 
 
@@ -341,7 +347,23 @@ def main() -> None:
             "corpus_ks_by_source", "events_dup_rate",
             "ann_recall_report", "graph_kcore_ann",
         ]
+        # Expected-ratio model at ×8 (VERDICT r5 stretch): a soak gate,
+        # not a trend log. Default bound 6.0 = every r5-measured ratio
+        # (≤4.74) with ~25% headroom for host noise; named exceptions
+        # carry their own cost model. A measured ratio above its bound
+        # means a plan went super-linear — it lands in soak_exceeded on
+        # the compact stdout line and as a VIOLATION on stderr, so the
+        # regression fails loudly instead of drifting.
+        SOAK_RATIO_DEFAULT = 6.0
+        SOAK_RATIO_EXPECTED = {
+            # replicas carry IDENTICAL texts: near-dup cluster sizes
+            # grow ×N, verified pair OUTPUT grows ~Σcluster² — the
+            # ratio tracks true pair work, not corpus size (measured
+            # 10.59 at r5; bound = model + host headroom)
+            "dedup_minhash": 14.0,
+        }
         soak: dict[str, dict[str, float]] = {}
+        soak_exceeded: list[str] = []
         for name in soak_queries:
             spark.catalog.clearCache()
             try:
@@ -355,6 +377,17 @@ def main() -> None:
             entry = {"xN_sec": round(xn, 3)}
             if base:
                 entry["ratio"] = round(xn / base, 2)
+                entry["expected_max"] = SOAK_RATIO_EXPECTED.get(
+                    name, SOAK_RATIO_DEFAULT
+                )
+                if entry["ratio"] > entry["expected_max"]:
+                    soak_exceeded.append(name)
+                    print(
+                        f"# VIOLATION soak {name}: ratio "
+                        f"{entry['ratio']} > expected "
+                        f"{entry['expected_max']} (super-linear plan?)",
+                        file=sys.stderr,
+                    )
             soak[name] = entry
             print(
                 f"# soak x{soak_factor} {name}: {xn:.2f}s"
@@ -366,6 +399,7 @@ def main() -> None:
         out["soak_worst_ratio"] = max(
             (q.get("ratio", 0.0) for q in soak.values()), default=None
         )
+        out["soak_exceeded"] = soak_exceeded
 
     # full payload (every timing + soak detail) to a file and stderr —
     # never on stdout, whose final line must stay small enough for the

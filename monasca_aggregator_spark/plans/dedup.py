@@ -76,6 +76,109 @@ SELECT id_a, id_b, jaccard FROM pairs
 """.strip()
 
 
+_MH_EST_H = 16  # signature length for the oracle-backed estimator
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED MinHash: for every exact near-dup pair (the
+    trigram-Jaccard generator at the production threshold), the
+    16-permutation MinHash signature AGREEMENT fraction beside the
+    exact Jaccard it estimates — E[matches/H] = J is the identity the
+    whole MinHash/LSH stack rests on, and this pins the signature
+    arithmetic itself against SQL (the production `dedup_minhash` uses
+    xxhash64 permutations, which no oracle engine reproduces — this
+    twin swaps in md5-derived 32-bit permutations, exactly the
+    `dedup_semantic_cells` / `ann_ivf_cells` oracle-twin pattern).
+
+    Per-permutation hash: h_j(s) = first-8-hex-chars of md5("j:" || s)
+    as a BIGINT; the signature is 16 column-wise MIN aggregates riding
+    the same (doc, shingle) explosion the pair generator already
+    shuffles — no extra pass over the corpus. Pairs join two
+    signature rows; the match count is a codegen sum of 16 equality
+    flags. Output: (id_a, id_b, jaccard, matches, jaccard_est,
+    abs_err), err bounded in tests (σ = √(J(1−J)/16) ≈ 0.12)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{j}")
+            for j in range(1, _MH_EST_H + 1)
+        ]
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, _MH_EST_H + 1)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(1, _MH_EST_H + 1)],
+    )
+    matches = (F.col("a1") == F.col("b1")).cast("long")
+    for j in range(2, _MH_EST_H + 1):
+        matches = matches + (
+            F.col(f"a{j}") == F.col(f"b{j}")
+        ).cast("long")
+    est = stable_round(
+        matches.cast("double") / F.lit(float(_MH_EST_H)), 4
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            matches.alias("matches"),
+            est.alias("jaccard_est"),
+            stable_round(F.abs(est - F.col("jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+ORACLE_MINHASH_ESTIMATE = f"""
+WITH {_NGRAM_CTES},
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(1, {_MH_EST_H + 1}), j ->
+           list_min(list_transform(shingles, s ->
+             CAST('0x' || substr(md5(j || ':' || s), 1, 8) AS BIGINT))))
+           AS sig
+  FROM sh
+),
+m AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         len(list_filter(range(1, {_MH_EST_H + 1}),
+                         j -> sa.sig[j] = sb.sig[j])) AS matches
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard, CAST(matches AS BIGINT) AS matches,
+       floor(matches / {float(_MH_EST_H)} * 10000.0::DOUBLE
+             + 0.5::DOUBLE) / 10000.0::DOUBLE AS jaccard_est,
+       floor(abs(floor(matches / {float(_MH_EST_H)}
+                       * 10000.0::DOUBLE + 0.5::DOUBLE)
+                 / 10000.0::DOUBLE - jaccard)
+             * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+         AS abs_err
+FROM m
+""".strip()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: even doc_ids are the indexed
     corpus, odd doc_ids the incoming batch; report per-source incoming
@@ -436,6 +539,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings", fan_out=True),
         threshold=EMB_THRESHOLD,
     )
+
+
+_PR_EXACT_ITER = 5
+
+
+def q_graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED PageRank: the e12 exact-integer power iteration
+    (operators/graph.pagerank_pairs) over the exact trigram-Jaccard
+    pair graph, pinned against a DuckDB RECURSIVE-CTE replay of the
+    IDENTICAL integer recurrence — the first iterative graph operator
+    with a full rows+schema+hash oracle (pagerank/kcore on the ANN
+    candidate graph stay rows-only because LSH/IVF recall < 1 is not
+    SQL-reproducible; the RECURRENCE itself now is). Every rank is a
+    BIGINT trajectory of floor divisions — join order, partitioning,
+    and engine cannot change a single bit, which is exactly what makes
+    a recursive SQL oracle possible where float PageRank would drift.
+
+    Scale: the Spark side is one keyed join + one partial-aggregated
+    groupBy per iteration on the cached edge relation (the
+    pagerank_pairs contract); the oracle's recursive CTE is the same
+    dataflow in SQL."""
+    from monasca_aggregator_spark.operators.graph import pagerank_pairs
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    return pagerank_pairs(pairs, n_iter=_PR_EXACT_ITER).select(
+        "id", "rank_e12"
+    )
+
+
+ORACLE_PAGERANK_EXACT = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+meta AS (SELECT count(*) AS n FROM deg),
+pr(iter, id, r) AS (
+  SELECT 0, src, CAST(1000000000000 // n AS BIGINT)
+  FROM deg CROSS JOIN meta
+  UNION ALL
+  SELECT pr.iter + 1, e.dst,
+         CAST((15 * 1000000000000 // (100 * m.n))
+              + (85 * sum(pr.r // d.deg)) // 100 AS BIGINT)
+  FROM pr
+  JOIN edges e ON e.src = pr.id
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN meta m
+  WHERE pr.iter < {_PR_EXACT_ITER}
+  GROUP BY e.dst, pr.iter, m.n
+)
+SELECT id, r AS rank_e12 FROM pr WHERE iter = {_PR_EXACT_ITER}
+""".strip()
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,6 +1009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "graph_pagerank_exact": q_graph_pagerank_exact,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_near": q_dedup_incremental_near,  # rows-only (LSH recall < 1)
@@ -872,6 +1032,8 @@ ORACLES: dict[str, str] = {
     "dedup_span_rewrite": ORACLE_SPAN_REWRITE,
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
+    "dedup_minhash_estimate": ORACLE_MINHASH_ESTIMATE,
+    "graph_pagerank_exact": ORACLE_PAGERANK_EXACT,
     "dedup_jaccard_prefix": ORACLE_NGRAM,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_embedding": ORACLE_EMBEDDING,

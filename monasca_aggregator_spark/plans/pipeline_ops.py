@@ -27,7 +27,7 @@ from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
 )
-from monasca_aggregator_spark.functions.text import tokens
+from monasca_aggregator_spark.functions.text import tokens, word_shingles
 from monasca_aggregator_spark.operators.textops import quality_scores
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
 from monasca_aggregator_spark.sources.tables import load_table
@@ -303,6 +303,139 @@ SELECT doc_id, source, lang,
 FROM documents
 ORDER BY priority, doc_id
 LIMIT {SAMPLE_K}
+""".strip()
+
+
+GROUP_SAMPLE_K = 20
+
+
+def q_sample_consistent_k_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE consistent exact-k sample — the stratified sibling of
+    ``sample_consistent_k``: every source contributes its k
+    smallest-priority docs, so per-source eval panels stay stable as
+    the corpus grows (new docs only displace, never reshuffle,
+    survivors WITHIN their own source; other sources are untouched —
+    the per-group analogue of min-wise consistency).
+
+    Plan shape: one shuffle on source, a PARTITIONED row_number (every
+    group ranks in parallel — no single-task window), filter rank ≤ k.
+    Spark's rank-filter pushdown (WindowGroupLimit) pre-limits each
+    partition to k rows per group before the final rank, so skewed
+    sources cost their k survivors, not their row count. Priority is
+    the same two-step multiplicative hash as sample_consistent_k
+    (SQL-reproducible; production would use xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_PRIORITY_MOD)) * F.lit(_PRIORITY_MULT),
+        F.lit(_PRIORITY_MOD),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        docs.select("doc_id", "source", "lang", pri.alias("priority"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= GROUP_SAMPLE_K)
+    )
+
+
+ORACLE_CONSISTENT_K_GROUP = f"""
+WITH p AS (
+  SELECT doc_id, source, lang,
+         (doc_id % {_PRIORITY_MOD}) * {_PRIORITY_MULT}
+           % {_PRIORITY_MOD} AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY priority, doc_id) AS sample_rank
+  FROM p
+)
+SELECT doc_id, source, lang, priority,
+       CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= {GROUP_SAMPLE_K}
+""".strip()
+
+
+def q_corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-LEAKAGE / coverage audit: for each held-out split (val,
+    test), what fraction of its distinct token trigrams also occurs in
+    the train split — high coverage on natural text is expected
+    (shared common phrases), but a coverage spike after a split-policy
+    change, or coverage ≈ 1.0 with long shingles, is the smoking gun
+    for leaked near-duplicates across the split boundary (the
+    split-level counterpart of ``text_decontaminate``'s per-doc
+    benchmark containment).
+
+    Plan shape: one corpus scan explodes per-doc DISTINCT trigrams
+    tagged with the deterministic split (same doc_id%100 policy as
+    ``split_train_val``), collapses to distinct (split, shingle) pairs
+    (one shuffle on the shingle — the same key the dedup family
+    shuffles on), then a self semi-join per eval split against the
+    train shingle set. Counts are per-split aggregates; nothing wider
+    than (split, shingle) ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    split = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(100)) < 80, F.lit("train"))
+        .when(F.pmod(F.col("doc_id"), F.lit(100)) < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = docs.select(
+        split.alias("split"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    train = sh.filter(F.col("split") == "train").select("s")
+    ev = sh.filter(F.col("split") != "train")
+    tot = ev.groupBy("split").agg(F.count(F.lit(1)).alias("n_shingles"))
+    cov = (
+        ev.join(train, "s", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        tot.join(cov, "split", "left")
+        .select(
+            "split",
+            "n_shingles",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            stable_round(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_NGRAM_COVERAGE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 < 80 THEN 'train'
+              WHEN doc_id % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT split, unnest(
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ) AS s
+  FROM toks WHERE len(t) >= 3
+),
+train AS (SELECT s FROM sh WHERE split = 'train'),
+ev AS (SELECT * FROM sh WHERE split <> 'train'),
+tot AS (SELECT split, count(*) AS n_shingles FROM ev GROUP BY 1),
+cov AS (
+  SELECT split, count(*) AS n_covered
+  FROM ev SEMI JOIN train USING (s) GROUP BY 1
+)
+SELECT tot.split, tot.n_shingles,
+       coalesce(cov.n_covered, 0) AS n_covered,
+       {sql_stable_round(
+           "coalesce(cov.n_covered, 0)::DOUBLE"
+           " / tot.n_shingles::DOUBLE", 6)} AS coverage
+FROM tot LEFT JOIN cov USING (split)
 """.strip()
 
 
@@ -1136,6 +1269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_group_aware": q_split_group_aware,
     "sample_quota_source": q_sample_quota_source,
     "sample_consistent_k": q_sample_consistent_k,
+    "sample_consistent_k_group": q_sample_consistent_k_group,
+    "corpus_ngram_coverage": q_corpus_ngram_coverage,
     "sample_temperature": q_sample_temperature,
     "sample_stratified": q_sample_stratified,
     "profile_documents": q_profile_documents,
@@ -1162,6 +1297,8 @@ ORACLES: dict[str, str] = {
     "split_group_aware": ORACLE_SPLIT_GROUP,
     "sample_quota_source": ORACLE_QUOTA,
     "sample_consistent_k": ORACLE_CONSISTENT_K,
+    "sample_consistent_k_group": ORACLE_CONSISTENT_K_GROUP,
+    "corpus_ngram_coverage": ORACLE_NGRAM_COVERAGE,
     "sample_temperature": ORACLE_TEMPERATURE,
     "sample_stratified": ORACLE_STRATIFIED,
     "profile_documents": ORACLE_PROFILE,

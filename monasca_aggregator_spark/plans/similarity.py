@@ -20,6 +20,7 @@ from monasca_aggregator_spark.functions.rounding import (
 from monasca_aggregator_spark.functions.vectors import (
     as_double,
     cosine_fixed,
+    dist2_fixed,
     dot_fixed,
     norm_fixed,
 )
@@ -330,6 +331,112 @@ SELECT vec_id,
        floor(max(abs(x - (code * s + m))) * 1000000.0::DOUBLE + 0.5::DOUBLE)
          / 1000000.0::DOUBLE AS max_abs_err
 FROM qe GROUP BY vec_id
+""".strip()
+
+
+def q_embedding_quantize_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Int8 quantization DISTORTION gate per label: mean squared
+    reconstruction error and (the number an ANN deployment actually
+    cares about) the mean and worst COSINE between each original
+    vector and its dequantized reconstruction — read before switching
+    a vector store to int8 codes (`embedding_quantize` pins the codes;
+    this reports what the compression does to the geometry, per class
+    so a collapsed label can't hide in the corpus mean).
+
+    Exactness: per-vector squared error and cosine are the unrolled
+    left-fold doubles of the `ann_cosine_topk` convention (identical
+    IEEE order as DuckDB's list_dot_product), e6-fixed per vector
+    BEFORE the order-free integer sums. Plan shape: the 2·d scale
+    summary broadcasts back (operators/quantize.py), quant/dequant and
+    both folds run in whole-stage codegen, one groupBy(label) —
+    |labels| output rows, nothing wider than the label aggregate
+    shuffles."""
+    from monasca_aggregator_spark.operators.quantize import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = quantize_int8(emb, _DIM)
+    v = as_double(F.col("embedding"))
+    dq = F.col("dequant")
+    se6 = F.floor(
+        dist2_fixed(v, dq, _DIM) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    cos6 = F.floor(
+        (
+            dot_fixed(v, dq, _DIM)
+            / (norm_fixed(v, _DIM) * norm_fixed(dq, _DIM))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    g = q.select(
+        "label", se6.alias("se6"), cos6.alias("cos6")
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("se6").alias("sse6"),
+        F.sum("cos6").alias("scos6"),
+        F.min("cos6").alias("worst6"),
+    )
+    return g.select(
+        "label",
+        "n_vecs",
+        stable_round(
+            F.col("sse6").cast("double")
+            / F.lit(1e6)
+            / (F.col("n_vecs") * F.lit(_DIM)).cast("double"),
+            9,
+        ).alias("mse"),
+        stable_round(
+            F.col("scos6").cast("double")
+            / F.lit(1e6)
+            / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("mean_cos"),
+        (F.col("worst6").cast("double") / F.lit(1e6)).alias("worst_cos"),
+    )
+
+
+ORACLE_QUANTIZE_ERROR = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), u AS (
+  SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM v
+), sc AS (
+  SELECT pos, min(x) AS m, (max(x) - min(x)) / 255.0::DOUBLE AS s
+  FROM u GROUP BY pos
+), scales AS (
+  SELECT list(m ORDER BY pos) AS ms, list(s ORDER BY pos) AS ss FROM sc
+), r AS (
+  SELECT vec_id, label, e,
+         list_transform(range(1, len(e) + 1), i ->
+           CASE WHEN ss[i] = 0.0 THEN ms[i]
+                ELSE greatest(0.0::DOUBLE, least(255.0::DOUBLE,
+                       floor((e[i] - ms[i]) / ss[i] + 0.5::DOUBLE)))
+                     * ss[i] + ms[i]
+           END) AS dq
+  FROM v CROSS JOIN scales
+), pv AS (
+  SELECT label,
+         CAST(floor(list_dot_product(
+                list_transform(range(1, len(e) + 1), i -> e[i] - dq[i]),
+                list_transform(range(1, len(e) + 1), i -> e[i] - dq[i]))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS se6,
+         CAST(floor(list_dot_product(e, dq)
+                / (sqrt(list_dot_product(e, e))
+                   * sqrt(list_dot_product(dq, dq)))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cos6
+  FROM r
+)
+SELECT label, count(*) AS n_vecs,
+       {sql_stable_round(
+           "CAST(sum(se6) AS DOUBLE) / 1e6"
+           f" / (count(*) * {_DIM})::DOUBLE", 9)} AS mse,
+       {sql_stable_round(
+           "CAST(sum(cos6) AS DOUBLE) / 1e6 / count(*)::DOUBLE", 6)}
+         AS mean_cos,
+       CAST(min(cos6) AS DOUBLE) / 1e6 AS worst_cos
+FROM pv GROUP BY label
 """.strip()
 
 
@@ -1353,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_affinity": q_embedding_centroid_affinity,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
+    "embedding_quantize_error": q_embedding_quantize_error,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
     "ann_ivf_cells": q_ann_ivf_cells,
@@ -1376,4 +1484,5 @@ ORACLES: dict[str, str] = {
     "ann_filtered": ORACLE_ANN_FILTERED,
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,
     "embedding_quantize": ORACLE_QUANTIZE,
+    "embedding_quantize_error": ORACLE_QUANTIZE_ERROR,
 }

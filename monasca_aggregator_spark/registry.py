@@ -113,9 +113,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "sessions_capped", "corpus_ks_by_source", "lang_source_chi2",
 #     "embedding_knn_accuracy", "events_attribution_ushape",
 #     "supplier_scorecard", "nation_trade_matrix",
-#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
-#     "tpch_q13_histogram", "tpch_q15_topsupp",
+#     "sample_consistent_k_group", "corpus_ngram_coverage",
+#     "embedding_quantize_error", "dedup_minhash_estimate",
+#     "graph_pagerank_exact",
 # )
+# (The 5 r1-green tail re-confirmations tpch_q9_profit/q10/q11/q13/q15
+# were displaced by the 5 oracle keys ADDED in r6 — the rotation
+# invariant: new oracle keys enter the newest staged window so every
+# key has a driver row by the end of R7.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,

@@ -575,3 +575,22 @@ def test_lsh_calibration_theory_and_recall(spark, sf_small):
         tot = sum(r.n_pairs for r in hi)
         hit = sum(r.n_collided for r in hi)
         assert hit / tot >= 0.9
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
+    """E[matches/H] = J: with H=16 permutations the estimator's error
+    on every exact near-dup pair stays within 5σ of the binomial bound
+    (σ = sqrt(J(1-J)/16) ≤ 0.125) and the mean error is well inside
+    1.5σ — a broken permutation hash fails both instantly."""
+    from monasca_aggregator_spark.plans.dedup import (
+        q_dedup_minhash_estimate,
+    )
+
+    rows = q_dedup_minhash_estimate(spark, sf_small).collect()
+    assert rows, "expected near-dup pairs at sf0.001"
+    errs = [r.abs_err for r in rows]
+    assert all(e <= 0.45 for e in errs), max(errs)
+    assert sum(errs) / len(errs) < 0.19, sum(errs) / len(errs)
+    for r in rows:
+        assert 0 <= r.matches <= 16
+        assert abs(r.jaccard_est - r.matches / 16.0) < 1e-9

@@ -161,3 +161,31 @@ def test_ann_pairs_are_contained_in_exact_pairs(spark, sf_small):
         ).collect()
     }
     assert core_cand <= core_exact
+
+
+def test_pagerank_exact_query_matches_local_reference(spark, sf_small):
+    """graph_pagerank_exact must replay the identical e12 integer
+    recurrence as the driver-side reference on the same trigram pair
+    graph — the property that makes its recursive-CTE oracle possible."""
+    from monasca_aggregator_spark.operators import dedup as D
+    from monasca_aggregator_spark.operators.graph import pagerank_local
+    from monasca_aggregator_spark.plans.dedup import (
+        _PR_EXACT_ITER,
+        THRESHOLD,
+        q_graph_pagerank_exact,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents", fan_out=True)
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    want = pagerank_local(pairs, n_iter=_PR_EXACT_ITER)
+    got = {
+        r.id: r.rank_e12
+        for r in q_graph_pagerank_exact(spark, sf_small).collect()
+    }
+    assert got == want

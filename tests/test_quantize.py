@@ -72,3 +72,19 @@ def test_checksum_pins_codes_deterministically(spark):
     b = {r.vec_id: r.code_checksum
          for r in quantization_report(emb, DIM).collect()}
     assert a == b and len(a) == 500
+
+
+def test_quantize_error_report_bounds(spark, sf_small):
+    """Int8 scalar quantization of 64-dim embeddings is near-lossless:
+    per-label mean cosine vs the reconstruction stays ≈ 1, worst ≤
+    mean, and MSE is tiny but positive (codes are clamped/rounded)."""
+    from monasca_aggregator_spark.plans.similarity import (
+        q_embedding_quantize_error,
+    )
+
+    rows = q_embedding_quantize_error(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.mse >= 0.0
+        assert r.worst_cos <= r.mean_cos <= 1.0 + 1e-9
+        assert r.mean_cos > 0.999, r  # 8-bit on 64 dims: ~1e-5 distortion

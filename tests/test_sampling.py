@@ -498,3 +498,49 @@ def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
     # ranking is importance-desc: all target-vocab docs first
     first_block = [r.doc_id for r in out[: len(out) - 8]]
     assert 99 in first_block and 10 not in first_block
+
+
+def test_consistent_k_group_exact_k_per_source(spark, sf_small):
+    """Every source contributes min(k, |source|) survivors, ranks are
+    contiguous from 1, and the survivors are exactly the k smallest
+    (priority, doc_id) keys of their own source — per-group min-wise
+    consistency."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        GROUP_SAMPLE_K,
+        _PRIORITY_MOD,
+        _PRIORITY_MULT,
+        q_sample_consistent_k_group,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_sample_consistent_k_group(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    by_src = {}
+    for d in docs:
+        pri = (d.doc_id % _PRIORITY_MOD) * _PRIORITY_MULT % _PRIORITY_MOD
+        by_src.setdefault(d.source, []).append((pri, d.doc_id))
+    got = {}
+    for r in rows:
+        got.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    for src, members in by_src.items():
+        want = [d for _, d in sorted(members)[:GROUP_SAMPLE_K]]
+        g = [d for _, d in sorted(got.get(src, []))]
+        assert g == want, src
+        ranks = sorted(rk for rk, _ in got[src])
+        assert ranks == list(range(1, len(want) + 1))
+
+
+def test_ngram_coverage_bounds(spark, sf_small):
+    """Coverage is a fraction in [0, 1] and both held-out splits
+    report; counts are consistent (covered ≤ total)."""
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_corpus_ngram_coverage,
+    )
+
+    rows = {r.split: r for r in q_corpus_ngram_coverage(spark, sf_small).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_covered <= r.n_shingles
+        assert 0.0 <= r.coverage <= 1.0
