@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "embedding_quantize_error",
     "dedup_minhash_estimate",
     "graph_pagerank_exact",
+    "embedding_centroid_accuracy",
 ]
 
 

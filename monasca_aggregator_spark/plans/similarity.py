@@ -334,6 +334,149 @@ FROM qe GROUP BY vec_id
 """.strip()
 
 
+def q_embedding_centroid_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-CENTROID classification eval per label — the cheapest
+    representation probe there is (one prototype per class, Rocchio
+    1971 line): every vector is assigned to the class centroid with
+    the highest cosine, and per-label accuracy says which classes a
+    prototype model separates (reads beside `embedding_knn_accuracy`:
+    k-NN measures local neighborhood quality, this measures global
+    class geometry — a class can pass one and fail the other).
+
+    Exactness: centroid components are the e6 exact-integer means of
+    `embedding_centroids` (floor(s/n + 0.5) on exact sums); each
+    vector's components e6-fix once, so every dot/norm is an exact
+    BIGINT (< 2⁵³, double-exact for the one final division) and the
+    e6-rounded cosine ties break by label ascending — both engines
+    replay the identical total order.
+
+    Plan shape: the |labels|×d centroid table collects to the driver
+    (bounded summary — the codebook/centroid collect class) and the
+    L per-label dots run as UNROLLED codegen integer expressions with
+    centroid components as literals: ONE corpus scan, no row
+    explosion, no join, argmax via array_min over (−cos, label)
+    structs. At 100 TB the same plan holds — L·d literals is compile
+    -time state, the scan is the only data motion."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    v_e6 = F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    cent_rows = (
+        flat.select("label", "dim", v_e6.alias("v_e6"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(
+                F.col("s").cast("double") / F.col("n") + F.lit(0.5)
+            ).cast("long").alias("m"),
+        )
+        .collect()
+    )
+    cents: dict[str, list[int]] = {}
+    for r in cent_rows:
+        cents.setdefault(r.label, [0] * _DIM)[r.dim] = r.m
+    xe = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    scored = emb.select(
+        "label", xe.alias("xe")
+    )
+    nx = F.element_at(F.col("xe"), 1) * F.element_at(F.col("xe"), 1)
+    for i in range(2, _DIM + 1):
+        nx = nx + F.element_at(F.col("xe"), i) * F.element_at(
+            F.col("xe"), i
+        )
+    cands = []
+    for lbl in sorted(cents):
+        m = cents[lbl]
+        dot = F.element_at(F.col("xe"), 1) * F.lit(m[0])
+        for i in range(2, _DIM + 1):
+            dot = dot + F.element_at(F.col("xe"), i) * F.lit(m[i - 1])
+        nc = sum(c * c for c in m)
+        cos6 = F.floor(
+            dot.cast("double")
+            / (F.sqrt(nx.cast("double")) * F.lit(float(nc) ** 0.5))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        cands.append(F.struct((-cos6).alias("nc6"), F.lit(lbl).alias("l")))
+    best = F.array_min(F.array(*cands))
+    pred = scored.select(
+        "label", best.getField("l").alias("predicted")
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("predicted") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            stable_round(
+                F.col("n_correct").cast("double")
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_CENTROID_ACCURACY = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), xe AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+           AS xe
+  FROM v
+), flat AS (
+  SELECT label, unnest(range(1, len(xe) + 1)) AS dim, unnest(xe) AS x6
+  FROM xe
+), cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(x6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS m
+  FROM flat GROUP BY 1, 2
+), cl AS (
+  SELECT label AS cand, list(m ORDER BY dim) AS mv FROM cent GROUP BY 1
+), scored AS (
+  SELECT x.vec_id, x.label, c.cand,
+         CAST(floor(list_dot_product(x.xe, c.mv)
+                / (sqrt(list_dot_product(x.xe, x.xe))
+                   * sqrt(list_dot_product(c.mv, c.mv)))
+                * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cos6
+  FROM xe x CROSS JOIN cl c
+), pred AS (
+  SELECT vec_id, label, cand AS predicted
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos6 DESC, cand ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       {sql_stable_round(
+           "sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)::DOUBLE"
+           " / count(*)::DOUBLE", 6)} AS accuracy
+FROM pred GROUP BY label
+""".strip()
+
+
 def q_embedding_quantize_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1461,6 +1604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
+    "embedding_centroid_accuracy": q_embedding_centroid_accuracy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
     "ann_ivf_cells": q_ann_ivf_cells,
@@ -1485,4 +1629,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,
     "embedding_quantize": ORACLE_QUANTIZE,
     "embedding_quantize_error": ORACLE_QUANTIZE_ERROR,
+    "embedding_centroid_accuracy": ORACLE_CENTROID_ACCURACY,
 }

@@ -118,9 +118,33 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "graph_pagerank_exact",
 # )
 # (The 5 r1-green tail re-confirmations tpch_q9_profit/q10/q11/q13/q15
-# were displaced by the 5 oracle keys ADDED in r6 — the rotation
+# were displaced by the first 5 oracle keys ADDED in r6 — the rotation
 # invariant: new oracle keys enter the newest staged window so every
 # key has a driver row by the end of R7.)
+# Round-8 rotation (staged): r6 oracle keys that no longer fit R7
+# (it holds the 45 keys still missing any driver row + the first 5 r6
+# additions), then the 5 tpch re-confirmations R7 displaced, then the
+# oldest re-confirmations (r5-window keys — 3 rounds old by r8).
+# _DRIVER_WINDOW_R8: tuple[str, ...] = (
+#     "embedding_centroid_accuracy",
+#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
+#     "tpch_q13_histogram", "tpch_q15_topsupp",
+#     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
+#     "lang_confusion", "series_shape_search", "text_search_fuzzy",
+#     "text_stem_vocab", "corpus_zipf_alpha", "tpch_q12_latecount",
+#     "sample_stratified", "sample_temperature", "profile_documents",
+#     "split_train_val", "pack_chunks", "pack_chunks_overlap",
+#     "dedup_exact", "dedup_spans", "dedup_editdistance",
+#     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
+#     "dedup_canonical", "text_tfidf", "text_bigram_pmi",
+#     "text_search_conjunctive", "text_langid", "quality_deciles",
+#     "text_decontaminate", "text_unigram_logprob", "text_tokens",
+#     "text_quality", "text_fingerprint", "text_vocab_topk",
+#     "text_repetition", "text_boilerplate", "embedding_centroids",
+#     "embedding_quantize", "ann_cosine_topk", "events_json_props",
+#     "agg_streaming", "user_event_seq", "events_cumulative_users",
+#     "asof_purchase_click", "anomaly_zscore",
+# )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,

@@ -55,7 +55,7 @@ def test_broken_plan_module_raises():
 import pytest
 
 
-@pytest.mark.parametrize("tag", ["R7"])
+@pytest.mark.parametrize("tag", ["R7", "R8"])
 def test_staged_windows_are_flippable(tag):
     """The commented _DRIVER_WINDOW_R5/R6/R7 blocks must stay valid while
     the registry evolves: every staged key registered + oracle-backed,

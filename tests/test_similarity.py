@@ -485,3 +485,26 @@ def test_intrinsic_dim_sample_matches_full(spark, sf_small):
     # that at sf0.001 n yet far below any collapse/miswiring signal
     rel = abs(samp.intrinsic_dim - full.intrinsic_dim) / full.intrinsic_dim
     assert rel < 0.35, (samp.intrinsic_dim, full.intrinsic_dim)
+
+
+def test_centroid_accuracy_bounds_and_coverage(spark, sf_small):
+    """Nearest-centroid eval: every label reports, counts are
+    consistent, accuracy ∈ [0,1], and the corpus-level accuracy beats
+    uniform chance (1/|labels|) — the embeddings table is synthesized
+    with label structure, so a prototype model must beat random."""
+    from monasca_aggregator_spark.plans.similarity import (
+        q_embedding_centroid_accuracy,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_embedding_centroid_accuracy(spark, sf_small).collect()
+    emb = load_table(spark, sf_small, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    total = sum(r.n_vecs for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    assert total == emb.count()
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_vecs
+        assert 0.0 <= r.accuracy <= 1.0
+    assert correct / total > 1.0 / n_labels
