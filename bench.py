@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "graph_pagerank_exact",
     "embedding_centroid_accuracy",
+    "metric_mttr",
 ]
 
 

@@ -490,6 +490,81 @@ FROM g GROUP BY 1, 2
 """.strip()
 
 
+def q_metric_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability scorecard per metric: incident count, MTTR (mean
+    incident duration in hours, inclusive of the last breach window)
+    and MTBF (mean hours between incident STARTS) — the SRE summary
+    one level above `metric_alert_cooldown`'s per-incident rows
+    (cooldown answers "what paged", this answers "how broken is this
+    metric per month" for error-budget planning; Google SRE book ch.4
+    line). Built by COMPOSING the oracle-exact cooldown query, so the
+    incident definition cannot drift between the two reports.
+
+    Exactness: durations and start gaps are exact BIGINT hour counts;
+    each mean is ONE division of two exact integers, 4-dp half-up.
+    Metrics with a single incident report NULL MTBF on both engines.
+    Plan shape: one |incidents|-row aggregate on top of the cooldown
+    plan — nothing new shuffles."""
+    inc = q_metric_alert_cooldown(spark, sf_dir)
+    dur_h = (
+        (F.col("incident_end_ms") - F.col("incident_start_ms"))
+        / F.lit(_HOUR_MS)
+    ).cast("long") + F.lit(1)
+    g = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("n_breach_windows").alias("n_breach_windows"),
+        F.sum(dur_h).alias("sum_dur_h"),
+        F.min("incident_start_ms").alias("first_ms"),
+        F.max("incident_start_ms").alias("last_ms"),
+    )
+    mttr = stable_round(
+        F.col("sum_dur_h").cast("double")
+        / F.col("n_incidents").cast("double"),
+        4,
+    )
+    mtbf = F.when(
+        F.col("n_incidents") > 1,
+        stable_round(
+            ((F.col("last_ms") - F.col("first_ms")) / F.lit(_HOUR_MS))
+            .cast("long")
+            .cast("double")
+            / (F.col("n_incidents") - 1).cast("double"),
+            4,
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_incidents",
+        "n_breach_windows",
+        mttr.alias("mttr_hours"),
+        mtbf.alias("mtbf_hours"),
+    )
+
+
+ORACLE_MTTR = f"""
+WITH inc AS ({ORACLE_ALERT_COOLDOWN}),
+g AS (
+  SELECT event_type, count(*) AS n_incidents,
+         CAST(sum(n_breach_windows) AS BIGINT) AS n_breach_windows,
+         sum((incident_end_ms - incident_start_ms) // {_HOUR_MS} + 1)
+           AS sum_dur_h,
+         min(incident_start_ms) AS first_ms,
+         max(incident_start_ms) AS last_ms
+  FROM inc GROUP BY 1
+)
+SELECT event_type, n_incidents, n_breach_windows,
+       {sql_stable_round(
+           "CAST(sum_dur_h AS DOUBLE) / n_incidents::DOUBLE", 4)}
+         AS mttr_hours,
+       CASE WHEN n_incidents > 1 THEN
+         {sql_stable_round(
+             "CAST((last_ms - first_ms) // " + str(_HOUR_MS)
+             + " AS DOUBLE) / (n_incidents - 1)::DOUBLE", 4)}
+       END AS mtbf_hours
+FROM g
+""".strip()
+
+
 # ------------------------------------------------------- linear trend
 
 
@@ -2025,6 +2100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_mad_anomaly": q_metric_mad_anomaly,
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
+    "metric_mttr": q_metric_mttr,
     "metric_trend": q_metric_trend,
     "metric_trend_theilsen": q_metric_trend_theilsen,
     "series_shape_search": q_series_shape_search,
@@ -2048,6 +2124,7 @@ ORACLES: dict[str, str] = {
     "metric_mad_anomaly": ORACLE_MAD_ANOMALY,
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
+    "metric_mttr": ORACLE_MTTR,
     "metric_trend": ORACLE_TREND,
     "metric_trend_theilsen": ORACLE_THEILSEN,
     "series_shape_search": ORACLE_SHAPE_SEARCH,

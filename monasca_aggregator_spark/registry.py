@@ -28,9 +28,9 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # CORRECTNESS_r04).  The active r5 list is below; r6/r7 are staged
 # as comments so each round's flip is a single edit, pinned by
 # tests/test_registry.py::test_staged_windows_are_flippable.
-# New oracle keys added during r6 must enter the NEWEST staged
-# window (R7, replacing tail re-confirmations) so every oracle key
-# has a driver row by the end of R7.
+# New oracle keys always enter the NEWEST staged window (currently
+# R8, replacing tail re-confirmations) so every oracle key gets a
+# driver row within two window flips.
 #
 # Round-6 ACTIVE window (flipped at the start of round 6): the 22
 # oracle-backed keys added in r3 (plans/insights.py) plus
@@ -126,7 +126,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # additions), then the 5 tpch re-confirmations R7 displaced, then the
 # oldest re-confirmations (r5-window keys — 3 rounds old by r8).
 # _DRIVER_WINDOW_R8: tuple[str, ...] = (
-#     "embedding_centroid_accuracy",
+#     "embedding_centroid_accuracy", "metric_mttr",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
 #     "tpch_q13_histogram", "tpch_q15_topsupp",
 #     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
@@ -143,7 +143,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "text_repetition", "text_boilerplate", "embedding_centroids",
 #     "embedding_quantize", "ann_cosine_topk", "events_json_props",
 #     "agg_streaming", "user_event_seq", "events_cumulative_users",
-#     "asof_purchase_click", "anomaly_zscore",
+#     "asof_purchase_click",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -353,3 +353,37 @@ def test_shape_search_is_scale_and_level_invariant(spark, tmp_path):
     error_dists = [r.z_dist for r in out if r.name == "error"]
     if error_dists:
         assert min(error_dists) > 1e-4
+
+
+def test_mttr_consistent_with_cooldown_incidents(spark, sf_small):
+    """metric_mttr must be the exact per-metric aggregate of the
+    cooldown incident table it composes: counts, breach windows, and
+    the MTTR mean recomputed from the incident rows; single-incident
+    metrics report NULL MTBF."""
+    from monasca_aggregator_spark.plans.series_ext import (
+        _HOUR_MS,
+        q_metric_alert_cooldown,
+        q_metric_mttr,
+    )
+
+    inc = q_metric_alert_cooldown(spark, sf_small).collect()
+    got = {r.event_type: r for r in q_metric_mttr(spark, sf_small).collect()}
+    by_m = {}
+    for r in inc:
+        by_m.setdefault(r.event_type, []).append(r)
+    assert set(got) == set(by_m)
+    for m, rows in by_m.items():
+        g = got[m]
+        assert g.n_incidents == len(rows)
+        assert g.n_breach_windows == sum(r.n_breach_windows for r in rows)
+        durs = [
+            (r.incident_end_ms - r.incident_start_ms) // _HOUR_MS + 1
+            for r in rows
+        ]
+        assert abs(g.mttr_hours - sum(durs) / len(durs)) < 1e-3
+        if len(rows) == 1:
+            assert g.mtbf_hours is None
+        else:
+            starts = sorted(r.incident_start_ms for r in rows)
+            want = ((starts[-1] - starts[0]) // _HOUR_MS) / (len(rows) - 1)
+            assert abs(g.mtbf_hours - want) < 1e-3
