@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "graph_pagerank_exact",
     "embedding_centroid_accuracy",
     "metric_mttr",
+    "dedup_embedding_exact",
 ]
 
 

@@ -596,6 +596,62 @@ SELECT id, r AS rank_e12 FROM pr WHERE iter = {_PR_EXACT_ITER}
 """.strip()
 
 
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding UNIQUENESS audit per label: distinct e6-fixed vectors
+    vs rows — the content-hash dedup check of embedding space, run
+    BEFORE any ANN indexing (identical vectors are re-encoded crawls
+    or pipeline replays; they waste index space and bias centroid
+    training, and no near-dup threshold is needed to catch them — the
+    embedding sibling of `dedup_exact`'s normalized-text key, reported
+    per label so a replayed class can't hide in the corpus total).
+
+    The identity key is the concatenated e6 integer quantization of
+    every component (floor(x·1e6 + 0.5) — the corpus-wide cosine
+    rounding convention, so "identical" means identical at the
+    precision every other operator already uses). Two aggregates: one
+    groupBy on the derived key (the exchange carries one row per
+    distinct vector — the exact_dedup plan shape at any scale), then
+    the |labels|-row rollup. Output: (label, n_vecs, n_distinct,
+    n_dup_rows, max_group)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    key = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+        ),
+    )
+    groups = (
+        emb.select("label", key.alias("k"))
+        .groupBy("label", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.groupBy("label").agg(
+        F.sum("n").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_rows"),
+        F.max("n").alias("max_group"),
+    )
+
+
+ORACLE_EMBEDDING_EXACT = """
+WITH k AS (
+  SELECT vec_id, label,
+         array_to_string(list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)), ',') AS k
+  FROM embeddings
+),
+g AS (
+  SELECT label, k, count(*) AS n FROM k GROUP BY 1, 2
+)
+SELECT label, CAST(sum(n) AS BIGINT) AS n_vecs,
+       count(*) AS n_distinct,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_group
+FROM g GROUP BY label
+""".strip()
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: PageRank over the embedding near-dup pair graph
     (operators/graph.py) — which documents sit at the CENTER of
@@ -1011,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "graph_pagerank_exact": q_graph_pagerank_exact,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_near": q_dedup_incremental_near,  # rows-only (LSH recall < 1)
@@ -1034,6 +1091,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_minhash_estimate": ORACLE_MINHASH_ESTIMATE,
     "graph_pagerank_exact": ORACLE_PAGERANK_EXACT,
+    "dedup_embedding_exact": ORACLE_EMBEDDING_EXACT,
     "dedup_jaccard_prefix": ORACLE_NGRAM,
     "dedup_incremental": ORACLE_INCREMENTAL,
     "dedup_embedding": ORACLE_EMBEDDING,

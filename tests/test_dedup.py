@@ -594,3 +594,35 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
     for r in rows:
         assert 0 <= r.matches <= 16
         assert abs(r.jaccard_est - r.matches / 16.0) < 1e-9
+
+
+def test_embedding_uniqueness_audit_counts(spark, tmp_path):
+    """Injected exact-duplicate vectors are counted per label (dup rows
+    = rows − distinct, max_group tracks the biggest replay), and a
+    1-ulp-different vector is NOT a duplicate at the e6 key."""
+    from monasca_aggregator_spark.plans.dedup import (
+        q_dedup_embedding_exact,
+    )
+
+    base = [0.5] * 64
+    near = [0.5] * 63 + [0.500001]  # differs at the e6 precision edge? no:
+    # floor(0.500001*1e6+0.5)=500001 vs 500000 -> distinct key
+    rows = [
+        (1, base, "a"),
+        (2, base, "a"),          # exact dup of 1
+        (3, near, "a"),          # NOT a dup (e6 key differs)
+        (4, [0.1] * 64, "b"),
+        (5, [0.1] * 64, "b"),    # dup pair
+        (6, [0.2] * 64, "b"),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.label: r
+        for r in q_dedup_embedding_exact(spark, str(tmp_path)).collect()
+    }
+    assert got["a"].n_vecs == 3 and got["a"].n_distinct == 2
+    assert got["a"].n_dup_rows == 1 and got["a"].max_group == 2
+    assert got["b"].n_vecs == 3 and got["b"].n_distinct == 2
+    assert got["b"].n_dup_rows == 1 and got["b"].max_group == 2

@@ -1,0 +1,60 @@
+"""Emit the SURVEY §6 refresh stanza from BENCH_FULL.json — the
+numbers-bearing sentence is generated from the same file the driver
+records, so the doc and the bench can't drift (VERDICT r4/r5 nit
+class: §6 said 203/107.2 s while the file said 205/111.1 s).
+
+Usage: python tools/bench_stanza.py [round_tag]
+Prints the stanza skeleton to stdout; prose context (host factor,
+perf-work notes) is added by hand around the emitted numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "rN"
+    full = json.loads((_REPO / "BENCH_FULL.json").read_text())
+    q = full["queries"]
+    n = len(q)
+    total = round(sum(q.values()), 1)
+    worst = sorted(q.items(), key=lambda kv: -kv[1])[:5]
+    worst_s = ", ".join(f"{k} {v:.1f} s" for k, v in worst)
+    proto = full.get("protocol", "warm_best_of_3").replace("_", " ")
+    lines = [
+        f"**{tag} refresh (local[32]):** {n} headline queries at "
+        f"sf{full.get('sf')} in **{total} s {proto}** "
+        f"(BENCH_FULL.json; worst-5: {worst_s}).",
+    ]
+    soak = full.get("soak")
+    if soak:
+        ratios = {
+            k: v["ratio"]
+            for k, v in soak["queries"].items()
+            if "ratio" in v
+        }
+        if ratios:
+            wk, wv = max(ratios.items(), key=lambda kv: kv[1])
+            exceeded = [
+                k
+                for k, v in soak["queries"].items()
+                if "ratio" in v
+                and "expected_max" in v
+                and v["ratio"] > v["expected_max"]
+            ]
+            lines.append(
+                f"Soak ×{soak['factor']}: worst ratio {wv} ({wk}); "
+                f"expected-ratio gate exceeded: "
+                f"{exceeded if exceeded else 'none'}."
+            )
+    print(" ".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
