@@ -55,15 +55,22 @@ def pagerank_pairs(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").cache()
 
-    n_nodes = deg.count()
+    # EVERY downstream lineage must read the cache, not the (possibly
+    # expensive) pair generator: deriving nodes/initial ranks from
+    # `deg` directly re-ran the upstream join once per checkpoint
+    # (measured 4-5 executions of a shingle self-join at sf0.1 before
+    # this read-through-cache restructuring).
+    nodes = edges_deg.select("src", "deg").distinct()
+    n_nodes = nodes.count()  # also materializes the edge cache
     if n_nodes == 0:
+        edges_deg.unpersist()
         return pairs.sparkSession.createDataFrame(
             [], "id long, rank_e12 long, rank double"
         )
     base_e12 = ((100 - damping_pct) * _E12) // (100 * n_nodes)
     init_e12 = _E12 // n_nodes
 
-    ranks = deg.select(
+    ranks = nodes.select(
         F.col("src").alias("id"), F.lit(init_e12).alias("rank_e12")
     )
     for i in range(n_iter):

@@ -77,6 +77,15 @@ SELECT id_a, id_b, jaccard FROM pairs
 
 
 _MH_EST_H = 16  # signature length for the oracle-backed estimator
+_MH_EST_P = 2147483647  # Mersenne prime 2^31-1 (permutation modulus)
+
+
+def _mh_a(j: int) -> int:
+    """Multiplier for affine permutation j: any nonzero a mod the
+    PRIME p is a bijection of Z_p (oddness only matters mod 2^k).
+    Knuth constant stepped by 2j, reduced mod p — a_j < 2^31, so
+    x·a_j < 2^62 stays exact BIGINT."""
+    return (2654435761 + 2 * j) % _MH_EST_P
 
 
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,28 +99,37 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin swaps in md5-derived 32-bit permutations, exactly the
     `dedup_semantic_cells` / `ann_ivf_cells` oracle-twin pattern).
 
-    Per-permutation hash: h_j(s) = first-8-hex-chars of md5("j:" || s)
-    as a BIGINT; the signature is 16 column-wise MIN aggregates riding
-    the same (doc, shingle) explosion the pair generator already
-    shuffles — no extra pass over the corpus. Pairs join two
-    signature rows; the match count is a codegen sum of 16 equality
-    flags. Output: (id_a, id_b, jaccard, matches, jaccard_est,
-    abs_err), err bounded in tests (σ = √(J(1−J)/16) ≈ 0.12)."""
+    Permutations are the textbook universal-hash construction: ONE
+    md5 per shingle gives the 32-bit base value x, and h_j(x) =
+    (a_j·x + b_j) mod p (p = 2³¹−1, odd multipliers) — the same
+    affine-permutation scheme production MinHash uses, at 1/16th the
+    hash cost of an md5 per permutation (the md5-per-perm version
+    measured 9.0 s at sf0.1; this is the identical estimator with the
+    identical SQL-reproducibility). The signature is 16 column-wise
+    MIN aggregates riding the same (doc, shingle) explosion the pair
+    generator already shuffles — no extra pass over the corpus. Pairs
+    join two signature rows; the match count is a codegen sum of 16
+    equality flags. Output: (id_a, id_b, jaccard, matches,
+    jaccard_est, abs_err), err bounded in tests
+    (σ = √(J(1−J)/16) ≈ 0.12)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long"),
+        F.lit(_MH_EST_P),
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", base.alias("x")
+    )
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                F.pmod(
+                    F.col("x") * F.lit(_mh_a(j)) + F.lit(j),
+                    F.lit(_MH_EST_P),
+                )
             ).alias(f"mh{j}")
             for j in range(1, _MH_EST_H + 1)
         ]
@@ -149,15 +167,23 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_A_SQL = ", ".join(str(_mh_a(j)) for j in range(1, _MH_EST_H + 1))
+
 ORACLE_MINHASH_ESTIMATE = f"""
 WITH {_NGRAM_CTES},
+bases AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+             % {_MH_EST_P}) AS xs
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          list_transform(range(1, {_MH_EST_H + 1}), j ->
-           list_min(list_transform(shingles, s ->
-             CAST('0x' || substr(md5(j || ':' || s), 1, 8) AS BIGINT))))
-           AS sig
-  FROM sh
+           list_min(list_transform(xs, x ->
+             (x * ([{_MH_A_SQL}])[j] + j) % {_MH_EST_P}))) AS sig
+  FROM bases
 ),
 m AS (
   SELECT p.id_a, p.id_b, p.jaccard,

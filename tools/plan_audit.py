@@ -72,6 +72,11 @@ ARROW_ALLOWED = {
     # top-k/vote in numpy (the JVM all-pairs formulation measured
     # 59-84 s at sf0.1 vs 0.9 s — plans/similarity.py r4 note)
     "embedding_knn_accuracy",
+    # nearest-centroid eval: per-partition int64 centroid partials +
+    # broadcast L×d matmul assignment (the unrolled-JVM formulation
+    # measured 7.3 s at sf0.1 vs 1.1 s — r6; exactness unchanged,
+    # every sum is an integer)
+    "embedding_centroid_accuracy",
     "dedup_semantic",
     "dedup_semantic_cells",
     "ann_ivf",
