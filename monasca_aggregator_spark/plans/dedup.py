@@ -101,7 +101,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Permutations are the textbook universal-hash construction: ONE
     md5 per shingle gives the 32-bit base value x, and h_j(x) =
-    (a_j·x + b_j) mod p (p = 2³¹−1, odd multipliers) — the same
+    (a_j·x + b_j) mod p (p = 2³¹−1, nonzero multipliers) — the same
     affine-permutation scheme production MinHash uses, at 1/16th the
     hash cost of an md5 per permutation (the md5-per-perm version
     measured 9.0 s at sf0.1; this is the identical estimator with the
@@ -109,7 +109,13 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN aggregates riding the same (doc, shingle) explosion the pair
     generator already shuffles — no extra pass over the corpus. Pairs
     join two signature rows; the match count is a codegen sum of 16
-    equality flags. Output: (id_a, id_b, jaccard, matches,
+    equality flags. The whole gate is bounded BY CONSTRUCTION: the
+    exact pair generator refuses corpora beyond its max_docs guard
+    (operators/dedup._guard_all_pairs), so at 100 TB this runs on the
+    guard-bounded calibration sample — signature cost is bounded by
+    the same cap, and no pruning machinery is needed (a
+    checkpoint+semi-join variant measured SLOWER at test SF than this
+    single lazy plan). Output: (id_a, id_b, jaccard, matches,
     jaccard_est, abs_err), err bounded in tests
     (σ = √(J(1−J)/16) ≈ 0.12)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
