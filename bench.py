@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "embedding_centroid_accuracy",
     "metric_mttr",
     "dedup_embedding_exact",
+    "dedup_simhash_estimate",
 ]
 
 

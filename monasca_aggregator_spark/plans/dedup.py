@@ -211,6 +211,112 @@ FROM m
 """.strip()
 
 
+_SH_EST_BITS = 32  # simhash width for the oracle-backed estimator
+
+
+def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED SimHash: the 32-bit signature HAMMING distance
+    beside the exact Jaccard on every exact near-dup pair — the
+    random-hyperplane sibling of `dedup_minhash_estimate` (Charikar
+    2002: P(bit differs) = θ/π, so near-identical shingle sets land at
+    hamming ≈ 0 and unrelated ones near 16/32). Pins the signature
+    arithmetic itself against SQL; the production `dedup_simhash`
+    (xxhash64 bits) stays rows-only.
+
+    Signature: each shingle's md5-derived 32-bit value votes ±1 per
+    bit position; bit b of the doc's simhash is 1 iff the vote sum is
+    ≥ 0. The 32 vote sums are column aggregates riding the same
+    (doc, shingle) explosion as the MinHash twin — order-free exact
+    integers, so both engines produce identical signatures, and the
+    output carries NO trigonometry (acos/cos differ by ulps across
+    engines): (id_a, id_b, jaccard, hamming, ham_frac). The inverse
+    hamming↔similarity relation is pinned in tests. Bounded BY
+    CONSTRUCTION via the pair generator's max_docs guard, like the
+    MinHash twin."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    x = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", x.alias("x")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(_SH_EST_BITS)
+    ]
+    sig = ex.groupBy("doc_id").agg(*bit_votes).select(
+        "doc_id",
+        *[
+            (F.col(f"v{b}") >= 0).cast("int").alias(f"b{b}")
+            for b in range(_SH_EST_BITS)
+        ],
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(_SH_EST_BITS)],
+    )
+    b_side = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{b}").alias(f"c{b}") for b in range(_SH_EST_BITS)],
+    )
+    hamming = (F.col("a0") != F.col("c0")).cast("long")
+    for b in range(1, _SH_EST_BITS):
+        hamming = hamming + (
+            F.col(f"a{b}") != F.col(f"c{b}")
+        ).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b_side, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            hamming.alias("hamming"),
+            stable_round(
+                hamming.cast("double") / F.lit(float(_SH_EST_BITS)), 4
+            ).alias("ham_frac"),
+        )
+    )
+
+
+ORACLE_SIMHASH_ESTIMATE = f"""
+WITH {_NGRAM_CTES},
+xs AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS xs
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {_SH_EST_BITS}), b ->
+           CASE WHEN list_sum(list_transform(xs, x ->
+                  CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                THEN 1 ELSE 0 END) AS sig
+  FROM xs
+),
+m AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         len(list_filter(range(1, {_SH_EST_BITS + 1}),
+                         i -> sa.sig[i] <> sb.sig[i])) AS hamming
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard, CAST(hamming AS BIGINT) AS hamming,
+       floor(hamming / {float(_SH_EST_BITS)} * 10000.0::DOUBLE
+             + 0.5::DOUBLE) / 10000.0::DOUBLE AS ham_frac
+FROM m
+""".strip()
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: even doc_ids are the indexed
     corpus, odd doc_ids the incoming batch; report per-source incoming
@@ -1098,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_simhash_estimate": q_dedup_simhash_estimate,
     "graph_pagerank_exact": q_graph_pagerank_exact,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -1122,6 +1229,7 @@ ORACLES: dict[str, str] = {
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_minhash_estimate": ORACLE_MINHASH_ESTIMATE,
+    "dedup_simhash_estimate": ORACLE_SIMHASH_ESTIMATE,
     "graph_pagerank_exact": ORACLE_PAGERANK_EXACT,
     "dedup_embedding_exact": ORACLE_EMBEDDING_EXACT,
     "dedup_jaccard_prefix": ORACLE_NGRAM,

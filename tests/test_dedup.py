@@ -626,3 +626,27 @@ def test_embedding_uniqueness_audit_counts(spark, tmp_path):
     assert got["a"].n_dup_rows == 1 and got["a"].max_group == 2
     assert got["b"].n_vecs == 3 and got["b"].n_distinct == 2
     assert got["b"].n_dup_rows == 1 and got["b"].max_group == 2
+
+
+def test_simhash_estimate_inverse_relation(spark, sf_small):
+    """Charikar's identity in practice: high-Jaccard pairs must show
+    LOW simhash hamming (P(bit differs) = θ/π). Near-identical pairs
+    (J ≥ 0.9) stay under 8/32 differing bits; the mean hamming of the
+    high-J half is no larger than the low-J half's (monotone in
+    expectation); ham_frac is hamming/32 at 4-dp half-up."""
+    from monasca_aggregator_spark.plans.dedup import (
+        q_dedup_simhash_estimate,
+    )
+
+    rows = q_dedup_simhash_estimate(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 32
+        assert abs(r.ham_frac - r.hamming / 32.0) <= 5e-5 + 1e-12
+    near = [r.hamming for r in rows if r.jaccard >= 0.9]
+    if near:
+        assert all(h <= 8 for h in near), near
+    hi = [r.hamming for r in rows if r.jaccard >= 0.7]
+    lo = [r.hamming for r in rows if r.jaccard < 0.7]
+    if hi and lo:
+        assert sum(hi) / len(hi) <= sum(lo) / len(lo) + 1.0
