@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "metric_mttr",
     "dedup_embedding_exact",
     "dedup_simhash_estimate",
+    "metric_capacity_eta",
+    "text_oov_rate",
 ]
 
 

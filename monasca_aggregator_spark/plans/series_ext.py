@@ -568,6 +568,121 @@ FROM g
 # ------------------------------------------------------- linear trend
 
 
+_CAP_FACTOR = 1.5  # capacity = 1.5× the mean hourly load
+
+
+def q_metric_capacity_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity time-to-exhaustion per metric: hours until the OLS
+    trend line crosses the capacity ceiling — the question a capacity
+    planner actually asks `metric_trend`'s slope ("when do we hit the
+    wall", Google SRE forecasting line). Capacity here is the
+    1.5×-mean-hourly-load stand-in (a real deployment broadcasts its
+    provisioned limits); the ETA extrapolates the SAME exact-integer
+    normal equations as metric_trend, so the two reports can't
+    disagree about the slope.
+
+    eta_h = (capacity − fit_now) / slope with fit_now = intercept +
+    slope·x_max, reported only for growing metrics still under
+    capacity (shrinking/flat → NULL + verdict). Every input to the
+    double arithmetic is an exact BIGINT power sum and the expression
+    trees match the oracle term for term, so both engines produce the
+    identical doubles. Plan: one collapsed-series shuffle + one
+    per-metric aggregate (the metric_trend plan plus a max)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("v")
+    )
+    x = (F.col("window_ts_ms") / F.lit(_HOUR_MS)).cast("long")
+    g = hourly.select(
+        "event_type", x.alias("x"), F.col("v").alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("xm"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n.cast("double")
+    fit_now = intercept + slope * F.col("xm").cast("double")
+    cap = F.lit(_CAP_FACTOR) * (
+        F.col("sy").cast("double") / n.cast("double")
+    )
+    eta = (cap - fit_now) / slope
+    growing = (n > 1) & (slope > 0)
+    exhaustable = growing & (cap > fit_now)
+    return g.select(
+        "event_type",
+        "n",
+        F.when(n > 1, stable_round(slope / F.lit(100.0), 6)).alias(
+            "slope_per_hour"
+        ),
+        F.when(n > 1, stable_round(fit_now / F.lit(100.0), 4)).alias(
+            "fit_now"
+        ),
+        stable_round(cap / F.lit(100.0), 4).alias("capacity"),
+        F.when(exhaustable, stable_round(eta, 2)).alias("eta_hours"),
+        F.when(~(n > 1), F.lit("insufficient_history"))
+        .when(~(slope > 0), F.lit("not_growing"))
+        .when(~(cap > fit_now), F.lit("already_over"))
+        .otherwise(F.lit("exhausts"))
+        .alias("verdict"),
+    )
+
+
+ORACLE_CAPACITY_ETA = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT event_type, window_ts_ms // {_HOUR_MS} AS x, v AS y FROM e
+), g AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, max(x) AS xm
+  FROM xy GROUP BY 1
+), d AS (
+  SELECT event_type, n, xm, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+  FROM g
+), f AS (
+  SELECT event_type, n, slope,
+         intercept + slope * CAST(xm AS DOUBLE) AS fit_now,
+         {_CAP_FACTOR} * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cap
+  FROM d
+)
+SELECT event_type, n,
+       CASE WHEN n > 1 THEN
+         {sql_stable_round("slope / 100.0", 6)} END AS slope_per_hour,
+       CASE WHEN n > 1 THEN
+         {sql_stable_round("fit_now / 100.0", 4)} END AS fit_now,
+       {sql_stable_round("cap / 100.0", 4)} AS capacity,
+       CASE WHEN n > 1 AND slope > 0 AND cap > fit_now THEN
+         {sql_stable_round("(cap - fit_now) / slope", 2)} END
+         AS eta_hours,
+       CASE WHEN NOT (n > 1) THEN 'insufficient_history'
+            WHEN NOT (slope > 0) THEN 'not_growing'
+            WHEN NOT (cap > fit_now) THEN 'already_over'
+            ELSE 'exhausts' END AS verdict
+FROM f
+""".strip()
+
+
 def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric linear trend over the hourly series: OLS slope and
     intercept of v ~ t via the closed-form normal equations on EXACT
@@ -2101,6 +2216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_mttr": q_metric_mttr,
+    "metric_capacity_eta": q_metric_capacity_eta,
     "metric_trend": q_metric_trend,
     "metric_trend_theilsen": q_metric_trend_theilsen,
     "series_shape_search": q_series_shape_search,
@@ -2125,6 +2241,7 @@ ORACLES: dict[str, str] = {
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_mttr": ORACLE_MTTR,
+    "metric_capacity_eta": ORACLE_CAPACITY_ETA,
     "metric_trend": ORACLE_TREND,
     "metric_trend_theilsen": ORACLE_THEILSEN,
     "series_shape_search": ORACLE_SHAPE_SEARCH,

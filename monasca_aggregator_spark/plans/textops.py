@@ -100,6 +100,96 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_K = 50
 
 
+_OOV_VOCAB_K = 1000
+
+
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-COVERAGE audit per source: fraction of token
+    occurrences outside the corpus top-K vocabulary — the number that
+    says how much of each source a K-entry word-level tokenizer maps
+    to <unk> (high OOV sources need byte/BPE fallback or vocab
+    growth; the per-source view catches a crawl whose vocabulary the
+    tokenizer never saw). Vocabulary = top 1000 tokens by total count
+    with (count desc, token asc) tie-break — the `text_vocab_topk`
+    selection, K raised to tokenizer scale.
+
+    Plan shape: one exploded aggregate builds (token, count) —
+    vocabulary-bounded; top-K via TakeOrderedAndProject (K-row heaps,
+    no global sort); the K-row vocab BROADCASTS back onto the
+    (source, token, n) aggregate as a LEFT SEMI/ANTI pair folded into
+    one conditional sum — nothing wider than the per-source token
+    aggregate shuffles. Output: (source, n_tokens, n_oov, oov_rate)."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    corpus = st.groupBy("token").agg(F.sum("n").alias("total_count"))
+    top = (
+        corpus.orderBy(F.col("total_count").desc(), F.col("token").asc())
+        .limit(_OOV_VOCAB_K)
+        .select("token")
+    )
+    j = st.join(
+        F.broadcast(top.withColumn("in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            stable_round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_OOV_RATE = rf"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+           AS token
+  FROM documents
+), t AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), st AS (
+  SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2
+), corpus AS (
+  SELECT token, sum(n) AS total_count FROM st GROUP BY 1
+), top AS (
+  SELECT token FROM corpus
+  ORDER BY total_count DESC, token ASC LIMIT {_OOV_VOCAB_K}
+)
+SELECT st.source, CAST(sum(st.n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN top.token IS NULL THEN st.n ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       {sql_stable_round(
+           "sum(CASE WHEN top.token IS NULL THEN st.n ELSE 0 END)"
+           "::DOUBLE / sum(st.n)::DOUBLE", 6)} AS oov_rate
+FROM st LEFT JOIN top USING (token)
+GROUP BY st.source
+""".strip()
+
+
 def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: global top-K tokens by document frequency and
     total count — the frequency analysis behind tokenizer training and
@@ -1530,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_oov_rate": q_text_oov_rate,
     "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
@@ -1562,6 +1653,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
+    "text_oov_rate": ORACLE_OOV_RATE,
     "text_repetition": ORACLE_REPETITION,
     "text_boilerplate": ORACLE_BOILERPLATE,
     "text_unigram_logprob": ORACLE_UNIGRAM,

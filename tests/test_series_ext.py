@@ -387,3 +387,28 @@ def test_mttr_consistent_with_cooldown_incidents(spark, sf_small):
             starts = sorted(r.incident_start_ms for r in rows)
             want = ((starts[-1] - starts[0]) // _HOUR_MS) / (len(rows) - 1)
             assert abs(g.mtbf_hours - want) < 1e-3
+
+
+def test_capacity_eta_consistent_with_trend(spark, sf_small):
+    """metric_capacity_eta must agree with metric_trend's slope, emit a
+    coherent verdict per metric, and produce an ETA only for growing
+    metrics still under capacity (and then a positive one that solves
+    fit_now + slope·eta = capacity)."""
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_capacity_eta,
+        q_metric_trend,
+    )
+
+    trend = {r.event_type: r for r in q_metric_trend(spark, sf_small).collect()}
+    rows = q_metric_capacity_eta(spark, sf_small).collect()
+    assert set(r.event_type for r in rows) == set(trend)
+    for r in rows:
+        t = trend[r.event_type]
+        if t.slope_per_hour is not None and r.slope_per_hour is not None:
+            assert abs(r.slope_per_hour - t.slope_per_hour) < 1e-5
+        if r.verdict == "exhausts":
+            assert r.eta_hours is not None and r.eta_hours > 0
+            recon = r.fit_now + r.slope_per_hour * r.eta_hours
+            assert abs(recon - r.capacity) <= max(0.05, 0.01 * r.capacity)
+        else:
+            assert r.eta_hours is None

@@ -407,3 +407,37 @@ def test_stem_rules_collapse_inflections(spark):
     assert got["class"] == "class"   # 'ss' guard
     assert got["is"] == "is"         # min-length guard
     assert got["runs"] == "run"
+
+
+def test_oov_rate_counts(spark, tmp_path):
+    """OOV accounting on a controlled vocabulary: with K far above the
+    corpus vocabulary nothing is OOV; tokens absent from the top-K set
+    count once per OCCURRENCE, per source."""
+    from monasca_aggregator_spark.plans import textops as T
+
+    rows = [
+        (1, "alpha alpha beta", "s1"),
+        (2, "alpha gamma", "s2"),
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {r.source: r for r in T.q_text_oov_rate(spark, str(tmp_path)).collect()}
+    # corpus vocab {alpha:3, beta:1, gamma:1} <= K -> zero OOV
+    assert out["s1"].n_tokens == 3 and out["s1"].n_oov == 0
+    assert out["s2"].n_tokens == 2 and out["s2"].n_oov == 0
+    assert out["s1"].oov_rate == 0.0
+
+    saved = T._OOV_VOCAB_K
+    try:
+        T._OOV_VOCAB_K = 1  # only 'alpha' survives (count desc, token asc)
+        out = {
+            r.source: r for r in T.q_text_oov_rate(spark, str(tmp_path)).collect()
+        }
+        assert out["s1"].n_oov == 1      # beta
+        assert out["s2"].n_oov == 1      # gamma
+        assert abs(out["s2"].oov_rate - 0.5) < 1e-9
+    finally:
+        T._OOV_VOCAB_K = saved
