@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "dedup_simhash_estimate",
     "metric_capacity_eta",
     "text_oov_rate",
+    "orders_basket_size_hist",
+    "quality_by_lang_source",
 ]
 
 

@@ -97,6 +97,66 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_scores(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
+def q_quality_by_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation PIVOT: doc count and mean quality per (lang, source)
+    cell — the matrix a data-mix owner reads before setting per-source
+    quotas (the marginal views exist as quality_lang_norm /
+    dedup_rate_by_source; crawl problems live in the CELLS: one
+    source's Spanish can be garbage while its English is fine).
+
+    Rides the shared heuristic quality score (operators/textops
+    .quality_scores, e4-rounded), joins back the (lang, source) keys
+    and aggregates exact integer ten-thousandths — so the mean is one
+    division of exact sums (the quality_deciles numerics). One doc
+    scan + one |langs|×|sources| aggregate."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = T.quality_scores(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    q_e4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        scored.select("lang", "source", q_e4.alias("q4"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q4").alias("min4"),
+            F.sum("q4").alias("s4"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("min4").cast("double") / F.lit(10000.0)).alias(
+                "min_quality"
+            ),
+            stable_round(
+                F.col("s4").cast("double")
+                / F.lit(10000.0)
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+ORACLE_QUALITY_BY_LANG_SOURCE = f"""
+WITH q AS ({ORACLE_QUALITY}),
+j AS (
+  SELECT d.lang, d.source,
+         CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q4
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(min(q4) AS DOUBLE) / 10000.0 AS min_quality,
+       {sql_stable_round(
+           "CAST(sum(q4) AS DOUBLE) / 10000.0 / count(*)::DOUBLE", 6)}
+         AS avg_quality
+FROM j GROUP BY 1, 2
+""".strip()
+
+
 VOCAB_K = 50
 
 
@@ -1621,6 +1681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
     "text_oov_rate": q_text_oov_rate,
+    "quality_by_lang_source": q_quality_by_lang_source,
     "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
@@ -1654,6 +1715,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
     "text_oov_rate": ORACLE_OOV_RATE,
+    "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,
     "text_repetition": ORACLE_REPETITION,
     "text_boilerplate": ORACLE_BOILERPLATE,
     "text_unigram_logprob": ORACLE_UNIGRAM,

@@ -286,6 +286,65 @@ GROUP BY c_count
 """.strip()
 
 
+def q_orders_basket_size_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-SHAPE fingerprint: histogram of lineitems per order, with
+    each basket size's share of orders and of line volume — the
+    basket-size distribution behind co-purchase support thresholds
+    (`orders_copurchase` fans out pairs per basket: its cost model IS
+    this histogram's second moment) and the order-side sibling of
+    Q13's customer-order histogram. Two chained aggregations — the
+    per-order count collapses map-side on the lineitem scan's natural
+    key, the histogram is ≤ max-basket-size rows; shares are exact
+    integer sums divided once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size")
+    )
+    hist = per_order.groupBy("basket_size").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = hist.agg(
+        F.sum("n_orders").alias("t_orders"),
+        F.sum(F.col("n_orders") * F.col("basket_size")).alias("t_lines"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "basket_size",
+        "n_orders",
+        stable_round(
+            F.col("n_orders").cast("double")
+            / F.col("t_orders").cast("double"),
+            6,
+        ).alias("order_share"),
+        stable_round(
+            (F.col("n_orders") * F.col("basket_size")).cast("double")
+            / F.col("t_lines").cast("double"),
+            6,
+        ).alias("line_share"),
+    )
+
+
+ORACLE_BASKET_SIZE_HIST = f"""
+WITH po AS (
+  SELECT l_orderkey, count(*) AS basket_size FROM lineitem GROUP BY 1
+), h AS (
+  SELECT basket_size, count(*) AS n_orders FROM po GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS t_orders,
+         CAST(sum(n_orders * basket_size) AS BIGINT) AS t_lines
+  FROM h
+)
+SELECT h.basket_size, h.n_orders,
+       {sql_stable_round(
+           "h.n_orders::DOUBLE / t.t_orders::DOUBLE", 6)} AS order_share,
+       {sql_stable_round(
+           "(h.n_orders * h.basket_size)::DOUBLE / t.t_lines::DOUBLE",
+           6)} AS line_share
+FROM h CROSS JOIN t
+""".strip()
+
+
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-count stats (Q16 shape): DISTINCT supplier count per
     part group, excluding a NOT IN supplier set (left anti join against
@@ -1055,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11_fraction": q_tpch_q11,
     "tpch_q12_latecount": q_tpch_q12,
     "tpch_q13_histogram": q_tpch_q13,
+    "orders_basket_size_hist": q_orders_basket_size_hist,
     "tpch_q15_topsupp": q_tpch_q15,
     "tpch_q20_excess": q_tpch_q20,
     "tpch_q16_suppcnt": q_tpch_q16,
@@ -1076,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "tpch_q11_fraction": ORACLE_Q11,
     "tpch_q12_latecount": ORACLE_Q12,
     "tpch_q13_histogram": ORACLE_Q13,
+    "orders_basket_size_hist": ORACLE_BASKET_SIZE_HIST,
     "tpch_q15_topsupp": ORACLE_Q15,
     "tpch_q20_excess": ORACLE_Q20,
     "tpch_q16_suppcnt": ORACLE_Q16,

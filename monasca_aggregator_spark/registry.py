@@ -129,6 +129,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_centroid_accuracy", "metric_mttr",
 #     "dedup_embedding_exact", "dedup_simhash_estimate",
 #     "metric_capacity_eta", "text_oov_rate",
+#     "orders_basket_size_hist", "quality_by_lang_source",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
 #     "tpch_q13_histogram", "tpch_q15_topsupp",
 #     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
@@ -143,7 +144,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "text_decontaminate", "text_unigram_logprob", "text_tokens",
 #     "text_quality", "text_fingerprint", "text_vocab_topk",
 #     "text_repetition", "text_boilerplate", "embedding_centroids",
-#     "embedding_quantize", "ann_cosine_topk", "events_json_props",
+#     "embedding_quantize",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

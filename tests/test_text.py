@@ -441,3 +441,33 @@ def test_oov_rate_counts(spark, tmp_path):
         assert abs(out["s2"].oov_rate - 0.5) < 1e-9
     finally:
         T._OOV_VOCAB_K = saved
+
+
+def test_quality_pivot_consistent_with_corpus(spark, sf_small):
+    """The (lang, source) quality pivot must partition the corpus: cell
+    doc counts sum to |documents|, every mean lies within [min, 1], and
+    each cell mean matches a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.textops import quality_scores
+    from monasca_aggregator_spark.plans.textops import (
+        q_quality_by_lang_source,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_quality_by_lang_source(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    direct = {
+        (r.lang, r.source): r
+        for r in quality_scores(docs)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.avg("quality").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        d = direct[(r.lang, r.source)]
+        assert r.n_docs == d.n
+        assert r.min_quality <= r.avg_quality <= 1.0
+        assert abs(r.avg_quality - d.m) < 1e-3

