@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
             for q in queries:
                 q.awaitTermination(max(0.0, deadline - time.time()))
             for q in queries:
-                q.stop()
+                _drain_and_stop(q)
         else:
             for q in queries:
                 q.awaitTermination()
@@ -142,6 +142,39 @@ def main(argv: list[str] | None = None, *, stop_session: bool = True) -> int:
         if stop_session:
             spark.stop()
     return 0
+
+
+def _drain_and_stop(q, grace_sec: float = 60.0) -> None:
+    """Stop a bounded-run query BETWEEN micro-batches.
+
+    ``q.stop()`` interrupts the stream-execution thread; if a
+    ``FileStreamSink.addBatch`` is in flight the interrupt aborts it,
+    and the aborted batch's uncommitted part files remain visible in
+    the sink directory until the abort's cleanup finishes — after
+    ``main()`` has already returned.  The reference's contract is
+    publish-then-commit (server.go:222-258): readers never observe
+    output that wasn't committed.  Honor it by waiting for the
+    current trigger to go idle before stopping, so the final batch
+    either commits fully or never starts.  ``grace_sec`` bounds the
+    wait; a wedged batch still gets hard-stopped rather than hanging
+    shutdown forever.
+    """
+    import time
+
+    t_end = time.time() + grace_sec
+    while time.time() < t_end:
+        try:
+            if not q.isActive or not q.status.get("isTriggerActive", False):
+                break
+        except Exception:
+            break  # query already terminated under us
+        time.sleep(0.1)
+    q.stop()
+    # surface (bounded) the sink's final commit before returning
+    try:
+        q.awaitTermination(30)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -25,39 +25,45 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # the unchecked half plus the three r1 hash-mismatch fixes (50/50
 # green), r3 covered the next-oldest 50 (50/50 green in
 # CORRECTNESS_r03), r4 covered the r3/r4 additions (50/50 green in
-# CORRECTNESS_r04).  The active r5 list is below; r6/r7 are staged
-# as comments so each round's flip is a single edit, pinned by
+# CORRECTNESS_r04).  The active r7 list is below; r8 is staged
+# as a comment so each round's flip is a single edit, pinned by
 # tests/test_registry.py::test_staged_windows_are_flippable.
 # New oracle keys always enter the NEWEST staged window (currently
 # R8, replacing tail re-confirmations) so every oracle key gets a
 # driver row within two window flips.
 #
-# Round-6 ACTIVE window (flipped at the start of round 6): the 22
-# oracle-backed keys added in r3 (plans/insights.py) plus
-# split_group_aware (the one key still without any driver row after
-# r3-r5), then 27 r1-green re-confirmations — after r6 every key has
-# a driver row at most 5 rounds old.  The r5 window (privacy_tokenize
-# … running_total_user) went 50/50 green in CORRECTNESS_r05.
+# Round-7 ACTIVE window (flipped at the start of round 7): the 26
+# oracle-backed keys ADDED in r5 (rotation invariant: new oracle
+# keys enter the newest staged window), then the 19 oracle-backed
+# keys with no driver row after r1-r3 and no slot in r4-r6 (the 14
+# r4 additions + the 5 late-r3 stats queries), then 5 of the first
+# r6 oracle additions — after r7 only the 8 R8-staged keys still
+# lack a driver row.  The r6 window (events_ab_test …
+# tpch_q8_mkt_share) went 50/50 green in CORRECTNESS_r06.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "events_ab_test", "events_dau_mau", "metric_hod_dow_heatmap",
-    "quality_iqr_outliers", "orders_open_aging",
-    "embedding_norm_stats", "events_interarrival_cv",
-    "text_hapax_ratio", "text_bigram_logprob",
-    "metric_slo_error_budget", "dedup_cluster_sizes",
-    "sessions_bounce", "orders_repeat_rate", "events_markov_accuracy",
-    "corpus_dedup_impact", "embedding_pair_cosine_hist",
-    "lineitem_ship_delay", "graph_degree_hist",
-    "funnel_window_depth", "events_retention_bitmap_wide",
-    "corpus_heaps_law", "events_ab_test_cuped",
-    "split_group_aware", "agg_filtered",
-    "agg_rejected", "agg_grouped", "agg_rollup", "agg_multi_rule",
-    "agg_distinct_users", "agg_median", "agg_distinct_hll",
-    "agg_distinct_rollup_hll", "agg_p95_sketch",
-    "agg_percentile_bands", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q14", "tpch_q18", "topk_per_group", "events_daily_user",
-    "tpch_q4_semijoin", "tpch_q22_antijoin", "tpch_q19_disjunct",
-    "argmax_per_group", "rollup_pricing", "cube_volume",
-    "pivot_events_user", "tpch_q7_two_nation", "tpch_q8_mkt_share",
+    "metric_lead_lag", "metric_topk_movers",
+    "corpus_source_overlap", "dedup_threshold_sweep",
+    "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
+    "decontaminate_embedding", "sample_importance_dsir",
+    "embedding_hard_negatives", "class_balance_weights",
+    "metric_p95_trend", "metric_histogram_native",
+    "lang_entropy_by_source", "metric_longest_gap",
+    "region_revenue_yoy", "orders_segment_migration",
+    "events_trailing_1h", "part_price_spread",
+    "lineitem_discount_uplift", "metric_psi",
+    "text_jsd_by_source", "embedding_intrinsic_dim",
+    "text_burstiness", "sessions_top_paths",
+    "lineitem_return_rate",
+    "events_variant_props", "revenue_gini_by_nation", "orders_benford",
+    "events_survival_hazard", "corpus_spearman", "orders_backlog",
+    "orders_consistency_audit", "profile_drift", "events_dup_rate",
+    "text_pii_audit", "embedding_dim_variance", "orders_gap_summary",
+    "sessions_capped", "corpus_ks_by_source", "lang_source_chi2",
+    "embedding_knn_accuracy", "events_attribution_ushape",
+    "supplier_scorecard", "nation_trade_matrix",
+    "sample_consistent_k_group", "corpus_ngram_coverage",
+    "embedding_quantize_error", "dedup_minhash_estimate",
+    "graph_pagerank_exact",
 )
 # Round-5 window (retired after CORRECTNESS_r05 went 50/50 green):
 # privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
@@ -76,51 +82,26 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # asof_purchase_click, anomaly_zscore, metric_histogram,
 # funnel_conversion, sessions_user, moving_avg_user, lag_delta_user,
 # running_total_user.
-# Round-7 rotation (staged): the 26 oracle-backed keys ADDED in r5
-# (rotation invariant: new oracle keys enter the newest staged
-# window), then the 19 oracle-backed keys with no driver row after
-# r1-r3 and no slot in r4-r6 (the 14 r4 additions + the 5 late-r3
-# stats queries), then 5 oldest re-confirmations (r1-checked keys
-# not re-staged in R5/R6, then the oldest r3-window keys; the 26
-# dropped to make room — order_shuffle, sample_epoch_repeat,
-# dedup_semantic_cells, dedup_containment, sample_weighted_k,
-# sample_budget_mix, sample_top_p_source, corpus_diff,
-# order_curriculum, grouping_sets_mixed, pack_length_buckets,
-# agg_sliding, metric_correlation, metric_winsorize,
-# metric_downsample_m4, metric_alert_hysteresis, agg_stddev,
-# metric_gapfill, events_retention, range_join_ship,
-# sample_consistent_k, tpch_q21_waiting, sample_quota_source,
-# tpch_q17_avg_qty, tpch_q16_suppcnt, tpch_q20_excess — are
-# r1/r2/r3-green re-confirmations, not coverage gaps).
-# _DRIVER_WINDOW_R7: tuple[str, ...] = (
-#     "metric_lead_lag", "metric_topk_movers",
-#     "corpus_source_overlap", "dedup_threshold_sweep",
-#     "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
-#     "decontaminate_embedding", "sample_importance_dsir",
-#     "embedding_hard_negatives", "class_balance_weights",
-#     "metric_p95_trend", "metric_histogram_native",
-#     "lang_entropy_by_source", "metric_longest_gap",
-#     "region_revenue_yoy", "orders_segment_migration",
-#     "events_trailing_1h", "part_price_spread",
-#     "lineitem_discount_uplift", "metric_psi",
-#     "text_jsd_by_source", "embedding_intrinsic_dim",
-#     "text_burstiness", "sessions_top_paths",
-#     "lineitem_return_rate",
-#     "events_variant_props", "revenue_gini_by_nation", "orders_benford",
-#     "events_survival_hazard", "corpus_spearman", "orders_backlog",
-#     "orders_consistency_audit", "profile_drift", "events_dup_rate",
-#     "text_pii_audit", "embedding_dim_variance", "orders_gap_summary",
-#     "sessions_capped", "corpus_ks_by_source", "lang_source_chi2",
-#     "embedding_knn_accuracy", "events_attribution_ushape",
-#     "supplier_scorecard", "nation_trade_matrix",
-#     "sample_consistent_k_group", "corpus_ngram_coverage",
-#     "embedding_quantize_error", "dedup_minhash_estimate",
-#     "graph_pagerank_exact",
-# )
+# Round-6 window (retired after CORRECTNESS_r06 went 50/50 green):
+# events_ab_test, events_dau_mau, metric_hod_dow_heatmap,
+# quality_iqr_outliers, orders_open_aging, embedding_norm_stats,
+# events_interarrival_cv, text_hapax_ratio, text_bigram_logprob,
+# metric_slo_error_budget, dedup_cluster_sizes, sessions_bounce,
+# orders_repeat_rate, events_markov_accuracy, corpus_dedup_impact,
+# embedding_pair_cosine_hist, lineitem_ship_delay, graph_degree_hist,
+# funnel_window_depth, events_retention_bitmap_wide, corpus_heaps_law,
+# events_ab_test_cuped, split_group_aware, agg_filtered, agg_rejected,
+# agg_grouped, agg_rollup, agg_multi_rule, agg_distinct_users,
+# agg_median, agg_distinct_hll, agg_distinct_rollup_hll,
+# agg_p95_sketch, agg_percentile_bands, tpch_q3, tpch_q5, tpch_q6,
+# tpch_q14, tpch_q18, topk_per_group, events_daily_user,
+# tpch_q4_semijoin, tpch_q22_antijoin, tpch_q19_disjunct,
+# argmax_per_group, rollup_pricing, cube_volume, pivot_events_user,
+# tpch_q7_two_nation, tpch_q8_mkt_share.
 # (The 5 r1-green tail re-confirmations tpch_q9_profit/q10/q11/q13/q15
-# were displaced by the first 5 oracle keys ADDED in r6 — the rotation
-# invariant: new oracle keys enter the newest staged window so every
-# key has a driver row by the end of R7.)
+# were displaced from R7 by the first 5 oracle keys ADDED in r6 — the
+# rotation invariant: new oracle keys enter the newest staged window
+# so every key has a driver row by the end of R7.)
 # Round-8 rotation (staged): r6 oracle keys that no longer fit R7
 # (it holds the 45 keys still missing any driver row + the first 5 r6
 # additions), then the 5 tpch re-confirmations R7 displaced, then the

@@ -306,3 +306,54 @@ def write_audit_publish(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return {"published": True, "n_rows": n_rows, "checks": results}
+
+
+def committed_sink_files(out_dir: str) -> list[str]:
+    """Files the streaming file sink has COMMITTED, per its
+    ``_spark_metadata`` log — the reader half of the reference's
+    publish-then-commit contract (server.go:222-258: output becomes
+    visible only at offset commit).
+
+    A stopped/killed query can abort an in-flight ``addBatch`` and
+    leave orphan part files in the directory while the abort cleans
+    them up; metadata-aware readers (Spark itself, when it reads a
+    directory that carries ``_spark_metadata``) never see those.
+    Listing the directory raw races that cleanup — this helper reads
+    the commit log instead, so callers observe exactly the committed
+    prefix.
+
+    Compaction contract: every ``spark.sql.streaming.fileSink.log
+    .compactInterval``-th batch (default 10) writes ``N.compact``
+    re-listing every prior entry; the per-batch files it supersedes
+    may still sit beside it, so concatenating all log files would
+    double-count every pre-compaction batch.  Keep the newest compact
+    plus strictly-later per-batch logs.
+    """
+    import json
+
+    meta = os.path.join(out_dir, "_spark_metadata")
+    if not os.path.isdir(meta):
+        return []
+    entries = []  # (batch_id, is_compact, filename)
+    for name in os.listdir(meta):
+        if name.startswith("."):
+            continue  # in-progress temp files
+        stem, _, suffix = name.partition(".")
+        if not stem.isdigit():
+            continue
+        entries.append((int(stem), suffix == "compact", name))
+    compacts = [e for e in entries if e[1]]
+    floor = max(c[0] for c in compacts) if compacts else -1
+    keep = sorted(
+        e for e in entries if (e[1] and e[0] == floor) or e[0] > floor
+    )
+    files: list[str] = []
+    for _, _, name in keep:
+        with open(os.path.join(meta, name)) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    if "path" in rec:
+                        files.append(rec["path"])
+    return files

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import pytest
 
@@ -81,8 +82,16 @@ def test_cli_file_mode_end_to_end(spark, tmp_path):
     )
     assert rc == 0
 
+    # Read the sink through its _spark_metadata commit log, not a raw
+    # glob: a bounded-run stop can abort an in-flight batch whose
+    # uncommitted part files are still being cleaned up when main()
+    # returns (publish-then-commit, reference server.go:222-258) —
+    # committed files are the sink's actual output contract.
+    from monasca_aggregator_spark.sources.sinks import committed_sink_files
+
     out_lines = []
-    for p in (sink / "sum_metric2").glob("*.txt"):
+    for path in committed_sink_files(str(sink / "sum_metric2")):
+        p = Path(path.removeprefix("file:"))
         out_lines += [
             ln for ln in p.read_text().splitlines() if ln.strip()
         ]

@@ -55,9 +55,9 @@ def test_broken_plan_module_raises():
 import pytest
 
 
-@pytest.mark.parametrize("tag", ["R7", "R8"])
+@pytest.mark.parametrize("tag", ["R8"])
 def test_staged_windows_are_flippable(tag):
-    """The commented _DRIVER_WINDOW_R5/R6/R7 blocks must stay valid while
+    """The commented _DRIVER_WINDOW_R8 (and later) blocks must stay valid while
     the registry evolves: every staged key registered + oracle-backed,
     no duplicates, exactly 50 entries — so each round's flip is one
     edit, not an archaeology session."""
