@@ -78,6 +78,53 @@ SELECT id_a, id_b, jaccard FROM pairs
 
 _MH_EST_H = 16  # signature length for the oracle-backed estimator
 _MH_EST_P = 2147483647  # Mersenne prime 2^31-1 (permutation modulus)
+_EST_CAP = 500  # calibration-sample doc bound for the estimator gates
+_EST_MULT = 2654435761
+
+
+def _calibration_docs(docs: DataFrame, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sample bounding the two estimator GATES at
+    bench SF (r6 verdict #5): the estimators measure error statistics
+    (E[matches/H] = J; hamming ≈ θ/π), and a few hundred docs' worth
+    of pairs carries the same statistics as every pair in the corpus —
+    the `decontaminate_embedding` stand-in pattern.  every =
+    max(1, n_docs // _EST_CAP), selection by multiplicative hash of
+    doc_id (SQL-reproducible, rerun-stable).  n_docs comes from the
+    parquet FOOTER (a microsecond metadata read, no Spark job — a
+    count-via-broadcast-crossJoin variant kept the plan lazy but
+    blocked codegen/pushdown and measured 7.1 s vs 1.3 s for the
+    downstream shingle explosion at sf0.1), so `every` is a LITERAL
+    and the filter rides the scan.  At the oracle SF (≤ 2×_EST_CAP
+    docs) every = 1 keeps the whole corpus, so the sampled relation —
+    mirrored by the docs_s CTE in the estimator oracles — is
+    identical to the unsampled one."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # directory datasets / exotic layouts
+        n = docs.count()
+    every = max(1, n // _EST_CAP)
+    if every == 1:
+        return docs
+    pri = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MH_EST_P)) * F.lit(_EST_MULT),
+        F.lit(_MH_EST_P),
+    )  # two-step mod: id*MULT overflows BIGINT past ~2^32 ids
+    return docs.filter(F.pmod(pri, F.lit(every)) == 0)
+
+
+# Oracle twin of _calibration_docs: identical hash, identical every.
+_EST_DOCS_CTE = f"""docs_s AS (
+  SELECT d.* FROM documents d,
+       (SELECT greatest(count(*) // {_EST_CAP}, 1) AS every
+        FROM documents) n
+  WHERE ((d.doc_id % {_MH_EST_P}) * {_EST_MULT}) % {_MH_EST_P}
+          % n.every = 0
+)"""
 
 
 def _mh_a(j: int) -> int:
@@ -115,10 +162,15 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard-bounded calibration sample — signature cost is bounded by
     the same cap, and no pruning machinery is needed (a
     checkpoint+semi-join variant measured SLOWER at test SF than this
-    single lazy plan). Output: (id_a, id_b, jaccard, matches,
-    jaccard_est, abs_err), err bounded in tests
+    single lazy plan). On top of the guard, the gate runs on the
+    deterministic `_calibration_docs` hash-sample (keep-all at the
+    oracle SF, ~_EST_CAP docs at bench SF) — the estimator's error
+    statistics don't need every pair. Output: (id_a, id_b, jaccard,
+    matches, jaccard_est, abs_err), err bounded in tests
     (σ = √(J(1−J)/16) ≈ 0.12)."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    docs = _calibration_docs(
+        load_table(spark, sf_dir, "documents", fan_out=True), sf_dir
+    )
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -175,8 +227,17 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_A_SQL = ", ".join(str(_mh_a(j)) for j in range(1, _MH_EST_H + 1))
 
+# The estimator oracles ride the SAMPLED corpus (docs_s ≡
+# _calibration_docs): same shingle/pair CTE chain, sourced from the
+# hash-sample so Spark and DuckDB see the identical doc set at any SF.
+_EST_NGRAM_CTES = (
+    _EST_DOCS_CTE
+    + ", "
+    + _NGRAM_CTES.replace("FROM documents", "FROM docs_s")
+)
+
 ORACLE_MINHASH_ESTIMATE = f"""
-WITH {_NGRAM_CTES},
+WITH {_EST_NGRAM_CTES},
 bases AS (
   SELECT doc_id,
          list_transform(shingles, s ->
@@ -231,9 +292,12 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries NO trigonometry (acos/cos differ by ulps across
     engines): (id_a, id_b, jaccard, hamming, ham_frac). The inverse
     hamming↔similarity relation is pinned in tests. Bounded BY
-    CONSTRUCTION via the pair generator's max_docs guard, like the
+    CONSTRUCTION via the pair generator's max_docs guard, and bounded
+    at bench SF by the `_calibration_docs` hash-sample, like the
     MinHash twin."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    docs = _calibration_docs(
+        load_table(spark, sf_dir, "documents", fan_out=True), sf_dir
+    )
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -287,7 +351,7 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIMHASH_ESTIMATE = f"""
-WITH {_NGRAM_CTES},
+WITH {_EST_NGRAM_CTES},
 xs AS (
   SELECT doc_id,
          list_transform(shingles, s ->
