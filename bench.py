@@ -256,6 +256,23 @@ BENCH_QUERIES = [
     "quality_by_lang_source",
 ]
 
+# CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the
+# measurement — index builds, exact pair generation for estimator
+# error, power-iteration oracles. Reported in their own stanza
+# (gates_sec) so the engine total trends clean.
+GATE_QUERIES = frozenset(
+    [
+        "ann_recall_report",
+        "sketch_error_report",
+        "dedup_threshold_sweep",
+        "dedup_lsh_calibration",
+        "ann_nprobe_sweep",
+        "dedup_minhash_estimate",
+        "dedup_simhash_estimate",
+        "graph_pagerank_exact",
+    ]
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -301,12 +318,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Two stanzas (VERDICT r6 #4): CALIBRATION GATES measure estimator /
+    # index quality and their cost IS the measurement (index builds,
+    # exact pair generation, power iteration); ENGINE queries are the
+    # product surface. Folding both into one total buried engine
+    # regressions under gate composition (~25% of r6's headline total
+    # was gates). value stays the combined total for cross-round
+    # continuity; engine_sec is the number to trend.
+    engine_total = round(
+        sum(v for k, v in timings.items() if k not in GATE_QUERIES), 3
+    )
+    gates_total = round(total - engine_total, 3)
     worst5 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
     out = {
         "metric": "headline_queries_total",
         "value": total,
+        "engine_sec": engine_total,
+        "gates_sec": gates_total,
+        # host canary: a plan-stable sub-second query for cross-round
+        # host-speed calibration (r6's +57 s decomposed as new gates +
+        # a ~1.3x slower driver host; the canary makes that factor
+        # readable straight from the artifact)
+        "host_canary_tpch_q1_sec": timings.get("tpch_q1"),
         "unit": "sec",
         # compact on purpose: BENCH_r02 showed the driver's tail capture
         # truncates a full 136-query map — only the worst-5 ride the
@@ -378,32 +413,85 @@ def main() -> None:
             # a plan change; plan untouched since r1)
             "agg_multi_rule": 9.0,
         }
+        # Every raised bound carries its adjudication IN the artifact
+        # (VERDICT r6 #7): silent bound-raises are how gates go
+        # toothless. The record is emitted into the soak entry so
+        # BENCH_FULL self-documents why the bound is what it is.
+        SOAK_RATIO_ADJUDICATION = {
+            "dedup_minhash": {
+                "old": 10.6,
+                "new": 15.0,
+                "spread": "10.59 r5; 9.8-12.2 across r6 runs",
+                "reason": "documented pair-output cost model "
+                "(replica texts identical -> verified pairs grow "
+                "~sum(cluster^2), not corpus size) + host headroom",
+            },
+            "agg_multi_rule": {
+                "old": 6.0,
+                "new": 9.0,
+                "spread": "3.89-7.64 across four same-build r6 runs",
+                "reason": "noisy quotient of two sub-second times "
+                "under x8 cache pressure; adjudicated as host "
+                "variance, plan unchanged since r1",
+            },
+        }
         soak: dict[str, dict[str, float]] = {}
         soak_exceeded: list[str] = []
-        for name in soak_queries:
+
+        def _soak_run(name: str) -> float | None:
             spark.catalog.clearCache()
             try:
                 t0 = time.time()
                 queries[name](spark, soak_dir).count()
-                xn = time.time() - t0
+                return time.time() - t0
             except Exception as exc:  # pragma: no cover
                 print(f"# soak {name} failed: {exc}", file=sys.stderr)
+                return None
+
+        for name in soak_queries:
+            xn = _soak_run(name)
+            if xn is None:
                 continue
             base = timings.get(name)
-            entry = {"xN_sec": round(xn, 3)}
+            entry: dict[str, object] = {"xN_sec": round(xn, 3)}
             if base:
                 entry["ratio"] = round(xn / base, 2)
                 entry["expected_max"] = SOAK_RATIO_EXPECTED.get(
                     name, SOAK_RATIO_DEFAULT
                 )
+                if name in SOAK_RATIO_ADJUDICATION:
+                    entry["adjudication"] = SOAK_RATIO_ADJUDICATION[name]
                 if entry["ratio"] > entry["expected_max"]:
-                    soak_exceeded.append(name)
-                    print(
-                        f"# VIOLATION soak {name}: ratio "
-                        f"{entry['ratio']} > expected "
-                        f"{entry['expected_max']} (super-linear plan?)",
-                        file=sys.stderr,
-                    )
+                    # Gate on the MEDIAN of 3 runs, not one noisy
+                    # quotient (ADVICE r6): a single ratio can be 2x
+                    # off on a loaded host; a genuine super-linear
+                    # plan exceeds the bound in the median too.
+                    extra = [
+                        x for x in (_soak_run(name) for _ in range(2))
+                        if x is not None
+                    ]
+                    runs = sorted([xn, *extra])
+                    med = runs[len(runs) // 2]
+                    entry["ratio_median_of_3"] = round(med / base, 2)
+                    entry["runs_sec"] = [round(x, 3) for x in runs]
+                    if entry["ratio_median_of_3"] > entry["expected_max"]:
+                        soak_exceeded.append(name)
+                        print(
+                            f"# VIOLATION soak {name}: median ratio "
+                            f"{entry['ratio_median_of_3']} > expected "
+                            f"{entry['expected_max']} (super-linear "
+                            f"plan?)",
+                            file=sys.stderr,
+                        )
+                    else:
+                        print(
+                            f"# soak {name}: first-run ratio "
+                            f"{entry['ratio']} exceeded "
+                            f"{entry['expected_max']} but median-of-3 "
+                            f"{entry['ratio_median_of_3']} is inside — "
+                            f"host noise, not a plan change",
+                            file=sys.stderr,
+                        )
             soak[name] = entry
             print(
                 f"# soak x{soak_factor} {name}: {xn:.2f}s"
@@ -413,7 +501,11 @@ def main() -> None:
         full["soak"] = {"factor": soak_factor, "queries": soak}
         out["soak_factor"] = soak_factor
         out["soak_worst_ratio"] = max(
-            (q.get("ratio", 0.0) for q in soak.values()), default=None
+            (
+                q.get("ratio_median_of_3", q.get("ratio", 0.0))
+                for q in soak.values()
+            ),
+            default=None,
         )
         out["soak_exceeded"] = soak_exceeded
 

@@ -2,6 +2,9 @@
 team actually runs, built from this package's operators —
 
     raw documents
+      → HTML main-content extraction (raw-HTML rows replaced by their
+        boilerplate-stripped main text, all-chrome pages dropped —
+        jusText-lite, operators/html.py; plain-text rows pass through)
       → exact dedup (hash groupBy keepers)
       → near-dup removal (MinHash/LSH pairs → star-contraction
         components → canonical survivor per cluster)
@@ -40,6 +43,7 @@ from monasca_aggregator_spark.operators.sampling import (
     stratified_sample,
     top_p_by_mass,
 )
+from monasca_aggregator_spark.operators.html import html_main_content
 from monasca_aggregator_spark.operators.textops import quality_scores
 
 
@@ -73,6 +77,21 @@ def curate_corpus(
         stages.append((stage, int(row["n"]), int(row["c"])))
 
     record("raw", docs)
+
+    # 0. HTML main-content extraction: rows whose text is raw HTML are
+    # replaced by their extracted main content (jusText-lite link-
+    # density/length classifier); pages that are ALL chrome extract to
+    # nothing and drop here — the quality stages below must never score
+    # tag soup. Plain-text rows pass through byte-identical, so the
+    # stage is a no-op on already-clean corpora.
+    docs = html_main_content(docs)
+    docs = docs.withColumn(
+        "n_chars",
+        F.when(F.col("_was_html"), F.length("text")).otherwise(
+            F.col("n_chars")
+        ),
+    ).drop("_was_html")
+    record("html_extract", docs)
 
     # 1. exact dedup: keep each normalized-text group's min-id doc
     keepers = exact_dedup(docs).select(

@@ -1,0 +1,163 @@
+"""HTML → main-content extraction (boilerplate removal), jusText-lite.
+
+Real training corpora start at HTML, not clean text: navigation bars,
+sidebars, footers and share-button chrome dominate raw pages, and a
+pipeline that scores "quality" on tag soup trains on chrome.  This
+module is the missing FIRST stage of the curation pipeline (VERDICT r6
+"What's missing" #5): strip non-content markup, segment the page into
+block-level units, classify each block as content vs boilerplate by
+LINK DENSITY and length — the published jusText / readability line
+(Pomikálek 2011, "Removing boilerplate and duplicate content from web
+corpora"; Arc90 readability's link-density heuristic) reduced to the
+two signals that survive cross-engine SQL reproduction.
+
+Everything is JVM-side: regexp_replace / split / higher-order array
+functions — no Python in the row path, so the extractor rides
+whole-stage codegen-adjacent expression evaluation and scales like any
+other projection (one pass, no shuffle, no state).  Every regex is
+written in the common subset of Java regex (Spark) and RE2 (DuckDB):
+no backreferences (script/style each get their own pattern), inline
+``(?is)`` flags, non-greedy ``.*?``, non-capturing groups.
+
+Classifier (documented contract, pinned by tests + the DuckDB oracle):
+a block is CONTENT iff its tag-stripped, entity-decoded, whitespace-
+collapsed text has ``len >= MIN_BLOCK_CHARS`` and anchor text makes up
+at most a third of it (``3 * link_chars <= len`` — integer-exact on
+both engines).  No entity table beyond the big five, no stopword
+model, no context smoothing (full jusText's NEAR_GOOD propagation) —
+scope documented here and in tests.
+
+Reference parity note: the reference engine (metrics-only, Go) has no
+text surface at all; this operator exists for the LLM-pipeline brief,
+not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# block is content iff len >= MIN_BLOCK_CHARS and 3*link_chars <= len
+MIN_BLOCK_CHARS = 25
+
+# Tags whose open/close boundaries delimit text blocks (block-level
+# HTML elements + <br>). Split pattern shared verbatim with the oracle.
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article"
+    "|header|footer|nav|aside|blockquote|pre|figure|figcaption|main"
+    "|form|fieldset|hr|br"
+    # structural tags too, so head/title text isolates into its own
+    # (short, hence dropped) block instead of bleeding into content
+    "|html|head|body|title"
+)
+BLOCK_SPLIT_RE = rf"(?i)</?(?:{_BLOCK_TAGS})(?:\s[^>]*)?/?>"
+
+# <a ...>inner</a> — inner text measured for link density. RE2 has no
+# backreferences, so the anchor close tag is spelled literally.
+ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+
+_NOISE_RES = (
+    r"(?is)<script(?:\s[^>]*)?>.*?</script>",
+    r"(?is)<style(?:\s[^>]*)?>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+
+_ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+             ("&gt;", ">"), ("&quot;", '"'))
+
+
+def strip_noise(html: Column) -> Column:
+    """Remove non-content markup wholesale: <script>/<style> bodies
+    (their text is code, never content) and comments."""
+    out = html
+    for pat in _NOISE_RES:
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def _decode_entities(text: Column) -> Column:
+    for ent, ch in _ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    return text
+
+
+def block_text(block: Column) -> Column:
+    """Tag-strip, entity-decode, whitespace-collapse, trim — the
+    canonical text of one block, identical algebra on both engines."""
+    raw = F.regexp_replace(block, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(_decode_entities(raw), r"\s+", " "))
+
+
+def block_structs(html: Column) -> Column:
+    """array<struct<t: string, lc: int>> — every block's canonical
+    text beside its total anchor-text length (the link-density
+    numerator). One expression tree, no shuffle."""
+    blocks = F.split(strip_noise(html), BLOCK_SPLIT_RE)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            block_text(b).alias("t"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(ANCHOR_RE), 1),
+                F.lit(0),
+                lambda acc, a: acc + F.length(block_text(a)),
+            ).alias("lc"),
+        ),
+    )
+
+
+def _is_content(s: Column) -> Column:
+    return (F.length(s["t"]) >= F.lit(MIN_BLOCK_CHARS)) & (
+        F.lit(3) * s["lc"] <= F.length(s["t"])
+    )
+
+
+def main_text(html: Column) -> Column:
+    """The extracted main content: content blocks joined by ' '."""
+    kept = F.filter(block_structs(html), _is_content)
+    return F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+
+
+def extract_main(
+    df: DataFrame, html_col: str = "html", out_col: str = "main_text"
+) -> DataFrame:
+    """Dataset-level entry: adds ``out_col`` (extracted main content),
+    ``n_blocks`` (non-empty blocks) and ``n_kept`` (content blocks).
+    Quarantine contract (the 17d JSONL pattern): rows whose page
+    yields NO content blocks keep ``out_col = ''`` and are flagged
+    ``_quarantined = true`` instead of being dropped silently."""
+    ss = block_structs(F.col(html_col))
+    nonempty = F.filter(ss, lambda s: F.length(s["t"]) > 0)
+    kept = F.filter(ss, _is_content)
+    main = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    return df.select(
+        "*",
+        main.alias(out_col),
+        F.size(nonempty).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) == 0).alias("_quarantined"),
+    )
+
+
+def html_main_content(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Curation-pipeline stage: detect rows whose ``text_col`` is raw
+    HTML (a real block/anchor/html tag present) and replace it with
+    the extracted main content; plain-text rows pass through
+    unchanged. Rows whose page extracts to NOTHING are dropped (the
+    curation semantics of quarantine — a page that is all chrome
+    carries no trainable text), counted by the funnel via the
+    returned ``_was_html`` flag."""
+    is_html = F.col(text_col).rlike(
+        r"(?is)<(?:html|body|p|div|a|li|h[1-6])(?:\s[^>]*)?>"
+    )
+    extracted = F.when(is_html, main_text(F.col(text_col))).otherwise(
+        F.col(text_col)
+    )
+    out = df.withColumn("_was_html", is_html).withColumn(
+        text_col, extracted
+    )
+    return out.filter(
+        (~F.col("_was_html")) | (F.length(F.col(text_col)) > 0)
+    )

@@ -23,14 +23,17 @@ def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
     m = {r.stage: (r.n_docs, r.total_chars) for r in manifest.collect()}
     assert list(m) == [
         "raw",
+        "html_extract",
         "exact_dedup",
         "near_dedup",
         "quality_top_p",
         "lang_rebalance",
         "packed",
     ]
+    # plain-text corpus: the HTML stage is a byte-identical pass-through
+    assert m["html_extract"] == m["raw"]
     # monotone non-increasing doc counts through the filters
-    order = ["raw", "exact_dedup", "near_dedup", "quality_top_p", "lang_rebalance"]
+    order = ["raw", "html_extract", "exact_dedup", "near_dedup", "quality_top_p", "lang_rebalance"]
     for a, b in zip(order, order[1:]):
         assert m[b][0] <= m[a][0]
     # the pipeline as a whole did real work (this corpus has near-dups
@@ -82,6 +85,7 @@ def test_curate_corpus_with_decontamination_and_dsir(spark, sf_small):
     m = {r.stage: r.n_docs for r in manifest.collect()}
     assert list(m) == [
         "raw",
+        "html_extract",
         "exact_dedup",
         "near_dedup",
         "decontaminate",

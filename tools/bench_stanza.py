@@ -31,10 +31,16 @@ def main() -> int:
         f"sf{full.get('sf')} in **{total} s {proto}** "
         f"(BENCH_FULL.json; worst-5: {worst_s}).",
     ]
+    if "engine_sec" in full:
+        lines.append(
+            f"Engine stanza {full['engine_sec']} s + calibration "
+            f"gates {full['gates_sec']} s; host canary tpch_q1 "
+            f"{full.get('host_canary_tpch_q1_sec')} s."
+        )
     soak = full.get("soak")
     if soak:
         ratios = {
-            k: v["ratio"]
+            k: v.get("ratio_median_of_3", v["ratio"])
             for k, v in soak["queries"].items()
             if "ratio" in v
         }
@@ -45,7 +51,8 @@ def main() -> int:
                 for k, v in soak["queries"].items()
                 if "ratio" in v
                 and "expected_max" in v
-                and v["ratio"] > v["expected_max"]
+                and v.get("ratio_median_of_3", v["ratio"])
+                > v["expected_max"]
             ]
             lines.append(
                 f"Soak ×{soak['factor']}: worst ratio {wv} ({wk}); "
