@@ -37,7 +37,11 @@ class _SentenceSplit:
             return
         idx = 0
         for raw in str(text).split("."):
-            unit = raw.strip()
+            # strip ASCII space ONLY: the JVM twin uses F.trim, which
+            # removes just ' ' — bare str.strip() removes all Unicode
+            # whitespace (\t, \n, NBSP) and breaks the pinned
+            # row-for-row equivalence on tab/newline-adjacent units
+            unit = raw.strip(" ")
             if unit:
                 yield doc_id, idx, unit
                 idx += 1

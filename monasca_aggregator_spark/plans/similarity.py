@@ -423,9 +423,18 @@ def q_embedding_centroid_accuracy(
             ).astype(np.int64)
             dots = x6 @ m.T  # exact int64
             nx = np.sqrt((x6 * x6).sum(axis=1).astype(np.float64))
-            # oracle algebra: dot / (sqrt(nx)·sqrt(nc)), ONE division
-            cos = dots.astype(np.float64) / (nx[:, None] * nc[None, :])
-            cos6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            # oracle algebra: dot / (sqrt(nx)·sqrt(nc)), ONE division.
+            # Zero-norm guard (ADVICE r6): a vector/centroid whose
+            # components all e6-quantize to 0 would yield 0/0 → NaN →
+            # undefined int cast; both engines pin the sentinel
+            # cos6 = -1000000 (cosine -1) so the argmax stays the
+            # deterministic smallest-label pick.
+            denom = nx[:, None] * nc[None, :]
+            safe = np.where(denom == 0.0, 1.0, denom)
+            cos6 = np.floor(
+                dots.astype(np.float64) / safe * 1e6 + 0.5
+            ).astype(np.int64)
+            cos6 = np.where(denom == 0.0, np.int64(-1000000), cos6)
             # columns are label-ascending: argmax's first-max pick IS
             # the (cos6 desc, label asc) tie-break
             idx = np.argmax(cos6, axis=1)
@@ -478,10 +487,14 @@ WITH v AS (
   SELECT label AS cand, list(m ORDER BY dim) AS mv FROM cent GROUP BY 1
 ), scored AS (
   SELECT x.vec_id, x.label, c.cand,
-         CAST(floor(list_dot_product(x.xe, c.mv)
-                / (sqrt(list_dot_product(x.xe, x.xe))
-                   * sqrt(list_dot_product(c.mv, c.mv)))
-                * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cos6
+         CASE WHEN list_dot_product(x.xe, x.xe) = 0
+                OR list_dot_product(c.mv, c.mv) = 0
+              THEN CAST(-1000000 AS BIGINT)  -- zero-norm sentinel
+              ELSE CAST(floor(list_dot_product(x.xe, c.mv)
+                     / (sqrt(list_dot_product(x.xe, x.xe))
+                        * sqrt(list_dot_product(c.mv, c.mv)))
+                     * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+         END AS cos6
   FROM xe x CROSS JOIN cl c
 ), pred AS (
   SELECT vec_id, label, cand AS predicted

@@ -152,6 +152,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # agg_max, agg_delta, agg_rate, tpch_q1, tpch_q12_latecount.
 
 
+# Queries that EXECUTE at build time by documented contract: they
+# materialize a bounded (≤ handful of rows) report eagerly so their
+# internal caches release inside the builder — the bench runs 200+
+# queries in one session and a lazily returned plan would pin the
+# caches until the caller collects. Catalog/explain tooling must NOT
+# build these just to inspect schema/plan (ADVICE r6): building IS
+# running them.
+EAGER_QUERIES: frozenset[str] = frozenset({"ann_recall_report"})
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():

@@ -33,6 +33,11 @@ def test_udtf_matches_jvm_split(spark):
             (4, ""),
             (5, None),
             (6, " padded .  units . "),
+            # tab/newline-adjacent units: F.trim strips ONLY ASCII
+            # space, and the UDTF must agree (strip(' '), not the
+            # all-Unicode-whitespace str.strip())
+            (7, "tab\there.\n newline led . trailing tab\t. x"),
+            (8, "\nlead. mid \t mid. trail\n"),
         ],
         "doc_id long, text string",
     )
