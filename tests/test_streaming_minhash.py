@@ -1,0 +1,125 @@
+"""Streaming incremental MinHash index maintenance
+(streaming/pipeline.minhash_index_sink, the r6-verdict stretch):
+stream-ingested index ≡ batch-built index row for row, probe parity
+for a new drop, per-commit lineage, and exactly-once replay."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.operators.dedup import (
+    minhash_index,
+    minhash_lsh_pairs_incremental,
+)
+from monasca_aggregator_spark.sources.table_log import (
+    snapshot_read,
+    snapshot_versions,
+)
+from monasca_aggregator_spark.streaming.pipeline import minhash_index_sink
+
+# crafted corpus: 1<->2 near-identical, 3 unrelated, 4<->5 near-identical
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river side"),
+    (3, "completely different subject matter about spark structured streaming state"),
+    (4, "metrics aggregation windows publish after the configured lag deadline passes"),
+    (5, "metrics aggregation windows publish after the configured lag deadline elapses"),
+    (6, "a third unrelated document mentioning parquet snapshots and commit logs"),
+]
+# the probe drop: near-dup of doc 1 plus a fresh doc
+_DROP = [
+    (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (102, "nothing in the corpus resembles this sentence about adpcm audio codecs"),
+]
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _write_batches(src_dir, rows_per_file=2):
+    src_dir.mkdir()
+    for i in range(0, len(_DOCS), rows_per_file):
+        chunk = _DOCS[i : i + rows_per_file]
+        (src_dir / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in chunk
+            )
+            + "\n"
+        )
+
+
+def test_streamed_index_equals_batch_index_and_probe_parity(
+    spark, tmp_path
+):
+    src = tmp_path / "src"
+    _write_batches(src)
+    index_path = str(tmp_path / "mh_index")
+    docs_path = str(tmp_path / "docs_tbl")
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple commits
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_index_sink(index_path, docs_path=docs_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    docs = spark.createDataFrame(_DOCS, _SCHEMA)
+    batch_idx = minhash_index(docs)
+    stream_idx = snapshot_read(spark, index_path)
+
+    want = {tuple(r) for r in batch_idx.collect()}
+    got = {
+        tuple(r)
+        for r in stream_idx.select("doc_id", "band", "bucket").collect()
+    }
+    assert got == want, "streamed thin index != batch-built thin index"
+
+    # one commit per non-empty micro-batch (maxFilesPerTrigger=1)
+    assert len(snapshot_versions(index_path)) == 3
+    assert len(snapshot_versions(docs_path)) == 3
+
+    # probe parity: a new drop probing the streamed index finds exactly
+    # the pairs the batch index finds (id_new, id_indexed, jaccard)
+    drop = spark.createDataFrame(_DROP, _SCHEMA)
+    stream_docs = snapshot_read(spark, docs_path).select(
+        "doc_id", "text"
+    )
+    via_stream = {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            drop, stream_idx, stream_docs
+        ).collect()
+    }
+    via_batch = {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            drop, batch_idx, docs
+        ).collect()
+    }
+    assert via_stream == via_batch
+    # the near-dup of doc 1 is found; the fresh doc pairs with nothing
+    assert any(r[0] == 101 and r[1] == 1 for r in via_stream)
+    assert not any(r[0] == 102 for r in via_stream)
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    index_path = str(tmp_path / "mh_index")
+    docs = spark.createDataFrame(_DOCS[:2], _SCHEMA)
+    sink = minhash_index_sink(index_path)
+    sink(docs, 7)
+    v1 = snapshot_versions(index_path)
+    n1 = snapshot_read(spark, index_path).count()
+    sink(docs, 7)  # replay of the committed batch: must be a no-op
+    assert snapshot_versions(index_path) == v1
+    assert snapshot_read(spark, index_path).count() == n1
+    sink(docs.withColumn("doc_id", F.col("doc_id") + 100), 8)
+    assert len(snapshot_versions(index_path)) == len(v1) + 1
