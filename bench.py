@@ -254,6 +254,11 @@ BENCH_QUERIES = [
     "text_oov_rate",
     "orders_basket_size_hist",
     "quality_by_lang_source",
+    # r7 additions
+    "html_extract_main",
+    "html_chrome_stats",
+    "curation_url_filter",
+    "text_token_fertility",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

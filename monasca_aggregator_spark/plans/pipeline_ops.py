@@ -1262,9 +1262,133 @@ LIMIT {_DSIR_K}
 """.strip()
 
 
+# ---------------------------------------------- URL/domain filtering
+
+# deterministic URL synthesis: domain by doc_id % 8 (same expression
+# both engines), so the PARSE + policy rules are what's under test —
+# the entry gate every web corpus runs before content ever loads
+# (CCNet/fineweb line: blocklists, TLD policy, per-domain caps).
+_URL_DOMAINS = [
+    "news.example.com",
+    "blog.example.org",
+    "docs.example.net",
+    "forum.example.io",
+    "tracker-ads.example",
+    "spam-mirror.example",
+    "freebies.xyz",
+    "wiki.example.edu",
+]
+_URL_BLOCKLIST = ["tracker-ads.example", "spam-mirror.example"]
+_URL_CAP = 40  # max docs kept per domain (crawl-balance cap)
+_HOST_RE = r"https?://([^/]+)/"
+
+
+def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation gate — the stage that runs BEFORE the HTML
+    extractor in a real web pipeline: parse the host out of each
+    document's URL, then apply (in precedence order) the domain
+    BLOCKLIST (broadcast set membership), a TLD policy (.xyz here),
+    and a per-domain CAP (keep the first _URL_CAP docs by doc_id —
+    the crawl-balance rule that stops one hot domain from dominating
+    the corpus). URLs are synthesized deterministically (domain =
+    doc_id % 8) so the parse + policy arithmetic is what the oracle
+    pins.
+
+    Output: per-domain accounting (docs, per-reason drops, kept) —
+    bounded at the domain count.
+
+    Scale: blocklist/TLD are row-local; the cap is a rank inside each
+    domain (window PARTITIONED by host — never global), exactly the
+    per-group-limit shape WindowGroupLimit pushes down; a skewed
+    mega-domain is the documented salt-then-cap case (docs/SCALING.md
+    skew section)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _URL_DOMAINS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), dom, F.lit("/"), F.col("source"),
+        F.lit("/doc/"), F.col("doc_id"),
+    )
+    parsed = docs.select(
+        "doc_id", F.regexp_extract(url, _HOST_RE, 1).alias("host")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("host").orderBy(F.col("doc_id"))
+    )
+    reason = (
+        F.when(
+            F.col("host").isin(*_URL_BLOCKLIST), F.lit("blocklist")
+        )
+        .when(F.col("host").endswith(".xyz"), F.lit("bad_tld"))
+        .when(F.col("rn") > _URL_CAP, F.lit("over_cap"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        parsed.withColumn("rn", rn)
+        .withColumn("reason", reason)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("reason") == "blocklist").cast("long")).alias(
+                "n_blocklist"
+            ),
+            F.sum((F.col("reason") == "bad_tld").cast("long")).alias(
+                "n_bad_tld"
+            ),
+            F.sum((F.col("reason") == "over_cap").cast("long")).alias(
+                "n_over_cap"
+            ),
+            F.sum((F.col("reason") == "kept").cast("long")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+_URL_DOMAINS_SQL = "[" + ", ".join(f"'{d}'" for d in _URL_DOMAINS) + "]"
+_URL_BLOCK_SQL = "[" + ", ".join(f"'{d}'" for d in _URL_BLOCKLIST) + "]"
+
+ORACLE_URL_FILTER = f"""
+WITH u AS (
+  SELECT doc_id,
+         regexp_extract(
+           'https://' || {_URL_DOMAINS_SQL}[CAST(doc_id % 8 AS INT) + 1]
+             || '/' || source || '/doc/' || doc_id,
+           '{_HOST_RE}', 1) AS host
+  FROM documents
+), ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM u
+), r AS (
+  SELECT host,
+         CASE
+           WHEN list_contains({_URL_BLOCK_SQL}, host) THEN 'blocklist'
+           WHEN host LIKE '%.xyz' THEN 'bad_tld'
+           WHEN rn > {_URL_CAP} THEN 'over_cap'
+           ELSE 'kept'
+         END AS reason
+  FROM ranked
+)
+SELECT host, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN reason = 'blocklist' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocklist,
+       CAST(sum(CASE WHEN reason = 'bad_tld' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_tld,
+       CAST(sum(CASE WHEN reason = 'over_cap' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap,
+       CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM r GROUP BY host
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
+    "curation_url_filter": q_curation_url_filter,
     "chunk_sentences": q_chunk_sentences,
     "split_group_aware": q_split_group_aware,
     "sample_quota_source": q_sample_quota_source,
@@ -1293,6 +1417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
+    "curation_url_filter": ORACLE_URL_FILTER,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "split_group_aware": ORACLE_SPLIT_GROUP,
     "sample_quota_source": ORACLE_QUOTA,

@@ -1654,6 +1654,60 @@ SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
 """.strip()
 
 
+def q_text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per (lang, source): BPE-ish regex tokens
+    per whitespace word — the standard tokenizer-efficiency metric
+    (fertility ≈ 1 on languages the tokenizer fits; ≫ 1 where words
+    shatter into characters, which inflates training cost and starves
+    context). Reads beside `text_oov_rate` (coverage says whether the
+    vocabulary has seen the tokens; fertility says how many pieces
+    each word costs).
+
+    Exactness: both token counts are exact integers (the row-33
+    `text_tokens` conventions); corpus fertility is ONE division of
+    exact sums; the per-doc max e4-rounds each doc's ratio before the
+    order-free MAX. One scan, one bounded groupBy — the plan shape of
+    every audit in this family."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    w = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    t = F.regexp_count(F.col("text"), F.lit(BPE_REGEX)).cast("long")
+    per = docs.select(
+        "lang",
+        "source",
+        w.cast("long").alias("w"),
+        t.alias("t"),
+    ).withColumn(
+        "fert", stable_round(F.col("t") / F.col("w"), 4)
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("t").alias("n_tokens"),
+        stable_round(
+            F.sum("t").cast("double") / F.sum("w").cast("double"), 4
+        ).alias("fertility"),
+        F.max("fert").alias("max_doc_fertility"),
+    )
+
+
+ORACLE_TOKEN_FERTILITY = rf"""
+WITH per AS (
+  SELECT lang, source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS w,
+         len(regexp_extract_all(text, '{BPE_REGEX}')) AS t
+  FROM documents
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       {sql_stable_round("CAST(sum(t) AS DOUBLE) / CAST(sum(w) AS DOUBLE)", 4)}
+         AS fertility,
+       max({sql_stable_round("CAST(t AS DOUBLE) / CAST(w AS DOUBLE)", 4)})
+         AS max_doc_fertility
+FROM per GROUP BY lang, source
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
@@ -1681,6 +1735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
     "text_oov_rate": q_text_oov_rate,
+    "text_token_fertility": q_text_token_fertility,
     "quality_by_lang_source": q_quality_by_lang_source,
     "text_compress_ratio": q_text_compress_ratio,  # rows-only (no SQL deflate)
     "text_repetition": q_text_repetition,
@@ -1715,6 +1770,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
     "text_oov_rate": ORACLE_OOV_RATE,
+    "text_token_fertility": ORACLE_TOKEN_FERTILITY,
     "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,
     "text_repetition": ORACLE_REPETITION,
     "text_boilerplate": ORACLE_BOILERPLATE,

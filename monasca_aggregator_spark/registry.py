@@ -124,14 +124,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "text_search_conjunctive", "text_langid", "quality_deciles",
 #     "text_decontaminate", "text_unigram_logprob", "text_tokens",
 #     "text_quality", "text_fingerprint", "text_vocab_topk",
-#     "text_repetition", "text_boilerplate", "html_extract_main",
-#     "html_chrome_stats",
+#     "html_extract_main", "html_chrome_stats",
+#     "curation_url_filter", "text_token_fertility",
 # )
-# (Rotation invariant applied in r7: the two oracle keys ADDED in r7 —
-# html_extract_main / html_chrome_stats, plans/html.py — displaced the
-# R8 tail re-confirmations embedding_centroids / embedding_quantize
-# (both r5-green); the displaced keys re-enter the R9 staging when it
-# is cut.)
+# (Rotation invariant applied in r7: the four oracle keys ADDED in r7 —
+# html_extract_main / html_chrome_stats (plans/html.py),
+# curation_url_filter (plans/pipeline_ops.py), text_token_fertility
+# (plans/textops.py) — displaced the R8 tail re-confirmations
+# text_repetition / text_boilerplate / embedding_centroids /
+# embedding_quantize (all r5-green); the displaced keys re-enter the
+# R9 staging when it is cut.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,
