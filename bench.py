@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "html_chrome_stats",
     "curation_url_filter",
     "text_token_fertility",
+    "corpus_checksum_by_source",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

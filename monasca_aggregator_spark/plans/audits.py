@@ -687,7 +687,59 @@ FROM g
 """.strip()
 
 
+def q_corpus_checksum_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dataset CONTENT FINGERPRINT per source — the reproducibility
+    audit a training run ships so "the corpus you trained on is the
+    corpus I have" is checkable without sorting or diffing: per
+    source, doc count, distinct normalized texts, total chars, and an
+    order-free XOR fold of each doc's md5-derived 60-bit content hash.
+    Two copies agree iff every component agrees; XOR has multiset
+    PARITY semantics (a text appearing twice cancels), which is why
+    the fingerprint is the TUPLE with counts, not the xor alone —
+    documented contract, same as content-addressable store etags.
+
+    Exactness: the hash is the md5 prefix both engines compute
+    identically on the `normalize_text` canonical form (the exact-
+    dedup normalization, so the fingerprint is invariant to the same
+    cosmetic differences exact dedup ignores). One scan, one bounded
+    groupBy; XOR is associative/commutative so the fold is shuffle-
+    partial-friendly like any algebraic aggregate."""
+    from monasca_aggregator_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    norm = normalize_text(F.col("text"))
+    h = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    per = docs.select(
+        "source", norm.alias("nt"), h.alias("h"), "n_chars"
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("nt").alias("distinct_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(h)").alias("content_xor"),
+    )
+
+
+ORACLE_CORPUS_CHECKSUM = r"""
+WITH n AS (
+  SELECT source, n_chars,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(count(DISTINCT nt) AS BIGINT) AS distinct_texts,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(CAST('0x' || substr(md5(nt), 1, 15) AS BIGINT))
+         AS content_xor
+FROM n GROUP BY source
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_checksum_by_source": q_corpus_checksum_by_source,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "text_jsd_by_source": q_text_jsd_by_source,
     "orders_consistency_audit": q_orders_consistency_audit,
@@ -699,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "corpus_checksum_by_source": ORACLE_CORPUS_CHECKSUM,
     "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
     "text_jsd_by_source": ORACLE_TEXT_JSD,
     "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,

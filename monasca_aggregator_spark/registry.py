@@ -123,15 +123,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "dedup_canonical", "text_tfidf", "text_bigram_pmi",
 #     "text_search_conjunctive", "text_langid", "quality_deciles",
 #     "text_decontaminate", "text_unigram_logprob", "text_tokens",
-#     "text_quality", "text_fingerprint", "text_vocab_topk",
-#     "html_extract_main", "html_chrome_stats",
-#     "curation_url_filter", "text_token_fertility",
+#     "text_quality", "text_fingerprint", "html_extract_main",
+#     "html_chrome_stats", "curation_url_filter",
+#     "text_token_fertility", "corpus_checksum_by_source",
 # )
-# (Rotation invariant applied in r7: the four oracle keys ADDED in r7 —
+# (Rotation invariant applied in r7: the five oracle keys ADDED in r7 —
 # html_extract_main / html_chrome_stats (plans/html.py),
 # curation_url_filter (plans/pipeline_ops.py), text_token_fertility
-# (plans/textops.py) — displaced the R8 tail re-confirmations
-# text_repetition / text_boilerplate / embedding_centroids /
+# (plans/textops.py), corpus_checksum_by_source (plans/audits.py) —
+# displaced the R8 tail re-confirmations text_repetition /
+# text_boilerplate / text_vocab_topk / embedding_centroids /
 # embedding_quantize (all r5-green); the displaced keys re-enter the
 # R9 staging when it is cut.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
