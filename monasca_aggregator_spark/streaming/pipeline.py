@@ -947,8 +947,14 @@ def curate_document_stream(
     text_col: str = "text",
 ) -> DataFrame:
     """Continuous document-ingestion curation: the streaming face of
-    curation.curate_corpus's first two gates —
+    curation.curate_corpus's first three gates —
 
+    - HTML main-content extraction (stage 0, r7): raw-HTML rows are
+      replaced by their boilerplate-stripped main text and all-chrome
+      pages drop — row-local regex/array expressions
+      (operators/html.py), so it rides the stream with no state; the
+      content fingerprint below then hashes the EXTRACTED text,
+      matching the batch pipeline's dedup input;
     - exact dedup on the normalized-content fingerprint with
       watermark-bounded state (``dropDuplicatesWithinWatermark``: a
       re-crawl of the same page within the window is dropped, state is
@@ -965,11 +971,15 @@ def curate_document_stream(
     """
     from monasca_aggregator_spark.functions.rounding import stable_round
     from monasca_aggregator_spark.operators.dedup import normalize_text
+    from monasca_aggregator_spark.operators.html import html_main_content
     from monasca_aggregator_spark.operators.textops import quality_expr
 
+    extracted = html_main_content(
+        docs_stream, text_col=text_col
+    ).drop("_was_html")
     fp = F.xxhash64(normalize_text(F.col(text_col)))
     return (
-        docs_stream.withColumn("__fp", fp)
+        extracted.withColumn("__fp", fp)
         .withWatermark(ts_col, dedup_within)
         .dropDuplicatesWithinWatermark(["__fp"])
         .withColumn(

@@ -930,12 +930,28 @@ def test_curate_document_stream_dedups_and_gates_quality(spark, tmp_path):
     good = ("the quick brown fox and the lazy dog run over the hill "
             "with a friend of the family on a bright morning walk")
     junk = "zz zz zz"
+    # 5 = the SAME content as doc 1 wrapped in HTML chrome: stage 0
+    # extracts the main text, so the fingerprint dedup must catch it
+    # (the fingerprint hashes the EXTRACTED text, like the batch
+    # pipeline); 6 = all-chrome page, drops at extraction
+    html_recrawl = (
+        '<html><body><nav><a href="/">Home</a> <a href="/d">Docs</a>'
+        f'</nav><article><p>{good}</p></article>'
+        '<footer><a href="/tos">Terms of Service</a> '
+        '<a href="/privacy">Privacy Policy</a></footer></body></html>'
+    )
+    all_chrome = (
+        '<html><body><nav><a href="/">Home</a> <a href="/d">Docs</a>'
+        '</nav><footer><a href="/tos">Terms of Service</a> '
+        '<a href="/privacy">Privacy Policy</a></footer></body></html>'
+    )
     batches = [
         [(1, good, 1_000), (2, junk, 2_000)],
         # 3 = re-crawl of doc 1 (case/spacing differs, same normalized
         # content); 4 = genuinely new good doc
         [(3, good.upper() + "  ", 60_000),
-         (4, good + " plus fresh words here", 61_000)],
+         (4, good + " plus fresh words here", 61_000),
+         (5, html_recrawl, 62_000), (6, all_chrome, 63_000)],
     ]
     src = tmp_path / "cur_src"
     src.mkdir()
@@ -963,7 +979,9 @@ def test_curate_document_stream_dedups_and_gates_quality(spark, tmp_path):
     )
     q.awaitTermination()
     got = {r.doc_id for r in spark.table("curate_stream_out").collect()}
-    # 1 good kept; 2 junk gated; 3 re-crawl deduped ACROSS batches; 4 kept
+    # 1 good kept; 2 junk gated; 3 re-crawl deduped ACROSS batches;
+    # 4 kept; 5 HTML re-crawl extracted then fingerprint-deduped
+    # against doc 1; 6 all-chrome page dropped at extraction
     assert got == {1, 4}
 
 
