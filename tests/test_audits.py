@@ -152,3 +152,64 @@ def test_jsd_bounds_identical_zero_disjoint_ln2(spark, tmp_path):
     for r in disjoint.values():
         assert 0.9 * ln2 <= r.jsd <= ln2 + 1e-6, r
         assert 0.9 <= r.jsd_normalized <= 1.0 + 1e-6, r
+
+
+def test_corpus_checksum_fingerprint_semantics(spark, tmp_path):
+    """corpus_checksum_by_source: the fingerprint is the TUPLE (docs,
+    distinct, chars, xor) — xor alone has multiset-parity semantics
+    (an even-multiplicity text cancels), which the counts disambiguate;
+    the checksum is invariant to the exact-dedup cosmetic
+    normalization and changes when any content byte changes."""
+    import shutil
+
+    from monasca_aggregator_spark.plans.audits import (
+        q_corpus_checksum_by_source,
+    )
+
+    def run(rows, name):
+        d = tmp_path / name
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(d / "documents.parquet"))
+        out = {
+            r.source: r
+            for r in q_corpus_checksum_by_source(spark, str(d)).collect()
+        }
+        shutil.rmtree(d)
+        return out
+
+    base = [
+        (1, "Alpha beta GAMMA", "en", "s", 16),
+        (2, "delta epsilon", "en", "s", 13),
+    ]
+    a = run(base, "a")["s"]
+
+    # cosmetic normalization invariance: case/punct/whitespace changes
+    # that exact dedup ignores leave the fingerprint IDENTICAL
+    cosmetic = [
+        (1, "alpha  beta gamma!!", "en", "s", 16),
+        (2, "DELTA epsilon.", "en", "s", 13),
+    ]
+    b = run(cosmetic, "b")["s"]
+    assert (a.content_xor, a.distinct_texts) == (
+        b.content_xor,
+        b.distinct_texts,
+    )
+
+    # any content change moves the xor
+    changed = run(
+        [(1, "alpha beta gamma", "en", "s", 16),
+         (2, "delta zeta", "en", "s", 10)], "c"
+    )["s"]
+    assert changed.content_xor != a.content_xor
+
+    # parity: duplicating a text an EVEN number of times cancels in the
+    # xor — the docs/distinct counts are what catch it (documented)
+    doubled = run(
+        base + [(3, "alpha beta gamma", "en", "s", 16),
+                (4, "ALPHA BETA gamma", "en", "s", 16)], "d"
+    )["s"]
+    assert doubled.content_xor == a.content_xor
+    assert doubled.docs == a.docs + 2
+    assert doubled.distinct_texts == a.distinct_texts
