@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "curation_url_filter",
     "text_token_fertility",
     "corpus_checksum_by_source",
+    "pack_chunk_spans",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -1262,6 +1262,81 @@ LIMIT {_DSIR_K}
 """.strip()
 
 
+def q_pack_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → document SPAN MAP for concat-and-chunk packing — the
+    artifact a packed-training dataloader actually consumes: for every
+    (source, chunk) and every document overlapping it, the in-chunk
+    byte span [span_start, span_start+span_len). This is what builds
+    the block-diagonal attention mask / per-token loss mask when
+    documents straddle chunk boundaries (`pack_chunks` reports only
+    the start-chunk assignment; training needs the straddle spans).
+
+    Closed-form integer arithmetic end to end: running start offsets
+    per source (the pack_concat_chunk window), each doc explodes into
+    exactly the chunks it overlaps via sequence(first, last) — the
+    pack_sliding_chunks explode idiom, O(docs + straddles) rows, no
+    range join. Window partitions by source (the documented packing
+    posture), never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(PACK_BUDGET)
+    s = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    with_off = docs.select(
+        "source", "doc_id", "n_chars", s.alias("s")
+    ).filter(F.col("n_chars") > 0)
+    first_c = F.floor(F.col("s") / b).cast("long")
+    last_c = F.floor((F.col("s") + F.col("n_chars") - 1) / b).cast(
+        "long"
+    )
+    ex = with_off.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "s",
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    seg_start = F.greatest(F.col("s"), F.col("chunk_id") * b)
+    seg_end = F.least(
+        F.col("s") + F.col("n_chars"), (F.col("chunk_id") + 1) * b
+    )
+    return ex.select(
+        "source",
+        "chunk_id",
+        "doc_id",
+        (seg_start - F.col("chunk_id") * b).alias("span_start"),
+        (seg_end - seg_start).alias("span_len"),
+    )
+
+
+ORACLE_PACK_SPANS = f"""
+WITH o AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s
+  FROM documents
+  WHERE n_chars > 0
+), x AS (
+  SELECT source, doc_id, n_chars, s,
+         unnest(range(CAST(floor(s::DOUBLE / {PACK_BUDGET}) AS BIGINT),
+                      CAST(floor((s + n_chars - 1)::DOUBLE
+                                 / {PACK_BUDGET}) AS BIGINT) + 1))
+           AS chunk_id
+  FROM o
+)
+SELECT source, chunk_id, doc_id,
+       greatest(s, chunk_id * {PACK_BUDGET}) - chunk_id * {PACK_BUDGET}
+         AS span_start,
+       least(s + n_chars, (chunk_id + 1) * {PACK_BUDGET})
+         - greatest(s, chunk_id * {PACK_BUDGET}) AS span_len
+FROM x
+""".strip()
+
+
 # ---------------------------------------------- URL/domain filtering
 
 # deterministic URL synthesis: domain by doc_id % 8 (same expression
@@ -1389,6 +1464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
     "curation_url_filter": q_curation_url_filter,
+    "pack_chunk_spans": q_pack_chunk_spans,
     "chunk_sentences": q_chunk_sentences,
     "split_group_aware": q_split_group_aware,
     "sample_quota_source": q_sample_quota_source,
@@ -1418,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "curation_url_filter": ORACLE_URL_FILTER,
+    "pack_chunk_spans": ORACLE_PACK_SPANS,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "split_group_aware": ORACLE_SPLIT_GROUP,
     "sample_quota_source": ORACLE_QUOTA,
