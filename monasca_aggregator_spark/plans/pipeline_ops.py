@@ -1329,10 +1329,11 @@ WITH o AS (
   FROM o
 )
 SELECT source, chunk_id, doc_id,
-       greatest(s, chunk_id * {PACK_BUDGET}) - chunk_id * {PACK_BUDGET}
-         AS span_start,
-       least(s + n_chars, (chunk_id + 1) * {PACK_BUDGET})
-         - greatest(s, chunk_id * {PACK_BUDGET}) AS span_len
+       CAST(greatest(s, chunk_id * {PACK_BUDGET})
+            - chunk_id * {PACK_BUDGET} AS BIGINT) AS span_start,
+       CAST(least(s + n_chars, (chunk_id + 1) * {PACK_BUDGET})
+            - greatest(s, chunk_id * {PACK_BUDGET}) AS BIGINT)
+         AS span_len
 FROM x
 """.strip()
 
