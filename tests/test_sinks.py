@@ -412,3 +412,39 @@ def test_bloom_filter_columns_land_in_parquet(spark, tmp_path):
     back = spark.read.parquet(bloomed)
     assert back.count() == 20000
     assert back.filter("k = 12345").count() == 1
+
+
+def test_committed_sink_files_compaction_no_double_count(tmp_path):
+    """committed_sink_files must read the newest compact PLUS strictly
+    later per-batch logs — naively concatenating all log files would
+    double-count every pre-compaction batch (the flaky-duplicate class
+    the loadgen test documented); in-progress temp files are ignored,
+    and a missing metadata dir means no committed output."""
+    import json
+
+    from monasca_aggregator_spark.sources.sinks import (
+        committed_sink_files,
+    )
+
+    out = tmp_path / "sink"
+    meta = out / "_spark_metadata"
+    meta.mkdir(parents=True)
+
+    def entry(path):
+        return json.dumps({"path": path, "size": 1, "action": "add"})
+
+    # batches 0..2, then 3.compact RE-LISTING f0..f3, then batch 4
+    (meta / "0").write_text("v1\n" + entry("f0"))
+    (meta / "1").write_text("v1\n" + entry("f1"))
+    (meta / "2").write_text("v1\n" + entry("f2"))
+    (meta / "3.compact").write_text(
+        "v1\n" + "\n".join(entry(f"f{i}") for i in range(4))
+    )
+    (meta / "4").write_text("v1\n" + entry("f4"))
+    (meta / ".5.tmp").write_text("v1\n" + entry("SHOULD_NOT_APPEAR"))
+
+    got = committed_sink_files(str(out))
+    assert sorted(got) == [f"f{i}" for i in range(5)]
+    assert len(got) == len(set(got)), "double-counted pre-compaction files"
+
+    assert committed_sink_files(str(tmp_path / "nope")) == []
