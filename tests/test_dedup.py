@@ -650,3 +650,52 @@ def test_simhash_estimate_inverse_relation(spark, sf_small):
     lo = [r.hamming for r in rows if r.jaccard < 0.7]
     if hi and lo:
         assert sum(hi) / len(hi) <= sum(lo) / len(lo) + 1.0
+
+
+def test_calibration_docs_sample_bound_and_keepall(spark, tmp_path):
+    """_calibration_docs (r7): keep-all when the corpus is within
+    2x _EST_CAP (oracle SF shape — relation identical to unsampled),
+    ~1/every hash-sample above it (every = n // _EST_CAP from the
+    parquet FOOTER, no Spark job), and the count() fallback when the
+    dataset is a directory instead of a single file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monasca_aggregator_spark.plans.dedup import (
+        _EST_CAP,
+        _calibration_docs,
+    )
+
+    def mk(n, name, as_dir=False):
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {"doc_id": list(range(n)), "text": ["w w w"] * n}
+        )
+        if as_dir:
+            df = spark.createDataFrame(
+                zip(range(n), ["w w w"] * n), "doc_id long, text string"
+            )
+            df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        else:
+            pq.write_table(tbl, d / "documents.parquet")
+        return str(d), spark.read.parquet(str(d / "documents.parquet"))
+
+    # above the cap: every = 10, expect ~n/10 by uniform hash
+    sf_big, docs_big = mk(10 * _EST_CAP, "sf_big")
+    kept = _calibration_docs(docs_big, sf_big).count()
+    assert 0.6 * _EST_CAP <= kept <= 1.4 * _EST_CAP
+
+    # within 2x cap: every = 1, keep-all (the oracle-SF contract)
+    sf_small, docs_small = mk(2 * _EST_CAP - 1, "sf_small")
+    assert (
+        _calibration_docs(docs_small, sf_small).count()
+        == 2 * _EST_CAP - 1
+    )
+
+    # directory layout: footer read fails, count() fallback samples
+    sf_dir, docs_dir = mk(10 * _EST_CAP, "sf_dir", as_dir=True)
+    kept_dir = _calibration_docs(docs_dir, sf_dir).count()
+    assert 0.6 * _EST_CAP <= kept_dir <= 1.4 * _EST_CAP
+    # identical selection regardless of how n was obtained
+    assert kept_dir == kept
