@@ -78,3 +78,18 @@ def test_staged_windows_are_flippable(tag):
     assert not missing, f"staged keys not registered: {missing}"
     no_oracle = [k for k in staged if k not in o]
     assert not no_oracle, f"staged keys without oracle: {no_oracle}"
+
+
+def test_eager_queries_contract():
+    """EAGER_QUERIES keys must exist in the registry (a renamed query
+    would silently turn the catalog's skip into dead config), and the
+    catalog/explain tooling consults the set instead of building them
+    (building an eager query EXECUTES it — ADVICE r6)."""
+    from pathlib import Path
+
+    from monasca_aggregator_spark.registry import EAGER_QUERIES
+
+    q = registry.all_queries()
+    assert set(EAGER_QUERIES) <= set(q)
+    for tool in ("tools/query_catalog.py", "tools/explain_report.py"):
+        assert "EAGER_QUERIES" in Path(tool).read_text(), tool
