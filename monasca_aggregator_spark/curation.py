@@ -2,6 +2,9 @@
 team actually runs, built from this package's operators —
 
     raw documents
+      → URL/domain gate (optional, when rows carry a URL column:
+        blocklist / TLD policy / per-domain crawl-balance cap —
+        operators/urlfilter.py, the CCNet/fineweb entry stage)
       → HTML main-content extraction (raw-HTML rows replaced by their
         boilerplate-stripped main text, all-chrome pages dropped —
         jusText-lite, operators/html.py; plain-text rows pass through)
@@ -62,6 +65,10 @@ def curate_corpus(
     default_keep: float = 1.0,
     splits: tuple = (("train", 80), ("val", 90), ("test", 100)),
     pack_budget: int = 4000,
+    url_col: str | None = None,
+    url_blocklist: tuple = (),
+    url_blocked_tlds: tuple = (".xyz",),
+    url_per_domain_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline over a ``documents``-shaped
     relation (doc_id, text, lang, source, n_chars). Returns
@@ -77,6 +84,23 @@ def curate_corpus(
         stages.append((stage, int(row["n"]), int(row["c"])))
 
     record("raw", docs)
+
+    # -1. URL/domain gate (optional — only when rows carry a URL):
+    # blocklist / TLD policy / per-domain cap run before any content
+    # is even looked at, the cheapest drop in the whole pipeline.
+    if url_col is not None:
+        from monasca_aggregator_spark.operators.urlfilter import (
+            url_domain_filter,
+        )
+
+        docs = url_domain_filter(
+            docs,
+            url_col,
+            blocklist=url_blocklist,
+            blocked_tlds=url_blocked_tlds,
+            per_domain_cap=url_per_domain_cap,
+        )
+        record("url_filter", docs)
 
     # 0. HTML main-content extraction: rows whose text is raw HTML are
     # replaced by their extracted main content (jusText-lite link-

@@ -1,0 +1,77 @@
+"""URL/domain filtering — the entry gate of a web-corpus pipeline.
+
+Runs BEFORE content ever loads (CCNet / fineweb line): parse the host
+out of each record's URL, drop blocklisted domains and policy TLDs,
+and cap how many documents any one domain contributes (crawl-balance —
+one hot domain must not dominate the corpus). The registered query
+``curation_url_filter`` (plans/pipeline_ops.py) pins the arithmetic
+against DuckDB on synthesized URLs; this module is the reusable
+dataset-level operator the pipeline composes.
+
+Scale: blocklist/TLD checks are row-local (the blocklist is a literal
+``isin`` — at real scale broadcast a blocklist relation and left-anti
+join instead, noted below); the cap is a rank inside each host
+partition (the per-group-limit shape WindowGroupLimit pushes down). A
+skewed mega-domain is the documented salt-then-cap case
+(docs/SCALING.md skew section).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HOST_RE = r"https?://([^/]+)/"
+
+
+def url_domain_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    blocklist: Sequence[str] = (),
+    blocked_tlds: Sequence[str] = (".xyz",),
+    per_domain_cap: int | None = None,
+    order_col: str = "doc_id",
+    keep_reason: bool = False,
+) -> DataFrame:
+    """Filter rows by URL policy; returns surviving rows (plus a
+    ``_url_reason`` column when ``keep_reason`` — 'kept' | 'blocklist'
+    | 'bad_tld' | 'over_cap' — for funnel accounting, in which case
+    dropped rows are RETAINED with their reason and the caller
+    filters).
+
+    Precedence: blocklist → TLD → cap, so accounting attributes each
+    drop to the first gate that caught it. For blocklists beyond a
+    few thousand entries, join a broadcast blocklist relation instead
+    of the literal ``isin`` this builds.
+    """
+    host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    out = df.withColumn("_url_host", host)
+    reason = F.lit("kept")
+    if per_domain_cap is not None:
+        rn = F.row_number().over(
+            Window.partitionBy("_url_host").orderBy(F.col(order_col))
+        )
+        out = out.withColumn("_url_rn", rn)
+        reason = F.when(
+            F.col("_url_rn") > per_domain_cap, F.lit("over_cap")
+        ).otherwise(reason)
+    for tld in blocked_tlds:
+        reason = F.when(
+            F.col("_url_host").endswith(tld), F.lit("bad_tld")
+        ).otherwise(reason)
+    if blocklist:
+        reason = F.when(
+            F.col("_url_host").isin(*list(blocklist)), F.lit("blocklist")
+        ).otherwise(reason)
+    out = out.withColumn("_url_reason", reason).drop(
+        "_url_host", "_url_rn"
+    )
+    if keep_reason:
+        return out
+    return out.filter(F.col("_url_reason") == "kept").drop(
+        "_url_reason"
+    )

@@ -96,3 +96,43 @@ def test_curate_corpus_with_decontamination_and_dsir(spark, sf_small):
     ]
     assert m["decontaminate"] <= m["near_dedup"]
     assert m["dsir_filter"] == math.ceil(0.7 * m["quality_top_p"])
+
+
+def test_curate_corpus_url_gate(spark):
+    """Optional URL stage: blocklist, TLD policy and per-domain cap
+    drop rows before any content gate, with a url_filter manifest row;
+    corpora without URLs never see the stage."""
+    rows = [
+        (i, f"useful text with many plain words number {i} "
+            "and a few more to pass quality gates easily",
+         "en",
+         "web",
+         90,
+         url)
+        for i, url in [
+            (1, "https://news.example.com/a/1"),
+            (2, "https://news.example.com/a/2"),
+            (3, "https://news.example.com/a/3"),  # over cap of 2
+            (4, "https://tracker-ads.example/x/4"),  # blocklist
+            (5, "https://freebies.xyz/y/5"),  # bad tld
+            (6, "https://wiki.example.edu/z/6"),
+        ]
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, url string",
+    )
+    _, manifest = curate_corpus(
+        spark,
+        docs,
+        None,
+        url_col="url",
+        url_blocklist=("tracker-ads.example",),
+        url_per_domain_cap=2,
+    )
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert m["raw"] == 6
+    # 3 (cap), 4 (blocklist), 5 (tld) dropped -> 3 survive the gate
+    assert m["url_filter"] == 3
+    assert list(m)[:3] == ["raw", "url_filter", "html_extract"]
