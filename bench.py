@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "text_token_fertility",
     "corpus_checksum_by_source",
     "pack_chunk_spans",
+    "embedding_truncation_fidelity",
+    "events_next_entropy",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

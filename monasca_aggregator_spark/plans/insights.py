@@ -2045,6 +2045,100 @@ LIMIT {_BURST_TOP}
 
 # -------------------------------------------------------------- registry
 
+_LN2 = 0.6931471805599453  # shared literal: bits = nats / _LN2
+
+
+def q_events_next_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional NEXT-EVENT entropy per state — the uncertainty
+    companion of `events_markov_accuracy` (top-1 accuracy says how
+    often the argmax wins; entropy says how much signal there is to
+    win): H(next | from=f) = −Σ p·ln p over the observed transition
+    distribution out of each event type, in nats and bits. Low-entropy
+    states are where a next-event model earns its keep; ln(k) is the
+    ceiling for k observed successors.
+
+    Exactness: p = n/n_from is a ratio of exact BIGINTs; each
+    −p·ln p term = (n/n_from)·ln(n_from/n) is e6-fixed to a BIGINT
+    BEFORE the order-free sum (the JSD/PSI pre-rounded-term trick, so
+    float addition order can't diverge between engines); bits divide
+    by the shared _LN2 literal. Same transition relation as the
+    Markov queries: one user-partitioned lead window, one bounded
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").alias("n_from"),
+        F.count(F.lit(1)).alias("n_next_types"),
+    )
+    t6 = F.floor(
+        (F.col("n").cast("double") / F.col("n_from").cast("double"))
+        * F.log(
+            F.col("n_from").cast("double") / F.col("n").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per = trans.join(totals, "from_type").select(
+        "from_type", "n_from", "n_next_types", t6.alias("t6")
+    )
+    return (
+        per.groupBy("from_type", "n_from", "n_next_types")
+        .agg(F.sum("t6").alias("s6"))
+        .select(
+            "from_type",
+            F.col("n_from").cast("long").alias("n_from"),
+            F.col("n_next_types").cast("long").alias("n_next_types"),
+            stable_round(F.col("s6").cast("double") / F.lit(1e6), 6).alias(
+                "entropy_nats"
+            ),
+            stable_round(
+                F.col("s6").cast("double") / F.lit(1e6) / F.lit(_LN2), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+ORACLE_NEXT_ENTROPY = f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(n) AS n_from, count(*) AS n_next_types
+  FROM trans GROUP BY 1
+), terms AS (
+  SELECT t.from_type, o.n_from, o.n_next_types,
+         CAST(floor((CAST(t.n AS DOUBLE) / CAST(o.n_from AS DOUBLE))
+              * ln(CAST(o.n_from AS DOUBLE) / CAST(t.n AS DOUBLE))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t6
+  FROM trans t JOIN tot o USING (from_type)
+)
+SELECT from_type, CAST(n_from AS BIGINT) AS n_from,
+       CAST(n_next_types AS BIGINT) AS n_next_types,
+       {sql_stable_round("CAST(sum(t6) AS DOUBLE) / 1000000.0", 6)}
+         AS entropy_nats,
+       {sql_stable_round(
+           f"CAST(sum(t6) AS DOUBLE) / 1000000.0 / {_LN2!r}", 6
+       )} AS entropy_bits
+FROM terms GROUP BY 1, 2, 3
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
@@ -2061,6 +2155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_bounce": q_sessions_bounce,
     "orders_repeat_rate": q_orders_repeat_rate,
     "events_markov_accuracy": q_events_markov_accuracy,
+    "events_next_entropy": q_events_next_entropy,
     "funnel_window_depth": q_funnel_window_depth,
     "events_retention_bitmap_wide": q_events_retention_bitmap_wide,
     "corpus_heaps_law": q_corpus_heaps_law,
@@ -2087,6 +2182,7 @@ ORACLES: dict[str, str] = {
     "sessions_bounce": _bounce_oracle(),
     "orders_repeat_rate": ORACLE_REPEAT_RATE,
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
+    "events_next_entropy": ORACLE_NEXT_ENTROPY,
     "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
     "events_retention_bitmap_wide": ORACLE_RETENTION_WIDE,
     "corpus_heaps_law": ORACLE_HEAPS,

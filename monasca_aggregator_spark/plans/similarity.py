@@ -1625,6 +1625,97 @@ WHERE rk = 1
 """.strip()
 
 
+_TRUNC_KS = (16, 32)  # matryoshka prefix widths to audit
+
+
+def q_embedding_truncation_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka TRUNCATION fidelity per label (the MRL question,
+    Kusupati et al. 2022: can we serve prefix-truncated vectors?):
+    for k ∈ {16, 32} of 64 dims, the cosine between each vector and
+    its k-prefix truncation is exactly ‖x[:k]‖ / ‖x‖ — mass retained
+    in the prefix. Per-label mean + worst-vector min say which classes
+    survive cheap truncation and which need the full width (reads
+    beside `embedding_dim_variance`: that audits dims globally, this
+    audits the serving decision per class).
+
+    Numerics: both norms are the sequential float folds of the
+    `embedding_norm_stats` convention (identical doubles both
+    engines), fidelity is ONE division e6-fixed per vector before the
+    order-free integer sums; zero-norm vectors → NULL via nullif
+    (skipped by both engines' aggregates, counted implicitly by
+    n_vecs vs the non-null aggregate count). One scan, bounded
+    groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+
+    def ssq(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+
+    full = F.sqrt(ssq(F.col("embedding")))
+    cols = [F.col("label")]
+    for k in _TRUNC_KS:
+        fid = F.sqrt(ssq(F.slice(F.col("embedding"), 1, k))) / F.nullif(
+            full, F.lit(0.0)
+        )
+        cols.append(
+            F.floor(fid * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias(f"f{k}")
+        )
+    per = emb.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_vecs")]
+    for k in _TRUNC_KS:
+        aggs += [
+            stable_round(
+                F.sum(f"f{k}").cast("double")
+                / (F.count(f"f{k}").cast("double") * F.lit(1e6)),
+                6,
+            ).alias(f"mean_fid{k}"),
+            (F.min(f"f{k}").cast("double") / F.lit(1e6)).alias(
+                f"min_fid{k}"
+            ),
+        ]
+    return per.groupBy("label").agg(*aggs)
+
+
+def _sql_ssq(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        + expr
+        + ", x -> x::DOUBLE * x::DOUBLE)), (a, v) -> a + v)"
+    )
+
+
+ORACLE_TRUNCATION_FIDELITY = f"""
+WITH per AS (
+  SELECT label,
+         {", ".join(
+             f"CAST(floor(sqrt({_sql_ssq(f'embedding[1:{k}]')})"
+             f" / nullif(sqrt({_sql_ssq('embedding')}), 0.0)"
+             f" * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS f{k}"
+             for k in _TRUNC_KS
+         )}
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {", ".join(
+           sql_stable_round(
+               f"CAST(sum(f{k}) AS DOUBLE)"
+               f" / (CAST(count(f{k}) AS DOUBLE) * 1000000.0)", 6
+           )
+           + f" AS mean_fid{k}, "
+           + f"CAST(min(f{k}) AS DOUBLE) / 1000000.0 AS min_fid{k}"
+           for k in _TRUNC_KS
+       )}
+FROM per GROUP BY label
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "decontaminate_embedding": q_decontaminate_embedding,
@@ -1641,6 +1732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
+    "embedding_truncation_fidelity": q_embedding_truncation_fidelity,
     "embedding_centroid_accuracy": q_embedding_centroid_accuracy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
@@ -1653,6 +1745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_truncation_fidelity": ORACLE_TRUNCATION_FIDELITY,
     "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,
     "decontaminate_embedding": ORACLE_DECONTAMINATE_EMB,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,

@@ -122,20 +122,23 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
 #     "dedup_canonical", "text_tfidf", "text_bigram_pmi",
 #     "text_search_conjunctive", "text_langid", "quality_deciles",
-#     "text_decontaminate", "text_unigram_logprob", "text_tokens",
-#     "text_quality", "html_extract_main",
-#     "html_chrome_stats", "curation_url_filter",
-#     "text_token_fertility", "corpus_checksum_by_source",
-#     "pack_chunk_spans",
+#     "text_decontaminate", "text_unigram_logprob",
+#     "html_extract_main", "html_chrome_stats",
+#     "curation_url_filter", "text_token_fertility",
+#     "corpus_checksum_by_source", "pack_chunk_spans",
+#     "embedding_truncation_fidelity", "events_next_entropy",
 # )
-# (Rotation invariant applied in r7: the six oracle keys ADDED in r7 —
-# html_extract_main / html_chrome_stats (plans/html.py),
+# (Rotation invariant applied in r7: the eight oracle keys ADDED in
+# r7 — html_extract_main / html_chrome_stats (plans/html.py),
 # curation_url_filter / pack_chunk_spans (plans/pipeline_ops.py),
 # text_token_fertility (plans/textops.py), corpus_checksum_by_source
-# (plans/audits.py) — displaced the R8 tail re-confirmations
-# text_repetition / text_boilerplate / text_vocab_topk /
-# text_fingerprint / embedding_centroids / embedding_quantize (all
-# r5-green); the displaced keys re-enter the R9 staging when cut.)
+# (plans/audits.py), embedding_truncation_fidelity
+# (plans/similarity.py), events_next_entropy (plans/insights.py) —
+# displaced the R8 tail re-confirmations text_repetition /
+# text_boilerplate / text_vocab_topk / text_fingerprint /
+# text_quality / text_tokens / embedding_centroids /
+# embedding_quantize (all r5-green); the displaced keys re-enter the
+# R9 staging when cut.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,
