@@ -137,8 +137,32 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # displaced the R8 tail re-confirmations text_repetition /
 # text_boilerplate / text_vocab_topk / text_fingerprint /
 # text_quality / text_tokens / embedding_centroids /
-# embedding_quantize (all r5-green); the displaced keys re-enter the
-# R9 staging when cut.)
+# embedding_quantize (all r5-green); those displaced keys lead the
+# R9 staging below.)
+# Round-9 rotation (staged in r7): the 8 re-confirmations R8's r7
+# additions displaced, then the 26 r1/r2/r3-green keys dropped from
+# R7 to make room, then the 16 oldest r4-green re-confirmations.
+# New oracle keys added in r8 MUST displace this list's tail
+# (rotation invariant: new keys enter the newest staged window).
+# _DRIVER_WINDOW_R9: tuple[str, ...] = (
+#     "text_repetition", "text_boilerplate", "text_vocab_topk",
+#     "text_fingerprint", "text_quality", "text_tokens",
+#     "embedding_centroids", "embedding_quantize",
+#     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
+#     "dedup_containment", "sample_weighted_k", "sample_budget_mix",
+#     "sample_top_p_source", "corpus_diff", "order_curriculum",
+#     "grouping_sets_mixed", "pack_length_buckets", "agg_sliding",
+#     "metric_correlation", "metric_winsorize", "metric_downsample_m4",
+#     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
+#     "events_retention", "range_join_ship", "sample_consistent_k",
+#     "tpch_q21_waiting", "sample_quota_source", "tpch_q17_avg_qty",
+#     "tpch_q16_suppcnt", "tpch_q20_excess",
+#     "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
+#     "agg_delta", "agg_rate", "tpch_q1", "dedup_rate_by_source",
+#     "text_readability", "embedding_outliers", "sessions_active_time",
+#     "events_lifecycle", "events_markov", "sessions_native",
+#     "metric_top_contributors",
+# )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,
