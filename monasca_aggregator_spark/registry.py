@@ -102,7 +102,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # were displaced from R7 by the first 5 oracle keys ADDED in r6 — the
 # rotation invariant: new oracle keys enter the newest staged window
 # so every key has a driver row by the end of R7.)
-# Round-8 rotation (staged): r6 oracle keys that no longer fit R7
+# Round-8 rotation (staged; ALL 50 keys pre-verified green at sf0.01
+# under the driver protocol at the end of r7 —
+# tools/check_correctness.py): r6 oracle keys that no longer fit R7
 # (it holds the 45 keys still missing any driver row + the first 5 r6
 # additions), then the 5 tpch re-confirmations R7 displaced, then the
 # oldest re-confirmations (r5-window keys — 3 rounds old by r8).
