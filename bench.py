@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "pack_chunk_spans",
     "embedding_truncation_fidelity",
     "events_next_entropy",
+    "embedding_silhouette",
+    "orders_duplicate_invoices",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

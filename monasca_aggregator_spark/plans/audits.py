@@ -738,8 +738,95 @@ FROM n GROUP BY source
 """.strip()
 
 
+_DUP_INV_DAYS = 7  # same customer + same cents within this window
+
+
+def q_orders_duplicate_invoices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-invoice screen — the classic payables audit: pairs of
+    orders from the SAME customer with the IDENTICAL total (exact
+    integer cents) placed within _DUP_INV_DAYS of each other are
+    double-billing suspects. Reported per month of the earlier order:
+    suspect pairs, distinct orders involved, and dollars at risk (the
+    duplicated side of each pair, exact cents).
+
+    Exactness: totals compare as e2 BIGINTs (never float equality);
+    the day distance is an integer datediff; dollars divide once at
+    the end. Plan shape: a SELF-JOIN co-partitioned on (custkey,
+    price_e2) — the join key includes the exact total, so the shuffle
+    matches only genuinely identical amounts and the date window is a
+    residual filter; okey_a < okey_b deduplicates pairs. At 100 TB
+    the exchange carries one row per order, and the per-key fan-out is
+    bounded by how many same-cent orders one customer places in a
+    window — the natural audit cardinality."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        _e2(F.col("o_totalprice")).alias("price_e2"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.price_e2") == F.col("b.price_e2"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (
+            F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+            <= F.lit(_DUP_INV_DAYS)
+        ),
+    ).select(
+        F.date_format(
+            F.least(F.col("a.d"), F.col("b.d")), "yyyy-MM"
+        ).alias("month"),
+        F.col("a.o_orderkey").alias("k1"),
+        F.col("b.o_orderkey").alias("k2"),
+        F.col("a.price_e2").alias("price_e2"),
+    )
+    return pairs.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.array(F.col("k1"), F.col("k2")))
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_orders_involved"),
+        stable_round(
+            F.sum("price_e2").cast("double") / F.lit(100.0), 2
+        ).alias("dollars_at_risk"),
+    )
+
+
+ORACLE_DUP_INVOICES = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+), pairs AS (
+  SELECT strftime(least(a.d, b.d), '%Y-%m') AS month,
+         a.o_orderkey AS k1, b.o_orderkey AS k2, a.price_e2
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.price_e2 = b.price_e2
+   AND a.o_orderkey < b.o_orderkey
+   AND abs(date_diff('day', a.d, b.d)) <= {_DUP_INV_DAYS}
+)
+SELECT month, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(len(list_distinct(flatten(list([k1, k2])))) AS BIGINT)
+         AS n_orders_involved,
+       {sql_stable_round("CAST(sum(price_e2) AS DOUBLE) / 100.0", 2)}
+         AS dollars_at_risk
+FROM pairs GROUP BY month
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_checksum_by_source": q_corpus_checksum_by_source,
+    "orders_duplicate_invoices": q_orders_duplicate_invoices,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "text_jsd_by_source": q_text_jsd_by_source,
     "orders_consistency_audit": q_orders_consistency_audit,
@@ -752,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "corpus_checksum_by_source": ORACLE_CORPUS_CHECKSUM,
+    "orders_duplicate_invoices": ORACLE_DUP_INVOICES,
     "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
     "text_jsd_by_source": ORACLE_TEXT_JSD,
     "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,

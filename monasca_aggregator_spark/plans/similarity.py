@@ -1625,6 +1625,166 @@ WHERE rk = 1
 """.strip()
 
 
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SILHOUETTE against class centroids (Rousseeuw 1987,
+    the centroid-simplified form): for every vector, a = distance to
+    its own label's centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b) ∈ [−1, 1] — mean and worst s per
+    label say which classes are cohesive and separated vs bleeding
+    into a neighbor (completes the class-geometry triad:
+    `embedding_knn_accuracy` = local neighborhoods,
+    `embedding_centroid_accuracy` = argmax assignment, this = margin).
+
+    Exactness: vectors and centroids e6-quantize to BIGINT (the
+    centroid_accuracy convention, floor(s/n + 0.5) means); squared
+    distance expands to dxx − 2·dxm + dmm with each dot an exact
+    integer (< 2⁵³, so the doubles agree engine-to-engine); per-vector
+    a, b, s e6-fix BEFORE the order-free sums. Zero distances guard
+    through nullif → s = 0 sentinel, mirrored in SQL.
+
+    Plan shape: one posexplode + bounded (label, dim) groupBy builds
+    the L×d centroid relation; vectors crossJoin the BROADCAST ≤L-row
+    centroid list with unrolled codegen dots (L·d ops per row, no
+    shuffle); one bounded groupBy(label). At 100 TB: still one scan —
+    centroids are a bounded summary, the cross join is row-local."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    xe = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    v = emb.select("vec_id", "label", xe.alias("xe"))
+    ex = v.select(
+        "label", F.posexplode("xe").alias("dim", "x6")
+    )
+    cent = ex.groupBy(F.col("label").alias("cand"), "dim").agg(
+        F.floor(
+            F.sum("x6").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    cl = cent.groupBy("cand").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("mv")
+    )
+    scored = v.crossJoin(F.broadcast(cl)).select(
+        "vec_id",
+        "label",
+        "cand",
+        (
+            dot_fixed(F.col("xe"), F.col("xe"), _DIM)
+            - F.lit(2) * dot_fixed(F.col("xe"), F.col("mv"), _DIM)
+            + dot_fixed(F.col("mv"), F.col("mv"), _DIM)
+        ).alias("d2"),
+    )
+    per = scored.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.min(
+                F.when(F.col("cand") == F.col("label"), F.col("d2"))
+            ).cast("double")
+        ).alias("da"),
+        F.sqrt(
+            F.min(
+                F.when(F.col("cand") != F.col("label"), F.col("d2"))
+            ).cast("double")
+        ).alias("db"),
+    )
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    s = F.coalesce(
+        (F.col("db") - F.col("da"))
+        / F.nullif(F.greatest("da", "db"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    f = per.select(
+        "label",
+        e6(F.col("da")).alias("da6"),
+        e6(F.col("db")).alias("db6"),
+        e6(s).alias("s6"),
+    )
+    return f.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        stable_round(
+            F.sum("da6").cast("double")
+            / (F.count("da6").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_intra"),
+        stable_round(
+            F.sum("db6").cast("double")
+            / (F.count("db6").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_nearest"),
+        stable_round(
+            F.sum("s6").cast("double")
+            / (F.count("s6").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_silhouette"),
+        (F.min("s6").cast("double") / F.lit(1e6)).alias(
+            "min_silhouette"
+        ),
+    )
+
+
+ORACLE_SILHOUETTE = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xe
+  FROM embeddings
+), flat AS (
+  SELECT label, unnest(range(1, len(xe) + 1)) AS dim, unnest(xe) AS x6
+  FROM v
+), cent AS (
+  SELECT label AS cand, dim,
+         CAST(floor(CAST(sum(x6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS m
+  FROM flat GROUP BY 1, 2
+), cl AS (
+  SELECT cand, list(m ORDER BY dim) AS mv FROM cent GROUP BY 1
+), sc AS (
+  SELECT x.vec_id, x.label, c.cand,
+         list_dot_product(x.xe, x.xe)
+           - 2 * list_dot_product(x.xe, c.mv)
+           + list_dot_product(c.mv, c.mv) AS d2
+  FROM v x CROSS JOIN cl c
+), per AS (
+  SELECT vec_id, label,
+         sqrt(min(CASE WHEN cand = label THEN d2 END)) AS da,
+         sqrt(min(CASE WHEN cand <> label THEN d2 END)) AS db
+  FROM sc GROUP BY 1, 2
+), f AS (
+  SELECT label,
+         CAST(floor(da * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+           AS da6,
+         CAST(floor(db * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+           AS db6,
+         CAST(floor(coalesce((db - da) / nullif(greatest(da, db), 0.0),
+                             0.0)
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS s6
+  FROM per
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {sql_stable_round(
+           "CAST(sum(da6) AS DOUBLE)"
+           " / (CAST(count(da6) AS DOUBLE) * 1000000.0)", 6
+       )} AS mean_intra,
+       {sql_stable_round(
+           "CAST(sum(db6) AS DOUBLE)"
+           " / (CAST(count(db6) AS DOUBLE) * 1000000.0)", 6
+       )} AS mean_nearest,
+       {sql_stable_round(
+           "CAST(sum(s6) AS DOUBLE)"
+           " / (CAST(count(s6) AS DOUBLE) * 1000000.0)", 6
+       )} AS mean_silhouette,
+       CAST(min(s6) AS DOUBLE) / 1000000.0 AS min_silhouette
+FROM f GROUP BY label
+""".strip()
+
+
 _TRUNC_KS = (16, 32)  # matryoshka prefix widths to audit
 
 
@@ -1733,6 +1893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
     "embedding_truncation_fidelity": q_embedding_truncation_fidelity,
+    "embedding_silhouette": q_embedding_silhouette,
     "embedding_centroid_accuracy": q_embedding_centroid_accuracy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
@@ -1746,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "embedding_truncation_fidelity": ORACLE_TRUNCATION_FIDELITY,
+    "embedding_silhouette": ORACLE_SILHOUETTE,
     "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,
     "decontaminate_embedding": ORACLE_DECONTAMINATE_EMB,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,

@@ -213,3 +213,58 @@ def test_corpus_checksum_fingerprint_semantics(spark, tmp_path):
     assert doubled.content_xor == a.content_xor
     assert doubled.docs == a.docs + 2
     assert doubled.distinct_texts == a.distinct_texts
+
+
+def test_duplicate_invoice_screen_catches_injected_dupes(spark, tmp_path):
+    """orders_duplicate_invoices: spec-generated TPC-H data has ZERO
+    same-customer-same-cents collisions (verified — the 0-row result
+    on clean data IS the correct audit outcome), so the detector is
+    pinned on injected duplicates: same customer + same cents within
+    the window fires; a different customer, a different amount, or a
+    gap past the window does not."""
+    import datetime as dt
+
+    from monasca_aggregator_spark.plans.audits import (
+        q_orders_duplicate_invoices,
+    )
+
+    def d(day):
+        return dt.datetime(1995, 3, day)
+
+    rows = [
+        # pair: same cust, same cents, 2 days apart -> fires
+        (1, 100, "O", 1234.56, d(1), "1-URGENT"),
+        (2, 100, "O", 1234.56, d(3), "1-URGENT"),
+        # same cust + cents but 20 days apart -> outside window
+        (3, 100, "O", 1234.56, d(23), "1-URGENT"),
+        # same cents, different customer -> no pair
+        (4, 200, "O", 1234.56, d(2), "1-URGENT"),
+        # same cust, different cents -> no pair
+        (5, 100, "O", 1234.57, d(2), "1-URGENT"),
+        # triple: one customer, three identical orders in 3 days ->
+        # 3 pairs, 3 orders involved
+        (6, 300, "O", 50.00, d(10), "2-HIGH"),
+        (7, 300, "O", 50.00, d(11), "2-HIGH"),
+        (8, 300, "O", 50.00, d(12), "2-HIGH"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.month: r
+        for r in q_orders_duplicate_invoices(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"1995-03"}
+    r = got["1995-03"]
+    # pairs: (1,2) + the triple's (6,7),(6,8),(7,8) = 4
+    assert r.n_pairs == 4
+    # orders involved: 1,2,6,7,8
+    assert r.n_orders_involved == 5
+    # dollars at risk = 1234.56 + 3*50.00
+    assert abs(r.dollars_at_risk - (1234.56 + 150.0)) < 1e-6
