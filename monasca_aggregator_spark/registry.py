@@ -141,7 +141,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality / text_tokens / embedding_centroids /
 # embedding_quantize (all r5-green); those displaced keys lead the
 # R9 staging below.)
-# Round-9 rotation (staged in r7): the 8 re-confirmations R8's r7
+# Round-9 rotation (staged in r7; ALL 50 keys pre-verified green at
+# sf0.01 under the driver protocol at the end of r7 —
+# tools/check_correctness.py): the 8 re-confirmations R8's r7
 # additions displaced, then the 26 r1/r2/r3-green keys dropped from
 # R7 to make room, then the 16 oldest r4-green re-confirmations.
 # New oracle keys added in r8 MUST displace this list's tail
