@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "events_next_entropy",
     "embedding_silhouette",
     "orders_duplicate_invoices",
+    "lineitem_key_skew",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -738,6 +738,82 @@ FROM n GROUP BY source
 """.strip()
 
 
+_SKEW_TOPK = 10
+
+
+def q_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY skew report for the fact table's supplier key — the
+    DETECTION counterpart of the salting / AQE-skew-join mitigations
+    (tests/test_skew.py): before picking a strategy you measure which
+    keys are hot. Top-_SKEW_TOPK hottest l_suppkey values with row
+    count, share of the fact table, and hot-over-mean ratio (how many
+    average keys' worth of rows the hot key drags through one join
+    partition).
+
+    Exactness: counts are exact BIGINTs; share and ratio are one
+    division each against the broadcast 1-row grand total. Plan
+    shape: one partial-agg groupBy on the key, TakeOrderedAndProject
+    for the top-K (never a global sort), rank window over the ≤K-row
+    result (the text_vocab_topk bounded-window pattern), 1-row
+    broadcast crossJoin for the totals. At 100 TB: the per-key
+    relation is dimension-sized, the report is K rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = per.orderBy(
+        F.col("cnt").desc(), F.col("l_suppkey").asc()
+    ).limit(_SKEW_TOPK)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", rk)
+        .select(
+            "rank",
+            "l_suppkey",
+            F.col("cnt").cast("long").alias("cnt"),
+            stable_round(
+                F.col("cnt").cast("double")
+                * F.lit(100.0)
+                / F.col("total").cast("double"),
+                4,
+            ).alias("share_pct"),
+            stable_round(
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("hot_over_mean"),
+        )
+    )
+
+
+ORACLE_KEY_SKEW = f"""
+WITH per AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total, count(*) AS n_keys FROM per
+), top AS (
+  SELECT l_suppkey, cnt FROM per
+  ORDER BY cnt DESC, l_suppkey ASC LIMIT {_SKEW_TOPK}
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rank,
+       l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+       {sql_stable_round(
+           "CAST(cnt AS DOUBLE) * 100.0 / CAST(total AS DOUBLE)", 4
+       )} AS share_pct,
+       {sql_stable_round(
+           "CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)"
+           " / CAST(total AS DOUBLE)", 4
+       )} AS hot_over_mean
+FROM top CROSS JOIN tot
+""".strip()
+
+
 _DUP_INV_DAYS = 7  # same customer + same cents within this window
 
 
@@ -827,6 +903,7 @@ FROM pairs GROUP BY month
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_checksum_by_source": q_corpus_checksum_by_source,
     "orders_duplicate_invoices": q_orders_duplicate_invoices,
+    "lineitem_key_skew": q_lineitem_key_skew,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "text_jsd_by_source": q_text_jsd_by_source,
     "orders_consistency_audit": q_orders_consistency_audit,
@@ -840,6 +917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "corpus_checksum_by_source": ORACLE_CORPUS_CHECKSUM,
     "orders_duplicate_invoices": ORACLE_DUP_INVOICES,
+    "lineitem_key_skew": ORACLE_KEY_SKEW,
     "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
     "text_jsd_by_source": ORACLE_TEXT_JSD,
     "orders_consistency_audit": ORACLE_ORDERS_CONSISTENCY,

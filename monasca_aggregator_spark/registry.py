@@ -164,13 +164,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
 #     "agg_delta", "agg_rate", "tpch_q1", "dedup_rate_by_source",
 #     "text_readability", "embedding_outliers", "sessions_active_time",
-#     "events_lifecycle", "events_markov",
+#     "events_lifecycle",
 #     "embedding_silhouette", "orders_duplicate_invoices",
+#     "lineitem_key_skew",
 # )
 # (Rotation invariant: embedding_silhouette / orders_duplicate_invoices
-# — added late in r7, after R8 was pre-verified — entered the NEWEST
-# staged window (R9), displacing the tail re-confirmations
-# sessions_native / metric_top_contributors (both r4-green).)
+# / lineitem_key_skew — added late in r7, after R8 was pre-verified —
+# entered the NEWEST staged window (R9), displacing the tail
+# re-confirmations sessions_native / metric_top_contributors /
+# events_markov (all r4-green). Each of the three late keys was
+# checked green individually at sf0.01 under the driver protocol.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,
