@@ -586,3 +586,77 @@ def test_jpeg_roundtrip_never_crashes_and_bounds_error(
     ref = img if not gray else img[..., None]
     err = np.abs(dec.astype(int) - ref.astype(int))
     assert err.max() <= 48
+
+
+def test_html_extractor_properties_random_batch(spark):
+    """HTML extractor robustness on adversarial input (one seeded
+    batch, one Spark job): for random tag-soup strings —
+
+    - NEVER crashes, never yields NULL main_text;
+    - output contains no '<tag>' markup (script/style/comment bodies
+      and all tags stripped);
+    - output whitespace is canonical (no doubles, no lead/trail);
+    - a page whose every block is chrome quarantines (kept == 0);
+    - extraction is IDEMPOTENT: re-wrapping the extracted text in a
+      single <p> and extracting again returns the same text (the
+      canonical form is a fixed point).
+    """
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.html import extract_main
+
+    rng = _r.Random(7)
+    # NB: decoded entities are DATA — "&lt;b&gt;" would legitimately
+    # put a literal "<b>" in the output (decode runs AFTER
+    # tag-stripping), so the no-markup property uses entity words
+    # that decode to non-markup only
+    words = ["alpha", "beta", "gamma", "delta", "x1", "&amp;"]
+    tags = ["p", "div", "li", "h1", "br", "span", "a href='/x'",
+            "script", "style", "nav", "table", "td"]
+
+    def soup():
+        parts = []
+        for _ in range(rng.randint(1, 25)):
+            r = rng.random()
+            if r < 0.35:
+                t = rng.choice(tags)
+                parts.append(f"<{t}>" if rng.random() < 0.6
+                             else f"</{t.split()[0]}>")
+            elif r < 0.45:
+                parts.append("<!-- c -->")
+            elif r < 0.5:
+                parts.append("<script>var a='<p>x</p>';</script>")
+            else:
+                parts.append(
+                    " ".join(rng.choices(words, k=rng.randint(1, 12)))
+                )
+        return "".join(parts)
+
+    rows = [(i, soup()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = extract_main(df).collect()
+    assert len(out) == 200
+    import re as _re
+
+    for r in out:
+        assert r.main_text is not None
+        assert not _re.search(r"</?[a-zA-Z][^>]*>", r.main_text), (
+            r.main_text
+        )
+        assert "  " not in r.main_text
+        assert r.main_text == r.main_text.strip()
+        assert (r.n_kept == 0) == r._quarantined
+
+    # idempotence: extract(wrap(extract(x))) == extract(x) for kept rows
+    kept = [(r.id, f"<p>{r.main_text}</p>") for r in out if r.n_kept > 0]
+    if kept:
+        df2 = spark.createDataFrame(kept, "id long, html string")
+        again = {r.id: r.main_text for r in extract_main(df2).collect()}
+        want = {r.id: r.main_text for r in out if r.n_kept > 0}
+        # blocks shorter than MIN_BLOCK_CHARS drop on re-extraction;
+        # compare only rows whose text clears the length gate
+        for i, txt in want.items():
+            if len(txt) >= 25:
+                assert again[i] == txt, i
