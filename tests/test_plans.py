@@ -467,3 +467,30 @@ def test_psi_identical_halves_are_stable(spark, tmp_path):
     write([910.0, 920.0, 930.0, 940.0, 950.0])
     r = q_metric_psi(spark, str(tmp_path)).collect()[0]
     assert r.verdict == "major_shift" and r.psi > 1.0
+
+
+def test_bench_gate_split_contract():
+    """The engine/gates stanza split (r7): every GATE query is a real
+    headline entry, the two stanzas partition the headline list, and
+    the committed per-round snapshot carries both totals + the host
+    canary so cross-round comparisons stay auditable."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    # GATE_QUERIES is a CLASSIFIER (a benched query reports in the
+    # gates stanza iff listed), not a sublist: two gates
+    # (dedup_lsh_calibration, ann_nprobe_sweep) are registry-only.
+    from monasca_aggregator_spark.registry import all_queries
+
+    assert bench.GATE_QUERIES <= set(all_queries())
+    snap = Path("BENCH_FULL_r7.json")
+    if snap.exists():  # committed at round end
+        d = json.loads(snap.read_text())
+        assert {"engine_sec", "gates_sec", "host_canary_tpch_q1_sec"} <= set(d)
+        assert abs(d["engine_sec"] + d["gates_sec"] - d["value"]) < 0.01
+        gates_sum = sum(
+            v for k, v in d["queries"].items() if k in bench.GATE_QUERIES
+        )
+        assert abs(gates_sum - d["gates_sec"]) < 0.01
