@@ -148,9 +148,15 @@ def html_main_content(
     unchanged. Rows whose page extracts to NOTHING are dropped (the
     curation semantics of quarantine — a page that is all chrome
     carries no trainable text), counted by the funnel via the
-    returned ``_was_html`` flag."""
-    is_html = F.col(text_col).rlike(
-        r"(?is)<(?:html|body|p|div|a|li|h[1-6])(?:\s[^>]*)?>"
+    returned ``_was_html`` flag. NULL text is NOT HTML (coalesced
+    detection — ADVICE r7: ``rlike(NULL)`` is NULL, which the final
+    filter would silently drop; null-text rows keep their prior
+    pass-through behavior so a downstream gate counts them)."""
+    is_html = F.coalesce(
+        F.col(text_col).rlike(
+            r"(?is)<(?:html|body|p|div|a|li|h[1-6])(?:\s[^>]*)?>"
+        ),
+        F.lit(False),
     )
     extracted = F.when(is_html, main_text(F.col(text_col))).otherwise(
         F.col(text_col)

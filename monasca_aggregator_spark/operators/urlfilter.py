@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-HOST_RE = r"https?://([^/]+)/"
+# host = everything after the scheme up to the first path/query/
+# fragment delimiter — NO trailing-slash requirement, so path-less
+# URLs (https://example.xyz, https://tracker-ads.example?q=1) still
+# parse (ADVICE r7: the old r"https?://([^/]+)/" extracted host=''
+# for those, silently bypassing every gate)
+HOST_RE = r"https?://([^/?#]+)"
 
 
 def url_domain_filter(
@@ -38,15 +43,18 @@ def url_domain_filter(
     keep_reason: bool = False,
 ) -> DataFrame:
     """Filter rows by URL policy; returns surviving rows (plus a
-    ``_url_reason`` column when ``keep_reason`` — 'kept' | 'blocklist'
-    | 'bad_tld' | 'over_cap' — for funnel accounting, in which case
-    dropped rows are RETAINED with their reason and the caller
-    filters).
+    ``_url_reason`` column when ``keep_reason`` — 'kept' | 'bad_url'
+    | 'blocklist' | 'bad_tld' | 'over_cap' — for funnel accounting,
+    in which case dropped rows are RETAINED with their reason and the
+    caller filters).
 
-    Precedence: blocklist → TLD → cap, so accounting attributes each
-    drop to the first gate that caught it. For blocklists beyond a
-    few thousand entries, join a broadcast blocklist relation instead
-    of the literal ``isin`` this builds.
+    Precedence: unparseable → blocklist → TLD → cap, so accounting
+    attributes each drop to the first gate that caught it. A URL
+    whose host can't be extracted (empty/garbled) is an explicit
+    'bad_url' drop — never silently 'kept', and never pooled into a
+    shared '' cap partition (ADVICE r7). For blocklists beyond a few
+    thousand entries, join a broadcast blocklist relation instead of
+    the literal ``isin`` this builds.
     """
     host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
     out = df.withColumn("_url_host", host)
@@ -67,6 +75,11 @@ def url_domain_filter(
         reason = F.when(
             F.col("_url_host").isin(*list(blocklist)), F.lit("blocklist")
         ).otherwise(reason)
+    # applied last = highest precedence: NULL or empty host (no
+    # scheme, no authority, garbled URL) is an explicit counted drop
+    reason = F.when(
+        F.coalesce(F.col("_url_host"), F.lit("")) == "", F.lit("bad_url")
+    ).otherwise(reason)
     out = out.withColumn("_url_reason", reason).drop(
         "_url_host", "_url_rn"
     )

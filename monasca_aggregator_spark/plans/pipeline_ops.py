@@ -1288,10 +1288,12 @@ def q_pack_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_off = docs.select(
         "source", "doc_id", "n_chars", s.alias("s")
     ).filter(F.col("n_chars") > 0)
-    first_c = F.floor(F.col("s") / b).cast("long")
-    last_c = F.floor((F.col("s") + F.col("n_chars") - 1) / b).cast(
-        "long"
-    )
+    # integer floor division (`div`), NOT double `/` + floor: s is an
+    # exact BIGINT running offset, and past ~2^53 total chars per
+    # source a double quotient can misassign a straddle chunk
+    # (ADVICE r7); DuckDB mirrors with `//`
+    first_c = F.expr(f"s div {PACK_BUDGET}")
+    last_c = F.expr(f"(s + n_chars - 1) div {PACK_BUDGET}")
     ex = with_off.select(
         "source",
         "doc_id",
@@ -1322,9 +1324,9 @@ WITH o AS (
   WHERE n_chars > 0
 ), x AS (
   SELECT source, doc_id, n_chars, s,
-         unnest(range(CAST(floor(s::DOUBLE / {PACK_BUDGET}) AS BIGINT),
-                      CAST(floor((s + n_chars - 1)::DOUBLE
-                                 / {PACK_BUDGET}) AS BIGINT) + 1))
+         unnest(range(CAST(s // {PACK_BUDGET} AS BIGINT),
+                      CAST((s + n_chars - 1) // {PACK_BUDGET} AS BIGINT)
+                        + 1))
            AS chunk_id
   FROM o
 )
@@ -1356,7 +1358,11 @@ _URL_DOMAINS = [
 ]
 _URL_BLOCKLIST = ["tracker-ads.example", "spam-mirror.example"]
 _URL_CAP = 40  # max docs kept per domain (crawl-balance cap)
-_HOST_RE = r"https?://([^/]+)/"
+# mirrors operators/urlfilter.HOST_RE (no trailing-slash requirement —
+# ADVICE r7); same RE2-compatible pattern on both engines, and the
+# synthesized URLs always carry a path so the r7→r8 regex change
+# leaves the oracle hashes untouched
+_HOST_RE = r"https?://([^/?#]+)"
 
 
 def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

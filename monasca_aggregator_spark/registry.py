@@ -25,46 +25,65 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # the unchecked half plus the three r1 hash-mismatch fixes (50/50
 # green), r3 covered the next-oldest 50 (50/50 green in
 # CORRECTNESS_r03), r4 covered the r3/r4 additions (50/50 green in
-# CORRECTNESS_r04).  The active r7 list is below; r8 is staged
+# CORRECTNESS_r04).  The active r8 list is below; r9 is staged
 # as a comment so each round's flip is a single edit, pinned by
 # tests/test_registry.py::test_staged_windows_are_flippable.
 # New oracle keys always enter the NEWEST staged window (currently
-# R8, replacing tail re-confirmations) so every oracle key gets a
+# R9, replacing tail re-confirmations) so every oracle key gets a
 # driver row within two window flips.
 #
-# Round-7 ACTIVE window (flipped at the start of round 7): the 26
-# oracle-backed keys ADDED in r5 (rotation invariant: new oracle
-# keys enter the newest staged window), then the 19 oracle-backed
-# keys with no driver row after r1-r3 and no slot in r4-r6 (the 14
-# r4 additions + the 5 late-r3 stats queries), then 5 of the first
-# r6 oracle additions — after r7 only the 8 R8-staged keys still
-# lack a driver row.  The r6 window (events_ab_test …
-# tpch_q8_mkt_share) went 50/50 green in CORRECTNESS_r06.
+# Round-8 ACTIVE window (flipped at the start of round 8; ALL 50
+# keys pre-verified green at sf0.01 under the driver protocol at the
+# end of r7 — tools/check_correctness.py, re-verified by the r7
+# judge sweep): r6 oracle keys that no longer fit R7 (it held the 45
+# keys still missing any driver row + the first 5 r6 additions),
+# then the 5 tpch re-confirmations R7 displaced, then the oldest
+# re-confirmations (r5-window keys — 3 rounds old by r8), then the
+# 8 oracle keys ADDED in r7 (rotation invariant: new oracle keys
+# enter the newest staged window).  The r7 window (metric_lead_lag …
+# graph_pagerank_exact) went 50/50 green in CORRECTNESS_r07.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "metric_lead_lag", "metric_topk_movers",
-    "corpus_source_overlap", "dedup_threshold_sweep",
-    "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
-    "decontaminate_embedding", "sample_importance_dsir",
-    "embedding_hard_negatives", "class_balance_weights",
-    "metric_p95_trend", "metric_histogram_native",
-    "lang_entropy_by_source", "metric_longest_gap",
-    "region_revenue_yoy", "orders_segment_migration",
-    "events_trailing_1h", "part_price_spread",
-    "lineitem_discount_uplift", "metric_psi",
-    "text_jsd_by_source", "embedding_intrinsic_dim",
-    "text_burstiness", "sessions_top_paths",
-    "lineitem_return_rate",
-    "events_variant_props", "revenue_gini_by_nation", "orders_benford",
-    "events_survival_hazard", "corpus_spearman", "orders_backlog",
-    "orders_consistency_audit", "profile_drift", "events_dup_rate",
-    "text_pii_audit", "embedding_dim_variance", "orders_gap_summary",
-    "sessions_capped", "corpus_ks_by_source", "lang_source_chi2",
-    "embedding_knn_accuracy", "events_attribution_ushape",
-    "supplier_scorecard", "nation_trade_matrix",
-    "sample_consistent_k_group", "corpus_ngram_coverage",
-    "embedding_quantize_error", "dedup_minhash_estimate",
-    "graph_pagerank_exact",
+    "embedding_centroid_accuracy", "metric_mttr",
+    "dedup_embedding_exact", "dedup_simhash_estimate",
+    "metric_capacity_eta", "text_oov_rate",
+    "orders_basket_size_hist", "quality_by_lang_source",
+    "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
+    "tpch_q13_histogram", "tpch_q15_topsupp",
+    "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
+    "lang_confusion", "series_shape_search", "text_search_fuzzy",
+    "text_stem_vocab", "corpus_zipf_alpha", "tpch_q12_latecount",
+    "sample_stratified", "sample_temperature", "profile_documents",
+    "split_train_val", "pack_chunks", "pack_chunks_overlap",
+    "dedup_exact", "dedup_spans", "dedup_editdistance",
+    "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
+    "dedup_canonical", "text_tfidf", "text_bigram_pmi",
+    "text_search_conjunctive", "text_langid", "quality_deciles",
+    "text_decontaminate", "text_unigram_logprob",
+    "html_extract_main", "html_chrome_stats",
+    "curation_url_filter", "text_token_fertility",
+    "corpus_checksum_by_source", "pack_chunk_spans",
+    "embedding_truncation_fidelity", "events_next_entropy",
 )
+# Round-7 window (retired after CORRECTNESS_r07 went 50/50 green):
+# metric_lead_lag, metric_topk_movers, corpus_source_overlap,
+# dedup_threshold_sweep, corpus_mannwhitney, quality_bootstrap_ci,
+# orders_nrr, decontaminate_embedding, sample_importance_dsir,
+# embedding_hard_negatives, class_balance_weights, metric_p95_trend,
+# metric_histogram_native, lang_entropy_by_source,
+# metric_longest_gap, region_revenue_yoy, orders_segment_migration,
+# events_trailing_1h, part_price_spread, lineitem_discount_uplift,
+# metric_psi, text_jsd_by_source, embedding_intrinsic_dim,
+# text_burstiness, sessions_top_paths, lineitem_return_rate,
+# events_variant_props, revenue_gini_by_nation, orders_benford,
+# events_survival_hazard, corpus_spearman, orders_backlog,
+# orders_consistency_audit, profile_drift, events_dup_rate,
+# text_pii_audit, embedding_dim_variance, orders_gap_summary,
+# sessions_capped, corpus_ks_by_source, lang_source_chi2,
+# embedding_knn_accuracy, events_attribution_ushape,
+# supplier_scorecard, nation_trade_matrix,
+# sample_consistent_k_group, corpus_ngram_coverage,
+# embedding_quantize_error, dedup_minhash_estimate,
+# graph_pagerank_exact.
 # Round-5 window (retired after CORRECTNESS_r05 went 50/50 green):
 # privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
 # lang_confusion, series_shape_search, text_search_fuzzy,
@@ -102,34 +121,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # were displaced from R7 by the first 5 oracle keys ADDED in r6 — the
 # rotation invariant: new oracle keys enter the newest staged window
 # so every key has a driver row by the end of R7.)
-# Round-8 rotation (staged; ALL 50 keys pre-verified green at sf0.01
-# under the driver protocol at the end of r7 —
-# tools/check_correctness.py): r6 oracle keys that no longer fit R7
-# (it holds the 45 keys still missing any driver row + the first 5 r6
-# additions), then the 5 tpch re-confirmations R7 displaced, then the
-# oldest re-confirmations (r5-window keys — 3 rounds old by r8).
-# _DRIVER_WINDOW_R8: tuple[str, ...] = (
-#     "embedding_centroid_accuracy", "metric_mttr",
-#     "dedup_embedding_exact", "dedup_simhash_estimate",
-#     "metric_capacity_eta", "text_oov_rate",
-#     "orders_basket_size_hist", "quality_by_lang_source",
-#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
-#     "tpch_q13_histogram", "tpch_q15_topsupp",
-#     "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
-#     "lang_confusion", "series_shape_search", "text_search_fuzzy",
-#     "text_stem_vocab", "corpus_zipf_alpha", "tpch_q12_latecount",
-#     "sample_stratified", "sample_temperature", "profile_documents",
-#     "split_train_val", "pack_chunks", "pack_chunks_overlap",
-#     "dedup_exact", "dedup_spans", "dedup_editdistance",
-#     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
-#     "dedup_canonical", "text_tfidf", "text_bigram_pmi",
-#     "text_search_conjunctive", "text_langid", "quality_deciles",
-#     "text_decontaminate", "text_unigram_logprob",
-#     "html_extract_main", "html_chrome_stats",
-#     "curation_url_filter", "text_token_fertility",
-#     "corpus_checksum_by_source", "pack_chunk_spans",
-#     "embedding_truncation_fidelity", "events_next_entropy",
-# )
 # (Rotation invariant applied in r7: the eight oracle keys ADDED in
 # r7 — html_extract_main / html_chrome_stats (plans/html.py),
 # curation_url_filter / pack_chunk_spans (plans/pipeline_ops.py),

@@ -180,6 +180,19 @@ def snapshot_history(path: str) -> list[dict]:
     return [_read_commit(path, v) for v in snapshot_versions(path)]
 
 
+def batch_committed(path: str, batch_id: int) -> bool:
+    """True when ANY commit record carries this micro-batch id — not
+    just the newest: a restored/rebuilt checkpoint can rewind MORE
+    than one batch (ADVICE r7), and every replayed id must skip or
+    the table double-appends. Commit records are tiny JSON, so this
+    is O(#versions) driver-side reads per micro-batch — retention
+    expiry keeps the log bounded."""
+    return any(
+        _read_commit(path, v).get("batch_id") == batch_id
+        for v in snapshot_versions(path)
+    )
+
+
 def snapshot_sink(path: str, *, mode: str = "append"):
     """``foreachBatch`` sink: every micro-batch commits as a NEW
     snapshot version, so the stream's output is a versioned table —
@@ -191,17 +204,15 @@ def snapshot_sink(path: str, *, mode: str = "append"):
     micro-batch id IN the atomically-published commit itself (threaded
     through ``snapshot_write(extra_record=...)``), so there is no
     crash window in which a commit exists without its batch_id — a
-    replayed batch (same id as the newest commit) is skipped instead
-    of double-committed, the snapshot-table counterpart of the
+    replayed batch (same id as ANY prior commit, so multi-batch
+    checkpoint rewinds skip too) is dropped instead of
+    double-committed, the snapshot-table counterpart of the
     idempotent batch_id-keyed parquet sink.
     """
 
     def _sink(df: DataFrame, batch_id: int) -> None:
-        versions = snapshot_versions(path)
-        if versions:
-            newest = _read_commit(path, versions[-1])
-            if newest.get("batch_id") == batch_id:
-                return  # replay of the already-committed batch
+        if batch_committed(path, batch_id):
+            return  # replay of an already-committed batch
         snapshot_write(
             df, path, mode=mode, extra_record={"batch_id": batch_id}
         )

@@ -1396,21 +1396,14 @@ def minhash_index_sink(
     """
     from monasca_aggregator_spark.operators.dedup import minhash_index
     from monasca_aggregator_spark.sources.table_log import (
-        _read_commit,
-        snapshot_versions,
+        batch_committed,
         snapshot_write,
     )
-
-    def _replayed(path: str, batch_id: int) -> bool:
-        versions = snapshot_versions(path)
-        if not versions:
-            return False
-        return _read_commit(path, versions[-1]).get("batch_id") == batch_id
 
     def _sink(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
-        if not _replayed(index_path, batch_id):
+        if not batch_committed(index_path, batch_id):
             idx = minhash_index(
                 df,
                 id_col=id_col,
@@ -1425,7 +1418,9 @@ def minhash_index_sink(
                 mode="append",
                 extra_record={"batch_id": batch_id},
             )
-        if docs_path is not None and not _replayed(docs_path, batch_id):
+        if docs_path is not None and not batch_committed(
+            docs_path, batch_id
+        ):
             snapshot_write(
                 df,
                 docs_path,

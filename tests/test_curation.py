@@ -136,3 +136,48 @@ def test_curate_corpus_url_gate(spark):
     # 3 (cap), 4 (blocklist), 5 (tld) dropped -> 3 survive the gate
     assert m["url_filter"] == 3
     assert list(m)[:3] == ["raw", "url_filter", "html_extract"]
+
+
+def test_url_domain_filter_pathless_and_bad_urls(spark):
+    """ADVICE r7: the old HOST_RE required a trailing slash, so
+    path-less URLs extracted host='' — bypassing blocklist/TLD gates
+    and pooling into one '' cap partition. Path-less URLs must parse
+    their real host; unparseable URLs are an explicit 'bad_url' drop,
+    never 'kept'."""
+    from monasca_aggregator_spark.operators.urlfilter import (
+        url_domain_filter,
+    )
+
+    rows = [
+        (1, "https://tracker-ads.example"),          # pathless blocklist
+        (2, "https://tracker-ads.example?q=1"),      # query, no path
+        (3, "https://freebies.xyz"),                 # pathless bad tld
+        (4, "https://ok.example.com#frag"),          # fragment, no path
+        (5, "not a url at all"),                     # unparseable
+        (6, None),                                   # null url
+        (7, "https://ok.example.com/a"),
+        (8, "https://ok.example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r._url_reason
+        for r in url_domain_filter(
+            df,
+            blocklist=("tracker-ads.example",),
+            per_domain_cap=2,
+            keep_reason=True,
+        ).collect()
+    }
+    assert got[1] == "blocklist"
+    assert got[2] == "blocklist"
+    assert got[3] == "bad_tld"
+    assert got[5] == "bad_url"
+    assert got[6] == "bad_url"
+    # ok.example.com has 3 rows; cap=2 keeps the first two by doc_id
+    assert got[4] == "kept" and got[7] == "kept"
+    assert got[8] == "over_cap"
+    # and the kept-only projection drops every flagged row
+    kept = url_domain_filter(
+        df, blocklist=("tracker-ads.example",), per_domain_cap=2
+    )
+    assert {r.doc_id for r in kept.collect()} == {4, 7}

@@ -107,6 +107,7 @@ def test_curation_stage_passthrough_and_drop(spark):
         (1, _PAGE, "en", "web", len(_PAGE)),
         (2, _ALL_CHROME, "en", "web", len(_ALL_CHROME)),
         (3, "plain text stays exactly as it came in", "en", "clean", 39),
+        (4, None, "en", "clean", 0),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -118,6 +119,9 @@ def test_curation_stage_passthrough_and_drop(spark):
     assert 2 not in out
     # plain text byte-identical
     assert out[3] == "plain text stays exactly as it came in"
+    # NULL text is not HTML: it passes through for a downstream gate
+    # to count, never a silent NULL-filter drop (ADVICE r7)
+    assert 4 in out and out[4] is None
 
 
 def test_plan_has_no_shuffle_or_python(spark):

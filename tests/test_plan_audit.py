@@ -51,6 +51,18 @@ def test_sampled_plan_audit(sf_small):
     assert not problems, "\n".join(problems)
 
 
+def test_full_plan_audit(sf_small):
+    """FULL-registry audit, in-suite — the freeze gate. The r7 round
+    shipped its one audit violation because `lineitem_key_skew` landed
+    AFTER the last standalone full-audit run and the in-suite check
+    only sampled (VERDICT r7 "What's wrong" #1). Auditing every
+    registered key each suite run makes it mechanically impossible
+    for a late-added query to skip the gate. Build-only (~plans, no
+    execution) except the documented EAGER_QUERIES."""
+    problems = plan_audit.audit(sf_small, None)
+    assert not problems, "\n".join(problems)
+
+
 def test_unpartitioned_window_parser():
     """Pin the formatted-plan parsing the rule depends on: partition
     vs order vs frame-only specs, marker exclusion, and the bounded

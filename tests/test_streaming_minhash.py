@@ -123,3 +123,24 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert snapshot_read(spark, index_path).count() == n1
     sink(docs.withColumn("doc_id", F.col("doc_id") + 100), 8)
     assert len(snapshot_versions(index_path)) == len(v1) + 1
+
+
+def test_multi_batch_rewind_is_skipped(spark, tmp_path):
+    """ADVICE r7: a checkpoint restored several batches back replays
+    MORE than one batch — every already-committed id must skip, not
+    just the newest commit's."""
+    index_path = str(tmp_path / "mh_index_rw")
+    d1 = spark.createDataFrame(_DOCS[:2], _SCHEMA)
+    d2 = spark.createDataFrame(_DOCS[2:4], _SCHEMA)
+    d3 = spark.createDataFrame(_DOCS[4:6], _SCHEMA)
+    sink = minhash_index_sink(index_path)
+    sink(d1, 0)
+    sink(d2, 1)
+    sink(d3, 2)
+    versions = snapshot_versions(index_path)
+    n = snapshot_read(spark, index_path).count()
+    # rewind two batches: both replays are no-ops
+    sink(d2, 1)
+    sink(d3, 2)
+    assert snapshot_versions(index_path) == versions
+    assert snapshot_read(spark, index_path).count() == n

@@ -33,9 +33,18 @@ def main() -> None:
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    # driver-wrapper records only carry the worst-5 in `queries`; the
+    # real total rides in `n_queries` (VERDICT r7 nit #2)
+    on = old.get("n_queries", len(oq))
+    nn = new.get("n_queries", len(nq))
     print(
         f"total: {old.get('value')}s -> {new.get('value')}s "
-        f"({len(oq)} -> {len(nq)} queries)"
+        f"({on} -> {nn} queries"
+        + (
+            f", per-query detail for {len(oq)} -> {len(nq)})"
+            if (on, nn) != (len(oq), len(nq))
+            else ")"
+        )
     )
     rows = []
     for name in sorted(set(oq) | set(nq)):

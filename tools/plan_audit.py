@@ -156,34 +156,84 @@ def _bracket_group_list(s: str) -> list[str]:
     return groups
 
 
-def _group_limited(plan: str, node_id: int) -> bool:
-    """True when the Window node's input is bounded by construction:
-    walking the single-child chain beneath it (through pass-through
-    Sort/Exchange/Project/Filter nodes) reaches a WindowGroupLimit
-    (Spark's rank-filter pushdown — every partition pre-limited to k
-    rows) or a TakeOrderedAndProject (distributed top-k), so the
-    single-task window sees ≤ k·#partitions rows — not a scale
-    cliff."""
+def _tree_nodes(plan: str) -> list[tuple[int, str, str, int]]:
+    """Parse the formatted plan's tree header into preorder
+    (indent, name, raw_line, node_id) tuples."""
     import re
 
-    _PASS = {"Sort", "Exchange", "Project", "Filter"}
-    _BOUNDED = {"WindowGroupLimit", "TakeOrderedAndProject"}
-    lines = plan.splitlines()
-    pat = re.compile(rf"\bWindow \({node_id}\)\s*$")
-    for i, line in enumerate(lines):
-        if not pat.search(line):
+    nodes: list[tuple[int, str, str, int]] = []
+    in_tree = False
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan =="):
+            in_tree = True
             continue
-        for child in lines[i + 1:]:
-            if not child.strip() or child.startswith("("):
-                return False
-            name = re.sub(r"\s*\(\d+\)\s*$", "", child.lstrip(" +-:"))
-            name = name.strip()
-            if name in _BOUNDED:
-                return True
-            if name not in _PASS:
-                return False
+        if not in_tree:
+            continue
+        if not line.strip():
+            break
+        m = re.match(r"([ :+|-]*)([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)", line)
+        if not m:
+            break
+        indent = len(m.group(1))
+        name = m.group(2).split()[0]
+        nodes.append((indent, name, line, int(m.group(3))))
+    return nodes
+
+
+def _group_limited(plan: str, node_id: int) -> bool:
+    """True when the Window node's input is bounded by construction:
+    walking its subtree in the tree header (through pass-through
+    Sort/Exchange/Project/Filter nodes, and through broadcast joins
+    via the STREAMED side — the build side is driver-memory-bounded
+    by the broadcast contract, so it can't make a bounded streamed
+    side corpus-proportional) reaches a WindowGroupLimit (Spark's
+    rank-filter pushdown — every partition pre-limited to k rows), a
+    TakeOrderedAndProject (distributed top-k), or a GlobalLimit /
+    CollectLimit (``.limit(k)`` — exactly k rows), so the single-task
+    window sees a bounded relation — not a scale cliff."""
+    _PASS = {
+        "Sort", "Exchange", "Project", "Filter",
+        "AQEShuffleRead", "ColumnarToRow",
+    }
+    _BOUNDED = {
+        "WindowGroupLimit", "TakeOrderedAndProject",
+        "GlobalLimit", "CollectLimit",
+    }
+    _BCAST_JOINS = {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}
+    nodes = _tree_nodes(plan)
+    by_id = {nid: i for i, (_, _, _, nid) in enumerate(nodes)}
+
+    def kids(i: int) -> list[int]:
+        d = nodes[i][0]
+        out: list[int] = []
+        child_d = None
+        for j in range(i + 1, len(nodes)):
+            dj = nodes[j][0]
+            if dj <= d:
+                break
+            if child_d is None:
+                child_d = dj
+            if dj == child_d:
+                out.append(j)
+        return out
+
+    def walk(i: int) -> bool:
+        _, name, raw, _ = nodes[i]
+        if name in _BOUNDED:
+            return True
+        ks = kids(i)
+        if name in _PASS and len(ks) == 1:
+            return walk(ks[0])
+        if name in _BCAST_JOINS and len(ks) == 2:
+            streamed = ks[0] if "BuildRight" in raw else ks[1]
+            return walk(streamed)
         return False
-    return False
+
+    start = by_id.get(node_id)
+    if start is None:
+        return False
+    ks = kids(start)
+    return len(ks) == 1 and walk(ks[0])
 
 
 def unpartitioned_windows(plan: str) -> list[str]:
@@ -195,9 +245,9 @@ def unpartitioned_windows(plan: str) -> list[str]:
     order-only specs both print two, so the order group is told apart
     by its ASC/DESC markers. Excluded as bounded-by-construction:
     windows carrying the operators/rank.py marker columns (bucket
-    histograms, ≤ #buckets rows) and windows whose subtree has a
-    WindowGroupLimit (rank-filter pushdown caps each partition at k
-    rows before the final merge)."""
+    histograms, ≤ #buckets rows) and windows whose streamed subtree
+    is limit-bounded (WindowGroupLimit / TakeOrderedAndProject /
+    GlobalLimit — see _group_limited)."""
     import re
 
     out: list[str] = []

@@ -8,6 +8,12 @@ single-node claim; a reproducible script so each round re-measures
 instead of trusting last round's ad-hoc run.
 
 Usage: python tools/stream_throughput.py [rows_per_batch] [n_batches]
+
+``rows_per_batch`` is PER PARTITION and the source runs one partition
+per core (32 on this box), so total envelopes =
+rows_per_batch × 32 × n_batches — the default ``640000 20`` generates
+409.6M envelopes, not 12.8M (VERDICT r7 nit #3). The printed
+``envelopes`` field is the true generated total.
 """
 
 from __future__ import annotations
