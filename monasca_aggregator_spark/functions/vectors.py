@@ -45,18 +45,58 @@ def as_double(a: Column) -> Column:
 # but plain codegen arithmetic.
 
 
+# The unrolled chains are assembled as ONE SQL string handed to a
+# single F.expr parse: building them op-by-op in Column algebra costs
+# ~3 py4j round-trips per dimension per call site (~1 s of DataFrame
+# BUILD time per cosine_fixed at dim=64 — measured r8 in the ANN
+# builders), while the JVM-side parse of the identical expression is
+# ~1 ms. element_at chains left-associate in the parser exactly like
+# the Column form, so the plan (and every oracle hash) is unchanged.
+
+
+import re as _re
+
+_SIMPLE_NAME = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _col_sql(c: Column) -> str | None:
+    """Backquoted SQL reference when the column is a PLAIN name; None
+    for computed expressions (those keep the Column-algebra path —
+    their toString is not guaranteed round-trippable SQL)."""
+    s = str(c._jc)
+    return f"`{s}`" if _SIMPLE_NAME.match(s) else None
+
+
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    expr = F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(2, dim + 1):
-        expr = expr + F.element_at(a, i) * F.element_at(b, i)
-    return expr
+    sa, sb = _col_sql(a), _col_sql(b)
+    if sa is None or sb is None:
+        expr = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            expr = expr + F.element_at(a, i) * F.element_at(b, i)
+        return expr
+    return F.expr(
+        " + ".join(
+            f"element_at({sa}, {i}) * element_at({sb}, {i})"
+            for i in range(1, dim + 1)
+        )
+    )
 
 
 def norm_fixed(a: Column, dim: int) -> Column:
-    expr = F.element_at(a, 1) * F.element_at(a, 1)
-    for i in range(2, dim + 1):
-        expr = expr + F.element_at(a, i) * F.element_at(a, i)
-    return F.sqrt(expr)
+    sa = _col_sql(a)
+    if sa is None:
+        expr = F.element_at(a, 1) * F.element_at(a, 1)
+        for i in range(2, dim + 1):
+            expr = expr + F.element_at(a, i) * F.element_at(a, i)
+        return F.sqrt(expr)
+    return F.expr(
+        "sqrt("
+        + " + ".join(
+            f"element_at({sa}, {i}) * element_at({sa}, {i})"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
 
 
 def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
@@ -72,9 +112,17 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
 def dist2_fixed(a: Column, b: Column, dim: int) -> Column:
     """Unrolled squared euclidean distance (codegen, left-fold order —
     the cosine_fixed contract applied to distances)."""
-    d = F.element_at(a, 1) - F.element_at(b, 1)
-    expr = d * d
-    for i in range(2, dim + 1):
-        d = F.element_at(a, i) - F.element_at(b, i)
-        expr = expr + d * d
-    return expr
+    sa, sb = _col_sql(a), _col_sql(b)
+    if sa is None or sb is None:
+        d = F.element_at(a, 1) - F.element_at(b, 1)
+        expr = d * d
+        for i in range(2, dim + 1):
+            d = F.element_at(a, i) - F.element_at(b, i)
+            expr = expr + d * d
+        return expr
+    terms = [
+        f"(element_at({sa}, {i}) - element_at({sb}, {i}))"
+        f" * (element_at({sa}, {i}) - element_at({sb}, {i}))"
+        for i in range(1, dim + 1)
+    ]
+    return F.expr(" + ".join(terms))

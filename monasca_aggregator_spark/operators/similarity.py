@@ -257,6 +257,60 @@ def train_ivf_centroids(
     return spark.createDataFrame(cents, "cent_id int, cent_vec array<double>")
 
 
+def train_ivf_centroids_local(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 4096,
+) -> DataFrame:
+    """Driver-side spherical k-means over a bounded deterministic
+    hash-sample — the production IVF training posture (FAISS-style):
+    for a handful of centroids you never distribute Lloyd; you train
+    on a sample and broadcast the result. Same init rule as
+    ``train_ivf_centroids`` (the ``n_centroids`` vectors with the
+    smallest id-hash), same update (mean per cell, empty cell keeps
+    its centroid, argmax-cosine assignment), folded in numpy after
+    ONE TakeOrdered collect of ≤ ``cap`` vectors — driver memory
+    bounded by construction, zero per-iteration Spark jobs. The
+    distributed trainer remains the reference implementation; this is
+    the gate/bench-budget variant (an n_iter=3 distributed train costs
+    ~6 s of fixed per-iteration job overhead at ANY corpus size)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            as_double(F.col(vec_col)).alias("__vec"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(cap)
+        .collect()
+    )
+    V = np.array([r["__vec"] for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(rows))
+    C = V[:k].copy()  # rows arrive hash-ascending: same init
+    Vn = V / np.where(
+        (vnorm := np.linalg.norm(V, axis=1, keepdims=True)) == 0, 1, vnorm
+    )
+    for _ in range(n_iter):
+        Cn = C / np.where(
+            (cn := np.linalg.norm(C, axis=1, keepdims=True)) == 0, 1, cn
+        )
+        cell = (Vn @ Cn.T).argmax(axis=1)
+        for j in range(k):
+            members = V[cell == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "cent_id int, cent_vec array<double>",
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -620,29 +674,34 @@ def lsh_ann(
         all L·m planes × dim terms into one projection (tried r5)
         overflows whole-stage codegen's method-size budget and the
         fallback interpreted tree is ~5× SLOWER than the HOF form —
-        the fixed-dim rationale only pays below the codegen ceiling."""
-        vec = F.col(vec_col_name)
+        the fixed-dim rationale only pays below the codegen ceiling.
+
+        Built as ONE ``F.expr`` SQL string, not per-plane Column
+        algebra: the Column form issued thousands of py4j calls
+        (L·m plane arrays × dim literals + per-HOF lambda bridging)
+        and measured ~9 s of pure DataFrame BUILD time at any SF
+        (r8); the single JVM-side parse of the same expression is
+        ~100 ms. Identical semantics — float literals rendered with
+        repr() round-trip exactly."""
         entries = []
         for t in range(num_tables):
-            acc = F.lit(0).cast("bigint")
+            bits = []
             for p in range(planes_per_table):
                 plane = planes[t * planes_per_table + p]
-                lit_plane = F.array(*[F.lit(x) for x in plane])
-                d = F.aggregate(
-                    F.zip_with(vec, lit_plane, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
+                arr = ",".join(f"{x!r}D" for x in plane)
+                dot = (
+                    f"aggregate(zip_with({vec_col_name}, array({arr}),"
+                    " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
                 )
-                acc = acc.bitwiseOR(
-                    F.shiftleft(
-                        F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-                        p,
-                    )
+                bits.append(
+                    "shiftleft(CAST(CASE WHEN "
+                    f"{dot} > 0.0D THEN 1 ELSE 0 END AS BIGINT), {p})"
                 )
+            bucket = " | ".join(bits)
             entries.append(
-                F.struct(F.lit(t).alias("table"), acc.alias("bucket"))
+                f"named_struct('table', {t}, 'bucket', ({bucket}))"
             )
-        return F.array(*entries)
+        return F.expr("array(" + ",".join(entries) + ")")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

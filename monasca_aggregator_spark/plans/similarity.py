@@ -912,75 +912,82 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors are pinned in tests/test_similarity.py (ivf > 0) and
     tests/test_pq.py (pq ≥ 0.7).
 
-    Plan shape: each method's own (bounded) top-K result — N_QUERIES
-    × K rows per method — unions into one relation, inner-joins the
-    exact set on (query_id, neighbor_id), and aggregates to one row
-    per method; the expensive part is the methods themselves, the
-    comparison is on K·N_QUERIES-row relations.
-
-    The corpus relation is consumed by FIVE method builds (plus the
-    k-means training loop's Lloyd iterations) — cache it once instead
-    of re-scanning/re-casting parquet per job; unpersisted on return.
+    Budget shape (r8, the estimator-gate treatment applied here —
+    VERDICT r7 next-round #4): per-method cost at bench SF is FIXED
+    overhead, not data volume (500-row sf0.01 and 2000-row sf0.1
+    measure identically — Catalyst planning/codegen of the HOF-heavy
+    LSH projection, Arrow stage spin-up, per-job scheduling), so
+    corpus sampling buys nothing; instead the five independent
+    materializations run CONCURRENTLY (thread-parallel job
+    submission — Spark's scheduler interleaves them across the idle
+    cores), and the k-means chain trains via
+    ``train_ivf_centroids_local`` (driver-fold over the bounded
+    hash-sample — the FAISS posture; the distributed trainer stays
+    the corpus-scale reference, exercised by ann_ivf_kmeans/
+    ann_ivf_cells). Each method's result is N_QUERIES × K rows, so
+    the intersection with the exact set is driver-side set algebra on
+    ≤100-row collections — no union/join job. Wall drops from the sum
+    of five builds (~18 s at sf0.1) to roughly the slowest one.
     """
-    corpus, queries = _corpus_queries(spark, sf_dir)
-    corpus = corpus.cache()
-    exact = (
-        cosine_topk(corpus, queries, k=K)
-        .select("query_id", "neighbor_id")
-        .cache()
-    )
-    cents = train_ivf_centroids(corpus, n_centroids=16, n_iter=3)
+    from concurrent.futures import ThreadPoolExecutor
 
     from monasca_aggregator_spark.operators.pq import pq_ann
+    from monasca_aggregator_spark.operators.similarity import (
+        train_ivf_centroids_local,
+    )
 
-    methods = {
-        "ann_lsh": lsh_ann(corpus, queries, k=K, dim=_DIM),
-        "ann_ivf": ivf_ann(corpus, queries, k=K, dim=_DIM),
-        "ann_ivf_kmeans": ivf_ann(corpus, queries, k=K, centroids=cents, dim=_DIM),
-        "ann_pq": pq_ann(corpus, queries, k_out=K),
-    }
-    approx = None
-    for name, df in methods.items():
-        part = df.select(
-            F.lit(name).alias("method"), "query_id", "neighbor_id"
-        )
-        approx = part if approx is None else approx.unionByName(part)
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    corpus = corpus.cache()
+    corpus.count()  # populate before the concurrent consumers race
+
+    def _pairs(df: DataFrame) -> set[tuple]:
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    def _ivf_kmeans() -> set[tuple]:
+        cents = train_ivf_centroids_local(corpus, n_centroids=16, n_iter=3)
+        return _pairs(ivf_ann(corpus, queries, k=K, centroids=cents, dim=_DIM))
 
     try:
-        n_exact = exact.count()  # bounded: N_QUERIES × K
-        hits = (
-            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("method")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        base = spark.createDataFrame(
-            [(m,) for m in methods], "method string"
-        )
-        report = (
-            base.join(hits, "method", "left")
-            .select(
-                "method",
-                F.lit(K).alias("k"),
-                F.lit(N_QUERIES).alias("n_queries"),
-                F.lit(n_exact).alias("n_exact"),
-                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-                F.round(
-                    F.coalesce(F.col("n_hits"), F.lit(0))
-                    / F.lit(float(n_exact)),
-                    4,
-                ).alias("recall"),
-            )
-            .orderBy("method")
-        )
-        # materialize the ≤|methods|-row report NOW so the caches can
-        # actually be released (a lazily returned plan would re-pin
-        # them until the caller collects — the bench runs 200+ queries
-        # in one session)
-        rows, schema = report.collect(), report.schema
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = {
+                "__exact": pool.submit(
+                    lambda: _pairs(cosine_topk(corpus, queries, k=K))
+                ),
+                "ann_lsh": pool.submit(
+                    lambda: _pairs(lsh_ann(corpus, queries, k=K, dim=_DIM))
+                ),
+                "ann_ivf": pool.submit(
+                    lambda: _pairs(ivf_ann(corpus, queries, k=K, dim=_DIM))
+                ),
+                "ann_ivf_kmeans": pool.submit(_ivf_kmeans),
+                "ann_pq": pool.submit(
+                    lambda: _pairs(pq_ann(corpus, queries, k_out=K))
+                ),
+            }
+            got = {name: f.result() for name, f in futs.items()}
     finally:
-        exact.unpersist()
         corpus.unpersist()
-    return spark.createDataFrame(rows, schema)
+    exact = got.pop("__exact")
+    n_exact = len(exact)
+    rows = [
+        (
+            method,
+            K,
+            N_QUERIES,
+            n_exact,
+            len(pairs & exact),
+            round(len(pairs & exact) / float(n_exact), 4),
+        )
+        for method, pairs in sorted(got.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "method string, k int, n_queries int, n_exact long, "
+        "n_hits long, recall double",
+    )
 
 
 KNN_K = 5
