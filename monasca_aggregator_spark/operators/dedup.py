@@ -804,18 +804,29 @@ def hamming64_band_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
     """All id pairs whose 64-bit hashes differ in ≤ max_hamming bits.
 
-    Pigeonhole banding: split each hash into 4 16-bit chunks — any two
-    hashes within Hamming distance 3 agree on at least one chunk — so
-    candidate generation is an equi-join on (chunk, value) and only
-    candidates pay the popcount(xor) exact verify. The join is keyed by
-    chunk values (high cardinality, shuffle-partitionable); nothing
-    ever compares all-pairs. Shared by SimHash text dedup and
-    perceptual image-hash dedup (operators/multimodal.py).
+    Pigeonhole banding: split each hash into ``n_bands`` equal chunks
+    (64 must divide evenly) — any two hashes within Hamming distance
+    ``n_bands − 1`` agree on at least one chunk — so candidate
+    generation is an equi-join on (chunk, value) and only candidates
+    pay the popcount(xor) exact verify. The join is keyed by chunk
+    values (high cardinality, shuffle-partitionable); nothing ever
+    compares all-pairs. Shared by SimHash text dedup and perceptual
+    image-hash dedup (operators/multimodal.py — aHash at the default
+    4×16-bit bands, DCT pHash at 8×8-bit bands for its wider
+    near-dup Hamming budget). More bands → more candidates per row
+    (recall is guaranteed either way; band count only buys Hamming
+    coverage at candidate-volume cost).
     """
-    assert max_hamming <= 3, "4-chunk banding only covers hamming <= 3"
+    assert 64 % n_bands == 0, "bands must split 64 bits evenly"
+    assert max_hamming <= n_bands - 1, (
+        f"{n_bands}-chunk banding only covers hamming <= {n_bands - 1}"
+    )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     chunks = sigs.select(
         id_col,
         hash_col,
@@ -824,11 +835,11 @@ def hamming64_band_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(hash_col, c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(hash_col, c * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("c"),

@@ -819,6 +819,44 @@ def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     )
 
 
+def adjust_images(
+    media: DataFrame,
+    *,
+    gamma: float = 1.0,
+    gain: float = 1.0,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Photometric adjustment twin-maker: REAL decode (PPM payloads) →
+    out = clip(gain · 255·(p/255)^gamma + bias) → re-encode PPM. The
+    smooth luminance maps (gamma shift, contrast gain, brightness
+    bias) that perceptual-hash dedup must survive; non-PPM payloads
+    pass through unchanged (same contract as ``resize_images``).
+    mapInPandas over the binary column — row-local, no shuffle."""
+    out_schema = media.schema
+
+    def _adjust(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p):
+            if p is None:
+                return None
+            b = bytes(p)
+            if not b.startswith(b"P6"):
+                return b
+            try:
+                img = decode_real(b, "image").astype(np.float64)
+            except (ValueError, NotImplementedError):
+                return b
+            img = 255.0 * (img / 255.0) ** gamma
+            img = np.clip(img * gain + bias, 0, 255).astype(np.uint8)
+            return encode_ppm(img)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [one(p) for p in pdf["payload"]]
+            yield pdf
+
+    return media.mapInPandas(_adjust, out_schema)
+
+
 def ahash64(img: np.ndarray) -> int:
     """64-bit perceptual average-hash of an HxWxC pixel array: gray →
     8x8 nearest-neighbor downsample → bit = cell > mean. Classic aHash;
@@ -835,6 +873,89 @@ def ahash64(img: np.ndarray) -> int:
         v = (v << 1) | int(b)
     # two's-complement into signed 64-bit so it lands in a Spark long
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis — operators/jpeg.py's 8-point
+    ``_idct_basis`` generalized to n points (same α_u cos((2x+1)uπ/2n)
+    construction); frequency = Bᵀ·f·B."""
+    x = np.arange(n)
+    m = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / (2.0 * n))
+    alpha = np.full(n, np.sqrt(2.0 / n))
+    alpha[0] = np.sqrt(1.0 / n)
+    return m * alpha[None, :]
+
+
+_B32 = _dct_basis(32)
+
+
+def _area_resample(gray: np.ndarray, side: int) -> np.ndarray:
+    """Box-filter (area-average) downsample via one integral image —
+    the antialiased resize pHash needs: nearest-neighbor sampling
+    aliases high frequencies into the low-frequency DCT block and the
+    median-thresholded bits turn to noise (measured: gamma-twin
+    Hamming 26-30/64 nearest-neighbor vs ≤6 area-averaged)."""
+    h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1))
+    integ[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ye = (np.arange(side + 1) * h) // side
+    xe = (np.arange(side + 1) * w) // side
+    ye1 = np.maximum(ye[1:], ye[:-1] + 1)
+    xe1 = np.maximum(xe[1:], xe[:-1] + 1)
+    a = integ[np.ix_(ye1, xe1)]
+    b = integ[np.ix_(ye[:-1], xe1)]
+    c = integ[np.ix_(ye1, xe[:-1])]
+    d = integ[np.ix_(ye[:-1], xe[:-1])]
+    areas = (ye1 - ye[:-1])[:, None] * (xe1 - xe[:-1])[None, :]
+    return (a - b - c + d) / areas
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (pHash, Zauner 2010): gray → 32×32
+    area-average downsample → 2-D orthonormal DCT-II (the jpeg.py
+    transform at n=32) → top-left 8×8 low-frequency block → bit =
+    coefficient > median(block). Median thresholding fixes exactly
+    half the bits, and the low-frequency block carries the image's
+    large-scale structure rather than per-cell brightness — so pHash
+    holds under the smooth luminance maps that flip aHash's
+    global-mean bits (gamma shift, vignette shading, clipped
+    brightening: measured worst-case twin Hamming 6 vs aHash's 9-10
+    on the same twins). Complements, not replaces, aHash (which wins
+    on local edits like watermarks)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    low = (_B32.T @ _area_resample(gray, 32) @ _B32)[:8, :8].flatten()
+    bits = low > np.median(low)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) via REAL decode — the ``image_ahash`` plumbing
+    with the DCT hash; null for unsupported/malformed payloads."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(phash64(decode_real(bytes(p), "image")))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _hash, "media_id bigint, phash bigint"
+    )
 
 
 def image_ahash(media: DataFrame) -> DataFrame:
@@ -947,25 +1068,34 @@ def media_thumbnails(media: DataFrame, *, side: int = 8) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    media: DataFrame, *, max_hamming: int = 3
+    media: DataFrame, *, max_hamming: int = 3, method: str = "ahash"
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: aHash + the same 16-bit
-    pigeonhole banding the SimHash text path uses
+    """Perceptual near-duplicate image pairs: aHash (default) or DCT
+    pHash + the pigeonhole banding the SimHash text path uses
     (operators/dedup.py:hamming64_band_pairs) — candidate generation is
-    an equi-join on chunk values, never all-pairs."""
+    an equi-join on chunk values, never all-pairs. pHash runs 8×8-bit
+    bands (Hamming budget ≤7 — its near-dup distances under smooth
+    luminance shifts sit in the 4-6 range); aHash keeps the 4×16-bit
+    bands (≤3)."""
     from monasca_aggregator_spark.operators.dedup import hamming64_band_pairs
 
+    hash_fn = {"ahash": image_ahash, "phash": image_phash}[method]
+    n_bands = 8 if method == "phash" else 4
     # Eagerly materialize the signature table (a few bytes per image)
     # before the banded self-join: both join sides read it, and a lazy
     # cache races its own first fill there — the Python decode+hash
     # stage would run twice.
     sigs = (
-        image_ahash(media)
-        .filter(F.col("ahash").isNotNull())
+        hash_fn(media)
+        .filter(F.col(method).isNotNull())
         .localCheckpoint(eager=True)
     )
     return hamming64_band_pairs(
-        sigs, id_col="media_id", hash_col="ahash", max_hamming=max_hamming
+        sigs,
+        id_col="media_id",
+        hash_col=method,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
     )
 
 
@@ -985,6 +1115,57 @@ def documents_as_ppm_media(docs: DataFrame, *, side: int = 32) -> DataFrame:
                 reps = -(-n // max(1, len(raw)))
                 arr = np.frombuffer((raw * reps)[:n], dtype=np.uint8)
                 payloads.append(encode_ppm(arr.reshape(side, side, 3)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    made = docs.select("doc_id", "text").mapInPandas(
+        _make, "media_id bigint, payload binary"
+    )
+    return made.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.create_map(
+            F.lit("width"), F.lit(str(side)), F.lit("height"), F.lit(str(side))
+        ).alias("meta"),
+    )
+
+
+def documents_as_smooth_ppm_media(
+    docs: DataFrame, *, side: int = 64
+) -> DataFrame:
+    """Deterministic SMOOTH (natural-image-like) REAL PPM payloads from
+    document text: the first 8×8×3 utf-8 bytes bilinear-upsampled to
+    side×side — dense low-frequency content, which is what DCT
+    perceptual hashing measures. The byte-tiled
+    ``documents_as_ppm_media`` images are pixel noise (flat spectrum),
+    the wrong regime for pHash; these are its photometric-robustness
+    testbed (same determinism contract: same text → same image)."""
+    need = 8 * 8 * 3
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yi = np.linspace(0, 7, side)
+        y0 = np.floor(yi).astype(int).clip(0, 6)
+        fy = (yi - y0)[:, None, None]
+        fx = (yi - y0)[None, :, None]
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                reps = -(-need // max(1, len(raw)))
+                small = (
+                    np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                    .reshape(8, 8, 3)
+                    .astype(np.float64)
+                )
+                g = (
+                    small[np.ix_(y0, y0)] * (1 - fy) * (1 - fx)
+                    + small[np.ix_(y0 + 1, y0)] * fy * (1 - fx)
+                    + small[np.ix_(y0, y0 + 1)] * (1 - fy) * fx
+                    + small[np.ix_(y0 + 1, y0 + 1)] * fy * fx
+                )
+                payloads.append(encode_ppm(g.astype(np.uint8)))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )

@@ -704,3 +704,97 @@ def test_audio_spectral_features_through_spark(spark):
     assert set(out) == {1, 2}
     assert abs(out[1].dominant_hz - 500.0) <= 8000 / 2000
     assert out[2].dominant_hz is None and out[2].sample_rate is None
+
+
+def test_phash_is_codec_invariant_across_ppm_png_jpeg(spark):
+    """DCT pHash sees pixels, not bytes: PPM and PNG hash identically;
+    JPEG re-encodes (4:4:4 and 4:2:0) land well inside the 8-band
+    near-dup budget (Hamming ≤ 6); garbage payloads yield null."""
+    from monasca_aggregator_spark.operators.jpeg import encode_jpeg
+    from monasca_aggregator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        encode_ppm,
+        image_phash,
+    )
+
+    img = _smooth_test_image()
+    rows = [
+        (0, "image", bytearray(encode_ppm(img)), {}),
+        (1, "image", bytearray(encode_png(img)), {}),
+        (2, "image", bytearray(encode_jpeg(img, quality=95)), {}),
+        (3, "image", bytearray(encode_jpeg(img, quality=95, subsample=True)), {}),
+        (4, "image", bytearray(b"garbage"), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert h[0] == h[1]
+    assert bin((h[2] ^ h[0]) & ((1 << 64) - 1)).count("1") <= 6
+    assert bin((h[3] ^ h[0]) & ((1 << 64) - 1)).count("1") <= 6
+    assert h[4] is None
+
+
+def test_phash_pairs_gamma_twins_where_ahash_fails(spark, sf_small):
+    """The r7-verdict gap, pinned: on smooth (dense low-frequency)
+    images with gamma-2.0 twins, the aHash banded join at its ≤3
+    budget MISSES twins, while the pHash join at its ≤6 budget
+    catches every one — and pairs no unrelated images."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        adjust_images,
+        documents_as_smooth_ppm_media,
+        image_near_dup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 60)
+    )
+    media = documents_as_smooth_ppm_media(docs)
+    twins = adjust_images(media, gamma=2.0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    both = media.unionByName(twins)
+    n_twins = media.count()
+
+    p_pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(
+            both, max_hamming=6, method="phash"
+        ).collect()
+    }
+    a_pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(
+            both, max_hamming=3, method="ahash"
+        ).collect()
+    }
+    expected = {
+        (i, i + 10_000_000)
+        for i in [r.media_id for r in media.select("media_id").collect()]
+    }
+    # pHash: every gamma twin found
+    assert expected <= p_pairs, sorted(expected - p_pairs)[:5]
+    # aHash: misses a substantial fraction of the same twins
+    missed = expected - a_pairs
+    assert len(missed) > n_twins // 3, (
+        f"aHash unexpectedly robust: missed only {len(missed)}/{n_twins}"
+    )
+    # beyond the synthetic twins, only text-level near-dups (the
+    # corpus contains them by construction: same 192-byte prefix →
+    # same smooth image) may pair — no mass collapse of unrelated
+    # images onto each other
+    extra = {pr for pr in p_pairs if pr[1] - pr[0] != 10_000_000}
+    assert len(extra) < (n_twins * (n_twins - 1)) // 20
+
+
+def test_phash_dedup_query_runs(spark, sf_small):
+    from monasca_aggregator_spark.plans.dedup import q_image_phash_dedup
+
+    pairs = q_image_phash_dedup(spark, sf_small).collect()
+    assert pairs, "gamma twins must pair"
+    assert all(r.hamming <= 6 for r in pairs)
+    # every tenth image got a gamma twin; twin pairs must be found
+    # (base near-dup pairs from the corpus's duplicate texts may
+    # appear besides)
+    twin_pairs = [r for r in pairs if r.id_b - r.id_a == 10_000_000]
+    assert twin_pairs, "no gamma twin pair found"
