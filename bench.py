@@ -266,6 +266,14 @@ BENCH_QUERIES = [
     "embedding_silhouette",
     "orders_duplicate_invoices",
     "lineitem_key_skew",
+    # r8 additions
+    "events_attribution_timedecay",
+    "asof_tolerance_click",
+    "lineitem_price_index",
+    "graph_clustering",
+    "events_dwell_by_transition",
+    "events_retention_halflife",
+    "text_rake_keywords",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

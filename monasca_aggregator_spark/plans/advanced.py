@@ -34,7 +34,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monasca_aggregator_spark.functions.rounding import stable_round
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
 from monasca_aggregator_spark.operators import dedup as D
 from monasca_aggregator_spark.operators.asof import asof_join
 from monasca_aggregator_spark.plans.dedup import _NGRAM_CTES, THRESHOLD
@@ -399,6 +402,94 @@ WITH {_NGRAM_CTES}, e AS (
   UNION ALL SELECT c FROM tri
 )
 SELECT doc_id, count(*) AS n_triangles FROM v GROUP BY 1
+""".strip()
+
+
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL clustering coefficient (transitivity) of the exact
+    near-dup pair graph (r8) — one scalar row that separates clique-y
+    duplication (template spam: most wedges close) from chain-y
+    duplication (drifting revisions: few close):
+    C = 3·triangles / wedges, wedges = Σ_v deg_v·(deg_v−1)/2.
+
+    Complements `graph_triangles` (per-node counts) and
+    `graph_degree_hist` (degree shape) with the closure RATE. Degrees
+    come from one groupBy over the collapsed edge list; triangles
+    reuse the oriented a<b<c wedge-closure join. Everything after
+    pair generation is edge-table-sized."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    pairs = pairs.cache()
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge_tot = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    e1 = pairs.select(F.col("a"), F.col("b").alias("m"))
+    e2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    tri_cnt = (
+        e1.join(e2, "m")
+        .join(
+            pairs.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges_cnt = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedge_tot.crossJoin(F.broadcast(edges_cnt))
+        .crossJoin(F.broadcast(tri_cnt))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                stable_round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+ORACLE_CLUSTERING = f"""
+WITH {_NGRAM_CTES}, e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+), w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), ec AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN
+         {sql_stable_round(
+             "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)",
+             6)}
+       END AS transitivity
+FROM w, t, ec
 """.strip()
 
 
@@ -1734,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_concurrency": q_sessions_concurrency,
     "events_assoc_rules": q_events_assoc_rules,
     "graph_triangles": q_graph_triangles,
+    "graph_clustering": q_graph_clustering,
     "scd2_user_tier": q_scd2_user_tier,
     "audit_referential": q_audit_referential,
     "events_enrich_scd2": q_events_enrich_scd2,
@@ -1758,6 +1850,7 @@ ORACLES: dict[str, str] = {
     "sessions_concurrency": ORACLE_SESSIONS_CONCURRENCY,
     "events_assoc_rules": ORACLE_ASSOC_RULES,
     "graph_triangles": ORACLE_TRIANGLES,
+    "graph_clustering": ORACLE_CLUSTERING,
     "scd2_user_tier": ORACLE_SCD2,
     "audit_referential": ORACLE_AUDIT_REFERENTIAL,
     "events_enrich_scd2": ORACLE_ENRICH_SCD2,

@@ -886,6 +886,111 @@ FROM g
 """.strip()
 
 
+_DAY_RET_MS = 24 * 3600 * 1000  # daily cohorts: the test events
+# span ~30 days, so DAY-grain cohorts give the fit a real curve
+# (week-grain yields one cohort with two points)
+
+
+def q_events_retention_halflife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention HALF-LIFE per cohort (r8): fit the exponential-decay
+    model retention(w) = e^(a + b·w) to each cohort's daily curve by OLS on
+    ln(retention) over days 1+, and report half-life = −ln 2 / b
+    days — the single number growth teams quote where
+    `events_retention` hands back the whole matrix. Same matrix
+    build; the fit is closed-form OLS over the cohort×week aggregate
+    (corpus-size-independent), slope from exact n_active ratios,
+    cohorts with <2 post-week-0 points or non-negative slope report
+    NULL half-life (no decay to fit)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        (F.unix_millis(F.col("ts")) / F.lit(_DAY_RET_MS)).cast("long")
+        * F.lit(_DAY_RET_MS)
+    )
+    pairs = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = pairs.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    g = (
+        pairs.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_day_ms"),
+            ((F.col("wk") - F.col("cohort_wk")) / F.lit(_DAY_RET_MS))
+            .cast("long")
+            .alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = F.first("n_active").over(
+        Window.partitionBy("cohort_day_ms")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = g.withColumn("n0", base).filter(F.col("w") >= 1)
+    y = F.log(F.col("n_active").cast("double") / F.col("n0").cast("double"))
+    x = F.col("w").cast("double")
+    fit = pts.groupBy("cohort_day_ms").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = (
+        F.col("n_pts") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_pts") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.filter(F.col("n_pts") >= 2).select(
+        "cohort_day_ms",
+        "n_pts",
+        stable_round(slope, 6).alias("decay_slope"),
+        F.when(
+            slope < 0,
+            stable_round(-F.log(F.lit(2.0)) / slope, 4),
+        ).alias("half_life_days"),
+    )
+
+
+ORACLE_RETENTION_HALFLIFE = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(ts) // {_DAY_RET_MS}) * {_DAY_RET_MS} AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM pairs GROUP BY 1
+), g AS (
+  SELECT c.cohort_wk AS cohort_day_ms,
+         (p.wk - c.cohort_wk) // {_DAY_RET_MS} AS w,
+         count(*) AS n_active
+  FROM pairs p JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+), pts AS (
+  SELECT cohort_day_ms, w, n_active,
+         first_value(n_active) OVER (PARTITION BY cohort_day_ms
+           ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n0
+  FROM g QUALIFY w >= 1
+), fit AS (
+  SELECT cohort_day_ms, count(*) AS n_pts,
+         sum(w::DOUBLE) AS sx,
+         sum(ln(n_active::DOUBLE / n0::DOUBLE)) AS sy,
+         sum(w::DOUBLE * w::DOUBLE) AS sxx,
+         sum(w::DOUBLE * ln(n_active::DOUBLE / n0::DOUBLE)) AS sxy
+  FROM pts GROUP BY 1
+), s AS (
+  SELECT cohort_day_ms, n_pts,
+         (n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx) AS slope
+  FROM fit WHERE n_pts >= 2
+)
+SELECT cohort_day_ms, n_pts,
+       {sql_stable_round("slope", 6)} AS decay_slope,
+       CASE WHEN slope < 0 THEN
+         {sql_stable_round("-ln(2.0) / slope", 4)}
+       END AS half_life_days
+FROM s
+""".strip()
+
+
 _GAP_STEP_MS = 900_000  # 15-minute windows → ~50% occupancy at test SF
 
 
@@ -1617,6 +1722,68 @@ FROM p JOIN tot USING (from_type)
 """.strip()
 
 
+def q_events_dwell_by_transition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transition DWELL-TIME matrix (r8): for every (from_type →
+    to_type) pair, how long users sit between the two events — the
+    TIMING face of `events_markov` (which gives the probabilities):
+    view→purchase with a 10 s median dwell is a different product
+    story than the same probability at 2 h. Same lead() shape (one
+    user-keyed window), dwell in exact ms from the lead timestamp;
+    the matrix aggregate is ≤ |event_type|² groups, sums exact
+    BIGINT ms, mean rounded once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ms", F.lead(F.unix_millis("ts")).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            (F.col("next_ms") - F.unix_millis("ts")).alias("dwell_ms"),
+        )
+    )
+    return trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum("dwell_ms").alias("total_dwell_ms"),
+        F.max("dwell_ms").alias("max_dwell_ms"),
+        stable_round(
+            F.sum("dwell_ms").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000.0),
+            4,
+        ).alias("mean_dwell_s"),
+    )
+
+
+ORACLE_DWELL_TRANSITION = f"""
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_ms(ts) AS dwell_ms
+  FROM events
+)
+SELECT from_type, to_type,
+       count(*) AS n_trans,
+       CAST(sum(dwell_ms) AS BIGINT) AS total_dwell_ms,
+       CAST(max(dwell_ms) AS BIGINT) AS max_dwell_ms,
+       {sql_stable_round(
+           "CAST(sum(dwell_ms) AS DOUBLE) / count(*) / 1000.0", 4)}
+         AS mean_dwell_s
+FROM t WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+""".strip()
+
+
 # -------------------------------------------- user lifecycle weekly
 
 _WEEK_MS = 7 * 24 * 3600 * 1000
@@ -1979,16 +2146,163 @@ FROM per_sess GROUP BY 1, 2
 """.strip()
 
 
+def q_events_attribution_timedecay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-DECAY multi-touch attribution (r8) — completes the
+    attribution family (equal-split `events_attribution`, U-shaped
+    `events_attribution_ushape`): a touch's credit halves for every
+    hour it precedes the purchase (1-hour half-life over the 24 h
+    window), the industry default when recency drives influence.
+
+    Exact integer scheme: Δh = whole hours before the purchase
+    (0..23), weight = 2^(23−Δh) — a BIGINT power of two, so per-touch
+    credit is `v_e6 * w div Σw` with every term exact in both engines
+    (no IEEE pow, whose last-ulp behavior differs across engines).
+    Same user-keyed join + purchase-window shape as the siblings."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis(F.col("ts")).alias("t_p"),
+        v_e6.alias("v_e6"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("t_c"),
+        F.to_date("ts").cast("string").alias("click_day"),
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("t_c") < F.col("t_p"))
+        & (F.col("t_c") >= F.col("t_p") - F.lit(_ATTR_WINDOW_MS))
+    )
+    weighted = j.withColumn(
+        "w", F.expr("shiftleft(CAST(1 AS BIGINT), 23 - CAST((t_p - t_c) div 3600000 AS INT))")
+    )
+    pw = W.partitionBy("purchase_id")
+    credited = weighted.withColumn(
+        "sum_w", F.sum("w").over(pw)
+    ).withColumn("credit_e6", F.expr("v_e6 * w div sum_w"))
+    return credited.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        stable_round(
+            F.sum("credit_e6").cast("double") / F.lit(1_000_000.0), 4
+        ).alias("credited_value"),
+    )
+
+
+ORACLE_ATTRIBUTION_TIMEDECAY = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS t_p,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_ms(ts) AS t_c,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS click_day
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.v_e6, c.click_day,
+         (1::BIGINT << CAST(23 - (p.t_p - c.t_c) // 3600000 AS INT)) AS w
+  FROM p JOIN c USING (user_id)
+  WHERE c.t_c < p.t_p AND c.t_c >= p.t_p - {_ATTR_WINDOW_MS}
+), credited AS (
+  SELECT click_day, purchase_id,
+         v_e6 * w // sum(w) OVER (PARTITION BY purchase_id) AS credit_e6
+  FROM j
+)
+SELECT click_day, count(*) AS n_touches,
+       count(DISTINCT purchase_id) AS n_purchases,
+       {sql_stable_round(
+           "CAST(sum(credit_e6) AS DOUBLE) / 1000000.0", 4)}
+         AS credited_value
+FROM credited GROUP BY 1
+""".strip()
+
+
+_ASOF_TOL_MS = 6 * 3600 * 1000  # 6 h: a click older than this is stale
+
+
+def q_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (r8) — pandas ``merge_asof(...,
+    tolerance=...)`` / kdb wj semantics: each purchase takes the last
+    preceding click ONLY if it is at most ``_ASOF_TOL_MS`` old;
+    staler matches are rejected to unmatched (NULL click columns,
+    match_age_ms carries the age for matched rows). The plain as-of
+    (`asof_purchase_click`) attributes a purchase to a week-old
+    click; with tolerance the attribution window is explicit. Same
+    union+carry as-of machinery (operators/asof.py) + one row-local
+    CASE — no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], right_prefix="last_click_"
+    )
+    age = F.unix_millis(F.col("ts")) - F.unix_millis(
+        F.col("last_click_ts")
+    )
+    ok = F.col("last_click_ts").isNotNull() & (age <= _ASOF_TOL_MS)
+    return joined.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        stable_round(F.col("purchase_value"), 4).alias("purchase_value"),
+        F.when(ok, F.unix_millis("last_click_ts")).alias("click_ts_ms"),
+        F.when(
+            ok, stable_round(F.col("last_click_click_value"), 4)
+        ).alias("click_value"),
+        F.when(ok, age).alias("match_age_ms"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH p AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value AS click_value FROM events
+  WHERE event_type = 'click'
+), m AS (
+  SELECT p.user_id, p.ts AS pts, p.purchase_value,
+         c.ts AS cts, c.click_value,
+         epoch_ms(p.ts) - epoch_ms(c.ts) AS age
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, epoch_ms(pts) AS ts_ms,
+       {sql_stable_round("purchase_value", 4)} AS purchase_value,
+       CASE WHEN cts IS NOT NULL AND age <= {_ASOF_TOL_MS}
+            THEN epoch_ms(cts) END AS click_ts_ms,
+       CASE WHEN cts IS NOT NULL AND age <= {_ASOF_TOL_MS}
+            THEN {sql_stable_round("click_value", 4)} END AS click_value,
+       CASE WHEN cts IS NOT NULL AND age <= {_ASOF_TOL_MS}
+            THEN age END AS match_age_ms
+FROM m
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_entry_exit": q_sessions_entry_exit,
     "sessions_top_paths": q_sessions_top_paths,
     "sessions_active_time": q_sessions_active_time,
     "events_lifecycle": q_events_lifecycle,
     "events_markov": q_events_markov,
+    "events_dwell_by_transition": q_events_dwell_by_transition,
     "sessions_native": q_sessions_native,
     "events_rolling_wau": q_events_rolling_wau,
     "events_attribution": q_events_attribution,
     "events_attribution_ushape": q_events_attribution_ushape,
+    "events_attribution_timedecay": q_events_attribution_timedecay,
+    "asof_tolerance_click": q_asof_tolerance_click,
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
@@ -2009,6 +2323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total_user": q_running_total_user,
     "range_join_ship": q_range_join_ship,
     "events_retention": q_events_retention,
+    "events_retention_halflife": q_events_retention_halflife,
     "metric_gapfill": q_metric_gapfill,
 }
 
@@ -2018,10 +2333,13 @@ ORACLES: dict[str, str] = {
     "sessions_active_time": ORACLE_ACTIVE_TIME,
     "events_lifecycle": ORACLE_LIFECYCLE,
     "events_markov": ORACLE_MARKOV,
+    "events_dwell_by_transition": ORACLE_DWELL_TRANSITION,
     "sessions_native": ORACLE_SESSIONS_NATIVE,
     "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_attribution": ORACLE_ATTRIBUTION,
     "events_attribution_ushape": ORACLE_ATTRIBUTION_USHAPE,
+    "events_attribution_timedecay": ORACLE_ATTRIBUTION_TIMEDECAY,
+    "asof_tolerance_click": ORACLE_ASOF_TOLERANCE,
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
@@ -2030,6 +2348,7 @@ ORACLES: dict[str, str] = {
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "range_join_ship": ORACLE_RANGE_JOIN,
     "events_retention": ORACLE_RETENTION,
+    "events_retention_halflife": ORACLE_RETENTION_HALFLIFE,
     "metric_gapfill": ORACLE_GAPFILL,
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,

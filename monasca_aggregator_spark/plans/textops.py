@@ -1708,6 +1708,126 @@ FROM per GROUP BY lang, source
 """.strip()
 
 
+# ---------------------------------------------- RAKE keyword phrases
+
+# compact stopword list shared verbatim by both engines; the \b
+# word-boundary alternation parses identically in Java regex (Spark)
+# and RE2 (DuckDB)
+_RAKE_STOPS = (
+    "the|of|and|a|an|to|in|is|it|for|on|with|as|at|by|be|this|that|"
+    "are|was|or|from|but|not|have|has|had|you|we|they|he|she|its|"
+    "their|our|your|i|will|can|all|one|more|about|which|when|what|"
+    "there|were|been|if|into|than|then|also|only|over|such|no|so|"
+    "do|does|did|his|her|them|us|out|up|who|how|why|where|because"
+)
+_RAKE_MAX_WORDS = 4
+_RAKE_TOP_K = 25
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (r8, Rose et al. 2010): candidate
+    phrases are maximal stopword/punctuation-free word runs; each
+    word scores degree/frequency where degree counts co-occurring
+    words (phrase length, self included) summed over the word's
+    phrase occurrences; a phrase scores the sum of its words' scores;
+    report the corpus TOP-K phrases by score — the classic
+    no-training keyword extractor, complementing TF-IDF (per-doc
+    characteristic terms) and PMI collocations (2-gram association)
+    with multi-word keyphrases.
+
+    Tokenization is ONE shared regex pipeline both engines run
+    verbatim: lowercase → non-letters become phrase breaks →
+    stopwords become phrase breaks → split, squeeze, bound at
+    ``_RAKE_MAX_WORDS``. Word stats are vocabulary-bounded
+    aggregates; phrase scores join the (word, score) relation
+    (vocabulary-sized, broadcast); the final TakeOrdered top-K never
+    global-sorts. Ranking uses the e4-rounded score so cross-engine
+    tie order is exact."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z\s]", "|")
+    norm = F.regexp_replace(norm, rf"\b(?:{_RAKE_STOPS})\b", "|")
+    phrases = (
+        docs.select(F.explode(F.split(norm, r"\|")).alias("raw"))
+        .select(
+            F.trim(F.regexp_replace(F.col("raw"), r"\s+", " ")).alias(
+                "phrase"
+            )
+        )
+        .filter(F.col("phrase") != "")
+        .withColumn("words", F.split(F.col("phrase"), " "))
+        .filter(F.size("words") <= _RAKE_MAX_WORDS)
+    )
+    phrases = phrases.withColumn("n_words", F.size("words"))
+    occ = phrases.select(
+        "phrase", "n_words", F.explode("words").alias("word")
+    )
+    wstats = occ.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("degree"),
+    )
+    wscore = wstats.select(
+        "word",
+        (
+            F.col("degree").cast("double") / F.col("freq").cast("double")
+        ).alias("wscore"),
+    )
+    pscore = (
+        occ.join(F.broadcast(wscore), "word")
+        .groupBy("phrase")
+        .agg(
+            (F.count(F.lit(1)) / F.first("n_words")).cast("long").alias(
+                "n_occurrences"
+            ),
+            (F.sum("wscore") / F.count(F.lit(1)) * F.first("n_words"))
+            .alias("score_raw"),
+        )
+    )
+    return (
+        pscore.select(
+            "phrase",
+            "n_occurrences",
+            stable_round(F.col("score_raw"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOP_K)
+    )
+
+
+ORACLE_RAKE = f"""
+WITH norm AS (
+  SELECT regexp_replace(
+           regexp_replace(lower(text), '[^a-z\\s]', '|', 'g'),
+           '\\b(?:{_RAKE_STOPS})\\b', '|', 'g') AS t
+  FROM documents
+), cand AS (
+  SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+  FROM norm, unnest(regexp_split_to_array(t, '\\|')) AS u(p)
+), phrases AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS n_words
+  FROM cand
+  WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= {_RAKE_MAX_WORDS}
+), occ AS (
+  SELECT phrase, n_words, w AS word
+  FROM phrases, unnest(string_split(phrase, ' ')) AS t(w)
+), wscore AS (
+  SELECT word, CAST(sum(n_words) AS DOUBLE) / count(*) AS wscore
+  FROM occ GROUP BY 1
+), pscore AS (
+  SELECT o.phrase,
+         CAST(count(*) / any_value(o.n_words) AS BIGINT)
+           AS n_occurrences,
+         sum(w.wscore) / count(*) * any_value(o.n_words) AS score_raw
+  FROM occ o JOIN wscore w USING (word)
+  GROUP BY 1
+)
+SELECT phrase, n_occurrences,
+       {sql_stable_round("score_raw", 4)} AS score
+FROM pscore
+ORDER BY score DESC, phrase ASC
+LIMIT {_RAKE_TOP_K}
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
@@ -1734,6 +1854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_rake_keywords": q_text_rake_keywords,
     "text_oov_rate": q_text_oov_rate,
     "text_token_fertility": q_text_token_fertility,
     "quality_by_lang_source": q_quality_by_lang_source,
@@ -1769,6 +1890,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
+    "text_rake_keywords": ORACLE_RAKE,
     "text_oov_rate": ORACLE_OOV_RATE,
     "text_token_fertility": ORACLE_TOKEN_FERTILITY,
     "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,

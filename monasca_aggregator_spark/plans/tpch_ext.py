@@ -1100,7 +1100,100 @@ FROM g
 """.strip()
 
 
+def q_lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES and PAASCHE price indices per ship year (r8) — the
+    index-number economics every pricing/finance team runs on a fact
+    table: how did prices move vs the BASE year, holding the basket
+    fixed at base-year quantities (Laspeyres) or current-year
+    quantities (Paasche). Per (part, year) the unit price is the
+    quantity-weighted Σext/Σqty — both kept as exact e2/integer sums;
+    the index sums per-part cross terms price_t·qty_w as doubles and
+    rounds to 4 (the cross-engine double contract every ratio report
+    here uses). Parts missing in either compared year drop from that
+    pair (the standard matched-basket rule).
+
+    Plan: one groupBy (part, year) over the projected fact columns,
+    base-year slice broadcast back (bounded by |part|), per-year
+    groupBy for the two Σ-ratios — no self-join of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_extendedprice").alias("ext"),
+        F.col("l_quantity").alias("qty"),
+    )
+    per = li.groupBy("pk", "yr").agg(
+        F.floor(F.sum(F.col("ext") * F.lit(100.0)) + F.lit(0.5))
+        .cast("long")
+        .alias("ext_e2"),
+        F.sum(F.col("qty").cast("long")).alias("q"),
+    )
+    base_yr = per.agg(F.min("yr").alias("b")).select("b")
+    base = (
+        per.join(F.broadcast(base_yr), per.yr == F.col("b"))
+        .select(
+            "pk",
+            F.col("ext_e2").alias("ext0_e2"),
+            F.col("q").alias("q0"),
+        )
+    )
+    j = per.join(F.broadcast(base), "pk")
+    # price_y = ext_e2/(100·q); laspeyres term price_y·q0, paasche
+    # term price_y·q_y; denominators use the base price symmetrically
+    p_y = F.col("ext_e2").cast("double") / (
+        F.lit(100.0) * F.col("q").cast("double")
+    )
+    p_0 = F.col("ext0_e2").cast("double") / (
+        F.lit(100.0) * F.col("q0").cast("double")
+    )
+    agg = j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(p_y * F.col("q0").cast("double")).alias("l_num"),
+        F.sum(p_0 * F.col("q0").cast("double")).alias("l_den"),
+        F.sum(p_y * F.col("q").cast("double")).alias("p_num"),
+        F.sum(p_0 * F.col("q").cast("double")).alias("p_den"),
+    )
+    return agg.select(
+        "yr",
+        "n_parts",
+        stable_round(F.col("l_num") / F.col("l_den") * F.lit(100.0), 4).alias(
+            "laspeyres"
+        ),
+        stable_round(F.col("p_num") / F.col("p_den") * F.lit(100.0), 4).alias(
+            "paasche"
+        ),
+    )
+
+
+ORACLE_PRICE_INDEX = f"""
+WITH per AS (
+  SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+         CAST(floor(sum(l_extendedprice * 100.0) + 0.5) AS BIGINT)
+           AS ext_e2,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), b AS (
+  SELECT min(yr) AS byr FROM per
+), base AS (
+  SELECT pk, ext_e2 AS ext0_e2, q AS q0
+  FROM per, b WHERE per.yr = b.byr
+), j AS (
+  SELECT per.yr, per.pk,
+         CAST(per.ext_e2 AS DOUBLE) / (100.0 * per.q) AS p_y,
+         CAST(base.ext0_e2 AS DOUBLE) / (100.0 * base.q0) AS p_0,
+         CAST(per.q AS DOUBLE) AS qy, CAST(base.q0 AS DOUBLE) AS q0
+  FROM per JOIN base USING (pk)
+)
+SELECT yr, count(*) AS n_parts,
+       {sql_stable_round("sum(p_y * q0) / sum(p_0 * q0) * 100.0", 4)}
+         AS laspeyres,
+       {sql_stable_round("sum(p_y * qy) / sum(p_0 * qy) * 100.0", 4)}
+         AS paasche
+FROM j GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_price_index": q_lineitem_price_index,
     "region_revenue_yoy": q_region_revenue_yoy,
     "part_price_spread": q_part_price_spread,
     "lineitem_discount_uplift": q_lineitem_discount_uplift,
@@ -1142,4 +1235,5 @@ ORACLES: dict[str, str] = {
     "tpch_q16_suppcnt": ORACLE_Q16,
     "tpch_q17_avg_qty": ORACLE_Q17,
     "tpch_q21_waiting": ORACLE_Q21,
+    "lineitem_price_index": ORACLE_PRICE_INDEX,
 }

@@ -132,13 +132,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality / text_tokens / embedding_centroids /
 # embedding_quantize (all r5-green); those displaced keys lead the
 # R9 staging below.)
-# Round-9 rotation (staged in r7; ALL 50 keys pre-verified green at
-# sf0.01 under the driver protocol at the end of r7 —
+# Round-9 rotation (staged in r7, updated in r8; keys pre-verified
+# green at sf0.01 under the driver protocol —
 # tools/check_correctness.py): the 8 re-confirmations R8's r7
 # additions displaced, then the 26 r1/r2/r3-green keys dropped from
-# R7 to make room, then the 16 oldest r4-green re-confirmations.
-# New oracle keys added in r8 MUST displace this list's tail
-# (rotation invariant: new keys enter the newest staged window).
+# R7 to make room, then the oldest r4-green re-confirmations, then
+# the 7 oracle keys ADDED in r8 (rotation invariant: new keys enter
+# the newest staged window — they displaced the tail
+# re-confirmations agg_rate / tpch_q1 / dedup_rate_by_source /
+# text_readability / embedding_outliers / sessions_active_time /
+# events_lifecycle, all r4/r7-green), closing with the 3 late-r7
+# keys that have never had a driver row.
+# New oracle keys added in r9 MUST displace this list's tail
+# re-confirmations (never the 3 closing never-checked keys).
 # _DRIVER_WINDOW_R9: tuple[str, ...] = (
 #     "text_repetition", "text_boilerplate", "text_vocab_topk",
 #     "text_fingerprint", "text_quality", "text_tokens",
@@ -153,18 +159,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "tpch_q21_waiting", "sample_quota_source", "tpch_q17_avg_qty",
 #     "tpch_q16_suppcnt", "tpch_q20_excess",
 #     "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
-#     "agg_delta", "agg_rate", "tpch_q1", "dedup_rate_by_source",
-#     "text_readability", "embedding_outliers", "sessions_active_time",
-#     "events_lifecycle",
+#     "agg_delta",
+#     "events_attribution_timedecay", "asof_tolerance_click",
+#     "lineitem_price_index", "graph_clustering",
+#     "events_dwell_by_transition", "events_retention_halflife",
+#     "text_rake_keywords",
 #     "embedding_silhouette", "orders_duplicate_invoices",
 #     "lineitem_key_skew",
 # )
-# (Rotation invariant: embedding_silhouette / orders_duplicate_invoices
-# / lineitem_key_skew — added late in r7, after R8 was pre-verified —
-# entered the NEWEST staged window (R9), displacing the tail
-# re-confirmations sessions_native / metric_top_contributors /
-# events_markov (all r4-green). Each of the three late keys was
-# checked green individually at sf0.01 under the driver protocol.)
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
 # r1/r2-green re-confirmations — dedup_rate_by_source,

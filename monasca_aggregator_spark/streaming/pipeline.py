@@ -1093,7 +1093,10 @@ def stream_stream_interval_join(
     followed this click" until no on-time purchase can still arrive),
     so outer results trail the inner ones by the watermark delay. The
     funnel's "clicks that never converted" leg as one streaming join
-    instead of a separate batch anti-join.
+    instead of a separate batch anti-join. ``how="full_outer"`` adds
+    the right side's leg too (purchases with no attributable click),
+    each side evicted+emitted at its own watermark point — both
+    anti-joins in the one operator (pinned in test_streaming.py).
 
     ``left_ts``/``right_ts`` must be distinct column names (rename
     upstream); output carries both plus each side's columns.

@@ -1714,6 +1714,99 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     assert got == {("u1", 0, 1000), ("u2", 100, None)}
 
 
+def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream interval join (r8): matched pairs emit
+    like the inner join; an unmatched CLICK emits NULL-padded right
+    once the watermark passes its match interval, and an unmatched
+    BUY emits NULL-padded left once the watermark passes its own
+    timestamp — the two anti-join legs of the funnel ('clicks that
+    never converted' AND 'purchases with no attributable click') as
+    ONE streaming join. Same state-bounding contract as the
+    inner/left_outer forms (stream_stream_interval_join how=)."""
+    import json as _json
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    BASE = 86_400.0
+
+    def ev(user, ts_s):
+        return _json.dumps({"user_id": user, "ts_s": BASE + ts_s})
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    (clicks_dir / "c.jsonl").write_text(
+        "\n".join([ev("u1", 0.0), ev("u2", 100.0)])
+    )
+    (buys_dir / "b.jsonl").write_text(
+        "\n".join([ev("u1", 1000.0), ev("zz", 2000.0)])
+    )
+
+    def _src(path, ts_name):
+        return (
+            spark.readStream.schema("user_id string, ts_s double")
+            .json(str(path))
+            .withColumn(ts_name, F.timestamp_seconds(F.col("ts_s")))
+            .drop("ts_s")
+        )
+
+    joined = stream_stream_interval_join(
+        _src(clicks_dir, "click_ts"),
+        _src(buys_dir, "buy_ts"),
+        keys=("user_id",),
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        within="30 minutes",
+        watermark="1 minute",
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.unix_seconds("click_ts").alias("click_s"),
+        F.unix_seconds("buy_ts").alias("buy_s"),
+    )
+    out_dir = str(tmp_path / "ssj_full_out")
+
+    def run_once():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ssj_full_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # advance BOTH watermarks well past every interval above, then run
+    # again so the no-data finalization batch evicts + emits the
+    # unmatched rows on both sides (outer results trail by a trigger —
+    # the documented Structured Streaming behavior); the 13000s pusher
+    # rows themselves stay open and must NOT appear
+    (clicks_dir / "c2.jsonl").write_text(ev("pp", 13000.0))
+    (buys_dir / "b2.jsonl").write_text(ev("qq", 13000.0))
+    run_once()
+    (clicks_dir / "c3.jsonl").write_text(ev("pp", 13001.0))
+    (buys_dir / "b3.jsonl").write_text(ev("qq", 13001.0))
+    run_once()
+    got = {
+        (
+            r.user_id,
+            (r.click_s - BASE) if r.click_s is not None else None,
+            (r.buy_s - BASE) if r.buy_s is not None else None,
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("u1", 0, 1000),
+        ("u2", 100, None),
+        ("zz", None, 2000),
+    }
+
+
 def test_streaming_native_histogram_equals_batch(spark, sf_small):
     """The exponential-bucket (Prometheus native) histogram is a plain
     count per (metric, window, bucket) — algebraic, so the identical
