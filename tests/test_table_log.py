@@ -303,3 +303,52 @@ def test_cdf_incrementally_maintains_a_rollup(spark, tmp_path):
     }
     got = {(r.user, r.n, r.s) for r in merged.collect()}
     assert got == expect == {(1, 1, 4), (2, 2, 10)}
+
+
+def test_snapshot_merge_sink_upserts_latest_per_key(spark, tmp_path):
+    """Streaming MERGE-upsert sink (r8): the snapshot table holds
+    exactly one latest row per key after each micro-batch, keeps time
+    travel to every batch boundary, dedups within a batch by
+    order_col, and skips replayed batch ids (multi-batch rewinds
+    included)."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_merge_sink,
+    )
+
+    path = str(tmp_path / "dim_tbl")
+    sink = snapshot_merge_sink(path, ["k"], "seq")
+    schema = "k string, v string, seq long"
+
+    b0 = spark.createDataFrame(
+        # within-batch dup of key a: seq 2 must win
+        [("a", "a0", 1), ("a", "a1", 2), ("b", "b0", 1)], schema
+    )
+    b1 = spark.createDataFrame(
+        [("b", "b1", 3), ("c", "c0", 1)], schema
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    latest = {
+        r.k: r.v
+        for r in snapshot_read(spark, path).select("k", "v").collect()
+    }
+    assert latest == {"a": "a1", "b": "b1", "c": "c0"}
+    # time travel: version 0 is the pre-merge state of batch 0
+    v0 = snapshot_versions(path)[0]
+    asof0 = {
+        r.k: r.v
+        for r in snapshot_read(spark, path, version=v0)
+        .select("k", "v")
+        .collect()
+    }
+    assert asof0 == {"a": "a1", "b": "b0"}
+    # replays (including a two-batch rewind) are no-ops
+    versions = snapshot_versions(path)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert snapshot_versions(path) == versions
+    assert {
+        r.k: r.v
+        for r in snapshot_read(spark, path).select("k", "v").collect()
+    } == latest
