@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "events_dwell_by_transition",
     "events_retention_halflife",
     "text_rake_keywords",
+    "metric_histogram_exemplars",
+    "embedding_centroid_drift",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

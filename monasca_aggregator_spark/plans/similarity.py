@@ -717,6 +717,105 @@ def q_embedding_centroid_affinity(
     )
 
 
+def q_embedding_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding DRIFT between two corpus snapshots (r8):
+    the retrain/re-embed audit — when a new embedding model or a new
+    crawl lands, per-class centroid movement is the first number to
+    check before anything downstream consumes the vectors. Snapshots
+    are the deterministic vec_id-parity halves (the oracle-able
+    stand-in for snapshot A/B); drift per label = 1 − cosine of the
+    two halves' centroids, on the same exact e6 fixed-point centroid
+    sums as `embedding_centroid_affinity` (one posexplode shuffle,
+    then label×dim-sized math; corpus-size-independent after the
+    centroid aggregate)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    v_e6 = F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    cent = (
+        flat.select("label", "half", "dim", v_e6.alias("v_e6"))
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "half",
+            "dim",
+            F.col("n"),
+            F.floor(
+                F.col("s").cast("double") / F.col("n") + F.lit(0.5)
+            ).cast("long").alias("m"),
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    per = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.first("n_a").cast("long").alias("n_a"),
+            F.first("n_b").cast("long").alias("n_b"),
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return per.select(
+        "label",
+        "n_a",
+        "n_b",
+        stable_round(cos, 6).alias("cosine"),
+        stable_round(F.lit(1.0) - cos, 6).alias("drift"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = f"""
+WITH flat AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half, i - 1 AS dim,
+         CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS v_e6
+  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       unnest(range(1, len(e) + 1)) AS t(i)
+), cent AS (
+  SELECT label, half, dim, count(*) AS n,
+         CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS m
+  FROM flat GROUP BY 1, 2, 3
+), per AS (
+  SELECT a.label,
+         CAST(any_value(a.n) AS BIGINT) AS n_a,
+         CAST(any_value(b.n) AS BIGINT) AS n_b,
+         sum(a.m * b.m) AS dot,
+         sum(a.m * a.m) AS na2,
+         sum(b.m * b.m) AS nb2
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       {sql_stable_round(
+           "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) "
+           "* sqrt(CAST(nb2 AS DOUBLE)))", 6)} AS cosine,
+       {sql_stable_round(
+           "1.0 - CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) "
+           "* sqrt(CAST(nb2 AS DOUBLE)))", 6)} AS drift
+FROM per
+""".strip()
+
+
 ORACLE_CENTROID_AFFINITY = """
 WITH flat AS (
   SELECT label, i - 1 AS dim,
@@ -1896,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "embedding_centroids": q_embedding_centroids,
     "embedding_centroid_affinity": q_embedding_centroid_affinity,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
     "embedding_pca": q_embedding_pca,  # rows-only (eigen-solve not in SQL)
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
@@ -1923,6 +2023,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,
+    "embedding_centroid_drift": ORACLE_CENTROID_DRIFT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_filtered": ORACLE_ANN_FILTERED,
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,

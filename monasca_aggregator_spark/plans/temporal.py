@@ -580,6 +580,84 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_metric_histogram_exemplars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram EXEMPLARS (r8, the OpenMetrics/Prometheus exemplar
+    contract): each (metric, hourly window, bucket) cell carries its
+    count PLUS one concrete trace-back sample — the event id and
+    value of the bucket's maximum observation — so a latency spike in
+    a dashboard bucket links to an actual event to inspect.
+    Deterministic pick: greatest (value_e6, event_id) pair, exact
+    integers. One window over the same (type, window, bucket) key the
+    plain histogram groups by — same shuffle cardinality class, count
+    and exemplar resolved in a single pass (no join back)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
+    )
+    step = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(step)),
+            F.lit(0),
+        ),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    keyed = ev.select(
+        F.col("event_type"),
+        wcol.alias("window_ts_ms"),
+        bucket.alias("bucket"),
+        v_e6.alias("v_e6"),
+        "event_id",
+    )
+    pw = Window.partitionBy("event_type", "window_ts_ms", "bucket")
+    ow = pw.orderBy(F.col("v_e6").desc(), F.col("event_id").desc())
+    return (
+        keyed.withColumn("n", F.count(F.lit(1)).over(pw))
+        .withColumn("__rn", F.row_number().over(ow))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            "window_ts_ms",
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("event_id").alias("exemplar_event_id"),
+            stable_round(
+                F.col("v_e6").cast("double") / F.lit(1_000_000.0), 4
+            ).alias("exemplar_value"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM_EXEMPLARS = f"""
+WITH keyed AS (
+  SELECT event_type,
+         (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS window_ts_ms,
+         CAST(least(greatest(floor((value - {_HIST_LO}) / 20.0), 0),
+                    {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6,
+         event_id
+  FROM events
+)
+SELECT event_type, window_ts_ms, bucket,
+       CAST(count(*) OVER w AS BIGINT) AS n,
+       event_id AS exemplar_event_id,
+       {sql_stable_round("CAST(v_e6 AS DOUBLE) / 1000000.0", 4)}
+         AS exemplar_value
+FROM keyed
+WINDOW w AS (PARTITION BY event_type, window_ts_ms, bucket)
+QUALIFY row_number() OVER (PARTITION BY event_type, window_ts_ms,
+                           bucket ORDER BY v_e6 DESC, event_id DESC) = 1
+""".strip()
+
+
 _TRAIL_S = 3600  # trailing time-frame width (seconds)
 
 
@@ -2313,6 +2391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_nearest_click": q_asof_nearest_click,
     "anomaly_zscore": q_anomaly_zscore,
     "metric_histogram": q_metric_histogram,
+    "metric_histogram_exemplars": q_metric_histogram_exemplars,
     "metric_histogram_native": q_metric_histogram_native,
     "events_trailing_1h": q_events_trailing_1h,
     "funnel_conversion": q_funnel_conversion,
@@ -2352,6 +2431,7 @@ ORACLES: dict[str, str] = {
     "metric_gapfill": ORACLE_GAPFILL,
     "anomaly_zscore": ORACLE_ANOMALY,
     "metric_histogram": ORACLE_HISTOGRAM,
+    "metric_histogram_exemplars": ORACLE_HISTOGRAM_EXEMPLARS,
     "metric_histogram_native": ORACLE_HISTOGRAM_NATIVE,
     "events_trailing_1h": ORACLE_TRAILING_1H,
     "funnel_conversion": ORACLE_FUNNEL,

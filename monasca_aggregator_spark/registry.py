@@ -141,7 +141,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # the newest staged window — they displaced the tail
 # re-confirmations agg_rate / tpch_q1 / dedup_rate_by_source /
 # text_readability / embedding_outliers / sessions_active_time /
-# events_lifecycle, all r4/r7-green), closing with the 3 late-r7
+# events_lifecycle / agg_max / agg_delta, all r4/r7-green — the
+# last two displaced by the late-r8 pair metric_histogram_exemplars
+# / embedding_centroid_drift), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -158,12 +160,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "events_retention", "range_join_ship", "sample_consistent_k",
 #     "tpch_q21_waiting", "sample_quota_source", "tpch_q17_avg_qty",
 #     "tpch_q16_suppcnt", "tpch_q20_excess",
-#     "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
-#     "agg_delta",
+#     "agg_count", "agg_sum", "agg_avg", "agg_min",
 #     "events_attribution_timedecay", "asof_tolerance_click",
 #     "lineitem_price_index", "graph_clustering",
 #     "events_dwell_by_transition", "events_retention_halflife",
 #     "text_rake_keywords",
+#     "metric_histogram_exemplars", "embedding_centroid_drift",
 #     "embedding_silhouette", "orders_duplicate_invoices",
 #     "lineitem_key_skew",
 # )
