@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "text_rake_keywords",
     "metric_histogram_exemplars",
     "embedding_centroid_drift",
+    "lm_holdout_perplexity",
+    "metric_type_inference",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

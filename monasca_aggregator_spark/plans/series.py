@@ -1256,6 +1256,72 @@ GROUP BY event_type
 """.strip()
 
 
+def q_metric_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric TYPE inference (r8): classify each metric as counter /
+    gauge from its per-series delta signature — the metadata audit a
+    metrics store runs when instrumentation ships no type hints
+    (Prometheus counter vs gauge semantics decide whether
+    increase()/rate() or avg() is even meaningful downstream — rows
+    18n/8 consume the answer). Per series (metric, user) the deltas
+    come from one lag() window on exact e6 integers; per metric the
+    report carries n_deltas, the non-negative share, and the CASE
+    classification (counter ≥99% non-negative, mostly_monotonic ≥80%,
+    else gauge). Output is metric-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    v_e6 = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    d = ev.select(
+        "event_type", (v_e6 - F.lag(v_e6).over(w)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    per = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.sum((F.col("delta") >= 0).cast("long")).alias("n_nonneg"),
+    )
+    share = F.col("n_nonneg").cast("double") / F.col("n_deltas").cast(
+        "double"
+    )
+    return per.select(
+        "event_type",
+        "n_deltas",
+        stable_round(share, 4).alias("nonneg_share"),
+        F.when(share >= 0.99, F.lit("counter"))
+        .when(share >= 0.80, F.lit("mostly_monotonic"))
+        .otherwise(F.lit("gauge"))
+        .alias("inferred_type"),
+    )
+
+
+ORACLE_TYPE_INFERENCE = f"""
+WITH v AS (
+  SELECT event_type, user_id, ts, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+  FROM events
+), d AS (
+  SELECT event_type,
+         v_e6 - lag(v_e6) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS delta
+  FROM v
+), per AS (
+  SELECT event_type, count(*) AS n_deltas,
+         sum(CASE WHEN delta >= 0 THEN 1 ELSE 0 END) AS n_nonneg
+  FROM d WHERE delta IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n_deltas AS BIGINT) AS n_deltas,
+       {sql_stable_round(
+           "CAST(n_nonneg AS DOUBLE) / CAST(n_deltas AS DOUBLE)", 4)}
+         AS nonneg_share,
+       CASE WHEN n_nonneg::DOUBLE / n_deltas >= 0.99 THEN 'counter'
+            WHEN n_nonneg::DOUBLE / n_deltas >= 0.80
+              THEN 'mostly_monotonic'
+            ELSE 'gauge' END AS inferred_type
+FROM per
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_seasonal": q_anomaly_seasonal,
     "metric_availability": q_metric_availability,
@@ -1273,6 +1339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_lead_lag": q_metric_lead_lag,
     "metric_topk_movers": q_metric_topk_movers,
     "metric_counter_rate": q_metric_counter_rate,
+    "metric_type_inference": q_metric_type_inference,
     "metric_retention_tiers": q_metric_retention_tiers,
     "metric_histogram_equidepth": q_metric_histogram_equidepth,
     "metric_staleness": q_metric_staleness,
@@ -1296,6 +1363,7 @@ ORACLES: dict[str, str] = {
     "metric_lead_lag": ORACLE_LEAD_LAG,
     "metric_topk_movers": ORACLE_TOPK_MOVERS,
     "metric_counter_rate": ORACLE_COUNTER_RATE,
+    "metric_type_inference": ORACLE_TYPE_INFERENCE,
     "metric_retention_tiers": ORACLE_RETENTION_TIERS,
     "metric_histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
     "metric_staleness": ORACLE_STALENESS,

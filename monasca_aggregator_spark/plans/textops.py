@@ -475,6 +475,81 @@ GROUP BY doc_id
 """.strip()
 
 
+_LM_VAL_MOD = 10  # doc_id % 10 == 9 plays the held-out validation slice
+
+
+def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT unigram LM perplexity per source (r8) — the
+    leakage-aware eval `text_unigram_logprob` is not: that query
+    scores docs against a model fit on the WHOLE corpus (fine as a
+    fit signal, circular as an eval). Here the model trains on the
+    deterministic 90% slice (doc_id % 10 != 9), scores the held-out
+    10% with add-1 smoothing over the train vocabulary (unseen token
+    → 1/(N+V+1)), and reports per-source token count, mean NLL and
+    perplexity = e^NLL — the number a data-mix ablation actually
+    compares. Train counts are vocabulary-bounded aggregates; the
+    (N, V) totals are a broadcast 1-row relation; scoring is one
+    broadcast-ish join from val tokens to the vocab relation."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = F.explode(F.split(F.col("text"), " ")).alias("token")
+    train_toks = docs.filter(
+        F.col("doc_id") % _LM_VAL_MOD != _LM_VAL_MOD - 1
+    ).select(tok)
+    vocab = train_toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v")
+    )
+    val_toks = docs.filter(
+        F.col("doc_id") % _LM_VAL_MOD == _LM_VAL_MOD - 1
+    ).select("source", tok)
+    scored = (
+        val_toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast(
+                    "double"
+                )
+                / (F.col("n_train") + F.col("v") + F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        stable_round(-F.avg("lp"), 4).alias("avg_nll"),
+        stable_round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+    )
+
+
+ORACLE_LM_HOLDOUT = f"""
+WITH train_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % {_LM_VAL_MOD} != {_LM_VAL_MOD - 1}
+), vocab AS (
+  SELECT token, count(*) AS c FROM train_toks GROUP BY 1
+), totals AS (
+  SELECT sum(c) AS n_train, count(*) AS v FROM vocab
+), val_toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % {_LM_VAL_MOD} = {_LM_VAL_MOD - 1}
+), scored AS (
+  SELECT source,
+         ln((coalesce(c, 0) + 1)::DOUBLE
+            / (n_train + v + 1)::DOUBLE) AS lp
+  FROM val_toks LEFT JOIN vocab USING (token), totals
+)
+SELECT source, count(*) AS n_tokens,
+       {sql_stable_round("-avg(lp)", 4)} AS avg_nll,
+       {sql_stable_round("exp(-avg(lp))", 4)} AS perplexity
+FROM scored GROUP BY 1
+""".strip()
+
+
 _BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark corpus
 _CONTAM_THRESHOLD = 0.8
 
@@ -1855,6 +1930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab_topk": q_text_vocab_topk,
     "text_rake_keywords": q_text_rake_keywords,
+    "lm_holdout_perplexity": q_lm_holdout_perplexity,
     "text_oov_rate": q_text_oov_rate,
     "text_token_fertility": q_text_token_fertility,
     "quality_by_lang_source": q_quality_by_lang_source,
@@ -1891,6 +1967,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_vocab_topk": ORACLE_VOCAB,
     "text_rake_keywords": ORACLE_RAKE,
+    "lm_holdout_perplexity": ORACLE_LM_HOLDOUT,
     "text_oov_rate": ORACLE_OOV_RATE,
     "text_token_fertility": ORACLE_TOKEN_FERTILITY,
     "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,
