@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "embedding_centroid_drift",
     "lm_holdout_perplexity",
     "metric_type_inference",
+    "text_code_ratio",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

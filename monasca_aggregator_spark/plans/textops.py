@@ -475,7 +475,7 @@ GROUP BY doc_id
 """.strip()
 
 
-_LM_VAL_MOD = 10  # doc_id % 10 == 9 plays the held-out validation slice
+_LM_VAL_MOD = 10  # md5-bucket == 9 plays the held-out validation slice
 
 
 def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +483,10 @@ def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-aware eval `text_unigram_logprob` is not: that query
     scores docs against a model fit on the WHOLE corpus (fine as a
     fit signal, circular as an eval). Here the model trains on the
-    deterministic 90% slice (doc_id % 10 != 9), scores the held-out
+    deterministic ~90% md5-bucket slice (the testdata's source IS a
+    function of doc_id, so a plain doc_id % 10 split would select
+    whole sources into val — the md5 bucket decorrelates the split
+    from every id-derived column), scores the held-out
     10% with add-1 smoothing over the train vocabulary (unseen token
     → 1/(N+V+1)), and reports per-source token count, mean NLL and
     perplexity = e^NLL — the number a data-mix ablation actually
@@ -492,18 +495,24 @@ def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-ish join from val tokens to the vocab relation."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = F.explode(F.split(F.col("text"), " ")).alias("token")
-    train_toks = docs.filter(
-        F.col("doc_id") % _LM_VAL_MOD != _LM_VAL_MOD - 1
-    ).select(tok)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_LM_VAL_MOD),
+    )
+    train_toks = docs.filter(bucket != _LM_VAL_MOD - 1).select(tok)
     vocab = train_toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("c")
     )
     totals = vocab.agg(
         F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v")
     )
-    val_toks = docs.filter(
-        F.col("doc_id") % _LM_VAL_MOD == _LM_VAL_MOD - 1
-    ).select("source", tok)
+    val_toks = docs.filter(bucket == _LM_VAL_MOD - 1).select(
+        "source", tok
+    )
     scored = (
         val_toks.join(vocab, "token", "left")
         .crossJoin(F.broadcast(totals))
@@ -529,14 +538,18 @@ def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LM_HOLDOUT = f"""
 WITH train_toks AS (
   SELECT unnest(string_split(text, ' ')) AS token
-  FROM documents WHERE doc_id % {_LM_VAL_MOD} != {_LM_VAL_MOD - 1}
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % {_LM_VAL_MOD} != {_LM_VAL_MOD - 1}
 ), vocab AS (
   SELECT token, count(*) AS c FROM train_toks GROUP BY 1
 ), totals AS (
   SELECT sum(c) AS n_train, count(*) AS v FROM vocab
 ), val_toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS token
-  FROM documents WHERE doc_id % {_LM_VAL_MOD} = {_LM_VAL_MOD - 1}
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % {_LM_VAL_MOD} = {_LM_VAL_MOD - 1}
 ), scored AS (
   SELECT source,
          ln((coalesce(c, 0) + 1)::DOUBLE
@@ -547,6 +560,81 @@ SELECT source, count(*) AS n_tokens,
        {sql_stable_round("-avg(lp)", 4)} AS avg_nll,
        {sql_stable_round("exp(-avg(lp))", 4)} AS perplexity
 FROM scored GROUP BY 1
+""".strip()
+
+
+def q_text_code_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-prose mix per source (r8): the fraction of lines that
+    look like source code (brace/semicolon line ends, indentation,
+    assignment-with-underscore_identifiers — one shared regex both
+    engines run verbatim) plus the fraction of docs that are
+    code-dominated (>30% code lines) — the training-mix audit that
+    decides whether a 'web' source is secretly a code dump before it
+    skews a text-model mix (or vice versa). Row-local line splitting
+    and regex matching, one source-bounded aggregate."""
+    code_re = (
+        r"(^\s{4,})|[;{}]\s*$|^\s*(def|class|import|return|if|for|"
+        r"while|function|var|let|const)\b|[a-z0-9_]+\s*=\s*\S"
+    )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    lines = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\n")).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    flagged = lines.select(
+        "source",
+        "doc_id",
+        F.col("line").rlike(code_re).cast("long").alias("is_code"),
+    )
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("is_code").alias("n_code"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        stable_round(
+            F.sum("n_code").cast("double")
+            / F.sum("n_lines").cast("double"),
+            4,
+        ).alias("code_line_ratio"),
+        F.sum(
+            (
+                F.col("n_code").cast("double")
+                > F.lit(0.3) * F.col("n_lines").cast("double")
+            ).cast("long")
+        ).alias("n_code_docs"),
+    )
+
+
+_CODE_RE_SQL = (
+    r"(^\s{4,})|[;{}]\s*$|^\s*(def|class|import|return|if|for|"
+    r"while|function|var|let|const)\b|[a-z0-9_]+\s*=\s*\S"
+)
+
+ORACLE_CODE_RATIO = f"""
+WITH lines AS (
+  SELECT source, doc_id, l AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE trim(l) <> ''
+), flagged AS (
+  SELECT source, doc_id,
+         CASE WHEN regexp_matches(line, '{_CODE_RE_SQL}')
+              THEN 1 ELSE 0 END AS is_code
+  FROM lines
+), per_doc AS (
+  SELECT source, doc_id, count(*) AS n_lines, sum(is_code) AS n_code
+  FROM flagged GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       {sql_stable_round(
+           "CAST(sum(n_code) AS DOUBLE) / CAST(sum(n_lines) AS DOUBLE)",
+           4)} AS code_line_ratio,
+       CAST(sum(CASE WHEN n_code::DOUBLE > 0.3 * n_lines THEN 1
+                ELSE 0 END) AS BIGINT) AS n_code_docs
+FROM per_doc GROUP BY 1
 """.strip()
 
 
@@ -1931,6 +2019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": q_text_vocab_topk,
     "text_rake_keywords": q_text_rake_keywords,
     "lm_holdout_perplexity": q_lm_holdout_perplexity,
+    "text_code_ratio": q_text_code_ratio,
     "text_oov_rate": q_text_oov_rate,
     "text_token_fertility": q_text_token_fertility,
     "quality_by_lang_source": q_quality_by_lang_source,
@@ -1968,6 +2057,7 @@ ORACLES: dict[str, str] = {
     "text_vocab_topk": ORACLE_VOCAB,
     "text_rake_keywords": ORACLE_RAKE,
     "lm_holdout_perplexity": ORACLE_LM_HOLDOUT,
+    "text_code_ratio": ORACLE_CODE_RATIO,
     "text_oov_rate": ORACLE_OOV_RATE,
     "text_token_fertility": ORACLE_TOKEN_FERTILITY,
     "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,
