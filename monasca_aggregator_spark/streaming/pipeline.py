@@ -1355,6 +1355,58 @@ def streaming_sessions_capped(
     )
 
 
+def ivf_index_sink(
+    index_path: str,
+    centroids_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` sink keeping a PERSISTED IVF ANN index live as
+    embeddings stream in — the ANN sibling of ``minhash_index_sink``
+    (r8): without it the thin (id, cell) map is batch-rebuilt per
+    snapshot and vectors ingested between rebuilds are unsearchable.
+
+    Per micro-batch: the (tiny, pre-trained) centroid table loads from
+    ``centroids_path``, the batch's vectors take one argmax-cosine
+    assignment pass (``operators/similarity.assign_cells`` — map-only,
+    centroid literals inlined), and the THIN (id, cell) rows APPEND to
+    a log-structured snapshot table — inheriting time travel ("the
+    index as of version N"), the commit-log audit trail, and the
+    batch_id-in-commit replay guard (multi-batch rewinds skip).
+
+    Probe parity is the contract (pinned in test_streaming_ivf.py):
+    ``ivf_ann(corpus, queries, centroids=..., cell_map=
+    snapshot_read(index))`` returns exactly what a fresh batch build
+    over the same corpus returns. Centroids stay FROZEN by design —
+    an IVF index's cells must not drift under its stored assignments;
+    retraining is a rebuild, not an append (the FAISS contract).
+
+    Scale: per batch the work is one map-only pass over batch vectors
+    + one thin append commit — no corpus rescan, no shuffle."""
+    from monasca_aggregator_spark.operators.similarity import assign_cells
+    from monasca_aggregator_spark.sources.table_log import (
+        batch_committed,
+        snapshot_write,
+    )
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty() or batch_committed(index_path, batch_id):
+            return
+        cents = df.sparkSession.read.parquet(centroids_path)
+        thin = assign_cells(
+            df, cents, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cell")
+        snapshot_write(
+            thin,
+            index_path,
+            mode="append",
+            extra_record={"batch_id": batch_id},
+        )
+
+    return _sink
+
+
 def minhash_index_sink(
     index_path: str,
     *,
