@@ -1355,6 +1355,103 @@ def streaming_sessions_capped(
     )
 
 
+def minhash_dedup_sink(
+    index_path: str,
+    docs_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """``foreachBatch`` sink performing LIVE cross-snapshot NEAR-dedup
+    (r8) — the capability `minhash_index_sink` only indexes toward:
+    each micro-batch's docs are probed against the PERSISTED MinHash
+    index (banded candidates → exact-Jaccard verification against the
+    stored docs, `minhash_lsh_pairs_incremental`), near-dups of
+    anything already ingested DROP, the batch's own internal near-dup
+    pairs collapse to their lowest-id survivor, and only the survivors
+    append — docs to one snapshot table, their thin (doc, band,
+    bucket) rows to the index table — so the corpus a training run
+    reads is near-dedup-CLEAN at every version boundary, not only
+    after a batch re-dedup pass.
+
+    Exactly-once: both appends are batch_id-stamped commits (replays
+    and multi-batch rewinds skip). Cost per batch: O(batch × bands)
+    probe rows against the thin index + the batch-local self-join —
+    the corpus is never rescanned.
+    """
+    from monasca_aggregator_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from monasca_aggregator_spark.sources.table_log import (
+        batch_committed,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    kw = dict(
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty() or batch_committed(index_path, batch_id):
+            return
+        spark = df.sparkSession
+        survivors = df
+        if snapshot_versions(index_path):
+            hits = minhash_lsh_pairs_incremental(
+                df,
+                snapshot_read(spark, index_path),
+                snapshot_read(spark, docs_path),
+                **kw,
+            ).select(F.col("id_new").alias(id_col)).distinct()
+            survivors = survivors.join(hits, id_col, "left_anti")
+        # batch-internal near-dups: keep each pair's lowest id
+        # (pairs emit id_a < id_b, so dropping every id_b leaves the
+        # canonical survivor)
+        self_dups = (
+            minhash_lsh_pairs(survivors, **kw)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(self_dups, id_col, "left_anti")
+        # two commits, each individually replay-safe (a crash between
+        # them re-runs the batch; the committed side skips)
+        snapshot_write(
+            minhash_index(
+                survivors,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+            ),
+            index_path,
+            mode="append",
+            extra_record={"batch_id": batch_id},
+        )
+        if not batch_committed(docs_path, batch_id):
+            snapshot_write(
+                survivors,
+                docs_path,
+                mode="append",
+                extra_record={"batch_id": batch_id},
+            )
+
+    return _sink
+
+
 def ivf_index_sink(
     index_path: str,
     centroids_path: str,

@@ -1,0 +1,67 @@
+"""Live cross-snapshot NEAR-dedup sink
+(streaming/pipeline.minhash_dedup_sink): near-dups of already-ingested
+docs drop at ingest time, batch-internal near-dup pairs collapse to
+their lowest-id survivor, the docs snapshot stays near-dedup-clean at
+every version boundary, and replays skip."""
+
+from __future__ import annotations
+
+from monasca_aggregator_spark.sources.table_log import (
+    snapshot_read,
+    snapshot_versions,
+)
+from monasca_aggregator_spark.streaming.pipeline import minhash_dedup_sink
+
+_SCHEMA = "doc_id long, text string"
+
+_B1 = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3, "completely different subject matter about spark structured streaming state"),
+    (4, "metrics aggregation windows publish after the configured lag deadline passes"),
+]
+_B2 = [
+    # near-dup of doc 1 (already ingested) -> dropped by the index probe
+    (2, "the quick brown fox jumps over the lazy dog near the river side"),
+    # near-dup of doc 4 -> dropped
+    (5, "metrics aggregation windows publish after the configured lag deadline elapses"),
+    # fresh -> kept
+    (6, "a third unrelated document mentioning parquet snapshots and commit logs"),
+]
+_B3 = [
+    # internal near-dup pair, unrelated to the corpus: keep 7, drop 8
+    (7, "entirely novel sentences describing adaptive query execution and shuffle plans"),
+    (8, "entirely novel sentences describing adaptive query execution and shuffle graphs"),
+]
+
+
+def test_near_dups_drop_at_ingest(spark, tmp_path):
+    index_path = str(tmp_path / "nd_index")
+    docs_path = str(tmp_path / "nd_docs")
+    sink = minhash_dedup_sink(index_path, docs_path)
+
+    sink(spark.createDataFrame(_B1, _SCHEMA), 0)
+    sink(spark.createDataFrame(_B2, _SCHEMA), 1)
+    sink(spark.createDataFrame(_B3, _SCHEMA), 2)
+
+    kept = {
+        r.doc_id for r in snapshot_read(spark, docs_path).collect()
+    }
+    assert kept == {1, 3, 4, 6, 7}
+    # the index only carries survivors
+    idx_ids = {
+        r.doc_id for r in snapshot_read(spark, index_path).collect()
+    }
+    assert idx_ids == kept
+    # every version boundary is a clean training view
+    assert len(snapshot_versions(docs_path)) == 3
+
+    # replays (incl. a two-batch rewind) are no-ops on both tables
+    vi = snapshot_versions(index_path)
+    vd = snapshot_versions(docs_path)
+    sink(spark.createDataFrame(_B2, _SCHEMA), 1)
+    sink(spark.createDataFrame(_B3, _SCHEMA), 2)
+    assert snapshot_versions(index_path) == vi
+    assert snapshot_versions(docs_path) == vd
+    assert {
+        r.doc_id for r in snapshot_read(spark, docs_path).collect()
+    } == kept
