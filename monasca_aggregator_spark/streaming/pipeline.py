@@ -964,10 +964,13 @@ def curate_document_stream(
       ``quality_expr`` the batch plans use — streaming-safe because it
       touches one row at a time).
 
-    Near-dedup/top-p need corpus-wide state and stay batch-side (run
-    them per snapshot on the sink output; the incremental MinHash
-    index covers cross-snapshot pairs). Returns the curated stream —
-    point it at idempotent_parquet_sink for exactly-once files.
+    Top-p needs corpus-wide state and stays batch-side (run it per
+    snapshot on the sink output). Near-dedup no longer has to: point
+    this stream at ``minhash_dedup_sink`` (r8) and near-dups of
+    anything already ingested drop AT INGEST against the persisted
+    index. Returns the curated stream — pair with
+    idempotent_parquet_sink for exactly-once plain files, or the
+    dedup sink for the near-dedup-clean snapshot table.
     """
     from monasca_aggregator_spark.functions.rounding import stable_round
     from monasca_aggregator_spark.operators.dedup import normalize_text

@@ -65,3 +65,24 @@ def test_near_dups_drop_at_ingest(spark, tmp_path):
     assert {
         r.doc_id for r in snapshot_read(spark, docs_path).collect()
     } == kept
+
+
+def test_fully_dropped_batch_still_commits(spark, tmp_path):
+    """A batch whose every doc is a near-dup still commits (the
+    batch_id marker is what makes its replay skip) and the table
+    keeps reading cleanly across the survivor-less version."""
+    index_path = str(tmp_path / "nd2_index")
+    docs_path = str(tmp_path / "nd2_docs")
+    sink = minhash_dedup_sink(index_path, docs_path)
+    sink(spark.createDataFrame(_B1, _SCHEMA), 0)
+    dup_only = [
+        (2, "the quick brown fox jumps over the lazy dog near the river side"),
+    ]
+    sink(spark.createDataFrame(dup_only, _SCHEMA), 1)
+    kept = {r.doc_id for r in snapshot_read(spark, docs_path).collect()}
+    assert kept == {1, 3, 4}
+    assert len(snapshot_versions(docs_path)) == 2
+    # replay of the survivor-less batch skips on the marker
+    v = snapshot_versions(docs_path)
+    sink(spark.createDataFrame(dup_only, _SCHEMA), 1)
+    assert snapshot_versions(docs_path) == v
