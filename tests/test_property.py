@@ -660,3 +660,57 @@ def test_html_extractor_properties_random_batch(spark):
         for i, txt in want.items():
             if len(txt) >= 25:
                 assert again[i] == txt, i
+
+
+def test_banding_pigeonhole_recall_property(spark):
+    """Pigeonhole guarantee of hamming64_band_pairs at BOTH band
+    widths (4×16 aHash, 8×8 pHash): one seeded-random batch of hash
+    pairs at every Hamming distance ≤ n_bands−1 — each MUST be found
+    (recall is structural, not probabilistic), and a pair strictly
+    above max_hamming must NOT pass the exact verify."""
+    from monasca_aggregator_spark.operators.dedup import (
+        hamming64_band_pairs,
+    )
+
+    rng = random.Random(2024)
+    for n_bands in (4, 8):
+        rows = []
+        expected = set()
+        rid = 0
+        for d in range(0, n_bands):  # distances 0..n_bands-1
+            for _ in range(8):
+                base = rng.getrandbits(64)
+                bits = rng.sample(range(64), d)
+                twin = base
+                for b in bits:
+                    twin ^= 1 << b
+                a_id, b_id = rid, rid + 1
+                rid += 2
+
+                def signed(v):
+                    return v - (1 << 64) if v >= (1 << 63) else v
+
+                rows.append((a_id, signed(base)))
+                rows.append((b_id, signed(twin)))
+                expected.add((a_id, b_id))
+        sigs = spark.createDataFrame(rows, "id long, h long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in hamming64_band_pairs(
+                sigs,
+                id_col="id",
+                hash_col="h",
+                max_hamming=n_bands - 1,
+                n_bands=n_bands,
+            ).collect()
+        }
+        # every planted pair within budget is found (other cross-pairs
+        # may collide legitimately; the planted set must be a subset)
+        missing = expected - got
+        assert not missing, (n_bands, sorted(missing)[:5])
+        # the verify bound holds: no returned pair exceeds the budget
+        for r in hamming64_band_pairs(
+            sigs, id_col="id", hash_col="h",
+            max_hamming=n_bands - 1, n_bands=n_bands,
+        ).collect():
+            assert r.hamming <= n_bands - 1
