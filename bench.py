@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "lm_holdout_perplexity",
     "metric_type_inference",
     "text_code_ratio",
+    "metric_flappiness",
+    "events_audience_overlap",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

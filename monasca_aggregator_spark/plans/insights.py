@@ -2139,6 +2139,85 @@ FROM terms GROUP BY 1, 2, 3
 """.strip()
 
 
+def q_events_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIENCE overlap matrix (r8): exact Jaccard between the user
+    sets of every event-type pair — which behaviors share an audience
+    (near-1: redundant instrumentation or a forced funnel; near-0:
+    disjoint segments). The exact-set sibling of the KMV sketch set
+    ops (rows 18z1-2, which estimate per-window); audiences per TYPE
+    are |users|-bounded, so exactness is affordable at any corpus
+    size: distinct (type, user) pairs collapse first (one map-side-
+    combinable shuffle), the pair intersection is a self-join on
+    user_id (co-partitioned), and |A∪B| = |A|+|B|−|A∩B| closes the
+    Jaccard from broadcast per-type totals — the output is
+    ≤ |types|² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            stable_round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_both")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = f"""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(sa.n_users AS BIGINT) AS n_a,
+       CAST(sb.n_users AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       {sql_stable_round(
+           "CAST(n_both AS DOUBLE) / "
+           "CAST(sa.n_users + sb.n_users - n_both AS DOUBLE)", 6)}
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = inter.type_a
+JOIN sizes sb ON sb.event_type = inter.type_b
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
@@ -2156,6 +2235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_repeat_rate": q_orders_repeat_rate,
     "events_markov_accuracy": q_events_markov_accuracy,
     "events_next_entropy": q_events_next_entropy,
+    "events_audience_overlap": q_events_audience_overlap,
     "funnel_window_depth": q_funnel_window_depth,
     "events_retention_bitmap_wide": q_events_retention_bitmap_wide,
     "corpus_heaps_law": q_corpus_heaps_law,
@@ -2183,6 +2263,7 @@ ORACLES: dict[str, str] = {
     "orders_repeat_rate": ORACLE_REPEAT_RATE,
     "events_markov_accuracy": ORACLE_MARKOV_ACCURACY,
     "events_next_entropy": ORACLE_NEXT_ENTROPY,
+    "events_audience_overlap": ORACLE_AUDIENCE_OVERLAP,
     "funnel_window_depth": ORACLE_FUNNEL_WINDOW,
     "events_retention_bitmap_wide": ORACLE_RETENTION_WIDE,
     "corpus_heaps_law": ORACLE_HEAPS,

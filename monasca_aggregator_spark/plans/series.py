@@ -1256,6 +1256,108 @@ GROUP BY event_type
 """.strip()
 
 
+def q_metric_flappiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold FLAPPINESS report per metric (r8): how often the
+    hourly series CROSSES the alert threshold (sign changes of
+    value−HI between consecutive windows) and the longest
+    continuously-above run — the tuning readout behind
+    `metric_alert_hysteresis`: a metric with many crossings and short
+    runs needs a wider HI/LO gap before its alert rule pages anyone.
+    Same e4 fixed-point hourly series and per-metric lag() window;
+    the run-length is the gaps-and-islands group count, all exact
+    integers, metric-sized output."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.floor(F.avg(F.col("value") * 10000) + F.lit(0.5))
+        .cast("long")
+        .alias("wv_e4")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    above = (F.col("wv_e4") > _ALERT_HI_E4).cast("int")
+    state = hourly.select(
+        "event_type", "window_ts_ms", above.alias("ab")
+    ).withColumn("prev_ab", F.lag("ab").over(w_ord))
+    crossings = state.withColumn(
+        "crossed",
+        (
+            F.col("prev_ab").isNotNull()
+            & (F.col("ab") != F.col("prev_ab"))
+        ).cast("long"),
+    )
+    # gaps-and-islands: run id = cumulative crossing count
+    run_id = F.sum("crossed").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        crossings.withColumn("run_id", run_id)
+        .groupBy("event_type", "run_id")
+        .agg(
+            F.first("ab").alias("ab"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+    )
+    per_runs = runs.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("ab") == 1, F.col("run_len")).otherwise(0)
+        ).cast("long").alias("longest_above_run"),
+    )
+    per_cross = crossings.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("crossed").cast("long").alias("n_crossings"),
+        F.sum(F.col("ab").cast("long")).cast("long").alias("n_above"),
+    )
+    return per_cross.join(per_runs, "event_type").select(
+        "event_type",
+        "n_windows",
+        "n_above",
+        "n_crossings",
+        "longest_above_run",
+    )
+
+
+ORACLE_FLAPPINESS = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         CAST(floor(avg(value * 10000) + 0.5) AS BIGINT) AS wv_e4
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, window_ts_ms,
+         CASE WHEN wv_e4 > {_ALERT_HI_E4} THEN 1 ELSE 0 END AS ab,
+         lag(CASE WHEN wv_e4 > {_ALERT_HI_E4} THEN 1 ELSE 0 END)
+           OVER w AS prev_ab
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_ts_ms)
+), cr AS (
+  SELECT *,
+         CASE WHEN prev_ab IS NOT NULL AND ab != prev_ab
+              THEN 1 ELSE 0 END AS crossed
+  FROM st
+), runs_src AS (
+  SELECT *,
+         sum(crossed) OVER (PARTITION BY event_type
+                            ORDER BY window_ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM cr
+), runs AS (
+  SELECT event_type, run_id, any_value(ab) AS ab,
+         count(*) AS run_len
+  FROM runs_src GROUP BY 1, 2
+), per_runs AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN ab = 1 THEN run_len ELSE 0 END) AS BIGINT)
+           AS longest_above_run
+  FROM runs GROUP BY 1
+), per_cross AS (
+  SELECT event_type, count(*) AS n_windows,
+         CAST(sum(ab) AS BIGINT) AS n_above,
+         CAST(sum(crossed) AS BIGINT) AS n_crossings
+  FROM cr GROUP BY 1
+)
+SELECT event_type, n_windows, n_above, n_crossings, longest_above_run
+FROM per_cross JOIN per_runs USING (event_type)
+""".strip()
+
+
 def q_metric_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric TYPE inference (r8): classify each metric as counter /
     gauge from its per-series delta signature — the metadata audit a
@@ -1340,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_topk_movers": q_metric_topk_movers,
     "metric_counter_rate": q_metric_counter_rate,
     "metric_type_inference": q_metric_type_inference,
+    "metric_flappiness": q_metric_flappiness,
     "metric_retention_tiers": q_metric_retention_tiers,
     "metric_histogram_equidepth": q_metric_histogram_equidepth,
     "metric_staleness": q_metric_staleness,
@@ -1364,6 +1467,7 @@ ORACLES: dict[str, str] = {
     "metric_topk_movers": ORACLE_TOPK_MOVERS,
     "metric_counter_rate": ORACLE_COUNTER_RATE,
     "metric_type_inference": ORACLE_TYPE_INFERENCE,
+    "metric_flappiness": ORACLE_FLAPPINESS,
     "metric_retention_tiers": ORACLE_RETENTION_TIERS,
     "metric_histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
     "metric_staleness": ORACLE_STALENESS,

@@ -142,9 +142,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # re-confirmations agg_rate / tpch_q1 / dedup_rate_by_source /
 # text_readability / embedding_outliers / sessions_active_time /
 # events_lifecycle / agg_max / agg_delta, all r4/r7-green — the
-# last five displaced by the late-r8 keys metric_histogram_exemplars
+# last seven displaced by the late-r8 keys metric_histogram_exemplars
 # / embedding_centroid_drift / lm_holdout_perplexity /
-# metric_type_inference / text_code_ratio), closing with the 3 late-r7
+# metric_type_inference / text_code_ratio / metric_flappiness /
+# events_audience_overlap), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -160,15 +161,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
 #     "events_retention", "range_join_ship", "sample_consistent_k",
 #     "tpch_q21_waiting", "sample_quota_source", "tpch_q17_avg_qty",
-#     "tpch_q16_suppcnt", "tpch_q20_excess",
-#     "agg_count",
+#     "tpch_q16_suppcnt",
 #     "events_attribution_timedecay", "asof_tolerance_click",
 #     "lineitem_price_index", "graph_clustering",
 #     "events_dwell_by_transition", "events_retention_halflife",
 #     "text_rake_keywords",
 #     "metric_histogram_exemplars", "embedding_centroid_drift",
 #     "lm_holdout_perplexity", "metric_type_inference",
-#     "text_code_ratio",
+#     "text_code_ratio", "metric_flappiness",
+#     "events_audience_overlap",
 #     "embedding_silhouette", "orders_duplicate_invoices",
 #     "lineitem_key_skew",
 # )
