@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "text_code_ratio",
     "metric_flappiness",
     "events_audience_overlap",
+    "text_unicode_health",
+    "orders_seasonality_index",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -1194,7 +1194,82 @@ FROM paired GROUP BY mo
 """.strip()
 
 
+def q_orders_seasonality_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue SEASONALITY index per calendar month (r8): each
+    month-of-year's mean monthly revenue as a percentage of the
+    all-months mean — the classical seasonal index every demand
+    planner normalizes forecasts with (index > 100 = a structurally
+    strong month), with the month's observation count so a thin month
+    is visibly thin. Revenue sums are exact e2 cents per
+    (year, month); the index divides two exact-integer-derived means
+    once. Two tiny aggregates after the one fact groupBy —
+    month-grid-sized output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    per_ym = o.groupBy("yr", "mo").agg(
+        F.sum("e2").alias("rev_e2"), F.count(F.lit(1)).alias("n_orders")
+    )
+    per_mo = per_ym.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("rev_e2").alias("rev_e2"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+    total = per_mo.agg(
+        F.sum("rev_e2").alias("t_rev"), F.sum("n_years").alias("t_ym")
+    )
+    mean_mo = F.col("rev_e2").cast("double") / F.col("n_years").cast(
+        "double"
+    )
+    mean_all = F.col("t_rev").cast("double") / F.col("t_ym").cast(
+        "double"
+    )
+    return (
+        per_mo.crossJoin(F.broadcast(total))
+        .select(
+            "mo",
+            F.col("n_years").cast("long").alias("n_year_months"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            stable_round(mean_mo / mean_all * F.lit(100.0), 4).alias(
+                "seasonality_index"
+            ),
+        )
+    )
+
+
+ORACLE_SEASONALITY = f"""
+WITH o AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS e2
+  FROM orders
+), per_ym AS (
+  SELECT yr, mo, sum(e2) AS rev_e2, count(*) AS n_orders
+  FROM o GROUP BY 1, 2
+), per_mo AS (
+  SELECT mo, count(*) AS n_years, sum(rev_e2) AS rev_e2,
+         sum(n_orders) AS n_orders
+  FROM per_ym GROUP BY 1
+), total AS (
+  SELECT sum(rev_e2) AS t_rev, sum(n_years) AS t_ym FROM per_mo
+)
+SELECT mo, CAST(n_years AS BIGINT) AS n_year_months,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       {sql_stable_round(
+           "(CAST(rev_e2 AS DOUBLE) / n_years)"
+           " / (CAST(t_rev AS DOUBLE) / t_ym) * 100.0", 4)}
+         AS seasonality_index
+FROM per_mo, total
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
     "events_survival_hazard": q_events_survival_hazard,
@@ -1209,6 +1284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
     "orders_benford": ORACLE_BENFORD,
     "events_survival_hazard": ORACLE_SURVIVAL,

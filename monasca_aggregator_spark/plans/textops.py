@@ -638,6 +638,70 @@ FROM per_doc GROUP BY 1
 """.strip()
 
 
+def q_text_unicode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE health audit per source (r8): counts of docs carrying
+    the classic encoding-damage signals — U+FFFD replacement chars
+    (decode failures), C0/C1 control chars beyond tab/newline/CR
+    (binary leakage), and the 'Ã…Â'-range mojibake signature of
+    UTF-8-read-as-Latin-1 — plus affected-doc fractions. The curation
+    gate that catches a broken extraction/transcode stage BEFORE
+    quality scores silently absorb it. One shared regex per signal,
+    row-local flags, source-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    repl = F.col("text").rlike("�")
+    ctrl = F.col("text").rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    moji = F.col("text").rlike("[\u00C3\u00C2][\u0080-\u00BF]")
+    flagged = docs.select(
+        "source",
+        repl.cast("long").alias("has_repl"),
+        ctrl.cast("long").alias("has_ctrl"),
+        moji.cast("long").alias("has_moji"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_repl").alias("n_replacement"),
+        F.sum("has_ctrl").alias("n_control"),
+        F.sum("has_moji").alias("n_mojibake"),
+        stable_round(
+            (
+                F.sum(
+                    F.greatest(
+                        F.col("has_repl"),
+                        F.col("has_ctrl"),
+                        F.col("has_moji"),
+                    )
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("affected_frac"),
+    )
+
+
+ORACLE_UNICODE_HEALTH = f"""
+WITH flagged AS (
+  SELECT source,
+         CASE WHEN regexp_matches(text, chr(65533)) THEN 1 ELSE 0 END
+           AS has_repl,
+         CASE WHEN regexp_matches(text,
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 ELSE 0 END
+           AS has_ctrl,
+         CASE WHEN regexp_matches(text,
+              '[' || chr(195) || chr(194) || '][' || chr(128) || '-'
+              || chr(191) || ']') THEN 1 ELSE 0 END AS has_moji
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(has_repl) AS BIGINT) AS n_replacement,
+       CAST(sum(has_ctrl) AS BIGINT) AS n_control,
+       CAST(sum(has_moji) AS BIGINT) AS n_mojibake,
+       {sql_stable_round(
+           "CAST(sum(greatest(has_repl, has_ctrl, has_moji)) AS DOUBLE)"
+           " / count(*)", 6)} AS affected_frac
+FROM flagged GROUP BY 1
+""".strip()
+
+
 _BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark corpus
 _CONTAM_THRESHOLD = 0.8
 
@@ -2020,6 +2084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_rake_keywords": q_text_rake_keywords,
     "lm_holdout_perplexity": q_lm_holdout_perplexity,
     "text_code_ratio": q_text_code_ratio,
+    "text_unicode_health": q_text_unicode_health,
     "text_oov_rate": q_text_oov_rate,
     "text_token_fertility": q_text_token_fertility,
     "quality_by_lang_source": q_quality_by_lang_source,
@@ -2058,6 +2123,7 @@ ORACLES: dict[str, str] = {
     "text_rake_keywords": ORACLE_RAKE,
     "lm_holdout_perplexity": ORACLE_LM_HOLDOUT,
     "text_code_ratio": ORACLE_CODE_RATIO,
+    "text_unicode_health": ORACLE_UNICODE_HEALTH,
     "text_oov_rate": ORACLE_OOV_RATE,
     "text_token_fertility": ORACLE_TOKEN_FERTILITY,
     "quality_by_lang_source": ORACLE_QUALITY_BY_LANG_SOURCE,

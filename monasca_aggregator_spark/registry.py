@@ -142,10 +142,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # re-confirmations agg_rate / tpch_q1 / dedup_rate_by_source /
 # text_readability / embedding_outliers / sessions_active_time /
 # events_lifecycle / agg_max / agg_delta, all r4/r7-green — the
-# last seven displaced by the late-r8 keys metric_histogram_exemplars
+# last nine displaced by the late-r8 keys metric_histogram_exemplars
 # / embedding_centroid_drift / lm_holdout_perplexity /
 # metric_type_inference / text_code_ratio / metric_flappiness /
-# events_audience_overlap), closing with the 3 late-r7
+# events_audience_overlap / text_unicode_health /
+# orders_seasonality_index), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -160,8 +161,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "metric_correlation", "metric_winsorize", "metric_downsample_m4",
 #     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
 #     "events_retention", "range_join_ship", "sample_consistent_k",
-#     "tpch_q21_waiting", "sample_quota_source", "tpch_q17_avg_qty",
-#     "tpch_q16_suppcnt",
+#     "tpch_q21_waiting", "sample_quota_source",
 #     "events_attribution_timedecay", "asof_tolerance_click",
 #     "lineitem_price_index", "graph_clustering",
 #     "events_dwell_by_transition", "events_retention_halflife",
@@ -170,6 +170,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "lm_holdout_perplexity", "metric_type_inference",
 #     "text_code_ratio", "metric_flappiness",
 #     "events_audience_overlap",
+#     "text_unicode_health", "orders_seasonality_index",
 #     "embedding_silhouette", "orders_duplicate_invoices",
 #     "lineitem_key_skew",
 # )
