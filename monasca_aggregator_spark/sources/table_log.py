@@ -62,6 +62,14 @@ def _version_file(path: str, v: int) -> str:
     return os.path.join(_log_dir(path), f"v{v:08d}.json")
 
 
+def _file_groups(record: dict) -> list[dict]:
+    """A commit's per-layout file groups; commits written before
+    partition evolution landed synthesize one unpartitioned group."""
+    return record.get("file_groups") or [
+        {"base": "", "partition_by": [], "files": record["files"]}
+    ]
+
+
 def snapshot_versions(path: str) -> list[int]:
     """Committed versions, ascending. Empty list = no table yet."""
     d = _log_dir(path)
@@ -86,6 +94,7 @@ def snapshot_write(
     mode: str = "append",
     shards: int | None = None,
     extra_record: dict | None = None,
+    partition_by: Sequence[str] = (),
 ) -> dict:
     """Commit ``df`` as a new version. Returns the commit record.
 
@@ -93,6 +102,15 @@ def snapshot_write(
     into the commit record BEFORE it is atomically published, so they
     are visible to any reader that can see the commit at all — there
     is no window where the commit exists without them.
+
+    ``partition_by`` hive-partitions THIS commit's data files; each
+    commit records its own layout (a ``file_groups`` entry carrying
+    base dir + partition columns + leaf files), so the table supports
+    PARTITION EVOLUTION (the Iceberg partition-spec-evolution
+    semantics): later commits may pick a different layout — or none —
+    and ``snapshot_read`` unions the groups transparently, each read
+    under its own basePath so its partition columns come back. Old
+    data is never rewritten when the layout changes.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -100,17 +118,29 @@ def snapshot_write(
     commit_id = uuid.uuid4().hex[:12]
     out_dir = os.path.join(_data_dir(path), commit_id)
     w = df.repartition(shards) if shards else df
-    w.write.mode("error").parquet(out_dir)
+    writer = w.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
     new_files = sorted(
-        os.path.join(out_dir, f)
-        for f in os.listdir(out_dir)
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(out_dir)
+        for f in fs
         if f.endswith(".parquet")
     )
     versions = snapshot_versions(path)
     parent = versions[-1] if versions else 0
     files = list(new_files)
+    new_group = {
+        "base": out_dir,
+        "partition_by": list(partition_by),
+        "files": new_files,
+    }
+    groups = [new_group]
     if mode == "append" and versions:
-        files = _read_commit(path, parent)["files"] + files
+        prev = _read_commit(path, parent)
+        files = prev["files"] + files
+        groups = _file_groups(prev) + groups
     v = parent + 1
     record = {
         "version": v,
@@ -118,6 +148,7 @@ def snapshot_write(
         "parent": parent,
         "files": files,
         "n_new_files": len(new_files),
+        "file_groups": groups,
     }
     if extra_record:
         record.update(extra_record)
@@ -166,13 +197,36 @@ def snapshot_read(
             f"version {v} not in table (have {versions[0]}..{versions[-1]}"
             f", expired versions are gone)"
         )
-    files = _read_commit(path, v)["files"]
+    record = _read_commit(path, v)
+    files = record["files"]
     if not files:
         raise ValueError(f"version {v} is empty")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    groups = _file_groups(record)
+    if all(not g["partition_by"] for g in groups):
+        # single-layout fast path (also serves pre-evolution tables)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+    # PARTITION EVOLUTION: each commit's group reads under its own
+    # basePath so its hive partition columns materialize; layouts
+    # union by name with nulls where a column doesn't exist
+    out = None
+    for g in groups:
+        if not g["files"]:
+            continue
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if g["partition_by"]:
+            reader = reader.option("basePath", g["base"])
+        part = reader.parquet(*g["files"])
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out
 
 
 def snapshot_history(path: str) -> list[dict]:

@@ -352,3 +352,48 @@ def test_snapshot_merge_sink_upserts_latest_per_key(spark, tmp_path):
         r.k: r.v
         for r in snapshot_read(spark, path).select("k", "v").collect()
     } == latest
+
+
+def test_partition_evolution_across_commits(spark, tmp_path):
+    """Iceberg-style partition-spec evolution (r8): commits may each
+    pick a different hive layout (or none); reads union the layouts
+    transparently with each group's partition columns restored under
+    its own basePath, old data never rewritten; time travel sees each
+    version's own layout mix; unpartitioned-only tables keep the
+    single-reader fast path."""
+    from monasca_aggregator_spark.sources.table_log import snapshot_write
+
+    path = str(tmp_path / "evo_tbl")
+    a = spark.createDataFrame(
+        [(1, "d1", "s1", 10), (2, "d2", "s1", 20)],
+        "id long, day string, source string, v long",
+    )
+    b = spark.createDataFrame(
+        [(3, "d2", "s2", 30)],
+        "id long, day string, source string, v long",
+    )
+    c = spark.createDataFrame(
+        [(4, "d3", "s2", 40)],
+        "id long, day string, source string, v long",
+    )
+    snapshot_write(a, path, partition_by=["day"])
+    snapshot_write(b, path, partition_by=["source"])
+    snapshot_write(c, path)  # layout evolves back to unpartitioned
+
+    latest = snapshot_read(spark, path)
+    rows = {r.id: (r.day, r.source, r.v) for r in latest.collect()}
+    assert rows == {
+        1: ("d1", "s1", 10),
+        2: ("d2", "s1", 20),
+        3: ("d2", "s2", 30),
+        4: ("d3", "s2", 40),
+    }
+    # time travel to v1: only layout A
+    v1 = snapshot_versions(path)[0]
+    assert {
+        r.id for r in snapshot_read(spark, path, version=v1).collect()
+    } == {1, 2}
+    # partition pruning still works on a layout's own column: the day
+    # filter prunes commit A's directories (plan shows the pushdown)
+    pruned = latest.filter(latest.day == "d1")
+    assert {r.id for r in pruned.collect()} == {1}
