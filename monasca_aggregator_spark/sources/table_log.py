@@ -62,6 +62,57 @@ def _version_file(path: str, v: int) -> str:
     return os.path.join(_log_dir(path), f"v{v:08d}.json")
 
 
+def _file_stats(file_path: str, cols: Sequence[str]) -> dict:
+    """Per-column [min, max] from the parquet footer (across row
+    groups) — a microsecond metadata read, no Spark job. Columns
+    missing from the file or lacking statistics record null (readers
+    must keep such files)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            out[c] = None
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[c] = None if lo is None else [lo, hi]
+    return out
+
+
+def _prune_group(group: dict, prune: dict) -> dict:
+    """Copy of ``group`` keeping only files whose recorded stats may
+    overlap every (lo, hi) predicate; files lacking stats are kept."""
+    stats = group.get("stats") or {}
+    kept = []
+    for f in group["files"]:
+        fs = stats.get(f)
+        keep = True
+        if fs:
+            for col, (lo, hi) in prune.items():
+                mm = fs.get(col)
+                if mm is None:
+                    continue
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    keep = False
+                    break
+        if keep:
+            kept.append(f)
+    out = dict(group)
+    out["files"] = kept
+    return out
+
+
 def _file_groups(record: dict) -> list[dict]:
     """A commit's per-layout file groups; commits written before
     partition evolution landed synthesize one unpartitioned group."""
@@ -95,6 +146,7 @@ def snapshot_write(
     shards: int | None = None,
     extra_record: dict | None = None,
     partition_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
 ) -> dict:
     """Commit ``df`` as a new version. Returns the commit record.
 
@@ -111,6 +163,14 @@ def snapshot_write(
     and ``snapshot_read`` unions the groups transparently, each read
     under its own basePath so its partition columns come back. Old
     data is never rewritten when the layout changes.
+
+    ``stats_cols`` records per-FILE min/max for the named columns in
+    the commit log (read from the parquet footers at commit time — a
+    metadata pass, no Spark job), the Iceberg/Delta manifest-stats
+    pattern: ``snapshot_read(prune={col: (lo, hi)})`` then drops
+    non-overlapping files BEFORE the reader ever lists them — at
+    100 TB the win is skipping the file listing itself, one level
+    above the row-group skipping parquet already does.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -136,6 +196,10 @@ def snapshot_write(
         "partition_by": list(partition_by),
         "files": new_files,
     }
+    if stats_cols:
+        new_group["stats"] = {
+            f: _file_stats(f, stats_cols) for f in new_files
+        }
     groups = [new_group]
     if mode == "append" and versions:
         prev = _read_commit(path, parent)
@@ -178,8 +242,16 @@ def snapshot_read(
     *,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: dict | None = None,
 ) -> DataFrame:
     """The table exactly as of ``version`` (latest if omitted).
+
+    ``prune={col: (lo, hi)}`` drops data files whose commit-log
+    min/max stats (``snapshot_write(stats_cols=...)``) provably miss
+    the CLOSED interval [lo, hi] — manifest-level data skipping
+    BEFORE file listing. Files without recorded stats are kept
+    (pruning is an optimization, never a filter: the caller still
+    applies the real predicate; pruning only shrinks the scan).
 
     ``merge_schema=True`` enables SCHEMA EVOLUTION across commits: an
     append whose DataFrame carries a column older data files lack
@@ -202,6 +274,16 @@ def snapshot_read(
     if not files:
         raise ValueError(f"version {v} is empty")
     groups = _file_groups(record)
+    if prune:
+        groups = [_prune_group(g, prune) for g in groups]
+        files = [f for g in groups for f in g["files"]]
+        if not files:
+            # every file provably outside the predicate: an empty
+            # relation with the table's schema (read one footer)
+            schema = spark.read.parquet(
+                _file_groups(record)[0]["files"][0]
+            ).schema
+            return spark.createDataFrame([], schema)
     if all(not g["partition_by"] for g in groups):
         # single-layout fast path (also serves pre-evolution tables)
         reader = spark.read

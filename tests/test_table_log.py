@@ -397,3 +397,44 @@ def test_partition_evolution_across_commits(spark, tmp_path):
     # filter prunes commit A's directories (plan shows the pushdown)
     pruned = latest.filter(latest.day == "d1")
     assert {r.id for r in pruned.collect()} == {1}
+
+
+def test_commit_log_stats_prune_file_listing(spark, tmp_path):
+    """Manifest-level data skipping (r8): snapshot_write(stats_cols=)
+    records per-file min/max in the commit log; snapshot_read(prune=)
+    drops provably-non-overlapping files BEFORE listing — fewer input
+    files, identical rows after the real predicate; files without
+    stats are always kept (pruning is an optimization, not a
+    filter)."""
+    from monasca_aggregator_spark.sources.table_log import snapshot_write
+
+    path = str(tmp_path / "stats_tbl")
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        snapshot_write(
+            df.coalesce(1), path, stats_cols=["k"]
+        )
+    full = snapshot_read(spark, path)
+    assert len(full.inputFiles()) == 4
+
+    pruned = snapshot_read(spark, path, prune={"k": (150, 160)})
+    assert len(pruned.inputFiles()) == 1
+    got = {r.k for r in pruned.filter("k BETWEEN 150 AND 160").collect()}
+    assert got == set(range(150, 161))
+    # equivalence: pruned + predicate == full + predicate
+    assert got == {
+        r.k for r in full.filter("k BETWEEN 150 AND 160").collect()
+    }
+    # a predicate outside every file: empty result, schema intact
+    empty = snapshot_read(spark, path, prune={"k": (1000, 2000)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v"}
+    # a commit WITHOUT stats is never pruned away
+    extra = spark.range(5000, 5010).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(extra.coalesce(1), path)  # no stats_cols
+    pruned2 = snapshot_read(spark, path, prune={"k": (150, 160)})
+    assert len(pruned2.inputFiles()) == 2  # the hit file + statless
