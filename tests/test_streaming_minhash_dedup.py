@@ -86,3 +86,61 @@ def test_fully_dropped_batch_still_commits(spark, tmp_path):
     v = snapshot_versions(docs_path)
     sink(spark.createDataFrame(dup_only, _SCHEMA), 1)
     assert snapshot_versions(docs_path) == v
+
+
+def test_dedup_sink_through_checkpointed_stream(spark, tmp_path):
+    """The sink under a REAL checkpointed file stream: first run
+    ingests two micro-batches (maxFilesPerTrigger=1), a restarted
+    query with the same checkpoint consumes only the file added
+    in-between, and cross-batch near-dups drop across the restart
+    boundary — exactly-once end to end, not just in direct calls."""
+    import json as _json
+
+    index_path = str(tmp_path / "ck_index")
+    docs_path = str(tmp_path / "ck_docs")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in rows
+            )
+        )
+
+    write_file("a.jsonl", _B1[:2])   # docs 1, 3
+    write_file("b.jsonl", _B1[2:])   # doc 4
+
+    def run():
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                minhash_dedup_sink(index_path, docs_path)
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert {
+        r.doc_id for r in snapshot_read(spark, docs_path).collect()
+    } == {1, 3, 4}
+    n_versions = len(snapshot_versions(docs_path))
+
+    # restart with new files: a near-dup of doc 1 (drop) + fresh doc 6
+    write_file("c.jsonl", [_B2[0], _B2[2]])
+    run()
+    assert {
+        r.doc_id for r in snapshot_read(spark, docs_path).collect()
+    } == {1, 3, 4, 6}
+    # the restarted query consumed ONLY the new file: exactly one
+    # more docs version, and re-running with nothing new adds none
+    assert len(snapshot_versions(docs_path)) == n_versions + 1
+    run()
+    assert len(snapshot_versions(docs_path)) == n_versions + 1
