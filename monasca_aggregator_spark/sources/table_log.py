@@ -484,6 +484,36 @@ def snapshot_changes(
     return out
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    shards: int = 1,
+    stats_cols: Sequence[str] = (),
+) -> dict:
+    """Compact the snapshot table (r8): rewrite the CURRENT contents
+    as ONE overwrite commit of ``shards`` right-sized files — the
+    maintenance pass that undoes the file-per-micro-batch
+    accumulation of the streaming sinks (every commit appends ≥1
+    file; a long-running stream turns reads into thousands-of-file
+    listings). Time travel is preserved: prior versions still
+    reference their own files; run ``snapshot_expire`` afterwards to
+    reclaim the superseded files once history can go. The rewrite
+    may re-record ``stats_cols`` so manifest pruning survives
+    compaction. Returns the new commit record (op recorded as a
+    normal overwrite + a ``compacted_from`` marker)."""
+    latest = snapshot_versions(path)[-1]
+    df = snapshot_read(spark, path)
+    return snapshot_write(
+        df,
+        path,
+        mode="overwrite",
+        shards=shards,
+        stats_cols=stats_cols,
+        extra_record={"compacted_from": latest},
+    )
+
+
 def snapshot_expire(path: str, *, keep_last: int) -> dict:
     """Retention vacuum: keep the newest ``keep_last`` versions, drop
     older log entries, and delete every data file no surviving

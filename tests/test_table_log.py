@@ -438,3 +438,43 @@ def test_commit_log_stats_prune_file_listing(spark, tmp_path):
     snapshot_write(extra.coalesce(1), path)  # no stats_cols
     pruned2 = snapshot_read(spark, path, prune={"k": (150, 160)})
     assert len(pruned2.inputFiles()) == 2  # the hit file + statless
+
+
+def test_snapshot_compact_then_expire(spark, tmp_path):
+    """Compaction (r8): many tiny per-commit files rewrite to ONE
+    overwrite commit with identical rows; time travel to pre-compact
+    versions still works; expire afterwards reclaims the superseded
+    files while the compacted version keeps serving; recorded stats
+    survive so manifest pruning still applies."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cmp_tbl")
+    for lo in range(0, 50, 10):
+        snapshot_write(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")).coalesce(1),
+            path,
+        )
+    before = snapshot_read(spark, path)
+    assert len(before.inputFiles()) == 5
+
+    rec = snapshot_compact(spark, path, shards=1, stats_cols=["k"])
+    assert rec["compacted_from"] == 5
+    after = snapshot_read(spark, path)
+    assert len(after.inputFiles()) == 1
+    assert {r.k for r in after.collect()} == set(range(50))
+    # time travel to a pre-compact version still works
+    assert snapshot_read(spark, path, version=2).count() == 20
+
+    # expire history: superseded tiny files are reclaimed, the
+    # compacted version keeps serving, stats-based pruning holds
+    removed = snapshot_expire(path, keep_last=1)
+    assert removed["removed_files"] >= 5
+    assert {r.k for r in snapshot_read(spark, path).collect()} == set(
+        range(50)
+    )
+    pruned = snapshot_read(spark, path, prune={"k": (100, 200)})
+    assert pruned.count() == 0
