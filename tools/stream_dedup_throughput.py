@@ -1,0 +1,137 @@
+"""Near-dedup INGEST throughput: the full streaming loop — HTML
+extraction + quality gate (curate_document_stream, minus its
+exact-fingerprint stage) feeding ``minhash_dedup_sink`` so every
+micro-batch probes the PERSISTED MinHash index, drops near-dups of
+everything already ingested, and appends survivors + their thin index
+rows as snapshot commits.
+
+The claim under test (SURVEY §2 row 27a-3): ingest cost stays FLAT as
+the table grows — the probe is O(batch × bands) against a THIN index,
+never a corpus rescan. The tool prints per-batch wall times so a
+growth trend is visible, plus the end-to-end docs/s.
+
+Usage: python tools/stream_dedup_throughput.py [rows_per_batch] [n_batches]
+(rows_per_batch is TOTAL per micro-batch; ~1/7 of each batch repeats a
+prior batch's content id so the cross-batch probe really drops rows.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    rows_per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.operators.html import html_main_content
+    from monasca_aggregator_spark.operators.textops import quality_expr
+    from monasca_aggregator_spark.session import get_spark
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from monasca_aggregator_spark.streaming.pipeline import (
+        minhash_dedup_sink,
+    )
+
+    spark = get_spark("stream-dedup-throughput")
+    work = tempfile.mkdtemp(prefix="dedup_ingest_")
+    index_path = f"{work}/index"
+    docs_path = f"{work}/docs"
+
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", "32")
+        .option("advanceMillisPerBatch", "3600000")
+        .load()
+    )
+    # ~6/7 of ids are batch-unique content; 1/7 reuses an id from the
+    # PREVIOUS batch's range so the cross-snapshot probe has real hits
+    base = F.col("value")
+    reuse = base % 7 == 0
+    content_id = F.when(
+        reuse & (base >= rows_per_batch), base - rows_per_batch
+    ).otherwise(base)
+    # every position's token derives from the content id with a
+    # different multiplier, so DISTINCT ids share essentially no
+    # 3-gram shingles (a corpus of near-identical docs would measure
+    # the dedup DROP path, not the claimed ingest regime — and is a
+    # candidate-explosion worst case by construction)
+    # modulus must exceed the id space or ids collapse into mod-P
+    # equivalence classes sharing every word (measured: P=9973 left
+    # only ~10k distinct docs in a 160k-doc run)
+    words = [
+        F.concat(
+            F.lit(f"w{i}t"),
+            ((content_id * (13 + i) + i * i) % 999983).cast("string"),
+        )
+        for i in range(40)
+    ]
+    para = F.concat(
+        F.lit("<p>article ident"),
+        content_id.cast("string"),
+        F.lit(" opens here. "),
+        F.concat_ws(" ", *words),
+        F.lit(" closing plain words carry trainable content.</p>"),
+    )
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav>'),
+        para,
+        F.lit('<div class="footer">&copy;</div></body></html>'),
+    )
+    docs = rate.select(
+        F.col("value").alias("doc_id"), page.alias("text")
+    )
+    curated = html_main_content(docs).drop("_was_html").filter(
+        quality_expr(F.col("text")) >= 0.35
+    )
+
+    sink = minhash_dedup_sink(index_path, docs_path)
+    batch_times: list[float] = []
+
+    def timed_sink(df, batch_id):
+        t0 = time.time()
+        sink(df, batch_id)
+        batch_times.append(round(time.time() - t0, 2))
+
+    t0 = time.time()
+    q = (
+        curated.writeStream.foreachBatch(timed_sink)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        while len(batch_times) < n_batches:
+            time.sleep(0.2)
+        wall = time.time() - t0
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_docs = rows_per_batch * n_batches
+    kept = snapshot_read(spark, docs_path).count()
+    out = {
+        "docs": n_docs,
+        "kept": kept,
+        "versions": len(snapshot_versions(docs_path)),
+        "wall_s": round(wall, 1),
+        "docs_per_s_wall": int(n_docs / wall),
+        "batch_s": batch_times[:n_batches],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
