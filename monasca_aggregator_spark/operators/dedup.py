@@ -535,6 +535,7 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW drop and an EXISTING corpus —
     the incremental form of ``minhash_lsh_pairs``: the drop's band
@@ -545,6 +546,16 @@ def minhash_lsh_pairs_incremental(
     (id_new, id_indexed, jaccard); pairs among the new docs themselves
     are the ordinary self-join on the drop, kept separate so each
     side's cost is visible.
+
+    ``max_bucket_size`` is the probe-side twin of the self-join's hot
+    bucket cap (r8, measured: a 97%-duplicate synthetic corpus drove
+    every probe doc into the same index buckets and ingest collapsed
+    to 305 docs/s with growing batch times — candidate explosion):
+    INDEX buckets holding more than this many docs are dropped before
+    the probe join, bounding per-probe-row fan-out at the cap
+    regardless of how degenerate the stored corpus is. Standard LSH
+    practice — a bucket that hot carries boilerplate, not dedup
+    signal; true near-dups still pair through their selective bands.
     """
     # cache the (shingles, sig) projection BEFORE the banding explode
     # and the verification branch: uncached, the Generate node inlines
@@ -566,6 +577,14 @@ def minhash_lsh_pairs_incremental(
         )
         .select("doc_id", "b.band", "b.bucket")
     )
+    if max_bucket_size is not None:
+        ok = (
+            index.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        index = index.join(ok, ["band", "bucket"])
     a, b = probe.alias("a"), index.alias("b")
     candidates = (
         a.join(

@@ -1368,6 +1368,7 @@ def minhash_dedup_sink(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 256,
 ):
     """``foreachBatch`` sink performing LIVE cross-snapshot NEAR-dedup
     (r8) — the capability `minhash_index_sink` only indexes toward:
@@ -1384,7 +1385,12 @@ def minhash_dedup_sink(
     Exactly-once: both appends are batch_id-stamped commits (replays
     and multi-batch rewinds skip). Cost per batch: O(batch × bands)
     probe rows against the thin index + the batch-local self-join —
-    the corpus is never rescanned.
+    the corpus is never rescanned, and ``max_bucket_size`` caps the
+    fan-out through any degenerate (boilerplate) bucket on BOTH the
+    index probe and the self-join (measured r8: without the cap a
+    nearly-all-duplicate corpus collapsed ingest to 305 docs/s with
+    growing batch times; with distinct content the path runs
+    1,140 docs/s dead flat — tools/stream_dedup_throughput.py).
     """
     from monasca_aggregator_spark.operators.dedup import (
         minhash_index,
@@ -1417,6 +1423,7 @@ def minhash_dedup_sink(
                 df,
                 snapshot_read(spark, index_path),
                 snapshot_read(spark, docs_path),
+                max_bucket_size=max_bucket_size,
                 **kw,
             ).select(F.col("id_new").alias(id_col)).distinct()
             survivors = survivors.join(hits, id_col, "left_anti")
@@ -1424,7 +1431,9 @@ def minhash_dedup_sink(
         # (pairs emit id_a < id_b, so dropping every id_b leaves the
         # canonical survivor)
         self_dups = (
-            minhash_lsh_pairs(survivors, **kw)
+            minhash_lsh_pairs(
+                survivors, max_bucket_size=max_bucket_size, **kw
+            )
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )

@@ -6,6 +6,8 @@ every version boundary, and replays skip."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from monasca_aggregator_spark.sources.table_log import (
     snapshot_read,
     snapshot_versions,
@@ -144,3 +146,45 @@ def test_dedup_sink_through_checkpointed_stream(spark, tmp_path):
     assert len(snapshot_versions(docs_path)) == n_versions + 1
     run()
     assert len(snapshot_versions(docs_path)) == n_versions + 1
+
+
+def test_hot_bucket_cap_bounds_probe_fanout(spark, tmp_path):
+    """The incremental probe's hot-bucket cap (r8, measured-regression
+    fix): a degenerate stored corpus (100 copies of one text share
+    EVERY band bucket) explodes candidates uncapped; with the cap the
+    hot buckets are dropped before the join — bounded fan-out, zero
+    false pairs — while a normal near-dup (size-1 buckets) still
+    pairs under the same cap."""
+    from monasca_aggregator_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    dup_text = (
+        "the same boilerplate header repeated across the whole corpus "
+        "making every band bucket one hundred documents hot"
+    )
+    corpus = spark.createDataFrame(
+        [(i, dup_text) for i in range(100)]
+        + [(200, "a genuinely unique document about parquet manifests")],
+        _SCHEMA,
+    )
+    index = minhash_index(corpus)
+    probe = spark.createDataFrame(
+        [
+            (300, dup_text),  # hits only hot buckets
+            (301, "a genuinely unique document about parquet manifolds"),
+        ],
+        _SCHEMA,
+    )
+    uncapped = minhash_lsh_pairs_incremental(probe, index, corpus)
+    assert (
+        uncapped.filter(F.col("id_new") == 300).count() == 100
+    )  # the explosion
+    capped = minhash_lsh_pairs_incremental(
+        probe, index, corpus, max_bucket_size=16
+    )
+    rows = {(r.id_new, r.id_indexed) for r in capped.collect()}
+    # hot-bucket candidates gone; the selective near-dup still pairs
+    assert not any(a == 300 for a, _ in rows)
+    assert (301, 200) in rows
