@@ -10,7 +10,7 @@ the table grows — the probe is O(batch × bands) against a THIN index,
 never a corpus rescan. The tool prints per-batch wall times so a
 growth trend is visible, plus the end-to-end docs/s.
 
-Usage: python tools/stream_dedup_throughput.py [rows_per_batch] [n_batches]
+Usage: python tools/stream_dedup_throughput.py [rows_per_batch] [n_batches] [pathological]
 (rows_per_batch is TOTAL per micro-batch; ~1/7 of each batch repeats a
 prior batch's content id so the cross-batch probe really drops rows.)
 """
@@ -29,6 +29,7 @@ sys.path.insert(0, str(_REPO))
 def main() -> None:
     rows_per_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    pathological = len(sys.argv) > 3 and sys.argv[3] == "pathological"
 
     import tempfile
 
@@ -72,10 +73,18 @@ def main() -> None:
     # modulus must exceed the id space or ids collapse into mod-P
     # equivalence classes sharing every word (measured: P=9973 left
     # only ~10k distinct docs in a 160k-doc run)
+    # "pathological" mode keys every word off content_id % 997 —
+    # nearly every doc is a near-dup of hundreds of others, the
+    # candidate-explosion worst case the probe's hot-bucket cap
+    # exists for (uncapped r8 measurement: 305 docs/s, growing
+    # batch times; the cap trades recall ON THOSE DEGENERATE
+    # BUCKETS for bounded cost — upstream exact-dedup owns the
+    # byte-identical regime)
+    word_mod = 997 if pathological else 999983
     words = [
         F.concat(
             F.lit(f"w{i}t"),
-            ((content_id * (13 + i) + i * i) % 999983).cast("string"),
+            ((content_id * (13 + i) + i * i) % word_mod).cast("string"),
         )
         for i in range(40)
     ]
