@@ -1,0 +1,439 @@
+"""Pattern-mining / in-engine-eval additions (round 8, cont.):
+recommender baseline eval, graph link prediction, symbolic series
+motifs.
+
+Reference parity: the reference engine (Go, ~/reference) stops at
+windowed sum/count/avg/min/max/delta/rate; these extend the same
+relational surface to three mining questions its operators ask next
+("is a learned recommender beating popularity?", "which near-dup
+pairs is the corpus ABOUT to grow?", "what shapes does a metric
+repeat?") — each Spark-first and DuckDB-oracle-backed.
+
+Numerics: every count rides as BIGINT; each emitted double is ONE
+division of exact integers passed through ``stable_round``'s shared
+floor(x·10^d + 0.5)/10^d algebra, so the oracle hashes match
+bit-for-bit.
+
+Scale posture (per query, also in each docstring):
+- `recsys_popularity_hitrate`: one fact⋈fact equi-join (lineitem ⋈
+  orders on the order key, the Q3/Q18 shape), part-sized popularity
+  aggregate, a 10-row broadcast of the recommendation set, and a
+  customer-keyed test reduction — no per-user state, no collect.
+- `graph_link_prediction`: the co-purchase edge list collapses to the
+  part dimension first (Σ basket² join, `orders_copurchase`'s cost
+  class); wedge enumeration over that collapsed list is Σ deg² (the
+  `graph_triangles` class), then a TakeOrdered top-K — never touches
+  the fact tables after the basket join.
+- `metric_sax_motifs`: raw scan collapses to the |metrics|×|hours|
+  series first (one shuffle with map-side partials); symbolization is
+  row-local integer arithmetic; motif counting and the per-metric
+  top-3 window run over a ≤ |metrics|×4³ relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.sources.tables import load_table
+
+_HOUR_MS = 3600 * 1000
+_W_SQL = f"(epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS}"
+
+_REC_K = 10  # recommendation list length (hit-rate@K)
+_LINK_K = 20  # predicted links reported
+_LINK_MINSUP = 2  # co-purchase support floor for a graph edge
+_SAX_LEVELS = 4  # symbol alphabet size (equal-width over [min, max])
+_SAX_MOTIF = 3  # motif length in consecutive hourly symbols
+
+
+# ------------------------------- popularity-baseline recommender eval
+
+
+def q_recsys_popularity_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """In-engine recommender EVAL: leave-last-order-out hit-rate@10 of
+    the unpersonalized POPULARITY baseline, per market segment — the
+    floor every learned recommender must beat (the collaborative
+    sibling of `events_markov_accuracy`'s next-event eval; the model
+    under test here is `copurchase_cosine_topk`'s input popularity).
+
+    Protocol: each customer with ≥2 orders holds out their LAST order
+    (by o_orderdate, o_orderkey tiebreak — a TOTAL order, so the
+    split is deterministic); every other order trains. Popularity =
+    distinct TRAIN customers per part; the recommendation list is the
+    global top-10 by (train_users DESC, partkey ASC). A test customer
+    "hits" if any part in the held-out order is in that list.
+
+    Scale: the train/test flag is a per-customer window over ORDERS
+    (customer-keyed partitions, tens of rows each — never global);
+    interactions come from ONE lineitem⋈orders equi-join (the Q3
+    fact⋈fact shape, AQE-planned); popularity is a part-sized
+    aggregate with map-side partials; the recommendation set is 10
+    rows broadcast; the final reduction is customer- then
+    segment-keyed. No collect, no per-user state.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    flagged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            (F.row_number().over(w) == 1)
+            & (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("o_custkey")
+                )
+                >= 2
+            )
+        ).alias("is_test"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    inter = (
+        li.join(flagged, li["l_orderkey"] == flagged["o_orderkey"])
+        .select("o_custkey", "l_partkey", "is_test")
+        .distinct()
+    )
+    pop = (
+        inter.filter(~F.col("is_test"))
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_custkey").alias("n_train_users"))
+    )
+    top = pop.orderBy(
+        F.col("n_train_users").desc(), F.col("l_partkey")
+    ).limit(_REC_K)
+    hits = (
+        inter.filter(F.col("is_test"))
+        .join(
+            F.broadcast(top.select("l_partkey", F.lit(1).alias("_hit"))),
+            "l_partkey",
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_seg = hits.join(
+        F.broadcast(cust), hits["o_custkey"] == cust["c_custkey"]
+    ).groupBy(F.col("c_mktsegment").alias("segment"))
+    return per_seg.agg(
+        F.count(F.lit(1)).alias("n_test_users"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    ).select(
+        "segment",
+        "n_test_users",
+        "n_hits",
+        stable_round(
+            F.col("n_hits").cast("double")
+            / F.col("n_test_users").cast("double"),
+            6,
+        ).alias("hitrate_at_10"),
+    )
+
+
+ORACLE_RECSYS_HITRATE = f"""
+WITH flagged AS (
+  SELECT o_orderkey, o_custkey,
+         (row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC,
+                                      o_orderkey DESC) = 1
+          AND count(*) OVER (PARTITION BY o_custkey) >= 2) AS is_test
+  FROM orders
+), inter AS (
+  SELECT DISTINCT f.o_custkey, l.l_partkey, f.is_test
+  FROM lineitem l JOIN flagged f ON l.l_orderkey = f.o_orderkey
+), pop AS (
+  SELECT l_partkey, count(DISTINCT o_custkey) AS n_train_users
+  FROM inter WHERE NOT is_test GROUP BY 1
+), top AS (
+  SELECT l_partkey FROM pop
+  ORDER BY n_train_users DESC, l_partkey LIMIT {_REC_K}
+), hits AS (
+  SELECT i.o_custkey,
+         max(CASE WHEN t.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit
+  FROM inter i LEFT JOIN top t ON t.l_partkey = i.l_partkey
+  WHERE i.is_test GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_test_users,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       {sql_stable_round(
+           "CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+         AS hitrate_at_10
+FROM hits h JOIN customer c ON c.c_custkey = h.o_custkey
+GROUP BY 1
+""".strip()
+
+
+# ----------------------------------- common-neighbor link prediction
+
+
+def q_graph_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LINK PREDICTION (Liben-Nowell & Kleinberg 2003's
+    common-neighbors predictor) on the co-purchase part graph: the
+    top-20 NON-adjacent part pairs by common-neighbor count (+
+    neighbor Jaccard cn/(deg_a+deg_b−cn)) — the pairs the graph is
+    most likely to connect next. Edges are part pairs co-purchased in
+    ≥2 distinct orders (`orders_copurchase`'s basket pairs with a
+    support floor); a high-common-neighbor non-edge is the
+    "customers who bought these also bought..." candidate no order
+    has realized yet — the complement-the-assortment list.
+
+    The near-dup document graph is the wrong substrate here by
+    MEASUREMENT: at every test SF its transitivity is so high that
+    every wedge already closes (zero candidate non-edges — see
+    `graph_clustering`), which is itself the template-spam signature.
+
+    Completes the graph family: components (IS connected), triangles/
+    transitivity (HOW cliquey), degree/k-core (WHERE dense), PageRank
+    (WHO is central), link prediction (WHAT's next).
+
+    Scale: the edge list is an order-key equi-self-join over DISTINCT
+    (order, part) rows — Σ basket² work, `orders_copurchase`'s
+    documented cost class, collapsed to the part dimension by the
+    support floor. Wedge enumeration over that collapsed edge list is
+    Σ deg² (the `graph_triangles` class); candidate scores collapse
+    by (a, c) with map-side partials, existing edges leave via one
+    anti-join on the same key, and the report is a TakeOrdered top-20
+    (no global window, no collect). Everything after the basket join
+    is edge-table-sized.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o2 = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        items.join(o2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _LINK_MINSUP)
+        .select("a", "b")
+    )
+    # wedges + anti-join + two degree joins reference the pair table
+    # five times; Spark does not dedupe common subplans, so cache the
+    # collapsed edge list (part-dimension-sized, tiny vs the facts) —
+    # the graph family's documented bounded-state choice.
+    pairs = pairs.cache()
+    adj = pairs.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionByName(pairs.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    w1 = adj.select(F.col("v").alias("m"), F.col("n").alias("a"))
+    w2 = adj.select(F.col("v").alias("m"), F.col("n").alias("c"))
+    cand = (
+        w1.join(w2, "m")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            pairs.select("a", F.col("b").alias("c")),
+            ["a", "c"],
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("v").alias("c"), F.col("d").alias("deg_b")), "c")
+    )
+    return (
+        scored.orderBy(F.col("cn").desc(), F.col("a"), F.col("c"))
+        .limit(_LINK_K)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            stable_round(
+                F.col("cn").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b") - F.col("cn")
+                ).cast("double"),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_LINK_MINSUP}
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, count(*) AS d FROM adj GROUP BY 1
+), cand AS (
+  SELECT w1.n AS a, w2.n AS c, count(*) AS cn
+  FROM adj w1 JOIN adj w2 ON w2.v = w1.v AND w1.n < w2.n
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.c
+  )
+)
+SELECT ne.a AS part_a, ne.c AS part_b,
+       CAST(ne.cn AS BIGINT) AS common_neighbors,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(dc.d AS BIGINT) AS deg_b,
+       {sql_stable_round(
+           "CAST(ne.cn AS DOUBLE)"
+           " / CAST(da.d + dc.d - ne.cn AS DOUBLE)", 6)}
+         AS neighbor_jaccard
+FROM nonedge ne
+JOIN deg da ON da.v = ne.a
+JOIN deg dc ON dc.v = ne.c
+ORDER BY ne.cn DESC, ne.a, ne.c LIMIT {_LINK_K}
+""".strip()
+
+
+# ------------------------------------------- SAX symbolic series motifs
+
+
+def q_metric_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif mining per metric (Lin et al. 2003's
+    symbolize-then-mine line, with equal-WIDTH breakpoints so both
+    engines discretize in exact integer arithmetic): the hourly e2
+    series maps to a 4-symbol alphabet via per-metric [min, max]
+    range buckets, every 3 consecutive hourly symbols form a motif
+    word, and the top-3 motifs per metric by frequency are the
+    metric's recurring shapes — "2-3-3" (ramp to saturation) vs
+    "1-2-1" (evening bump) tells an operator what NORMAL looks like,
+    the vocabulary `anomaly_zscore`-family queries implicitly assume.
+
+    Symbolization is exact: s = (v−min)·4 div (max−min+1), all
+    BIGINT (v is an hourly e2 sum; ·4 stays far under 2^63 even at
+    100 TB per-metric-hour volumes), so symbols — and therefore motif
+    words and counts — are bit-identical across engines; a constant
+    series degenerates to symbol 0 everywhere, motif "000".
+
+    Scale: the raw scan collapses to the |metrics|×|hours| series
+    first (one shuffle, map-side partials); min/max per metric is a
+    metric-sized broadcast join-back; symbolization is row-local;
+    lead() windows partition BY METRIC over the collapsed series; the
+    motif-count relation is ≤ |metrics|×4³ rows, and the top-3 window
+    runs over that bounded table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long")
+            * F.lit(_HOUR_MS)
+        ).alias("window_ts_ms"),
+    ).agg(F.sum("e2").alias("v"))
+    rng = hourly.groupBy("event_type").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    sym = hourly.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "window_ts_ms",
+        F.expr(
+            f"(v - vmin) * {_SAX_LEVELS} div (vmax - vmin + 1)"
+        ).alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    motifs = (
+        sym.select(
+            "event_type",
+            F.concat_ws(
+                "",
+                F.col("s"),
+                F.lead("s", 1).over(w),
+                F.lead("s", 2).over(w),
+            ).alias("motif"),
+            F.lead("s", 2).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("motif")
+    )
+    return (
+        motifs.withColumn("rank", F.row_number().over(top_w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "motif", "n")
+    )
+
+
+ORACLE_SAX_MOTIFS = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, min(v) AS vmin, max(v) AS vmax
+  FROM hourly GROUP BY 1
+), sym AS (
+  SELECT h.event_type, h.window_ts_ms,
+         (h.v - r.vmin) * {_SAX_LEVELS} // (r.vmax - r.vmin + 1) AS s
+  FROM hourly h JOIN rng r USING (event_type)
+), seq AS (
+  SELECT event_type, s,
+         lead(s, 1) OVER w AS s1, lead(s, 2) OVER w AS s2
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_ts_ms)
+), motifs AS (
+  SELECT event_type, s::VARCHAR || s1::VARCHAR || s2::VARCHAR AS motif,
+         count(*) AS n
+  FROM seq WHERE s2 IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, CAST(rank AS INT) AS rank, motif,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, motif) AS rank
+  FROM motifs
+) WHERE rank <= 3
+""".strip()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "recsys_popularity_hitrate": q_recsys_popularity_hitrate,
+    "graph_link_prediction": q_graph_link_prediction,
+    "metric_sax_motifs": q_metric_sax_motifs,
+}
+
+ORACLES: dict[str, str] = {
+    "recsys_popularity_hitrate": ORACLE_RECSYS_HITRATE,
+    "graph_link_prediction": ORACLE_LINK_PREDICTION,
+    "metric_sax_motifs": ORACLE_SAX_MOTIFS,
+}
