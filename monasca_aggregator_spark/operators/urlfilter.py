@@ -88,3 +88,31 @@ def url_domain_filter(
     return out.filter(F.col("_url_reason") == "kept").drop(
         "_url_reason"
     )
+
+
+# path = everything between the authority and the first query/
+# fragment delimiter (may be empty for path-less URLs)
+PATH_RE = r"https?://[^/?#]+([^?#]*)"
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical form for URL-level dedup (the CCNet/fineweb entry
+    dedup that runs before any content loads): two crawl records of
+    the SAME page under cosmetic URL variation collapse to one key.
+
+    Normalization (deliberately query-INSENSITIVE — tracking params
+    like utm_*/gclid dominate real query strings, and a
+    param-whitelist is site policy, not engine mechanics):
+    scheme dropped (http/https unified), host lowercased with a
+    leading ``www.`` stripped, query + fragment dropped, trailing
+    slashes stripped from the path. Pure row-local JVM regex — zero
+    shuffle; compose with ``exact_dedup``-style groupBy on the
+    result.
+    """
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, HOST_RE, 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, PATH_RE, 1), r"/+$", ""
+    )
+    return F.concat(host, path)

@@ -29,6 +29,7 @@ from monasca_aggregator_spark.functions.rounding import (
 )
 from monasca_aggregator_spark.functions.text import tokens, word_shingles
 from monasca_aggregator_spark.operators.textops import quality_scores
+from monasca_aggregator_spark.operators.urlfilter import canonical_url
 from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -1467,7 +1468,124 @@ FROM r GROUP BY host
 """.strip()
 
 
+# ------------------------------------------ canonical-URL dedup stage
+
+
+def q_dedup_url_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """URL-level dedup accounting (the CCNet/fineweb stage BEFORE
+    `curation_url_filter`'s policy gates): crawl records of the same
+    page under cosmetic URL variation — scheme, host case, a leading
+    ``www.``, trailing slashes, tracking query strings, fragments —
+    collapse to one canonical key (operators/urlfilter.canonical_url,
+    deliberately query-insensitive), and the per-domain report says
+    how much of each domain's crawl volume is URL-duplicated before
+    any content loads.
+
+    URLs are synthesized deterministically (4 cosmetic variants per
+    page, page = doc_id div 4, domain = page % 8) so the
+    CANONICALIZATION arithmetic is what the oracle pins — every
+    4-variant group must collapse to exactly one key.
+
+    Scale: synthesis + canonicalization are row-local JVM regex (zero
+    shuffle); the per-(host, canonical) collapse is one hash
+    aggregation with map-side partials keyed by the canonical string,
+    and the report is domain-sized. The real-corpus composition is
+    ``exact_dedup`` keyed on canonical_url(url) instead of the text
+    hash.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id"
+    )
+    g = F.expr("doc_id div 4")
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _URL_DOMAINS]),
+        (g % 8 + 1).cast("int"),
+    )
+    variant = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(
+            variant == 1,
+            F.concat(
+                F.lit("https://"), F.upper(dom), F.lit("/p/"), g,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://www."), dom, F.lit("/p/"), g, F.lit("/")
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("https://"), dom, F.lit("/p/"), g,
+                F.lit("/?gclid=1#f"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), dom, F.lit("/p/"), g))
+    )
+    canon = docs.select(canonical_url(url).alias("c"))
+    return (
+        canon.withColumn("host", F.substring_index(F.col("c"), "/", 1))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("c").alias("n_canonical"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_canonical",
+            (F.col("n_docs") - F.col("n_canonical")).alias(
+                "n_dup_docs"
+            ),
+            stable_round(
+                (F.col("n_docs") - F.col("n_canonical")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+ORACLE_URL_CANONICAL = f"""
+WITH u AS (
+  SELECT doc_id, (doc_id // 4) AS g,
+         {_URL_DOMAINS_SQL}[CAST((doc_id // 4) % 8 AS INT) + 1] AS dom
+  FROM documents
+), urls AS (
+  SELECT CASE CAST(doc_id % 4 AS INT)
+           WHEN 1 THEN 'https://' || upper(dom) || '/p/' || g
+                         || '?utm_source=feed'
+           WHEN 2 THEN 'https://www.' || dom || '/p/' || g || '/'
+           WHEN 3 THEN 'https://' || dom || '/p/' || g
+                         || '/?gclid=1#f'
+           ELSE 'https://' || dom || '/p/' || g
+         END AS url
+  FROM u
+), canon AS (
+  SELECT regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                        '^www\\.', '')
+           || regexp_replace(regexp_extract(url,
+                'https?://[^/?#]+([^?#]*)', 1), '/+$', '') AS c
+  FROM urls
+)
+SELECT split_part(c, '/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT c) AS BIGINT) AS n_dup_docs,
+       {sql_stable_round(
+           "CAST(count(*) - count(DISTINCT c) AS DOUBLE)"
+           " / CAST(count(*) AS DOUBLE)", 6)} AS dup_rate
+FROM canon GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_url_canonical": q_dedup_url_canonical,
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
     "curation_url_filter": q_curation_url_filter,
@@ -1501,6 +1619,7 @@ ORACLES: dict[str, str] = {
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "curation_url_filter": ORACLE_URL_FILTER,
+    "dedup_url_canonical": ORACLE_URL_CANONICAL,
     "pack_chunk_spans": ORACLE_PACK_SPANS,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "split_group_aware": ORACLE_SPLIT_GROUP,

@@ -1268,7 +1268,202 @@ FROM per_mo, total
 """.strip()
 
 
+# --------------------------- FDR-controlled anomaly discovery (BH)
+
+_FDR_ALPHA = 0.05  # target false-discovery rate
+_HOUR_MS_FDR = 3600 * 1000
+_W_SQL_STATS = f"(epoch_ms(ts) // {_HOUR_MS_FDR}) * {_HOUR_MS_FDR}"
+
+
+def q_metric_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR-controlled anomaly DISCOVERY (BH 1995)
+    — the multiple-testing correction the rest of the anomaly family
+    skips: screening |metrics|×|hours| cells at a fixed per-cell
+    threshold pages on noise proportionally to the number of cells,
+    so the screen controls the expected FALSE-DISCOVERY RATE at α=5%
+    across the whole test family instead.
+
+    Per cell: leave-one-out baseline over the same (metric,
+    hour-of-day) stratum (`anomaly_seasonal`'s stratification, minus
+    the self-masking bias — one spiked day cannot inflate its own
+    σ), one-sided Cantelli p-value p = den/(den + num²) with
+    num = n·v − S and den = (n−1)(Q−v²) − (S−v)² — distribution-free,
+    pure integer ratios, so both engines compute the identical
+    double. A constant stratum with a spike (den=0, num>0) is a
+    certain anomaly (p=0); fewer than 3 observations → untested
+    (p=1). BH: rank all m cells by p ascending (bucket-histogram
+    global rank — no single-task sort), find the largest k with
+    p(k) ≤ α·k/m, reject ranks ≤ k.
+
+    Output is the per-metric summary (cells, discoveries, min p, max
+    z) — on a null corpus ZERO discoveries is the statistically
+    correct answer (the detector is pinned on injected spikes in
+    pytest, the `orders_duplicate_invoices` contract), while min_p /
+    max_z stay non-trivially data-dependent.
+
+    Scale: raw scan → |metrics|×|hours| series (one shuffle,
+    map-side partials); stratum stats are a |metrics|×24 broadcast
+    join-back; Q = Σv² rides DECIMAL(38,0) (v ≈ 10¹⁵ per metric-hour
+    at 100 TB → v² ≈ 10³⁰, past BIGINT; num², den ≈ 10³² stay inside
+    DEC38); the BH rank runs over the collapsed cell table via
+    operators/rank.py.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    cells = ev.groupBy(
+        "event_type",
+        (
+            (F.col("ts_ms") / F.lit(_HOUR_MS_FDR)).cast("long")
+            * F.lit(_HOUR_MS_FDR)
+        ).alias("window_ts_ms"),
+    ).agg(F.sum("e2").alias("v"))
+    hod = (
+        (F.col("window_ts_ms") / F.lit(_HOUR_MS_FDR)).cast("long") % 24
+    ).alias("hod")
+    strata = (
+        cells.select("event_type", hod, "v")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC)).alias(
+                "q"
+            ),
+        )
+    )
+    j = cells.withColumn("hod", hod).join(
+        F.broadcast(strata), ["event_type", "hod"]
+    )
+    num = (
+        F.col("n").cast(_DEC) * F.col("v").cast(_DEC)
+        - F.col("s").cast(_DEC)
+    )
+    den = (F.col("n") - 1).cast(_DEC) * (
+        F.col("q") - F.col("v").cast(_DEC) * F.col("v").cast(_DEC)
+    ) - (F.col("s").cast(_DEC) - F.col("v").cast(_DEC)) * (
+        F.col("s").cast(_DEC) - F.col("v").cast(_DEC)
+    )
+    scored = j.select(
+        "event_type",
+        "window_ts_ms",
+        num.alias("num"),
+        den.alias("den"),
+        F.when(F.col("n") < 3, F.lit(1.0))
+        .when(num <= 0, F.lit(1.0))
+        .when(den == 0, F.lit(0.0))
+        .otherwise(
+            den.cast("double")
+            / (den.cast("double") + num.cast("double") * num.cast("double"))
+        )
+        .alias("p"),
+    )
+    ranked = global_rank(
+        scored,
+        F.floor(F.col("p") * F.lit(256.0)).cast("long"),
+        [F.col("p"), F.col("event_type"), F.col("window_ts_ms")],
+        rank_col="i",
+        total_col="m",
+    )
+    cutoff = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p")
+                <= F.lit(_FDR_ALPHA) * F.col("i") / F.col("m"),
+                F.col("i"),
+            )
+        ).alias("k")
+    )
+    z = F.when(
+        (F.col("den") > 0) & (F.col("num") > 0),
+        F.col("num").cast("double")
+        / F.sqrt(F.col("den").cast("double")),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                (F.col("i") <= F.coalesce(F.col("k"), F.lit(0)))
+                .cast("long")
+            ).alias("n_discoveries"),
+            stable_round(F.min("p"), 8).alias("min_p"),
+            stable_round(F.max(z), 4).alias("max_z"),
+        )
+    )
+
+
+ORACLE_ANOMALY_FDR = f"""
+WITH cells AS (
+  SELECT event_type, {_W_SQL_STATS} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), strata AS (
+  SELECT event_type,
+         (window_ts_ms // {_HOUR_MS_FDR}) % 24 AS hod,
+         count(*) AS n, sum(v) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM cells GROUP BY 1, 2
+), scored AS (
+  SELECT c.event_type, c.window_ts_ms,
+         CAST(st.n AS HUGEINT) * c.v - st.s AS num,
+         CAST(st.n - 1 AS HUGEINT)
+           * (st.q - CAST(c.v AS HUGEINT) * c.v)
+           - CAST(st.s - c.v AS HUGEINT) * (st.s - c.v) AS den,
+         CASE
+           WHEN st.n < 3 THEN 1.0::DOUBLE
+           WHEN CAST(st.n AS HUGEINT) * c.v - st.s <= 0
+             THEN 1.0::DOUBLE
+           WHEN CAST(st.n - 1 AS HUGEINT)
+                  * (st.q - CAST(c.v AS HUGEINT) * c.v)
+                  - CAST(st.s - c.v AS HUGEINT) * (st.s - c.v) = 0
+             THEN 0.0::DOUBLE
+           ELSE CAST(CAST(st.n - 1 AS HUGEINT)
+                  * (st.q - CAST(c.v AS HUGEINT) * c.v)
+                  - CAST(st.s - c.v AS HUGEINT) * (st.s - c.v)
+                    AS DOUBLE)
+                / (CAST(CAST(st.n - 1 AS HUGEINT)
+                     * (st.q - CAST(c.v AS HUGEINT) * c.v)
+                     - CAST(st.s - c.v AS HUGEINT) * (st.s - c.v)
+                       AS DOUBLE)
+                   + CAST(CAST(st.n AS HUGEINT) * c.v - st.s AS DOUBLE)
+                     * CAST(CAST(st.n AS HUGEINT) * c.v - st.s
+                            AS DOUBLE))
+         END AS p
+  FROM cells c
+  JOIN strata st ON st.event_type = c.event_type
+               AND st.hod = (c.window_ts_ms // {_HOUR_MS_FDR}) % 24
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p, event_type, window_ts_ms)
+           AS i,
+         count(*) OVER () AS m
+  FROM scored
+), cutoff AS (
+  SELECT max(CASE WHEN p <= {_FDR_ALPHA} * i / m THEN i END) AS k
+  FROM ranked
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN i <= coalesce(k, 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_discoveries,
+       {sql_stable_round("min(p)", 8)} AS min_p,
+       {sql_stable_round(
+           "max(CASE WHEN den > 0 AND num > 0 THEN"
+           " CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) END)",
+           4)} AS max_z
+FROM ranked, cutoff
+GROUP BY 1
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_anomaly_fdr": q_metric_anomaly_fdr,
     "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
@@ -1284,6 +1479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_anomaly_fdr": ORACLE_ANOMALY_FDR,
     "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
     "orders_benford": ORACLE_BENFORD,

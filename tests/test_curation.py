@@ -181,3 +181,40 @@ def test_url_domain_filter_pathless_and_bad_urls(spark):
         df, blocklist=("tracker-ads.example",), per_domain_cap=2
     )
     assert {r.doc_id for r in kept.collect()} == {4, 7}
+
+
+def test_canonical_url_collapses_cosmetic_variants(spark):
+    """Scheme, host case, leading www., trailing slashes, query
+    strings and fragments are all cosmetic; pages and hosts are
+    not."""
+    from monasca_aggregator_spark.operators.urlfilter import (
+        canonical_url,
+    )
+    from pyspark.sql import functions as F
+
+    urls = [
+        # one page, six cosmetic variants
+        "https://news.example.com/p/7",
+        "http://news.example.com/p/7",
+        "https://NEWS.Example.COM/p/7",
+        "https://www.news.example.com/p/7/",
+        "https://news.example.com/p/7?utm_source=feed&gclid=1",
+        "https://news.example.com/p/7/#frag",
+        # different page / different host: must NOT collapse
+        "https://news.example.com/p/8",
+        "https://blog.example.org/p/7",
+        # path-less URL canonicalizes to the bare host
+        "https://news.example.com",
+        "https://news.example.com/?q=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got[:6] == ["news.example.com/p/7"] * 6
+    assert got[6] == "news.example.com/p/8"
+    assert got[7] == "blog.example.org/p/7"
+    assert got[8] == got[9] == "news.example.com"

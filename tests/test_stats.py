@@ -376,3 +376,42 @@ def test_nrr_decomposition_closed_form(spark, tmp_path):
     assert r.retained_rev == 170 and r.churn_rev == 100
     assert r.expansion_rev == 50 and r.contraction_rev == 30
     assert abs(r.nrr - 0.68) < 1e-9
+
+
+def test_anomaly_fdr_discovers_injected_spike(spark, tmp_path):
+    """BH at α=5%: a 100× spike against a tight leave-one-out
+    same-hour-of-day baseline is the family's rank-1 p-value and
+    survives the m-way correction; a constant metric contributes
+    p=1 cells and zero discoveries. LOO matters: the spiked day must
+    not inflate its own σ (include-self caps z at ~√(n−1))."""
+    from monasca_aggregator_spark.plans.stats import (
+        q_metric_anomaly_fdr,
+    )
+
+    events, eid = [], 0
+    # spiky: hour 0 of days 1..10 — nine jittered-normal days
+    # (100.00 + i cents) and one 10000.00 spike
+    for d in range(1, 10):
+        events.append(
+            (eid, _ts(d), 1, "spiky", 100.0 + d * 0.01, "{}")
+        )
+        eid += 1
+    events.append((eid, _ts(10), 1, "spiky", 10000.0, "{}"))
+    eid += 1
+    # flat: ten identical days → num=0 → p=1 everywhere
+    for d in range(1, 11):
+        events.append((eid, _ts(d), 1, "flat", 50.0, "{}"))
+        eid += 1
+    _write(
+        spark, tmp_path, "events", events,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {
+        r["event_type"]: r
+        for r in q_metric_anomaly_fdr(spark, str(tmp_path)).collect()
+    }
+    assert out["spiky"]["n_discoveries"] == 1
+    assert out["spiky"]["min_p"] < 1e-6
+    assert out["flat"]["n_discoveries"] == 0
+    assert out["flat"]["min_p"] == 1.0
