@@ -25,6 +25,11 @@ Semantics:
   target — unlike ``os.rename``, which silently replaces), so the
   loser raises and must rebase; this matches how Delta/Iceberg
   commit on HDFS (rename-without-overwrite)
+- ``snapshot_delete(predicate)``      — copy-on-write row-level DELETE:
+  only files actually containing matching rows rewrite; the rest
+  carry by reference (stats intact)
+- ``snapshot_compact(cluster_by=...)``— Z-order clustered rewrite (the
+  OPTIMIZE/ZORDER maintenance pass)
 - ``snapshot_expire`` — time-travel retention: drop log entries older
   than the keep window and delete data files no surviving version
   references (the vacuum that keeps 100 TB of history affordable)
@@ -216,24 +221,31 @@ def snapshot_write(
     }
     if extra_record:
         record.update(extra_record)
+    _publish_commit(path, record, commit_id)
+    return record
+
+
+def _publish_commit(path: str, record: dict, commit_id: str) -> None:
+    """Atomically publish a commit record as its version file.
+
+    Exclusive-create publish: ``os.link`` raises FileExistsError if
+    the target exists, unlike ``os.rename`` which silently REPLACES
+    it on POSIX — so of two racing writers exactly one wins and the
+    other raises (conditional PUT / If-None-Match on object stores).
+    """
     tmp = os.path.join(_log_dir(path), f".tmp-{commit_id}.json")
     with open(tmp, "w") as f:
         json.dump(record, f)
-    target = _version_file(path, v)
-    # exclusive-create publish: os.link raises FileExistsError if the
-    # target exists, unlike os.rename which silently REPLACES it on
-    # POSIX — so of two racing writers exactly one wins and the other
-    # raises (conditional PUT / If-None-Match on object stores)
+    target = _version_file(path, record["version"])
     try:
         os.link(tmp, target)
     except FileExistsError:
         raise RuntimeError(
-            f"concurrent commit: version {v} already exists "
-            "(rebase: re-read latest and retry)"
+            f"concurrent commit: version {record['version']} already "
+            "exists (rebase: re-read latest and retry)"
         ) from None
     finally:
         os.unlink(tmp)
-    return record
 
 
 def snapshot_read(
@@ -484,12 +496,150 @@ def snapshot_changes(
     return out
 
 
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    *,
+    stats_cols: Sequence[str] = (),
+) -> dict:
+    """Row-level DELETE as a copy-on-write commit (the Delta/Iceberg
+    ``DELETE FROM t WHERE ...`` semantics): only data files that
+    ACTUALLY CONTAIN matching rows are rewritten without them; every
+    untouched file carries into the new version by reference (with
+    its recorded stats), so a selective delete on a 100 TB table
+    rewrites the few files the predicate touches, not the table.
+    Time travel is preserved — prior versions still see the deleted
+    rows; ``snapshot_expire`` reclaims superseded files when history
+    may go.
+
+    ``predicate`` is a Spark SQL boolean expression over the table's
+    columns (including a group's hive partition columns). NULL
+    evaluations keep the row (SQL DELETE semantics: only
+    predicate=TRUE rows go). Matching files are found with ONE scan
+    that aggregates matches per ``input_file_name`` — the collected
+    list is file-path-sized (the same order as the commit log
+    itself), never row data.
+
+    Returns the new commit record (op='delete', with n_deleted /
+    n_rewritten_files / predicate recorded for the audit trail); a
+    predicate matching nothing returns the CURRENT record unchanged
+    with n_deleted=0 — no empty commit.
+    """
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    parent = versions[-1]
+    record = _read_commit(path, parent)
+    pred = F.expr(predicate)
+    commit_id = uuid.uuid4().hex[:12]
+    out_base = os.path.join(_data_dir(path), commit_id)
+    new_groups: list[dict] = []
+    n_deleted = 0
+    n_rewritten = 0
+    for gi, g in enumerate(_file_groups(record)):
+        if not g["files"]:
+            continue
+        reader = spark.read
+        if g["partition_by"]:
+            reader = reader.option("basePath", g["base"])
+        df = reader.parquet(*g["files"])
+        touched_rows = (
+            df.filter(pred)
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        # input_file_name returns URIs (file:///...); commit-log paths
+        # are plain filesystem paths — normalize before matching
+        by_path: dict = {}
+        for r in touched_rows:
+            t = r["_f"]
+            if t.startswith("file:"):
+                t = "/" + t[5:].lstrip("/")
+            by_path[t] = r["count"]
+        touched = {
+            f: by_path[os.path.abspath(f)]
+            for f in g["files"]
+            if os.path.abspath(f) in by_path
+        }
+        untouched = [f for f in g["files"] if f not in touched]
+        if untouched:
+            kept = dict(g)
+            kept["files"] = untouched
+            if g.get("stats"):
+                kept["stats"] = {
+                    f: g["stats"][f]
+                    for f in untouched
+                    if f in g["stats"]
+                }
+            new_groups.append(kept)
+        if not touched:
+            continue
+        n_deleted += sum(touched.values())
+        n_rewritten += len(touched)
+        reader = spark.read
+        if g["partition_by"]:
+            reader = reader.option("basePath", g["base"])
+        survivors = reader.parquet(*sorted(touched)).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        out_dir = os.path.join(out_base, f"g{gi}")
+        writer = survivors.write.mode("error")
+        if g["partition_by"]:
+            writer = writer.partitionBy(*g["partition_by"])
+        writer.parquet(out_dir)
+        rewritten = sorted(
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        ng = {
+            "base": out_dir,
+            "partition_by": list(g["partition_by"]),
+            "files": rewritten,
+        }
+        cols = list(stats_cols) or sorted(
+            next(iter((g.get("stats") or {}).values()), {})
+        )
+        if cols:
+            ng["stats"] = {f: _file_stats(f, cols) for f in rewritten}
+        new_groups.append(ng)
+    if n_deleted == 0:
+        out = dict(record)
+        out["n_deleted"] = 0
+        return out
+    v = parent + 1
+    new_record = {
+        "version": v,
+        "op": "delete",
+        "parent": parent,
+        "files": [f for g in new_groups for f in g["files"]],
+        "n_new_files": sum(
+            len(g["files"])
+            for g in new_groups
+            if g["base"].startswith(out_base)
+        ),
+        "file_groups": new_groups,
+        "predicate": predicate,
+        "n_deleted": n_deleted,
+        "n_rewritten_files": n_rewritten,
+    }
+    _publish_commit(path, new_record, commit_id)
+    return new_record
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
     *,
     shards: int = 1,
     stats_cols: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+    cluster_bits: int = 16,
 ) -> dict:
     """Compact the snapshot table (r8): rewrite the CURRENT contents
     as ONE overwrite commit of ``shards`` right-sized files — the
@@ -501,16 +651,45 @@ def snapshot_compact(
     reclaim the superseded files once history can go. The rewrite
     may re-record ``stats_cols`` so manifest pruning survives
     compaction. Returns the new commit record (op recorded as a
-    normal overwrite + a ``compacted_from`` marker)."""
+    normal overwrite + a ``compacted_from`` marker).
+
+    ``cluster_by`` additionally Z-ORDERS the rewrite (the Delta
+    ``OPTIMIZE ... ZORDER BY`` maintenance pass): rows
+    range-partition + sort on the Morton key of the named columns
+    (``sinks.zorder_value`` — non-negative integers pre-scaled into
+    [0, 2^cluster_bits)), so each rewritten file covers a compact
+    hyper-rectangle of the key space and a predicate on ANY subset
+    of the clustered columns prunes both via the commit-log stats
+    (record them with ``stats_cols``) and parquet row-group min/max.
+    """
+    from pyspark.sql import functions as F
+
+    from monasca_aggregator_spark.sources.sinks import zorder_value
+
     latest = snapshot_versions(path)[-1]
     df = snapshot_read(spark, path)
+    if cluster_by:
+        df = (
+            df.withColumn(
+                "__z", zorder_value(cluster_by, bits=cluster_bits)
+            )
+            .repartitionByRange(shards, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        shards = None  # the range exchange above already sized shards
     return snapshot_write(
         df,
         path,
         mode="overwrite",
         shards=shards,
         stats_cols=stats_cols,
-        extra_record={"compacted_from": latest},
+        extra_record={
+            "compacted_from": latest,
+            **(
+                {"clustered_by": list(cluster_by)} if cluster_by else {}
+            ),
+        },
     )
 
 

@@ -478,3 +478,142 @@ def test_snapshot_compact_then_expire(spark, tmp_path):
     )
     pruned = snapshot_read(spark, path, prune={"k": (100, 200)})
     assert pruned.count() == 0
+
+
+def test_snapshot_delete_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write DELETE: only files containing matching rows are
+    rewritten; untouched files carry into the new version BY
+    REFERENCE (same physical paths, stats preserved); time travel
+    still sees the deleted rows; a no-match predicate commits
+    nothing."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two appends → two disjoint file sets with recorded stats
+    snapshot_write(
+        _df(spark, 0, 100, "a"), path, shards=1, stats_cols=("id",)
+    )
+    snapshot_write(
+        _df(spark, 100, 200, "b"),
+        path,
+        mode="append",
+        shards=1,
+        stats_cols=("id",),
+    )
+    before = snapshot_read(spark, path).count()
+    assert before == 200
+
+    rec = snapshot_delete(spark, path, "id >= 190", stats_cols=("id",))
+    assert rec["op"] == "delete"
+    assert rec["n_deleted"] == 10
+    assert rec["n_rewritten_files"] == 1  # only commit 2's file
+    after = snapshot_read(spark, path)
+    assert after.count() == 190
+    assert after.filter("id >= 190").count() == 0
+    # the v1 file survives untouched, by the same physical path
+    v1_files = set(snapshot_history(path)[0]["files"])
+    assert v1_files <= set(rec["files"])
+    # time travel: the pre-delete version still has the rows
+    assert snapshot_read(spark, path, version=2).count() == 200
+    # stats carried/re-recorded → manifest pruning still works:
+    # id<=50 provably misses every rewritten file
+    pruned = snapshot_read(spark, path, prune={"id": (0, 50)})
+    assert pruned.count() == 100  # only the v1 file listed
+    # no-match delete: no new commit
+    v_before = snapshot_versions(path)[-1]
+    rec2 = snapshot_delete(spark, path, "id < 0")
+    assert rec2["n_deleted"] == 0
+    assert snapshot_versions(path)[-1] == v_before
+
+
+def test_snapshot_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    survive (only TRUE deletes)."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id int, x int"
+    )
+    snapshot_write(df, path, shards=1)
+    rec = snapshot_delete(spark, path, "x > 10")
+    assert rec["n_deleted"] == 1
+    got = sorted(
+        r["id"] for r in snapshot_read(spark, path).collect()
+    )
+    assert got == [1, 2]  # NULL x survives
+
+
+def test_snapshot_delete_respects_partition_layouts(spark, tmp_path):
+    """Partition evolution + delete: a predicate over the hive
+    partition column rewrites only the touched layout's files and
+    keeps each group's own basePath semantics readable."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    d1 = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10)],
+        "id int, part string",
+    )
+    snapshot_write(d1, path, partition_by=("part",))
+    d2 = spark.createDataFrame(
+        [(100 + i, "z") for i in range(5)], "id int, part string"
+    )
+    snapshot_write(d2, path, mode="append")  # unpartitioned commit
+    rec = snapshot_delete(spark, path, "part = 'x'")
+    assert rec["n_deleted"] == 5
+    out = snapshot_read(spark, path)
+    assert out.count() == 10
+    assert out.filter("part = 'x'").count() == 0
+    assert out.filter("part = 'z'").count() == 5
+
+
+def test_snapshot_compact_zorder_clusters_files(spark, tmp_path):
+    """cluster_by compaction: each rewritten file covers a compact
+    hyper-rectangle of (a, b) space, so a predicate on EITHER column
+    prunes files via the re-recorded commit-log stats — the
+    lexicographic-sort counterexample (trailing column never prunes)
+    is the thing Z-order fixes."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)],
+        "a int, b int",
+    )
+    snapshot_write(grid, path, shards=4)
+    rec = snapshot_compact(
+        spark,
+        path,
+        shards=16,
+        stats_cols=("a", "b"),
+        cluster_by=("a", "b"),
+        cluster_bits=6,
+    )
+    assert rec["clustered_by"] == ["a", "b"]
+    n_files = len(rec["files"])
+    assert n_files > 4
+    # band predicates on EACH dimension must prune a real fraction of
+    # the files at the manifest level
+    stats = rec["file_groups"][-1]["stats"]
+    for col, lo, hi in (("a", 0, 7), ("b", 0, 7)):
+        kept = [
+            f
+            for f, st in stats.items()
+            if st[col] is None
+            or (st[col][0] <= hi and st[col][1] >= lo)
+        ]
+        assert len(kept) < n_files, f"no manifest pruning on {col}"
+    # and the pruned read still returns exactly the right rows
+    out = snapshot_read(spark, path, prune={"a": (0, 7)}).filter(
+        "a <= 7"
+    )
+    assert out.count() == 8 * 64
