@@ -29,6 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import (
+    StreamingQueryListener as _StreamingQueryListener,
+)
 
 IN_METRIC = "in_messages"
 OUT_METRIC = "out_messages"
@@ -157,3 +160,155 @@ def start_http_exporter(
     server = HTTPServer(("127.0.0.1", port), _Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, server.server_address[1]
+
+
+class ProgressRecorder(_StreamingQueryListener):
+    """Per-micro-batch stream telemetry as a queryable relation — the
+    operational readout beside the counters: batch duration, input
+    volume, processing rate, WATERMARK LAG (wall clock at progress
+    time minus the event-time watermark — the reference's consumer-lag
+    observable, server.go:213-296, generalized to event time), and
+    stateful-operator footprint.
+
+    A ``StreamingQueryListener`` subclass that keeps the newest
+    ``capacity`` progress records in a bounded deque (thread-safe;
+    callbacks arrive on Py4J threads; a long-running stream cannot
+    grow driver memory). ``records()`` returns plain dicts;
+    ``to_df(spark)`` a DataFrame for SQL over the stream's own health;
+    ``health()`` the one-glance summary an alert rule consumes.
+
+    Attach with ``spark.streams.addListener(recorder)`` — one recorder
+    observes every query on the session; filter by ``query_name``.
+    """
+
+    _FIELDS = (
+        "query_name query_id batch_id ts_ms n_input_rows"
+        " input_rows_per_sec processed_rows_per_sec trigger_ms"
+        " watermark_ms watermark_lag_ms state_rows state_bytes"
+    ).split()
+
+    def __init__(self, capacity: int = 1024) -> None:
+        import collections
+        import threading
+
+        self._lock = threading.Lock()
+        self._buf = collections.deque(maxlen=capacity)
+
+    # -- StreamingQueryListener interface --
+    def onQueryStarted(self, event):  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        import json as _json
+
+        p = event.progress
+        rec = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+        self.record(rec)
+
+    @staticmethod
+    def _iso_ms(s: str | None) -> int | None:
+        if not s:
+            return None
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    def record(self, progress: dict) -> None:
+        """Fold one StreamingQueryProgress JSON dict into the buffer
+        (exposed for tests and for polling ``query.lastProgress``
+        without a listener)."""
+        ts_ms = self._iso_ms(progress.get("timestamp"))
+        wm_ms = self._iso_ms(
+            (progress.get("eventTime") or {}).get("watermark")
+        )
+        state = progress.get("stateOperators") or []
+        row = {
+            "query_name": progress.get("name"),
+            "query_id": progress.get("id"),
+            "batch_id": progress.get("batchId"),
+            "ts_ms": ts_ms,
+            "n_input_rows": progress.get("numInputRows"),
+            "input_rows_per_sec": progress.get("inputRowsPerSecond"),
+            "processed_rows_per_sec": progress.get(
+                "processedRowsPerSecond"
+            ),
+            "trigger_ms": (progress.get("durationMs") or {}).get(
+                "triggerExecution"
+            ),
+            "watermark_ms": wm_ms,
+            "watermark_lag_ms": (
+                ts_ms - wm_ms
+                if ts_ms is not None and wm_ms is not None
+                else None
+            ),
+            "state_rows": sum(
+                s.get("numRowsTotal") or 0 for s in state
+            )
+            if state
+            else None,
+            "state_bytes": sum(
+                s.get("memoryUsedBytes") or 0 for s in state
+            )
+            if state
+            else None,
+        }
+        with self._lock:
+            self._buf.append(row)
+
+    def records(self, *, query_name: str | None = None) -> list[dict]:
+        with self._lock:
+            rows = list(self._buf)
+        if query_name is not None:
+            rows = [r for r in rows if r["query_name"] == query_name]
+        return rows
+
+    def to_df(self, spark, *, query_name: str | None = None):
+        """The buffer as a DataFrame (stable schema even when empty) —
+        the stream's own health is then just SQL: lag percentiles,
+        batch-duration trend, state growth."""
+        rows = self.records(query_name=query_name)
+        schema = (
+            "query_name string, query_id string, batch_id long,"
+            " ts_ms long, n_input_rows long,"
+            " input_rows_per_sec double, processed_rows_per_sec double,"
+            " trigger_ms long, watermark_ms long, watermark_lag_ms long,"
+            " state_rows long, state_bytes long"
+        )
+        return spark.createDataFrame(
+            [tuple(r[f] for f in self._FIELDS) for r in rows], schema
+        )
+
+    def health(self, *, query_name: str | None = None) -> dict:
+        """One-glance summary: batches seen, total/mean input volume,
+        worst and latest trigger latency, newest watermark lag, state
+        footprint of the newest batch. None-safe on partial fields."""
+        rows = self.records(query_name=query_name)
+        if not rows:
+            return {"n_batches": 0}
+        trig = [r["trigger_ms"] for r in rows if r["trigger_ms"] is not None]
+        lag = [
+            r["watermark_lag_ms"]
+            for r in rows
+            if r["watermark_lag_ms"] is not None
+        ]
+        newest = rows[-1]
+        return {
+            "n_batches": len(rows),
+            "total_input_rows": sum(
+                r["n_input_rows"] or 0 for r in rows
+            ),
+            "max_trigger_ms": max(trig) if trig else None,
+            "last_trigger_ms": trig[-1] if trig else None,
+            "last_watermark_lag_ms": lag[-1] if lag else None,
+            "last_state_rows": newest["state_rows"],
+            "last_state_bytes": newest["state_bytes"],
+        }
