@@ -1,0 +1,118 @@
+"""Orthogonal Procrustes alignment between two embedding snapshots —
+the re-embedding audit that SEES THROUGH rotations.
+
+When a corpus is re-embedded (new model revision, retrained
+projection head), raw per-vector or per-centroid drift
+(`embedding_centroid_drift`) conflates two very different events: a
+GLOBAL isometry of the space (harmless — every downstream cosine is
+unchanged once indexes rebuild) and REAL per-item movement (the thing
+that invalidates cached neighbors). The orthogonal Procrustes problem
+(Schönemann 1966) separates them: find the rotation R minimizing
+Σ‖aᵢR − bᵢ‖² over paired snapshots; the residual AFTER the optimal
+rotation is the real drift, and the drop from the before-residual is
+the part that was just a change of basis.
+
+Closed form via the cross-covariance M = Σ aᵢᵀbᵢ (d×d): R = UVᵀ from
+SVD(M), and the residuals need only scalars —
+
+    before² = Σ‖a‖² + Σ‖b‖² − 2·tr(M)
+    after²  = Σ‖a‖² + Σ‖b‖² − 2·Σσᵢ(M)
+
+Scale shape (the `pca_fit` sweep): every partition folds its paired
+vectors into (n, Σ‖a‖², Σ‖b‖², M) with one numpy matmul per Arrow
+batch — O(d²) state per task regardless of row count, no shuffle; only
+the few-KB partials reach the driver, where the d×d SVD runs (d =
+embedding width). At 100 TB this is a single scan of the pair join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("na2", T.DoubleType()),
+        T.StructField("nb2", T.DoubleType()),
+        T.StructField("m", T.ArrayType(T.DoubleType())),  # flat d×d
+    ]
+)
+
+
+def procrustes_alignment(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> dict:
+    """Solve orthogonal Procrustes over ``pairs`` (one row per shared
+    item, both snapshot vectors present). Returns::
+
+        {n_pairs, rmsd_before, rmsd_after, alignment_gain, rotation}
+
+    ``rmsd_*`` are per-pair root-mean-square distances before/after
+    the optimal rotation; ``alignment_gain`` is the fraction of the
+    before-disparity explained by the isometry (1.0 = pure rotation,
+    0.0 = nothing was basis change); ``rotation`` is the d×d numpy
+    orthogonal matrix for callers that want to re-align snapshot A.
+    """
+
+    def _partials(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        n, na2, nb2, m = 0, 0.0, 0.0, None
+        for pdf in batches:
+            mask = pdf[a_col].notna() & pdf[b_col].notna()
+            if not mask.any():
+                continue
+            a = np.asarray(
+                np.stack(pdf.loc[mask, a_col]), dtype=np.float64
+            )
+            b = np.asarray(
+                np.stack(pdf.loc[mask, b_col]), dtype=np.float64
+            )
+            n += a.shape[0]
+            na2 += float((a * a).sum())
+            nb2 += float((b * b).sum())
+            m = a.T @ b if m is None else m + a.T @ b
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "na2": [na2],
+                    "nb2": [nb2],
+                    "m": [list(m.ravel())],
+                }
+            )
+
+    parts = (
+        pairs.select(a_col, b_col)
+        .mapInPandas(_partials, _PARTIAL_SCHEMA)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("procrustes_alignment: no complete pairs")
+    n = sum(p.n for p in parts)
+    na2 = sum(p.na2 for p in parts)
+    nb2 = sum(p.nb2 for p in parts)
+    d = int(round(len(parts[0].m) ** 0.5))
+    m = np.sum(
+        [np.asarray(p.m).reshape(d, d) for p in parts], axis=0
+    )
+    u, sig, vt = np.linalg.svd(m)
+    rotation = u @ vt
+    before2 = max(na2 + nb2 - 2.0 * float(np.trace(m)), 0.0)
+    after2 = max(na2 + nb2 - 2.0 * float(sig.sum()), 0.0)
+    rmsd_before = (before2 / n) ** 0.5
+    rmsd_after = (after2 / n) ** 0.5
+    gain = 1.0 - (after2 / before2) if before2 > 0 else 0.0
+    return {
+        "n_pairs": n,
+        "rmsd_before": rmsd_before,
+        "rmsd_after": rmsd_after,
+        "alignment_gain": gain,
+        "rotation": rotation,
+    }

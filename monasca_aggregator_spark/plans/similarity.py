@@ -1982,7 +1982,55 @@ FROM per GROUP BY label
 """.strip()
 
 
+def q_embedding_procrustes_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rotation-aware re-embedding drift (rows-only; Schönemann 1966
+    orthogonal Procrustes — operators/procrustes.py): raw drift
+    numbers (`embedding_centroid_drift`) cannot tell a harmless
+    global change of basis from real per-item movement; this one
+    aligns the two snapshots with the OPTIMAL rotation first and
+    reports the residual that remains.
+
+    Snapshot B is a deterministic exact isometry of A (reverse the
+    dims, flip alternate signs — a signed permutation, so ground
+    truth is known: before-RMSD is large, after-RMSD is ~0 and
+    alignment_gain ~1; real movement injected in pytest lands in the
+    after-residual instead). One mapInPandas scan folds (n, Σ‖a‖²,
+    Σ‖b‖², aᵀb) partials per partition — O(d²) task state, no
+    shuffle; the d×d SVD is driver-side (d = 64 here).
+    """
+    from monasca_aggregator_spark.operators.procrustes import (
+        procrustes_alignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        F.col("embedding").cast("array<double>").alias("a")
+    )
+    pairs = emb.withColumn(
+        "b",
+        F.expr(
+            "transform(reverse(a),"
+            " (x, i) -> CASE WHEN i % 2 = 0 THEN x ELSE -x END)"
+        ),
+    )
+    r = procrustes_alignment(pairs, "a", "b")
+    return spark.createDataFrame(
+        [
+            (
+                r["n_pairs"],
+                float(r["rmsd_before"]),
+                float(r["rmsd_after"]),
+                float(r["alignment_gain"]),
+            )
+        ],
+        "n_pairs long, rmsd_before double, rmsd_after double,"
+        " alignment_gain double",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_procrustes_drift": q_embedding_procrustes_drift,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "decontaminate_embedding": q_decontaminate_embedding,
     "embedding_hard_negatives": q_embedding_hard_negatives,
