@@ -2207,7 +2207,130 @@ FROM terms GROUP BY event_type
 """.strip()
 
 
+# ----------------------------------------- AR(1) mean-reversion fit
+
+_DEC_AR = "decimal(38,0)"
+
+
+def q_metric_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per metric: v_t = c + φ·v_{t−1} + ε over the hourly
+    series — the MEAN-REVERSION readout beside the family's trend
+    (OLS/Theil–Sen) and seasonality (lag-24 autocorr) fits: φ near 1
+    means shocks persist (capacity-style drift — alert on level), φ
+    near 0 means they wash out next hour (alert on spikes instead),
+    and the shock HALF-LIFE −ln2/lnφ converts φ into the operator's
+    unit ("how long until half the deviation is gone"). The
+    Holt-Winters bake-off asks which forecaster wins; this asks what
+    the series' memory IS.
+
+    φ by OLS over the (v_{t−1}, v_t) lag pairs: φ = (n·Σxy − Σx·Σy)
+    / (n·Σxx − Σx²), every sum an exact integer (DEC38 — v ≈ 10¹⁵
+    e2-units per metric-hour at 100 TB puts v² at 10³⁰ and the
+    n-scaled sums near 10³⁵, inside DEC38; DuckDB mirrors in
+    HUGEINT), then ONE division into doubles; ln() is IEEE-identical
+    both engines. A constant series (zero variance) reports NULL φ.
+
+    Scale: raw scan collapses to the |metrics|×|hours| series first
+    (one shuffle, map-side partials); the lag() window partitions BY
+    METRIC over the collapsed series; the fit is a metric-sized
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long")
+            * F.lit(_HOUR_MS)
+        ).alias("window_ts_ms"),
+    ).agg(F.sum("e2").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("window_ts_ms")
+    pairs = hourly.select(
+        "event_type",
+        F.lag("v").over(w).alias("x"),
+        F.col("v").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(_DEC_AR) * F.col("y").cast(_DEC_AR)).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast(_DEC_AR) * F.col("x").cast(_DEC_AR)).alias(
+            "sxx"
+        ),
+    )
+    num = (
+        F.col("n").cast(_DEC_AR) * F.col("sxy")
+        - F.col("sx").cast(_DEC_AR) * F.col("sy").cast(_DEC_AR)
+    ).cast("double")
+    den = (
+        F.col("n").cast(_DEC_AR) * F.col("sxx")
+        - F.col("sx").cast(_DEC_AR) * F.col("sx").cast(_DEC_AR)
+    ).cast("double")
+    phi = F.when(den != 0, num / den)
+    intercept_e2 = (
+        F.col("sy").cast("double") - phi * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    halflife = F.when(
+        (phi > 0) & (phi < 1),
+        -F.log(F.lit(2.0)) / F.log(phi),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        stable_round(phi, 6).alias("phi"),
+        stable_round(intercept_e2 / F.lit(100.0), 4).alias("intercept"),
+        stable_round(halflife, 4).alias("halflife_hours"),
+    )
+
+
+ORACLE_AR1 = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type,
+         lag(v) OVER (PARTITION BY event_type
+                      ORDER BY window_ts_ms) AS x,
+         v AS y
+  FROM hourly
+), s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pairs WHERE x IS NOT NULL GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CASE WHEN CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                   != 0
+              THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE)
+         END AS phi,
+         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       {sql_stable_round("phi", 6)} AS phi,
+       {sql_stable_round("(syd - phi * sxd) / n / 100.0", 4)}
+         AS intercept,
+       {sql_stable_round(
+           "CASE WHEN phi > 0 AND phi < 1"
+           " THEN -ln(2.0) / ln(phi) END", 4)} AS halflife_hours
+FROM f
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metric_ar1_fit": q_metric_ar1_fit,
     "metric_p95_trend": q_metric_p95_trend,
     "metric_psi": q_metric_psi,
     "agg_distinct_overlap": q_agg_distinct_overlap,
@@ -2233,6 +2356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_ar1_fit": ORACLE_AR1,
     "metric_p95_trend": ORACLE_P95_TREND,
     "metric_psi": ORACLE_PSI,
     "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,

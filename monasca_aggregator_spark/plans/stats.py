@@ -1462,8 +1462,103 @@ GROUP BY 1
 """.strip()
 
 
+# -------------------------------------- lognormal length-shape fit
+
+
+def q_corpus_lognormal_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lognormal FIT of the doc-length distribution per source
+    (method of moments on ln-length) — natural text lengths follow a
+    heavy-tailed roughly-lognormal law; a source whose fitted shape
+    disagrees with its own empirical median (implied exp(μ) vs actual)
+    is mixed/truncated/machine-generated — the DISTRIBUTION-SHAPE
+    screen beside `quality_iqr_outliers`' per-doc fences and
+    `corpus_ks_by_source`'s cross-source distance.
+
+    Exactness: ln(n_chars) quantizes to e6 fixed-point BEFORE
+    aggregation (floor(ln·10⁶ + ½), IEEE ln identical both engines) so
+    the moment sums are exact BIGINT/DEC38 — a raw float Σln would be
+    summation-ORDER dependent and break cross-engine hashes. The
+    actual median rides the family's 2·median-as-BIGINT trick; σ² =
+    (n·Q − S²)/n² in one exact expression.
+
+    Scale: row-local ln + quantize, one source-keyed aggregate with
+    map-side partials, source-sized output. The per-source median
+    needs the grouped percentile only (bounded groups at any corpus
+    size — the same posture as `corpus_mannwhitney`'s rank stage)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("n_chars") > 0
+    )
+    l_e6 = F.floor(
+        F.log(F.col("n_chars").cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per = docs.select("source", l_e6.alias("l"), "n_chars").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l").alias("s"),
+        F.sum(F.col("l").cast(_DEC) * F.col("l").cast(_DEC)).alias("q"),
+        F.expr("CAST(2 * percentile(n_chars, 0.5D) AS BIGINT)").alias(
+            "med2"
+        ),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(
+        1e6
+    )
+    var = (
+        (
+            F.col("n").cast(_DEC) * F.col("q")
+            - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+        / F.lit(1e12)
+    )
+    implied = F.exp(mu)
+    actual = F.col("med2").cast("double") / F.lit(2.0)
+    return per.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        stable_round(mu, 6).alias("mu_ln"),
+        stable_round(F.sqrt(var), 6).alias("sigma_ln"),
+        stable_round(implied, 2).alias("implied_median"),
+        actual.alias("actual_median"),
+        stable_round(implied / actual, 4).alias("median_ratio"),
+    )
+
+
+ORACLE_LOGNORMAL = f"""
+WITH d AS (
+  SELECT source,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS l,
+         n_chars
+  FROM documents WHERE n_chars > 0
+), per AS (
+  SELECT source, count(*) AS n, sum(l) AS s,
+         sum(CAST(l AS HUGEINT) * l) AS q,
+         CAST(2 * median(n_chars) AS BIGINT) AS med2
+  FROM d GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       {sql_stable_round("CAST(s AS DOUBLE) / n / 1e6", 6)} AS mu_ln,
+       {sql_stable_round(
+           "sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)"
+           " / (CAST(n AS DOUBLE) * n) / 1e12)", 6)} AS sigma_ln,
+       {sql_stable_round(
+           "exp(CAST(s AS DOUBLE) / n / 1e6)", 2)} AS implied_median,
+       CAST(med2 AS DOUBLE) / 2.0 AS actual_median,
+       {sql_stable_round(
+           "exp(CAST(s AS DOUBLE) / n / 1e6)"
+           " / (CAST(med2 AS DOUBLE) / 2.0)", 4)} AS median_ratio
+FROM per
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_anomaly_fdr": q_metric_anomaly_fdr,
+    "corpus_lognormal_fit": q_corpus_lognormal_fit,
     "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
@@ -1480,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "metric_anomaly_fdr": ORACLE_ANOMALY_FDR,
+    "corpus_lognormal_fit": ORACLE_LOGNORMAL,
     "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
     "orders_benford": ORACLE_BENFORD,

@@ -1461,6 +1461,81 @@ FROM cells WHERE n < {_KANON_K} GROUP BY 1
 """.strip()
 
 
+_LDIV_L = 3  # minimum distinct sensitive values per released cell
+_LDIV_TIER = 25  # props.k (0..99) → sensitive tier 0..3
+
+
+def q_events_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY release gate (Machanavajjhala 2007) over the
+    quasi-identifier (event_type, day) with the user TIER (props.k ÷
+    25) as the sensitive attribute — the disclosure check k-anonymity
+    (`events_kanon`) structurally cannot make: a 1000-row cell whose
+    rows all share ONE tier passes any k yet tells an attacker every
+    member's tier exactly. A cell releases only when it contains ≥ l
+    distinct sensitive values; homogeneous cells are SUPPRESSED and
+    reported as a per-event_type residual (day NULL), so the release
+    leaks no attribute below the diversity floor.
+
+    Scale: one partial-aggregated groupBy over (event_type, day)
+    computing count + distinct-tier count (two-phase countDistinct —
+    the tier domain is 4 values, so the distinct expansion is
+    bounded); the release/residual split is a second aggregate over
+    the already-tiny cell table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(
+            F.from_json(F.col("props"), "k INT").getField("k")
+            / F.lit(_LDIV_TIER)
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    cells = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tier").alias("n_tiers"),
+    )
+    released = cells.filter(F.col("n_tiers") >= _LDIV_L).select(
+        "event_type",
+        "day",
+        "n",
+        "n_tiers",
+        F.lit(False).alias("suppressed"),
+    )
+    residual = (
+        cells.filter(F.col("n_tiers") < _LDIV_L)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "event_type",
+            F.lit(None).cast("string").alias("day"),
+            "n",
+            F.lit(None).cast("long").alias("n_tiers"),
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return released.unionByName(residual)
+
+
+ORACLE_LDIVERSITY = f"""
+WITH cells AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS n,
+         count(DISTINCT CAST(CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER) // {_LDIV_TIER}
+                             AS INTEGER)) AS n_tiers
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n, CAST(n_tiers AS BIGINT) AS n_tiers,
+       FALSE AS suppressed
+FROM cells WHERE n_tiers >= {_LDIV_L}
+UNION ALL
+SELECT event_type, NULL, CAST(sum(n) AS BIGINT),
+       CAST(NULL AS BIGINT), TRUE
+FROM cells WHERE n_tiers < {_LDIV_L} GROUP BY 1
+""".strip()
+
+
 _ATTR_WINDOW_MS = 24 * 3600 * 1000
 
 
@@ -2384,6 +2459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seq_patterns": q_events_seq_patterns,
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
+    "events_ldiversity": q_events_ldiversity,
     "metric_histogram_quantile": q_metric_histogram_quantile,
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
@@ -2422,6 +2498,7 @@ ORACLES: dict[str, str] = {
     "events_seq_patterns": ORACLE_SEQ_PATTERNS,
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
+    "events_ldiversity": ORACLE_LDIVERSITY,
     "metric_histogram_quantile": ORACLE_HISTOGRAM_QUANTILE,
     "user_event_seq": ORACLE_USER_SEQ,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,

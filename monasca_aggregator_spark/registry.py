@@ -148,10 +148,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # events_audience_overlap / text_unicode_health /
 # orders_seasonality_index; the r8-continuation keys
 # recsys_popularity_hitrate / graph_link_prediction /
-# metric_sax_motifs / metric_anomaly_fdr / dedup_url_canonical then
+# metric_sax_motifs / metric_anomaly_fdr / dedup_url_canonical /
+# events_ldiversity / metric_ar1_fit / corpus_lognormal_fit then
 # displaced the re-confirmations sample_consistent_k /
 # tpch_q21_waiting / sample_quota_source / events_retention /
-# range_join_ship, all r3/r8-green), closing with the 3 late-r7
+# range_join_ship / metric_alert_hysteresis / agg_stddev /
+# metric_gapfill, all r2/r3/r8-green), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -164,10 +166,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "sample_top_p_source", "corpus_diff", "order_curriculum",
 #     "grouping_sets_mixed", "pack_length_buckets", "agg_sliding",
 #     "metric_correlation", "metric_winsorize", "metric_downsample_m4",
-#     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
 #     "recsys_popularity_hitrate", "graph_link_prediction",
 #     "metric_sax_motifs", "metric_anomaly_fdr",
-#     "dedup_url_canonical",
+#     "dedup_url_canonical", "events_ldiversity", "metric_ar1_fit",
+#     "corpus_lognormal_fit",
 #     "events_attribution_timedecay", "asof_tolerance_click",
 #     "lineitem_price_index", "graph_clustering",
 #     "events_dwell_by_transition", "events_retention_halflife",

@@ -169,3 +169,81 @@ def test_out_of_order_detects_only_late_arrivals(spark):
     s = out["swapped"]
     assert s.n_late == 1 and s.max_lateness_ms == 5_000
     assert s.total_lateness_ms == 5_000
+
+
+def test_ldiversity_suppresses_homogeneous_cell(spark):
+    """The case k-anonymity cannot catch: a LARGE cell whose rows all
+    share one sensitive tier is suppressed (attribute disclosure),
+    while a same-size diverse cell releases. props.k drives the tier."""
+    import monasca_aggregator_spark.plans.temporal as tmod
+    from monasca_aggregator_spark.plans.temporal import (
+        _LDIV_L,
+        q_events_ldiversity,
+    )
+
+    def _ev(spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, event_type string, user_id long,"
+            " t long, k int",
+        ).select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.timestamp_millis(F.col("t")).alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.concat(F.lit('{"k": '), F.col("k"), F.lit("}")).alias(
+                "props"
+            ),
+        )
+
+    rows, eid = [], 0
+    # 'homog': 50 rows, ALL tier 0 (k in 0..24) → big but 1 tier
+    for i in range(50):
+        rows.append((eid, "homog", i, T0 + i, 3)); eid += 1
+    # 'divers': 50 rows across tiers 0..3 (k = 0,25,50,75 cycling)
+    for i in range(50):
+        rows.append((eid, "divers", i, T0 + i, (i % 4) * 25)); eid += 1
+    with _inject(tmod, _ev(spark, rows)):
+        out = q_events_ldiversity(spark, "unused").collect()
+    by_type = {r.event_type: r for r in out}
+    h = by_type["homog"]
+    assert h.suppressed and h.day is None and h.n == 50
+    d = by_type["divers"]
+    assert not d.suppressed and d.n_tiers >= _LDIV_L and d.n == 50
+
+
+def test_ar1_fit_recovers_phi_and_halflife(spark):
+    """A synthetic exact AR(1) recursion v_t = c + φ·v_{t−1} with
+    φ=0.5 recovers φ exactly (it's deterministic, so OLS is exact);
+    half-life = −ln2/ln(0.5) = 1 hour. A constant series → NULL φ."""
+    import math
+
+    import monasca_aggregator_spark.plans.series_ext as smod
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_ar1_fit,
+    )
+
+    rows, eid = [], 0
+    h0 = (T0 // 3_600_000) * 3_600_000
+    # exact recursion in e2 units: v_{t+1} = 100 + v_t/2, v_0 = 6400
+    # (values in e2 cents: value = v/100 so e2 round-trips exactly)
+    v = 640000
+    for t in range(12):
+        rows.append((eid, "ar", 1, h0 + t * 3_600_000, v / 100.0))
+        eid += 1
+        v = 10000 + v // 2
+    for t in range(6):
+        rows.append((eid, "const", 1, h0 + t * 3_600_000, 7.0))
+        eid += 1
+    with _inject(smod, _events(spark, rows)):
+        out = {r.event_type: r for r in q_metric_ar1_fit(
+            spark, "unused"
+        ).collect()}
+    ar = out["ar"]
+    assert ar.n_pairs == 11
+    # v//2 floors on odd values, so the recursion is AR(1) to ~1e-5
+    assert abs(ar.phi - 0.5) < 1e-4
+    assert abs(ar.halflife_hours - 1.0) < 1e-3
+    assert abs(ar.intercept - 100.0) < 0.05
+    assert out["const"].phi is None

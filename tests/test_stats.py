@@ -415,3 +415,37 @@ def test_anomaly_fdr_discovers_injected_spike(spark, tmp_path):
     assert out["spiky"]["min_p"] < 1e-6
     assert out["flat"]["n_discoveries"] == 0
     assert out["flat"]["min_p"] == 1.0
+
+
+def test_lognormal_fit_flags_shape_mismatch(spark, tmp_path):
+    """A geometric ladder (exactly lognormal-shaped: ln-lengths
+    uniform) has implied≈actual median (ratio ~1); a one-sided
+    heavy-tail mixture pushes exp(μ) above the true median."""
+    from monasca_aggregator_spark.plans.stats import (
+        q_corpus_lognormal_fit,
+    )
+
+    docs = []
+    did = 0
+    # 'clean': lengths 2^5..2^11 — ln symmetric around 2^8=256
+    for i, ln_len in enumerate(range(5, 12)):
+        docs.append((did, "x", "en", "clean", 2 ** ln_len)); did += 1
+    # 'tail': 9 docs at 100 chars + 1 doc at 1e6 → exp(mu) >> median
+    for i in range(9):
+        docs.append((did, "x", "en", "tail", 100)); did += 1
+    docs.append((did, "x", "en", "tail", 1_000_000)); did += 1
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in q_corpus_lognormal_fit(spark, str(tmp_path)).collect()
+    }
+    clean = out["clean"]
+    assert clean.actual_median == 256.0
+    assert abs(clean.median_ratio - 1.0) < 0.01
+    tail = out["tail"]
+    assert tail.actual_median == 100.0
+    assert tail.median_ratio > 2.0  # exp(mu) dragged far above median
