@@ -1982,6 +1982,140 @@ FROM per GROUP BY label
 """.strip()
 
 
+_HUB_K = 5  # kNN fan-out for the graph-health diagnostic
+_HUB_MOD = 4  # deterministic sample: vec_id % _HUB_MOD == 0
+
+
+def q_embedding_knn_hubness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN-GRAPH health diagnostic (Radovanović 2010's hubness line):
+    build the exact k=5 cosine kNN graph over a deterministic sample
+    and report the structural symptoms of a degenerate embedding
+    space — HUBNESS (a few points appear in everyone's neighbor
+    list: max in-degree, in-degree spread) and ANTIHUBS (points in
+    nobody's list), plus EDGE RECIPROCITY (mutual-neighbor fraction —
+    low reciprocity degrades kNN classification and graph-based
+    dedup). The recall gates measure whether ANN finds the true
+    neighbors; this measures whether the true-neighbor GRAPH itself
+    is healthy enough to trust.
+
+    Mechanics reuse the proven cross-engine pair: `cosine_topk`'s
+    unrolled left-fold cosine, e6-quantized sim, (sim DESC, neighbor
+    ASC) ties — identical in DuckDB via list_dot_product (the
+    ORACLE_ANN contract). In-degree moments are exact integers (Σd²
+    BIGINT) into one division.
+
+    Scale: the diagnostic is a statistic, not a per-item output —
+    the deterministic modulo sample bounds the all-pairs scan
+    (replace with the fixed-cap hash sample of the estimator gates
+    when the corpus outgrows the modulo); everything after the
+    sample×sample scan is edge-list-sized (n·k rows).
+    """
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).filter(
+        F.col("vec_id") % _HUB_MOD == 0
+    )
+    edges = (
+        cosine_topk(emb, emb, k=_HUB_K, dim=_DIM)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_nodes = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    indeg = edges.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ind = indeg.agg(
+        F.max("d").alias("max_in_degree"),
+        F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
+        F.count(F.lit(1)).alias("n_with_in"),
+    )
+    rev = edges.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+    )
+    recip = (
+        edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_mutual"))
+    )
+    j = (
+        n_nodes.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ind))
+        .crossJoin(F.broadcast(recip))
+    )
+    mean_in = F.col("n_edges").cast("double") / F.col("n_nodes").cast(
+        "double"
+    )
+    var_in = (
+        F.col("sum_d2").cast("double")
+        / F.col("n_nodes").cast("double")
+        - mean_in * mean_in
+    )
+    return j.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.lit(_HUB_K).cast("int").alias("k"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        stable_round(
+            F.col("n_mutual").cast("double")
+            / F.col("n_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+        F.col("max_in_degree").cast("long").alias("max_in_degree"),
+        (F.col("n_nodes") - F.col("n_with_in"))
+        .cast("long")
+        .alias("n_antihubs"),
+        stable_round(F.sqrt(var_in), 6).alias("sd_in_degree"),
+    )
+
+
+ORACLE_KNN_HUBNESS = f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % {_HUB_MOD} = 0
+), scored AS (
+  SELECT a.vec_id AS q, b.vec_id AS n,
+         floor((list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))))
+               * 1000000.0::DOUBLE + 0.5::DOUBLE)
+           / 1000000.0::DOUBLE AS sim
+  FROM s a JOIN s b ON a.vec_id != b.vec_id
+), edges AS (
+  SELECT q, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY q
+                                 ORDER BY sim DESC, n ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_HUB_K}
+), nn AS (
+  SELECT count(*) AS n_nodes FROM s
+), tot AS (
+  SELECT count(*) AS n_edges FROM edges
+), ind AS (
+  SELECT max(d) AS max_in_degree, sum(d * d) AS sum_d2,
+         count(*) AS n_with_in
+  FROM (SELECT n, count(*) AS d FROM edges GROUP BY 1)
+), rec AS (
+  SELECT count(*) AS n_mutual FROM edges e1
+  WHERE EXISTS (SELECT 1 FROM edges e2
+                WHERE e2.q = e1.n AND e2.n = e1.q)
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST({_HUB_K} AS INT) AS k,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       {sql_stable_round(
+           "CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)", 6)}
+         AS reciprocity,
+       CAST(max_in_degree AS BIGINT) AS max_in_degree,
+       CAST(n_nodes - n_with_in AS BIGINT) AS n_antihubs,
+       {sql_stable_round(
+           "sqrt(CAST(sum_d2 AS DOUBLE) / n_nodes"
+           " - (CAST(n_edges AS DOUBLE) / n_nodes)"
+           "   * (CAST(n_edges AS DOUBLE) / n_nodes))", 6)}
+         AS sd_in_degree
+FROM nn, tot, ind, rec
+""".strip()
+
+
 def q_embedding_procrustes_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2031,6 +2165,7 @@ def q_embedding_procrustes_drift(
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_procrustes_drift": q_embedding_procrustes_drift,
+    "embedding_knn_hubness": q_embedding_knn_hubness,
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "decontaminate_embedding": q_decontaminate_embedding,
     "embedding_hard_negatives": q_embedding_hard_negatives,
@@ -2072,6 +2207,7 @@ ORACLES: dict[str, str] = {
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_centroid_affinity": ORACLE_CENTROID_AFFINITY,
     "embedding_centroid_drift": ORACLE_CENTROID_DRIFT,
+    "embedding_knn_hubness": ORACLE_KNN_HUBNESS,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_filtered": ORACLE_ANN_FILTERED,
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,

@@ -508,3 +508,33 @@ def test_centroid_accuracy_bounds_and_coverage(spark, sf_small):
         assert 0 <= r.n_correct <= r.n_vecs
         assert 0.0 <= r.accuracy <= 1.0
     assert correct / total > 1.0 / n_labels
+
+
+def test_knn_hubness_hand_graph(spark, tmp_path):
+    """Hand-computable kNN graph: 8 identical vectors (ids 0,4..28,
+    ties → 5 smallest other ids) + 1 orthogonal outlier (id 32).
+    Every quantity is derivable by hand: the outlier and the two
+    highest identical ids are never chosen (3 antihubs), low ids are
+    hubs (in-degree 8), and exactly the clique among {0,4,8,12,16,20}
+    is mutual → reciprocity 30/45."""
+    from monasca_aggregator_spark.plans.similarity import (
+        q_embedding_knn_hubness,
+    )
+
+    d = 64
+    same = [1.0] + [0.0] * (d - 1)
+    orth = [0.0, 1.0] + [0.0] * (d - 2)
+    rows = [(i * 4, same, 0) for i in range(8)] + [(32, orth, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    (r,) = q_embedding_knn_hubness(spark, str(tmp_path)).collect()
+    assert r["n_nodes"] == 9
+    assert r["n_edges"] == 45
+    assert r["max_in_degree"] == 8
+    assert r["n_antihubs"] == 3
+    assert abs(r["reciprocity"] - 30 / 45) < 1e-6
+    # in-degrees: 8,8,8,8,8,5,0,0,0 → sd = sqrt(345/9 - 25)
+    assert abs(r["sd_in_degree"] - (345 / 9 - 25) ** 0.5) < 1e-6
