@@ -1584,7 +1584,104 @@ FROM canon GROUP BY 1
 """.strip()
 
 
+# ------------------------------------ Neyman-optimal eval allocation
+
+_NEYMAN_BUDGET = 1000  # total labeling/eval budget to allocate
+_DEC_PIPE = "decimal(38,0)"  # n·Σx² for n_chars ≈ 10⁵ passes BIGINT at
+# corpus scale (10⁹ docs × 10¹⁰ per-term ≈ 10¹⁹·n) — DEC38 mirrors
+# DuckDB's HUGEINT
+
+
+def q_sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEYMAN-optimal allocation of a fixed eval/labeling budget
+    across source strata (Neyman 1934): allocate n_h ∝ N_h·σ_h —
+    big AND internally-varied strata get the samples; a huge but
+    homogeneous stratum needs few. This is the sampling-THEORY
+    counterpart of the quota/stratified samplers (which take rates as
+    given): it computes the rates that minimize the variance of the
+    corpus-level estimate for a fixed budget, with the proportional
+    allocation (n_h ∝ N_h) beside it so the variance win is visible.
+
+    Exactness: σ_h comes from exact integer moments of n_chars
+    (n·Q − S² in DEC38/HUGEINT); the Neyman weight N_h·σ_h quantizes
+    to e3 fixed-point BEFORE the cross-stratum total (float-sum order
+    independence), and the allocated counts are integer floor
+    divisions of budget·w against that exact total — both engines
+    produce identical integers.
+
+    Scale: one source-keyed aggregate with map-side partials; the
+    stratum table (|sources| rows) broadcasts through a single total;
+    output is strata-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(
+            F.col("n_chars").cast(_DEC_PIPE)
+            * F.col("n_chars").cast(_DEC_PIPE)
+        ).alias("q"),
+    )
+    var = (
+        F.col("n").cast(_DEC_PIPE) * F.col("q")
+        - F.col("s").cast(_DEC_PIPE) * F.col("s").cast(_DEC_PIPE)
+    ).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    w_e3 = F.floor(
+        F.col("n").cast("double") * F.sqrt(var) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = per.select(
+        "source", "n", F.sqrt(var).alias("sd"), w_e3.alias("w")
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("tw"), F.sum("n").alias("tn")
+    )
+    j = weighted.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        stable_round(F.col("sd"), 4).alias("sd_chars"),
+        stable_round(
+            F.col("w").cast("double") / F.col("tw").cast("double"), 6
+        ).alias("neyman_share"),
+        F.expr(f"w * {_NEYMAN_BUDGET} div tw").alias("neyman_k"),
+        F.expr(f"n * {_NEYMAN_BUDGET} div tn").alias("proportional_k"),
+    )
+
+
+ORACLE_NEYMAN = f"""
+WITH per AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n,
+         sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n)) AS sd,
+         CAST(floor(n * sqrt(CAST(n * q - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n)) * 1000.0
+                    + 0.5) AS BIGINT) AS wgt
+  FROM per
+), tot AS (
+  SELECT sum(wgt) AS tw, sum(n) AS tn FROM w
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       {sql_stable_round("sd", 4)} AS sd_chars,
+       {sql_stable_round("CAST(wgt AS DOUBLE) / tw", 6)}
+         AS neyman_share,
+       CAST((wgt * {_NEYMAN_BUDGET}) // tw AS BIGINT) AS neyman_k,
+       CAST((n * {_NEYMAN_BUDGET}) // tn AS BIGINT) AS proportional_k
+FROM w, tot
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_neyman_allocation": q_sample_neyman_allocation,
     "dedup_url_canonical": q_dedup_url_canonical,
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
@@ -1620,6 +1717,7 @@ ORACLES: dict[str, str] = {
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "curation_url_filter": ORACLE_URL_FILTER,
     "dedup_url_canonical": ORACLE_URL_CANONICAL,
+    "sample_neyman_allocation": ORACLE_NEYMAN,
     "pack_chunk_spans": ORACLE_PACK_SPANS,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "split_group_aware": ORACLE_SPLIT_GROUP,

@@ -1982,6 +1982,89 @@ FROM per GROUP BY label
 """.strip()
 
 
+def q_embedding_whiten_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHITENING fix-and-measure for anisotropic embeddings (Su et
+    al. 2021 "whitening sentence representations" line; rows-only —
+    the eigen-solve is not SQL): `embedding_pair_cosine_hist` PROBES
+    the collapsed-representation pathology (random pairs all share a
+    dominant direction, so every cosine is high and retrieval
+    contrast dies); this query applies the standard fix — PCA-whiten
+    z = (x−μ)·W·Λ^(−½) — and reports the anisotropy (mean cosine
+    over deterministic adjacent-id pairs) BEFORE and AFTER on the
+    same pairs, so the probe's pathology and the fix's effect are one
+    measured row.
+
+    Scale: the PCA fit is the one-pass O(d²)-state partial-moment
+    sweep (operators/pca.py, no shuffle); whitening and the pair
+    cosines are row-local (one arithmetic-key self-join for the
+    adjacent pairs); the output is a single row.
+    """
+    from monasca_aggregator_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    model = pca_fit(emb, "embedding", k=_DIM)
+    proj = pca_project(
+        emb, model, "embedding", out_col="p", keep_cols=("vec_id",)
+    )
+    scale = [
+        float(1.0 / (ev + 1e-9) ** 0.5)
+        for ev in model.explained_variance
+    ]
+    white = proj.select(
+        "vec_id",
+        F.zip_with(
+            F.col("p").cast("array<double>"),
+            F.array(*[F.lit(s) for s in scale]),
+            lambda v, s: v * s,
+        ).alias("w"),
+    )
+    raw = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    both = raw.join(white, "vec_id").alias("a").join(
+        raw.join(white, "vec_id")
+        .select(
+            (F.col("vec_id") - 1).alias("vec_id"),
+            F.col("e").alias("e2"),
+            F.col("w").alias("w2"),
+        )
+        .alias("b"),
+        "vec_id",
+    )
+
+    def _cos(x, y):
+        dot = F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nx = F.sqrt(
+            F.aggregate(
+                F.zip_with(x, x, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        ny = F.sqrt(
+            F.aggregate(
+                F.zip_with(y, y, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return dot / (nx * ny)
+
+    return both.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(_cos(F.col("e"), F.col("e2"))).alias("mean_cos_raw"),
+        F.avg(_cos(F.col("w"), F.col("w2"))).alias(
+            "mean_cos_whitened"
+        ),
+    )
+
+
 _HUB_K = 5  # kNN fan-out for the graph-health diagnostic
 _HUB_MOD = 4  # deterministic sample: vec_id % _HUB_MOD == 0
 
@@ -2166,6 +2249,7 @@ def q_embedding_procrustes_drift(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_procrustes_drift": q_embedding_procrustes_drift,
     "embedding_knn_hubness": q_embedding_knn_hubness,
+    "embedding_whiten_eval": q_embedding_whiten_eval,  # rows-only
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
     "decontaminate_embedding": q_decontaminate_embedding,
     "embedding_hard_negatives": q_embedding_hard_negatives,

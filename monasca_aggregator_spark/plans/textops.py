@@ -1385,6 +1385,161 @@ FROM predicted GROUP BY 1, 2
 """.strip()
 
 
+_CAL_BUCKETS = 10  # confidence deciles for the reliability table
+
+
+def q_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the trigram language-ID classifier (the
+    reliability-diagram / ECE eval, Guo et al. 2017 line): per
+    confidence decile, is the classifier right as often as it is
+    confident? `text_langid_ngram` reports the confusion matrix
+    (WHERE it errs); this reports whether its confidence can be
+    TRUSTED as a routing/filter threshold — the difference between
+    "keep docs the model is ≥90% sure about" meaning 90% precision
+    or meaning nothing.
+
+    Confidence per holdout doc = winning language's profile overlap
+    ÷ total overlap across all language profiles, computed as an
+    exact integer ratio quantized by integer division
+    ((overlap·10⁶) div total — no float in the pipeline until the
+    final per-bucket divisions), so bucketing and sums are
+    bit-identical across engines. Per decile: docs, hits, accuracy,
+    mean confidence, and |accuracy − confidence| (the bucket's ECE
+    contribution; weight by n_docs/N to fold into one ECE number).
+
+    Scale: same plan as the langid eval (one trigram explode →
+    distinct partial-agg; ≤|langs|·50 profile rows broadcast into the
+    scoring join); the calibration table adds one doc-keyed aggregate
+    and a ≤10-row reduction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tri_arr = F.when(
+        F.length(F.lower("text")) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.lower("text")) - F.lit(2)),
+                lambda i: F.substring(F.lower("text"), i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tris = docs.select(
+        "doc_id", "lang", F.explode(tri_arr).alias("tri")
+    )
+    train = tris.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("df").desc(), F.col("tri").asc()
+    )
+    profile = (
+        train.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NG_PROFILE_K)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    test = tris.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    scored = (
+        test.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("p_lang").asc()
+    )
+    tot_w = Window.partitionBy("doc_id")
+    per_doc = (
+        scored.withColumn("total", F.sum("overlap").over(tot_w))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            (F.col("p_lang") == F.col("lang")).cast("long").alias(
+                "correct"
+            ),
+            F.expr("overlap * 1000000 div total").alias("conf_e6"),
+        )
+    )
+    bucket = F.least(
+        F.lit(_CAL_BUCKETS - 1),
+        F.expr(f"conf_e6 div {1_000_000 // _CAL_BUCKETS}"),
+    ).cast("int")
+    per_b = per_doc.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("correct").alias("n_correct"),
+        F.sum("conf_e6").alias("s_conf"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    conf = (
+        F.col("s_conf").cast("double")
+        / F.col("n_docs").cast("double")
+        / F.lit(1e6)
+    )
+    return per_b.select(
+        "bucket",
+        "n_docs",
+        F.col("n_correct").cast("long").alias("n_correct"),
+        stable_round(acc, 6).alias("accuracy"),
+        stable_round(conf, 6).alias("mean_confidence"),
+        stable_round(F.abs(acc - conf), 6).alias("calibration_gap"),
+    )
+
+
+ORACLE_LANGID_CALIBRATION = f"""
+WITH tris AS (
+  SELECT doc_id, lang, tri FROM (
+    SELECT doc_id, lang,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(lower(text)) - 2, 0) + 1),
+             i -> lower(text)[i:i+2]))) AS tri
+    FROM documents
+  )
+), profile AS (
+  SELECT lang AS p_lang, tri FROM (
+    SELECT lang, tri, row_number() OVER (
+             PARTITION BY lang ORDER BY count(*) DESC, tri ASC) AS rk
+    FROM tris WHERE doc_id % 5 <> 0 GROUP BY lang, tri
+  ) WHERE rk <= {_NG_PROFILE_K}
+), scored AS (
+  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS overlap
+  FROM tris t JOIN profile p USING (tri)
+  WHERE t.doc_id % 5 = 0
+  GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id,
+         CASE WHEN p_lang = lang THEN 1 ELSE 0 END AS correct,
+         (overlap * 1000000) // total AS conf_e6
+  FROM (
+    SELECT *, sum(overlap) OVER (PARTITION BY doc_id) AS total,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, p_lang ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), per_b AS (
+  SELECT CAST(least({_CAL_BUCKETS - 1},
+                    conf_e6 // {1_000_000 // _CAL_BUCKETS}) AS INT)
+           AS bucket,
+         count(*) AS n_docs, sum(correct) AS n_correct,
+         sum(conf_e6) AS s_conf
+  FROM per_doc GROUP BY 1
+)
+SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       {sql_stable_round(
+           "CAST(n_correct AS DOUBLE) / n_docs", 6)} AS accuracy,
+       {sql_stable_round(
+           "CAST(s_conf AS DOUBLE) / n_docs / 1e6", 6)}
+         AS mean_confidence,
+       {sql_stable_round(
+           "abs(CAST(n_correct AS DOUBLE) / n_docs"
+           " - CAST(s_conf AS DOUBLE) / n_docs / 1e6)", 6)}
+         AS calibration_gap
+FROM per_b
+""".strip()
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY: the fraction of a doc's distinct token
     trigrams whose first corpus occurrence (min doc_id, standing in
@@ -2066,6 +2221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,  # rows-only (iterative fit)
     "text_novelty": q_text_novelty,
     "text_langid_ngram": q_text_langid_ngram,
+    "langid_calibration": q_langid_calibration,
     "text_scrub": q_text_scrub,
     "quality_lang_norm": q_quality_lang_norm,
     "text_entropy": q_text_entropy,
@@ -2100,6 +2256,7 @@ ORACLES: dict[str, str] = {
     "text_readability": ORACLE_READABILITY,
     "text_novelty": ORACLE_NOVELTY,
     "text_langid_ngram": ORACLE_LANGID_NGRAM,
+    "langid_calibration": ORACLE_LANGID_CALIBRATION,
     "text_scrub": ORACLE_SCRUB,
     "quality_lang_norm": ORACLE_QUALITY_LANG_NORM,
     "text_entropy": ORACLE_ENTROPY,

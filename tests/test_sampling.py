@@ -544,3 +544,47 @@ def test_ngram_coverage_bounds(spark, sf_small):
     for r in rows.values():
         assert 0 <= r.n_covered <= r.n_shingles
         assert 0.0 <= r.coverage <= 1.0
+
+
+def test_neyman_beats_proportional_on_heteroscedastic_strata(
+    spark, tmp_path
+):
+    """A big but CONSTANT stratum needs (almost) no samples under
+    Neyman (σ_h = 0 → weight 0) while proportional allocation wastes
+    most of the budget on it; a small varied stratum takes the whole
+    Neyman budget."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        _NEYMAN_BUDGET,
+        q_sample_neyman_allocation,
+    )
+
+    rows = []
+    did = 0
+    # 'flat': 900 docs, all exactly 500 chars → sd 0
+    for _ in range(900):
+        rows.append((did, "x", "en", "flat", 500)); did += 1
+    # 'varied': 100 docs alternating 100 / 10000 chars → big sd
+    for i in range(100):
+        rows.append(
+            (did, "x", "en", "varied", 100 if i % 2 else 10000)
+        )
+        did += 1
+    pd.DataFrame(
+        rows,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.source: r
+        for r in q_sample_neyman_allocation(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    flat, varied = out["flat"], out["varied"]
+    assert flat.sd_chars == 0.0
+    assert flat.neyman_k == 0 and flat.neyman_share == 0.0
+    assert varied.neyman_k == _NEYMAN_BUDGET
+    # proportional would have sent 90% of the budget to the flat one
+    assert flat.proportional_k == 900
+    assert varied.proportional_k == 100

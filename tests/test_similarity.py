@@ -538,3 +538,30 @@ def test_knn_hubness_hand_graph(spark, tmp_path):
     assert abs(r["reciprocity"] - 30 / 45) < 1e-6
     # in-degrees: 8,8,8,8,8,5,0,0,0 → sd = sqrt(345/9 - 25)
     assert abs(r["sd_in_degree"] - (345 / 9 - 25) ** 0.5) < 1e-6
+
+
+def test_whiten_eval_fixes_anisotropy(spark, tmp_path):
+    """Anisotropic construction: every vector = big shared component
+    + small noise → raw adjacent-pair cosine ≈ 1 (the collapsed-
+    representation pathology). PCA-whitening removes the shared
+    direction: whitened mean cosine drops to ≈ 0."""
+    import numpy as np
+
+    from monasca_aggregator_spark.plans.similarity import (
+        q_embedding_whiten_eval,
+    )
+
+    rng = np.random.RandomState(5)
+    d, n = 64, 300
+    common = np.ones(d) * 10.0
+    vecs = common + rng.randn(n, d) * 0.5
+    rows = [(i, v.tolist(), 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    (r,) = q_embedding_whiten_eval(spark, str(tmp_path)).collect()
+    assert r["n_pairs"] == n - 1
+    assert r["mean_cos_raw"] > 0.95
+    assert abs(r["mean_cos_whitened"]) < 0.15

@@ -471,3 +471,41 @@ def test_quality_pivot_consistent_with_corpus(spark, sf_small):
         assert r.n_docs == d.n
         assert r.min_quality <= r.avg_quality <= 1.0
         assert abs(r.avg_quality - d.m) < 1e-3
+
+
+def test_langid_calibration_buckets(spark, tmp_path):
+    """Hand-separable languages: pure holdout docs classify with
+    confidence 1.0 → top bucket, zero calibration gap; a 50/50 mixed
+    doc lands in the 0.5 bucket with confidence exactly 500000/1e6
+    (integer division end to end)."""
+    import pandas as pd
+
+    from monasca_aggregator_spark.plans import textops as T
+
+    rows = []
+    # lang 'aa': train ids 1-4 ('aaaa' → only trigram 'aaa'),
+    # holdout id 0; lang 'bb' mirrors on ids 6-9 / 5.
+    for i in (1, 2, 3, 4):
+        rows.append((i, "aaaa", "aa", "s"))
+    rows.append((0, "aaaa", "aa", "s"))
+    for i in (6, 7, 8, 9):
+        rows.append((i, "bbbb", "bb", "s"))
+    rows.append((5, "bbbb", "bb", "s"))
+    # mixed holdout doc: trigrams {aaa, aab, abb, bbb} → overlap 1
+    # with each profile, tie → 'aa' predicted (asc), conf = 1/2
+    rows.append((10, "aaaabbbb", "aa", "s"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.bucket: r
+        for r in T.q_langid_calibration(spark, str(tmp_path)).collect()
+    }
+    top = out[9]
+    assert top.n_docs == 2 and top.n_correct == 2
+    assert top.accuracy == 1.0 and top.mean_confidence == 1.0
+    assert top.calibration_gap == 0.0
+    mid = out[5]
+    assert mid.n_docs == 1 and mid.n_correct == 1
+    assert abs(mid.mean_confidence - 0.5) < 1e-9
+    assert abs(mid.calibration_gap - 0.5) < 1e-9
