@@ -30,9 +30,13 @@ Semantics:
   carry by reference (stats intact)
 - ``snapshot_compact(cluster_by=...)``— Z-order clustered rewrite (the
   OPTIMIZE/ZORDER maintenance pass)
+- ``snapshot_tag(name)``              — immutable named refs pinning a
+  version (and its files) against expiry; ``snapshot_read(tag=...)``
+  is the "exactly as run X trained" read
 - ``snapshot_expire`` — time-travel retention: drop log entries older
-  than the keep window and delete data files no surviving version
-  references (the vacuum that keeps 100 TB of history affordable)
+  than the keep window (tagged versions always survive) and delete
+  data files no surviving version references (the vacuum that keeps
+  100 TB of history affordable)
 
 Scale: a commit is ONE small JSON (file paths only); reads plan from
 the file list so Spark's parquet scan still does row-group pruning and
@@ -253,6 +257,7 @@ def snapshot_read(
     path: str,
     *,
     version: int | None = None,
+    tag: str | None = None,
     merge_schema: bool = False,
     prune: dict | None = None,
 ) -> DataFrame:
@@ -275,6 +280,15 @@ def snapshot_read(
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = snapshot_tags(path)
+        if tag not in tags:
+            raise ValueError(
+                f"tag {tag!r} not found (have {sorted(tags)})"
+            )
+        version = tags[tag]
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(
@@ -326,6 +340,70 @@ def snapshot_read(
 def snapshot_history(path: str) -> list[dict]:
     """Commit records, ascending — the audit trail of the dataset."""
     return [_read_commit(path, v) for v in snapshot_versions(path)]
+
+
+# ------------------------------------------------- named refs (tags)
+
+
+def _ref_file(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(_log_dir(path), f"ref-{name}.json")
+
+
+def snapshot_tag(
+    path: str, name: str, version: int | None = None
+) -> dict:
+    """Pin a NAMED TAG to a version (latest if omitted) — the Iceberg
+    tag semantics that close the reproducibility loop: "read me
+    exactly as run X trained" becomes ``snapshot_read(tag="run-x")``,
+    and ``snapshot_expire`` keeps every tagged version (and its data
+    files) alive no matter how old, until the tag is dropped.
+
+    Tags are immutable once created (exclusive-create publish, the
+    commit-record contract — racing writers can't silently clobber a
+    run's pin); re-pointing a tag is delete + re-create, which leaves
+    an explicit gap in the audit trail instead of a silent mutation.
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in table")
+    record = {"name": name, "version": v}
+    tmp = os.path.join(_log_dir(path), f".tmp-ref-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    try:
+        os.link(tmp, _ref_file(path, name))
+    except FileExistsError:
+        raise RuntimeError(
+            f"tag {name!r} already exists (tags are immutable: "
+            "snapshot_untag first to re-point)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return record
+
+
+def snapshot_untag(path: str, name: str) -> None:
+    """Drop a tag. The pinned version becomes expirable again."""
+    os.remove(_ref_file(path, name))
+
+
+def snapshot_tags(path: str) -> dict[str, int]:
+    """{tag name: pinned version} for every live tag."""
+    d = _log_dir(path)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("ref-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                rec = json.load(fh)
+            out[rec["name"]] = rec["version"]
+    return out
 
 
 def batch_committed(path: str, batch_id: int) -> bool:
@@ -694,14 +772,17 @@ def snapshot_compact(
 
 
 def snapshot_expire(path: str, *, keep_last: int) -> dict:
-    """Retention vacuum: keep the newest ``keep_last`` versions, drop
-    older log entries, and delete every data file no surviving
+    """Retention vacuum: keep the newest ``keep_last`` versions PLUS
+    every tagged version (a tag is a reproducibility pin — see
+    ``snapshot_tag``; drop the tag to let its version expire), drop
+    other log entries, and delete every data file no surviving
     version references. Returns {removed_versions, removed_files}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(path)
-    drop = versions[:-keep_last]
-    keep = versions[-keep_last:]
+    pinned = set(snapshot_tags(path).values())
+    keep = sorted(set(versions[-keep_last:]) | pinned)
+    drop = [v for v in versions if v not in keep]
     live: set[str] = set()
     for v in keep:
         live.update(_read_commit(path, v)["files"])

@@ -617,3 +617,52 @@ def test_snapshot_compact_zorder_clusters_files(spark, tmp_path):
         "a <= 7"
     )
     assert out.count() == 8 * 64
+
+
+def test_snapshot_tags_pin_versions_against_expiry(spark, tmp_path):
+    """The reproducibility loop: tag the version a training run read,
+    commit more, expire aggressively — the tagged version AND its
+    data files survive and read back exactly; drop the tag and the
+    next expire reclaims it. Tags are immutable (exclusive create)."""
+    import pytest
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_expire,
+        snapshot_tag,
+        snapshot_tags,
+        snapshot_untag,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 100, "a"), path, shards=1)
+    snapshot_tag(path, "run-x")  # pins v1
+    for i in range(4):
+        snapshot_write(
+            _df(spark, 100 * (i + 2), 100 * (i + 3), "b"),
+            path,
+            mode="overwrite",
+            shards=1,
+        )
+    assert snapshot_tags(path) == {"run-x": 1}
+    # immutable: re-tagging the same name raises
+    with pytest.raises(RuntimeError, match="immutable"):
+        snapshot_tag(path, "run-x", version=3)
+    r = snapshot_expire(path, keep_last=2)
+    assert 1 not in r["removed_versions"]  # pinned survives
+    assert 1 in r["kept_versions"]
+    got = snapshot_read(spark, path, tag="run-x")
+    assert got.count() == 100
+    assert got.filter("batch = 'a'").count() == 100
+    # read by tag + version together is an error; unknown tag too
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, path, tag="run-x", version=1)
+    with pytest.raises(ValueError, match="not found"):
+        snapshot_read(spark, path, tag="nope")
+    # drop the pin → next expire reclaims version 1 and its files
+    snapshot_untag(path, "run-x")
+    v1_files = set(snapshot_history(path)[0]["files"])
+    r2 = snapshot_expire(path, keep_last=2)
+    assert 1 in r2["removed_versions"]
+    import os
+
+    assert not any(os.path.exists(f) for f in v1_files)
