@@ -5,6 +5,9 @@ team actually runs, built from this package's operators —
       → URL/domain gate (optional, when rows carry a URL column:
         blocklist / TLD policy / per-domain crawl-balance cap —
         operators/urlfilter.py, the CCNet/fineweb entry stage)
+      → canonical-URL dedup (optional: cosmetic URL variants of the
+        same page collapse to one row before any content loads —
+        operators/urlfilter.canonical_url)
       → HTML main-content extraction (raw-HTML rows replaced by their
         boilerplate-stripped main text, all-chrome pages dropped —
         jusText-lite, operators/html.py; plain-text rows pass through)
@@ -69,6 +72,7 @@ def curate_corpus(
     url_blocklist: tuple = (),
     url_blocked_tlds: tuple = (".xyz",),
     url_per_domain_cap: int | None = None,
+    url_dedup: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline over a ``documents``-shaped
     relation (doc_id, text, lang, source, n_chars). Returns
@@ -101,6 +105,28 @@ def curate_corpus(
             per_domain_cap=url_per_domain_cap,
         )
         record("url_filter", docs)
+
+        # -0.5. canonical-URL dedup (optional): crawl records of the
+        # SAME page under cosmetic URL variation (scheme/case/www/
+        # query/fragment/trailing slash) collapse to one row BEFORE
+        # any content loads — cheaper than every text stage below and
+        # exactly the CCNet entry dedup. Keep the lowest doc_id per
+        # canonical key (the exact_dedup survivor rule).
+        if url_dedup:
+            from monasca_aggregator_spark.operators.urlfilter import (
+                canonical_url,
+            )
+
+            canon = docs.withColumn(
+                "_canon", canonical_url(F.col(url_col))
+            )
+            keep = canon.groupBy("_canon").agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            docs = canon.join(
+                keep, ["_canon", "doc_id"], "left_semi"
+            ).drop("_canon")
+            record("url_dedup", docs)
 
     # 0. HTML main-content extraction: rows whose text is raw HTML are
     # replaced by their extracted main content (jusText-lite link-

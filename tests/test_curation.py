@@ -218,3 +218,43 @@ def test_canonical_url_collapses_cosmetic_variants(spark):
     assert got[6] == "news.example.com/p/8"
     assert got[7] == "blog.example.org/p/7"
     assert got[8] == got[9] == "news.example.com"
+
+
+def test_curate_corpus_url_dedup_stage(spark):
+    """url_dedup=True collapses cosmetic URL variants of the same
+    page to the lowest doc_id BEFORE content stages, with its own
+    manifest row between url_filter and html_extract; distinct pages
+    survive."""
+    base = (
+        "useful text with many plain words and a few more to pass"
+        " quality gates easily"
+    )
+    rows = [
+        (1, base + " one", "en", "web", 90,
+         "https://news.example.com/p/7"),
+        (2, base + " two", "en", "web", 90,
+         "https://WWW.news.example.com/p/7/"),  # variant of 1
+        (3, base + " three", "en", "web", 90,
+         "http://news.example.com/p/7?utm_source=x"),  # variant of 1
+        (4, "completely different clean sentence about gardens"
+            " rivers mountains and weather patterns in autumn",
+         "en", "web", 90,
+         "https://news.example.com/p/8"),  # distinct page
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, url string",
+    )
+    curated, manifest = curate_corpus(
+        spark, docs, None, url_col="url", url_dedup=True
+    )
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert m["url_filter"] == 4
+    assert m["url_dedup"] == 2  # 1 survives its variant group, + 4
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 1 in ids and 4 in ids
+    assert not {2, 3} & ids
+    assert list(m)[:4] == [
+        "raw", "url_filter", "url_dedup", "html_extract",
+    ]
