@@ -283,6 +283,22 @@ BENCH_QUERIES = [
     "events_audience_overlap",
     "text_unicode_health",
     "orders_seasonality_index",
+    # round-8 continuation additions
+    "recsys_popularity_hitrate",
+    "graph_link_prediction",
+    "metric_sax_motifs",
+    "metric_anomaly_fdr",
+    "dedup_url_canonical",
+    "events_ldiversity",
+    "metric_ar1_fit",
+    "corpus_lognormal_fit",
+    "embedding_knn_hubness",
+    "langid_calibration",
+    "sample_neyman_allocation",
+    "embedding_procrustes_drift",
+    "embedding_whiten_eval",
+    "corpus_burrows_delta",
+    "lineitem_price_elasticity",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the
@@ -418,6 +434,11 @@ def main() -> None:
             "orders_consistency_audit", "sessions_capped",
             "corpus_ks_by_source", "events_dup_rate",
             "ann_recall_report", "graph_kcore_ann",
+            # r8-continuation representatives: fact⋈fact recsys split,
+            # wedge-enumeration link prediction, bucket-histogram
+            # global-rank BH screen, canonical-URL groupBy
+            "recsys_popularity_hitrate", "graph_link_prediction",
+            "metric_anomaly_fdr", "dedup_url_canonical",
         ]
         # Expected-ratio model at ×8 (VERDICT r5 stretch): a soak gate,
         # not a trend log. Default bound 6.0 = every r5-measured ratio

@@ -900,7 +900,163 @@ FROM pairs GROUP BY month
 """.strip()
 
 
+# ------------------------------------ Burrows' Delta stylometry
+
+_BURROWS_K = 30  # most-frequent corpus words ("function words")
+
+
+def q_corpus_burrows_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burrows' DELTA between every source pair (Burrows 2002, the
+    standard stylometric distance): z-score each source's relative
+    frequency of the corpus's top-30 words (high-frequency words ≈
+    function words — style carriers, not topic carriers), Delta(a,b)
+    = mean |z_a − z_b|. Two crawls of the same underlying site read
+    as near-zero Delta even when topics differ; a source whose
+    "style" sits far from every other is machine-generated or a
+    different register — the STYLE face of the divergence family
+    (`text_jsd_by_source` measures vocabulary mix, this measures how
+    the shared vocabulary is USED).
+
+    Exactness: relative frequencies quantize to e9 by integer
+    division (count·10⁹ div total); z = (S·f − T)/√(S·Q − T²) from
+    exact BIGINT/DEC38 moments over the dense source×word grid
+    (missing words count 0 — absence is a stylistic signal), then
+    e6-quantized before the pairwise sums so Delta is an integer sum
+    into ONE division. Zero-variance words are excluded (reported in
+    n_words).
+
+    Scale: token counts are a vocabulary-bounded aggregate with
+    map-side partials; the top-K word list broadcasts; everything
+    after lives on the |sources|×30 grid and the |sources|² pair
+    table."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("w"))
+        .limit(_BURROWS_K)
+        .select("w")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "coalesce(c, 0) * 1000000000 div tot"
+            ).alias("f"),
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("f").alias("t"),
+        F.sum(F.col("f").cast(_DEC) * F.col("f").cast(_DEC)).alias("q"),
+    )
+    den = (
+        F.col("s").cast(_DEC) * F.col("q")
+        - F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+    ).cast("double")
+    z = grid.join(F.broadcast(stats), "w").filter(den > 0).select(
+        "source",
+        "w",
+        F.floor(
+            (
+                F.col("s").cast(_DEC) * F.col("f").cast(_DEC)
+                - F.col("t").cast(_DEC)
+            ).cast("double")
+            / F.sqrt(den)
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("z_e6"),
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"),
+        "w",
+        F.col("z_e6").alias("zb_e6"),
+    )
+    pairs = (
+        z.join(zb, "w")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(
+            F.col("source").alias("source_a"), F.col("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.abs(F.col("z_e6") - F.col("zb_e6"))).alias(
+                "sum_dz"
+            ),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("n_words").cast("long").alias("n_words"),
+        stable_round(
+            F.col("sum_dz").cast("double")
+            / F.col("n_words").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("delta"),
+    )
+
+
+ORACLE_BURROWS = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+           AS w
+  FROM documents
+), counts AS (
+  SELECT source, w, count(*) AS c FROM toks WHERE w <> ''
+  GROUP BY 1, 2
+), top AS (
+  SELECT w FROM (
+    SELECT w, sum(c) AS tc FROM counts GROUP BY 1
+  ) ORDER BY tc DESC, w LIMIT {_BURROWS_K}
+), totals AS (
+  SELECT source, sum(c) AS tot FROM counts GROUP BY 1
+), grid AS (
+  SELECT t.source, p.w,
+         (coalesce(c.c, 0) * 1000000000) // t.tot AS f
+  FROM totals t CROSS JOIN top p
+  LEFT JOIN counts c ON c.source = t.source AND c.w = p.w
+), stats AS (
+  SELECT w, count(*) AS s, sum(f) AS t,
+         sum(CAST(f AS HUGEINT) * f) AS q
+  FROM grid GROUP BY 1
+), z AS (
+  SELECT g.source, g.w,
+         CAST(floor(CAST(st.s * CAST(g.f AS HUGEINT) - st.t AS DOUBLE)
+                    / sqrt(CAST(st.s * st.q
+                                - CAST(st.t AS HUGEINT) * st.t
+                                AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS z_e6
+  FROM grid g JOIN stats st USING (w)
+  WHERE CAST(st.s * st.q - CAST(st.t AS HUGEINT) * st.t AS DOUBLE) > 0
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_words,
+       {sql_stable_round(
+           "CAST(sum(abs(a.z_e6 - b.z_e6)) AS DOUBLE)"
+           " / count(*) / 1e6", 6)} AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_burrows_delta": q_corpus_burrows_delta,
     "corpus_checksum_by_source": q_corpus_checksum_by_source,
     "orders_duplicate_invoices": q_orders_duplicate_invoices,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -915,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "corpus_burrows_delta": ORACLE_BURROWS,
     "corpus_checksum_by_source": ORACLE_CORPUS_CHECKSUM,
     "orders_duplicate_invoices": ORACLE_DUP_INVOICES,
     "lineitem_key_skew": ORACLE_KEY_SKEW,

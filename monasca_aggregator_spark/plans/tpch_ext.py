@@ -1192,7 +1192,129 @@ FROM j GROUP BY 1
 """.strip()
 
 
+# ----------------------------------------- log-log price elasticity
+
+_DEC_EL = "decimal(38,0)"
+
+
+def q_lineitem_price_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Own-price ELASTICITY of demand per part brand (the log-log
+    regression econometrics runs on transaction data): ε = slope of
+    OLS ln(quantity) ~ ln(unit price) over a brand's line items —
+    ε ≈ −1 means revenue-neutral pricing, ε near 0 means demand
+    ignores price. Completes the pricing family: `part_price_spread`
+    (how much price varies), `lineitem_price_index` (how prices
+    move), elasticity (what that movement DOES to volume).
+
+    Exactness: both logs quantize to e6 fixed point BEFORE
+    aggregation (floor(ln·10⁶+½) — IEEE ln identical both engines;
+    raw float Σln is summation-order dependent), unit price itself an
+    exact e2 integer ratio (extprice·100 div qty, cents). The OLS
+    moments are exact BIGINT/DEC38 sums; slope and r² are single
+    divisions. Brands with zero price variance report NULL ε.
+
+    Scale: one lineitem⋈part broadcast-dim join, brand-keyed
+    aggregate with map-side partials, brand-sized output.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("ext_e2"),
+    ).filter(F.col("qty") > 0)
+    j = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_brand",
+        F.floor(
+            F.log(F.col("qty").cast("double")) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y"),
+        F.floor(
+            F.log(
+                F.expr("ext_e2 div qty").cast("double") / F.lit(100.0)
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    s = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(_DEC_EL) * F.col("y").cast(_DEC_EL)).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast(_DEC_EL) * F.col("x").cast(_DEC_EL)).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast(_DEC_EL) * F.col("y").cast(_DEC_EL)).alias(
+            "syy"
+        ),
+    )
+    nd = F.col("n").cast(_DEC_EL)
+    cov = (nd * F.col("sxy") - F.col("sx").cast(_DEC_EL) * F.col("sy").cast(_DEC_EL)).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx").cast(_DEC_EL) * F.col("sx").cast(_DEC_EL)).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy").cast(_DEC_EL) * F.col("sy").cast(_DEC_EL)).cast("double")
+    eps = F.when(vx != 0, cov / vx)
+    r = cov / F.sqrt(vx) / F.sqrt(vy)
+    r2 = F.when((vx != 0) & (vy != 0), r * r)
+    return s.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").alias("n_lines"),
+        stable_round(eps, 6).alias("elasticity"),
+        stable_round(r2, 6).alias("r2"),
+    )
+
+
+ORACLE_ELASTICITY = f"""
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(floor(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT) AS y,
+         CAST(floor(ln(CAST((CAST(floor(l.l_extendedprice * 100 + 0.5)
+                              AS BIGINT) // CAST(l.l_quantity AS BIGINT))
+                             AS DOUBLE) / 100.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE CAST(l.l_quantity AS BIGINT) > 0
+), s AS (
+  SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY 1
+), f AS (
+  SELECT p_brand, n,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+  FROM s
+)
+SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_lines,
+       {sql_stable_round("CASE WHEN vx != 0 THEN cov / vx END", 6)}
+         AS elasticity,
+       {sql_stable_round(
+           "CASE WHEN vx != 0 AND vy != 0"
+           " THEN (cov / sqrt(vx) / sqrt(vy))"
+           " * (cov / sqrt(vx) / sqrt(vy)) END", 6)}
+         AS r2
+FROM f
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_price_elasticity": q_lineitem_price_elasticity,
     "lineitem_price_index": q_lineitem_price_index,
     "region_revenue_yoy": q_region_revenue_yoy,
     "part_price_spread": q_part_price_spread,
@@ -1216,6 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lineitem_price_elasticity": ORACLE_ELASTICITY,
     "region_revenue_yoy": ORACLE_REGION_YOY,
     "part_price_spread": ORACLE_PART_PRICE_SPREAD,
     "lineitem_discount_uplift": ORACLE_DISCOUNT_UPLIFT,
