@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "embedding_whiten_eval",
     "corpus_burrows_delta",
     "lineitem_price_elasticity",
+    "events_ab_did",
+    "metric_anova_days",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -1805,6 +1805,139 @@ FROM pts, fit
 _CUPED_SPLIT_DAY = 15  # pre-period = days < 15, post = days ≥ 15
 
 
+def q_events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES experiment readout (the classic
+    causal-inference design): effect = (treatment post − treatment
+    pre) − (control post − control pre) on per-user-day conversion —
+    the estimator that survives what breaks the plain z-test
+    (`events_ab_test`): a level DIFFERENCE between the arms that
+    existed BEFORE the treatment (bad randomization, pre-existing
+    cohort skew) cancels out of the double difference. Completes the
+    experimentation family: z-test (clean randomization), CUPED
+    (variance reduction), DiD (baseline-shift robustness).
+
+    Cells share `events_ab_test`'s exact protocol: variant =
+    user_id mod 2, conversion = any purchase in the (user, day),
+    pre/post at corpus day 15 (`_CUPED_SPLIT_DAY`). The SE is the
+    four-cell binomial sum √(Σ p(1−p)/n) folded in one FIXED
+    parenthesization so both engines produce the identical double;
+    everything upstream is exact BIGINT counts.
+
+    Scale: one distinct (user, day, variant, converted) collapse with
+    map-side partials, then a 4-cell reduction — scalar algebra after
+    that.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        (F.unix_millis("ts") - F.lit(1_704_067_200_000))
+        / F.lit(_DAY_MS)
+    ).cast("long")
+    per_ud = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            (day >= _CUPED_SPLIT_DAY).cast("int").alias("post"),
+            "user_id",
+            day.alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("variant", "post", "user_id", "day")
+        .agg(F.max("p").alias("converted"))
+    )
+    cells = per_ud.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("c"),
+    )
+    wide = cells.groupBy().pivot("variant", [0, 1]).agg(
+        F.sum(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.sum(F.when(F.col("post") == 0, F.col("c"))).alias("c_pre"),
+        F.sum(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+        F.sum(F.when(F.col("post") == 1, F.col("c"))).alias("c_post"),
+    )
+
+    def rate(c, n):
+        return F.col(c).cast("double") / F.col(n).cast("double")
+
+    p0a, p0b = rate("0_c_pre", "0_n_pre"), rate("0_c_post", "0_n_post")
+    p1a, p1b = rate("1_c_pre", "1_n_pre"), rate("1_c_post", "1_n_post")
+    did = (p1b - p1a) - (p0b - p0a)
+
+    def vterm(p, n):
+        return p * (F.lit(1.0) - p) / F.col(n).cast("double")
+
+    se = F.sqrt(
+        (
+            (vterm(p0a, "0_n_pre") + vterm(p0b, "0_n_post"))
+            + vterm(p1a, "1_n_pre")
+        )
+        + vterm(p1b, "1_n_post")
+    )
+    return wide.select(
+        F.col("0_n_pre").alias("n_ctrl_pre"),
+        F.col("0_n_post").alias("n_ctrl_post"),
+        F.col("1_n_pre").alias("n_treat_pre"),
+        F.col("1_n_post").alias("n_treat_post"),
+        stable_round(p0a, 6).alias("rate_ctrl_pre"),
+        stable_round(p0b, 6).alias("rate_ctrl_post"),
+        stable_round(p1a, 6).alias("rate_treat_pre"),
+        stable_round(p1b, 6).alias("rate_treat_post"),
+        stable_round(did, 6).alias("did"),
+        stable_round(se, 6).alias("se"),
+        stable_round(did / se, 4).alias("z"),
+    )
+
+
+ORACLE_AB_DID = f"""
+WITH per_ud AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CASE WHEN (epoch_ms(ts) - 1704067200000) // {_DAY_MS}
+                   >= {_CUPED_SPLIT_DAY} THEN 1 ELSE 0 END AS post,
+         user_id,
+         (epoch_ms(ts) - 1704067200000) // {_DAY_MS} AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2, 3, 4
+), cells AS (
+  SELECT variant, post, count(*) AS n, sum(converted) AS c
+  FROM per_ud GROUP BY 1, 2
+), wide AS (
+  SELECT
+    max(CASE WHEN variant=0 AND post=0 THEN n END) AS n0a,
+    max(CASE WHEN variant=0 AND post=0 THEN c END) AS c0a,
+    max(CASE WHEN variant=0 AND post=1 THEN n END) AS n0b,
+    max(CASE WHEN variant=0 AND post=1 THEN c END) AS c0b,
+    max(CASE WHEN variant=1 AND post=0 THEN n END) AS n1a,
+    max(CASE WHEN variant=1 AND post=0 THEN c END) AS c1a,
+    max(CASE WHEN variant=1 AND post=1 THEN n END) AS n1b,
+    max(CASE WHEN variant=1 AND post=1 THEN c END) AS c1b
+  FROM cells
+), r AS (
+  SELECT *,
+    CAST(c0a AS DOUBLE)/n0a AS p0a, CAST(c0b AS DOUBLE)/n0b AS p0b,
+    CAST(c1a AS DOUBLE)/n1a AS p1a, CAST(c1b AS DOUBLE)/n1b AS p1b
+  FROM wide
+), f AS (
+  SELECT *,
+    (p1b - p1a) - (p0b - p0a) AS did,
+    sqrt(((p0a*(1.0 - p0a)/n0a + p0b*(1.0 - p0b)/n0b)
+          + p1a*(1.0 - p1a)/n1a)
+         + p1b*(1.0 - p1b)/n1b) AS se
+  FROM r
+)
+SELECT CAST(n0a AS BIGINT) AS n_ctrl_pre,
+       CAST(n0b AS BIGINT) AS n_ctrl_post,
+       CAST(n1a AS BIGINT) AS n_treat_pre,
+       CAST(n1b AS BIGINT) AS n_treat_post,
+       {sql_stable_round("p0a", 6)} AS rate_ctrl_pre,
+       {sql_stable_round("p0b", 6)} AS rate_ctrl_post,
+       {sql_stable_round("p1a", 6)} AS rate_treat_pre,
+       {sql_stable_round("p1b", 6)} AS rate_treat_post,
+       {sql_stable_round("did", 6)} AS did,
+       {sql_stable_round("se", 6)} AS se,
+       {sql_stable_round("did / se", 4)} AS z
+FROM f
+""".strip()
+
+
 def q_events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout (Deng et al. WSDM'13,
     the standard trick on every experimentation platform): per-user
@@ -2221,6 +2354,7 @@ JOIN sizes sb ON sb.event_type = inter.type_b
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
+    "events_ab_did": q_events_ab_did,
     "events_dau_mau": q_events_dau_mau,
     "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
     "quality_iqr_outliers": q_quality_iqr_outliers,
@@ -2249,6 +2383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "text_burstiness": ORACLE_BURSTINESS,
     "events_ab_test": ORACLE_AB_TEST,
+    "events_ab_did": ORACLE_AB_DID,
     "events_dau_mau": ORACLE_DAU_MAU,
     "metric_hod_dow_heatmap": ORACLE_HOD_DOW,
     "quality_iqr_outliers": ORACLE_IQR_OUTLIERS,

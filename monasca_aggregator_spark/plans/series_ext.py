@@ -2207,6 +2207,122 @@ FROM terms GROUP BY event_type
 """.strip()
 
 
+# ------------------------------- day-level variance decomposition
+
+_DAY_MS_ANOVA = 24 * 3600 * 1000
+
+
+def q_metric_anova_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA per metric with DAYS as groups — the variance
+    DECOMPOSITION the anomaly family implicitly assumes an answer to:
+    is this metric's noise hour-to-hour jitter WITHIN a day
+    (trailing-window baselines work) or day-to-day level shifts
+    BETWEEN days (only the seasonal/day-relative baselines can work)?
+    η² = SS_between/SS_total is the fraction of hourly variance
+    explained by which day it is; F = (SS_b/(k−1))/(SS_w/(n−k)) the
+    classical test statistic.
+
+    Exactness: the only divisions inside the sums — S_d² div n_d and
+    S² div n — run as exact two-step long division on BIGINTs
+    (q = S div n, r = S mod n → S² div n = q·S + (r·S) div n, the
+    product q·S carried in DEC38/HUGEINT), because a direct
+    DECIMAL(38,0) ``div`` silently overflows its BIGINT result in
+    Spark. Each floor loses <1 against terms ~10³², identically in
+    both engines; the final η²/F are single double divisions.
+
+    Scale: raw scan → |metrics|×|hours| series (one shuffle); the
+    day aggregate and metric rollup are metric-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long")
+            * F.lit(_HOUR_MS)
+        ).alias("w"),
+    ).agg(F.sum("e2").alias("v"))
+    per_day = hourly.groupBy(
+        "event_type",
+        F.expr(f"w div {_DAY_MS_ANOVA}").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("v").alias("sd"),
+        F.sum(F.col("v").cast(_DEC_AR) * F.col("v").cast(_DEC_AR)).alias(
+            "qd"
+        ),
+    )
+    # exact floor(sd² / nd): q·sd + (r·sd) div nd with q,r BIGINT
+    td = F.expr("sd div nd").cast(_DEC_AR) * F.col("sd").cast(
+        _DEC_AR
+    ) + F.expr("((sd % nd) * sd) div nd").cast(_DEC_AR)
+    per_metric = per_day.groupBy("event_type").agg(
+        F.sum("nd").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sd").alias("s"),
+        F.sum("qd").alias("q"),
+        F.sum(td).alias("a"),
+    )
+    b = F.expr("s div n").cast(_DEC_AR) * F.col("s").cast(
+        _DEC_AR
+    ) + F.expr("((s % n) * s) div n").cast(_DEC_AR)
+    ss_b = (F.col("a") - b).cast("double")
+    ss_w = (F.col("q") - F.col("a")).cast("double")
+    ss_t = (F.col("q") - b).cast("double")
+    eta2 = F.when(ss_t > 0, ss_b / ss_t)
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ss_w > 0),
+        (ss_b / (F.col("k") - 1).cast("double"))
+        / (ss_w / (F.col("n") - F.col("k")).cast("double")),
+    )
+    return per_metric.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("k").cast("long").alias("n_days"),
+        stable_round(eta2, 6).alias("eta2_between_days"),
+        stable_round(f_stat, 4).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA_DAYS = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS w,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), per_day AS (
+  SELECT event_type, w // {_DAY_MS_ANOVA} AS day,
+         count(*) AS nd, sum(v) AS sd,
+         sum(CAST(v AS HUGEINT) * v) AS qd
+  FROM hourly GROUP BY 1, 2
+), per_metric AS (
+  SELECT event_type, sum(nd) AS n, count(*) AS k, sum(sd) AS s,
+         sum(qd) AS q,
+         sum(CAST(sd // nd AS HUGEINT) * sd
+             + ((sd % nd) * sd) // nd) AS a
+  FROM per_day GROUP BY 1
+), f AS (
+  SELECT event_type, n, k, q, a,
+         CAST(s // n AS HUGEINT) * s + ((s % n) * s) // n AS b
+  FROM per_metric
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(k AS BIGINT) AS n_days,
+       {sql_stable_round(
+           "CASE WHEN CAST(q - b AS DOUBLE) > 0 THEN"
+           " CAST(a - b AS DOUBLE) / CAST(q - b AS DOUBLE) END", 6)}
+         AS eta2_between_days,
+       {sql_stable_round(
+           "CASE WHEN k > 1 AND n > k AND CAST(q - a AS DOUBLE) > 0"
+           " THEN (CAST(a - b AS DOUBLE) / (k - 1))"
+           " / (CAST(q - a AS DOUBLE) / (n - k)) END", 4)} AS f_stat
+FROM f
+""".strip()
+
+
 # ----------------------------------------- AR(1) mean-reversion fit
 
 _DEC_AR = "decimal(38,0)"
@@ -2331,6 +2447,7 @@ FROM f
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_ar1_fit": q_metric_ar1_fit,
+    "metric_anova_days": q_metric_anova_days,
     "metric_p95_trend": q_metric_p95_trend,
     "metric_psi": q_metric_psi,
     "agg_distinct_overlap": q_agg_distinct_overlap,
@@ -2357,6 +2474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "metric_ar1_fit": ORACLE_AR1,
+    "metric_anova_days": ORACLE_ANOVA_DAYS,
     "metric_p95_trend": ORACLE_P95_TREND,
     "metric_psi": ORACLE_PSI,
     "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,

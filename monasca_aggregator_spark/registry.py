@@ -154,10 +154,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # tpch_q21_waiting / sample_quota_source / events_retention /
 # range_join_ship / metric_alert_hysteresis / agg_stddev /
 # metric_gapfill / metric_downsample_m4 / metric_correlation /
-# metric_winsorize / pack_length_buckets / agg_sliding
-# (embedding_knn_hubness / langid_calibration /
-# sample_neyman_allocation / corpus_burrows_delta /
-# lineitem_price_elasticity took those slots), all r2/r3/r8-green), closing with the 3 late-r7
+# metric_winsorize / pack_length_buckets / agg_sliding /
+# order_curriculum / grouping_sets_mixed (embedding_knn_hubness /
+# langid_calibration / sample_neyman_allocation /
+# corpus_burrows_delta / lineitem_price_elasticity / events_ab_did /
+# metric_anova_days took those slots), all r2/r3/r8-green), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -167,8 +168,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_centroids", "embedding_quantize",
 #     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
 #     "dedup_containment", "sample_weighted_k", "sample_budget_mix",
-#     "sample_top_p_source", "corpus_diff", "order_curriculum",
-#     "grouping_sets_mixed",
+#     "sample_top_p_source", "corpus_diff",
+#     "events_ab_did", "metric_anova_days",
 #     "corpus_burrows_delta", "lineitem_price_elasticity",
 #     "langid_calibration", "sample_neyman_allocation",
 #     "embedding_knn_hubness",

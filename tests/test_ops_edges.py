@@ -247,3 +247,67 @@ def test_ar1_fit_recovers_phi_and_halflife(spark):
     assert abs(ar.halflife_hours - 1.0) < 1e-3
     assert abs(ar.intercept - 100.0) < 0.05
     assert out["const"].phi is None
+
+
+def test_did_cancels_baseline_and_recovers_lift(spark):
+    """A 40-point PRE-EXISTING level difference between arms cancels
+    out of the double difference; a genuine post-only +20-point lift
+    in the treatment arm is recovered exactly."""
+    import monasca_aggregator_spark.plans.insights as imod
+    from monasca_aggregator_spark.plans.insights import q_events_ab_did
+
+    DAY0 = 1_704_067_200_000  # 2024-01-01 (the query's epoch anchor)
+    rows, eid = [], 0
+    for uid in range(10):
+        treat = uid % 2 == 1
+        for day in range(30):
+            t = DAY0 + day * 86_400_000 + uid * 1000
+            rows.append((eid, "view", uid, t, 1.0)); eid += 1
+            post = day >= 15
+            if treat:
+                # 60% pre; post adds day%5==3 → 80%
+                conv = day % 5 in (0, 1, 2) or (post and day % 5 == 3)
+            else:
+                conv = day % 5 == 0  # 20% both periods
+            if conv:
+                rows.append((eid, "purchase", uid, t + 1, 1.0)); eid += 1
+    with _inject(imod, _events(spark, rows)):
+        (r,) = q_events_ab_did(spark, "unused").collect()
+    assert abs(r.rate_ctrl_pre - 0.2) < 1e-9
+    assert abs(r.rate_ctrl_post - 0.2) < 1e-9
+    assert abs(r.rate_treat_pre - 0.6) < 1e-9
+    assert abs(r.rate_treat_post - 0.8) < 1e-9
+    # naive post-only contrast would read 0.6; DiD reads the true 0.2
+    assert abs(r.did - 0.2) < 1e-9
+    assert r.z > 2.0
+
+
+def test_anova_days_separates_between_from_within(spark):
+    """A metric constant within each day but stepping across days is
+    pure BETWEEN variance (η²=1, F undefined at zero within-variance);
+    a metric repeating the same hourly pattern every day is pure
+    WITHIN variance (η²=0)."""
+    import monasca_aggregator_spark.plans.series_ext as smod
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_anova_days,
+    )
+
+    rows, eid = [], 0
+    h0 = (T0 // 86_400_000) * 86_400_000
+    for day in range(5):
+        for hour in range(24):
+            t = h0 + day * 86_400_000 + hour * 3_600_000
+            rows.append((eid, "between", 1, t, float(100 * (day + 1))))
+            eid += 1
+            rows.append((eid, "within", 1, t, float(10 + hour)))
+            eid += 1
+    with _inject(smod, _events(spark, rows)):
+        out = {r.event_type: r for r in q_metric_anova_days(
+            spark, "unused"
+        ).collect()}
+    b = out["between"]
+    assert b.n_hours == 120 and b.n_days == 5
+    assert abs(b.eta2_between_days - 1.0) < 1e-9
+    assert b.f_stat is None  # zero within-day variance
+    w = out["within"]
+    assert abs(w.eta2_between_days) < 1e-9
