@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "lineitem_price_elasticity",
     "events_ab_did",
     "metric_anova_days",
+    "corpus_hill_tail",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -1556,9 +1556,105 @@ FROM per
 """.strip()
 
 
+# ------------------------------------ Hill tail-index estimator
+
+
+def q_corpus_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL tail-index estimate per source (Hill 1975, the standard
+    peaks-over-threshold heavy-tail measure): over the exceedances
+    above each source's p90 length, α̂ = n_tail / Σ ln(x/u) — small α̂
+    (≲2) means a power-law tail heavy enough that MEANS are unstable
+    (one document can dominate a token budget; cap or chunk first),
+    large α̂ means the tail decays fast and mean-based planning is
+    safe. The tail-SHAPE complement of `corpus_lognormal_fit` (body
+    shape) and `quality_iqr_outliers` (point outliers).
+
+    Exactness: the threshold is 10·percentile(x, 0.9) as an exact
+    BIGINT (linear interpolation at rank 0.9(n−1) yields tenths —
+    Spark percentile ≡ DuckDB quantile_cont); each exceedance's
+    ln(x/u) quantizes to e6 BEFORE the sum (raw float Σln is
+    order-dependent), so α̂ is one division of exact integers.
+
+    Scale: two source-keyed aggregates (threshold, then tail moments
+    after a broadcast join-back) with map-side partials; output is
+    source-sized."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("n_chars") > 0
+    )
+    thr = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(10 * percentile(n_chars, 0.9D) AS BIGINT)").alias(
+            "thr10"
+        ),
+    )
+    j = docs.join(F.broadcast(thr), "source").filter(
+        F.col("n_chars") * 10 > F.col("thr10")
+    )
+    l_e6 = F.floor(
+        F.log(
+            F.col("n_chars").cast("double") * F.lit(10.0)
+            / F.col("thr10").cast("double")
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    tail = j.groupBy("source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("thr10").alias("thr10"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(l_e6).alias("s_l"),
+    )
+    return tail.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("thr10").cast("double") / F.lit(10.0)).alias(
+            "threshold_chars"
+        ),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        stable_round(
+            F.when(
+                F.col("s_l") > 0,
+                F.col("n_tail").cast("double")
+                * F.lit(1e6)
+                / F.col("s_l").cast("double"),
+            ),
+            4,
+        ).alias("hill_alpha"),
+    )
+
+
+ORACLE_HILL = f"""
+WITH d AS (
+  SELECT source, n_chars FROM documents WHERE n_chars > 0
+), thr AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(10 * quantile_cont(n_chars, 0.9) AS BIGINT) AS thr10
+  FROM d GROUP BY 1
+), tail AS (
+  SELECT d.source, max(t.n_docs) AS n_docs, max(t.thr10) AS thr10,
+         count(*) AS n_tail,
+         sum(CAST(floor(ln(CAST(d.n_chars AS DOUBLE) * 10.0
+                          / CAST(t.thr10 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)) AS s_l
+  FROM d JOIN thr t USING (source)
+  WHERE d.n_chars * 10 > t.thr10
+  GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(thr10 AS DOUBLE) / 10.0 AS threshold_chars,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       {sql_stable_round(
+           "CASE WHEN s_l > 0 THEN"
+           " CAST(n_tail AS DOUBLE) * 1e6 / CAST(s_l AS DOUBLE) END",
+           4)} AS hill_alpha
+FROM tail
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_anomaly_fdr": q_metric_anomaly_fdr,
     "corpus_lognormal_fit": q_corpus_lognormal_fit,
+    "corpus_hill_tail": q_corpus_hill_tail,
     "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "orders_benford": q_orders_benford,
@@ -1576,6 +1672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "metric_anomaly_fdr": ORACLE_ANOMALY_FDR,
     "corpus_lognormal_fit": ORACLE_LOGNORMAL,
+    "corpus_hill_tail": ORACLE_HILL,
     "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
     "orders_benford": ORACLE_BENFORD,

@@ -155,10 +155,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # range_join_ship / metric_alert_hysteresis / agg_stddev /
 # metric_gapfill / metric_downsample_m4 / metric_correlation /
 # metric_winsorize / pack_length_buckets / agg_sliding /
-# order_curriculum / grouping_sets_mixed (embedding_knn_hubness /
+# order_curriculum / grouping_sets_mixed / corpus_diff
+# (embedding_knn_hubness /
 # langid_calibration / sample_neyman_allocation /
 # corpus_burrows_delta / lineitem_price_elasticity / events_ab_did /
-# metric_anova_days took those slots), all r2/r3/r8-green), closing with the 3 late-r7
+# metric_anova_days / corpus_hill_tail took those slots), all
+# r2/r3/r8-green), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
 # re-confirmations (never the 3 closing never-checked keys).
@@ -168,7 +170,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_centroids", "embedding_quantize",
 #     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
 #     "dedup_containment", "sample_weighted_k", "sample_budget_mix",
-#     "sample_top_p_source", "corpus_diff",
+#     "sample_top_p_source",
+#     "corpus_hill_tail",
 #     "events_ab_did", "metric_anova_days",
 #     "corpus_burrows_delta", "lineitem_price_elasticity",
 #     "langid_calibration", "sample_neyman_allocation",

@@ -449,3 +449,38 @@ def test_lognormal_fit_flags_shape_mismatch(spark, tmp_path):
     tail = out["tail"]
     assert tail.actual_median == 100.0
     assert tail.median_ratio > 2.0  # exp(mu) dragged far above median
+
+
+def test_hill_tail_index_separates_pareto_from_bounded(spark, tmp_path):
+    """A geometric (Pareto-like, α=1 in ln-space) tail reads a small
+    hill_alpha; a tightly bounded tail (every exceedance barely above
+    the threshold) reads a huge one. The threshold is the exact p90
+    interpolation in tenths."""
+    from monasca_aggregator_spark.plans.stats import q_corpus_hill_tail
+
+    docs, did = [], 0
+    # 'heavy': 90 docs at 100 chars, tail 2^k·100 for k=1..10
+    for _ in range(90):
+        docs.append((did, "x", "en", "heavy", 100)); did += 1
+    for k in range(1, 11):
+        docs.append((did, "x", "en", "heavy", 100 * 2 ** k)); did += 1
+    # 'light': 90 docs at 100 chars, tail all at 101
+    for _ in range(90):
+        docs.append((did, "x", "en", "light", 100)); did += 1
+    for _ in range(10):
+        docs.append((did, "x", "en", "light", 101)); did += 1
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in q_corpus_hill_tail(spark, str(tmp_path)).collect()
+    }
+    heavy, light = out["heavy"], out["light"]
+    assert heavy.n_tail == 10 and light.n_tail == 10
+    # heavy: exceedances 200..102400 over u≈190 → mean ln ratio ≈ 3.4
+    assert heavy.hill_alpha < 0.5
+    # light: every exceedance is within 1% of u → alpha explodes
+    assert light.hill_alpha > 50
