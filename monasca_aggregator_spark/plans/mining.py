@@ -214,7 +214,12 @@ def q_graph_link_prediction(
     by (a, c) with map-side partials, existing edges leave via one
     anti-join on the same key, and the report is a TakeOrdered top-20
     (no global window, no collect). Everything after the basket join
-    is edge-table-sized.
+    is edge-table-sized. The support floor is a CALIBRATION constant:
+    it must rise with corpus size (support ×N under N× the orders —
+    the ×8 soak replica measures exactly that densified graph, which
+    is why this query carries a cost-model exclusion there, not a
+    ratio bound), keeping edge density — and therefore Σ deg² wedge
+    work — roughly scale-invariant.
     """
     items = (
         load_table(spark, sf_dir, "lineitem")

@@ -85,6 +85,12 @@ ARROW_ALLOWED = {
     "ann_pq",
     "ann_mmr",
     "embedding_pca",
+    # whitening eval projects through pca_project's Arrow matmul (the
+    # same stage embedding_pca carries); the PCA FIT runs at build
+    # (driver-side d×d eigensolve on collected partials) but the
+    # returned plan keeps the per-batch (x−μ)·W·Λ^(−½) projection —
+    # Arrow-batched numpy, never row-at-a-time
+    "embedding_whiten_eval",
     # zlib / media (CPU-bound Python by nature)
     "text_compress_ratio",
     "media_image_features",
