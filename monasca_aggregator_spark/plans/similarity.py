@@ -2066,7 +2066,7 @@ def q_embedding_whiten_eval(
 
 
 _HUB_K = 5  # kNN fan-out for the graph-health diagnostic
-_HUB_MOD = 4  # deterministic sample: vec_id % _HUB_MOD == 0
+_HUB_CAP = 125  # sample bound: stride = max(1, n div _HUB_CAP)
 
 
 def q_embedding_knn_hubness(
@@ -2090,14 +2090,23 @@ def q_embedding_knn_hubness(
     BIGINT) into one division.
 
     Scale: the diagnostic is a statistic, not a per-item output —
-    the deterministic modulo sample bounds the all-pairs scan
-    (replace with the fixed-cap hash sample of the estimator gates
-    when the corpus outgrows the modulo); everything after the
-    sample×sample scan is edge-list-sized (n·k rows).
+    the sample is SELF-BOUNDING (the estimator-gate pattern): the
+    modulo stride is computed FROM the corpus count inside the query
+    (stride = max(1, n div 125), the same scalar arithmetic in both
+    engines), so the all-pairs scan stays ~125² at ANY corpus size
+    instead of growing with it; everything after is edge-list-sized
+    (≤125·k rows).
     """
-    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).filter(
-        F.col("vec_id") % _HUB_MOD == 0
+    raw = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    stride = raw.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"count(1) div {_HUB_CAP}"),
+        ).alias("__stride")
     )
+    emb = raw.crossJoin(F.broadcast(stride)).filter(
+        F.col("vec_id") % F.col("__stride") == 0
+    ).drop("__stride")
     edges = (
         cosine_topk(emb, emb, k=_HUB_K, dim=_DIM)
         .select("query_id", "neighbor_id")
@@ -2152,9 +2161,11 @@ def q_embedding_knn_hubness(
 
 
 ORACLE_KNN_HUBNESS = f"""
-WITH s AS (
+WITH stride AS (
+  SELECT greatest(1, count(*) // {_HUB_CAP}) AS st FROM embeddings
+), s AS (
   SELECT vec_id, embedding::DOUBLE[] AS e
-  FROM embeddings WHERE vec_id % {_HUB_MOD} = 0
+  FROM embeddings, stride WHERE vec_id % st = 0
 ), scored AS (
   SELECT a.vec_id AS q, b.vec_id AS n,
          floor((list_dot_product(a.e, b.e)

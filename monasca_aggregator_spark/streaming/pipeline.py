@@ -945,10 +945,25 @@ def curate_document_stream(
     dedup_within: str = "1 hour",
     quality_min: float = 0.35,
     text_col: str = "text",
+    url_col: str | None = None,
+    url_blocklist: tuple = (),
+    url_blocked_tlds: tuple = (".xyz",),
+    url_dedup: bool = False,
 ) -> DataFrame:
     """Continuous document-ingestion curation: the streaming face of
-    curation.curate_corpus's first three gates —
+    curation.curate_corpus's entry gates —
 
+    - URL/domain gate (optional, r8 cont.: ``url_col`` set): the
+      blocklist/TLD policy is row-local and rides the stream with no
+      state — the per-domain CAP is deliberately absent here (a cap
+      is corpus-wide state; enforce it batch-side per snapshot, the
+      top-p precedent below);
+    - canonical-URL dedup (optional, r8 cont.: ``url_dedup=True``):
+      cosmetic URL variants of the same page collapse inside the
+      watermark window via the SAME bounded-state
+      ``dropDuplicatesWithinWatermark`` machinery as the content
+      fingerprint — a re-crawl under a tracking-param variant drops
+      BEFORE extraction ever runs on it;
     - HTML main-content extraction (stage 0, r7): raw-HTML rows are
       replaced by their boilerplate-stripped main text and all-chrome
       pages drop — row-local regex/array expressions
@@ -977,6 +992,28 @@ def curate_document_stream(
     from monasca_aggregator_spark.operators.html import html_main_content
     from monasca_aggregator_spark.operators.textops import quality_expr
 
+    if url_col is not None:
+        from monasca_aggregator_spark.operators.urlfilter import (
+            canonical_url,
+            url_domain_filter,
+        )
+
+        docs_stream = url_domain_filter(
+            docs_stream,
+            url_col,
+            blocklist=url_blocklist,
+            blocked_tlds=url_blocked_tlds,
+            per_domain_cap=None,  # corpus-wide state: batch-side only
+        )
+        if url_dedup:
+            docs_stream = (
+                docs_stream.withColumn(
+                    "__canon", canonical_url(F.col(url_col))
+                )
+                .withWatermark(ts_col, dedup_within)
+                .dropDuplicatesWithinWatermark(["__canon"])
+                .drop("__canon")
+            )
     extracted = html_main_content(
         docs_stream, text_col=text_col
     ).drop("_was_html")

@@ -1868,3 +1868,67 @@ def test_streaming_native_histogram_equals_batch(spark, sf_small):
     }
     assert len(batch) > 100
     assert got == {key: v[0] for key, v in batch.items()}
+
+
+def test_curate_document_stream_url_gates(spark, tmp_path):
+    """Streaming URL entry stages (r8 cont.): the blocklist/TLD gate
+    drops rows BEFORE extraction with zero state, and canonical-URL
+    dedup collapses a tracking-param re-crawl inside the watermark
+    window — the content stages never even see it."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        curate_document_stream,
+    )
+
+    good = ("the quick brown fox and the lazy dog run over the hill "
+            "with a friend of the family on a bright morning walk")
+    other = ("completely different clean sentence about gardens "
+             "rivers mountains and the weather patterns of autumn")
+    batches = [
+        [(1, good, 1_000, "https://news.example.com/p/7"),
+         (2, good + " two", 2_000, "https://tracker-ads.example/x"),
+         (3, good + " three", 3_000, "https://freebies.xyz/y")],
+        # 4 = canonical re-crawl of doc 1's URL (www + query variant,
+        # DIFFERENT text so the content fingerprint alone would keep
+        # it); 5 = genuinely new page
+        [(4, good + " drifted re-crawl text", 60_000,
+          "https://WWW.news.example.com/p/7?utm_source=x"),
+         (5, other, 61_000, "https://news.example.com/p/8")],
+    ]
+    src = tmp_path / "cur_url_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ts_ms long, url string"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ingest_ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = curate_document_stream(
+        raw,
+        dedup_within="1 hour",
+        url_col="url",
+        url_blocklist=("tracker-ads.example",),
+        url_dedup=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_url_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM curate_url_out").collect()
+    )
+    # 2 blocklist, 3 bad TLD, 4 canonical-URL re-crawl of 1 → dropped
+    assert ids == [1, 5]
