@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "events_ab_did",
     "metric_anova_days",
     "corpus_hill_tail",
+    "metric_peak_prominence",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -2207,6 +2207,172 @@ FROM terms GROUP BY event_type
 """.strip()
 
 
+# --------------------------------- topographic peak prominence
+
+_PEAK_TOPK = 3
+
+
+def q_metric_peak_prominence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Topographic peak PROMINENCE per metric (the scipy
+    ``find_peaks(prominence=)`` semantics): a local maximum's
+    prominence is its height above the highest COL separating it from
+    higher terrain — min-between-here-and-the-next-higher-point on
+    each side, prominence = v − max(left base, right base). This is
+    the alerting question raw local maxima can't answer: a 2%-ripple
+    "peak" on a plateau has near-zero prominence while a genuine
+    spike keeps its full height — the peak-DETECTION face of the
+    series family (M4/LTTB draw the shape, SAX names it, this ranks
+    its summits). Top-3 peaks per metric by (prominence DESC, ts).
+
+    Semantics pinned to scipy's: plateaus count once at their FIRST
+    sample (strict > previous, ≥ next); series endpoints are not
+    peaks; a side with no higher point bases at the minimum to the
+    series EDGE. Everything is exact e2 integers — prominence
+    included — so the oracle matches bit-for-bit.
+
+    Scale: per-metric joins between the collapsed hourly series and
+    its peak set (|series|×|peaks| per metric, both bounded by the
+    time range — the same cost class as `series_shape_search`'s
+    windows); no global windows, no collect."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long")
+            * F.lit(_HOUR_MS)
+        ).alias("w"),
+    ).agg(F.sum("e2").alias("v"))
+    iw = Window.partitionBy("event_type").orderBy("w")
+    s = hourly.select(
+        "event_type",
+        "w",
+        "v",
+        F.row_number().over(iw).alias("i"),
+        F.lag("v").over(iw).alias("pv"),
+        F.lead("v").over(iw).alias("nv"),
+    )
+    peaks = s.filter(
+        (F.col("v") > F.col("pv")) & (F.col("v") >= F.col("nv"))
+    ).select(
+        "event_type",
+        F.col("w").alias("pw"),
+        F.col("v").alias("peak_v"),
+        F.col("i").alias("pi"),
+    )
+    ser = s.select("event_type", "i", "v")
+    # nearest strictly-higher terrain on each side of every peak
+    higher = peaks.join(ser, "event_type").filter(
+        F.col("v") > F.col("peak_v")
+    )
+    lr = higher.groupBy("event_type", "pw", "peak_v", "pi").agg(
+        F.max(F.when(F.col("i") < F.col("pi"), F.col("i"))).alias("li"),
+        F.min(F.when(F.col("i") > F.col("pi"), F.col("i"))).alias("ri"),
+    )
+    bounds = peaks.join(
+        lr, ["event_type", "pw", "peak_v", "pi"], "left"
+    )
+    # base on each side: min v strictly between the col index (or the
+    # series edge) and the peak — non-empty by construction (the
+    # immediate neighbors are lower, so a higher point is ≥2 away)
+    cols = bounds.join(ser, "event_type").groupBy(
+        "event_type", "pw", "peak_v", "pi"
+    ).agg(
+        F.min(
+            F.when(
+                (F.col("i") < F.col("pi"))
+                & (F.col("i") > F.coalesce(F.col("li"), F.lit(0))),
+                F.col("v"),
+            )
+        ).alias("lc"),
+        F.min(
+            F.when(
+                (F.col("i") > F.col("pi"))
+                & (
+                    F.col("i")
+                    < F.coalesce(F.col("ri"), F.lit(2**62))
+                ),
+                F.col("v"),
+            )
+        ).alias("rc"),
+    )
+    prom = F.col("peak_v") - F.greatest(
+        F.coalesce(F.col("lc"), F.col("rc")),
+        F.coalesce(F.col("rc"), F.col("lc")),
+    )
+    tw = Window.partitionBy("event_type").orderBy(
+        prom.desc(), F.col("pw")
+    )
+    return (
+        cols.withColumn("rank", F.row_number().over(tw))
+        .filter(F.col("rank") <= _PEAK_TOPK)
+        .select(
+            "event_type",
+            "rank",
+            F.col("pw").alias("window_ts_ms"),
+            F.col("peak_v").alias("peak_e2"),
+            prom.alias("prominence_e2"),
+        )
+    )
+
+
+ORACLE_PEAK_PROMINENCE = f"""
+WITH hourly AS (
+  SELECT event_type, {_W_SQL} AS w,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, w, v,
+         row_number() OVER pw AS i,
+         lag(v) OVER pw AS pv, lead(v) OVER pw AS nv
+  FROM hourly
+  WINDOW pw AS (PARTITION BY event_type ORDER BY w)
+), peaks AS (
+  SELECT event_type, w AS pw, v AS peak_v, i AS pi
+  FROM s WHERE v > pv AND v >= nv
+), lr AS (
+  SELECT p.event_type, p.pw, p.peak_v, p.pi,
+         max(CASE WHEN t.i < p.pi THEN t.i END) AS li,
+         min(CASE WHEN t.i > p.pi THEN t.i END) AS ri
+  FROM peaks p
+  LEFT JOIN s t ON t.event_type = p.event_type AND t.v > p.peak_v
+  GROUP BY 1, 2, 3, 4
+), cols AS (
+  SELECT b.event_type, b.pw, b.peak_v,
+         min(CASE WHEN t.i < b.pi
+                   AND t.i > coalesce(b.li, 0)
+              THEN t.v END) AS lc,
+         min(CASE WHEN t.i > b.pi
+                   AND t.i < coalesce(b.ri, 4611686018427387904)
+              THEN t.v END) AS rc
+  FROM lr b
+  JOIN s t ON t.event_type = b.event_type
+  GROUP BY b.event_type, b.pw, b.peak_v, b.pi
+)
+SELECT event_type, CAST(rank AS INT) AS rank,
+       pw AS window_ts_ms, peak_v AS peak_e2,
+       prominence AS prominence_e2
+FROM (
+  SELECT *,
+         peak_v - greatest(coalesce(lc, rc), coalesce(rc, lc))
+           AS prominence,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY peak_v - greatest(coalesce(lc, rc),
+                                      coalesce(rc, lc)) DESC,
+                    pw) AS rank
+  FROM cols
+) WHERE rank <= {_PEAK_TOPK}
+""".strip()
+
+
 # ------------------------------- day-level variance decomposition
 
 _DAY_MS_ANOVA = 24 * 3600 * 1000
@@ -2448,6 +2614,7 @@ FROM f
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_ar1_fit": q_metric_ar1_fit,
     "metric_anova_days": q_metric_anova_days,
+    "metric_peak_prominence": q_metric_peak_prominence,
     "metric_p95_trend": q_metric_p95_trend,
     "metric_psi": q_metric_psi,
     "agg_distinct_overlap": q_agg_distinct_overlap,
@@ -2475,6 +2642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "metric_ar1_fit": ORACLE_AR1,
     "metric_anova_days": ORACLE_ANOVA_DAYS,
+    "metric_peak_prominence": ORACLE_PEAK_PROMINENCE,
     "metric_p95_trend": ORACLE_P95_TREND,
     "metric_psi": ORACLE_PSI,
     "agg_distinct_overlap": ORACLE_DISTINCT_OVERLAP,

@@ -159,7 +159,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # (embedding_knn_hubness /
 # langid_calibration / sample_neyman_allocation /
 # corpus_burrows_delta / lineitem_price_elasticity / events_ab_did /
-# metric_anova_days / corpus_hill_tail took those slots), all
+# metric_anova_days / corpus_hill_tail / metric_peak_prominence
+# took those slots — the last displacing sample_top_p_source), all
 # r2/r3/r8-green), closing with the 3 late-r7
 # keys that have never had a driver row.
 # New oracle keys added in r9 MUST displace this list's tail
@@ -170,7 +171,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_centroids", "embedding_quantize",
 #     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
 #     "dedup_containment", "sample_weighted_k", "sample_budget_mix",
-#     "sample_top_p_source",
+#     "metric_peak_prominence",
 #     "corpus_hill_tail",
 #     "events_ab_did", "metric_anova_days",
 #     "corpus_burrows_delta", "lineitem_price_elasticity",

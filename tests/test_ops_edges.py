@@ -311,3 +311,37 @@ def test_anova_days_separates_between_from_within(spark):
     assert b.f_stat is None  # zero within-day variance
     w = out["within"]
     assert abs(w.eta2_between_days) < 1e-9
+
+
+def test_peak_prominence_scipy_semantics(spark):
+    """Hand series pinning the scipy contract: a plateau ripple near
+    a high ridge has tiny prominence, the global max bases at the
+    series-edge minimum, plateaus count once (first sample), and
+    endpoints are never peaks."""
+    import monasca_aggregator_spark.plans.series_ext as smod
+    from monasca_aggregator_spark.plans.series_ext import (
+        q_metric_peak_prominence,
+    )
+
+    # hourly values (e2 = value·100): shape
+    # idx:  1   2   3   4   5   6   7   8   9
+    # v  : 10 100  95  98  95  40 300 300  20
+    # peaks: idx2 (v=100, higher terrain right at idx7 → col min
+    # (2,7)=40 → prom 60); idx4 (v=98, cols: left min(2,4)=95?? left
+    # higher idx2: min(2,4)=95; right higher idx7: min(4,7)=40 →
+    # bases max(95,40)=95 → prom 3 — the ripple); idx7 (v=300 plateau
+    # FIRST sample, no higher → bases = edge minima: left min=10,
+    # right min=20 → max=20 → prom 280). idx8 (plateau second) and
+    # idx9 (endpoint) are not peaks.
+    vals = [10, 100, 95, 98, 95, 40, 300, 300, 20]
+    rows = [
+        (i, "m", 1, T0 + i * 3_600_000, v / 100.0)
+        for i, v in enumerate(vals)
+    ]
+    with _inject(smod, _events(spark, rows)):
+        out = sorted(
+            q_metric_peak_prominence(spark, "unused").collect(),
+            key=lambda r: r.rank,
+        )
+    got = [(r.rank, r.peak_e2, r.prominence_e2) for r in out]
+    assert got == [(1, 300, 280), (2, 100, 60), (3, 98, 3)]
