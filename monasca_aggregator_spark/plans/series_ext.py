@@ -2357,8 +2357,8 @@ WITH hourly AS (
   GROUP BY b.event_type, b.pw, b.peak_v, b.pi
 )
 SELECT event_type, CAST(rank AS INT) AS rank,
-       pw AS window_ts_ms, peak_v AS peak_e2,
-       prominence AS prominence_e2
+       pw AS window_ts_ms, CAST(peak_v AS BIGINT) AS peak_e2,
+       CAST(prominence AS BIGINT) AS prominence_e2
 FROM (
   SELECT *,
          peak_v - greatest(coalesce(lc, rc), coalesce(rc, lc))
