@@ -132,9 +132,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality / text_tokens / embedding_centroids /
 # embedding_quantize (all r5-green); those displaced keys lead the
 # R9 staging below.)
-# Round-9 rotation (staged in r7, updated in r8; keys pre-verified
-# green at sf0.01 under the driver protocol —
-# tools/check_correctness.py): the 8 re-confirmations R8's r7
+# Round-9 rotation (staged in r7, updated through the r8
+# continuation; ALL 50 keys re-verified 50/50 green at sf0.01 under
+# the driver protocol — tools/check_correctness.py — on the FINAL
+# frozen r8 tree, immediately after the last key landed): the 8 re-confirmations R8's r7
 # additions displaced, then the 26 r1/r2/r3-green keys dropped from
 # R7 to make room, then the oldest r4-green re-confirmations, then
 # the 7 oracle keys ADDED in r8 (rotation invariant: new keys enter
