@@ -2389,12 +2389,17 @@ def q_metric_anova_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical test statistic.
 
     Exactness: the only divisions inside the sums — S_d² div n_d and
-    S² div n — run as exact two-step long division on BIGINTs
-    (q = S div n, r = S mod n → S² div n = q·S + (r·S) div n, the
-    product q·S carried in DEC38/HUGEINT), because a direct
-    DECIMAL(38,0) ``div`` silently overflows its BIGINT result in
-    Spark. Each floor loses <1 against terms ~10³², identically in
-    both engines; the final η²/F are single double divisions.
+    S² div n — run as exact two-step long division
+    (q = S div n, r = S mod n → S² div n = q·S + (r·S) div n) with
+    BOTH products q·S and r·S carried in DEC38/HUGEINT: a direct
+    DECIMAL(38,0) ``div`` of S² silently overflows its BIGINT result
+    in Spark, while the two-step quotients each fit BIGINT by
+    construction (each ≤ S·max(n)/n ≤ S·… bounded by S itself), so
+    Spark's decimal ``div`` is exact for them — and r·S alone can
+    pass 2⁶³ at 100 TB metric-level sums (r ≤ 719 hours × S ≈
+    7·10¹⁷), which the hypothesis property test pins. Each floor
+    loses <1 against terms ~10³², identically in both engines; the
+    final η²/F are single double divisions.
 
     Scale: raw scan → |metrics|×|hours| series (one shuffle); the
     day aggregate and metric rollup are metric-sized."""
@@ -2422,10 +2427,14 @@ def q_metric_anova_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qd"
         ),
     )
-    # exact floor(sd² / nd): q·sd + (r·sd) div nd with q,r BIGINT
+    # exact floor(sd² / nd): q·sd + (r·sd) div nd — r·sd carried in
+    # DEC38 (decimal div is exact when the QUOTIENT fits BIGINT,
+    # which (r·sd) div nd ≤ sd always does)
     td = F.expr("sd div nd").cast(_DEC_AR) * F.col("sd").cast(
         _DEC_AR
-    ) + F.expr("((sd % nd) * sd) div nd").cast(_DEC_AR)
+    ) + F.expr(
+        f"(CAST(sd % nd AS {_DEC_AR}) * sd) div nd"
+    ).cast(_DEC_AR)
     per_metric = per_day.groupBy("event_type").agg(
         F.sum("nd").alias("n"),
         F.count(F.lit(1)).alias("k"),
@@ -2435,7 +2444,9 @@ def q_metric_anova_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = F.expr("s div n").cast(_DEC_AR) * F.col("s").cast(
         _DEC_AR
-    ) + F.expr("((s % n) * s) div n").cast(_DEC_AR)
+    ) + F.expr(
+        f"(CAST(s % n AS {_DEC_AR}) * s) div n"
+    ).cast(_DEC_AR)
     ss_b = (F.col("a") - b).cast("double")
     ss_w = (F.col("q") - F.col("a")).cast("double")
     ss_t = (F.col("q") - b).cast("double")

@@ -714,3 +714,41 @@ def test_banding_pigeonhole_recall_property(spark):
             max_hamming=n_bands - 1, n_bands=n_bands,
         ).collect():
             assert r.hamming <= n_bands - 1
+
+
+@given(
+    s=st.integers(min_value=0, max_value=7 * 10**17),
+    n=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=300)
+def test_two_step_long_division_identity(s, n):
+    """The exact S²//n trick q_metric_anova_days relies on
+    (plans/series_ext.py): with q = S div n and r = S mod n,
+    q·S + (r·S) div n == S² // n EXACTLY, and each two-step QUOTIENT
+    fits BIGINT even where the direct product does not — which is why
+    the implementation carries both products in DEC38: this sweep's
+    counterexample (r·S ≈ 5·10²⁰ at n=26, S=5.4·10¹⁷) is exactly the
+    case that would silently overflow a bare BIGINT r·S multiply."""
+    q, r = divmod(s, n)
+    assert q * s + (r * s) // n == (s * s) // n
+    # the quotients the engines READ BACK stay BIGINT-ranged even
+    # when the intermediate products do not
+    assert (r * s) // n <= s < 2**63
+    assert q * s + (r * s) // n == (s * s) // n
+
+
+@given(
+    v=st.integers(min_value=0, max_value=10**15),
+    vmin=st.integers(min_value=0, max_value=10**15),
+    vmax=st.integers(min_value=0, max_value=10**15),
+)
+@settings(max_examples=300)
+def test_sax_symbolization_bounds(v, vmin, vmax):
+    """metric_sax_motifs' equal-width symbolization s =
+    (v−min)·4 div (max−min+1) lands in [0, 3] for every in-range
+    value, including the degenerate constant series (max == min →
+    symbol 0)."""
+    lo, hi = sorted((vmin, vmax))
+    x = lo + (v % (hi - lo + 1))
+    s = ((x - lo) * 4) // (hi - lo + 1)
+    assert 0 <= s <= 3
