@@ -459,13 +459,21 @@ def main() -> None:
         # the compact stdout line and as a VIOLATION on stderr, so the
         # regression fails loudly instead of drifting.
         SOAK_RATIO_DEFAULT = 6.0
+        # PAIR-NORMALIZED gates (r9, VERDICT r8 #3): for queries whose
+        # documented cost model is "time tracks verified-pair OUTPUT,
+        # not corpus size", the raw time ratio is a noisy quotient
+        # whose expected value (~Σcluster² growth ≈ ×N²/×N the time
+        # quotient) drifted to within 3% of its absolute bound across
+        # driver hosts (r5 10.59, r6 9.8-12.2, r8-driver 14.58, r9
+        # same-box median 4.68 — the spread is host/session noise in
+        # the BASE time, not plan change). The gate now divides the
+        # time ratio by the measured pair-output ratio: a plan whose
+        # cost is pair-work-linear stays ≲0.25 regardless of host
+        # (r9 measured 0.07; r8-driver-equivalent 0.23); the 0.6
+        # bound keeps >2.5× headroom while still catching a genuinely
+        # super-linear plan (which grows time WITHOUT growing output).
+        SOAK_PAIR_NORMALIZED = {"dedup_minhash": 0.6}
         SOAK_RATIO_EXPECTED = {
-            # replicas carry IDENTICAL texts: near-dup cluster sizes
-            # grow ×N, verified pair OUTPUT grows ~Σcluster² — the
-            # ratio tracks true pair work, not corpus size (measured
-            # 10.59 at r5, 9.8-12.2 across r6 runs; bound = model +
-            # host headroom)
-            "dedup_minhash": 15.0,
             # 3-rule fan-out over one cached scan: the ×8 replica
             # multiplies agg state + cache pressure and the ratio is a
             # noisy quotient of two sub-second times — measured spread
@@ -480,12 +488,16 @@ def main() -> None:
         # BENCH_FULL self-documents why the bound is what it is.
         SOAK_RATIO_ADJUDICATION = {
             "dedup_minhash": {
-                "old": 10.6,
-                "new": 15.0,
-                "spread": "10.59 r5; 9.8-12.2 across r6 runs",
-                "reason": "documented pair-output cost model "
-                "(replica texts identical -> verified pairs grow "
-                "~sum(cluster^2), not corpus size) + host headroom",
+                "old": "absolute time-ratio bound 15.0",
+                "new": "pair-normalized ratio bound 0.6",
+                "spread": "raw ratio 10.59 r5; 9.8-12.2 r6; 14.58 "
+                "r8-driver; 4.68 r9 same-box median — normalized "
+                "equivalents 0.17/0.15-0.19/0.23/0.07",
+                "reason": "MODEL CHANGE (VERDICT r8 #3): the raw "
+                "quotient is dominated by base-time session noise; "
+                "dividing by the measured verified-pair output "
+                "ratio pins the gate to the documented cost model "
+                "(time ~ pair work) with >2.5x headroom",
             },
             "agg_multi_rule": {
                 "old": 6.0,
@@ -499,20 +511,21 @@ def main() -> None:
         soak: dict[str, dict[str, float]] = {}
         soak_exceeded: list[str] = []
 
-        def _soak_run(name: str) -> float | None:
+        def _soak_run(name: str) -> tuple[float, int] | None:
             spark.catalog.clearCache()
             try:
                 t0 = time.time()
-                queries[name](spark, soak_dir).count()
-                return time.time() - t0
+                n = queries[name](spark, soak_dir).count()
+                return time.time() - t0, n
             except Exception as exc:  # pragma: no cover
                 print(f"# soak {name} failed: {exc}", file=sys.stderr)
                 return None
 
         for name in soak_queries:
-            xn = _soak_run(name)
-            if xn is None:
+            got = _soak_run(name)
+            if got is None:
                 continue
+            xn, xn_rows = got
             base = timings.get(name)
             entry: dict[str, object] = {"xN_sec": round(xn, 3)}
             if base:
@@ -522,18 +535,41 @@ def main() -> None:
                 )
                 if name in SOAK_RATIO_ADJUDICATION:
                     entry["adjudication"] = SOAK_RATIO_ADJUDICATION[name]
-                if entry["ratio"] > entry["expected_max"]:
+                # pair-normalized gate: divide the time ratio by the
+                # measured OUTPUT-rows ratio (one untimed base count;
+                # both counts deterministic). gate_value is what the
+                # bound applies to — the raw ratio stays recorded.
+                pair_norm = name in SOAK_PAIR_NORMALIZED
+                if pair_norm:
+                    base_rows = queries[name](spark, sf_dir).count()
+                    entry["rows_base"] = base_rows
+                    entry["rows_xN"] = xn_rows
+                    pr = max(xn_rows, 1) / max(base_rows, 1)
+                    entry["pair_ratio"] = round(pr, 2)
+                    entry["expected_max"] = SOAK_PAIR_NORMALIZED[name]
+                    entry["gate_metric"] = "ratio_per_pair"
+                    entry["ratio_per_pair"] = round(
+                        entry["ratio"] / pr, 3
+                    )
+                    gate_value = entry["ratio_per_pair"]
+                else:
+                    gate_value = entry["ratio"]
+                if gate_value > entry["expected_max"]:
                     # Gate on the MEDIAN of 3 runs, not one noisy
                     # quotient (ADVICE r6): a single ratio can be 2x
                     # off on a loaded host; a genuine super-linear
                     # plan exceeds the bound in the median too.
                     extra = [
-                        x for x in (_soak_run(name) for _ in range(2))
+                        x[0]
+                        for x in (_soak_run(name) for _ in range(2))
                         if x is not None
                     ]
                     runs = sorted([xn, *extra])
                     med = runs[len(runs) // 2]
-                    entry["ratio_median_of_3"] = round(med / base, 2)
+                    med_ratio = med / base
+                    if pair_norm:
+                        med_ratio = med_ratio / pr
+                    entry["ratio_median_of_3"] = round(med_ratio, 3)
                     entry["runs_sec"] = [round(x, 3) for x in runs]
                     if entry["ratio_median_of_3"] > entry["expected_max"]:
                         soak_exceeded.append(name)
@@ -547,7 +583,7 @@ def main() -> None:
                     else:
                         print(
                             f"# soak {name}: first-run ratio "
-                            f"{entry['ratio']} exceeded "
+                            f"{gate_value} exceeded "
                             f"{entry['expected_max']} but median-of-3 "
                             f"{entry['ratio_median_of_3']} is inside — "
                             f"host noise, not a plan change",
@@ -561,12 +597,35 @@ def main() -> None:
             )
         full["soak"] = {"factor": soak_factor, "queries": soak}
         out["soak_factor"] = soak_factor
+        # worst RAW time ratio over the un-normalized entries (the
+        # pair-normalized queries gate — and report — on their own
+        # metric; mixing scales in one max made the headline number
+        # meaningless once dedup_minhash moved to ratio_per_pair)
         out["soak_worst_ratio"] = max(
             (
                 q.get("ratio_median_of_3", q.get("ratio", 0.0))
                 for q in soak.values()
+                if "ratio_per_pair" not in q
             ),
             default=None,
+        )
+        # gate utilization: worst gate_value/bound fraction across ALL
+        # entries (1.0 = a gate fired) — the single number that says
+        # how much headroom the tightest soak gate has left
+        out["soak_gate_utilization"] = round(
+            max(
+                (
+                    q.get(
+                        "ratio_median_of_3",
+                        q.get("ratio_per_pair", q.get("ratio", 0.0)),
+                    )
+                    / q["expected_max"]
+                    for q in soak.values()
+                    if "expected_max" in q
+                ),
+                default=0.0,
+            ),
+            3,
         )
         out["soak_exceeded"] = soak_exceeded
 

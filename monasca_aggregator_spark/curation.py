@@ -11,6 +11,9 @@ team actually runs, built from this package's operators —
       → HTML main-content extraction (raw-HTML rows replaced by their
         boilerplate-stripped main text, all-chrome pages dropped —
         jusText-lite, operators/html.py; plain-text rows pass through)
+      → line-level boilerplate removal (optional: whole lines
+        repeating across documents stripped except first occurrence —
+        operators/textops.line_dedup_rewrite, the fineweb line-dedup)
       → exact dedup (hash groupBy keepers)
       → near-dup removal (MinHash/LSH pairs → star-contraction
         components → canonical survivor per cluster)
@@ -73,6 +76,8 @@ def curate_corpus(
     url_blocked_tlds: tuple = (".xyz",),
     url_per_domain_cap: int | None = None,
     url_dedup: bool = False,
+    line_dedup: bool = False,
+    line_dedup_min_df: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline over a ``documents``-shaped
     relation (doc_id, text, lang, source, n_chars). Returns
@@ -142,6 +147,29 @@ def curate_corpus(
         ),
     ).drop("_was_html")
     record("html_extract", docs)
+
+    # 0b. line-level boilerplate removal (optional — the fineweb/CCNet
+    # step between extraction and dedup): whole lines repeating
+    # verbatim across ≥ line_dedup_min_df documents (nav/footer/
+    # cookie-banner text the HTML extractor let through) are stripped
+    # everywhere except their first corpus occurrence. Runs BEFORE
+    # exact/near dedup so shared chrome can't glue unrelated pages
+    # into one near-dup cluster.
+    if line_dedup:
+        from monasca_aggregator_spark.operators.textops import (
+            line_dedup_rewrite,
+        )
+
+        docs = (
+            line_dedup_rewrite(
+                docs,
+                min_df=line_dedup_min_df,
+                return_text=True,
+            )
+            .withColumn("n_chars", F.length("text"))
+            .drop("n_lines", "n_removed")
+        )
+        record("line_dedup", docs)
 
     # 1. exact dedup: keep each normalized-text group's min-id doc
     keepers = exact_dedup(docs).select(

@@ -53,6 +53,10 @@ def pagerank_pairs(
     )
     edges = fwd.unionByName(rev)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # cache(), not localCheckpoint: the r9 sweep measured the eager
+    # checkpoint ~1 s slower here (it materializes all pre-AQE
+    # shuffle partitions; the cache substitutes InMemoryRelation into
+    # every later job's plan just as cheaply)
     edges_deg = edges.join(deg, "src").cache()
 
     # EVERY downstream lineage must read the cache, not the (possibly
@@ -91,9 +95,15 @@ def pagerank_pairs(
                 ).alias("rank_e12"),
             )
         )
-        # flatten lineage every other round (each eager checkpoint is
-        # a full job — every-round checkpointing doubles wall time at
-        # small scale for no correctness gain)
+        # flatten lineage every other round — the r9 MEASURED optimum
+        # of the checkpoint-cadence sweep at sf0.1 (warm best-of-3):
+        # every-2nd 5.7 s < every-round 6.2 s < edges-localCheckpoint
+        # 7.0 s < single-mid-chain 10.8 s < none 12.1 s. Longer
+        # unchecked chains get sharply SLOWER because each iteration
+        # re-analyzes the self-referencing join lineage (attribute
+        # dedup clones the subtree per round) — truncation keeps the
+        # per-iteration plan constant-size; the checkpoint jobs
+        # themselves are cheap reads of the cached edge relation.
         if i % 2 == 1 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
     edges_deg.unpersist()

@@ -498,6 +498,86 @@ def span_dedup_rewrite(
     )
 
 
+def line_dedup_rewrite(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    return_text: bool = False,
+) -> DataFrame:
+    """LINE-level boilerplate REMOVAL — the CCNet/fineweb step between
+    HTML extraction and near-dedup: navigation, footer, and
+    cookie-banner text that survives extraction repeats VERBATIM as
+    whole lines across documents. A line (split on ``\\n``,
+    whitespace-trimmed for matching) whose document frequency is ≥
+    ``min_df`` is boilerplate; every document except the FIRST corpus
+    occurrence (min ``id_col`` — ingestion order, the
+    span_dedup_rewrite convention) loses it, the first keeps its text
+    intact. Blank lines never count and are never removed.
+
+    Output (default): (id, n_lines, n_removed, kept_md5) where
+    kept_md5 fingerprints the surviving lines joined by ``\\n`` in
+    document order. ``return_text=True`` instead returns the ORIGINAL
+    rows with ``text_col`` rewritten (plus n_lines/n_removed) — the
+    curation-stage form.
+
+    Scale shape: lines travel the line-DF exchange as 8-byte xxhash64
+    keys only (``(id, pos, hash)`` rows — the exchange never carries
+    line text); DF + first-doc is one hash aggregation; removed
+    POSITIONS collapse to one int-array row per affected doc, so the
+    join back to documents is doc-keyed and small, and the rewrite is
+    a JVM-side higher-order filter over the doc's own line array
+    (per-doc work, zero extra exchanges).
+    """
+    arr = F.split(F.col(text_col), "\n")
+    entries = F.transform(
+        arr,
+        lambda ln, i: F.struct(
+            i.alias("pos"),
+            F.when(F.trim(ln) == "", F.lit(None))
+            .otherwise(F.xxhash64(F.trim(ln)))
+            .alias("h"),
+        ),
+    )
+    keyed = (
+        docs.select(F.col(id_col), F.explode(entries).alias("e"))
+        .select(id_col, F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    stats = keyed.groupBy("h").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.min(id_col).alias("first_doc"),
+    )
+    rm = (
+        keyed.join(stats, "h")
+        .filter(
+            (F.col("df") >= min_df) & (F.col("first_doc") < F.col(id_col))
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("rm"))
+    )
+    j = docs.join(rm, id_col, "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<integer>"))
+    )
+    kept = F.filter(
+        arr, lambda ln, i: ~F.array_contains(F.col("rm"), i)
+    )
+    if return_text:
+        return (
+            j.withColumn("n_lines", F.size(arr).cast("long"))
+            .withColumn("n_removed", F.size("rm").cast("long"))
+            .withColumn(text_col, F.array_join(kept, "\n"))
+            .drop("rm")
+        )
+    return j.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_lines"),
+        F.size("rm").cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+    )
+
+
 def span_dup_coverage(
     docs: DataFrame,
     *,

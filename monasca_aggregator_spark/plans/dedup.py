@@ -730,6 +730,97 @@ FROM k
 """.strip()
 
 
+_LINE_W = 10  # tokens per synthesized pseudo-line
+_LINE_HEADER = "subscribe to the "
+_LINE_HEADER_TAIL = " newsletter for updates"
+_LINE_FOOTER = "this site uses cookies to improve your experience"
+
+
+def q_dedup_line_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate removal (operators/textops.
+    line_dedup_rewrite) — the fineweb/CCNet step between HTML
+    extraction and near-dedup: whole lines repeating across documents
+    (nav/footer/cookie-banner text) are stripped everywhere except
+    their first corpus occurrence. The test corpus is single-line, so
+    the query synthesizes the line structure deterministically in
+    BOTH engines: body re-segmented into {_LINE_W}-token lines, plus
+    an injected per-source header line (duplicated across every doc
+    of a source) and a global footer line — the operator must remove
+    header+footer from all but each group's first doc, and the
+    per-doc kept_md5 pins the exact surviving text.
+
+    Scale: the line-DF exchange carries 8-byte xxhash64 keys only;
+    removed positions collapse to one int-array per doc; the rewrite
+    is a JVM-side higher-order filter (span_dedup_rewrite's shape,
+    one level up — lines instead of token spans)."""
+    from monasca_aggregator_spark.operators.textops import (
+        line_dedup_rewrite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_LINE_W))).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    header = F.concat(
+        F.lit(_LINE_HEADER), F.col("source"), F.lit(_LINE_HEADER_TAIL)
+    )
+    text_nl = F.array_join(
+        F.concat(
+            F.array(header), body, F.array(F.lit(_LINE_FOOTER))
+        ),
+        "\n",
+    )
+    return line_dedup_rewrite(
+        docs.select("doc_id", text_nl.alias("text")), min_df=2
+    )
+
+
+ORACLE_LINE_REWRITE = rf"""
+WITH tk AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i,
+         array_to_string(toks[(i*{_LINE_W})+1:(i*{_LINE_W})+{_LINE_W}],
+                         ' ') AS line
+  FROM tk, unnest(range(0, CAST(ceil(len(toks) / {_LINE_W}.0)
+                                AS BIGINT))) u(i)
+), body AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+  FROM chunks GROUP BY 1
+), t AS (
+  SELECT tk.doc_id,
+         '{_LINE_HEADER}' || tk.source || '{_LINE_HEADER_TAIL}'
+           || chr(10) || body.b || chr(10) || '{_LINE_FOOTER}' AS text
+  FROM tk JOIN body USING (doc_id)
+), l AS (
+  SELECT doc_id, u.p - 1 AS pos, lines[u.p] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t),
+       unnest(range(1, len(lines) + 1)) u(p)
+), st AS (
+  SELECT trim(line) AS norm, count(DISTINCT doc_id) AS df,
+         min(doc_id) AS first_doc
+  FROM l WHERE trim(line) <> '' GROUP BY 1
+), k AS (
+  SELECT l.doc_id, l.pos, l.line,
+         CASE WHEN st.df >= 2 AND st.first_doc < l.doc_id
+              THEN 1 ELSE 0 END AS rm
+  FROM l LEFT JOIN st ON trim(l.line) = st.norm
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(rm) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE rm = 0), '')) AS kept_md5
+FROM k GROUP BY 1
+""".strip()
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -1297,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "dedup_span_rewrite": q_dedup_span_rewrite,
+    "dedup_line_rewrite": q_dedup_line_rewrite,
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
     "image_phash_dedup": q_image_phash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
@@ -1324,6 +1416,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_EXACT,
     "dedup_spans": ORACLE_SPANS,
     "dedup_span_rewrite": ORACLE_SPAN_REWRITE,
+    "dedup_line_rewrite": ORACLE_LINE_REWRITE,
     "dedup_editdistance": ORACLE_EDITDISTANCE,
     "dedup_ngram_jaccard": ORACLE_NGRAM,
     "dedup_minhash_estimate": ORACLE_MINHASH_ESTIMATE,

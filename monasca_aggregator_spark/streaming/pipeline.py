@@ -949,6 +949,7 @@ def curate_document_stream(
     url_blocklist: tuple = (),
     url_blocked_tlds: tuple = (".xyz",),
     url_dedup: bool = False,
+    boilerplate_lines: tuple = (),
 ) -> DataFrame:
     """Continuous document-ingestion curation: the streaming face of
     curation.curate_corpus's entry gates —
@@ -970,6 +971,11 @@ def curate_document_stream(
       (operators/html.py), so it rides the stream with no state; the
       content fingerprint below then hashes the EXTRACTED text,
       matching the batch pipeline's dedup input;
+    - line-level boilerplate removal (optional, r9:
+      ``boilerplate_lines``): known repeated lines — computed
+      batch-side by ``line_dedup_rewrite`` over a prior snapshot —
+      strip row-locally with zero state, so the content fingerprint
+      hashes chrome-free text;
     - exact dedup on the normalized-content fingerprint with
       watermark-bounded state (``dropDuplicatesWithinWatermark``: a
       re-crawl of the same page within the window is dropped, state is
@@ -1017,6 +1023,26 @@ def curate_document_stream(
     extracted = html_main_content(
         docs_stream, text_col=text_col
     ).drop("_was_html")
+    # line-level boilerplate removal, streaming form (r9): corpus-wide
+    # line document-frequency is batch state, so the stream takes a
+    # PRECOMPUTED boilerplate-line list (from a batch
+    # line_dedup_rewrite analysis over a prior snapshot — the
+    # incremental-dedup precedent) and strips matching lines
+    # row-locally, zero state. Matching is on the whitespace-trimmed
+    # line, same as the batch operator; beyond a few thousand lines,
+    # broadcast-join an exploded line relation instead of this
+    # literal array.
+    if boilerplate_lines:
+        bset = F.array(
+            *[F.lit(ln.strip()) for ln in boilerplate_lines]
+        )
+        kept = F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda ln: ~F.array_contains(bset, F.trim(ln)),
+        )
+        extracted = extracted.withColumn(
+            text_col, F.array_join(kept, "\n")
+        )
     fp = F.xxhash64(normalize_text(F.col(text_col)))
     return (
         extracted.withColumn("__fp", fp)

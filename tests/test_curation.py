@@ -308,3 +308,33 @@ def test_curate_corpus_url_dedup_stage(spark):
     assert list(m)[:4] == [
         "raw", "url_filter", "url_dedup", "html_extract",
     ]
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    """line_dedup=True strips cross-doc repeated lines (the chrome
+    the HTML extractor let through) everywhere except the first
+    occurrence, BEFORE exact dedup — so two pages differing only in
+    their shared footer don't collapse, and the footer itself
+    survives exactly once."""
+    footer = "subscribe to our newsletter for daily updates"
+    a = ("useful text with many plain words and a few more to pass"
+         " quality gates easily")
+    b = ("completely different clean sentence about gardens rivers"
+         " mountains and weather patterns in autumn")
+    rows = [
+        (1, a + "\n" + footer, "en", "web", 90),
+        (2, b + "\n" + footer, "en", "web", 90),
+        (3, b + " with an extra twist at the end", "en", "web", 90),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    curated, manifest = curate_corpus(spark, docs, None, line_dedup=True)
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert m["line_dedup"] == 3  # removal rewrites, never drops rows
+    assert list(m)[:3] == ["raw", "html_extract", "line_dedup"]
+    texts = {r.doc_id: r.text for r in curated.collect()}
+    assert texts[1] == a + "\n" + footer  # first occurrence keeps it
+    assert texts[2] == b                  # later copy stripped

@@ -358,6 +358,57 @@ def test_span_rewrite_removes_exact_copy_keeps_original(spark):
     ).hexdigest()
 
 
+def test_line_dedup_rewrite_strips_repeated_lines(spark):
+    """Line-level boilerplate removal (r9, the fineweb/CCNet line
+    dedup): a line repeated across >= min_df docs is stripped
+    everywhere except the first corpus occurrence; unique lines,
+    blank lines, and sub-threshold repeats survive; trim-variant
+    lines match (matching is on the trimmed line, output keeps the
+    original bytes)."""
+    import hashlib
+
+    from monasca_aggregator_spark.operators.textops import (
+        line_dedup_rewrite,
+    )
+
+    footer = "this site uses cookies"
+    rows = [
+        (1, f"alpha body one\n{footer}\nunique tail one"),
+        (2, f"beta body two\n  {footer}  \n\nunique tail two"),
+        (3, f"{footer}\ngamma body three"),
+        (4, "no boilerplate here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in line_dedup_rewrite(docs, min_df=2).collect()
+    }
+    # doc 1 is the first occurrence → keeps the footer
+    assert out[1].n_removed == 0
+    # doc 2 loses its (trim-variant) footer; the blank line survives
+    assert out[2].n_removed == 1
+    assert out[2].kept_md5 == hashlib.md5(
+        b"beta body two\n\nunique tail two"
+    ).hexdigest()
+    assert out[3].n_removed == 1
+    assert out[3].kept_md5 == hashlib.md5(
+        b"gamma body three"
+    ).hexdigest()
+    assert out[4].n_removed == 0
+    # return_text=True rewrites in place, preserving other columns
+    txt = {
+        r.doc_id: r.text
+        for r in line_dedup_rewrite(
+            docs, min_df=2, return_text=True
+        ).collect()
+    }
+    assert txt[1] == rows[0][1]
+    assert txt[2] == "beta body two\n\nunique tail two"
+    # min_df above the repeat count -> nothing removed
+    untouched = line_dedup_rewrite(docs, min_df=4).collect()
+    assert all(r.n_removed == 0 for r in untouched)
+
+
 def test_prefix_filter_equals_exact_allpairs(docs):
     """Prefix-filtering candidate generation is lossless: output is
     byte-identical to the exhaustive shingle self-join at several

@@ -1943,3 +1943,68 @@ def test_curate_document_stream_url_gates(spark, tmp_path):
     # 6 uppercase-scheme re-crawl of 5 → dropped; 7 (uppercase
     # scheme, new page) survives
     assert ids == [1, 5, 7]
+
+
+def test_curate_document_stream_strips_boilerplate_lines(
+    spark, tmp_path
+):
+    """Streaming line-level boilerplate removal (r9): known repeated
+    lines (batch-computed by line_dedup_rewrite) strip row-locally
+    with zero state, BEFORE the content fingerprint — so two pages
+    that differ only in shared chrome dedup as the same content."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        curate_document_stream,
+    )
+
+    footer = "this site uses cookies to improve your experience"
+    good = ("the quick brown fox and the lazy dog run over the hill "
+            "with a friend of the family on a bright morning walk")
+    other = ("completely different clean sentence about gardens "
+             "rivers mountains and the weather patterns of autumn")
+    batches = [
+        [(1, good + "\n" + footer, 1_000),
+         (2, other + "\n  " + footer + "  ", 2_000)],
+        # 3 = same content as 1 but WITHOUT the footer: must dedup
+        # against 1 (whose fingerprint hashed the stripped text)
+        [(3, good, 60_000),
+         (4, other + " and a genuinely new closing thought", 61_000)],
+    ]
+    src = tmp_path / "cur_boiler_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ts_ms long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ingest_ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = curate_document_stream(
+        raw, dedup_within="1 hour", boilerplate_lines=(footer,)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_boiler_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: r.text
+        for r in spark.sql(
+            "SELECT doc_id, text FROM curate_boiler_out"
+        ).collect()
+    }
+    # 3 deduped against 1 (stripped fingerprints match); 1/2/4 kept
+    # with their boilerplate line gone (trim-variant too)
+    assert sorted(got) == [1, 2, 4]
+    assert got[1] == good
+    assert got[2] == other
