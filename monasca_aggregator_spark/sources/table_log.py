@@ -636,6 +636,102 @@ def snapshot_delete(
     """
     from pyspark.sql import functions as F
 
+    pred = F.expr(predicate)
+    return _cow_rewrite(
+        spark,
+        path,
+        predicate,
+        lambda df: df.filter(~F.coalesce(pred, F.lit(False))),
+        op="delete",
+        count_key="n_deleted",
+        stats_cols=stats_cols,
+    )
+
+
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    *,
+    stats_cols: Sequence[str] = (),
+) -> dict:
+    """Row-level UPDATE as a copy-on-write commit (the Delta/Iceberg
+    ``UPDATE t SET col = expr WHERE ...`` semantics — the sibling of
+    ``snapshot_delete``, completing the DML trio next to
+    ``snapshot_merge_sink``'s keyed upsert): only data files that
+    actually contain predicate-TRUE rows are rewritten with
+    ``set_exprs`` applied to those rows; untouched files — and
+    untouched ROWS within rewritten files — carry unchanged. Time
+    travel preserved; ``snapshot_expire`` reclaims superseded files.
+
+    ``set_exprs`` maps existing column names to Spark SQL expressions
+    evaluated against the PRE-update row (standard SQL UPDATE
+    semantics: ``{"a": "b", "b": "a"}`` swaps). New columns are
+    rejected — schema evolution is an append concern. NULL predicate
+    evaluations leave the row unchanged.
+
+    Returns the new commit record (op='update', n_updated /
+    n_rewritten_files / predicate / set recorded); a no-match
+    predicate returns the current record with n_updated=0.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        bad = [c for c in set_exprs if c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"snapshot_update: SET targets not in table: {bad}"
+            )
+        cond = F.coalesce(pred, F.lit(False))
+        # all assignments read the PRE-update row: build every new
+        # value in one select (not chained withColumn, which would
+        # let later assignments see earlier ones)
+        return df.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .cast(df.schema[c].dataType)
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    return _cow_rewrite(
+        spark,
+        path,
+        predicate,
+        _apply,
+        op="update",
+        count_key="n_updated",
+        stats_cols=stats_cols,
+        extra_record={"set": dict(set_exprs)},
+    )
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    rewrite,
+    *,
+    op: str,
+    count_key: str,
+    stats_cols: Sequence[str] = (),
+    extra_record: dict | None = None,
+) -> dict:
+    """Shared copy-on-write machinery for row-level DELETE/UPDATE:
+    ONE scan finds the files containing predicate-TRUE rows
+    (aggregated per ``input_file_name`` — the collected list is
+    file-path-sized, never row data), those files re-read through
+    ``rewrite`` into a fresh commit group, and every untouched file
+    carries by reference with its recorded stats."""
+    from pyspark.sql import functions as F
+
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
@@ -645,7 +741,7 @@ def snapshot_delete(
     commit_id = uuid.uuid4().hex[:12]
     out_base = os.path.join(_data_dir(path), commit_id)
     new_groups: list[dict] = []
-    n_deleted = 0
+    n_matched = 0
     n_rewritten = 0
     schema_json: dict | None = None
     for gi, g in enumerate(_file_groups(record)):
@@ -671,7 +767,7 @@ def snapshot_delete(
         # paths — urldecode before matching, or any path with
         # spaces/special/non-ASCII chars (hive partition VALUES are
         # the common case) never matches and its predicate-matching
-        # rows silently survive the DELETE (ADVICE r8)
+        # rows silently survive the rewrite (ADVICE r8)
         by_path: dict = {}
         for r in touched_rows:
             t = r["_f"]
@@ -691,7 +787,7 @@ def snapshot_delete(
         }
         if unmatched:
             raise RuntimeError(
-                "snapshot_delete: scan reported predicate matches in "
+                f"snapshot_{op}: scan reported predicate matches in "
                 f"files absent from the commit log: "
                 f"{sorted(unmatched)[:3]} (URI normalization bug or "
                 "concurrent writer)"
@@ -709,16 +805,14 @@ def snapshot_delete(
             new_groups.append(kept)
         if not touched:
             continue
-        n_deleted += sum(touched.values())
+        n_matched += sum(touched.values())
         n_rewritten += len(touched)
         reader = spark.read
         if g["partition_by"]:
             reader = reader.option("basePath", g["base"])
-        survivors = reader.parquet(*sorted(touched)).filter(
-            ~F.coalesce(pred, F.lit(False))
-        )
+        out_df = rewrite(reader.parquet(*sorted(touched)))
         out_dir = os.path.join(out_base, f"g{gi}")
-        writer = survivors.write.mode("error")
+        writer = out_df.write.mode("error")
         if g["partition_by"]:
             writer = writer.partitionBy(*g["partition_by"])
         writer.parquet(out_dir)
@@ -739,14 +833,14 @@ def snapshot_delete(
         if cols:
             ng["stats"] = {f: _file_stats(f, cols) for f in rewritten}
         new_groups.append(ng)
-    if n_deleted == 0:
+    if n_matched == 0:
         out = dict(record)
-        out["n_deleted"] = 0
+        out[count_key] = 0
         return out
     v = parent + 1
     new_record = {
         "version": v,
-        "op": "delete",
+        "op": op,
         "parent": parent,
         "files": [f for g in new_groups for f in g["files"]],
         "n_new_files": sum(
@@ -756,9 +850,11 @@ def snapshot_delete(
         ),
         "file_groups": new_groups,
         "predicate": predicate,
-        "n_deleted": n_deleted,
+        count_key: n_matched,
         "n_rewritten_files": n_rewritten,
     }
+    if extra_record:
+        new_record.update(extra_record)
     if schema_json is not None:
         new_record["schema"] = schema_json
     _publish_commit(path, new_record, commit_id)

@@ -21,8 +21,10 @@ byte-identical rows — exactly-once end to end with an idempotent sink.
 
 Options:
     path              snapshot table path (required)
-    starting_version  first version to serve, default 0 = everything
-                      already committed ("1" skips the initial load)
+    starting_version  LAST version to treat as already consumed;
+                      serving begins at starting_version + 1.
+                      Default 0 = serve everything already committed
+                      ("1" skips the initial-load commit)
 
 Schema: derived from the newest commit's first data file footer
 (pyarrow, driver-side). Streaming across schema evolution is not
@@ -141,12 +143,25 @@ class _TableStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, part: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         table = pq.read_table(part.file_path)
-        cols = [
-            table.column(name).to_pylist() for name in part.fields
-        ]
+        cols = []
+        for name in part.fields:
+            col = table.column(name)
+            if (
+                pa.types.is_timestamp(col.type)
+                and col.type.tz is None
+            ):
+                # Spark writes parquet TIMESTAMP UTC-normalized but
+                # pyarrow reads it tz-NAIVE; the Arrow row serializer
+                # upstream tz_convert-s TimestampType values and
+                # crashes on naive ones (r9: rate-source ts columns) —
+                # stamp the UTC the writer meant.
+                col = pc.assume_timezone(col, "UTC")
+            cols.append(col.to_pylist())
         yield from zip(*cols)
 
     def commit(self, end: dict) -> None:

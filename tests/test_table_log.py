@@ -763,3 +763,64 @@ def test_snapshot_delete_matches_percent_encoded_paths(
     out = snapshot_read(spark, path)
     assert out.count() == 1
     assert out.filter("part = 'a b'").count() == 0
+
+
+def test_snapshot_update_rewrites_only_touched_rows(spark, tmp_path):
+    """Row-level UPDATE (r9, the DML sibling of snapshot_delete):
+    only files containing matching rows are rewritten; untouched
+    files carry by reference; untouched ROWS in rewritten files keep
+    their values; assignments read the PRE-update row (a swap works);
+    time travel sees pre-update values; NULL predicate rows are
+    unchanged; unknown SET targets fail loudly."""
+    import pytest as _pytest
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_update,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(
+        _df(spark, 0, 100, "a"), path, shards=1, stats_cols=("id",)
+    )
+    snapshot_write(
+        _df(spark, 100, 200, "b"), path, mode="append", shards=1,
+        stats_cols=("id",),
+    )
+    rec = snapshot_update(
+        spark, path, {"batch": "'hot'"}, "id >= 190",
+        stats_cols=("id",),
+    )
+    assert rec["op"] == "update"
+    assert rec["n_updated"] == 10
+    assert rec["n_rewritten_files"] == 1  # only commit 2's file
+    out = snapshot_read(spark, path)
+    assert out.count() == 200  # UPDATE never changes row count
+    assert out.filter("batch = 'hot'").count() == 10
+    assert out.filter("id = 150 AND batch = 'b'").count() == 1
+    # v1's file carries by the same physical path
+    v1_files = set(snapshot_history(path)[0]["files"])
+    assert v1_files <= set(rec["files"])
+    # time travel: pre-update version unchanged
+    assert (
+        snapshot_read(spark, path, version=2)
+        .filter("batch = 'hot'").count() == 0
+    )
+    # swap semantics: both assignments read the pre-update row
+    path2 = str(tmp_path / "tbl2")
+    d = spark.createDataFrame([(1, 10, 20), (2, 3, 4)], "id int, a int, b int")
+    snapshot_write(d, path2, shards=1)
+    snapshot_update(spark, path2, {"a": "b", "b": "a"}, "id = 1")
+    got = {r.id: (r.a, r.b) for r in snapshot_read(spark, path2).collect()}
+    assert got[1] == (20, 10) and got[2] == (3, 4)
+    # NULL predicate -> unchanged; no-match -> no new commit
+    path3 = str(tmp_path / "tbl3")
+    d3 = spark.createDataFrame([(1, 5), (2, None)], "id int, x int")
+    snapshot_write(d3, path3, shards=1)
+    rec3 = snapshot_update(spark, path3, {"id": "id + 100"}, "x > 1")
+    assert rec3["n_updated"] == 1
+    assert {r.id for r in snapshot_read(spark, path3).collect()} == {101, 2}
+    v_before = snapshot_versions(path3)[-1]
+    assert snapshot_update(spark, path3, {"id": "0"}, "x < 0")["n_updated"] == 0
+    assert snapshot_versions(path3)[-1] == v_before
+    with _pytest.raises(ValueError, match="SET targets"):
+        snapshot_update(spark, path3, {"nope": "1"}, "x > 1")

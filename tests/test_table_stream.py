@@ -116,3 +116,32 @@ def test_sink_to_source_chain_closes_the_loop(spark, tmp_path):
     )
     _drain(spark, docs_path, out, str(tmp_path / "chain_ck"))
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+
+def test_stream_from_table_timestamp_column(spark, tmp_path):
+    """r9: Spark writes parquet TIMESTAMP UTC-normalized but pyarrow
+    reads it tz-naive, and the Arrow row serializer used to crash on
+    naive values (tz_convert on a tz-naive Timestamp). Timestamps now
+    round-trip through the snapshot_table source exactly."""
+    register(spark)
+    path = str(tmp_path / "ts_tbl")
+    snapshot_write(
+        spark.range(0, 5).select(
+            F.col("id"),
+            F.timestamp_millis(
+                F.lit(1_700_000_000_000) + F.col("id") * 1000
+            ).alias("ts"),
+        ),
+        path,
+    )
+    out = str(tmp_path / "ts_out")
+    _drain(spark, path, out, str(tmp_path / "ts_ck"))
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    ms = sorted(
+        r.m
+        for r in got.select(
+            F.unix_millis("ts").alias("m")
+        ).collect()
+    )
+    assert ms == [1_700_000_000_000 + i * 1000 for i in range(5)]
