@@ -305,6 +305,11 @@ BENCH_QUERIES = [
     "metric_peak_prominence",
     # r9 additions
     "dedup_line_rewrite",
+    "graph_adamic_adar",
+    "metric_rate_prom",
+    "revenue_theil_by_nation",
+    "events_ab_power",
+    "image_dhash_dedup",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -889,17 +889,19 @@ def _dct_basis(n: int) -> np.ndarray:
 _B32 = _dct_basis(32)
 
 
-def _area_resample(gray: np.ndarray, side: int) -> np.ndarray:
+def _area_resample_rect(
+    gray: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
     """Box-filter (area-average) downsample via one integral image —
-    the antialiased resize pHash needs: nearest-neighbor sampling
-    aliases high frequencies into the low-frequency DCT block and the
-    median-thresholded bits turn to noise (measured: gamma-twin
-    Hamming 26-30/64 nearest-neighbor vs ≤6 area-averaged)."""
+    the antialiased resize pHash/dHash need: nearest-neighbor
+    sampling aliases high frequencies into the thresholded bits and
+    they turn to noise (measured: gamma-twin Hamming 26-30/64
+    nearest-neighbor vs ≤6 area-averaged)."""
     h, w = gray.shape
     integ = np.zeros((h + 1, w + 1))
     integ[1:, 1:] = gray.cumsum(0).cumsum(1)
-    ye = (np.arange(side + 1) * h) // side
-    xe = (np.arange(side + 1) * w) // side
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
     ye1 = np.maximum(ye[1:], ye[:-1] + 1)
     xe1 = np.maximum(xe[1:], xe[:-1] + 1)
     a = integ[np.ix_(ye1, xe1)]
@@ -908,6 +910,10 @@ def _area_resample(gray: np.ndarray, side: int) -> np.ndarray:
     d = integ[np.ix_(ye[:-1], xe[:-1])]
     areas = (ye1 - ye[:-1])[:, None] * (xe1 - xe[:-1])[None, :]
     return (a - b - c + d) / areas
+
+
+def _area_resample(gray: np.ndarray, side: int) -> np.ndarray:
+    return _area_resample_rect(gray, side, side)
 
 
 def phash64(img: np.ndarray) -> int:
@@ -929,6 +935,53 @@ def phash64(img: np.ndarray) -> int:
     for b in bits:
         v = (v << 1) | int(b)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit DIFFERENCE hash (dHash, Krawetz 2013): gray → 8×9
+    area-average downsample → bit = cell brighter than its RIGHT
+    neighbor (8 rows × 8 comparisons). Each bit is a local pairwise
+    ORDERING, so dHash is exactly invariant under any strictly
+    monotone global luminance map — gamma shifts and brightness
+    scaling that flip aHash's global-mean bits leave every dHash bit
+    untouched (ties aside) — while staying one comparison per bit
+    (no DCT). The trio: aHash (local edits), pHash (large-scale
+    structure), dHash (monotone photometric maps + gradients)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    cells = _area_resample_rect(gray, 8, 9)
+    bits = (cells[:, :-1] > cells[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) via REAL decode — the ``image_ahash``
+    plumbing with the difference hash; null for unsupported/malformed
+    payloads."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(dhash64(decode_real(bytes(p), "image")))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _hash, "media_id bigint, dhash bigint"
+    )
 
 
 def image_phash(media: DataFrame) -> DataFrame:
@@ -1079,8 +1132,12 @@ def image_near_dup_pairs(
     bands (≤3)."""
     from monasca_aggregator_spark.operators.dedup import hamming64_band_pairs
 
-    hash_fn = {"ahash": image_ahash, "phash": image_phash}[method]
-    n_bands = 8 if method == "phash" else 4
+    hash_fn = {
+        "ahash": image_ahash,
+        "phash": image_phash,
+        "dhash": image_dhash,
+    }[method]
+    n_bands = 8 if method in ("phash", "dhash") else 4
     # Eagerly materialize the signature table (a few bytes per image)
     # before the banded self-join: both join sides read it, and a lazy
     # cache races its own first fill there — the Python decode+hash

@@ -650,6 +650,34 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: DIFFERENCE-hash (dHash, Krawetz 2013) near-dup
+    image pairs — the third perceptual hash completing the trio
+    (aHash: local edits; pHash: large-scale structure; dHash: local
+    pairwise ORDERINGS, so monotone photometric maps barely move it
+    and no DCT is needed). Same gamma-twin corpus as
+    image_phash_dedup; measured twin Hamming ≤5 here (per-channel
+    gamma + channel-mixed gray is not exactly order-preserving)
+    vs aHash's ≤8-with-tail, at one comparison per bit.
+    Hash-specific output, so no SQL oracle; invariants pinned in
+    tests/test_multimodal.py."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        adjust_images,
+        documents_as_smooth_ppm_media,
+        image_near_dup_pairs,
+    )
+
+    media = documents_as_smooth_ppm_media(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
+    twins = adjust_images(
+        media.filter(F.col("media_id") % 10 == 0), gamma=2.0
+    ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    return image_near_dup_pairs(
+        media.unionByName(twins), max_hamming=5, method="dhash"
+    )
+
+
 SPAN_N = 8
 
 
@@ -1390,7 +1418,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_rewrite": q_dedup_span_rewrite,
     "dedup_line_rewrite": q_dedup_line_rewrite,
     "image_ahash_dedup": q_image_ahash_dedup,  # rows-only (hash-sketch)
-    "image_phash_dedup": q_image_phash_dedup,  # rows-only (hash-sketch)
+    "image_phash_dedup": q_image_phash_dedup,
+    "image_dhash_dedup": q_image_dhash_dedup,  # rows-only (hash-sketch)
     "dedup_editdistance": q_dedup_editdistance,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,

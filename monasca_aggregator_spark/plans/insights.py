@@ -134,6 +134,118 @@ FROM d WHERE n0 > 0 AND n1 > 0
 """.strip()
 
 
+_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_Z_POWER = 0.841621  # power = 0.80
+_MDE_TARGET = 0.02  # the "can we see a 2-point lift?" planning target
+
+
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER / MDE readout per day — the planning
+    companion of `events_ab_test` (which answers "did it move?";
+    this answers "could we even have seen it move?"): with the
+    day's observed control conversion p₀ and arm sizes, the minimum
+    detectable ABSOLUTE effect at α=0.05 / power 0.8 is
+    MDE = (z_{{α/2}} + z_{{pow}})·√(p₀(1−p₀)(1/n₀ + 1/n₁)), and the
+    required per-arm n to detect a {_MDE_TARGET:.0%} lift is the
+    standard two-proportion formula — an experiment dashboard's
+    sample-size row, computed in-engine from the same distinct
+    (day, variant, user, converted) collapse as the z-test.
+
+    Determinism: counts are exact BIGINTs; every emitted double is
+    the identical closed-form expression over them in both engines
+    (z constants as shared literals), through stable_round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long")
+    per_user = ev.groupBy(
+        day.alias("day"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        "user_id",
+    ).agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    daily = per_user.groupBy("day").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n1"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("converted") == 1)).cast(
+                "long"
+            )
+        ).alias("c0"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    mde = F.lit(_Z_ALPHA + _Z_POWER) * F.sqrt(
+        p0
+        * (F.lit(1.0) - p0)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    p1t = p0 + F.lit(_MDE_TARGET)
+    n_req = (
+        F.lit((_Z_ALPHA + _Z_POWER) ** 2)
+        * (p0 * (F.lit(1.0) - p0) + p1t * (F.lit(1.0) - p1t))
+        / F.lit(_MDE_TARGET * _MDE_TARGET)
+    )
+    return (
+        daily.filter(
+            (F.col("n0") > 0) & (F.col("n1") > 0) & (F.col("c0") > 0)
+        )
+        .select(
+            "day",
+            "n0",
+            "n1",
+            stable_round(p0, 6).alias("p0"),
+            stable_round(mde, 6).alias("mde_abs"),
+            stable_round(mde / p0, 6).alias("mde_rel"),
+            (mde <= F.lit(_MDE_TARGET)).alias("powered_for_target"),
+            F.ceil(n_req).cast("long").alias("n_per_arm_for_target"),
+        )
+    )
+
+
+_P0_SQL = "c0::DOUBLE / n0::DOUBLE"
+_MDE_SQL = (
+    f"{_Z_ALPHA + _Z_POWER!r} * sqrt(({_P0_SQL})"
+    f" * (1.0::DOUBLE - {_P0_SQL})"
+    " * (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE))"
+)
+
+ORACLE_AB_POWER = f"""
+WITH pu AS (
+  SELECT epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(user_id % 2 AS INT) AS variant, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2, 3
+), d AS (
+  SELECT day,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM pu GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n0, n1,
+       {sql_stable_round(_P0_SQL, 6)} AS p0,
+       {sql_stable_round(_MDE_SQL, 6)} AS mde_abs,
+       {sql_stable_round(f"({_MDE_SQL}) / ({_P0_SQL})", 6)} AS mde_rel,
+       ({_MDE_SQL}) <= {_MDE_TARGET!r} AS powered_for_target,
+       CAST(ceil({(_Z_ALPHA + _Z_POWER) ** 2!r}
+            * (({_P0_SQL}) * (1.0::DOUBLE - ({_P0_SQL}))
+               + (({_P0_SQL}) + {_MDE_TARGET!r})
+                 * (1.0::DOUBLE - (({_P0_SQL}) + {_MDE_TARGET!r})))
+            / {_MDE_TARGET * _MDE_TARGET!r}) AS BIGINT)
+         AS n_per_arm_for_target
+FROM d WHERE n0 > 0 AND n1 > 0 AND c0 > 0
+""".strip()
+
+
 # ------------------------------------------------------- DAU/MAU ratio
 
 
@@ -2354,6 +2466,7 @@ JOIN sizes sb ON sb.event_type = inter.type_b
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
+    "events_ab_power": q_events_ab_power,
     "events_ab_did": q_events_ab_did,
     "events_dau_mau": q_events_dau_mau,
     "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
@@ -2383,6 +2496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "text_burstiness": ORACLE_BURSTINESS,
     "events_ab_test": ORACLE_AB_TEST,
+    "events_ab_power": ORACLE_AB_POWER,
     "events_ab_did": ORACLE_AB_DID,
     "events_dau_mau": ORACLE_DAU_MAU,
     "metric_hod_dow_heatmap": ORACLE_HOD_DOW,

@@ -322,6 +322,125 @@ ORDER BY ne.cn DESC, ne.a, ne.c LIMIT {_LINK_K}
 """.strip()
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction (Adamic & Adar 2003) on the same
+    co-purchase part graph as `graph_link_prediction`: candidate
+    non-edges score Σ 1/ln(deg(m)) over their common neighbors m —
+    a shared RARE neighbor (two parts both co-bought with a niche
+    part) is stronger evidence than a shared hub, the weighting that
+    makes Adamic-Adar beat raw common-neighbor counts in the
+    Liben-Nowell & Kleinberg benchmarks. Top-{_LINK_K} non-adjacent
+    pairs by score.
+
+    Float determinism: each wedge contributes the PRE-ROUNDED e6
+    integer floor(10⁶/ln(d_m) + 0.5) (d_m ≥ 2 by construction — a
+    wedge midpoint has two edges — so ln > 0); scores are exact
+    BIGINT sums, order-independent across partitionings and engines,
+    divided once for display. Ordering on the integer score.
+
+    Scale: identical shape to `graph_link_prediction` (Σ basket²
+    basket join collapsed to the part dimension, Σ deg² wedge
+    enumeration, TakeOrdered top-K) plus one midpoint-keyed degree
+    join that broadcasts the part-sized degree relation.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o2 = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        items.join(o2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _LINK_MINSUP)
+        .select("a", "b")
+        .cache()  # referenced by wedges + anti-join (graph convention)
+    )
+    adj = pairs.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionByName(
+        pairs.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    w1 = adj.select(F.col("v").alias("m"), F.col("n").alias("a"))
+    w2 = adj.select(F.col("v").alias("m"), F.col("n").alias("c"))
+    term_e6 = F.floor(
+        F.lit(1_000_000.0) / F.log(F.col("d").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    cand = (
+        w1.join(w2, "m")
+        .filter(F.col("a") < F.col("c"))
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("m"), "d")), "m"
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(term_e6).alias("aa_e6"),
+        )
+        .join(
+            pairs.select("a", F.col("b").alias("c")),
+            ["a", "c"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.orderBy(F.col("aa_e6").desc(), F.col("a"), F.col("c"))
+        .limit(_LINK_K)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            stable_round(F.col("aa_e6").cast("double") / 1e6, 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+
+
+ORACLE_ADAMIC_ADAR = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_LINK_MINSUP}
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, count(*) AS d FROM adj GROUP BY 1
+), cand AS (
+  SELECT w1.n AS a, w2.n AS c, count(*) AS cn,
+         sum(CAST(floor(1000000.0 / ln(d.d) + 0.5) AS BIGINT))
+           AS aa_e6
+  FROM adj w1
+  JOIN adj w2 ON w2.v = w1.v AND w1.n < w2.n
+  JOIN deg d ON d.v = w1.v
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.c
+  )
+)
+SELECT a AS part_a, c AS part_b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       {sql_stable_round("CAST(aa_e6 AS DOUBLE) / 1e6", 6)}
+         AS adamic_adar
+FROM nonedge
+ORDER BY aa_e6 DESC, a, c LIMIT {_LINK_K}
+""".strip()
+
+
 # ------------------------------------------- SAX symbolic series motifs
 
 
@@ -434,11 +553,13 @@ FROM (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recsys_popularity_hitrate": q_recsys_popularity_hitrate,
     "graph_link_prediction": q_graph_link_prediction,
+    "graph_adamic_adar": q_graph_adamic_adar,
     "metric_sax_motifs": q_metric_sax_motifs,
 }
 
 ORACLES: dict[str, str] = {
     "recsys_popularity_hitrate": ORACLE_RECSYS_HITRATE,
     "graph_link_prediction": ORACLE_LINK_PREDICTION,
+    "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "metric_sax_motifs": ORACLE_SAX_MOTIFS,
 }

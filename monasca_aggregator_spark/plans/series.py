@@ -542,6 +542,182 @@ GROUP BY 1, 2
 """.strip()
 
 
+_HOUR_US = 3600 * 1_000_000
+
+
+def q_metric_rate_prom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``rate()`` with BOUNDARY EXTRAPOLATION per (metric,
+    hour) — the full public ``extrapolatedRate`` algorithm
+    (prometheus/promql/functions.go), which the naive delta/Δt (the
+    reference's ``rate`` and row 18n's ``increase``) both
+    under-report: samples rarely land exactly on window boundaries,
+    so Prometheus scales the observed counter delta by how much of
+    the window the samples actually cover — extrapolating to the
+    boundary when the nearest sample is close (< 1.1× the average
+    sample spacing), by half a spacing when not, and clamping the
+    start extrapolation where a positive counter would have to dip
+    below zero.
+
+    Exactness: per-series counter deltas + reset corrections
+    (correction += previous value at each drop — the Prometheus
+    semantics, NOT positive-delta sum) are exact e6 integers; the
+    extrapolation factor is float but computed by the IDENTICAL
+    expression tree in both engines over identical integer inputs,
+    and each series' rate pre-rounds to an e6 integer BEFORE the
+    per-metric sum, so the cross-series total is order-independent.
+
+    Scale: one lag window + one aggregate, both keyed by (series,
+    window); the per-metric rollup is metric×hour-sized with
+    map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    v_e6 = F.floor(
+        F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        t_us.alias("t_us"),
+        v_e6.alias("v"),
+        (
+            F.expr(f"unix_micros(ts) div {_HOUR_US}") * F.lit(_HOUR_US)
+        ).alias("w_us"),
+    )
+    lag_w = Window.partitionBy(
+        "event_type", "user_id", "w_us"
+    ).orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    with_prev = base.withColumn("prev", F.lag("v").over(lag_w))
+    per_series = (
+        with_prev.groupBy("event_type", "user_id", "w_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("t_us").alias("t_first"),
+            F.max("t_us").alias("t_last"),
+            F.min_by("v", "t_us").alias("v_first"),
+            F.max_by("v", "t_us").alias("v_last"),
+            F.sum(
+                F.when(F.col("v") < F.col("prev"), F.col("prev"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("corr"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("t_last") > F.col("t_first")))
+    )
+    # the Prometheus algorithm, expression-for-expression (seconds as
+    # doubles over exact integer inputs; mirrored verbatim in SQL)
+    delta = (F.col("v_last") - F.col("v_first") + F.col("corr")).cast(
+        "double"
+    ) / F.lit(1_000_000.0)
+    si = (F.col("t_last") - F.col("t_first")).cast("double") / F.lit(
+        1_000_000.0
+    )
+    avg_dur = si / (F.col("n") - F.lit(1)).cast("double")
+    d_start0 = (F.col("t_first") - F.col("w_us")).cast(
+        "double"
+    ) / F.lit(1_000_000.0)
+    d_end = (
+        F.col("w_us") + F.lit(_HOUR_US) - F.col("t_last")
+    ).cast("double") / F.lit(1_000_000.0)
+    d_zero = si * (
+        F.col("v_first").cast("double")
+        / (F.col("v_last") - F.col("v_first") + F.col("corr")).cast(
+            "double"
+        )
+    )
+    d_start = F.when(
+        (delta > 0) & (F.col("v_first") >= 0) & (d_zero < d_start0),
+        d_zero,
+    ).otherwise(d_start0)
+    threshold = avg_dur * F.lit(1.1)
+    ext = (
+        si
+        + F.when(d_start < threshold, d_start).otherwise(
+            avg_dur / F.lit(2.0)
+        )
+        + F.when(d_end < threshold, d_end).otherwise(
+            avg_dur / F.lit(2.0)
+        )
+    )
+    rate = delta * (ext / si) / F.lit(3600.0)
+    rate_e6 = F.floor(rate * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        per_series.select(
+            "event_type",
+            (F.col("w_us") / F.lit(1000)).cast("long").alias(
+                "window_ts_ms"
+            ),
+            rate_e6.alias("r"),
+        )
+        .groupBy("event_type", "window_ts_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_series"),
+            stable_round(
+                F.sum("r").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("rate_sum"),
+        )
+    )
+
+
+ORACLE_RATE_PROM = f"""
+WITH base AS (
+  SELECT event_type, user_id, event_id,
+         epoch_us(ts) AS t_us,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+         (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS w_us
+  FROM events
+), p AS (
+  SELECT *, lag(v) OVER (PARTITION BY event_type, user_id, w_us
+                         ORDER BY t_us, event_id) AS prev
+  FROM base
+), s AS (
+  SELECT event_type, user_id, w_us,
+         count(*) AS n,
+         min(t_us) AS t_first, max(t_us) AS t_last,
+         arg_min(v, t_us) AS v_first, arg_max(v, t_us) AS v_last,
+         sum(CASE WHEN v < prev THEN prev ELSE 0 END) AS corr
+  FROM p GROUP BY 1, 2, 3
+  HAVING count(*) >= 2 AND max(t_us) > min(t_us)
+), r AS (
+  SELECT event_type, w_us,
+         CAST(v_last - v_first + corr AS DOUBLE) / 1000000.0 AS delta,
+         CAST(t_last - t_first AS DOUBLE) / 1000000.0 AS si,
+         (CAST(t_last - t_first AS DOUBLE) / 1000000.0)
+           / CAST(n - 1 AS DOUBLE) AS avg_dur,
+         CAST(t_first - w_us AS DOUBLE) / 1000000.0 AS d_start0,
+         CAST(w_us + {_HOUR_US} - t_last AS DOUBLE) / 1000000.0
+           AS d_end,
+         (CAST(t_last - t_first AS DOUBLE) / 1000000.0)
+           * (CAST(v_first AS DOUBLE)
+              / CAST(v_last - v_first + corr AS DOUBLE)) AS d_zero,
+         v_first
+  FROM s
+), x AS (
+  SELECT event_type, w_us, delta, si, avg_dur, d_end,
+         CASE WHEN delta > 0 AND v_first >= 0 AND d_zero < d_start0
+              THEN d_zero ELSE d_start0 END AS d_start
+  FROM r
+), y AS (
+  SELECT event_type, w_us,
+         CAST(floor(
+           delta * ((si
+             + (CASE WHEN d_start < avg_dur * 1.1 THEN d_start
+                     ELSE avg_dur / 2.0 END)
+             + (CASE WHEN d_end < avg_dur * 1.1 THEN d_end
+                     ELSE avg_dur / 2.0 END)) / si) / 3600.0
+           * 1000000.0 + 0.5) AS BIGINT) AS r_e6
+  FROM x
+)
+SELECT event_type, CAST(w_us // 1000 AS BIGINT) AS window_ts_ms,
+       CAST(count(*) AS BIGINT) AS n_series,
+       {sql_stable_round(
+           "CAST(sum(r_e6) AS DOUBLE) / 1000000.0", 6)} AS rate_sum
+FROM y GROUP BY 1, 2
+""".strip()
+
+
 # ----------------------------------------------------- retention tiers
 
 _TIERS = ((60_000, "1m"), (300_000, "5m"), (3_600_000, "1h"))
@@ -1441,6 +1617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_lead_lag": q_metric_lead_lag,
     "metric_topk_movers": q_metric_topk_movers,
     "metric_counter_rate": q_metric_counter_rate,
+    "metric_rate_prom": q_metric_rate_prom,
     "metric_type_inference": q_metric_type_inference,
     "metric_flappiness": q_metric_flappiness,
     "metric_retention_tiers": q_metric_retention_tiers,
@@ -1450,6 +1627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "metric_rate_prom": ORACLE_RATE_PROM,
     "metric_longest_gap": ORACLE_LONGEST_GAP,
     "anomaly_seasonal": ORACLE_ANOMALY_SEASONAL,
     "metric_availability": ORACLE_AVAILABILITY,

@@ -152,6 +152,113 @@ FROM pn JOIN nation nn ON nn.n_nationkey = pn.c_nationkey
 """.strip()
 
 
+def q_revenue_theil_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T inequality index of customer revenue per nation
+    (Theil 1967) — the third inequality lens beside Gini (whole
+    Lorenz curve) and HHI (whale weight): T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)
+    = Σ (xᵢ/T)·ln(xᵢ·n/T). Theil is additively DECOMPOSABLE
+    (between-group + within-group), which Gini is not — the reason
+    economists reach for it when inequality must be attributed to
+    segments; T=0 is perfect equality, ln(n) maximal concentration.
+
+    Float determinism: revenues are exact BIGINTs (the Gini query's
+    scheme); each customer's term evaluates the IDENTICAL double
+    expression in both engines and pre-rounds to an e9 integer
+    BEFORE the per-nation sum, so the cross-customer total is
+    order-independent.
+
+    Scale: one customer-keyed aggregate, a broadcast join of the
+    25-row nation totals back to customers, one more nation-keyed
+    aggregate with map-side partials — no windows, no sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("rev").alias("a"))
+    )
+    totals = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("a").alias("t")
+    )
+    j = per_cust.join(F.broadcast(totals), "c_nationkey")
+    term = (
+        F.col("a").cast("double") / F.col("t").cast("double")
+    ) * F.log(
+        F.col("a").cast("double")
+        * F.col("n").cast("double")
+        / F.col("t").cast("double")
+    )
+    term_e9 = F.floor(
+        term * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    per_nation = j.groupBy("c_nationkey").agg(
+        F.max("n").alias("n_customers"),
+        F.max("t").alias("revenue"),
+        F.sum(term_e9).alias("theil_e9"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_customers"),
+            F.col("revenue"),
+            stable_round(
+                F.col("theil_e9").cast("double")
+                / F.lit(1_000_000_000.0),
+                6,
+            ).alias("theil"),
+        )
+    )
+
+
+ORACLE_THEIL = f"""
+WITH pc AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+           AS a
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT c_nationkey, count(*) AS n, CAST(sum(a) AS BIGINT) AS t
+  FROM pc GROUP BY 1
+), terms AS (
+  SELECT pc.c_nationkey, tot.n, tot.t,
+         CAST(floor(
+           (CAST(pc.a AS DOUBLE) / CAST(tot.t AS DOUBLE))
+             * ln(CAST(pc.a AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  / CAST(tot.t AS DOUBLE))
+           * 1000000000.0 + 0.5) AS BIGINT) AS term_e9
+  FROM pc JOIN tot USING (c_nationkey)
+), pn AS (
+  SELECT c_nationkey, max(n) AS n_customers, max(t) AS revenue,
+         CAST(sum(term_e9) AS BIGINT) AS theil_e9
+  FROM terms GROUP BY 1
+)
+SELECT nn.n_name AS nation,
+       CAST(pn.n_customers AS BIGINT) AS n_customers,
+       pn.revenue,
+       {sql_stable_round(
+           "CAST(pn.theil_e9 AS DOUBLE) / 1000000000.0", 6)} AS theil
+FROM pn JOIN nation nn ON nn.n_nationkey = pn.c_nationkey
+""".strip()
+
+
 # ------------------------------------------------ Benford's-law audit
 
 
@@ -1657,6 +1764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_hill_tail": q_corpus_hill_tail,
     "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
+    "revenue_theil_by_nation": q_revenue_theil_by_nation,
     "orders_benford": q_orders_benford,
     "events_survival_hazard": q_events_survival_hazard,
     "corpus_spearman": q_corpus_spearman,
@@ -1675,6 +1783,7 @@ ORACLES: dict[str, str] = {
     "corpus_hill_tail": ORACLE_HILL,
     "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
+    "revenue_theil_by_nation": ORACLE_THEIL,
     "orders_benford": ORACLE_BENFORD,
     "events_survival_hazard": ORACLE_SURVIVAL,
     "corpus_spearman": ORACLE_SPEARMAN,

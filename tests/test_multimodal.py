@@ -798,3 +798,57 @@ def test_phash_dedup_query_runs(spark, sf_small):
     # appear besides)
     twin_pairs = [r for r in pairs if r.id_b - r.id_a == 10_000_000]
     assert twin_pairs, "no gamma twin pair found"
+
+
+def test_dhash_invariant_under_monotone_luminance(spark, sf_small):
+    """dHash (r9): every bit is a local pairwise ordering, so a
+    monotone luminance map mostly preserves it — measured gamma-twin
+    Hamming ≤5 (the residual flips come from per-channel gamma +
+    channel-mixed gray, which is not exactly order-preserving, plus
+    uint8 ties) vs aHash's ≤8 with a long tail; twins all pair at
+    the ≤5 budget and unrelated images don't collapse. On a PURE
+    grayscale array the map is order-preserving up to quantization
+    ties: only a few bits move (measured 3)."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        adjust_images,
+        dhash64,
+        documents_as_smooth_ppm_media,
+        image_near_dup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 60)
+    )
+    media = documents_as_smooth_ppm_media(docs)
+    twins = adjust_images(media, gamma=2.0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    both = media.unionByName(twins)
+    d_pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(
+            both, max_hamming=5, method="dhash"
+        ).collect()
+    }
+    expected = {
+        (i, i + 10_000_000)
+        for i in [r.media_id for r in media.select("media_id").collect()]
+    }
+    assert expected <= d_pairs, sorted(expected - d_pairs)[:5]
+    n_twins = len(expected)
+    extra = {pr for pr in d_pairs if pr[1] - pr[0] != 10_000_000}
+    assert len(extra) < (n_twins * (n_twins - 1)) // 20
+    # unit: a literal gamma map on a raw array changes no ordering bit
+    import numpy as np
+
+    ch = ((np.arange(64 * 64, dtype=np.int64) * 7) % 251).astype(
+        np.uint8
+    ).reshape(64, 64)
+    rng_img = np.stack([ch, ch, ch], axis=2)
+    g = (255.0 * (rng_img / 255.0) ** 2.0).astype(np.uint8)
+    a = dhash64(rng_img)
+    b = dhash64(g)
+    # uint8 quantization creates ties that area-averaging can tip
+    # across the > boundary; measured 3 flipped bits on this array
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 4
