@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "revenue_theil_by_nation",
     "events_ab_power",
     "image_dhash_dedup",
+    "corpus_jarque_bera",
+    "corpus_kendall_tau",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

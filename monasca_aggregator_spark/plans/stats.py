@@ -524,6 +524,225 @@ FROM s
 """.strip()
 
 
+def q_corpus_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of doc length per source (Jarque &
+    Bera 1980): JB = n/6·(S² + K²/4) from population skewness S and
+    excess kurtosis K — the moment-based screen that says whether a
+    source's length distribution is even ROUGHLY normal before anyone
+    fits a Gaussian to it (the lognormal/Hill rows already suspect it
+    isn't; this quantifies the rejection). JB ~ χ²₂ under normality;
+    the 95% flag uses the 5.991465 critical value.
+
+    Exactness: power sums Σx, Σx², Σx³, Σx⁴ are exact integers (x²
+    in BIGINT, x³/x⁴ carried in DECIMAL(38,0) — x⁴ ≈ 10²⁰ per doc
+    passes BIGINT; DuckDB mirrors in HUGEINT); the moment algebra is
+    the IDENTICAL double expression tree in both engines over those
+    integers.
+
+    Scale: one source-keyed aggregate with map-side partials; output
+    is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    x = F.col("n_chars")
+    x2 = (x * x).alias("x2")
+    per = docs.select(
+        "source", x.alias("x"), x2
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x2").cast(_DEC)).alias("s2"),
+        F.sum(F.col("x2").cast(_DEC) * F.col("x").cast(_DEC)).alias(
+            "s3"
+        ),
+        F.sum(F.col("x2").cast(_DEC) * F.col("x2").cast(_DEC)).alias(
+            "s4"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    m2 = s2d / nd - mu * mu
+    m3 = (
+        s3d / nd
+        - F.lit(3.0) * mu * (s2d / nd)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        s4d / nd
+        - F.lit(4.0) * mu * (s3d / nd)
+        + F.lit(6.0) * mu * mu * (s2d / nd)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (
+        skew * skew + kurt * kurt / F.lit(4.0)
+    )
+    return per.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        stable_round(skew, 6).alias("skewness"),
+        stable_round(kurt, 6).alias("kurtosis_excess"),
+        stable_round(jb, 4).alias("jb"),
+        (jb > F.lit(5.991465)).alias("normal_rejected"),
+    )
+
+
+_JB_MU = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+_JB_M2 = (
+    f"CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - ({_JB_MU}) * ({_JB_MU})"
+)
+_JB_M3 = (
+    f"CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3.0::DOUBLE * ({_JB_MU})"
+    f" * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2.0::DOUBLE * ({_JB_MU}) * ({_JB_MU}) * ({_JB_MU})"
+)
+_JB_M4 = (
+    f"CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4.0::DOUBLE * ({_JB_MU})"
+    f" * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6.0::DOUBLE * ({_JB_MU}) * ({_JB_MU})"
+    f" * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3.0::DOUBLE * ({_JB_MU}) * ({_JB_MU}) * ({_JB_MU})"
+    f" * ({_JB_MU})"
+)
+_JB_SKEW = f"({_JB_M3}) / (({_JB_M2}) * sqrt({_JB_M2}))"
+_JB_KURT = f"({_JB_M4}) / (({_JB_M2}) * ({_JB_M2})) - 3.0::DOUBLE"
+_JB_STAT = (
+    f"CAST(n AS DOUBLE) / 6.0::DOUBLE * (({_JB_SKEW}) * ({_JB_SKEW})"
+    f" + ({_JB_KURT}) * ({_JB_KURT}) / 4.0::DOUBLE)"
+)
+
+ORACLE_JARQUE_BERA = f"""
+WITH per AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         sum(CAST(n_chars * n_chars AS HUGEINT)) AS s2,
+         sum(CAST(n_chars * n_chars AS HUGEINT) * n_chars) AS s3,
+         sum(CAST(n_chars * n_chars AS HUGEINT)
+             * (n_chars * n_chars)) AS s4
+  FROM documents GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       {sql_stable_round(_JB_SKEW, 6)} AS skewness,
+       {sql_stable_round(_JB_KURT, 6)} AS kurtosis_excess,
+       {sql_stable_round(_JB_STAT, 4)} AS jb,
+       ({_JB_STAT}) > 5.991465 AS normal_rejected
+FROM per
+""".strip()
+
+
+_TAU_CAP = 1200  # bounded pair sample: ≤ _TAU_CAP² / 2 pairs
+_TAU_P = 2147483647  # Mersenne prime 2^31−1 (same family as the
+_TAU_MULT = 2654435761  # dedup estimator gates' multiplicative hash)
+
+
+def q_corpus_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between doc length and whitespace-token count
+    (Kendall 1938, tie-corrected) — the pair-concordance sibling of
+    `corpus_spearman`: Spearman measures monotone association via
+    ranks, tau-b via the fraction of concordant pairs, is more robust
+    to a few wild ranks, and its ties handling is explicit. Exact
+    integer pair counts (concordant / discordant / x-ties / y-ties)
+    into one closed-form float.
+
+    Pairs are quadratic, so the statistic runs on a DETERMINISTIC
+    multiplicative-hash sample of ≤ {_TAU_CAP} docs (the estimator
+    gates' `_calibration_docs` pattern — SQL-reproducible, rerun-
+    stable; at oracle SF the sample is the whole corpus): a
+    calibration GATE, ~0.7M pairs via one broadcast self-join on the
+    bounded sample, never corpus-quadratic.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        n_docs = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        n_docs = load_table(spark, sf_dir, "documents").count()
+    every = max(1, n_docs // _TAU_CAP)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pri = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_TAU_P)) * F.lit(_TAU_MULT),
+        F.lit(_TAU_P),
+    )
+    s = docs.filter(F.pmod(pri, F.lit(every)) == 0).select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("jd"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = s.join(F.broadcast(b), F.col("doc_id") < F.col("jd"))
+    dx = F.col("x") - F.col("xj")
+    dy = F.col("y") - F.col("yj")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((dx * dy > 0).cast("long")).alias("c"),
+        F.sum((dx * dy < 0).cast("long")).alias("d"),
+        F.sum((dx == 0).cast("long")).alias("tx"),
+        F.sum((dy == 0).cast("long")).alias("ty"),
+    )
+    denom = F.sqrt(
+        (F.col("n_pairs") - F.col("tx")).cast("double")
+        * (F.col("n_pairs") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        stable_round(
+            (F.col("c") - F.col("d")).cast("double") / denom, 6
+        ).alias("tau_b"),
+    )
+
+
+ORACLE_KENDALL_TAU = rf"""
+WITH s AS (
+  SELECT d.doc_id, d.n_chars AS x,
+         CAST(len(string_split_regex(lower(trim(d.text)), '\s+'))
+              AS BIGINT) AS y
+  FROM documents d,
+       (SELECT greatest(count(*) // {_TAU_CAP}, 1) AS every
+        FROM documents) n
+  WHERE ((d.doc_id % {_TAU_P}) * {_TAU_MULT}) % {_TAU_P}
+          % n.every = 0
+), p AS (
+  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+), agg AS (
+  SELECT count(*) AS n_pairs,
+         CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c,
+         CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d,
+         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tx,
+         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ty
+  FROM p
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       c AS concordant, d AS discordant,
+       tx AS ties_x, ty AS ties_y,
+       {sql_stable_round(
+           "CAST(c - d AS DOUBLE)"
+           " / sqrt(CAST(n_pairs - tx AS DOUBLE)"
+           "        * CAST(n_pairs - ty AS DOUBLE))", 6)} AS tau_b
+FROM agg
+""".strip()
+
+
 # --------------------------------------------- open-order backlog series
 
 
@@ -1765,6 +1984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_seasonality_index": q_orders_seasonality_index,
     "revenue_gini_by_nation": q_revenue_gini_by_nation,
     "revenue_theil_by_nation": q_revenue_theil_by_nation,
+    "corpus_jarque_bera": q_corpus_jarque_bera,
+    "corpus_kendall_tau": q_corpus_kendall_tau,
     "orders_benford": q_orders_benford,
     "events_survival_hazard": q_events_survival_hazard,
     "corpus_spearman": q_corpus_spearman,
@@ -1784,6 +2005,8 @@ ORACLES: dict[str, str] = {
     "orders_seasonality_index": ORACLE_SEASONALITY,
     "revenue_gini_by_nation": ORACLE_GINI,
     "revenue_theil_by_nation": ORACLE_THEIL,
+    "corpus_jarque_bera": ORACLE_JARQUE_BERA,
+    "corpus_kendall_tau": ORACLE_KENDALL_TAU,
     "orders_benford": ORACLE_BENFORD,
     "events_survival_hazard": ORACLE_SURVIVAL,
     "corpus_spearman": ORACLE_SPEARMAN,

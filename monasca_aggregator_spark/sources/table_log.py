@@ -861,6 +861,97 @@ def _cow_rewrite(
     return new_record
 
 
+def snapshot_restore(path: str, version: int) -> dict:
+    """RESTORE the table to a prior version as a NEW commit (the
+    Delta ``RESTORE TABLE t TO VERSION`` semantics): the new tip
+    re-references the target version's data files BY REFERENCE —
+    zero data copy, the bad commits stay in history for audit, and
+    time travel still reads them until ``snapshot_expire``. The
+    mistake-undo operation the DML trio needs: a botched DELETE/
+    UPDATE/overwrite is one ``snapshot_restore(path, good_version)``
+    away from gone.
+
+    Returns the new commit record (op='restore', restored_from
+    recorded). Restoring to the current tip is a no-op (returns the
+    current record unchanged — no empty commit)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in table (have "
+            f"{versions[0]}..{versions[-1]}, expired versions are "
+            "gone)"
+        )
+    parent = versions[-1]
+    if version == parent:
+        return _read_commit(path, parent)
+    target = _read_commit(path, version)
+    new_record = {
+        "version": parent + 1,
+        "op": "restore",
+        "parent": parent,
+        "files": list(target["files"]),
+        "n_new_files": 0,
+        "file_groups": _file_groups(target),
+        "restored_from": version,
+    }
+    if target.get("schema") is not None:
+        new_record["schema"] = target["schema"]
+    _publish_commit(path, new_record, uuid.uuid4().hex[:12])
+    return new_record
+
+
+def snapshot_orphans(path: str, *, remove: bool = False) -> dict:
+    """VACUUM dry-run / orphan-file detection: parquet files under the
+    table's data dir referenced by NO live commit — the debris of
+    crashed or conflict-losing writers (the exclusive-create publish
+    means a loser's data dir is never referenced; see
+    ``test_commit_conflict_raises``). Reports {n_orphans, bytes,
+    orphans}; ``remove=True`` additionally deletes them and prunes
+    commit dirs left without any parquet (the ``snapshot_expire``
+    rule).
+
+    CAUTION with ``remove=True`` on a live table: a writer that has
+    written its data dir but not yet published its commit record
+    looks orphaned in that window — run removal only when no write
+    is in flight (the same contract as Delta's VACUUM retention
+    guard, which this local log solves by operator discipline rather
+    than timestamps)."""
+    live: set[str] = set()
+    for v in snapshot_versions(path):
+        live.update(
+            os.path.abspath(f) for f in _read_commit(path, v)["files"]
+        )
+    orphans: list[str] = []
+    total = 0
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for root, _dirs, fs in os.walk(ddir):
+            for f in fs:
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") and os.path.abspath(p) not in live:
+                    orphans.append(p)
+                    total += os.path.getsize(p)
+    if remove:
+        for p in orphans:
+            os.remove(p)
+        for sub in os.listdir(ddir) if os.path.isdir(ddir) else ():
+            p = os.path.join(ddir, sub)
+            if os.path.isdir(p) and not any(
+                f.endswith(".parquet")
+                for _root, _dirs, fs in os.walk(p)
+                for f in fs
+            ):
+                shutil.rmtree(p)
+    return {
+        "n_orphans": len(orphans),
+        "bytes": total,
+        "orphans": sorted(orphans),
+        "removed": bool(remove),
+    }
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,

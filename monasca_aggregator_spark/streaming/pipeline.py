@@ -1135,6 +1135,165 @@ def streaming_anomaly_zscore(
     )
 
 
+_PSI_K = 10  # buckets (deciles) — matches the batch metric_psi
+
+
+def psi_reference(
+    batch: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Build the broadcastable PSI REFERENCE from a batch (reference
+    period / snapshot): per key, the 9 decile edges of the e2-fixed
+    value distribution (exact discrete order statistics — the batch
+    `metric_psi` machinery) and the add-1-smoothed baseline bucket
+    shares q. One row per key: (key, edges array<long>,
+    q array<double>). Feed to ``streaming_psi_drift``."""
+    from pyspark.sql.window import Window as W
+
+    e2 = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        batch.select(F.col(key_col).alias("k"), e2.alias("e2"))
+        .groupBy("k", "e2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = (
+        W.partitionBy("k")
+        .orderBy("e2")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "k",
+        "e2",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("k")).alias("n"),
+    )
+
+    def _need(j: int):
+        return (
+            (F.lit(j) * F.col("n") + F.lit(_PSI_K - 1)) / F.lit(_PSI_K)
+        ).cast("long")
+
+    edges_wide = cum.groupBy("k").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= _need(j), F.col("e2"))
+            ).alias(f"_e{j}")
+            for j in range(1, _PSI_K)
+        ]
+    )
+    edges = edges_wide.select(
+        "k", F.array(*[f"_e{j}" for j in range(1, _PSI_K)]).alias("edges")
+    )
+    bucketed = hist.join(edges, "k").select(
+        "k",
+        "cnt",
+        F.aggregate(
+            "edges",
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + (e < F.col("e2")).cast("long"),
+        ).alias("b"),
+    )
+    per_bucket = bucketed.groupBy("k", "b").agg(
+        F.sum("cnt").alias("c")
+    )
+    wide = per_bucket.groupBy("k").agg(
+        F.sum("c").alias("m"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == i, F.col("c"))), F.lit(0)
+            ).alias(f"_c{i}")
+            for i in range(_PSI_K)
+        ],
+    )
+    q = F.array(
+        *[
+            (F.col(f"_c{i}") + F.lit(1)).cast("double")
+            / (F.col("m") + F.lit(_PSI_K)).cast("double")
+            for i in range(_PSI_K)
+        ]
+    )
+    return wide.join(edges, "k").select(
+        F.col("k").alias(key_col), "edges", q.alias("q")
+    )
+
+
+def streaming_psi_drift(
+    values: DataFrame,
+    reference: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming DISTRIBUTION-DRIFT monitor (r9): per (key, window),
+    the Population Stability Index of the live value distribution
+    against a batch-computed reference (``psi_reference`` — the
+    model-risk drift score ML-ops teams alert on; <0.1 stable, >0.25
+    major shift), entirely in built-in streaming machinery:
+
+    - the reference (edges + baseline shares) joins the stream
+      row-locally (stream-static join BEFORE aggregation, the
+      enrichment-join pattern) and the bucket index is a row-local
+      fold over the 9 broadcast edges;
+    - ONE watermarked windowed aggregation computes the {_PSI_K}
+      bucket counts as conditional sums (a fixed-width pivot — never
+      a second aggregation, which append-mode streaming forbids);
+    - PSI is then row-local closed-form algebra over the aggregated
+      row: add-1-smoothed live shares p against the carried baseline
+      q, Σ (p−q)·ln(p/q).
+
+    State per (key, window) is {_PSI_K} counters — bounded, GC'd by
+    the watermark. Emits (key, window_start, window_end, n, psi,
+    drifted) in append mode; streaming ≡ batch equality on identical
+    data is pinned in tests/test_streaming.py."""
+    e2 = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    enriched = (
+        values.withColumn("__e2", e2)
+        .join(F.broadcast(reference), key_col)
+        .withColumn(
+            "__b",
+            F.aggregate(
+                "edges",
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + (e < F.col("__e2")).cast("long"),
+            ),
+        )
+    )
+    agg = (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("q").alias("q"),
+            *[
+                F.sum((F.col("__b") == i).cast("long")).alias(f"_c{i}")
+                for i in range(_PSI_K)
+            ],
+        )
+    )
+    terms = []
+    for i in range(_PSI_K):
+        p = (F.col(f"_c{i}") + F.lit(1)).cast("double") / (
+            F.col("n") + F.lit(_PSI_K)
+        ).cast("double")
+        qi = F.element_at("q", i + 1)
+        terms.append((p - qi) * F.log(p / qi))
+    psi = sum(terms[1:], terms[0])
+    return agg.select(
+        F.col(key_col),
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        F.round(psi, 6).alias("psi"),
+        (psi > F.lit(0.25)).alias("drifted"),
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -2008,3 +2008,81 @@ def test_curate_document_stream_strips_boilerplate_lines(
     assert sorted(got) == [1, 2, 4]
     assert got[1] == good
     assert got[2] == other
+
+
+def test_streaming_psi_drift_matches_closed_form(spark, tmp_path):
+    """Streaming PSI drift (r9): a live window drawn from the
+    reference distribution scores stable (<0.1); a shifted window
+    trips the 0.25 drift flag; and the streamed PSI equals the
+    closed-form recomputation from the collected reference — the
+    streaming ≡ batch pin."""
+    import math
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        psi_reference,
+        streaming_psi_drift,
+    )
+
+    ref_rows = [("m", (i % 100) / 10.0) for i in range(1000)]
+    ref = psi_reference(
+        spark.createDataFrame(ref_rows, "event_type string, value double")
+    )
+    # window A (hour 0): same distribution; window B (hour 1): +5 shift
+    batches = [
+        [("m", (i % 100) / 10.0, 1_000 + i) for i in range(500)],
+        [("m", (i % 100) / 10.0 + 5.0, 3_600_000 + i) for i in range(500)],
+        # flush: advances the watermark past both windows so append
+        # mode emits them; its own (hour-3) window stays open and
+        # must NOT appear in the output
+        [("m", 1.0, 3 * 3_600_000)],
+    ]
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    schema = "event_type string, value double, ts_ms long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ingest_ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = streaming_psi_drift(raw, ref)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start.minute + r.window_start.hour * 60: r
+        for r in spark.sql("SELECT * FROM psi_out").collect()
+    }
+    assert len(got) == 2  # the open flush window is absent
+    a = min(got)
+    b = max(got)
+    assert got[a].psi < 0.1 and not got[a].drifted
+    assert got[b].psi > 0.25 and got[b].drifted
+    # closed-form recomputation from the collected reference
+    r = ref.collect()[0]
+    edges, qshare = list(r.edges), list(r.q)
+    for key, rows in ((a, batches[0]), (b, batches[1])):
+        counts = [0] * 10
+        for _, v, _ in rows:
+            e2 = math.floor(v * 100 + 0.5)
+            counts[sum(1 for e in edges if e < e2)] += 1
+        n = len(rows)
+        psi = sum(
+            ((c + 1) / (n + 10) - qs)
+            * math.log(((c + 1) / (n + 10)) / qs)
+            for c, qs in zip(counts, qshare)
+        )
+        assert abs(got[key].psi - round(psi, 6)) < 1e-9, (
+            key, got[key].psi, psi,
+        )

@@ -824,3 +824,65 @@ def test_snapshot_update_rewrites_only_touched_rows(spark, tmp_path):
     assert snapshot_versions(path3)[-1] == v_before
     with _pytest.raises(ValueError, match="SET targets"):
         snapshot_update(spark, path3, {"nope": "1"}, "x > 1")
+
+
+def test_snapshot_restore_repoints_without_copy(spark, tmp_path):
+    """RESTORE (r9): a new commit re-references a prior version's
+    files by reference (n_new_files=0, same physical paths); the bad
+    commits stay readable history; restore-to-tip is a no-op; expire
+    after restore keeps exactly the referenced files alive."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_delete,
+        snapshot_restore,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 100, "a"), path, shards=1)      # v1
+    snapshot_delete(spark, path, "id >= 50")                     # v2
+    snapshot_write(_df(spark, 0, 1, "c"), path, mode="overwrite")  # v3
+    rec = snapshot_restore(path, 1)                              # v4
+    assert rec["version"] == 4 and rec["op"] == "restore"
+    assert rec["restored_from"] == 1 and rec["n_new_files"] == 0
+    assert set(rec["files"]) == set(snapshot_history(path)[0]["files"])
+    assert snapshot_read(spark, path).count() == 100
+    # the bad states stay in history
+    assert snapshot_read(spark, path, version=2).count() == 50
+    assert snapshot_read(spark, path, version=3).count() == 1
+    # restore-to-tip: no new commit
+    tip = snapshot_versions(path)[-1]
+    assert snapshot_restore(path, tip)["version"] == tip
+    assert snapshot_versions(path)[-1] == tip
+    # vacuum: v1's files survive (referenced by the restore tip)
+    snapshot_expire(path, keep_last=1)
+    assert snapshot_read(spark, path).count() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table"):
+        snapshot_restore(path, 2)  # expired
+
+
+def test_snapshot_orphans_finds_unreferenced_files(spark, tmp_path):
+    """Orphan detection (r9): a conflict-losing writer's data dir is
+    never referenced by the commit log; snapshot_orphans reports it
+    and remove=True reclaims it without touching live files."""
+    import os
+
+    from monasca_aggregator_spark.sources import table_log
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_orphans,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 10, "a"), path, shards=1)
+    assert snapshot_orphans(path)["n_orphans"] == 0
+    # plant a loser's dir: data written, commit never published
+    loser = os.path.join(table_log._data_dir(path), "deadbeef0000")
+    _df(spark, 50, 60, "x").write.parquet(loser)
+    rep = snapshot_orphans(path)
+    assert rep["n_orphans"] >= 1 and rep["bytes"] > 0
+    assert all("deadbeef0000" in p for p in rep["orphans"])
+    rep2 = snapshot_orphans(path, remove=True)
+    assert rep2["removed"] and rep2["n_orphans"] == rep["n_orphans"]
+    assert not os.path.exists(loser)
+    assert snapshot_orphans(path)["n_orphans"] == 0
+    assert snapshot_read(spark, path).count() == 10
