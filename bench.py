@@ -312,6 +312,10 @@ BENCH_QUERIES = [
     "image_dhash_dedup",
     "corpus_jarque_bera",
     "corpus_kendall_tau",
+    "metric_alert_maintenance",
+    "metric_alert_overlap",
+    "text_kneser_ney",
+    "media_audio_vad",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

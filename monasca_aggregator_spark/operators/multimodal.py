@@ -673,6 +673,212 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
     )
 
 
+def vad_segments(
+    payload: bytes,
+    *,
+    frame_ms: int = 20,
+    contrast: float = 4.0,
+    hangover_frames: int = 1,
+    min_frames: int = 2,
+) -> dict:
+    """Energy-based VOICE-ACTIVITY DETECTION over a PCM WAV (the
+    classic frame-RMS gate — Rabiner & Sambur 1975's energy endpoint
+    detector, the pre-neural VAD every speech pipeline started
+    with): mono-mix → ``frame_ms`` frames → per-frame RMS → the
+    speech threshold is the MIDPOINT of the p10/p90 frame-RMS
+    percentiles (robust to any speech/silence duty cycle, where a
+    k×mean gate sits exactly on the speech level at 50% duty); a
+    clip whose p90 energy is within ``contrast``× of its p10 is
+    uniform (all silence or all tone) and yields no segments. Active
+    runs merge across gaps ≤ ``hangover_frames`` and runs shorter
+    than ``min_frames`` drop. Deterministic pure numpy — no external
+    audio library.
+
+    Returns {sample_rate, total_ms, speech_ms, n_segments,
+    speech_ratio, segments=[(start_ms, end_ms), ...]}."""
+    rate, nch, x = wav_samples(payload)
+    if nch > 1 and len(x):
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if rate <= 0 or len(x) == 0:
+        return {
+            "sample_rate": rate,
+            "total_ms": 0,
+            "speech_ms": 0,
+            "n_segments": 0,
+            "speech_ratio": None,
+            "segments": [],
+        }
+    spf = max(1, (rate * frame_ms) // 1000)
+    n_frames = len(x) // spf
+    total_ms = int(len(x) * 1000 // rate)
+    if n_frames == 0:
+        return {
+            "sample_rate": rate,
+            "total_ms": total_ms,
+            "speech_ms": 0,
+            "n_segments": 0,
+            "speech_ratio": 0.0,
+            "segments": [],
+        }
+    frames = x[: n_frames * spf].astype(np.float64).reshape(
+        n_frames, spf
+    )
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    lo = float(np.percentile(rms, 10))
+    hi = float(np.percentile(rms, 90))
+    if hi <= contrast * lo + 1e-6:
+        # uniform-energy clip: nothing to segment
+        active = np.zeros(n_frames, dtype=bool)
+    else:
+        active = rms > 0.5 * (lo + hi)
+    # merge across short gaps (hangover), then drop short runs
+    segs: list[tuple[int, int]] = []
+    start = None
+    gap = 0
+    for i, a in enumerate(active):
+        if a:
+            if start is None:
+                start = i
+            gap = 0
+        elif start is not None:
+            gap += 1
+            if gap > hangover_frames:
+                segs.append((start, i - gap + 1))
+                start, gap = None, 0
+    if start is not None:
+        segs.append((start, int(n_frames) - gap))
+    segs = [(a, b) for a, b in segs if b - a >= min_frames]
+    out = [
+        (int(a * spf * 1000 // rate), int(b * spf * 1000 // rate))
+        for a, b in segs
+    ]
+    speech_ms = sum(b - a for a, b in out)
+    return {
+        "sample_rate": rate,
+        "total_ms": total_ms,
+        "speech_ms": int(speech_ms),
+        "n_segments": len(out),
+        "speech_ratio": (
+            round(speech_ms / total_ms, 4) if total_ms else None
+        ),
+        "segments": out,
+    }
+
+
+VAD_SCHEMA = (
+    "media_id bigint, sample_rate int, total_ms bigint,"
+    " speech_ms bigint, n_segments int, speech_ratio double,"
+    " segments array<struct<start_ms: bigint, end_ms: bigint>>"
+)
+
+
+def audio_vad(media: DataFrame, *, frame_ms: int = 20) -> DataFrame:
+    """payload → VAD segments via mapInPandas (Arrow batches in, one
+    segment-list row per clip out; malformed rows yield nulls) — the
+    speech-pipeline entry stage: downstream per-segment transcription
+    or feature extraction runs on `posexplode(segments)` instead of
+    whole clips. Same batch-bounded memory contract as the other
+    decode paths."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = (
+                        vad_segments(bytes(p), frame_ms=frame_ms)
+                        if p is not None
+                        else None
+                    )
+                except (ValueError, EOFError, wave.Error):
+                    d = None
+                rows.append(
+                    (
+                        int(mid),
+                        d["sample_rate"] if d else None,
+                        d["total_ms"] if d else None,
+                        d["speech_ms"] if d else None,
+                        d["n_segments"] if d else None,
+                        d["speech_ratio"] if d else None,
+                        d["segments"] if d else None,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "total_ms",
+                    "speech_ms",
+                    "n_segments",
+                    "speech_ratio",
+                    "segments",
+                ],
+            )
+            out["sample_rate"] = pd.array(
+                out["sample_rate"], dtype="Int32"
+            )
+            out["n_segments"] = pd.array(
+                out["n_segments"], dtype="Int32"
+            )
+            yield out
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _run, VAD_SCHEMA
+    )
+
+
+def documents_as_wav_media(
+    docs: DataFrame, *, rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL WAV payloads derived from document ids —
+    the audio counterpart of ``documents_as_ppm_media``: each doc
+    becomes a silence|tone|silence[|tone] clip (tone frequency keyed
+    by doc_id; every third doc carries a second burst), so the VAD/
+    spectral operators get true end-to-end decodable inputs with a
+    KNOWN segment structure from driver testdata."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tone(freq: float, sec: float) -> np.ndarray:
+            t = np.arange(int(rate * sec)) / rate
+            return 0.5 * np.sin(2 * np.pi * freq * t)
+
+        def sil(sec: float) -> np.ndarray:
+            return np.zeros(int(rate * sec))
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                freq = 200.0 + (did % 20) * 50.0
+                parts = [sil(0.1), tone(freq, 0.2), sil(0.1)]
+                if did % 3 == 0:
+                    parts += [tone(freq * 1.5, 0.15), sil(0.05)]
+                x = (np.concatenate(parts) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    made = docs.select("doc_id").mapInPandas(
+        _make, "media_id bigint, payload binary"
+    )
+    return made.select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        "payload",
+        F.create_map(
+            F.lit("rate"), F.lit(str(rate))
+        ).alias("meta"),
+    )
+
+
 def decode_audio_features(media: DataFrame) -> DataFrame:
     """payload → (sample_rate, channels, duration, rms, peak) — REAL
     WAV decode (stdlib wave + numpy) in mapInPandas; malformed rows

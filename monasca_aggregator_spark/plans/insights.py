@@ -889,6 +889,134 @@ GROUP BY doc_id
 """.strip()
 
 
+_KN_D = 0.75  # absolute discount (the standard Kneser-Ney setting)
+
+
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit INTERPOLATED KNESER-NEY bigram scoring per doc
+    (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form) —
+    the principled smoothing beside `text_bigram_logprob`'s add-k:
+    mass discounted from observed bigrams is redistributed by the
+    CONTINUATION probability (how many distinct histories a word
+    follows), the fix for add-k's famous "San Francisco" failure
+    (frequent-but-one-history words stop leaking probability).
+
+        P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+                   + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/B
+
+    with D = {_KN_D}, N₁₊ the distinct-continuation counts and B the
+    distinct bigram types. Corpus-fit scoring means every scored
+    bigram is observed (c ≥ 1 > D — no clamp branch).
+
+    Determinism: all counts exact BIGINT; each distinct bigram's
+    log-prob evaluates the identical double tree in both engines and
+    fixes to micro-nats BEFORE the per-doc integer sum.
+
+    Scale: the model tables are vocabulary-/bigram-type-bounded
+    aggregations with map-side partials; scoring is one join of the
+    doc-bigram relation against the model keyed by the bigram."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] as w1, t[i+1] as w2))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    cw = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    nw1 = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    nw2 = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
+    btypes = cb.agg(F.count(F.lit(1)).alias("bt"))
+    p = (
+        (F.col("c_bg").cast("double") - F.lit(_KN_D))
+        / F.col("c_w1").cast("double")
+        + (
+            F.lit(_KN_D)
+            * F.col("n_w1").cast("double")
+            / F.col("c_w1").cast("double")
+        )
+        * (F.col("n_w2").cast("double") / F.col("bt").cast("double"))
+    )
+    lp = (
+        cb.join(cw, "w1")
+        .join(nw1, "w1")
+        .join(nw2, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(p) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bigrams.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(
+                F.col("s").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6)),
+                4,
+            ).alias("avg_logprob_kn"),
+        )
+    )
+
+
+ORACLE_KNESER_NEY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+  FROM bg GROUP BY 1, 2
+), cw AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM bg GROUP BY 1
+), n1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS n_w1 FROM cb GROUP BY 1
+), n2 AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_w2 FROM cb GROUP BY 1
+), bt AS (
+  SELECT CAST(count(*) AS BIGINT) AS bt FROM cb
+), lp AS (
+  SELECT cb.w1, cb.w2,
+         CAST(floor(ln(
+           (CAST(c_bg AS DOUBLE) - {_KN_D}) / CAST(c_w1 AS DOUBLE)
+           + ({_KN_D} * CAST(n_w1 AS DOUBLE) / CAST(c_w1 AS DOUBLE))
+             * (CAST(n_w2 AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+         ) * 1000000.0) AS BIGINT) AS lp_micro
+  FROM cb JOIN cw USING (w1) JOIN n1 USING (w1)
+       JOIN n2 USING (w2), bt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_stable_round(
+           "sum(lp_micro)::DOUBLE"
+           " / (count(*)::DOUBLE * 1000000.0::DOUBLE)", 4)}
+         AS avg_logprob_kn
+FROM bg JOIN lp USING (w1, w2)
+GROUP BY doc_id
+""".strip()
+
+
 # ------------------------------------------------- SLO error budget
 
 
@@ -2467,6 +2595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
     "events_ab_power": q_events_ab_power,
+    "text_kneser_ney": q_text_kneser_ney,
     "events_ab_did": q_events_ab_did,
     "events_dau_mau": q_events_dau_mau,
     "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
@@ -2497,6 +2626,7 @@ ORACLES: dict[str, str] = {
     "text_burstiness": ORACLE_BURSTINESS,
     "events_ab_test": ORACLE_AB_TEST,
     "events_ab_power": ORACLE_AB_POWER,
+    "text_kneser_ney": ORACLE_KNESER_NEY,
     "events_ab_did": ORACLE_AB_DID,
     "events_dau_mau": ORACLE_DAU_MAU,
     "metric_hod_dow_heatmap": ORACLE_HOD_DOW,

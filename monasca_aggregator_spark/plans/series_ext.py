@@ -490,6 +490,204 @@ FROM g GROUP BY 1, 2
 """.strip()
 
 
+_MAINT_START_H = 2  # daily maintenance window [02:00, 04:00) UTC
+_MAINT_END_H = 4
+
+
+def q_metric_alert_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alert MAINTENANCE-WINDOW suppression per metric (the
+    Alertmanager mute/silence semantics): breach windows (the
+    cooldown family's exact cross-multiplied hourly-mean test) that
+    fall inside the recurring daily maintenance window
+    [{_MAINT_START_H:02d}:00, {_MAINT_END_H:02d}:00) UTC are
+    SUPPRESSED — counted, auditable, but not paged. The report says
+    how much of each metric's alert volume the silence policy
+    swallows (a high suppressed fraction means maintenance is hiding
+    a real problem).
+
+    Exactness: hour-of-day is integer arithmetic on the window
+    timestamp; every output is exact BIGINT counts + one division.
+    Scale: runs entirely on the collapsed |metrics|×|hours| breach
+    relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("s1"), F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("s1").alias("t_sum"), F.sum("cnt").alias("t_cnt")
+    )
+    breaches = hourly.join(F.broadcast(tot), "event_type").filter(
+        F.col("s1") * F.col("t_cnt") > F.col("t_sum") * F.col("cnt")
+    )
+    hod = F.pmod(
+        F.expr(f"window_ts_ms div {_HOUR_MS}"), F.lit(24)
+    )
+    flagged = breaches.withColumn(
+        "suppressed",
+        (hod >= _MAINT_START_H) & (hod < _MAINT_END_H),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_breach"),
+        F.sum(F.col("suppressed").cast("long")).alias("n_suppressed"),
+        F.sum((~F.col("suppressed")).cast("long")).alias("n_fired"),
+        stable_round(
+            F.sum(F.col("suppressed").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("suppressed_frac"),
+    )
+
+
+ORACLE_ALERT_MAINTENANCE = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(s1) AS t_sum, sum(cnt) AS t_cnt
+  FROM e GROUP BY 1
+), b AS (
+  SELECT e.event_type, e.window_ts_ms,
+         ((e.window_ts_ms // {_HOUR_MS}) % 24 >= {_MAINT_START_H}
+          AND (e.window_ts_ms // {_HOUR_MS}) % 24 < {_MAINT_END_H})
+           AS suppressed
+  FROM e JOIN t USING (event_type)
+  WHERE e.s1 * t.t_cnt > t.t_sum * e.cnt
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_breach,
+       CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppressed,
+       CAST(sum(CASE WHEN suppressed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fired,
+       {sql_stable_round(
+           "CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)}
+         AS suppressed_frac
+FROM b GROUP BY 1
+""".strip()
+
+
+def q_metric_alert_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alert CO-FIRING matrix (incident correlation): for every
+    metric pair that ever breaches in the same hour, the Jaccard of
+    their breach-hour sets — the signal an on-call uses to collapse
+    duplicate pages ("these two always fire together — one alert,
+    not two") and to find hidden causal fan-out. Same exact breach
+    definition as the cooldown/maintenance family, so the three
+    reports never disagree about what an alert is.
+
+    Scale: breach sets live on the collapsed |metrics|×|hours|
+    relation; the pair join is an equi-join ON THE HOUR (each hour
+    contributes |metrics-breaching-that-hour|² pairs — bounded by
+    the metric count, never corpus rows), and per-metric set sizes
+    broadcast back onto the |pairs| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
+        F.sum("e2").alias("s1"), F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("s1").alias("t_sum"), F.sum("cnt").alias("t_cnt")
+    )
+    b = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .filter(
+            F.col("s1") * F.col("t_cnt") > F.col("t_sum") * F.col("cnt")
+        )
+        .select("event_type", "window_ts_ms")
+    )
+    sizes = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b2 = b.select(
+        F.col("event_type").alias("metric_b"),
+        F.col("window_ts_ms"),
+    )
+    both = (
+        b.join(b2, "window_ts_ms")
+        .filter(F.col("event_type") < F.col("metric_b"))
+        .groupBy(
+            F.col("event_type").alias("metric_a"), F.col("metric_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("metric_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("metric_b"), F.col("n").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(sa), "metric_a")
+        .join(F.broadcast(sb), "metric_b")
+        .select(
+            "metric_a",
+            "metric_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            stable_round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_both")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_ALERT_OVERLAP = f"""
+WITH e AS (
+  SELECT event_type, {_W_SQL} AS window_ts_ms,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(s1) AS t_sum, sum(cnt) AS t_cnt
+  FROM e GROUP BY 1
+), b AS (
+  SELECT e.event_type, e.window_ts_ms
+  FROM e JOIN t USING (event_type)
+  WHERE e.s1 * t.t_cnt > t.t_sum * e.cnt
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM b GROUP BY 1
+), cof AS (
+  SELECT a.event_type AS metric_a, c.event_type AS metric_b,
+         count(*) AS n_both
+  FROM b a JOIN b c ON a.window_ts_ms = c.window_ts_ms
+                   AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT metric_a, metric_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       {sql_stable_round(
+           "CAST(n_both AS DOUBLE)"
+           " / CAST(sa.n + sb.n - n_both AS DOUBLE)", 6)} AS jaccard
+FROM cof
+JOIN sizes sa ON sa.event_type = metric_a
+JOIN sizes sb ON sb.event_type = metric_b
+""".strip()
+
+
 def q_metric_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability scorecard per metric: incident count, MTTR (mean
     incident duration in hours, inclusive of the last breach window)
@@ -2633,6 +2831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_mad_anomaly": q_metric_mad_anomaly,
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
+    "metric_alert_maintenance": q_metric_alert_maintenance,
+    "metric_alert_overlap": q_metric_alert_overlap,
     "metric_mttr": q_metric_mttr,
     "metric_capacity_eta": q_metric_capacity_eta,
     "metric_trend": q_metric_trend,
@@ -2661,6 +2861,8 @@ ORACLES: dict[str, str] = {
     "metric_mad_anomaly": ORACLE_MAD_ANOMALY,
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
+    "metric_alert_maintenance": ORACLE_ALERT_MAINTENANCE,
+    "metric_alert_overlap": ORACLE_ALERT_OVERLAP,
     "metric_mttr": ORACLE_MTTR,
     "metric_capacity_eta": ORACLE_CAPACITY_ETA,
     "metric_trend": ORACLE_TREND,

@@ -880,6 +880,31 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: energy-VAD over REAL WAV clips end-to-end through
+    the driver harness (operators/multimodal.audio_vad — Rabiner &
+    Sambur energy endpointing): documents become deterministic
+    silence|tone|silence[|tone] WAV payloads
+    (documents_as_wav_media — every third doc carries a second tone
+    burst), real stdlib-wave decode + numpy frame-RMS segmentation in
+    mapInPandas, then a segment-count × speech-time summary. The
+    known clip structure pins the expected distribution in
+    tests/test_multimodal.py; hash-specific frame arithmetic, so no
+    SQL oracle. Plan: scan → ArrowEvalPython → one tiny aggregate."""
+    from monasca_aggregator_spark.operators.multimodal import (
+        audio_vad,
+        documents_as_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    vad = audio_vad(documents_as_wav_media(docs))
+    return vad.groupBy("n_segments").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("speech_ms").alias("min_speech_ms"),
+        F.max("speech_ms").alias("max_speech_ms"),
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding OUTLIER report: the 5 vectors farthest from
     their label centroid by cosine — mislabel/contamination triage for
@@ -2271,6 +2296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr": q_ann_mmr,  # rows-only (greedy order-dependent)
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
+    "media_audio_vad": q_media_audio_vad,  # rows-only (real WAV decode)
     "embedding_centroids": q_embedding_centroids,
     "embedding_centroid_affinity": q_embedding_centroid_affinity,
     "embedding_centroid_drift": q_embedding_centroid_drift,

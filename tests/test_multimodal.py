@@ -852,3 +852,65 @@ def test_dhash_invariant_under_monotone_luminance(spark, sf_small):
     # uint8 quantization creates ties that area-averaging can tip
     # across the > boundary; measured 3 flipped bits on this array
     assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_audio_vad_finds_speech_segments(spark):
+    """Energy VAD (r9): a clip of silence|tone|silence|tone yields
+    exactly the two tone segments at the right offsets; an all-silent
+    clip yields none; per-segment work composes via posexplode."""
+    import io
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.multimodal import (
+        audio_vad,
+        vad_segments,
+    )
+
+    rate = 8000
+
+    def _clip(pattern):  # pattern: list of (is_tone, seconds)
+        xs = []
+        for tone, sec in pattern:
+            t = np.arange(int(rate * sec)) / rate
+            xs.append(
+                (0.5 * np.sin(2 * np.pi * 440 * t) if tone else 0.002
+                 * np.sin(2 * np.pi * 50 * t))
+            )
+        x = (np.concatenate(xs) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    speech = _clip(
+        [(False, 0.2), (True, 0.3), (False, 0.3), (True, 0.2)]
+    )
+    d = vad_segments(speech)
+    assert d["n_segments"] == 2
+    (s1, e1), (s2, e2) = d["segments"]
+    assert abs(s1 - 200) <= 40 and abs(e1 - 500) <= 40
+    assert abs(s2 - 800) <= 40 and abs(e2 - 1000) <= 40
+    assert 0.4 < d["speech_ratio"] < 0.6
+    silent = _clip([(False, 0.5)])
+    assert vad_segments(silent)["n_segments"] == 0
+    # through Spark, with a malformed payload yielding nulls
+    rows = [(1, "audio", speech), (2, "audio", silent),
+            (3, "audio", b"not a wav")]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r.media_id: r for r in audio_vad(media).collect()}
+    assert got[1].n_segments == 2 and got[2].n_segments == 0
+    assert got[3].n_segments is None
+    segs = (
+        audio_vad(media)
+        .select("media_id", F.posexplode("segments"))
+        .count()
+    )
+    assert segs == 2
