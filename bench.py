@@ -316,6 +316,9 @@ BENCH_QUERIES = [
     "metric_alert_overlap",
     "text_kneser_ney",
     "media_audio_vad",
+    "events_tcloseness",
+    "events_attribution_markov",
+    "brand_supplier_concentration",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

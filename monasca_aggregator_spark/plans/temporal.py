@@ -1536,6 +1536,283 @@ FROM cells WHERE n_tiers < {_LDIV_L} GROUP BY 1
 """.strip()
 
 
+_TCLOSE_M = 4  # sensitive-attribute domain size (tiers 0..3)
+# t = 1/5: suppress when EMD > 0.2 — the exact test cross-multiplies
+# to 5·Σ|cum| > (m−1)·n·N, all integers
+_TCLOSE_T_DEN = 5
+
+
+def q_events_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS release gate (Li, Li & Venkatasubramanian 2007)
+    over the same (event_type, day) quasi-identifier and user-tier
+    sensitive attribute as `events_kanon`/`events_ldiversity` — the
+    third privacy lens: l-diversity counts distinct values but a cell
+    can be 99% one tier and still pass; t-closeness bounds how far
+    the cell's tier DISTRIBUTION may drift from the global one, via
+    the ordered-attribute Earth Mover's Distance
+    EMD = (1/(m−1))·Σᵢ |Σ_{{j≤i}} (p_j − q_j)|.
+
+    Exactness: the EMD test is fully integer — per-cell tier counts
+    and global counts cross-multiply so Σ|cumulative| compares
+    against (m−1)·n·N/t with no float anywhere near the branch; the
+    displayed emd is one final division. Cells failing t suppress
+    into a per-event_type residual, the l-diversity convention.
+
+    Scale: one (event_type, day)-keyed aggregate with a fixed-width
+    {_TCLOSE_M}-bucket pivot (bounded domain), a broadcast 1-row
+    global distribution, and a second aggregate over the tiny cell
+    table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(
+            F.from_json(F.col("props"), "k INT").getField("k")
+            / F.lit(_LDIV_TIER)
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    cells = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("tier") == i).cast("long")).alias(f"c{i}")
+            for i in range(_TCLOSE_M)
+        ],
+    )
+    glob = ev.groupBy().agg(
+        F.count(F.lit(1)).alias("big_n"),
+        *[
+            F.sum((F.col("tier") == i).cast("long")).alias(f"r{i}")
+            for i in range(_TCLOSE_M)
+        ],
+    )
+    j = cells.crossJoin(F.broadcast(glob))
+    # cumulative (c_j·N − r_j·n) partial sums — carried in DEC38
+    # (c·N reaches ~10²² at 100 TB, past BIGINT; DuckDB mirrors in
+    # HUGEINT)
+    dec = "decimal(38,0)"
+    cums = []
+    acc = None
+    for i in range(_TCLOSE_M - 1):
+        term = F.col(f"c{i}").cast(dec) * F.col("big_n").cast(
+            dec
+        ) - F.col(f"r{i}").cast(dec) * F.col("n").cast(dec)
+        acc = term if acc is None else acc + term
+        cums.append(F.abs(acc))
+    sum_abs = cums[0] + cums[1] + cums[2]
+    nn = F.col("n").cast(dec) * F.col("big_n").cast(dec)
+    suppressed = (
+        sum_abs * F.lit(_TCLOSE_T_DEN) > F.lit(_TCLOSE_M - 1) * nn
+    )
+    emd = stable_round(
+        sum_abs.cast("double")
+        / (F.lit(float(_TCLOSE_M - 1)) * nn.cast("double")),
+        6,
+    )
+    flagged = j.select(
+        "event_type", "day", "n", emd.alias("emd"),
+        suppressed.alias("_sup"),
+    )
+    released = flagged.filter(~F.col("_sup")).select(
+        "event_type",
+        "day",
+        "n",
+        "emd",
+        F.lit(False).alias("suppressed"),
+    )
+    residual = (
+        flagged.filter(F.col("_sup"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "event_type",
+            F.lit(None).cast("string").alias("day"),
+            "n",
+            F.lit(None).cast("double").alias("emd"),
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return released.unionByName(residual)
+
+
+_TC_TIER_SQL = (
+    f"CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)"
+    f" // {_LDIV_TIER} AS INTEGER)"
+)
+_TC_CUM = " + ".join(
+    "abs("
+    + " + ".join(
+        f"(CAST(c{j} AS HUGEINT) * big_n"
+        f" - CAST(r{j} AS HUGEINT) * n)"
+        for j in range(i + 1)
+    )
+    + ")"
+    for i in range(_TCLOSE_M - 1)
+)
+
+ORACLE_TCLOSENESS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         {_TC_TIER_SQL} AS tier
+  FROM events
+), cells AS (
+  SELECT event_type, day, count(*) AS n,
+         {", ".join(
+             f"CAST(sum(CASE WHEN tier = {i} THEN 1 ELSE 0 END)"
+             f" AS BIGINT) AS c{i}" for i in range(_TCLOSE_M))}
+  FROM ev GROUP BY 1, 2
+), g AS (
+  SELECT count(*) AS big_n,
+         {", ".join(
+             f"CAST(sum(CASE WHEN tier = {i} THEN 1 ELSE 0 END)"
+             f" AS BIGINT) AS r{i}" for i in range(_TCLOSE_M))}
+  FROM ev
+), f AS (
+  SELECT event_type, day, n,
+         ({_TC_CUM}) AS sum_abs,
+         CAST(n AS HUGEINT) * big_n AS nn
+  FROM cells, g
+)
+SELECT event_type, day, n,
+       {sql_stable_round(
+           "CAST(sum_abs AS DOUBLE)"
+           f" / ({float(_TCLOSE_M - 1)!r} * CAST(nn AS DOUBLE))", 6)}
+         AS emd,
+       FALSE AS suppressed
+FROM f WHERE sum_abs * {_TCLOSE_T_DEN} <= {_TCLOSE_M - 1} * nn
+UNION ALL
+SELECT event_type, NULL, CAST(sum(n) AS BIGINT),
+       CAST(NULL AS DOUBLE), TRUE
+FROM f WHERE sum_abs * {_TCLOSE_T_DEN} > {_TCLOSE_M - 1} * nn
+GROUP BY 1
+""".strip()
+
+
+def q_events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2016 — the
+    data-driven model beside the heuristic linear/U-shaped/time-decay
+    rows): per-(user, day) journeys feed a first-order chain over
+    touch states with absorbing CONV (first purchase) and NULL (day
+    ends unconverted); a channel's credit is how much the chain's
+    START→CONV probability DROPS when that channel is removed
+    (removal effect, normalized to shares). Answers "which touch is
+    causally load-bearing" where position heuristics just assert an
+    answer.
+
+    rows-only by design: the absorption probability solves the
+    (I−Q)x = b linear system of the ≤ |event_types|+1 transient
+    states — a bounded DRIVER-side numpy solve over the collected
+    transition-count table (state-count² rows, the `metric ×
+    metric`-matrix class), not SQL-expressible; determinism and a
+    hand-computed chain are pinned in tests/test_attribution.py.
+
+    Scale: the Spark side is the per-(user, day) sequence window +
+    one transition-count aggregate — the `events_markov` plan; ONLY
+    the bounded count table reaches the driver."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # truncate each journey at its FIRST purchase (the conversion)
+    marked = ev.withColumn(
+        "purch_seen",
+        F.sum((F.col("event_type") == "purchase").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).filter(F.coalesce(F.col("purch_seen"), F.lit(0)) == 0)
+    seq = marked.withColumn(
+        "state",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type")),
+    ).withColumn("prev", F.lag("state").over(w))
+    trans = (
+        seq.select(
+            F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+            F.col("state").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # journeys that end without converting transition last→NULL
+    last = seq.groupBy("user_id", "day").agg(
+        F.max_by("state", F.struct("ts", "event_id")).alias("s")
+    )
+    ends = (
+        last.filter(F.col("s") != "CONV")
+        .groupBy(F.col("s").alias("src"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("src", F.lit("NULL").alias("dst"), "c")
+    )
+    counts = {
+        (r.src, r.dst): r.c
+        for r in trans.unionByName(ends).collect()
+    }
+    states = sorted(
+        {s for s, _ in counts} | {d for _, d in counts}
+        - {"CONV", "NULL"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    m = len(states)
+
+    def conv_prob(removed: str | None) -> float:
+        q = np.zeros((m, m))
+        b = np.zeros(m)
+        # row totals keep the full outgoing mass: transitions INTO
+        # the removed state are NOT renormalized away — their
+        # probability falls to NULL (the removal-effect semantics;
+        # renormalizing would just route around the removed channel
+        # and measure ~0 for everything)
+        row_tot = {
+            s: sum(c for (a, _d), c in counts.items() if a == s)
+            for s in states
+        }
+        # removed-state transitions fall to NULL: drop its row
+        for (a, d), c in counts.items():
+            if a == removed or d == removed:
+                continue
+            if a in idx and row_tot[a] > 0:
+                p = c / row_tot[a]
+                if d == "CONV":
+                    b[idx[a]] += p
+                elif d in idx:
+                    q[idx[a], idx[d]] += p
+        if removed is not None and removed in idx:
+            q[idx[removed], :] = 0.0
+            b[idx[removed]] = 0.0
+        x = np.linalg.solve(np.eye(m) - q, b)
+        return float(x[idx["START"]])
+
+    base = conv_prob(None)
+    channels = [s for s in states if s != "START"]
+    effects = {
+        c: max(0.0, 1.0 - (conv_prob(c) / base if base > 0 else 0.0))
+        for c in channels
+    }
+    tot = sum(effects.values())
+    rows = [
+        (
+            c,
+            round(effects[c], 6),
+            round(effects[c] / tot, 6) if tot > 0 else None,
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_effect double, attribution_share double",
+    )
+
+
 _ATTR_WINDOW_MS = 24 * 3600 * 1000
 
 
@@ -2460,6 +2737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_strict_ordered": q_funnel_strict_ordered,
     "events_kanon": q_events_kanon,
     "events_ldiversity": q_events_ldiversity,
+    "events_tcloseness": q_events_tcloseness,
+    "events_attribution_markov": q_events_attribution_markov,  # rows-only (driver matrix solve)
     "metric_histogram_quantile": q_metric_histogram_quantile,
     "user_event_seq": q_user_event_seq,
     "events_cumulative_users": q_events_cumulative_users,
@@ -2499,6 +2778,7 @@ ORACLES: dict[str, str] = {
     "funnel_strict_ordered": ORACLE_FUNNEL_STRICT,
     "events_kanon": ORACLE_KANON,
     "events_ldiversity": ORACLE_LDIVERSITY,
+    "events_tcloseness": ORACLE_TCLOSENESS,
     "metric_histogram_quantile": ORACLE_HISTOGRAM_QUANTILE,
     "user_event_seq": ORACLE_USER_SEQ,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,

@@ -814,6 +814,96 @@ JOIN nation nc ON nc.n_nationkey = f.cust_nk
 _PS_TOP = 20
 
 
+def q_brand_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUPPLY-RISK concentration per part brand: how much of a
+    brand's shipped quantity comes from its single biggest supplier
+    (top share) and how concentrated the whole supplier mix is
+    (HHI = Σ share²) — the procurement counterpart of
+    `orders_concentration_hhi`'s revenue lens: a brand at HHI → 1 is
+    one supplier failure away from a stock-out.
+
+    Exactness: quantities ride as exact integer units; top share and
+    HHI are single divisions of exact BIGINT/DEC38 terms (Σq_s² vs
+    Q², HUGEINT in DuckDB), so both engines emit identical doubles.
+
+    Scale: one (brand, supplier)-keyed aggregate over lineitem⋈part
+    (broadcast part dim projected to two columns), then a brand-keyed
+    rollup of the |brands|×|suppliers|-bounded relation — max/sum,
+    no windows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    per_supp = (
+        li.join(
+            F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum("q").alias("qs"),
+            F.countDistinct("l_partkey").alias("np"),
+        )
+    )
+    dec = "decimal(38,0)"
+    per_brand = per_supp.groupBy("p_brand").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("np").alias("n_part_links"),
+        F.sum("qs").alias("q_total"),
+        F.max("qs").alias("q_top"),
+        F.sum(F.col("qs").cast(dec) * F.col("qs").cast(dec)).alias(
+            "q2"
+        ),
+    )
+    return per_brand.select(
+        F.col("p_brand").alias("brand"),
+        "n_suppliers",
+        "q_total",
+        stable_round(
+            F.col("q_top").cast("double") / F.col("q_total").cast("double"),
+            6,
+        ).alias("top_supplier_share"),
+        stable_round(
+            F.col("q2").cast("double")
+            / (
+                F.col("q_total").cast(dec) * F.col("q_total").cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+
+
+ORACLE_BRAND_SUPPLIER_CONC = f"""
+WITH per AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qs
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), b AS (
+  SELECT p_brand, count(*) AS n_suppliers,
+         CAST(sum(qs) AS BIGINT) AS q_total,
+         CAST(max(qs) AS BIGINT) AS q_top,
+         sum(CAST(qs AS HUGEINT) * qs) AS q2
+  FROM per GROUP BY 1
+)
+SELECT p_brand AS brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       q_total,
+       {sql_stable_round(
+           "CAST(q_top AS DOUBLE) / CAST(q_total AS DOUBLE)", 6)}
+         AS top_supplier_share,
+       {sql_stable_round(
+           "CAST(q2 AS DOUBLE)"
+           " / CAST(CAST(q_total AS HUGEINT) * q_total AS DOUBLE)",
+           6)} AS hhi
+FROM b
+""".strip()
+
+
 def q_part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Procurement price-dispersion audit: for each part, the unit
     price (extendedprice/quantity, exact cents via cross-multiplied
@@ -1318,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_index": q_lineitem_price_index,
     "region_revenue_yoy": q_region_revenue_yoy,
     "part_price_spread": q_part_price_spread,
+    "brand_supplier_concentration": q_brand_supplier_concentration,
     "lineitem_discount_uplift": q_lineitem_discount_uplift,
     "lineitem_return_rate": q_lineitem_return_rate,
     "supplier_scorecard": q_supplier_scorecard,
@@ -1341,6 +1432,7 @@ ORACLES: dict[str, str] = {
     "lineitem_price_elasticity": ORACLE_ELASTICITY,
     "region_revenue_yoy": ORACLE_REGION_YOY,
     "part_price_spread": ORACLE_PART_PRICE_SPREAD,
+    "brand_supplier_concentration": ORACLE_BRAND_SUPPLIER_CONC,
     "lineitem_discount_uplift": ORACLE_DISCOUNT_UPLIFT,
     "lineitem_return_rate": ORACLE_RETURN_RATE,
     "supplier_scorecard": ORACLE_SUPPLIER_SCORECARD,
