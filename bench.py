@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "events_tcloseness",
     "events_attribution_markov",
     "brand_supplier_concentration",
+    "embedding_effective_rank",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

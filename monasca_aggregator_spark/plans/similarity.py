@@ -880,6 +880,113 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_effective_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rows-only: EFFECTIVE RANK of the embedding space, overall and
+    per label (Roy & Vetterli 2007: exp of the eigenvalue-spectrum
+    entropy) plus the participation ratio (Σλ)²/Σλ² and the top-8
+    variance share — the spectrum-shape health check beside the
+    per-DIMENSION variance audit (`embedding_dim_variance` sees dead
+    coordinates; this sees dead DIRECTIONS after any rotation: an
+    embedding model whose 64-d space behaves like 9 effective
+    dimensions wastes capacity and hurts ANN separability, the
+    anisotropy row's finding made quantitative).
+
+    Plan: ONE pass of partition-wise exact moment partials per label
+    (the pca_fit sweep grouped by label — n, Σx, XᵀX per partition ×
+    label), d×d eigendecompositions driver-side on the collected
+    |labels|·d² partials. rows-only: eigenvalues are not
+    SQL-expressible; spectrum invariants pinned in
+    tests/test_pca.py."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+
+    def _partials(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for lab, v in zip(pdf["label"], pdf["embedding"]):
+                if v is None:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                slot = acc.get(int(lab))
+                if slot is None:
+                    acc[int(lab)] = [1, x.copy(), np.outer(x, x)]
+                else:
+                    slot[0] += 1
+                    slot[1] += x
+                    slot[2] += np.outer(x, x)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "label": list(acc),
+                    "n": [v[0] for v in acc.values()],
+                    "s": [list(v[1]) for v in acc.values()],
+                    "m": [list(v[2].ravel()) for v in acc.values()],
+                }
+            )
+
+    parts = emb.select("label", "embedding").mapInPandas(
+        _partials,
+        "label int, n long, s array<double>, m array<double>",
+    ).collect()
+
+    def _spectrum(n: int, s: np.ndarray, m: np.ndarray):
+        d = s.shape[0]
+        mean = s / n
+        cov = (m.reshape(d, d) - n * np.outer(mean, mean)) / max(
+            1, n - 1
+        )
+        lam = np.maximum(np.linalg.eigvalsh(cov), 0.0)[::-1]
+        tot = lam.sum()
+        if tot <= 0:
+            return None
+        p = lam / tot
+        nz = p[p > 0]
+        erank = float(np.exp(-(nz * np.log(nz)).sum()))
+        prat = float(tot * tot / (lam * lam).sum())
+        top8 = float(lam[:8].sum() / tot)
+        return erank, prat, top8
+
+    by_label: dict[int | None, list] = {}
+    for r in parts:
+        s = np.asarray(r.s)
+        m = np.asarray(r.m)
+        slot = by_label.get(r.label)
+        if slot is None:
+            by_label[r.label] = [r.n, s, m]
+        else:
+            slot[0] += r.n
+            slot[1] = slot[1] + s
+            slot[2] = slot[2] + m
+    rows = []
+    tot_n, tot_s, tot_m = 0, None, None
+    for lab in sorted(by_label):
+        n, s, m = by_label[lab]
+        tot_n += n
+        tot_s = s if tot_s is None else tot_s + s
+        tot_m = m if tot_m is None else tot_m + m
+        spec = _spectrum(n, s, m)
+        if spec:
+            rows.append(
+                (str(lab), n, len(s), *[round(x, 4) for x in spec])
+            )
+    spec = _spectrum(tot_n, tot_s, tot_m)
+    rows.append(
+        ("ALL", tot_n, len(tot_s), *[round(x, 4) for x in spec])
+    )
+    return spark.createDataFrame(
+        rows,
+        "label string, n_vecs long, d int, effective_rank double,"
+        " participation_ratio double, top8_var_ratio double",
+    )
+
+
 def q_media_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: energy-VAD over REAL WAV clips end-to-end through
     the driver harness (operators/multimodal.audio_vad — Rabiner &
@@ -2297,6 +2404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "media_image_features": q_media_image_features,  # rows-only (stub decode)
     "media_audio_vad": q_media_audio_vad,  # rows-only (real WAV decode)
+    "embedding_effective_rank": q_embedding_effective_rank,  # rows-only (driver eigh)
     "embedding_centroids": q_embedding_centroids,
     "embedding_centroid_affinity": q_embedding_centroid_affinity,
     "embedding_centroid_drift": q_embedding_centroid_drift,

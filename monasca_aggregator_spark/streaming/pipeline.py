@@ -1056,6 +1056,88 @@ def curate_document_stream(
     )
 
 
+def streaming_counter_increase(
+    env: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("tenant_id", "name"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    window_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming RESET-AWARE counter increase — the live twin of the
+    batch `metric_counter_rate` (Prometheus ``increase()``
+    semantics): per-key state is ONE number (the previous sample's
+    e6 value), each micro-batch folds its event-time-ordered samples
+    into positive inter-sample deltas attributed to the LATER
+    sample's window (the batch operator's convention), and emits one
+    (key, window, increase_e6, n_resets, n_samples) row per window
+    touched by the batch — the consumer sums rows per (key, window)
+    for the running total (idempotent with an exactly-once sink).
+
+    State per key: a single BIGINT — O(1), GC-free, the
+    streaming_ewma state-shape argument; deltas across micro-batch
+    boundaries ride the state, so with in-order arrival the summed
+    output is BIT-IDENTICAL to the batch operator on the same data
+    (pinned in tests/test_streaming.py)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, window_ts_ms bigint, increase_e6 bigint,"
+        " n_resets bigint, n_samples bigint"
+    )
+    state_schema = "last_e6 bigint"
+
+    def _fold(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        acc: dict[int, list[int]] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts_ms", kind="mergesort")
+            for ts_ms, e6 in zip(pdf["__ts_ms"], pdf["__e6"]):
+                w = (int(ts_ms) // window_ms) * window_ms
+                slot = acc.setdefault(w, [0, 0, 0])
+                if last is not None:
+                    d = int(e6) - last
+                    if d > 0:
+                        slot[0] += d
+                    elif d < 0:
+                        slot[1] += 1
+                slot[2] += 1
+                last = int(e6)
+        if last is not None:
+            state.update((last,))
+        cols = [
+            *key_cols,
+            "window_ts_ms",
+            "increase_e6",
+            "n_resets",
+            "n_samples",
+        ]
+        yield pd.DataFrame(
+            [(*key, w, a, r, n) for w, (a, r, n) in sorted(acc.items())],
+            columns=cols,
+        )
+
+    prepared = env.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__e6"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_anomaly_zscore(
     env: DataFrame,
     *,

@@ -77,3 +77,43 @@ def test_projection_reconstructs_at_full_rank(spark):
         recon = model.mean + proj[i] @ model.components.T
         # float32 projection column → ~1e-4 relative accuracy
         assert np.allclose(recon, x[i], atol=5e-3)
+
+
+def test_embedding_effective_rank_spectrum_invariants(spark, monkeypatch):
+    """Effective rank (r9, Roy & Vetterli 2007): a corpus spanning
+    exactly 3 directions has effective rank ≈ 3 (and participation
+    ratio ≤ effective rank ≤ d); reruns are identical."""
+    import numpy as np
+
+    import monasca_aggregator_spark.plans.similarity as SIM
+
+    rng = np.random.default_rng(7)
+    basis = rng.standard_normal((3, 16))
+    rows = []
+    for i in range(120):
+        w = rng.standard_normal(3)
+        v = (w @ basis).astype(float)
+        rows.append((i, [float(x) for x in v], i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    monkeypatch.setattr(
+        SIM, "load_table", lambda spark, sf_dir, name, **kw: df
+    )
+    out = {
+        r.label: r
+        for r in SIM.q_embedding_effective_rank(spark, "x").collect()
+    }
+    assert set(out) == {"0", "1", "ALL"}
+    for r in out.values():
+        assert 1.0 <= r.participation_ratio <= r.effective_rank + 1e-6
+        assert r.effective_rank <= r.d
+        # rank-3 data: AT MOST 3 live directions (entropy of an
+        # uneven 3-eigenvalue spectrum can sit below 3)
+        assert 1.5 < r.effective_rank <= 3.02
+        assert r.top8_var_ratio == 1.0
+    again = {
+        r.label: tuple(r)
+        for r in SIM.q_embedding_effective_rank(spark, "x").collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}

@@ -2086,3 +2086,94 @@ def test_streaming_psi_drift_matches_closed_form(spark, tmp_path):
         assert abs(got[key].psi - round(psi, 6)) < 1e-9, (
             key, got[key].psi, psi,
         )
+
+
+def test_streaming_counter_increase_equals_batch(spark, tmp_path):
+    """Streaming reset-aware counter increase (r9) ≡ the batch
+    metric_counter_rate on the same data: per-key last-value state
+    carries deltas ACROSS micro-batch boundaries, resets count once,
+    and the summed streaming output matches the batch operator's
+    per-(metric, hour) totals exactly."""
+    import time as _time
+
+    import monasca_aggregator_spark.plans.series as S
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_counter_increase,
+    )
+
+    h = 3_600_000
+    rows = [
+        # (user, ts_ms, value): u1 counts up, resets mid-hour-2
+        (1, 1_000, 10.0), (1, 2_000, 15.5), (1, h + 1_000, 20.0),
+        (1, h + 2_000, 3.0), (1, h + 3_000, 9.0),
+        # u2: monotone across the batch boundary
+        (2, 5_000, 100.0), (2, h + 5_000, 130.0),
+    ]
+    batches = [rows[:4], rows[4:]]
+    src = tmp_path / "ctr_src"
+    src.mkdir()
+    schema = "user_id long, ts_ms long, value double"
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            F.lit("cpu").alias("event_type"),
+            "user_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "value",
+        )
+    )
+    out = streaming_counter_increase(
+        raw,
+        key_cols=("event_type", "user_id"),
+        ts_col="ts",
+        value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ctr_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.window_ts_ms): (r.inc, r.resets)
+        for r in spark.sql(
+            "SELECT event_type, window_ts_ms,"
+            " CAST(sum(increase_e6) AS DOUBLE) / 1e6 AS inc,"
+            " sum(n_resets) AS resets"
+            " FROM ctr_out GROUP BY 1, 2"
+        ).collect()
+    }
+    # batch operator on the identical relation
+    df = spark.createDataFrame(
+        [(1000 + i, u, t, v) for i, (u, t, v) in enumerate(rows)],
+        "event_id long, user_id long, ts_ms long, value double",
+    ).select(
+        "event_id",
+        F.lit("cpu").alias("event_type"),
+        "user_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "value",
+    )
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(S, "load_table", lambda spark, sf_dir, name, **kw: df)
+    try:
+        batch = {
+            ("cpu", r.window_ts_ms): (r.increase, r.n_resets)
+            for r in S.q_metric_counter_rate(spark, "ignored").collect()
+        }
+    finally:
+        mp.undo()
+    assert got == batch, (got, batch)
+    # the hour-2 window carries u1's reset exactly once
+    assert got[("cpu", h)][1] == 1
