@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "events_attribution_markov",
     "brand_supplier_concentration",
     "embedding_effective_rank",
+    "metric_correlogram",
+    "text_trending_terms",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -2335,6 +2335,100 @@ FROM m
 # -------------------------------- token burstiness (Church–Gale VMR)
 
 
+_TREND_TOP = 20
+_TREND_MIN_C = 5  # current-crawl support floor
+
+
+def q_text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING TERMS between crawl snapshots (r9): top-{_TREND_TOP}
+    tokens by smoothed frequency-ratio rise from the previous crawl
+    to the current one — the vocabulary-drift monitor a corpus team
+    watches between ingestion batches (new jargon, event spikes,
+    spam campaigns), the time-axis sibling of `text_burstiness`'s
+    variance lens. Snapshots are the doc_id-parity split the
+    profile-drift family uses (prev = even, cur = odd — determinism
+    mechanics under oracle test; real deployments pass crawl ids).
+
+    ratio = ((c_cur+1)/(N_cur+V)) / ((c_prev+1)/(N_prev+V)) — add-1
+    smoothed shares so NEW tokens rank (prev count 0), with a
+    current-support floor of {_TREND_MIN_C}. Ranking is EXACT: the
+    ratio quantizes to e6 by integer long-division of the DEC38
+    cross products ((c_cur+1)·(N_prev+V)·10⁶ div
+    (c_prev+1)·(N_cur+V)) before the top-K, so order can't drift.
+
+    Scale: one (crawl, token) vocabulary-bounded aggregation, a
+    2-row crawl-totals broadcast, TakeOrdered top-K."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("crawl"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.sum((F.col("crawl") == 0).cast("long")).alias("c_prev"),
+        F.sum((F.col("crawl") == 1).cast("long")).alias("c_cur"),
+    )
+    tot = per.agg(
+        F.sum("c_prev").alias("n_prev"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    dec = "decimal(38,0)"
+    j = per.filter(F.col("c_cur") >= _TREND_MIN_C).crossJoin(
+        F.broadcast(tot)
+    )
+    q_e6 = F.expr(
+        "(CAST(c_cur + 1 AS decimal(38,0))"
+        " * CAST(n_prev + v AS decimal(38,0)) * 1000000)"
+        " div (CAST(c_prev + 1 AS decimal(38,0))"
+        "      * CAST(n_cur + v AS decimal(38,0)))"
+    )
+    ranked = j.select(
+        "token", "c_prev", "c_cur", q_e6.alias("q")
+    )
+    return (
+        ranked.orderBy(F.col("q").desc(), F.col("token"))
+        .limit(_TREND_TOP)
+        .select(
+            "token",
+            "c_prev",
+            "c_cur",
+            stable_round(
+                F.col("q").cast("double") / F.lit(1e6), 6
+            ).alias("rise_ratio"),
+        )
+    )
+
+
+ORACLE_TRENDING_TERMS = rf"""
+WITH toks AS (
+  SELECT CAST(doc_id % 2 AS INT) AS crawl,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), per AS (
+  SELECT token,
+         CAST(sum(CASE WHEN crawl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_prev,
+         CAST(sum(CASE WHEN crawl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_cur
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c_prev) AS BIGINT) AS n_prev,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur,
+         CAST(count(*) AS BIGINT) AS v
+  FROM per
+), r AS (
+  SELECT token, c_prev, c_cur,
+         (CAST(c_cur + 1 AS HUGEINT) * (n_prev + v) * 1000000)
+           // (CAST(c_prev + 1 AS HUGEINT) * (n_cur + v)) AS q
+  FROM per, tot WHERE c_cur >= {_TREND_MIN_C}
+)
+SELECT token, c_prev, c_cur,
+       {sql_stable_round("CAST(q AS DOUBLE) / 1000000.0", 6)}
+         AS rise_ratio
+FROM r ORDER BY q DESC, token LIMIT {_TREND_TOP}
+""".strip()
+
+
 _BURST_MIN_DF = 20  # tokens must appear in ≥ this many docs
 _BURST_TOP = 25
 
@@ -2596,6 +2690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_test": q_events_ab_test,
     "events_ab_power": q_events_ab_power,
     "text_kneser_ney": q_text_kneser_ney,
+    "text_trending_terms": q_text_trending_terms,
     "events_ab_did": q_events_ab_did,
     "events_dau_mau": q_events_dau_mau,
     "metric_hod_dow_heatmap": q_metric_hod_dow_heatmap,
@@ -2627,6 +2722,7 @@ ORACLES: dict[str, str] = {
     "events_ab_test": ORACLE_AB_TEST,
     "events_ab_power": ORACLE_AB_POWER,
     "text_kneser_ney": ORACLE_KNESER_NEY,
+    "text_trending_terms": ORACLE_TRENDING_TERMS,
     "events_ab_did": ORACLE_AB_DID,
     "events_dau_mau": ORACLE_DAU_MAU,
     "metric_hod_dow_heatmap": ORACLE_HOD_DOW,

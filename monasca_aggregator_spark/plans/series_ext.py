@@ -490,6 +490,124 @@ FROM g GROUP BY 1, 2
 """.strip()
 
 
+_ACF_MAX_LAG = 12  # correlogram depth in hours
+
+
+def q_metric_correlogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACF CORRELOGRAM per metric (r9): Pearson autocorrelation at
+    every lag 1..{_ACF_MAX_LAG} hours over the hourly series — the
+    full Box-Jenkins identification view the single-lag rows (lag-24
+    seasonality strength, AR(1) φ) sample one point of: a slow decay
+    says trend/AR, a spike at k says period-k seasonality, and the
+    first insignificant lag calibrates every trailing-window baseline
+    the anomaly family uses.
+
+    Exactness: paired sums n, Σx, Σy, Σxy, Σx², Σy² are exact
+    integers (cross products in DEC38/HUGEINT); each r is one
+    closed-form float over them, identical in both engines.
+
+    Scale: the raw scan collapses to the |metrics|×|hours| series
+    once; the lag pairing is ONE equi-join of that collapsed series
+    against its {_ACF_MAX_LAG}-fold lag explosion (join key (metric,
+    hour) — series-sized × lag count, never raw rows); the Pearson
+    sums aggregate with map-side partials to |metrics|×lags rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+    ).agg(F.sum("e2").alias("v"))
+    lagged = hourly.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("lag"),
+        (F.col("h") + F.col("lag")).alias("h2"),
+        F.col("v").alias("x"),
+    )
+    y = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("v").alias("y")
+    )
+    dec = "decimal(38,0)"
+    sums = (
+        lagged.join(y, ["event_type", "h2"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias(
+                "sxy"
+            ),
+            F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias(
+                "sxx"
+            ),
+            F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias(
+                "syy"
+            ),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    vx = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast("double")
+    vy = (
+        F.col("n").cast(dec) * F.col("syy")
+        - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    return sums.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        stable_round(num / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+ORACLE_CORRELOGRAM = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+  FROM hourly a,
+       unnest(range(1, {_ACF_MAX_LAG} + 1)) AS l(lag),
+       hourly b
+  WHERE b.event_type = a.event_type AND b.h = a.h + l.lag
+), s AS (
+  SELECT event_type, lag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       {sql_stable_round(
+           "CAST(CAST(n AS HUGEINT) * sxy"
+           " - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+           " / sqrt(CAST(CAST(n AS HUGEINT) * sxx"
+           "             - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+           "        * CAST(CAST(n AS HUGEINT) * syy"
+           "               - CAST(sy AS HUGEINT) * sy AS DOUBLE))",
+           6)} AS acf
+FROM s
+""".strip()
+
+
 _MAINT_START_H = 2  # daily maintenance window [02:00, 04:00) UTC
 _MAINT_END_H = 4
 
@@ -2832,6 +2950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_cusum": q_metric_cusum,
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_alert_maintenance": q_metric_alert_maintenance,
+    "metric_correlogram": q_metric_correlogram,
     "metric_alert_overlap": q_metric_alert_overlap,
     "metric_mttr": q_metric_mttr,
     "metric_capacity_eta": q_metric_capacity_eta,
@@ -2862,6 +2981,7 @@ ORACLES: dict[str, str] = {
     "metric_cusum": ORACLE_CUSUM,
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_alert_maintenance": ORACLE_ALERT_MAINTENANCE,
+    "metric_correlogram": ORACLE_CORRELOGRAM,
     "metric_alert_overlap": ORACLE_ALERT_OVERLAP,
     "metric_mttr": ORACLE_MTTR,
     "metric_capacity_eta": ORACLE_CAPACITY_ETA,

@@ -171,19 +171,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # metric_rate_prom, revenue_theil_by_nation, events_ab_power,
 # corpus_jarque_bera, corpus_kendall_tau, metric_alert_maintenance,
 # metric_alert_overlap, text_kneser_ney, events_tcloseness,
-# brand_supplier_concentration (displaced
+# brand_supplier_concentration, metric_correlogram,
+# text_trending_terms (displaced
 # text_burstiness, embedding_intrinsic_dim, text_jsd_by_source,
 # metric_psi, lineitem_discount_uplift, part_price_spread,
 # events_trailing_1h, region_revenue_yoy, orders_segment_migration,
 # metric_longest_gap, lang_entropy_by_source,
-# metric_histogram_native).
+# metric_histogram_native, metric_p95_trend,
+# class_balance_weights).
 # _DRIVER_WINDOW_R10: tuple[str, ...] = (
 #     "dedup_line_rewrite", "graph_adamic_adar", "metric_rate_prom",
 #     "revenue_theil_by_nation", "events_ab_power",
 #     "corpus_jarque_bera", "corpus_kendall_tau",
 #     "metric_alert_maintenance", "metric_alert_overlap",
 #     "text_kneser_ney", "events_tcloseness",
-#     "brand_supplier_concentration",
+#     "brand_supplier_concentration", "metric_correlogram",
+#     "text_trending_terms",
 #     "sample_consistent_k", "tpch_q21_waiting",
 #     "sample_quota_source", "events_retention", "range_join_ship",
 #     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
@@ -198,8 +201,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "corpus_source_overlap", "dedup_threshold_sweep",
 #     "corpus_mannwhitney", "quality_bootstrap_ci", "orders_nrr",
 #     "decontaminate_embedding", "sample_importance_dsir",
-#     "embedding_hard_negatives", "class_balance_weights",
-#     "metric_p95_trend",
+#     "embedding_hard_negatives",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

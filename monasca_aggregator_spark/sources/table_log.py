@@ -861,6 +861,51 @@ def _cow_rewrite(
     return new_record
 
 
+def snapshot_clone(
+    src_path: str, dst_path: str, *, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE (r9, the Delta ``CREATE TABLE ... SHALLOW
+    CLONE`` semantics): a NEW table whose first commit references the
+    source version's data files BY REFERENCE — zero data copy, so an
+    experiment branch of a 100 TB corpus costs one commit record.
+    The clone then evolves independently: appends/DML land in ITS
+    data dir; the source never sees them.
+
+    Safety: the clone does not OWN the referenced files —
+    ``snapshot_expire``/``snapshot_orphans`` only ever touch files
+    under a table's own data dir, so vacuuming the clone cannot
+    reach into the source's storage (and vice versa). The one
+    documented hazard mirrors Delta's: expiring the SOURCE can
+    remove files the clone still references — pin the cloned version
+    with ``snapshot_tag`` on the source for as long as the clone
+    must stay readable."""
+    versions = snapshot_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {src_path}")
+    if snapshot_versions(dst_path):
+        raise FileExistsError(
+            f"snapshot table already exists at {dst_path}"
+        )
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in source table")
+    target = _read_commit(src_path, v)
+    os.makedirs(_log_dir(dst_path), exist_ok=True)
+    record = {
+        "version": 1,
+        "op": "clone",
+        "parent": 0,
+        "files": list(target["files"]),
+        "n_new_files": 0,
+        "file_groups": _file_groups(target),
+        "cloned_from": {"path": os.path.abspath(src_path), "version": v},
+    }
+    if target.get("schema") is not None:
+        record["schema"] = target["schema"]
+    _publish_commit(dst_path, record, uuid.uuid4().hex[:12])
+    return record
+
+
 def snapshot_restore(path: str, version: int) -> dict:
     """RESTORE the table to a prior version as a NEW commit (the
     Delta ``RESTORE TABLE t TO VERSION`` semantics): the new tip
@@ -1018,7 +1063,12 @@ def snapshot_expire(path: str, *, keep_last: int) -> dict:
     every tagged version (a tag is a reproducibility pin — see
     ``snapshot_tag``; drop the tag to let its version expire), drop
     other log entries, and delete every data file no surviving
-    version references. Returns {removed_versions, removed_files}."""
+    version references. Returns {removed_versions, removed_files}.
+
+    OWNERSHIP rule (r9): only files under THIS table's own data dir
+    are ever deleted — a commit may reference files it does not own
+    (``snapshot_clone``'s zero-copy shallow clone), and expiring the
+    clone must never reach into the source table's storage."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(path)
@@ -1028,9 +1078,15 @@ def snapshot_expire(path: str, *, keep_last: int) -> dict:
     live: set[str] = set()
     for v in keep:
         live.update(_read_commit(path, v)["files"])
+    own_prefix = os.path.abspath(_data_dir(path)) + os.sep
     dead: set[str] = set()
     for v in drop:
-        dead.update(f for f in _read_commit(path, v)["files"] if f not in live)
+        dead.update(
+            f
+            for f in _read_commit(path, v)["files"]
+            if f not in live
+            and os.path.abspath(f).startswith(own_prefix)
+        )
     for f in sorted(dead):
         if os.path.exists(f):
             os.remove(f)

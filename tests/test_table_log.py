@@ -886,3 +886,40 @@ def test_snapshot_orphans_finds_unreferenced_files(spark, tmp_path):
     assert not os.path.exists(loser)
     assert snapshot_orphans(path)["n_orphans"] == 0
     assert snapshot_read(spark, path).count() == 10
+
+
+def test_snapshot_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone (r9): the clone's first commit references the
+    source's files by reference; appends diverge into the clone's
+    own storage; expiring the CLONE never deletes source files (the
+    ownership rule), and the source keeps reading."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_clone,
+        snapshot_delete,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(_df(spark, 0, 50, "a"), src, shards=1)
+    snapshot_write(_df(spark, 50, 60, "b"), src, mode="append", shards=1)
+    rec = snapshot_clone(src, dst)
+    assert rec["op"] == "clone" and rec["n_new_files"] == 0
+    assert snapshot_read(spark, dst).count() == 60
+    # divergence: clone evolves, source untouched
+    snapshot_write(_df(spark, 100, 105, "c"), dst, mode="append")
+    snapshot_delete(spark, dst, "id < 10")
+    assert snapshot_read(spark, dst).count() == 55
+    assert snapshot_read(spark, src).count() == 60
+    # vacuum the clone down to its tip: source files survive
+    snapshot_expire(dst, keep_last=1)
+    assert snapshot_read(spark, dst).count() == 55
+    assert snapshot_read(spark, src).count() == 60
+    assert snapshot_read(spark, src, version=1).count() == 50
+    # clone of a PAST version; existing-table guard
+    import pytest as _pytest
+
+    dst2 = str(tmp_path / "dst2")
+    snapshot_clone(src, dst2, version=1)
+    assert snapshot_read(spark, dst2).count() == 50
+    with _pytest.raises(FileExistsError):
+        snapshot_clone(src, dst2)
