@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "embedding_effective_rank",
     "metric_correlogram",
     "text_trending_terms",
+    "embedding_cka",
+    "metric_pacf",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -116,3 +116,88 @@ def procrustes_alignment(
         "alignment_gain": gain,
         "rotation": rotation,
     }
+
+
+def linear_cka(pairs: DataFrame, col_a: str, col_b: str) -> dict:
+    """LINEAR CKA between two paired representations (Kornblith et
+    al. 2019, "Similarity of Neural Network Representations
+    Revisited"): CKA = ‖C_ab‖²_F / (‖C_aa‖_F · ‖C_bb‖_F) over
+    CENTERED cross-covariances — 1.0 iff the two spaces agree up to
+    an orthogonal transform + isotropic scale (exactly the changes a
+    re-embedding is allowed to make), dropping as real
+    representational information diverges. The model-version
+    comparison metric Procrustes RMSD complements: RMSD measures the
+    residual after the best rotation, CKA measures subspace
+    agreement regardless of rotation.
+
+    One mapInPandas scan folds (n, Σa, Σb, ΣaaT, ΣbbT, ΣabT)
+    partials per partition — O(d²) task state, no shuffle; the
+    Frobenius norms are driver-side on the summed d×d matrices.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "n long, sa array<double>, sb array<double>,"
+        " maa array<double>, mbb array<double>, mab array<double>"
+    )
+
+    def _partials(batches):
+        n, sa, sb, maa, mbb, mab = 0, None, None, None, None, None
+        for pdf in batches:
+            for a, b in zip(pdf[col_a], pdf[col_b]):
+                if a is None or b is None:
+                    continue
+                x = np.asarray(a, dtype=np.float64)
+                y = np.asarray(b, dtype=np.float64)
+                if sa is None:
+                    d = len(x)
+                    sa, sb = np.zeros(d), np.zeros(len(y))
+                    maa = np.zeros((d, d))
+                    mbb = np.zeros((len(y), len(y)))
+                    mab = np.zeros((d, len(y)))
+                n += 1
+                sa += x
+                sb += y
+                maa += np.outer(x, x)
+                mbb += np.outer(y, y)
+                mab += np.outer(x, y)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "sa": [list(sa)],
+                    "sb": [list(sb)],
+                    "maa": [list(maa.ravel())],
+                    "mbb": [list(mbb.ravel())],
+                    "mab": [list(mab.ravel())],
+                }
+            )
+
+    parts = pairs.select(col_a, col_b).mapInPandas(
+        _partials, schema
+    ).collect()
+    if not parts:
+        raise ValueError("linear_cka: empty input")
+    n = sum(p.n for p in parts)
+    sa = np.sum([np.asarray(p.sa) for p in parts], axis=0)
+    sb = np.sum([np.asarray(p.sb) for p in parts], axis=0)
+    da, db = sa.shape[0], sb.shape[0]
+    maa = np.sum(
+        [np.asarray(p.maa).reshape(da, da) for p in parts], axis=0
+    )
+    mbb = np.sum(
+        [np.asarray(p.mbb).reshape(db, db) for p in parts], axis=0
+    )
+    mab = np.sum(
+        [np.asarray(p.mab).reshape(da, db) for p in parts], axis=0
+    )
+    ma, mb = sa / n, sb / n
+    caa = maa - n * np.outer(ma, ma)
+    cbb = mbb - n * np.outer(mb, mb)
+    cab = mab - n * np.outer(ma, mb)
+    num = float((cab * cab).sum())
+    den = float(
+        np.sqrt((caa * caa).sum()) * np.sqrt((cbb * cbb).sum())
+    )
+    return {"n_pairs": int(n), "cka": num / den if den > 0 else None}

@@ -608,6 +608,50 @@ FROM s
 """.strip()
 
 
+def q_metric_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: PARTIAL autocorrelation per metric (r9) — the
+    correlogram's Box-Jenkins partner: PACF at lag k is the
+    correlation left after regressing out lags 1..k−1, computed by
+    the Durbin-Levinson recursion over the EXACT ACF vector the
+    `metric_correlogram` plan produces. ACF cuts off → MA order;
+    PACF cuts off → AR order — together they pick the baseline model
+    the anomaly/forecast family assumes.
+
+    rows-only: the recursion is a sequential fold over the ≤
+    |metrics|×{_ACF_MAX_LAG} collected ACF table (bounded driver
+    work, the attribution-matrix class); recursion pinned against a
+    known AR(1) process in tests/test_series_ext.py.
+    """
+    acf_rows = q_metric_correlogram(spark, sf_dir).collect()
+    by_metric: dict[str, dict[int, float]] = {}
+    for r in acf_rows:
+        by_metric.setdefault(r.event_type, {})[r.lag] = r.acf
+    out = []
+    for m in sorted(by_metric):
+        got = by_metric[m]
+        kmax = max(got)
+        rho = [1.0] + [got.get(k, 0.0) for k in range(1, kmax + 1)]
+        # Durbin-Levinson: phi[k][k] is the PACF at lag k
+        phi_prev: list[float] = []
+        v = 1.0
+        for k in range(1, kmax + 1):
+            num = rho[k] - sum(
+                phi_prev[j] * rho[k - 1 - j]
+                for j in range(len(phi_prev))
+            )
+            a = num / v if v > 0 else 0.0
+            phi = [
+                phi_prev[j] - a * phi_prev[k - 2 - j]
+                for j in range(len(phi_prev))
+            ] + [a]
+            v = v * (1.0 - a * a)
+            phi_prev = phi
+            out.append((m, k, round(a, 6)))
+    return spark.createDataFrame(
+        out, "event_type string, lag int, pacf double"
+    )
+
+
 _MAINT_START_H = 2  # daily maintenance window [02:00, 04:00) UTC
 _MAINT_END_H = 4
 
@@ -2951,6 +2995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_alert_maintenance": q_metric_alert_maintenance,
     "metric_correlogram": q_metric_correlogram,
+    "metric_pacf": q_metric_pacf,  # rows-only (Durbin-Levinson fold)
     "metric_alert_overlap": q_metric_alert_overlap,
     "metric_mttr": q_metric_mttr,
     "metric_capacity_eta": q_metric_capacity_eta,

@@ -2342,6 +2342,57 @@ FROM nn, tot, ind, rec
 """.strip()
 
 
+def q_embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: LINEAR CKA re-embedding similarity (Kornblith et
+    al. 2019 — operators/procrustes.linear_cka), the
+    rotation-INVARIANT complement of the Procrustes row: snapshot B
+    under a pure signed-permutation isometry must score CKA ≈ 1.0
+    (basis changes are not drift), while a rank-halving corruption
+    (top half of B's dims zeroed — real information loss) scores
+    visibly lower; the gap is what separates "the new embedding
+    model re-oriented the space" from "it collapsed it". Two
+    scenarios reported side by side, ground truth known by
+    construction and pinned in tests/test_procrustes.py.
+
+    Plan: one mapInPandas moment-partial scan per scenario (O(d²)
+    task state, no shuffle), driver-side Frobenius norms — the
+    procrustes_alignment cost shape."""
+    from monasca_aggregator_spark.operators.procrustes import (
+        linear_cka,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        F.col("embedding").cast("array<double>").alias("a")
+    )
+    iso = emb.withColumn(
+        "b",
+        F.expr(
+            "transform(reverse(a),"
+            " (x, i) -> CASE WHEN i % 2 = 0 THEN x ELSE -x END)"
+        ),
+    )
+    collapsed = iso.withColumn(
+        "b",
+        F.expr(
+            "transform(b, (x, i) -> CASE WHEN i < size(b) div 2"
+            " THEN CAST(0.0 AS DOUBLE) ELSE x END)"
+        ),
+    )
+    r_iso = linear_cka(iso, "a", "b")
+    r_col = linear_cka(collapsed, "a", "b")
+    return spark.createDataFrame(
+        [
+            ("isometry", r_iso["n_pairs"], round(r_iso["cka"], 6)),
+            (
+                "rank_collapsed",
+                r_col["n_pairs"],
+                round(r_col["cka"], 6),
+            ),
+        ],
+        "scenario string, n_pairs long, cka double",
+    )
+
+
 def q_embedding_procrustes_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2391,6 +2442,7 @@ def q_embedding_procrustes_drift(
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_procrustes_drift": q_embedding_procrustes_drift,
+    "embedding_cka": q_embedding_cka,  # rows-only (driver Frobenius norms)
     "embedding_knn_hubness": q_embedding_knn_hubness,
     "embedding_whiten_eval": q_embedding_whiten_eval,  # rows-only
     "embedding_knn_accuracy": q_embedding_knn_accuracy,

@@ -90,3 +90,33 @@ def test_procrustes_query_headline(spark, sf_small):
     assert row["rmsd_before"] > 0.5
     assert row["rmsd_after"] < 1e-6
     assert row["alignment_gain"] > 0.999
+
+
+def test_linear_cka_invariance_and_sensitivity(spark):
+    """Linear CKA (r9): exactly 1.0 under an orthogonal transform +
+    isotropic scale (the changes a re-embedding is allowed to make),
+    strictly lower when dimensions are zeroed (real information
+    loss), and symmetric."""
+    import numpy as np
+
+    from monasca_aggregator_spark.operators.procrustes import linear_cka
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((200, 12))
+    q, _ = np.linalg.qr(rng.standard_normal((12, 12)))
+    y_iso = 2.5 * (x @ q)                     # rotation + scale
+    y_cut = x.copy()
+    y_cut[:, :6] = 0.0                        # rank collapse
+    def df(a, b):
+        return spark.createDataFrame(
+            [([float(v) for v in ai], [float(v) for v in bi])
+             for ai, bi in zip(a, b)],
+            "a array<double>, b array<double>",
+        )
+    r1 = linear_cka(df(x, y_iso), "a", "b")
+    assert abs(r1["cka"] - 1.0) < 1e-9
+    r2 = linear_cka(df(x, y_cut), "a", "b")
+    assert r2["cka"] < 0.95
+    r2t = linear_cka(df(y_cut, x), "a", "b")
+    assert abs(r2["cka"] - r2t["cka"]) < 1e-9
+    assert r1["n_pairs"] == r2["n_pairs"] == 200

@@ -412,3 +412,48 @@ def test_capacity_eta_consistent_with_trend(spark, sf_small):
             assert abs(recon - r.capacity) <= max(0.05, 0.01 * r.capacity)
         else:
             assert r.eta_hours is None
+
+
+def test_pacf_cuts_off_for_ar1(spark, monkeypatch):
+    """Durbin-Levinson PACF (r9): for a synthetic AR(1) hourly
+    series, PACF(1) ≈ φ and PACF(k≥2) ≈ 0 — the cut-off that
+    identifies AR order; ACF meanwhile decays geometrically (no
+    cut-off). Deterministic series, exact pin."""
+    import math
+
+    import monasca_aggregator_spark.plans.series_ext as SE
+    from pyspark.sql import functions as F
+
+    # AR(1) with phi=0.8, deterministic "innovations"
+    phi = 0.8
+    n = 400
+    rng_vals = [math.sin(1000003.0 * i * i + 7.0) for i in range(n)]
+    xs = [0.0]
+    for i in range(1, n):
+        xs.append(phi * xs[-1] + rng_vals[i])
+    rows = [
+        ("m", 1_700_000_000_000 + i * 3_600_000, 100.0 + x)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, value double"
+    ).select(
+        "event_type",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "value",
+    )
+    monkeypatch.setattr(
+        SE, "load_table", lambda spark, sf_dir, name, **kw: df
+    )
+    pacf = {
+        r.lag: r.pacf
+        for r in SE.q_metric_pacf(spark, "x").collect()
+    }
+    assert abs(pacf[1] - phi) < 0.12
+    assert all(abs(pacf[k]) < 0.15 for k in range(2, 13))
+    acf = {
+        r.lag: r.acf
+        for r in SE.q_metric_correlogram(spark, "x").collect()
+    }
+    # geometric ACF decay: acf(2) ≈ acf(1)², still clearly nonzero
+    assert acf[2] > 0.3 and abs(acf[2] - acf[1] ** 2) < 0.15
