@@ -72,6 +72,10 @@ ARROW_ALLOWED = {
     # top-k/vote in numpy (the JVM all-pairs formulation measured
     # 59-84 s at sf0.1 vs 0.9 s — plans/similarity.py r4 note)
     "embedding_knn_accuracy",
+    # real stdlib-wave decode + numpy frame-RMS segmentation per clip
+    # (r9 VAD): Arrow-batched binary payloads in, segment rows out —
+    # the multimodal decode seam, same class as media_image_features
+    "media_audio_vad",
     # nearest-centroid eval: per-partition int64 centroid partials +
     # broadcast L×d matmul assignment (the unrolled-JVM formulation
     # measured 7.3 s at sf0.1 vs 1.1 s — r6; exactness unchanged,
