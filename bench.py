@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "text_trending_terms",
     "embedding_cka",
     "metric_pacf",
+    "embedding_triplet_violations",
+    "sample_neyman_draw",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

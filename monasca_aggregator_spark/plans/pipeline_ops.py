@@ -1607,12 +1607,123 @@ FROM canon GROUP BY 1
 """.strip()
 
 
-# ------------------------------------ Neyman-optimal eval allocation
-
 _NEYMAN_BUDGET = 1000  # total labeling/eval budget to allocate
 _DEC_PIPE = "decimal(38,0)"  # n·Σx² for n_chars ≈ 10⁵ passes BIGINT at
 # corpus scale (10⁹ docs × 10¹⁰ per-term ≈ 10¹⁹·n) — DEC38 mirrors
 # DuckDB's HUGEINT
+
+
+def q_sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN allocation APPLIED (r9): close the loop the allocation
+    row opens — compute each stratum's Neyman-optimal k
+    (n_h ∝ N_h·σ_h against the {_NEYMAN_BUDGET}-row budget, the
+    `sample_neyman_allocation` arithmetic) and then DRAW exactly that
+    many docs per source with the consistent min-hash priority
+    (`sample_consistent_k`'s machinery) — so the drawn eval set is
+    simultaneously variance-optimal AND rerun/partitioning-stable.
+    The per-source md5 over the sorted drawn ids pins the exact SET,
+    not just its size.
+
+    Scale: the allocation is strata-sized and broadcasts; the draw
+    is one rank window PARTITIONED BY SOURCE (WindowGroupLimit
+    pushes the per-group k) — no global sort; the checksum
+    aggregates ≤ k ids per stratum."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(
+            F.col("n_chars").cast(_DEC_PIPE)
+            * F.col("n_chars").cast(_DEC_PIPE)
+        ).alias("q"),
+    )
+    var = (
+        F.col("n").cast(_DEC_PIPE) * F.col("q")
+        - F.col("s").cast(_DEC_PIPE) * F.col("s").cast(_DEC_PIPE)
+    ).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    w_e3 = F.floor(
+        F.col("n").cast("double") * F.sqrt(var) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = per.select("source", w_e3.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"(CAST(w AS {_DEC_PIPE}) * {_NEYMAN_BUDGET}) div tw"
+        ).alias("k_target"),
+    )
+    pri = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_PRIORITY_MOD))
+        * F.lit(_PRIORITY_MULT),
+        F.lit(_PRIORITY_MOD),
+    )
+    ranked = docs.select(
+        "doc_id", "source", pri.alias("p")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("p", "doc_id")
+        ),
+    )
+    drawn = ranked.join(F.broadcast(alloc), "source").filter(
+        F.col("rk") <= F.col("k_target")
+    )
+    return drawn.groupBy("source").agg(
+        F.max("k_target").alias("k_target"),
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id"))), ","
+            )
+        ).alias("ids_md5"),
+    )
+
+
+ORACLE_NEYMAN_DRAW = f"""
+WITH per AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT source,
+         CAST(floor(n * sqrt(CAST(n * q - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n)) * 1000.0
+                    + 0.5) AS BIGINT) AS wgt
+  FROM per
+), tot AS (
+  SELECT sum(wgt) AS tw FROM w
+), alloc AS (
+  SELECT source,
+         CAST((CAST(wgt AS HUGEINT) * {_NEYMAN_BUDGET}) // tw
+              AS BIGINT) AS k_target
+  FROM w, tot
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % {_PRIORITY_MOD}) * {_PRIORITY_MULT}
+                      % {_PRIORITY_MOD}, doc_id
+         ) AS rk
+  FROM documents
+), drawn AS (
+  SELECT r.source, r.doc_id, a.k_target
+  FROM ranked r JOIN alloc a USING (source)
+  WHERE r.rk <= a.k_target
+)
+SELECT source, CAST(max(k_target) AS BIGINT) AS k_target,
+       CAST(count(*) AS BIGINT) AS n_drawn,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id)) AS ids_md5
+FROM drawn GROUP BY 1
+""".strip()
+
+
+# ------------------------------------ Neyman-optimal eval allocation
+
 
 
 def q_sample_neyman_allocation(
@@ -1716,6 +1827,7 @@ FROM w, tot
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_neyman_allocation": q_sample_neyman_allocation,
+    "sample_neyman_draw": q_sample_neyman_draw,
     "dedup_url_canonical": q_dedup_url_canonical,
     "skyline_docs": q_skyline_docs,
     "curation_funnel": q_curation_funnel,
@@ -1752,6 +1864,7 @@ ORACLES: dict[str, str] = {
     "curation_url_filter": ORACLE_URL_FILTER,
     "dedup_url_canonical": ORACLE_URL_CANONICAL,
     "sample_neyman_allocation": ORACLE_NEYMAN,
+    "sample_neyman_draw": ORACLE_NEYMAN_DRAW,
     "pack_chunk_spans": ORACLE_PACK_SPANS,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,
     "split_group_aware": ORACLE_SPLIT_GROUP,

@@ -2342,6 +2342,125 @@ FROM nn, tot, ind, rec
 """.strip()
 
 
+def q_embedding_triplet_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIPLET-violation rate per label — the metric-learning eval
+    beside kNN accuracy and silhouette: for deterministic triplets
+    (anchor, positive = next same-label vector by vec_id, negative =
+    the same within-label rank in the NEXT label), a violation is
+    cos(anchor, negative) ≥ cos(anchor, positive) — exactly the pairs
+    a triplet/contrastive loss would still be paying for. High rate
+    in one label = that class's vectors aren't separable from its
+    neighbor class.
+
+    Determinism: triplet construction is pure window/rank arithmetic
+    (total order by vec_id); cosines are the shared e6-rounded
+    ``cosine_fixed`` (the ann_cosine_topk convention, oracle-matched
+    by ``list_dot_product``), and the violation compares the ROUNDED
+    values so both engines branch identically.
+
+    Scale: one label-partitioned rank window, one equi-join on
+    (label, rank), row-local cosines — no all-pairs anything."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    ranked = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy("vec_id"))
+        .alias("rk"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anchors = ranked.select(
+        "vec_id",
+        "label",
+        "v",
+        "rk",
+        F.lead("vec_id").over(w).alias("pos_id"),
+        F.lead("v").over(w).alias("pv"),
+    ).filter(F.col("pos_id").isNotNull())
+    nl = emb.agg(F.countDistinct("label").alias("l"))
+    a2 = anchors.crossJoin(F.broadcast(nl)).withColumn(
+        "nlabel", F.pmod(F.col("label") + 1, F.col("l")).cast("int")
+    )
+    negs = ranked.select(
+        F.col("label").alias("nlabel"),
+        F.col("rk"),
+        F.col("v").alias("nv"),
+    )
+    trip = a2.join(negs, ["nlabel", "rk"])
+    cos_ap = F.floor(
+        cosine_fixed(F.col("v"), F.col("pv"), EMB_DIM)
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    cos_an = F.floor(
+        cosine_fixed(F.col("v"), F.col("nv"), EMB_DIM)
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        trip.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_triplets"),
+            F.sum((cos_an >= cos_ap).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            "label",
+            "n_triplets",
+            "n_violations",
+            stable_round(
+                F.col("n_violations").cast("double")
+                / F.col("n_triplets").cast("double"),
+                6,
+            ).alias("violation_rate"),
+        )
+    )
+
+
+_COS6_SQL = (
+    "floor((list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))))"
+    " * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE"
+)
+
+ORACLE_TRIPLET = f"""
+WITH ranked AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id)
+           AS rk
+  FROM embeddings
+), nl AS (
+  SELECT count(DISTINCT label) AS l FROM embeddings
+), anchors AS (
+  SELECT vec_id, label, v, rk,
+         lead(vec_id) OVER w AS pos_id, lead(v) OVER w AS pv
+  FROM ranked
+  WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+), trip AS (
+  SELECT a.label, a.v, a.pv, n.v AS nv
+  FROM anchors a
+  CROSS JOIN nl
+  JOIN ranked n ON n.label = (a.label + 1) % nl.l AND n.rk = a.rk
+  WHERE a.pos_id IS NOT NULL
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN ({_COS6_SQL.format(a="v", b="nv")})
+                      >= ({_COS6_SQL.format(a="v", b="pv")})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       {sql_stable_round(
+           "CAST(sum(CASE WHEN (" + _COS6_SQL.format(a="v", b="nv")
+           + ") >= (" + _COS6_SQL.format(a="v", b="pv")
+           + ") THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / CAST(count(*) AS DOUBLE)", 6)} AS violation_rate
+FROM trip GROUP BY 1
+""".strip()
+
+
 def q_embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: LINEAR CKA re-embedding similarity (Kornblith et
     al. 2019 — operators/procrustes.linear_cka), the
@@ -2443,6 +2562,7 @@ def q_embedding_procrustes_drift(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_procrustes_drift": q_embedding_procrustes_drift,
     "embedding_cka": q_embedding_cka,  # rows-only (driver Frobenius norms)
+    "embedding_triplet_violations": q_embedding_triplet_violations,
     "embedding_knn_hubness": q_embedding_knn_hubness,
     "embedding_whiten_eval": q_embedding_whiten_eval,  # rows-only
     "embedding_knn_accuracy": q_embedding_knn_accuracy,
@@ -2490,6 +2610,7 @@ ORACLES: dict[str, str] = {
     "embedding_centroid_drift": ORACLE_CENTROID_DRIFT,
     "embedding_knn_hubness": ORACLE_KNN_HUBNESS,
     "ann_cosine_topk": ORACLE_ANN,
+    "embedding_triplet_violations": ORACLE_TRIPLET,
     "ann_filtered": ORACLE_ANN_FILTERED,
     "ann_ivf_cells": ORACLE_ANN_IVF_CELLS,
     "embedding_quantize": ORACLE_QUANTIZE,
