@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "metric_pacf",
     "embedding_triplet_violations",
     "sample_neyman_draw",
+    "events_ab_srm",
+    "metric_fano_factor",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

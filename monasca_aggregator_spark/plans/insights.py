@@ -889,6 +889,70 @@ GROUP BY doc_id
 """.strip()
 
 
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail per day (r9 — the first check
+    every experimentation platform runs BEFORE reading any metric:
+    Fabijan et al. 2019 report most corrupted experiments are caught
+    here): the deterministic user_id-mod-2 split is designed 50/50,
+    so the daily unique-user counts per arm must match a binomial —
+    the χ²(1 df) statistic (n₀−E)²/E + (n₁−E)²/E with E = N/2 flags
+    days where assignment, logging, or bot filtering broke one arm.
+    A significant z-test on a day with SRM is NOISE, not a result —
+    this row is the gate the other four A/B rows (z, CUPED, DiD,
+    power/MDE) must pass through.
+
+    Exactness: counts are exact BIGINTs; χ² = (n₀−n₁)²/N is one
+    division of exact integers (algebraically identical to the
+    two-cell form at E = N/2); the 3.841459 flag is the shared
+    χ²₁ 95% literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long")
+    users = ev.select(
+        day.alias("day"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        "user_id",
+    ).distinct()
+    daily = users.groupBy("day").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    chi2 = (d * d).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return daily.select(
+        "day",
+        "n0",
+        "n1",
+        stable_round(chi2, 4).alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm_detected"),
+    )
+
+
+ORACLE_AB_SRM = f"""
+WITH u AS (
+  SELECT DISTINCT epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(user_id % 2 AS INT) AS variant, user_id
+  FROM events
+), d AS (
+  SELECT day,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM u GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, n0, n1,
+       {sql_stable_round(
+           "CAST((n0 - n1) * (n0 - n1) AS DOUBLE)"
+           " / CAST(n0 + n1 AS DOUBLE)", 4)} AS chi2,
+       (CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        / CAST(n0 + n1 AS DOUBLE)) > 3.841459 AS srm_detected
+FROM d
+""".strip()
+
+
 _KN_D = 0.75  # absolute discount (the standard Kneser-Ney setting)
 
 
@@ -2689,6 +2753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_burstiness": q_text_burstiness,
     "events_ab_test": q_events_ab_test,
     "events_ab_power": q_events_ab_power,
+    "events_ab_srm": q_events_ab_srm,
     "text_kneser_ney": q_text_kneser_ney,
     "text_trending_terms": q_text_trending_terms,
     "events_ab_did": q_events_ab_did,
@@ -2721,6 +2786,7 @@ ORACLES: dict[str, str] = {
     "text_burstiness": ORACLE_BURSTINESS,
     "events_ab_test": ORACLE_AB_TEST,
     "events_ab_power": ORACLE_AB_POWER,
+    "events_ab_srm": ORACLE_AB_SRM,
     "text_kneser_ney": ORACLE_KNESER_NEY,
     "text_trending_terms": ORACLE_TRENDING_TERMS,
     "events_ab_did": ORACLE_AB_DID,

@@ -608,6 +608,84 @@ FROM s
 """.strip()
 
 
+def q_metric_fano_factor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FANO FACTOR of hourly event COUNTS per metric (r9): var/mean
+    of the counting process — the dispersion classifier that
+    complements the per-user inter-arrival CV: F ≈ 1 is Poisson
+    (memoryless traffic), F ≫ 1 over-dispersed (bursty/incident-
+    driven, trailing-window baselines will over-page), F < 1
+    under-dispersed (metronomic/scheduled — a bot or a cron). Uses
+    population variance from exact integer count moments:
+    F = (k·Σc² − (Σc)²) / (k·Σc) with k hourly windows.
+
+    Exactness: Σc² carried in DEC38/HUGEINT; one final division.
+    Scale: the raw scan collapses to |metrics|×|hours| counts, then
+    a metric-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts"
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias(
+            "q"
+        ),
+    )
+    num = (
+        F.col("k").cast(dec) * F.col("q")
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    ).cast("double")
+    den = (F.col("k").cast(dec) * F.col("s").cast(dec)).cast("double")
+    fano = num / den
+    return per.select(
+        "event_type",
+        F.col("k").alias("n_windows"),
+        F.col("s").alias("n_events"),
+        stable_round(fano, 6).alias("fano"),
+        F.when(fano > 1.5, F.lit("overdispersed"))
+        .when(fano < 0.67, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("dispersion"),
+    )
+
+
+ORACLE_FANO = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type, count(*) AS k,
+         CAST(sum(c) AS BIGINT) AS s,
+         sum(CAST(c AS HUGEINT) * c) AS q
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_windows,
+       s AS n_events,
+       {sql_stable_round(
+           "CAST(CAST(k AS HUGEINT) * q"
+           " - CAST(s AS HUGEINT) * s AS DOUBLE)"
+           " / CAST(CAST(k AS HUGEINT) * s AS DOUBLE)", 6)} AS fano,
+       CASE WHEN CAST(CAST(k AS HUGEINT) * q
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(k AS HUGEINT) * s AS DOUBLE) > 1.5
+              THEN 'overdispersed'
+            WHEN CAST(CAST(k AS HUGEINT) * q
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(k AS HUGEINT) * s AS DOUBLE) < 0.67
+              THEN 'underdispersed'
+            ELSE 'poisson_like' END AS dispersion
+FROM per
+""".strip()
+
+
 def q_metric_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: PARTIAL autocorrelation per metric (r9) — the
     correlogram's Box-Jenkins partner: PACF at lag k is the
@@ -2995,6 +3073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_alert_cooldown": q_metric_alert_cooldown,
     "metric_alert_maintenance": q_metric_alert_maintenance,
     "metric_correlogram": q_metric_correlogram,
+    "metric_fano_factor": q_metric_fano_factor,
     "metric_pacf": q_metric_pacf,  # rows-only (Durbin-Levinson fold)
     "metric_alert_overlap": q_metric_alert_overlap,
     "metric_mttr": q_metric_mttr,
@@ -3027,6 +3106,7 @@ ORACLES: dict[str, str] = {
     "metric_alert_cooldown": ORACLE_ALERT_COOLDOWN,
     "metric_alert_maintenance": ORACLE_ALERT_MAINTENANCE,
     "metric_correlogram": ORACLE_CORRELOGRAM,
+    "metric_fano_factor": ORACLE_FANO,
     "metric_alert_overlap": ORACLE_ALERT_OVERLAP,
     "metric_mttr": ORACLE_MTTR,
     "metric_capacity_eta": ORACLE_CAPACITY_ETA,

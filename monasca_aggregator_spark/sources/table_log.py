@@ -449,7 +449,14 @@ def batch_committed(path: str, batch_id: int) -> bool:
     )
 
 
-def snapshot_sink(path: str, *, mode: str = "append"):
+def snapshot_sink(
+    path: str,
+    *,
+    mode: str = "append",
+    auto_compact_every: int | None = None,
+    compact_shards: int = 1,
+    stats_cols: Sequence[str] = (),
+):
     """``foreachBatch`` sink: every micro-batch commits as a NEW
     snapshot version, so the stream's output is a versioned table —
     any past micro-batch boundary is a reproducible
@@ -464,6 +471,16 @@ def snapshot_sink(path: str, *, mode: str = "append"):
     checkpoint rewinds skip too) is dropped instead of
     double-committed, the snapshot-table counterpart of the
     idempotent batch_id-keyed parquet sink.
+
+    ``auto_compact_every=N`` (r9, the Delta auto-optimize pattern):
+    after every N non-compaction commits the sink rewrites the
+    current contents as one ``snapshot_compact`` commit — a
+    long-running stream's read path stays a bounded file listing
+    instead of one-file-per-micro-batch forever, with time travel
+    and replay guards untouched (a replayed data batch is still
+    skipped by batch_id; an extra compaction after a crash is a
+    harmless rewrite, never a data change). Pair with
+    ``snapshot_expire`` to reclaim the superseded files.
     """
 
     def _sink(df: DataFrame, batch_id: int) -> None:
@@ -472,6 +489,19 @@ def snapshot_sink(path: str, *, mode: str = "append"):
         snapshot_write(
             df, path, mode=mode, extra_record={"batch_id": batch_id}
         )
+        if auto_compact_every:
+            since = 0
+            for rec in reversed(snapshot_history(path)):
+                if "compacted_from" in rec:
+                    break
+                since += 1
+            if since >= auto_compact_every:
+                snapshot_compact(
+                    df.sparkSession,
+                    path,
+                    shards=compact_shards,
+                    stats_cols=stats_cols,
+                )
 
     return _sink
 

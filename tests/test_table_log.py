@@ -923,3 +923,29 @@ def test_snapshot_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert snapshot_read(spark, dst2).count() == 50
     with _pytest.raises(FileExistsError):
         snapshot_clone(src, dst2)
+
+
+def test_snapshot_sink_auto_compacts(spark, tmp_path):
+    """auto_compact_every=N (r9): after every N stream commits the
+    sink rewrites the table as one compact version, so the tip's
+    file count stays bounded while time travel and totals hold."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_sink,
+    )
+
+    path = str(tmp_path / "tbl")
+    sink = snapshot_sink(path, auto_compact_every=3)
+    for b in range(7):
+        sink(_df(spark, b * 10, b * 10 + 10, f"b{b}"), b)
+    hist = snapshot_history(path)
+    n_compact = sum(1 for h in hist if "compacted_from" in h)
+    assert n_compact == 2  # after commits 3 and 6 (post-compact count resets)
+    tip = hist[-1]
+    assert snapshot_read(spark, path).count() == 70
+    # the tip (or the last compaction) holds few files, not 7+
+    last_compact = [h for h in hist if "compacted_from" in h][-1]
+    assert len(last_compact["files"]) == 1
+    # replayed batch id: still skipped, no extra commits
+    n_before = len(snapshot_versions(path))
+    sink(_df(spark, 0, 1, "replay"), 3)
+    assert len(snapshot_versions(path)) == n_before
