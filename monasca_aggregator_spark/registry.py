@@ -167,6 +167,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # r10, the oldest driver rows in the registry.
 # New oracle keys added in r9 MUST displace this list's TAIL (the
 # r7-green re-confirmations at the end — freshest driver rows last).
+# FREEZE VERIFICATION (r9 close): all 50 staged keys below AND the
+# 50 active R9 keys above re-verified green together at sf0.01
+# under the driver protocol (tools/check_correctness.py, 100/100 OK)
+# on the final frozen r9 tree.
 # r9 additions so far: dedup_line_rewrite, graph_adamic_adar,
 # metric_rate_prom, revenue_theil_by_nation, events_ab_power,
 # corpus_jarque_bera, corpus_kendall_tau, metric_alert_maintenance,

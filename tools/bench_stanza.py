@@ -39,8 +39,13 @@ def main() -> int:
         )
     soak = full.get("soak")
     if soak:
+        # each entry's GATE metric: pair-normalized queries gate on
+        # ratio_per_pair, everything else on the (median) raw ratio
         ratios = {
-            k: v.get("ratio_median_of_3", v["ratio"])
+            k: v.get(
+                "ratio_median_of_3",
+                v.get("ratio_per_pair", v.get("ratio")),
+            )
             for k, v in soak["queries"].items()
             if "ratio" in v
         }
@@ -51,14 +56,33 @@ def main() -> int:
                 for k, v in soak["queries"].items()
                 if "ratio" in v
                 and "expected_max" in v
-                and v.get("ratio_median_of_3", v["ratio"])
-                > v["expected_max"]
+                and ratios[k] > v["expected_max"]
             ]
             lines.append(
-                f"Soak ×{soak['factor']}: worst ratio {wv} ({wk}); "
-                f"expected-ratio gate exceeded: "
+                f"Soak ×{soak['factor']}: worst gate value {wv} "
+                f"({wk}); expected-ratio gate exceeded: "
                 f"{exceeded if exceeded else 'none'}."
             )
+    if "--counts" in sys.argv:
+        import subprocess
+
+        sys.path.insert(0, str(_REPO))
+        from monasca_aggregator_spark import registry
+
+        q = registry.all_queries()
+        o = registry.all_oracles()
+        collected = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/",
+             "--collect-only", "-q"],
+            capture_output=True, text=True, cwd=_REPO,
+        ).stdout.strip().splitlines()
+        n_tests = next(
+            (ln for ln in reversed(collected) if "test" in ln), "?"
+        )
+        lines.append(
+            f"Registry: {len(q)} queries / {len(o)} oracle-backed / "
+            f"{len(q) - len(o)} rows-only; pytest: {n_tests}."
+        )
     print(" ".join(lines))
     return 0
 
