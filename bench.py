@@ -500,13 +500,15 @@ def main() -> None:
         # (which grows time WITHOUT growing output).
         SOAK_PAIR_NORMALIZED = {"dedup_minhash": 0.1}
         SOAK_RATIO_EXPECTED = {
-            # 3-rule fan-out over one cached scan: the ×8 replica
-            # multiplies agg state + cache pressure and the ratio is a
-            # noisy quotient of two sub-second times — measured spread
-            # 3.89-7.64 across four same-build r6 runs (the 6.0
-            # default fired once and was adjudicated as variance, not
-            # a plan change; plan untouched since r1)
-            "agg_multi_rule": 9.0,
+            # 3-rule fan-out over one cached scan: the ratio is a
+            # noisy quotient of two small times dominated by SESSION
+            # state — measured 1.42 median-of-5 standalone vs 8.45
+            # deep in a 288-query bench session on the SAME build
+            # (r9; r6 spread 3.89-7.64). A genuinely quadratic plan
+            # would read ~64 at ×8; 12.0 keeps >30% headroom over
+            # the worst observed session-inflated quotient while
+            # still catching a real blow-up.
+            "agg_multi_rule": 12.0,
         }
         # Every raised bound carries its adjudication IN the artifact
         # (VERDICT r6 #7): silent bound-raises are how gates go
@@ -527,12 +529,16 @@ def main() -> None:
                 "(time ~ pair work) with >2.5x headroom",
             },
             "agg_multi_rule": {
-                "old": 6.0,
-                "new": 9.0,
-                "spread": "3.89-7.64 across four same-build r6 runs",
-                "reason": "noisy quotient of two sub-second times "
-                "under x8 cache pressure; adjudicated as host "
-                "variance, plan unchanged since r1",
+                "old": 9.0,
+                "new": 12.0,
+                "spread": "r6 3.89-7.64; r9 8.45 in-bench vs 1.42 "
+                "median-of-5 standalone, same build",
+                "reason": "quotient dominated by session state "
+                "(cache/GC pressure after ~280 prior queries), not "
+                "data volume; plan unchanged since r1 — re-measured "
+                "and re-adjudicated at 94% utilization before the "
+                "gate could fire on noise (the minhash-gate r9 "
+                "treatment)",
             },
         }
         soak: dict[str, dict[str, float]] = {}
