@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "sample_neyman_draw",
     "events_ab_srm",
     "metric_fano_factor",
+    "orders_littles_law",
+    "text_ppmi_svd",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

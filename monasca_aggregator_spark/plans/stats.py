@@ -827,6 +827,128 @@ WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """.strip()
 
 
+def q_orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW consistency audit per month (r9): L = λ·W holds
+    for ANY stable flow system, so the ratio L/(λ·W) — month-end
+    backlog over (arrival rate × mean cycle time of that month's
+    arrivals) — is the queueing sanity check an ops team runs on its
+    own order metrics: a ratio drifting from ~1 means the flow is
+    NOT in steady state (ramping backlog, seasonal surge, cohort
+    drift) and capacity math built on averages will mislead. Uses
+    the `orders_backlog` machinery for L and the same open/close
+    months for W.
+
+    Exactness: λ·W algebraically cancels to Σ(cycle months) of the
+    month's arrivals, so the ratio is ONE division of two exact
+    BIGINTs (backlog over cycle-month sum) — plus the mean cycle as
+    a second exact division for display. NULL ratio where no
+    arrivals."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship"))
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "om"
+        ),
+        (F.year("ship") * 12 + F.month("ship")).alias("cm"),
+    )
+    opened = j.groupBy(F.col("om").alias("m")).agg(
+        F.count(F.lit(1)).alias("opened"),
+        F.sum(F.col("cm") - F.col("om")).alias("w_sum"),
+    )
+    closed = j.groupBy(F.col("cm").alias("m")).agg(
+        F.count(F.lit(1)).alias("closed")
+    )
+    months = opened.join(closed, "m", "full_outer").select(
+        "m",
+        F.coalesce("opened", F.lit(0)).alias("opened"),
+        F.coalesce("w_sum", F.lit(0)).alias("w_sum"),
+        F.coalesce("closed", F.lit(0)).alias("closed"),
+    )
+    cum_w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = months.select(
+        "m",
+        "opened",
+        "closed",
+        "w_sum",
+        (
+            F.sum("opened").over(cum_w) - F.sum("closed").over(cum_w)
+        ).alias("backlog"),
+    )
+    return base.select(
+        (F.col("m") / F.lit(12)).cast("long").alias("year"),
+        (F.col("m") % 12 + 1).cast("int").alias("month"),
+        "opened",
+        "closed",
+        "backlog",
+        F.when(
+            F.col("opened") > 0,
+            stable_round(
+                F.col("w_sum").cast("double")
+                / F.col("opened").cast("double"),
+                4,
+            ),
+        ).alias("avg_cycle_months"),
+        F.when(
+            F.col("w_sum") > 0,
+            stable_round(
+                F.col("backlog").cast("double")
+                / F.col("w_sum").cast("double"),
+                4,
+            ),
+        ).alias("littles_ratio"),
+    )
+
+
+ORACLE_LITTLES_LAW = """
+WITH li AS (
+  SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), j AS (
+  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS om,
+         year(li.ship) * 12 + month(li.ship) AS cm
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+), opened AS (
+  SELECT om AS m, count(*) AS opened,
+         CAST(sum(cm - om) AS BIGINT) AS w_sum
+  FROM j GROUP BY 1
+), closed AS (
+  SELECT cm AS m, count(*) AS closed FROM j GROUP BY 1
+), months AS (
+  SELECT coalesce(opened.m, closed.m) AS m,
+         CAST(coalesce(opened, 0) AS BIGINT) AS opened,
+         CAST(coalesce(w_sum, 0) AS BIGINT) AS w_sum,
+         CAST(coalesce(closed, 0) AS BIGINT) AS closed
+  FROM opened FULL OUTER JOIN closed ON opened.m = closed.m
+), b AS (
+  SELECT m, opened, closed, w_sum,
+         CAST(sum(opened) OVER w - sum(closed) OVER w AS BIGINT)
+           AS backlog
+  FROM months
+  WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS INT) AS month,
+       opened, closed, backlog,
+       CASE WHEN opened > 0 THEN
+         floor(CAST(w_sum AS DOUBLE) / CAST(opened AS DOUBLE)
+               * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+       END AS avg_cycle_months,
+       CASE WHEN w_sum > 0 THEN
+         floor(CAST(backlog AS DOUBLE) / CAST(w_sum AS DOUBLE)
+               * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+       END AS littles_ratio
+FROM b
+""".strip()
+
+
 def q_corpus_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov distance of each source's
     document-length distribution vs the REST of the corpus — the
@@ -1986,6 +2108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_theil_by_nation": q_revenue_theil_by_nation,
     "corpus_jarque_bera": q_corpus_jarque_bera,
     "corpus_kendall_tau": q_corpus_kendall_tau,
+    "orders_littles_law": q_orders_littles_law,
     "orders_benford": q_orders_benford,
     "events_survival_hazard": q_events_survival_hazard,
     "corpus_spearman": q_corpus_spearman,
@@ -2007,6 +2130,7 @@ ORACLES: dict[str, str] = {
     "revenue_theil_by_nation": ORACLE_THEIL,
     "corpus_jarque_bera": ORACLE_JARQUE_BERA,
     "corpus_kendall_tau": ORACLE_KENDALL_TAU,
+    "orders_littles_law": ORACLE_LITTLES_LAW,
     "orders_benford": ORACLE_BENFORD,
     "events_survival_hazard": ORACLE_SURVIVAL,
     "corpus_spearman": ORACLE_SPEARMAN,

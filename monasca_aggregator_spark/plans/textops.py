@@ -2210,7 +2210,101 @@ LIMIT {_RAKE_TOP_K}
 """.strip()
 
 
+_PPMI_WIN = 2  # co-occurrence window (±2 tokens)
+_PPMI_K = 8  # SVD embedding dimension
+_PPMI_PROBES = 5  # most-frequent tokens reported
+_PPMI_TOPN = 3  # neighbors per probe
+
+
+def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: COUNT-BASED WORD VECTORS trained in-engine (Levy &
+    Goldberg 2014's PPMI-SVD — the classical factorization word2vec
+    implicitly performs): token co-occurrence within a ±{_PPMI_WIN}
+    window aggregates corpus-wide (vocabulary-bounded), the PPMI
+    matrix max(0, ln(p(w,c)·N / (p(w)·p(c)))) factorizes by
+    truncated SVD driver-side (V×V collected — V is the vocabulary,
+    bounded by construction), and the report lists each top-probe
+    token's {_PPMI_TOPN} nearest neighbors in the k={_PPMI_K} latent
+    space. The existence proof that "train a small embedding" is an
+    in-engine operation, beside the logistic distillation and BPE
+    trainer rows.
+
+    rows-only: SVD is not SQL; cosine neighbor sets are invariant to
+    the factorization's column-sign ambiguity (consistent flips
+    cancel in dot products), and rerun-determinism + a synthetic
+    two-cluster corpus are pinned in tests/test_textops_ppmi.py.
+
+    Scale: co-occurrence is one exploded aggregation keyed by the
+    (w, c) pair with map-side partials; everything after runs on the
+    V² matrix, and V is capped by the vocabulary-bounded top-V rule
+    at real scale."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(t, (w, i) ->
+                    transform(slice(t, i + 2, {_PPMI_WIN}),
+                              c -> struct(w as w, c as c))))"""
+            )
+        ).alias("p")
+    ).select("p.w", "p.c")
+    sym = pairs.unionByName(
+        pairs.select(F.col("c").alias("w"), F.col("w").alias("c"))
+    )
+    co = (
+        sym.groupBy("w", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    total = 0
+    for r in co:
+        counts[r.w] = counts.get(r.w, 0) + r.n
+        total += r.n
+    vocab = sorted(counts)
+    idx = {w: i for i, w in enumerate(vocab)}
+    v = len(vocab)
+    m = np.zeros((v, v))
+    for r in co:
+        pmi = np.log(
+            (r.n * total)
+            / (counts[r.w] * counts[r.c])
+        )
+        if pmi > 0:
+            m[idx[r.w], idx[r.c]] = pmi
+    u, s, _ = np.linalg.svd(m, full_matrices=False)
+    k = min(_PPMI_K, v)
+    emb = u[:, :k] * s[:k]
+    norms = np.linalg.norm(emb, axis=1)
+    norms[norms == 0] = 1.0
+    unit = emb / norms[:, None]
+    sims = unit @ unit.T
+    probes = sorted(counts, key=lambda w: (-counts[w], w))[
+        :_PPMI_PROBES
+    ]
+    rows = []
+    for p in probes:
+        i = idx[p]
+        order = sorted(
+            (j for j in range(v) if j != i),
+            key=lambda j: (-sims[i, j], vocab[j]),
+        )[:_PPMI_TOPN]
+        for rank, j in enumerate(order, 1):
+            rows.append(
+                (p, rank, vocab[j], round(float(sims[i, j]), 4))
+            )
+    return spark.createDataFrame(
+        rows, "probe string, rank int, neighbor string, cosine double"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_ppmi_svd": q_text_ppmi_svd,  # rows-only (driver SVD)
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
     "text_search_fuzzy": q_text_search_fuzzy,

@@ -177,14 +177,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # metric_alert_overlap, text_kneser_ney, events_tcloseness,
 # brand_supplier_concentration, metric_correlogram,
 # text_trending_terms, embedding_triplet_violations,
-# sample_neyman_draw, events_ab_srm, metric_fano_factor (displaced
+# sample_neyman_draw, events_ab_srm, metric_fano_factor,
+# orders_littles_law (displaced
 # text_burstiness, embedding_intrinsic_dim, text_jsd_by_source,
 # metric_psi, lineitem_discount_uplift, part_price_spread,
 # events_trailing_1h, region_revenue_yoy, orders_segment_migration,
 # metric_longest_gap, lang_entropy_by_source,
 # metric_histogram_native, metric_p95_trend,
 # class_balance_weights, embedding_hard_negatives,
-# sample_importance_dsir, decontaminate_embedding, orders_nrr).
+# sample_importance_dsir, decontaminate_embedding, orders_nrr,
+# quality_bootstrap_ci).
 # _DRIVER_WINDOW_R10: tuple[str, ...] = (
 #     "dedup_line_rewrite", "graph_adamic_adar", "metric_rate_prom",
 #     "revenue_theil_by_nation", "events_ab_power",
@@ -194,6 +196,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "brand_supplier_concentration", "metric_correlogram",
 #     "text_trending_terms", "embedding_triplet_violations",
 #     "sample_neyman_draw", "events_ab_srm", "metric_fano_factor",
+#     "orders_littles_law",
 #     "sample_consistent_k", "tpch_q21_waiting",
 #     "sample_quota_source", "events_retention", "range_join_ship",
 #     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
@@ -206,7 +209,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "agg_delta", "sample_top_p_source",
 #     "metric_lead_lag", "metric_topk_movers",
 #     "corpus_source_overlap", "dedup_threshold_sweep",
-#     "corpus_mannwhitney", "quality_bootstrap_ci",
+#     "corpus_mannwhitney",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

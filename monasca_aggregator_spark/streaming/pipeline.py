@@ -1056,6 +1056,102 @@ def curate_document_stream(
     )
 
 
+def streaming_page_hinkley(
+    env: DataFrame,
+    *,
+    delta: float = 0.005,
+    lam: float = 50.0,
+    min_samples: int = 30,
+    key_cols: tuple[str, ...] = ("tenant_id", "name"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming PAGE-HINKLEY mean-drift detector (Page 1954; the
+    standard CUSUM-family online change detector, e.g. Gama et al.
+    2014's drift survey) — the MEAN-shift companion of the
+    distribution-level `streaming_psi_drift`: per key it folds the
+    running mean and the two one-sided cumulative deviations
+    m_t = Σ(xᵢ − x̄ᵢ − δ), and fires when m_t − min(m) (upward) or
+    max(m) − m_t (downward) exceeds λ. On a detection the key's
+    state RESETS, so the detector re-arms for the next change —
+    alarms mark change POINTS, not a latched condition.
+
+    State per key is SIX numbers (n, mean, cum↑, min↑, cum↓, max↓) —
+    O(1), GC-free, the streaming_ewma shape. Emits one row per
+    detection: (key..., ts_ms, value, direction, ph_stat,
+    n_since_reset) in update mode; drift semantics pinned against a
+    synthetic mean shift in tests/test_streaming.py."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, ts_ms bigint, value double,"
+        " direction string, ph_stat double, n_since_reset bigint"
+    )
+    state_schema = (
+        "n bigint, mean double, cum_up double, min_up double,"
+        " cum_dn double, max_dn double"
+    )
+
+    def _fold(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, cu, mu, cd, md = state.get
+        else:
+            n, mean, cu, mu, cd, md = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts_ms", kind="mergesort")
+            for ts_ms, v in zip(pdf["__ts_ms"], pdf["__value"]):
+                v = float(v)
+                n += 1
+                mean += (v - mean) / n
+                cu += v - mean - delta
+                cd += v - mean + delta
+                mu = min(mu, cu)
+                md = max(md, cd)
+                ph_up = cu - mu
+                ph_dn = md - cd
+                if n >= min_samples and (ph_up > lam or ph_dn > lam):
+                    rows.append(
+                        (
+                            *key,
+                            int(ts_ms),
+                            v,
+                            "up" if ph_up > lam else "down",
+                            float(max(ph_up, ph_dn)),
+                            n,
+                        )
+                    )
+                    n, mean, cu, mu, cd, md = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+        state.update((n, mean, cu, mu, cd, md))
+        cols = [
+            *key_cols,
+            "ts_ms",
+            "value",
+            "direction",
+            "ph_stat",
+            "n_since_reset",
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+    prepared = env.select(
+        *[F.col(c).cast("string").alias(c) for c in key_cols],
+        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        F.col(value_col).cast("double").alias("__value"),
+    )
+    return prepared.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_counter_increase(
     env: DataFrame,
     *,

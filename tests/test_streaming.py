@@ -2177,3 +2177,69 @@ def test_streaming_counter_increase_equals_batch(spark, tmp_path):
     assert got == batch, (got, batch)
     # the hour-2 window carries u1's reset exactly once
     assert got[("cpu", h)][1] == 1
+
+
+def test_streaming_page_hinkley_detects_mean_shift(spark, tmp_path):
+    """Page-Hinkley drift (r9): a flat series with a +10 mean shift
+    mid-stream fires exactly one UP detection shortly after the
+    shift (none before it, none on the stable key), and the state
+    reset re-arms for a later DOWN shift."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_page_hinkley,
+    )
+
+    def seg(key, start_i, n, level):
+        return [
+            (key, 1_000_000 + (start_i + i) * 1000,
+             level + (0.2 if (start_i + i) % 2 else -0.2))
+            for i in range(n)
+        ]
+
+    batches = [
+        seg("m", 0, 60, 10.0) + seg("stable", 0, 60, 5.0),
+        seg("m", 60, 60, 20.0) + seg("stable", 60, 60, 5.0),
+        seg("m", 120, 60, 4.0) + seg("stable", 120, 60, 5.0),
+    ]
+    src = tmp_path / "ph_src"
+    src.mkdir()
+    schema = "name string, ts_ms long, value double"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            F.lit("t0").alias("tenant_id"),
+            "name",
+            F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+            "value",
+        )
+    )
+    out = streaming_page_hinkley(raw, lam=50.0, min_samples=20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ph_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT name, ts_ms, direction FROM ph_out ORDER BY ts_ms"
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.name, []).append(r)
+    assert "stable" not in by_key  # flat key never fires
+    dets = by_key["m"]
+    assert [d.direction for d in dets] == ["up", "down"]
+    # the UP detection lands inside the shifted segment, the DOWN
+    # inside the dropped one — never before the change point
+    assert 1_000_000 + 60_000 <= dets[0].ts_ms < 1_000_000 + 120_000
+    assert dets[1].ts_ms >= 1_000_000 + 120_000

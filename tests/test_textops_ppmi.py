@@ -1,0 +1,45 @@
+"""PPMI-SVD word vectors (r9): cluster recovery + determinism."""
+
+from __future__ import annotations
+
+
+def test_ppmi_svd_recovers_cooccurrence_clusters(spark, monkeypatch):
+    """Two disjoint co-occurrence cliques: every probe's nearest
+    neighbors come from its own clique, and reruns are identical."""
+    import monasca_aggregator_spark.plans.textops as TX
+
+    # cliques of DIFFERENT sizes/frequencies: identical cliques give
+    # exactly degenerate singular value pairs and the SVD may mix the
+    # blocks inside the degenerate subspace
+    a = "apple banana cherry apple banana cherry apple cherry banana"
+    b = ("stone iron copper zinc stone iron zinc copper stone copper"
+         " iron zinc stone zinc iron")
+    rows = [(i, a if i % 2 == 0 else b, "en", "s", 9) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(
+        TX, "load_table", lambda spark, sf_dir, name, **kw: df
+    )
+    out = TX.q_text_ppmi_svd(spark, "x").collect()
+    cliq = {w: 0 for w in ("apple", "banana", "cherry")}
+    cliq.update({w: 1 for w in ("stone", "iron", "copper", "zinc")})
+    # a 3-word clique has only 2 same-clique neighbors, so rank 3
+    # falls cross-clique at cosine ≈ 0 (blocks are orthogonal) —
+    # assert top-1 is same-clique and every STRONG neighbor is too
+    for r in out:
+        if r.rank == 1:
+            assert cliq[r.probe] == cliq[r.neighbor], (
+                r.probe, r.neighbor,
+            )
+            assert r.cosine > 0.5
+        if r.cosine > 0.3:
+            assert cliq[r.probe] == cliq[r.neighbor], (
+                r.probe, r.neighbor, r.cosine,
+            )
+        else:
+            assert abs(r.cosine) < 0.3
+    again = [tuple(r) for r in TX.q_text_ppmi_svd(spark, "x").collect()]
+    assert again == [tuple(r) for r in out]
