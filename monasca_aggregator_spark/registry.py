@@ -170,7 +170,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # FREEZE VERIFICATION (r9 close): all 50 staged keys below AND the
 # 50 active R9 keys above re-verified green together at sf0.01
 # under the driver protocol (tools/check_correctness.py, 100/100 OK)
-# on the final frozen r9 tree.
+# on the final frozen r9 tree. The post-freeze continuation swapped
+# ONE staged key (orders_littles_law in — verified green + swept for
+# partition determinism on addition — displacing the r7-green
+# re-confirmation quality_bootstrap_ci); all other 49 unchanged.
 # r9 additions so far: dedup_line_rewrite, graph_adamic_adar,
 # metric_rate_prom, revenue_theil_by_nation, events_ab_power,
 # corpus_jarque_bera, corpus_kendall_tau, metric_alert_maintenance,

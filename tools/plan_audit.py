@@ -131,6 +131,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # ---- per-group aggregates of bounded cardinality ----
     "sample_budget_mix",       # water-filling over |sources| rows
     "orders_backlog",          # month-grid backlog (≤ #months rows)
+    "orders_littles_law",      # same month-grid cumsum (r9)
     "events_cumulative_users", # running total over ≤ #days rows
     "funnel_window_depth",     # reach cumsum over ≤ 4 depth levels
     "revenue_share_hierarchy", # share-of-total over |nations| rollup
