@@ -630,6 +630,24 @@ def main() -> None:
                 f" (ratio {entry.get('ratio', '-')})",
                 file=sys.stderr,
             )
+        def _gate_value(q: dict) -> float:
+            return q.get(
+                "ratio_median_of_3",
+                q.get("ratio_per_pair", q.get("ratio", 0.0)),
+            )
+
+        def _utilization(q: dict) -> float:
+            if "expected_max" not in q:
+                return 0.0
+            return _gate_value(q) / q["expected_max"]
+
+        # Order the soak map HOTTEST gate first (VERDICT r9 #2): the
+        # driver's tail capture truncates the full payload at ~2,000
+        # chars, so utilization-descending order keeps the entries
+        # that matter inside the readable window.
+        soak = dict(
+            sorted(soak.items(), key=lambda kv: -_utilization(kv[1]))
+        )
         full["soak"] = {"factor": soak_factor, "queries": soak}
         out["soak_factor"] = soak_factor
         # worst RAW time ratio over the un-normalized entries (the
@@ -646,22 +664,20 @@ def main() -> None:
         )
         # gate utilization: worst gate_value/bound fraction across ALL
         # entries (1.0 = a gate fired) — the single number that says
-        # how much headroom the tightest soak gate has left
+        # how much headroom the tightest soak gate has left — plus the
+        # gate's NAME and value/bound so round-over-round gate health
+        # is readable from the compact line alone (VERDICT r9 #2)
+        gated = {k: q for k, q in soak.items() if "expected_max" in q}
         out["soak_gate_utilization"] = round(
-            max(
-                (
-                    q.get(
-                        "ratio_median_of_3",
-                        q.get("ratio_per_pair", q.get("ratio", 0.0)),
-                    )
-                    / q["expected_max"]
-                    for q in soak.values()
-                    if "expected_max" in q
-                ),
-                default=0.0,
-            ),
+            max((_utilization(q) for q in gated.values()), default=0.0),
             3,
         )
+        if gated:
+            wname = max(gated, key=lambda k: _utilization(gated[k]))
+            wq = gated[wname]
+            out["soak_worst_gate"] = (
+                f"{wname}={_gate_value(wq)}/{wq['expected_max']}"
+            )
         out["soak_exceeded"] = soak_exceeded
 
     # full payload (every timing + soak detail) to a file and stderr —

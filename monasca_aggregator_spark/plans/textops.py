@@ -2214,6 +2214,9 @@ _PPMI_WIN = 2  # co-occurrence window (±2 tokens)
 _PPMI_K = 8  # SVD embedding dimension
 _PPMI_PROBES = 5  # most-frequent tokens reported
 _PPMI_TOPN = 3  # neighbors per probe
+_PPMI_VOCAB_CAP = 2048  # top-V tokens kept — bounds the V×V driver
+# matrix to ≤ CAP² PPMI cells and the collect to ≤ CAP² pair rows,
+# independent of corpus size (r9 verdict "What's wrong" #1)
 
 
 def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2222,22 +2225,26 @@ def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicitly performs): token co-occurrence within a ±{_PPMI_WIN}
     window aggregates corpus-wide (vocabulary-bounded), the PPMI
     matrix max(0, ln(p(w,c)·N / (p(w)·p(c)))) factorizes by
-    truncated SVD driver-side (V×V collected — V is the vocabulary,
-    bounded by construction), and the report lists each top-probe
-    token's {_PPMI_TOPN} nearest neighbors in the k={_PPMI_K} latent
-    space. The existence proof that "train a small embedding" is an
+    truncated SVD driver-side (V×V collected, V ≤
+    {_PPMI_VOCAB_CAP}), and the report lists each top-probe token's
+    {_PPMI_TOPN} nearest neighbors in the k={_PPMI_K} latent space.
+    The existence proof that "train a small embedding" is an
     in-engine operation, beside the logistic distillation and BPE
     trainer rows.
 
     rows-only: SVD is not SQL; cosine neighbor sets are invariant to
     the factorization's column-sign ambiguity (consistent flips
     cancel in dot products), and rerun-determinism + a synthetic
-    two-cluster corpus are pinned in tests/test_textops_ppmi.py.
+    two-cluster corpus + the vocabulary cap are pinned in
+    tests/test_textops_ppmi.py.
 
-    Scale: co-occurrence is one exploded aggregation keyed by the
-    (w, c) pair with map-side partials; everything after runs on the
-    V² matrix, and V is capped by the vocabulary-bounded top-V rule
-    at real scale."""
+    Scale: the top-V vocabulary is a distributed TakeOrdered over
+    the token-frequency aggregate; the (w, c) pair stream is
+    broadcast-semi-joined to that vocabulary on BOTH roles BEFORE
+    the groupBy, so the collected co-occurrence table and the dense
+    driver matrix are ≤ V² cells by construction regardless of
+    corpus size. Co-occurrence itself is one exploded aggregation
+    keyed by the (w, c) pair with map-side partials."""
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -2255,6 +2262,24 @@ def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.w", "p.c")
     sym = pairs.unionByName(
         pairs.select(F.col("c").alias("w"), F.col("w").alias("c"))
+    )
+    # Top-V vocabulary FIRST (TakeOrdered: orderBy+limit never sorts
+    # the full relation), then semi-join the pair stream to it on
+    # both roles BEFORE the aggregate — the collect below is bounded
+    # to ≤ V² rows no matter how large the corpus is.
+    top_vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(_PPMI_VOCAB_CAP)
+        .select("w")
+    )
+    sym = sym.join(F.broadcast(top_vocab), "w", "left_semi").join(
+        F.broadcast(top_vocab.select(F.col("w").alias("c"))),
+        "c",
+        "left_semi",
     )
     co = (
         sym.groupBy("w", "c")

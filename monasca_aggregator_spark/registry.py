@@ -32,45 +32,38 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # R9, replacing tail re-confirmations) so every oracle key gets a
 # driver row within two window flips.
 #
-# Round-9 ACTIVE window (flipped at the start of round 9; ALL 50
-# keys pre-verified green at sf0.01 under the driver protocol on the
-# final frozen r8 tree — tools/check_correctness.py — and re-verified
-# by the r8 judge sweep; dedup_url_canonical re-verified after the r9
-# canonical_url fix changed its oracle corpus): the 8
-# re-confirmations R8's r7 additions displaced, 6 r2/r3-green
-# re-confirmations, then the 33 oracle keys ADDED in r8 (rotation
-# invariant: new oracle keys enter the newest staged window),
-# closing with the 3 late-r7 keys that had never had a driver row —
-# with this flip, EVERY oracle key in the registry has a driver row
-# at least once.  The r8 window (embedding_centroid_accuracy …
-# events_next_entropy) went 50/50 green in CORRECTNESS_r08.
+# Round-10 ACTIVE window (flipped at the start of round 10; all 50
+# keys verified green at sf0.01 under the driver protocol before the
+# flip — the 19 r9-added oracle keys were judge-verified green in the
+# r9 sweep and the 31 re-confirmations carry prior driver rows): the
+# 19 oracle keys ADDED in r9 (rotation invariant: new oracle keys
+# front the newest staged window), then the 26 re-confirmations
+# displaced from R9 staging during r8 growth, then the oldest
+# r7-window keys.  The r9 window (text_repetition … lineitem_key_skew)
+# went 50/50 green in CORRECTNESS_r09.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "text_repetition", "text_boilerplate", "text_vocab_topk",
-    "text_fingerprint", "text_quality", "text_tokens",
-    "embedding_centroids", "embedding_quantize",
-    "order_shuffle", "sample_epoch_repeat", "dedup_semantic_cells",
-    "dedup_containment", "sample_weighted_k", "sample_budget_mix",
-    "metric_peak_prominence",
-    "corpus_hill_tail",
-    "events_ab_did", "metric_anova_days",
-    "corpus_burrows_delta", "lineitem_price_elasticity",
-    "langid_calibration", "sample_neyman_allocation",
-    "embedding_knn_hubness",
-    "recsys_popularity_hitrate", "graph_link_prediction",
-    "metric_sax_motifs", "metric_anomaly_fdr",
-    "dedup_url_canonical", "events_ldiversity", "metric_ar1_fit",
-    "corpus_lognormal_fit",
-    "events_attribution_timedecay", "asof_tolerance_click",
-    "lineitem_price_index", "graph_clustering",
-    "events_dwell_by_transition", "events_retention_halflife",
-    "text_rake_keywords",
-    "metric_histogram_exemplars", "embedding_centroid_drift",
-    "lm_holdout_perplexity", "metric_type_inference",
-    "text_code_ratio", "metric_flappiness",
-    "events_audience_overlap",
-    "text_unicode_health", "orders_seasonality_index",
-    "embedding_silhouette", "orders_duplicate_invoices",
-    "lineitem_key_skew",
+    "dedup_line_rewrite", "graph_adamic_adar", "metric_rate_prom",
+    "revenue_theil_by_nation", "events_ab_power",
+    "corpus_jarque_bera", "corpus_kendall_tau",
+    "metric_alert_maintenance", "metric_alert_overlap",
+    "text_kneser_ney", "events_tcloseness",
+    "brand_supplier_concentration", "metric_correlogram",
+    "text_trending_terms", "embedding_triplet_violations",
+    "sample_neyman_draw", "events_ab_srm", "metric_fano_factor",
+    "orders_littles_law",
+    "sample_consistent_k", "tpch_q21_waiting",
+    "sample_quota_source", "events_retention", "range_join_ship",
+    "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
+    "metric_downsample_m4", "metric_correlation",
+    "metric_winsorize", "pack_length_buckets", "agg_sliding",
+    "order_curriculum", "grouping_sets_mixed", "corpus_diff",
+    "agg_rate", "tpch_q1", "dedup_rate_by_source",
+    "text_readability", "embedding_outliers",
+    "sessions_active_time", "events_lifecycle", "agg_max",
+    "agg_delta", "sample_top_p_source",
+    "metric_lead_lag", "metric_topk_movers",
+    "corpus_source_overlap", "dedup_threshold_sweep",
+    "corpus_mannwhitney",
 )
 # Round-8 window (retired after CORRECTNESS_r08 went 50/50 green):
 # embedding_centroid_accuracy, metric_mttr, dedup_embedding_exact,
@@ -158,61 +151,56 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # text_quality / text_tokens / embedding_centroids /
 # embedding_quantize (all r5-green); those displaced keys lead the
 # R9 staging below.)
-# Round-10 rotation (staged at the r9 flip — after R9, every oracle
-# key has a driver row, so R10 is pure re-confirmation, oldest
-# first): the 26 re-confirmations displaced from the R9 staging
-# during r8 growth (16 tail keys sample_consistent_k …
-# corpus_diff, the 9 r4/r7-green keys agg_rate … agg_delta, and
-# sample_top_p_source), then 24 r7-window keys — 3 rounds old by
-# r10, the oldest driver rows in the registry.
-# New oracle keys added in r9 MUST displace this list's TAIL (the
-# r7-green re-confirmations at the end — freshest driver rows last).
-# FREEZE VERIFICATION (r9 close): all 50 staged keys below AND the
-# 50 active R9 keys above re-verified green together at sf0.01
-# under the driver protocol (tools/check_correctness.py, 100/100 OK)
-# on the final frozen r9 tree. The post-freeze continuation swapped
-# ONE staged key (orders_littles_law in — verified green + swept for
-# partition determinism on addition — displacing the r7-green
-# re-confirmation quality_bootstrap_ci); all other 49 unchanged.
-# r9 additions so far: dedup_line_rewrite, graph_adamic_adar,
-# metric_rate_prom, revenue_theil_by_nation, events_ab_power,
-# corpus_jarque_bera, corpus_kendall_tau, metric_alert_maintenance,
-# metric_alert_overlap, text_kneser_ney, events_tcloseness,
-# brand_supplier_concentration, metric_correlogram,
-# text_trending_terms, embedding_triplet_violations,
-# sample_neyman_draw, events_ab_srm, metric_fano_factor,
-# orders_littles_law (displaced
-# text_burstiness, embedding_intrinsic_dim, text_jsd_by_source,
-# metric_psi, lineitem_discount_uplift, part_price_spread,
-# events_trailing_1h, region_revenue_yoy, orders_segment_migration,
-# metric_longest_gap, lang_entropy_by_source,
-# metric_histogram_native, metric_p95_trend,
-# class_balance_weights, embedding_hard_negatives,
-# sample_importance_dsir, decontaminate_embedding, orders_nrr,
-# quality_bootstrap_ci).
-# _DRIVER_WINDOW_R10: tuple[str, ...] = (
-#     "dedup_line_rewrite", "graph_adamic_adar", "metric_rate_prom",
-#     "revenue_theil_by_nation", "events_ab_power",
-#     "corpus_jarque_bera", "corpus_kendall_tau",
-#     "metric_alert_maintenance", "metric_alert_overlap",
-#     "text_kneser_ney", "events_tcloseness",
-#     "brand_supplier_concentration", "metric_correlogram",
-#     "text_trending_terms", "embedding_triplet_violations",
-#     "sample_neyman_draw", "events_ab_srm", "metric_fano_factor",
-#     "orders_littles_law",
-#     "sample_consistent_k", "tpch_q21_waiting",
-#     "sample_quota_source", "events_retention", "range_join_ship",
-#     "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
-#     "metric_downsample_m4", "metric_correlation",
-#     "metric_winsorize", "pack_length_buckets", "agg_sliding",
-#     "order_curriculum", "grouping_sets_mixed", "corpus_diff",
-#     "agg_rate", "tpch_q1", "dedup_rate_by_source",
-#     "text_readability", "embedding_outliers",
-#     "sessions_active_time", "events_lifecycle", "agg_max",
-#     "agg_delta", "sample_top_p_source",
-#     "metric_lead_lag", "metric_topk_movers",
-#     "corpus_source_overlap", "dedup_threshold_sweep",
-#     "corpus_mannwhitney",
+# Round-9 window (retired after CORRECTNESS_r09 went 50/50 green):
+# text_repetition, text_boilerplate, text_vocab_topk,
+# text_fingerprint, text_quality, text_tokens, embedding_centroids,
+# embedding_quantize, order_shuffle, sample_epoch_repeat,
+# dedup_semantic_cells, dedup_containment, sample_weighted_k,
+# sample_budget_mix, metric_peak_prominence, corpus_hill_tail,
+# events_ab_did, metric_anova_days, corpus_burrows_delta,
+# lineitem_price_elasticity, langid_calibration,
+# sample_neyman_allocation, embedding_knn_hubness,
+# recsys_popularity_hitrate, graph_link_prediction,
+# metric_sax_motifs, metric_anomaly_fdr, dedup_url_canonical,
+# events_ldiversity, metric_ar1_fit, corpus_lognormal_fit,
+# events_attribution_timedecay, asof_tolerance_click,
+# lineitem_price_index, graph_clustering,
+# events_dwell_by_transition, events_retention_halflife,
+# text_rake_keywords, metric_histogram_exemplars,
+# embedding_centroid_drift, lm_holdout_perplexity,
+# metric_type_inference, text_code_ratio, metric_flappiness,
+# events_audience_overlap, text_unicode_health,
+# orders_seasonality_index, embedding_silhouette,
+# orders_duplicate_invoices, lineitem_key_skew.
+# Round-11 rotation (staged at the r10 flip — pure re-confirmation,
+# oldest driver rows first): the 45 r7-window keys R10 did not carry
+# (their CORRECTNESS_r07 rows are 4 rounds old by r11 — the oldest in
+# the registry), then the 5 oldest r8-window keys.
+# New oracle keys added in r10 MUST displace this list's TAIL (the
+# r8-green re-confirmations at the end — freshest driver rows last).
+# _DRIVER_WINDOW_R11: tuple[str, ...] = (
+#     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
+#     "sample_importance_dsir", "embedding_hard_negatives",
+#     "class_balance_weights", "metric_p95_trend",
+#     "metric_histogram_native", "lang_entropy_by_source",
+#     "metric_longest_gap", "region_revenue_yoy",
+#     "orders_segment_migration", "events_trailing_1h",
+#     "part_price_spread", "lineitem_discount_uplift", "metric_psi",
+#     "text_jsd_by_source", "embedding_intrinsic_dim",
+#     "text_burstiness", "sessions_top_paths", "lineitem_return_rate",
+#     "events_variant_props", "revenue_gini_by_nation",
+#     "orders_benford", "events_survival_hazard", "corpus_spearman",
+#     "orders_backlog", "orders_consistency_audit", "profile_drift",
+#     "events_dup_rate", "text_pii_audit", "embedding_dim_variance",
+#     "orders_gap_summary", "sessions_capped", "corpus_ks_by_source",
+#     "lang_source_chi2", "embedding_knn_accuracy",
+#     "events_attribution_ushape", "supplier_scorecard",
+#     "nation_trade_matrix", "sample_consistent_k_group",
+#     "corpus_ngram_coverage", "embedding_quantize_error",
+#     "dedup_minhash_estimate", "graph_pagerank_exact",
+#     "embedding_centroid_accuracy", "metric_mttr",
+#     "dedup_embedding_exact", "dedup_simhash_estimate",
+#     "metric_capacity_eta",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
@@ -294,6 +282,8 @@ def _modules():
         "audits",
         "html",
         "mining",
+        "spectral",
+        "assoc",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the

@@ -123,6 +123,8 @@ _PY_ARROW_MARKS = (
 UNPARTITIONED_WINDOW_ALLOWED = {
     # ---- histogram / bucket-table cumsums (≤ #buckets rows) ----
     "events_pareto_deciles",   # 10-row decile rollup cumulative share
+    "revenue_lorenz_deciles",  # 10-row decile cumsum (rank itself is
+                               # distributed via operators/rank.py)
     "dedup_threshold_sweep",   # 20-bin similarity histogram cumsum
     "orders_benford",          # 9-row first-digit histogram total
     "corpus_mannwhitney",      # rank-from-histogram over the bounded
