@@ -330,6 +330,18 @@ BENCH_QUERIES = [
     "metric_fano_factor",
     "orders_littles_law",
     "text_ppmi_svd",
+    # r10 additions
+    "metric_walsh_periodogram",
+    "metric_mann_kendall",
+    "metric_kruskal_wallis",
+    "basket_association_lift",
+    "graph_assortativity",
+    "revenue_lorenz_deciles",
+    "events_bot_detection",
+    "events_ngram_paths",
+    "text_collocation_g2",
+    "text_simpson_diversity",
+    "text_stopword_cosine",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -274,13 +274,20 @@ def q_metric_mann_kendall(
     tau = F.col("s").cast("double") / F.sqrt(
         ((n0 - F.col("n1")) * n0).cast("double")
     )
+    # a CONSTANT series ties everything: both denominators are 0 and
+    # 0/0 would emit NaN (engine-dependent hash) — report NULL instead
     return j.select(
         "event_type",
         F.col("n").alias("n_hours"),
         F.col("s").cast("long").alias("s_stat"),
-        stable_round(tau, 6).alias("tau_b"),
-        stable_round(z, 6).alias("z_score"),
-        F.when(z > 1.96, F.lit("increasing"))
+        F.when((n0 - F.col("n1")) * n0 == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(tau, 6))
+        .alias("tau_b"),
+        F.when(var_s == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(z, 6))
+        .alias("z_score"),
+        F.when(var_s == 0, F.lit("no_trend"))
+        .when(z > 1.96, F.lit("increasing"))
         .when(z < -1.96, F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
@@ -312,18 +319,25 @@ WITH hourly AS (
 )
 SELECT s.event_type, CAST(ok.n AS BIGINT) AS n_hours,
        CAST(s.s AS BIGINT) AS s_stat,
+       CASE WHEN (CAST(ok.n AS HUGEINT) * (ok.n - 1) / 2 - t.n1)
+                 * (CAST(ok.n AS HUGEINT) * (ok.n - 1) / 2) = 0
+            THEN NULL ELSE
        {sql_stable_round(
            "CAST(s.s AS DOUBLE) / sqrt(CAST("
            "(CAST(ok.n AS HUGEINT) * (ok.n - 1) / 2 - t.n1)"
            " * (CAST(ok.n AS HUGEINT) * (ok.n - 1) / 2)"
-           " AS DOUBLE))", 6)} AS tau_b,
+           " AS DOUBLE))", 6)} END AS tau_b,
+       CASE WHEN CAST(ok.n AS HUGEINT) * (ok.n - 1)
+                 * (2 * ok.n + 5) - t.tv = 0 THEN NULL ELSE
        {sql_stable_round(
            "CAST(s.s - CASE WHEN s.s > 0 THEN 1"
            " WHEN s.s < 0 THEN -1 ELSE 0 END AS DOUBLE)"
            " / sqrt(CAST((CAST(ok.n AS HUGEINT) * (ok.n - 1)"
            " * (2 * ok.n + 5) - t.tv) / 18 AS DOUBLE))", 6)}
-         AS z_score,
-       CASE WHEN CAST(s.s - CASE WHEN s.s > 0 THEN 1
+         END AS z_score,
+       CASE WHEN CAST(ok.n AS HUGEINT) * (ok.n - 1)
+                 * (2 * ok.n + 5) - t.tv = 0 THEN 'no_trend'
+            WHEN CAST(s.s - CASE WHEN s.s > 0 THEN 1
                  WHEN s.s < 0 THEN -1 ELSE 0 END AS DOUBLE)
                  / sqrt(CAST((CAST(ok.n AS HUGEINT) * (ok.n - 1)
                  * (2 * ok.n + 5) - t.tv) / 18 AS DOUBLE)) > 1.96

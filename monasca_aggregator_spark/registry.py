@@ -172,13 +172,27 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # events_audience_overlap, text_unicode_health,
 # orders_seasonality_index, embedding_silhouette,
 # orders_duplicate_invoices, lineitem_key_skew.
-# Round-11 rotation (staged at the r10 flip — pure re-confirmation,
-# oldest driver rows first): the 45 r7-window keys R10 did not carry
+# Round-11 rotation (staged at the r10 flip): the oracle keys ADDED
+# in r10 front the window (rotation invariant — each verified green
+# at sf0.01 + partition-determinism-swept on addition), then the
+# oldest re-confirmations: 39 r7-window keys R10 did not carry
 # (their CORRECTNESS_r07 rows are 4 rounds old by r11 — the oldest in
-# the registry), then the 5 oldest r8-window keys.
-# New oracle keys added in r10 MUST displace this list's TAIL (the
-# r8-green re-confirmations at the end — freshest driver rows last).
+# the registry). The r10 additions displaced the tail (the 5
+# r8-green re-confirmations embedding_centroid_accuracy, metric_mttr,
+# dedup_embedding_exact, dedup_simhash_estimate, metric_capacity_eta,
+# then the freshest r7 keys nation_trade_matrix,
+# sample_consistent_k_group, corpus_ngram_coverage,
+# embedding_quantize_error, dedup_minhash_estimate,
+# graph_pagerank_exact — freshest driver rows last).
+# New oracle keys added later in r10 MUST keep displacing this
+# list's TAIL.
 # _DRIVER_WINDOW_R11: tuple[str, ...] = (
+#     "metric_walsh_periodogram", "metric_mann_kendall",
+#     "metric_kruskal_wallis", "basket_association_lift",
+#     "graph_assortativity", "revenue_lorenz_deciles",
+#     "events_bot_detection", "events_ngram_paths",
+#     "text_collocation_g2", "text_simpson_diversity",
+#     "text_stopword_cosine",
 #     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
 #     "sample_importance_dsir", "embedding_hard_negatives",
 #     "class_balance_weights", "metric_p95_trend",
@@ -195,12 +209,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "orders_gap_summary", "sessions_capped", "corpus_ks_by_source",
 #     "lang_source_chi2", "embedding_knn_accuracy",
 #     "events_attribution_ushape", "supplier_scorecard",
-#     "nation_trade_matrix", "sample_consistent_k_group",
-#     "corpus_ngram_coverage", "embedding_quantize_error",
-#     "dedup_minhash_estimate", "graph_pagerank_exact",
-#     "embedding_centroid_accuracy", "metric_mttr",
-#     "dedup_embedding_exact", "dedup_simhash_estimate",
-#     "metric_capacity_eta",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
