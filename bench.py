@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "text_collocation_g2",
     "text_simpson_diversity",
     "text_stopword_cosine",
+    "text_ppmi_doc_neighbors",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

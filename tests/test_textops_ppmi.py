@@ -81,3 +81,37 @@ def test_ppmi_svd_vocabulary_cap_bounds_matrix(spark, monkeypatch):
     for probe, rank, neighbor, cosine in capped:
         if cosine > 0.3:
             assert cliq[probe] == cliq[neighbor], (probe, neighbor)
+
+
+def test_ppmi_doc_neighbors_separate_cliques(spark, monkeypatch):
+    """The doc-level consumer: documents written in clique-A
+    vocabulary rank other clique-A docs first (near-1 cosine — the
+    doc vector is the same clique mean), cross-clique docs near 0;
+    reruns are identical."""
+    import monasca_aggregator_spark.plans.textops as TX
+
+    a = "apple banana cherry apple banana cherry apple cherry banana"
+    b = ("stone iron copper zinc stone iron zinc copper stone copper"
+         " iron zinc stone zinc iron")
+    rows = [(i, a if i % 2 == 0 else b, "en", "s", 9) for i in range(20)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(
+        TX, "load_table", lambda spark, sf_dir, name, **kw: df
+    )
+    out = TX.q_text_ppmi_doc_neighbors(spark, "x").collect()
+    assert out, "consumer produced no rows"
+    for r in out:
+        same = (r.probe_doc % 2) == (r.neighbor_doc % 2)
+        if r.cosine > 0.5:
+            assert same, (r.probe_doc, r.neighbor_doc, r.cosine)
+        # every probe's rank-1 neighbor is its own clique at ~1.0
+        if r.rank == 1:
+            assert same and r.cosine > 0.99, tuple(r)
+    again = [
+        tuple(r) for r in TX.q_text_ppmi_doc_neighbors(spark, "x").collect()
+    ]
+    assert again == [tuple(r) for r in out]
