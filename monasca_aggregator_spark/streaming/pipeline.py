@@ -1398,6 +1398,48 @@ def psi_reference(
     )
 
 
+def streaming_bot_burst(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    burst: int = 5,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming BOT-BURST screen (r10) — the live twin of the batch
+    `events_bot_detection` burst rule: a watermarked 1-minute
+    tumbling window per user emits an append-mode alert row the
+    moment a closed minute carried ≥ ``burst`` events. The batch
+    operator audits history; this one pages while the scripted
+    client is still running.
+
+    Entirely built-in streaming machinery — ONE watermarked windowed
+    aggregation (state per (user, open-minute) is a single count;
+    the watermark expires closed minutes, so state is bounded by
+    users-active-per-minute, not by history), a row-local filter,
+    and NO Python state. Append mode means every alert row is final:
+    safe for an exactly-once alert sink without dedup.
+
+    Alert parity with the batch rule is pinned in
+    tests/test_streaming.py (same burst constant as
+    plans/assoc.py's _BOT_BURST)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.window(F.col(ts_col), "1 minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= burst)
+        .select(
+            F.col(user_col),
+            F.col("window.start").alias("minute_start"),
+            "n_events",
+            F.lit(True).alias("bot_flag"),
+        )
+    )
+
+
 def streaming_psi_drift(
     values: DataFrame,
     reference: DataFrame,

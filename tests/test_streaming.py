@@ -2243,3 +2243,52 @@ def test_streaming_page_hinkley_detects_mean_shift(spark, tmp_path):
     # inside the dropped one — never before the change point
     assert 1_000_000 + 60_000 <= dets[0].ts_ms < 1_000_000 + 120_000
     assert dets[1].ts_ms >= 1_000_000 + 120_000
+
+
+def test_streaming_bot_burst_matches_batch_rule(spark, tmp_path):
+    """Streaming bot-burst (r10) ≡ the batch events_bot_detection
+    burst rule on the same data: the bursty user's closed minute
+    emits exactly one append-mode alert; the slow user emits none. A
+    late sentinel event advances the watermark so the burst minute
+    closes under availableNow."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_bot_burst,
+    )
+
+    rows = [(1, 30_000 + i * 1_000) for i in range(10)]  # 10 in 1 min
+    rows += [(2, i * 60_000) for i in range(10)]  # 1/min — never bursts
+    sentinel = [(3, 3_600_000)]  # far future: closes every window
+    src = tmp_path / "bot_src"
+    src.mkdir()
+    schema = "user_id long, ts_ms long"
+    for b in (rows, sentinel):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+        )
+    )
+    q = (
+        streaming_bot_burst(raw)
+        .writeStream.format("memory")
+        .queryName("bot_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.user_id, r.n_events, r.bot_flag)
+        for r in spark.sql(
+            "SELECT * FROM bot_out ORDER BY user_id"
+        ).collect()
+    ]
+    assert got == [(1, 10, True)]
