@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "text_simpson_diversity",
     "text_stopword_cosine",
     "text_ppmi_doc_neighbors",
+    "embedding_jl_distortion",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

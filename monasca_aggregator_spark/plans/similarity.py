@@ -2559,7 +2559,137 @@ def q_embedding_procrustes_drift(
     )
 
 
+_JL_K = 16  # projected dimensions
+_JL_BINS = 20  # distortion-ratio bins of width 0.1 over [0, 2)
+
+
+def q_embedding_jl_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS random-projection DISTORTION audit
+    (Achlioptas 2003's ±1 database-friendly projection): every
+    embedding projects to k=16 dims through a DETERMINISTIC
+    sign matrix s(i,j) = ±1 from parity of (73·i + 151·j), and the
+    report histograms the pairwise-distance distortion ratio
+    ‖Pa−Pb‖/(√k·‖a−b‖) over the deterministic adjacent-id pairs
+    (the `embedding_pair_cosine_hist` protocol) — the measured
+    answer to "how much does a cheap 4× dimensionality cut bend MY
+    corpus's geometry" before committing an ANN index or a dedup
+    threshold to the projected space. JL says mass concentrates at
+    1; heavy tails mean this corpus needs a bigger k.
+
+    Exactness: the projection and both distance folds are
+    sequential left-folds over fixed index sequences — identical
+    IEEE evaluation order in Spark's `aggregate` and DuckDB's
+    `list_reduce`, the `ann_cosine_topk` convention — so the binned
+    ratios are bit-identical and the histogram is hash-exact.
+
+    Scale: projection is row-local whole-stage-codegen arithmetic
+    (no Python); pairing is ONE equi-join on vec_id+1 (O(n), no
+    cartesian); output is a 20-row histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = F.expr(
+        f"""transform(sequence(0, {_JL_K - 1}), j ->
+              aggregate(sequence(0, {EMB_DIM - 1}),
+                        cast(0.0 as double),
+                        (acc, i) -> acc
+                          + (case when (i * 73 + j * 151) % 2 = 0
+                             then 1.0 else -1.0 end)
+                          * cast(embedding[i] as double)))"""
+    )
+    base = emb.select("vec_id", "embedding", proj.alias("p"))
+    a = base.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = base.select(
+        (F.col("vec_id") - F.lit(1)).alias("ida"),
+        F.col("embedding").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+
+    def _d2(u, v):
+        return F.aggregate(
+            F.zip_with(
+                u,
+                v,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j = a.join(b, "ida")
+    d2 = _d2(F.col("ea"), F.col("eb"))
+    p2 = _d2(F.col("pa"), F.col("pb"))
+    ratio = F.sqrt(p2 / (F.lit(float(_JL_K)) * d2))
+    binned = j.filter(d2 > 0).select(
+        F.least(
+            F.lit(_JL_BINS - 1),
+            F.floor(ratio * F.lit(10.0)).cast("int"),
+        ).alias("bin")
+    )
+    total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            stable_round(
+                F.col("n").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("frac"),
+        )
+        .orderBy("bin")
+    )
+
+
+_JL_PROJ_SQL = f"""
+  list_transform(range(0, {_JL_K}), j ->
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(0, {EMB_DIM}), i ->
+        (CASE WHEN (i * 73 + j * 151) % 2 = 0
+         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+        * embedding[i + 1]::DOUBLE)),
+      (acc, x) -> acc + x))
+""".strip()
+
+_JL_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE,"
+    " list_transform(range(1, len({u}) + 1),"
+    " i -> ({u}[i]::DOUBLE - {v}[i]::DOUBLE)"
+    " * ({u}[i]::DOUBLE - {v}[i]::DOUBLE))),"
+    " (acc, x) -> acc + x)"
+)
+
+ORACLE_JL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_JL_PROJ_SQL} AS p FROM embeddings
+), j AS (
+  SELECT a.embedding AS ea, b.embedding AS eb, a.p AS pa, b.p AS pb
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+), r AS (
+  SELECT LEAST({_JL_BINS - 1}, CAST(floor(
+           sqrt({_JL_D2.format(u="pa", v="pb")}
+                / ({_JL_K}.0 * {_JL_D2.format(u="ea", v="eb")}))
+           * 10.0) AS INT)) AS bin
+  FROM j
+  WHERE {_JL_D2.format(u="ea", v="eb")} > 0
+), t AS (SELECT count(*) AS n_pairs FROM r)
+SELECT bin, count(*) AS n,
+       {sql_stable_round("CAST(count(*) AS DOUBLE) / t.n_pairs", 6)}
+         AS frac
+FROM r, t GROUP BY bin, t.n_pairs ORDER BY bin
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_jl_distortion": q_embedding_jl_distortion,
     "embedding_procrustes_drift": q_embedding_procrustes_drift,
     "embedding_cka": q_embedding_cka,  # rows-only (driver Frobenius norms)
     "embedding_triplet_violations": q_embedding_triplet_violations,
@@ -2597,6 +2727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_jl_distortion": ORACLE_JL,
     "embedding_truncation_fidelity": ORACLE_TRUNCATION_FIDELITY,
     "embedding_silhouette": ORACLE_SILHOUETTE,
     "embedding_knn_accuracy": ORACLE_KNN_ACCURACY,

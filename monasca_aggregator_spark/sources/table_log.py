@@ -99,6 +99,103 @@ def _file_stats(file_path: str, cols: Sequence[str]) -> dict:
     return out
 
 
+_BLOOM_K = 7  # hash functions (~1% fpp at 10 bits/value)
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_MAX_NDV = 100_000  # beyond this a per-file bloom stops paying
+
+
+def _bloom_canon(value) -> bytes:
+    """Canonical byte form hashed on BOTH the write and lookup side:
+    the textual form, so a lookup only needs the same str() the
+    writer used (int 5 and '5' intentionally coincide)."""
+    return str(value).encode("utf-8")
+
+
+def _bloom_hashes(value, m: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing: two 64-bit halves of one
+    sha1 generate all _BLOOM_K probe positions."""
+    import hashlib
+
+    d = hashlib.sha1(_bloom_canon(value)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values) -> dict | None:
+    """m-bit Bloom filter over the distinct values (None above the
+    density cap — a filter that big stops being cheap metadata)."""
+    import base64
+
+    vals = [v for v in values if v is not None]
+    if not vals or len(vals) > _BLOOM_MAX_NDV:
+        return None
+    m = max(64, len(vals) * _BLOOM_BITS_PER_VALUE)
+    m += (-m) % 8
+    bits = bytearray(m // 8)
+    for v in vals:
+        for pos in _bloom_hashes(v, m):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos // 8] & (1 << (pos % 8))
+        for pos in _bloom_hashes(value, bloom["m"])
+    )
+
+
+def _file_blooms(file_path: str, cols: Sequence[str]) -> dict:
+    """Per-column Bloom filter from ONE pyarrow column read per
+    column (no Spark job) — the Delta bloom-filter-index pattern for
+    point lookups min/max stats can't prune (high-cardinality keys
+    scattered across every file span the full range everywhere)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(file_path)
+    names = set(pf.schema_arrow.names)
+    out: dict = {}
+    for c in cols:
+        if c not in names:
+            out[c] = None
+            continue
+        col = pf.read(columns=[c]).column(c)
+        out[c] = _bloom_build(col.unique().to_pylist())
+    return out
+
+
+def _prune_group_point(group: dict, point: dict) -> dict:
+    """Copy of ``group`` keeping only files whose Bloom filter MIGHT
+    contain every point-lookup value; files lacking a filter are
+    kept (skipping is an optimization, never a filter)."""
+    blooms = group.get("blooms") or {}
+    kept = []
+    for f in group["files"]:
+        fb = blooms.get(f)
+        keep = True
+        if fb:
+            for col, value in point.items():
+                bl = fb.get(col)
+                if bl is None:
+                    continue
+                if not _bloom_might_contain(bl, value):
+                    keep = False
+                    break
+        if keep:
+            kept.append(f)
+    out = dict(group)
+    out["files"] = kept
+    return out
+
+
 def _prune_group(group: dict, prune: dict) -> dict:
     """Copy of ``group`` keeping only files whose recorded stats may
     overlap every (lo, hi) predicate; files lacking stats are kept."""
@@ -158,6 +255,7 @@ def snapshot_write(
     extra_record: dict | None = None,
     partition_by: Sequence[str] = (),
     stats_cols: Sequence[str] = (),
+    bloom_cols: Sequence[str] = (),
 ) -> dict:
     """Commit ``df`` as a new version. Returns the commit record.
 
@@ -182,6 +280,17 @@ def snapshot_write(
     non-overlapping files BEFORE the reader ever lists them — at
     100 TB the win is skipping the file listing itself, one level
     above the row-group skipping parquet already does.
+
+    ``bloom_cols`` additionally records a per-FILE Bloom filter over
+    each named column's distinct values (one pyarrow column read per
+    file at commit time), the Delta bloom-filter-index pattern:
+    ``snapshot_read(point={col: value})`` then drops files whose
+    filter PROVES the value absent — the skipping min/max can't do
+    for point lookups on high-cardinality keys scattered across
+    every file (each file spans the whole range, but each contains
+    only ~1/n_files of the values). ~10 bits/distinct value in the
+    commit log; columns denser than 100k distinct values
+    per file record no filter (readers keep the file).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -210,6 +319,10 @@ def snapshot_write(
     if stats_cols:
         new_group["stats"] = {
             f: _file_stats(f, stats_cols) for f in new_files
+        }
+    if bloom_cols:
+        new_group["blooms"] = {
+            f: _file_blooms(f, bloom_cols) for f in new_files
         }
     groups = [new_group]
     if mode == "append" and versions:
@@ -262,6 +375,7 @@ def snapshot_read(
     tag: str | None = None,
     merge_schema: bool = False,
     prune: dict | None = None,
+    point: dict | None = None,
 ) -> DataFrame:
     """The table exactly as of ``version`` (latest if omitted).
 
@@ -271,6 +385,12 @@ def snapshot_read(
     BEFORE file listing. Files without recorded stats are kept
     (pruning is an optimization, never a filter: the caller still
     applies the real predicate; pruning only shrinks the scan).
+
+    ``point={col: value}`` drops data files whose commit-log Bloom
+    filter (``snapshot_write(bloom_cols=...)``) PROVES the value
+    absent — point-lookup skipping where min/max can't help. Same
+    contract: never a filter, the caller still applies the real
+    predicate; false positives only cost a scanned file.
 
     ``merge_schema=True`` enables SCHEMA EVOLUTION across commits: an
     append whose DataFrame carries a column older data files lack
@@ -310,6 +430,9 @@ def snapshot_read(
     groups = _file_groups(record)
     if prune:
         groups = [_prune_group(g, prune) for g in groups]
+    if point:
+        groups = [_prune_group_point(g, point) for g in groups]
+    if prune or point:
         files = [f for g in groups for f in g["files"]]
         if not files:
             # every file provably outside the predicate: an empty

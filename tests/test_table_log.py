@@ -949,3 +949,55 @@ def test_snapshot_sink_auto_compacts(spark, tmp_path):
     n_before = len(snapshot_versions(path))
     sink(_df(spark, 0, 1, "replay"), 3)
     assert len(snapshot_versions(path)) == n_before
+
+
+def test_snapshot_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Bloom-filter data skipping (r10): snapshot_write(bloom_cols=)
+    records a per-file Bloom filter; snapshot_read(point=) drops
+    files whose filter PROVES the key absent — the skipping min/max
+    can't do when every file spans the whole key range. Same contract
+    as prune: never a filter, rows identical after the real
+    predicate; commits without filters are always kept."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "bloom_tbl")
+    # 4 files of INTERLEAVED keys (id % 4 == shard): min/max spans
+    # the full range in every file, so stats pruning can never skip
+    for shard in range(4):
+        df = (
+            spark.range(0, 400)
+            .filter(F.col("id") % 4 == shard)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        )
+        snapshot_write(df.coalesce(1), path, bloom_cols=["k"])
+    full = snapshot_read(spark, path)
+    assert len(full.inputFiles()) == 4
+
+    # key 157 lives only in shard 1's file: bloom keeps exactly the
+    # file(s) that might contain it — at 10 bits/value the other 3
+    # files prune with ~1% fpp each, so ≤ 2 files survive
+    looked = snapshot_read(spark, path, point={"k": 157})
+    assert 1 <= len(looked.inputFiles()) <= 2
+    got = [r.v for r in looked.filter("k = 157").collect()]
+    assert got == [314]
+    # equivalence with the unpruned read
+    assert got == [r.v for r in full.filter("k = 157").collect()]
+
+    # an absent key may prune every file: empty result, schema intact
+    missing = snapshot_read(spark, path, point={"k": 99999})
+    assert missing.filter("k = 99999").count() == 0
+    assert set(missing.columns) == {"k", "v"}
+
+    # a commit WITHOUT bloom_cols is never skipped
+    extra = spark.range(10_000, 10_001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(extra.coalesce(1), path)
+    again = snapshot_read(spark, path, point={"k": 157})
+    got2 = [r.v for r in again.filter("k = 157").collect()]
+    assert got2 == [314]
+    # the no-bloom file is in the scan even though 157 isn't in it
+    assert len(again.inputFiles()) >= 2
