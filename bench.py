@@ -344,6 +344,10 @@ BENCH_QUERIES = [
     "text_stopword_cosine",
     "text_ppmi_doc_neighbors",
     "embedding_jl_distortion",
+    "metric_grubbs",
+    "corpus_welch_ttest",
+    "events_entropy_rate",
+    "sample_pps_systematic",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

@@ -908,7 +908,104 @@ ORDER BY s1, s2
 """.strip()
 
 
+# ------------------------------------------------ Markov entropy rate
+
+
+def q_events_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKOV ENTROPY RATE of the event stream (Shannon 1948): H =
+    −Σ_ij (n_ij/T)·ln(n_ij/n_i•) over user-ordered transition counts
+    — nats of genuine surprise per step once first-order structure
+    is accounted for, with perplexity e^H as "effective branching
+    factor". The one-number compressibility readout over the same
+    transition table the family's Markov accuracy / next-entropy
+    rows consume: falling H under stable volume means journeys are
+    getting more scripted (bots, or a funnel redesign working).
+
+    Exactness: transition counts and marginals are exact integers;
+    each term's ln is a ratio of integers, and the ≤ |types|² terms
+    sum in ONE deterministic sorted-order fold (the Kruskal-Wallis
+    convention — both engines add the same doubles in the same
+    order). e^H on the final scalar.
+
+    Scale: ONE window partitioned by user builds transitions; counts
+    collapse to the |types|² table (map-side partials); the fold
+    input is that bounded array."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = trans.groupBy("e1").agg(F.sum("n").alias("ni"))
+    tot = trans.agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    n_states = marg.agg(F.count(F.lit(1)).alias("n_states"))
+    folded = (
+        trans.join(marg, "e1")
+        .select(F.struct("e1", "e2", "n", "ni").alias("cell"))
+        .agg(F.sort_array(F.collect_list("cell")).alias("cells"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_states))
+    )
+    h = F.expr(
+        "aggregate(cells, cast(0.0 as double), (acc, x) ->"
+        " acc + (cast(x.n as double) / cast(t as double))"
+        "     * ln(cast(x.ni as double) / cast(x.n as double)))"
+    )
+    return folded.select(
+        F.col("t").alias("n_transitions"),
+        F.col("n_states").cast("int").alias("n_states"),
+        stable_round(h, 6).alias("entropy_rate_nats"),
+        stable_round(F.exp(h), 4).alias("perplexity"),
+    )
+
+
+ORACLE_ENTROPY_RATE = f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events
+), trans AS (
+  SELECT e1, e2, count(*) AS n FROM seq
+  WHERE e2 IS NOT NULL GROUP BY 1, 2
+), marg AS (SELECT e1, CAST(sum(n) AS BIGINT) AS ni FROM trans
+            GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM trans),
+ns AS (SELECT count(*) AS n_states FROM marg),
+folded AS (
+  SELECT list_sort(list({{'e1': e1, 'e2': e2, 'n': n, 'ni': ni}}))
+           AS cells
+  FROM trans JOIN marg USING (e1)
+)
+SELECT t AS n_transitions, CAST(n_states AS INT) AS n_states,
+       {sql_stable_round(
+           "list_sum(list_transform(cells, x ->"
+           " (CAST(x.n AS DOUBLE) / CAST(t AS DOUBLE))"
+           " * ln(CAST(x.ni AS DOUBLE) / CAST(x.n AS DOUBLE))))",
+           6)} AS entropy_rate_nats,
+       {sql_stable_round(
+           "exp(list_sum(list_transform(cells, x ->"
+           " (CAST(x.n AS DOUBLE) / CAST(t AS DOUBLE))"
+           " * ln(CAST(x.ni AS DOUBLE) / CAST(x.n AS DOUBLE)))))",
+           4)} AS perplexity
+FROM folded, tot, ns
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_entropy_rate": q_events_entropy_rate,
     "basket_association_lift": q_basket_association_lift,
     "graph_assortativity": q_graph_assortativity,
     "revenue_lorenz_deciles": q_revenue_lorenz_deciles,
@@ -920,6 +1017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_entropy_rate": ORACLE_ENTROPY_RATE,
     "basket_association_lift": ORACLE_LIFT,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
     "revenue_lorenz_deciles": ORACLE_LORENZ,

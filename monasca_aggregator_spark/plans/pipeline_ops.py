@@ -1825,7 +1825,78 @@ FROM w, tot
 """.strip()
 
 
+_PPS_K = 100  # systematic sample size
+
+
+def q_sample_pps_systematic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SYSTEMATIC PPS SAMPLING (Madow 1949): documents draw with
+    probability proportional to length by walking the cumulative
+    weight line in steps of total/k — the zero-variance-per-stratum
+    classical design behind "sample tokens, not documents" (a
+    uniform doc sample under-represents long documents' tokens; PPS
+    makes the TOKEN sample uniform), complementing the weighted-k
+    (independent draws) and quota rows with the textbook
+    fixed-size-exact design.
+
+    Selection is pure integer arithmetic: doc d with cumulative
+    weight c and weight w selects iff (c·k) div W > ((c−w)·k) div W
+    — the step boundary falls inside d's weight span. Every engine
+    computes the identical BIGINT divisions; exactly k rows when no
+    single weight exceeds the step.
+
+    Scale: the cumulative weight is operators/rank.py's DISTRIBUTED
+    global cumsum (log-bucketed local cumsum + broadcast prefix
+    offsets — no single-task sort of the corpus); selection is a
+    row-local filter."""
+    from monasca_aggregator_spark.operators.rank import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    cum = global_cumsum(
+        docs,
+        F.floor(F.log(F.col("doc_id").cast("double") + 2.0) * 4).cast(
+            "int"
+        ),
+        [F.col("doc_id").asc()],
+        F.col("w"),
+        cum_col="c",
+        total_col="wt",
+    )
+    # BIGINT `div` keeps the boundary test exact — a decimal/double
+    # quotient could round ACROSS the floor boundary and disagree
+    # with the oracle's integer division (c·k ≤ 1e16 at 100 TB of
+    # text: inside int64)
+    hi = F.expr(f"(c * {_PPS_K}) div wt")
+    lo = F.expr(f"((c - w) * {_PPS_K}) div wt")
+    return (
+        cum.filter(hi > lo)
+        .select("doc_id", "w", F.col("c").alias("cum_w"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PPS = f"""
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         sum(CAST(n_chars AS BIGINT)) OVER
+           (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS c,
+         sum(CAST(n_chars AS BIGINT)) OVER () AS wt
+  FROM documents
+)
+SELECT doc_id, w, c AS cum_w
+FROM cum
+WHERE CAST(c AS HUGEINT) * {_PPS_K} // wt
+      > CAST(c - w AS HUGEINT) * {_PPS_K} // wt
+ORDER BY doc_id
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_pps_systematic": q_sample_pps_systematic,
     "sample_neyman_allocation": q_sample_neyman_allocation,
     "sample_neyman_draw": q_sample_neyman_draw,
     "dedup_url_canonical": q_dedup_url_canonical,
@@ -1859,6 +1930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sample_pps_systematic": ORACLE_PPS,
     "skyline_docs": ORACLE_SKYLINE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "curation_url_filter": ORACLE_URL_FILTER,

@@ -511,14 +511,228 @@ FROM folded f JOIN tie t USING (event_type)
 """.strip()
 
 
+# ---------------------------------------------- Grubbs max deviate
+
+
+def q_metric_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS MAX STUDENTIZED DEVIATE per metric (Grubbs 1950): the
+    single most extreme hour's |v − mean|/sd over the hourly series,
+    WHICH hour it was, and the fraction of the theoretical maximum
+    deviate (n−1)/√n it reaches — the "was there even one wild hour"
+    screen that complements the family's windowed/trailing anomaly
+    detectors (those find local breaks; this ranks the global
+    worst). g_max_fraction ≈ 1 means ONE point carries essentially
+    all the variance (a lone spike); small fractions mean the
+    extreme is unremarkable against the series' own spread.
+
+    Exactness: G = max|n·v_i − S| / √(n·Σv² − S²) — multiplying the
+    deviation through by n keeps numerator AND variance term exact
+    DEC38 integers; ONE final sqrt-division. The argmax hour breaks
+    ties by smallest hour (deterministic).
+
+    Scale: the raw scan collapses to |metrics|×|hours| (one shuffle,
+    map-side partials); the argmax is a per-metric max_by over that
+    bounded relation; output is metric-sized."""
+    hourly = _hourly_e2(spark, sf_dir)
+    dec = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("q"),
+    )
+    dev = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        "h",
+        F.abs(
+            F.col("v").cast(dec) * F.col("n").cast(dec)
+            - F.col("s").cast(dec)
+        ).alias("d"),
+    )
+    mx = dev.groupBy("event_type").agg(F.max("d").alias("dmax"))
+    arg = (
+        dev.join(F.broadcast(mx), "event_type")
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("suspect_h"))
+    )
+    agg = (
+        stats.join(mx, "event_type")
+        .join(F.broadcast(arg), "event_type")
+    )
+    var_n = (
+        F.col("n").cast(dec) * F.col("q")
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    ).cast("double")
+    g = F.col("dmax").cast("double") / F.sqrt(var_n)
+    g_max = (F.col("n").cast("double") - 1.0) / F.sqrt(
+        F.col("n").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        (F.col("suspect_h") * _HOUR_MS).alias("suspect_ts_ms"),
+        F.when(var_n == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(g, 6))
+        .alias("grubbs_g"),
+        F.when(var_n == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(g / g_max, 6))
+        .alias("g_max_fraction"),
+    )
+
+
+ORACLE_GRUBBS = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), stats AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM hourly GROUP BY 1
+), dev AS (
+  SELECT h.event_type, st.n, st.s, st.q, h.h,
+         abs(CAST(h.v AS HUGEINT) * st.n - st.s) AS d
+  FROM hourly h JOIN stats st USING (event_type)
+), mx AS (
+  SELECT event_type, max(d) AS dmax FROM dev GROUP BY 1
+), arg AS (
+  SELECT dev.event_type, min(h) AS suspect_h
+  FROM dev JOIN mx ON mx.event_type = dev.event_type
+                  AND dev.d = mx.dmax
+  GROUP BY 1
+), agg AS (
+  SELECT st.event_type, st.n, st.s, st.q, mx.dmax, arg.suspect_h
+  FROM stats st JOIN mx USING (event_type) JOIN arg USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(suspect_h * {_HOUR_MS} AS BIGINT) AS suspect_ts_ms,
+       CASE WHEN CAST(n AS HUGEINT) * q - s * s = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "CAST(dmax AS DOUBLE)"
+           " / sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))",
+           6)} END AS grubbs_g,
+       CASE WHEN CAST(n AS HUGEINT) * q - s * s = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "(CAST(dmax AS DOUBLE)"
+           " / sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)))"
+           " / ((CAST(n AS DOUBLE) - 1.0) / sqrt(CAST(n AS DOUBLE)))",
+           6)} END AS g_max_fraction
+FROM agg
+""".strip()
+
+
+# ---------------------------------------------- Welch's t per source pair
+
+
+def q_corpus_welch_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST between every source pair over
+    document length (Welch 1947): t and the Welch-Satterthwaite
+    degrees of freedom — the parametric twin of the family's
+    Mann-Whitney row (that one is rank-robust; this one is the
+    textbook first answer and comes with an effect direction), run
+    pairwise so a corpus-mix dashboard can rank WHICH source pairs
+    differ, not just whether any do.
+
+    Exactness: per-source n, Σx, Σx² are exact integers (DEC38);
+    sample variance, t, and df are ONE fixed-shape double expression
+    per pair. stable_round(6).
+
+    Scale: the corpus scan collapses to |sources| moment rows; the
+    pair cross is |sources|²."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    dec = "decimal(38,0)"
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("q"),
+    )
+    a = per.select(
+        F.col("source").alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = per.select(
+        F.col("source").alias("s2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    j = a.join(F.broadcast(b)).filter(F.col("s1") < F.col("s2"))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("sa").cast("double") / n1
+    m2 = F.col("sb").cast("double") / n2
+    v1 = (
+        F.col("n1").cast(dec) * F.col("qa")
+        - F.col("sa").cast(dec) * F.col("sa").cast(dec)
+    ).cast("double") / (n1 * n1 * (n1 - 1.0))
+    v2 = (
+        F.col("n2").cast(dec) * F.col("qb")
+        - F.col("sb").cast(dec) * F.col("sb").cast(dec)
+    ).cast("double") / (n2 * n2 * (n2 - 1.0))
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    return j.select(
+        "s1",
+        "s2",
+        F.col("n1").alias("n_docs_1"),
+        F.col("n2").alias("n_docs_2"),
+        stable_round(t, 6).alias("welch_t"),
+        stable_round(df, 4).alias("welch_df"),
+    ).orderBy("s1", "s2")
+
+
+ORACLE_WELCH = f"""
+WITH per AS (
+  SELECT source, count(*) AS n, CAST(sum(n_chars) AS HUGEINT) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY 1
+), j AS (
+  SELECT a.source AS s1, b.source AS s2,
+         a.n AS n1, b.n AS n2,
+         CAST(a.s AS DOUBLE) / a.n AS m1,
+         CAST(b.s AS DOUBLE) / b.n AS m2,
+         CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+           / (CAST(a.n AS DOUBLE) * a.n * (a.n - 1.0)) AS v1,
+         CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+           / (CAST(b.n AS DOUBLE) * b.n * (b.n - 1.0)) AS v2
+  FROM per a JOIN per b ON a.source < b.source
+)
+SELECT s1, s2, CAST(n1 AS BIGINT) AS n_docs_1,
+       CAST(n2 AS BIGINT) AS n_docs_2,
+       {sql_stable_round(
+           "(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 6)} AS welch_t,
+       {sql_stable_round(
+           "(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)"
+           " / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)"
+           "    + (v2 / n2) * (v2 / n2) / (n2 - 1.0))", 4)}
+         AS welch_df
+FROM j ORDER BY s1, s2
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_walsh_periodogram": q_metric_walsh_periodogram,
     "metric_mann_kendall": q_metric_mann_kendall,
     "metric_kruskal_wallis": q_metric_kruskal_wallis,
+    "metric_grubbs": q_metric_grubbs,
+    "corpus_welch_ttest": q_corpus_welch_ttest,
 }
 
 ORACLES: dict[str, str] = {
     "metric_walsh_periodogram": ORACLE_WALSH,
     "metric_mann_kendall": ORACLE_MANN_KENDALL,
     "metric_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+    "metric_grubbs": ORACLE_GRUBBS,
+    "corpus_welch_ttest": ORACLE_WELCH,
 }

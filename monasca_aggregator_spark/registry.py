@@ -192,7 +192,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "graph_assortativity", "revenue_lorenz_deciles",
 #     "events_bot_detection", "events_ngram_paths",
 #     "text_collocation_g2", "text_simpson_diversity",
-#     "text_stopword_cosine",
+#     "text_stopword_cosine", "embedding_jl_distortion",
+#     "metric_grubbs", "corpus_welch_ttest",
+#     "events_entropy_rate", "sample_pps_systematic",
 #     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
 #     "sample_importance_dsir", "embedding_hard_negatives",
 #     "class_balance_weights", "metric_p95_trend",
@@ -206,9 +208,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "orders_benford", "events_survival_hazard", "corpus_spearman",
 #     "orders_backlog", "orders_consistency_audit", "profile_drift",
 #     "events_dup_rate", "text_pii_audit", "embedding_dim_variance",
-#     "orders_gap_summary", "sessions_capped", "corpus_ks_by_source",
-#     "lang_source_chi2", "embedding_knn_accuracy",
-#     "events_attribution_ushape", "supplier_scorecard",
+#     "orders_gap_summary", "sessions_capped",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -228,3 +228,29 @@ def test_stopword_cosine_identical_and_disjoint(spark, tmp_path):
     }
     assert out[("s1", "s2")] == 1.0  # same direction, different norm
     assert ("s1", "s3") not in out  # no shared stopword → no dot row
+
+
+def test_entropy_rate_deterministic_vs_uniform_chains(spark, tmp_path):
+    """A deterministic cycle a→b→a→b has zero entropy rate
+    (perplexity 1); the statistic rises once transitions branch."""
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(20):
+            e = "a" if i % 2 == 0 else "b"
+            rows.append((eid, _ts(i), u, e, 1.0, "{}"))
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    from monasca_aggregator_spark.plans.assoc import (
+        q_events_entropy_rate,
+    )
+
+    row = q_events_entropy_rate(spark, str(tmp_path)).collect()[0]
+    assert row.n_transitions == 5 * 19
+    assert row.n_states == 2
+    assert row.entropy_rate_nats == 0.0
+    assert row.perplexity == 1.0
