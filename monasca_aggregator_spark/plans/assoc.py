@@ -1,7 +1,8 @@
 """Association / concentration / behavioral mining (round 10):
 market-basket lift, co-purchase degree assortativity, Lorenz revenue
 deciles, bot-signature detection, event path trigrams, Dunning G²
-collocations, Simpson vocabulary diversity, stopword-profile cosine.
+collocations, Simpson vocabulary diversity, stopword-profile cosine,
+Markov entropy rate.
 
 Reference parity: the reference engine (Go, ~/reference) emits
 windowed aggregates; these are the association-rule / concentration /
@@ -23,9 +24,10 @@ Scale posture (per query, also in each docstring):
   ntile window over it, then 10-row math.
 - `events_bot_detection`: two stacked aggregates (user×minute, then
   user) with map-side partials; the report is a TakeOrdered top-K.
-- `events_ngram_paths`: one window partitioned BY USER over the event
-  stream (per-user sequences are bounded), then a trigram-sized
-  aggregate and a TakeOrdered top-K.
+- `events_ngram_paths` / `events_entropy_rate`: one window
+  partitioned BY USER over the event stream (per-user sequences are
+  bounded), then a trigram- or |types|²-sized aggregate (entropy
+  rate folds its bounded cell array in deterministic sorted order).
 - `text_collocation_g2` / `text_simpson_diversity` /
   `text_stopword_cosine`: the corpus-sized explode shuffles once into
   vocabulary- or source-bounded aggregates (the `text_bigram_pmi`

@@ -1887,7 +1887,7 @@ WITH cum AS (
          sum(CAST(n_chars AS BIGINT)) OVER () AS wt
   FROM documents
 )
-SELECT doc_id, w, c AS cum_w
+SELECT doc_id, w, CAST(c AS BIGINT) AS cum_w
 FROM cum
 WHERE CAST(c AS HUGEINT) * {_PPS_K} // wt
       > CAST(c - w AS HUGEINT) * {_PPS_K} // wt

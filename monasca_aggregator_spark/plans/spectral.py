@@ -1,6 +1,6 @@
 """Spectral / nonparametric trend statistics (round 10): Walsh
 square-wave periodogram, Mann-Kendall trend test, Kruskal-Wallis
-hour-of-day effect.
+hour-of-day effect, Grubbs max deviate, Welch's t per source pair.
 
 Reference parity: the reference engine (Go, ~/reference) publishes
 windowed sum/count/avg/min/max/delta/rate; these answer the three
@@ -28,6 +28,10 @@ Scale posture (per query, also in each docstring):
   join), co-partitioned on the metric key so no broadcast is needed.
 - `metric_kruskal_wallis`: ranks come from one window over the
   collapsed series; everything after is a |metrics|×24 aggregate.
+- `metric_grubbs`: two aggregates over the collapsed series (moments,
+  then argmax join-back); metric-sized output.
+- `corpus_welch_ttest`: the corpus scan collapses to |sources| moment
+  rows; the pair cross is |sources|².
 """
 
 from __future__ import annotations
