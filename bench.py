@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "corpus_welch_ttest",
     "events_entropy_rate",
     "sample_pps_systematic",
+    "orders_perfect_rate",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

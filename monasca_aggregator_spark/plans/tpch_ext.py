@@ -1403,7 +1403,95 @@ FROM f
 """.strip()
 
 
+_PERFECT_SLA_DAYS = (30, 60, 90)
+
+
+def q_orders_perfect_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERFECT-ORDER RATE by priority (the classical fulfillment KPI):
+    the fraction of orders whose EVERY lineitem shipped within 30/60/
+    90 days of the order date — an order is only as good as its
+    slowest line, so this is an ALL-aggregate (max ship delay per
+    order), not the per-line average the ship-delay row reports.
+
+    Exactness: the per-order max delay is exact integer days; the
+    three rates are counts over counts, ONE division each.
+
+    Scale: fact⋈fact equi-join on the order key (the Q3/Q18 shape,
+    both sides shuffle-partitioned on l_orderkey/o_orderkey), one
+    order-sized max aggregate, then a |priorities|-sized rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    per_order = (
+        li.join(
+            orders,
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("worst_days")
+        )
+    )
+    agg = per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        *[
+            F.sum(
+                F.when(F.col("worst_days") <= d, 1).otherwise(0)
+            ).alias(f"n_within_{d}d")
+            for d in _PERFECT_SLA_DAYS
+        ],
+    )
+    out = agg.select(
+        "o_orderpriority",
+        "n_orders",
+        *[
+            stable_round(
+                F.col(f"n_within_{d}d").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias(f"perfect_rate_{d}d")
+            for d in _PERFECT_SLA_DAYS
+        ],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+ORACLE_PERFECT_RATE = f"""
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         max(date_diff('day', o.o_orderdate, l.l_shipdate))
+           AS worst_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+         {", ".join(
+             f"sum(CASE WHEN worst_days <= {d} THEN 1 ELSE 0 END)"
+             f" AS n_within_{d}d"
+             for d in _PERFECT_SLA_DAYS
+         )}
+  FROM per_order GROUP BY 1
+)
+SELECT o_orderpriority, n_orders,
+       {", ".join(
+           sql_stable_round(
+               f"CAST(n_within_{d}d AS DOUBLE) / n_orders", 6
+           ) + f" AS perfect_rate_{d}d"
+           for d in _PERFECT_SLA_DAYS
+       )}
+FROM agg ORDER BY o_orderpriority
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orders_perfect_rate": q_orders_perfect_rate,
     "lineitem_price_elasticity": q_lineitem_price_elasticity,
     "lineitem_price_index": q_lineitem_price_index,
     "region_revenue_yoy": q_region_revenue_yoy,
@@ -1429,6 +1517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "orders_perfect_rate": ORACLE_PERFECT_RATE,
     "lineitem_price_elasticity": ORACLE_ELASTICITY,
     "region_revenue_yoy": ORACLE_REGION_YOY,
     "part_price_spread": ORACLE_PART_PRICE_SPREAD,

@@ -195,6 +195,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "text_stopword_cosine", "embedding_jl_distortion",
 #     "metric_grubbs", "corpus_welch_ttest",
 #     "events_entropy_rate", "sample_pps_systematic",
+#     "orders_perfect_rate",
 #     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
 #     "sample_importance_dsir", "embedding_hard_negatives",
 #     "class_balance_weights", "metric_p95_trend",
@@ -208,7 +209,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "orders_benford", "events_survival_hazard", "corpus_spearman",
 #     "orders_backlog", "orders_consistency_audit", "profile_drift",
 #     "events_dup_rate", "text_pii_audit", "embedding_dim_variance",
-#     "orders_gap_summary", "sessions_capped",
+#     "orders_gap_summary",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
