@@ -186,6 +186,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # graph_pagerank_exact — freshest driver rows last).
 # New oracle keys added later in r10 MUST keep displacing this
 # list's TAIL.
+# FREEZE VERIFICATION (r10 close): all 50 staged keys below AND the
+# 50 active R10 keys above verified green together at sf0.01 under
+# the driver protocol (tools/check_correctness.py, 100/100 OK, exit
+# 0) on the frozen r10 tree.
 # _DRIVER_WINDOW_R11: tuple[str, ...] = (
 #     "metric_walsh_periodogram", "metric_mann_kendall",
 #     "metric_kruskal_wallis", "basket_association_lift",
