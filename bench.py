@@ -349,6 +349,8 @@ BENCH_QUERIES = [
     "events_entropy_rate",
     "sample_pps_systematic",
     "orders_perfect_rate",
+    "corpus_chao1",
+    "text_mtld",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

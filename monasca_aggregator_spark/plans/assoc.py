@@ -1006,7 +1006,226 @@ FROM folded, tot, ns
 """.strip()
 
 
+# ------------------------------------------------ Chao1 richness
+
+
+def q_corpus_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 VOCABULARY-RICHNESS estimator per source (Chao 1984,
+    bias-corrected form): V̂ = V + F1(F1−1)/(2(F2+1)) from the
+    observed type count and the singleton/doubleton counts — the
+    ecology species-richness estimator applied to vocabulary: "how
+    many word types does this source REALLY have, given how many
+    we've only seen once?" The forward-looking complement to the
+    family's Heaps-law fit (that extrapolates the growth CURVE; this
+    estimates the asymptote from the tail shape), plus the coverage
+    estimate 1 − F1/N (Good-Turing) saying how much of the source's
+    token mass is already represented.
+
+    Exactness: V, F1, F2, N are exact counts; the estimator and
+    coverage are ONE fixed-shape expression each. stable_round.
+
+    Scale: the corpus explode collapses to (source, word) counts
+    (map-side partials), then TWO source-sized aggregations."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("v_obs").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    coverage = 1.0 - f1 / F.col("n_tokens").cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "v_obs",
+        "f1",
+        "f2",
+        stable_round(chao1, 4).alias("chao1"),
+        stable_round(coverage, 6).alias("coverage"),
+    ).orderBy("source")
+
+
+ORACLE_CHAO1 = f"""
+WITH counts AS (
+  SELECT source, w, count(*) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), per AS (
+  SELECT source, count(*) AS v_obs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, v_obs, f1, f2,
+       {sql_stable_round(
+           "CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE)"
+           " * (f1 - 1.0) / (2.0 * (f2 + 1.0))", 4)} AS chao1,
+       {sql_stable_round(
+           "1.0 - CAST(f1 AS DOUBLE) / n_tokens", 6)} AS coverage
+FROM per ORDER BY source
+""".strip()
+
+
+_MTLD_TTR = 0.72  # McCarthy & Jarvis factor-completion threshold
+
+
+def q_text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per source (McCarthy & Jarvis 2010,
+    forward pass): walk each document's tokens left-to-right, close a
+    "factor" every time the running type-token ratio drops below
+    0.72, and report tokens-per-factor — the length-INVARIANT
+    lexical-diversity measure (raw TTR falls with document length;
+    MTLD is the field's standard fix) beside the family's
+    hapax/Simpson/entropy rows. Per-source mean over per-doc MTLD;
+    docs whose TTR never dips (no factor, zero partial) report
+    unfactored and stay out of the mean.
+
+    The sequential fold runs INSIDE both engines as an ordered
+    array reduction (Spark `aggregate` with a struct state; DuckDB
+    `list_reduce` with a flat-list state — a struct-typed
+    accumulator loses its list field across iterations in DuckDB
+    1.0, so the state rides as [n, f, ...types]); the per-doc MTLD
+    is ONE fixed-shape expression, e4-fixed before the exact
+    integer source mean.
+
+    Scale: row-local compute, O(tokens × factor length) per doc
+    (factors reset at the threshold, so the type array stays
+    factor-sized); the corpus collapses to a source-sized mean."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    st = F.expr(
+        f"""aggregate(
+          ws,
+          struct(cast(array() as array<string>) as ty,
+                 0 as n, 0 as f),
+          (acc, w) -> if(
+            cast(size(if(array_contains(acc.ty, w), acc.ty,
+                         array_append(acc.ty, w))) as double)
+              / (acc.n + 1) < {_MTLD_TTR},
+            struct(cast(array() as array<string>) as ty,
+                   0 as n, acc.f + 1 as f),
+            struct(if(array_contains(acc.ty, w), acc.ty,
+                      array_append(acc.ty, w)) as ty,
+                   acc.n + 1 as n, acc.f as f)))"""
+    )
+    per_doc = docs.select(
+        "source",
+        F.split(F.col("text"), " ").alias("ws"),
+    ).select(
+        "source",
+        F.size("ws").alias("n_tokens"),
+        st.alias("st"),
+    )
+    partial = F.when(
+        F.col("st.n") > 0,
+        (
+            1.0
+            - F.size("st.ty").cast("double")
+            / F.col("st.n").cast("double")
+        )
+        / F.lit(1.0 - _MTLD_TTR),
+    ).otherwise(F.lit(0.0))
+    denom = F.col("st.f").cast("double") + partial
+    mtld = F.when(
+        denom > 0,
+        F.least(
+            F.col("n_tokens").cast("double"),
+            F.col("n_tokens").cast("double") / denom,
+        ),
+    )
+    scored = per_doc.select(
+        "source",
+        F.floor(mtld * 10000 + F.lit(0.5)).cast("long").alias("m4"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("m4").isNull(), 1).otherwise(0)).alias(
+                "n_unfactored"
+            ),
+            F.count("m4").alias("n_scored"),
+            F.sum("m4").alias("sm4"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unfactored",
+            stable_round(
+                F.col("sm4").cast("double")
+                / (F.col("n_scored").cast("double") * 10000.0),
+                4,
+            ).alias("mean_mtld"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MTLD = f"""
+WITH folded AS (
+  SELECT source, len(ws) AS n_tokens,
+    list_reduce(
+      list_transform(ws, w -> ['1', '0', w]),
+      (acc, x) -> CASE
+        WHEN CAST(len(CASE WHEN list_contains(acc[3:], x[3])
+                      THEN acc[3:]
+                      ELSE list_append(acc[3:], x[3]) END) AS DOUBLE)
+             / (CAST(acc[1] AS INT) + 1) < {_MTLD_TTR}
+        THEN ['0', CAST(CAST(acc[2] AS INT) + 1 AS VARCHAR)]
+        ELSE list_concat(
+               [CAST(CAST(acc[1] AS INT) + 1 AS VARCHAR), acc[2]],
+               CASE WHEN list_contains(acc[3:], x[3])
+                    THEN acc[3:]
+                    ELSE list_append(acc[3:], x[3]) END)
+      END) AS st
+  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+), per_doc AS (
+  SELECT source, n_tokens,
+         CAST(st[1] AS INT) AS rem_n,
+         CAST(st[2] AS INT) AS f,
+         len(st) - 2 AS rem_ty
+  FROM folded
+), m AS (
+  SELECT source,
+         CASE WHEN (f + CASE WHEN rem_n > 0
+                    THEN (1.0 - CAST(rem_ty AS DOUBLE) / rem_n)
+                         / {1.0 - _MTLD_TTR}
+                    ELSE 0.0 END) > 0
+         THEN CAST(floor(LEAST(CAST(n_tokens AS DOUBLE),
+              CAST(n_tokens AS DOUBLE)
+              / (f + CASE WHEN rem_n > 0
+                     THEN (1.0 - CAST(rem_ty AS DOUBLE) / rem_n)
+                          / {1.0 - _MTLD_TTR}
+                     ELSE 0.0 END)) * 10000 + 0.5) AS BIGINT)
+         END AS m4
+  FROM per_doc
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN m4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfactored,
+       {sql_stable_round(
+           "CAST(sum(m4) AS DOUBLE) / (count(m4) * 10000.0)", 4)}
+         AS mean_mtld
+FROM m GROUP BY source ORDER BY source
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_mtld": q_text_mtld,
+    "corpus_chao1": q_corpus_chao1,
     "events_entropy_rate": q_events_entropy_rate,
     "basket_association_lift": q_basket_association_lift,
     "graph_assortativity": q_graph_assortativity,
@@ -1019,6 +1238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_mtld": ORACLE_MTLD,
+    "corpus_chao1": ORACLE_CHAO1,
     "events_entropy_rate": ORACLE_ENTROPY_RATE,
     "basket_association_lift": ORACLE_LIFT,
     "graph_assortativity": ORACLE_ASSORTATIVITY,

@@ -254,3 +254,61 @@ def test_entropy_rate_deterministic_vs_uniform_chains(spark, tmp_path):
     assert row.n_states == 2
     assert row.entropy_rate_nats == 0.0
     assert row.perplexity == 1.0
+
+
+def test_chao1_estimates_unseen_types(spark, tmp_path):
+    """All-singletons: Chao1 blows past the observed count (many
+    unseen types predicted); no singletons: Chao1 equals V and
+    coverage is 1."""
+    docs = [
+        (1, "a b c d", "en", "rich", 7),       # 4 singletons
+        (2, "x x y y z z", "en", "flat", 7),   # no singletons
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    from monasca_aggregator_spark.plans.assoc import q_corpus_chao1
+
+    out = {
+        r.source: r
+        for r in q_corpus_chao1(spark, str(tmp_path)).collect()
+    }
+    # rich: V=4, F1=4, F2=0 -> chao1 = 4 + 4*3/2 = 10
+    assert out["rich"].chao1 == 10.0
+    assert out["rich"].coverage == 0.0
+    # flat: V=3, F1=0 -> chao1 = 3, coverage 1
+    assert out["flat"].chao1 == 3.0
+    assert out["flat"].coverage == 1.0
+
+
+def test_mtld_repetitive_vs_diverse(spark, tmp_path):
+    """A repetitive doc closes many factors (low MTLD); an
+    all-distinct doc never closes one (unfactored, excluded from the
+    mean); a mixed source averages only its scored docs."""
+    rep = " ".join(["a a"] * 20)           # TTR collapses immediately
+    div = " ".join(f"w{i}" for i in range(30))  # TTR stays 1
+    docs = [
+        (1, rep, "en", "rep", 7),
+        (2, div, "en", "div", 7),
+        (3, rep, "en", "mix", 7),
+        (4, div, "en", "mix", 7),
+    ]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    from monasca_aggregator_spark.plans.assoc import q_text_mtld
+
+    out = {
+        r.source: r for r in q_text_mtld(spark, str(tmp_path)).collect()
+    }
+    # "a a a a ...": factor completes every 2nd token -> MTLD = 2
+    assert out["rep"].mean_mtld == 2.0
+    assert out["rep"].n_unfactored == 0
+    assert out["div"].n_unfactored == 1
+    assert out["div"].mean_mtld is None  # no scored docs
+    assert out["mix"].n_docs == 2 and out["mix"].n_unfactored == 1
+    assert out["mix"].mean_mtld == 2.0  # only the repetitive doc scores
