@@ -351,6 +351,7 @@ BENCH_QUERIES = [
     "orders_perfect_rate",
     "corpus_chao1",
     "text_mtld",
+    "text_lz_complexity",
 ]
 
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the

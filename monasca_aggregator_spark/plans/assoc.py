@@ -1223,7 +1223,119 @@ FROM m GROUP BY source ORDER BY source
 """.strip()
 
 
+def q_text_lz_complexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LZ78 PHRASE COMPLEXITY per source (Ziv & Lempel 1978): the
+    token stream's incremental-parse phrase count over its length —
+    the in-engine twin of the gzip-compressibility quality signal
+    web-corpus pipelines use (highly repetitive boilerplate parses
+    into few long phrases → low ratio; diverse prose stays near 1).
+    Complements MTLD: MTLD sees TYPE diversity, LZ78 sees STRUCTURE
+    (a doc cycling 'a b a b …' has 2 types but also collapses here).
+
+    The incremental parse is the same cross-engine ordered array
+    reduction as `text_mtld` (Spark `aggregate` struct state; DuckDB
+    `list_reduce` flat-list state — [n, cur, ...dict] — because
+    struct accumulators lose list fields in DuckDB 1.0; the
+    first-element-as-init semantics are aligned by seeding the
+    count at 1). Per-doc ratio e4-fixed before the exact source
+    mean.
+
+    Scale: row-local compute, O(tokens × dict size) per doc; the
+    corpus collapses to a source-sized mean."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    st = F.expr(
+        """aggregate(
+          ws,
+          struct(cast(array() as array<string>) as d,
+                 '' as cur, 0 as n),
+          (acc, w) -> if(
+            array_contains(acc.d,
+              if(acc.cur = '', w, concat(acc.cur, ' ', w))),
+            struct(acc.d as d,
+                   if(acc.cur = '', w, concat(acc.cur, ' ', w))
+                     as cur,
+                   acc.n as n),
+            struct(array_append(acc.d,
+                     if(acc.cur = '', w, concat(acc.cur, ' ', w)))
+                     as d,
+                   '' as cur, acc.n + 1 as n)))"""
+    )
+    per_doc = docs.select(
+        "source", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "source",
+        F.size("ws").alias("n_tokens"),
+        st.alias("st"),
+    )
+    phrases = F.col("st.n") + F.when(
+        F.col("st.cur") != "", 1
+    ).otherwise(0)
+    ratio = phrases.cast("double") / F.col("n_tokens").cast("double")
+    scored = per_doc.filter(F.col("n_tokens") > 0).select(
+        "source",
+        F.floor(ratio * 10000 + F.lit(0.5)).cast("long").alias("r4"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r4").alias("sr4"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            stable_round(
+                F.col("sr4").cast("double")
+                / (F.col("n_docs").cast("double") * 10000.0),
+                4,
+            ).alias("mean_lz_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LZ = f"""
+WITH folded AS (
+  SELECT source, len(ws) AS n_tokens,
+    list_reduce(
+      list_transform(ws, w -> ['1', '', w]),
+      (acc, x) -> CASE
+        WHEN list_contains(acc[3:],
+             CASE WHEN acc[2] = '' THEN x[3]
+                  ELSE acc[2] || ' ' || x[3] END)
+        THEN list_concat([acc[1],
+             CASE WHEN acc[2] = '' THEN x[3]
+                  ELSE acc[2] || ' ' || x[3] END], acc[3:])
+        ELSE list_concat(
+             [CAST(CAST(acc[1] AS INT) + 1 AS VARCHAR), ''],
+             list_append(acc[3:],
+               CASE WHEN acc[2] = '' THEN x[3]
+                    ELSE acc[2] || ' ' || x[3] END))
+      END) AS st
+  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+), per_doc AS (
+  SELECT source, n_tokens,
+         CAST(st[1] AS INT)
+           + CASE WHEN st[2] <> '' THEN 1 ELSE 0 END AS phrases
+  FROM folded WHERE n_tokens > 0
+), m AS (
+  SELECT source,
+         CAST(floor(CAST(phrases AS DOUBLE) / n_tokens * 10000
+                    + 0.5) AS BIGINT) AS r4
+  FROM per_doc
+)
+SELECT source, count(*) AS n_docs,
+       {sql_stable_round(
+           "CAST(sum(r4) AS DOUBLE) / (count(*) * 10000.0)", 4)}
+         AS mean_lz_ratio
+FROM m GROUP BY source ORDER BY source
+""".strip()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_lz_complexity": q_text_lz_complexity,
     "text_mtld": q_text_mtld,
     "corpus_chao1": q_corpus_chao1,
     "events_entropy_rate": q_events_entropy_rate,
@@ -1238,6 +1350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_lz_complexity": ORACLE_LZ,
     "text_mtld": ORACLE_MTLD,
     "corpus_chao1": ORACLE_CHAO1,
     "events_entropy_rate": ORACLE_ENTROPY_RATE,

@@ -200,6 +200,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "metric_grubbs", "corpus_welch_ttest",
 #     "events_entropy_rate", "sample_pps_systematic",
 #     "orders_perfect_rate", "corpus_chao1", "text_mtld",
+#     "text_lz_complexity",
 #     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
 #     "sample_importance_dsir", "embedding_hard_negatives",
 #     "class_balance_weights", "metric_p95_trend",
@@ -212,7 +213,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "events_variant_props", "revenue_gini_by_nation",
 #     "orders_benford", "events_survival_hazard", "corpus_spearman",
 #     "orders_backlog", "orders_consistency_audit", "profile_drift",
-#     "events_dup_rate", "text_pii_audit",
+#     "events_dup_rate",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

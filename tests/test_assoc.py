@@ -312,3 +312,26 @@ def test_mtld_repetitive_vs_diverse(spark, tmp_path):
     assert out["div"].mean_mtld is None  # no scored docs
     assert out["mix"].n_docs == 2 and out["mix"].n_unfactored == 1
     assert out["mix"].mean_mtld == 2.0  # only the repetitive doc scores
+
+
+def test_lz_complexity_repetitive_vs_diverse(spark, tmp_path):
+    """All-distinct tokens parse into n phrases (ratio 1); a cycled
+    two-token pattern collapses into O(sqrt n) phrases (low ratio)."""
+    div = " ".join(f"w{i}" for i in range(20))
+    rep = " ".join(["a b"] * 20)
+    docs = [(1, div, "en", "div", 7), (2, rep, "en", "rep", 7)]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    from monasca_aggregator_spark.plans.assoc import (
+        q_text_lz_complexity,
+    )
+
+    out = {
+        r.source: r
+        for r in q_text_lz_complexity(spark, str(tmp_path)).collect()
+    }
+    assert out["div"].mean_lz_ratio == 1.0
+    assert out["rep"].mean_lz_ratio < 0.35
