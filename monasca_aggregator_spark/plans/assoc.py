@@ -2,7 +2,9 @@
 market-basket lift, co-purchase degree assortativity, Lorenz revenue
 deciles, bot-signature detection, event path trigrams, Dunning G²
 collocations, Simpson vocabulary diversity, stopword-profile cosine,
-Markov entropy rate.
+Markov entropy rate, Chao1 vocabulary richness, MTLD lexical
+diversity, LZ78 phrase complexity (the last two run their sequential
+folds INSIDE both engines as ordered array reductions).
 
 Reference parity: the reference engine (Go, ~/reference) emits
 windowed aggregates; these are the association-rule / concentration /
