@@ -78,6 +78,7 @@ def curate_corpus(
     url_dedup: bool = False,
     line_dedup: bool = False,
     line_dedup_min_df: int = 2,
+    lz_min_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline over a ``documents``-shaped
     relation (doc_id, text, lang, source, n_chars). Returns
@@ -170,6 +171,26 @@ def curate_corpus(
             .drop("n_lines", "n_removed")
         )
         record("line_dedup", docs)
+
+    # 0c. LZ78 repetition gate (optional — the gzip-compressibility
+    # screen): docs whose token stream parses into too FEW phrases
+    # per token (looping boilerplate, machine-generated spam — low
+    # incremental-parse complexity) drop before the dedup stages even
+    # shingle them. Row-local whole-stage-codegen fold, the same
+    # operator `text_lz_complexity` reports on (one implementation).
+    if lz_min_ratio is not None:
+        from monasca_aggregator_spark.operators.textops import (
+            lz78_phrases,
+        )
+
+        ws = F.split(F.col("text"), " ")
+        ratio = lz78_phrases(ws).cast("double") / F.size(ws).cast(
+            "double"
+        )
+        docs = docs.filter(
+            (F.size(ws) <= 0) | (ratio >= F.lit(lz_min_ratio))
+        )
+        record("lz_gate", docs)
 
     # 1. exact dedup: keep each normalized-text group's min-id doc
     keepers = exact_dedup(docs).select(

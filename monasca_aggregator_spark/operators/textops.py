@@ -741,3 +741,47 @@ def fuzzy_token_search(
         .filter(F.col("dist") <= 1)
     )
     return matched
+
+
+def lz78_phrases(ws):
+    """LZ78 incremental-parse PHRASE COUNT of a token-array column
+    (Ziv & Lempel 1978) — the row-local compressibility fold shared
+    by the `text_lz_complexity` report and `curate_corpus`'s
+    repetition gate (one implementation, two consumers). A low
+    phrases/tokens ratio means the stream parses into few long
+    repeated phrases: looping boilerplate, machine-generated spam.
+
+    Pure whole-stage-codegen array arithmetic (Spark ``aggregate``
+    with a struct accumulator — dictionary, open phrase, count); no
+    Python in the loop. O(tokens × dictionary size) per row."""
+    from pyspark.sql import functions as F
+
+    def cand(acc, w):
+        return F.when(acc["cur"] == "", w).otherwise(
+            F.concat(acc["cur"], F.lit(" "), w)
+        )
+
+    init = F.struct(
+        F.lit(None).cast("array<string>").alias("d"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("n"),
+    )
+
+    def step(acc, w):
+        c = cand(acc, w)
+        d = F.coalesce(acc["d"], F.array().cast("array<string>"))
+        return F.when(
+            F.array_contains(d, c),
+            F.struct(
+                d.alias("d"), c.alias("cur"), acc["n"].alias("n")
+            ),
+        ).otherwise(
+            F.struct(
+                F.array_append(d, c).alias("d"),
+                F.lit("").alias("cur"),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    st = F.aggregate(ws, init, step)
+    return st["n"] + F.when(st["cur"] != "", 1).otherwise(0)

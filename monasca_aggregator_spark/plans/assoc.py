@@ -6,8 +6,8 @@ Markov entropy rate, Chao1 vocabulary richness, MTLD lexical
 diversity, LZ78 phrase complexity (the last two run their sequential
 folds INSIDE both engines as ordered array reductions).
 
-Reference parity: the reference engine (Go, ~/reference) emits
-windowed aggregates; these are the association-rule / concentration /
+Reference parity: the reference engine (Go, ~/reference —
+aggregation/aggregation_rule.go) emits windowed aggregates; these are the association-rule / concentration /
 behavioral questions a pipeline asks of the SAME relational surface
 next, each Spark-first and DuckDB-oracle-backed.
 
@@ -1246,35 +1246,21 @@ def q_text_lz_complexity(
 
     Scale: row-local compute, O(tokens × dict size) per doc; the
     corpus collapses to a source-sized mean."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    st = F.expr(
-        """aggregate(
-          ws,
-          struct(cast(array() as array<string>) as d,
-                 '' as cur, 0 as n),
-          (acc, w) -> if(
-            array_contains(acc.d,
-              if(acc.cur = '', w, concat(acc.cur, ' ', w))),
-            struct(acc.d as d,
-                   if(acc.cur = '', w, concat(acc.cur, ' ', w))
-                     as cur,
-                   acc.n as n),
-            struct(array_append(acc.d,
-                     if(acc.cur = '', w, concat(acc.cur, ' ', w)))
-                     as d,
-                   '' as cur, acc.n + 1 as n)))"""
+    from monasca_aggregator_spark.operators.textops import (
+        lz78_phrases,
     )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     per_doc = docs.select(
         "source", F.split(F.col("text"), " ").alias("ws")
     ).select(
         "source",
         F.size("ws").alias("n_tokens"),
-        st.alias("st"),
+        lz78_phrases(F.col("ws")).alias("phrases"),
     )
-    phrases = F.col("st.n") + F.when(
-        F.col("st.cur") != "", 1
-    ).otherwise(0)
-    ratio = phrases.cast("double") / F.col("n_tokens").cast("double")
+    ratio = F.col("phrases").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
     scored = per_doc.filter(F.col("n_tokens") > 0).select(
         "source",
         F.floor(ratio * 10000 + F.lit(0.5)).cast("long").alias("r4"),

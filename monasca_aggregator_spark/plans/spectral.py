@@ -2,8 +2,9 @@
 square-wave periodogram, Mann-Kendall trend test, Kruskal-Wallis
 hour-of-day effect, Grubbs max deviate, Welch's t per source pair.
 
-Reference parity: the reference engine (Go, ~/reference) publishes
-windowed sum/count/avg/min/max/delta/rate; these answer the three
+Reference parity: the reference engine (Go, ~/reference —
+aggregation/aggregation_rule.go's windowed
+sum/count/avg/min/max/delta/rate) stops at windowed aggregates; these answer the three
 follow-up questions its output feeds into ("does this metric CYCLE,
 and at what period?", "is there a monotone trend, without assuming
 normal errors?", "does hour-of-day move the distribution, not just

@@ -338,3 +338,31 @@ def test_curate_corpus_line_dedup_stage(spark):
     texts = {r.doc_id: r.text for r in curated.collect()}
     assert texts[1] == a + "\n" + footer  # first occurrence keeps it
     assert texts[2] == b                  # later copy stripped
+
+
+def test_curate_corpus_lz_repetition_gate(spark):
+    """The optional LZ78 gate (r10) drops the looping boilerplate doc
+    and keeps diverse prose; the manifest records the stage between
+    extraction and exact dedup."""
+    from monasca_aggregator_spark.curation import curate_corpus
+
+    prose = " ".join(f"word{i}" for i in range(40))
+    loop = " ".join(["click here"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, prose, "en", "s", len(prose)),
+            (2, loop, "en", "s", len(loop)),
+            (3, prose + " extra tail tokens", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    curated, manifest = curate_corpus(
+        spark, docs, lz_min_ratio=0.3, near_dup_threshold=0.95,
+        top_p=1.0,
+    )
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert m["raw"] == 3
+    assert m["lz_gate"] == 2  # the loop doc is gone
+    kept = {r.doc_id for r in curated.collect()}
+    assert 2 not in kept and 1 in kept
