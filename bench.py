@@ -354,6 +354,102 @@ BENCH_QUERIES = [
     "text_lz_complexity",
 ]
 
+# BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either
+# in BENCH_QUERIES above or named in exactly one BENCH_EXCLUDED class
+# below — tests/test_plans.py enforces the partition, so the
+# 311-vs-404 gap stays a stated choice, not a hand-maintained
+# accident. The classes:
+#   plan_twins        same physical plan shape as a named benched
+#                     representative (same operators, same shuffle
+#                     structure — different column/literal/agg fn);
+#                     benching both times the identical plan twice.
+#   fixed_sample      cost dominated by a bounded calibration /
+#                     training sample independent of SF — the bench
+#                     would measure a constant, not the engine.
+#   streaming_twins   batch twins of the continuous path; their real
+#                     measurement is tools/stream_throughput.py's
+#                     envelopes/s, recorded in SURVEY §6.
+#   composite_superset whole-pipeline composites whose stages are
+#                     benched individually (stage attribution rides
+#                     curation_funnel).
+# Every key added to the registry must land in BENCH_QUERIES or one
+# class here, or the partition test fails.
+BENCH_EXCLUDED: dict[str, tuple[str, ...]] = {
+    "plan_twins": (
+        # spec-DSL scalar aggs — agg_rollup's plan with one agg fn
+        "agg_count", "agg_sum", "agg_avg", "agg_min", "agg_max",
+        "agg_delta",
+        # filter/reject variants of agg_grouped
+        "agg_filtered", "agg_rejected",
+        # sketch/percentile window twins of agg_p95_sketch /
+        # agg_distinct_rollup_hll / agg_p95_tdigest
+        "agg_distinct_users", "agg_median", "agg_distinct_hll",
+        "agg_p95_tdigest_rollup", "agg_percentile_bands", "agg_stddev",
+        # windowed-rank / grouping twins of topk_per_group shapes
+        # already benched via grouping_sets_mixed / pivot_events_user
+        "topk_per_group", "argmax_per_group", "cube_volume",
+        "revenue_share_hierarchy",
+        # TPC-H join-agg shapes: the benched q1/q3/q5/q6/q14/q18/
+        # q4_semijoin cover scan-agg, broadcast-dim join, semi/anti
+        # join, HAVING and conditional-agg physiques; the rest are
+        # the same shapes over different columns
+        "tpch_q7_two_nation", "tpch_q8_mkt_share", "tpch_q9_profit",
+        "tpch_q10_returns", "tpch_q11_fraction", "tpch_q12_latecount",
+        "tpch_q13_histogram", "tpch_q15_topsupp", "tpch_q16_suppcnt",
+        "tpch_q17_avg_qty", "tpch_q20_excess", "tpch_q21_waiting",
+        "tpch_q19_disjunct", "tpch_q22_antijoin",
+        # sampling twins of sample_quota_source / sample_weighted_k /
+        # sample_budget_mix (hash-priority filter + per-group rank)
+        "sample_consistent_k", "sample_temperature",
+        "sample_stratified", "sample_top_p_source",
+        # dedup family twins of dedup_exact / dedup_minhash /
+        # dedup_jaccard_prefix (hash groupBy, banded/blocked joins)
+        "dedup_editdistance", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_clusters", "dedup_canonical", "dedup_cluster_sizes",
+        "corpus_dedup_impact",
+        # ANN index variants — ann_recall_report (gates stanza)
+        # builds and times all five index paths every round
+        "ann_pq", "ann_lsh", "ann_ivf", "ann_ivf_kmeans",
+        # perceptual-hash twins of image_dhash_dedup (same decode +
+        # banded Hamming join; only the 64-bit hash fn differs)
+        "image_ahash_dedup", "image_phash_dedup",
+        # graph twins of graph_pagerank_exact / graph_kcore /
+        # graph_triangles / graph_degree_hist-via-insights
+        "graph_pagerank", "graph_pagerank_ann", "graph_kcore_ann",
+        "graph_degree_hist",
+        # series twins of anomaly_zscore / metric_cusum /
+        # metric_gapfill / metric_backtest_hw_vs_snaive /
+        # metric_histogram_quantile (per-metric window + agg plans)
+        "metric_out_of_order", "metric_ewma", "metric_staleness",
+        "metric_histogram_equidepth", "metric_alert_hysteresis",
+        "metric_correlation", "metric_forecast_holtwinters",
+        # per-user window twins of sessions_user / events_daily_user
+        "moving_avg_user", "lag_delta_user", "running_total_user",
+        "sessions_entry_exit", "events_cumulative_users",
+        "metric_histogram", "funnel_conversion",
+        "events_retention_bitmap_wide",
+        # embedding twins of embedding_centroid_accuracy /
+        # embedding_quantize_error / embedding_truncation_fidelity
+        "embedding_centroids", "embedding_centroid_affinity",
+        "embedding_pca", "embedding_quantize",
+        # row-local scan twins: map-only / one-aggregate plans whose
+        # latency is the documents parquet scan, already timed by
+        # text_quality / text_repetition / quality_lang_norm etc.
+        "text_langid", "text_langid_ngram", "text_scrub",
+        "text_search_conjunctive", "quality_deciles",
+        "text_unigram_logprob", "text_tokens", "text_fingerprint",
+        "text_compress_ratio", "text_boilerplate", "profile_documents",
+        "events_json_props",
+    ),
+    "fixed_sample": (
+        "bpe_train", "sample_kcenter", "quality_classifier",
+        "media_image_features", "dedup_lsh_calibration",
+        "ann_nprobe_sweep",
+    ),
+    "streaming_twins": ("agg_streaming", "agg_streaming_rate"),
+    "composite_superset": ("pipeline_curate",),
+}
+
 # CALIBRATION GATES (VERDICT r6 #4): queries whose cost IS the
 # measurement — index builds, exact pair generation for estimator
 # error, power-iteration oracles. Reported in their own stanza

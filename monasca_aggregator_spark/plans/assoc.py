@@ -462,7 +462,9 @@ def q_events_bot_detection(
     a global sort of users."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
-        (F.unix_millis(F.col("ts")) / F.lit(60000))
+        # floor, not truncate-toward-zero: matches the oracle's `//`
+        # for pre-epoch (negative) timestamps (ADVICE r10)
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(60000))
         .cast("long")
         .alias("minute"),
     )

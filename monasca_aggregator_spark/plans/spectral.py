@@ -68,7 +68,9 @@ def _hourly_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy(
         "event_type",
-        (F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("h"),
+        # floor, not truncate-toward-zero: matches the oracle's `//`
+        # for pre-epoch (negative) timestamps (ADVICE r10)
+        F.floor(F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("h"),
     ).agg(F.sum("e2").alias("v"))
 
 
@@ -264,12 +266,16 @@ def q_metric_mann_kendall(
         .join(F.broadcast(n_ok), "event_type")
     )
     n0 = F.col("n").cast(dec) * (F.col("n") - 1) / 2
+    # exact-integer numerator, ONE division in double — mirrors the
+    # oracle's evaluation shape (DuckDB `/` is float division), so the
+    # 6th rounded decimal can't flip on a decimal-scale boundary
+    # (ADVICE r10)
     var_s = (
         F.col("n").cast(dec)
         * (F.col("n") - 1)
         * (2 * F.col("n") + 5)
         - F.col("tv")
-    ) / 18
+    ).cast("double") / 18
     z = (
         F.col("s")
         - F.when(F.col("s") > 0, 1)

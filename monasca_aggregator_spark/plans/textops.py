@@ -2337,6 +2337,13 @@ def q_text_ppmi_doc_neighbors(
         n = float(np.linalg.norm(v))
         doc_ids.append(r.doc_id)
         vecs.append(v / n if n > 0 else np.zeros(k))
+    if not vecs:
+        # no sampled doc carries an in-vocab token (ADVICE r10):
+        # return the empty report, same schema as the populated path
+        return spark.createDataFrame(
+            [],
+            "probe_doc long, rank int, neighbor_doc long, cosine double",
+        )
     mat = np.vstack(vecs)
     sims = mat @ mat.T
     rows = []

@@ -32,39 +32,56 @@ from monasca_aggregator_spark.plans import metrics, tpch
 # R9, replacing tail re-confirmations) so every oracle key gets a
 # driver row within two window flips.
 #
-# Round-10 ACTIVE window (flipped at the start of round 10; all 50
-# keys verified green at sf0.01 under the driver protocol before the
-# flip — the 19 r9-added oracle keys were judge-verified green in the
-# r9 sweep and the 31 re-confirmations carry prior driver rows): the
-# 19 oracle keys ADDED in r9 (rotation invariant: new oracle keys
-# front the newest staged window), then the 26 re-confirmations
-# displaced from R9 staging during r8 growth, then the oldest
-# r7-window keys.  The r9 window (text_repetition … lineitem_key_skew)
-# went 50/50 green in CORRECTNESS_r09.
+# Round-11 ACTIVE window (flipped at the start of round 11 — the
+# staged R11 list below, verbatim): the 20 oracle keys ADDED in r10
+# (rotation invariant — each judge-verified green at sf0.01 under the
+# driver protocol in the r10 sweep), then 30 re-confirmations: the
+# oldest r7-window keys whose driver rows are 4 rounds old by r11.
+# The r10 window (dedup_line_rewrite … corpus_mannwhitney) went 50/50
+# green in CORRECTNESS_r10.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    "dedup_line_rewrite", "graph_adamic_adar", "metric_rate_prom",
-    "revenue_theil_by_nation", "events_ab_power",
-    "corpus_jarque_bera", "corpus_kendall_tau",
-    "metric_alert_maintenance", "metric_alert_overlap",
-    "text_kneser_ney", "events_tcloseness",
-    "brand_supplier_concentration", "metric_correlogram",
-    "text_trending_terms", "embedding_triplet_violations",
-    "sample_neyman_draw", "events_ab_srm", "metric_fano_factor",
-    "orders_littles_law",
-    "sample_consistent_k", "tpch_q21_waiting",
-    "sample_quota_source", "events_retention", "range_join_ship",
-    "metric_alert_hysteresis", "agg_stddev", "metric_gapfill",
-    "metric_downsample_m4", "metric_correlation",
-    "metric_winsorize", "pack_length_buckets", "agg_sliding",
-    "order_curriculum", "grouping_sets_mixed", "corpus_diff",
-    "agg_rate", "tpch_q1", "dedup_rate_by_source",
-    "text_readability", "embedding_outliers",
-    "sessions_active_time", "events_lifecycle", "agg_max",
-    "agg_delta", "sample_top_p_source",
-    "metric_lead_lag", "metric_topk_movers",
-    "corpus_source_overlap", "dedup_threshold_sweep",
-    "corpus_mannwhitney",
+    "metric_walsh_periodogram", "metric_mann_kendall",
+    "metric_kruskal_wallis", "basket_association_lift",
+    "graph_assortativity", "revenue_lorenz_deciles",
+    "events_bot_detection", "events_ngram_paths",
+    "text_collocation_g2", "text_simpson_diversity",
+    "text_stopword_cosine", "embedding_jl_distortion",
+    "metric_grubbs", "corpus_welch_ttest",
+    "events_entropy_rate", "sample_pps_systematic",
+    "orders_perfect_rate", "corpus_chao1", "text_mtld",
+    "text_lz_complexity",
+    "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
+    "sample_importance_dsir", "embedding_hard_negatives",
+    "class_balance_weights", "metric_p95_trend",
+    "metric_histogram_native", "lang_entropy_by_source",
+    "metric_longest_gap", "region_revenue_yoy",
+    "orders_segment_migration", "events_trailing_1h",
+    "part_price_spread", "lineitem_discount_uplift", "metric_psi",
+    "text_jsd_by_source", "embedding_intrinsic_dim",
+    "text_burstiness", "sessions_top_paths", "lineitem_return_rate",
+    "events_variant_props", "revenue_gini_by_nation",
+    "orders_benford", "events_survival_hazard", "corpus_spearman",
+    "orders_backlog", "orders_consistency_audit", "profile_drift",
+    "events_dup_rate",
 )
+# Round-10 window (retired after CORRECTNESS_r10 went 50/50 green):
+# dedup_line_rewrite, graph_adamic_adar, metric_rate_prom,
+# revenue_theil_by_nation, events_ab_power, corpus_jarque_bera,
+# corpus_kendall_tau, metric_alert_maintenance, metric_alert_overlap,
+# text_kneser_ney, events_tcloseness, brand_supplier_concentration,
+# metric_correlogram, text_trending_terms,
+# embedding_triplet_violations, sample_neyman_draw, events_ab_srm,
+# metric_fano_factor, orders_littles_law, sample_consistent_k,
+# tpch_q21_waiting, sample_quota_source, events_retention,
+# range_join_ship, metric_alert_hysteresis, agg_stddev,
+# metric_gapfill, metric_downsample_m4, metric_correlation,
+# metric_winsorize, pack_length_buckets, agg_sliding,
+# order_curriculum, grouping_sets_mixed, corpus_diff, agg_rate,
+# tpch_q1, dedup_rate_by_source, text_readability,
+# embedding_outliers, sessions_active_time, events_lifecycle,
+# agg_max, agg_delta, sample_top_p_source, metric_lead_lag,
+# metric_topk_movers, corpus_source_overlap, dedup_threshold_sweep,
+# corpus_mannwhitney.
 # Round-8 window (retired after CORRECTNESS_r08 went 50/50 green):
 # embedding_centroid_accuracy, metric_mttr, dedup_embedding_exact,
 # dedup_simhash_estimate, metric_capacity_eta, text_oov_rate,
@@ -172,48 +189,34 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # events_audience_overlap, text_unicode_health,
 # orders_seasonality_index, embedding_silhouette,
 # orders_duplicate_invoices, lineitem_key_skew.
-# Round-11 rotation (staged at the r10 flip): the oracle keys ADDED
-# in r10 front the window (rotation invariant — each verified green
-# at sf0.01 + partition-determinism-swept on addition), then the
-# oldest re-confirmations: 39 r7-window keys R10 did not carry
-# (their CORRECTNESS_r07 rows are 4 rounds old by r11 — the oldest in
-# the registry). The r10 additions displaced the tail (the 5
-# r8-green re-confirmations embedding_centroid_accuracy, metric_mttr,
-# dedup_embedding_exact, dedup_simhash_estimate, metric_capacity_eta,
-# then the freshest r7 keys nation_trade_matrix,
-# sample_consistent_k_group, corpus_ngram_coverage,
-# embedding_quantize_error, dedup_minhash_estimate,
-# graph_pagerank_exact — freshest driver rows last).
-# New oracle keys added later in r10 MUST keep displacing this
-# list's TAIL.
-# FREEZE VERIFICATION (r10 close): all 50 staged keys below AND the
-# 50 active R10 keys above verified green together at sf0.01 under
-# the driver protocol (tools/check_correctness.py, 100/100 OK, exit
-# 0) on the frozen r10 tree.
-# _DRIVER_WINDOW_R11: tuple[str, ...] = (
-#     "metric_walsh_periodogram", "metric_mann_kendall",
-#     "metric_kruskal_wallis", "basket_association_lift",
-#     "graph_assortativity", "revenue_lorenz_deciles",
-#     "events_bot_detection", "events_ngram_paths",
-#     "text_collocation_g2", "text_simpson_diversity",
-#     "text_stopword_cosine", "embedding_jl_distortion",
-#     "metric_grubbs", "corpus_welch_ttest",
-#     "events_entropy_rate", "sample_pps_systematic",
-#     "orders_perfect_rate", "corpus_chao1", "text_mtld",
-#     "text_lz_complexity",
-#     "quality_bootstrap_ci", "orders_nrr", "decontaminate_embedding",
-#     "sample_importance_dsir", "embedding_hard_negatives",
-#     "class_balance_weights", "metric_p95_trend",
-#     "metric_histogram_native", "lang_entropy_by_source",
-#     "metric_longest_gap", "region_revenue_yoy",
-#     "orders_segment_migration", "events_trailing_1h",
-#     "part_price_spread", "lineitem_discount_uplift", "metric_psi",
-#     "text_jsd_by_source", "embedding_intrinsic_dim",
-#     "text_burstiness", "sessions_top_paths", "lineitem_return_rate",
-#     "events_variant_props", "revenue_gini_by_nation",
-#     "orders_benford", "events_survival_hazard", "corpus_spearman",
-#     "orders_backlog", "orders_consistency_audit", "profile_drift",
-#     "events_dup_rate",
+# Round-12 rotation (staged at the r11 flip): oracle keys ADDED in
+# r11 front the window (rotation invariant — each verified green at
+# sf0.01 + partition-determinism-swept on addition; they displace
+# this list's TAIL as they land), then the oldest re-confirmations:
+# the 15 r7-window keys neither R10 nor R11 carried (CORRECTNESS_r07
+# rows, 5 rounds old by r12 — the oldest in the registry), then the
+# oldest r8-window keys in window order.
+# _DRIVER_WINDOW_R12: tuple[str, ...] = (
+#     "text_pii_audit", "embedding_dim_variance",
+#     "orders_gap_summary", "sessions_capped", "corpus_ks_by_source",
+#     "lang_source_chi2", "embedding_knn_accuracy",
+#     "events_attribution_ushape", "supplier_scorecard",
+#     "nation_trade_matrix", "sample_consistent_k_group",
+#     "corpus_ngram_coverage", "embedding_quantize_error",
+#     "dedup_minhash_estimate", "graph_pagerank_exact",
+#     "embedding_centroid_accuracy", "metric_mttr",
+#     "dedup_embedding_exact", "dedup_simhash_estimate",
+#     "metric_capacity_eta", "text_oov_rate",
+#     "orders_basket_size_hist", "quality_by_lang_source",
+#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
+#     "tpch_q13_histogram", "tpch_q15_topsupp", "privacy_tokenize",
+#     "funnel_time_to_convert", "agg_multi_tenant", "lang_confusion",
+#     "series_shape_search", "text_search_fuzzy", "text_stem_vocab",
+#     "corpus_zipf_alpha", "tpch_q12_latecount", "sample_stratified",
+#     "sample_temperature", "profile_documents", "split_train_val",
+#     "pack_chunks", "pack_chunks_overlap", "dedup_exact",
+#     "dedup_spans", "dedup_editdistance", "dedup_ngram_jaccard",
+#     "dedup_embedding", "dedup_clusters", "dedup_canonical",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -105,9 +105,29 @@ _BLOOM_MAX_NDV = 100_000  # beyond this a per-file bloom stops paying
 
 
 def _bloom_canon(value) -> bytes:
-    """Canonical byte form hashed on BOTH the write and lookup side:
-    the textual form, so a lookup only needs the same str() the
-    writer used (int 5 and '5' intentionally coincide)."""
+    """Canonical byte form hashed on BOTH the write and lookup side.
+    Numerics canonicalize across logical types — int 5, 5.0 and
+    Decimal('5.0') all hash as '5' — so a point lookup written as a
+    Python int still probes a DOUBLE/DECIMAL column's filter
+    correctly; a type mismatch must degrade to 'might contain',
+    never to a wrong prune (ADVICE r10: str(5) vs str(5.0) silently
+    dropped the file holding the value). Non-numeric values keep the
+    plain str() form (int 5 and string '5' intentionally coincide,
+    as before)."""
+    import decimal
+
+    if isinstance(value, (int, float, decimal.Decimal)) and not isinstance(
+        value, bool
+    ):
+        try:
+            if value == int(value):
+                return str(int(value)).encode("utf-8")
+        except (OverflowError, ValueError, decimal.InvalidOperation):
+            pass  # inf / nan — fall through to the textual form
+        if isinstance(value, decimal.Decimal):
+            # normalize trailing zeros: Decimal('5.250') ≡ 5.25
+            value = float(value)
+        return repr(value).encode("utf-8")
     return str(value).encode("utf-8")
 
 

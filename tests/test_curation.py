@@ -366,3 +366,44 @@ def test_curate_corpus_lz_repetition_gate(spark):
     assert m["lz_gate"] == 2  # the loop doc is gone
     kept = {r.doc_id for r in curated.collect()}
     assert 2 not in kept and 1 in kept
+
+
+def test_curate_corpus_lz_gate_scores_prefix_only(spark, monkeypatch):
+    """PREFIX CONTRACT (VERDICT r10 #2): the LZ gate folds only the
+    first _LZ_GATE_PREFIX_TOKENS tokens, so a book-length document
+    can't pay an O(tokens × dict) fold at ingest. A doc whose PREFIX
+    is looping boilerplate drops even though a diverse tail would
+    have rescued the full-array ratio — and vice versa."""
+    import monasca_aggregator_spark.curation as cur
+
+    # shrink the cap so the test corpus is tiny
+    monkeypatch.setattr(cur, "_LZ_GATE_PREFIX_TOKENS", 64)
+
+    diverse_tail = " ".join(f"tail{i}" for i in range(400))
+    loop_prefix = " ".join(["spam loop"] * 32)  # 64 tokens, ratio ~0.03
+    # doc 1: looping prefix + diverse tail — full-array ratio would be
+    # high (~0.87) but the 64-token prefix ratio is tiny → must DROP
+    doc1 = loop_prefix + " " + diverse_tail
+    # doc 2: diverse prefix + looping tail — full-array ratio would be
+    # low but the prefix is all-novel → must KEEP
+    doc2 = (
+        " ".join(f"fresh{i}" for i in range(64))
+        + " "
+        + " ".join(["spam loop"] * 400)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, doc1, "en", "s", len(doc1)),
+            (2, doc2, "en", "s", len(doc2)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    curated, manifest = cur.curate_corpus(
+        spark, docs, lz_min_ratio=0.3, near_dup_threshold=0.95,
+        top_p=1.0,
+    )
+    m = {r.stage: r.n_docs for r in manifest.collect()}
+    assert m["lz_gate"] == 1
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {2}

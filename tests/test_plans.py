@@ -38,6 +38,37 @@ def test_bench_queries_all_registered():
     assert set(bench.BENCH_QUERIES) <= set(all_queries())
 
 
+def test_bench_partition_is_total(  # VERDICT r10 #4
+):
+    """Every registry key is either benched or named in exactly one
+    BENCH_EXCLUDED class — the bench-vs-registry gap must stay a
+    stated choice. A new registry key that lands in neither fails
+    here until it's benched or classified."""
+    import bench
+
+    from monasca_aggregator_spark.registry import all_queries
+
+    registry = set(all_queries())
+    benched = set(bench.BENCH_QUERIES)
+    assert len(bench.BENCH_QUERIES) == len(benched), "duplicate bench key"
+    classed: set[str] = set()
+    for cls, keys in bench.BENCH_EXCLUDED.items():
+        ks = set(keys)
+        assert len(keys) == len(ks), f"duplicate key in class {cls}"
+        overlap = ks & classed
+        assert not overlap, f"key in two classes: {overlap}"
+        classed |= ks
+    both = benched & classed
+    assert not both, f"benched AND excluded: {sorted(both)}"
+    dangling = (benched | classed) - registry
+    assert not dangling, f"names not in registry: {sorted(dangling)}"
+    unaccounted = registry - benched - classed
+    assert not unaccounted, (
+        f"registry keys neither benched nor classified: "
+        f"{sorted(unaccounted)}"
+    )
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_small):
     from monasca_aggregator_spark.plans.tpch import q_tpch_q6
 

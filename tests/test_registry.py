@@ -55,7 +55,7 @@ def test_broken_plan_module_raises():
 import pytest
 
 
-@pytest.mark.parametrize("tag", ["R11"])
+@pytest.mark.parametrize("tag", ["R12"])
 def test_staged_windows_are_flippable(tag):
     """The commented _DRIVER_WINDOW_R8 (and later) blocks must stay valid while
     the registry evolves: every staged key registered + oracle-backed,

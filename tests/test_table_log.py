@@ -1001,3 +1001,61 @@ def test_snapshot_bloom_point_lookup_skips_files(spark, tmp_path):
     assert got2 == [314]
     # the no-bloom file is in the scan even though 157 isn't in it
     assert len(again.inputFiles()) >= 2
+
+
+def test_bloom_canon_numeric_types_coincide():
+    """ADVICE r10 (medium): a DOUBLE column written as 5.0 must still
+    match a point lookup written as Python int 5 — str() alone hashed
+    '5' vs '5.0' and WRONGLY pruned the file holding the value,
+    breaking the 'pruning is never a filter' contract. All integral
+    numerics (int / float / Decimal) canonicalize to one form."""
+    import decimal
+
+    from monasca_aggregator_spark.sources.table_log import (
+        _bloom_build,
+        _bloom_canon,
+        _bloom_might_contain,
+    )
+
+    # the reproduced bug: float-written filter probed with an int
+    bloom = _bloom_build([5.0, 6.0, 7.5])
+    assert _bloom_might_contain(bloom, 5)
+    assert _bloom_might_contain(bloom, 7.5)
+    # and the reverse: int-written filter probed with a float/Decimal
+    bloom_i = _bloom_build([5, 6, 7])
+    assert _bloom_might_contain(bloom_i, 5.0)
+    assert _bloom_might_contain(bloom_i, decimal.Decimal("6.00"))
+    # canonical forms, directly
+    assert _bloom_canon(5) == _bloom_canon(5.0) == _bloom_canon(
+        decimal.Decimal("5.0")
+    )
+    assert _bloom_canon(7.25) == _bloom_canon(decimal.Decimal("7.250"))
+    # bool stays textual (True must not collide with int 1's form)
+    assert _bloom_canon(True) == b"True"
+    # inf/nan fall through without raising
+    assert _bloom_canon(float("inf")) == b"inf"
+
+
+def test_snapshot_bloom_double_column_int_lookup(spark, tmp_path):
+    """End-to-end pin of the ADVICE r10 bloom bug: point-lookup with
+    an int against a DOUBLE column must keep the file containing the
+    value (5 vs 5.0 canonicalize identically)."""
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "bloom_dbl")
+    for shard in range(2):
+        df = (
+            spark.range(0, 100)
+            .filter(F.col("id") % 2 == shard)
+            .select(
+                F.col("id").cast("double").alias("k"),
+                (F.col("id") * 2).alias("v"),
+            )
+        )
+        snapshot_write(df.coalesce(1), path, bloom_cols=["k"])
+    looked = snapshot_read(spark, path, point={"k": 57})
+    got = [r.v for r in looked.filter("k = 57").collect()]
+    assert got == [114]
