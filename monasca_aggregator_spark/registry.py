@@ -300,6 +300,7 @@ def _modules():
         "mining",
         "spectral",
         "assoc",
+        "diag",
     ):
         # a broken plan module must fail the run loudly — swallowing the
         # ImportError would silently drop its queries from the
