@@ -667,3 +667,481 @@ ORACLES: dict[str, str] = {
     "metric_turning_points": ORACLE_TURNING_POINTS,
     "metric_hurst_rs": ORACLE_HURST_RS,
 }
+
+
+# ================================ text / corpus statistics (round 11)
+
+_OR_ALPHA0 = 1000.0  # Dirichlet prior strength (Monroe et al. 2008)
+_OR_MIN_COUNT = 5  # corpus count floor before a word can rank
+_OR_TOPK = 5  # characteristic words reported per source
+_CE_MIN_BIGRAMS = 50  # bigram floor before conditional entropy means much
+_NG13 = 13  # the GPT-3 decontamination n-gram length
+_NG13_BENCH_MOD = 20  # doc_id % 20 == 0 is the 'benchmark' slice
+
+
+def q_text_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIGHTIN' WORDS log-odds keywords per source (Monroe, Colaresi
+    & Quinn 2008): for each (source, word), the log-odds-ratio of the
+    word in the source vs the REST of the corpus, shrunk by an
+    informative Dirichlet prior α_w = α₀·y_w/N and standardized by
+    its asymptotic variance 1/(y_sw+α_w) + 1/(y_rw+α_w) — the
+    statistically-grounded upgrade of raw TF-IDF "characteristic
+    terms": the prior damps high-frequency words without a stoplist
+    and the z-scale makes sources comparable. Top-{_OR_TOPK} words
+    per source by z.
+
+    Exactness: all counts exact integers; α, δ, σ, z are ONE
+    fixed-shape double expression per (source, word); ranking is on
+    the PRE-ROUNDED e6 integer z (word breaks ties) so the top-K cut
+    is engine-stable.
+
+    Scale: the corpus explode collapses to (source, word) counts
+    (map-side partials); word totals join co-partitioned ON WORD
+    (vocabulary-sized, never corpus-sized); source totals and the
+    corpus total broadcast (|sources| and 1 row); the per-source
+    top-K is a partitioned window over ≤ vocabulary rows."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    words = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    y_sw = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("y_sw")
+    )
+    n_s = words.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    y_w = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("y_w"))
+        .filter(F.col("y_w") >= _OR_MIN_COUNT)
+    )
+    n_tot = words.agg(F.count(F.lit(1)).alias("n_corpus"))
+    j = (
+        y_sw.join(y_w, "w")
+        .join(F.broadcast(n_s), "source")
+        .join(F.broadcast(n_tot))
+    )
+    alpha = (
+        F.lit(_OR_ALPHA0)
+        * F.col("y_w").cast("double")
+        / F.col("n_corpus").cast("double")
+    )
+    ysw = F.col("y_sw").cast("double")
+    yrw = (F.col("y_w") - F.col("y_sw")).cast("double")
+    ns = F.col("n_s").cast("double")
+    nr = (F.col("n_corpus") - F.col("n_s")).cast("double")
+    delta = F.log(
+        (ysw + alpha) / (ns + F.lit(_OR_ALPHA0) - ysw - alpha)
+    ) - F.log((yrw + alpha) / (nr + F.lit(_OR_ALPHA0) - yrw - alpha))
+    z = delta / F.sqrt(1.0 / (ysw + alpha) + 1.0 / (yrw + alpha))
+    z_e6 = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ranked = j.select(
+        "source", "w", "y_sw", z_e6.alias("z_e6")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("z_e6").desc(), F.col("w")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _OR_TOPK)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("y_sw").cast("long").alias("n_in_source"),
+            stable_round(F.col("z_e6").cast("double") / 1e6, 4).alias(
+                "log_odds_z"
+            ),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_ODDS_RATIO = rf"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), ysw AS (
+  SELECT source, w, count(*) AS y_sw FROM words GROUP BY 1, 2
+), ns AS (
+  SELECT source, count(*) AS n_s FROM words GROUP BY 1
+), yw AS (
+  SELECT w, count(*) AS y_w FROM words GROUP BY 1
+  HAVING count(*) >= {_OR_MIN_COUNT}
+), tot AS (
+  SELECT count(*) AS n_corpus FROM words
+), z AS (
+  SELECT ysw.source, ysw.w, ysw.y_sw,
+         CAST(floor(
+           (ln((ysw.y_sw + {_OR_ALPHA0} * yw.y_w / tot.n_corpus)
+               / (ns.n_s + {_OR_ALPHA0} - ysw.y_sw
+                  - {_OR_ALPHA0} * yw.y_w / tot.n_corpus))
+            - ln((yw.y_w - ysw.y_sw
+                  + {_OR_ALPHA0} * yw.y_w / tot.n_corpus)
+                 / (tot.n_corpus - ns.n_s + {_OR_ALPHA0}
+                    - (yw.y_w - ysw.y_sw)
+                    - {_OR_ALPHA0} * yw.y_w / tot.n_corpus)))
+           / sqrt(1.0 / (ysw.y_sw
+                         + {_OR_ALPHA0} * yw.y_w / tot.n_corpus)
+                  + 1.0 / (yw.y_w - ysw.y_sw
+                           + {_OR_ALPHA0} * yw.y_w / tot.n_corpus))
+           * 1e6 + 0.5) AS BIGINT) AS z_e6
+  FROM ysw JOIN yw USING (w) JOIN ns USING (source), tot
+), ranked AS (
+  SELECT source, w, y_sw, z_e6,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY z_e6 DESC, w) AS rank
+  FROM z
+)
+SELECT source, CAST(rank AS INT) AS rank, w AS word,
+       CAST(y_sw AS BIGINT) AS n_in_source,
+       {sql_stable_round("CAST(z_e6 AS DOUBLE) / 1e6", 4)}
+         AS log_odds_z
+FROM ranked WHERE rank <= {_OR_TOPK}
+ORDER BY source, rank
+""".strip()
+
+
+# -------------------------------------- bigram conditional entropy
+
+
+def q_text_bigram_cond_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIGRAM CONDITIONAL ENTROPY H(w₂|w₁) per source (Shannon 1951's
+    printed-English estimate, corpus form): Σ (c₁₂/N)·ln(c₁/c₁₂)
+    over within-doc adjacent token pairs — how predictable the NEXT
+    token is given the current one. The sequential complement to the
+    family's unigram entropy / LZ78 rows: templated or looping
+    sources score low (next token forced), diverse prose scores near
+    its branching capacity. exp(H) is the effective branching
+    factor, directly comparable across sources.
+
+    Exactness: bigram and head counts are exact integers; each
+    bigram's c₁₂·ln(c₁/c₁₂) term pre-rounds to an e9 integer so the
+    per-source sum is exact and order-independent; ONE division by N
+    at the end. stable_round(6)/(4).
+
+    Scale: the bigram explode collapses to (source, w₁, w₂) counts
+    with map-side partials (vocabulary²-bounded, never raw-corpus-
+    sized); head counts join co-partitioned on (source, w₁); source
+    totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = pairs.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
+    n = c12.groupBy("source").agg(
+        F.sum("c12").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    ).filter(F.col("n_bigrams") >= _CE_MIN_BIGRAMS)
+    term_e9 = F.floor(
+        F.col("c12").cast("double")
+        * F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    s = (
+        c12.join(c1, ["source", "w1"])
+        .select("source", term_e9.alias("t9"))
+        .groupBy("source")
+        .agg(F.sum("t9").alias("s9"))
+    )
+    h = (
+        F.col("s9").cast("double")
+        / F.lit(1e9)
+        / F.col("n_bigrams").cast("double")
+    )
+    return (
+        s.join(F.broadcast(n), "source")
+        .select(
+            "source",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_distinct").cast("long").alias("n_distinct_bigrams"),
+            stable_round(h, 6).alias("cond_entropy_nats"),
+            stable_round(F.exp(h), 4).alias("branching_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BIGRAM_COND_ENTROPY = rf"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE len(string_split_regex(lower(trim(text)),
+                                              '\s+')) >= 2
+), pairs AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), c12 AS (
+  SELECT source, w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT source, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2
+), n AS (
+  SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct
+  FROM c12 GROUP BY 1 HAVING sum(c12) >= {_CE_MIN_BIGRAMS}
+), s AS (
+  SELECT c12.source,
+         CAST(sum(CAST(floor(CAST(c12.c12 AS DOUBLE)
+                             * ln(CAST(c1.c1 AS DOUBLE) / c12.c12)
+                             * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9
+  FROM c12 JOIN c1 USING (source, w1) GROUP BY 1
+)
+SELECT s.source, n.n_bigrams,
+       CAST(n.n_distinct AS BIGINT) AS n_distinct_bigrams,
+       {sql_stable_round(
+           "CAST(s9 AS DOUBLE) / 1e9 / n_bigrams", 6)}
+         AS cond_entropy_nats,
+       {sql_stable_round(
+           "exp(CAST(s9 AS DOUBLE) / 1e9 / n_bigrams)", 4)}
+         AS branching_factor
+FROM s JOIN n USING (source) ORDER BY source
+""".strip()
+
+
+# ---------------------------------- 13-gram benchmark decontamination
+
+
+def q_decontaminate_ngram13(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """13-GRAM COLLISION decontamination (the GPT-3 appendix-C rule,
+    Brown et al. 2020): a training doc is contaminated if ANY of its
+    {_NG13}-token n-grams appears verbatim in the benchmark slice
+    (doc_id % {_NG13_BENCH_MOD} == 0, the family's benchmark
+    convention) — the strict exact-overlap complement to the trigram
+    CONTAINMENT row (34e), which measures fuzzy coverage: this one
+    catches verbatim leakage a coverage threshold can miss on long
+    docs. Reports each contaminated doc with its hit count.
+
+    Exactness: exact string-equality joins on the gram; counts are
+    exact integers; contamination is one division. stable_round(4).
+
+    Scale: the benchmark gram set is broadcast (benchmark slices are
+    small by definition — eval sets, not corpora); the training side
+    explodes to grams but never shuffles ON the gram — the join is a
+    broadcast hash probe, then a doc-keyed count. Same posture as
+    34e's broadcast containment."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    ).filter(F.size("t") >= _NG13)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_NG13 - 1}),"
+                f" i -> array_join(slice(t, i, {_NG13}), ' '))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _NG13_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % _NG13_BENCH_MOD != 0)
+    n_grams = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams13")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(n_grams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams13").cast("long").alias("n_grams13"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            stable_round(
+                F.col("n_hits").cast("double")
+                / F.col("n_grams13").cast("double"),
+                4,
+            ).alias("hit_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM13 = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_NG13 - 2}),
+                i -> array_to_string(t[i:i+{_NG13 - 1}], ' '))) AS g
+  FROM toks WHERE len(t) >= {_NG13}
+), b AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_NG13_BENCH_MOD} = 0
+), tr AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % {_NG13_BENCH_MOD} <> 0
+), ng AS (
+  SELECT doc_id, count(*) AS n_grams13 FROM tr GROUP BY 1
+), hits AS (
+  SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN b USING (g)
+  GROUP BY 1
+)
+SELECT hits.doc_id, ng.n_grams13, hits.n_hits,
+       {sql_stable_round(
+           "CAST(n_hits AS DOUBLE) / n_grams13", 4)} AS hit_fraction
+FROM hits JOIN ng USING (doc_id) ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------- quality-vs-duplication cross signal
+
+
+def q_quality_vs_duplication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY × DUPLICATION cross-signal: per quality decile (the
+    same distributed NTILE as the quality_deciles row), the exact
+    duplicate rate 1 − distinct(normalized text)/docs — the lineage
+    question every curation pipeline should answer before ordering
+    its stages: if low-quality deciles are ALSO the duplicated ones,
+    dedup-first saves the quality pass most of its work; if dup rate
+    is flat, stage order is free. Uses the exact-dedup normalization
+    (lowercase, strip non-alphanumerics, collapse whitespace) so the
+    number agrees with the dedup family by construction.
+
+    Exactness: decile assignment is the exact distributed rank
+    (operators/rank.py — bucket histogram + broadcast offsets, no
+    single-task global sort); dup rate is exact distinct counts; avg
+    quality sums exact e4 integers.
+
+    Scale: rank is the skew-safe bucketed form; the distinct count
+    shuffles (decile, norm-text-hash)-keyed with map-side partials;
+    output is 10 rows."""
+    from monasca_aggregator_spark.operators.dedup import normalize_text
+    from monasca_aggregator_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+    from monasca_aggregator_spark.operators.textops import quality_scores
+    from monasca_aggregator_spark.plans.textops import N_DECILES
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scores = quality_scores(docs).select("doc_id", "quality")
+    ranked = global_rank(
+        scores,
+        F.floor(F.col("quality") * 50).cast("int"),
+        [F.col("quality").asc(), F.col("doc_id").asc()],
+        rank_col="rk",
+        total_col="n_total",
+    )
+    decile = ntile_from_rank(
+        F.col("rk"), F.col("n_total"), N_DECILES
+    ).alias("decile")
+    with_text = ranked.select("doc_id", "quality", decile).join(
+        docs.select("doc_id", normalize_text(F.col("text")).alias("nt")),
+        "doc_id",
+    )
+    q_e4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    agg = with_text.select("decile", q_e4.alias("q_e4"), "nt").groupBy(
+        "decile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("nt").alias("n_distinct"),
+        F.sum("q_e4").alias("sq"),
+    )
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        stable_round(
+            1.0
+            - F.col("n_distinct").cast("double")
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("dup_rate"),
+        stable_round(
+            F.col("sq").cast("double")
+            / F.col("n_docs").cast("double")
+            / 10000.0,
+            4,
+        ).alias("avg_quality"),
+    ).orderBy("decile")
+
+
+def _oracle_quality_vs_duplication() -> str:
+    from monasca_aggregator_spark.plans.textops import (
+        _QUALITY_EXPR,
+        _STOPLIST_SQL,
+        N_DECILES,
+    )
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOPLIST_SQL})) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars
+  FROM t
+), q AS (
+  SELECT doc_id, text, {_QUALITY_EXPR} AS quality FROM m
+), r AS (
+  SELECT doc_id, quality,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt,
+         ntile({N_DECILES}) OVER (ORDER BY quality ASC, doc_id ASC)
+           AS decile
+  FROM q
+)
+SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+       count(DISTINCT nt) AS n_distinct,
+       {sql_stable_round(
+           "1.0 - CAST(count(DISTINCT nt) AS DOUBLE) / count(*)", 4)}
+         AS dup_rate,
+       {sql_stable_round(
+           "CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))"
+           " AS DOUBLE) / count(*) / 10000.0", 4)} AS avg_quality
+FROM r GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+QUERIES.update(
+    {
+        "text_odds_ratio": q_text_odds_ratio,
+        "text_bigram_cond_entropy": q_text_bigram_cond_entropy,
+        "decontaminate_ngram13": q_decontaminate_ngram13,
+        "quality_vs_duplication": q_quality_vs_duplication,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_odds_ratio": ORACLE_ODDS_RATIO,
+        "text_bigram_cond_entropy": ORACLE_BIGRAM_COND_ENTROPY,
+        "decontaminate_ngram13": ORACLE_NGRAM13,
+        "quality_vs_duplication": _oracle_quality_vs_duplication(),
+    }
+)
