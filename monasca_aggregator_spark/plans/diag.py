@@ -1145,3 +1145,721 @@ ORACLES.update(
         "quality_vs_duplication": _oracle_quality_vs_duplication(),
     }
 )
+
+
+# ============================== stats / tpch / graph batch (round 11)
+
+_BF_MIN_DOCS = 5  # per-group floor for the variance-equality test
+_SBC_ADI_CUT = 1.32  # Syntetos-Boylan ADI cutoff
+_SBC_CV2_CUT = 0.49  # Syntetos-Boylan CV² cutoff
+_JACC_K = 20  # predicted links reported
+_JACC_MINSUP = 2  # co-purchase support floor (graph family convention)
+
+
+def q_corpus_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BROWN-FORSYTHE variance-equality test across sources (Brown &
+    Forsythe 1974 — Levene's test on MEDIAN-centered deviations):
+    W = ((N−k)/(k−1))·Σn_j(z̄_j−z̄)²/ΣΣ(z_ij−z̄_j)² over doc length —
+    the missing third leg beside the family's mean tests (Welch,
+    Mann-Whitney): two sources can share a mean and still differ in
+    SPREAD, which breaks every pooled-variance assumption downstream.
+    Median-centering (not mean) is what makes it robust to the heavy
+    tails the Hill/lognormal rows document.
+
+    Exactness: each source's median rides as m2 = v_lo + v_hi (exact
+    two-middle order statistics); deviations z = |2x − m2| stay
+    integer (the doubling cancels between numerator and denominator);
+    per-group float terms pre-round to e6 integers so both engines
+    sum identical values; ONE final expression. stable_round(4).
+
+    Scale: ranking is a window partitioned BY SOURCE; everything
+    after is |sources|-bounded moments."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    n_ok = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .filter(F.col("n_g") >= _BF_MIN_DOCS)
+    )
+    d = docs.join(F.broadcast(n_ok), "source")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("x", "doc_id")
+    )
+    ranked = d.select("source", "n_g", "x", rn.alias("rn"))
+    lo = F.floor((F.col("n_g") + 1) / 2)
+    hi = F.floor(F.col("n_g") / 2) + 1
+    m2 = ranked.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("x")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("x")).otherwise(0))
+        ).alias("m2")
+    )
+    z = d.join(F.broadcast(m2), "source").select(
+        "source",
+        F.abs(2 * F.col("x") - F.col("m2")).alias("z"),
+    )
+    per = z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("z").alias("s_j"),
+        F.sum(F.col("z").cast(_DEC) * F.col("z").cast(_DEC)).alias(
+            "q_j"
+        ),
+    )
+    ssw_term = F.floor(
+        (
+            F.col("n_j").cast(_DEC) * F.col("q_j")
+            - F.col("s_j").cast(_DEC) * F.col("s_j").cast(_DEC)
+        ).cast("double")
+        / F.col("n_j").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    sb_term = F.floor(
+        (F.col("s_j").cast(_DEC) * F.col("s_j").cast(_DEC)).cast(
+            "double"
+        )
+        / F.col("n_j").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = per.select(
+        "n_j", "s_j", ssw_term.alias("w6"), sb_term.alias("b6")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.sum("w6").alias("ssw6"),
+        F.sum("b6").alias("sb6"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = (
+        F.col("sb6").cast("double") / F.lit(1e6)
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / n
+    )
+    ssw = F.col("ssw6").cast("double") / F.lit(1e6)
+    w = (n - k) / (k - 1) * ssb / ssw
+    return agg.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        stable_round(w, 4).alias("bf_stat"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+), ok AS (
+  SELECT source, count(*) AS n_g FROM d GROUP BY 1
+  HAVING count(*) >= {_BF_MIN_DOCS}
+), ranked AS (
+  SELECT d.source, ok.n_g, d.x,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.x, d.doc_id) AS rn
+  FROM d JOIN ok USING (source)
+), med AS (
+  SELECT source,
+         sum(CASE WHEN rn = (n_g + 1) // 2 THEN x ELSE 0 END)
+         + sum(CASE WHEN rn = n_g // 2 + 1 THEN x ELSE 0 END) AS m2
+  FROM ranked GROUP BY 1
+), z AS (
+  SELECT d.source, abs(2 * d.x - med.m2) AS z
+  FROM d JOIN med USING (source) JOIN ok USING (source)
+), per AS (
+  SELECT source, count(*) AS n_j, CAST(sum(z) AS HUGEINT) AS s_j,
+         sum(CAST(z AS HUGEINT) * z) AS q_j
+  FROM z GROUP BY 1
+), agg AS (
+  SELECT count(*) AS k, sum(n_j) AS n, sum(s_j) AS s,
+         sum(CAST(floor(CAST(n_j * q_j - s_j * s_j AS DOUBLE)
+                        / n_j * 1e6 + 0.5) AS BIGINT)) AS ssw6,
+         sum(CAST(floor(CAST(s_j * s_j AS DOUBLE)
+                        / n_j * 1e6 + 0.5) AS BIGINT)) AS sb6
+  FROM per
+)
+SELECT CAST(k AS INT) AS n_groups, CAST(n AS BIGINT) AS n_docs,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       {sql_stable_round(
+           "(CAST(n AS DOUBLE) - k) / (k - 1)"
+           " * (CAST(sb6 AS DOUBLE) / 1e6"
+           "    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+           " / (CAST(ssw6 AS DOUBLE) / 1e6)", 4)} AS bf_stat
+FROM agg
+""".strip()
+
+
+# ------------------------------------------------ Cramér's V effect size
+
+
+def q_corpus_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V effect size of the lang × source association
+    (Cramér 1946), with the Bergsma 2013 bias correction — the
+    magnitude companion to the family's χ² independence row (88):
+    χ² says WHETHER crawl skew exists, V says HOW MUCH on a [0,1]
+    scale that doesn't grow with corpus size, and the corrected
+    variant stays honest on small tables where raw V inflates.
+
+    Exactness: observed and marginal counts are exact integers; each
+    cell's (O−E)²/E term (zero cells included — they contribute E)
+    pre-rounds to an e9 integer so χ²'s sum is exact; V and V+ are
+    ONE expression. stable_round(4)/(6).
+
+    Scale: the scan collapses to |langs|×|sources| observed cells;
+    the zero-cell completion is a broadcast cross of the two
+    marginal relations (≤ hundreds of rows)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "lang", "source"
+    )
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        F.broadcast(rows)
+        .crossJoin(F.broadcast(cols))
+        .join(obs, ["lang", "source"], "left")
+        .join(F.broadcast(n_tot))
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    term_e9 = F.floor(
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = cells.select(
+        "n", term_e9.alias("t9")
+    ).groupBy("n").agg(
+        F.sum("t9").alias("chi9"),
+    )
+    counts = (
+        F.broadcast(rows.agg(F.count(F.lit(1)).alias("n_langs")))
+        .crossJoin(
+            F.broadcast(cols.agg(F.count(F.lit(1)).alias("n_sources")))
+        )
+    )
+    j = agg.crossJoin(F.broadcast(counts))
+    n = F.col("n").cast("double")
+    r = F.col("n_langs").cast("double")
+    c = F.col("n_sources").cast("double")
+    chi2 = F.col("chi9").cast("double") / F.lit(1e9)
+    v = F.sqrt(chi2 / (n * (F.least(r, c) - 1)))
+    phi2p = F.greatest(
+        F.lit(0.0), chi2 / n - (r - 1) * (c - 1) / (n - 1)
+    )
+    rp = r - (r - 1) * (r - 1) / (n - 1)
+    cp = c - (c - 1) * (c - 1) / (n - 1)
+    vp = F.sqrt(phi2p / (F.least(rp, cp) - 1))
+    return j.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.col("n_sources").cast("int").alias("n_sources"),
+        stable_round(chi2, 4).alias("chi2"),
+        stable_round(v, 6).alias("cramers_v"),
+        stable_round(vp, 6).alias("cramers_v_corrected"),
+    )
+
+
+ORACLE_CRAMERS_V = f"""
+WITH d AS (SELECT lang, source FROM documents),
+obs AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+r AS (SELECT lang, count(*) AS r FROM d GROUP BY 1),
+c AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
+t AS (SELECT count(*) AS n FROM d),
+cells AS (
+  SELECT r.lang, c.source, r.r, c.c, t.n, coalesce(obs.o, 0) AS o
+  FROM r CROSS JOIN c CROSS JOIN t
+  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
+), agg AS (
+  SELECT n,
+         sum(CAST(floor(
+           (o - CAST(r AS DOUBLE) * c / n)
+           * (o - CAST(r AS DOUBLE) * c / n)
+           / (CAST(r AS DOUBLE) * c / n) * 1e9 + 0.5) AS BIGINT))
+           AS chi9
+  FROM cells GROUP BY 1
+), k AS (
+  SELECT (SELECT count(*) FROM r) AS n_langs,
+         (SELECT count(*) FROM c) AS n_sources
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(n_langs AS INT) AS n_langs,
+       CAST(n_sources AS INT) AS n_sources,
+       {sql_stable_round("CAST(chi9 AS DOUBLE) / 1e9", 4)} AS chi2,
+       {sql_stable_round(
+           "sqrt(CAST(chi9 AS DOUBLE) / 1e9 / (CAST(n AS DOUBLE)"
+           " * (least(CAST(n_langs AS DOUBLE), n_sources) - 1)))",
+           6)} AS cramers_v,
+       {sql_stable_round(
+           "sqrt(greatest(0.0, CAST(chi9 AS DOUBLE) / 1e9 / n"
+           "  - (CAST(n_langs AS DOUBLE) - 1) * (n_sources - 1)"
+           "    / (CAST(n AS DOUBLE) - 1))"
+           " / (least(CAST(n_langs AS DOUBLE)"
+           "     - (CAST(n_langs AS DOUBLE) - 1)"
+           "       * (n_langs - 1) / (CAST(n AS DOUBLE) - 1),"
+           "     CAST(n_sources AS DOUBLE)"
+           "     - (CAST(n_sources AS DOUBLE) - 1)"
+           "       * (n_sources - 1) / (CAST(n AS DOUBLE) - 1)) - 1))",
+           6)} AS cramers_v_corrected
+FROM agg CROSS JOIN k
+""".strip()
+
+
+# ---------------------------------------------- Atkinson index per nation
+
+
+def q_revenue_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATKINSON INEQUALITY INDEX (ε=1) of customer revenue per nation
+    (Atkinson 1970): A = 1 − exp(mean ln x)/mean x — the
+    welfare-theoretic member of the family's inequality battery
+    (Gini, Theil, Lorenz): unlike Gini it is subgroup-decomposable
+    and its ε=1 form says directly "what fraction of total revenue
+    could be given up if it were equally distributed, for equal
+    welfare". Scale-free, so the exact-cent integers feed it
+    unit-safely.
+
+    Exactness: customer revenue sums exact e2 cents; each customer's
+    ln(rev) pre-rounds to an e9 integer so the per-nation log-sum is
+    exact; ONE final expression. stable_round(6).
+
+    Scale: fact scan collapses to per-customer sums (map-side
+    partials), nation broadcast-joined; output |nations|."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p_e2"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("p_e2").alias("rev"))
+        .filter(F.col("rev") > 0)
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+    )
+    ln_e9 = F.floor(
+        F.log(F.col("rev").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    agg = per_cust.select("n_name", "rev", ln_e9.alias("l9")).groupBy(
+        "n_name"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum("l9").alias("l9s"),
+    )
+    n = F.col("n").cast("double")
+    mean_x = F.col("s").cast("double") / n
+    geo = F.exp(F.col("l9s").cast("double") / n / F.lit(1e9))
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("long").alias("n_customers"),
+        stable_round(mean_x / 100.0, 2).alias("mean_revenue"),
+        stable_round(1.0 - geo / mean_x, 6).alias("atkinson"),
+    ).orderBy("nation")
+
+
+ORACLE_ATKINSON = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1 HAVING sum(floor(o_totalprice * 100 + 0.5))
+                                > 0
+), j AS (
+  SELECT n.n_name AS nation, pc.rev,
+         CAST(floor(ln(CAST(pc.rev AS DOUBLE)) * 1e9 + 0.5)
+              AS BIGINT) AS l9
+  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+), agg AS (
+  SELECT nation, count(*) AS n, CAST(sum(rev) AS BIGINT) AS s,
+         CAST(sum(l9) AS BIGINT) AS l9s
+  FROM j GROUP BY 1
+)
+SELECT nation, CAST(n AS BIGINT) AS n_customers,
+       {sql_stable_round(
+           "CAST(s AS DOUBLE) / n / 100.0", 2)} AS mean_revenue,
+       {sql_stable_round(
+           "1.0 - exp(CAST(l9s AS DOUBLE) / n / 1e9)"
+           " / (CAST(s AS DOUBLE) / n)", 6)} AS atkinson
+FROM agg ORDER BY nation
+""".strip()
+
+
+# ------------------------------------- Syntetos-Boylan demand patterns
+
+
+def q_demand_pattern_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTETOS-BOYLAN demand-pattern classification per part brand
+    (Syntetos, Boylan & Croston 2005): ADI (average inter-demand
+    interval over the brand's month span) × CV² (squared coefficient
+    of variation of nonzero monthly demand) quadrant —
+    smooth / intermittent / erratic / lumpy — the standard answer to
+    WHICH forecasting model each demand stream deserves (Croston for
+    intermittent, SBA for lumpy, exponential smoothing for smooth),
+    feeding the family's forecast rows the per-series routing they
+    assume.
+
+    Exactness: monthly demand sums exact e2 quantity integers; ADI
+    is one exact-integer ratio; CV² = (nQ−S²)/S² exact integers with
+    ONE division. stable_round(4).
+
+    Scale: fact scan collapses to (brand, month) sums with map-side
+    partials (brand broadcast-joined from part); |brands| output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("q_e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    monthly = (
+        li.join(
+            F.broadcast(part),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "m")
+        .agg(F.sum("q_e2").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    agg = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.min("m").alias("m0"),
+        F.max("m").alias("m1"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d").cast(_DEC) * F.col("d").cast(_DEC)).alias("q"),
+    )
+    adi = (F.col("m1") - F.col("m0") + 1).cast("double") / F.col(
+        "n_d"
+    ).cast("double")
+    cv2 = (
+        F.col("n_d").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double") / (
+        F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double")
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n_d").cast("long").alias("n_demand_months"),
+        (F.col("m1") - F.col("m0") + 1).cast("long").alias("span_months"),
+        stable_round(adi, 4).alias("adi"),
+        stable_round(cv2, 4).alias("cv2"),
+        F.when(
+            (adi < _SBC_ADI_CUT) & (cv2 < _SBC_CV2_CUT), F.lit("smooth")
+        )
+        .when(
+            (adi >= _SBC_ADI_CUT) & (cv2 < _SBC_CV2_CUT),
+            F.lit("intermittent"),
+        )
+        .when(
+            (adi < _SBC_ADI_CUT) & (cv2 >= _SBC_CV2_CUT),
+            F.lit("erratic"),
+        )
+        .otherwise(F.lit("lumpy"))
+        .alias("pattern"),
+    ).orderBy("brand")
+
+
+ORACLE_SBC = f"""
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         date_part('year', l.l_shipdate) * 12
+           + date_part('month', l.l_shipdate) AS m,
+         CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2 HAVING sum(floor(l.l_quantity * 100 + 0.5)) > 0
+), agg AS (
+  SELECT brand, count(*) AS n_d, min(m) AS m0, max(m) AS m1,
+         CAST(sum(d) AS HUGEINT) AS s,
+         sum(CAST(d AS HUGEINT) * d) AS q
+  FROM monthly GROUP BY 1
+)
+SELECT brand, CAST(n_d AS BIGINT) AS n_demand_months,
+       CAST(m1 - m0 + 1 AS BIGINT) AS span_months,
+       {sql_stable_round(
+           "CAST(m1 - m0 + 1 AS DOUBLE) / n_d", 4)} AS adi,
+       {sql_stable_round(
+           "CAST(n_d * q - s * s AS DOUBLE)"
+           " / CAST(s * s AS DOUBLE)", 4)} AS cv2,
+       CASE WHEN CAST(m1 - m0 + 1 AS DOUBLE) / n_d < {_SBC_ADI_CUT}
+             AND CAST(n_d * q - s * s AS DOUBLE) / CAST(s * s AS DOUBLE)
+                 < {_SBC_CV2_CUT} THEN 'smooth'
+            WHEN CAST(m1 - m0 + 1 AS DOUBLE) / n_d >= {_SBC_ADI_CUT}
+             AND CAST(n_d * q - s * s AS DOUBLE) / CAST(s * s AS DOUBLE)
+                 < {_SBC_CV2_CUT} THEN 'intermittent'
+            WHEN CAST(m1 - m0 + 1 AS DOUBLE) / n_d < {_SBC_ADI_CUT}
+             AND CAST(n_d * q - s * s AS DOUBLE) / CAST(s * s AS DOUBLE)
+                 >= {_SBC_CV2_CUT} THEN 'erratic'
+            ELSE 'lumpy' END AS pattern
+FROM agg ORDER BY brand
+""".strip()
+
+
+# ----------------------------------------------- margin audit per brand
+
+
+def q_lineitem_margin_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REALIZED-vs-RETAIL margin per part brand: Σ extprice·(1−disc)
+    against Σ p_retailprice·quantity — the pricing-power audit the
+    dispersion (22z) and elasticity (22z7) rows bracket: dispersion
+    says prices VARY, elasticity says demand RESPONDS, this says who
+    actually sells above or below list and by how much.
+
+    Exactness: both sides ride exact e4 integers (price_e2 ×
+    (100−disc_e2) and retail_e2 × qty_e2 — same scale by
+    construction); margin is ONE division. stable_round(2)/(4).
+
+    Scale: ONE fact scan with a broadcast part join, collapsed to
+    |brands| rows with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e2"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("disc_e2"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qty_e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("retail_e2"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    realized_e4 = F.col("price_e2").cast(_DEC) * (
+        100 - F.col("disc_e2")
+    )
+    retail_e4 = F.col("retail_e2").cast(_DEC) * F.col("qty_e2")
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(realized_e4).alias("re4"),
+        F.sum(retail_e4).alias("le4"),
+    )
+    margin = (
+        F.col("re4").cast("double") - F.col("le4").cast("double")
+    ) / F.col("le4").cast("double")
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        stable_round(
+            F.col("re4").cast("double") / F.lit(1e4), 2
+        ).alias("realized_revenue"),
+        stable_round(
+            F.col("le4").cast("double") / F.lit(1e4), 2
+        ).alias("retail_value"),
+        stable_round(margin, 4).alias("margin_frac"),
+    ).orderBy("brand")
+
+
+ORACLE_MARGIN = f"""
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS HUGEINT)
+           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+           AS re4,
+         CAST(floor(p.p_retailprice * 100 + 0.5) AS HUGEINT)
+           * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS le4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), agg AS (
+  SELECT brand, count(*) AS n_lines, sum(re4) AS re4, sum(le4) AS le4
+  FROM j GROUP BY 1
+)
+SELECT brand, CAST(n_lines AS BIGINT) AS n_lines,
+       {sql_stable_round(
+           "CAST(re4 AS DOUBLE) / 1e4", 2)} AS realized_revenue,
+       {sql_stable_round(
+           "CAST(le4 AS DOUBLE) / 1e4", 2)} AS retail_value,
+       {sql_stable_round(
+           "(CAST(re4 AS DOUBLE) - CAST(le4 AS DOUBLE))"
+           " / CAST(le4 AS DOUBLE)", 4)} AS margin_frac
+FROM agg ORDER BY brand
+""".strip()
+
+
+# --------------------------------------- Jaccard-coefficient link pred
+
+
+def q_graph_jaccard_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JACCARD-COEFFICIENT link prediction (Liben-Nowell & Kleinberg
+    2003's neighborhood-overlap baseline) on the co-purchase part
+    graph: candidate non-edges score |Γ(a)∩Γ(c)| / |Γ(a)∪Γ(c)| —
+    the DEGREE-NORMALIZED sibling of the family's common-neighbor
+    and Adamic-Adar rows: it discounts hub pairs that share many
+    neighbors merely by being hubs, the failure mode raw counts
+    have on skewed degree distributions. Top-{_JACC_K} non-adjacent
+    pairs.
+
+    Exactness: cn and degrees are exact integers; the score is one
+    exact rational pre-rounded to an e6 integer for the engine-stable
+    top-K cut (pair keys break ties). stable_round(6).
+
+    Scale: identical shape to graph_adamic_adar (Σ basket² basket
+    join collapsed to the part dimension, Σ deg² wedge enumeration,
+    TakeOrdered top-K) with two broadcast degree joins
+    (part-dimension-sized)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o2 = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        items.join(o2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _JACC_MINSUP)
+        .select("a", "b")
+        .cache()  # referenced by wedges + anti-join (graph convention)
+    )
+    adj = pairs.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionByName(
+        pairs.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    w1 = adj.select(F.col("v").alias("m"), F.col("n").alias("a"))
+    w2 = adj.select(F.col("v").alias("m"), F.col("n").alias("c"))
+    cand = (
+        w1.join(w2, "m")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            pairs.select("a", F.col("b").alias("c")),
+            ["a", "c"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("a"),
+                                   F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("c"),
+                                   F.col("d").alias("dc"))),
+            "c",
+        )
+    )
+    j_e6 = F.floor(
+        F.col("cn").cast("double")
+        / (F.col("da") + F.col("dc") - F.col("cn")).cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cand.select("a", "c", "cn", j_e6.alias("j6"))
+        .orderBy(F.col("j6").desc(), F.col("a"), F.col("c"))
+        .limit(_JACC_K)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            stable_round(F.col("j6").cast("double") / 1e6, 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+ORACLE_JACCARD_LINKPRED = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_JACC_MINSUP}
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, count(*) AS d FROM adj GROUP BY 1
+), cand AS (
+  SELECT w1.n AS a, w2.n AS c, count(*) AS cn
+  FROM adj w1 JOIN adj w2 ON w2.v = w1.v AND w1.n < w2.n
+  GROUP BY 1, 2
+), ne AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = cand.a AND e.b = cand.c
+  )
+), scored AS (
+  SELECT ne.a, ne.c, ne.cn,
+         CAST(floor(CAST(ne.cn AS DOUBLE)
+                    / (da.d + dc.d - ne.cn) * 1e6 + 0.5) AS BIGINT)
+           AS j6
+  FROM ne JOIN deg da ON da.v = ne.a JOIN deg dc ON dc.v = ne.c
+)
+SELECT a AS part_a, c AS part_b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       {sql_stable_round("CAST(j6 AS DOUBLE) / 1e6", 6)} AS jaccard
+FROM scored ORDER BY j6 DESC, a, c LIMIT {_JACC_K}
+""".strip()
+
+
+QUERIES.update(
+    {
+        "corpus_brown_forsythe": q_corpus_brown_forsythe,
+        "corpus_cramers_v": q_corpus_cramers_v,
+        "revenue_atkinson": q_revenue_atkinson,
+        "demand_pattern_sbc": q_demand_pattern_sbc,
+        "lineitem_margin_by_brand": q_lineitem_margin_by_brand,
+        "graph_jaccard_linkpred": q_graph_jaccard_linkpred,
+    }
+)
+
+ORACLES.update(
+    {
+        "corpus_brown_forsythe": ORACLE_BROWN_FORSYTHE,
+        "corpus_cramers_v": ORACLE_CRAMERS_V,
+        "revenue_atkinson": ORACLE_ATKINSON,
+        "demand_pattern_sbc": ORACLE_SBC,
+        "lineitem_margin_by_brand": ORACLE_MARGIN,
+        "graph_jaccard_linkpred": ORACLE_JACCARD_LINKPRED,
+    }
+)
