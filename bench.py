@@ -352,6 +352,22 @@ BENCH_QUERIES = [
     "corpus_chao1",
     "text_mtld",
     "text_lz_complexity",
+    # r11 additions
+    "metric_runs_test",
+    "metric_ljung_box",
+    "metric_kpss",
+    "metric_turning_points",
+    "metric_hurst_rs",
+    "text_odds_ratio",
+    "text_bigram_cond_entropy",
+    "decontaminate_ngram13",
+    "quality_vs_duplication",
+    "corpus_brown_forsythe",
+    "corpus_cramers_v",
+    "revenue_atkinson",
+    "demand_pattern_sbc",
+    "lineitem_margin_by_brand",
+    "graph_jaccard_linkpred",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either
@@ -408,8 +424,8 @@ BENCH_EXCLUDED: dict[str, tuple[str, ...]] = {
         "dedup_clusters", "dedup_canonical", "dedup_cluster_sizes",
         "corpus_dedup_impact",
         # ANN index variants — ann_recall_report (gates stanza)
-        # builds and times all five index paths every round
-        "ann_pq", "ann_lsh", "ann_ivf", "ann_ivf_kmeans",
+        # builds and times all six index paths every round
+        "ann_pq", "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_ivfpq",
         # perceptual-hash twins of image_dhash_dedup (same decode +
         # banded Hamming join; only the 64-bit hash fn differs)
         "image_ahash_dedup", "image_phash_dedup",

@@ -276,6 +276,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(corpus, queries, k_out=K)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ COMPOSED index (r11, the VERDICT r10 stretch —
+    operators/pq.py `ivfpq_ann`, the FAISS IVFPQ shape without
+    residual encoding): coarse cells bound WHICH rows the search
+    touches (~n_probe/n_centroids of the corpus), PQ codes bound the
+    BYTES per touched row (32× smaller), exact re-rank restores
+    precision on the ≤ queries×50 candidate set. Rows-only: recall of
+    a composed approximate index is the measured quantity; its
+    recall@10 rides in `ann_recall_report` beside lsh/ivf/pq and
+    tests/test_pq.py pins the floor."""
+    from monasca_aggregator_spark.operators.pq import ivfpq_ann
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return ivfpq_ann(corpus, queries, k_out=K, dim=_DIM)
+
+
 _PCA_K = 8
 
 
@@ -1162,7 +1178,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from monasca_aggregator_spark.operators.pq import pq_ann
+    from monasca_aggregator_spark.operators.pq import ivfpq_ann, pq_ann
     from monasca_aggregator_spark.operators.similarity import (
         train_ivf_centroids_local,
     )
@@ -1182,7 +1198,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pairs(ivf_ann(corpus, queries, k=K, centroids=cents, dim=_DIM))
 
     try:
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = {
                 "__exact": pool.submit(
                     lambda: _pairs(cosine_topk(corpus, queries, k=K))
@@ -1196,6 +1212,11 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ann_ivf_kmeans": pool.submit(_ivf_kmeans),
                 "ann_pq": pool.submit(
                     lambda: _pairs(pq_ann(corpus, queries, k_out=K))
+                ),
+                "ann_ivfpq": pool.submit(
+                    lambda: _pairs(
+                        ivfpq_ann(corpus, queries, k_out=K, dim=_DIM)
+                    )
                 ),
             }
             got = {name: f.result() for name, f in futs.items()}
@@ -2720,6 +2741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_pq": q_ann_pq,  # rows-only (approximate recall by design)
+    "ann_ivfpq": q_ann_ivfpq,  # rows-only (composed index, recall gated)
     "ann_recall_report": q_ann_recall_report,  # rows-only (measures recall)
     "ann_lsh": q_ann_lsh,  # rows-only (approximate recall by design)
     "ann_ivf": q_ann_ivf,  # rows-only (approximate recall by design)

@@ -191,12 +191,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # orders_duplicate_invoices, lineitem_key_skew.
 # Round-12 rotation (staged at the r11 flip): oracle keys ADDED in
 # r11 front the window (rotation invariant — each verified green at
-# sf0.01 + partition-determinism-swept on addition; they displace
-# this list's TAIL as they land), then the oldest re-confirmations:
-# the 15 r7-window keys neither R10 nor R11 carried (CORRECTNESS_r07
-# rows, 5 rounds old by r12 — the oldest in the registry), then the
-# oldest r8-window keys in window order.
+# sf0.01 + partition-determinism-swept on addition; they displaced
+# this list's TAIL as they landed: the 15 oldest r8 re-confirmations
+# sample_temperature … dedup_canonical), then the oldest
+# re-confirmations: the 15 r7-window keys neither R10 nor R11 carried
+# (CORRECTNESS_r07 rows, 5 rounds old by r12 — the oldest in the
+# registry), then the oldest r8-window keys in window order.
 # _DRIVER_WINDOW_R12: tuple[str, ...] = (
+#     "metric_runs_test", "metric_ljung_box", "metric_kpss",
+#     "metric_turning_points", "metric_hurst_rs", "text_odds_ratio",
+#     "text_bigram_cond_entropy", "decontaminate_ngram13",
+#     "quality_vs_duplication", "corpus_brown_forsythe",
+#     "corpus_cramers_v", "revenue_atkinson", "demand_pattern_sbc",
+#     "lineitem_margin_by_brand", "graph_jaccard_linkpred",
 #     "text_pii_audit", "embedding_dim_variance",
 #     "orders_gap_summary", "sessions_capped", "corpus_ks_by_source",
 #     "lang_source_chi2", "embedding_knn_accuracy",
@@ -212,11 +219,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "tpch_q13_histogram", "tpch_q15_topsupp", "privacy_tokenize",
 #     "funnel_time_to_convert", "agg_multi_tenant", "lang_confusion",
 #     "series_shape_search", "text_search_fuzzy", "text_stem_vocab",
-#     "corpus_zipf_alpha", "tpch_q12_latecount", "sample_stratified",
-#     "sample_temperature", "profile_documents", "split_train_val",
-#     "pack_chunks", "pack_chunks_overlap", "dedup_exact",
-#     "dedup_spans", "dedup_editdistance", "dedup_ngram_jaccard",
-#     "dedup_embedding", "dedup_clusters", "dedup_canonical",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -58,3 +58,51 @@ def test_pq_rerank_recall_beats_bare_scan(spark):
         assert len(rows) == 10
         sims = [r.sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_composed_index_recall_and_contract(spark):
+    """IVFPQ (r11, the VERDICT r10 stretch): the composed index's
+    recall is bounded by the IVF routing (it only sees probed cells)
+    and must not lose MORE than routing does — within probed cells the
+    ADC+exact-re-rank pipeline recovers the true within-cell top-k.
+    Pin: recall(ivfpq) >= recall(ivf with identical coarse
+    quantizer) − small slack, and the output contract matches the
+    other ANN paths."""
+    from monasca_aggregator_spark.operators.pq import ivfpq_ann
+    from monasca_aggregator_spark.operators.similarity import ivf_ann
+
+    emb = _emb(spark)
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    got = ivfpq_ann(
+        emb, queries, k_out=10, m=16, k=16, n_centroids=16, n_probe=4
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall_ivfpq = len(exact & approx) / len(exact)
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann(
+            emb, queries, k=10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    recall_ivf = len(exact & ivf) / len(exact)
+    # the PQ stage inside probed cells must not cost recall beyond
+    # rounding ties (measured: equality at sf0.001)
+    assert recall_ivfpq >= recall_ivf - 0.05
+    assert recall_ivfpq > 0.2  # measured 0.39; floor leaves headroom
+
+    # contract: k_out ranked rows per query, sims sorted desc
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == 10
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.query_id != r.neighbor_id for r in rows)

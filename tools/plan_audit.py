@@ -87,6 +87,7 @@ ARROW_ALLOWED = {
     "ann_ivf_kmeans",
     "ann_ivf_cells",
     "ann_pq",
+    "ann_ivfpq",
     "ann_mmr",
     "embedding_pca",
     # whitening eval projects through pca_project's Arrow matmul (the
