@@ -73,6 +73,13 @@ def _version_file(path: str, v: int) -> str:
     return os.path.join(_log_dir(path), f"v{v:08d}.json")
 
 
+def _file_row_count(file_path: str) -> int:
+    """Record count from the parquet footer — a metadata read."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(file_path).metadata.num_rows)
+
+
 def _file_stats(file_path: str, cols: Sequence[str]) -> dict:
     """Per-column [min, max] from the parquet footer (across row
     groups) — a microsecond metadata read, no Spark job. Columns
@@ -335,6 +342,10 @@ def snapshot_write(
         "base": out_dir,
         "partition_by": list(partition_by),
         "files": new_files,
+        # per-file record counts (parquet footer reads, no Spark job)
+        # — the Iceberg manifest record_count: metadata-only COUNT(*)
+        # via snapshot_metadata_stats never touches a data page
+        "row_counts": {f: _file_row_count(f) for f in new_files},
     }
     if stats_cols:
         new_group["stats"] = {
@@ -1288,3 +1299,74 @@ def snapshot_expire(path: str, *, keep_last: int) -> dict:
         "removed_files": len(dead),
         "kept_versions": keep,
     }
+
+
+def snapshot_metadata_stats(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """METADATA-ONLY file statistics — the Iceberg ``table.files``
+    metadata-table pattern: one row per data file of the resolved
+    version carrying its record count and any commit-recorded
+    min/max stats, answered ENTIRELY from the commit log + parquet
+    footers. ``SELECT sum(n_rows)`` over this relation is the
+    metadata-only COUNT(*) a 100 TB table must answer without
+    scanning a single data page (Iceberg/Delta both resolve plain
+    counts from manifests; here the manifest IS the commit log).
+
+    Files committed before row counts were recorded fall back to one
+    footer read each — still metadata, never data pages. Stats
+    columns (``snapshot_write(stats_cols=...)``) surface as a JSON
+    string per file ({col: [min, max]}), schema-stable across
+    arbitrary column types.
+
+    Scale: the output is file-count-sized; nothing here launches a
+    Spark job over the data — the ONLY Spark work is building the
+    tiny local DataFrame."""
+    import json as _json
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = snapshot_tags(path)
+        if tag not in tags:
+            raise ValueError(
+                f"tag {tag!r} not found (have {sorted(tags)})"
+            )
+        version = tags[tag]
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"version {v} not in table (have {versions[0]}.."
+            f"{versions[-1]}, expired versions are gone)"
+        )
+    record = _read_commit(path, v)
+    rows = []
+    for g in _file_groups(record):
+        counts = g.get("row_counts") or {}
+        stats = g.get("stats") or {}
+        for f in g["files"]:
+            n = counts.get(f)
+            if n is None:
+                # pre-upgrade commit: one footer read, still metadata
+                n = _file_row_count(f)
+            st = stats.get(f)
+            rows.append(
+                (
+                    int(record["version"]),
+                    f,
+                    int(n),
+                    _json.dumps(st, sort_keys=True)
+                    if st is not None
+                    else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "version int, file string, n_rows long, stats string"
+    )

@@ -2035,3 +2035,119 @@ def minhash_index_sink(
             )
 
     return _sink
+
+
+def streaming_staleness(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    stale_after_ms: int = 5 * 60 * 1000,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Live per-metric STALENESS monitor (r11) — the streaming twin of
+    the batch `metric_staleness` row (18q, the operational complement
+    of the reference's stale-window GC, server.go:213-296): per key,
+    state is TWO numbers (last event-time ms, sample count); every
+    micro-batch with data emits the key's freshness against the
+    event-time watermark frontier, and — the part the batch query
+    cannot do — a key that goes SILENT still reports: an
+    EVENT-TIME state timeout registered at last_ts + stale_after
+    fires with no input for the key and emits a ``via_timeout`` stale
+    row, then re-arms against the advancing watermark so a
+    still-silent series keeps paging once per micro-batch.
+
+    This is the family's first EventTimeTimeout consumer (the capped
+    sessionizer uses processing-time idle close): staleness is an
+    EVENT-TIME property — a quiet stream with a stalled watermark is
+    "no data yet", not "stale", and the watermark-anchored timeout
+    encodes exactly that distinction. State is O(keys), GC-free.
+
+    Emits (key, n_samples, last_ts_ms, watermark_ms, staleness_ms,
+    is_stale, via_timeout) in update mode. Batch parity of the
+    data-path staleness arithmetic is pinned against
+    `q_metric_staleness` in tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, n_samples bigint, last_ts_ms bigint,"
+        " watermark_ms bigint, staleness_ms bigint, is_stale boolean,"
+        " via_timeout boolean"
+    )
+    state_schema = "last_ts bigint, n bigint"
+
+    def _fold(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            last, n = state.get
+            staleness = max(0, wm - last)
+            # re-arm against the advancing watermark: the next
+            # micro-batch's watermark must exceed this to page again
+            state.setTimeoutTimestamp(wm + 1)
+            yield pd.DataFrame(
+                [(key[0], n, last, wm, staleness, True, True)],
+                columns=[
+                    key_col,
+                    "n_samples",
+                    "last_ts_ms",
+                    "watermark_ms",
+                    "staleness_ms",
+                    "is_stale",
+                    "via_timeout",
+                ],
+            )
+            return
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = 0, 0
+        for pdf in pdfs:
+            if len(pdf):
+                last = max(last, int(pdf["__ts_ms"].max()))
+                n += len(pdf)
+        state.update((last, n))
+        # page when the watermark passes last + stale_after (event-time
+        # timeouts must be registered strictly beyond the watermark)
+        state.setTimeoutTimestamp(max(last + stale_after_ms, wm + 1))
+        staleness = max(0, wm - last)
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    n,
+                    last,
+                    wm,
+                    staleness,
+                    bool(staleness >= stale_after_ms),
+                    False,
+                )
+            ],
+            columns=[
+                key_col,
+                "n_samples",
+                "last_ts_ms",
+                "watermark_ms",
+                "staleness_ms",
+                "is_stale",
+                "via_timeout",
+            ],
+        )
+
+    prepared = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        )
+    )
+    return prepared.groupBy(F.col(key_col)).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -2292,3 +2292,78 @@ def test_streaming_bot_burst_matches_batch_rule(spark, tmp_path):
         ).collect()
     ]
     assert got == [(1, 10, True)]
+
+
+def test_streaming_staleness_pages_silent_series(spark, tmp_path):
+    """streaming_staleness (r11): a metric that keeps reporting emits
+    fresh rows; a metric that goes SILENT gets an event-time-timeout
+    stale row once the watermark passes last_ts + stale_after — the
+    paging behavior the batch metric_staleness row can't provide.
+    Data-path staleness arithmetic (watermark − last_ts) matches the
+    batch definition (frontier − last_ts) by construction."""
+    import time as _time
+
+    from monasca_aggregator_spark.streaming.pipeline import (
+        streaming_staleness,
+    )
+
+    m = 60_000
+    # batch 1: A and B both report in minute 0-1 (ts kept off the
+    # epoch: a 0-ms event sits ON the initial watermark boundary and
+    # is dropped as late by the stateful operator)
+    b1 = [("A", (i + 1) * 10_000) for i in range(6)]
+    b1 += [("B", (i + 1) * 10_000) for i in range(6)]
+    # batch 2: only A, one hour later — advances the watermark far past
+    # B.last + stale_after
+    b2 = [("A", 60 * m)]
+    # batch 3: sentinel A even later — the batch whose watermark
+    # (from b2's data) fires B's timeout
+    b3 = [("A", 120 * m)]
+    src = tmp_path / "stale_src"
+    src.mkdir()
+    schema = "event_type string, ts_ms long"
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        )
+    )
+    q = (
+        streaming_staleness(raw, stale_after_ms=5 * m)
+        .writeStream.format("memory")
+        .queryName("stale_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stale_out").collect()
+    # A reported in every batch: its rows are all data-path rows
+    a_rows = [r for r in rows if r.event_type == "A"]
+    assert a_rows and all(not r.via_timeout for r in a_rows)
+    assert max(r.n_samples for r in a_rows) == 8
+    # B went silent: exactly its timeout row(s) page it as stale
+    b_timeouts = [
+        r for r in rows if r.event_type == "B" and r.via_timeout
+    ]
+    assert b_timeouts, f"no timeout row for B in {rows}"
+    for r in b_timeouts:
+        assert r.is_stale
+        assert r.n_samples == 6
+        assert r.last_ts_ms == 60_000
+        # staleness = watermark − last_ts, exactly
+        assert r.staleness_ms == r.watermark_ms - r.last_ts_ms
+        assert r.staleness_ms >= 5 * m
+    # B's data-path row (batch 1, watermark still 0) was fresh
+    b_data = [
+        r for r in rows if r.event_type == "B" and not r.via_timeout
+    ]
+    assert all(not r.is_stale for r in b_data)

@@ -1059,3 +1059,62 @@ def test_snapshot_bloom_double_column_int_lookup(spark, tmp_path):
     looked = snapshot_read(spark, path, point={"k": 57})
     got = [r.v for r in looked.filter("k = 57").collect()]
     assert got == [114]
+
+
+def test_snapshot_metadata_stats_counts_without_data_scan(
+    spark, tmp_path
+):
+    """snapshot_metadata_stats (r11, the Iceberg files-metadata-table
+    pattern): COUNT(*) and per-file stats answered from the commit
+    log + footers alone — sum(n_rows) equals the real count at every
+    version/tag, and commits that predate row-count recording fall
+    back to footer reads (pinned by stripping row_counts from a
+    commit record)."""
+    import json
+
+    from monasca_aggregator_spark.sources.table_log import (
+        snapshot_metadata_stats,
+        snapshot_read,
+        snapshot_tag,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "meta_tbl")
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(df1.repartition(3), path, stats_cols=["k"])
+    snapshot_tag(path, "first")
+    df2 = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(df2.coalesce(1), path)
+
+    meta = snapshot_metadata_stats(spark, path)
+    got = meta.agg(F.sum("n_rows")).collect()[0][0]
+    assert got == 150 == snapshot_read(spark, path).count()
+    # per-file rows: one per data file, counts positive
+    assert meta.count() == len(snapshot_read(spark, path).inputFiles())
+    assert meta.filter("n_rows <= 0").count() == 0
+    # v1 stats recorded k min/max as JSON
+    v1 = snapshot_metadata_stats(spark, path, version=1)
+    assert v1.agg(F.sum("n_rows")).collect()[0][0] == 100
+    st = json.loads(v1.filter("stats IS NOT NULL").first().stats)
+    assert "k" in st and st["k"][0] >= 0
+    # tag resolution
+    assert (
+        snapshot_metadata_stats(spark, path, tag="first")
+        .agg(F.sum("n_rows"))
+        .collect()[0][0]
+        == 100
+    )
+
+    # pre-upgrade fallback: strip row_counts from the latest commit
+    log_dir = tmp_path / "meta_tbl" / "_log"
+    latest = sorted(log_dir.glob("v*.json"))[-1]
+    rec = json.loads(latest.read_text())
+    for g in rec["file_groups"]:
+        g.pop("row_counts", None)
+    latest.write_text(json.dumps(rec))
+    again = snapshot_metadata_stats(spark, path)
+    assert again.agg(F.sum("n_rows")).collect()[0][0] == 150
