@@ -368,6 +368,8 @@ BENCH_QUERIES = [
     "demand_pattern_sbc",
     "lineitem_margin_by_brand",
     "graph_jaccard_linkpred",
+    "metric_dickey_fuller",
+    "quality_signal_correlation",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

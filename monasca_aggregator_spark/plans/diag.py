@@ -1863,3 +1863,299 @@ ORACLES.update(
         "graph_jaccard_linkpred": ORACLE_JACCARD_LINKPRED,
     }
 )
+
+
+# ------------------------------------------ Dickey-Fuller unit root
+
+_DF_CRIT_05 = -2.86  # DF with constant, 5% (MacKinnon large-n)
+
+
+def q_metric_dickey_fuller(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DICKEY-FULLER unit-root test per metric (Dickey & Fuller 1979,
+    constant / no-augmentation form): OLS of Δv_t on v_{t−1} over
+    consecutive-hour pairs, t = β̂/se(β̂) against the −2.86 critical
+    value — the null is a UNIT ROOT, the exact mirror of KPSS's
+    stationary null, so running both yields the classical 2×2
+    verdict (both reject → hard case; DF rejects alone → stationary;
+    KPSS rejects alone → unit root; neither → underpowered). Lag-0
+    augmentation documented: the synthetic hourly series has no
+    higher-order AR structure worth the lost exactness.
+
+    Exactness: all OLS moment sums are exact integers over
+    consecutive-hour (v_{t−1}, Δv_t) pairs; β̂ and
+    t = B·√((n−2)/(C·(A − B²/C))) are ONE fixed-shape double
+    expression over the three exact aggregates A, B, C.
+    stable_round(6)/(4).
+
+    Scale: the lag pairing is ONE self-join of the collapsed hourly
+    series on (metric, h+1) — series-sized; everything after is a
+    metric-sized aggregate."""
+    hourly = _hourly_e2(spark, sf_dir)
+    nxt = hourly.select(
+        "event_type",
+        (F.col("h") - 1).alias("h"),
+        F.col("v").alias("v_next"),
+    )
+    pairs = hourly.join(nxt, ["event_type", "h"]).select(
+        "event_type",
+        F.col("v").alias("x"),
+        (F.col("v_next") - F.col("v")).alias("y"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y").cast(_DEC)).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC)).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias(
+            "syy"
+        ),
+    ).filter(F.col("n") >= _RT_MIN_HOURS)
+    a = (
+        F.col("n").cast(_DEC) * F.col("syy")
+        - F.col("sy").cast(_DEC) * F.col("sy").cast(_DEC)
+    ).cast("double")
+    b = (
+        F.col("n").cast(_DEC) * F.col("sxy")
+        - F.col("sx").cast(_DEC) * F.col("sy").cast(_DEC)
+    ).cast("double")
+    c = (
+        F.col("n").cast(_DEC) * F.col("sxx")
+        - F.col("sx").cast(_DEC) * F.col("sx").cast(_DEC)
+    ).cast("double")
+    n = F.col("n").cast("double")
+    beta = b / c
+    t = b * F.sqrt((n - 2) / (c * (a - b * b / c)))
+    # zero regressor variance (constant series) or zero residual
+    # variance (perfectly deterministic Δ) leaves t undefined — report
+    # the degeneracy instead of a fabricated verdict. Division-free
+    # form (a·c − b² ≤ 0 ⟺ residual variance ≤ 0 for c > 0) so the
+    # guard itself can't divide by zero under ANSI.
+    degenerate = (c <= 0) | (a * c - b * b <= 0)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(beta, 6))
+        .alias("beta"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(t, 4))
+        .alias("df_t"),
+        F.when(degenerate, F.lit("degenerate"))
+        .when(t < _DF_CRIT_05, F.lit("stationary"))
+        .otherwise(F.lit("unit_root"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+ORACLE_DICKEY_FULLER = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), pairs AS (
+  SELECT a.event_type, a.v AS x, b.v - a.v AS y
+  FROM hourly a
+  JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + 1
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY 1 HAVING count(*) >= {_RT_MIN_HOURS}
+), term AS (
+  SELECT event_type, n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS a,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS b,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS c
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN c <= 0 OR a * c - b * b <= 0 THEN NULL ELSE
+       {sql_stable_round("b / c", 6)} END AS beta,
+       CASE WHEN c <= 0 OR a * c - b * b <= 0 THEN NULL ELSE
+       {sql_stable_round(
+           "b * sqrt((CAST(n AS DOUBLE) - 2) / (c * (a - b * b / c)))",
+           4)} END AS df_t,
+       CASE WHEN c <= 0 OR a * c - b * b <= 0 THEN 'degenerate'
+            WHEN b * sqrt((CAST(n AS DOUBLE) - 2)
+                          / (c * (a - b * b / c))) < {_DF_CRIT_05}
+              THEN 'stationary'
+            ELSE 'unit_root' END AS verdict
+FROM term ORDER BY event_type
+""".strip()
+
+
+# ------------------------------------- quality-signal correlation matrix
+
+
+def q_quality_signal_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY-SIGNAL CORRELATION matrix: pairwise Pearson between the
+    per-doc curation signals (chars, tokens, distinct-stopword hits,
+    heuristic quality) — the redundancy audit a filter-stack needs
+    before adding its next signal: two signals correlating ≥0.9 gate
+    the same documents twice, and a quality score that correlates ~1
+    with raw length is just a length filter in disguise. A pair with
+    a zero-variance signal reports NULL (not an error) — the signal
+    is degenerate on that corpus, which is itself the finding.
+
+    Exactness: all 14 moment sums (4 sums, 4 squares, 6 cross
+    products) are exact integers from ONE aggregate pass; each r is
+    one closed-form double. stable_round(6).
+
+    Scale: one corpus scan → a 1-row moment aggregate (map-side
+    partials) → 6 output rows projected from it."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from monasca_aggregator_spark.functions.text import STOPWORDS
+    from monasca_aggregator_spark.operators.textops import quality_scores
+
+    q = quality_scores(docs).select(
+        "doc_id",
+        F.floor(F.col("quality") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("quality_e4"),
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sig = docs.join(q, "doc_id").select(
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_intersect(toks, stop_arr))
+        .cast("long")
+        .alias("stops"),
+        F.col("quality_e4"),
+    )
+    names = ["chars", "tokens", "stops", "quality_e4"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.col(a).cast(_DEC) * F.col(a).cast(_DEC)).alias(
+                f"q_{a}"
+            )
+        )
+    for i, a in enumerate(names):
+        for b_ in names[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(_DEC) * F.col(b_).cast(_DEC)).alias(
+                    f"x_{a}_{b_}"
+                )
+            )
+    mom = sig.agg(*aggs)
+
+    def _r(a: str, b_: str):
+        num = (
+            F.col("n").cast(_DEC) * F.col(f"x_{a}_{b_}")
+            - F.col(f"s_{a}").cast(_DEC) * F.col(f"s_{b_}").cast(_DEC)
+        ).cast("double")
+        va = (
+            F.col("n").cast(_DEC) * F.col(f"q_{a}")
+            - F.col(f"s_{a}").cast(_DEC) * F.col(f"s_{a}").cast(_DEC)
+        ).cast("double")
+        vb = (
+            F.col("n").cast(_DEC) * F.col(f"q_{b_}")
+            - F.col(f"s_{b_}").cast(_DEC) * F.col(f"s_{b_}").cast(_DEC)
+        ).cast("double")
+        return F.when(
+            (va <= 0) | (vb <= 0), F.lit(None).cast("double")
+        ).otherwise(stable_round(num / F.sqrt(va * vb), 6))
+
+    pairs = [
+        (a, b_)
+        for i, a in enumerate(names)
+        for b_ in names[i + 1 :]
+    ]
+    rows = None
+    for a, b_ in pairs:
+        one = mom.select(
+            F.lit(a).alias("signal_a"),
+            F.lit(b_).alias("signal_b"),
+            F.col("n").cast("long").alias("n_docs"),
+            _r(a, b_).alias("pearson_r"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("signal_a", "signal_b")
+
+
+def _oracle_quality_signal_correlation() -> str:
+    from monasca_aggregator_spark.plans.textops import (
+        _QUALITY_EXPR,
+        _STOPLIST_SQL,
+    )
+
+    names = ["chars", "tokens", "stops", "quality_e4"]
+    moment_sql = ["count(*) AS n"]
+    for a in names:
+        moment_sql.append(f"CAST(sum({a}) AS HUGEINT) AS s_{a}")
+        moment_sql.append(f"sum(CAST({a} AS HUGEINT) * {a}) AS q_{a}")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            moment_sql.append(
+                f"sum(CAST({a} AS HUGEINT) * {b}) AS x_{a}_{b}"
+            )
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            r = sql_stable_round(
+                f"CAST(n * x_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE)"
+                f"        * CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE))",
+                6,
+            )
+            guarded = (
+                f"CASE WHEN n * q_{a} - s_{a} * s_{a} <= 0"
+                f" OR n * q_{b} - s_{b} * s_{b} <= 0"
+                f" THEN NULL ELSE {r} END"
+            )
+            selects.append(
+                f"SELECT '{a}' AS signal_a, '{b}' AS signal_b,"
+                f" CAST(n AS BIGINT) AS n_docs, {guarded} AS pearson_r"
+                " FROM mom"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOPLIST_SQL})) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars2
+  FROM t
+), sig AS (
+  SELECT CAST(n_chars AS BIGINT) AS chars,
+         CAST(n_tokens AS BIGINT) AS tokens,
+         CAST(n_stop AS BIGINT) AS stops,
+         CAST(floor(({_QUALITY_EXPR.replace('n_chars', 'n_chars2')})
+                    * 10000 + 0.5) AS BIGINT) AS quality_e4
+  FROM m
+), mom AS (
+  SELECT {', '.join(moment_sql)} FROM sig
+)
+SELECT * FROM ({union}) ORDER BY signal_a, signal_b
+""".strip()
+
+
+QUERIES.update(
+    {
+        "metric_dickey_fuller": q_metric_dickey_fuller,
+        "quality_signal_correlation": q_quality_signal_correlation,
+    }
+)
+
+ORACLES.update(
+    {
+        "metric_dickey_fuller": ORACLE_DICKEY_FULLER,
+        "quality_signal_correlation": _oracle_quality_signal_correlation(),
+    }
+)
