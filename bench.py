@@ -370,6 +370,8 @@ BENCH_QUERIES = [
     "graph_jaccard_linkpred",
     "metric_dickey_fuller",
     "quality_signal_correlation",
+    "metric_seasonal_strength",
+    "customer_churn_risk",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -2159,3 +2159,248 @@ ORACLES.update(
         "quality_signal_correlation": _oracle_quality_signal_correlation(),
     }
 )
+
+
+# ---------------------------------------------- seasonal strength η²
+
+_SEAS_MIN_HOURS = 48
+
+
+def q_metric_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL STRENGTH per metric (Wang, Smith & Hyndman 2006's
+    strength-of-seasonality feature, hour-of-day form): η² = SSB/SST
+    with hour-of-day as the 24 seasonal groups — the EFFECT-SIZE
+    companion to the family's Kruskal-Wallis row (that one answers
+    "is there an hourly effect?", this one answers "how much of the
+    variance does it explain?" on a [0,1] scale), and the routing
+    feature the STL/Holt-Winters rows assume: strength <0.3 says
+    skip the seasonal component.
+
+    Exactness: group sums are exact integers; per-group S_g²/n_g
+    terms pre-round to e6 integers so SSB's sum is exact; η² is ONE
+    final expression. Zero total variance reports NULL.
+    stable_round(6).
+
+    Scale: the collapsed hourly series aggregates to ≤24 group rows
+    per metric (map-side partials), then a metric-sized fold."""
+    hourly = _hourly_e2(spark, sf_dir)
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC)).alias("q"),
+    ).filter(F.col("n") >= _SEAS_MIN_HOURS)
+    per_g = hourly.groupBy(
+        "event_type", (F.col("h") % 24).alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("v").alias("s_g"),
+    )
+    term_e6 = F.floor(
+        (F.col("s_g").cast(_DEC) * F.col("s_g").cast(_DEC)).cast(
+            "double"
+        )
+        / F.col("n_g").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    sb = per_g.select("event_type", term_e6.alias("t6")).groupBy(
+        "event_type"
+    ).agg(F.sum("t6").alias("sb6"), F.count(F.lit(1)).alias("n_groups"))
+    j = sb.join(F.broadcast(tot), "event_type")
+    n = F.col("n").cast("double")
+    grand = (
+        F.col("s").cast("double") * F.col("s").cast("double") / n
+    )
+    ssb = F.col("sb6").cast("double") / F.lit(1e6) - grand
+    sst = F.col("q").cast("double") - grand
+    eta2 = ssb / sst
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("n_groups").cast("int").alias("n_groups"),
+        F.when(sst <= 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(eta2, 6))
+        .alias("seasonal_strength"),
+        F.when(sst <= 0, F.lit("degenerate"))
+        .when(eta2 >= 0.6, F.lit("strong"))
+        .when(eta2 >= 0.3, F.lit("moderate"))
+        .otherwise(F.lit("weak"))
+        .alias("regime"),
+    ).orderBy("event_type")
+
+
+ORACLE_SEASONAL_STRENGTH = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM hourly GROUP BY 1 HAVING count(*) >= {_SEAS_MIN_HOURS}
+), per_g AS (
+  SELECT event_type, h % 24 AS g, count(*) AS n_g,
+         CAST(sum(v) AS HUGEINT) AS s_g
+  FROM hourly GROUP BY 1, 2
+), sb AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(CAST(s_g * s_g AS DOUBLE) / n_g * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS sb6,
+         count(*) AS n_groups
+  FROM per_g GROUP BY 1
+), j AS (
+  SELECT sb.event_type, tot.n, sb.n_groups,
+         CAST(sb6 AS DOUBLE) / 1e6
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+         CAST(q AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS sst
+  FROM sb JOIN tot USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(n_groups AS INT) AS n_groups,
+       CASE WHEN sst <= 0 THEN NULL ELSE
+       {sql_stable_round("ssb / sst", 6)} END AS seasonal_strength,
+       CASE WHEN sst <= 0 THEN 'degenerate'
+            WHEN ssb / sst >= 0.6 THEN 'strong'
+            WHEN ssb / sst >= 0.3 THEN 'moderate'
+            ELSE 'weak' END AS regime
+FROM j ORDER BY event_type
+""".strip()
+
+
+# ------------------------------------------- cadence churn-risk screen
+
+_CHURN_AT_RISK = 2  # silent for > 2× own mean gap
+_CHURN_CHURNED = 4  # silent for > 4× own mean gap
+
+
+def q_customer_churn_risk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CADENCE-BASED churn-risk screen per market segment: each
+    repeat customer's silence (dataset frontier − last order) is
+    compared to their OWN mean inter-order gap — silent > 2× own
+    cadence is at_risk, > 4× is churned — the per-customer
+    calibration the RFM row's global recency quintiles can't give a
+    heterogeneous base (a quarterly buyer is not "at risk" after 30
+    quiet days; a weekly buyer is). Segment rollup: active/at_risk/
+    churned counts + share.
+
+    Exactness: gaps are exact integer days; the classification
+    compares silence·n_gaps vs k·total_gap_days by integer
+    cross-multiplication — no division anywhere near a threshold.
+    Single-order customers are excluded (no cadence to calibrate
+    against; documented).
+
+    Scale: orders collapse to per-customer (first, last, n) in one
+    aggregate — mean gap needs only (last−first)/(n−1), not a lag
+    window; customer/segment joins broadcast; |segments| output."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    frontier = orders.agg(F.max("d").alias("front"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = per_cust.join(F.broadcast(cust), "o_custkey").crossJoin(
+        F.broadcast(frontier)
+    )
+    silence = F.col("front") - F.col("last_d")
+    n_gaps = F.col("n_orders") - 1
+    total_gap = F.col("last_d") - F.col("first_d")
+    # silence / (total_gap / n_gaps) > k  ⟺  silence·n_gaps > k·total_gap
+    churned = silence * n_gaps > _CHURN_CHURNED * total_gap
+    at_risk = silence * n_gaps > _CHURN_AT_RISK * total_gap
+    labeled = j.select(
+        "c_mktsegment",
+        F.when(churned, F.lit("churned"))
+        .when(at_risk, F.lit("at_risk"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+    )
+    agg = labeled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias(
+            "n_active"
+        ),
+        F.sum(
+            F.when(F.col("status") == "at_risk", 1).otherwise(0)
+        ).alias("n_at_risk"),
+        F.sum(
+            F.when(F.col("status") == "churned", 1).otherwise(0)
+        ).alias("n_churned"),
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        stable_round(
+            F.col("n_churned").cast("double")
+            / F.col("n_customers").cast("double"),
+            4,
+        ).alias("churn_frac"),
+    ).orderBy("segment")
+
+
+ORACLE_CHURN_RISK = f"""
+WITH o AS (
+  SELECT o_custkey, date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+), front AS (SELECT max(d) AS front FROM o),
+pc AS (
+  SELECT o_custkey, count(*) AS n_orders, min(d) AS first_d,
+         max(d) AS last_d
+  FROM o GROUP BY 1 HAVING count(*) >= 2
+), lab AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN (front.front - pc.last_d) * (pc.n_orders - 1)
+                   > {_CHURN_CHURNED} * (pc.last_d - pc.first_d)
+              THEN 'churned'
+              WHEN (front.front - pc.last_d) * (pc.n_orders - 1)
+                   > {_CHURN_AT_RISK} * (pc.last_d - pc.first_d)
+              THEN 'at_risk'
+              ELSE 'active' END AS status
+  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey, front
+)
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       sum(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+         AS n_active,
+       sum(CASE WHEN status = 'at_risk' THEN 1 ELSE 0 END)
+         AS n_at_risk,
+       sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+         AS n_churned,
+       {sql_stable_round(
+           "CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / count(*)", 4)} AS churn_frac
+FROM lab GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+QUERIES.update(
+    {
+        "metric_seasonal_strength": q_metric_seasonal_strength,
+        "customer_churn_risk": q_customer_churn_risk,
+    }
+)
+
+ORACLES.update(
+    {
+        "metric_seasonal_strength": ORACLE_SEASONAL_STRENGTH,
+        "customer_churn_risk": ORACLE_CHURN_RISK,
+    }
+)

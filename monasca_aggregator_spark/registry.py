@@ -198,6 +198,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # (CORRECTNESS_r07 rows, 5 rounds old by r12 — the oldest in the
 # registry), then the oldest r8-window keys in window order.
 # _DRIVER_WINDOW_R12: tuple[str, ...] = (
+#     "metric_seasonal_strength", "customer_churn_risk",
 #     "metric_dickey_fuller", "quality_signal_correlation",
 #     "metric_runs_test", "metric_ljung_box", "metric_kpss",
 #     "metric_turning_points", "metric_hurst_rs", "text_odds_ratio",
@@ -218,8 +219,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "orders_basket_size_hist", "quality_by_lang_source",
 #     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
 #     "tpch_q13_histogram", "tpch_q15_topsupp", "privacy_tokenize",
-#     "funnel_time_to_convert", "agg_multi_tenant", "lang_confusion",
-#     "series_shape_search",
+#     "funnel_time_to_convert", "agg_multi_tenant",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9
