@@ -372,6 +372,10 @@ BENCH_QUERIES = [
     "quality_signal_correlation",
     "metric_seasonal_strength",
     "customer_churn_risk",
+    "metric_extreme_value",
+    "metric_cointegration",
+    "demand_croston",
+    "events_attribution_shapley",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -1,0 +1,788 @@
+"""Extreme-value, cointegration, intermittent-demand, and coalition
+attribution statistics (round 11 continuation).
+
+Reference parity: the reference engine (Go, ~/reference —
+aggregation/aggregation_rule.go) stops at windowed aggregates; this
+module supplies the decision layer a capacity/marketing/supply team
+runs ON those aggregates: "what daily peak should we provision for?"
+(Gumbel block-maxima return levels), "do these two metrics share a
+long-run equilibrium or merely correlate?" (Engle-Granger
+cointegration), "what's the demand-per-period forecast for an
+intermittent SKU?" (Croston / SBA — the exact methods the
+Syntetos-Boylan classifier in plans/diag.py routes TO), and "which
+touchpoint actually earns the conversion credit?" (exact Shapley
+values over touch-channel coalitions).
+
+Numerics (house style): inputs ride as exact scaled integers
+(e2 = value·100, DEC38/HUGEINT sums); statistics stay integer until
+ONE fixed-shape double expression; where a second regression stage
+needs float intermediates (cointegration residuals), each residual is
+PRE-ROUNDED to an e6 integer so downstream sums are exact and
+order-independent; sequential folds (Croston's SES) run as ordered
+array reductions with INTEGER state updated by round-half-up division
+— bit-identical in both engines by construction. ``stable_round`` on
+every reported double.
+
+Scale posture: every operator collapses the raw scan to a
+|metrics|×|hours|, |brands|×|months|, or |channels|-bounded relation
+in ONE shuffle with map-side partials; windows partition by the
+series key; the Shapley coalition table is 2^c ≤ 16 rows by
+construction (c = distinct touch channels, a schema constant, never
+data volume).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monasca_aggregator_spark.functions.rounding import (
+    sql_stable_round,
+    stable_round,
+)
+from monasca_aggregator_spark.plans.spectral import _HOURLY_SQL, _hourly_e2
+from monasca_aggregator_spark.sources.tables import load_table
+
+_DEC = "decimal(38,0)"
+
+_DAY_MS = 24 * 3600 * 1000
+_EV_MIN_DAYS = 14  # block-maxima fit needs a real run of daily blocks
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = 0.7796968012336761  # √6/π, the Gumbel MoM scale factor
+_EV_RETURN_T = 30  # return period (days) for the reported level
+
+_EV_LNLN = math.log(-math.log(1 - 1 / float(_EV_RETURN_T)))
+
+_EG_MIN_HOURS = 48  # Engle-Granger needs a real overlap
+_EG_CRIT_05 = -3.34  # EG 5% critical value, 2 variables, no trend
+
+_CROSTON_ALPHA_NUM = 1  # α = 1/10 — the classical Croston smoothing
+_CROSTON_ALPHA_DEN = 10
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+# ------------------------------------- Gumbel block-maxima return level
+
+
+def q_metric_extreme_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GUMBEL BLOCK-MAXIMA fit per metric (Gumbel 1958; method of
+    moments): daily maxima of the hourly series are the blocks; the
+    Gumbel location/scale come from their exact first two moments
+    (β̂ = s·√6/π, μ̂ = x̄ − γβ̂), and the reported 30-day RETURN LEVEL
+    μ̂ − β̂·ln(−ln(1 − 1/T)) answers the capacity question the
+    family's percentile rows cannot: "what hourly peak should we
+    expect once a month?" — extrapolating BEYOND the observed range,
+    which is exactly what extreme-value theory licenses and an
+    empirical p99 does not. exceed_prob_max = 1 − G(observed max) is
+    the sanity check: a fit that makes its own maximum astronomically
+    unlikely is wrong.
+
+    Exactness: daily maxima are exact e2 integers; n, Σx, Σx² ride
+    DEC38; mean/variance/β/μ/return level are ONE fixed-shape double
+    expression. stable_round(4)/(6). Degenerate (zero-variance)
+    series report NULL.
+
+    Scale: the corpus scan collapses to |metrics|×|hours| (ONE
+    shuffle, map-side partials), then |metrics|×|days| maxima, then
+    |metrics| moment rows. Days grow with the observation window,
+    never data volume."""
+    hourly = _hourly_e2(spark, sf_dir)
+    daily_max = (
+        hourly.groupBy(
+            "event_type",
+            F.floor(F.col("h") / F.lit(24)).cast("long").alias("d"),
+        )
+        .agg(F.max("v").alias("mx"))
+    )
+    agg = (
+        daily_max.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mx").alias("s"),
+            F.sum(F.col("mx").cast(_DEC) * F.col("mx").cast(_DEC)).alias(
+                "q"
+            ),
+            F.max("mx").alias("obs_max"),
+        )
+        .filter(F.col("n") >= _EV_MIN_DAYS)
+    )
+    n = F.col("n").cast("double")
+    # sample variance from exact integer moments: (nQ − S²)/(n(n−1))
+    var_num = (
+        F.col("n").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double")
+    s_dev = F.sqrt(var_num / (n * (n - 1.0))) / F.lit(100.0)
+    mean = F.col("s").cast("double") / n / F.lit(100.0)
+    beta = s_dev * F.lit(_SQRT6_OVER_PI)
+    mu = mean - F.lit(_EULER_GAMMA) * beta
+    rl = mu - beta * F.lit(_EV_LNLN)
+    z = (F.col("obs_max").cast("double") / F.lit(100.0) - mu) / beta
+    p_exceed = 1.0 - F.exp(-F.exp(-z))
+    degenerate = var_num == 0
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(mu, 4))
+        .alias("gumbel_mu"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(beta, 4))
+        .alias("gumbel_beta"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(rl, 4))
+        .alias("return_level_30d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(p_exceed, 6))
+        .alias("exceed_prob_max"),
+    ).orderBy("event_type")
+
+
+ORACLE_EXTREME_VALUE = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), daily AS (
+  SELECT event_type, h // 24 AS d, max(v) AS mx
+  FROM hourly GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(mx) AS HUGEINT) AS s,
+         sum(CAST(mx AS HUGEINT) * mx) AS q,
+         max(mx) AS obs_max
+  FROM daily GROUP BY 1 HAVING count(*) >= {_EV_MIN_DAYS}
+), fit AS (
+  SELECT event_type, n, obs_max, n * q - s * s AS var_num,
+         CAST(s AS DOUBLE) / n / 100.0 AS mean_d,
+         sqrt(CAST(n * q - s * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) / 100.0
+           * {_SQRT6_OVER_PI} AS beta
+  FROM agg
+), gum AS (
+  SELECT event_type, n, obs_max, var_num, beta,
+         mean_d - {_EULER_GAMMA} * beta AS mu
+  FROM fit
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN var_num = 0 THEN NULL ELSE
+       {sql_stable_round("mu", 4)} END AS gumbel_mu,
+       CASE WHEN var_num = 0 THEN NULL ELSE
+       {sql_stable_round("beta", 4)} END AS gumbel_beta,
+       CASE WHEN var_num = 0 THEN NULL ELSE
+       {sql_stable_round(f"mu - beta * ({_EV_LNLN})", 4)}
+         END AS return_level_30d,
+       CASE WHEN var_num = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "1.0 - exp(-exp(-((CAST(obs_max AS DOUBLE) / 100.0 - mu)"
+           " / beta)))", 6)} END AS exceed_prob_max
+FROM gum ORDER BY event_type
+""".strip()
+
+
+# --------------------------------------- Engle-Granger cointegration
+
+
+def q_metric_cointegration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENGLE-GRANGER COINTEGRATION test per metric pair (Engle &
+    Granger 1987, two-step): step 1 regresses metric b's hourly
+    series on metric a's by exact-integer OLS over their common
+    hours; step 2 runs a Dickey-Fuller test (no constant, no
+    augmentation) on the residual spread — t < −3.34 (the EG 5%
+    critical value for two variables) means the pair shares a
+    long-run equilibrium, so the SPREAD is the thing to alert on,
+    not either series. The upgrade over the family's correlation
+    rows: two trending series correlate spuriously; cointegration
+    says their difference is stationary, which correlation cannot.
+
+    Exactness: step-1 OLS slope/intercept come from exact DEC38
+    moments of the e2 series (ONE fixed-shape double each);
+    each residual is then PRE-ROUNDED to an e6 integer so the
+    step-2 sums (Σe_{t−1}Δe, Σe², Σ(Δe−ρe)²-via-moments) are exact
+    and order-free; ρ̂, se, t are ONE fixed-shape expression.
+    stable_round(4)/(6).
+
+    Scale: ONE corpus shuffle to |metrics|×|hours|, then a
+    co-partitioned self-join on the hour key bounded by
+    |metrics|² pairs; the residual window partitions BY PAIR.
+    Hours grow with the observation window, never data volume."""
+    hourly = _hourly_e2(spark, sf_dir)
+    a = hourly.select(
+        F.col("event_type").alias("ma"),
+        "h",
+        F.col("v").alias("x"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("mb"),
+        "h",
+        F.col("v").alias("y"),
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("ma") < F.col("mb"))
+    )
+    mom = (
+        pairs.groupBy("ma", "mb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC)).alias(
+                "sxx"
+            ),
+            F.sum(F.col("x").cast(_DEC) * F.col("y").cast(_DEC)).alias(
+                "sxy"
+            ),
+        )
+        .filter(F.col("n") >= _EG_MIN_HOURS)
+    )
+    nn = F.col("n").cast(_DEC)
+    slope_num = (nn * F.col("sxy") - F.col("sx").cast(_DEC) * F.col("sy").cast(_DEC)).cast("double")
+    slope_den = (nn * F.col("sxx") - F.col("sx").cast(_DEC) * F.col("sx").cast(_DEC)).cast("double")
+    fit = mom.select(
+        "ma",
+        "mb",
+        F.col("n").alias("n_hours"),
+        (slope_num / slope_den).alias("beta"),
+        (
+            (
+                F.col("sy").cast("double")
+                - (slope_num / slope_den) * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("alpha"),
+    )
+    resid = (
+        pairs.join(F.broadcast(fit), ["ma", "mb"])
+        .select(
+            "ma",
+            "mb",
+            "n_hours",
+            "beta",
+            "alpha",
+            "h",
+            # e6-integer residual: downstream sums are exact and
+            # order-free regardless of partitioning
+            F.floor(
+                (
+                    F.col("y").cast("double")
+                    - F.col("alpha")
+                    - F.col("beta") * F.col("x").cast("double")
+                )
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    wp = Window.partitionBy("ma", "mb").orderBy("h")
+    lagged = resid.withColumn("ep", F.lag("e").over(wp)).filter(
+        F.col("ep").isNotNull()
+    )
+    # DF regression through the origin on the residual spread:
+    # Δe_t = ρ·e_{t−1} + u_t
+    st2 = lagged.groupBy("ma", "mb", "n_hours", "beta", "alpha").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.col("ep").cast(_DEC) * (F.col("e") - F.col("ep")).cast(_DEC)
+        ).alias("sed"),
+        F.sum(F.col("ep").cast(_DEC) * F.col("ep").cast(_DEC)).alias(
+            "see"
+        ),
+        F.sum(
+            (F.col("e") - F.col("ep")).cast(_DEC)
+            * (F.col("e") - F.col("ep")).cast(_DEC)
+        ).alias("sdd"),
+    )
+    rho = F.col("sed").cast("double") / F.col("see").cast("double")
+    # Σû² = Σ(Δe − ρe)² expanded in exact moments: sdd − sed²/see
+    ssr = (
+        F.col("sdd").cast("double")
+        - F.col("sed").cast("double")
+        * F.col("sed").cast("double")
+        / F.col("see").cast("double")
+    )
+    se = F.sqrt(
+        ssr
+        / (F.col("m").cast("double") - 1.0)
+        / F.col("see").cast("double")
+    )
+    t_stat = rho / se
+    # ssr ≤ 0 in doubles: both engines evaluate the SAME expression on
+    # the same exact integers, so the comparison is engine-identical
+    # (an exact sdd·see = sed² integer test would overflow DEC38)
+    degenerate = (F.col("see") == 0) | (ssr <= 0)
+    return st2.select(
+        F.col("ma").alias("metric_a"),
+        F.col("mb").alias("metric_b"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        stable_round(F.col("beta"), 6).alias("hedge_beta"),
+        stable_round(F.col("alpha") / F.lit(100.0), 4).alias(
+            "spread_alpha"
+        ),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(t_stat, 4))
+        .alias("adf_t"),
+        F.when(degenerate, F.lit("degenerate"))
+        .when(t_stat < F.lit(_EG_CRIT_05), F.lit("cointegrated"))
+        .otherwise(F.lit("not_cointegrated"))
+        .alias("verdict"),
+    ).orderBy("metric_a", "metric_b")
+
+
+ORACLE_COINTEGRATION = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), pairs AS (
+  SELECT a.event_type AS ma, b.event_type AS mb, a.h,
+         a.v AS x, b.v AS y
+  FROM hourly a JOIN hourly b USING (h)
+  WHERE a.event_type < b.event_type
+), mom AS (
+  SELECT ma, mb, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_EG_MIN_HOURS}
+), fit AS (
+  SELECT ma, mb, n AS n_hours,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE)) / n AS alpha
+  FROM mom
+), resid AS (
+  SELECT p.ma, p.mb, f.n_hours, f.beta, f.alpha, p.h,
+         CAST(floor((CAST(p.y AS DOUBLE) - f.alpha
+                     - f.beta * CAST(p.x AS DOUBLE)) * 1e4 + 0.5)
+              AS BIGINT) AS e
+  FROM pairs p JOIN fit f USING (ma, mb)
+), lagged AS (
+  SELECT ma, mb, n_hours, beta, alpha, e,
+         lag(e) OVER (PARTITION BY ma, mb ORDER BY h) AS ep
+  FROM resid
+), st2 AS (
+  SELECT ma, mb, n_hours, beta, alpha, count(*) AS m,
+         sum(CAST(ep AS HUGEINT) * (e - ep)) AS sed,
+         sum(CAST(ep AS HUGEINT) * ep) AS see,
+         sum(CAST(e - ep AS HUGEINT) * (e - ep)) AS sdd
+  FROM lagged WHERE ep IS NOT NULL
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT ma AS metric_a, mb AS metric_b,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       {sql_stable_round("beta", 6)} AS hedge_beta,
+       {sql_stable_round("alpha / 100.0", 4)} AS spread_alpha,
+       CASE WHEN see = 0
+              OR CAST(sdd AS DOUBLE)
+                 - CAST(sed AS DOUBLE) * CAST(sed AS DOUBLE)
+                   / CAST(see AS DOUBLE) <= 0 THEN NULL ELSE
+       {sql_stable_round(
+           "(CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))"
+           " / sqrt((CAST(sdd AS DOUBLE)"
+           "         - CAST(sed AS DOUBLE) * CAST(sed AS DOUBLE)"
+           "           / CAST(see AS DOUBLE))"
+           "        / (CAST(m AS DOUBLE) - 1.0)"
+           "        / CAST(see AS DOUBLE))", 4)} END AS adf_t,
+       CASE WHEN see = 0
+              OR CAST(sdd AS DOUBLE)
+                 - CAST(sed AS DOUBLE) * CAST(sed AS DOUBLE)
+                   / CAST(see AS DOUBLE) <= 0 THEN 'degenerate'
+            WHEN (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                 / sqrt((CAST(sdd AS DOUBLE)
+                         - CAST(sed AS DOUBLE) * CAST(sed AS DOUBLE)
+                           / CAST(see AS DOUBLE))
+                        / (CAST(m AS DOUBLE) - 1.0)
+                        / CAST(see AS DOUBLE)) < {_EG_CRIT_05}
+                 THEN 'cointegrated'
+            ELSE 'not_cointegrated' END AS verdict
+FROM st2 ORDER BY metric_a, metric_b
+""".strip()
+
+
+# ------------------------------------------- Croston / SBA forecast
+
+
+def q_demand_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON / SBA intermittent-demand forecast per part brand
+    (Croston 1972; Syntetos & Boylan 2005 bias correction): separate
+    exponential smoothing (α = 0.1) of the nonzero monthly demand
+    SIZES and the INTER-DEMAND INTERVALS, forecast = ẑ/p̂ per month
+    and SBA = (1 − α/2)·ẑ/p̂ — exactly the per-series methods the
+    `demand_pattern_sbc` classifier (plans/diag.py) routes
+    intermittent/lumpy streams to; this row closes that loop with
+    the forecasts themselves.
+
+    Convention (documented contract): demands ordered by month;
+    brands need ≥ 2 demand months; ẑ initializes to the first demand
+    size, p̂ to the SECOND demand's interval (so its own update is a
+    fixed point — no future data in the init); updates fold over
+    demands 2..k.
+
+    The sequential fold runs INSIDE both engines as an ordered array
+    reduction with INTEGER state: ẑ and p̂ ride e6-scaled longs and
+    each SES step is round-half-up integer division
+    ((9·state + new·scale + 5) // 10) — bit-identical across engines
+    by construction, no float in the fold. Spark: `aggregate` with a
+    struct state; DuckDB: `list_reduce` with a flat VARCHAR-list
+    state (a struct accumulator loses LIST fields across iterations
+    in DuckDB 1.0).
+
+    Scale: the fact scan collapses to |brands|×|months| sums (ONE
+    shuffle, map-side partials); the per-brand fold is over ≤ the
+    month span (a time-window constant), collected per brand — 25
+    brands × ≤ 84 months, never corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("q_e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "m")
+        .agg(F.sum("q_e2").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    seq = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("m"), F.col("d")))
+        ).alias("ms"),
+    ).filter(F.col("k") >= 2)
+    # state: (z e6-long, p e6-long, pm last-demand-month, i index)
+    folded = seq.withColumn(
+        "st",
+        F.expr(
+            """aggregate(
+              ms,
+              struct(cast(0 as long) as z, cast(0 as long) as p,
+                     cast(0 as long) as pm, cast(0 as long) as i),
+              (acc, e) -> if(
+                acc.i = 0,
+                struct(e.d * cast(10000 as long) as z,
+                       cast(0 as long) as p,
+                       cast(e.m as long) as pm,
+                       cast(1 as long) as i),
+                struct(
+                  cast((9 * acc.z + e.d * 10000 + 5) div 10 as long)
+                    as z,
+                  cast((9 * if(acc.i = 1,
+                               (e.m - acc.pm) * 1000000,
+                               acc.p)
+                        + (e.m - acc.pm) * 1000000 + 5) div 10
+                       as long) as p,
+                  cast(e.m as long) as pm,
+                  acc.i + 1 as i))
+            )"""
+        ),
+    )
+    z = F.col("st.z").cast("double") / F.lit(1e6) / F.lit(100.0)
+    p = F.col("st.p").cast("double") / F.lit(1e6)
+    return folded.select(
+        F.col("p_brand").alias("brand"),
+        F.col("k").cast("long").alias("n_demand_months"),
+        stable_round(z, 4).alias("size_hat"),
+        stable_round(p, 4).alias("interval_hat"),
+        stable_round(z / p, 4).alias("croston_forecast"),
+        stable_round(
+            z / p * F.lit(1.0 - _CROSTON_ALPHA_NUM / (2.0 * _CROSTON_ALPHA_DEN)),
+            4,
+        ).alias("sba_forecast"),
+    ).orderBy("brand")
+
+
+# DuckDB fold: flat VARCHAR-list state [z, p, pm, i] (see module
+# docstring — struct accumulators lose LIST fields; scalars ride as
+# strings). list_reduce has no init: elements are transformed into
+# state-shaped entries whose FIRST-element form is the correct
+# post-first-demand state.
+ORACLE_CROSTON = f"""
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         date_part('year', l.l_shipdate) * 12
+           + date_part('month', l.l_shipdate) AS m,
+         CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2 HAVING sum(floor(l.l_quantity * 100 + 0.5)) > 0
+), seqs AS (
+  SELECT brand, count(*) AS k,
+         list_transform(
+           list_sort(list({{'m': m, 'd': d}})),
+           e -> [CAST(e.d * 10000 AS VARCHAR),
+                 '0', CAST(e.m AS VARCHAR), '1']
+         ) AS entries
+  FROM monthly GROUP BY 1 HAVING count(*) >= 2
+), folded AS (
+  SELECT brand, k,
+         list_reduce(entries, (acc, e) -> [
+           CAST((9 * CAST(acc[1] AS BIGINT)
+                 + CAST(e[1] AS BIGINT) + 5) // 10 AS VARCHAR),
+           CAST((9 * CASE WHEN CAST(acc[4] AS BIGINT) = 1
+                     THEN (CAST(e[3] AS BIGINT)
+                           - CAST(acc[3] AS BIGINT)) * 1000000
+                     ELSE CAST(acc[2] AS BIGINT) END
+                 + (CAST(e[3] AS BIGINT)
+                    - CAST(acc[3] AS BIGINT)) * 1000000 + 5) // 10
+                AS VARCHAR),
+           e[3],
+           CAST(CAST(acc[4] AS BIGINT) + 1 AS VARCHAR)
+         ]) AS st
+  FROM seqs
+), outv AS (
+  SELECT brand, k,
+         CAST(st[1] AS DOUBLE) / 1e6 / 100.0 AS z,
+         CAST(st[2] AS DOUBLE) / 1e6 AS p
+  FROM folded
+)
+SELECT brand, CAST(k AS BIGINT) AS n_demand_months,
+       {sql_stable_round("z", 4)} AS size_hat,
+       {sql_stable_round("p", 4)} AS interval_hat,
+       {sql_stable_round("z / p", 4)} AS croston_forecast,
+       {sql_stable_round("z / p * 0.95", 4)} AS sba_forecast
+FROM outv ORDER BY brand
+""".strip()
+
+
+# --------------------------------------- Shapley coalition attribution
+
+
+def q_events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT SHAPLEY-VALUE conversion attribution over touch-channel
+    coalitions (Shapley 1953; the marketing form of Zhao, Mahboobi &
+    Bagheri 2018): each user's journey is the SET of distinct
+    non-purchase event types seen strictly before their first
+    purchase (all their events, if they never purchase); the
+    characteristic function v(S) is the observed conversion rate of
+    journeys whose touch set is exactly S (unobserved coalitions
+    contribute v = 0, the standard data-driven convention); a
+    channel's Shapley value is its average marginal contribution
+    across all coalition orderings — the unique credit split that is
+    efficient, symmetric, and dummy-free, unlike the family's
+    first/last/U-shape/Markov heuristics (events_attribution*).
+
+    Exactness: v(S) is ONE division of exact counts; each weighted
+    marginal term |S|!·(c−1−|S|)!/c!·(v(S∪i)−v(S)) is PRE-ROUNDED to
+    an e12 integer so the per-channel sum is exact and order-free;
+    the final value is ONE rescale. stable_round(6).
+
+    Scale: journeys collapse per user (user-partitioned window +
+    groupBy), coalition counts are ≤ 2^c rows (c = |touch channels|,
+    a SCHEMA constant ≤ 4 here — never data volume); the power set,
+    the self-join on S→S∪{i}, and the Shapley sum all run on that
+    2^c-row relation. The only corpus-sized work is the per-user
+    collapse."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("fp_ms"))
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(
+            F.col("fp_ms").isNull()
+            | (F.unix_millis("ts") < F.col("fp_ms"))
+        )
+    )
+    journeys = touches.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("s"),
+        F.max(F.col("fp_ms").isNotNull().cast("int")).alias("conv"),
+    )
+    coal = journeys.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("conv").alias("n_c"),
+    )
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+    )
+    chlist = channels.agg(
+        F.array_sort(F.collect_list("ch")).alias("chs"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    masks = chlist.select(
+        "chs",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(1, c) - 1"))
+        ).alias("mask"),
+    ).select(
+        "chs",
+        "c",
+        "mask",
+        F.array_join(
+            F.expr(
+                "transform(filter(transform(chs, (x, i) -> "
+                "struct(x as ch, i as ix)), "
+                "p -> (shiftright(mask, p.ix) & 1) = 1), p -> p.ch)"
+            ),
+            ",",
+        ).alias("s"),
+        F.bit_count(F.col("mask")).alias("sz"),
+    )
+    v = masks.join(F.broadcast(coal), "s", "left").select(
+        "chs",
+        "c",
+        "mask",
+        "sz",
+        F.coalesce(
+            F.col("n_c").cast("double") / F.col("n_j").cast("double"),
+            F.lit(0.0),
+        ).alias("v"),
+    )
+    # marginal pairs: for channel i not in S, join v(S) to v(S ∪ {i})
+    base = v.select(
+        "chs", "c", F.col("mask").alias("m0"), F.col("sz").alias("sz0"),
+        F.col("v").alias("v0"),
+    ).crossJoin(
+        spark.range(0, 16).select(F.col("id").cast("int").alias("ix"))
+    ).filter(
+        (F.col("ix") < F.col("c"))
+        & F.expr("(m0 & shiftleft(1, ix)) = 0")
+    )
+    with_i = base.withColumn("m1", F.expr("m0 + shiftleft(1, ix)"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v").alias("v1"))
+    terms = (
+        with_i.join(F.broadcast(v1), "m1")
+        .select(
+            F.element_at(F.col("chs"), F.col("ix") + 1).alias("channel"),
+            "c",
+            "sz0",
+            (
+                F.factorial(F.col("sz0")).cast("double")
+                * F.factorial(F.col("c") - 1 - F.col("sz0")).cast(
+                    "double"
+                )
+                / F.factorial(F.col("c")).cast("double")
+                * (F.col("v1") - F.col("v0"))
+            ).alias("term"),
+        )
+        .select(
+            "channel",
+            # e12-integer term: the per-channel sum is exact/order-free
+            F.floor(F.col("term") * F.lit(1e12) + F.lit(0.5))
+            .cast("long")
+            .alias("t12"),
+        )
+    )
+    tot = journeys.agg(
+        F.count(F.lit(1)).alias("n_journeys"),
+        F.sum("conv").alias("n_conversions"),
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("t12").alias("phi12"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("n_journeys").cast("long").alias("n_journeys"),
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+            stable_round(
+                F.col("phi12").cast("double") / F.lit(1e12), 6
+            ).alias("shapley_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_SHAPLEY = f"""
+WITH fp AS (
+  SELECT user_id, min(epoch_ms(ts)) AS fp_ms
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), touches AS (
+  SELECT e.user_id, e.event_type,
+         CASE WHEN f.fp_ms IS NOT NULL THEN 1 ELSE 0 END AS has_fp
+  FROM events e LEFT JOIN fp f USING (user_id)
+  WHERE e.event_type <> 'purchase'
+    AND (f.fp_ms IS NULL OR epoch_ms(e.ts) < f.fp_ms)
+), journeys AS (
+  SELECT user_id,
+         list_aggregate(list_sort(list(DISTINCT event_type)),
+                        'string_agg', ',') AS s,
+         max(has_fp) AS conv
+  FROM touches GROUP BY 1
+), coal AS (
+  SELECT s, count(*) AS n_j, sum(conv) AS n_c FROM journeys GROUP BY 1
+), chl AS (
+  SELECT list_sort(list(DISTINCT event_type)) AS chs,
+         count(DISTINCT event_type) AS c
+  FROM events WHERE event_type <> 'purchase'
+), masks AS (
+  SELECT chs, c, mask,
+         list_aggregate(
+           list_transform(
+             list_filter(range(1, c + 1),
+                         ix -> ((mask >> (ix - 1)) & 1) = 1),
+             ix -> chs[ix]),
+           'string_agg', ',') AS s,
+         bit_count(CAST(mask AS BIGINT)) AS sz
+  FROM chl, unnest(range(0, (1 << c))) AS t(mask)
+), v AS (
+  SELECT m.chs, m.c, m.mask, m.sz,
+         coalesce(CAST(n_c AS DOUBLE) / n_j, 0.0) AS v
+  FROM masks m LEFT JOIN coal ON coalesce(m.s, '') = coal.s
+), terms AS (
+  SELECT v0.chs[ix + 1] AS channel,
+         CAST(floor(
+           (CAST(factorial(CAST(v0.sz AS INTEGER)) AS DOUBLE)
+            * CAST(factorial(CAST(v0.c - 1 - v0.sz AS INTEGER))
+                   AS DOUBLE)
+            / CAST(factorial(CAST(v0.c AS INTEGER)) AS DOUBLE)
+            * (v1.v - v0.v)) * 1e12 + 0.5) AS BIGINT) AS t12
+  FROM v v0
+  JOIN unnest(range(0, 16)) AS u(ix) ON ix < v0.c
+  JOIN v v1 ON v1.mask = v0.mask + (1 << ix)
+  WHERE ((v0.mask >> ix) & 1) = 0
+), tot AS (
+  SELECT count(*) AS n_journeys, sum(conv) AS n_conversions
+  FROM journeys
+)
+SELECT channel,
+       CAST(n_journeys AS BIGINT) AS n_journeys,
+       CAST(n_conversions AS BIGINT) AS n_conversions,
+       {sql_stable_round("CAST(sum(t12) AS DOUBLE) / 1e12", 6)}
+         AS shapley_value
+FROM terms, tot
+GROUP BY 1, 2, 3 ORDER BY channel
+""".strip()
+
+
+QUERIES.update(
+    {
+        "metric_extreme_value": q_metric_extreme_value,
+        "metric_cointegration": q_metric_cointegration,
+        "demand_croston": q_demand_croston,
+        "events_attribution_shapley": q_events_attribution_shapley,
+    }
+)
+
+ORACLES.update(
+    {
+        "metric_extreme_value": ORACLE_EXTREME_VALUE,
+        "metric_cointegration": ORACLE_COINTEGRATION,
+        "demand_croston": ORACLE_CROSTON,
+        "events_attribution_shapley": ORACLE_SHAPLEY,
+    }
+)
