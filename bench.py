@@ -376,6 +376,10 @@ BENCH_QUERIES = [
     "metric_cointegration",
     "demand_croston",
     "events_attribution_shapley",
+    "brand_safety_stock",
+    "metric_sample_entropy",
+    "graph_richclub",
+    "sample_design_effect",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -1825,6 +1825,185 @@ FROM w, tot
 """.strip()
 
 
+def q_sample_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KISH DESIGN EFFECT of the three stratified allocations (Kish
+    1965): for equal / proportional / Neyman splits of the same
+    _NEYMAN_BUDGET across source strata, DEFF = Var_st / Var_srs for
+    the corpus-mean-chars estimator and n_eff = n / DEFF — the
+    missing judgment layer over `sample_neyman_allocation` (which
+    computes the Neyman rates): HOW MUCH precision does each design
+    buy or cost against simple random sampling? Proportional
+    allocation always has DEFF ≤ 1 under this model (stratification
+    never hurts); equal allocation over uneven strata pays a
+    weighting penalty; Neyman is the optimum by construction.
+
+    Model (documented contract): population variances σ²_h from
+    exact integer moments (the Neyman row's convention), real-valued
+    allocations n_h (a design audit, not a draw — no rounding to
+    integer counts), fpc ignored.
+
+    Exactness: σ²_h and σ²_tot come from exact DEC38/HUGEINT
+    moments; Neyman weights quantize to e3 BEFORE the cross-stratum
+    total (exactly as `sample_neyman_allocation` does); each
+    per-stratum variance term PRE-ROUNDS to an e9 integer so the
+    design sums are exact and order-free; DEFF / n_eff are ONE
+    fixed-shape expression. stable_round(4)/(1).
+
+    Scale: ONE source-keyed aggregate with map-side partials; the
+    design sweep is a 3-literal explode over the |sources|-row
+    stratum table; one broadcast global-moment row."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(
+            F.col("n_chars").cast(_DEC_PIPE)
+            * F.col("n_chars").cast(_DEC_PIPE)
+        ).alias("q"),
+    )
+    var_h = (
+        F.col("n").cast(_DEC_PIPE) * F.col("q")
+        - F.col("s").cast(_DEC_PIPE) * F.col("s").cast(_DEC_PIPE)
+    ).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    w_e3 = F.floor(
+        F.col("n").cast("double") * F.sqrt(var_h) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    strata = per.select(
+        "source", "n", var_h.alias("v"), w_e3.alias("w")
+    )
+    tot = strata.agg(
+        F.sum("w").alias("tw"),
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("h"),
+    )
+    glob = docs.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("n_chars").alias("gs"),
+        F.sum(
+            F.col("n_chars").cast(_DEC_PIPE)
+            * F.col("n_chars").cast(_DEC_PIPE)
+        ).alias("gq"),
+    )
+    designs = spark.createDataFrame(
+        [("equal",), ("neyman",), ("proportional",)], "design string"
+    )
+    j = strata.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(designs)
+    )
+    budget = float(_NEYMAN_BUDGET)
+    n_h = (
+        F.when(
+            F.col("design") == "equal",
+            F.lit(budget) / F.col("h").cast("double"),
+        )
+        .when(
+            F.col("design") == "proportional",
+            F.lit(budget)
+            * F.col("n").cast("double")
+            / F.col("tn").cast("double"),
+        )
+        .otherwise(
+            F.lit(budget)
+            * F.col("w").cast("double")
+            / F.col("tw").cast("double")
+        )
+    )
+    share = F.col("n").cast("double") / F.col("tn").cast("double")
+    term = F.when(F.col("w") == 0, F.lit(0.0)).otherwise(
+        share * share * F.col("v") / n_h
+    )
+    per_design = (
+        j.select(
+            "design",
+            # e9-integer term: the design sum is exact and order-free
+            F.floor(term * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("t9"),
+        )
+        .groupBy("design")
+        .agg(F.sum("t9").alias("vst9"))
+    )
+    gvar = (
+        F.col("gn").cast(_DEC_PIPE) * F.col("gq")
+        - F.col("gs").cast(_DEC_PIPE) * F.col("gs").cast(_DEC_PIPE)
+    ).cast("double") / (
+        F.col("gn").cast("double") * F.col("gn").cast("double")
+    )
+    out = per_design.crossJoin(F.broadcast(glob))
+    var_st = F.col("vst9").cast("double") / F.lit(1e9)
+    var_srs = gvar / F.lit(budget)
+    deff = var_st / var_srs
+    return out.select(
+        "design",
+        F.lit(_NEYMAN_BUDGET).cast("long").alias("n_budget"),
+        stable_round(deff, 4).alias("deff"),
+        stable_round(F.lit(budget) / deff, 1).alias("n_eff"),
+    ).orderBy("design")
+
+
+ORACLE_DESIGN_EFFECT = f"""
+WITH per AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY 1
+), strata AS (
+  SELECT source, n,
+         CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / (CAST(n AS DOUBLE) * n) AS v,
+         CAST(floor(n * sqrt(CAST(n * q - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n)) * 1000.0
+                    + 0.5) AS BIGINT) AS w
+  FROM per
+), tot AS (
+  SELECT sum(w) AS tw, sum(n) AS tn, count(*) AS h FROM strata
+), gmom AS (
+  SELECT count(*) AS gn, sum(n_chars) AS gs,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS gq
+  FROM documents
+), designs AS (
+  SELECT unnest(['equal', 'neyman', 'proportional']) AS design
+), terms AS (
+  SELECT d.design,
+         CAST(floor(
+           CASE WHEN s.w = 0 THEN 0.0 ELSE
+             (CAST(s.n AS DOUBLE) / tn) * (CAST(s.n AS DOUBLE) / tn)
+             * s.v
+             / CASE d.design
+                 WHEN 'equal' THEN {float(_NEYMAN_BUDGET)} / h
+                 WHEN 'proportional'
+                   THEN {float(_NEYMAN_BUDGET)}
+                        * CAST(s.n AS DOUBLE) / tn
+                 ELSE {float(_NEYMAN_BUDGET)}
+                      * CAST(s.w AS DOUBLE) / tw
+               END
+           END * 1e9 + 0.5) AS BIGINT) AS t9
+  FROM strata s, tot, designs d
+), per_design AS (
+  SELECT design, sum(t9) AS vst9 FROM terms GROUP BY 1
+)
+SELECT design,
+       CAST({_NEYMAN_BUDGET} AS BIGINT) AS n_budget,
+       {sql_stable_round(
+           "(CAST(vst9 AS DOUBLE) / 1e9)"
+           " / ((CAST(gn * gq - CAST(gs AS HUGEINT) * gs AS DOUBLE)"
+           "     / (CAST(gn AS DOUBLE) * gn))"
+           f"    / {float(_NEYMAN_BUDGET)})", 4)} AS deff,
+       {sql_stable_round(
+           f"{float(_NEYMAN_BUDGET)} /"
+           " ((CAST(vst9 AS DOUBLE) / 1e9)"
+           "  / ((CAST(gn * gq - CAST(gs AS HUGEINT) * gs AS DOUBLE)"
+           "      / (CAST(gn AS DOUBLE) * gn))"
+           f"     / {float(_NEYMAN_BUDGET)}))", 1)} AS n_eff
+FROM per_design, gmom ORDER BY design
+""".strip()
+
+
 _PPS_K = 100  # systematic sample size
 
 
@@ -1898,6 +2077,7 @@ ORDER BY doc_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_pps_systematic": q_sample_pps_systematic,
     "sample_neyman_allocation": q_sample_neyman_allocation,
+    "sample_design_effect": q_sample_design_effect,
     "sample_neyman_draw": q_sample_neyman_draw,
     "dedup_url_canonical": q_dedup_url_canonical,
     "skyline_docs": q_skyline_docs,
@@ -1936,6 +2116,7 @@ ORACLES: dict[str, str] = {
     "curation_url_filter": ORACLE_URL_FILTER,
     "dedup_url_canonical": ORACLE_URL_CANONICAL,
     "sample_neyman_allocation": ORACLE_NEYMAN,
+    "sample_design_effect": ORACLE_DESIGN_EFFECT,
     "sample_neyman_draw": ORACLE_NEYMAN_DRAW,
     "pack_chunk_spans": ORACLE_PACK_SPANS,
     "chunk_sentences": ORACLE_CHUNK_SENTENCES,

@@ -43,6 +43,7 @@ from monasca_aggregator_spark.functions.rounding import (
     sql_stable_round,
     stable_round,
 )
+from monasca_aggregator_spark.operators.rank import global_rank
 from monasca_aggregator_spark.plans.spectral import _HOURLY_SQL, _hourly_e2
 from monasca_aggregator_spark.sources.tables import load_table
 
@@ -784,5 +785,507 @@ ORACLES.update(
         "metric_cointegration": ORACLE_COINTEGRATION,
         "demand_croston": ORACLE_CROSTON,
         "events_attribution_shapley": ORACLE_SHAPLEY,
+    }
+)
+
+
+# ------------------------------------------- safety stock / reorder
+
+
+_SS_Z95 = 1.6449  # 95% cycle-service-level normal quantile
+_SS_MIN_WEEKS = 8
+
+
+def q_brand_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY STOCK + REORDER POINT per part brand (the classical
+    normal-demand model — Silver, Pyke & Peterson 1998): weekly
+    demand mean/σ over the GLOBAL week span (zero-demand weeks count
+    — computed from sparse sums, never densified), replenishment
+    lead time estimated as the mean order→ship latency over CAUSAL
+    lines only (ship ≥ order — the synthetic dates carry no
+    causality, so non-causal lines are excluded from the lead
+    estimate and the exclusion is part of the contract), safety stock
+    = z₀.₉₅·σ_w·√L_w and reorder point = μ_w·L_w + SS — the
+    inventory-policy layer above the family's demand-pattern router
+    (`demand_pattern_sbc`) and forecasts (`demand_croston`).
+
+    Exactness: weekly sums exact e2; mean/variance from exact DEC38
+    moments over W calendar weeks (sparse zeros enter via W, not via
+    generated rows); lead time an exact day-sum ratio; the
+    policy numbers are ONE fixed-shape double expression each.
+    stable_round(4).
+
+    Scale: fact scan → |brands|×|weeks| sums (ONE shuffle, map-side
+    partials); the lead-time join is fact⋈fact CO-PARTITIONED on
+    l_orderkey/o_orderkey; the global week span is a broadcast 1-row
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("w"),
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1970-01-01").cast("date")
+        ).alias("ship_day"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("q_e2"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("order_day"),
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    span = lo.agg(
+        (F.max("w") - F.min("w") + 1).cast("long").alias("weeks")
+    )
+    weekly = lo.groupBy("p_brand", "w").agg(
+        F.sum("q_e2").alias("d"),
+    )
+    lead = (
+        lo.filter(F.col("ship_day") >= F.col("order_day"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("ship_day") - F.col("order_day")).cast("long")
+            ).alias("lead_days_sum"),
+        )
+    )
+    mom = weekly.groupBy("p_brand").agg(
+        F.sum("d").alias("s"),
+        F.sum(F.col("d").cast(_DEC) * F.col("d").cast(_DEC)).alias("q"),
+    )
+    j = (
+        mom.join(F.broadcast(lead), "p_brand")
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("weeks") >= _SS_MIN_WEEKS)
+    )
+    wk = F.col("weeks").cast("double")
+    mu_w = F.col("s").cast("double") / wk / F.lit(100.0)
+    # variance over ALL W weeks incl. zeros: (W·Q − S²)/(W(W−1))
+    var_num = (
+        F.col("weeks").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double")
+    sigma_w = F.sqrt(var_num / (wk * (wk - 1.0))) / F.lit(100.0)
+    lead_w = (
+        F.col("lead_days_sum").cast("double")
+        / F.col("n_lines").cast("double")
+        / F.lit(7.0)
+    )
+    ss = F.lit(_SS_Z95) * sigma_w * F.sqrt(lead_w)
+    return j.select(
+        F.col("p_brand").alias("brand"),
+        F.col("weeks").alias("n_weeks"),
+        stable_round(mu_w, 4).alias("mu_week"),
+        stable_round(sigma_w, 4).alias("sigma_week"),
+        stable_round(lead_w * 7.0, 4).alias("lead_days"),
+        stable_round(ss, 4).alias("safety_stock"),
+        stable_round(mu_w * lead_w + ss, 4).alias("reorder_point"),
+    ).orderBy("brand")
+
+
+ORACLE_SAFETY_STOCK = f"""
+WITH lo AS (
+  SELECT p.p_brand AS brand,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l.l_shipdate AS DATE)) // 7 AS w,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l.l_shipdate AS DATE))
+           - date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS lead_days,
+         CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS q_e2
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+), span AS (
+  SELECT max(w) - min(w) + 1 AS weeks FROM lo
+), weekly AS (
+  SELECT brand, w, CAST(sum(q_e2) AS BIGINT) AS d
+  FROM lo GROUP BY 1, 2
+), lead AS (
+  SELECT brand, count(*) AS n_lines,
+         CAST(sum(lead_days) AS BIGINT) AS lead_days_sum
+  FROM lo WHERE lead_days >= 0 GROUP BY 1
+), mom AS (
+  SELECT brand, CAST(sum(d) AS HUGEINT) AS s,
+         sum(CAST(d AS HUGEINT) * d) AS q
+  FROM weekly GROUP BY 1
+), j AS (
+  SELECT mom.brand, s, q, n_lines, lead_days_sum, weeks
+  FROM mom JOIN lead USING (brand), span
+  WHERE weeks >= {_SS_MIN_WEEKS}
+), calc AS (
+  SELECT brand, weeks,
+         CAST(s AS DOUBLE) / weeks / 100.0 AS mu_w,
+         sqrt(CAST(weeks * q - s * s AS DOUBLE)
+              / (CAST(weeks AS DOUBLE) * (weeks - 1.0))) / 100.0
+           AS sigma_w,
+         CAST(lead_days_sum AS DOUBLE) / n_lines / 7.0 AS lead_w
+  FROM j
+)
+SELECT brand, CAST(weeks AS BIGINT) AS n_weeks,
+       {sql_stable_round("mu_w", 4)} AS mu_week,
+       {sql_stable_round("sigma_w", 4)} AS sigma_week,
+       {sql_stable_round("lead_w * 7.0", 4)} AS lead_days,
+       {sql_stable_round(
+           f"{_SS_Z95} * sigma_w * sqrt(lead_w)", 4)} AS safety_stock,
+       {sql_stable_round(
+           f"mu_w * lead_w + {_SS_Z95} * sigma_w * sqrt(lead_w)",
+           4)} AS reorder_point
+FROM calc ORDER BY brand
+""".strip()
+
+
+# --------------------------------------------- sample entropy (SampEn)
+
+
+_SE_MIN_HOURS = 72
+_SE_R_FRAC = 0.2  # tolerance r = 0.2·σ, the field's default
+
+
+def q_metric_sample_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLE ENTROPY per metric (Richman & Moorman 2000, m = 2,
+    r = 0.2σ; aligned-template variant — A and B both count over
+    full 3-hour templates, documented): the regularity measure the
+    family's Hurst/LZ rows bracket — LOW SampEn means repeating
+    patterns (template matches persist one step longer than chance),
+    HIGH means irregularity. SampEn = −ln(A/B) with B = pairs of
+    templates matching on their first 2 points and A = those also
+    matching on the 3rd; self-matches excluded by the h < h'
+    pairing.
+
+    Exactness: the tolerance is an INTEGER e2 threshold
+    (floor(0.2·σ_e2 + ½), σ from exact DEC38 moments — both engines
+    evaluate the same fixed-shape expression), so every match
+    comparison is exact integer arithmetic; A, B are exact counts
+    and SampEn is ONE log of their ratio. stable_round(4).
+
+    Scale: the corpus collapses to |metrics|×|hours| first (ONE
+    shuffle); templates need CONSECUTIVE hours (h+1, h+2 present —
+    lead() checked against the hour number, not row adjacency); the
+    pair join is metric-co-partitioned and |hours|²-bounded — hours
+    grow with the observation window, never data volume (the
+    Mann-Kendall pair-join argument)."""
+    hourly = _hourly_e2(spark, sf_dir)
+    stats = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC)).alias(
+                "q"
+            ),
+        )
+        .filter(F.col("n") >= _SE_MIN_HOURS)
+    )
+    nn = F.col("n").cast("double")
+    var_num = (
+        F.col("n").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double")
+    r_e2 = F.floor(
+        F.lit(_SE_R_FRAC) * F.sqrt(var_num / (nn * (nn - 1.0)))
+        + F.lit(0.5)
+    ).cast("long")
+    tol = stats.select("event_type", r_e2.alias("r"))
+    wh = Window.partitionBy("event_type").orderBy("h")
+    tmpl = (
+        hourly.withColumn("h1", F.lead("h").over(wh))
+        .withColumn("v1", F.lead("v").over(wh))
+        .withColumn("h2", F.lead("h", 2).over(wh))
+        .withColumn("v2", F.lead("v", 2).over(wh))
+        .filter(
+            (F.col("h1") == F.col("h") + 1)
+            & (F.col("h2") == F.col("h") + 2)
+        )
+        .join(F.broadcast(tol), "event_type")
+    )
+    a_t = tmpl.select(
+        "event_type", "r",
+        F.col("h").alias("ha"), F.col("v").alias("a0"),
+        F.col("v1").alias("a1"), F.col("v2").alias("a2"),
+    )
+    b_t = tmpl.select(
+        "event_type",
+        F.col("h").alias("hb"), F.col("v").alias("b0"),
+        F.col("v1").alias("b1"), F.col("v2").alias("b2"),
+    )
+    pairs = a_t.join(b_t, "event_type").filter(
+        F.col("ha") < F.col("hb")
+    )
+    m2 = (
+        F.abs(F.col("a0") - F.col("b0")) <= F.col("r")
+    ) & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+    m3 = m2 & (F.abs(F.col("a2") - F.col("b2")) <= F.col("r"))
+    agg = pairs.groupBy("event_type", "r").agg(
+        F.sum(m2.cast("long")).alias("b_cnt"),
+        F.sum(m3.cast("long")).alias("a_cnt"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    sampen = -F.log(
+        F.col("a_cnt").cast("double") / F.col("b_cnt").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        (F.col("r").cast("double") / F.lit(100.0)).alias("tolerance"),
+        F.col("b_cnt").cast("long").alias("b_matches"),
+        F.col("a_cnt").cast("long").alias("a_matches"),
+        F.when(
+            (F.col("a_cnt") == 0) | (F.col("b_cnt") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(stable_round(sampen, 4))
+        .alias("sampen"),
+    ).orderBy("event_type")
+
+
+ORACLE_SAMPLE_ENTROPY = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), stats AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM hourly GROUP BY 1 HAVING count(*) >= {_SE_MIN_HOURS}
+), tol AS (
+  SELECT event_type,
+         CAST(floor({_SE_R_FRAC}
+                    * sqrt(CAST(n * q - s * s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1.0)))
+                    + 0.5) AS BIGINT) AS r
+  FROM stats
+), tmpl AS (
+  SELECT t.event_type, tol.r, t.h, t.v,
+         lead(t.v) OVER w AS v1, lead(t.h) OVER w AS h1,
+         lead(t.v, 2) OVER w AS v2, lead(t.h, 2) OVER w AS h2
+  FROM hourly t JOIN tol USING (event_type)
+  WINDOW w AS (PARTITION BY t.event_type ORDER BY t.h)
+), full3 AS (
+  SELECT event_type, r, h, v, v1, v2 FROM tmpl
+  WHERE h1 = h + 1 AND h2 = h + 2
+), pairs AS (
+  SELECT a.event_type, a.r,
+         CASE WHEN abs(a.v - b.v) <= a.r
+               AND abs(a.v1 - b.v1) <= a.r THEN 1 ELSE 0 END AS m2,
+         CASE WHEN abs(a.v - b.v) <= a.r
+               AND abs(a.v1 - b.v1) <= a.r
+               AND abs(a.v2 - b.v2) <= a.r THEN 1 ELSE 0 END AS m3
+  FROM full3 a JOIN full3 b
+    ON a.event_type = b.event_type AND a.h < b.h
+), agg AS (
+  SELECT event_type, r, sum(m2) AS b_cnt, sum(m3) AS a_cnt
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(r AS DOUBLE) / 100.0 AS tolerance,
+       CAST(b_cnt AS BIGINT) AS b_matches,
+       CAST(a_cnt AS BIGINT) AS a_matches,
+       CASE WHEN a_cnt = 0 OR b_cnt = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "-ln(CAST(a_cnt AS DOUBLE) / CAST(b_cnt AS DOUBLE))",
+           4)} END AS sampen
+FROM agg ORDER BY event_type
+""".strip()
+
+
+# ------------------------------------------------ rich-club coefficient
+
+
+_RC_MINSUP = 2  # same support floor as the co-purchase graph family
+_RC_QS = (25, 50, 75, 90)  # degree-percentile thresholds
+
+
+def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT of the co-purchase graph (Zhou &
+    Mondragón 2004): φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph
+    of nodes with degree > k, with k swept at the EXACT degree
+    percentiles {_RC_QS} (k_q = the degree at sorted position
+    ⌈q·N⌉ — data-driven thresholds discriminate at any graph
+    density, where a fixed k list saturates) — do the highest-degree
+    parts preferentially co-occur with EACH OTHER (φ→1: an
+    interconnected core the family's assortativity number can only
+    hint at) or only with the periphery? The structural complement
+    to graph_assortativity / graph_kcore.
+
+    Exactness: k_q is an exact order statistic (row_number over a
+    deterministic (deg, node) order); N_k, E_k exact counts; φ is
+    ONE division. stable_round(6).
+
+    Scale: edges from the Σ basket² order-key co-partitioned
+    self-join (support ≥ {_RC_MINSUP}); degrees are a part-sized
+    aggregate BROADCAST onto the edge list; the percentile sweep is
+    a 4-row literal join over the bounded degree/edge relations.
+    Same ×N-replica cost-model note as its graph siblings: replicas
+    densify the support graph rather than scale it
+    (docs/SCALING.md).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _RC_MINSUP)
+        .select("p1", "p2")
+    )
+    deg = (
+        edges.select(F.col("p1").alias("p"))
+        .unionByName(edges.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    qs = spark.createDataFrame(
+        [(int(q),) for q in _RC_QS], "q long"
+    )
+    # distributed global order statistic: bucket by deg itself
+    # (monotone, ties share a bucket), never a one-task global sort
+    ranked = global_rank(
+        deg,
+        F.col("deg"),
+        [F.col("deg"), F.col("p")],
+        rank_col="rn",
+        total_col="n_nodes",
+    )
+    ks = (
+        qs.crossJoin(
+            F.broadcast(
+                ranked.select("n_nodes").limit(1)
+            )
+        )
+        .select(
+            "q",
+            F.ceil(
+                F.col("q") * F.col("n_nodes") / F.lit(100)
+            ).cast("long").alias("pos"),
+        )
+        .join(ranked, F.col("pos") == F.col("rn"))
+        .select("q", F.col("deg").alias("k"))
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    ed = (
+        edges.join(
+            F.broadcast(
+                deg.select(F.col("p").alias("p1"), F.col("deg").alias("d1"))
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("p").alias("p2"), F.col("deg").alias("d2"))
+            ),
+            "p2",
+        )
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("d1") > F.col("k")) & (F.col("d2") > F.col("k")))
+        .groupBy("q", "k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    out = (
+        ks.join(nk, ["q", "k"], "left")
+        .join(ed, ["q", "k"], "left")
+        .select(
+            "q",
+            "k",
+            F.coalesce(F.col("n_k"), F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("e_k"),
+        )
+    )
+    phi = (
+        F.lit(2.0)
+        * F.col("e_k").cast("double")
+        / (F.col("n_k").cast("double") * (F.col("n_k").cast("double") - 1.0))
+    )
+    return out.select(
+        F.col("q").cast("long").alias("deg_percentile"),
+        F.col("k").cast("long").alias("k"),
+        "n_k",
+        "e_k",
+        F.when(F.col("n_k") < 2, F.lit(None).cast("double"))
+        .otherwise(stable_round(phi, 6))
+        .alias("phi"),
+    ).orderBy("deg_percentile")
+
+
+ORACLE_RICHCLUB = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {_RC_MINSUP}
+), deg AS (
+  SELECT p, count(*) AS deg FROM (
+    SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+  ) GROUP BY 1
+), ranked AS (
+  SELECT deg, row_number() OVER (ORDER BY deg, p) AS rn,
+         count(*) OVER () AS n_nodes
+  FROM deg
+), ks AS (
+  SELECT q, deg AS k
+  FROM (SELECT unnest({list(_RC_QS)}) AS q) qs
+  JOIN ranked ON rn = CAST(ceil(q * n_nodes / 100.0) AS BIGINT)
+), nk AS (
+  SELECT q, k, count(*) AS n_k
+  FROM deg, ks WHERE deg > k GROUP BY 1, 2
+), ed AS (
+  SELECT q, k, count(*) AS e_k
+  FROM edges e
+  JOIN deg d1 ON d1.p = e.p1
+  JOIN deg d2 ON d2.p = e.p2, ks
+  WHERE d1.deg > k AND d2.deg > k GROUP BY 1, 2
+)
+SELECT ks.q AS deg_percentile, ks.k,
+       coalesce(n_k, 0) AS n_k, coalesce(e_k, 0) AS e_k,
+       CASE WHEN coalesce(n_k, 0) < 2 THEN NULL ELSE
+       {sql_stable_round(
+           "2.0 * coalesce(e_k, 0)"
+           " / (CAST(n_k AS DOUBLE) * (n_k - 1.0))", 6)} END AS phi
+FROM ks LEFT JOIN nk USING (q, k) LEFT JOIN ed USING (q, k)
+ORDER BY deg_percentile
+""".strip()
+
+
+QUERIES.update(
+    {
+        "brand_safety_stock": q_brand_safety_stock,
+        "metric_sample_entropy": q_metric_sample_entropy,
+        "graph_richclub": q_graph_richclub,
+    }
+)
+
+ORACLES.update(
+    {
+        "brand_safety_stock": ORACLE_SAFETY_STOCK,
+        "metric_sample_entropy": ORACLE_SAMPLE_ENTROPY,
+        "graph_richclub": ORACLE_RICHCLUB,
     }
 )

@@ -194,14 +194,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # sf0.01 + partition-determinism-swept on addition; they displaced
 # this list's TAIL as they landed: the 15 oldest r8 re-confirmations
 # sample_temperature … dedup_canonical, then tpch_q15_topsupp,
-# privacy_tokenize, funnel_time_to_convert, agg_multi_tenant for the
-# 4 tailstats keys), then the oldest
+# privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
+# tpch_q11_fraction, tpch_q13_histogram, tpch_q9_profit,
+# tpch_q10_returns for the 8 tailstats/DEFF keys), then the oldest
 # re-confirmations: the 15 r7-window keys neither R10 nor R11 carried
 # (CORRECTNESS_r07 rows, 5 rounds old by r12 — the oldest in the
 # registry), then the oldest r8-window keys in window order.
 # _DRIVER_WINDOW_R12: tuple[str, ...] = (
 #     "metric_extreme_value", "metric_cointegration",
 #     "demand_croston", "events_attribution_shapley",
+#     "brand_safety_stock", "metric_sample_entropy",
+#     "graph_richclub", "sample_design_effect",
 #     "metric_seasonal_strength", "customer_churn_risk",
 #     "metric_dickey_fuller", "quality_signal_correlation",
 #     "metric_runs_test", "metric_ljung_box", "metric_kpss",
@@ -221,8 +224,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "dedup_embedding_exact", "dedup_simhash_estimate",
 #     "metric_capacity_eta", "text_oov_rate",
 #     "orders_basket_size_hist", "quality_by_lang_source",
-#     "tpch_q9_profit", "tpch_q10_returns", "tpch_q11_fraction",
-#     "tpch_q13_histogram",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

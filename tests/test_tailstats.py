@@ -234,3 +234,200 @@ def test_shapley_touches_after_first_purchase_do_not_count(
     assert out["view"].n_journeys == 1
     assert out["view"].n_conversions == 0
     assert all(abs(r.shapley_value) < 1e-12 for r in rows_out)
+
+
+def _write_li_orders_part(spark, tmp_path, li, orders, part):
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        part,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+
+def test_safety_stock_matches_hand_formulas(spark, tmp_path):
+    """One brand shipping 10 units every week for 10 weeks with a
+    constant 14-day order→ship lead reproduces the textbook numbers:
+    σ_w from the sparse-sum formula over the GLOBAL span, SS =
+    1.6449·σ·√2, ROP = μ·2 + SS; a non-causal line (ship < order)
+    stays OUT of the lead estimate but IN the demand series."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 7, tzinfo=timezone.utc)
+    li, orders = [], []
+    for wk in range(10):
+        ship = base + timedelta(weeks=wk)
+        li.append(
+            (wk, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", ship)
+        )
+        orders.append(
+            (wk, 1, "O", 100.0, ship - timedelta(days=14), "1-URGENT")
+        )
+    # non-causal: order AFTER ship — excluded from lead, counted in demand
+    li.append((99, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", base))
+    orders.append(
+        (99, 1, "O", 100.0, base + timedelta(days=30), "1-URGENT")
+    )
+    part = [(1, "p", "B", "t", 1, 10.0)]
+    _write_li_orders_part(spark, tmp_path, li, orders, part)
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_brand_safety_stock,
+    )
+
+    rows = q_brand_safety_stock(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.lead_days == 14.0  # the non-causal line is excluded
+    # demand: week 0 carries 20 (ramp line + non-causal line), weeks
+    # 1..9 carry 10 each over W = span weeks
+    w = r.n_weeks
+    demands = [20.0] + [10.0] * 9 + [0.0] * (w - 10)
+    mu = sum(demands) / w
+    var = sum((d - mu) ** 2 for d in demands) / (w - 1)
+    assert abs(r.mu_week - round(mu, 4)) < 1e-9
+    assert abs(r.sigma_week - math.sqrt(var)) < 1e-3
+    lead_w = 2.0
+    ss = 1.6449 * r.sigma_week * math.sqrt(lead_w)
+    assert abs(r.safety_stock - ss) < 1e-3
+    assert abs(r.reorder_point - (r.mu_week * lead_w + ss)) < 2e-3
+
+
+def test_sample_entropy_zero_for_periodic_positive_for_noise(
+    spark, tmp_path
+):
+    """A strict period-2 alternation has A = B (every first-2 match
+    extends to the 3rd point) → SampEn = 0; a deterministic noisy
+    series has A < B → SampEn > 0."""
+    n = 96
+    periodic = [10.0 if h % 2 else 90.0 for h in range(n)]
+    noisy = [
+        50.0 + math.sin(h * 1.9) * 30 + (h * 11 % 13) * 3
+        for h in range(n)
+    ]
+    _write_events(
+        spark,
+        tmp_path,
+        _series_events({"periodic": periodic, "noisy": noisy}),
+    )
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_metric_sample_entropy,
+    )
+
+    out = {
+        r.event_type: r
+        for r in q_metric_sample_entropy(spark, str(tmp_path)).collect()
+    }
+    p = out["periodic"]
+    assert p.a_matches == p.b_matches > 0
+    assert p.sampen == 0.0
+    nz = out["noisy"]
+    assert nz.sampen is None or nz.sampen > 0.0
+
+
+def test_richclub_dense_core_reads_phi_one(spark, tmp_path):
+    """A 4-part clique (every pair co-ordered twice) plus 12 spoke
+    parts each co-ordered twice with ONE core part: at the top degree
+    percentile only the core qualifies and φ = 1.0; φ never decreases
+    toward higher thresholds on this graph."""
+    li, ok = [], 0
+    core = [1, 2, 3, 4]
+    # clique: each core pair appears in 2 orders
+    for rep in range(2):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                for p in (core[i], core[j]):
+                    li.append(
+                        (
+                            ok, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                            datetime(2024, 1, 10, tzinfo=timezone.utc),
+                        )
+                    )
+                ok += 1
+    # spokes: parts 10..21, each twice with core part 1
+    for s in range(10, 22):
+        for rep in range(2):
+            for p in (1, s):
+                li.append(
+                    (
+                        ok, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                        datetime(2024, 1, 10, tzinfo=timezone.utc),
+                    )
+                )
+            ok += 1
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from monasca_aggregator_spark.plans.tailstats import q_graph_richclub
+
+    rows = q_graph_richclub(spark, str(tmp_path)).collect()
+    assert [r.deg_percentile for r in rows] == [25, 50, 75, 90]
+    # degrees: part 1 has 15, parts 2-4 have 3, spokes have 1 →
+    # sorted degs = [1×12, 3×3, 15]; p90 position ceil(0.9·16)=15 → k=3
+    top = rows[-1]
+    assert top.k == 3
+    assert top.n_k == 1  # only part 1 exceeds k=3 → φ undefined
+    assert top.phi is None
+    # p75: position 12 → k=1; club = parts 2,3,4 (deg 3) + part 1 →
+    # clique of 4 → φ = 1.0
+    p75 = rows[2]
+    assert p75.k == 1 and p75.n_k == 4 and p75.e_k == 6
+    assert p75.phi == 1.0
+    phis = [r.phi for r in rows if r.phi is not None]
+    assert phis == sorted(phis)  # non-decreasing toward the core
+
+
+def test_design_effect_orderings_and_proportional_value(
+    spark, tmp_path
+):
+    """Two strata — one varied, one constant: DEFF(neyman) ≤
+    DEFF(proportional) ≤ 1, and DEFF(proportional) equals the
+    within-stratum variance share Σ(N_h/N)σ²_h / σ²_tot exactly."""
+    rows = []
+    i = 0
+    lens_a = [100, 300, 500, 700, 900, 1100] * 5  # varied
+    for ln in lens_a:
+        rows.append((i, "x", "en", "varied", ln))
+        i += 1
+    for _ in range(30):
+        rows.append((i, "x", "en", "constant", 400))
+        i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from monasca_aggregator_spark.plans.pipeline_ops import (
+        q_sample_design_effect,
+    )
+
+    out = {
+        r.design: r
+        for r in q_sample_design_effect(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"equal", "neyman", "proportional"}
+    assert out["neyman"].deff <= out["proportional"].deff <= 1.0
+    # hand value for proportional: within-variance share
+    all_lens = lens_a + [400] * 30
+    n_tot = len(all_lens)
+    mu = sum(all_lens) / n_tot
+    var_tot = sum((x - mu) ** 2 for x in all_lens) / n_tot
+    mu_a = sum(lens_a) / len(lens_a)
+    var_a = sum((x - mu_a) ** 2 for x in lens_a) / len(lens_a)
+    expected = (len(lens_a) / n_tot) * var_a / var_tot
+    assert abs(out["proportional"].deff - expected) < 1e-3
+    assert out["neyman"].n_eff >= out["proportional"].n_eff
