@@ -380,6 +380,8 @@ BENCH_QUERIES = [
     "metric_sample_entropy",
     "graph_richclub",
     "sample_design_effect",
+    "metric_friedman",
+    "metric_granger",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -1289,3 +1289,316 @@ ORACLES.update(
         "graph_richclub": ORACLE_RICHCLUB,
     }
 )
+
+
+# --------------------------------------------- Friedman blocked ranks
+
+
+_FR_MIN_DAYS = 14  # need the dow × hod grid reasonably filled
+_FR_CHI2_05_6 = 12.5916  # χ²(6) upper 5% critical value (k−1 = 6)
+
+
+def q_metric_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN BLOCKED RANK TEST per metric (Friedman 1937): is
+    there a DAY-OF-WEEK effect after CONTROLLING for hour-of-day?
+    Each of the 24 hour-of-day blocks ranks the 7 day-of-week
+    totals; Q = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) against χ²(6) — the
+    two-way nonparametric design the family's Kruskal-Wallis row
+    (one-way, hour groups) cannot express: a metric can show a
+    strong weekday pattern that KW's hour-of-day grouping never
+    sees.
+
+    Exactness: (hod, dow) cell totals are exact e2 sums; ranks ride
+    DOUBLED integers (average rank = (2·min_rank + ties − 1)/2, so
+    2·rank is always integral — ties stay exact); R_j and Q are ONE
+    fixed-shape expression. stable_round(4).
+
+    Scale: the corpus collapses to |metrics|×24×7 cells in ONE
+    shuffle with map-side partials; the rank window partitions by
+    (metric, hod); output is |metrics| rows."""
+    hourly = _hourly_e2(spark, sf_dir)
+    cells = (
+        hourly.groupBy(
+            "event_type",
+            F.pmod(F.col("h"), F.lit(24)).alias("hod"),
+            F.pmod(F.floor(F.col("h") / F.lit(24)) + 4, F.lit(7)).alias(
+                "dow"
+            ),
+        )
+        .agg(F.sum("v").alias("cv"), F.count(F.lit(1)).alias("nh"))
+    )
+    ok = (
+        hourly.groupBy("event_type")
+        .agg(
+            (F.max(F.floor(F.col("h") / 24)) - F.min(F.floor(F.col("h") / 24)) + 1).alias("days"),
+        )
+        .filter(F.col("days") >= _FR_MIN_DAYS)
+        .select("event_type")
+    )
+    # complete grid only: blocks missing a treatment can't rank 7 —
+    # require all 7 dow cells per (metric, hod) block
+    full_blocks = (
+        cells.groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("ncell"))
+        .filter(F.col("ncell") == 7)
+        .select("event_type", "hod")
+    )
+    c = cells.join(F.broadcast(ok), "event_type").join(
+        full_blocks, ["event_type", "hod"]
+    )
+    wb = Window.partitionBy("event_type", "hod").orderBy("cv")
+    # doubled average rank: 2·min_rank + ties − 1 (exact under ties)
+    ranked = c.select(
+        "event_type",
+        "hod",
+        "dow",
+        (
+            2 * F.rank().over(wb)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "hod", "cv")
+            )
+            - 1
+        ).alias("r2"),
+    )
+    per_dow = ranked.groupBy("event_type", "dow").agg(
+        F.sum("r2").alias("rj2"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    agg = per_dow.groupBy("event_type").agg(
+        F.sum(
+            F.col("rj2").cast(_DEC) * F.col("rj2").cast(_DEC)
+        ).alias("sr2"),
+        F.max("n_blocks").alias("n"),
+        F.min("n_blocks").alias("n_min"),
+    ).filter(F.col("n") == F.col("n_min"))
+    nb = F.col("n").cast("double")
+    k = F.lit(7.0)
+    # Q with doubled ranks: ΣR_j² = sr2/4
+    q_stat = (
+        F.lit(12.0)
+        / (nb * k * (k + 1.0))
+        * (F.col("sr2").cast("double") / F.lit(4.0))
+        - F.lit(3.0) * nb * (k + 1.0)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_blocks"),
+        stable_round(q_stat, 4).alias("q_stat"),
+        F.when(q_stat > F.lit(_FR_CHI2_05_6), F.lit("dow_effect"))
+        .otherwise(F.lit("no_dow_effect"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+ORACLE_FRIEDMAN = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), cells AS (
+  SELECT event_type, h % 24 AS hod, ((h // 24) + 4) % 7 AS dow,
+         CAST(sum(v) AS HUGEINT) AS cv
+  FROM hourly GROUP BY 1, 2, 3
+), ok AS (
+  SELECT event_type
+  FROM hourly GROUP BY 1
+  HAVING max(h // 24) - min(h // 24) + 1 >= {_FR_MIN_DAYS}
+), full_blocks AS (
+  SELECT event_type, hod FROM cells GROUP BY 1, 2
+  HAVING count(*) = 7
+), ranked AS (
+  SELECT c.event_type, c.hod, c.dow,
+         2 * rank() OVER (PARTITION BY c.event_type, c.hod
+                          ORDER BY c.cv)
+           + count(*) OVER (PARTITION BY c.event_type, c.hod, c.cv)
+           - 1 AS r2
+  FROM cells c
+  JOIN ok USING (event_type)
+  JOIN full_blocks USING (event_type, hod)
+), per_dow AS (
+  SELECT event_type, dow, CAST(sum(r2) AS HUGEINT) AS rj2,
+         count(*) AS n_blocks
+  FROM ranked GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, sum(rj2 * rj2) AS sr2,
+         max(n_blocks) AS n, min(n_blocks) AS n_min
+  FROM per_dow GROUP BY 1 HAVING max(n_blocks) = min(n_blocks)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
+       {sql_stable_round(
+           "12.0 / (CAST(n AS DOUBLE) * 7.0 * 8.0)"
+           " * (CAST(sr2 AS DOUBLE) / 4.0)"
+           " - 3.0 * CAST(n AS DOUBLE) * 8.0", 4)} AS q_stat,
+       CASE WHEN 12.0 / (CAST(n AS DOUBLE) * 7.0 * 8.0)
+                 * (CAST(sr2 AS DOUBLE) / 4.0)
+                 - 3.0 * CAST(n AS DOUBLE) * 8.0 > {_FR_CHI2_05_6}
+            THEN 'dow_effect' ELSE 'no_dow_effect' END AS verdict
+FROM agg ORDER BY event_type
+""".strip()
+
+
+# ------------------------------------------- Granger causality screen
+
+
+_GC_MIN_HOURS = 72
+
+
+def q_metric_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY screen per DIRECTED metric pair (Granger
+    1969, lag-1 bivariate form): does yesterday's x improve the
+    one-hour-ahead prediction of y beyond y's own past? OLS of y_t
+    on (y_{t−1}, x_{t−1}) in closed form from exact centered
+    moments; the report is t(γ̂) for the cross-lag term against
+    ±1.96 — the DIRECTED temporal complement to the family's
+    lead-lag correlation (which is symmetric evidence) and
+    `metric_cointegration` (which is about levels, not increments).
+
+    Exactness: the ten raw moments over aligned consecutive-hour
+    triples ride DEC38; centered moments, β̂/γ̂, SSR and t are ONE
+    fixed-shape double expression chain. stable_round(4)/(6).
+    Degenerate (singular normal equations) pairs report NULL.
+
+    Scale: ONE corpus shuffle to |metrics|×|hours|; the pair
+    alignment is an hour-co-partitioned join bounded by |metrics|²
+    pairs; moments collapse per pair with map-side partials."""
+    hourly = _hourly_e2(spark, sf_dir)
+    wh = Window.partitionBy("event_type").orderBy("h")
+    lagged = (
+        hourly.withColumn("hp", F.lag("h").over(wh))
+        .withColumn("vp", F.lag("v").over(wh))
+        .filter(F.col("hp") == F.col("h") - 1)
+        .select("event_type", "h", F.col("v").alias("y"), F.col("vp").alias("u"))
+    )
+    xs = hourly.select(
+        F.col("event_type").alias("mx"),
+        (F.col("h") + 1).alias("h"),
+        F.col("v").alias("w"),
+    )
+    j = (
+        lagged.join(xs, "h")
+        .filter(F.col("event_type") != F.col("mx"))
+    )
+    mom = (
+        j.groupBy(
+            F.col("mx").alias("cause"),
+            F.col("event_type").alias("effect"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum("u").alias("su"),
+            F.sum("w").alias("sw"),
+            F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).alias("syy"),
+            F.sum(F.col("u").cast(_DEC) * F.col("u").cast(_DEC)).alias("suu"),
+            F.sum(F.col("w").cast(_DEC) * F.col("w").cast(_DEC)).alias("sww"),
+            F.sum(F.col("u").cast(_DEC) * F.col("y").cast(_DEC)).alias("suy"),
+            F.sum(F.col("w").cast(_DEC) * F.col("y").cast(_DEC)).alias("swy"),
+            F.sum(F.col("u").cast(_DEC) * F.col("w").cast(_DEC)).alias("suw"),
+        )
+        .filter(F.col("n") >= _GC_MIN_HOURS)
+    )
+    nn = F.col("n").cast(_DEC)
+    cuu = (nn * F.col("suu") - F.col("su").cast(_DEC) * F.col("su").cast(_DEC)).cast("double")
+    cww = (nn * F.col("sww") - F.col("sw").cast(_DEC) * F.col("sw").cast(_DEC)).cast("double")
+    cuw = (nn * F.col("suw") - F.col("su").cast(_DEC) * F.col("sw").cast(_DEC)).cast("double")
+    cuy = (nn * F.col("suy") - F.col("su").cast(_DEC) * F.col("sy").cast(_DEC)).cast("double")
+    cwy = (nn * F.col("swy") - F.col("sw").cast(_DEC) * F.col("sy").cast(_DEC)).cast("double")
+    cyy = (nn * F.col("syy") - F.col("sy").cast(_DEC) * F.col("sy").cast(_DEC)).cast("double")
+    det = cuu * cww - cuw * cuw
+    beta = (cuy * cww - cwy * cuw) / det
+    gamma = (cwy * cuu - cuy * cuw) / det
+    # SSR·n (scaled residual variance): n·SSR = cyy − β·cuy − γ·cwy
+    nssr = cyy - beta * cuy - gamma * cwy
+    nd = F.col("n").cast("double")
+    sigma2n = nssr / (nd - 3.0)
+    t_gamma = gamma / F.sqrt(sigma2n * cuu / det)
+    degenerate = (det <= 0) | (nssr <= 0)
+    return mom.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n_hours"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(gamma, 6))
+        .alias("cross_lag_coef"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(t_gamma, 4))
+        .alias("t_stat"),
+        F.when(degenerate, F.lit("degenerate"))
+        .when(F.abs(t_gamma) > 1.96, F.lit("granger_causes"))
+        .otherwise(F.lit("no_evidence"))
+        .alias("verdict"),
+    ).orderBy("cause", "effect")
+
+
+ORACLE_GRANGER = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), lagged AS (
+  SELECT event_type, h, v AS y,
+         lag(v) OVER (PARTITION BY event_type ORDER BY h) AS u,
+         lag(h) OVER (PARTITION BY event_type ORDER BY h) AS hp
+  FROM hourly
+), al AS (
+  SELECT l.event_type AS effect, x.event_type AS cause, l.h,
+         l.y, l.u, x.v AS w
+  FROM lagged l
+  JOIN hourly x ON x.h = l.h - 1 AND x.event_type <> l.event_type
+  WHERE l.hp = l.h - 1
+), mom AS (
+  SELECT cause, effect, count(*) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(u) AS HUGEINT) AS su,
+         CAST(sum(w) AS HUGEINT) AS sw,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(u AS HUGEINT) * u) AS suu,
+         sum(CAST(w AS HUGEINT) * w) AS sww,
+         sum(CAST(u AS HUGEINT) * y) AS suy,
+         sum(CAST(w AS HUGEINT) * y) AS swy,
+         sum(CAST(u AS HUGEINT) * w) AS suw
+  FROM al GROUP BY 1, 2 HAVING count(*) >= {_GC_MIN_HOURS}
+), cm AS (
+  SELECT cause, effect, n,
+         CAST(n * suu - su * su AS DOUBLE) AS cuu,
+         CAST(n * sww - sw * sw AS DOUBLE) AS cww,
+         CAST(n * suw - su * sw AS DOUBLE) AS cuw,
+         CAST(n * suy - su * sy AS DOUBLE) AS cuy,
+         CAST(n * swy - sw * sy AS DOUBLE) AS cwy,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+  FROM mom
+), fit AS (
+  SELECT cause, effect, n, cuu, cuw, cuy, cwy, cyy,
+         cuu * cww - cuw * cuw AS det,
+         (cuy * cww - cwy * cuw) / (cuu * cww - cuw * cuw) AS beta,
+         (cwy * cuu - cuy * cuw) / (cuu * cww - cuw * cuw) AS gamma
+  FROM cm
+), fin AS (
+  SELECT cause, effect, n, det, gamma,
+         cyy - beta * cuy - gamma * cwy AS nssr, cuu
+  FROM fit
+)
+SELECT cause, effect, CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN det <= 0 OR nssr <= 0 THEN NULL ELSE
+       {sql_stable_round("gamma", 6)} END AS cross_lag_coef,
+       CASE WHEN det <= 0 OR nssr <= 0 THEN NULL ELSE
+       {sql_stable_round(
+           "gamma / sqrt((nssr / (CAST(n AS DOUBLE) - 3.0))"
+           " * cuu / det)", 4)} END AS t_stat,
+       CASE WHEN det <= 0 OR nssr <= 0 THEN 'degenerate'
+            WHEN abs(gamma / sqrt((nssr / (CAST(n AS DOUBLE) - 3.0))
+                                  * cuu / det)) > 1.96
+              THEN 'granger_causes'
+            ELSE 'no_evidence' END AS verdict
+FROM fin ORDER BY cause, effect
+""".strip()
+
+
+QUERIES.update(
+    {
+        "metric_friedman": q_metric_friedman,
+        "metric_granger": q_metric_granger,
+    }
+)
+
+ORACLES.update(
+    {
+        "metric_friedman": ORACLE_FRIEDMAN,
+        "metric_granger": ORACLE_GRANGER,
+    }
+)

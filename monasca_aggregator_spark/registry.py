@@ -196,7 +196,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # sample_temperature … dedup_canonical, then tpch_q15_topsupp,
 # privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
 # tpch_q11_fraction, tpch_q13_histogram, tpch_q9_profit,
-# tpch_q10_returns for the 8 tailstats/DEFF keys), then the oldest
+# tpch_q10_returns, orders_basket_size_hist, quality_by_lang_source
+# for the 10 tailstats/DEFF/Friedman/Granger keys), then the oldest
 # re-confirmations: the 15 r7-window keys neither R10 nor R11 carried
 # (CORRECTNESS_r07 rows, 5 rounds old by r12 — the oldest in the
 # registry), then the oldest r8-window keys in window order.
@@ -205,6 +206,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "demand_croston", "events_attribution_shapley",
 #     "brand_safety_stock", "metric_sample_entropy",
 #     "graph_richclub", "sample_design_effect",
+#     "metric_friedman", "metric_granger",
 #     "metric_seasonal_strength", "customer_churn_risk",
 #     "metric_dickey_fuller", "quality_signal_correlation",
 #     "metric_runs_test", "metric_ljung_box", "metric_kpss",
@@ -223,7 +225,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "embedding_centroid_accuracy", "metric_mttr",
 #     "dedup_embedding_exact", "dedup_simhash_estimate",
 #     "metric_capacity_eta", "text_oov_rate",
-#     "orders_basket_size_hist", "quality_by_lang_source",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

@@ -431,3 +431,57 @@ def test_design_effect_orderings_and_proportional_value(
     expected = (len(lens_a) / n_tot) * var_a / var_tot
     assert abs(out["proportional"].deff - expected) < 1e-3
     assert out["neyman"].n_eff >= out["proportional"].n_eff
+
+
+def test_friedman_flags_dow_effect_within_hod_blocks(spark, tmp_path):
+    """A metric that is always highest on one weekday (inside every
+    hour-of-day block) maxes the Friedman Q → 'dow_effect'; a
+    deterministic noise metric with no weekday structure does not."""
+    n_days = 28
+    spike, flat = [], []
+    for d in range(n_days):
+        for h in range(24):
+            spike.append(100.0 if d % 7 == 2 else 10.0 + (d * 24 + h) % 5)
+            flat.append(10.0 + ((d * 24 + h) * 7) % 11)
+    _write_events(
+        spark, tmp_path, _series_events({"spike": spike, "flat": flat})
+    )
+    from monasca_aggregator_spark.plans.tailstats import q_metric_friedman
+
+    out = {
+        r.event_type: r
+        for r in q_metric_friedman(spark, str(tmp_path)).collect()
+    }
+    assert out["spike"].n_blocks == 24
+    assert out["spike"].verdict == "dow_effect"
+    # one treatment always ranked top: Q at its k=7 maximum region
+    assert out["spike"].q_stat > 20
+    assert out["flat"].verdict == "no_dow_effect"
+
+
+def test_granger_directed_cause_detected_not_reversed(spark, tmp_path):
+    """y_t = 0.5·y_{t−1} + 2·x_{t−1} + tiny wiggle with i.i.d.-ish x:
+    x→y reads granger_causes with γ ≈ 2; the reverse direction finds
+    no evidence."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    x = [100.0 + rng.choice([-30.0, -10.0, 10.0, 30.0]) for _ in range(n)]
+    y = [100.0]
+    for t in range(1, n):
+        y.append(0.5 * y[t - 1] + 2.0 * x[t - 1] + (1.0 if t % 2 else -1.0))
+    _write_events(
+        spark, tmp_path, _series_events({"xcause": x, "yeffect": y})
+    )
+    from monasca_aggregator_spark.plans.tailstats import q_metric_granger
+
+    out = {
+        (r.cause, r.effect): r
+        for r in q_metric_granger(spark, str(tmp_path)).collect()
+    }
+    fwd = out[("xcause", "yeffect")]
+    assert fwd.verdict == "granger_causes"
+    assert abs(fwd.cross_lag_coef - 2.0) < 0.05
+    rev = out[("yeffect", "xcause")]
+    assert rev.verdict == "no_evidence"
