@@ -382,6 +382,9 @@ BENCH_QUERIES = [
     "sample_design_effect",
     "metric_friedman",
     "metric_granger",
+    "events_ab_sprt",
+    "metric_amoc_changepoint",
+    "text_dispersion_juilland",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -1602,3 +1602,466 @@ ORACLES.update(
         "metric_granger": ORACLE_GRANGER,
     }
 )
+
+
+# ----------------------------------------- mixture-SPRT (always valid)
+
+
+_DAY_MS_AB = 86_400_000
+_SPRT_TAU2 = 0.0001  # mixture prior on the effect (≈1% lift scale)
+_SPRT_ALPHA_INV = 20.0  # reject when Λ > 1/α, α = 0.05
+
+
+def q_events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE SEQUENTIAL PROBABILITY RATIO TEST over the running A/B
+    experiment (Wald 1945; the always-valid mSPRT form of Johari,
+    Koomen, Pekelis & Walsh 2017): the same user_id%2 split and
+    daily-conversion outcome as `events_ab_test`, but monitored
+    CUMULATIVELY — Λ_d from the normal-mixture likelihood ratio over
+    all data through day d, rejecting when Λ > 1/α. The property the
+    fixed-horizon z-test row cannot offer: peeking every day at THIS
+    statistic never inflates the false-positive rate, so the row also
+    answers "when could we have honestly stopped?" (first_rejection
+    day rides on every row).
+
+    Exactness: cumulative counts are exact prefix sums (window over
+    the ≤|days| daily table); θ̂, V, log Λ are ONE fixed-shape double
+    chain; always_valid_p = min(1, e^{−log Λ}). stable_round(4)/(6).
+
+    Scale: events collapse to (day, variant, user) conversions in ONE
+    shuffle; everything after runs on the |days|-bounded daily table
+    (window partitioned — the stream per experiment is one series, a
+    monitoring cadence, never data volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(_DAY_MS_AB)).cast("long")
+    per_user = ev.groupBy(
+        day.alias("day"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        "user_id",
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "conv"
+        )
+    )
+    daily = per_user.groupBy("day").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n1"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("conv") == 1)).cast("long")
+        ).alias("c0"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("conv") == 1)).cast("long")
+        ).alias("c1"),
+    )
+    wcum = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the experiment is ONE series: the |days|-bounded window is the
+    # monitoring cadence (plan-audit allowlisted shape for daily
+    # cumulative experiment monitors)
+    cum = daily.select(
+        "day",
+        F.sum("n0").over(wcum).alias("N0"),
+        F.sum("n1").over(wcum).alias("N1"),
+        F.sum("c0").over(wcum).alias("C0"),
+        F.sum("c1").over(wcum).alias("C1"),
+    ).filter((F.col("N0") > 0) & (F.col("N1") > 0))
+    p0 = F.col("C0").cast("double") / F.col("N0").cast("double")
+    p1 = F.col("C1").cast("double") / F.col("N1").cast("double")
+    pp = (F.col("C0") + F.col("C1")).cast("double") / (
+        F.col("N0") + F.col("N1")
+    ).cast("double")
+    v = pp * (1.0 - pp) * (
+        F.lit(1.0) / F.col("N0").cast("double")
+        + F.lit(1.0) / F.col("N1").cast("double")
+    )
+    theta = p1 - p0
+    tau2 = F.lit(_SPRT_TAU2)
+    log_lambda = 0.5 * F.log(v / (v + tau2)) + (
+        theta * theta * tau2 / (2.0 * v * (v + tau2))
+    )
+    degenerate = v == 0
+    scored = cum.select(
+        "day",
+        (F.col("N0") + F.col("N1")).alias("n_users"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(theta, 6))
+        .alias("lift"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(log_lambda, 4))
+        .alias("log_lambda"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            stable_round(
+                F.least(F.lit(1.0), F.exp(-log_lambda)), 6
+            )
+        )
+        .alias("always_valid_p"),
+        F.when(
+            ~degenerate
+            & (log_lambda > F.lit(math.log(_SPRT_ALPHA_INV))),
+            F.col("day"),
+        ).alias("rej_day"),
+    )
+    first_rej = scored.agg(F.min("rej_day").alias("first_rejection"))
+    return (
+        scored.drop("rej_day")
+        .crossJoin(F.broadcast(first_rej))
+        .orderBy("day")
+    )
+
+
+ORACLE_AB_SPRT = f"""
+WITH pu AS (
+  SELECT epoch_ms(ts) // {_DAY_MS_AB} AS day,
+         CAST(user_id % 2 AS INT) AS variant, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1, 2, 3
+), daily AS (
+  SELECT day,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+           AS c0,
+         sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+           AS c1
+  FROM pu GROUP BY 1
+), cum AS (
+  SELECT day,
+         sum(n0) OVER w AS N0, sum(n1) OVER w AS N1,
+         sum(c0) OVER w AS C0, sum(c1) OVER w AS C1
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), sc AS (
+  SELECT day, N0 + N1 AS n_users,
+         CAST(C1 AS DOUBLE) / N1 - CAST(C0 AS DOUBLE) / N0 AS theta,
+         (CAST(C0 + C1 AS DOUBLE) / (N0 + N1))
+           * (1.0 - CAST(C0 + C1 AS DOUBLE) / (N0 + N1))
+           * (1.0 / N0 + 1.0 / N1) AS v
+  FROM cum WHERE N0 > 0 AND N1 > 0
+), ll AS (
+  SELECT day, n_users, theta, v,
+         0.5 * ln(v / (v + {_SPRT_TAU2}))
+           + theta * theta * {_SPRT_TAU2}
+             / (2.0 * v * (v + {_SPRT_TAU2})) AS log_lambda
+  FROM sc
+), fr AS (
+  SELECT min(CASE WHEN v <> 0
+                   AND log_lambda > {math.log(_SPRT_ALPHA_INV)}
+                  THEN day END) AS first_rejection
+  FROM ll
+)
+SELECT day, CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN v = 0 THEN NULL ELSE
+       {sql_stable_round("theta", 6)} END AS lift,
+       CASE WHEN v = 0 THEN NULL ELSE
+       {sql_stable_round("log_lambda", 4)} END AS log_lambda,
+       CASE WHEN v = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "least(1.0, exp(-log_lambda))", 6)} END AS always_valid_p,
+       first_rejection
+FROM ll, fr ORDER BY day
+""".strip()
+
+
+# ------------------------------------------- AMOC changepoint (Hinkley)
+
+
+_AMOC_MIN_SEG = 12  # hours per side — no 3-hour "regimes"
+
+
+def q_metric_amoc_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AT-MOST-ONE-CHANGE mean changepoint per metric (Hinkley 1970;
+    the binary-segmentation step of Scott & Knott 1974): the split
+    hour maximizing the between-segment sum of squares BSS(t) =
+    (S₁n₂ − S₂n₁)²/(n·n₁·n₂) — equivalently minimizing the two-segment
+    SSE — with ≥ {_AMOC_MIN_SEG} hours per side. Where the family's
+    CUSUM/Page-Hinkley rows DETECT drift sequentially, this row
+    LOCATES the single most likely level shift and sizes it
+    (mean_before/after, variance_reduction = BSS/TSS) — the
+    retrospective complement.
+
+    Exactness: prefix sums S₁, Q₁ are exact DEC38 windows; BSS
+    PRE-ROUNDS to an e6 integer and candidates rank on
+    (bss_e6 DESC, hour ASC) — a deterministic argmax with no float
+    comparison ambiguity; reported means/fractions are ONE division
+    each. stable_round(4)/(6).
+
+    Scale: ONE corpus shuffle to |metrics|×|hours|; the candidate
+    sweep is a metric-partitioned window over that bounded series;
+    WindowGroupLimit keeps the rank-1 filter streaming."""
+    hourly = _hourly_e2(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = hourly.select(
+        "event_type",
+        "h",
+        F.sum("v").over(wcum).alias("s1"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .alias("i"),
+        F.sum("v").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC))
+        .over(wall)
+        .alias("q"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC))
+        .over(wcum)
+        .alias("q1"),
+    ).filter(
+        (F.col("i") >= _AMOC_MIN_SEG)
+        & (F.col("i") <= F.col("n") - _AMOC_MIN_SEG)
+    )
+    n1 = F.col("i").cast(_DEC)
+    n2 = (F.col("n") - F.col("i")).cast(_DEC)
+    s1 = F.col("s1").cast(_DEC)
+    s2 = (F.col("s") - F.col("s1")).cast(_DEC)
+    num = (s1 * n2 - s2 * n1).cast("double")
+    den = (
+        F.col("n").cast("double")
+        * F.col("i").cast("double")
+        * (F.col("n") - F.col("i")).cast("double")
+    )
+    bss = num * num / den
+    cand = c.select(
+        "event_type",
+        "h",
+        "i",
+        "n",
+        "s1",
+        "s",
+        "q",
+        F.floor(bss / F.lit(1e4) + F.lit(0.5)).cast("long").alias(
+            "bss_e"
+        ),
+        bss.alias("bss"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("bss_e").desc(), F.col("h").asc()
+    )
+    best = cand.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") == 1
+    )
+    tss = (
+        F.col("n").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    ).cast("double") / F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / F.col("i").cast("double") / 100.0
+    m2 = (
+        (F.col("s") - F.col("s1")).cast("double")
+        / (F.col("n") - F.col("i")).cast("double")
+        / 100.0
+    )
+    degenerate = tss == 0
+    return best.select(
+        "event_type",
+        F.col("h").cast("long").alias("change_hour"),
+        F.col("i").cast("long").alias("n_before"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_after"),
+        stable_round(m1, 4).alias("mean_before"),
+        stable_round(m2, 4).alias("mean_after"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(F.col("bss") / tss, 6))
+        .alias("variance_reduction"),
+    ).orderBy("event_type")
+
+
+ORACLE_AMOC = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), c AS (
+  SELECT event_type, h,
+         sum(v) OVER wc AS s1,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+         sum(v) OVER wa AS s,
+         count(*) OVER wa AS n,
+         sum(CAST(v AS HUGEINT) * v) OVER wa AS q
+  FROM hourly
+  WINDOW wc AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY event_type)
+), cand AS (
+  SELECT event_type, h, i, n, s1, s, q,
+         CAST(floor(
+           CAST(CAST(s1 AS HUGEINT) * (n - i)
+                - CAST(s - s1 AS HUGEINT) * i AS DOUBLE)
+           * CAST(CAST(s1 AS HUGEINT) * (n - i)
+                  - CAST(s - s1 AS HUGEINT) * i AS DOUBLE)
+           / (CAST(n AS DOUBLE) * i * (n - i)) / 1e4 + 0.5)
+           AS BIGINT) AS bss_e,
+         CAST(CAST(s1 AS HUGEINT) * (n - i)
+              - CAST(s - s1 AS HUGEINT) * i AS DOUBLE)
+         * CAST(CAST(s1 AS HUGEINT) * (n - i)
+                - CAST(s - s1 AS HUGEINT) * i AS DOUBLE)
+         / (CAST(n AS DOUBLE) * i * (n - i)) AS bss
+  FROM c
+  WHERE i >= {_AMOC_MIN_SEG} AND i <= n - {_AMOC_MIN_SEG}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY bss_e DESC, h ASC) AS rk
+  FROM cand
+)
+SELECT event_type, CAST(h AS BIGINT) AS change_hour,
+       CAST(i AS BIGINT) AS n_before,
+       CAST(n - i AS BIGINT) AS n_after,
+       {sql_stable_round(
+           "CAST(s1 AS DOUBLE) / i / 100.0", 4)} AS mean_before,
+       {sql_stable_round(
+           "CAST(s - s1 AS DOUBLE) / (n - i) / 100.0",
+           4)} AS mean_after,
+       CASE WHEN CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE) / n
+                 = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "bss / (CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)"
+           " / n)", 6)} END AS variance_reduction
+FROM best WHERE rk = 1 ORDER BY event_type
+""".strip()
+
+
+# ------------------------------------------ Juilland dispersion
+
+
+_JD_TOP_WORDS = 20
+
+
+def q_text_dispersion_juilland(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JUILLAND'S D DISPERSION for the top corpus words (Juilland &
+    Chang-Rodríguez 1964): D = 1 − CV/√(m−1) over each word's
+    RELATIVE frequencies across the m sources (absent sources count
+    as 0 — the grid completes by a broadcast cross join) — frequency
+    says a word is common, dispersion says it is common EVERYWHERE;
+    a high-frequency low-D word is one source's tic, not corpus
+    vocabulary. The lexical-statistics companion to the family's
+    odds-ratio keywords (which find the tics) from the opposite
+    direction.
+
+    Exactness: counts and per-source token totals are exact; each
+    relative frequency PRE-ROUNDS to an e9 integer so the CV moments
+    are exact and order-free; D is ONE fixed-shape expression.
+    stable_round(6).
+
+    Scale: the corpus explode collapses to (source, word) counts
+    (map-side partials); the top-{_JD_TOP_WORDS} word list is a
+    TakeOrdered broadcast; the completed grid is
+    {_JD_TOP_WORDS}×|sources| rows."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("t"))
+    top = (
+        counts.groupBy("w")
+        .agg(F.sum("n").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(_JD_TOP_WORDS)
+    )
+    grid = F.broadcast(top).crossJoin(totals)
+    filled = grid.join(counts, ["source", "w"], "left").select(
+        "w",
+        "cf",
+        "source",
+        # e9 relative frequency — exact moments downstream
+        F.floor(
+            F.coalesce(F.col("n"), F.lit(0)).cast("double")
+            / F.col("t").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rf9"),
+    )
+    agg = filled.groupBy("w", "cf").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("rf9").alias("sf"),
+        F.sum(F.col("rf9").cast(_DEC) * F.col("rf9").cast(_DEC)).alias(
+            "qf"
+        ),
+        F.sum((F.col("rf9") > 0).cast("long")).alias("n_sources"),
+    )
+    mm = F.col("m").cast("double")
+    mean = F.col("sf").cast("double") / mm
+    # population CV over the m sources
+    var = (
+        F.col("m").cast(_DEC) * F.col("qf")
+        - F.col("sf").cast(_DEC) * F.col("sf").cast(_DEC)
+    ).cast("double") / (mm * mm)
+    cv = F.sqrt(var) / mean
+    d = 1.0 - cv / F.sqrt(mm - 1.0)
+    degenerate = F.col("sf") == 0
+    return agg.select(
+        F.col("w").alias("word"),
+        F.col("cf").cast("long").alias("corpus_freq"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(d, 6))
+        .alias("juilland_d"),
+    ).orderBy(F.col("corpus_freq").desc(), "word")
+
+
+ORACLE_JUILLAND = f"""
+WITH counts AS (
+  SELECT source, w, count(*) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1
+), top AS (
+  SELECT w, CAST(sum(n) AS BIGINT) AS cf
+  FROM counts GROUP BY 1
+  ORDER BY cf DESC, w LIMIT {_JD_TOP_WORDS}
+), filled AS (
+  SELECT top.w, top.cf, totals.source,
+         CAST(floor(CAST(coalesce(c.n, 0) AS DOUBLE) / totals.t * 1e9
+                    + 0.5) AS BIGINT) AS rf9
+  FROM top CROSS JOIN totals
+  LEFT JOIN counts c ON c.source = totals.source AND c.w = top.w
+), agg AS (
+  SELECT w, cf, count(*) AS m,
+         CAST(sum(rf9) AS HUGEINT) AS sf,
+         sum(CAST(rf9 AS HUGEINT) * rf9) AS qf,
+         sum(CASE WHEN rf9 > 0 THEN 1 ELSE 0 END) AS n_sources
+  FROM filled GROUP BY 1, 2
+)
+SELECT w AS word, CAST(cf AS BIGINT) AS corpus_freq,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CASE WHEN sf = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "1.0 - (sqrt(CAST(m * qf - sf * sf AS DOUBLE)"
+           "            / (CAST(m AS DOUBLE) * m))"
+           "       / (CAST(sf AS DOUBLE) / m))"
+           " / sqrt(CAST(m AS DOUBLE) - 1.0)", 6)} END AS juilland_d
+FROM agg ORDER BY corpus_freq DESC, word
+""".strip()
+
+
+QUERIES.update(
+    {
+        "events_ab_sprt": q_events_ab_sprt,
+        "metric_amoc_changepoint": q_metric_amoc_changepoint,
+        "text_dispersion_juilland": q_text_dispersion_juilland,
+    }
+)
+
+ORACLES.update(
+    {
+        "events_ab_sprt": ORACLE_AB_SPRT,
+        "metric_amoc_changepoint": ORACLE_AMOC,
+        "text_dispersion_juilland": ORACLE_JUILLAND,
+    }
+)

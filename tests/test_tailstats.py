@@ -485,3 +485,112 @@ def test_granger_directed_cause_detected_not_reversed(spark, tmp_path):
     assert abs(fwd.cross_lag_coef - 2.0) < 0.05
     rev = out[("yeffect", "xcause")]
     assert rev.verdict == "no_evidence"
+
+
+def test_sprt_null_never_rejects_strong_effect_rejects_early(
+    spark, tmp_path
+):
+    """A/A data (conversion independent of the user_id%2 arm) keeps
+    the always-valid p at 1 with no rejection day; a deterministic
+    always-converts-vs-never arm split rejects and stamps
+    first_rejection on every row."""
+    rows, eid = [], 0
+    for day in range(10):
+        for u in range(1, 41):
+            rows.append(
+                (eid, _ts(day * 24), u, "view", 1.0, "{}")
+            )
+            eid += 1
+            # null: 50% convert in BOTH arms (u%4 < 2 picks half of
+            # each u%2 arm) → θ̂ = 0 exactly, Λ < 1, p pegged at 1
+            if u % 4 < 2:
+                rows.append(
+                    (eid, _ts(day * 24 + 1), u, "purchase", 1.0, "{}")
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    from monasca_aggregator_spark.plans.tailstats import q_events_ab_sprt
+
+    out = q_events_ab_sprt(spark, str(tmp_path)).collect()
+    assert all(r.first_rejection is None for r in out)
+    assert all(r.always_valid_p == 1.0 for r in out)
+
+    # strong effect: odd users (arm 1) convert, even users never
+    rows2, eid = [], 0
+    for day in range(10):
+        for u in range(1, 81):
+            rows2.append((eid, _ts(day * 24), u, "view", 1.0, "{}"))
+            eid += 1
+            if u % 2 == 1:
+                rows2.append(
+                    (eid, _ts(day * 24 + 1), u, "purchase", 1.0, "{}")
+                )
+                eid += 1
+    tmp2 = tmp_path / "strong"
+    tmp2.mkdir()
+    _write_events(spark, tmp2, rows2)
+    out2 = sorted(
+        q_events_ab_sprt(spark, str(tmp2)).collect(),
+        key=lambda r: r.day,
+    )
+    assert out2[-1].first_rejection is not None
+    assert out2[-1].lift == 1.0
+    assert out2[-1].always_valid_p < 0.05
+
+
+def test_amoc_locates_constructed_level_shift(spark, tmp_path):
+    """A series that steps 10 → 50 at hour 60 of 120 puts the argmax
+    split exactly at the boundary with the two segment means and a
+    variance_reduction ≈ 1; a constant series reports NULL
+    reduction."""
+    n = 120
+    step = [10.0 if h < 60 else 50.0 for h in range(n)]
+    const = [7.0] * n
+    _write_events(
+        spark, tmp_path, _series_events({"step": step, "const": const})
+    )
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_metric_amoc_changepoint,
+    )
+
+    out = {
+        r.event_type: r
+        for r in q_metric_amoc_changepoint(spark, str(tmp_path)).collect()
+    }
+    s = out["step"]
+    # split AFTER hour index 59: the best cut has 60 hours before
+    assert s.n_before == 60 and s.n_after == 60
+    assert s.mean_before == 10.0 and s.mean_after == 50.0
+    assert s.variance_reduction > 0.999
+    assert out["const"].variance_reduction is None
+
+
+def test_juilland_d_high_for_even_low_for_concentrated(
+    spark, tmp_path
+):
+    """A word appearing equally in every source scores D ≈ 1; a word
+    living in ONE source scores low D with n_sources = 1."""
+    rows, i = [], 0
+    for src in ("s1", "s2", "s3", "s4"):
+        for _ in range(5):
+            text = "common common common " + (
+                "rare rare rare" if src == "s1" else "filler fill pad"
+            )
+            rows.append((i, text, "en", src, len(text)))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_text_dispersion_juilland,
+    )
+
+    out = {
+        r.word: r
+        for r in q_text_dispersion_juilland(spark, str(tmp_path)).collect()
+    }
+    assert out["common"].n_sources == 4
+    assert out["common"].juilland_d > 0.99
+    assert out["rare"].n_sources == 1
+    assert out["rare"].juilland_d < 0.05
