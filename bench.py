@@ -385,6 +385,8 @@ BENCH_QUERIES = [
     "events_ab_sprt",
     "metric_amoc_changepoint",
     "text_dispersion_juilland",
+    "split_temporal_leakage",
+    "quality_gate_kappa",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

@@ -2065,3 +2065,267 @@ ORACLES.update(
         "text_dispersion_juilland": ORACLE_JUILLAND,
     }
 )
+
+
+# --------------------------------------- temporal split leakage audit
+
+
+_TSPLIT_FRAC = 80  # train fraction in percent (exact integer math)
+
+
+def q_split_temporal_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPORAL TRAIN/TEST SPLIT + LEAKAGE SURFACE audit over the
+    event stream: the boundary day is the exact 80th-percentile
+    event day (first day whose cumulative event count reaches
+    ⌈0.8·N⌉ — an order statistic, not a calendar guess), and the
+    report counts the users ACTIVE ON BOTH SIDES — exactly the rows
+    where user-level features fitted on train leak future behavior
+    into test. The time-ordered counterpart of `split_train_val`
+    (hash split: no temporal hygiene) and the audit
+    `split_group_aware` solves by construction (group-exclusive
+    splits sacrifice the time ordering this one keeps).
+
+    Exactness: every number is an exact count; the boundary is an
+    integer cross-multiplication (cum·100 ≥ N·{_TSPLIT_FRAC}), never
+    a float percentile. leakage_frac is ONE division.
+
+    Scale: events collapse to |days| counts and |users| min/max-day
+    rows in ONE shuffle each (map-side partials); the boundary
+    cumsum runs on the ≤|days| table (bounded window — audit
+    allowlisted); output is one row."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_millis(F.col("ts")) / F.lit(_DAY_MS_AB)
+    ).cast("long")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = daily.agg(F.sum("c").alias("n"))
+    boundary = (
+        daily.select("d", F.sum("c").over(wcum).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("n") * _TSPLIT_FRAC)
+        .agg(F.min("d").alias("b"))
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    j = users.crossJoin(F.broadcast(boundary))
+    agg = j.agg(
+        F.max("b").alias("boundary_day"),
+        F.sum((F.col("d0") <= F.col("b")).cast("long")).alias(
+            "n_train_users"
+        ),
+        F.sum((F.col("d1") > F.col("b")).cast("long")).alias(
+            "n_test_users"
+        ),
+        F.sum(
+            (
+                (F.col("d0") <= F.col("b")) & (F.col("d1") > F.col("b"))
+            ).cast("long")
+        ).alias("n_spanning_users"),
+    )
+    ev_counts = ev.crossJoin(F.broadcast(boundary)).agg(
+        F.sum((day <= F.col("b")).cast("long")).alias("n_train_events"),
+        F.sum((day > F.col("b")).cast("long")).alias("n_test_events"),
+    )
+    leak = (
+        F.col("n_spanning_users").cast("double")
+        / F.col("n_test_users").cast("double")
+    )
+    return (
+        agg.select(
+            "boundary_day",
+            "n_train_users",
+            "n_test_users",
+            "n_spanning_users",
+            F.when(F.col("n_test_users") == 0, F.lit(None).cast("double"))
+            .otherwise(stable_round(leak, 6))
+            .alias("leakage_frac"),
+        )
+        .crossJoin(F.broadcast(ev_counts))
+        .select(
+            "boundary_day",
+            "n_train_events",
+            "n_test_events",
+            "n_train_users",
+            "n_test_users",
+            "n_spanning_users",
+            "leakage_frac",
+        )
+    )
+
+
+ORACLE_TSPLIT = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) // {_DAY_MS_AB} AS d, count(*) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM daily
+), b AS (
+  SELECT min(d) AS b FROM (
+    SELECT d, sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum
+    FROM daily
+  ), tot WHERE cum * 100 >= n * {_TSPLIT_FRAC}
+), users AS (
+  SELECT user_id, min(epoch_ms(ts) // {_DAY_MS_AB}) AS d0,
+         max(epoch_ms(ts) // {_DAY_MS_AB}) AS d1
+  FROM events GROUP BY 1
+), ua AS (
+  SELECT max(b.b) AS boundary_day,
+         sum(CASE WHEN d0 <= b.b THEN 1 ELSE 0 END) AS n_train_users,
+         sum(CASE WHEN d1 > b.b THEN 1 ELSE 0 END) AS n_test_users,
+         sum(CASE WHEN d0 <= b.b AND d1 > b.b THEN 1 ELSE 0 END)
+           AS n_spanning_users
+  FROM users, b
+), ec AS (
+  SELECT sum(CASE WHEN epoch_ms(ts) // {_DAY_MS_AB} <= b.b
+                  THEN 1 ELSE 0 END) AS n_train_events,
+         sum(CASE WHEN epoch_ms(ts) // {_DAY_MS_AB} > b.b
+                  THEN 1 ELSE 0 END) AS n_test_events
+  FROM events, b
+)
+SELECT CAST(boundary_day AS BIGINT) AS boundary_day,
+       CAST(n_train_events AS BIGINT) AS n_train_events,
+       CAST(n_test_events AS BIGINT) AS n_test_events,
+       CAST(n_train_users AS BIGINT) AS n_train_users,
+       CAST(n_test_users AS BIGINT) AS n_test_users,
+       CAST(n_spanning_users AS BIGINT) AS n_spanning_users,
+       CASE WHEN n_test_users = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "CAST(n_spanning_users AS DOUBLE) / n_test_users",
+           6)} END AS leakage_frac
+FROM ua, ec
+""".strip()
+
+
+# --------------------------------------------- gate agreement (kappa)
+
+
+_KAPPA_MIN_CHARS = 200  # length gate
+_KAPPA_MIN_QUALITY = 0.5  # quality gate (quality_scores scale)
+
+
+def q_quality_gate_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHEN'S KAPPA between the length gate (n_chars ≥
+    {_KAPPA_MIN_CHARS}) and the quality gate (quality ≥
+    {_KAPPA_MIN_QUALITY}) (Cohen 1960): chance-corrected agreement
+    of the two binary KEEP decisions — the DECISION-level companion
+    to `quality_signal_correlation` (which correlates the scores): a
+    κ near 1 means the quality filter is a length filter in
+    disguise and one of the two stages is redundant; κ near 0 means
+    they prune different documents and the stage order matters.
+
+    Exactness: the 2×2 confusion counts are exact; p_o, p_e, κ are
+    ONE fixed-shape expression over them. stable_round(6).
+
+    Scale: one corpus pass computes both gates row-local (the
+    quality expression is the shared quality_scores form), then ONE
+    4-cell aggregate."""
+    from monasca_aggregator_spark.operators.textops import (
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    gates = scored.select(
+        (F.col("n_chars") >= _KAPPA_MIN_CHARS).cast("int").alias("g1"),
+        (F.col("quality") >= _KAPPA_MIN_QUALITY).cast("int").alias("g2"),
+    )
+    cm = gates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("g1") == 1) & (F.col("g2") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("g1") == 1) & (F.col("g2") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("g1") == 0) & (F.col("g2") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("g1") == 0) & (F.col("g2") == 0)).cast("long")).alias("d"),
+    )
+    nn = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / nn
+    pe = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        + (F.col("c") + F.col("d")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    ) / (nn * nn)
+    kappa = (po - pe) / (1.0 - pe)
+    degenerate = pe == 1.0
+    return cm.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a").cast("long").alias("both_keep"),
+        F.col("b").cast("long").alias("len_only"),
+        F.col("c").cast("long").alias("quality_only"),
+        F.col("d").cast("long").alias("both_drop"),
+        stable_round(po, 6).alias("observed_agreement"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(stable_round(kappa, 6))
+        .alias("kappa"),
+    )
+
+
+ORACLE_GATE_KAPPA = f"""
+WITH q AS ({{oracle_quality}}),
+g AS (
+  SELECT CASE WHEN d.n_chars >= {_KAPPA_MIN_CHARS} THEN 1 ELSE 0 END
+           AS g1,
+         CASE WHEN q.quality >= {_KAPPA_MIN_QUALITY} THEN 1 ELSE 0 END
+           AS g2
+  FROM q JOIN documents d USING (doc_id)
+), cm AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN g1 = 0 AND g2 = 1 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN g1 = 0 AND g2 = 0 THEN 1 ELSE 0 END) AS d
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(a AS BIGINT) AS both_keep, CAST(b AS BIGINT) AS len_only,
+       CAST(c AS BIGINT) AS quality_only,
+       CAST(d AS BIGINT) AS both_drop,
+       {sql_stable_round(
+           "CAST(a + d AS DOUBLE) / n", 6)} AS observed_agreement,
+       CASE WHEN (CAST(a + b AS DOUBLE) * (a + c)
+                  + CAST(c + d AS DOUBLE) * (b + d))
+                 / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL ELSE
+       {sql_stable_round(
+           "(CAST(a + d AS DOUBLE) / n"
+           " - (CAST(a + b AS DOUBLE) * (a + c)"
+           "    + CAST(c + d AS DOUBLE) * (b + d))"
+           "   / (CAST(n AS DOUBLE) * n))"
+           " / (1.0 - (CAST(a + b AS DOUBLE) * (a + c)"
+           "           + CAST(c + d AS DOUBLE) * (b + d))"
+           "          / (CAST(n AS DOUBLE) * n))", 6)} END AS kappa
+FROM cm
+""".strip()
+
+
+def _oracle_gate_kappa() -> str:
+    from monasca_aggregator_spark.plans.textops import ORACLE_QUALITY
+
+    return ORACLE_GATE_KAPPA.format(oracle_quality=ORACLE_QUALITY)
+
+
+QUERIES.update(
+    {
+        "split_temporal_leakage": q_split_temporal_leakage,
+        "quality_gate_kappa": q_quality_gate_kappa,
+    }
+)
+
+ORACLES.update(
+    {
+        "split_temporal_leakage": ORACLE_TSPLIT,
+        "quality_gate_kappa": _oracle_gate_kappa(),
+    }
+)

@@ -197,8 +197,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # privacy_tokenize, funnel_time_to_convert, agg_multi_tenant,
 # tpch_q11_fraction, tpch_q13_histogram, tpch_q9_profit,
 # tpch_q10_returns, orders_basket_size_hist, quality_by_lang_source,
-# dedup_simhash_estimate, metric_capacity_eta, text_oov_rate for the
-# 13 r11-continuation keys), then the oldest
+# dedup_simhash_estimate, metric_capacity_eta, text_oov_rate,
+# metric_mttr, dedup_embedding_exact for the 15 r11-continuation
+# keys), then the oldest
 # re-confirmations: the 15 r7-window keys neither R10 nor R11 carried
 # (CORRECTNESS_r07 rows, 5 rounds old by r12 — the oldest in the
 # registry), then the oldest r8-window keys in window order.
@@ -209,7 +210,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "graph_richclub", "sample_design_effect",
 #     "metric_friedman", "metric_granger",
 #     "events_ab_sprt", "metric_amoc_changepoint",
-#     "text_dispersion_juilland",
+#     "text_dispersion_juilland", "split_temporal_leakage",
+#     "quality_gate_kappa",
 #     "metric_seasonal_strength", "customer_churn_risk",
 #     "metric_dickey_fuller", "quality_signal_correlation",
 #     "metric_runs_test", "metric_ljung_box", "metric_kpss",
@@ -225,8 +227,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "nation_trade_matrix", "sample_consistent_k_group",
 #     "corpus_ngram_coverage", "embedding_quantize_error",
 #     "dedup_minhash_estimate", "graph_pagerank_exact",
-#     "embedding_centroid_accuracy", "metric_mttr",
-#     "dedup_embedding_exact",
+#     "embedding_centroid_accuracy",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

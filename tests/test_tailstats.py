@@ -594,3 +594,65 @@ def test_juilland_d_high_for_even_low_for_concentrated(
     assert out["common"].juilland_d > 0.99
     assert out["rare"].n_sources == 1
     assert out["rare"].juilland_d < 0.05
+
+
+def test_temporal_split_boundary_and_spanning_users(spark, tmp_path):
+    """10 days × 10 events/day: the 80th-percentile boundary lands on
+    day 7 (0-indexed day 8 reaches cum 80%); a user active on both
+    sides counts as spanning, one wholly inside train does not."""
+    rows, eid = [], 0
+    for d in range(10):
+        for i in range(10):
+            # user 1 is active every day (spans); user 2 only days 0-2
+            u = 1 if i < 5 else (2 if d < 3 else 3)
+            rows.append((eid, _ts(d * 24 + i), u, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_split_temporal_leakage,
+    )
+
+    r = q_split_temporal_leakage(spark, str(tmp_path)).collect()[0]
+    # cumulative hits 80 of 100 events at day index 7 (days 0..7)
+    assert r.n_train_events == 80 and r.n_test_events == 20
+    assert r.n_spanning_users >= 1
+    # user 2's last event is day 2 (train side): not spanning
+    assert r.n_spanning_users < r.n_train_users
+    assert 0.0 < r.leakage_frac <= 1.0
+
+
+def test_gate_kappa_identical_gates_read_one(spark, tmp_path):
+    """Documents engineered so the two gates AGREE on every row
+    (long docs also pass quality, short fail both) → κ = 1; then a
+    corpus where the length gate fires on a quality-failing doc
+    pushes κ below 1."""
+    # quality = .4*stop_ratio + .3*min(n_tokens/100,1) + .3*(1-punct)
+    good = ("the a of and to in is " * 40).strip()  # long, stopword-rich
+    bad = "zzz. qqq. vvv."  # short, punctuated, no stopwords
+    rows = [(i, good, "en", "s", len(good)) for i in range(10)]
+    rows += [(10 + i, bad, "en", "s", len(bad)) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_quality_gate_kappa,
+    )
+
+    r = q_quality_gate_kappa(spark, str(tmp_path)).collect()[0]
+    assert r.both_keep == 10 and r.both_drop == 10
+    assert r.len_only == 0 and r.quality_only == 0
+    assert r.kappa == 1.0
+
+    # long but junk text: length gate keeps, quality gate drops
+    junk = ("zzz. " * 80).strip()
+    rows2 = rows + [(100 + i, junk, "en", "s", len(junk)) for i in range(5)]
+    tmp2 = tmp_path / "mixed"
+    tmp2.mkdir()
+    spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp2 / "documents.parquet"))
+    r2 = q_quality_gate_kappa(spark, str(tmp2)).collect()[0]
+    assert r2.len_only == 5
+    assert r2.kappa < 1.0

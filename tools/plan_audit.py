@@ -138,6 +138,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "events_cumulative_users", # running total over ≤ #days rows
     "events_ab_sprt",          # cumulative experiment monitor over
                                # the ≤ #days daily table (r11)
+    "split_temporal_leakage",  # boundary percentile cumsum over the
+                               # ≤ #days daily table (r11)
     "funnel_window_depth",     # reach cumsum over ≤ 4 depth levels
     "revenue_share_hierarchy", # share-of-total over |nations| rollup
     "events_survival_hazard",  # at-risk walk over ≤ #duration-day
