@@ -2378,12 +2378,12 @@ pc AS (
   FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey, front
 )
 SELECT c_mktsegment AS segment, count(*) AS n_customers,
-       sum(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
-         AS n_active,
-       sum(CASE WHEN status = 'at_risk' THEN 1 ELSE 0 END)
-         AS n_at_risk,
-       sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
-         AS n_churned,
+       CAST(sum(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN status = 'at_risk' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_at_risk,
+       CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churned,
        {sql_stable_round(
            "CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)"
            " AS DOUBLE) / count(*)", 4)} AS churn_frac

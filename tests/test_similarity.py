@@ -277,7 +277,9 @@ def test_ann_recall_report_measures_all_methods(spark, sf_small):
     )
 
     rows = {r.method: r for r in q_ann_recall_report(spark, sf_small).collect()}
-    assert set(rows) == {"ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq"}
+    assert set(rows) == {
+        "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq",
+    }
     for r in rows.values():
         assert r.n_exact == N_QUERIES * K
         assert 0.0 <= r.recall <= 1.0
