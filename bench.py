@@ -387,6 +387,8 @@ BENCH_QUERIES = [
     "text_dispersion_juilland",
     "split_temporal_leakage",
     "quality_gate_kappa",
+    "metric_haar_topk",
+    "metric_western_electric",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

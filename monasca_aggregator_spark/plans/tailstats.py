@@ -2329,3 +2329,332 @@ ORACLES.update(
         "quality_gate_kappa": _oracle_gate_kappa(),
     }
 )
+
+
+# ------------------------------------------- Haar wavelet top-k
+
+
+_HAAR_J = 8  # coarsest level: 2^8 = 256-hour blocks
+_HAAR_K = 10  # reported coefficients per metric
+
+
+def q_metric_haar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K HAAR WAVELET COEFFICIENTS per metric (Haar 1910; the
+    wavelet synopsis of Matias, Vitter & Wang 1998): the hourly
+    series (absent hours read as exact 0 — it is a sum measure)
+    decomposes over dyadic blocks at levels 1..{_HAAR_J}; the K
+    largest-energy detail coefficients name WHERE and AT WHAT SCALE
+    the series moves (a level-7 coefficient is a multi-day regime
+    edge, a level-1 coefficient a single-hour spike) — the
+    scale-localized complement to the family's global downsamplers
+    (M4, LTTB) and the Walsh periodogram's global frequencies.
+
+    Exactness: a level-j detail is d = L−R over exact e2 block sums;
+    its ENERGY is d²/2^j, ranked as the exact integer d²·2^(J−j) —
+    the ordering never touches a float; energy_share is ONE division
+    of DEC38 integers. stable_round(4)/(6).
+
+    Scale: the |metrics|×|hours| collapse explodes ×{_HAAR_J} level
+    rows (a literal, not data) and re-aggregates per (metric, level,
+    block) with map-side partials; ranking is a metric-partitioned
+    top-K window (WindowGroupLimit)."""
+    hourly = _hourly_e2(spark, sf_dir)
+    base = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"),
+        # levels cap at 2^j ≤ span: a supra-span level would measure
+        # only the data/zero-padding boundary, not the series
+        F.floor(
+            F.log2((F.max("h") - F.min("h") + 1).cast("double"))
+        ).cast("int").alias("jmax"),
+    )
+    idx = hourly.join(F.broadcast(base), "event_type").select(
+        "event_type", (F.col("h") - F.col("h0")).alias("i"), "v",
+        "h0", "jmax",
+    )
+    lv = idx.select(
+        "event_type",
+        "i",
+        "v",
+        "h0",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.lit(_HAAR_J), F.col("jmax"))
+            )
+        ).alias("j"),
+    )
+    blocks = lv.groupBy(
+        "event_type",
+        "h0",
+        "j",
+        F.expr("shiftright(i, j)").alias("b"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.expr("(shiftright(i, j - 1) & 1) = 0"), F.col("v")
+            ).otherwise(-F.col("v"))
+        ).alias("d")
+    )
+    # exact integer energy rank: d² · 2^(J−j)  (∝ d²/2^j)
+    scaled = blocks.select(
+        "event_type",
+        "h0",
+        "j",
+        "b",
+        "d",
+        (
+            F.col("d").cast(_DEC)
+            * F.col("d").cast(_DEC)
+            * F.pow(F.lit(2.0), F.lit(_HAAR_J) - F.col("j")).cast(
+                "long"
+            ).cast(_DEC)
+        ).alias("e_int"),
+    )
+    tot = scaled.groupBy("event_type").agg(
+        F.sum("e_int").alias("te")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("e_int").desc(), F.col("j").asc(), F.col("b").asc()
+    )
+    top = (
+        scaled.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _HAAR_K)
+        .join(F.broadcast(tot), "event_type")
+    )
+    coef = (
+        F.col("d").cast("double")
+        / F.sqrt(F.pow(F.lit(2.0), F.col("j").cast("double")))
+        / F.lit(100.0)
+    )
+    share = F.col("e_int").cast("double") / F.col("te").cast("double")
+    return top.select(
+        "event_type",
+        F.col("rk").cast("long").alias("rk"),
+        F.expr("cast(shiftleft(1, j) as bigint)").alias(
+            "scale_hours"
+        ),
+        F.expr("cast(h0 + b * shiftleft(1, j) as bigint)").alias(
+            "block_start_hour"
+        ),
+        stable_round(coef, 4).alias("coef_norm"),
+        F.when(F.col("te") == 0, F.lit(None).cast("double"))
+        .otherwise(stable_round(share, 6))
+        .alias("energy_share"),
+    ).orderBy("event_type", "rk")
+
+
+ORACLE_HAAR = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), base AS (
+  SELECT event_type, min(h) AS h0,
+         CAST(floor(log2(max(h) - min(h) + 1)) AS INT) AS jmax
+  FROM hourly GROUP BY 1
+), lv AS (
+  SELECT h.event_type, b.h0, h.h - b.h0 AS i, h.v, j
+  FROM hourly h JOIN base b USING (event_type),
+       unnest(range(1, {_HAAR_J} + 1)) AS t(j)
+  WHERE j <= b.jmax
+), blocks AS (
+  SELECT event_type, h0, j, i >> j AS b,
+         CAST(sum(CASE WHEN ((i >> (j - 1)) & 1) = 0 THEN v
+                       ELSE -v END) AS HUGEINT) AS d
+  FROM lv GROUP BY 1, 2, 3, 4
+), scaled AS (
+  SELECT event_type, h0, j, b, d,
+         d * d * CAST(1 << ({_HAAR_J} - j) AS HUGEINT) AS e_int
+  FROM blocks
+), tot AS (
+  SELECT event_type, sum(e_int) AS te FROM scaled GROUP BY 1
+), top AS (
+  SELECT s.*, t.te,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY s.e_int DESC, s.j, s.b) AS rk
+  FROM scaled s JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rk,
+       CAST(1 << j AS BIGINT) AS scale_hours,
+       CAST(h0 + b * (1 << j) AS BIGINT) AS block_start_hour,
+       {sql_stable_round(
+           "CAST(d AS DOUBLE) / sqrt(power(2.0, j)) / 100.0",
+           4)} AS coef_norm,
+       CASE WHEN te = 0 THEN NULL ELSE
+       {sql_stable_round(
+           "CAST(e_int AS DOUBLE) / CAST(te AS DOUBLE)",
+           6)} END AS energy_share
+FROM top WHERE rk <= {_HAAR_K}
+ORDER BY event_type, rk
+""".strip()
+
+
+# ------------------------------------- Western Electric run rules
+
+
+def q_metric_western_electric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WESTERN ELECTRIC CONTROL-CHART RULES per metric (Western
+    Electric Company 1956; the Shewhart-chart run rules): against
+    the series' own μ/σ baseline, count the hours firing each
+    classical rule — R1: one point beyond 3σ; R2: 2 of 3 successive
+    beyond 2σ, same side; R3: 4 of 5 successive beyond 1σ, same
+    side; R4: 8 successive on one side of μ. The operator's-eye
+    complement to the family's z-score/CUSUM rows: R4 pages on a
+    sustained small shift no single-point test sees, R1 on the
+    spike no run test sees.
+
+    Exactness: μ, σ come from exact DEC38 moments; every zone test
+    compares the INTEGER 10⁴·(v_e2·n − S·100)² against zone
+    constants times the exact variance numerator (cross-multiplied —
+    no float enters any rule decision); rule counts are exact.
+
+    Scale: ONE corpus shuffle to |metrics|×|hours|; the run rules
+    are metric-partitioned lag windows over that bounded series."""
+    hourly = _hourly_e2(spark, sf_dir)
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC)).alias("q"),
+    ).filter(F.col("n") >= 24)
+    j = hourly.join(F.broadcast(mom), "event_type")
+    # dev² vs k²σ², cross-multiplied exactly:
+    # (v·n − S)² · (n−1)  vs  k² · n · (nQ − S²)
+    dev = (
+        F.col("v").cast(_DEC) * F.col("n").cast(_DEC)
+        - F.col("s").cast(_DEC)
+    )
+    dev2 = dev * dev * (F.col("n").cast(_DEC) - 1)
+    varnum = F.col("n").cast(_DEC) * (
+        F.col("n").cast(_DEC) * F.col("q")
+        - F.col("s").cast(_DEC) * F.col("s").cast(_DEC)
+    )
+    side = F.when(dev > 0, F.lit(1)).when(dev < 0, F.lit(-1)).otherwise(
+        F.lit(0)
+    )
+    z = j.select(
+        "event_type",
+        "h",
+        side.alias("sd"),
+        (dev2 > 9 * varnum).cast("int").alias("z3"),
+        (dev2 > 4 * varnum).cast("int").alias("z2"),
+        (dev2 > 1 * varnum).cast("int").alias("z1"),
+    )
+    wh = Window.partitionBy("event_type").orderBy("h")
+    w3 = wh.rowsBetween(-2, 0)
+    w5 = wh.rowsBetween(-4, 0)
+    w8 = wh.rowsBetween(-7, 0)
+    flags = z.select(
+        "event_type",
+        "h",
+        F.col("z3").alias("r1"),
+        # 2-of-3 beyond 2σ same side: count signed 2σ exceedances
+        (
+            (F.sum(F.col("z2") * F.col("sd")).over(w3) >= 2)
+            | (F.sum(F.col("z2") * F.col("sd")).over(w3) <= -2)
+        ).cast("int").alias("r2"),
+        (
+            (F.sum(F.col("z1") * F.col("sd")).over(w5) >= 4)
+            | (F.sum(F.col("z1") * F.col("sd")).over(w5) <= -4)
+        ).cast("int").alias("r3"),
+        (
+            (F.sum("sd").over(w8) == 8) | (F.sum("sd").over(w8) == -8)
+        ).cast("int").alias("r4"),
+        F.row_number().over(wh).alias("i"),
+    )
+    # windows shorter than the rule length can't fire the rule
+    counted = flags.select(
+        "event_type",
+        "r1",
+        F.when(F.col("i") >= 3, F.col("r2")).otherwise(0).alias("r2"),
+        F.when(F.col("i") >= 5, F.col("r3")).otherwise(0).alias("r3"),
+        F.when(F.col("i") >= 8, F.col("r4")).otherwise(0).alias("r4"),
+    )
+    agg = counted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("r1").alias("n_beyond_3s"),
+        F.sum("r2").alias("n_two_of_three_2s"),
+        F.sum("r3").alias("n_four_of_five_1s"),
+        F.sum("r4").alias("n_eight_one_side"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("n_beyond_3s").cast("long").alias("n_beyond_3s"),
+        F.col("n_two_of_three_2s").cast("long").alias(
+            "n_two_of_three_2s"
+        ),
+        F.col("n_four_of_five_1s").cast("long").alias(
+            "n_four_of_five_1s"
+        ),
+        F.col("n_eight_one_side").cast("long").alias(
+            "n_eight_one_side"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE_WESTERN_ELECTRIC = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), mom AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM hourly GROUP BY 1 HAVING count(*) >= 24
+), z AS (
+  SELECT h.event_type, h.h,
+         CASE WHEN CAST(h.v AS HUGEINT) * m.n - m.s > 0 THEN 1
+              WHEN CAST(h.v AS HUGEINT) * m.n - m.s < 0 THEN -1
+              ELSE 0 END AS sd,
+         CASE WHEN (CAST(h.v AS HUGEINT) * m.n - m.s)
+                   * (CAST(h.v AS HUGEINT) * m.n - m.s) * (m.n - 1)
+                   > 9 * m.n * (m.n * m.q - m.s * m.s)
+              THEN 1 ELSE 0 END AS z3,
+         CASE WHEN (CAST(h.v AS HUGEINT) * m.n - m.s)
+                   * (CAST(h.v AS HUGEINT) * m.n - m.s) * (m.n - 1)
+                   > 4 * m.n * (m.n * m.q - m.s * m.s)
+              THEN 1 ELSE 0 END AS z2,
+         CASE WHEN (CAST(h.v AS HUGEINT) * m.n - m.s)
+                   * (CAST(h.v AS HUGEINT) * m.n - m.s) * (m.n - 1)
+                   > 1 * m.n * (m.n * m.q - m.s * m.s)
+              THEN 1 ELSE 0 END AS z1
+  FROM hourly h JOIN mom m USING (event_type)
+), flags AS (
+  SELECT event_type, z3 AS r1,
+         CASE WHEN row_number() OVER wh >= 3
+               AND abs(sum(z2 * sd) OVER w3) >= 2
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN row_number() OVER wh >= 5
+               AND abs(sum(z1 * sd) OVER w5) >= 4
+              THEN 1 ELSE 0 END AS r3,
+         CASE WHEN row_number() OVER wh >= 8
+               AND abs(sum(sd) OVER w8) = 8
+              THEN 1 ELSE 0 END AS r4
+  FROM z
+  WINDOW wh AS (PARTITION BY event_type ORDER BY h),
+         w3 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, count(*) AS n_hours,
+       CAST(sum(r1) AS BIGINT) AS n_beyond_3s,
+       CAST(sum(r2) AS BIGINT) AS n_two_of_three_2s,
+       CAST(sum(r3) AS BIGINT) AS n_four_of_five_1s,
+       CAST(sum(r4) AS BIGINT) AS n_eight_one_side
+FROM flags GROUP BY 1 ORDER BY event_type
+""".strip()
+
+
+QUERIES.update(
+    {
+        "metric_haar_topk": q_metric_haar_topk,
+        "metric_western_electric": q_metric_western_electric,
+    }
+)
+
+ORACLES.update(
+    {
+        "metric_haar_topk": ORACLE_HAAR,
+        "metric_western_electric": ORACLE_WESTERN_ELECTRIC,
+    }
+)

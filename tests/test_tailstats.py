@@ -656,3 +656,58 @@ def test_gate_kappa_identical_gates_read_one(spark, tmp_path):
     r2 = q_quality_gate_kappa(spark, str(tmp2)).collect()[0]
     assert r2.len_only == 5
     assert r2.kappa < 1.0
+
+
+def test_haar_topk_finds_the_step_at_the_right_scale(spark, tmp_path):
+    """A series that is 0 for 64 hours then 100 for 64 hours puts its
+    dominant Haar coefficient exactly at scale 128 starting at the
+    series origin, with the step magnitude, and it carries (nearly)
+    all the detail energy."""
+    n = 128
+    step = [0.0] * 64 + [100.0] * 64
+    _write_events(spark, tmp_path, _series_events({"step": step}))
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_metric_haar_topk,
+    )
+
+    rows = q_metric_haar_topk(spark, str(tmp_path)).collect()
+    top = [r for r in rows if r.rk == 1][0]
+    assert top.scale_hours == 128
+    assert top.block_start_hour == 0
+    # unnormalized d = 0·64 − 100·64 = −6400; coef = d/√128
+    assert abs(top.coef_norm - (-6400.0 / math.sqrt(128.0))) < 0.01
+    assert top.energy_share > 0.99
+
+
+def test_western_electric_rules_fire_on_constructed_patterns(
+    spark, tmp_path
+):
+    """An 8-run above the mean fires R4 (and only at the 8th point);
+    a single extreme outlier fires R1; a clean alternating series
+    fires neither."""
+    # base: alternation around 50 (keeps σ honest), then 8 points at 60
+    base = [40.0, 60.0] * 30
+    run8 = base + [70.0] * 8
+    spike = base + [5000.0]
+    alt = base
+    _write_events(
+        spark,
+        tmp_path,
+        _series_events({"run8": run8, "spike": spike, "alt": alt}),
+    )
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_metric_western_electric,
+    )
+
+    out = {
+        r.event_type: r
+        for r in q_metric_western_electric(spark, str(tmp_path)).collect()
+    }
+    assert out["run8"].n_eight_one_side >= 1
+    assert out["spike"].n_beyond_3s >= 1
+    a = out["alt"]
+    assert (
+        a.n_beyond_3s == 0
+        and a.n_eight_one_side == 0
+        and a.n_two_of_three_2s == 0
+    )
