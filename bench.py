@@ -389,6 +389,7 @@ BENCH_QUERIES = [
     "quality_gate_kappa",
     "metric_haar_topk",
     "metric_western_electric",
+    "metric_pinball_backtest",
 ]
 
 # BENCH INCLUSION RULE (VERDICT r10 #4): every registry key is either

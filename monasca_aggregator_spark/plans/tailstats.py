@@ -2658,3 +2658,113 @@ ORACLES.update(
         "metric_western_electric": ORACLE_WESTERN_ELECTRIC,
     }
 )
+
+
+# ------------------------------------- pinball quantile backtest
+
+
+_PB_WIN = 28  # trailing window (hours) feeding the quantile forecast
+_PB_Q_NUM = 9  # q = 0.9
+_PB_Q_DEN = 10
+
+
+def q_metric_pinball_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PINBALL-LOSS BACKTEST of a trailing p90 forecast per metric
+    (the quantile-scoring rule of Koenker & Bassett 1978; the
+    forecast-evaluation layer the family's point backtests
+    (`metric_backtest_hw_vs_snaive`, MAE/MAPE) cannot provide): the
+    forecast for hour t is the EXACT empirical p90 of the previous
+    {_PB_WIN} hours (order statistic at ⌈0.9·28⌉ of the sorted
+    frame — both engines index the same sorted array, no quantile()
+    semantics in play); the score is the pinball loss
+    q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺, whose expectation is MINIMIZED by the
+    true p90 — so a calibrated quantile forecast wins this number
+    even when a biased one wins MAE. coverage = the fraction of
+    hours with y ≤ ŷ (should sit near 0.9 for a calibrated p90).
+
+    Exactness: forecasts and losses stay exact e2 integers (the
+    pinball numerator rides ×{_PB_Q_DEN}); means are ONE division.
+    stable_round(4)/(6).
+
+    Scale: ONE corpus shuffle to |metrics|×|hours|; the trailing
+    frame is a metric-partitioned window whose collected array is
+    {_PB_WIN} elements by construction — a constant, never data."""
+    hourly = _hourly_e2(spark, sf_dir)
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_PB_WIN, -1)
+    )
+    pos = -(-_PB_WIN * _PB_Q_NUM // _PB_Q_DEN)  # ceil(0.9·28) = 26
+    with_f = (
+        hourly.withColumn("arr", F.collect_list("v").over(wf))
+        .filter(F.size("arr") == _PB_WIN)
+        .withColumn(
+            "fc", F.element_at(F.sort_array("arr"), pos)
+        )
+    )
+    # pinball ×10 (q = 9/10): 9·(y−ŷ)⁺ + 1·(ŷ−y)⁺ — exact integers
+    loss10 = F.when(
+        F.col("v") >= F.col("fc"),
+        (F.col("v") - F.col("fc")) * _PB_Q_NUM,
+    ).otherwise(
+        (F.col("fc") - F.col("v")) * (_PB_Q_DEN - _PB_Q_NUM)
+    )
+    agg = with_f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(loss10.cast(_DEC)).alias("l10"),
+        F.sum((F.col("v") <= F.col("fc")).cast("long")).alias("cov"),
+    )
+    mean_loss = (
+        F.col("l10").cast("double")
+        / F.col("n_scored").cast("double")
+        / F.lit(float(_PB_Q_DEN))
+        / F.lit(100.0)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        stable_round(mean_loss, 4).alias("mean_pinball_loss"),
+        stable_round(
+            F.col("cov").cast("double") / F.col("n_scored").cast("double"),
+            4,
+        ).alias("coverage"),
+    ).orderBy("event_type")
+
+
+ORACLE_PINBALL = f"""
+WITH hourly AS (
+{_HOURLY_SQL}
+), framed AS (
+  SELECT event_type, h, v,
+         list_sort(list(v) OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_PB_WIN} PRECEDING
+                   AND 1 PRECEDING)) AS arr
+  FROM hourly
+), fc AS (
+  SELECT event_type, h, v,
+         arr[{-(-_PB_WIN * _PB_Q_NUM // _PB_Q_DEN)}] AS fc
+  FROM framed WHERE len(arr) = {_PB_WIN}
+), agg AS (
+  SELECT event_type, count(*) AS n_scored,
+         sum(CAST(CASE WHEN v >= fc
+                  THEN (v - fc) * {_PB_Q_NUM}
+                  ELSE (fc - v) * {_PB_Q_DEN - _PB_Q_NUM} END
+             AS HUGEINT)) AS l10,
+         sum(CASE WHEN v <= fc THEN 1 ELSE 0 END) AS cov
+  FROM fc GROUP BY 1
+)
+SELECT event_type, CAST(n_scored AS BIGINT) AS n_scored,
+       {sql_stable_round(
+           f"CAST(l10 AS DOUBLE) / n_scored / {float(_PB_Q_DEN)}"
+           " / 100.0", 4)} AS mean_pinball_loss,
+       {sql_stable_round(
+           "CAST(cov AS DOUBLE) / n_scored", 4)} AS coverage
+FROM agg ORDER BY event_type
+""".strip()
+
+
+QUERIES.update({"metric_pinball_backtest": q_metric_pinball_backtest})
+ORACLES.update({"metric_pinball_backtest": ORACLE_PINBALL})

@@ -212,7 +212,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "events_ab_sprt", "metric_amoc_changepoint",
 #     "text_dispersion_juilland", "split_temporal_leakage",
 #     "quality_gate_kappa", "metric_haar_topk",
-#     "metric_western_electric",
+#     "metric_western_electric", "metric_pinball_backtest",
 #     "metric_seasonal_strength", "customer_churn_risk",
 #     "metric_dickey_fuller", "quality_signal_correlation",
 #     "metric_runs_test", "metric_ljung_box", "metric_kpss",
@@ -227,7 +227,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     "events_attribution_ushape", "supplier_scorecard",
 #     "nation_trade_matrix", "sample_consistent_k_group",
 #     "corpus_ngram_coverage", "embedding_quantize_error",
-#     "dedup_minhash_estimate",
 # )
 # Round-4 window (retired after CORRECTNESS_r04 went 50/50 green):
 # the 41 oracle-backed keys added after the r3 staging, then 9

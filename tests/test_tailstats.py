@@ -711,3 +711,41 @@ def test_western_electric_rules_fire_on_constructed_patterns(
         and a.n_eight_one_side == 0
         and a.n_two_of_three_2s == 0
     )
+
+
+def test_pinball_rewards_calibrated_quantile(spark, tmp_path):
+    """On a strictly periodic series where the trailing-28 p90 is the
+    26th sorted value, the forecast and coverage are exactly
+    derivable; a series with one huge late spike pays the 9× under-
+    forecast penalty visibly in its mean loss."""
+    n = 100
+    # repeat 1..28 so the trailing-28 frame is always a permutation
+    # of 1..28 → forecast = sorted[26] = 26
+    periodic = [float((h % 28) + 1) for h in range(n)]
+    spiky = periodic[:]
+    spiky[90] = 1000.0
+    _write_events(
+        spark,
+        tmp_path,
+        _series_events({"periodic": periodic, "spiky": spiky}),
+    )
+    from monasca_aggregator_spark.plans.tailstats import (
+        q_metric_pinball_backtest,
+    )
+
+    out = {
+        r.event_type: r
+        for r in q_metric_pinball_backtest(spark, str(tmp_path)).collect()
+    }
+    p = out["periodic"]
+    assert p.n_scored == n - 28
+    # exact expectation over the 72 SCORED hours (not a whole number
+    # of periods), forecast is always the 26th sorted value = 26
+    ys = [float((h % 28) + 1) for h in range(28, n)]
+    losses = [
+        (0.9 * (y - 26) if y >= 26 else 0.1 * (26 - y)) for y in ys
+    ]
+    assert abs(p.mean_pinball_loss - sum(losses) / len(ys)) < 1e-3
+    cov = sum(1 for y in ys if y <= 26) / len(ys)
+    assert abs(p.coverage - cov) < 1e-3
+    assert out["spiky"].mean_pinball_loss > p.mean_pinball_loss + 5
