@@ -1,17 +1,28 @@
-"""Extreme-value, cointegration, intermittent-demand, and coalition
-attribution statistics (round 11 continuation).
+"""Decision-layer statistics batch (round 11 continuation):
+extreme-value return levels, pairwise dynamics (cointegration /
+Granger), intermittent-demand forecasting and inventory policy,
+coalition attribution, regularity and run-rule monitors, wavelet
+synopses, always-valid experimentation, and split/gate audits.
 
 Reference parity: the reference engine (Go, ~/reference —
 aggregation/aggregation_rule.go) stops at windowed aggregates; this
-module supplies the decision layer a capacity/marketing/supply team
-runs ON those aggregates: "what daily peak should we provision for?"
-(Gumbel block-maxima return levels), "do these two metrics share a
-long-run equilibrium or merely correlate?" (Engle-Granger
-cointegration), "what's the demand-per-period forecast for an
-intermittent SKU?" (Croston / SBA — the exact methods the
-Syntetos-Boylan classifier in plans/diag.py routes TO), and "which
-touchpoint actually earns the conversion credit?" (exact Shapley
-values over touch-channel coalitions).
+module supplies the decision layer a capacity/marketing/supply/
+experimentation team runs ON those aggregates: "what daily peak
+should we provision for?" (Gumbel block-maxima return levels), "do
+these two metrics share a long-run equilibrium or merely
+correlate?" (Engle-Granger cointegration) and "does one PREDICT the
+other?" (lag-1 Granger), "what's the demand-per-period forecast for
+an intermittent SKU and how much stock covers it?" (Croston / SBA —
+the exact methods the Syntetos-Boylan classifier in plans/diag.py
+routes TO — plus the safety-stock policy), "which touchpoint
+actually earns the conversion credit?" (exact Shapley values over
+touch-channel coalitions), "is the series regular, day-of-week
+driven, level-shifted, or out of control?" (sample entropy,
+Friedman blocked ranks, AMOC, Western Electric rules, Haar top-K),
+"can we stop the experiment early — honestly?" (mixture-SPRT), and
+"are the pipeline's splits and gates sound?" (temporal leakage,
+Kish design effect, gate-agreement kappa, pinball-calibrated
+quantile forecasts, Juilland dispersion, rich-club structure).
 
 Numerics (house style): inputs ride as exact scaled integers
 (e2 = value·100, DEC38/HUGEINT sums); statistics stay integer until
@@ -49,7 +60,6 @@ from monasca_aggregator_spark.sources.tables import load_table
 
 _DEC = "decimal(38,0)"
 
-_DAY_MS = 24 * 3600 * 1000
 _EV_MIN_DAYS = 14  # block-maxima fit needs a real run of daily blocks
 _EULER_GAMMA = 0.5772156649015329
 _SQRT6_OVER_PI = 0.7796968012336761  # √6/π, the Gumbel MoM scale factor
