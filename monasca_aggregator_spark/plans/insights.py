@@ -1984,6 +1984,15 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLS runs over ten e6-fixed-point-quantized points, so the fit is
     exact-integer arithmetic → identical doubles on both engines (the
     corpus_zipf_alpha convention).
+
+    r11 optimization (guide §2.3/§2.4): per-doc token counts come from
+    ``size(split(...))`` (no explode/groupBy pass — the only consumer
+    of the exploded relation is the first-seen vocabulary aggregate);
+    boundary docs and decile token sums ride ONE groupBy(k) instead of
+    two; and the two ≤10-row intermediates (the per-decile table and
+    the joined points) are eagerly localCheckpoint'd so the 3-4 reuses
+    of each stop re-executing the corpus-sized lineage (the pre-r11
+    plan tokenized the corpus 4×: 140-Exchange plan → 20).
     """
     from monasca_aggregator_spark.operators.rank import (
         global_rank,
@@ -1991,10 +2000,12 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    # size(split()) counts exactly what explode-then-count counted
+    # (split never yields an empty array; null text drops out of both
+    # formulations via the filter — explode emits nothing for null)
+    per_doc = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("nt")
     )
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
     ranked = global_rank(
         per_doc,
         (F.col("doc_id") / F.lit(1024)).cast("long"),
@@ -2005,14 +2016,21 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciled = ranked.withColumn(
         "k", ntile_from_rank(F.col("rk"), F.col("n_docs"), _HEAPS_K)
     )
-    bounds = deciled.groupBy("k").agg(
-        F.max("doc_id").alias("boundary_doc")
-    )
-    # cumulative tokens per decile boundary (running sum over 10 rows)
-    per_decile_tok = deciled.groupBy("k").agg(F.sum("nt").alias("dt"))
+    # boundary doc + per-decile token sum in ONE aggregate; ≤10 rows,
+    # eagerly materialized — reused 3× below without recomputation
+    kagg = deciled.groupBy("k").agg(
+        F.max("doc_id").alias("boundary_doc"),
+        F.sum("nt").alias("dt"),
+    ).localCheckpoint()
+    bounds = kagg.select("k", "boundary_doc")
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    cum_tok = per_decile_tok.withColumn("n_tokens_cum", F.sum("dt").over(wk))
+    cum_tok = kagg.select("k", "dt").withColumn(
+        "n_tokens_cum", F.sum("dt").over(wk)
+    )
     # vocab at each boundary: tokens whose FIRST doc is ≤ boundary
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
     first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
     vocab_cum = (
         first_seen.join(F.broadcast(bounds))
@@ -2024,7 +2042,7 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_tok.join(vocab_cum, "k")
         .join(bounds, "k")
         .select("k", "boundary_doc", "n_tokens_cum", "vocab_cum")
-    )
+    ).localCheckpoint()
     lx = F.floor(
         F.log(F.col("n_tokens_cum").cast("double")) * 1e6 + 0.5
     ).cast("long")
