@@ -254,9 +254,17 @@ def test_streamed_envelopes_drive_the_spec_aggregation(spark, tmp_path):
         function="sum",
         grouped_dimensions=("host",),
     )
+    # The batch reference must cover MORE offsets than the stream can
+    # possibly consume before the poll loop stops it: the stream
+    # advances rows_per_batch per trigger with no cap, so on a loaded
+    # box extra micro-batches close windows past a small batch range
+    # and the exact-match assertion below sees windows the reference
+    # never computed (observed as a box-load-dependent flake r11).
+    # 30_000 rows/partition = 200 triggers of headroom; the generator
+    # is deterministic, so enlarging the range changes no shared value.
     batch_env = parse_envelopes(
         spark.read.format("metric_envelopes")
-        .option("rows_per_partition", "300")
+        .option("rows_per_partition", "30000")
         .option("partitions", "2")
         .load()
     )
