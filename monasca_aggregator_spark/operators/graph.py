@@ -45,6 +45,12 @@ def pagerank_pairs(
     edges and no rank — the caller decides their default). Returns
     (id, rank_e12, rank) with Σ rank ≈ 1.
     """
+    # r11 optimization: the fwd/rev union consumed the pair generator
+    # twice (different projections defeat exchange reuse) — for the
+    # shingle/embedding self-join generators that doubled the most
+    # expensive stage of the whole query. Materialize the pair list
+    # once; the operator is already eager (n_nodes count below).
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
     fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -171,6 +177,10 @@ def kcore_pairs(
     Output: (node, degree) for the k-core's members (degree WITHIN
     the core).
     """
+    # r11 optimization: materialize the pair list once — the
+    # symmetrizing union otherwise runs the (possibly self-join) pair
+    # generator twice inside the first checkpoint job.
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))

@@ -1041,11 +1041,16 @@ def q_copurchase_cosine_topk(
     6-dp-rounded before the per-item rank with id tie-break."""
     from pyspark.sql import Window
 
+    # r11 optimization (guide §2.4): the distinct basket relation feeds
+    # three consumers (singles + both self-join sides); materialize the
+    # post-shuffle result once instead of re-running the distinct per
+    # branch — at scale one materialized pass beats three full shuffles
+    # of the fact table.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
+    ).localCheckpoint()
     singles = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_single")
     )
@@ -1126,9 +1131,12 @@ def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one exact-integer-built double expression, same on both
     engines.  Ties/order: pairs oriented p_a < p_b.
     """
+    # r11 optimization: one materialized distinct pass feeds all four
+    # consumers (n_orders, singles, both self-join sides) — the
+    # copurchase_cosine_topk treatment.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

@@ -316,12 +316,16 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hw = Window.partitionBy("l_returnflag").orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum_hist = hist.withColumn("cum", F.sum("bw").over(hw))
-    totals = hist.groupBy("l_returnflag").agg(
-        F.sum("bw").alias("total_weight")
+    # r11 optimization (guide §2.4): the group total rides a second
+    # window over the SAME partitioning instead of a separate
+    # groupBy+broadcast-join branch — one exchange feeds both, and the
+    # histogram lineage (a full lineitem scan) runs once, not twice.
+    tw = Window.partitionBy("l_returnflag")
+    cum_hist = hist.withColumn("cum", F.sum("bw").over(hw)).withColumn(
+        "total_weight", F.sum("bw").over(tw)
     )
     crossing_bucket = (
-        cum_hist.join(F.broadcast(totals), "l_returnflag")
+        cum_hist
         .filter(F.col("cum") * 2 >= F.col("total_weight"))
         .groupBy("l_returnflag")
         .agg(

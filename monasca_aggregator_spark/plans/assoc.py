@@ -89,11 +89,13 @@ def q_basket_association_lift(
     co-partitioned on the ORDER key — Σ basket² pairs, bounded by
     basket size; part marginals broadcast onto the collapsed pair
     aggregate."""
+    # r11 optimization: one materialized distinct pass feeds all four
+    # consumers (n_orders, marginals, both self-join sides).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
+    ).localCheckpoint()
     n_orders = li.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
@@ -225,6 +227,11 @@ def q_graph_assortativity(
     b = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
     )
+    # r11 optimization (guide §2.4): edges feeds deg + both directed
+    # halves, deg feeds both endpoint broadcasts + n_nodes — both are
+    # bounded (support-floored pair graph / part-sized degrees), so
+    # materialize each once instead of re-running the Σ basket²
+    # self-join per branch.
     edges = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
@@ -232,13 +239,13 @@ def q_graph_assortativity(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _LIFT_MINSUP)
         .select("p1", "p2")
-    )
+    ).localCheckpoint()
     deg = (
         edges.select(F.col("p1").alias("p"))
         .unionByName(edges.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).localCheckpoint()
     directed = edges.unionByName(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
@@ -642,9 +649,13 @@ def q_text_collocation_g2(
         )
         .select("g.w1", "g.w2")
     )
+    # r11 optimization (guide §2.4): the bigram vocabulary aggregate
+    # feeds four consumers (row/col marginals, the total, and the
+    # contingency join) — materialize it once so the corpus-sized
+    # explode collapses exactly one time.
     big = grams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint()
     ra = big.groupBy("w1").agg(F.sum("c").alias("ra"))
     cb = big.groupBy("w2").agg(F.sum("c").alias("cb"))
     tot = big.agg(F.sum("c").alias("t"))

@@ -935,9 +935,13 @@ def q_corpus_burrows_delta(
     toks = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
+    # r11 optimization (guide §2.4): counts (vocab×source aggregate)
+    # feeds top/totals/grid, the ≤|sources|·30 grid feeds stats+z, and
+    # z self-joins — materialize each bounded relation once instead of
+    # re-running the corpus explode per branch (94-Exchange plan → 8).
     counts = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint()
     top = (
         counts.groupBy("w")
         .agg(F.sum("c").alias("tc"))
@@ -956,7 +960,7 @@ def q_corpus_burrows_delta(
                 "coalesce(c, 0) * 1000000000 div tot"
             ).alias("f"),
         )
-    )
+    ).localCheckpoint()
     stats = grid.groupBy("w").agg(
         F.count(F.lit(1)).alias("s"),
         F.sum("f").alias("t"),
@@ -980,7 +984,7 @@ def q_corpus_burrows_delta(
         )
         .cast("long")
         .alias("z_e6"),
-    )
+    ).localCheckpoint()
     zb = z.select(
         F.col("source").alias("source_b"),
         "w",

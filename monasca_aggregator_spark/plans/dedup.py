@@ -181,6 +181,11 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", base.alias("x")
     )
+    # r11 optimization (guide §2.4): sig is consumed twice (a/b sides)
+    # and pairs' generator re-shingles the sample internally — both
+    # relations are bounded by the calibration-sample/guard contract
+    # (≤ sample docs rows / verified pairs), so materialize each ONCE
+    # instead of re-running the shingle explosion per consumer.
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(
@@ -191,8 +196,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{j}")
             for j in range(1, _MH_EST_H + 1)
         ]
-    )
-    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    ).localCheckpoint()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).localCheckpoint()
     a = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, _MH_EST_H + 1)],
@@ -314,14 +319,16 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{b}")
         for b in range(_SH_EST_BITS)
     ]
+    # r11 optimization: same bounded-relation materialization as the
+    # MinHash twin — sig feeds both join sides, pairs re-shingles.
     sig = ex.groupBy("doc_id").agg(*bit_votes).select(
         "doc_id",
         *[
             (F.col(f"v{b}") >= 0).cast("int").alias(f"b{b}")
             for b in range(_SH_EST_BITS)
         ],
-    )
-    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+    ).localCheckpoint()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).localCheckpoint()
     a = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{b}").alias(f"a{b}") for b in range(_SH_EST_BITS)],
@@ -1065,7 +1072,7 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .select("source", F.xxhash64("s").alias("sh"))
         .distinct()
-    )
+    ).localCheckpoint()  # r11: one shingle pass feeds sizes + both join sides
     sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = d.alias("a"), d.alias("b")
     inter = (

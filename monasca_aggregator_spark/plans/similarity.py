@@ -553,8 +553,18 @@ def q_embedding_quantize_error(
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     q = quantize_int8(emb, _DIM)
-    v = as_double(F.col("embedding"))
-    dq = F.col("dequant")
+    # r11 optimization: project the original and dequantized vectors to
+    # PLAIN column names first — the fixed-dim folds then assemble as
+    # one JVM-parsed SQL string instead of ~1.2k py4j Column calls
+    # (functions/vectors.py header), and the dequant transform is
+    # evaluated once per row rather than risking re-inline per term.
+    qp = q.select(
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        F.col("dequant").alias("dq"),
+    )
+    v = F.col("v")
+    dq = F.col("dq")
     se6 = F.floor(
         dist2_fixed(v, dq, _DIM) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
@@ -566,7 +576,7 @@ def q_embedding_quantize_error(
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
-    g = q.select(
+    g = qp.select(
         "label", se6.alias("se6"), cos6.alias("cos6")
     ).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

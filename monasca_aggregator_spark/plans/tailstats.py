@@ -1153,6 +1153,11 @@ def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
     )
+    # r11 optimization (guide §2.4): edges and deg are each consumed
+    # by 2-4 downstream branches; without materialization every branch
+    # re-ran the Σ basket² self-join (360-Exchange plan). Both are
+    # bounded (support-floored pair graph / part-sized degree table) —
+    # eagerly localCheckpoint so the self-join runs ONCE.
     edges = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
@@ -1160,13 +1165,13 @@ def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _RC_MINSUP)
         .select("p1", "p2")
-    )
+    ).localCheckpoint()
     deg = (
         edges.select(F.col("p1").alias("p"))
         .unionByName(edges.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).localCheckpoint()
     qs = spark.createDataFrame(
         [(int(q),) for q in _RC_QS], "q long"
     )
@@ -1193,7 +1198,7 @@ def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ranked, F.col("pos") == F.col("rn"))
         .select("q", F.col("deg").alias("k"))
-    )
+    ).localCheckpoint()  # 4 rows; reused by nk, ed and the output join
     nk = (
         deg.crossJoin(F.broadcast(ks))
         .filter(F.col("deg") > F.col("k"))
