@@ -253,6 +253,12 @@ def incremental_new_docs(
     )
 
     if num_bits is None:
+        # r11: this path is already eager (the sizing count below);
+        # materialize the corpus key set once — it is consumed three
+        # times (sizing count, Bloom build, exact anti-join) and was
+        # re-running the corpus scan+distinct for each. The explicit
+        # num_bits path stays lazy/job-free per the contract above.
+        corpus_h = corpus_h.localCheckpoint()
         n_keys = corpus_h.count()
         num_bits = 1 << 12
         while num_bits < 10 * n_keys and num_bits < (1 << 16):

@@ -468,19 +468,22 @@ def dsir_importance(
         .cast("int")
         .alias("b"),
     )
-    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        tb.filter(F.col("__tgt"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    tots = raw.join(tgt, "b", "left").agg(
+    # r11 optimization (guide §2.3): BOTH bucket models ride ONE
+    # conditional aggregate over the exploded corpus (raw + target
+    # counts per bucket) instead of two separate passes, and the
+    # ≤256-row model table is materialized once — the corpus explode
+    # now runs twice (model build + scoring), down from three times.
+    rt = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count(F.when(F.col("__tgt"), 1)).alias("t"),
+    ).localCheckpoint()
+    tots = rt.agg(
         F.sum("r").alias("big_r"),
         F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("big_t"),
     )
     dec = "decimal(38,0)"
     model = (
-        raw.join(tgt, "b", "left")
+        rt
         .crossJoin(F.broadcast(tots))
         .select(
             "b",

@@ -364,7 +364,13 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # r11: tf feeds both the vocabulary aggregate and the scoring join
+    # with different prunings (no exchange reuse) — materialize the
+    # collapsed (doc, token) relation once so the corpus explode runs
+    # exactly one time.
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = (
         tf.groupBy("token")
@@ -615,7 +621,12 @@ def span_dup_coverage(
         docs.filter(F.size(tokens(F.col(text_col))) >= n)
         .select(F.col(id_col), F.explode(span_hashes).alias("__h"))
     )
-    per = ex.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__c"))
+    # r11: per feeds the per-hash doc-count aggregate AND the join
+    # back, with different prunings — materialize the collapsed
+    # (doc, hash, count) relation once so the span explode runs once.
+    per = ex.groupBy(id_col, "__h").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
     stats = per.groupBy("__h").agg(F.count(F.lit(1)).alias("n_docs"))
     frac = F.col("n_dup_spans") / F.col("n_spans")
     return (

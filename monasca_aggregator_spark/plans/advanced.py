@@ -575,33 +575,57 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     per edge: total rows, orphan rows, orphan fraction (exact-integer
     division) — a fixed-size report regardless of corpus size.
     """
-    edges = [
-        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders", "o_custkey", "customer", "c_custkey"),
-        ("customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ]
+    # r11 optimization (guide §2.3): ONE scan per fact table computes
+    # every outgoing edge's total + orphan count in a single aggregate
+    # (broadcast left joins against deduped match-marked key sets
+    # preserve row counts exactly), instead of 2 scans per edge — the
+    # lineitem side drops from 6 scans to 1.
+    by_fact: dict[str, list[tuple[str, str, str]]] = {
+        "lineitem": [
+            ("l_orderkey", "orders", "o_orderkey"),
+            ("l_partkey", "part", "p_partkey"),
+            ("l_suppkey", "supplier", "s_suppkey"),
+        ],
+        "orders": [("o_custkey", "customer", "c_custkey")],
+        "customer": [("c_nationkey", "nation", "n_nationkey")],
+        "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    }
     parts = []
-    for fact, fk, dim, pk in edges:
-        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("k"))
-        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("k"))
-        total = f.agg(F.count(F.lit(1)).alias("n_rows"))
-        orphans = f.join(F.broadcast(d), "k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
+    for fact, edges in by_fact.items():
+        f = load_table(spark, sf_dir, fact).select(
+            *[F.col(fk) for fk, _, _ in edges]
         )
-        parts.append(
-            total.crossJoin(orphans).select(
-                F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
-                "n_rows",
-                "n_orphans",
-                (
-                    F.col("n_orphans").cast("double")
-                    / F.col("n_rows").cast("double")
-                ).alias("orphan_frac"),
+        for i, (fk, dim, pk) in enumerate(edges):
+            d = (
+                load_table(spark, sf_dir, dim)
+                .select(F.col(pk).alias(f"_k{i}"))
+                .distinct()
+                .withColumn(f"_m{i}", F.lit(1))
             )
-        )
+            f = f.join(
+                F.broadcast(d), F.col(fk) == F.col(f"_k{i}"), "left"
+            )
+        agg = f.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.count(F.when(F.col(f"_m{i}").isNull(), 1)).alias(
+                    f"_o{i}"
+                )
+                for i in range(len(edges))
+            ],
+        ).localCheckpoint()  # 1 row; reused once per outgoing edge
+        for i, (fk, dim, pk) in enumerate(edges):
+            parts.append(
+                agg.select(
+                    F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
+                    "n_rows",
+                    F.col(f"_o{i}").alias("n_orphans"),
+                    (
+                        F.col(f"_o{i}").cast("double")
+                        / F.col("n_rows").cast("double")
+                    ).alias("orphan_frac"),
+                )
+            )
     out = parts[0]
     for p_df in parts[1:]:
         out = out.unionByName(p_df)

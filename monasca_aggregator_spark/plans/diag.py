@@ -1737,11 +1737,12 @@ def q_graph_jaccard_linkpred(
     join collapsed to the part dimension, Σ deg² wedge enumeration,
     TakeOrdered top-K) with two broadcast degree joins
     (part-dimension-sized)."""
+    # r11: one materialized distinct pass feeds both self-join sides
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
+    ).localCheckpoint()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -1754,7 +1755,9 @@ def q_graph_jaccard_linkpred(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _JACC_MINSUP)
         .select("a", "b")
-        .cache()  # referenced by wedges + anti-join (graph convention)
+        # r11: localCheckpoint instead of cache() — eager and released
+        # with the plan, where the cache entry leaked into the session
+        .localCheckpoint()
     )
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")

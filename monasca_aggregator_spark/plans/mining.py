@@ -102,11 +102,14 @@ def q_recsys_popularity_hitrate(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # r11: the fact⋈fact interaction relation feeds both the train
+    # (popularity) and test (hit) branches — materialize it once
+    # instead of running the join+distinct twice.
     inter = (
         li.join(flagged, li["l_orderkey"] == flagged["o_orderkey"])
         .select("o_custkey", "l_partkey", "is_test")
         .distinct()
-    )
+    ).localCheckpoint()
     pop = (
         inter.filter(~F.col("is_test"))
         .groupBy("l_partkey")
@@ -221,11 +224,12 @@ def q_graph_link_prediction(
     ratio bound), keeping edge density — and therefore Σ deg² wedge
     work — roughly scale-invariant.
     """
+    # r11: one materialized distinct pass feeds both self-join sides
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
+    ).localCheckpoint()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -240,10 +244,13 @@ def q_graph_link_prediction(
         .select("a", "b")
     )
     # wedges + anti-join + two degree joins reference the pair table
-    # five times; Spark does not dedupe common subplans, so cache the
-    # collapsed edge list (part-dimension-sized, tiny vs the facts) —
-    # the graph family's documented bounded-state choice.
-    pairs = pairs.cache()
+    # five times; Spark does not dedupe common subplans, so materialize
+    # the collapsed edge list (part-dimension-sized, tiny vs the
+    # facts) — the graph family's documented bounded-state choice.
+    # r11: localCheckpoint instead of cache() — eager, and released by
+    # the context cleaner when the plan is dropped, where the cache
+    # entry outlived the query and leaked into long bench sessions.
+    pairs = pairs.localCheckpoint()
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionByName(pairs.select(F.col("b").alias("v"), F.col("a").alias("n")))
@@ -343,11 +350,12 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration, TakeOrdered top-K) plus one midpoint-keyed degree
     join that broadcasts the part-sized degree relation.
     """
+    # r11: one materialized distinct pass feeds both self-join sides
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
+    ).localCheckpoint()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -360,7 +368,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _LINK_MINSUP)
         .select("a", "b")
-        .cache()  # referenced by wedges + anti-join (graph convention)
+        # r11: localCheckpoint instead of cache() — eager and released
+        # with the plan, where the cache entry leaked into the session
+        .localCheckpoint()
     )
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")

@@ -2186,9 +2186,12 @@ def q_embedding_whiten_eval(
     raw = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    both = raw.join(white, "vec_id").alias("a").join(
-        raw.join(white, "vec_id")
-        .select(
+    # r11: materialize the joined (raw, whitened) relation once — it
+    # feeds both sides of the adjacent-id self-join, and each copy
+    # re-ran the whitening projection.
+    rw = raw.join(white, "vec_id").localCheckpoint()
+    both = rw.alias("a").join(
+        rw.select(
             (F.col("vec_id") - 1).alias("vec_id"),
             F.col("e").alias("e2"),
             F.col("w").alias("w2"),
@@ -2628,7 +2631,12 @@ def q_embedding_jl_distortion(
                              then 1.0 else -1.0 end)
                           * cast(embedding[i] as double)))"""
     )
-    base = emb.select("vec_id", "embedding", proj.alias("p"))
+    # r11: the interpreted-HOF projection is the expensive part and
+    # base feeds both sides of the adjacent-id join — materialize it
+    # once so every vector projects exactly once.
+    base = emb.select(
+        "vec_id", "embedding", proj.alias("p")
+    ).localCheckpoint()
     a = base.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
@@ -2662,11 +2670,14 @@ def q_embedding_jl_distortion(
             F.floor(ratio * F.lit(10.0)).cast("int"),
         ).alias("bin")
     )
-    total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
+    # r11: the pair total is the sum of the ≤20-row histogram — a
+    # window over it replaces the second full pass + broadcast join.
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
+        hist.withColumn("n_pairs", F.sum("n").over(tot_w))
         .select(
             "bin",
             "n",
