@@ -368,7 +368,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive shingle join runs 3x. The pair table is the
     # collapsed edge list (tiny vs the corpus), so caching it is the
     # bounded-state choice at any scale.
-    pairs = pairs.cache()
+    pairs = pairs.localCheckpoint()  # r11: eager + released with the plan (cache leaked)
     e1 = pairs.select(F.col("a"), F.col("b").alias("m"))
     e2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
     wedges = e1.join(e2, "m").select("a", "m", "c")
@@ -421,7 +421,7 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    pairs = pairs.cache()
+    pairs = pairs.localCheckpoint()  # r11: eager + released with the plan (cache leaked)
     deg = (
         pairs.select(F.col("a").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("v")))

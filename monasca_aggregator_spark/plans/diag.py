@@ -848,7 +848,7 @@ def q_text_bigram_cond_entropy(
     ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c12 = pairs.groupBy("source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
-    )
+    ).localCheckpoint()  # r11: feeds c1, n and the term join — one explode
     c1 = c12.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
     n = c12.groupBy("source").agg(
         F.sum("c12").alias("n_bigrams"),

@@ -813,8 +813,16 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
 
-    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    w1_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # r11: materialize the vocabulary-bounded bigram counts once and
+    # derive the w1 marginal from THEM (sum of c_bg per leading token
+    # — the same multiset, since tokens never contain the split char)
+    # instead of a second corpus-sized explode+aggregate.
+    bg_counts = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    ).localCheckpoint()
+    w1_counts = bg_counts.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_w1"))
     vocab_n = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .agg(F.countDistinct("token").alias("v"))
@@ -994,10 +1002,14 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # r11: materialize the bigram-type counts once (they feed four
+    # consumers) and derive the history marginal from THEM (sum of
+    # c_bg per w1 — the identical multiset) instead of a second
+    # corpus-sized explode+aggregate.
     cb = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bg")
-    )
-    cw = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    ).localCheckpoint()
+    cw = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     nw1 = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
     nw2 = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
     btypes = cb.agg(F.count(F.lit(1)).alias("bt"))

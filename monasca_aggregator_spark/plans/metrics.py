@@ -467,7 +467,9 @@ def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spec("count", "purchase", grouped_dimensions=("user_id",)),
         _spec("max", "error", grouped_dimensions=("user_id",)),
     ]
-    env = events_to_envelopes(load_table(spark, sf_dir, "events")).cache()
+    env = events_to_envelopes(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint()  # r11: eager + released with the plan (cache leaked)
     outs = []
     for spec in specs:
         out = build_aggregation(env, spec, WINDOW_SEC)

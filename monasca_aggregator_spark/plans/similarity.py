@@ -2276,7 +2276,9 @@ def q_embedding_knn_hubness(
     edges = (
         cosine_topk(emb, emb, k=_HUB_K, dim=_DIM)
         .select("query_id", "neighbor_id")
-        .cache()
+        # r11: eager + released with the plan (the cache entry leaked
+        # into the session and the three consumers raced a lazy fill)
+        .localCheckpoint()
     )
     n_nodes = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
     tot = edges.agg(F.count(F.lit(1)).alias("n_edges"))

@@ -881,7 +881,12 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("w")
     )
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r11: uni feeds the total + both unigram joins, big feeds the
+    # total + the scoring join — materialize the vocabulary-bounded
+    # aggregates once so each corpus explode runs exactly one time.
+    uni = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()
     total_w = uni.agg(F.sum("c").alias("t_w"))
     # materialize the token array once per row — referencing
     # split(text) inside the lambda would re-split per element
@@ -897,7 +902,9 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g.w1", "g.w2")
     )
-    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    big = grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).localCheckpoint()
     total_b = big.agg(F.sum("c_ab").alias("t_b"))
     scored = (
         big.filter(F.col("c_ab") >= PMI_MIN_COUNT)
