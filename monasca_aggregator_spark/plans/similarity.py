@@ -2672,14 +2672,15 @@ def q_embedding_jl_distortion(
             F.floor(ratio * F.lit(10.0)).cast("int"),
         ).alias("bin")
     )
-    # r11: the pair total is the sum of the ≤20-row histogram — a
-    # window over it replaces the second full pass + broadcast join.
-    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
-    tot_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # r11: the pair total is the sum of the ≤20-row histogram —
+    # materialize the histogram once and aggregate IT, replacing the
+    # second full pass over the pair relation.
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    total = hist.agg(F.sum("n").alias("n_pairs"))
     return (
-        hist.withColumn("n_pairs", F.sum("n").over(tot_w))
+        hist.crossJoin(F.broadcast(total))
         .select(
             "bin",
             "n",

@@ -90,12 +90,9 @@ ARROW_ALLOWED = {
     "ann_ivfpq",
     "ann_mmr",
     "embedding_pca",
-    # whitening eval projects through pca_project's Arrow matmul (the
-    # same stage embedding_pca carries); the PCA FIT runs at build
-    # (driver-side d×d eigensolve on collected partials) but the
-    # returned plan keeps the per-batch (x−μ)·W·Λ^(−½) projection —
-    # Arrow-batched numpy, never row-at-a-time
-    "embedding_whiten_eval",
+    # (embedding_whiten_eval left this list r11: its pca_project Arrow
+    # matmul now runs once inside the eager materialization of the
+    # joined raw+whitened relation, so the RETURNED plan is Arrow-free)
     # zlib / media (CPU-bound Python by nature)
     "text_compress_ratio",
     "media_image_features",
@@ -130,7 +127,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_benford",          # 9-row first-digit histogram total
     "corpus_mannwhitney",      # rank-from-histogram over the bounded
                                # distinct-e0-length CDF per source
-    "corpus_heaps_law",        # growth curve over ≤64 log2 buckets
+    # (corpus_heaps_law left this list r11: its 10-row decile window
+    # now runs inside the eager materialization, so the RETURNED plan
+    # carries no unpartitioned Window)
     # ---- per-group aggregates of bounded cardinality ----
     "sample_budget_mix",       # water-filling over |sources| rows
     "orders_backlog",          # month-grid backlog (≤ #months rows)
