@@ -164,7 +164,13 @@ def ngram_jaccard_pairs(
     ``max_docs``.
     """
     docs = _guard_all_pairs(docs, max_docs, "ngram_jaccard_pairs")
-    sh = _shingled(docs, id_col, text_col, n)
+    # r11: lazy-cache the shingled relation — it feeds the sizes
+    # branch and (via explode) both self-join sides, and column
+    # pruning otherwise re-runs the shingle computation per branch.
+    # cache() launches no job, so the guard contract (build stays
+    # job-free, refusal at execution) is untouched; the relation is
+    # bounded by the operator's max_docs guard.
+    sh = _shingled(docs, id_col, text_col, n).cache()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # join on xxhash64 of the shingle, not the string: 8-byte exchange
     # keys (shingle strings average ~30 bytes); a collision overcounts
@@ -258,7 +264,7 @@ def incremental_new_docs(
         # times (sizing count, Bloom build, exact anti-join) and was
         # re-running the corpus scan+distinct for each. The explicit
         # num_bits path stays lazy/job-free per the contract above.
-        corpus_h = corpus_h.localCheckpoint()
+        corpus_h = corpus_h.cache()
         n_keys = corpus_h.count()
         num_bits = 1 << 12
         while num_bits < 10 * n_keys and num_bits < (1 << 16):
@@ -659,7 +665,9 @@ def shingle_containment_pairs(
     shared); only the score differs.
     """
     docs = _guard_all_pairs(docs, max_docs, "shingle_containment_pairs")
-    sh = _shingled(docs, id_col, text_col, n)
+    # r11: lazy-cache — same three-consumer shape and guard-contract
+    # reasoning as ngram_jaccard_pairs above.
+    sh = _shingled(docs, id_col, text_col, n).cache()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # hash-keyed shingle join — see ngram_jaccard_pairs
     exploded = _exploded(sh).select(

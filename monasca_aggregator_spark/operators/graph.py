@@ -177,10 +177,6 @@ def kcore_pairs(
     Output: (node, degree) for the k-core's members (degree WITHIN
     the core).
     """
-    # r11 optimization: materialize the pair list once — the
-    # symmetrizing union otherwise runs the (possibly self-join) pair
-    # generator twice inside the first checkpoint job.
-    pairs = pairs.select(id_a, id_b).localCheckpoint()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))

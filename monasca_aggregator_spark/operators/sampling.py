@@ -476,7 +476,7 @@ def dsir_importance(
     rt = tb.groupBy("b").agg(
         F.count(F.lit(1)).alias("r"),
         F.count(F.when(F.col("__tgt"), 1)).alias("t"),
-    ).localCheckpoint()
+    ).cache()
     tots = rt.agg(
         F.sum("r").alias("big_r"),
         F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("big_t"),

@@ -370,7 +370,7 @@ def tfidf_top_terms(
     # exactly one time.
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()
+    ).cache()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = (
         tf.groupBy("token")
@@ -626,7 +626,7 @@ def span_dup_coverage(
     # (doc, hash, count) relation once so the span explode runs once.
     per = ex.groupBy(id_col, "__h").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint()
+    ).cache()
     stats = per.groupBy("__h").agg(F.count(F.lit(1)).alias("n_docs"))
     frac = F.col("n_dup_spans") / F.col("n_spans")
     return (

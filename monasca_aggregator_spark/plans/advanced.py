@@ -368,7 +368,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive shingle join runs 3x. The pair table is the
     # collapsed edge list (tiny vs the corpus), so caching it is the
     # bounded-state choice at any scale.
-    pairs = pairs.localCheckpoint()  # r11: eager + released with the plan (cache leaked)
+    pairs = pairs.cache()
     e1 = pairs.select(F.col("a"), F.col("b").alias("m"))
     e2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
     wedges = e1.join(e2, "m").select("a", "m", "c")
@@ -421,7 +421,7 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    pairs = pairs.localCheckpoint()  # r11: eager + released with the plan (cache leaked)
+    pairs = pairs.cache()
     deg = (
         pairs.select(F.col("a").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("v")))
@@ -613,7 +613,7 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for i in range(len(edges))
             ],
-        ).localCheckpoint()  # 1 row; reused once per outgoing edge
+        ).cache()  # 1 row; reused once per outgoing edge
         for i, (fk, dim, pk) in enumerate(edges):
             parts.append(
                 agg.select(
@@ -1074,7 +1074,7 @@ def q_copurchase_cosine_topk(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     singles = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_single")
     )
@@ -1160,7 +1160,7 @@ def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copurchase_cosine_topk treatment.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct().localCheckpoint()
+    ).distinct().cache()
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

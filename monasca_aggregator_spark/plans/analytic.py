@@ -310,22 +310,21 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = li.withColumn(
         "b", F.floor(F.col("l_extendedprice")).cast("long")
     )
+    # r11 optimization (guide §2.4): cache the bucket histogram — it
+    # feeds both the cumulative walk and the totals branch, and each
+    # re-ran the full lineitem scan+aggregate.
     hist = bucketed.groupBy("l_returnflag", "b").agg(
         F.sum("w").alias("bw")
-    )
+    ).cache()
     hw = Window.partitionBy("l_returnflag").orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # r11 optimization (guide §2.4): the group total rides a second
-    # window over the SAME partitioning instead of a separate
-    # groupBy+broadcast-join branch — one exchange feeds both, and the
-    # histogram lineage (a full lineitem scan) runs once, not twice.
-    tw = Window.partitionBy("l_returnflag")
-    cum_hist = hist.withColumn("cum", F.sum("bw").over(hw)).withColumn(
-        "total_weight", F.sum("bw").over(tw)
+    cum_hist = hist.withColumn("cum", F.sum("bw").over(hw))
+    totals = hist.groupBy("l_returnflag").agg(
+        F.sum("bw").alias("total_weight")
     )
     crossing_bucket = (
-        cum_hist
+        cum_hist.join(F.broadcast(totals), "l_returnflag")
         .filter(F.col("cum") * 2 >= F.col("total_weight"))
         .groupBy("l_returnflag")
         .agg(

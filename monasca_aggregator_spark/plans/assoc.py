@@ -95,7 +95,7 @@ def q_basket_association_lift(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     n_orders = li.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
@@ -239,13 +239,13 @@ def q_graph_assortativity(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _LIFT_MINSUP)
         .select("p1", "p2")
-    ).localCheckpoint()
+    ).cache()
     deg = (
         edges.select(F.col("p1").alias("p"))
         .unionByName(edges.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint()
+    ).cache()
     directed = edges.unionByName(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
@@ -655,7 +655,7 @@ def q_text_collocation_g2(
     # explode collapses exactly one time.
     big = grams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()
+    ).cache()
     ra = big.groupBy("w1").agg(F.sum("c").alias("ra"))
     cb = big.groupBy("w2").agg(F.sum("c").alias("cb"))
     tot = big.agg(F.sum("c").alias("t"))

@@ -941,7 +941,7 @@ def q_corpus_burrows_delta(
     # re-running the corpus explode per branch (94-Exchange plan → 8).
     counts = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()
+    ).cache()
     top = (
         counts.groupBy("w")
         .agg(F.sum("c").alias("tc"))
@@ -960,7 +960,7 @@ def q_corpus_burrows_delta(
                 "coalesce(c, 0) * 1000000000 div tot"
             ).alias("f"),
         )
-    ).localCheckpoint()
+    ).cache()
     stats = grid.groupBy("w").agg(
         F.count(F.lit(1)).alias("s"),
         F.sum("f").alias("t"),
@@ -984,7 +984,7 @@ def q_corpus_burrows_delta(
         )
         .cast("long")
         .alias("z_e6"),
-    ).localCheckpoint()
+    ).cache()
     zb = z.select(
         F.col("source").alias("source_b"),
         "w",

@@ -196,8 +196,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{j}")
             for j in range(1, _MH_EST_H + 1)
         ]
-    ).localCheckpoint()
-    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).localCheckpoint()
+    ).cache()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
     a = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, _MH_EST_H + 1)],
@@ -327,8 +327,8 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(f"v{b}") >= 0).cast("int").alias(f"b{b}")
             for b in range(_SH_EST_BITS)
         ],
-    ).localCheckpoint()
-    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD).localCheckpoint()
+    ).cache()
+    pairs = D.ngram_jaccard_pairs(docs, threshold=THRESHOLD)
     a = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{b}").alias(f"a{b}") for b in range(_SH_EST_BITS)],
@@ -1072,7 +1072,7 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .select("source", F.xxhash64("s").alias("sh"))
         .distinct()
-    ).localCheckpoint()  # r11: one shingle pass feeds sizes + both join sides
+    ).cache()  # r11: one shingle pass feeds sizes + both join sides
     sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = d.alias("a"), d.alias("b")
     inter = (

@@ -848,7 +848,7 @@ def q_text_bigram_cond_entropy(
     ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c12 = pairs.groupBy("source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
-    ).localCheckpoint()  # r11: feeds c1, n and the term join — one explode
+    ).cache()  # r11: feeds c1, n and the term join — one explode
     c1 = c12.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
     n = c12.groupBy("source").agg(
         F.sum("c12").alias("n_bigrams"),
@@ -1742,7 +1742,7 @@ def q_graph_jaccard_linkpred(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -1757,7 +1757,7 @@ def q_graph_jaccard_linkpred(
         .select("a", "b")
         # r11: localCheckpoint instead of cache() — eager and released
         # with the plan, where the cache entry leaked into the session
-        .localCheckpoint()
+        .cache()
     )
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")

@@ -819,7 +819,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a second corpus-sized explode+aggregate.
     bg_counts = bigrams.groupBy("bg").agg(
         F.count(F.lit(1)).alias("c_bg")
-    ).localCheckpoint()
+    ).cache()
     w1_counts = bg_counts.groupBy(
         F.split(F.col("bg"), " ").getItem(0).alias("w1")
     ).agg(F.sum("c_bg").alias("c_w1"))
@@ -1008,7 +1008,7 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized explode+aggregate.
     cb = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bg")
-    ).localCheckpoint()
+    ).cache()
     cw = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     nw1 = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
     nw2 = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
@@ -2033,7 +2033,7 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     kagg = deciled.groupBy("k").agg(
         F.max("doc_id").alias("boundary_doc"),
         F.sum("nt").alias("dt"),
-    ).localCheckpoint()
+    ).cache()
     bounds = kagg.select("k", "boundary_doc")
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
     cum_tok = kagg.select("k", "dt").withColumn(
@@ -2054,7 +2054,7 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_tok.join(vocab_cum, "k")
         .join(bounds, "k")
         .select("k", "boundary_doc", "n_tokens_cum", "vocab_cum")
-    ).localCheckpoint()
+    ).cache()
     lx = F.floor(
         F.log(F.col("n_tokens_cum").cast("double")) * 1e6 + 0.5
     ).cast("long")

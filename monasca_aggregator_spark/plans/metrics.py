@@ -469,7 +469,7 @@ def q_agg_multi_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     env = events_to_envelopes(
         load_table(spark, sf_dir, "events")
-    ).localCheckpoint()  # r11: eager + released with the plan (cache leaked)
+    ).cache()
     outs = []
     for spec in specs:
         out = build_aggregation(env, spec, WINDOW_SEC)

@@ -109,7 +109,7 @@ def q_recsys_popularity_hitrate(
         li.join(flagged, li["l_orderkey"] == flagged["o_orderkey"])
         .select("o_custkey", "l_partkey", "is_test")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     pop = (
         inter.filter(~F.col("is_test"))
         .groupBy("l_partkey")
@@ -229,7 +229,7 @@ def q_graph_link_prediction(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -250,7 +250,7 @@ def q_graph_link_prediction(
     # r11: localCheckpoint instead of cache() — eager, and released by
     # the context cleaner when the plan is dropped, where the cache
     # entry outlived the query and leaked into long bench sessions.
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.cache()
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionByName(pairs.select(F.col("b").alias("v"), F.col("a").alias("n")))
@@ -355,7 +355,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    ).localCheckpoint()
+    ).cache()
     o2 = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -370,7 +370,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         # r11: localCheckpoint instead of cache() — eager and released
         # with the plan, where the cache entry leaked into the session
-        .localCheckpoint()
+        .cache()
     )
     adj = pairs.select(
         F.col("a").alias("v"), F.col("b").alias("n")

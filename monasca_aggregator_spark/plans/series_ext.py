@@ -2483,7 +2483,7 @@ def q_metric_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-scanning events per branch.
     hist = ev.groupBy("event_type", "is_ref", "e2").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint()
+    ).cache()
     ref = hist.filter(F.col("is_ref"))
     cum_w = (
         Window.partitionBy("event_type")
@@ -2543,7 +2543,7 @@ def q_metric_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_ref"), F.col("cnt")).otherwise(0)).alias(
             "n_cur"
         ),
-    ).localCheckpoint()  # ≤ buckets·|metrics| rows; reused by tot + join
+    ).cache()  # ≤ buckets·|metrics| rows; reused by tot + join
     tot = per_bucket.groupBy("event_type").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )

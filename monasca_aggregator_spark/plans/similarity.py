@@ -2189,7 +2189,7 @@ def q_embedding_whiten_eval(
     # r11: materialize the joined (raw, whitened) relation once — it
     # feeds both sides of the adjacent-id self-join, and each copy
     # re-ran the whitening projection.
-    rw = raw.join(white, "vec_id").localCheckpoint()
+    rw = raw.join(white, "vec_id").cache()
     both = rw.alias("a").join(
         rw.select(
             (F.col("vec_id") - 1).alias("vec_id"),
@@ -2278,7 +2278,7 @@ def q_embedding_knn_hubness(
         .select("query_id", "neighbor_id")
         # r11: eager + released with the plan (the cache entry leaked
         # into the session and the three consumers raced a lazy fill)
-        .localCheckpoint()
+        .cache()
     )
     n_nodes = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
     tot = edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -2638,7 +2638,7 @@ def q_embedding_jl_distortion(
     # once so every vector projects exactly once.
     base = emb.select(
         "vec_id", "embedding", proj.alias("p")
-    ).localCheckpoint()
+    ).cache()
     a = base.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
@@ -2677,7 +2677,7 @@ def q_embedding_jl_distortion(
     # second full pass over the pair relation.
     hist = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n")
-    ).localCheckpoint()
+    ).cache()
     total = hist.agg(F.sum("n").alias("n_pairs"))
     return (
         hist.crossJoin(F.broadcast(total))

@@ -1165,13 +1165,13 @@ def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _RC_MINSUP)
         .select("p1", "p2")
-    ).localCheckpoint()
+    ).cache()
     deg = (
         edges.select(F.col("p1").alias("p"))
         .unionByName(edges.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint()
+    ).cache()
     qs = spark.createDataFrame(
         [(int(q),) for q in _RC_QS], "q long"
     )
@@ -1198,7 +1198,7 @@ def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ranked, F.col("pos") == F.col("rn"))
         .select("q", F.col("deg").alias("k"))
-    ).localCheckpoint()  # 4 rows; reused by nk, ed and the output join
+    ).cache()  # 4 rows; reused by nk, ed and the output join
     nk = (
         deg.crossJoin(F.broadcast(ks))
         .filter(F.col("deg") > F.col("k"))

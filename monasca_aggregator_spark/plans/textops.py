@@ -886,7 +886,7 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates once so each corpus explode runs exactly one time.
     uni = words.groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()
+    ).cache()
     total_w = uni.agg(F.sum("c").alias("t_w"))
     # materialize the token array once per row — referencing
     # split(text) inside the lambda would re-split per element
@@ -904,7 +904,7 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = grams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_ab")
-    ).localCheckpoint()
+    ).cache()
     total_b = big.agg(F.sum("c_ab").alias("t_b"))
     scored = (
         big.filter(F.col("c_ab") >= PMI_MIN_COUNT)
