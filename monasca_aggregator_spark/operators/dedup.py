@@ -349,6 +349,16 @@ def jaccard_prefix_pairs(
         raise ValueError(f"persist must be memory|disk|none, got {persist!r}")
     pref_ex = prefixed.select("doc_id", F.explode("prefix").alias("p"))
     a, b = pref_ex.alias("a"), pref_ex.alias("b")
+    # r11 (guide §2.5): the exact-verification stage downstream of the
+    # candidate dedup is CPU-bound (array_intersect over full shingle
+    # sets) while its rows are tiny in BYTES, so AQE's byte-based
+    # partition coalescing collapses it to ~1 task once cached-plan
+    # replanning is on. A deliberate keyed repartition (user-specified
+    # shuffles are exempt from AQE coalescing) pins the stage's
+    # parallelism to the cluster's core count; the dedup aggregate
+    # reuses the same hash partitioning, so no exchange is added —
+    # one is re-keyed. Parallelism-derived, not a data-size constant.
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
     candidates = (
         a.join(
             b,
@@ -358,6 +368,7 @@ def jaccard_prefix_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        .repartition(n_par, "id_a", "id_b")
         .distinct()
     )
     sa = prefixed.select(
@@ -473,6 +484,13 @@ def minhash_lsh_pairs(
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        # r11: pin the CPU-bound exact-verification stage's parallelism
+        # (same byte-vs-CPU coalescing rationale as jaccard_prefix_pairs)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
         )
         .distinct()
     )

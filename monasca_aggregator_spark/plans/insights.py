@@ -2002,9 +2002,11 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exploded relation is the first-seen vocabulary aggregate);
     boundary docs and decile token sums ride ONE groupBy(k) instead of
     two; and the two ≤10-row intermediates (the per-decile table and
-    the joined points) are eagerly localCheckpoint'd so the 3-4 reuses
-    of each stop re-executing the corpus-sized lineage (the pre-r11
-    plan tokenized the corpus 4×: 140-Exchange plan → 20).
+    the joined points) are lazily cached so the 3-4 reuses of each
+    stop re-executing the corpus-sized lineage (the pre-r11 plan
+    tokenized the corpus 4×: 140-Exchange plan → 20); the 10-row
+    cumsum window over the cached kagg is on the plan-audit
+    bounded-window allowlist.
     """
     from monasca_aggregator_spark.operators.rank import (
         global_rank,

@@ -90,9 +90,12 @@ ARROW_ALLOWED = {
     "ann_ivfpq",
     "ann_mmr",
     "embedding_pca",
-    # (embedding_whiten_eval left this list r11: its pca_project Arrow
-    # matmul now runs once inside the eager materialization of the
-    # joined raw+whitened relation, so the RETURNED plan is Arrow-free)
+    # pca_project's Arrow matmul (numpy batch projection) feeds the
+    # lazily-cached joined raw+whitened relation; the r11 switch from
+    # eager localCheckpoint to cache() keeps that lineage in the
+    # returned plan (it briefly left this list while the relation was
+    # checkpoint-truncated)
+    "embedding_whiten_eval",
     # zlib / media (CPU-bound Python by nature)
     "text_compress_ratio",
     "media_image_features",
@@ -127,9 +130,11 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_benford",          # 9-row first-digit histogram total
     "corpus_mannwhitney",      # rank-from-histogram over the bounded
                                # distinct-e0-length CDF per source
-    # (corpus_heaps_law left this list r11: its 10-row decile window
-    # now runs inside the eager materialization, so the RETURNED plan
-    # carries no unpartitioned Window)
+    "corpus_heaps_law",       # ≤ _HEAPS_K(10)-row decile-table cumsum
+                               # over the lazily-cached kagg relation —
+                               # bounded by ntile construction; the
+                               # cache (vs the earlier localCheckpoint)
+                               # keeps the window visible in the plan
     # ---- per-group aggregates of bounded cardinality ----
     "sample_budget_mix",       # water-filling over |sources| rows
     "orders_backlog",          # month-grid backlog (≤ #months rows)
