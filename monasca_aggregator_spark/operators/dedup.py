@@ -259,17 +259,54 @@ def incremental_new_docs(
     )
 
     if num_bits is None:
-        # r11: this path is already eager (the sizing count below);
-        # materialize the corpus key set once — it is consumed three
-        # times (sizing count, Bloom build, exact anti-join) and was
-        # re-running the corpus scan+distinct for each. The explicit
-        # num_bits path stays lazy/job-free per the contract above.
+        # r11: this path is already eager; materialize the corpus key
+        # set once — it is consumed twice (sizing/Bloom job, exact
+        # anti-join) and was re-running the corpus scan+distinct for
+        # each. The explicit num_bits path stays lazy/job-free per
+        # the contract above.
+        #
+        # Sizing count + Bloom-position collect fold into ONE job
+        # (guide §1.2): positions are hashed at the 2^16 cap and
+        # folded down driver-side — for power-of-two m dividing 2^16,
+        # h mod 2^16 mod m == h mod m, so the folded bitset is
+        # bit-identical to building at m directly — and the key count
+        # is the exploded row count / num_hashes (each key emits
+        # exactly num_hashes positions). The distinct position set is
+        # bounded by the cap (≤ 2^16 ints) regardless of corpus size.
+        from monasca_aggregator_spark.operators.bloomjoin import (
+            DEFAULT_NUM_HASHES,
+            _positions,
+        )
+
         corpus_h = corpus_h.cache()
-        n_keys = corpus_h.count()
+        cap = 1 << 16
+        sized = (
+            corpus_h.select(
+                F.explode(
+                    F.array(
+                        *_positions(F.col("h"), cap, DEFAULT_NUM_HASHES)
+                    )
+                ).alias("p")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("p").alias("ps"),
+            )
+            .first()
+        )
+        n_keys = sized.n // DEFAULT_NUM_HASHES
         num_bits = 1 << 12
-        while num_bits < 10 * n_keys and num_bits < (1 << 16):
+        while num_bits < 10 * n_keys and num_bits < cap:
             num_bits <<= 1
-    words = build_bloom(corpus_h, "h", num_bits=num_bits)
+        raw = [0] * ((num_bits + 63) // 64)
+        for p16 in sized.ps:
+            p = p16 % num_bits
+            raw[p >> 6] |= 1 << (p & 63)
+        words = [
+            w - (1 << 64) if w >= (1 << 63) else w for w in raw
+        ]
+    else:
+        words = build_bloom(corpus_h, "h", num_bits=num_bits)
     hashed = batch.withColumn("__h", key).withColumn(
         "__nt_null", nt.isNull()
     )

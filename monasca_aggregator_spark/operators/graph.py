@@ -183,21 +183,31 @@ def kcore_pairs(
         .distinct()
         .localCheckpoint()
     )
+    # r11 (guide §1.2): 2 driver actions per peel round instead of 4 —
+    # the surviving edge count carries across rounds in a driver
+    # variable (the previous round's pruned.count IS this round's
+    # edges.count, both over the same checkpointed relation), and the
+    # empty-core exit falls out of the same count (keep empty ⇒
+    # pruned empty), so the separate keep.count() job disappears.
+    # Same fixpoint, same output, half the per-round job latency.
+    # (Measured dead end: lazily chaining several peel rounds per
+    # materialization to amortize actions — AQE already splits each
+    # round's stages into their own jobs, so the chained plan saved
+    # nothing and cost extra planning + lost overlap; reverted.)
+    n_edges = edges.count()
     for _ in range(max_iter):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("u")
-        n_keep = keep.count()
         pruned = (
             edges.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint()
         )
-        if pruned.count() == edges.count():
-            edges = pruned
-            break
+        n_pruned = pruned.count()
         edges = pruned
-        if n_keep == 0:
+        if n_pruned == n_edges or n_pruned == 0:
             break
+        n_edges = n_pruned
     return (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -230,6 +230,12 @@ def train_ivf_centroids(
         assigned = vecs.select(
             "__id", "__vec", cell_of(F.col("__vec")).alias("cell")
         )
+        # r11 (guide §5): the result is collected anyway, so assemble
+        # the n_centroids×dim arrays on the driver from the raw
+        # (cell, dim, mean) rows instead of a second groupBy(cell) +
+        # array_sort shuffle whose only purpose was the array shape —
+        # one exchange and ~2 jobs fewer per Lloyd iteration; the avg
+        # aggregate (and therefore every mean value) is unchanged.
         means = (
             assigned.select(
                 "cell",
@@ -237,18 +243,15 @@ def train_ivf_centroids(
             )
             .groupBy("cell", "dim")
             .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("dm")
-            )
-            .select(
-                "cell", F.col("dm.m").alias("cent_vec")
-            )
             .collect()
         )
-        updated = {r.cell: list(r.cent_vec) for r in means}
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        updated = {
+            c: [dm[i] for i in range(len(dm))]
+            for c, dm in by_cell.items()
+        }
         cents = [
             (cid, updated.get(cid, vec)) for cid, vec in cents
         ]

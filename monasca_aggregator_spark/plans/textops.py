@@ -2244,18 +2244,23 @@ def _ppmi_unit_vectors(spark: SparkSession, sf_dir: str):
     toks = docs.select(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
-    pairs = toks.select(
+    # r11 (guide §2.4): both directions of each co-occurrence pair are
+    # emitted inside ONE explode — the previous
+    # pairs ∪ reversed(pairs) union re-ran the tokenize+pair-explode
+    # lineage per branch (projection differences defeat exchange
+    # reuse). Identical pair multiset, half the corpus passes.
+    sym = toks.select(
         F.explode(
             F.expr(
                 f"""flatten(transform(t, (w, i) ->
-                    transform(slice(t, i + 2, {_PPMI_WIN}),
-                              c -> struct(w as w, c as c))))"""
+                    flatten(array(
+                      transform(slice(t, i + 2, {_PPMI_WIN}),
+                                c -> struct(w as w, c as c)),
+                      transform(slice(t, i + 2, {_PPMI_WIN}),
+                                c -> struct(c as w, w as c))))))"""
             )
         ).alias("p")
     ).select("p.w", "p.c")
-    sym = pairs.unionByName(
-        pairs.select(F.col("c").alias("w"), F.col("w").alias("c"))
-    )
     top_vocab = (
         toks.select(F.explode("t").alias("w"))
         .where(F.col("w") != "")
