@@ -273,9 +273,6 @@ def ivfpq_ann(
     paths; sim is exact cosine from the re-rank pass.
     """
     from monasca_aggregator_spark.functions.vectors import cosine_fixed
-    from monasca_aggregator_spark.operators.similarity import (
-        nearest_centroid_udf,
-    )
 
     def _cos(a, b):
         return cosine_fixed(a, b, dim) if dim else cosine(a, b)
@@ -298,23 +295,57 @@ def ivfpq_ann(
         (r.cent_id, list(r.cent_vec))
         for r in cents.select("cent_id", "cent_vec").collect()
     ]
-    cell_of = nearest_centroid_udf(cents_lit)
-
     # 2. PQ codebooks (global, bounded sample)
     books = train_pq_codebooks(
         corpus, m=m, k=k, id_col=id_col, vec_col=vec_col
     )
     mm, kk, dsub = books.shape
 
-    # 3. one Arrow pass: (id, cell, codes) — the entire stored index
-    encoded = pq_encode(
-        corpus.select(id_col, vec_col), books, id_col=id_col,
-        vec_col=vec_col,
-    ).join(
-        corpus.select(
-            id_col, cell_of(as_double(F.col(vec_col))).alias("cell")
-        ),
-        id_col,
+    # 3. one Arrow pass: (id, cell, codes) — the entire stored index.
+    # r11 (guide §4): codes and cell come out of the SAME mapInPandas
+    # batch loop (previously pq_encode + a second Arrow UDF pass +
+    # an id equi-join just to glue the two columns back together).
+    # The numpy math replicates pq_encode (codes over _normalize'd
+    # vectors) and nearest_centroid_udf (argmax cosine, first-max
+    # tie-break on the cent_id-sorted centroid matrix) exactly, so
+    # every (id, codes, cell) triple is unchanged.
+    c_order = sorted(cents_lit, key=lambda t: t[0])
+    c_ids = np.array([c for c, _ in c_order], dtype="int32")
+    c_mat = np.vstack([v for _, v in c_order]).astype("float64")
+    c_mat /= np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-300
+    )
+
+    def _enc_assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = np.array(pdf[vec_col].tolist(), dtype=float)
+            X = _normalize(raw)
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for j in range(mm):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    ((S[:, None, :] - books[j][None, :, :]) ** 2)
+                    .sum(-1)
+                    .argmin(1)
+                )
+            A = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-300
+            )
+            cells = c_ids[np.argmax(A @ c_mat.T, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes.tolist()),
+                    "cell": cells,
+                }
+            )
+
+    cid_dtype = dict(corpus.dtypes)[id_col]
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        _enc_assign,
+        schema=f"{id_col} {cid_dtype}, codes array<int>, cell int",
     )
 
     # 4. query probes: n_probe nearest cells per query (tiny side)

@@ -612,11 +612,11 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    media = documents_as_ppm_media(
-        load_table(spark, sf_dir, "documents", fan_out=True)
-    )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = documents_as_ppm_media(docs)
+    # pre-filtered twin encode — see the r11 note in q_image_dhash_dedup
     twins = resize_images(
-        media.filter(F.col("media_id") % 10 == 0),
+        documents_as_ppm_media(docs.filter(F.col("doc_id") % 10 == 0)),
         width=24,
         height=24,
         resample=True,
@@ -646,11 +646,14 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_near_dup_pairs,
     )
 
-    media = documents_as_smooth_ppm_media(
-        load_table(spark, sf_dir, "documents", fan_out=True)
-    )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = documents_as_smooth_ppm_media(docs)
+    # pre-filtered twin encode — see the r11 note in q_image_dhash_dedup
     twins = adjust_images(
-        media.filter(F.col("media_id") % 10 == 0), gamma=2.0
+        documents_as_smooth_ppm_media(
+            docs.filter(F.col("doc_id") % 10 == 0)
+        ),
+        gamma=2.0,
     ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
     return image_near_dup_pairs(
         media.unionByName(twins), max_hamming=6, method="phash"
@@ -674,11 +677,18 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_near_dup_pairs,
     )
 
-    media = documents_as_smooth_ppm_media(
-        load_table(spark, sf_dir, "documents", fan_out=True)
-    )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = documents_as_smooth_ppm_media(docs)
+    # r11 (guide §4.1): filter BEFORE the opaque mapInPandas encoder —
+    # media_id ≡ doc_id, so pre-filtering the docs is identical to
+    # filtering the encoded relation, but the twins branch now encodes
+    # only its 10% subset instead of re-encoding the whole corpus
+    # above a filter that cannot push below the Python stage.
     twins = adjust_images(
-        media.filter(F.col("media_id") % 10 == 0), gamma=2.0
+        documents_as_smooth_ppm_media(
+            docs.filter(F.col("doc_id") % 10 == 0)
+        ),
+        gamma=2.0,
     ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
     return image_near_dup_pairs(
         media.unionByName(twins), max_hamming=5, method="dhash"

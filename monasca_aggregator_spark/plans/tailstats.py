@@ -857,29 +857,42 @@ def q_brand_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         F.broadcast(part), li.l_partkey == part.p_partkey
     )
-    span = lo.agg(
-        (F.max("w") - F.min("w") + 1).cast("long").alias("weeks")
-    )
+    # r11 (guide §2.4): ONE pass over the fact⋈fact⋈dim join — span,
+    # weekly sums and the causal lead-time partials all fold through
+    # the (brand, week) aggregate (every line belongs to exactly one
+    # cell, and all partials are exact integer sums, so the per-brand
+    # rollup is bit-identical to aggregating the join directly). The
+    # previous shape re-ran the lineitem⋈orders join three times.
+    causal = F.col("ship_day") >= F.col("order_day")
     weekly = lo.groupBy("p_brand", "w").agg(
         F.sum("q_e2").alias("d"),
+        F.count(F.when(causal, 1)).alias("nl"),
+        F.sum(
+            F.when(
+                causal,
+                (F.col("ship_day") - F.col("order_day")).cast("long"),
+            )
+        ).alias("ls"),
+    ).cache()  # bounded |brands|×|weeks| rows; feeds span + mom
+    span = weekly.agg(
+        (F.max("w") - F.min("w") + 1).cast("long").alias("weeks")
     )
-    lead = (
-        lo.filter(F.col("ship_day") >= F.col("order_day"))
-        .groupBy("p_brand")
+    # n_lines > 0 replicates the old mom⋈lead INNER join: a brand with
+    # zero causal lines had no lead row and was dropped there too
+    mom = (
+        weekly.groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("d").alias("s"),
             F.sum(
-                (F.col("ship_day") - F.col("order_day")).cast("long")
-            ).alias("lead_days_sum"),
+                F.col("d").cast(_DEC) * F.col("d").cast(_DEC)
+            ).alias("q"),
+            F.sum("nl").alias("n_lines"),
+            F.sum("ls").alias("lead_days_sum"),
         )
-    )
-    mom = weekly.groupBy("p_brand").agg(
-        F.sum("d").alias("s"),
-        F.sum(F.col("d").cast(_DEC) * F.col("d").cast(_DEC)).alias("q"),
+        .filter(F.col("n_lines") > 0)
     )
     j = (
-        mom.join(F.broadcast(lead), "p_brand")
-        .crossJoin(F.broadcast(span))
+        mom.crossJoin(F.broadcast(span))
         .filter(F.col("weeks") >= _SS_MIN_WEEKS)
     )
     wk = F.col("weeks").cast("double")
