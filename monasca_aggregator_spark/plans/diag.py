@@ -707,16 +707,23 @@ def q_text_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("w"),
     )
-    y_sw = words.groupBy("source", "w").agg(
-        F.count(F.lit(1)).alias("y_sw")
+    # r11 (guide §2.4): ONE corpus explode — the word totals, source
+    # totals and corpus total all roll up exactly from the cached
+    # (source, word) count table (every token lands in exactly one
+    # cell, all partials are integer counts), where each previously
+    # re-ran the explode as its own aggregate (4 corpus passes → 1).
+    y_sw = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("y_sw"))
+        .cache()
     )
-    n_s = words.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_s = y_sw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
     y_w = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("y_w"))
+        y_sw.groupBy("w")
+        .agg(F.sum("y_sw").alias("y_w"))
         .filter(F.col("y_w") >= _OR_MIN_COUNT)
     )
-    n_tot = words.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_tot = y_sw.agg(F.sum("y_sw").alias("n_corpus"))
     j = (
         y_sw.join(y_w, "w")
         .join(F.broadcast(n_s), "source")
@@ -2075,16 +2082,26 @@ def q_quality_signal_correlation(
         for i, a in enumerate(names)
         for b_ in names[i + 1 :]
     ]
-    rows = None
-    for a, b_ in pairs:
-        one = mom.select(
+    # r11 (guide §2.4): the 6 output rows explode out of ONE pass over
+    # the 1-row moment aggregate — the previous per-pair unionByName
+    # re-ran the corpus aggregate once per branch (6 scans). Same
+    # expressions, same rows.
+    entries = [
+        F.struct(
             F.lit(a).alias("signal_a"),
             F.lit(b_).alias("signal_b"),
-            F.col("n").cast("long").alias("n_docs"),
             _r(a, b_).alias("pearson_r"),
         )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows.orderBy("signal_a", "signal_b")
+        for a, b_ in pairs
+    ]
+    return (
+        mom.select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select("e.signal_a", "e.signal_b", "n_docs", "e.pearson_r")
+        .orderBy("signal_a", "signal_b")
+    )
 
 
 def _oracle_quality_signal_correlation() -> str:

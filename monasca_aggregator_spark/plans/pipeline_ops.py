@@ -1862,7 +1862,11 @@ def q_sample_design_effect(
             F.col("n_chars").cast(_DEC_PIPE)
             * F.col("n_chars").cast(_DEC_PIPE)
         ).alias("q"),
-    )
+        # r11 (guide §2.4): cached |sources|-row moment table — the
+        # global moments (glob below) roll up exactly from these
+        # per-stratum integer partials, so the corpus is scanned
+        # once, not once per moment set.
+    ).cache()
     var_h = (
         F.col("n").cast(_DEC_PIPE) * F.col("q")
         - F.col("s").cast(_DEC_PIPE) * F.col("s").cast(_DEC_PIPE)
@@ -1881,13 +1885,10 @@ def q_sample_design_effect(
         F.sum("n").alias("tn"),
         F.count(F.lit(1)).alias("h"),
     )
-    glob = docs.agg(
-        F.count(F.lit(1)).alias("gn"),
-        F.sum("n_chars").alias("gs"),
-        F.sum(
-            F.col("n_chars").cast(_DEC_PIPE)
-            * F.col("n_chars").cast(_DEC_PIPE)
-        ).alias("gq"),
+    glob = per.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gs"),
+        F.sum("q").alias("gq"),
     )
     designs = spark.createDataFrame(
         [("equal",), ("neyman",), ("proportional",)], "design string"

@@ -55,10 +55,20 @@ _MK_MIN_HOURS = 24  # Mann-Kendall needs a non-trivial series
 _KW_MIN_HOURS = 48  # ≥ 2 full days before hour-of-day groups mean much
 
 
-def _hourly_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hourly_e2(
+    spark: SparkSession, sf_dir: str, *, cached: bool = False
+) -> DataFrame:
     """|metrics|×|hours| exact-integer series: Σ floor(value·100+½)
     per (event_type, hour) — the shared first shuffle of the family
-    (map-side partial agg collapses the corpus-sized scan)."""
+    (map-side partial agg collapses the corpus-sized scan).
+
+    ``cached=True`` (r11, guide §2.4): callers that consume the
+    series from two or more branches (a per-metric moment aggregate
+    joined back onto the series is the family's standard shape)
+    lazily cache it so the events scan+shuffle runs once per query
+    instead of once per branch — the relation is bounded at
+    |metrics|×|hours|, the house materialization class.
+    Single-consumer callers keep the default lazy form."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_millis(F.col("ts")).alias("ts_ms"),
@@ -66,12 +76,13 @@ def _hourly_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("e2"),
     )
-    return ev.groupBy(
+    out = ev.groupBy(
         "event_type",
         # floor, not truncate-toward-zero: matches the oracle's `//`
         # for pre-epoch (negative) timestamps (ADVICE r10)
         F.floor(F.col("ts_ms") / F.lit(_HOUR_MS)).cast("long").alias("h"),
     ).agg(F.sum("e2").alias("v"))
+    return out.cache() if cached else out
 
 
 _HOURLY_SQL = f"""
@@ -107,7 +118,7 @@ def q_metric_walsh_periodogram(
     the 4 periods come from a literal explode over that bounded
     relation. Hours grow with the observation WINDOW, not data
     volume."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     dec = "decimal(38,0)"
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -224,7 +235,7 @@ def q_metric_mann_kendall(
     |metrics|×|hours| series — pairs grow with the observation
     window squared, not with data volume; both sides repartition on
     the metric key so the join is co-located."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     n_ok = (
         hourly.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -386,7 +397,7 @@ def q_metric_kruskal_wallis(
 
     Scale: ranking is one window over the collapsed |metrics|×|hours|
     series partitioned BY METRIC; the fold input is |metrics|×24."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     n_ok = (
         hourly.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -544,7 +555,7 @@ def q_metric_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the raw scan collapses to |metrics|×|hours| (one shuffle,
     map-side partials); the argmax is a per-metric max_by over that
     bounded relation; output is metric-sized."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     dec = "decimal(38,0)"
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -224,7 +224,7 @@ def q_metric_cointegration(
     co-partitioned self-join on the hour key bounded by
     |metrics|² pairs; the residual window partitions BY PAIR.
     Hours grow with the observation window, never data volume."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     a = hourly.select(
         F.col("event_type").alias("ma"),
         "h",
@@ -1004,7 +1004,7 @@ def q_metric_sample_entropy(
     pair join is metric-co-partitioned and |hours|²-bounded — hours
     grow with the observation window, never data volume (the
     Mann-Kendall pair-join argument)."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     stats = (
         hourly.groupBy("event_type")
         .agg(
@@ -1344,7 +1344,7 @@ def q_metric_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus collapses to |metrics|×24×7 cells in ONE
     shuffle with map-side partials; the rank window partitions by
     (metric, hod); output is |metrics| rows."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     cells = (
         hourly.groupBy(
             "event_type",
@@ -1487,7 +1487,7 @@ def q_metric_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE corpus shuffle to |metrics|×|hours|; the pair
     alignment is an hour-co-partitioned join bounded by |metrics|²
     pairs; moments collapse per pair with map-side partials."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     wh = Window.partitionBy("event_type").orderBy("h")
     lagged = (
         hourly.withColumn("hp", F.lag("h").over(wh))
@@ -1983,6 +1983,11 @@ def q_text_dispersion_juilland(
     TakeOrdered broadcast; the completed grid is
     {_JD_TOP_WORDS}×|sources| rows."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # r11 (guide §2.4): the collapsed (source, word) count table feeds
+    # THREE consumers (per-source totals, the top-word TakeOrdered,
+    # and the grid left join) and each re-ran the corpus
+    # explode+aggregate — cache the vocabulary×|sources|-bounded
+    # relation once (the house bounded-intermediate convention).
     counts = (
         docs.select(
             "source",
@@ -1990,6 +1995,7 @@ def q_text_dispersion_juilland(
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
     )
     totals = counts.groupBy("source").agg(F.sum("n").alias("t"))
     top = (
@@ -2127,9 +2133,13 @@ def q_split_temporal_leakage(
     day = F.floor(
         F.unix_millis(F.col("ts")) / F.lit(_DAY_MS_AB)
     ).cast("long")
+    # r11 (guide §2.4): cached ≤|days|-row count table — the boundary
+    # cumsum, the total and the train/test event counts all derive
+    # from it (each previously re-scanned the event stream; the
+    # per-user pass below is the only other corpus scan left).
     daily = ev.groupBy(day.alias("d")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).cache()
     wcum = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -2159,9 +2169,15 @@ def q_split_temporal_leakage(
             ).cast("long")
         ).alias("n_spanning_users"),
     )
-    ev_counts = ev.crossJoin(F.broadcast(boundary)).agg(
-        F.sum((day <= F.col("b")).cast("long")).alias("n_train_events"),
-        F.sum((day > F.col("b")).cast("long")).alias("n_test_events"),
+    # exact rollup of the daily counts (every event lands in exactly
+    # one day cell) — no third scan of the event stream
+    ev_counts = daily.crossJoin(F.broadcast(boundary)).agg(
+        F.sum(
+            F.when(F.col("d") <= F.col("b"), F.col("c")).otherwise(0)
+        ).alias("n_train_events"),
+        F.sum(
+            F.when(F.col("d") > F.col("b"), F.col("c")).otherwise(0)
+        ).alias("n_test_events"),
     )
     leak = (
         F.col("n_spanning_users").cast("double")
@@ -2386,7 +2402,7 @@ def q_metric_haar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (a literal, not data) and re-aggregates per (metric, level,
     block) with map-side partials; ranking is a metric-partitioned
     top-K window (WindowGroupLimit)."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     base = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"),
         # levels cap at 2^j ≤ span: a supra-span level would measure
@@ -2537,7 +2553,7 @@ def q_metric_western_electric(
 
     Scale: ONE corpus shuffle to |metrics|×|hours|; the run rules
     are metric-partitioned lag windows over that bounded series."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     mom = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
