@@ -170,22 +170,33 @@ def q_sessions_concurrency(
     sessions = marked.groupBy("user_id", "sess_id").agg(
         F.min("ts_ms").alias("start_ms"), F.max("ts_ms").alias("end_ms")
     )
+    # r11 (guide §2.4): both boundaries explode out of ONE pass over
+    # the sessionization (the start/end unionByName re-ran the
+    # scan+windows+groupBy per branch); same (b_ms, delta) multiset.
     bounds = sessions.select(
-        F.col("start_ms").alias("b_ms"), F.lit(1).alias("delta")
-    ).unionByName(
-        sessions.select(
-            (F.col("end_ms") + F.lit(1)).alias("b_ms"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_ms").alias("b_ms"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (F.col("end_ms") + F.lit(1)).alias("b_ms"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.b_ms", "e.delta")
     from monasca_aggregator_spark.operators.rank import global_cumsum
 
     # collapse same-ms boundaries to one net delta: a ROWS cumsum over
-    # the collapsed stream ≡ the RANGE-frame sweep at every point
+    # the collapsed stream ≡ the RANGE-frame sweep at every point.
+    # Cached (r11): global_cumsum reads it twice (local cumsum +
+    # day-bucket histogram); it is the collapsed boundary histogram.
     per_ms = bounds.groupBy("b_ms").agg(
         F.sum("delta").alias("net"),
         F.max((F.col("delta") == 1).cast("int")).alias("has_start"),
-    )
+    ).cache()
     sweep = global_cumsum(
         per_ms,
         F.floor(F.col("b_ms") / F.lit(86_400_000)).cast("long"),
@@ -259,7 +270,11 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("DAY", F.col("ts")).alias("day"),
         F.col("event_type"),
     )
-    items = ev.distinct()
+    # r11 (guide §2.4): the distinct basket-item relation feeds the
+    # basket total, the single-item counts and BOTH pair-join sides —
+    # uncached, the corpus scan+distinct re-executed 5×; cache the
+    # collapsed (user, day, type) relation once.
+    items = ev.distinct().cache()
     n_baskets = items.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )  # 1-row broadcast, not a driver-side count()
@@ -785,12 +800,18 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
     )
-    frontier = ev.agg(F.max("ts_ms").alias("max_ms"))
+    # r11 (guide §2.4): ONE corpus scan — the frontier is the exact
+    # max of the per-user maxima, and the per-user rollup is cached
+    # because the three chained global_rank rounds each consume their
+    # input twice (rank branch + bucket histogram), re-executing the
+    # whole upstream lineage 2^3·2 = 16× before (initial plan: 16
+    # events FileScans → 1).
     per_user = ev.groupBy("user_id").agg(
         F.max("ts_ms").alias("last_ms"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("e2").alias("m_e2"),
-    )
+    ).cache()
+    frontier = per_user.agg(F.max("last_ms").alias("max_ms"))
     j = per_user.crossJoin(F.broadcast(frontier)).select(
         "user_id",
         (
@@ -806,7 +827,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = j
-    for score, bucket, order in (
+    for round_i, (score, bucket, order) in enumerate((
         (
             "r_score",
             (-F.col("recency_days")).cast("long"),
@@ -824,12 +845,18 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
             [F.col("m_e2").asc(), F.col("user_id").asc()],
         ),
-    ):
+    )):
         scored = global_rank(
             scored, bucket, order, rank_col="_rk", total_col="_tot"
         ).withColumn(
             score, ntile_from_rank(F.col("_rk"), F.col("_tot"), 5)
         ).drop("_rk", "_tot")
+        if round_i < 2:
+            # the next global_rank reads this relation twice — pin
+            # each round's |users|-row output so re-execution never
+            # compounds across rounds (the final round's output has
+            # a single consumer and stays lazy)
+            scored = scored.cache()
     return scored.select(
         "user_id",
         "recency_days",

@@ -375,6 +375,10 @@ def q_revenue_lorenz_deciles(
                 )
             ).alias("cents")
         )
+        # r11 (guide §2.4): global_rank reads its input twice (rank
+        # branch + bucket histogram) — cache the per-customer rollup
+        # so the orders scan runs once, not per branch.
+        .cache()
     )
     # ln-scale bucket: monotone in cents, equal cents share a bucket,
     # ~60 buckets across any realistic revenue range
@@ -396,6 +400,8 @@ def q_revenue_lorenz_deciles(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("cents").alias("rev"),
         )
+        # 10-row relation consumed by the total AND the output join
+        .cache()
     )
     total = by_dec.agg(F.sum("rev").alias("t"))
     wc = Window.orderBy("decile").rowsBetween(
@@ -840,9 +846,12 @@ def q_text_stopword_cosine(
     words = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w").isin(*_STOPWORDS))
+    # r11 (guide §2.4): the |sources|×20-row profile feeds both
+    # cosine sides AND the norms — uncached, the corpus explode
+    # re-executed 3×; cache the bounded profile once.
     prof = words.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).cache()
     a = prof.select(
         F.col("source").alias("s1"), "w", F.col("n").alias("na")
     )

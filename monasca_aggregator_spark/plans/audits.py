@@ -577,9 +577,16 @@ def q_text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("b"),
     )
-    sb = tb.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n_sb"))
-    tot_b = tb.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
-    grand = tb.agg(F.count(F.lit(1)).alias("n_all"))
+    # r11 (guide §2.4): ONE corpus explode — the per-bucket totals,
+    # grand total and per-source totals all roll up exactly from the
+    # cached ≤|sources|×256-row (source, bucket) count table (every
+    # token lands in exactly one cell); each previously re-ran the
+    # tokenize+explode as its own aggregate (3 corpus passes → 1).
+    sb = tb.groupBy("source", "b").agg(
+        F.count(F.lit(1)).alias("n_sb")
+    ).cache()
+    tot_b = sb.groupBy("b").agg(F.sum("n_sb").alias("n_b"))
+    grand = sb.agg(F.sum("n_sb").alias("n_all"))
     per_source_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     full = (
         tot_b.crossJoin(F.broadcast(per_source_tot))

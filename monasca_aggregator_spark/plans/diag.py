@@ -1324,12 +1324,17 @@ def q_corpus_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "lang", "source"
     )
+    # r11 (guide §2.4): ONE corpus scan — the lang/source marginals
+    # and the grand total all roll up exactly from the cached
+    # |langs|×|sources| observed-cell table (every doc lands in
+    # exactly one cell); each previously re-scanned the corpus, and
+    # the marginal COUNT aggregates re-ran it again (6 scans → 1).
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("o")
-    )
-    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
-    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    ).cache()
+    rows = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n_tot = obs.agg(F.sum("o").alias("n"))
     cells = (
         F.broadcast(rows)
         .crossJoin(F.broadcast(cols))

@@ -1771,6 +1771,12 @@ def q_funnel_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "vts")
         .agg(F.min("cts").alias("c1"))
+        # r11 (guide §2.4): step2 feeds the depth-3 chain AND the
+        # depth-2 distinct — cache the collapsed per-(user, start)
+        # relation so the view⋈click join runs once (d1's second
+        # view scan stays: a pushed-filter thin-column re-scan is
+        # cheaper than caching a corpus-sized event slice).
+        .cache()
     )
     step3 = (
         step2.join(p, "user_id")

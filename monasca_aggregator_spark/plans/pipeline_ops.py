@@ -728,7 +728,10 @@ def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rked = scored.select("doc_id", "source", "quality").withColumn(
         "rk", F.row_number().over(w)
-    )
+    # r11 (guide §2.4): global_rank reads its input twice (rank
+    # branch + bucket histogram) — cache the per-doc ranked relation
+    # so the quality scan + source join run once, not per branch.
+    ).cache()
     out = global_rank(
         rked,
         F.col("rk"),

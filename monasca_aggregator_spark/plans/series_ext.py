@@ -216,15 +216,18 @@ def q_metric_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
     )
+    # r11 (guide §2.4): `hourly` feeds the median AND the deviation
+    # join, `dev` feeds the MAD AND the output join — uncached, the
+    # corpus scan re-executed 4×. Both are |metrics|×|hours|-bounded.
     hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
         F.sum("e2").alias("v")
-    )
+    ).cache()
     med = hourly.groupBy("event_type").agg(
         F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("med2")
     )
     dev = hourly.join(F.broadcast(med), "event_type").withColumn(
         "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
-    )
+    ).cache()
     mad = dev.groupBy("event_type").agg(
         F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
     )
@@ -840,9 +843,14 @@ def q_metric_alert_overlap(
         .cast("long")
         .alias("e2"),
     )
+    # r11 (guide §2.4): `hourly` feeds the per-metric totals AND the
+    # breach filter, and the breach set `b` feeds its sizes plus BOTH
+    # sides of the co-firing self-join — uncached, the corpus scan
+    # re-executed up to 8×. Both relations are bounded at
+    # |metrics|×|hours|; cache each once.
     hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
         F.sum("e2").alias("s1"), F.count(F.lit(1)).alias("cnt")
-    )
+    ).cache()
     tot = hourly.groupBy("event_type").agg(
         F.sum("s1").alias("t_sum"), F.sum("cnt").alias("t_cnt")
     )
@@ -852,7 +860,7 @@ def q_metric_alert_overlap(
             F.col("s1") * F.col("t_cnt") > F.col("t_sum") * F.col("cnt")
         )
         .select("event_type", "window_ts_ms")
-    )
+    ).cache()
     sizes = b.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1759,18 +1767,22 @@ def q_metric_top_contributors(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("e2"),
     )
+    # r11 (guide §2.4): the per-(metric, window, user) collapse feeds
+    # the hourly rollup AND the contributor join, `hourly` feeds the
+    # median AND deviation branches, `dev` the MAD AND breach filter —
+    # uncached, the corpus scan re-executed 5×; one scan after.
     per_user = ev.groupBy(
         F.col("event_type"), _hourly_window(), F.col("user_id")
-    ).agg(F.sum("e2").alias("u_e2"))
+    ).agg(F.sum("e2").alias("u_e2")).cache()
     hourly = per_user.groupBy("event_type", "window_ts_ms").agg(
         F.sum("u_e2").alias("v")
-    )
+    ).cache()
     med = hourly.groupBy("event_type").agg(
         F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("med2")
     )
     dev = hourly.join(F.broadcast(med), "event_type").withColumn(
         "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
-    )
+    ).cache()
     mad = dev.groupBy("event_type").agg(
         F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
     )
@@ -2693,6 +2705,10 @@ def q_metric_peak_prominence(
         ).alias("w"),
     ).agg(F.sum("e2").alias("v"))
     iw = Window.partitionBy("event_type").orderBy("w")
+    # r11 (guide §2.4): the indexed series feeds FOUR consumers
+    # (peaks, and `ser` joined in twice more) and each re-ran the
+    # corpus scan + hourly shuffle + window — cache the bounded
+    # |metrics|×|hours| relation once.
     s = hourly.select(
         "event_type",
         "w",
@@ -2700,7 +2716,7 @@ def q_metric_peak_prominence(
         F.row_number().over(iw).alias("i"),
         F.lag("v").over(iw).alias("pv"),
         F.lead("v").over(iw).alias("nv"),
-    )
+    ).cache()
     peaks = s.filter(
         (F.col("v") > F.col("pv")) & (F.col("v") >= F.col("nv"))
     ).select(

@@ -971,9 +971,13 @@ def q_corpus_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "source", F.col("n_chars").alias("v")
     )
+    # r11 (guide §2.4): the collapsed (source, length) count table
+    # feeds THREE consumers (per-source totals, per-length totals,
+    # the grid left join) and the grand total rolls up from it —
+    # cache the bounded summary once instead of four corpus scans.
     sv = docs.groupBy("source", "v").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).cache()
     srcs = sv.groupBy("source").agg(F.sum("c").alias("n_s"))
     vals = sv.groupBy("v").agg(F.sum("c").alias("c_tot"))
     grid = srcs.crossJoin(vals).join(
@@ -992,7 +996,9 @@ def q_corpus_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_s = F.sum("c").over(w)
     cum_tot = F.sum("c_tot").over(w)
-    total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_total")))
+    # exact rollup of the cached summary (every doc lands in exactly
+    # one (source, v) cell) — not a fourth corpus scan
+    total = F.broadcast(sv.agg(F.sum("c").alias("n_total")))
     stepped = grid.select(
         "source", "n_s", cum_s.alias("cum_s"), cum_tot.alias("cum_tot")
     ).crossJoin(total)
@@ -1769,7 +1775,13 @@ def q_metric_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_ms") / F.lit(_HOUR_MS_FDR)).cast("long")
             * F.lit(_HOUR_MS_FDR)
         ).alias("window_ts_ms"),
-    ).agg(F.sum("e2").alias("v"))
+    ).agg(F.sum("e2").alias("v")).cache()
+    # r11 (guide §2.4): `cells` feeds the stratum aggregate AND the
+    # join-back, and `ranked` feeds the BH cutoff AND the final
+    # summary — each consumer re-ran the corpus scan (global_rank
+    # itself reads its input twice: rank branch + bucket histogram,
+    # so the raw scan executed up to 8×). Both relations are bounded
+    # at |metrics|×|hours|; cache each once.
     hod = (
         (F.col("window_ts_ms") / F.lit(_HOUR_MS_FDR)).cast("long") % 24
     ).alias("hod")
@@ -1816,7 +1828,7 @@ def q_metric_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("p"), F.col("event_type"), F.col("window_ts_ms")],
         rank_col="i",
         total_col="m",
-    )
+    ).cache()
     cutoff = ranked.agg(
         F.max(
             F.when(

@@ -614,12 +614,17 @@ def q_events_attribution_shapley(
             | (F.unix_millis("ts") < F.col("fp_ms"))
         )
     )
+    # r11 (guide §2.4): the per-user journey collapse feeds the
+    # coalition counts (consumed TWICE through v's marginal self-join)
+    # and the totals row — uncached, the touch⋈first-purchase corpus
+    # pass re-executed 3× (8 events scans in the initial plan → 3,
+    # one per pushed event-type predicate). v itself is ≤2^c rows.
     journeys = touches.groupBy("user_id").agg(
         F.array_join(
             F.array_sort(F.collect_set("event_type")), ","
         ).alias("s"),
         F.max(F.col("fp_ms").isNotNull().cast("int")).alias("conv"),
-    )
+    ).cache()
     coal = journeys.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_j"),
         F.sum("conv").alias("n_c"),
@@ -662,7 +667,7 @@ def q_events_attribution_shapley(
             F.col("n_c").cast("double") / F.col("n_j").cast("double"),
             F.lit(0.0),
         ).alias("v"),
-    )
+    ).cache()
     # marginal pairs: for channel i not in S, join v(S) to v(S ∪ {i})
     base = v.select(
         "chs", "c", F.col("mask").alias("m0"), F.col("sz").alias("sz0"),

@@ -1355,10 +1355,15 @@ def q_funnel_strict_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     a new key. Output is the 3-row stage table (corpus-size-
     independent)."""
     ev = load_table(spark, sf_dir, "events")
+    # r11 (guide §2.4): each stage feeds the next stage's join AND
+    # its own union branch, so the chain re-executed per consumer
+    # (6 events scans in the initial plan → 3, one per event type).
+    # The cached relations are per-user firsts — funnel-state-sized.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .cache()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1366,6 +1371,7 @@ def q_funnel_strict_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .cache()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -1576,16 +1576,26 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .distinct()
     )
-    first = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("long")
+    # r11 (guide §2.4): first-seen as a window MIN over the shingle
+    # key instead of groupBy(h)+join-back — the join formulation
+    # re-ran the corpus explode+distinct for the probe side (the two
+    # branches prune differently, so Spark could not reuse the
+    # subtree). Identical semantics (first_doc = min doc_id over h;
+    # the join colocated each h's rows in one task exactly like the
+    # window partition does), ONE corpus explode.
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    flagged = pairs.select(
+        "doc_id",
+        (F.min("doc_id").over(wh) == F.col("doc_id")).alias("is_first"),
+    )
     return (
-        pairs.join(first, "h")
+        flagged
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            novel.alias("n_novel"),
+            F.sum(F.col("is_first").cast("long")).alias("n_novel"),
         )
         .withColumn(
             "novelty_frac",
