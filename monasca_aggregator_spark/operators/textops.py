@@ -289,24 +289,35 @@ def contamination_scores(
         )
         .distinct()
     )
+    # r11 (guide §2.4): ONE pass over the training shingles — the
+    # per-doc shingle count and the match count come out of the same
+    # aggregate over the exploded stream (shingles are distinct per
+    # doc, so count(*) == size(shingles); bench_set is distinct, so
+    # the left join preserves multiplicity). Previously the corpus
+    # shingling ran twice: once for the match join, once for the
+    # n_shingles projection.
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
-    matches = (
-        ex.join(F.broadcast(bench_set), "s")
+    per_doc = (
+        ex.join(
+            F.broadcast(bench_set.withColumn("_m", F.lit(1))), "s", "left"
+        )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            # cast pins the pre-r11 output schema (F.size was int,
+            # the match count was long)
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
     )
     frac = F.col("n_contaminated") / F.col("n_shingles")
-    return (
-        sh.select(id_col, F.size("shingles").alias("n_shingles"))
-        .join(matches, id_col, "left")
-        .fillna({"n_contaminated": 0})
-        .select(
-            id_col,
-            "n_shingles",
-            "n_contaminated",
-            stable_round(frac, 4).alias("contamination"),
-            (frac >= F.lit(threshold)).alias("is_contaminated"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        stable_round(frac, 4).alias("contamination"),
+        (frac >= F.lit(threshold)).alias("is_contaminated"),
     )
 
 
@@ -479,9 +490,18 @@ def span_dedup_rewrite(
         .select(F.col(id_col), F.explode(span_entries).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     )
-    first = spans.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    # r11 (guide §2.4): first-seen as a window MIN over the span hash
+    # instead of groupBy(h)+join-back — the join formulation re-ran
+    # the corpus tokenize+explode for the probe side (the branches
+    # prune differently, so Spark could not reuse the subtree).
+    # Identical semantics (first_doc = min id over h; the join
+    # colocated each h's rows in one task exactly like the window
+    # partition does), ONE span explode.
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
     starts = (
-        spans.join(first, "h")
+        spans.withColumn("first_doc", F.min(id_col).over(wh))
         .filter(F.col("first_doc") < F.col(id_col))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("starts"))

@@ -1008,9 +1008,12 @@ def q_events_pareto_deciles(
     )
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
+    # r11 (guide §2.4): global_rank reads its input twice (rank
+    # branch + bucket histogram) — cache the per-user rollup so the
+    # events scan runs once, not per branch.
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).cache()
     # sort is (n DESC, user_id): -floor(log2 n) is monotone
     # non-decreasing along it and exact-ties share a bucket (≤64)
     ranked = global_rank(
@@ -1023,10 +1026,11 @@ def q_events_pareto_deciles(
     dec = ranked.withColumn(
         "decile", ntile_from_rank(F.col("_rk"), F.col("_tot"), 10)
     ).drop("_rk", "_tot")
+    # ≤10-row relation consumed by the total AND the output cumsum
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").alias("n_events"),
-    )
+    ).cache()
     tot = g.agg(F.sum("n_events").alias("total"))
     cw = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1342,40 +1346,115 @@ def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks the z-score, daily cycles fool the trailing baseline, and
     the seasonal baseline needs history the other two don't).
 
-    Built by COMPOSING the three existing oracle-exact queries —
-    q_anomaly_zscore, q_metric_mad_anomaly, q_anomaly_seasonal — and
-    joining their identical (metric, window) row sets; the oracle
-    nests each detector's full SQL as a CTE subquery.  Detectors that
-    abstain (NULL score, insufficient history) vote false, never
-    block the row.
-    """
-    from monasca_aggregator_spark.plans.series import q_anomaly_seasonal
-    from monasca_aggregator_spark.plans.series_ext import (
-        q_metric_mad_anomaly,
-    )
-    from monasca_aggregator_spark.plans.temporal import q_anomaly_zscore
+    Semantically the COMPOSITION of the three existing oracle-exact
+    queries — q_anomaly_zscore, q_metric_mad_anomaly,
+    q_anomaly_seasonal — joined on their identical (metric, window)
+    row sets; the oracle nests each detector's full SQL as a CTE
+    subquery.  Detectors that abstain (NULL score, insufficient
+    history) vote false, never block the row.
 
-    keys = ["event_type", "window_ts_ms"]
-    z = q_anomaly_zscore(spark, sf_dir).select(
-        *keys, F.col("is_anomaly").alias("flag_trailing")
+    r11 (guide §2.2, §2.4): all three detectors key their hourly
+    aggregate by the IDENTICAL window expression, so the fused
+    groupBy below computes each detector's base aggregate (rounded
+    mean, exact cent sum, exact e6 mean) in ONE events scan + ONE
+    shuffle, verbatim per-column — previously each detector re-ran
+    its own corpus scan and the ensemble joined three copies of the
+    same key set (7 events FileScans → 1).  Every downstream stat
+    (trailing frame, MAD medians, hour-of-day baseline) consumes the
+    cached |metrics|×|hours| relation; the flag expressions are
+    copied unchanged from the three detectors, and the 3-way key
+    join is gone because the keys already live on one relation.
+    """
+    from monasca_aggregator_spark.plans.series_ext import (
+        _MAD_LHS,
+        _MAD_NUM,
     )
-    m = q_metric_mad_anomaly(spark, sf_dir).select(
-        *keys, F.col("is_anomaly").alias("flag_mad")
+
+    ev = load_table(spark, sf_dir, "events")
+    wcol = (
+        (F.unix_millis(F.col("ts")) / F.lit(_HOUR_MS)).cast("long")
+        * F.lit(_HOUR_MS)
     )
-    sz = q_anomaly_seasonal(spark, sf_dir).select(
-        *keys,
-        F.coalesce(
-            F.abs(F.col("season_z")) > 3, F.lit(False)
-        ).alias("flag_seasonal"),
+    e2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e6 = F.floor(
+        F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    hourly = (
+        ev.groupBy(F.col("event_type"), wcol.alias("window_ts_ms"))
+        .agg(
+            # q_anomaly_zscore's hourly mean (rounded)
+            stable_round(F.avg("value"), 4).alias("wv_z"),
+            # q_metric_mad_anomaly's exact cent sum
+            F.sum(e2).alias("v"),
+            # q_anomaly_seasonal's exact e6 mean
+            (
+                F.sum(e6).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000.0)
+            ).alias("wv_s"),
+        )
+        .cache()
     )
-    j = z.join(m, keys).join(sz, keys)
+
+    # trailing-window z-score flag (q_anomaly_zscore, verbatim)
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_ts_ms")
+        .rowsBetween(-24, -1)
+    )
+    mu_t = F.avg("wv_z").over(frame)
+    sd_t = F.stddev_samp("wv_z").over(frame)
+    z_t = stable_round(
+        F.when(sd_t > 0, (F.col("wv_z") - mu_t) / sd_t), 4
+    )
+    flag_trailing = F.coalesce(F.abs(z_t) > F.lit(3.0), F.lit(False))
+
+    # MAD fence flag (q_metric_mad_anomaly, verbatim)
+    med = hourly.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    ).cache()
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").alias("mad4")
+    )
+
+    # seasonal hour-of-day flag (q_anomaly_seasonal, verbatim)
+    hod = F.expr(f"(window_ts_ms div {_HOUR_MS}) % 24")
+    with_hod = dev.withColumn("hod", hod)
+    base = with_hod.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_hist"),
+        F.avg("wv_s").alias("mu"),
+        F.stddev_samp("wv_s").alias("sd"),
+    )
+    season_z = F.when(
+        (F.col("n_hist") >= 3) & (F.col("sd") > 0),
+        stable_round((F.col("wv_s") - F.col("mu")) / F.col("sd"), 4),
+    )
+    flag_seasonal = F.coalesce(F.abs(season_z) > 3, F.lit(False))
+
+    j = (
+        with_hod.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "window_ts_ms",
+            flag_trailing.alias("flag_trailing"),
+            (
+                F.col("dev2") * F.lit(_MAD_LHS)
+                > F.col("mad4") * F.lit(_MAD_NUM)
+            ).alias("flag_mad"),
+            flag_seasonal.alias("flag_seasonal"),
+        )
+    )
     votes = (
         F.col("flag_trailing").cast("int")
         + F.col("flag_mad").cast("int")
         + F.col("flag_seasonal").cast("int")
     )
     return j.select(
-        *keys,
+        "event_type",
+        "window_ts_ms",
         "flag_trailing",
         "flag_mad",
         "flag_seasonal",
@@ -1443,9 +1522,13 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = orders.groupBy("o_custkey").agg(
         F.min("ts_ms").alias("first_ms")
     )
+    # r11 (guide §2.4): the per-customer cohort relation feeds the
+    # cohort sizes AND the revenue join — uncached, the orders scan +
+    # first-order aggregate re-executed per consumer (3 FileScans →
+    # 2: one for the cached rollup, one for the revenue join probe).
     cohorts = first.select(
         "o_custkey", bucket(F.col("first_ms")).alias("cohort")
-    )
+    ).cache()
     sized = cohorts.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

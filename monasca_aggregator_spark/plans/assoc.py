@@ -970,6 +970,11 @@ def q_events_entropy_rate(
         .filter(F.col("e2").isNotNull())
         .groupBy("e1", "e2")
         .agg(F.count(F.lit(1)).alias("n"))
+        # r11 (guide §2.4): the |types|²-bounded transition table
+        # feeds the marginals, the totals AND the fold join —
+        # uncached, the corpus-wide user-ordered window re-executed
+        # per consumer (4 FileScans → 1).
+        .cache()
     )
     marg = trans.groupBy("e1").agg(F.sum("n").alias("ni"))
     tot = trans.agg(

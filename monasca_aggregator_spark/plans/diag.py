@@ -70,7 +70,7 @@ def q_metric_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ranking + lag are windows over the collapsed
     |metrics|×|hours| series partitioned BY METRIC; the median
     join-back broadcasts a metric-sized relation."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     n_ok = (
         hourly.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_hours"))
@@ -230,7 +230,7 @@ def q_metric_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shape to the correlogram (series-sized ×
     {_LB_LAGS} lag explosion, map-side-partial Pearson sums), then a
     metric-sized aggregate of the {_LB_LAGS} pre-rounded terms."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     n_h = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours")
     )
@@ -562,7 +562,7 @@ def q_metric_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one prefix-sum window partitioned BY METRIC + a
     metric-sized aggregate — same shape as KPSS."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     tot = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
@@ -1052,7 +1052,12 @@ def q_quality_vs_duplication(
     from monasca_aggregator_spark.plans.textops import N_DECILES
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    scores = quality_scores(docs).select("doc_id", "quality")
+    # r11 (guide §2.4): global_rank reads its input twice (rank
+    # branch + bucket histogram) — cache the thin per-doc quality
+    # projection so the corpus-wide quality scoring runs once, not
+    # per branch (3 text scans → 2: the normalize join keeps its own
+    # pushed-column scan).
+    scores = quality_scores(docs).select("doc_id", "quality").cache()
     ranked = global_rank(
         scores,
         F.floor(F.col("quality") * 50).cast("int"),
@@ -1183,9 +1188,12 @@ def q_corpus_brown_forsythe(
 
     Scale: ranking is a window partitioned BY SOURCE; everything
     after is |sources|-bounded moments."""
+    # r11 (guide §2.4): the thin 3-column projection feeds the
+    # eligibility count, the median ranking and the deviation pass —
+    # uncached, the corpus scan re-executed 4× (4 FileScans → 1).
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("x")
-    )
+    ).cache()
     n_ok = (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_g"))
@@ -1907,7 +1915,7 @@ def q_metric_dickey_fuller(
     Scale: the lag pairing is ONE self-join of the collapsed hourly
     series on (metric, h+1) — series-sized; everything after is a
     metric-sized aggregate."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     nxt = hourly.select(
         "event_type",
         (F.col("h") - 1).alias("h"),
@@ -2210,7 +2218,7 @@ def q_metric_seasonal_strength(
 
     Scale: the collapsed hourly series aggregates to ≤24 group rows
     per metric (map-side partials), then a metric-sized fold."""
-    hourly = _hourly_e2(spark, sf_dir)
+    hourly = _hourly_e2(spark, sf_dir, cached=True)
     tot = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),

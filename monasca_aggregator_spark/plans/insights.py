@@ -265,7 +265,11 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     day = (F.unix_millis("ts") / F.lit(_DAY_MS)).cast("long")
-    pairs = ev.select("user_id", day.alias("day")).distinct()
+    # r11 (guide §2.4): the |users|×|days|-bounded distinct pair set
+    # feeds the day grid, the DAU count AND the ×28 fan-out —
+    # uncached, the corpus scan+distinct re-executed 3×
+    # (3 FileScans → 1).
+    pairs = ev.select("user_id", day.alias("day")).distinct().cache()
     days = pairs.select("day").distinct()
     dau = pairs.groupBy("day").agg(
         F.countDistinct("user_id").alias("dau")
@@ -1577,10 +1581,17 @@ def q_embedding_pair_cosine_hist(
             F.floor((cos + F.lit(1.0)) / F.lit(2.0 / _COS_BINS)).cast("int"),
         ).alias("bin")
     )
-    total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
+    # r11 (guide §2.4): ONE pass over the pair join — the pair total
+    # rolls up exactly from the cached ≤|bins|-row histogram (every
+    # pair lands in exactly one bin, NULL included); previously the
+    # self-join + fold re-executed for the count (4 FileScans → 2,
+    # one per join side).
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    ).cache()
+    total = hist.agg(F.sum("n").alias("n_pairs"))
     return (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
+        hist
         .crossJoin(F.broadcast(total))
         .select(
             "bin",
@@ -2723,7 +2734,10 @@ def q_events_audience_overlap(
     Jaccard from broadcast per-type totals — the output is
     ≤ |types|² rows."""
     ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # r11 (guide §2.4): the distinct (type, user) relation feeds the
+    # per-type sizes AND both self-join sides — uncached, the corpus
+    # scan+distinct re-executed 3× (4 FileScans → 1).
+    tu = ev.select("event_type", "user_id").distinct().cache()
     sizes = tu.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -775,7 +775,12 @@ def q_sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute the identical bit pattern; everything after
     is integer arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # r11 (guide §2.4): the |langs|-row count table feeds the max
+    # AND the rate projection — uncached, the corpus scan re-executed
+    # per consumer (3 FileScans → 2: rollup once, explode probe once).
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    ).cache()
     max_n = counts.agg(F.max("n").alias("mx"))
     rates = (
         counts.crossJoin(F.broadcast(max_n))
@@ -965,11 +970,15 @@ def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
+    # r11 (guide §2.4): the two-phase skyline consumes its input
+    # multiple times (local frontier + cross-filter) — cache the thin
+    # 3-integer-column projection so the corpus tokenize runs once,
+    # not per phase (3 FileScans → 1).
     stats = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-    )
+    ).cache()
     return skyline(stats, [("n_distinct", "max"), ("n_tokens", "min")])
 
 

@@ -747,6 +747,10 @@ def q_metric_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1m"),
         )
         .agg(F.sum(v_e6).alias("s"), F.count(F.lit(1)).alias("c"))
+        # r11 (guide §2.4): the 1m partials feed every tier's
+        # re-rollup — uncached, the events scan re-executed per tier
+        # (3 FileScans → 1); the relation is |metrics|×|minutes|.
+        .cache()
     )
     tiers = []
     for ms, label in _TIERS:
@@ -1254,7 +1258,11 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hod = F.expr(f"(window_ts_ms div {_HOUR_MS}) % 24")
-    with_hod = hourly.withColumn("hod", hod)
+    # r11 (guide §2.4): the hourly series feeds the hour-of-day
+    # baseline aggregate AND the score join-back — uncached, the
+    # events scan+shuffle re-executed per branch; the relation is
+    # bounded at |metrics|×|hours| (2 events FileScans → 1).
+    with_hod = hourly.withColumn("hod", hod).cache()
     base = with_hod.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n_hist"),
         F.avg("wv").alias("mu"),

@@ -1878,9 +1878,13 @@ def q_metric_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(_WEEK_MS)
         ).alias("week_ms"),
     )
+    # r11 (guide §2.4): the |weeks|×|types|-bounded weekly count
+    # table feeds the totals, the shifted previous-week copy AND the
+    # alignment join — uncached, the events scan re-executed per
+    # consumer (4 FileScans → 1).
     weekly = ev.groupBy("week_ms", "event_type").agg(
         F.count(F.lit(1)).alias("a")
-    )
+    ).cache()
     totals = weekly.groupBy("week_ms").agg(F.sum("a").alias("b"))
     prev = weekly.select(
         (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
@@ -2134,6 +2138,10 @@ def q_metric_seasonal_decompose(
     hourly = ev.groupBy(F.col("event_type"), _hourly_window()).agg(
         F.sum("e2").alias("v")
     )
+    # r11 (guide §2.4): `hourly` feeds the trend aggregate AND the
+    # detrend join, `dt` feeds the seasonal aggregate AND the output
+    # join — uncached, the events scan re-executed 4×. Both relations
+    # are bounded at |metrics|×|hours|.
     hourly = hourly.withColumn(
         "day_ms",
         (F.col("window_ts_ms") / F.lit(_DAY_MS)).cast("long")
@@ -2142,11 +2150,11 @@ def q_metric_seasonal_decompose(
         "hod",
         ((F.col("window_ts_ms") - F.col("day_ms")) / F.lit(_HOUR_MS))
         .cast("int"),
-    )
+    ).cache()
     trend = hourly.groupBy("event_type", "day_ms").agg(
         F.expr("CAST(2 * percentile(v, 0.5D) AS BIGINT)").alias("t2")
     )
-    dt = hourly.join(F.broadcast(trend), ["event_type", "day_ms"])
+    dt = hourly.join(F.broadcast(trend), ["event_type", "day_ms"]).cache()
     seas = dt.groupBy("event_type", "hod").agg(
         F.expr(
             "CAST(2 * percentile(2 * v - t2, 0.5D) AS BIGINT)"

@@ -1068,9 +1068,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_e6"),
     )
+    # r11 (guide §2.4): the |labels|·d centroid-sum relation feeds
+    # the norm aggregate AND the per-vector dot join — uncached, the
+    # corpus posexplode+shuffle re-executed per consumer
+    # (3 FileScans → 2).
     csum = flat.groupBy("label", "dim").agg(
         F.sum("v_e6").alias("s_d")
-    )
+    ).cache()
     cnorm = csum.groupBy("label").agg(
         F.sum(F.col("s_d") * F.col("s_d")).alias("c2")
     )
@@ -2270,9 +2274,13 @@ def q_embedding_knn_hubness(
             F.expr(f"count(1) div {_HUB_CAP}"),
         ).alias("__stride")
     )
+    # r11 (guide §2.4): the ≤_HUB_CAP-row sample feeds BOTH
+    # cosine_topk sides and the n_nodes count — uncached, each
+    # consumer re-ran the embeddings scan + stride filter (5 corpus
+    # FileScans → the one count-only stride scan + one sample scan).
     emb = raw.crossJoin(F.broadcast(stride)).filter(
         F.col("vec_id") % F.col("__stride") == 0
-    ).drop("__stride")
+    ).drop("__stride").cache()
     edges = (
         cosine_topk(emb, emb, k=_HUB_K, dim=_DIM)
         .select("query_id", "neighbor_id")

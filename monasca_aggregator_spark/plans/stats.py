@@ -464,17 +464,21 @@ def q_corpus_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) — d² reaches n² ≈ 10¹⁸ and the sum 10²⁷ at 10⁹ docs,
     past BIGINT (DuckDB mirrors with HUGEINT).
     """
+    # r11 (guide §2.4): each global_rank reads its input twice (rank
+    # branch + bucket histogram) and the two ranks chain — uncached,
+    # the corpus tokenize re-executed up to 4×. Cache the thin
+    # 3-column projection once and pin the first rank round.
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id",
         F.col("n_chars").alias("x"),
         F.size(tokens(F.col("text"))).cast("long").alias("y"),
-    )
+    ).cache()
     rx = global_rank(
         docs,
         (F.col("x") / F.lit(64)).cast("long"),
         [F.col("x"), F.col("doc_id")],
         rank_col="rx",
-    )
+    ).cache()
     rxy = global_rank(
         rx,
         (F.col("y") / F.lit(16)).cast("long"),
@@ -1069,12 +1073,16 @@ def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (langs × sources) makes the final relation tiny.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # r11 (guide §2.4): ONE corpus scan — marginals and the grand
+    # total roll up exactly from the cached |langs|×|sources| cell
+    # table (every doc lands in exactly one cell); each previously
+    # re-scanned the corpus (4 FileScans → 1).
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("o")
-    )
+    ).cache()
     rows_ = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cols_ = cells.groupBy("source").agg(F.sum("o").alias("c"))
-    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    n = F.broadcast(cells.agg(F.sum("o").alias("n")))
     full = (
         rows_.crossJoin(cols_)
         .join(cells, ["lang", "source"], "left")
@@ -1487,7 +1495,13 @@ def q_orders_segment_migration(
         F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mo"),
         F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
     )
-    cm = orders.groupBy("o_custkey", "mo").agg(F.sum("rev").alias("rev"))
+    # r11 (guide §2.4): the (customer, month) rollup feeds the
+    # shifted next-month copy, the frontier AND the pairing join —
+    # uncached, the orders scan re-executed per consumer
+    # (3 FileScans → 1).
+    cm = orders.groupBy("o_custkey", "mo").agg(
+        F.sum("rev").alias("rev")
+    ).cache()
     nxt = cm.select(
         "o_custkey",
         F.add_months(F.col("mo"), -1).alias("mo"),
@@ -1569,7 +1583,13 @@ def q_orders_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mo"),
         F.floor(F.col("o_totalprice")).cast("long").alias("rev"),
     )
-    cm = orders.groupBy("o_custkey", "mo").agg(F.sum("rev").alias("rev"))
+    # r11 (guide §2.4): the (customer, month) rollup feeds the
+    # shifted next-month copy, the frontier AND the pairing join —
+    # uncached, the orders scan re-executed per consumer
+    # (3 FileScans → 1).
+    cm = orders.groupBy("o_custkey", "mo").agg(
+        F.sum("rev").alias("rev")
+    ).cache()
     nxt = cm.select(
         "o_custkey",
         F.add_months(F.col("mo"), -1).alias("mo"),

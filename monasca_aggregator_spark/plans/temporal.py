@@ -1578,17 +1578,22 @@ def q_events_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("tier"),
     )
+    # r11 (guide §2.4): ONE corpus scan — the global tier
+    # distribution rolls up exactly from the cached (event_type, day)
+    # cell table (every event lands in exactly one cell), and the
+    # released/residual split re-reads the cache instead of
+    # re-scanning (4 FileScans → 1).
     cells = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum((F.col("tier") == i).cast("long")).alias(f"c{i}")
             for i in range(_TCLOSE_M)
         ],
-    )
-    glob = ev.groupBy().agg(
-        F.count(F.lit(1)).alias("big_n"),
+    ).cache()
+    glob = cells.groupBy().agg(
+        F.sum("n").alias("big_n"),
         *[
-            F.sum((F.col("tier") == i).cast("long")).alias(f"r{i}")
+            F.sum(f"c{i}").alias(f"r{i}")
             for i in range(_TCLOSE_M)
         ],
     )
@@ -2249,7 +2254,11 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(_WEEK_MS)
         ).alias("week_ms"),
     )
-    uw = ev.distinct()
+    # r11 (guide §2.4): the |users|×|weeks|-bounded distinct active
+    # set feeds the lag classification AND both sides of the churn
+    # anti-join — uncached, the corpus scan+distinct re-executed 3×
+    # (3 FileScans → 1).
+    uw = ev.distinct().cache()
     w = Window.partitionBy("user_id").orderBy("week_ms")
     classified = uw.withColumn(
         "prev_week", F.lag("week_ms").over(w)

@@ -373,10 +373,17 @@ def q_text_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
         F.col("token") != ""
     )
-    sketch = count_min_table(tok, "token")
+    # r11 (guide §2.4): ONE corpus explode — the sketch builds from
+    # the cached vocabulary-sized count table via weight_col (each
+    # cell's c = Σ of the same per-token counts, exact integers,
+    # order-free ⇒ identical cells), and the exact top-20 reads the
+    # same table (3 corpus explodes → 1).
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count")
+    ).cache()
+    sketch = count_min_table(counts, "token", weight_col="count")
     top = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("count"))
+        counts
         .orderBy(F.col("count").desc(), F.col("token").asc())
         .limit(20)
     )
@@ -504,9 +511,13 @@ def q_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_LM_VAL_MOD),
     )
     train_toks = docs.filter(bucket != _LM_VAL_MOD - 1).select(tok)
+    # r11 (guide §2.4): the vocabulary-sized count table feeds the
+    # (N, V) totals AND the scoring join — uncached, the train-slice
+    # corpus explode re-executed per consumer (3 corpus passes → 2:
+    # one train explode, one val explode).
     vocab = train_toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).cache()
     totals = vocab.agg(
         F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v")
     )

@@ -728,6 +728,11 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("rev_e4").cast("decimal(38,0)")).alias("rev_e4"),
         )
+        # r11 (guide §2.4): the matrix feeds BOTH sides of the
+        # swapped-key balance self-join — uncached, the fact⋈fact
+        # join re-executed per side (every base table scanned twice);
+        # the relation is bounded at |nations|².
+        .cache()
     )
     rev = (
         flows.alias("f")
@@ -1211,12 +1216,16 @@ def q_lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("ext"),
         F.col("l_quantity").alias("qty"),
     )
+    # r11 (guide §2.4): the |parts|×|years| unit-price rollup feeds
+    # the base-year scalar, the base-slice broadcast AND the index
+    # join — uncached, the lineitem scan re-executed per consumer
+    # (3 FileScans → 1).
     per = li.groupBy("pk", "yr").agg(
         F.floor(F.sum(F.col("ext") * F.lit(100.0)) + F.lit(0.5))
         .cast("long")
         .alias("ext_e2"),
         F.sum(F.col("qty").cast("long")).alias("q"),
-    )
+    ).cache()
     base_yr = per.agg(F.min("yr").alias("b")).select("b")
     base = (
         per.join(F.broadcast(base_yr), per.yr == F.col("b"))

@@ -750,3 +750,30 @@ def test_calibration_docs_sample_bound_and_keepall(spark, tmp_path):
     assert 0.6 * _EST_CAP <= kept_dir <= 1.4 * _EST_CAP
     # identical selection regardless of how n was obtained
     assert kept_dir == kept
+
+
+def test_span_rewrite_single_explode_plan(spark):
+    """r11 window-MIN rewrite: first-seen resolution must not re-run
+    the span explode for a probe side — the plan carries exactly one
+    Generate over the span entries (plus a partitioned window), and
+    the tie case (two docs sharing a span, smaller doc_id wins) still
+    resolves by min doc_id."""
+    from tests.conftest import explain_str
+
+    from monasca_aggregator_spark.operators.textops import (
+        span_dedup_rewrite,
+    )
+
+    base = " ".join(f"t{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(7, base), (3, base)], "doc_id long, text string"
+    )
+    out = span_dedup_rewrite(docs, n=8)
+    plan = explain_str(out)
+    # formatted explain prints each node once in the tree ("Generate
+    # (7)") and once as a detail header ("(7) Generate") — count the
+    # tree form only
+    assert plan.count("Generate (") == 1
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[3].n_removed == 0          # first occurrence kept
+    assert rows[7].n_removed == rows[7].n_tokens

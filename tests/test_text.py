@@ -509,3 +509,28 @@ def test_langid_calibration_buckets(spark, tmp_path):
     assert mid.n_docs == 1 and mid.n_correct == 1
     assert abs(mid.mean_confidence - 0.5) < 1e-9
     assert abs(mid.calibration_gap - 0.5) < 1e-9
+
+
+def test_contamination_single_pass_schema_and_zero_match(spark):
+    """r11 single-pass rewrite: the per-doc aggregate must preserve
+    the pre-r11 output schema (n_shingles int, n_contaminated long)
+    and still emit zero-match docs through the left-join null path."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    from monasca_aggregator_spark.operators.textops import (
+        contamination_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "p q r s")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    out = contamination_scores(docs, bench)
+    schema = {f.name: f.dataType for f in out.schema.fields}
+    assert isinstance(schema["n_shingles"], IntegerType)
+    assert isinstance(schema["n_contaminated"], LongType)
+    row = out.collect()[0]
+    assert row.n_shingles == 4 and row.n_contaminated == 0
+    assert row.contamination == 0.0 and not row.is_contaminated
