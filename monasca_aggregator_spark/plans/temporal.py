@@ -1741,33 +1741,43 @@ def q_events_attribution_markov(
             w.rowsBetween(Window.unboundedPreceding, -1)
         ),
     ).filter(F.coalesce(F.col("purch_seen"), F.lit(0)) == 0)
-    seq = marked.withColumn(
-        "state",
-        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-        .otherwise(F.col("event_type")),
-    ).withColumn("prev", F.lag("state").over(w))
+    # r11: the journey-end (last→NULL) transitions used to come from a
+    # SECOND aggregate over the same windowed lineage (groupBy(user,
+    # day).max_by + filter), so the events scan and the (user, day)
+    # window ran twice. lead() inside the SAME window marks each
+    # journey's last row (the window order is identical, so "lead is
+    # null" ≡ the old max_by row), and that row emits its extra
+    # state→NULL transition in the same pass — one scan, one window,
+    # one aggregate; the collected transition multiset is unchanged.
+    seq = (
+        marked.withColumn(
+            "state",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type")),
+        )
+        .withColumn("prev", F.lag("state").over(w))
+        .withColumn("nxt", F.lead("state").over(w))
+    )
+    base_edge = F.struct(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    )
+    end_edge = F.struct(
+        F.col("state").alias("src"), F.lit("NULL").alias("dst")
+    )
     trans = (
         seq.select(
-            F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
-            F.col("state").alias("dst"),
+            F.explode(
+                F.when(
+                    F.col("nxt").isNull() & (F.col("state") != "CONV"),
+                    F.array(base_edge, end_edge),
+                ).otherwise(F.array(base_edge))
+            ).alias("e")
         )
-        .groupBy("src", "dst")
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # journeys that end without converting transition last→NULL
-    last = seq.groupBy("user_id", "day").agg(
-        F.max_by("state", F.struct("ts", "event_id")).alias("s")
-    )
-    ends = (
-        last.filter(F.col("s") != "CONV")
-        .groupBy(F.col("s").alias("src"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("src", F.lit("NULL").alias("dst"), "c")
-    )
-    counts = {
-        (r.src, r.dst): r.c
-        for r in trans.unionByName(ends).collect()
-    }
+    counts = {(r.src, r.dst): r.c for r in trans.collect()}
     states = sorted(
         {s for s, _ in counts} | {d for _, d in counts}
         - {"CONV", "NULL"}
