@@ -778,6 +778,18 @@ def connected_components(
     (minhash/simhash/embedding) into keeper assignments: keep
     min(cluster) and drop the rest.
     """
+    # r11 (guide §2.4): nodes + edges are SEPARATE eager checkpoints,
+    # so the pair GENERATOR executed once per action (plus once more
+    # when exchange reuse cannot dedupe the union's mirrored
+    # projections) — for the shingle/embedding self-join generators
+    # that multiplied the most expensive stage. Materializing the pair
+    # list once ahead of both wins the interleaved A/B at sf0.1
+    # decisively (ngram pairs: median 6.4 s vs 38.1 s, every rep).
+    # localCheckpoint, not cache(): a lazy cache of the CPU-bound
+    # tiny-byte pair stage is AQE-coalesced to ~1 task at
+    # materialization (measured on graph_kcore's cache variant);
+    # the eager checkpoint keeps the generator's own parallelism.
+    pairs = pairs.select(a_col, b_col).localCheckpoint()
     # every node mentioned by any pair (self-pairs → singleton clusters)
     nodes = (
         pairs.select(F.col(a_col).alias("node"))

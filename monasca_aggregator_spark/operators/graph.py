@@ -177,6 +177,18 @@ def kcore_pairs(
     Output: (node, degree) for the k-core's members (degree WITHIN
     the core).
     """
+    # r11 (guide §2.4): the fwd/rev symmetrizing union can consume the
+    # pair GENERATOR twice when exchange reuse cannot dedupe the
+    # mirrored projections — materializing the pair list once is
+    # structural insurance for ANY generator (interleaved A/B at
+    # sf0.1: 2.68 vs 2.89 s median on the embedding generator, i.e.
+    # no cost even where reuse already fired). localCheckpoint, not
+    # cache(): a lazy cache of the CPU-bound tiny-byte pair stage is
+    # coalesced to ~1 task by AQE at materialization (the documented
+    # cached-plan-replanning side-effect — measured 2.5→12.6 s on
+    # graph_kcore), while the eager checkpoint materializes with the
+    # generator's own parallelism (pagerank_pairs' measured choice).
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
