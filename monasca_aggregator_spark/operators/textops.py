@@ -289,35 +289,33 @@ def contamination_scores(
         )
         .distinct()
     )
-    # r11 (guide §2.4): ONE pass over the training shingles — the
-    # per-doc shingle count and the match count come out of the same
-    # aggregate over the exploded stream (shingles are distinct per
-    # doc, so count(*) == size(shingles); bench_set is distinct, so
-    # the left join preserves multiplicity). Previously the corpus
-    # shingling ran twice: once for the match join, once for the
-    # n_shingles projection.
+    # r11 MEASURED DEAD END (reverted): folding n_shingles into the
+    # match aggregate via a LEFT join against the broadcast set
+    # ("one pass over the training shingles") regressed 0.76 → 8.7 s
+    # median at sf0.1 (interleaved A/B, same session) — the INNER
+    # broadcast join filters the exploded stream down to the rare
+    # matches before any aggregation state is built, while the
+    # left-outer variant drags every shingle row through the per-doc
+    # aggregate. The second shingling pass for n_shingles is a cheap
+    # projection (no explode) and is the faster shape by ~11x.
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
-    per_doc = (
-        ex.join(
-            F.broadcast(bench_set.withColumn("_m", F.lit(1))), "s", "left"
-        )
+    matches = (
+        ex.join(F.broadcast(bench_set), "s")
         .groupBy(id_col)
-        .agg(
-            # cast pins the pre-r11 output schema (F.size was int,
-            # the match count was long)
-            F.count(F.lit(1)).cast("int").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
-            .cast("long")
-            .alias("n_contaminated"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     frac = F.col("n_contaminated") / F.col("n_shingles")
-    return per_doc.select(
-        id_col,
-        "n_shingles",
-        "n_contaminated",
-        stable_round(frac, 4).alias("contamination"),
-        (frac >= F.lit(threshold)).alias("is_contaminated"),
+    return (
+        sh.select(id_col, F.size("shingles").alias("n_shingles"))
+        .join(matches, id_col, "left")
+        .fillna({"n_contaminated": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            stable_round(frac, 4).alias("contamination"),
+            (frac >= F.lit(threshold)).alias("is_contaminated"),
+        )
     )
 
 

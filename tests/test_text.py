@@ -512,9 +512,11 @@ def test_langid_calibration_buckets(spark, tmp_path):
 
 
 def test_contamination_single_pass_schema_and_zero_match(spark):
-    """r11 single-pass rewrite: the per-doc aggregate must preserve
-    the pre-r11 output schema (n_shingles int, n_contaminated long)
-    and still emit zero-match docs through the left-join null path."""
+    """Output-contract pin for contamination_scores (kept across the
+    r11 single-pass rewrite AND its measured revert — the left-outer
+    single-pass variant was 11x slower at sf0.1, see the in-code
+    note): schema stays (n_shingles int, n_contaminated long) and
+    zero-match docs flow through the left-join null path as 0."""
     from pyspark.sql.types import IntegerType, LongType
 
     from monasca_aggregator_spark.operators.textops import (
