@@ -102,14 +102,20 @@ def q_recsys_popularity_hitrate(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # r11: the fact⋈fact interaction relation feeds both the train
-    # (popularity) and test (hit) branches — materialize it once
-    # instead of running the join+distinct twice.
-    inter = (
-        li.join(flagged, li["l_orderkey"] == flagged["o_orderkey"])
-        .select("o_custkey", "l_partkey", "is_test")
-        .distinct()
-    ).cache()
+    # r11 (revised at the closing run): the first r11 variant cached
+    # the DISTINCT (cust, part, is_test) relation so both branches
+    # read it once — but that relation is CORPUS-PROPORTIONAL, and
+    # materializing it tripped the ×8 soak gate (ratio 1.6 → 7.0; a
+    # full-interaction cache is exactly the state this query's design
+    # notes forbid). The distinct itself is semantically redundant:
+    # the train branch dedups via countDistinct and the test branch
+    # reduces via max(), so BOTH branches stream straight off the
+    # equi-join — no distinct exchanges, no materialized state, two
+    # pipelined fact⋈fact passes (the pre-r11 shape minus its two
+    # distinct shuffles). Oracle-verified identical.
+    inter = li.join(
+        flagged, li["l_orderkey"] == flagged["o_orderkey"]
+    ).select("o_custkey", "l_partkey", "is_test")
     pop = (
         inter.filter(~F.col("is_test"))
         .groupBy("l_partkey")
