@@ -569,18 +569,38 @@ def line_dedup_rewrite(
         .select(id_col, F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
         .filter(F.col("h").isNotNull())
     )
-    stats = keyed.groupBy("h").agg(
-        F.countDistinct(id_col).alias("df"),
-        F.min(id_col).alias("first_doc"),
-    )
-    rm = (
-        keyed.join(stats, "h")
-        .filter(
-            (F.col("df") >= min_df) & (F.col("first_doc") < F.col(id_col))
+    if min_df <= 2:
+        # r11 (guide §2.4, closing batch — the text_novelty /
+        # span_dedup_rewrite first-seen pattern one level up): for
+        # min_df ≤ 2, "df ≥ min_df AND first_doc < id" is EXACTLY
+        # "min(id) OVER (PARTITION BY h) < id" — a strictly-later id
+        # under the same hash implies ≥ 2 distinct docs, so the
+        # df-stats aggregate and its join back onto the keyed stream
+        # (which re-ran the docs explode: 3 scans → 2) collapse into
+        # one hash-partitioned window MIN with O(1) state per line.
+        from pyspark.sql import Window
+
+        w_h = Window.partitionBy("h")
+        rm = (
+            keyed.withColumn("first_doc", F.min(id_col).over(w_h))
+            .filter(F.col("first_doc") < F.col(id_col))
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("rm"))
         )
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("rm"))
-    )
+    else:
+        stats = keyed.groupBy("h").agg(
+            F.countDistinct(id_col).alias("df"),
+            F.min(id_col).alias("first_doc"),
+        )
+        rm = (
+            keyed.join(stats, "h")
+            .filter(
+                (F.col("df") >= min_df)
+                & (F.col("first_doc") < F.col(id_col))
+            )
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("rm"))
+        )
     j = docs.join(rm, id_col, "left").withColumn(
         "rm", F.coalesce(F.col("rm"), F.array().cast("array<integer>"))
     )

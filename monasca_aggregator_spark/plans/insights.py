@@ -1813,15 +1813,22 @@ def q_funnel_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("depth"),
         )
     )
-    total = depth.agg(F.count(F.lit(1)).alias("n_total"))
     by_depth = depth.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_users")
     )
     w_cum = Window.orderBy(F.col("depth").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # r11 (guide §2.4, closing batch): n_total = Σ n_users over the
+    # ≤4-row depth table — the old separate depth.count() consumed
+    # the d1⋈d2⋈d3 join chain a SECOND time (5 events scans → 4, one
+    # whole join+distinct branch gone). Both windows run over the
+    # same bounded relation (UNPARTITIONED_WINDOW_ALLOWED entry).
+    w_all = Window.orderBy(F.col("depth").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        by_depth.crossJoin(F.broadcast(total))
+        by_depth.withColumn("n_total", F.sum("n_users").over(w_all))
         .withColumn("n_reaching", F.sum("n_users").over(w_cum))
         .select(
             F.col("depth").cast("long").alias("depth"),

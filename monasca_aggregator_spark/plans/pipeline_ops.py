@@ -381,6 +381,16 @@ def q_corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(F.col("doc_id"), F.lit(100)) < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # r11 MEASURED DEAD END (closing batch): folding the 3 consumers
+    # of `sh` into ONE groupBy(s) with per-split max-of-indicator
+    # membership flags (no distinct, no semi-join) looked like a
+    # 3-scans→1 win on the initial plan, but measured 10-30% SLOWER
+    # canary-normalized (best 1.13 vs 1.46 s interleaved at sf0.1):
+    # the three distinct-subtree branches are canonically identical,
+    # so AQE stage reuse already executes the explode+distinct ONCE
+    # at runtime, and the fold only added three CASE evaluations per
+    # exploded row on the hot path (the contamination_scores lesson:
+    # the initial-plan scan census overcounts AQE-reused branches).
     sh = docs.select(
         split.alias("split"),
         F.explode(word_shingles(F.col("text"), 3)).alias("s"),
@@ -1659,7 +1669,11 @@ def q_sample_neyman_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.sqrt(var) * F.lit(1000.0)
         + F.lit(0.5)
     ).cast("long")
-    weighted = per.select("source", w_e3.alias("w"))
+    # r11 (guide §2.4, closing batch): the strata-sized weight table
+    # feeds BOTH the budget total and the allocation join — without
+    # the cache each consumer re-ran the full documents aggregate
+    # (3 documents scans → 2). ≤ |sources| rows, bounded.
+    weighted = per.select("source", w_e3.alias("w")).cache()
     tot = weighted.agg(F.sum("w").alias("tw"))
     alloc = weighted.crossJoin(F.broadcast(tot)).select(
         "source",

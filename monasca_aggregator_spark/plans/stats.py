@@ -1185,7 +1185,17 @@ def q_corpus_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").alias("v")
     )
-    byval = docs.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    # r11 (guide §2.4, closing batch): ONE corpus pass — the bounded
+    # (source, value) cell table is cached and byval/ranked/totals all
+    # roll up from it (Σ n_sv per v is the identical count multiset),
+    # where before byval's two consumers and sv each re-scanned
+    # documents (3 scans → 1).
+    sv = (
+        docs.groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("n_sv"))
+        .cache()
+    )
+    byval = sv.groupBy("v").agg(F.sum("n_sv").alias("cnt"))
     cum_w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1206,7 +1216,6 @@ def q_corpus_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cnt")
         ).alias("tie3"),
     )
-    sv = docs.groupBy("source", "v").agg(F.count(F.lit(1)).alias("n_sv"))
     per_source = (
         sv.join(F.broadcast(ranked), "v")
         .groupBy("source")

@@ -409,6 +409,39 @@ def test_line_dedup_rewrite_strips_repeated_lines(spark):
     assert all(r.n_removed == 0 for r in untouched)
 
 
+def test_line_rewrite_windowmin_plan_and_tie(spark):
+    """r11 window-MIN rewrite of line_dedup_rewrite (min_df<=2):
+    "df>=2 AND first_doc<id" == "min(id) OVER (PARTITION BY h) < id",
+    so the stats join (which re-ran the docs line-explode for the
+    probe side) is gone — the plan carries exactly ONE Generate (the
+    rewrite join-back is a JVM higher-order filter, not an explode),
+    no df-stats join on h, and first-occurrence ties still resolve
+    to the smallest doc_id. min_df>2 keeps the df-stats join path."""
+    from tests.conftest import explain_str
+
+    from monasca_aggregator_spark.operators.textops import (
+        line_dedup_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, "dup line\nown nine"), (4, "dup line\nown four")],
+        "doc_id long, text string",
+    )
+    out = line_dedup_rewrite(docs, min_df=2)
+    plan = explain_str(out)
+    assert plan.count("Generate (") == 1
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[4].n_removed == 0  # smaller doc_id = first occurrence
+    assert rows[9].n_removed == 1
+    # the general-min_df join path still computes the same answer
+    # when its threshold is met
+    via_join = {
+        r.doc_id: r.n_removed
+        for r in line_dedup_rewrite(docs, min_df=3).collect()
+    }
+    assert via_join == {4: 0, 9: 0}  # df=2 < 3 → nothing removed
+
+
 def test_prefix_filter_equals_exact_allpairs(docs):
     """Prefix-filtering candidate generation is lossless: output is
     byte-identical to the exhaustive shingle self-join at several
