@@ -2037,23 +2037,31 @@ def q_quality_signal_correlation(
     partials) → 6 output rows projected from it."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     from monasca_aggregator_spark.functions.text import STOPWORDS
-    from monasca_aggregator_spark.operators.textops import quality_scores
+    from monasca_aggregator_spark.operators.textops import quality_expr
 
-    q = quality_scores(docs).select(
-        "doc_id",
-        F.floor(F.col("quality") * 10000 + F.lit(0.5))
+    # r11 (guide §2.4, closing batch): quality_scores is a pure
+    # per-row projection of the SAME rows, so the doc_id self-join
+    # (two corpus scans + two corpus-sized join exchanges) was pure
+    # waste — the identical quality_e4 expression (stable_round(…,4)
+    # then e4 fixed-point, copied from quality_scores' output shape)
+    # inlines into the one projection. 2 scans → 1, join gone.
+    quality_e4 = (
+        F.floor(
+            stable_round(quality_expr(F.col("text")), 4) * 10000
+            + F.lit(0.5)
+        )
         .cast("long")
-        .alias("quality_e4"),
+        .alias("quality_e4")
     )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    sig = docs.join(q, "doc_id").select(
+    sig = docs.select(
         F.col("n_chars").cast("long").alias("chars"),
         F.size(toks).cast("long").alias("tokens"),
         F.size(F.array_intersect(toks, stop_arr))
         .cast("long")
         .alias("stops"),
-        F.col("quality_e4"),
+        quality_e4,
     )
     names = ["chars", "tokens", "stops", "quality_e4"]
     aggs = [F.count(F.lit(1)).alias("n")]
