@@ -14,6 +14,7 @@ harness uses; timing covers plan build + execution to a count/collect
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -537,12 +538,22 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     # best-of-3 per query: the host is noisy-neighbor-prone and a single
-    # run can be 2-3x off; min is the standard low-noise latency estimate
+    # run can be 2-3x off; min is the standard low-noise latency estimate.
+    # r12 MEASUREMENT FIX (VERDICT r11 #1): clearCache() before EVERY
+    # timed run. r11's switch to lazy intra-query cache() let runs 2-3
+    # of best-of-3 reuse run 1's materialized intermediates (Spark's
+    # CacheManager matches canonicalized plans), and identical-lineage
+    # relations leaked work across queries in the same session — the
+    # reported min excluded materialization of every cached subtree.
+    # Now every run pays its full cost from the parquet inputs.
+    # Measured size of the r11 artifact (same tree, back-to-back,
+    # SOAK=0): see OPTIMIZATION_r12.md "Bench protocol fix".
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best, n = float("inf"), 0
         for _ in range(n_runs):
+            spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -585,8 +596,20 @@ def main() -> None:
         # warm-up pass, min of 3 timed runs per query; the default) or
         # cold single first-run (SPARK_GRAFT_COLD=1, ~20% slower on
         # the same build) — labeled so BENCH_r{N} and SURVEY §6 can't
-        # drift apart.
-        "protocol": "cold_single_run" if cold else "warm_best_of_3",
+        # drift apart. "_clearcache" suffix = r12 protocol fix (every
+        # timed run starts from an empty cache; VERDICT r11 #1).
+        "protocol": (
+            "cold_single_run" if cold else "warm_best_of_3_clearcache"
+        ),
+        # Observability stamps (VERDICT r11 #5): prove the effective
+        # parallelism and the exact bench build instead of leaving the
+        # driver to suspect ($SPARK_GRAFT_CPUS was honored all along
+        # but the artifact couldn't show it — suspect_cpus_ignored).
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "bench_sha256": hashlib.sha256(
+            Path(__file__).read_bytes()
+        ).hexdigest()[:16],
     }
     full = dict(out)
     full["queries"] = timings

@@ -1,9 +1,10 @@
-"""Per-query optimization profiler (r11 optimization round).
+"""Per-query optimization profiler (r11/r12 optimization rounds).
 
 Times one or more registry queries standalone under the bench protocol
-(sf0.001 warm-up pass, warm best-of-3 of `.count()` at the target SF)
-and optionally dumps `.explain("formatted")` to plans/r11/<query>_<tag>.txt
-so before/after plan evidence can be committed.
+(sf0.001 warm-up pass, warm best-of-3 of `.count()` at the target SF,
+clearCache() before every timed run — the r12 protocol) and optionally
+dumps `.explain("formatted")` to plans/<round>/<query>_<tag>.txt so
+before/after plan evidence can be committed.
 
 Usage:
   python tools/profile_query.py [--explain TAG] [--sf DIR] query [query ...]
@@ -27,9 +28,10 @@ def main() -> int:
     ap.add_argument(
         "--explain",
         default=None,
-        help="write plans/r11/<query>_<TAG>.txt with explain('formatted')",
+        help="write plans/<round>/<query>_<TAG>.txt with explain('formatted')",
     )
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--round", default="r12", help="plans/<round>/ target dir")
     args = ap.parse_args()
 
     from monasca_aggregator_spark.registry import all_queries
@@ -38,7 +40,7 @@ def main() -> int:
     spark = get_spark("profile-query")
     queries = all_queries()
 
-    plans_dir = _REPO / "plans" / "r11"
+    plans_dir = _REPO / "plans" / args.round
     if args.explain:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
@@ -52,6 +54,9 @@ def main() -> int:
         runs = []
         n = 0
         for _ in range(args.runs):
+            # r12 protocol (VERDICT r11 #1): every timed run starts from
+            # an empty cache so lazy cache() can't amortize across runs.
+            spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, args.sf).count()
             runs.append(time.time() - t0)
