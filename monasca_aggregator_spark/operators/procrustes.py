@@ -143,25 +143,33 @@ def linear_cka(pairs: DataFrame, col_a: str, col_b: str) -> dict:
     )
 
     def _partials(batches):
+        # r12 (guide §4.2): fold whole Arrow batches through numpy
+        # matmuls (X.T@X per batch) instead of a per-row Python loop
+        # of np.outer calls — same O(d²) task state, two orders of
+        # magnitude less interpreter work per batch.
         n, sa, sb, maa, mbb, mab = 0, None, None, None, None, None
         for pdf in batches:
-            for a, b in zip(pdf[col_a], pdf[col_b]):
-                if a is None or b is None:
-                    continue
-                x = np.asarray(a, dtype=np.float64)
-                y = np.asarray(b, dtype=np.float64)
-                if sa is None:
-                    d = len(x)
-                    sa, sb = np.zeros(d), np.zeros(len(y))
-                    maa = np.zeros((d, d))
-                    mbb = np.zeros((len(y), len(y)))
-                    mab = np.zeros((d, len(y)))
-                n += 1
-                sa += x
-                sb += y
-                maa += np.outer(x, x)
-                mbb += np.outer(y, y)
-                mab += np.outer(x, y)
+            mask = pdf[col_a].notna() & pdf[col_b].notna()
+            if not mask.any():
+                continue
+            x = np.asarray(
+                np.stack(pdf.loc[mask, col_a]), dtype=np.float64
+            )
+            y = np.asarray(
+                np.stack(pdf.loc[mask, col_b]), dtype=np.float64
+            )
+            if sa is None:
+                da, db = x.shape[1], y.shape[1]
+                sa, sb = np.zeros(da), np.zeros(db)
+                maa = np.zeros((da, da))
+                mbb = np.zeros((db, db))
+                mab = np.zeros((da, db))
+            n += x.shape[0]
+            sa += x.sum(axis=0)
+            sb += y.sum(axis=0)
+            maa += x.T @ x
+            mbb += y.T @ y
+            mab += x.T @ y
         if n:
             yield pd.DataFrame(
                 {
@@ -201,3 +209,110 @@ def linear_cka(pairs: DataFrame, col_a: str, col_b: str) -> dict:
         np.sqrt((caa * caa).sum()) * np.sqrt((cbb * cbb).sum())
     )
     return {"n_pairs": int(n), "cka": num / den if den > 0 else None}
+
+
+def linear_cka_multi(
+    pairs: DataFrame, col_a: str, cols_b: list[str]
+) -> dict[str, dict]:
+    """Linear CKA of ``col_a`` against SEVERAL candidate columns in
+    ONE mapInPandas scan (r12, guide §2.4/§4.2): the per-scenario
+    calls each re-scanned the corpus; all scenarios share (n, Σa,
+    ΣaaT), and each adds only its own (Σb, ΣbbT, ΣabT) — the scan
+    runs once and the per-batch work is one numpy matmul per matrix.
+    Rows where ``col_a`` or ANY candidate column is null are dropped
+    (the scenario columns are derived from col_a in every caller, so
+    their nullity is identical). Returns {col_b: linear_cka-dict}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = len(cols_b)
+    schema = (
+        "n long, sa array<double>, maa array<double>,"
+        " sb array<array<double>>, mbb array<array<double>>,"
+        " mab array<array<double>>"
+    )
+
+    def _partials(batches):
+        n, sa, maa = 0, None, None
+        sb = mbb = mab = None
+        for pdf in batches:
+            mask = pdf[col_a].notna()
+            for cb in cols_b:
+                mask = mask & pdf[cb].notna()
+            if not mask.any():
+                continue
+            x = np.asarray(
+                np.stack(pdf.loc[mask, col_a]), dtype=np.float64
+            )
+            ys = [
+                np.asarray(
+                    np.stack(pdf.loc[mask, cb]), dtype=np.float64
+                )
+                for cb in cols_b
+            ]
+            if sa is None:
+                da = x.shape[1]
+                sa, maa = np.zeros(da), np.zeros((da, da))
+                sb = [np.zeros(y.shape[1]) for y in ys]
+                mbb = [
+                    np.zeros((y.shape[1], y.shape[1])) for y in ys
+                ]
+                mab = [np.zeros((da, y.shape[1])) for y in ys]
+            n += x.shape[0]
+            sa += x.sum(axis=0)
+            maa += x.T @ x
+            for i, y in enumerate(ys):
+                sb[i] += y.sum(axis=0)
+                mbb[i] += y.T @ y
+                mab[i] += x.T @ y
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "sa": [list(sa)],
+                    "maa": [list(maa.ravel())],
+                    "sb": [[list(v) for v in sb]],
+                    "mbb": [[list(v.ravel()) for v in mbb]],
+                    "mab": [[list(v.ravel()) for v in mab]],
+                }
+            )
+
+    parts = (
+        pairs.select(col_a, *cols_b)
+        .mapInPandas(_partials, schema)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("linear_cka_multi: empty input")
+    n = sum(p.n for p in parts)
+    sa = np.sum([np.asarray(p.sa) for p in parts], axis=0)
+    da = sa.shape[0]
+    maa = np.sum(
+        [np.asarray(p.maa).reshape(da, da) for p in parts], axis=0
+    )
+    ma = sa / n
+    caa = maa - n * np.outer(ma, ma)
+    fa = float(np.sqrt((caa * caa).sum()))
+    out: dict[str, dict] = {}
+    for i in range(k):
+        sb = np.sum([np.asarray(p.sb[i]) for p in parts], axis=0)
+        db = sb.shape[0]
+        mbb = np.sum(
+            [np.asarray(p.mbb[i]).reshape(db, db) for p in parts],
+            axis=0,
+        )
+        mab = np.sum(
+            [np.asarray(p.mab[i]).reshape(da, db) for p in parts],
+            axis=0,
+        )
+        mb = sb / n
+        cbb = mbb - n * np.outer(mb, mb)
+        cab = mab - n * np.outer(ma, mb)
+        num = float((cab * cab).sum())
+        den = fa * float(np.sqrt((cbb * cbb).sum()))
+        out[cols_b[i]] = {
+            "n_pairs": int(n),
+            "cka": num / den if den > 0 else None,
+        }
+    return out

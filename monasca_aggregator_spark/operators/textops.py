@@ -355,11 +355,10 @@ def tfidf_top_terms(
 
     Plan: explode → tf groupBy (doc_id, token) (map-side partial agg;
     the shuffle carries per-doc term counts, not token instances) →
-    doc_freq groupBy over the already-collapsed tf table → join tf with
-    the (token, idf) vocabulary — an aggregated relation orders of
-    magnitude smaller than the corpus; Catalyst/AQE pick broadcast vs
-    shuffle join by its actual size, and stopword-ish skew is absorbed
-    because hot tokens are single vocabulary rows, not row groups.
+    doc_freq as a count window over the token partition of the SAME
+    collapsed tf relation (guide §2.4 — no vocabulary join-back, no
+    cached corpus-proportional state; the widest window partition is
+    a stopword's doc list, rows not token instances).
     Ranking windows partition by doc_id (bounded groups). Scores are
     rounded to 4 decimals BEFORE ranking so the ordering both engines
     see is identical (ln() can differ in the final ulp between libm
@@ -373,32 +372,37 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
-    # r11: tf feeds both the vocabulary aggregate and the scoring join
-    # with different prunings (no exchange reuse) — materialize the
-    # collapsed (doc, token) relation once so the corpus explode runs
-    # exactly one time.
+    # r12 (VERDICT r11 #2, guide §2.4): the r11 shape cached the
+    # collapsed (doc, token) relation — CORPUS-PROPORTIONAL state that
+    # spills or evicts-and-recomputes at scale (the ×8 soak flagged it
+    # at quotient 5.86). doc_freq is a count over the tf relation
+    # partitioned by token, so a window over the SAME aggregate
+    # replaces the vocabulary aggregate + join-back entirely: one
+    # corpus explode, no InMemoryRelation, no join — the tf relation
+    # flows token-partitioned into the doc_freq window and on to the
+    # per-doc rank window. (tf has one row per (doc, token), so
+    # count-over-token-partition IS doc_freq.)
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    ).cache()
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    vocab = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    wdf = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wdf))
         .join(F.broadcast(n_docs))
         .select(
+            "doc_id",
             "token",
+            "tf",
             "doc_freq",
-            F.log(F.col("n_docs").cast("double") / F.col("doc_freq")).alias(
-                "idf"
-            ),
+            stable_round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("doc_freq")
+                ),
+                4,
+            ).alias("tfidf"),
         )
-    )
-    scored = tf.join(vocab, "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "doc_freq",
-        stable_round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
@@ -642,9 +646,10 @@ def span_dup_coverage(
     xxhash64 (8-byte exchange keys instead of ~50-byte strings; a
     64-bit collision merges two spans' stats — probability ~(#spans)²
     /2⁶⁵, irrelevant for a statistical score) → per-(doc, hash)
-    positional counts (map-side partial agg) → per-hash doc counts
-    (tiny) → join back on the hash → per-doc fold. Every corpus-sized
-    exchange carries (id, hash, count) rows only.
+    positional counts (map-side partial agg) → per-hash doc counts as
+    a count window over the hash partition of the same relation
+    (guide §2.4 — no join-back, no cached state) → per-doc fold.
+    Every corpus-sized exchange carries (id, hash, count) rows only.
     """
     from monasca_aggregator_spark.functions.text import tokens
 
@@ -659,16 +664,25 @@ def span_dup_coverage(
         docs.filter(F.size(tokens(F.col(text_col))) >= n)
         .select(F.col(id_col), F.explode(span_hashes).alias("__h"))
     )
-    # r11: per feeds the per-hash doc-count aggregate AND the join
-    # back, with different prunings — materialize the collapsed
-    # (doc, hash, count) relation once so the span explode runs once.
+    # r12 (VERDICT r11 #2, guide §2.4): the r11 shape cached the
+    # collapsed (doc, hash, count) relation — CORPUS-PROPORTIONAL
+    # state (the ×8 soak flagged it at quotient 6.18). The per-hash
+    # doc count is a count over `per` partitioned by __h, so a window
+    # over the aggregation key replaces the stats aggregate + join
+    # back: one span explode, no InMemoryRelation, no join. (`per`
+    # has one row per (doc, hash), so count-over-hash-partition IS
+    # n_docs; the former inner join matched every row anyway since
+    # stats was built from `per` itself.)
+    from pyspark.sql import Window
+
     per = ex.groupBy(id_col, "__h").agg(
         F.count(F.lit(1)).alias("__c")
-    ).cache()
-    stats = per.groupBy("__h").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     frac = F.col("n_dup_spans") / F.col("n_spans")
     return (
-        per.join(stats, "__h")
+        per.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
         .groupBy(id_col)
         .agg(
             F.sum("__c").cast("long").alias("n_spans"),

@@ -705,18 +705,28 @@ def q_events_enrich_scd2(
     latest-value join, so historical events get historical
     attributes), then rolled up to events-per-(tier, day).
 
-    The interval match is a per-user range join: events and intervals
-    co-partition on user_id (one shuffle each), and per-user interval
-    counts are bounded by that user's CHANGE count, not their event
-    count — at extreme per-user interval cardinality, switch to the
-    union-and-carry as-of operator (operators/asof.py) which avoids
-    the range predicate entirely.  Events before a user's first
-    interval report tier NULL ("unknown then", never backfilled).
-    Output is ≤ |tiers+1| × |days| rows.
+    r12 (guide §2.4): the SCD2 dimension is itself DERIVED from the
+    same events scan, so the interval build + per-user range join
+    reduce to ONE window pass over one scan: lag() marks the tier
+    CHANGE rows (the q_scd2_user_tier change detection verbatim), and
+    each event's valid-at tier is the tier of the latest change at or
+    before its timestamp — a running max of the (ts_ms, event_id,
+    tier) struct over change rows in a RANGE frame. The range frame
+    (not rows) reproduces the old join's semantics exactly: the
+    interval condition compared ts_ms only, so an event at the same
+    millisecond as a change gets the change's tier regardless of
+    event_id order, and among same-ms changes the highest event_id
+    owns the (non-empty) interval — precisely the struct max. Events
+    before a user's first change report tier NULL ("unknown then",
+    never backfilled; max over an empty frame is NULL). One shuffle
+    keyed by user, one sort (the range frame's ts_ms order is a
+    prefix of the lag window's (ts_ms, event_id)), no join. Output is
+    ≤ |tiers+1| × |days| rows.
     """
     day_ms = 24 * _HOUR_MS
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
+        "event_id",
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         # integer epoch-ms day: Spark date_trunc yields TIMESTAMP and
         # DuckDB DATE — different stringifications; integers agree
@@ -724,15 +734,30 @@ def q_events_enrich_scd2(
             (F.unix_millis(F.col("ts")) / F.lit(day_ms)).cast("long")
             * F.lit(day_ms)
         ).alias("day_ms"),
+        F.floor(
+            F.from_json(F.col("props"), "k INT").getField("k")
+            / F.lit(_TIER_DIV)
+        )
+        .cast("int")
+        .alias("tier"),
     )
-    dim = q_scd2_user_tier(spark, sf_dir)
-    cond = (
-        (ev["user_id"] == dim["user_id"])
-        & (ev["ts_ms"] >= dim["valid_from_ms"])
-        & (dim["valid_to_ms"].isNull() | (ev["ts_ms"] < dim["valid_to_ms"]))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn("prev_tier", F.lag("tier").over(w))
+    is_change = F.col("prev_tier").isNull() | (
+        F.col("tier") != F.col("prev_tier")
     )
-    j = ev.join(dim, cond, "left").select(
-        ev["user_id"], ev["day_ms"], dim["tier"]
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    asof = F.max(
+        F.when(
+            is_change, F.struct("ts_ms", "event_id", "tier")
+        )
+    ).over(wr)
+    j = marked.select(
+        "day_ms", asof.getField("tier").alias("tier")
     )
     return j.groupBy("tier", "day_ms").agg(
         F.count(F.lit(1)).alias("n_events")

@@ -2517,32 +2517,33 @@ def q_embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenarios reported side by side, ground truth known by
     construction and pinned in tests/test_procrustes.py.
 
-    Plan: one mapInPandas moment-partial scan per scenario (O(d²)
-    task state, no shuffle), driver-side Frobenius norms — the
-    procrustes_alignment cost shape."""
+    Plan: ONE mapInPandas moment-partial scan for BOTH scenarios
+    (r12, guide §2.4 — the per-scenario linear_cka calls re-scanned
+    the corpus; both share the A-side moments), O(d²) task state, no
+    shuffle, driver-side Frobenius norms — the procrustes_alignment
+    cost shape."""
     from monasca_aggregator_spark.operators.procrustes import (
-        linear_cka,
+        linear_cka_multi,
     )
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         F.col("embedding").cast("array<double>").alias("a")
     )
-    iso = emb.withColumn(
-        "b",
+    both = emb.withColumn(
+        "b_iso",
         F.expr(
             "transform(reverse(a),"
             " (x, i) -> CASE WHEN i % 2 = 0 THEN x ELSE -x END)"
         ),
-    )
-    collapsed = iso.withColumn(
-        "b",
+    ).withColumn(
+        "b_col",
         F.expr(
-            "transform(b, (x, i) -> CASE WHEN i < size(b) div 2"
-            " THEN CAST(0.0 AS DOUBLE) ELSE x END)"
+            "transform(b_iso, (x, i) -> CASE WHEN i < size(b_iso)"
+            " div 2 THEN CAST(0.0 AS DOUBLE) ELSE x END)"
         ),
     )
-    r_iso = linear_cka(iso, "a", "b")
-    r_col = linear_cka(collapsed, "a", "b")
+    r = linear_cka_multi(both, "a", ["b_iso", "b_col"])
+    r_iso, r_col = r["b_iso"], r["b_col"]
     return spark.createDataFrame(
         [
             ("isometry", r_iso["n_pairs"], round(r_iso["cka"], 6)),

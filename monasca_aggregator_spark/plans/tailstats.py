@@ -1984,15 +1984,24 @@ def q_text_dispersion_juilland(
     stable_round(6).
 
     Scale: the corpus explode collapses to (source, word) counts
-    (map-side partials); the top-{_JD_TOP_WORDS} word list is a
-    TakeOrdered broadcast; the completed grid is
-    {_JD_TOP_WORDS}×|sources| rows."""
+    (map-side partials); per-source totals attach as a sum window
+    over the source partition of the same relation; the
+    top-{_JD_TOP_WORDS} cut is a TakeOrdered over the word
+    aggregate."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    # r11 (guide §2.4): the collapsed (source, word) count table feeds
-    # THREE consumers (per-source totals, the top-word TakeOrdered,
-    # and the grid left join) and each re-ran the corpus
-    # explode+aggregate — cache the vocabulary×|sources|-bounded
-    # relation once (the house bounded-intermediate convention).
+    # r12 (VERDICT r11 #3, guide §2.4): the r11 shape cached the
+    # (source, word) count table for three consumers and still paid a
+    # grid cross-join + left join back. The grid's zero-filled rows
+    # contribute NOTHING to the moments (rf9 = 0 adds 0 to sf/qf and
+    # fails rf9 > 0), and every word shares the same m = |sources| —
+    # so the whole grid is redundant: attach the per-source total as
+    # a sum window over the source partition of the SAME counts
+    # relation, aggregate the present rows per word, and cross-join
+    # the scalar source count (a column-pruned one-column scan of
+    # documents — every doc emits ≥1 split token, so the sources in
+    # counts are exactly the sources in documents). One corpus
+    # explode, no cache, no grid, no join-back; the top-word cut
+    # becomes a TakeOrdered over the word aggregate.
     counts = (
         docs.select(
             "source",
@@ -2000,37 +2009,37 @@ def q_text_dispersion_juilland(
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
     )
-    totals = counts.groupBy("source").agg(F.sum("n").alias("t"))
-    top = (
-        counts.groupBy("w")
-        .agg(F.sum("n").alias("cf"))
-        .orderBy(F.col("cf").desc(), F.col("w"))
-        .limit(_JD_TOP_WORDS)
-    )
-    grid = F.broadcast(top).crossJoin(totals)
-    filled = grid.join(counts, ["source", "w"], "left").select(
+    wsrc = Window.partitionBy("source")
+    present = counts.select(
         "w",
-        "cf",
-        "source",
+        "n",
         # e9 relative frequency — exact moments downstream
         F.floor(
-            F.coalesce(F.col("n"), F.lit(0)).cast("double")
-            / F.col("t").cast("double")
+            F.col("n").cast("double")
+            / F.sum("n").over(wsrc).cast("double")
             * F.lit(1e9)
             + F.lit(0.5)
         )
         .cast("long")
         .alias("rf9"),
     )
-    agg = filled.groupBy("w", "cf").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("rf9").alias("sf"),
-        F.sum(F.col("rf9").cast(_DEC) * F.col("rf9").cast(_DEC)).alias(
-            "qf"
-        ),
-        F.sum((F.col("rf9") > 0).cast("long")).alias("n_sources"),
+    m_sources = docs.agg(
+        F.countDistinct("source").alias("m")
+    )
+    agg = (
+        present.groupBy("w")
+        .agg(
+            F.sum("n").alias("cf"),
+            F.sum("rf9").alias("sf"),
+            F.sum(
+                F.col("rf9").cast(_DEC) * F.col("rf9").cast(_DEC)
+            ).alias("qf"),
+            F.sum((F.col("rf9") > 0).cast("long")).alias("n_sources"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(_JD_TOP_WORDS)
+        .join(F.broadcast(m_sources))
     )
     mm = F.col("m").cast("double")
     mean = F.col("sf").cast("double") / mm

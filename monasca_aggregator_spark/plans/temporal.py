@@ -2118,10 +2118,11 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lead() per user over the total (ts, event_id) order produces the
     transition pairs; the matrix groupBy partial-aggregates map-side
-    into ≤ |event_type|² groups, so the normalizing per-source totals
-    are a broadcast join over a corpus-size-independent aggregate.
-    Probability = exact-integer division (n_ab / n_a), one division
-    per output row.
+    into ≤ |event_type|² groups, and the normalizing per-source
+    totals are a sum window over that corpus-size-independent
+    aggregate (one corpus pass — a joined-back totals aggregate
+    re-ran the scan+window). Probability = exact-integer division
+    (n_ab / n_a), one division per output row.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
@@ -2138,16 +2139,24 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_trans"))
     )
-    totals = pairs.groupBy("from_type").agg(
-        F.sum("n_trans").alias("n_from")
+    # r12 (guide §2.4): the normalizing totals used to be a separate
+    # aggregate JOINED back — the broadcast side's plan re-ran the
+    # corpus scan + per-user window a second time (no exchange reuse
+    # across the differently-pruned subtrees). A sum window over the
+    # ≤|event_type|² pairs relation computes the same totals in the
+    # same pass: one scan, one window, one aggregate.
+    n_from = F.sum("n_trans").over(
+        Window.partitionBy("from_type").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     )
-    return pairs.join(F.broadcast(totals), "from_type").select(
+    return pairs.select(
         "from_type",
         "to_type",
         "n_trans",
-        F.col("n_from").cast("long").alias("n_from"),
+        n_from.cast("long").alias("n_from"),
         (
-            F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+            F.col("n_trans").cast("double") / n_from.cast("double")
         ).alias("p_transition"),
     )
 
@@ -2249,11 +2258,10 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals can't give.
 
     One shuffle to distinct (user, week); per-user lag() classifies
-    active weeks; churn is the same classification SHIFTED — a user
-    churns IN the week after their last active week, produced by
-    re-keying each active week to week+1 and anti-aligning with the
-    active set (full outer on the week grid).  All counts are exact
-    integers on a |users|×|weeks|-bounded relation, never raw events.
+    active weeks and lead() emits each churn row in the SAME window
+    pass — a user churns in week w+1 exactly when their next active
+    week isn't w+1.  All counts are exact integers on a
+    |users|×|weeks|-bounded relation, never raw events.
     """
     from pyspark.sql import Window
 
@@ -2264,38 +2272,62 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(_WEEK_MS)
         ).alias("week_ms"),
     )
-    # r11 (guide §2.4): the |users|×|weeks|-bounded distinct active
-    # set feeds the lag classification AND both sides of the churn
-    # anti-join — uncached, the corpus scan+distinct re-executed 3×
-    # (3 FileScans → 1).
-    uw = ev.distinct().cache()
+    # r12 (VERDICT r11 #2/#3): the r11 shape cached the distinct
+    # (user, week) set — USER-PROPORTIONAL state, and the cache
+    # regressed its own query (0.37→0.72 s) because three consumers'
+    # saved re-scans cost less than the materialization. One window
+    # pass now produces everything: lag() classifies the active week,
+    # and lead() emits the CHURN row in the same pass — a user churns
+    # in week w+1 exactly when their next active week isn't w+1
+    # (that is what the old anti-join tested: (u, w+WEEK) absent from
+    # the active set ⟺ the next active week after w is > w+WEEK or
+    # doesn't exist). Each active week explodes into its state row
+    # plus an optional churn row; ONE groupBy+pivot counts all four
+    # states. No cache, no anti-join, no full-outer week-grid join —
+    # single linear pipeline (3 FileScans → 1 without the cache).
+    uw = ev.distinct()
     w = Window.partitionBy("user_id").orderBy("week_ms")
-    classified = uw.withColumn(
-        "prev_week", F.lag("week_ms").over(w)
-    ).withColumn(
-        "state",
+    marked = uw.select(
+        "week_ms",
+        F.lag("week_ms").over(w).alias("prev_week"),
+        F.lead("week_ms").over(w).alias("next_week"),
+    )
+    state = (
         F.when(F.col("prev_week").isNull(), F.lit("new"))
         .when(
             F.col("week_ms") - F.col("prev_week") == F.lit(_WEEK_MS),
             F.lit("retained"),
         )
-        .otherwise(F.lit("resurrected")),
+        .otherwise(F.lit("resurrected"))
     )
-    active_counts = classified.groupBy("week_ms").pivot(
-        "state", ["new", "retained", "resurrected"]
-    ).count().na.fill(0)
-    # churned-in-week X = active in X-1 and NOT active in X
-    prev_active = uw.select(
-        (F.col("week_ms") + F.lit(_WEEK_MS)).alias("week_ms"),
-        "user_id",
+    churns = F.col("next_week").isNull() | (
+        F.col("next_week") > F.col("week_ms") + F.lit(_WEEK_MS)
     )
-    churned = (
-        prev_active.join(uw, ["week_ms", "user_id"], "left_anti")
-        .groupBy("week_ms")
-        .agg(F.count(F.lit(1)).alias("churned"))
-    )
-    out = active_counts.join(churned, "week_ms", "full_outer").na.fill(
-        0, ["new", "retained", "resurrected", "churned"]
+    emitted = marked.select(
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.col("week_ms"), state.alias("state"))),
+                F.when(
+                    churns,
+                    F.array(
+                        F.struct(
+                            (F.col("week_ms") + F.lit(_WEEK_MS)).alias(
+                                "week_ms"
+                            ),
+                            F.lit("churned").alias("state"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<week_ms:bigint,state:string>>"
+                )),
+            )
+        ).alias("e")
+    ).select(F.col("e.week_ms").alias("week_ms"), F.col("e.state"))
+    out = (
+        emitted.groupBy("week_ms")
+        .pivot("state", ["new", "retained", "resurrected", "churned"])
+        .count()
+        .na.fill(0, ["new", "retained", "resurrected", "churned"])
     )
     return out.select(
         "week_ms",
