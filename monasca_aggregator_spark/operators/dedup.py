@@ -353,11 +353,18 @@ def jaccard_prefix_pairs(
     """
     sh = _shingled(docs, id_col, text_col, n)
     ex = _exploded(sh).select("doc_id", F.xxhash64("s").alias("sh"))
-    # vocabulary-sized document-frequency table; the join back is an
-    # equi-join on the 8-byte token hash
-    df_tbl = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # r12 (guide §2.4): document frequency is a count over the shingle
+    # partition of the SAME exploded stream — a count window replaces
+    # the df aggregate + equi-join back (measured 1.18 -> 0.78 s for
+    # the ranked/prefixed build at sf0.1; the window partition's row
+    # count is the shingle's doc frequency, the same key distribution
+    # the join-back shuffled by).
+    from pyspark.sql import Window as _W
+
     ranked = (
-        ex.join(df_tbl, "sh")
+        ex.withColumn(
+            "df", F.count(F.lit(1)).over(_W.partitionBy("sh"))
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("toks"))
     )

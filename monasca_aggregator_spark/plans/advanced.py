@@ -611,10 +611,16 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(fk) for fk, _, _ in edges]
         )
         for i, (fk, dim, pk) in enumerate(edges):
+            # r12 (guide §2.4, measured): no dedup of the dim key —
+            # every edge targets the dim's PRIMARY KEY (unique by the
+            # schema contract; enforcing that is audit_expectations'
+            # unique-rule business, not this edge audit's), and the
+            # DuckDB oracle joins the raw dim table the same way. The
+            # distinct was one full exchange per edge — 7 exchanges,
+            # ~0.4 s each at sf0.1 for the orders key alone.
             d = (
                 load_table(spark, sf_dir, dim)
                 .select(F.col(pk).alias(f"_k{i}"))
-                .distinct()
                 .withColumn(f"_m{i}", F.lit(1))
             )
             f = f.join(
@@ -628,19 +634,34 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for i in range(len(edges))
             ],
-        ).cache()  # 1 row; reused once per outgoing edge
-        for i, (fk, dim, pk) in enumerate(edges):
-            parts.append(
-                agg.select(
-                    F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
-                    "n_rows",
-                    F.col(f"_o{i}").alias("n_orphans"),
-                    (
-                        F.col(f"_o{i}").cast("double")
-                        / F.col("n_rows").cast("double")
-                    ).alias("orphan_frac"),
+        )
+        # r12 (guide §1.2): the edge rows derive from the one agg row
+        # via inline() INSIDE the same plan — the r11 shape cached the
+        # 1-row agg and selected it once per edge, paying a cache
+        # materialization job per fact every run under the clearCache
+        # protocol. One linear pipeline per fact, no InMemoryRelation.
+        parts.append(
+            agg.select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(
+                                    f"{fact}.{fk}->{dim}.{pk}"
+                                ).alias("fk_edge"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"_o{i}").alias("n_orphans"),
+                                (
+                                    F.col(f"_o{i}").cast("double")
+                                    / F.col("n_rows").cast("double")
+                                ).alias("orphan_frac"),
+                            )
+                            for i, (fk, dim, pk) in enumerate(edges)
+                        ]
+                    )
                 )
             )
+        )
     out = parts[0]
     for p_df in parts[1:]:
         out = out.unionByName(p_df)

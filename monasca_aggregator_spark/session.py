@@ -38,6 +38,19 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # r12 (guide §3.1/§9, measured): allow the planner to pick a
+        # shuffled-hash join when its size conditions hold instead of
+        # always preferring sort-merge — removes both sides' sorts on
+        # the self-join-heavy graph/dedup/copurchase families
+        # (20-query A/B at sf0.1 under the clearCache protocol:
+        # 38.6 -> 35.7/37.1 s over two runs; copurchase_cosine_topk
+        # 2.46 -> 1.84, dedup_containment 1.85 -> 1.25,
+        # basket_association_lift 1.95 -> 1.54). Scale posture: the
+        # planner still applies its build-side size conditions, and
+        # AQE skew-join splitting handles SHJ as well as SMJ since
+        # Spark 3.2 — this is the optimization guide's own baseline
+        # recommendation, not a local[32] tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # test parquet carries TIMESTAMP(NANOS); read as long, convert in
