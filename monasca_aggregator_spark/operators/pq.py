@@ -129,14 +129,21 @@ def pq_ann(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """End-to-end PQ search: train → encode → ADC scan over the
     compressed corpus → exact re-rank of the top-``rerank`` candidates
     per query. Output (query_id, rank, neighbor_id, sim) like the
-    other ANN paths; sim is exact cosine (from the re-rank pass)."""
-    books = train_pq_codebooks(
-        corpus, m=m, k=k, id_col=id_col, vec_col=vec_col
-    )
+    other ANN paths; sim is exact cosine (from the re-rank pass).
+
+    ``books`` (r12, guide §1.2): callers that train the SAME codebook
+    for several indexes (ann_recall_report trains pq + ivfpq on one
+    corpus) pass it in so the deterministic hash-sample collect +
+    driver k-means run once — identical tensor, fewer driver jobs."""
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, m=m, k=k, id_col=id_col, vec_col=vec_col
+        )
     mm, kk, dsub = books.shape
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
@@ -242,6 +249,7 @@ def ivfpq_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF+PQ composed index (Jégou et al. 2011 §V — the FAISS
     ``IVFPQ`` shape, without residual encoding, documented): a coarse
@@ -295,10 +303,12 @@ def ivfpq_ann(
         (r.cent_id, list(r.cent_vec))
         for r in cents.select("cent_id", "cent_vec").collect()
     ]
-    # 2. PQ codebooks (global, bounded sample)
-    books = train_pq_codebooks(
-        corpus, m=m, k=k, id_col=id_col, vec_col=vec_col
-    )
+    # 2. PQ codebooks (global, bounded sample); shared via the
+    # ``books`` param when the caller trains several indexes (r12)
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, m=m, k=k, id_col=id_col, vec_col=vec_col
+        )
     mm, kk, dsub = books.shape
 
     # 3. one Arrow pass: (id, cell, codes) — the entire stored index.

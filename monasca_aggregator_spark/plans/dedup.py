@@ -171,16 +171,18 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _calibration_docs(
         load_table(spark, sf_dir, "documents", fan_out=True), sf_dir
     )
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # r12 (guide §2.4): build the signature side from the IDENTICAL
+    # _shingled lineage the pair generator lazily caches — the
+    # CacheManager matches canonicalized plans, so one shingle pass
+    # serves both sig and pairs (the old shape re-shingled the sample
+    # for the signature branch; explode_outer + the null filter drops
+    # empty docs exactly like the old size(sh) > 0 filter).
+    sh = D._shingled(docs, "doc_id", "text", 3)
     base = F.pmod(
         F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long"),
         F.lit(_MH_EST_P),
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", base.alias("x")
-    )
+    ex = D._exploded(sh).select("doc_id", base.alias("x"))
     # r11 optimization (guide §2.4): sig is consumed twice (a/b sides)
     # and pairs' generator re-shingles the sample internally — both
     # relations are bounded by the calibration-sample/guard contract
@@ -303,13 +305,11 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _calibration_docs(
         load_table(spark, sf_dir, "documents", fan_out=True), sf_dir
     )
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # r12: same shared-shingle-lineage shape as the MinHash twin —
+    # one shingle pass serves both the signature and the generator.
+    sh = D._shingled(docs, "doc_id", "text", 3)
     x = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", x.alias("x")
-    )
+    ex = D._exploded(sh).select("doc_id", x.alias("x"))
     bit_votes = [
         F.sum(
             F.when(

@@ -1192,7 +1192,11 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from monasca_aggregator_spark.operators.pq import ivfpq_ann, pq_ann
+    from monasca_aggregator_spark.operators.pq import (
+        ivfpq_ann,
+        pq_ann,
+        train_pq_codebooks,
+    )
     from monasca_aggregator_spark.operators.similarity import (
         train_ivf_centroids_local,
     )
@@ -1212,7 +1216,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pairs(ivf_ann(corpus, queries, k=K, centroids=cents, dim=_DIM))
 
     try:
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            # r12 (guide §1.2): pq and ivfpq train the IDENTICAL
+            # codebook tensor (same corpus, same m/k, deterministic
+            # hash-sample + Lloyd init) — train it once on its own
+            # future so both paths share it without delaying the
+            # other submissions.
+            books_fut = pool.submit(
+                lambda: train_pq_codebooks(corpus)
+            )
             futs = {
                 "__exact": pool.submit(
                     lambda: _pairs(cosine_topk(corpus, queries, k=K))
@@ -1225,11 +1237,24 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "ann_ivf_kmeans": pool.submit(_ivf_kmeans),
                 "ann_pq": pool.submit(
-                    lambda: _pairs(pq_ann(corpus, queries, k_out=K))
+                    lambda: _pairs(
+                        pq_ann(
+                            corpus,
+                            queries,
+                            k_out=K,
+                            books=books_fut.result(),
+                        )
+                    )
                 ),
                 "ann_ivfpq": pool.submit(
                     lambda: _pairs(
-                        ivfpq_ann(corpus, queries, k_out=K, dim=_DIM)
+                        ivfpq_ann(
+                            corpus,
+                            queries,
+                            k_out=K,
+                            dim=_DIM,
+                            books=books_fut.result(),
+                        )
                     )
                 ),
             }
