@@ -690,21 +690,15 @@ def main() -> None:
             # the worst observed session-inflated quotient while
             # still catching a real blow-up.
             "agg_multi_rule": 12.0,
-            # r11 ratio-inflation-by-base-shrink (the optimization
-            # round's measurement artifact, NOT a plan change): both
-            # queries got FASTER at ×8 in absolute terms r10→r11
-            # (dedup_spans xN 4.11→2.83 s, text_tfidf 3.93→3.23 s)
-            # while the r11 single-explode cached intermediate cut
-            # their BASE 2-3× (1.22→0.46, 1.00→0.55) — and the base
-            # best-of-3 additionally amortizes the cache
-            # materialization across its runs where every soak run
-            # pays it in full after the protocol clearCache. The
-            # quotient therefore rose 3.37→6.18 / 3.95→5.86 with the
-            # numerator falling. 9.0 keeps ~45% headroom over the
-            # observed inflated quotient; a genuinely super-linear
-            # plan at ×8 still reads far above it.
-            "dedup_spans": 9.0,
-            "text_tfidf": 9.0,
+            # r12: the r11 9.0 raises for dedup_spans / text_tfidf are
+            # REVERTED to the default 6.0 — VERDICT r11 #1 called the
+            # raises "re-tuned around a measurement artifact", and r12
+            # removed both the artifact (clearCache before every timed
+            # run, so the base no longer amortizes materialization)
+            # and its cause (the corpus-proportional caches are gone —
+            # both queries now attach their second aggregate as a
+            # window over the same relation). See the adjudication
+            # records below for the round-trip.
         }
         # Every raised bound carries its adjudication IN the artifact
         # (VERDICT r6 #7): silent bound-raises are how gates go
@@ -737,28 +731,28 @@ def main() -> None:
                 "treatment)",
             },
             "dedup_spans": {
-                "old": 6.0,
-                "new": 9.0,
-                "spread": "xN_sec 4.11 s r10 -> 2.83 s r11 (31% "
-                "FASTER at x8); base 1.22 -> 0.46 after the r11 "
-                "single-explode cached intermediate; quotient "
-                "3.37 -> 6.18 (median-of-3 5.85)",
-                "reason": "RATIO INFLATION BY BASE SHRINK (r11 "
-                "optimization round): the numerator fell while the "
-                "denominator fell faster — the base best-of-3 also "
-                "amortizes the cache materialization that every "
-                "clearCache'd soak run pays in full. Plan unchanged "
-                "at x8; a super-linear plan would read ~64",
+                "old": "9.0 (r11 raise)",
+                "new": 6.0,
+                "spread": "r11 quotient 6.18 was ratio inflation by "
+                "base shrink (base 1.22 -> 0.46 cache-amortized); "
+                "r12 honest base ~0.95 s after the window rewrite "
+                "removed the corpus-proportional cache",
+                "reason": "ROUND-TRIP (VERDICT r11 #1): the r11 "
+                "raise was tuned around the best-of-3 cache "
+                "amortization artifact; the r12 clearCache protocol "
+                "removed the artifact and the de-cached window "
+                "rewrite removed its cause, so the default bound "
+                "holds again",
             },
             "text_tfidf": {
-                "old": 6.0,
-                "new": 9.0,
-                "spread": "xN_sec 3.93 s r10 -> 3.23 s r11 (18% "
-                "FASTER at x8); base 1.00 -> 0.55; quotient "
-                "3.95 -> 5.86",
-                "reason": "same ratio-inflation-by-base-shrink as "
-                "dedup_spans (r11 cached single-explode halved the "
-                "base); absolute x8 time improved, plan unchanged",
+                "old": "9.0 (r11 raise)",
+                "new": 6.0,
+                "spread": "r11 quotient 5.86 was the same "
+                "base-shrink inflation (base 1.00 -> 0.55 "
+                "cache-amortized); r12 honest base ~1.2 s after the "
+                "doc_freq window rewrite removed the cache",
+                "reason": "ROUND-TRIP (VERDICT r11 #1): same as "
+                "dedup_spans",
             },
         }
         soak: dict[str, dict[str, float]] = {}

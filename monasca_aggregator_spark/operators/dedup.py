@@ -307,6 +307,12 @@ def incremental_new_docs(
         ]
     else:
         words = build_bloom(corpus_h, "h", num_bits=num_bits)
+    # r12 probe note: the two disjoint branches below scan `hashed`
+    # twice (census: documents×4 for the consumer query). Folding them
+    # into ONE anti-join with the Bloom test inside the join condition
+    # would shuffle the definitely-new rows the split exists to keep
+    # map-side — rejected; the duplicate scan is a column-pruned
+    # hash+filter pass, the cheap side of that trade.
     hashed = batch.withColumn("__h", key).withColumn(
         "__nt_null", nt.isNull()
     )
