@@ -768,13 +768,49 @@ def main() -> None:
                 print(f"# soak {name} failed: {exc}", file=sys.stderr)
                 return None
 
+        def _fresh_base(name: str) -> float | None:
+            # r12 MEASUREMENT FIX: the gate's denominator is the base
+            # time re-measured IMMEDIATELY before the xN run (best of
+            # 2, clearCache'd), not the headline best-of-3 recorded
+            # hundreds of queries earlier in the session. The soak
+            # section runs at the very END of a ~350-query session,
+            # where JVM state (GC, code cache, listener backlog)
+            # inflates wall times ~2-4x vs mid-session — dividing an
+            # end-of-session numerator by a mid-session denominator
+            # fired the r12 gate on two queries whose standalone ×8
+            # runs are comfortably linear (sessions_capped 7.28 in-
+            # bench vs ~2.3 standalone; orders_consistency_audit 6.39
+            # vs ~1.0 — both join-config-independent, pure session
+            # drift). A genuinely super-linear plan still fires: both
+            # quotient sides now share the same session state. The
+            # headline base and the old quotient stay in the entry
+            # (base_sec / ratio_vs_headline_base) for continuity.
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                try:
+                    t0 = time.time()
+                    queries[name](spark, sf_dir).count()
+                    best = min(best, time.time() - t0)
+                except Exception:  # pragma: no cover
+                    return None
+            return best
+
         for name in soak_queries:
+            fresh = _fresh_base(name)
             got = _soak_run(name)
             if got is None:
                 continue
             xn, xn_rows = got
-            base = timings.get(name)
+            base = fresh or timings.get(name)
             entry: dict[str, object] = {"xN_sec": round(xn, 3)}
+            if fresh:
+                entry["base_fresh_sec"] = round(fresh, 3)
+            if timings.get(name):
+                entry["base_sec"] = timings[name]
+                entry["ratio_vs_headline_base"] = round(
+                    xn / timings[name], 2
+                )
             if base:
                 entry["ratio"] = round(xn / base, 2)
                 entry["expected_max"] = SOAK_RATIO_EXPECTED.get(
